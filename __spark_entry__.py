@@ -1,38 +1,523 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(plus the north-star LLM-pipeline extras); ``oracle_sql()`` returns the
+DuckDB mirror for each — built from the same single-source-of-truth SQL
+builders that live next to the Spark implementations in
+``connapse_spark/operators/*`` so both sides evolve together.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from connapse_spark.functions.vector import cosine_expr, sql_cosine, to_double_array
+from connapse_spark.operators import analytics, chunking, dedup, events, similarity, textstats
+from connapse_spark.operators.embedding import cache_misses
+from connapse_spark.operators.maintenance import (
+    reindex_decisions,
+    sync_delta,
+    upsert_last_writer_wins,
+)
+from connapse_spark.operators.search import SearchOptions, hybrid_search, keyword_search
+from connapse_spark import oracle
+
+SEARCH_QUERY = "table scan fast merge"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _long(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast computed int columns to long so Spark's schema matches DuckDB's
+    BIGINT arithmetic results."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Search (Q2/Q3/Q5/Q6/Q10/Q9/Q12)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_vector(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        to_double_array(F.col("embedding")).alias("_qv")
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_expr(to_double_array(F.col("embedding")), F.col("_qv")).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+_SQL_KNN_BASE = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, {sql_cosine("CAST(embedding AS DOUBLE[])", "qv")} AS score
+FROM embeddings, q {{where}}
+ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
+def q_knn_vector_filtered(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label") != 2)
+    q = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(to_double_array(F.col("embedding")).alias("_qv"))
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_expr(to_double_array(F.col("embedding")), F.col("_qv")).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def q_keyword_search(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_search(docs, SEARCH_QUERY, k=20)
+
+
+def _hybrid(spark, sf_dir, **kw):
+    docs = _t(spark, sf_dir, "documents")
+    opts = SearchOptions(
+        top_k=kw.get("top_k", 10),
+        min_score=kw.get("min_score", 0.0),
+        mode=kw.get("mode", "Hybrid"),
+        fusion=kw.get("fusion", "ConvexCombination"),
+        fusion_alpha=kw.get("alpha", 0.5),
+        auto_cut=kw.get("autocut", False),
+    )
+    pred = kw.get("predicate")
+    out = hybrid_search(docs, SEARCH_QUERY, opts, predicate=pred)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def q_hybrid_cc(spark, sf_dir):
+    return _hybrid(spark, sf_dir)
+
+
+def q_hybrid_dbsf(spark, sf_dir):
+    return _hybrid(spark, sf_dir, fusion="Dbsf")
+
+
+def q_hybrid_autocut(spark, sf_dir):
+    return _hybrid(spark, sf_dir, autocut=True)
+
+
+def q_hybrid_filtered(spark, sf_dir):
+    pred = (F.col("lang") == "en") & F.col("source").isin("src1", "src2", "src3")
+    return _hybrid(spark, sf_dir, predicate=pred)
+
+
+_HYBRID_WHERE = "lang = 'en' AND source IN ('src1', 'src2', 'src3')"
+
+
+def q_semantic_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    opts = SearchOptions(top_k=10, mode="Semantic")
+    return hybrid_search(docs, SEARCH_QUERY, opts).withColumnRenamed("id", "doc_id")
+
+
+def _sql_semantic_topk() -> str:
+    return f"""
+WITH v AS ({oracle.vector_cte(SEARCH_QUERY, 20)}
+)
+SELECT id AS doc_id, score, 'vector' AS source FROM v
+WHERE score >= 0.0 ORDER BY score DESC, id LIMIT 10
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Vector ops (E3/E4, similarity, near-dup)
+# ---------------------------------------------------------------------------
+
+
+def q_mean_pool(spark, sf_dir):
+    df = similarity.mean_pool_by(_t(spark, sf_dir, "embeddings"))
+    return _long(df, "n_vectors")
+
+
+def q_knn_join(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.knn_join(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return _long(out, "rank")
+
+
+def q_neardup_cosine(spark, sf_dir):
+    return similarity.neardup_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
+
+
+def q_cosine_adjacent(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id"), to_double_array("embedding").alias("_va"))
+    b = emb.select((F.col("vec_id") - 1).alias("vec_id"), to_double_array("embedding").alias("_vb"))
+    cos = cosine_expr(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, "vec_id")
+        .select("vec_id", cos.alias("score"), (F.lit(1.0) - cos).alias("distance"))
+        .orderBy("vec_id")
+    )
+
+
+_SQL_COSINE_ADJACENT = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS vec_id, {sql_cosine("a.e", "b.e")} AS score,
+       1.0 - {sql_cosine("a.e", "b.e")} AS distance
+FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+ORDER BY vec_id
+""".strip()
+
+
+def q_cache_misses(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cache = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.sha2(F.col("text"), 256).alias("content_hash")
+    )
+    return cache_misses(docs, cache).select("doc_id", "content_hash").orderBy("doc_id")
+
+
+_SQL_CACHE_MISSES = """
+WITH cache AS (
+  SELECT DISTINCT sha256(text) AS content_hash FROM documents WHERE doc_id % 5 != 0
+),
+hashed AS (
+  SELECT doc_id, sha256(text) AS content_hash,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, content_hash FROM hashed
+WHERE rn = 1 AND content_hash NOT IN (SELECT content_hash FROM cache)
+ORDER BY doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    df = dedup.exact_dedup(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return _long(df, "dup_rank", "group_size")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_quality(spark, sf_dir):
+    df = textstats.quality_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return _long(df, "n_tokens", "n_ws_tokens", "n_bpe_tokens")
+
+
+def q_langid(spark, sf_dir):
+    return textstats.language_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Chunking (oracle-checkable column-expression tier)
+# ---------------------------------------------------------------------------
+
+
+def q_chunk_fixed_char(spark, sf_dir):
+    df = chunking.chunk_fixed_char(_t(spark, sf_dir, "documents"))
+    return _long(df, "chunk_index", "start_offset", "end_offset")
+
+
+def q_chunk_token_window(spark, sf_dir):
+    df = chunking.chunk_token_window(_t(spark, sf_dir, "documents"))
+    return _long(df, "chunk_index")
+
+
+# ---------------------------------------------------------------------------
+# Analytics (A1-A4)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_stats(spark, sf_dir):
+    df = analytics.corpus_stats(_t(spark, sf_dir, "documents")).orderBy("source")
+    return _long(df, "n_docs", "n_en")
+
+
+def q_model_discovery(spark, sf_dir):
+    df = analytics.model_discovery(_t(spark, sf_dir, "embeddings"))
+    return _long(df, "dimensions")
+
+
+def q_doc_list_paged(spark, sf_dir):
+    return analytics.document_list_paged(_t(spark, sf_dir, "documents"))
+
+
+def q_file_browser(spark, sf_dir):
+    return analytics.file_browser(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Events (windowed / sessionized / last-writer-wins)
+# ---------------------------------------------------------------------------
+
+
+def q_events_tumbling(spark, sf_dir):
+    return events.tumbling_agg(events.load_events(spark, sf_dir))
+
+
+def q_events_sessionize(spark, sf_dir):
+    df = events.sessionize(events.load_events(spark, sf_dir))
+    return _long(df, "n_sessions")
+
+
+def q_latest_event(spark, sf_dir):
+    return events.latest_event_per_user(events.load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Maintenance (M1/M2/S6)
+# ---------------------------------------------------------------------------
+
+
+def _paths(docs):
+    return F.concat(F.lit("/"), F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"))
+
+
+def q_reindex_decisions(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    catalog = docs.select(
+        _paths(docs).alias("path"),
+        F.sha2("text", 256).alias("content_hash"),
+        F.when(F.col("doc_id") % 11 == 0, "old").otherwise("cur").alias("settings_key"),
+        F.when(F.col("doc_id") % 13 == 0, None).otherwise(F.lit("2026-01-01")).alias(
+            "last_indexed_at"
+        ),
+        F.when(F.col("doc_id") % 13 == 0, "Pending").otherwise("Ready").alias("status"),
+    )
+    listing = docs.filter(F.col("doc_id") % 23 != 0).select(
+        _paths(docs).alias("path"),
+        F.when(F.col("doc_id") % 17 == 0, F.sha2(F.concat(F.col("text"), F.lit("x")), 256))
+        .otherwise(F.sha2("text", 256))
+        .alias("content_hash"),
+    )
+    return reindex_decisions(catalog, listing, "cur").orderBy("path")
+
+
+_SQL_REINDEX = """
+WITH catalog AS (
+  SELECT concat('/', source, '/doc_', doc_id) AS path,
+         sha256(text) AS content_hash,
+         CASE WHEN doc_id % 11 = 0 THEN 'old' ELSE 'cur' END AS settings_key,
+         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE '2026-01-01' END AS last_indexed_at,
+         CASE WHEN doc_id % 13 = 0 THEN 'Pending' ELSE 'Ready' END AS status
+  FROM documents
+),
+listing AS (
+  SELECT concat('/', source, '/doc_', doc_id) AS path,
+         CASE WHEN doc_id % 17 = 0 THEN sha256(concat(text, 'x')) ELSE sha256(text) END AS new_hash
+  FROM documents WHERE doc_id % 23 != 0
+),
+joined AS (
+  SELECT c.path AS path,
+         CASE WHEN l.path IS NULL THEN 'FileNotFound'
+              WHEN c.content_hash != l.new_hash THEN 'ContentChanged'
+              WHEN c.settings_key != 'cur' THEN 'ChunkingSettingsChanged'
+              WHEN c.last_indexed_at IS NULL OR c.status != 'Ready' THEN 'NeverIndexed'
+              ELSE 'Unchanged' END AS reason
+  FROM catalog c LEFT JOIN listing l ON c.path = l.path
+)
+SELECT path, reason,
+       CASE WHEN reason = 'FileNotFound' THEN 'Fail'
+            WHEN reason = 'Unchanged' THEN 'Skip'
+            ELSE 'Enqueue' END AS action
+FROM joined ORDER BY path
+""".strip()
+
+
+def q_sync_delta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    remote = docs.filter(F.col("doc_id") % 23 != 0).select(
+        _paths(docs).alias("path"),
+        (
+            F.col("n_chars") + F.when(F.col("doc_id") % 17 == 0, 1).otherwise(0)
+        ).alias("size_bytes"),
+        F.timestamp_seconds(F.col("doc_id") * 60).alias("last_modified"),
+    )
+    catalog = docs.filter(F.col("doc_id") % 29 != 0).select(_paths(docs).alias("path"))
+    snapshot = docs.select(
+        _paths(docs).alias("path"),
+        F.col("n_chars").alias("size_bytes"),
+        F.timestamp_seconds(F.col("doc_id") * 60).alias("last_modified"),
+    )
+    return sync_delta(remote, catalog, snapshot).orderBy("path")
+
+
+_SQL_SYNC_DELTA = """
+WITH remote AS (
+  SELECT concat('/', source, '/doc_', doc_id) AS path,
+         n_chars + CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS r_size,
+         to_timestamp(doc_id * 60) AS r_mtime
+  FROM documents WHERE doc_id % 23 != 0
+),
+catalog AS (
+  SELECT concat('/', source, '/doc_', doc_id) AS path, TRUE AS in_catalog
+  FROM documents WHERE doc_id % 29 != 0
+),
+snapshot AS (
+  SELECT concat('/', source, '/doc_', doc_id) AS path,
+         n_chars AS s_size, to_timestamp(doc_id * 60) AS s_mtime
+  FROM documents
+),
+j AS (
+  SELECT coalesce(r.path, c.path) AS path, r.r_size, r.r_mtime, c.in_catalog, s.s_size, s.s_mtime
+  FROM remote r FULL OUTER JOIN catalog c ON r.path = c.path
+  LEFT JOIN snapshot s ON coalesce(r.path, c.path) = s.path
+)
+SELECT path,
+       CASE WHEN r_size IS NOT NULL AND in_catalog IS NULL THEN 'create'
+            WHEN r_size IS NULL AND in_catalog IS NOT NULL THEN 'delete'
+            WHEN r_size != s_size OR r_mtime != s_mtime OR s_size IS NULL THEN 'update'
+            ELSE 'none' END AS action
+FROM j ORDER BY path
+""".strip()
+
+
+def q_upsert_lww(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.select("doc_id", "text", F.lit(1).alias("version"))
+    incoming = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text"), F.lit(2).alias("version")
+    )
+    out = upsert_last_writer_wins(existing, incoming, ["doc_id"], "version")
+    return _long(
+        out.select(
+            "doc_id", "version", "generation", F.sha2("text", 256).alias("content_hash")
+        ).orderBy("doc_id"),
+        "version",
+        "generation",
+    )
+
+
+_SQL_UPSERT_LWW = """
+WITH unioned AS (
+  SELECT doc_id, text, 1 AS version FROM documents
+  UNION ALL
+  SELECT doc_id, concat(text, ' v2') AS text, 2 AS version FROM documents WHERE doc_id % 7 = 0
+),
+ranked AS (
+  SELECT doc_id, text, version,
+         row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS generation
+  FROM unioned
+)
+SELECT doc_id, CAST(version AS BIGINT) AS version, generation, sha256(text) AS content_hash
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full hybrid search (CC fusion) over sf0.001 documents."""
+    return q_hybrid_cc(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "knn_vector": q_knn_vector,
+        "knn_vector_filtered": q_knn_vector_filtered,
+        "keyword_search": q_keyword_search,
+        "hybrid_cc": q_hybrid_cc,
+        "hybrid_dbsf": q_hybrid_dbsf,
+        "hybrid_autocut": q_hybrid_autocut,
+        "hybrid_filtered": q_hybrid_filtered,
+        "semantic_topk": q_semantic_topk,
+        "mean_pool": q_mean_pool,
+        "knn_join": q_knn_join,
+        "neardup_cosine": q_neardup_cosine,
+        "cosine_adjacent": q_cosine_adjacent,
+        "cache_misses": q_cache_misses,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "quality_stats": q_quality,
+        "language_id": q_langid,
+        "fingerprint": q_fingerprint,
+        "chunk_fixed_char": q_chunk_fixed_char,
+        "chunk_token_window": q_chunk_token_window,
+        "corpus_stats": q_corpus_stats,
+        "model_discovery": q_model_discovery,
+        "doc_list_paged": q_doc_list_paged,
+        "file_browser": q_file_browser,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+        "latest_event": q_latest_event,
+        "reindex_decisions": q_reindex_decisions,
+        "sync_delta": q_sync_delta,
+        "upsert_lww": q_upsert_lww,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "knn_vector": _SQL_KNN_BASE.format(where="").strip(),
+        "knn_vector_filtered": _SQL_KNN_BASE.format(where="WHERE label != 2").strip(),
+        "keyword_search": oracle.keyword_sql(SEARCH_QUERY, k=20),
+        "hybrid_cc": oracle.hybrid_sql(SEARCH_QUERY),
+        "hybrid_dbsf": oracle.hybrid_sql(SEARCH_QUERY, method="Dbsf"),
+        "hybrid_autocut": oracle.hybrid_sql(SEARCH_QUERY, autocut=True),
+        "hybrid_filtered": oracle.hybrid_sql(SEARCH_QUERY, where=_HYBRID_WHERE),
+        "semantic_topk": _sql_semantic_topk(),
+        "mean_pool": similarity.sql_mean_pool_by(),
+        "knn_join": similarity.sql_knn_join(),
+        "neardup_cosine": similarity.sql_neardup_cosine_pairs(threshold=0.5),
+        "cosine_adjacent": _SQL_COSINE_ADJACENT,
+        "cache_misses": _SQL_CACHE_MISSES,
+        "exact_dedup": dedup.sql_exact_dedup() + " ORDER BY doc_id",
+        "ngram_jaccard": dedup.sql_ngram_jaccard_pairs(threshold=0.2),
+        "minhash_lsh": dedup.sql_minhash_lsh_pairs(threshold=0.2),
+        "simhash": dedup.sql_simhash_fingerprints(),
+        "quality_stats": textstats.sql_quality_stats() + " ORDER BY doc_id",
+        "language_id": textstats.sql_language_id() + " ORDER BY doc_id",
+        "fingerprint": textstats.sql_fingerprint() + " ORDER BY doc_id",
+        "chunk_fixed_char": chunking.sql_chunk_fixed_char(),
+        "chunk_token_window": chunking.sql_chunk_token_window(),
+        "corpus_stats": analytics.sql_corpus_stats() + " ORDER BY source",
+        "model_discovery": analytics.sql_model_discovery(),
+        "doc_list_paged": analytics.sql_document_list_paged(),
+        "file_browser": analytics.sql_file_browser(),
+        "events_tumbling": events.sql_tumbling_agg(),
+        "events_sessionize": events.sql_sessionize(),
+        "latest_event": events.sql_latest_event_per_user(),
+        "reindex_decisions": _SQL_REINDEX,
+        "sync_delta": _SQL_SYNC_DELTA,
+        "upsert_lww": _SQL_UPSERT_LWW,
+    }

@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Headline set = the operators that dominate real workloads: hybrid search
+(full pipeline incl. embed+fusion), vector KNN, keyword, dedup families,
+similarity join, chunking, and the windowed event aggregates. Each timing
+includes full execution to count() — Spark plans are lazy, so forcing an
+action is the only honest clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "hybrid_cc",
+    "hybrid_dbsf",
+    "hybrid_autocut",
+    "knn_vector",
+    "keyword_search",
+    "semantic_topk",
+    "knn_join",
+    "exact_dedup",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "simhash",
+    "quality_stats",
+    "fingerprint",
+    "chunk_fixed_char",
+    "chunk_token_window",
+    "events_tumbling",
+    "events_sessionize",
+    "mean_pool",
+    "reindex_decisions",
+    "sync_delta",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry_mod
+    from connapse_spark.session import get_spark
+
+    spark = get_spark(app_name="connapse-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    # one warmup action to absorb JVM/codegen first-run cost fairly
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall-clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

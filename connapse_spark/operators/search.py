@@ -1,0 +1,375 @@
+"""Search / query operators — the Spark re-expression of the reference's
+hybrid search pipeline (SURVEY.md §2.6).
+
+Reference lifecycle (HybridSearchService.cs:68-172): vector KNN branch ∥
+keyword FTS branch → score fusion (ConvexCombination / DBSF) → optional
+rerank → min-score filter → AutoCut → sentence-window substitution → top-k.
+
+Spark shape: every stage is a DataFrame→DataFrame function over the hit
+schema ``(id, score, source?)``; the two branches are lazy plans over the
+same corpus, so the Spark scheduler runs them concurrently exactly like the
+reference's thread pair (HybridSearchService.cs:184-200) — no thread juggling.
+
+Scale notes (100 TB):
+ - KNN is a single map-side scan + TakeOrderedAndProject (no full sort, no
+   shuffle of the corpus). The query vector is a literal/broadcast — never a
+   shuffled join key. For sub-scan latency use the IVF index (plans/ivf.py).
+ - Keyword scoring is map-side over precomputed token arrays; the selective
+   path is the posting-list index (operators/keyword_index.py).
+ - Fusion/autocut operate on ≤ k·2 rows — negligible at any corpus size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from connapse_spark.functions.embed import embed_expr, embed_py
+from connapse_spark.functions.text import (
+    stem_py,
+    tokenize_py,
+    tokens_exact_expr,
+    tokens_stemmed_expr,
+)
+from connapse_spark.functions.vector import cosine_expr, to_double_array
+
+# Weight-A (exact) vs weight-B (stemmed) term weights, mirroring Postgres
+# setweight A/B defaults {A:1.0, B:0.4} (KnowledgeDbContext.cs:232-235).
+WEIGHT_EXACT = 1.0
+WEIGHT_STEMMED = 0.4
+
+
+@dataclass
+class SearchOptions:
+    """Mirror of SearchModels.cs:3-8."""
+
+    top_k: int = 10
+    min_score: float = 0.0
+    mode: str = "Hybrid"  # Semantic | Keyword | Hybrid
+    fusion: str = "ConvexCombination"  # or "Dbsf"
+    fusion_alpha: float = 0.5
+    auto_cut: bool = False
+    filters: dict[str, object] = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# Q2 — vector KNN (cosine, filtered)
+# ---------------------------------------------------------------------------
+
+
+def vector_knn(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector
+    (reference: PgVectorStore.cs:186-285 — score = cosine similarity,
+    filters AND-composed before the scan so they push into the parquet read).
+
+    The plan is scan → project(cosine) → TakeOrderedAndProject(k): one pass,
+    no shuffle. Ties broken by id for determinism.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    df = vectors
+    if predicate is not None:
+        df = df.filter(predicate)
+    scored = df.select(
+        F.col(id_col),
+        cosine_expr(to_double_array(F.col(vec_col)), q).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Q3 — keyword search (weighted exact+stemmed TF, rank/(rank+1) normalized)
+# ---------------------------------------------------------------------------
+
+
+def keyword_score_expr(text: Column, query: str) -> Column:
+    """Documented simplification of ``ts_rank_cd(vector, query, 32)``
+    (KeywordSearchService.cs:73-91): term-frequency scoring where exact-token
+    matches carry weight A=1.0 and stemmed matches weight B=0.4, normalized
+    rank/(rank+1) into [0,1) like ts_rank_cd normalization flag 32.
+
+    Computed as ONE containment pass per token array (Σ_t∈terms tf(t) equals
+    the count of tokens that are query terms — integer math, so identical to
+    the per-term sum): keeps the codegen'd expression tree small (a per-term
+    expression chain compiles an enormous whole-stage function) and each
+    array is traversed once per row.
+    """
+    terms = sorted(set(tokenize_py(query)))
+    stems = sorted({stem_py(t) for t in terms})
+    te = tokens_exact_expr(text)
+    ts = tokens_stemmed_expr(text)
+    n_exact = F.size(F.filter(te, lambda t: t.isin(*terms)))
+    n_stem = F.size(F.filter(ts, lambda t: t.isin(*stems)))
+    raw = F.lit(WEIGHT_EXACT) * n_exact + F.lit(WEIGHT_STEMMED) * n_stem
+    return raw / (raw + F.lit(1.0))
+
+
+def keyword_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    predicate: Column | None = None,
+) -> DataFrame:
+    df = docs
+    if predicate is not None:
+        df = df.filter(predicate)
+    scored = df.select(
+        F.col(id_col),
+        keyword_score_expr(F.col(text_col), query).alias("score"),
+    ).filter(F.col("score") > 0.0)
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Q5/Q6 — fusion
+# ---------------------------------------------------------------------------
+
+
+def _minmax_normalize(hits: DataFrame, score_col: str = "score") -> DataFrame:
+    """MinMaxNormalize (HybridSearchService.cs: range>0 → (s-min)/range,
+    else all 1.0). Stats via a 1-row broadcast cross join — stays lazy, no
+    driver collect."""
+    stats = hits.agg(
+        F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx")
+    )
+    return (
+        hits.crossJoin(F.broadcast(stats))
+        .withColumn(
+            score_col,
+            F.when(
+                F.col("_mx") > F.col("_mn"),
+                (F.col(score_col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+            ).otherwise(F.lit(1.0)),
+        )
+        .drop("_mn", "_mx")
+    )
+
+
+def _dbsf_normalize(hits: DataFrame, score_col: str = "score") -> DataFrame:
+    """DbsfNormalize: clamp((s - (mean - 3σ)) / 6σ, 0, 1) with population σ;
+    n==1 or σ<1e-9 → all 1.0 (HybridSearchService.cs:340-360).
+
+    Mean/σ are computed by a *sorted sequential fold* over the collected
+    score list rather than ``avg``/``stddev_pop``: distributed reductions sum
+    in partition order, which is nondeterministic in the last FP bits; the
+    fold is bit-stable and mirrored exactly by the DuckDB oracle. Hit lists
+    are ≤ a few k rows post-limit, so the collect_list is trivially safe at
+    any corpus scale.
+    """
+    stats = (
+        hits.agg(F.sort_array(F.collect_list(score_col)).alias("_ss"))
+        .select(
+            F.col("_ss"),
+            F.size("_ss").alias("_n"),
+            (
+                F.aggregate("_ss", F.lit(0.0), lambda a, v: a + v) / F.size("_ss")
+            ).alias("_mu"),
+        )
+        .select(
+            F.col("_n"),
+            F.col("_mu"),
+            F.sqrt(
+                F.aggregate(
+                    "_ss",
+                    F.lit(0.0),
+                    lambda a, v: a + (v - F.col("_mu")) * (v - F.col("_mu")),
+                )
+                / F.col("_n")
+            ).alias("_sd"),
+        )
+    )
+    return (
+        hits.crossJoin(F.broadcast(stats))
+        .withColumn(
+            score_col,
+            F.when((F.col("_n") == 1) | (F.col("_sd") < 1e-9), F.lit(1.0)).otherwise(
+                F.least(
+                    F.lit(1.0),
+                    F.greatest(
+                        F.lit(0.0),
+                        (F.col(score_col) - (F.col("_mu") - F.lit(3.0) * F.col("_sd")))
+                        / (F.lit(6.0) * F.col("_sd")),
+                    ),
+                )
+            ),
+        )
+        .drop("_mu", "_sd", "_n")
+    )
+
+
+def fuse(
+    vector_hits: DataFrame,
+    keyword_hits: DataFrame,
+    alpha: float = 0.5,
+    method: str = "ConvexCombination",
+    id_col: str = "id",
+) -> DataFrame:
+    """Full-outer merge by id with per-side normalization
+    (FuseResults / FuseResultsDbsf, HybridSearchService.cs:227-360).
+
+    Output: (id, score, vector_score, keyword_score, source∈{vector,keyword,both}).
+    Missing side contributes 0; alpha clamped to [0,1]. Input sides are tiny
+    (≤ a few k rows), so the join is trivially broadcastable.
+    """
+    norm = _minmax_normalize if method == "ConvexCombination" else _dbsf_normalize
+    a = min(max(alpha, 0.0), 1.0)
+    v = norm(vector_hits.select(F.col(id_col), F.col("score"))).withColumnRenamed(
+        "score", "vector_score"
+    )
+    kw = norm(keyword_hits.select(F.col(id_col), F.col("score"))).withColumnRenamed(
+        "score", "keyword_score"
+    )
+    merged = v.join(kw, on=id_col, how="full_outer")
+    in_v = F.col("vector_score").isNotNull()
+    in_k = F.col("keyword_score").isNotNull()
+    return merged.select(
+        F.col(id_col),
+        (
+            F.lit(a) * F.coalesce(F.col("vector_score"), F.lit(0.0))
+            + F.lit(1.0 - a) * F.coalesce(F.col("keyword_score"), F.lit(0.0))
+        ).alias("score"),
+        F.coalesce(F.col("vector_score"), F.lit(0.0)).alias("vector_score"),
+        F.coalesce(F.col("keyword_score"), F.lit(0.0)).alias("keyword_score"),
+        F.when(in_v & in_k, "both").when(in_v, "vector").otherwise("keyword").alias("source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — AutoCut
+# ---------------------------------------------------------------------------
+
+
+def auto_cut(hits: DataFrame, id_col: str = "id", score_col: str = "score") -> DataFrame:
+    """Trim after the largest score gap (ApplyAutoCut,
+    HybridSearchService.cs:380-411): with hits sorted desc, find the largest
+    and second-largest consecutive gaps; cut before the largest-gap element
+    iff n>3 AND range>0 AND maxGap > 0.1·range AND maxGap > 2·secondGap.
+    First occurrence wins on gap ties (strict > in the reference scan), which
+    also means tied max gaps never cut (maxGap > 2·secondGap fails).
+    The reference's ``maxGap/range > 0.1`` is expressed multiplication-side
+    (``maxGap > 0.1·range``) to avoid division — identical given range>0 up
+    to FP rounding, and mirrored verbatim in the oracle.
+
+    Relational form: rank + lag windows over the (tiny) hit list, aggregate
+    the two largest gaps, conditional filter. Single-partition window is fine
+    — this always runs on ≤ a few hundred rows post-fusion.
+    """
+    w = Window.orderBy(F.desc(score_col), F.col(id_col))
+    ranked = hits.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_gap", F.lag(score_col).over(w) - F.col(score_col)
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(score_col).alias("_smax"),
+        F.min(score_col).alias("_smin"),
+        F.max("_gap").alias("_maxgap"),
+    )
+    # cut rank = first (lowest-rank) occurrence of the max gap
+    cutrk = (
+        ranked.crossJoin(F.broadcast(stats))
+        .filter(F.col("_gap") == F.col("_maxgap"))
+        .agg(F.min("_rk").alias("_cutrk"))
+    )
+    # second-largest gap = max gap excluding that single instance
+    second = (
+        ranked.crossJoin(F.broadcast(cutrk))
+        .filter(F.col("_rk") != F.col("_cutrk"))
+        .agg(F.coalesce(F.max("_gap"), F.lit(0.0)).alias("_secondgap"))
+    )
+    full = (
+        ranked.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(cutrk))
+        .crossJoin(F.broadcast(second))
+    )
+    rng = F.col("_smax") - F.col("_smin")
+    do_cut = (
+        (F.col("_n") > 3)
+        & (rng > F.lit(0.0))
+        & (F.col("_maxgap") > F.lit(0.1) * rng)
+        & (F.col("_maxgap") > F.lit(2.0) * F.col("_secondgap"))
+    )
+    return full.filter(~do_cut | (F.col("_rk") < F.col("_cutrk"))).drop(
+        "_rk", "_gap", "_n", "_smax", "_smin", "_maxgap", "_cutrk", "_secondgap"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9/Q12/Q13 — min-score, top-k, guards; full pipeline
+# ---------------------------------------------------------------------------
+
+
+def min_score_topk(
+    hits: DataFrame, options: SearchOptions, id_col: str = "id"
+) -> DataFrame:
+    """MinScore filter + desc sort + top-k (HybridSearchService.cs:146-159)."""
+    return (
+        hits.filter(F.col("score") >= F.lit(options.min_score))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(options.top_k)
+    )
+
+
+def apply_min_score(hits: DataFrame, min_score: float) -> DataFrame:
+    return hits.filter(F.col("score") >= F.lit(min_score))
+
+
+def hybrid_search(
+    docs: DataFrame,
+    query: str,
+    options: SearchOptions | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: Column | None = None,
+    predicate: Column | None = None,
+    dims: int = 64,
+) -> DataFrame:
+    """End-to-end search over a corpus with text (and optionally precomputed
+    embeddings; defaults to the deterministic hash embedder on the text
+    column). Mirrors HybridSearchService.SearchAsync stage order.
+
+    Candidate depth: each branch retrieves top_k·2 before fusion so items
+    missing from one side can still win after fusion, like the reference
+    retrieving topK from each branch then merging.
+    """
+    options = options or SearchOptions()
+    if not query or not query.strip():  # Q13 empty-query guard
+        return docs.select(
+            F.col(id_col).alias("id"), F.lit(0.0).alias("score")
+        ).limit(0)
+
+    fetch_k = options.top_k * 2
+    base = docs if predicate is None else docs.filter(predicate)
+    vec_expr = vec_col if vec_col is not None else embed_expr(F.col(text_col), dims)
+
+    if options.mode in ("Semantic", "Hybrid"):
+        qv = embed_py(query, dims)
+        vectors = base.select(F.col(id_col).alias("id"), vec_expr.alias("embedding"))
+        v_hits = vector_knn(vectors, qv, fetch_k, id_col="id")
+    if options.mode in ("Keyword", "Hybrid"):
+        k_hits = keyword_search(base, query, fetch_k, id_col=id_col, text_col=text_col)
+        k_hits = k_hits.withColumnRenamed(id_col, "id") if id_col != "id" else k_hits
+
+    if options.mode == "Semantic":
+        fused = v_hits.withColumn("source", F.lit("vector"))
+    elif options.mode == "Keyword":
+        fused = k_hits.withColumn("source", F.lit("keyword"))
+    else:
+        fused = fuse(v_hits, k_hits, options.fusion_alpha, options.fusion, id_col="id")
+
+    # Reference stage order (HybridSearchService.cs:146-159):
+    # min-score filter → AutoCut → top-k.
+    fused = apply_min_score(fused, options.min_score)
+    if options.auto_cut:
+        fused = auto_cut(fused, id_col="id")
+    return fused.orderBy(F.desc("score"), F.col("id")).limit(options.top_k)

@@ -1,0 +1,154 @@
+"""Text-analysis operators for LLM data pipelines (north-star extras):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting. Generalizes the reference's text utilities T1-T3
+(TiktokenTokenCounter.cs:10-30, IngestionPipeline.cs:502-517) into
+corpus-level, fully-columnar analyses.
+
+All map-side (no shuffle): at 100 TB these run at parquet scan speed inside
+whole-stage codegen. Each has a DuckDB mirror for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from connapse_spark.functions.text import sql_tokens_exact, tokens_exact_expr
+from connapse_spark.operators.dedup import HASH_MOD, _sha_bigint, sql_sha_bigint
+
+# Small English function-word list for the n-gram/stopword language heuristic.
+EN_STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "has",
+    "he", "in", "is", "it", "its", "of", "on", "or", "that", "the", "to",
+    "was", "were", "will", "with",
+]
+
+# BPE-ish pretokenizer: letter runs, digit runs, single non-space symbols
+# (whitespace-insensitive approximation of a GPT-style pretokenizer split).
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def token_count_ws_expr(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(text, "\\s+"), lambda t: F.length(t) > 0))
+
+
+def token_count_bpeish_expr(text: Column) -> Column:
+    """BPE-ish regex token count — the deterministic proxy for T1's tiktoken
+    count (the real cl100k counter is a pandas UDF behind an import guard in
+    operators/chunking.py)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_RE), F.lit(0)))
+
+
+def stopword_stats_expr(text: Column) -> tuple[Column, Column]:
+    toks = tokens_exact_expr(text)
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return n, n_stop
+
+
+def quality_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: token counts, stopword ratio, mean word
+    length, alpha ratio, and a composite [0,1] quality score (heuristic
+    combination of length, stopword presence, and word-length sanity —
+    standard pretraining-corpus filters)."""
+    text = F.col(text_col)
+    toks = tokens_exact_expr(text)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    total_tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
+    )
+    n_ws = token_count_ws_expr(text)
+    n_bpe = token_count_bpeish_expr(text)
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_tok > 0, total_tok_chars / n_tok).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stop_ratio >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    quality = (len_ok + wlen_ok + stop_ok) / F.lit(3.0)
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_wlen.alias("mean_word_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def sql_quality_stats(id_col: str = "doc_id", text_col: str = "text") -> str:
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+SELECT {id_col}, n_tokens, n_ws_tokens, n_bpe_tokens,
+       CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END AS mean_word_len,
+       (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN (CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END) >= 2.0
+               AND (CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END) <= 12.0 THEN 1.0 ELSE 0.0 END
+        + CASE WHEN (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) >= 0.01 THEN 1.0 ELSE 0.0 END) / 3.0 AS quality_score
+FROM (
+  SELECT {id_col},
+         len(toks) AS n_tokens,
+         len(list_filter(string_split_regex({text_col}, '\\s+'), t -> len(t) > 0)) AS n_ws_tokens,
+         len(regexp_extract_all({text_col}, '{BPE_RE}')) AS n_bpe_tokens,
+         len(list_filter(toks, t -> t IN ({stop_list}))) AS n_stop,
+         list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, v) -> a + v) AS tok_chars
+  FROM (SELECT {id_col}, {text_col}, {sql_tokens_exact(text_col)} AS toks FROM documents)
+)
+""".strip()
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-fraction language heuristic: classify 'en' when ≥ 2% of
+    tokens are English function words (threshold suits the synthetic corpus;
+    real deployments extend EN_STOPWORDS per language and argmax)."""
+    toks = tokens_exact_expr(F.col(text_col))
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    frac = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        frac.alias("en_stopword_frac"),
+        F.when(frac >= 0.02, "en").otherwise("unknown").alias("lang_pred"),
+    )
+
+
+def sql_language_id(id_col: str = "doc_id", text_col: str = "text") -> str:
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+SELECT {id_col},
+       CASE WHEN n > 0 THEN n_stop / n ELSE 0.0 END AS en_stopword_frac,
+       CASE WHEN (CASE WHEN n > 0 THEN n_stop / n ELSE 0.0 END) >= 0.02 THEN 'en' ELSE 'unknown' END AS lang_pred
+FROM (
+  SELECT {id_col}, len(toks) AS n,
+         len(list_filter(toks, t -> t IN ({stop_list}))) AS n_stop
+  FROM (SELECT {id_col}, {sql_tokens_exact(text_col)} AS toks FROM documents)
+)
+""".strip()
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """T3-style document fingerprint: polynomial rolling hash over the token
+    stream, ``h = (h·31 + sha_int(tok)) mod (2^31−1)`` — order-sensitive
+    (unlike the shingle sets), so re-ordered documents fingerprint
+    differently. Left fold → deterministic."""
+    toks = tokens_exact_expr(F.col(text_col))
+    th = F.transform(toks, lambda t: _sha_bigint(t))
+    h = F.aggregate(
+        th,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc * 31 + v) % HASH_MOD,
+    )
+    return docs.select(F.col(id_col), h.alias("fingerprint"))
+
+
+def sql_fingerprint(id_col: str = "doc_id", text_col: str = "text") -> str:
+    th = f"list_transform({sql_tokens_exact(text_col)}, t -> {sql_sha_bigint('t')})"
+    return f"""
+SELECT {id_col},
+       list_reduce(list_prepend(0::BIGINT, {th}),
+                   (acc, v) -> (acc * 31 + v) % {HASH_MOD}) AS fingerprint
+FROM documents
+""".strip()

@@ -1,0 +1,206 @@
+"""DuckDB oracle-SQL builders mirroring each Spark operator stage-by-stage.
+
+Every builder emits ANSI-ish SQL whose floating-point operation ORDER matches
+the Spark plan exactly (sequential folds, identical literal printing via
+repr(), same tie-breaks), so results are bit-identical — the driver's
+value-hash comparison then passes without rounding tricks.
+
+These strings are what ``__spark_entry__.oracle_sql()`` returns; keeping them
+next to the Spark implementations is the single-source-of-truth discipline:
+change an operator → change its mirror in the same review.
+"""
+
+from __future__ import annotations
+
+from connapse_spark.functions.embed import embed_py, sql_embed, sql_vector_literal
+from connapse_spark.functions.text import (
+    sql_tokens_exact,
+    sql_tokens_stemmed,
+    stem_py,
+    tokenize_py,
+)
+from connapse_spark.functions.vector import sql_cosine
+from connapse_spark.operators.search import WEIGHT_EXACT, WEIGHT_STEMMED
+
+
+# ---------------------------------------------------------------------------
+# Q2 — vector KNN
+# ---------------------------------------------------------------------------
+
+
+def knn_sql(
+    query_vec: list[float],
+    k: int = 10,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    where: str | None = None,
+) -> str:
+    qv = sql_vector_literal(query_vec)
+    where_clause = f"WHERE {where}" if where else ""
+    return f"""
+WITH q AS (SELECT {qv} AS qv),
+scored AS (
+  SELECT {id_col}, {sql_cosine(f"CAST({vec_col} AS DOUBLE[])", "qv")} AS score
+  FROM {table}, q {where_clause}
+)
+SELECT {id_col}, score FROM scored ORDER BY score DESC, {id_col} LIMIT {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Q3 — keyword search
+# ---------------------------------------------------------------------------
+
+
+def _keyword_raw_sql(query: str) -> str:
+    """Mirror of keyword_score_expr: one containment pass per token array."""
+    terms = sorted(set(tokenize_py(query)))
+    stems = sorted({stem_py(t) for t in terms})
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    stem_list = ", ".join(f"'{s}'" for s in stems)
+    return (
+        f"{WEIGHT_EXACT!r} * len(list_filter(te, t -> t IN ({term_list}))) "
+        f"+ {WEIGHT_STEMMED!r} * len(list_filter(ts, t -> t IN ({stem_list})))"
+    )
+
+
+def keyword_cte(
+    query: str,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    where: str | None = None,
+) -> str:
+    """CTE body selecting (id, score) for the keyword branch."""
+    where_clause = f"WHERE {where}" if where else ""
+    return f"""
+  SELECT {id_col} AS id, score FROM (
+    SELECT {id_col}, raw / (raw + 1.0) AS score FROM (
+      SELECT {id_col}, {_keyword_raw_sql(query)} AS raw FROM (
+        SELECT {id_col},
+               {sql_tokens_exact(text_col)} AS te,
+               {sql_tokens_stemmed(text_col)} AS ts
+        FROM {table} {where_clause}
+      )
+    )
+  ) WHERE score > 0.0 ORDER BY score DESC, {id_col} LIMIT {k}
+""".rstrip()
+
+
+def keyword_sql(query: str, k: int = 10, **kw) -> str:
+    return f"WITH kw AS ({keyword_cte(query, k, **kw)}\n) SELECT id AS {kw.get('id_col', 'doc_id')}, score FROM kw"
+
+
+# ---------------------------------------------------------------------------
+# Vector branch over a text corpus (hash-embedder)
+# ---------------------------------------------------------------------------
+
+
+def vector_cte(
+    query: str,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 64,
+    where: str | None = None,
+) -> str:
+    qv = sql_vector_literal(embed_py(query, dims))
+    where_clause = f"WHERE {where}" if where else ""
+    return f"""
+  SELECT id, score FROM (
+    SELECT {id_col} AS id, {sql_cosine("e", "qv")} AS score
+    FROM (SELECT {id_col}, {sql_embed(text_col, dims)} AS e FROM {table} {where_clause}),
+         (SELECT {qv} AS qv)
+  ) ORDER BY score DESC, id LIMIT {k}
+""".rstrip()
+
+
+# ---------------------------------------------------------------------------
+# Fusion (CC / DBSF) + min-score + autocut + top-k: the full hybrid pipeline
+# ---------------------------------------------------------------------------
+
+_MINMAX_NORM = """
+  SELECT id, CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1.0 END AS {out}
+  FROM {src}, (SELECT min(score) AS mn, max(score) AS mx FROM {src})
+""".rstrip()
+
+_DBSF_NORM = """
+  SELECT id, CASE WHEN n = 1 OR sd < 1e-9 THEN 1.0
+              ELSE least(1.0, greatest(0.0, (score - (mu - 3.0 * sd)) / (6.0 * sd))) END AS {out}
+  FROM {src}, (
+    SELECT n, mu, sqrt(list_reduce(list_prepend(0.0, list_transform(ss, x -> (x - mu) * (x - mu))), (a, b) -> a + b) / n) AS sd
+    FROM (
+      SELECT ss, len(ss) AS n, list_reduce(list_prepend(0.0, ss), (a, b) -> a + b) / len(ss) AS mu
+      FROM (SELECT list(score ORDER BY score) AS ss FROM {src})
+    )
+  )
+""".rstrip()
+
+
+def hybrid_sql(
+    query: str,
+    top_k: int = 10,
+    min_score: float = 0.0,
+    alpha: float = 0.5,
+    method: str = "ConvexCombination",
+    autocut: bool = False,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 64,
+    where: str | None = None,
+) -> str:
+    """Full mirror of operators.search.hybrid_search (Hybrid mode)."""
+    fetch_k = top_k * 2
+    a = min(max(alpha, 0.0), 1.0)
+    norm_tpl = _MINMAX_NORM if method == "ConvexCombination" else _DBSF_NORM
+    vn = norm_tpl.format(src="v", out="vscore")
+    kn = norm_tpl.format(src="kw", out="kscore")
+    fused = f"""
+WITH v AS ({vector_cte(query, fetch_k, table, id_col, text_col, dims, where)}
+),
+kw AS ({keyword_cte(query, fetch_k, table, id_col, text_col, where)}
+),
+vn AS ({vn}
+),
+kn AS ({kn}
+),
+fused AS (
+  SELECT coalesce(vn.id, kn.id) AS id,
+         {a!r} * coalesce(vscore, 0.0) + {1.0 - a!r} * coalesce(kscore, 0.0) AS score,
+         coalesce(vscore, 0.0) AS vector_score,
+         coalesce(kscore, 0.0) AS keyword_score,
+         CASE WHEN vn.id IS NOT NULL AND kn.id IS NOT NULL THEN 'both'
+              WHEN vn.id IS NOT NULL THEN 'vector' ELSE 'keyword' END AS source
+  FROM vn FULL OUTER JOIN kn ON vn.id = kn.id
+),
+filtered AS (SELECT * FROM fused WHERE score >= {min_score!r})"""
+    if not autocut:
+        return (
+            fused
+            + f"""
+SELECT id AS {id_col}, score, vector_score, keyword_score, source
+FROM filtered ORDER BY score DESC, id LIMIT {top_k}"""
+        )
+    return (
+        fused
+        + f""",
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, id) AS rk,
+         lag(score) OVER (ORDER BY score DESC, id) - score AS gap
+  FROM filtered
+),
+astat AS (SELECT count(*) AS n, max(score) AS smax, min(score) AS smin, max(gap) AS maxgap FROM ranked),
+cutrk AS (SELECT min(rk) AS crk FROM ranked, astat WHERE gap = maxgap),
+secondg AS (SELECT coalesce(max(gap), 0.0) AS sg FROM ranked, cutrk WHERE rk != crk),
+kept AS (
+  SELECT ranked.* FROM ranked, astat, cutrk, secondg
+  WHERE NOT (n > 3 AND smax - smin > 0.0 AND maxgap > 0.1 * (smax - smin) AND maxgap > 2.0 * sg)
+     OR rk < crk
+)
+SELECT id AS {id_col}, score, vector_score, keyword_score, source
+FROM kept ORDER BY score DESC, id LIMIT {top_k}"""
+    )

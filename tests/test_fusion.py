@@ -1,0 +1,81 @@
+"""Fusion micro-fixtures (FIXTURES.md; mirrors HybridSearchFusionTests.cs):
+known hit lists → expected merge/tag/ordering behavior for CC, DBSF, and
+AutoCut."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from connapse_spark.operators.search import auto_cut, fuse
+
+
+def _hits(spark, rows):
+    return spark.createDataFrame(rows, ["id", "score"]).select(
+        "id", F.col("score").cast("double")
+    )
+
+
+VEC = [("c1", 0.9), ("c2", 0.8), ("c3", 0.7)]
+KW = [("c2", 0.95), ("c4", 0.85), ("c5", 0.75)]
+
+
+def test_cc_merge_and_tags(spark):
+    out = fuse(_hits(spark, VEC), _hits(spark, KW), alpha=0.5).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(by_id) == 5
+    assert by_id["c2"]["source"] == "both"
+    assert by_id["c1"]["source"] == "vector"
+    assert by_id["c4"]["source"] == "keyword"
+    # c2 wins: present in both lists
+    top = max(out, key=lambda r: r["score"])
+    assert top["id"] == "c2"
+
+
+def test_cc_alpha_extremes(spark):
+    v, k = _hits(spark, VEC), _hits(spark, KW)
+    out1 = {r["id"]: r["score"] for r in fuse(v, k, alpha=1.0).collect()}
+    assert out1["c1"] > out1["c4"]  # keyword-only ids score 0 at alpha=1
+    assert out1["c4"] == 0.0
+    out0 = {r["id"]: r["score"] for r in fuse(v, k, alpha=0.0).collect()}
+    assert out0["c2"] > out0["c1"]
+    assert out0["c1"] == 0.0
+
+
+def test_cc_empty_keyword_side(spark):
+    v = _hits(spark, VEC)
+    k = spark.createDataFrame([], "id string, score double")
+    out = fuse(v, k, alpha=0.5).collect()
+    assert {r["id"] for r in out} == {"c1", "c2", "c3"}
+    assert all(r["source"] == "vector" for r in out)
+
+
+def test_scores_in_unit_range(spark):
+    for method in ("ConvexCombination", "Dbsf"):
+        out = fuse(_hits(spark, VEC), _hits(spark, KW), 0.5, method).collect()
+        for r in out:
+            assert 0.0 <= r["score"] <= 1.0
+
+
+def test_dbsf_outlier_robustness(spark):
+    vec = [("c1", 100.0), ("c2", 0.8), ("c3", 0.7)]
+    out = {r["id"]: r["vector_score"] for r in fuse(_hits(spark, vec), _hits(spark, KW), 0.5, "Dbsf").collect()}
+    # min-max would crush c2,c3 to ~0.001; DBSF must keep them meaningfully > 0.05
+    assert out["c2"] > 0.05
+    assert out["c3"] > 0.05
+
+
+def test_autocut_cuts_dominant_gap(spark):
+    hits = _hits(spark, [("a", 0.95), ("b", 0.94), ("c", 0.93), ("d", 0.5), ("e", 0.49)])
+    out = auto_cut(hits).collect()
+    assert {r["id"] for r in out} == {"a", "b", "c"}
+
+
+def test_autocut_keeps_even_spacing(spark):
+    hits = _hits(spark, [("a", 0.9), ("b", 0.8), ("c", 0.7), ("d", 0.6), ("e", 0.5)])
+    out = auto_cut(hits).collect()
+    assert len(out) == 5
+
+
+def test_autocut_never_cuts_three_or_fewer(spark):
+    hits = _hits(spark, [("a", 0.9), ("b", 0.2), ("c", 0.1)])
+    out = auto_cut(hits).collect()
+    assert len(out) == 3
