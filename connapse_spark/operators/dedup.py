@@ -210,11 +210,26 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, est_jaccard). Deterministic; oracle-mirrored.
     """
     rows_per_band = num_hashes // bands
-    sh = docs.select(
+    # Signature via explode → groupBy(id) with 32 cheap min-aggregates:
+    # sha256 runs ONCE per (doc, shingle) row and partial (map-side) mins
+    # keep the shuffle at 32 longs per doc. The nested-HOF formulation
+    # (minhash_signature_expr) re-evaluates the whole shingle-hash array per
+    # hash function because Catalyst does not hoist lambda-invariant
+    # subexpressions — ~30× slower on wide docs.
+    exploded = docs.select(
         F.col(id_col).alias("id"),
-        F.transform(shingles_expr(F.col(text_col), n), lambda s: _sha_bigint(s)).alias("shh"),
-    ).filter(F.size("shh") > 0)
-    sig = sh.select("id", minhash_signature_expr(F.col("shh"), num_hashes).alias("sig"))
+        F.explode(shingles_expr(F.col(text_col), n)).alias("s"),
+    ).select("id", _sha_bigint(F.col("s")).alias("x"))
+    sig = (
+        exploded.groupBy("id")
+        .agg(
+            *[
+                F.min((F.col("x") * (2 * i + 1) + i * i + 7) % HASH_MOD).alias(f"_h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select("id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
     banded = sig.select(
         "id",
         "sig",
@@ -265,15 +280,17 @@ def sql_minhash_lsh_pairs(
     threshold: float = 0.4, n: int = 3, num_hashes: int = 32, bands: int = 8
 ) -> str:
     rows_per_band = num_hashes // bands
+    mins = ", ".join(
+        f"min((x * {2 * i + 1} + {i * i + 7}) % {HASH_MOD})" for i in range(num_hashes)
+    )
     return f"""
-WITH sh AS MATERIALIZED (
-  SELECT doc_id AS id,
-         list_transform({sql_shingles("text", n)}, s -> {sql_sha_bigint('s')}) AS shh
-  FROM documents
+WITH ex AS MATERIALIZED (
+  SELECT id, {sql_sha_bigint('s')} AS x
+  FROM (SELECT doc_id AS id, unnest({sql_shingles("text", n)}) AS s FROM documents)
 ),
 sig AS MATERIALIZED (
-  SELECT id, {sql_minhash_signature("shh", num_hashes)} AS sig
-  FROM sh WHERE len(shh) > 0
+  SELECT id, [{mins}] AS sig
+  FROM ex GROUP BY id
 ),
 banded AS MATERIALIZED (
   SELECT id, sig, b.band AS band,

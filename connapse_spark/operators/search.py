@@ -261,36 +261,36 @@ def auto_cut(hits: DataFrame, id_col: str = "id", score_col: str = "score") -> D
     (``maxGap > 0.1·range``) to avoid division — identical given range>0 up
     to FP rounding, and mirrored verbatim in the oracle.
 
-    Relational form: rank + lag windows over the (tiny) hit list, aggregate
-    the two largest gaps, conditional filter. Single-partition window is fine
-    — this always runs on ≤ a few hundred rows post-fusion.
+    Relational form: rank + lag windows, then whole-frame window aggregates
+    stacked as a LINEAR chain of projections — never self-joins. A diamond
+    plan (ranked ⋈ agg(ranked) ⋈ …) re-executes the entire upstream search
+    pipeline once per branch; the window chain scans it exactly once.
+    Single-partition windows are fine — this always runs on ≤ a few hundred
+    rows post-fusion.
     """
     w = Window.orderBy(F.desc(score_col), F.col(id_col))
+    wall = Window.partitionBy()  # whole-frame aggregate window
     ranked = hits.withColumn("_rk", F.row_number().over(w)).withColumn(
         "_gap", F.lag(score_col).over(w) - F.col(score_col)
     )
-    stats = ranked.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.max(score_col).alias("_smax"),
-        F.min(score_col).alias("_smin"),
-        F.max("_gap").alias("_maxgap"),
+    step1 = (
+        ranked.withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_smax", F.max(score_col).over(wall))
+        .withColumn("_smin", F.min(score_col).over(wall))
+        .withColumn("_maxgap", F.max("_gap").over(wall))
     )
     # cut rank = first (lowest-rank) occurrence of the max gap
-    cutrk = (
-        ranked.crossJoin(F.broadcast(stats))
-        .filter(F.col("_gap") == F.col("_maxgap"))
-        .agg(F.min("_rk").alias("_cutrk"))
+    step2 = step1.withColumn(
+        "_cutrk",
+        F.min(F.when(F.col("_gap") == F.col("_maxgap"), F.col("_rk"))).over(wall),
     )
     # second-largest gap = max gap excluding that single instance
-    second = (
-        ranked.crossJoin(F.broadcast(cutrk))
-        .filter(F.col("_rk") != F.col("_cutrk"))
-        .agg(F.coalesce(F.max("_gap"), F.lit(0.0)).alias("_secondgap"))
-    )
-    full = (
-        ranked.crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(cutrk))
-        .crossJoin(F.broadcast(second))
+    step3 = step2.withColumn(
+        "_secondgap",
+        F.coalesce(
+            F.max(F.when(F.col("_rk") != F.col("_cutrk"), F.col("_gap"))).over(wall),
+            F.lit(0.0),
+        ),
     )
     rng = F.col("_smax") - F.col("_smin")
     do_cut = (
@@ -299,7 +299,7 @@ def auto_cut(hits: DataFrame, id_col: str = "id", score_col: str = "score") -> D
         & (F.col("_maxgap") > F.lit(0.1) * rng)
         & (F.col("_maxgap") > F.lit(2.0) * F.col("_secondgap"))
     )
-    return full.filter(~do_cut | (F.col("_rk") < F.col("_cutrk"))).drop(
+    return step3.filter(~do_cut | (F.col("_rk") < F.col("_cutrk"))).drop(
         "_rk", "_gap", "_n", "_smax", "_smin", "_maxgap", "_cutrk", "_secondgap"
     )
 

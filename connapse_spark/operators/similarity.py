@@ -15,7 +15,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from connapse_spark.functions.vector import cosine_expr, to_double_array
+from connapse_spark.functions.vector import cosine_expr, dot_expr, l2norm_expr, to_double_array
+
+
+def _paired_cosine(na: F.Column, nb: F.Column, a: F.Column, b: F.Column) -> F.Column:
+    """Cosine from pre-materialized per-row norms: dot/(na·nb), 0.0 on zero
+    magnitude — the same FP operation order as cosine_expr, so the DuckDB
+    mirrors are unchanged. Computing norms once per ROW (before the join)
+    instead of per PAIR is the difference between O(n²·d) and O(n·d) norm
+    work in any pairwise kernel; the join boundary stops Catalyst's
+    CollapseProject from inlining them back into the pair stage."""
+    return F.when(
+        (na > F.lit(0.0)) & (nb > F.lit(0.0)), dot_expr(a, b) / (na * nb)
+    ).otherwise(F.lit(0.0))
 
 
 def knn_join(
@@ -32,17 +44,17 @@ def knn_join(
     Output: (query_id, neighbor_id, rank, score)."""
     q = queries.select(
         F.col(q_id).alias("query_id"), to_double_array(F.col(q_vec)).alias("_qv")
-    )
+    ).withColumn("_qn", l2norm_expr(F.col("_qv")))
     c = corpus.select(
         F.col(c_id).alias("neighbor_id"), to_double_array(F.col(c_vec)).alias("_cv")
-    )
+    ).withColumn("_cn", l2norm_expr(F.col("_cv")))
     pairs = F.broadcast(q).crossJoin(c)
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_expr(F.col("_qv"), F.col("_cv")).alias("score"),
+        _paired_cosine(F.col("_qn"), F.col("_cn"), F.col("_qv"), F.col("_cv")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
     return (
@@ -82,11 +94,19 @@ def neardup_cosine_pairs(
     """Embedding-cosine near-duplicate pairs (exact all-pairs form — the
     LSH-bucketed variant lives in plans/ivf.py for corpus scale; this exact
     form is the verification kernel applied within candidate buckets)."""
-    a = vectors.select(F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("_va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("_vb"))
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("_va")
+    ).withColumn("_na", l2norm_expr(F.col("_va")))
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), to_double_array(F.col(vec_col)).alias("_vb")
+    ).withColumn("_nb", l2norm_expr(F.col("_vb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_expr(F.col("_va"), F.col("_vb")).alias("score"))
+        .select(
+            "id_a",
+            "id_b",
+            _paired_cosine(F.col("_na"), F.col("_nb"), F.col("_va"), F.col("_vb")).alias("score"),
+        )
         .filter(F.col("score") >= F.lit(threshold))
         .orderBy("id_a", "id_b")
     )
