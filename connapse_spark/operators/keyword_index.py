@@ -1,0 +1,140 @@
+"""Keyword (inverted / posting-list) index — the batch analogue of the
+reference's GIN index on the generated tsvector column
+(KnowledgeDbContext.cs:232-245): pay tokenization at WRITE time, then a
+selective query touches only the posting lists of its own terms instead of
+scanning every document.
+
+Build (one shuffle on term):
+    postings(term, ids: array<id>, df: long)   — per exact/stemmed config
+
+Query path for selective terms (the common case at 100 TB):
+    query terms → semi-join postings (term is the join key; the postings
+    table is partitioned/sorted by term so the lookup is a pruned scan) →
+    explode candidate ids → score ONLY candidates (join back to the tokens
+    table, which is the write-time materialization of tokens_exact/stemmed)
+    → rank/(rank+1) normalize → top-k.
+
+Scoring is identical to operators.search.keyword_score_expr (weight A=1.0
+exact, B=0.4 stemmed, rank/(rank+1) — the documented ts_rank_cd(…,32)
+simplification), so the full-scan path and the indexed path return the SAME
+hits — the index is a physical structure, not a semantic change. That
+invariant is what the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from connapse_spark.functions.text import (
+    sql_tokens_exact,
+    sql_tokens_stemmed,
+    stem_py,
+    tokenize_py,
+    tokens_exact_expr,
+    tokens_stemmed_expr,
+)
+from connapse_spark.operators.search import WEIGHT_EXACT, WEIGHT_STEMMED
+
+
+def build_token_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Write-time tokenization (the 'generated column' trade): one row per
+    doc with both token arrays. Persist next to the documents table."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        tokens_exact_expr(F.col(text_col)).alias("tokens_exact"),
+        tokens_stemmed_expr(F.col(text_col)).alias("tokens_stemmed"),
+    )
+
+
+def build_postings(
+    tokens: DataFrame, token_col: str = "tokens_exact"
+) -> DataFrame:
+    """Posting lists: term → sorted id array + document frequency. Write
+    partitioned by a term-hash bucket and sorted by term so a term lookup
+    prunes to one bucket's row groups."""
+    return (
+        tokens.select("id", F.explode_outer(F.array_distinct(F.col(token_col))).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count(F.lit(1)).alias("df"))
+    )
+
+
+def keyword_search_indexed(
+    tokens: DataFrame,
+    postings_exact: DataFrame,
+    postings_stemmed: DataFrame,
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """Indexed keyword query: candidates = union of the query terms' posting
+    lists (tiny scan), scored by joining back to the candidates' token rows
+    only. Returns (id, score) — identical to operators.search.keyword_search
+    on the same corpus."""
+    terms = sorted(set(tokenize_py(query)))
+    stems = sorted({stem_py(t) for t in terms})
+    if not terms:
+        return tokens.select(F.col("id"), F.lit(0.0).alias("score")).limit(0)
+
+    spark = tokens.sparkSession
+    t_df = spark.createDataFrame([(t,) for t in terms], "term string")
+    s_df = spark.createDataFrame([(s,) for s in stems], "term string")
+    cand = (
+        postings_exact.join(F.broadcast(t_df), "term")
+        .select(F.explode("ids").alias("id"))
+        .unionByName(
+            postings_stemmed.join(F.broadcast(s_df), "term").select(
+                F.explode("ids").alias("id")
+            )
+        )
+        .distinct()
+    )
+    n_exact = F.size(F.filter("tokens_exact", lambda t: t.isin(*terms)))
+    n_stem = F.size(F.filter("tokens_stemmed", lambda t: t.isin(*stems)))
+    raw = F.lit(WEIGHT_EXACT) * n_exact + F.lit(WEIGHT_STEMMED) * n_stem
+    return (
+        tokens.join(cand, "id", "left_semi")
+        .select(F.col("id"), (raw / (raw + F.lit(1.0))).alias("score"))
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )
+
+
+def sql_postings(token_expr_builder, k_unused: int = 0) -> str:  # pragma: no cover
+    raise NotImplementedError("use sql_keyword_indexed — postings are an internal structure")
+
+
+def sql_keyword_indexed(query: str, k: int = 10) -> str:
+    """Oracle: the indexed path must equal the full-scan scorer, so the
+    mirror IS the full-scan scorer restricted to docs containing ≥1 query
+    term — same candidate semantics as the posting-list union."""
+    terms = sorted(set(tokenize_py(query)))
+    stems = sorted({stem_py(t) for t in terms})
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    stem_list = ", ".join(f"'{s}'" for s in stems)
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         {sql_tokens_exact('text')} AS te,
+         {sql_tokens_stemmed('text')} AS ts
+  FROM documents
+),
+cand AS (
+  SELECT id, te, ts FROM toks
+  WHERE len(list_filter(te, t -> t IN ({term_list}))) > 0
+     OR len(list_filter(ts, t -> t IN ({stem_list}))) > 0
+),
+scored AS (
+  SELECT id,
+         {WEIGHT_EXACT!r} * len(list_filter(te, t -> t IN ({term_list})))
+         + {WEIGHT_STEMMED!r} * len(list_filter(ts, t -> t IN ({stem_list}))) AS raw
+  FROM cand
+)
+SELECT id, raw / (raw + 1.0) AS score FROM scored
+WHERE raw / (raw + 1.0) > 0.0
+ORDER BY score DESC, id LIMIT {k}
+""".strip()

@@ -305,6 +305,77 @@ def auto_cut(hits: DataFrame, id_col: str = "id", score_col: str = "score") -> D
 
 
 # ---------------------------------------------------------------------------
+# Q8 — reranker dispatch + cross-encoder; Q11 — window substitution; Q7
+# ---------------------------------------------------------------------------
+
+
+def fake_cross_encoder_expr(query: str, content: Column) -> Column:
+    """Deterministic stand-in for a cross-encoder provider (tests/oracle;
+    the reference tests do the same with scripted fake providers —
+    SURVEY.md §5): score(query, content) = sha-derived uniform [0,1).
+    Real providers plug in via ``rerank(scorer=...)`` as an Arrow-batched
+    pandas UDF over the (query, content) pairs — the top-k DF is tiny, so
+    the UDF cost is per-hit, never per-corpus."""
+    return (
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit(query + "||"), content), 256), 1, 8), 16, 10
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+
+
+def sql_fake_cross_encoder(query: str, content: str) -> str:
+    q = query.replace("'", "''")
+    return (
+        f"(('0x' || substr(sha256('{q}' || '||' || {content}), 1, 8))::BIGINT % 1000000)"
+        f" / 1000000.0"
+    )
+
+
+def rerank(
+    hits: DataFrame,
+    query: str,
+    scorer: Column | None = None,
+    top_n: int | None = None,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Q8 CrossEncoderReranker (CrossEncoderReranker.cs:13-131): score the
+    (query, content) pairs of the top hits; provider scores REPLACE the
+    fused score; optional top_n reranks only the best-n fused hits (the
+    rest keep their relative order below, per CrossEncoderTopN semantics —
+    here they are dropped like the reference's missing-score policy).
+    Output keeps ``fused_score`` for inspection."""
+    if top_n is not None:
+        hits = hits.orderBy(F.desc("score"), F.col(id_col)).limit(top_n)
+    s = scorer if scorer is not None else fake_cross_encoder_expr(query, F.col(content_col))
+    return (
+        hits.withColumnRenamed("score", "fused_score")
+        .withColumn("score", s)
+        .orderBy(F.desc("score"), F.col(id_col))
+    )
+
+
+def window_substitution(hits: DataFrame, content_col: str = "content") -> DataFrame:
+    """Q11 SentenceWindow substitution (HybridSearchService.cs:13-28,154-157):
+    post-rerank, replace content with metadata['window'] when present — the
+    reranker scored the precise sentence; the LLM gets the window."""
+    return hits.withColumn(
+        content_col,
+        F.coalesce(F.element_at(F.col("metadata"), "window"), F.col(content_col)),
+    )
+
+
+def resolve_mode(mode: str, enable_cross_model: bool) -> str:
+    """Q7 cross-model override (HybridSearchService.cs:89-96): Semantic →
+    Hybrid when cross-model search is on (keyword side is model-agnostic and
+    covers documents embedded under legacy models)."""
+    if enable_cross_model and mode == "Semantic":
+        return "Hybrid"
+    return mode
+
+
+# ---------------------------------------------------------------------------
 # Q9/Q12/Q13 — min-score, top-k, guards; full pipeline
 # ---------------------------------------------------------------------------
 
@@ -333,10 +404,19 @@ def hybrid_search(
     vec_col: Column | None = None,
     predicate: Column | None = None,
     dims: int = 64,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
-    """End-to-end search over a corpus with text (and optionally precomputed
-    embeddings; defaults to the deterministic hash embedder on the text
-    column). Mirrors HybridSearchService.SearchAsync stage order.
+    """End-to-end search over a corpus with text. Mirrors
+    HybridSearchService.SearchAsync stage order.
+
+    The vector branch scans STORED vectors when ``vectors`` (id, embedding)
+    is given — the reference architecture (chunk_vectors precomputed at
+    ingest, Q2 never re-embeds the corpus; PgVectorStore.cs:186-285). A
+    filter predicate on the docs side reaches the vector scan as a semi-join
+    on id, like the reference AND-composing documentId/path filters into the
+    KNN SQL. Without ``vectors`` the corpus is hash-embedded inline
+    (ingest-less convenience path; per-query embedding cost — fine for tests,
+    wrong at scale).
 
     Candidate depth: each branch retrieves top_k·2 before fusion so items
     missing from one side can still win after fusion, like the reference
@@ -350,12 +430,18 @@ def hybrid_search(
 
     fetch_k = options.top_k * 2
     base = docs if predicate is None else docs.filter(predicate)
-    vec_expr = vec_col if vec_col is not None else embed_expr(F.col(text_col), dims)
 
     if options.mode in ("Semantic", "Hybrid"):
         qv = embed_py(query, dims)
-        vectors = base.select(F.col(id_col).alias("id"), vec_expr.alias("embedding"))
-        v_hits = vector_knn(vectors, qv, fetch_k, id_col="id")
+        if vectors is not None:
+            vecs = vectors
+            if predicate is not None:
+                allowed = base.select(F.col(id_col).alias("id"))
+                vecs = vecs.join(F.broadcast(allowed), "id", "left_semi")
+        else:
+            vec_expr = vec_col if vec_col is not None else embed_expr(F.col(text_col), dims)
+            vecs = base.select(F.col(id_col).alias("id"), vec_expr.alias("embedding"))
+        v_hits = vector_knn(vecs, qv, fetch_k, id_col="id")
     if options.mode in ("Keyword", "Hybrid"):
         k_hits = keyword_search(base, query, fetch_k, id_col=id_col, text_col=text_col)
         k_hits = k_hits.withColumnRenamed(id_col, "id") if id_col != "id" else k_hits

@@ -118,6 +118,29 @@ def vector_cte(
 """.rstrip()
 
 
+def vector_cte_stored(
+    query: str,
+    k: int,
+    dims: int = 64,
+    docs_where: str | None = None,
+) -> str:
+    """Vector branch over the STORED embeddings table (mirror of
+    hybrid_search(vectors=...)): cosine against the embedded query literal;
+    a docs-side filter reaches the scan as a semi-join on id."""
+    qv = sql_vector_literal(embed_py(query, dims))
+    filt = (
+        f"WHERE vec_id IN (SELECT doc_id FROM documents WHERE {docs_where})"
+        if docs_where
+        else ""
+    )
+    return f"""
+  SELECT id, score FROM (
+    SELECT vec_id AS id, {sql_cosine("CAST(embedding AS DOUBLE[])", "qv")} AS score
+    FROM embeddings, (SELECT {qv} AS qv) {filt}
+  ) ORDER BY score DESC, id LIMIT {k}
+""".rstrip()
+
+
 # ---------------------------------------------------------------------------
 # Fusion (CC / DBSF) + min-score + autocut + top-k: the full hybrid pipeline
 # ---------------------------------------------------------------------------
@@ -152,6 +175,7 @@ def hybrid_sql(
     text_col: str = "text",
     dims: int = 64,
     where: str | None = None,
+    stored_vectors: bool = False,
 ) -> str:
     """Full mirror of operators.search.hybrid_search (Hybrid mode)."""
     fetch_k = top_k * 2
@@ -159,8 +183,13 @@ def hybrid_sql(
     norm_tpl = _MINMAX_NORM if method == "ConvexCombination" else _DBSF_NORM
     vn = norm_tpl.format(src="v", out="vscore")
     kn = norm_tpl.format(src="kw", out="kscore")
+    v_cte = (
+        vector_cte_stored(query, fetch_k, dims, where)
+        if stored_vectors
+        else vector_cte(query, fetch_k, table, id_col, text_col, dims, where)
+    )
     fused = f"""
-WITH v AS ({vector_cte(query, fetch_k, table, id_col, text_col, dims, where)}
+WITH v AS ({v_cte}
 ),
 kw AS ({keyword_cte(query, fetch_k, table, id_col, text_col, where)}
 ),

@@ -1,0 +1,269 @@
+"""ANN index structures — the batch re-expression of the reference's
+IVFFlat partial-index manager (M6, VectorColumnManager.cs:14-194: one
+partial index per model_id, ``lists = clamp(rows/1000, 1, 100)``, built once
+≥10 vectors; probed with nearest-list pruning).
+
+Two index families, same two-job shape (build once, probe many):
+
+1. **Sign-LSH buckets** (``lsh_bucket_expr`` / ``ann_lsh_topk``) — random
+   hyperplane signatures from the deterministic hash family (no RNG, no
+   fitted state), so build is a pure projection: bucket = bit-pack of
+   sign(dot(v, h_j)). Probe scans only the query's bucket (optionally
+   Hamming-adjacent buckets). Fully oracle-checkable in DuckDB.
+
+2. **KMeans IVF** (``build_ivf_index`` / ``ann_ivf_topk``) — MLlib KMeans
+   centroids → ``list_id`` assignment; the index table is written
+   partitioned by ``list_id`` so a probe's ``list_id IN (...)`` filter is
+   partition pruning, exactly like pgvector scanning ``nprobe`` inverted
+   lists. Centroids are a small broadcast table. Not SQL-mirrorable
+   (iterative fit) — covered by the rows-only check and invariants tests.
+
+Scale notes (100 TB): both builds are one pass over the corpus with
+map-side-only work plus (for KMeans) a sampled fit; probes touch
+|corpus| / n_buckets (LSH) or nprobe/lists (IVF) of the data. The bucket
+column is the partition/sort key of the written index so scans prune at the
+parquet row-group level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from connapse_spark.functions.embed import sql_vector_literal
+from connapse_spark.functions.vector import (
+    dot_expr,
+    l2norm_expr,
+    sql_dot,
+    to_double_array,
+)
+
+# ---------------------------------------------------------------------------
+# 1. Sign-LSH (deterministic hyperplanes, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def _plane_component(j: int, i: Column | int) -> Column:
+    """Deterministic pseudo-random hyperplane h_j[i] in [-1, 1): the same
+    sha-derived family as the hash embedder, keyed 'plane:j:i'."""
+    i_str = i.cast("string") if isinstance(i, Column) else F.lit(str(i))
+    return (
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit(f"plane:{j}:"), i_str), 256), 1, 8), 16, 10
+        ).cast("bigint")
+        % 2000
+        - 1000
+    ) / 1000.0
+
+
+def _sql_plane_component(j: int, i: str) -> str:
+    return (
+        f"(('0x' || substr(sha256('plane:{j}:' || {i}), 1, 8))::BIGINT % 2000 - 1000) / 1000.0"
+    )
+
+
+def lsh_bucket_expr(vec: Column, n_planes: int = 8) -> Column:
+    """Bit-packed sign signature: Σ_j 2^j·[dot(v, h_j) > 0]. 2^n_planes
+    buckets; one pass, no state. dot(v, h_j) expands the plane component
+    inline per element — constant-folded per j because the plane literal
+    depends only on the element index."""
+    acc = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x * _plane_component(j, i),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(proj > 0.0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return acc
+
+
+def sql_lsh_bucket(vec: str, n_planes: int = 8) -> str:
+    terms = []
+    for j in range(n_planes):
+        proj = (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, len({vec}) + 1), "
+            f"i -> {vec}[i] * {_sql_plane_component(j, '(i - 1)')})), (a, v) -> a + v)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0.0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def build_lsh_index(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index table: (id, bucket, vec, norm). Write partitioned/sorted by
+    bucket so probe filters prune row groups."""
+    v = to_double_array(F.col(vec_col))
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        v.alias("vec"),
+    ).select(
+        "id",
+        "vec",
+        lsh_bucket_expr(F.col("vec"), n_planes).alias("bucket"),
+        l2norm_expr(F.col("vec")).alias("norm"),
+    )
+
+
+def ann_lsh_topk(
+    index: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Probe: compute the query's bucket driver-side (tiny pure-Python
+    mirror of the plane family), scan only that bucket, exact cosine
+    re-rank inside it. Returns (id, bucket, score)."""
+    import hashlib
+
+    def plane(j: int, i: int) -> float:
+        h = hashlib.sha256(f"plane:{j}:{i}".encode()).hexdigest()[:8]
+        return (int(h, 16) % 2000 - 1000) / 1000.0
+
+    bucket = 0
+    for j in range(n_planes):
+        proj = sum(x * plane(j, i) for i, x in enumerate(query_vec))
+        if proj > 0.0:
+            bucket += 1 << j
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = sum(x * x for x in query_vec) ** 0.5
+    score = F.when(
+        (F.col("norm") > 0.0) & (F.lit(qn) > 0.0),
+        dot_expr(F.col("vec"), q) / (F.col("norm") * F.lit(qn)),
+    ).otherwise(F.lit(0.0))
+    return (
+        index.filter(F.col("bucket") == F.lit(bucket))
+        .select("id", "bucket", score.alias("score"))
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )
+
+
+def sql_ann_lsh_topk(query_vec: list[float], k: int = 10, n_planes: int = 8) -> str:
+    """Oracle mirror: same bucket math in SQL end-to-end (the bucket of the
+    query literal is computed by the same SQL expression, not precomputed,
+    so the whole path is checked)."""
+    qv = sql_vector_literal(query_vec)
+    return f"""
+WITH idx AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+         {sql_lsh_bucket('CAST(embedding AS DOUBLE[])', n_planes)} AS bucket,
+         sqrt({sql_dot('CAST(embedding AS DOUBLE[])', 'CAST(embedding AS DOUBLE[])')}) AS norm
+  FROM embeddings
+),
+q AS (SELECT {qv} AS qv, {sql_lsh_bucket(qv, n_planes)} AS qbucket,
+             sqrt({sql_dot(qv, qv)}) AS qn)
+SELECT id, bucket,
+       CASE WHEN norm > 0.0 AND qn > 0.0
+            THEN {sql_dot('vec', 'qv')} / (norm * qn) ELSE 0.0 END AS score
+FROM idx, q WHERE bucket = qbucket
+ORDER BY score DESC, id LIMIT {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# 2. KMeans IVF (MLlib fit; the true 100 TB structure)
+# ---------------------------------------------------------------------------
+
+
+def ivf_n_lists(n_rows: int) -> int:
+    """lists = clamp(rows/1000, 1, 100) — VectorColumnManager.cs:98."""
+    return max(1, min(100, n_rows // 1000))
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    n_lists: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit KMeans centroids (optionally on a sample — at 100 TB you fit on
+    ~1M sampled rows, never the full corpus) and assign every vector its
+    nearest list. Returns (index_df, centroids_df).
+
+    index_df: (id, list_id, vec, norm) — write partitioned by list_id.
+    centroids_df: (list_id, centroid) — tiny, broadcast at probe time.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    base = vectors.select(
+        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("vec")
+    )
+    if n_lists is None:
+        n_lists = ivf_n_lists(base.count())
+    fit_input = base if sample_fraction is None else base.sample(sample_fraction, seed=seed)
+    km = KMeans(k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id")
+    model = km.fit(fit_input.select(array_to_vector(F.col("vec")).alias("features")))
+    assigned = model.transform(base.select("id", "vec", array_to_vector(F.col("vec")).alias("features")))
+    index = assigned.select(
+        "id", F.col("list_id"), "vec", l2norm_expr(F.col("vec")).alias("norm")
+    )
+    centroids = assigned.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id int, centroid array<double>",
+    )
+    return index, centroids
+
+
+def ann_ivf_topk(
+    index: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe: rank centroids by cosine to the query (tiny — broadcast),
+    keep the nprobe nearest lists, scan ONLY those partitions (Catalyst
+    pushes ``list_id IN (...)`` semi-join / filter into the scan), exact
+    re-rank inside. Mirrors pgvector's ivfflat.probes."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = sum(x * x for x in query_vec) ** 0.5
+    c_score = F.when(
+        (l2norm_expr(F.col("centroid")) > 0.0) & (F.lit(qn) > 0.0),
+        dot_expr(F.col("centroid"), q) / (l2norm_expr(F.col("centroid")) * F.lit(qn)),
+    ).otherwise(F.lit(0.0))
+    probe_lists = (
+        centroids.select("list_id", c_score.alias("cscore"))
+        .orderBy(F.desc("cscore"), F.col("list_id"))
+        .limit(nprobe)
+        .select("list_id")
+    )
+    score = F.when(
+        (F.col("norm") > 0.0) & (F.lit(qn) > 0.0),
+        dot_expr(F.col("vec"), q) / (F.col("norm") * F.lit(qn)),
+    ).otherwise(F.lit(0.0))
+    return (
+        index.join(F.broadcast(probe_lists), "list_id")
+        .select("id", "list_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )
+
+
+def ivf_recall_vs_exact(
+    index: DataFrame,
+    centroids: DataFrame,
+    exact_topk: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> float:
+    """Recall@k of the IVF probe against the exact scan — the index-quality
+    gauge a production build job logs per model (cf. the reference's
+    min-rows/lists policy deciding when the index is worth it)."""
+    approx = {r["id"] for r in ann_ivf_topk(index, centroids, query_vec, k, nprobe).collect()}
+    exact = {r[0] for r in exact_topk.limit(k).collect()}
+    return len(approx & exact) / max(1, len(exact))

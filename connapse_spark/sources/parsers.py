@@ -1,0 +1,146 @@
+"""Format parsers (P1-P5, SURVEY.md §2.2) — Spark-first.
+
+P1 TextParser (TextParser.cs:8-97) is pure column math: utf-8 decode +
+line/heading/delimiter heuristics, fully oracle-checkable. P2/P3 (PDF /
+Office) require binary-format libraries that are NOT in this container, so
+their *plumbing* is real (binary column in, ParsedDocument struct out,
+Arrow-batched) and the decoder is a clearly-marked stub — swap in
+``pypdf``/``python-docx`` behind the same signature in production.
+
+Dispatch (P4, IngestionPipeline.ParseDocumentAsync:445-464) and the
+supported-extension gate (P5, FileTypeValidator.cs:8-29) are a ``when``
+chain / ``isin`` filter.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TEXT_EXTENSIONS = [".txt", ".md", ".markdown", ".csv", ".log", ".json", ".xml", ".yaml", ".yml"]
+BINARY_EXTENSIONS = [".pdf", ".docx", ".pptx"]
+SUPPORTED_EXTENSIONS = TEXT_EXTENSIONS + BINARY_EXTENSIONS
+
+
+def file_ext(path: Column) -> Column:
+    name = F.element_at(F.split(path, "/"), -1)
+    ext = F.regexp_extract(name, r"(\.[^.]+)$", 1)
+    return F.lower(ext)
+
+
+def sql_file_ext(path: str) -> str:
+    return f"lower(regexp_extract(list_extract(string_split({path}, '/'), -1), '(\\.[^.]+)$', 1))"
+
+
+def is_supported_expr(path: Column) -> Column:
+    """P5 gate: union of parser extensions (FileTypeValidator.cs:8-29)."""
+    return file_ext(path).isin(SUPPORTED_EXTENSIONS)
+
+
+def csv_delimiter_expr(first_line: Column) -> Column:
+    """P1's delimiter heuristic (TextParser.cs:70-83): the most frequent of
+    ',' '\\t' ';' in the first line; ties favor ',' then '\\t' then ';'
+    (first maximum wins); none present → null."""
+    n_comma = F.length(first_line) - F.length(F.replace(first_line, F.lit(","), F.lit("")))
+    n_tab = F.length(first_line) - F.length(F.replace(first_line, F.lit("\t"), F.lit("")))
+    n_semi = F.length(first_line) - F.length(F.replace(first_line, F.lit(";"), F.lit("")))
+    best = F.greatest(n_comma, n_tab, n_semi)
+    return (
+        F.when(best <= 0, F.lit(None).cast("string"))
+        .when(n_comma == best, ",")
+        .when(n_tab == best, "\t")
+        .otherwise(";")
+    )
+
+
+def sql_csv_delimiter(first_line: str) -> str:
+    counts = {
+        "comma": f"length({first_line}) - length(replace({first_line}, ',', ''))",
+        "tab": f"length({first_line}) - length(replace({first_line}, chr(9), ''))",
+        "semi": f"length({first_line}) - length(replace({first_line}, ';', ''))",
+    }
+    best = f"greatest({counts['comma']}, {counts['tab']}, {counts['semi']})"
+    return (
+        f"CASE WHEN {best} <= 0 THEN NULL "
+        f"WHEN {counts['comma']} = {best} THEN ',' "
+        f"WHEN {counts['tab']} = {best} THEN chr(9) ELSE ';' END"
+    )
+
+
+def parse_text_documents(
+    docs: DataFrame, path_col: str = "path", text_col: str = "text"
+) -> DataFrame:
+    """P1: per-document parse metadata as pure columns (TextParser.cs:8-97):
+    file_type (extension), line_count, has_markdown_headers (any line
+    starting '#'..'######' + space), csv_delimiter (csv files only)."""
+    text = F.col(text_col)
+    first_line = F.element_at(F.split(text, "\n", 2), 1)
+    lines = F.split(text, "\n")
+    ext = file_ext(F.col(path_col))
+    return docs.withColumn("file_type", ext).withColumn(
+        "line_count", F.size(lines)
+    ).withColumn(
+        "has_markdown_headers",
+        F.exists(lines, lambda l: l.rlike(r"^#{1,6} ")),
+    ).withColumn(
+        "csv_delimiter",
+        F.when(ext == ".csv", csv_delimiter_expr(first_line)).otherwise(
+            F.lit(None).cast("string")
+        ),
+    )
+
+
+def sql_parse_text_documents(path: str = "path", text: str = "text", table: str = "documents") -> str:
+    ext = sql_file_ext(path)
+    first_line = f"string_split({text}, chr(10))[1]"
+    return f"""
+SELECT *,
+       {ext} AS file_type,
+       len(string_split({text}, chr(10))) AS line_count,
+       len(list_filter(string_split({text}, chr(10)), l -> regexp_matches(l, '^#{{1,6}} '))) > 0 AS has_markdown_headers,
+       CASE WHEN {ext} = '.csv' THEN {sql_csv_delimiter(first_line)} ELSE NULL END AS csv_delimiter
+FROM {table}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# P2/P3 — binary parsers: real plumbing, stubbed decoder
+# ---------------------------------------------------------------------------
+
+PARSED_SCHEMA = (
+    "path string, content string, n_pages int, warnings array<string>, parse_error string"
+)
+
+
+def parse_binary_documents(binary_df: DataFrame) -> DataFrame:
+    """P2/P3 plumbing over a ``binaryFile``-shaped frame (path, content:
+    binary): mapInPandas with Arrow batches — the production shape for
+    CPU-bound per-document decoding (each task decodes its partition's files;
+    no shuffle; scale = add executors).
+
+    The decoder is a STUB: pypdf / python-docx / python-pptx are not in this
+    container. It emits a deterministic placeholder so the pipeline is
+    testable end-to-end; swap `_decode_stub` for the real library call."""
+
+    def _decode_stub(path: str, blob: bytes) -> tuple[str, int, list[str], str | None]:
+        ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+        if ext not in ("pdf", "docx", "pptx"):
+            return "", 0, [f"unsupported binary format: .{ext}"], "UnsupportedFormat"
+        # deterministic fake: real impl returns page/slide texts with
+        # '--- Page N ---' markers (PdfParser.cs:55-80, OfficeParser.cs:134-208)
+        n_pages = max(1, len(blob) // 1024)
+        content = "\n".join(f"--- Page {i + 1} ---\n[stub:{ext}:{len(blob)}b]" for i in range(n_pages))
+        return content, n_pages, [], None
+
+    def _parse(batches):
+        for pdf in batches:
+            out = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                content, n_pages, warnings, err = _decode_stub(path, bytes(blob or b""))
+                out.append((path, content, n_pages, warnings, err))
+            yield pd.DataFrame(
+                out, columns=["path", "content", "n_pages", "warnings", "parse_error"]
+            )
+
+    return binary_df.select("path", "content").mapInPandas(_parse, PARSED_SCHEMA)

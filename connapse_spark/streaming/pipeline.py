@@ -1,0 +1,132 @@
+"""Structured Streaming surfaces.
+
+The reference has NO true streaming engine — its change capture is
+FileSystemWatcher debounce + 5-minute polls + delta joins (M2/M3,
+ConnectorWatcherService.cs:42-44,128-259). The honest Spark mapping is a
+file-source stream with ``Trigger.AvailableNow`` (each activation = one
+poll cycle, exactly-once bookkeeping in the checkpoint — strictly stronger
+than the reference's debounce), with deletes handled by the batch sync
+delta (operators.maintenance.sync_delta), since file streams only observe
+additions.
+
+The events stream is the scale-path generalization the north star asks for:
+watermarked tumbling windows and native ``session_window`` sessionization —
+the streaming twins of operators.events.tumbling_agg / sessionize (same
+aggregates, late data bounded by the watermark).
+
+All transforms take/return DataFrames so the SAME logic binds to
+``spark.read`` in tests and ``spark.readStream`` in deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_WATERMARK = "30 minutes"
+
+
+def stream_text_files(spark: SparkSession, path: str, glob: str = "*.txt") -> DataFrame:
+    """M3 as a stream: new files under ``path`` become (path, content) rows.
+    ``maxFilesPerTrigger`` bounds a micro-batch; the checkpoint makes each
+    file exactly-once — the reference needs a debounce + dedup map for this
+    (ConnectorWatcherService.cs:128-259)."""
+    return (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; binaryFile's is fixed
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(
+            F.col("path"),
+            F.col("length").alias("size_bytes"),
+            F.col("modificationTime").alias("last_modified"),
+            F.decode(F.col("content"), "UTF-8").alias("text"),
+        )
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Watermarked tumbling aggregate — streaming twin of
+    operators.events.tumbling_agg. Late events beyond the watermark are
+    dropped deterministically instead of reopening windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Native session windows (gap-based) — streaming twin of
+    operators.events.sessionize. State is bounded by the watermark; per-user
+    skew is bounded because a session closes at gap timeout."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """One poll cycle: drain everything currently available into a parquet
+    sink and stop — the Trigger.AvailableNow pattern that replaces the
+    reference's 5-minute rescan loop. Re-running with the same checkpoint
+    processes ONLY files that appeared since the last activation
+    (exactly-once; the memory sink can't recover a checkpoint, so the
+    durable sink is the contract here exactly as in production)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_complete_to_memory(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "connapse_agg_stream",
+) -> None:
+    """AvailableNow drain for aggregated streams (complete output mode)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

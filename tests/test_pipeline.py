@@ -1,0 +1,247 @@
+"""Tests for ingestion pipeline, ANN indexes, posting-list keyword index,
+rerank/window substitution, parsers, and multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from connapse_spark.functions.embed import embed_py
+from connapse_spark.operators import keyword_index, multimodal
+from connapse_spark.operators.ingest import ingest, ingest_stats
+from connapse_spark.operators.search import (
+    SearchOptions,
+    hybrid_search,
+    keyword_search,
+    rerank,
+    resolve_mode,
+    window_substitution,
+)
+from connapse_spark.plans import ivf
+from connapse_spark.sources import parsers
+
+QUERY = "table scan fast merge"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Ingest pipeline (§3.3)
+# ---------------------------------------------------------------------------
+
+
+def test_ingest_end_to_end(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(20)
+    chunks, vectors = ingest(docs)
+    c = chunks.collect()
+    v = vectors.collect()
+    assert len(c) == len(v) > 0
+    # chunk ids are unique, vectors carry model metadata
+    assert len({r["chunk_id"] for r in c}) == len(c)
+    assert all(r["model_id"] == "hash-64" and r["dimensions"] == 64 for r in v)
+    assert all(len(r["embedding"]) == 64 for r in v)
+    # embedding is content-addressed: equal hash → equal vector
+    by_hash = {}
+    for r in v:
+        by_hash.setdefault(r["content_hash"], set()).add(tuple(r["embedding"]))
+    assert all(len(s) == 1 for s in by_hash.values())
+
+
+def test_ingest_cache_skips_known_content(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(10)
+    _, first = ingest(docs)
+    cache = first.select("content_hash", "model_id", "dimensions", "embedding")
+    _, second = ingest(docs, existing_vectors=cache)
+    rows = second.collect()
+    assert all(r["from_cache"] for r in rows)  # everything already embedded
+    # cached vectors identical to fresh ones
+    fresh = {r["chunk_id"]: list(r["embedding"]) for r in first.collect()}
+    assert all(list(r["embedding"]) == fresh[r["chunk_id"]] for r in rows)
+
+
+def test_ingest_stats_shape(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(10)
+    chunks, vectors = ingest(docs)
+    stats = ingest_stats(chunks, vectors).collect()
+    assert len(stats) == 10
+    assert all(r["status"] == "Ready" and r["chunk_count"] >= 1 for r in stats)
+
+
+# ---------------------------------------------------------------------------
+# ANN (plans/ivf.py)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_bucket_partitions_corpus(spark, sf_dir):
+    idx = ivf.build_lsh_index(_emb(spark, sf_dir), n_planes=4)
+    counts = idx.groupBy("bucket").count().collect()
+    assert sum(r["count"] for r in counts) == idx.count()
+    assert all(0 <= r["bucket"] < 16 for r in counts)
+
+
+def test_lsh_probe_hits_come_from_query_bucket(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = embed_py(QUERY, 64)
+    idx = ivf.build_lsh_index(emb, n_planes=4)
+    hits = ivf.ann_lsh_topk(idx, qv, k=5, n_planes=4).collect()
+    assert len(hits) >= 1
+    assert len({r["bucket"] for r in hits}) == 1  # single probed bucket
+
+
+def test_ivf_probe_recall_improves_with_nprobe(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = embed_py(QUERY, 64)
+    index, centroids = ivf.build_ivf_index(emb, n_lists=4, seed=42)
+    index = index.cache()
+    from connapse_spark.operators.search import vector_knn
+
+    exact = vector_knn(emb, qv, k=10)
+    r_all = ivf.ivf_recall_vs_exact(index, centroids, exact, qv, k=10, nprobe=4)
+    r_one = ivf.ivf_recall_vs_exact(index, centroids, exact, qv, k=10, nprobe=1)
+    assert r_all == 1.0  # probing every list IS the exact scan
+    assert 0.0 <= r_one <= r_all
+    index.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Posting-list keyword index — must equal the full scan
+# ---------------------------------------------------------------------------
+
+
+def test_keyword_indexed_equals_full_scan(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    tokens = keyword_index.build_token_table(docs)
+    pe = keyword_index.build_postings(tokens, "tokens_exact")
+    ps = keyword_index.build_postings(tokens, "tokens_stemmed")
+    indexed = keyword_index.keyword_search_indexed(tokens, pe, ps, QUERY, k=15).collect()
+    full = keyword_search(docs, QUERY, k=15).collect()
+    assert [(r["id"], r["score"]) for r in indexed] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
+
+
+def test_postings_df_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(50)
+    tokens = keyword_index.build_token_table(docs)
+    postings = keyword_index.build_postings(tokens, "tokens_exact")
+    row = postings.filter(F.col("term") == "the").collect()
+    if row:  # df == number of ids; ids sorted
+        assert row[0]["df"] == len(row[0]["ids"])
+        assert row[0]["ids"] == sorted(row[0]["ids"])
+
+
+# ---------------------------------------------------------------------------
+# Rerank / window substitution / mode resolution
+# ---------------------------------------------------------------------------
+
+
+def test_rerank_replaces_score_keeps_fused(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    hits = hybrid_search(docs, QUERY, SearchOptions(top_k=5)).join(
+        docs.select(F.col("doc_id").alias("id"), "text"), "id"
+    )
+    out = rerank(hits, QUERY, content_col="text").collect()
+    assert len(out) == 5
+    assert all(0.0 <= r["score"] < 1.0 for r in out)
+    assert all("fused_score" in r.asDict() for r in out)
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_window_substitution(spark):
+    df = spark.createDataFrame(
+        [("a", "sent", {"window": "before sent after"}), ("b", "solo", {})],
+        "id string, content string, metadata map<string,string>",
+    )
+    out = {r["id"]: r["content"] for r in window_substitution(df).collect()}
+    assert out["a"] == "before sent after"
+    assert out["b"] == "solo"
+
+
+def test_resolve_mode_cross_model_override():
+    assert resolve_mode("Semantic", True) == "Hybrid"
+    assert resolve_mode("Semantic", False) == "Semantic"
+    assert resolve_mode("Keyword", True) == "Keyword"
+
+
+# ---------------------------------------------------------------------------
+# Parsers
+# ---------------------------------------------------------------------------
+
+
+def test_parse_text_metadata(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "/d/a.md", "# Title\nbody text"),
+            (2, "/d/b.csv", "a,b,c\n1,2,3"),
+            (3, "/d/c.csv", "x;y;z\n1;2;3"),
+            (4, "/d/d.txt", "plain\ntext\nlines"),
+        ],
+        "doc_id long, path string, text string",
+    )
+    out = {r["doc_id"]: r for r in parsers.parse_text_documents(df).collect()}
+    assert out[1]["file_type"] == ".md" and out[1]["has_markdown_headers"]
+    assert out[2]["csv_delimiter"] == ","
+    assert out[3]["csv_delimiter"] == ";"
+    assert out[4]["file_type"] == ".txt" and out[4]["line_count"] == 3
+    assert out[4]["csv_delimiter"] is None
+
+
+def test_binary_parser_stub_plumbing(spark):
+    df = spark.createDataFrame(
+        [("/d/x.pdf", b"%PDF" * 600), ("/d/y.zzz", b"??")],
+        "path string, content binary",
+    )
+    out = {r["path"]: r for r in parsers.parse_binary_documents(df).collect()}
+    assert out["/d/x.pdf"]["n_pages"] >= 1
+    assert "--- Page 1 ---" in out["/d/x.pdf"]["content"]
+    assert out["/d/y.zzz"]["parse_error"] == "UnsupportedFormat"
+
+
+def test_supported_extension_gate(spark):
+    df = spark.createDataFrame(
+        [("/a/b.md",), ("/a/b.exe",), ("/a/b.pdf",)], "path string"
+    )
+    kept = [r["path"] for r in df.filter(parsers.is_supported_expr(F.col("path"))).collect()]
+    assert kept == ["/a/b.md", "/a/b.pdf"]
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_feature_extraction(spark, sf_dir):
+    media = multimodal.synthesize_media(_docs(spark, sf_dir).limit(10))
+    feats = multimodal.extract_image_features(media).collect()
+    assert len(feats) == 10
+    assert all(r["decode_error"] is None for r in feats)
+    assert all(len(r["phash"]) == 16 for r in feats)
+    # determinism: rerun → identical
+    feats2 = multimodal.extract_image_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+
+def test_multimodal_resize_bounds(spark, sf_dir):
+    media = multimodal.synthesize_media(_docs(spark, sf_dir).limit(10))
+    out = multimodal.resize_images(media, max_side=128).collect()
+    assert all(max(r["width"], r["height"]) <= 128 for r in out)
+
+
+def test_multimodal_frame_sampling(spark, sf_dir):
+    media = multimodal.synthesize_media(_docs(spark, sf_dir).limit(5), "video")
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=4).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for rows in by_id.values():
+        assert 1 <= len(rows) <= 4
+        assert [r["frame_index"] for r in sorted(rows, key=lambda x: x["frame_index"])] == list(
+            range(len(rows))
+        )

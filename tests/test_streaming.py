@@ -1,0 +1,82 @@
+"""Structured Streaming tests: file-source ingest (M3 as AvailableNow) and
+watermarked window/session aggregates — each drained via memory sink."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from connapse_spark.streaming import pipeline as sp
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="connapse-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_file_stream_ingests_new_files(spark, tmpdir):
+    src = os.path.join(tmpdir, "in")
+    os.makedirs(src)
+    for i in range(3):
+        with open(os.path.join(src, f"doc{i}.txt"), "w") as f:
+            f.write(f"hello file {i}")
+    out = os.path.join(tmpdir, "out")
+    stream = sp.stream_text_files(spark, src)
+    assert stream.isStreaming
+    sp.run_available_now(stream, os.path.join(tmpdir, "ckpt"), out)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    assert {r["text"] for r in rows} == {f"hello file {i}" for i in range(3)}
+
+    # second activation picks up ONLY the new file (checkpoint exactly-once)
+    with open(os.path.join(src, "doc3.txt"), "w") as f:
+        f.write("hello file 3")
+    stream2 = sp.stream_text_files(spark, src)
+    sp.run_available_now(stream2, os.path.join(tmpdir, "ckpt"), out)
+    rows2 = spark.read.parquet(out).collect()
+    assert len(rows2) == 4  # total now includes exactly one new row
+    assert {r["text"] for r in rows2} == {f"hello file {i}" for i in range(4)}
+
+
+def _event_stream(spark, tmpdir):
+    """Parquet-source stream of synthetic events."""
+    src = os.path.join(tmpdir, "events")
+    spark.createDataFrame(
+        [
+            (1, "2026-01-01 10:00:00", 1, "click", 1.0),
+            (2, "2026-01-01 10:10:00", 1, "click", 2.0),
+            (3, "2026-01-01 11:05:00", 1, "view", 3.0),
+            (4, "2026-01-01 10:20:00", 2, "click", 4.0),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").write.parquet(src)
+    schema = "event_id long, user_id long, event_type string, value double, ts timestamp"
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def test_windowed_event_counts_stream(spark, tmpdir):
+    stream = sp.windowed_event_counts(_event_stream(spark, tmpdir), window="1 hour")
+    sp.run_complete_to_memory(stream, os.path.join(tmpdir, "ckpt-w"), "t_win")
+    rows = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_win").collect()
+    }
+    assert rows[("2026-01-01 10:00:00", "click")] == 3
+    assert rows[("2026-01-01 11:00:00", "view")] == 1
+
+
+def test_sessionized_event_counts_stream(spark, tmpdir):
+    stream = sp.sessionized_event_counts(_event_stream(spark, tmpdir), gap="30 minutes")
+    sp.run_complete_to_memory(stream, os.path.join(tmpdir, "ckpt-s"), "t_sess")
+    rows = spark.sql("SELECT * FROM t_sess").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: events at 10:00/10:10 in one session, 11:05 in another
+    assert len(by_user[1]) == 2
+    assert sorted(r["n_events"] for r in by_user[1]) == [1, 2]
+    assert len(by_user[2]) == 1
