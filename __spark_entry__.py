@@ -185,6 +185,12 @@ def q_neardup_cosine(spark, sf_dir):
     return similarity.neardup_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
 
 
+def q_neardup_cosine_lsh(spark, sf_dir):
+    return similarity.neardup_cosine_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4
+    )
+
+
 def q_cosine_adjacent(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id"), to_double_array("embedding").alias("_va"))
@@ -273,6 +279,22 @@ def q_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_chunk_semantic(spark, sf_dir):
+    from connapse_spark.operators.semantic_chunking import semantic_chunks
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    df = semantic_chunks(docs, method="Percentile")
+    return _long(df, "chunk_index", "n_sentences", "token_count")
+
+
+def q_chunk_semantic_stddev(spark, sf_dir):
+    from connapse_spark.operators.semantic_chunking import semantic_chunks
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    df = semantic_chunks(docs, method="StandardDeviation")
+    return _long(df, "chunk_index", "n_sentences", "token_count")
+
+
 def q_chunk_fixed_char(spark, sf_dir):
     df = chunking.chunk_fixed_char(_t(spark, sf_dir, "documents"))
     return _long(df, "chunk_index", "start_offset", "end_offset")
@@ -316,7 +338,7 @@ def q_fix_types(df):
 
 def q_keyword_indexed(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    tokens = keyword_index.build_token_table(docs)
+    tokens = keyword_index.build_token_table(docs).cache()
     pe = keyword_index.build_postings(tokens, "tokens_exact")
     ps = keyword_index.build_postings(tokens, "tokens_stemmed")
     return keyword_index.keyword_search_indexed(tokens, pe, ps, SEARCH_QUERY, k=20)
@@ -623,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mean_pool": q_mean_pool,
         "knn_join": q_knn_join,
         "neardup_cosine": q_neardup_cosine,
+        "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "cosine_adjacent": q_cosine_adjacent,
         "cache_misses": q_cache_misses,
         "exact_dedup": q_exact_dedup,
@@ -633,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stats": q_quality,
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
+        "chunk_semantic": q_chunk_semantic,
+        "chunk_semantic_stddev": q_chunk_semantic_stddev,
         "chunk_fixed_char": q_chunk_fixed_char,
         "chunk_token_window": q_chunk_token_window,
         "corpus_stats": q_corpus_stats,
@@ -670,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "mean_pool": similarity.sql_mean_pool_by(),
         "knn_join": similarity.sql_knn_join(),
         "neardup_cosine": similarity.sql_neardup_cosine_pairs(threshold=0.5),
+        "neardup_cosine_lsh": similarity.sql_neardup_cosine_pairs_lsh(threshold=0.3, n_planes=4),
         "cosine_adjacent": _SQL_COSINE_ADJACENT,
         "cache_misses": _SQL_CACHE_MISSES,
         "exact_dedup": dedup.sql_exact_dedup() + " ORDER BY doc_id",
@@ -680,6 +706,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_stats": textstats.sql_quality_stats() + " ORDER BY doc_id",
         "language_id": textstats.sql_language_id() + " ORDER BY doc_id",
         "fingerprint": textstats.sql_fingerprint() + " ORDER BY doc_id",
+        "chunk_semantic": _sql_chunk_semantic("Percentile"),
+        "chunk_semantic_stddev": _sql_chunk_semantic("StandardDeviation"),
         "chunk_fixed_char": chunking.sql_chunk_fixed_char(),
         "chunk_token_window": chunking.sql_chunk_token_window(),
         "corpus_stats": analytics.sql_corpus_stats() + " ORDER BY source",
@@ -700,6 +728,14 @@ def oracle_sql() -> dict[str, str]:
         "parse_text": _sql_parse_text(),
         "media_stats": _SQL_MEDIA_STATS,
     }
+
+
+def _sql_chunk_semantic(method):
+    from connapse_spark.operators.semantic_chunking import sql_semantic_chunks
+
+    return sql_semantic_chunks(
+        method=method, table="(SELECT * FROM documents WHERE doc_id % 5 = 0)"
+    )
 
 
 def _embed_query():

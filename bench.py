@@ -23,18 +23,27 @@ BENCH_QUERIES = [
     "hybrid_cc",
     "hybrid_dbsf",
     "hybrid_autocut",
+    "hybrid_filtered",
+    "hybrid_rerank",
     "knn_vector",
     "keyword_search",
+    "keyword_indexed",
     "semantic_topk",
+    "ann_lsh",
     "knn_join",
+    "neardup_cosine_lsh",
     "exact_dedup",
     "minhash_lsh",
-    "ngram_jaccard",
+    "ngram_jaccard_prefix",
     "simhash",
     "quality_stats",
     "fingerprint",
     "chunk_fixed_char",
     "chunk_token_window",
+    "chunk_semantic",
+    "ingest_stats",
+    "parse_text",
+    "media_stats",
     "events_tumbling",
     "events_sessionize",
     "mean_pool",
@@ -56,8 +65,10 @@ def main():
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    # one warmup action to absorb JVM/codegen first-run cost fairly
+    # warmup: absorb JVM/codegen/broadcast first-run cost with one untimed
+    # representative query, then time the suite
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    qs["hybrid_cc"](spark, sf_dir).count()
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]

@@ -74,22 +74,22 @@ FROM (SELECT {id_col}, sha256({text_col}) AS content_hash FROM documents)
 
 def shingles_expr(text: Column, n: int = 3) -> Column:
     """Distinct n-gram token shingles joined with ' ' — sorted for
-    deterministic array order."""
+    deterministic array order.
+
+    Built by zip_with over SHIFTED copies of the token array instead of a
+    positional transform whose lambda indexes back into the array: Catalyst
+    re-evaluates lambda-captured subexpressions per element, which turns a
+    slice-in-lambda formulation into O(tokens²) re-tokenization per
+    document (~20s just to shingle 5k docs). zip_with lambdas touch only
+    their own arguments; the token array is evaluated a constant number of
+    times per row. zip_with pads to the longer side with nulls and concat
+    propagates null, so trailing (incomplete) windows filter out."""
     toks = tokens_exact_expr(text)
-    return F.array_sort(
-        F.array_distinct(
-            F.filter(
-                F.transform(
-                    toks,
-                    lambda _t, i: F.when(
-                        i + n <= F.size(toks),
-                        F.concat_ws(" ", F.slice(toks, i + 1, n)),
-                    ),
-                ),
-                lambda s: s.isNotNull(),
-            )
-        )
-    )
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_sort(F.array_distinct(F.filter(acc, lambda s: s.isNotNull())))
 
 
 def sql_shingles(c: str, n: int = 3) -> str:

@@ -124,6 +124,66 @@ ORDER BY id_a, id_b
 """.strip()
 
 
+def neardup_cosine_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed near-dup pairs — the 100 TB path: bucket by
+    deterministic sign-LSH (plans/ivf.py), generate pairs only WITHIN a
+    bucket (shuffle on bucket, never an all-pairs join), verify with exact
+    cosine. Approximate by construction (pairs split across buckets are
+    missed — the recall/cost dial is n_planes); deterministic, so still
+    oracle-checkable."""
+    from connapse_spark.plans.ivf import lsh_bucket_expr
+
+    v = vectors.select(
+        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("vec")
+    ).select(
+        "id", "vec",
+        lsh_bucket_expr(F.col("vec"), n_planes).alias("bucket"),
+        l2norm_expr(F.col("vec")).alias("norm"),
+    )
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("bucket"),
+        F.col("vec").alias("_va"), F.col("norm").alias("_na"),
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("bucket"),
+        F.col("vec").alias("_vb"), F.col("norm").alias("_nb"),
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "bucket",
+            _paired_cosine(F.col("_na"), F.col("_nb"), F.col("_va"), F.col("_vb")).alias("score"),
+        )
+        .filter(F.col("score") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def sql_neardup_cosine_pairs_lsh(threshold: float = 0.9, n_planes: int = 4) -> str:
+    from connapse_spark.functions.vector import sql_cosine
+    from connapse_spark.plans.ivf import sql_lsh_bucket
+
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         {sql_lsh_bucket('CAST(embedding AS DOUBLE[])', n_planes)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+       {sql_cosine("a.e", "b.e")} AS score
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {sql_cosine("a.e", "b.e")} >= {threshold!r}
+ORDER BY id_a, id_b
+""".strip()
+
+
 def mean_pool_by(
     vectors: DataFrame,
     group_col: str = "label",
