@@ -1,0 +1,53 @@
+"""Agent-memory notes (IAgentMemory) and partitioned sink round-trips."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from connapse_spark.operators import notes
+from connapse_spark.operators.ingest import ingest
+from connapse_spark.sources import sinks
+
+
+def _notes_df(spark, rows):
+    return spark.createDataFrame(rows, "key string, content string, version long")
+
+
+def test_notes_save_get_delete_search(spark):
+    existing = _notes_df(spark, [("a", "spark is a batch engine", 1), ("b", "ducks quack", 1)])
+    incoming = _notes_df(spark, [("a", "spark is a distributed engine", 2), ("c", "new note", 2)])
+    merged = notes.save_notes(existing, incoming)
+    rows = {r["key"]: r for r in merged.collect()}
+    assert rows["a"]["content"] == "spark is a distributed engine"  # LWW
+    assert set(rows) == {"a", "b", "c"}
+
+    assert notes.get_note(merged, "b").count() == 1
+    after = notes.delete_notes(merged, spark.createDataFrame([("b",)], "key string"))
+    assert {r["key"] for r in after.collect()} == {"a", "c"}
+
+    hits = notes.search_notes(merged, "spark engine", top_k=2).collect()
+    assert len(hits) >= 1
+    assert hits[0]["id"] == "a"  # both query terms hit note a
+
+
+def test_vectors_sink_partitions_by_model(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(20)
+    _, vectors = ingest(docs)
+    path = str(tmp_path / "vectors")
+    sinks.write_vectors(vectors, path)
+    assert os.path.isdir(os.path.join(path, "model_id=hash-64"))
+    back = spark.read.parquet(path)
+    assert back.count() == vectors.count()
+    # model filter is partition pruning on the stored table
+    plan = back.filter(F.col("model_id") == "hash-64")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_chunks_sink_roundtrip(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(10)
+    chunks, _ = ingest(docs)
+    path = str(tmp_path / "chunks")
+    sinks.write_chunks(chunks, path)
+    back = spark.read.parquet(path)
+    assert back.count() == chunks.count()
+    assert set(back.columns) >= set(chunks.columns)

@@ -1,0 +1,130 @@
+"""Physical-plan assertions: the 100 TB design claims, checked against
+``explain`` output — pushdown reaches the scan, KNN avoids full sorts,
+small sides broadcast, index reads prune partitions. These are the
+regressions that silently cost 100× at scale while every value stays right.
+"""
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from connapse_spark.functions.embed import embed_py
+from connapse_spark.operators.search import SearchOptions, hybrid_search, vector_knn
+from connapse_spark.plans import ivf
+from connapse_spark.sources import sinks
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = _docs(spark, sf_dir).filter(F.col("lang") == "en").select("doc_id", "lang")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(lang,en)" in plan.replace("IsNotNull(lang), ", "")
+
+
+def test_column_pruning_reaches_read_schema(spark, sf_dir):
+    df = _docs(spark, sf_dir).select("doc_id")
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1) == "doc_id:bigint"  # text column NOT read
+
+
+def test_knn_is_take_ordered_not_global_sort(spark, sf_dir):
+    qv = embed_py("probe", 64)
+    df = vector_knn(_emb(spark, sf_dir), qv, k=10, id_col="vec_id")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # top-k pushdown, no full sort
+    assert "Exchange rangepartitioning" not in plan  # no global sort shuffle
+
+
+def test_knn_plan_has_no_shuffle(spark, sf_dir):
+    qv = embed_py("probe", 64)
+    df = vector_knn(_emb(spark, sf_dir), qv, k=10, id_col="vec_id")
+    assert "Exchange" not in _plan(df)  # scan → project → take-ordered only
+
+
+def test_hybrid_filter_pushed_to_both_branches(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    vecs = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
+    df = hybrid_search(
+        docs, "table scan", SearchOptions(top_k=5),
+        predicate=F.col("lang") == "en", vectors=vecs,
+    )
+    plan = _plan(df)
+    # keyword branch: lang filter must be pushed into the documents scan
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_lsh_probe_prunes_partitions_on_disk(spark, sf_dir, tmp_path):
+    idx = ivf.build_lsh_index(_emb(spark, sf_dir), n_planes=4)
+    path = str(tmp_path / "lsh")
+    sinks.write_lsh_index(idx, path)
+    stored = spark.read.parquet(path)
+    qv = embed_py("probe", 64)
+    probe = ivf.ann_lsh_topk(stored, qv, k=5, n_planes=4)
+    plan = _plan(probe)
+    # bucket is a partition column of the stored index → partition pruning,
+    # and the scan must not be reading every bucket
+    assert re.search(r"PartitionFilters: \[.*bucket.*\]", plan)
+
+
+def test_postings_read_prunes_term_buckets(spark, sf_dir, tmp_path):
+    from connapse_spark.operators import keyword_index
+
+    docs = _docs(spark, sf_dir).limit(200)
+    tokens = keyword_index.build_token_table(docs)
+    postings = keyword_index.build_postings(tokens, "tokens_exact")
+    path = str(tmp_path / "postings")
+    sinks.write_postings(postings, path)
+    pruned = sinks.read_postings_for_terms(spark, path, ["table", "scan"])
+    plan = _plan(pruned)
+    assert re.search(r"PartitionFilters: \[.*term_bucket.*\]", plan)
+    rows = pruned.collect()
+    assert {r["term"] for r in rows} <= {"table", "scan"}
+
+
+def test_broadcast_join_for_small_dimension(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    small = spark.createDataFrame([("src1",), ("src2",)], "source string")
+    df = docs.join(F.broadcast(small), "source")
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_whole_stage_codegen_covers_relational_pipeline(spark, sf_dir):
+    """Scalar filter/project/agg pipelines must stay in one codegen span.
+    (Array higher-order functions — scoring, shingling — evaluate in
+    ProjectExec's interpreted path by Spark design; they are single-pass
+    per row, which is why those operators materialize intermediate arrays
+    as columns rather than nesting lambdas — see dedup.shingles_expr.)"""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # AQE hides spans pre-execution
+    try:
+        docs = _docs(spark, sf_dir)
+        df = (
+            docs.filter(F.col("lang") == "en")
+            .select("source", F.length("text").alias("n"))
+            .groupBy("source")
+            .agg(F.sum("n").alias("total"))
+        )
+        plan = _plan(df)
+        # '*(n)' prefixes mark whole-stage-codegen spans in the plan string;
+        # scan→filter→project→partial-agg must share span (1)
+        assert "*(1) HashAggregate" in plan and "*(1) Filter" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
