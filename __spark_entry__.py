@@ -140,6 +140,10 @@ def q_hybrid_autocut(spark, sf_dir):
     return _hybrid(spark, sf_dir, autocut=True)
 
 
+def q_hybrid_minscore(spark, sf_dir):
+    return _hybrid(spark, sf_dir, min_score=0.3)
+
+
 def q_hybrid_filtered(spark, sf_dir):
     pred = (F.col("lang") == "en") & F.col("source").isin("src1", "src2", "src3")
     return _hybrid(spark, sf_dir, predicate=pred)
@@ -232,6 +236,53 @@ hashed AS (
 SELECT doc_id, content_hash FROM hashed
 WHERE rn = 1 AND content_hash NOT IN (SELECT content_hash FROM cache)
 ORDER BY doc_id
+""".strip()
+
+
+def q_embed_cached(spark, sf_dir):
+    """E1+E2 full path: fixed-char chunks → within-batch dedup → cache
+    anti-join → Arrow-batched provider UDF on misses → fan back out by hash.
+    The default provider is the hash embedder, so the oracle mirrors the
+    embedding VALUES too, not just the cache logic."""
+    from connapse_spark.operators.embedding import embed_chunks
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    chunks = chunking.chunk_fixed_char(docs).select(
+        F.concat_ws(":", "document_id", "chunk_index").alias("chunk_id"),
+        F.col("content"),
+    )
+    cache = (
+        chunking.chunk_fixed_char(docs.filter(F.col("doc_id") % 2 == 0))
+        .select(F.sha2("content", 256).alias("content_hash"))
+        .distinct()
+        .withColumn("embedding", F.array_repeat(F.lit(-1.0), 64))
+        .withColumn("model_id", F.lit("hash-64"))
+    )
+    out = embed_chunks(chunks, existing_vectors=cache)
+    return _long(
+        out.select("chunk_id", "content_hash", "embedding").orderBy("chunk_id"),
+    )
+
+
+def _sql_embed_cached() -> str:
+    from connapse_spark.functions.embed import sql_embed
+
+    inner = chunking.sql_chunk_fixed_char().replace("ORDER BY document_id, chunk_index", "")
+    return f"""
+WITH all_chunks AS MATERIALIZED (
+  SELECT concat(document_id, ':', chunk_index) AS chunk_id, content
+  FROM ({inner}) WHERE document_id % 7 = 0
+),
+cache AS (
+  SELECT DISTINCT sha256(content) AS content_hash,
+         list_transform(range(0, 64), x -> -1.0) AS cached_emb
+  FROM ({inner}) WHERE document_id % 7 = 0 AND document_id % 2 = 0
+),
+hashed AS (SELECT chunk_id, content, sha256(content) AS content_hash FROM all_chunks)
+SELECT chunk_id, h.content_hash,
+       coalesce(cached_emb, {sql_embed('content')}) AS embedding
+FROM hashed h LEFT JOIN cache c ON h.content_hash = c.content_hash
+ORDER BY chunk_id
 """.strip()
 
 
@@ -641,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_dbsf": q_hybrid_dbsf,
         "hybrid_autocut": q_hybrid_autocut,
         "hybrid_filtered": q_hybrid_filtered,
+        "hybrid_minscore": q_hybrid_minscore,
         "semantic_topk": q_semantic_topk,
         "mean_pool": q_mean_pool,
         "knn_join": q_knn_join,
@@ -648,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "cosine_adjacent": q_cosine_adjacent,
         "cache_misses": q_cache_misses,
+        "embed_cached": q_embed_cached,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -691,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_filtered": oracle.hybrid_sql(
             SEARCH_QUERY, where=_HYBRID_WHERE, stored_vectors=True
         ),
+        "hybrid_minscore": oracle.hybrid_sql(SEARCH_QUERY, min_score=0.3, stored_vectors=True),
         "semantic_topk": _sql_semantic_topk(),
         "mean_pool": similarity.sql_mean_pool_by(),
         "knn_join": similarity.sql_knn_join(),
@@ -698,6 +752,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_cosine_lsh": similarity.sql_neardup_cosine_pairs_lsh(threshold=0.3, n_planes=4),
         "cosine_adjacent": _SQL_COSINE_ADJACENT,
         "cache_misses": _SQL_CACHE_MISSES,
+        "embed_cached": _sql_embed_cached(),
         "exact_dedup": dedup.sql_exact_dedup() + " ORDER BY doc_id",
         "ngram_jaccard": dedup.sql_ngram_jaccard_pairs(threshold=0.2),
         "ngram_jaccard_prefix": dedup.sql_ngram_jaccard_pairs(threshold=0.6),
