@@ -496,6 +496,58 @@ FROM media GROUP BY modality, media_type ORDER BY modality, media_type
 # ---------------------------------------------------------------------------
 
 
+def q_batch_progress(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 20).alias("batch_id"),
+        F.when(F.col("doc_id") % 7 == 0, "Failed")
+        .when(F.col("doc_id") % 3 == 0, "Processing")
+        .otherwise("Ready")
+        .alias("status"),
+    )
+    return analytics.batch_progress(docs)
+
+
+_SQL_BATCH_SRC = """
+  SELECT doc_id % 20 AS batch_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'Failed'
+              WHEN doc_id % 3 = 0 THEN 'Processing'
+              ELSE 'Ready' END AS status
+  FROM documents
+"""
+
+
+def q_delete_cascade(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("document_id"))
+    chunks = chunking.chunk_fixed_char(_t(spark, sf_dir, "documents")).select(
+        "document_id", "chunk_index"
+    )
+    vectors = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("document_id"))
+    from connapse_spark.operators.maintenance import delete_cascade
+
+    deleted = docs.filter(F.col("document_id") % 10 == 0).select("document_id")
+    d2, c2, v2 = delete_cascade(docs, chunks, vectors, deleted)
+    return (
+        d2.agg(F.count(F.lit(1)).alias("n")).select(F.lit("documents").alias("tbl"), "n")
+        .unionByName(c2.agg(F.count(F.lit(1)).alias("n")).select(F.lit("chunks").alias("tbl"), "n"))
+        .unionByName(v2.agg(F.count(F.lit(1)).alias("n")).select(F.lit("vectors").alias("tbl"), "n"))
+        .orderBy("tbl")
+    )
+
+
+def _sql_delete_cascade() -> str:
+    inner = chunking.sql_chunk_fixed_char().replace("ORDER BY document_id, chunk_index", "")
+    return f"""
+WITH deleted AS (SELECT doc_id AS document_id FROM documents WHERE doc_id % 10 = 0)
+SELECT 'chunks' AS tbl, count(*) AS n FROM ({inner}) c
+WHERE c.document_id NOT IN (SELECT document_id FROM deleted)
+UNION ALL
+SELECT 'documents', count(*) FROM documents WHERE doc_id NOT IN (SELECT document_id FROM deleted)
+UNION ALL
+SELECT 'vectors', count(*) FROM embeddings WHERE vec_id NOT IN (SELECT document_id FROM deleted)
+ORDER BY tbl
+""".strip()
+
+
 def q_corpus_stats(spark, sf_dir):
     df = analytics.corpus_stats(_t(spark, sf_dir, "documents")).orderBy("source")
     return _long(df, "n_docs", "n_en")
@@ -714,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_fixed_char": q_chunk_fixed_char,
         "chunk_token_window": q_chunk_token_window,
         "corpus_stats": q_corpus_stats,
+        "batch_progress": q_batch_progress,
+        "delete_cascade": q_delete_cascade,
         "model_discovery": q_model_discovery,
         "doc_list_paged": q_doc_list_paged,
         "file_browser": q_file_browser,
@@ -766,6 +820,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_fixed_char": chunking.sql_chunk_fixed_char(),
         "chunk_token_window": chunking.sql_chunk_token_window(),
         "corpus_stats": analytics.sql_corpus_stats() + " ORDER BY source",
+        "batch_progress": analytics.sql_batch_progress(_SQL_BATCH_SRC),
+        "delete_cascade": _sql_delete_cascade(),
         "model_discovery": analytics.sql_model_discovery(),
         "doc_list_paged": analytics.sql_document_list_paged(),
         "file_browser": analytics.sql_file_browser(),

@@ -103,3 +103,37 @@ SELECT name, is_folder FROM (
   FROM documents
 ) ORDER BY lower(name)
 """.strip()
+
+
+def batch_progress(batch_docs: DataFrame) -> DataFrame:
+    """A5 batch progress (BatchesEndpoints.cs:14, batches/batch_documents
+    schema KnowledgeDbContext.cs:337-396): per-batch counters + derived
+    batch status, one group-by over the job-run table."""
+    agg = batch_docs.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("total_files"),
+        F.count(F.when(F.col("status") == "Ready", 1)).alias("completed"),
+        F.count(F.when(F.col("status") == "Failed", 1)).alias("failed"),
+    )
+    done = F.col("completed") + F.col("failed") == F.col("total_files")
+    return agg.withColumn(
+        "batch_status",
+        F.when(done & (F.col("failed") > 0), "CompletedWithErrors")
+        .when(done, "Completed")
+        .otherwise("InProgress"),
+    ).orderBy("batch_id")
+
+
+def sql_batch_progress(src: str) -> str:
+    return f"""
+SELECT batch_id, total_files, completed, failed,
+       CASE WHEN completed + failed = total_files AND failed > 0 THEN 'CompletedWithErrors'
+            WHEN completed + failed = total_files THEN 'Completed'
+            ELSE 'InProgress' END AS batch_status
+FROM (
+  SELECT batch_id, count(*) AS total_files,
+         count(CASE WHEN status = 'Ready' THEN 1 END) AS completed,
+         count(CASE WHEN status = 'Failed' THEN 1 END) AS failed
+  FROM ({src}) GROUP BY batch_id
+)
+ORDER BY batch_id
+""".strip()
