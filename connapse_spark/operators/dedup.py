@@ -136,6 +136,13 @@ def ngram_jaccard_pairs(
         .withColumn("n_sh", F.size("sh"))
         .filter(F.col("n_sh") > 0)
     )
+    # The plan below fans `sh` into up to 5 consumers (df-count, both sides
+    # of the candidate join, both verification sides); without a
+    # materialization barrier each consumer re-runs tokenize+shingle over
+    # the corpus. This is an index-build operator — persisting the shingle
+    # table IS the index (released by the ContextCleaner when the plan is
+    # garbage-collected).
+    sh = sh.persist()
     ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
 

@@ -38,7 +38,12 @@ def get_spark(
         # Small dimension tables (region/nation/centroids/query vectors)
         # should always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs driver+executors in ONE JVM. Keep the heap UNDER
+        # 32g: beyond that the JVM drops compressed oops and every pointer
+        # doubles — measured 10× slowdown (7s → 91s) on the string-array-
+        # heavy shingle joins at 48g. 16g is comfortable for 32 task
+        # threads at these scales and keeps compressed oops.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # events.parquet carries TIMESTAMP(NANOS) — read as long, convert in
         # operators.events.load_events (mirrors DuckDB's nanos→micros floor).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
