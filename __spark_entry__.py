@@ -23,7 +23,7 @@ from connapse_spark.operators.maintenance import (
     sync_delta,
     upsert_last_writer_wins,
 )
-from connapse_spark.operators import keyword_index, multimodal
+from connapse_spark.operators import keyword_index, multimodal, rag
 from connapse_spark.operators.ingest import ingest, ingest_stats
 from connapse_spark.operators.search import (
     SearchOptions,
@@ -464,6 +464,34 @@ def q_ingest_stats(spark, sf_dir):
     return ingest_stats(chunks, vectors)
 
 
+def q_rag_answer(spark, sf_dir):
+    """LLM answer stage (ILlmProvider surface, §2.9): deterministic hit set →
+    prompt assembly → fake-provider completion; fully oracle-checkable
+    because the fake provider is sha256-of-prompt."""
+    docs = _t(spark, sf_dir, "documents")
+    hits = docs.select(
+        F.concat(F.lit("q"), (F.col("doc_id") % 3).cast("string")).alias("query"),
+        F.substring("text", 1, 120).alias("content"),
+        ((F.col("doc_id") * 37 % 101).cast("double") / 100.0).alias("score"),
+    )
+    out = rag.rag_answer(hits, max_context=5)
+    return _long(
+        out.select(
+            "query", "n_context", F.length("prompt").alias("prompt_chars"), "answer"
+        ).orderBy("query"),
+        "n_context",
+        "prompt_chars",
+    )
+
+
+_SQL_RAG_HITS = """
+SELECT 'q' || CAST(doc_id % 3 AS VARCHAR) AS query,
+       substr(text, 1, 120) AS content,
+       CAST((doc_id * 37) % 101 AS DOUBLE) / 100.0 AS score
+FROM documents
+""".strip()
+
+
 def q_media_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs.filter(F.col("doc_id") % 2 == 0), "image").unionByName(
@@ -784,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_text": q_parse_text,
         "ingest_stats": q_ingest_stats,
         "media_stats": q_media_stats,
+        "rag_answer": q_rag_answer,
     }
 
 
@@ -838,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rerank": _sql_hybrid_rerank(),
         "parse_text": _sql_parse_text(),
         "media_stats": _SQL_MEDIA_STATS,
+        "rag_answer": rag.sql_rag_answer(_SQL_RAG_HITS, max_context=5),
     }
 
 

