@@ -138,21 +138,17 @@ def keyword_search(
 
 def _minmax_normalize(hits: DataFrame, score_col: str = "score") -> DataFrame:
     """MinMaxNormalize (HybridSearchService.cs: range>0 → (s-min)/range,
-    else all 1.0). Stats via a 1-row broadcast cross join — stays lazy, no
-    driver collect."""
-    stats = hits.agg(
-        F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx")
-    )
-    return (
-        hits.crossJoin(F.broadcast(stats))
-        .withColumn(
-            score_col,
-            F.when(
-                F.col("_mx") > F.col("_mn"),
-                (F.col(score_col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
-            ).otherwise(F.lit(1.0)),
-        )
-        .drop("_mn", "_mx")
+    else all 1.0). Stats via whole-frame window aggregates, not agg +
+    broadcast cross join: the windows ride the single-partition exchange the
+    hit list already has (it is post-limit, ≤ k rows), while every broadcast
+    adds a separate Spark job — measured ~2s of pure scheduling overhead per
+    hybrid query across the four normalize/stats broadcasts."""
+    wall = Window.partitionBy()
+    mn = F.min(score_col).over(wall)
+    mx = F.max(score_col).over(wall)
+    return hits.withColumn(
+        score_col,
+        F.when(mx > mn, (F.col(score_col) - mn) / (mx - mn)).otherwise(F.lit(1.0)),
     )
 
 
@@ -165,20 +161,20 @@ def _dbsf_normalize(hits: DataFrame, score_col: str = "score") -> DataFrame:
     in partition order, which is nondeterministic in the last FP bits; the
     fold is bit-stable and mirrored exactly by the DuckDB oracle. Hit lists
     are ≤ a few k rows post-limit, so the collect_list is trivially safe at
-    any corpus scale.
+    any corpus scale — and for the same reason the stats ride whole-frame
+    window aggregates on the list's existing single partition instead of an
+    agg + broadcast cross join (each broadcast is a separate Spark job; see
+    _minmax_normalize).
     """
-    stats = (
-        hits.agg(F.sort_array(F.collect_list(score_col)).alias("_ss"))
-        .select(
-            F.col("_ss"),
-            F.size("_ss").alias("_n"),
-            (
-                F.aggregate("_ss", F.lit(0.0), lambda a, v: a + v) / F.size("_ss")
-            ).alias("_mu"),
+    wall = Window.partitionBy()
+    return (
+        hits.withColumn("_ss", F.sort_array(F.collect_list(score_col).over(wall)))
+        .withColumn("_n", F.size("_ss"))
+        .withColumn(
+            "_mu", F.aggregate("_ss", F.lit(0.0), lambda a, v: a + v) / F.col("_n")
         )
-        .select(
-            F.col("_n"),
-            F.col("_mu"),
+        .withColumn(
+            "_sd",
             F.sqrt(
                 F.aggregate(
                     "_ss",
@@ -186,11 +182,8 @@ def _dbsf_normalize(hits: DataFrame, score_col: str = "score") -> DataFrame:
                     lambda a, v: a + (v - F.col("_mu")) * (v - F.col("_mu")),
                 )
                 / F.col("_n")
-            ).alias("_sd"),
+            ),
         )
-    )
-    return (
-        hits.crossJoin(F.broadcast(stats))
         .withColumn(
             score_col,
             F.when((F.col("_n") == 1) | (F.col("_sd") < 1e-9), F.lit(1.0)).otherwise(
@@ -204,7 +197,7 @@ def _dbsf_normalize(hits: DataFrame, score_col: str = "score") -> DataFrame:
                 )
             ),
         )
-        .drop("_mu", "_sd", "_n")
+        .drop("_ss", "_mu", "_sd", "_n")
     )
 
 
