@@ -464,6 +464,12 @@ def q_ingest_stats(spark, sf_dir):
     return ingest_stats(chunks, vectors)
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash banded near-dup pairs (pigeonhole bands + bit_count verify)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _long(dedup.simhash_neardup_pairs(docs, max_hamming=3), "hamming")
+
+
 def q_rag_answer(spark, sf_dir):
     """LLM answer stage (ILlmProvider surface, §2.9): deterministic hit set →
     prompt assembly → fake-provider completion; fully oracle-checkable
@@ -813,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_stats": q_ingest_stats,
         "media_stats": q_media_stats,
         "rag_answer": q_rag_answer,
+        "simhash_pairs": q_simhash_pairs,
     }
 
 
@@ -868,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_text": _sql_parse_text(),
         "media_stats": _SQL_MEDIA_STATS,
         "rag_answer": rag.sql_rag_answer(_SQL_RAG_HITS, max_context=5),
+        "simhash_pairs": dedup.sql_simhash_neardup_pairs(max_hamming=3),
     }
 
 

@@ -463,6 +463,13 @@ def _sql_simhash_from_th(th: str, bits: int = SIMHASH_BITS) -> str:
     )
 
 
+def _simhash_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    th = F.transform(tokens_exact_expr(F.col(text_col)), lambda t: _sha_bigint(t))
+    return docs.select(F.col(id_col), th.alias("_th")).select(
+        F.col(id_col), simhash_from_hashes_expr(F.col("_th")).alias("simhash")
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -470,12 +477,100 @@ def simhash_fingerprints(
     32-bit scan reuses it instead of re-hashing per bit (sha256 once per
     token; Catalyst keeps the projection because the reference is non-cheap
     and multiply-used)."""
-    th = F.transform(tokens_exact_expr(F.col(text_col)), lambda t: _sha_bigint(t))
-    return (
-        docs.select(F.col(id_col), th.alias("_th"))
-        .select(F.col(id_col), simhash_from_hashes_expr(F.col("_th")).alias("simhash"))
-        .orderBy(id_col)
+    return _simhash_df(docs, id_col, text_col).orderBy(id_col)
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: fingerprints → ``max_hamming + 1`` bit bands
+    (pigeonhole: two hashes within Hamming distance d differ in at most d
+    bands, so they MUST agree on at least one — exact, no false negatives)
+    → candidate self-join on (band, value) → verify with
+    ``bit_count(a XOR b) ≤ d``. The verification is integer-only, so unlike
+    minhash this family never touches the token arrays past the fingerprint.
+
+    Output: (id_a, id_b, hamming), the Hamming distance between fingerprints.
+
+    Scale: band selectivity is 2^(bits/(d+1)) per bucket; at corpus scale
+    raise SIMHASH_BITS to 64 so buckets stay sparse — the plan shape is
+    unchanged (the candidate join shuffles on (band, val) only).
+    """
+    nb = max_hamming + 1
+    width = SIMHASH_BITS // nb
+    mask = (1 << width) - 1
+    # persisted: both sides of the self-join share this lineage, and the
+    # fingerprint is sha256-per-token — the expensive half of the operator
+    fp = _simhash_df(docs, id_col, text_col).persist()
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for b in range(nb)
+        ]
     )
+    banded = fp.select(
+        F.col(id_col).alias("id"), "simhash", F.explode(band_keys).alias("bk")
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def sql_simhash_neardup_pairs(
+    max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    nb = max_hamming + 1
+    width = SIMHASH_BITS // nb
+    mask = (1 << width) - 1
+    toks = sql_tokens_exact(text_col)
+    th = f"list_transform({toks}, t -> {sql_sha_bigint('t')})"
+    return f"""
+WITH hashed AS MATERIALIZED (
+  SELECT {id_col} AS id, {th} AS th FROM documents
+),
+fp AS MATERIALIZED (
+  SELECT id, {_sql_simhash_from_th('th')} AS simhash FROM hashed
+),
+banded AS MATERIALIZED (
+  SELECT id, simhash, b.band AS band, (simhash >> (b.band * {width})) & {mask} AS val
+  FROM fp, (SELECT unnest(range(0, {nb})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.val = b.val AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+ORDER BY id_a, id_b
+""".strip()
 
 
 def sql_simhash_fingerprints(id_col: str = "doc_id", text_col: str = "text") -> str:
