@@ -15,7 +15,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from connapse_spark.functions.vector import cosine_expr, sql_cosine, to_double_array
+from connapse_spark.functions.vector import (
+    array_digest_cols,
+    cosine_expr,
+    sql_array_digest,
+    sql_cosine,
+    to_double_array,
+)
 from connapse_spark.operators import analytics, chunking, dedup, events, similarity, textstats
 from connapse_spark.operators.embedding import cache_misses
 from connapse_spark.operators.maintenance import (
@@ -175,7 +181,13 @@ WHERE score >= 0.0 ORDER BY score DESC, id LIMIT 10
 
 
 def q_mean_pool(spark, sf_dir):
+    """E3 mean-pool; the centroid array is projected to its scalar digest so
+    the driver's sort-based canonicalizer never sees a list cell (the full
+    array stays in the operator API, similarity.mean_pool_by)."""
     df = similarity.mean_pool_by(_t(spark, sf_dir, "embeddings"))
+    df = df.select(
+        "label", "n_vectors", *array_digest_cols(F.col("centroid"), "centroid")
+    ).orderBy("label")
     return _long(df, "n_vectors")
 
 
@@ -259,9 +271,9 @@ def q_embed_cached(spark, sf_dir):
         .withColumn("model_id", F.lit("hash-64"))
     )
     out = embed_chunks(chunks, existing_vectors=cache)
-    return _long(
-        out.select("chunk_id", "content_hash", "embedding").orderBy("chunk_id"),
-    )
+    return out.select(
+        "chunk_id", "content_hash", *array_digest_cols(F.col("embedding"), "emb")
+    ).orderBy("chunk_id")
 
 
 def _sql_embed_cached() -> str:
@@ -278,11 +290,14 @@ cache AS (
          list_transform(range(0, 64), x -> -1.0) AS cached_emb
   FROM ({inner}) WHERE document_id % 7 = 0 AND document_id % 2 = 0
 ),
-hashed AS (SELECT chunk_id, content, sha256(content) AS content_hash FROM all_chunks)
-SELECT chunk_id, h.content_hash,
-       coalesce(cached_emb, {sql_embed('content')}) AS embedding
-FROM hashed h LEFT JOIN cache c ON h.content_hash = c.content_hash
-ORDER BY chunk_id
+hashed AS (SELECT chunk_id, content, sha256(content) AS content_hash FROM all_chunks),
+with_emb AS (
+  SELECT chunk_id, h.content_hash,
+         coalesce(cached_emb, {sql_embed('content')}) AS embedding
+  FROM hashed h LEFT JOIN cache c ON h.content_hash = c.content_hash
+)
+SELECT chunk_id, content_hash, {sql_array_digest('embedding', 'emb')}
+FROM with_emb ORDER BY chunk_id
 """.strip()
 
 
@@ -330,20 +345,25 @@ def q_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def q_chunk_semantic(spark, sf_dir):
+def _chunk_semantic(spark, sf_dir, method):
+    """C3 semantic chunks; the mean-pooled window embedding is projected to
+    its scalar digest for the driver canonicalizer (array API unchanged)."""
     from connapse_spark.operators.semantic_chunking import semantic_chunks
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    df = semantic_chunks(docs, method="Percentile")
+    df = semantic_chunks(docs, method=method).select(
+        "document_id", "chunk_index", "content", "n_sentences", "token_count",
+        *array_digest_cols(F.col("embedding"), "emb"),
+    )
     return _long(df, "chunk_index", "n_sentences", "token_count")
+
+
+def q_chunk_semantic(spark, sf_dir):
+    return _chunk_semantic(spark, sf_dir, "Percentile")
 
 
 def q_chunk_semantic_stddev(spark, sf_dir):
-    from connapse_spark.operators.semantic_chunking import semantic_chunks
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    df = semantic_chunks(docs, method="StandardDeviation")
-    return _long(df, "chunk_index", "n_sentences", "token_count")
+    return _chunk_semantic(spark, sf_dir, "StandardDeviation")
 
 
 def q_chunk_fixed_char(spark, sf_dir):
@@ -836,7 +856,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hybrid_minscore": oracle.hybrid_sql(SEARCH_QUERY, min_score=0.3, stored_vectors=True),
         "semantic_topk": _sql_semantic_topk(),
-        "mean_pool": similarity.sql_mean_pool_by(),
+        "mean_pool": (
+            f"SELECT label, n_vectors, {sql_array_digest('centroid', 'centroid')} "
+            f"FROM ({similarity.sql_mean_pool_by()}) ORDER BY label"
+        ),
         "knn_join": similarity.sql_knn_join(),
         "neardup_cosine": similarity.sql_neardup_cosine_pairs(threshold=0.5),
         "neardup_cosine_lsh": similarity.sql_neardup_cosine_pairs_lsh(threshold=0.3, n_planes=4),
@@ -882,9 +905,15 @@ def oracle_sql() -> dict[str, str]:
 def _sql_chunk_semantic(method):
     from connapse_spark.operators.semantic_chunking import sql_semantic_chunks
 
-    return sql_semantic_chunks(
+    inner = sql_semantic_chunks(
         method=method, table="(SELECT * FROM documents WHERE doc_id % 5 = 0)"
     )
+    return f"""
+SELECT document_id, chunk_index, content, n_sentences, token_count,
+       {sql_array_digest('embedding', 'emb')}
+FROM ({inner})
+ORDER BY document_id, chunk_index
+""".strip()
 
 
 def _embed_query():

@@ -71,3 +71,33 @@ def sql_cosine(a: str, b: str) -> str:
         f"CASE WHEN {sql_norm(a)} > 0.0 AND {sql_norm(b)} > 0.0 "
         f"THEN {sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}) ELSE 0.0 END"
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar digest of an array column — for harnesses that canonicalize every
+# output column with a sort and therefore can't handle list cells. The five
+# scalars (dim / left-fold sum / l2 norm / min / max) pin the array's values
+# without string-formatting floats (printf rounding differs across engines);
+# both sides use the same fold order, so the doubles are bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def array_digest_cols(arr: Column, prefix: str) -> list[Column]:
+    return [
+        F.size(arr).cast("long").alias(f"{prefix}_dim"),
+        F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v).alias(f"{prefix}_sum"),
+        l2norm_expr(arr).alias(f"{prefix}_norm"),
+        F.array_min(arr).alias(f"{prefix}_min"),
+        F.array_max(arr).alias(f"{prefix}_max"),
+    ]
+
+
+def sql_array_digest(c: str, prefix: str) -> str:
+    """DuckDB projection fragment mirroring :func:`array_digest_cols`."""
+    return (
+        f"len({c}) AS {prefix}_dim, "
+        f"list_reduce(list_prepend(0.0, {c}), (acc, v) -> acc + v) AS {prefix}_sum, "
+        f"{sql_norm(c)} AS {prefix}_norm, "
+        f"list_min({c}) AS {prefix}_min, "
+        f"list_max({c}) AS {prefix}_max"
+    )
