@@ -366,6 +366,10 @@ def q_chunk_semantic_stddev(spark, sf_dir):
     return _chunk_semantic(spark, sf_dir, "StandardDeviation")
 
 
+def q_chunk_semantic_gradient(spark, sf_dir):
+    return _chunk_semantic(spark, sf_dir, "Gradient")
+
+
 def q_chunk_fixed_char(spark, sf_dir):
     df = chunking.chunk_fixed_char(_t(spark, sf_dir, "documents"))
     return _long(df, "chunk_index", "start_offset", "end_offset")
@@ -817,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "chunk_semantic": q_chunk_semantic,
         "chunk_semantic_stddev": q_chunk_semantic_stddev,
+        "chunk_semantic_gradient": q_chunk_semantic_gradient,
         "chunk_fixed_char": q_chunk_fixed_char,
         "chunk_token_window": q_chunk_token_window,
         "corpus_stats": q_corpus_stats,
@@ -876,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": textstats.sql_fingerprint() + " ORDER BY doc_id",
         "chunk_semantic": _sql_chunk_semantic("Percentile"),
         "chunk_semantic_stddev": _sql_chunk_semantic("StandardDeviation"),
+        "chunk_semantic_gradient": _sql_chunk_semantic("Gradient"),
         "chunk_fixed_char": chunking.sql_chunk_fixed_char(),
         "chunk_token_window": chunking.sql_chunk_token_window(),
         "corpus_stats": analytics.sql_corpus_stats() + " ORDER BY source",

@@ -17,6 +17,7 @@ end_offset, metadata (str→str).
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -34,7 +35,9 @@ class ChunkingSettings:
     semantic_threshold: float = 0.5
     semantic_buffer_size: int = 1
     breakpoint_method: str = "Percentile"  # StandardDeviation | InterQuartile | Gradient
-    breakpoint_value: float = 95.0
+    # None → per-method default (Percentile/Gradient 95, StdDev 3, IQR 1.5 —
+    # SettingsModels.cs:128-134's documented per-method semantics)
+    breakpoint_value: float | None = None
     strategy: str = "Recursive"
 
 
@@ -458,6 +461,257 @@ def chunk_document_aware(text: str, s: ChunkingSettings | None = None) -> list[d
 
 
 # ---------------------------------------------------------------------------
+# C3 — SemanticChunker, per-document tier (SemanticChunker.cs:26-283)
+#
+# The native-DataFrame pipeline (operators/semantic_chunking.py) is the
+# corpus-scale path and carries the PrecomputedEmbedding column; this tier is
+# the faithful sequential core behind the C7 strategy router — oversize
+# groups re-delegate to chunk_recursive (SemanticChunker.cs:173-205) and
+# sub-min chunks merge forward (SemanticChunker.cs:435-489), neither of
+# which is worth a window-function contortion at per-document size.
+# ---------------------------------------------------------------------------
+
+_BP_AMOUNT_DEFAULTS = {
+    "Percentile": 95.0,
+    "Gradient": 95.0,
+    "StandardDeviation": 3.0,
+    "InterQuartile": 1.5,
+}
+
+
+def _percentile(sorted_vals: list[float], p: float) -> float:
+    """Linear-interpolated percentile over an ascending list
+    (SemanticChunker.cs:413-424)."""
+    if not sorted_vals:
+        return 0.0
+    if p <= 0:
+        return sorted_vals[0]
+    if p >= 100:
+        return sorted_vals[-1]
+    rank = p / 100.0 * (len(sorted_vals) - 1)
+    lower = math.floor(rank)
+    upper = math.ceil(rank)
+    if lower == upper:
+        return sorted_vals[lower]
+    frac = rank - lower
+    return sorted_vals[lower] * (1 - frac) + sorted_vals[upper] * frac
+
+
+def breakpoint_threshold(
+    distances: list[float], method: str, amount: float | None = None
+) -> tuple[float, list[float]]:
+    """(threshold, breakpoint_array) per SemanticChunker.cs:358-411. For
+    Gradient the returned array is the forward/central-difference gradient
+    series — the splits loop must iterate THAT array (same units as the
+    threshold), not the distances (the reference's documented regression)."""
+    method = (method or "Percentile").strip()
+    if amount is None:
+        amount = _BP_AMOUNT_DEFAULTS.get(method, 95.0)
+    if not distances:
+        return 0.0, distances
+    if method == "StandardDeviation":
+        mean = sum(distances) / len(distances)
+        std = math.sqrt(sum((d - mean) ** 2 for d in distances) / len(distances))
+        return mean + amount * std, distances
+    if method == "InterQuartile":
+        srt = sorted(distances)
+        mean = sum(srt) / len(srt)
+        q1, q3 = _percentile(srt, 25), _percentile(srt, 75)
+        return mean + amount * (q3 - q1), distances
+    if method == "Gradient":
+        if len(distances) < 2:
+            return 0.0, distances
+        grad = [0.0] * len(distances)
+        grad[0] = distances[1] - distances[0]
+        grad[-1] = distances[-1] - distances[-2]
+        for i in range(1, len(distances) - 1):
+            grad[i] = (distances[i + 1] - distances[i - 1]) / 2.0
+        return _percentile(sorted(grad), amount), grad
+    srt = sorted(distances)
+    return _percentile(srt, amount), distances
+
+
+def _cosine(a: list[float], b: list[float]) -> float:
+    dot = mag_a = mag_b = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        mag_a += x * x
+        mag_b += y * y
+    if mag_a == 0.0 or mag_b == 0.0:
+        return 0.0
+    return dot / (math.sqrt(mag_a) * math.sqrt(mag_b))
+
+
+def _mean_pool_py(embs: list[list[float]], start: int, end: int) -> list[float]:
+    count = end - start
+    dims = len(embs[start])
+    out = [0.0] * dims
+    for i in range(start, end):
+        for d in range(dims):
+            out[d] += embs[i][d]
+    return [v / count for v in out]
+
+
+def chunk_semantic(
+    text: str, s: ChunkingSettings | None = None, embedder=None
+) -> list[dict]:
+    """Semantic boundary chunking (SemanticChunker.cs:26-283): sentences →
+    ±buffer context windows → batch embed → adjacent-pair cosine distances →
+    adaptive breakpoint threshold (4 methods) → split → oversize groups
+    re-delegated to chunk_recursive → merge-forward of sub-min chunks.
+    ``embedder`` maps list[str] → list[list[float]]; defaults to the
+    deterministic hash embedder."""
+    s = s or ChunkingSettings()
+    if not text or not text.strip():
+        return []
+    sentences = [t[0].strip() for t in split_sentences(text) if t[0].strip()]
+    if not sentences:
+        return []
+    if len(sentences) == 1:
+        sent = sentences[0]
+        return [_mk(sent, 0, 0, len(sent), "Semantic")]
+
+    if embedder is None:
+        from connapse_spark.functions.embed import embed_py
+
+        embedder = lambda texts: [embed_py(t) for t in texts]  # noqa: E731
+
+    buffer = max(0, s.semantic_buffer_size)
+    combined = [
+        " ".join(sentences[max(0, i - buffer) : min(len(sentences), i + buffer + 1)])
+        for i in range(len(sentences))
+    ]
+    embeddings = embedder(combined)
+    distances = [
+        1.0 - _cosine(embeddings[i], embeddings[i + 1]) for i in range(len(embeddings) - 1)
+    ]
+    if not distances:
+        content = text.strip()
+        return [_mk(content, 0, 0, len(text), "Semantic")]
+
+    # < 5 distances → fall back to the configured similarity threshold,
+    # converted to distance units (SemanticChunker.cs:107-128)
+    effective_threshold = 1.0 - s.semantic_threshold
+    bp_array = distances
+    if len(distances) >= 5:
+        effective_threshold, bp_array = breakpoint_threshold(
+            distances, s.breakpoint_method, s.breakpoint_value
+        )
+
+    split_indices = [0]
+    split_indices += [i + 1 for i, v in enumerate(bp_array) if v > effective_threshold]
+    split_indices.append(len(sentences))
+
+    # raw chunks with IndexOf-style offset hint (SemanticChunker.cs:141-222);
+    # fields: (text, offset, tokens, embedding|None, offset_estimated)
+    raw: list[tuple[str, int, int, list[float] | None, bool]] = []
+    prev_start = prev_len = 0
+    for i in range(len(split_indices) - 1):
+        start, end = split_indices[i], split_indices[i + 1]
+        chunk_text = " ".join(sentences[start:end])
+        tokens = count_tokens(chunk_text)
+        hint = max(0, prev_start + prev_len - min(prev_len, 256))
+        start_offset = text.find(chunk_text, hint)
+        offset_exact = start_offset >= 0
+        if not offset_exact:
+            start_offset = min(hint, max(0, len(text) - len(chunk_text)))
+        if tokens > s.max_chunk_size:
+            # oversize semantic group → hierarchical sub-split; sub-chunks have
+            # no clean sentence-embedding mapping, so no precomputed embedding
+            for sub in chunk_recursive(chunk_text, s):
+                sub_len = sub["end_offset"] - sub["start_offset"]
+                abs_start = start_offset + sub["start_offset"]
+                if abs_start < 0 or abs_start >= len(text):
+                    continue
+                sub_len = min(sub_len, len(text) - abs_start)
+                if sub_len <= 0:
+                    continue
+                raw.append(
+                    (
+                        text[abs_start : abs_start + sub_len],
+                        abs_start,
+                        sub["token_count"],
+                        None,
+                        not offset_exact,
+                    )
+                )
+        else:
+            raw.append(
+                (
+                    chunk_text,
+                    start_offset,
+                    tokens,
+                    _mean_pool_py(embeddings, start, end),
+                    not offset_exact,
+                )
+            )
+        prev_start, prev_len = start_offset, len(chunk_text)
+
+    merged = _merge_forward_small(raw, s.min_chunk_size, text)
+    if not merged:
+        content = text.strip()
+        return [_mk(content, 0, 0, len(text), "Semantic")]
+
+    chunks: list[dict] = []
+    for ctext, offset, tokens, _emb, estimated in merged:
+        trimmed = ctext.strip()
+        if not trimmed:
+            continue
+        meta = {"ChunkingStrategy": "Semantic", "ChunkIndex": str(len(chunks))}
+        if estimated:
+            meta["OffsetEstimated"] = "true"
+        chunks.append(
+            {
+                "content": trimmed,
+                "chunk_index": len(chunks),
+                "token_count": tokens,
+                "start_offset": offset,
+                "end_offset": offset + len(ctext),
+                "metadata": meta,
+            }
+        )
+    return chunks
+
+
+def _merge_forward_small(
+    raw: list[tuple[str, int, int, list[float] | None, bool]],
+    min_tokens: int,
+    content: str,
+) -> list[tuple[str, int, int, list[float] | None, bool]]:
+    """Sub-min chunks merge into the preceding chunk (first merges into the
+    following); the merged span re-slices the source so separators are
+    preserved, and drops the precomputed embedding
+    (SemanticChunker.cs:435-489)."""
+    if len(raw) <= 1 or min_tokens <= 0:
+        return raw
+
+    def merge(a, b):
+        a_text, a_off, _a_tok, _a_emb, a_est = a
+        b_text, b_off, _b_tok, _b_emb, b_est = b
+        slice_len = b_off + len(b_text) - a_off
+        slice_valid = a_off >= 0 and slice_len > 0 and a_off + slice_len <= len(content)
+        merged_text = content[a_off : a_off + slice_len] if slice_valid else a_text + " " + b_text
+        return (
+            merged_text,
+            a_off,
+            count_tokens(merged_text),
+            None,
+            a_est or b_est or not slice_valid,
+        )
+
+    out: list[tuple[str, int, int, list[float] | None, bool]] = []
+    for c in raw:
+        if c[2] >= min_tokens or not out:
+            out.append(c)
+        else:
+            out[-1] = merge(out[-1], c)
+    if len(out) >= 2 and out[0][2] < min_tokens:
+        out[1] = merge(out[0], out[1])
+        out.pop(0)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # C7 — strategy router (IngestionPipeline.cs:520-533,466-487)
 # ---------------------------------------------------------------------------
 
@@ -467,6 +721,7 @@ STRATEGIES = {
     "SentenceWindow": chunk_sentence_window,
     "SentenceAwareFixedSize": chunk_sentence_aware,
     "DocumentAware": chunk_document_aware,
+    "Semantic": chunk_semantic,
 }
 
 _MD_EXTS = {".md", ".markdown", ".mdx"}

@@ -22,12 +22,18 @@ one aggregation; embeddings are computed once per sentence row in a linear
 plan (threshold statistics come from whole-partition window aggregates, not
 self-joins — see auto_cut for why diamonds are poison).
 
+All 4 breakpoint methods are supported (Percentile / StandardDeviation /
+InterQuartile / Gradient — for Gradient both the threshold and the splits
+loop operate on the forward/central-difference series, in gradient units,
+SemanticChunker.cs:358-411).
+
 Documented simplifications vs the reference (declared per SURVEY §7):
 oversize groups are NOT re-delegated to RecursiveChunker and small chunks
-are not merged forward (both live in the per-document UDF tier,
-operators/chunkers.py, where sequential logic belongs); sentence splitting
-is the regex '[^.!?]+[.!?]*' (RE2-safe — no lookbehind — so Spark and
-DuckDB split identically); token counts are whitespace counts.
+are not merged forward in THIS tier (both are implemented in the
+per-document UDF tier, chunkers.chunk_semantic — registered as 'Semantic'
+in the C7 strategy router — where sequential logic belongs); sentence
+splitting is the regex '[^.!?]+[.!?]*' (RE2-safe — no lookbehind — so Spark
+and DuckDB split identically); token counts are whitespace counts.
 """
 
 from __future__ import annotations
@@ -74,7 +80,9 @@ def _threshold_expr(ss: Column, n: Column, method: str, fallback: float) -> Colu
             F.element_at(ss, nxt) - F.element_at(ss, lo + 1)
         )
 
-    if method == "Percentile":
+    if method in ("Percentile", "Gradient"):
+        # for Gradient the caller passes the SORTED GRADIENT series as ``ss``
+        # (SemanticChunker.cs:388-402) — same 95th-percentile interpolation
         thr = q(0.95)
     elif method == "StandardDeviation":
         mu = F.aggregate(ss, F.lit(0.0), lambda a, v: a + v) / n
@@ -97,7 +105,7 @@ def _sql_threshold(ss: str, n: str, method: str, fallback: float) -> str:
         nxt = f"least({lo} + 2, {n})"
         return f"({ss}[{lo} + 1] + {frac} * ({ss}[{nxt}] - {ss}[{lo} + 1]))"
 
-    if method == "Percentile":
+    if method in ("Percentile", "Gradient"):
         thr = q(0.95)
     elif method == "StandardDeviation":
         mu = f"(list_reduce(list_prepend(0.0, {ss}), (a, v) -> a + v) / {n})"
@@ -145,19 +153,39 @@ def semantic_chunks(
             F.lit(1.0) - cosine_expr(F.col("_prev"), F.col("emb"))
         ),
     )
+    # Gradient iterates the forward/central-difference series of the
+    # distances, in gradient units (SemanticChunker.cs:388-402): grad[0] =
+    # d[1]-d[0], grad[m-1] = d[m-1]-d[m-2], else (d[i+1]-d[i-1])/2. Row idx j
+    # carries d[j-1], so first/last distance rows are idx==1 / idx==max(idx).
+    if method == "Gradient":
+        lead_d, lag_d = F.lead("dist").over(w), F.lag("dist").over(w)
+        step2 = step2.withColumn("_mi", F.max("idx").over(wall)).withColumn(
+            "_bp",
+            F.when(F.col("dist").isNull(), F.lit(None).cast("double"))
+            .when(F.col("idx") == 1, lead_d - F.col("dist"))
+            .when(F.col("idx") == F.col("_mi"), F.col("dist") - lag_d)
+            .otherwise((lead_d - lag_d) / F.lit(2.0)),
+        )
+    else:
+        step2 = step2.withColumn("_bp", F.col("dist"))
     # whole-partition stats as window aggregates — linear plan, no self-join
     step3 = (
         step2.withColumn(
-            "_ss", F.sort_array(F.filter(F.collect_list("dist").over(wall), lambda d: d.isNotNull()))
+            "_ss", F.sort_array(F.filter(F.collect_list("_bp").over(wall), lambda d: d.isNotNull()))
         )
         .withColumn("_n", F.size("_ss"))
         .withColumn("thr", _threshold_expr(F.col("_ss"), F.col("_n"), method, fallback))
     )
+    # under MIN_DISTANCES the fallback threshold is in DISTANCE units, so the
+    # comparison series falls back to distances too (SemanticChunker.cs:120-128)
+    cmp_col = (
+        F.when(F.col("_n") < MIN_DISTANCES, F.col("dist")).otherwise(F.col("_bp"))
+        if method == "Gradient"
+        else F.col("dist")
+    )
     step4 = step3.withColumn(
         "grp",
-        F.sum(
-            F.when(F.col("dist").isNotNull() & (F.col("dist") > F.col("thr")), 1).otherwise(0)
-        ).over(w),
+        F.sum(F.when(cmp_col.isNotNull() & (cmp_col > F.col("thr")), 1).otherwise(0)).over(w),
     )
     gathered = step4.groupBy("document_id", F.col("grp").alias("chunk_index")).agg(
         F.sort_array(F.collect_list(F.struct("idx", "sentence", "emb"))).alias("svs")
@@ -195,6 +223,17 @@ def sql_semantic_chunks(
 ) -> str:
     fallback = 1.0 - semantic_threshold
     thr = _sql_threshold("ss", "n", method, fallback)
+    wdoc = "PARTITION BY document_id ORDER BY idx"
+    if method == "Gradient":
+        bp = f"""CASE WHEN dist IS NULL THEN NULL
+              WHEN idx = 1 THEN lead(dist) OVER ({wdoc}) - dist
+              WHEN idx = max(idx) OVER (PARTITION BY document_id)
+                THEN dist - lag(dist) OVER ({wdoc})
+              ELSE (lead(dist) OVER ({wdoc}) - lag(dist) OVER ({wdoc})) / 2.0 END"""
+        cmp = f"CASE WHEN n < {MIN_DISTANCES} THEN dist ELSE bp END"
+    else:
+        bp = "dist"
+        cmp = "dist"
     return f"""
 WITH sents AS MATERIALIZED (
   SELECT document_id, unnest(range(1, len(sn) + 1)) - 1 AS idx, unnest(sn) AS sentence
@@ -222,15 +261,20 @@ dists AS (
               ELSE 1.0 - {sql_cosine("prev", "emb")} END AS dist
   FROM lagged
 ),
-stats AS (
+bps AS (
   SELECT document_id, idx, sentence, emb, dist,
-         list_sort(list_filter(list(dist) OVER (PARTITION BY document_id), d -> d IS NOT NULL)) AS ss,
-         len(list_filter(list(dist) OVER (PARTITION BY document_id), d -> d IS NOT NULL)) AS n
+         {bp} AS bp
   FROM dists
+),
+stats AS (
+  SELECT document_id, idx, sentence, emb, dist, bp,
+         list_sort(list_filter(list(bp) OVER (PARTITION BY document_id), d -> d IS NOT NULL)) AS ss,
+         len(list_filter(list(bp) OVER (PARTITION BY document_id), d -> d IS NOT NULL)) AS n
+  FROM bps
 ),
 grouped AS (
   SELECT document_id, idx, sentence, emb,
-         sum(CASE WHEN dist IS NOT NULL AND dist > ({thr}) THEN 1 ELSE 0 END)
+         sum(CASE WHEN ({cmp}) IS NOT NULL AND ({cmp}) > ({thr}) THEN 1 ELSE 0 END)
            OVER (PARTITION BY document_id ORDER BY idx) AS grp
   FROM stats
 ),

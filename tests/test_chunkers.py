@@ -3,13 +3,17 @@ test invariants (SURVEY.md §5): token budgets respected, offsets round-trip
 with the source, sequential indices, no content dropped (recursive), window
 metadata (sentence-window), breadcrumbs (document-aware)."""
 
+import math
+
 import pytest
 
 from connapse_spark.operators.chunkers import (
     ChunkingSettings,
+    breakpoint_threshold,
     chunk_document_aware,
     chunk_fixed_size,
     chunk_recursive,
+    chunk_semantic,
     chunk_sentence_aware,
     chunk_sentence_window,
     count_tokens,
@@ -150,3 +154,131 @@ def test_router_markdown_always_document_aware():
     assert resolve_strategy("Recursive", ".MDX") == "DocumentAware"
     assert resolve_strategy("Recursive", ".txt") == "Recursive"
     assert resolve_strategy("Bogus", ".txt") == "FixedSize"
+
+
+def test_router_semantic_routes_to_semantic():
+    # regression: 'Semantic' used to silently fall back to FixedSize
+    assert resolve_strategy("Semantic", ".txt") == "Semantic"
+
+
+# ---------------------------------------------------------------------------
+# C3 UDF tier — mirrors SemanticChunkerTests.cs invariants
+# ---------------------------------------------------------------------------
+
+
+def _fixed_embedder(vectors):
+    """Embedder stub returning explicit per-sentence vectors verbatim
+    (SemanticChunkerTests.cs SetupExplicitEmbeddings)."""
+
+    def fn(texts):
+        assert len(texts) == len(vectors), (len(texts), len(vectors))
+        return [list(v) for v in vectors]
+
+    return fn
+
+
+def test_semantic_empty_and_whitespace():
+    assert chunk_semantic("") == []
+    assert chunk_semantic("   \n  ") == []
+
+
+def test_semantic_single_sentence_skips_embedder():
+    def boom(texts):  # pragma: no cover - must not run
+        raise AssertionError("single sentence must not call the embedder")
+
+    chunks = chunk_semantic("One lonely sentence.", embedder=boom)
+    assert len(chunks) == 1
+    assert chunks[0]["content"] == "One lonely sentence."
+    assert chunks[0]["chunk_index"] == 0
+
+
+def test_semantic_min_size_merges_tiny_first_chunk():
+    # SemanticChunkerTests.cs ChunkAsync_MinChunkSizeFiltering_SkipsTinyChunks
+    content = (
+        "Hi. This is a significantly longer sentence that should exceed the "
+        "minimum chunk size threshold easily. "
+    )
+    emb = _fixed_embedder([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    s = ChunkingSettings(max_chunk_size=500, overlap=0, min_chunk_size=5)
+    chunks = chunk_semantic(content, s, embedder=emb)
+    assert chunks
+    assert all(c["token_count"] >= s.min_chunk_size for c in chunks)
+
+
+def test_semantic_all_below_min_merges_into_single_chunk():
+    # SemanticChunkerTests.cs ChunkAsync_AllChunksBelowMinSize_MergesIntoSingleChunk
+    content = "Apple. Banana. Cherry. "
+    emb = _fixed_embedder([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    s = ChunkingSettings(max_chunk_size=500, overlap=0, min_chunk_size=50)
+    chunks = chunk_semantic(content, s, embedder=emb)
+    assert len(chunks) == 1
+    for word in ("Apple", "Banana", "Cherry"):
+        assert word in chunks[0]["content"]
+    assert chunks[0]["chunk_index"] == 0
+
+
+def test_semantic_oversize_group_redelegates_to_recursive():
+    # SemanticChunker.cs:173-205 — one huge all-similar group sub-splits
+    # along structural boundaries, respecting the token budget
+    text = " ".join(f"Sentence number {i} has several words inside it." for i in range(40))
+    const = lambda texts: [[1.0, 0.0]] * len(texts)  # noqa: E731
+    s = ChunkingSettings(max_chunk_size=50, overlap=0, min_chunk_size=5)
+    chunks = chunk_semantic(text, s, embedder=const)
+    assert len(chunks) > 1
+    assert all(c["token_count"] <= s.max_chunk_size for c in chunks)
+    assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+
+
+def test_semantic_offsets_roundtrip_when_exact():
+    content = (
+        "First thought about apples here. Second thought about bridges there. "
+        "Third thought about circuits everywhere. Fourth idea about dragons. "
+        "Fifth idea about engines. Sixth idea about forests. Seventh idea about gears."
+    )
+    chunks = chunk_semantic(content, ChunkingSettings(max_chunk_size=500, min_chunk_size=1))
+    assert chunks
+    for c in chunks:
+        if c["metadata"].get("OffsetEstimated") != "true":
+            assert content[c["start_offset"] : c["end_offset"]].strip() == c["content"]
+
+
+def test_semantic_gradient_splits_at_gradient_peak_only():
+    # SemanticChunkerTests.cs ChunkAsync_BreakpointMethod_Gradient_SplitsAt
+    # GradientPeak_NotEveryHighDistance — 8 sentences on a unit circle with
+    # target distances [.01,.02,.03,.04,.40,.60,.62]: the gradient peaks
+    # uniquely at index 4, so exactly one split (sentences 1-5 | 6-8)
+    content = (
+        "Sentence one body. Sentence two body. Sentence three body. "
+        "Sentence four body. Sentence five body. Sentence six body. "
+        "Sentence seven body. Sentence eight body."
+    )
+    target = [0.01, 0.02, 0.03, 0.04, 0.40, 0.60, 0.62]
+    vecs = [[1.0, 0.0, 0.0]]
+    angle = 0.0
+    for d in target:
+        angle += math.acos(1.0 - d)
+        vecs.append([math.cos(angle), math.sin(angle), 0.0])
+    s = ChunkingSettings(
+        max_chunk_size=500, overlap=0, min_chunk_size=1, breakpoint_method="Gradient"
+    )
+    chunks = chunk_semantic(content, s, embedder=_fixed_embedder(vecs))
+    assert len(chunks) == 2, "one gradient peak must produce one split"
+    assert "Sentence one" in chunks[0]["content"] and "Sentence five" in chunks[0]["content"]
+    assert "Sentence six" in chunks[1]["content"] and "Sentence eight" in chunks[1]["content"]
+
+
+def test_breakpoint_threshold_methods():
+    dists = [0.01, 0.02, 0.03, 0.04, 0.40, 0.60, 0.62]
+    thr, arr = breakpoint_threshold(dists, "Percentile")
+    assert arr is dists and 0.60 < thr < 0.62
+    thr, arr = breakpoint_threshold(dists, "StandardDeviation")
+    mean = sum(dists) / len(dists)
+    assert arr is dists and thr > mean
+    thr, arr = breakpoint_threshold(dists, "InterQuartile")
+    assert arr is dists
+    thr, grad = breakpoint_threshold(dists, "Gradient")
+    assert len(grad) == len(dists)
+    assert grad[0] == pytest.approx(0.01)
+    assert grad[4] == pytest.approx(0.28)
+    assert grad[-1] == pytest.approx(0.02)
+    assert sum(1 for g in grad if g > thr) == 1
