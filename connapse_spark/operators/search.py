@@ -132,6 +132,237 @@ def keyword_search(
 
 
 # ---------------------------------------------------------------------------
+# Q3 — websearch query syntax (websearch_to_tsquery analogue)
+#
+# The reference feeds raw user input through Postgres websearch_to_tsquery
+# (KeywordSearchService.cs:73-91): unquoted words AND together, "quoted
+# text" is an adjacency phrase, a leading - negates, OR (any case) has the
+# lowest precedence. We parse once into an OR-list of AND-groups and emit
+# BOTH the Spark match/score expressions and the DuckDB mirror from that one
+# parse, over the same dual exact/stemmed token arrays as keyword_score_expr
+# (the 'simple' || 'english' double-config trick).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WebsearchTerm:
+    tokens: list[str]
+    negated: bool = False
+    phrase: bool = False  # adjacency required (quoted, or multi-token word)
+
+
+def parse_websearch(query: str) -> list[list[WebsearchTerm]]:
+    """Parse websearch syntax into OR-of-AND-groups. Hyphenated/compound
+    unquoted words tokenize to multi-token phrases, matching Postgres
+    treating 'fast-merge' as a phrase."""
+    items: list[tuple] = []
+    s = query or ""
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c.isspace():
+            i += 1
+            continue
+        neg = False
+        if c == "-":
+            neg = True
+            i += 1
+            c = s[i] if i < len(s) else ""
+        if c == '"':
+            j = s.find('"', i + 1)
+            if j < 0:
+                j = len(s)
+            words = tokenize_py(s[i + 1 : j])
+            i = j + 1
+            if words:
+                items.append(("term", words, neg, True))
+        else:
+            j = i
+            while j < len(s) and not s[j].isspace() and s[j] != '"':
+                j += 1
+            word = s[i:j]
+            i = j
+            if word.upper() == "OR" and not neg:
+                items.append(("or",))
+            else:
+                words = tokenize_py(word)
+                if words:
+                    items.append(("term", words, neg, len(words) > 1))
+    groups: list[list[WebsearchTerm]] = [[]]
+    for it in items:
+        if it[0] == "or":
+            if groups[-1]:
+                groups.append([])
+        else:
+            groups[-1].append(WebsearchTerm(tokens=it[1], negated=it[2], phrase=it[3]))
+    return [g for g in groups if g]
+
+
+def _phrase_occurrences(arr: Column, words: list[str]) -> Column:
+    """Count of adjacency matches of ``words`` in token array ``arr`` —
+    JVM-side: filter over candidate start positions comparing a slice."""
+    n = len(words)
+    target = F.array(*[F.lit(w) for w in words])
+    return F.when(
+        F.size(arr) >= n,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(arr) - F.lit(n - 1)),
+                lambda i: F.slice(arr, i, n) == target,
+            )
+        ),
+    ).otherwise(F.lit(0))
+
+
+def _sql_phrase_occurrences(arr: str, words: list[str]) -> str:
+    n = len(words)
+    target = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"len(list_filter(range(1, greatest(len({arr}) - {n - 1}, 0) + 1), "
+        f"i -> list_slice({arr}, i, i + {n - 1}) = {target}))"
+    )
+
+
+def _term_presence(te: Column, ts: Column, term: WebsearchTerm) -> Column:
+    """Either config matches (exact tokens OR stemmed tokens), like
+    ``@@ (websearch_to_tsquery('simple',q) || websearch_to_tsquery('english',q))``."""
+    stems = [stem_py(t) for t in term.tokens]
+    if term.phrase:
+        return (_phrase_occurrences(te, term.tokens) > 0) | (
+            _phrase_occurrences(ts, stems) > 0
+        )
+    return F.array_contains(te, term.tokens[0]) | F.array_contains(ts, stems[0])
+
+
+def _sql_term_presence(te: str, ts: str, term: WebsearchTerm) -> str:
+    stems = [stem_py(t) for t in term.tokens]
+    if term.phrase:
+        return (
+            f"({_sql_phrase_occurrences(te, term.tokens)} > 0 "
+            f"OR {_sql_phrase_occurrences(ts, stems)} > 0)"
+        )
+    return f"(list_contains({te}, '{term.tokens[0]}') OR list_contains({ts}, '{stems[0]}'))"
+
+
+def websearch_match_expr(te: Column, ts: Column, groups: list[list[WebsearchTerm]]) -> Column:
+    out = F.lit(False)
+    for g in groups:
+        cond = F.lit(True)
+        for term in g:
+            p = _term_presence(te, ts, term)
+            cond = cond & (~p if term.negated else p)
+        out = out | cond
+    return out
+
+
+def sql_websearch_match(te: str, ts: str, groups: list[list[WebsearchTerm]]) -> str:
+    ors = []
+    for g in groups:
+        ands = [
+            ("NOT " if term.negated else "") + _sql_term_presence(te, ts, term)
+            for term in g
+        ]
+        ors.append("(" + " AND ".join(ands) + ")")
+    return "(" + " OR ".join(ors) + ")" if ors else "FALSE"
+
+
+def _positive_terms(groups: list[list[WebsearchTerm]]):
+    singles = sorted({t.tokens[0] for g in groups for t in g if not t.negated and not t.phrase})
+    phrases_seen: dict[tuple, list[str]] = {}
+    for g in groups:
+        for t in g:
+            if not t.negated and t.phrase:
+                phrases_seen.setdefault(tuple(t.tokens), t.tokens)
+    return singles, [list(p) for p in sorted(phrases_seen)]
+
+
+def websearch_score_expr(te: Column, ts: Column, groups: list[list[WebsearchTerm]]) -> Column:
+    """TF scoring over positive terms only (same documented ts_rank_cd(…,32)
+    simplification as keyword_score_expr): singles count per-config with
+    weights A/B; a phrase occurrence counts len(phrase) tokens."""
+    singles, phrases = _positive_terms(groups)
+    raw = F.lit(0.0)
+    if singles:
+        stems = sorted({stem_py(t) for t in singles})
+        raw = raw + F.lit(WEIGHT_EXACT) * F.size(F.filter(te, lambda t: t.isin(*singles)))
+        raw = raw + F.lit(WEIGHT_STEMMED) * F.size(F.filter(ts, lambda t: t.isin(*stems)))
+    for ph in phrases:
+        stems = [stem_py(t) for t in ph]
+        raw = raw + F.lit(float(len(ph))) * (
+            F.lit(WEIGHT_EXACT) * _phrase_occurrences(te, ph)
+            + F.lit(WEIGHT_STEMMED) * _phrase_occurrences(ts, stems)
+        )
+    return raw / (raw + F.lit(1.0))
+
+
+def sql_websearch_score(te: str, ts: str, groups: list[list[WebsearchTerm]]) -> str:
+    singles, phrases = _positive_terms(groups)
+    parts = ["0.0"]
+    if singles:
+        stems = sorted({stem_py(t) for t in singles})
+        s_in = ", ".join(f"'{t}'" for t in singles)
+        st_in = ", ".join(f"'{t}'" for t in stems)
+        parts.append(f"{WEIGHT_EXACT} * len(list_filter({te}, t -> t IN ({s_in})))")
+        parts.append(f"{WEIGHT_STEMMED} * len(list_filter({ts}, t -> t IN ({st_in})))")
+    for ph in phrases:
+        stems = [stem_py(t) for t in ph]
+        parts.append(
+            f"{float(len(ph))} * ({WEIGHT_EXACT} * {_sql_phrase_occurrences(te, ph)} "
+            f"+ {WEIGHT_STEMMED} * {_sql_phrase_occurrences(ts, stems)})"
+        )
+    raw = "(" + " + ".join(parts) + ")"
+    return f"({raw} / ({raw} + 1.0))"
+
+
+def keyword_search_websearch(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Q3 with full websearch syntax. Token arrays are computed once in a
+    projection and shared by the match filter and the scorer — one map-side
+    pass per row, no shuffle before the top-k."""
+    groups = parse_websearch(query)
+    df = docs if predicate is None else docs.filter(predicate)
+    if not groups:
+        return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    toks = df.select(
+        F.col(id_col),
+        tokens_exact_expr(F.col(text_col)).alias("_te"),
+        tokens_stemmed_expr(F.col(text_col)).alias("_ts"),
+    )
+    te, ts = F.col("_te"), F.col("_ts")
+    return (
+        toks.filter(websearch_match_expr(te, ts, groups))
+        .select(F.col(id_col), websearch_score_expr(te, ts, groups).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sql_keyword_websearch(
+    query: str, k: int = 10, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    from connapse_spark.functions.text import sql_tokens_exact, sql_tokens_stemmed
+
+    groups = parse_websearch(query)
+    if not groups:
+        return f"SELECT {id_col}, 0.0 AS score FROM {table} WHERE FALSE"
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {sql_tokens_exact(text_col)} AS te, {sql_tokens_stemmed(text_col)} AS ts
+  FROM {table}
+)
+SELECT {id_col}, {sql_websearch_score('te', 'ts', groups)} AS score
+FROM toks WHERE {sql_websearch_match('te', 'ts', groups)}
+ORDER BY score DESC, {id_col} LIMIT {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # Q5/Q6 — fusion
 # ---------------------------------------------------------------------------
 

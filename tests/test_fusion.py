@@ -79,3 +79,59 @@ def test_autocut_never_cuts_three_or_fewer(spark):
     hits = _hits(spark, [("a", 0.9), ("b", 0.2), ("c", 0.1)])
     out = auto_cut(hits).collect()
     assert len(out) == 3
+
+
+# ---------------------------------------------------------------------------
+# Q3 websearch query parsing (websearch_to_tsquery analogue)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_websearch_phrase_negation_or():
+    from connapse_spark.operators.search import parse_websearch
+
+    groups = parse_websearch('"table scan" fast -merge OR "fast merge"')
+    assert len(groups) == 2
+    g1, g2 = groups
+    assert [t.tokens for t in g1] == [["table", "scan"], ["fast"], ["merge"]]
+    assert [t.negated for t in g1] == [False, False, True]
+    assert [t.phrase for t in g1] == [True, False, False]
+    assert len(g2) == 1 and g2[0].tokens == ["fast", "merge"] and g2[0].phrase
+
+
+def test_parse_websearch_hyphen_compound_is_phrase():
+    from connapse_spark.operators.search import parse_websearch
+
+    groups = parse_websearch("fast-merge")
+    assert groups == [groups[0]]
+    assert groups[0][0].tokens == ["fast", "merge"] and groups[0][0].phrase
+
+
+def test_parse_websearch_negated_phrase_and_lone_or():
+    from connapse_spark.operators.search import parse_websearch
+
+    groups = parse_websearch('-"bad phrase" good')
+    (g,) = groups
+    assert g[0].negated and g[0].phrase and g[0].tokens == ["bad", "phrase"]
+    # leading/trailing OR collapses, case-insensitive
+    assert len(parse_websearch("or apples OR")) == 1
+    assert parse_websearch("") == []
+    assert parse_websearch("  -  ") == []
+
+
+def test_websearch_search_filters_negation(spark):
+    from connapse_spark.operators.search import keyword_search_websearch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the table scan is fast today"),
+            (2, "the table scan needs a merge pass"),
+            (3, "a fast merge finished"),
+            (4, "nothing relevant here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = keyword_search_websearch(docs, '"table scan" fast -merge OR "fast merge"', k=10)
+    ids = {r["doc_id"] for r in out.collect()}
+    # doc1: phrase + fast, no merge -> in. doc2: has merge -> excluded from
+    # group1 and no "fast merge" phrase -> out. doc3: phrase "fast merge" -> in.
+    assert ids == {1, 3}
