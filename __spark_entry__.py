@@ -209,11 +209,14 @@ def q_knn_join(spark, sf_dir):
 
 
 def q_neardup_cosine(spark, sf_dir):
-    return similarity.neardup_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.5)
+    """Exact kernel, explicitly opted into (the public API defaults to LSH)."""
+    return similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5, exact=True
+    )
 
 
 def q_neardup_cosine_lsh(spark, sf_dir):
-    return similarity.neardup_cosine_pairs_lsh(
+    return similarity.embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4
     )
 

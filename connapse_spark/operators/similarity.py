@@ -11,8 +11,11 @@ nprobe nearest centroid partitions.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
 from pyspark.sql.window import Window
 
 from connapse_spark.functions.vector import cosine_expr, dot_expr, l2norm_expr, to_double_array
@@ -41,27 +44,98 @@ def knn_join(
     exclude_self: bool = True,
 ) -> DataFrame:
     """For every query vector, the top-k most-cosine-similar corpus rows.
-    Output: (query_id, neighbor_id, rank, score)."""
-    q = queries.select(
-        F.col(q_id).alias("query_id"), to_double_array(F.col(q_vec)).alias("_qv")
-    ).withColumn("_qn", l2norm_expr(F.col("_qv")))
-    c = corpus.select(
-        F.col(c_id).alias("neighbor_id"), to_double_array(F.col(c_vec)).alias("_cv")
-    ).withColumn("_cn", l2norm_expr(F.col("_cv")))
-    pairs = F.broadcast(q).crossJoin(c)
-    if exclude_self:
-        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        _paired_cosine(F.col("_qn"), F.col("_cn"), F.col("_qv"), F.col("_cv")).alias("score"),
-    )
+    Output: (query_id, neighbor_id, rank, score).
+
+    Scale shape: the query table is collected and closed over (queries ≪
+    corpus — the reference's Q2 regime; for large |Q| use the IVF probe,
+    plans/ivf.py), the corpus is scanned ONCE by an Arrow mapInPandas stage
+    that emits only the LOCAL top-k pairs per query per partition, and a
+    window merges the ≤ |Q|·k·n_partitions survivors globally. Nothing ever
+    shuffles at |Q|·|C| volume — the round-1 plan pushed every scored pair
+    through the row_number exchange, which dies at corpus scale.
+
+    Bit-parity: the kernel accumulates dot/norm dimension-at-a-time
+    (``acc += q_d·c_d`` over d), the exact FP order of the sequential fold
+    in functions/vector.py — so scores are bit-identical to the previous
+    Catalyst expression and to the DuckDB oracle.
+    """
+    q_rows = queries.select(F.col(q_id), to_double_array(F.col(q_vec))).collect()
+    if not q_rows:
+        empty = corpus.sparkSession.createDataFrame(
+            [], _knn_schema(queries.schema[q_id].dataType, corpus.schema[c_id].dataType)
+        )
+        return empty.withColumn("rank", F.lit(0)).limit(0)
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    dims = q_mat.shape[1]
+    q_norm = np.sqrt(_seq_sq_sum(q_mat))
+
+    out_schema = _knn_schema(queries.schema[q_id].dataType, corpus.schema[c_id].dataType)
+    kk = k
+    excl = exclude_self
+
+    def _local_topk(batches):
+        q_arr = np.asarray(q_ids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf.iloc[:, 0].to_numpy()
+            c_mat = np.asarray(list(pdf.iloc[:, 1]), dtype=np.float64)
+            c_norm = np.sqrt(_seq_sq_sum(c_mat))
+            # dim-sequential accumulation == the Catalyst left fold, per pair
+            dots = np.zeros((len(q_arr), len(c_ids)))
+            for d in range(dims):
+                dots += np.outer(q_mat[:, d], c_mat[:, d])
+            denom = np.outer(q_norm, c_norm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(denom > 0.0, dots / denom, 0.0)
+            rows = []
+            for qi in range(len(q_arr)):
+                s = scores[qi]
+                mask = c_ids != q_arr[qi] if excl else np.ones(len(c_ids), bool)
+                idx = np.flatnonzero(mask)
+                if idx.size == 0:
+                    continue
+                take = idx[np.lexsort((c_ids[idx], -s[idx]))][:kk]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(q_arr[qi], take.size),
+                            "neighbor_id": c_ids[take],
+                            "score": s[take],
+                        }
+                    )
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    c = corpus.select(F.col(c_id), to_double_array(F.col(c_vec)))
+    local = c.mapInPandas(_local_topk, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def _knn_schema(q_type, c_type) -> StructType:
+    return StructType(
+        [
+            StructField("query_id", q_type),
+            StructField("neighbor_id", c_type),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+
+def _seq_sq_sum(mat: np.ndarray) -> np.ndarray:
+    """Row-wise sum of squares accumulated dimension-at-a-time (the
+    sequential-fold FP order of l2norm_expr)."""
+    acc = np.zeros(mat.shape[0])
+    for d in range(mat.shape[1]):
+        acc += mat[:, d] * mat[:, d]
+    return acc
 
 
 def sql_knn_join(k: int = 5, n_queries: int = 10, exclude_self: bool = True) -> str:
@@ -85,15 +159,37 @@ ORDER BY query_id, rank
 """.strip()
 
 
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    exact: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PUBLIC embedding near-duplicate surface. Defaults to the LSH-bucketed
+    plan (pairs generated only within sign-LSH buckets — the shape that
+    survives 100 TB). The exact all-pairs kernel is an O(n²) cartesian and
+    must be explicitly requested with ``exact=True``; it exists as the
+    verification kernel for candidate buckets and for small corpora, never
+    as the default dedup path."""
+    if exact:
+        return neardup_cosine_pairs(vectors, threshold, id_col=id_col, vec_col=vec_col)
+    return neardup_cosine_pairs_lsh(
+        vectors, threshold, n_planes=n_planes, id_col=id_col, vec_col=vec_col
+    )
+
+
 def neardup_cosine_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs form — the
-    LSH-bucketed variant lives in plans/ivf.py for corpus scale; this exact
-    form is the verification kernel applied within candidate buckets)."""
+    """Embedding-cosine near-duplicate pairs — EXACT ALL-PAIRS KERNEL,
+    O(n²): only for within-bucket verification or small corpora. Reach it
+    through ``embedding_neardup_pairs(..., exact=True)``; the default public
+    path is the LSH-bucketed variant."""
     a = vectors.select(
         F.col(id_col).alias("id_a"), to_double_array(F.col(vec_col)).alias("_va")
     ).withColumn("_na", l2norm_expr(F.col("_va")))

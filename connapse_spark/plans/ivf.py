@@ -188,6 +188,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_fraction: float | None = None,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit KMeans centroids (optionally on a sample — at 100 TB you fit on
     ~1M sampled rows, never the full corpus) and assign every vector its
@@ -195,6 +196,12 @@ def build_ivf_index(
 
     index_df: (id, list_id, vec, norm) — write partitioned by list_id.
     centroids_df: (list_id, centroid) — tiny, broadcast at probe time.
+
+    Sizing: pass ``n_lists`` directly, or ``n_rows`` (a catalog/metastore
+    row-count estimate) to derive it via the reference's clamp policy. Only
+    when neither is given does the build run a count job first — at corpus
+    scale the caller always knows the approximate row count for free, so
+    the extra scan is an opt-in convenience, not the default plan shape.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -202,9 +209,11 @@ def build_ivf_index(
     base = vectors.select(
         F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("vec")
     )
-    if n_lists is None:
-        n_lists = ivf_n_lists(base.count())
     fit_input = base if sample_fraction is None else base.sample(sample_fraction, seed=seed)
+    if n_lists is None:
+        if n_rows is None:
+            n_rows = base.count()  # opt-in convenience path only
+        n_lists = ivf_n_lists(n_rows)
     km = KMeans(k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id")
     model = km.fit(fit_input.select(array_to_vector(F.col("vec")).alias("features")))
     assigned = model.transform(base.select("id", "vec", array_to_vector(F.col("vec")).alias("features")))

@@ -128,3 +128,33 @@ def test_whole_stage_codegen_covers_relational_pipeline(spark, sf_dir):
         assert "*(1) HashAggregate" in plan and "*(1) Filter" in plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_embedding_neardup_defaults_to_lsh(spark):
+    """The public dedup surface must not plan a cartesian unless exact=True
+    is explicitly requested."""
+    from connapse_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    default_plan = embedding_neardup_pairs(emb, threshold=0.3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in default_plan and "NestedLoop" not in default_plan
+    exact_plan = embedding_neardup_pairs(emb, threshold=0.3, exact=True)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in exact_plan or "NestedLoop" in exact_plan or "SortMergeJoin" in exact_plan
+
+
+def test_knn_join_no_full_pair_exchange(spark):
+    """knn_join must prune to local top-k BEFORE the query_id exchange: the
+    plan is mapInPandas (bounded emit) -> window merge, never a cross-join
+    feeding the window."""
+    from pyspark.sql import functions as F
+
+    from connapse_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = knn_join(emb.filter(F.col("vec_id") < 5), emb, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == set(range(5))
+    assert all(1 <= r["rank"] <= 3 for r in rows)
