@@ -1,10 +1,17 @@
 """Pure-Python per-document chunking cores (SURVEY.md §2.4 C1-C6).
 
 These re-express the semantics of the reference's chunking strategies
-(file:line cites per function) with a deterministic whitespace tokenizer as
-the default token counter (the tiktoken BPE counter T1 is optional — import-
-guarded — since exact token ids are not the contract; budget/overlap/offset
-behavior is).
+(file:line cites per function). The default token counter is the PINNED
+BPE-ish regex (letter runs / digit runs / single symbols — the same
+pattern as textstats.BPE_RE), a far closer proxy for the reference's
+cl100k budgets (TiktokenTokenCounter.cs:10-30) than whitespace counting:
+punctuation and numbers cost tokens, exactly where real BPE diverges from
+word counts. The real tiktoken counter slots in when the library is
+present (import-guarded); the whitespace counter remains available as
+``count_tokens_ws`` and is what the ORACLE-tier column chunkers
+(operators/chunking.py, semantic_chunking.py) use, since those mirror
+their SQL twins. Exact token ids are not the contract;
+budget/overlap/offset behavior is.
 
 Documents are the unit of parallelism: each function is text → [chunk dict],
 executed inside an Arrow-batched pandas UDF (operators/chunking.py). The
@@ -42,19 +49,30 @@ class ChunkingSettings:
 
 
 # ---------------------------------------------------------------------------
-# Tokenizer (whitespace proxy for T1 TiktokenTokenCounter.cs:10-30)
+# Tokenizer (T1 proxy for TiktokenTokenCounter.cs:10-30)
+#
+# PINNED default: the BPE-ish pretokenizer regex (keep identical to
+# textstats.BPE_RE). Whitespace counting stays as count_tokens_ws for the
+# oracle-tier mirrors.
 # ---------------------------------------------------------------------------
 
 _WS_TOKEN_RE = re.compile(r"\S+")
+_BPE_TOKEN_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
 
 
-def count_tokens(text: str) -> int:
+def count_tokens_ws(text: str) -> int:
     return len(_WS_TOKEN_RE.findall(text))
 
 
+def count_tokens(text: str) -> int:
+    """Default chunk-budget counter: BPE-ish regex tokens."""
+    return len(_BPE_TOKEN_RE.findall(text))
+
+
 def index_at_token_count(text: str, n: int) -> int:
-    """Char index just past the n-th token (GetIndexAtTokenCount)."""
-    for i, m in enumerate(_WS_TOKEN_RE.finditer(text)):
+    """Char index just past the n-th token (GetIndexAtTokenCount), in the
+    same BPE-ish token units as count_tokens."""
+    for i, m in enumerate(_BPE_TOKEN_RE.finditer(text)):
         if i == n - 1:
             return m.end()
     return len(text)
@@ -151,7 +169,7 @@ def chunk_fixed_size(text: str, s: ChunkingSettings | None = None) -> list[dict]
             break
         # trailing-token overlap: back up by the last `overlap` tokens
         consumed = text[pos:end]
-        toks = list(_WS_TOKEN_RE.finditer(consumed))
+        toks = list(_BPE_TOKEN_RE.finditer(consumed))
         if overlap > 0 and len(toks) > overlap:
             pos = pos + toks[len(toks) - overlap].start()
         else:

@@ -499,6 +499,13 @@ def simhash_neardup_pairs(
     raise SIMHASH_BITS to 64 so buckets stay sparse — the plan shape is
     unchanged (the candidate join shuffles on (band, val) only).
     """
+    # each band needs ≥1 bit, or every row shares one band key and the
+    # candidate self-join degenerates to all-pairs
+    if not 0 <= max_hamming < SIMHASH_BITS:
+        raise ValueError(
+            f"max_hamming must be in [0, {SIMHASH_BITS - 1}] "
+            f"(got {max_hamming}: {max_hamming + 1} bands over {SIMHASH_BITS} bits)"
+        )
     nb = max_hamming + 1
     width = SIMHASH_BITS // nb
     mask = (1 << width) - 1

@@ -582,11 +582,14 @@ def rerank(
 
 def window_substitution(hits: DataFrame, content_col: str = "content") -> DataFrame:
     """Q11 SentenceWindow substitution (HybridSearchService.cs:13-28,154-157):
-    post-rerank, replace content with metadata['window'] when present — the
-    reranker scored the precise sentence; the LLM gets the window."""
+    post-rerank, replace content with metadata['window'] when present AND
+    non-whitespace (the reference's IsNullOrWhiteSpace guard — an empty
+    window must not blank the content) — the reranker scored the precise
+    sentence; the LLM gets the window."""
+    win = F.element_at(F.col("metadata"), "window")
     return hits.withColumn(
         content_col,
-        F.coalesce(F.element_at(F.col("metadata"), "window"), F.col(content_col)),
+        F.when(win.isNotNull() & (F.trim(win) != ""), win).otherwise(F.col(content_col)),
     )
 
 
@@ -642,9 +645,11 @@ def hybrid_search(
     (ingest-less convenience path; per-query embedding cost — fine for tests,
     wrong at scale).
 
-    Candidate depth: each branch retrieves top_k·2 before fusion so items
-    missing from one side can still win after fusion, like the reference
-    retrieving topK from each branch then merging.
+    Candidate depth: each branch retrieves exactly top_k before fusion,
+    matching the reference (VectorSearchService.cs:75,
+    KeywordSearchService.cs:65 both fetch TopK, then the fused pool is
+    re-cut to TopK) — so the min-max/DBSF normalization statistics see the
+    same candidate sets as the reference.
     """
     options = options or SearchOptions()
     if not query or not query.strip():  # Q13 empty-query guard
@@ -652,7 +657,7 @@ def hybrid_search(
             F.col(id_col).alias("id"), F.lit(0.0).alias("score")
         ).limit(0)
 
-    fetch_k = options.top_k * 2
+    fetch_k = options.top_k
     base = docs if predicate is None else docs.filter(predicate)
 
     if options.mode in ("Semantic", "Hybrid"):

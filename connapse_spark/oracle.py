@@ -178,7 +178,7 @@ def hybrid_sql(
     stored_vectors: bool = False,
 ) -> str:
     """Full mirror of operators.search.hybrid_search (Hybrid mode)."""
-    fetch_k = top_k * 2
+    fetch_k = top_k  # per-branch TopK, like the reference branches
     a = min(max(alpha, 0.0), 1.0)
     norm_tpl = _MINMAX_NORM if method == "ConvexCombination" else _DBSF_NORM
     vn = norm_tpl.format(src="v", out="vscore")
