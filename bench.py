@@ -27,7 +27,7 @@ BENCH_QUERIES = [
     "hybrid_rerank",
     "knn_vector",
     "keyword_search",
-    "keyword_indexed",
+    "keyword_websearch",
     "semantic_topk",
     "ann_lsh",
     "knn_join",
@@ -69,10 +69,10 @@ def main():
     # representative query, then time the suite
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     qs["hybrid_cc"](spark, sf_dir).count()
-    # best-of-2 per query: this box is a shared microVM with intermittent
-    # host CPU steal (observed 10-50s stalls on otherwise-stable queries);
-    # the min of two runs measures the engine, not the neighbor
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # single-run per query by default — the same conditions the round driver
+    # records, so logged claims and BENCH_r{N}.json agree. Opt into best-of-N
+    # via SPARK_GRAFT_BENCH_RUNS when diagnosing host CPU steal.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
     total = 0.0
     for name in BENCH_QUERIES:
         fn = qs[name]
@@ -84,6 +84,38 @@ def main():
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+
+    # Keyword posting-list index: build and probe timed SEPARATELY — the
+    # build is an ingest-time job (one pass + two aggregations), and folding
+    # it into the query hid the probe's pruned-scan win. The probe runs
+    # against the materialized index like a real deployment.
+    from pyspark.sql import functions as _F
+
+    from connapse_spark.operators import keyword_index
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.time()
+    tokens = keyword_index.build_token_table(docs).persist()
+    pe = keyword_index.build_postings(tokens, "tokens_exact").persist()
+    ps = keyword_index.build_postings(tokens, "tokens_stemmed").persist()
+    tokens.count(), pe.count(), ps.count()
+    build_t = time.time() - t0
+    timings["keyword_index_build"] = round(build_t, 3)
+    total += build_t
+    print(f"# keyword_index_build: {build_t:.2f}s", file=sys.stderr)
+    best, n = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.time()
+        n = keyword_index.keyword_search_indexed(
+            tokens, pe, ps, entry_mod.SEARCH_QUERY, k=20
+        ).count()
+        best = min(best, time.time() - t0)
+    timings["keyword_indexed_probe"] = round(best, 3)
+    total += best
+    print(f"# keyword_indexed_probe: {best:.2f}s ({n} rows)", file=sys.stderr)
+    for df in (tokens, pe, ps):
+        df.unpersist()
+
     print(
         json.dumps(
             {
