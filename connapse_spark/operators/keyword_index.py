@@ -79,24 +79,26 @@ def keyword_search_indexed(
     if not terms:
         return tokens.select(F.col("id"), F.lit(0.0).alias("score")).limit(0)
 
-    spark = tokens.sparkSession
-    t_df = spark.createDataFrame([(t,) for t in terms], "term string")
-    s_df = spark.createDataFrame([(s,) for s in stems], "term string")
+    # Term lookup as a literal IN-filter, NOT a join against a created
+    # DataFrame: the literal predicate pushes into the postings scan
+    # (partition/row-group pruning on the term-sorted layout), where a join
+    # key never does — and it costs zero extra Spark jobs. No distinct: a
+    # left-semi probe is insensitive to duplicate candidate ids, and the
+    # dedup was a full shuffle of the candidate set.
     cand = (
-        postings_exact.join(F.broadcast(t_df), "term")
+        postings_exact.filter(F.col("term").isin(*terms))
         .select(F.explode("ids").alias("id"))
         .unionByName(
-            postings_stemmed.join(F.broadcast(s_df), "term").select(
+            postings_stemmed.filter(F.col("term").isin(*stems)).select(
                 F.explode("ids").alias("id")
             )
         )
-        .distinct()
     )
     n_exact = F.size(F.filter("tokens_exact", lambda t: t.isin(*terms)))
     n_stem = F.size(F.filter("tokens_stemmed", lambda t: t.isin(*stems)))
     raw = F.lit(WEIGHT_EXACT) * n_exact + F.lit(WEIGHT_STEMMED) * n_stem
     return (
-        tokens.join(cand, "id", "left_semi")
+        tokens.join(F.broadcast(cand), "id", "left_semi")
         .select(F.col("id"), (raw / (raw + F.lit(1.0))).alias("score"))
         .filter(F.col("score") > 0.0)
         .orderBy(F.desc("score"), F.col("id"))

@@ -199,28 +199,28 @@ def parse_websearch(query: str) -> list[list[WebsearchTerm]]:
 
 
 def _phrase_occurrences(arr: Column, words: list[str]) -> Column:
-    """Count of adjacency matches of ``words`` in token array ``arr`` —
-    JVM-side: filter over candidate start positions comparing a slice."""
-    n = len(words)
-    target = F.array(*[F.lit(w) for w in words])
-    return F.when(
-        F.size(arr) >= n,
-        F.size(
-            F.filter(
-                F.sequence(F.lit(1), F.size(arr) - F.lit(n - 1)),
-                lambda i: F.slice(arr, i, n) == target,
-            )
-        ),
-    ).otherwise(F.lit(0))
+    """Count of adjacency matches of ``words`` in token array ``arr``.
+
+    Computed as a non-overlapping substring count over the double-space-
+    joined token string (tokens are lowercase alphanumeric, so the
+    delimiter is unambiguous; the double space lets back-to-back
+    occurrences each keep their boundary spaces). One string build + one
+    replace per row — stays in whole-stage codegen, unlike a per-position
+    array-slice compare (measured 20s vs sub-second over 5k docs at sf0.1).
+    Periodic phrases sharing a token between occurrences count once, not
+    twice — documented simplification, mirrored exactly in the oracle;
+    presence (count > 0) is unaffected."""
+    s = F.concat(F.lit(" "), F.array_join(arr, "  "), F.lit(" "))
+    p = " " + "  ".join(words) + " "
+    return (
+        (F.length(s) - F.length(F.replace(s, F.lit(p), F.lit("")))) / F.lit(len(p))
+    ).cast("int")
 
 
 def _sql_phrase_occurrences(arr: str, words: list[str]) -> str:
-    n = len(words)
-    target = "[" + ", ".join(f"'{w}'" for w in words) + "]"
-    return (
-        f"len(list_filter(range(1, greatest(len({arr}) - {n - 1}, 0) + 1), "
-        f"i -> list_slice({arr}, i, i + {n - 1}) = {target}))"
-    )
+    s = f"(' ' || array_to_string({arr}, '  ') || ' ')"
+    p = " " + "  ".join(words) + " "
+    return f"CAST((length({s}) - length(replace({s}, '{p}', ''))) / {len(p)} AS INT)"
 
 
 def _term_presence(te: Column, ts: Column, term: WebsearchTerm) -> Column:
