@@ -563,21 +563,41 @@ def rerank(
     top_n: int | None = None,
     id_col: str = "id",
     content_col: str = "content",
+    keep_tail: bool = False,
 ) -> DataFrame:
-    """Q8 CrossEncoderReranker (CrossEncoderReranker.cs:13-131): score the
+    """Q8 CrossEncoderReranker (CrossEncoderReranker.cs:34-109): score the
     (query, content) pairs of the top hits; provider scores REPLACE the
-    fused score; optional top_n reranks only the best-n fused hits (the
-    rest keep their relative order below, per CrossEncoderTopN semantics —
-    here they are dropped like the reference's missing-score policy).
+    fused score. Optional ``top_n`` sends only the best-n fused hits to the
+    provider; hits the provider returns no score for are DROPPED by default
+    — the reference's behavior (only ``scoredHits`` reach ``rerankedHits``,
+    CrossEncoderReranker.cs:71-99). ``keep_tail=True`` instead retains the
+    below-top_n hits after the reranked block in fused order (their score
+    stays the fused score; ordering is by the explicit ``rank`` column).
     Output keeps ``fused_score`` for inspection."""
-    if top_n is not None:
-        hits = hits.orderBy(F.desc("score"), F.col(id_col)).limit(top_n)
     s = scorer if scorer is not None else fake_cross_encoder_expr(query, F.col(content_col))
-    return (
-        hits.withColumnRenamed("score", "fused_score")
+    if top_n is None:
+        return (
+            hits.withColumnRenamed("score", "fused_score")
+            .withColumn("score", s)
+            .orderBy(F.desc("score"), F.col(id_col))
+        )
+    w_fused = Window.orderBy(F.desc("score"), F.col(id_col))
+    pos = hits.withColumn("_fused_rk", F.row_number().over(w_fused))
+    head = (
+        pos.filter(F.col("_fused_rk") <= top_n)
+        .withColumnRenamed("score", "fused_score")
         .withColumn("score", s)
-        .orderBy(F.desc("score"), F.col(id_col))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("score"), F.col(id_col))))
     )
+    if not keep_tail:
+        return head.drop("_fused_rk").orderBy("rank")
+    tail = (
+        pos.filter(F.col("_fused_rk") > top_n)
+        .withColumnRenamed("score", "fused_score")
+        .withColumn("score", F.col("fused_score"))
+        .withColumn("rank", F.col("_fused_rk"))
+    )
+    return head.unionByName(tail).drop("_fused_rk").orderBy("rank")
 
 
 def window_substitution(hits: DataFrame, content_col: str = "content") -> DataFrame:

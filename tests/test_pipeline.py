@@ -154,6 +154,29 @@ def test_rerank_replaces_score_keeps_fused(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_rerank_topn_drops_or_keeps_tail(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    hits = hybrid_search(docs, QUERY, SearchOptions(top_k=8)).join(
+        docs.select(F.col("doc_id").alias("id"), "text"), "id"
+    )
+    fused = {r["id"]: r["score"] for r in hits.collect()}
+    top3_ids = {
+        r["id"]
+        for r in sorted(hits.collect(), key=lambda r: (-r["score"], r["id"]))[:3]
+    }
+    dropped = rerank(hits, QUERY, content_col="text", top_n=3).collect()
+    assert len(dropped) == 3 and {r["id"] for r in dropped} == top3_ids
+    kept = rerank(hits, QUERY, content_col="text", top_n=3, keep_tail=True).collect()
+    assert len(kept) == 8
+    assert [r["rank"] for r in kept] == list(range(1, 9))
+    # head reranked by provider score; tail keeps fused score + fused order
+    head, tail = kept[:3], kept[3:]
+    assert {r["id"] for r in head} == top3_ids
+    assert all(r["score"] == r["fused_score"] == fused[r["id"]] for r in tail)
+    tail_scores = [r["fused_score"] for r in tail]
+    assert tail_scores == sorted(tail_scores, reverse=True)
+
+
 def test_window_substitution(spark):
     df = spark.createDataFrame(
         [("a", "sent", {"window": "before sent after"}), ("b", "solo", {})],
