@@ -36,9 +36,11 @@ from connapse_spark.operators.search import (
     fake_cross_encoder_expr,
     hybrid_search,
     keyword_search,
+    keyword_search_proximity,
     keyword_search_websearch,
     rerank,
     sql_fake_cross_encoder,
+    sql_keyword_proximity,
     sql_keyword_websearch,
 )
 from connapse_spark.plans import ivf
@@ -119,6 +121,12 @@ WEBSEARCH_QUERY = '"table scan" fast -merge OR "fast merge"'
 def q_keyword_websearch(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return keyword_search_websearch(docs, WEBSEARCH_QUERY, k=20)
+
+
+def q_keyword_proximity(spark, sf_dir):
+    """Q3 cover-density variant: TF + adjacent-pair 1/mindist bonuses."""
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_search_proximity(docs, SEARCH_QUERY, k=20)
 
 
 def _vectors(spark, sf_dir):
@@ -813,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_vector_filtered": q_knn_vector_filtered,
         "keyword_search": q_keyword_search,
         "keyword_websearch": q_keyword_websearch,
+        "keyword_proximity": q_keyword_proximity,
         "hybrid_cc": q_hybrid_cc,
         "hybrid_dbsf": q_hybrid_dbsf,
         "hybrid_autocut": q_hybrid_autocut,
@@ -869,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_vector_filtered": _SQL_KNN_BASE.format(where="WHERE label != 2").strip(),
         "keyword_search": oracle.keyword_sql(SEARCH_QUERY, k=20),
         "keyword_websearch": sql_keyword_websearch(WEBSEARCH_QUERY, k=20),
+        "keyword_proximity": sql_keyword_proximity(SEARCH_QUERY, k=20),
         "hybrid_cc": oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True),
         "hybrid_dbsf": oracle.hybrid_sql(SEARCH_QUERY, method="Dbsf", stored_vectors=True),
         "hybrid_autocut": oracle.hybrid_sql(SEARCH_QUERY, autocut=True, stored_vectors=True),

@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "knn_vector",
     "keyword_search",
     "keyword_websearch",
+    "keyword_proximity",
     "semantic_topk",
     "ann_lsh",
     "knn_join",

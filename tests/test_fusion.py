@@ -135,3 +135,41 @@ def test_websearch_search_filters_negation(spark):
     # doc1: phrase + fast, no merge -> in. doc2: has merge -> excluded from
     # group1 and no "fast merge" phrase -> out. doc3: phrase "fast merge" -> in.
     assert ids == {1, 3}
+
+
+def test_proximity_ranks_adjacent_above_scattered(spark):
+    from connapse_spark.operators.search import (
+        keyword_search,
+        keyword_search_proximity,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # identical term frequencies; only adjacency differs
+            (1, "the index rebuild ran overnight and x y z w v u finished ok"),
+            (2, "the index ran overnight and x y z w v u rebuild finished ok"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id int, text string",
+    )
+    flat = {r["doc_id"]: r["score"] for r in keyword_search(docs, "index rebuild", k=10).collect()}
+    prox = {r["doc_id"]: r["score"] for r in keyword_search_proximity(docs, "index rebuild", k=10).collect()}
+    assert flat[1] == flat[2]  # TF alone cannot tell them apart
+    assert prox[1] > prox[2] > 0.0  # adjacency earns the cover bonus
+    assert 3 not in prox
+
+
+def test_proximity_single_term_matches_flat(spark):
+    from connapse_spark.operators.search import (
+        keyword_search,
+        keyword_search_proximity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "merge twice merge"), (2, "no hits")], "doc_id int, text string"
+    )
+    flat = keyword_search(docs, "merge", k=10).collect()
+    prox = keyword_search_proximity(docs, "merge", k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in flat] == [
+        (r["doc_id"], r["score"]) for r in prox
+    ]
