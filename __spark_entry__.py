@@ -40,6 +40,7 @@ from connapse_spark.operators.search import (
     keyword_search_websearch,
     rerank,
     sql_fake_cross_encoder,
+    window_substitution,
     sql_keyword_proximity,
     sql_keyword_websearch,
 )
@@ -463,6 +464,46 @@ ORDER BY score DESC, h.doc_id
 """.strip()
 
 
+def q_hybrid_window(spark, sf_dir):
+    """Q11 end-to-end: hybrid hits + sentence-window metadata → substitution.
+    Window values are synthesized deterministically per doc: %3==0 a real
+    window, %3==1 whitespace-only (the IsNullOrWhiteSpace guard must KEEP
+    the content), else absent."""
+    docs = _t(spark, sf_dir, "documents")
+    hits = _hybrid(spark, sf_dir).select("doc_id", "score")
+    j = hits.join(
+        docs.select("doc_id", F.col("text").alias("content")), "doc_id"
+    )
+    win = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("W| "), F.substring("content", 1, 60)),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("   "))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    j = j.withColumn("metadata", F.create_map(F.lit("window"), win))
+    out = window_substitution(j, content_col="content")
+    return out.select("doc_id", "score", "content").orderBy(F.desc("score"), "doc_id")
+
+
+def _sql_hybrid_window() -> str:
+    inner = oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True)
+    return f"""
+WITH hybrid_hits AS ({inner}
+),
+j AS (
+  SELECT h.doc_id, h.score, d.text AS content,
+         CASE WHEN h.doc_id % 3 = 0 THEN concat('W| ', substring(d.text, 1, 60))
+              WHEN h.doc_id % 3 = 1 THEN '   ' ELSE NULL END AS win
+  FROM hybrid_hits h JOIN documents d ON h.doc_id = d.doc_id
+)
+SELECT doc_id, score,
+       CASE WHEN win IS NOT NULL AND trim(win) != '' THEN win ELSE content END AS content
+FROM j ORDER BY score DESC, doc_id
+""".strip()
+
+
 _EXTS = ["md", "txt", "csv", "log", "json"]
 
 
@@ -499,6 +540,101 @@ SELECT doc_id, file_type, line_count, has_markdown_headers, csv_delimiter
 FROM ({parsers.sql_parse_text_documents(table='d')})
 ORDER BY doc_id
 """.strip()
+
+
+# wider modulus than _EXTS so the P5 gate actually rejects: exe/bin are
+# unsupported, pdf/docx route to the binary parser family
+_DISPATCH_EXTS = ["md", "txt", "csv", "pdf", "docx", "exe", "bin"]
+
+
+def _dispatch_path(docs):
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _DISPATCH_EXTS]), (F.col("doc_id") % 7 + 1).cast("int")
+    )
+    return F.concat(
+        F.lit("/"), F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"),
+        F.lit("."), ext,
+    )
+
+
+_SQL_DISPATCH_PATH = (
+    "concat('/', source, '/doc_', doc_id, '.', "
+    "['md','txt','csv','pdf','docx','exe','bin'][(doc_id % 7 + 1)::INT])"
+)
+
+
+def q_parser_dispatch(spark, sf_dir):
+    """P4+P5: validator gate + parser-family dispatch over a path column."""
+    docs = _t(spark, sf_dir, "documents").withColumn("path", _dispatch_path(None))
+    return docs.select(
+        "doc_id",
+        parsers.file_ext(F.col("path")).alias("file_type"),
+        parsers.is_supported_expr(F.col("path")).alias("supported"),
+        parsers.parser_kind_expr(F.col("path")).alias("parser"),
+    ).orderBy("doc_id")
+
+
+def _sql_parser_dispatch() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_SQL_DISPATCH_PATH} AS path FROM documents)
+SELECT doc_id,
+       {parsers.sql_file_ext('path')} AS file_type,
+       {parsers.sql_is_supported('path')} AS supported,
+       {parsers.sql_parser_kind('path')} AS parser
+FROM d ORDER BY doc_id
+""".strip()
+
+
+def _markdown_col():
+    """Deterministic multi-level markdown synthesized from doc text (the
+    corpus has no headings): # → ## → ### → ## exercises the stack pops."""
+    return F.concat_ws(
+        "\n",
+        F.concat(F.lit("# Doc "), F.col("doc_id").cast("string")),
+        F.substring("text", 1, 60),
+        F.lit("## Methods"),
+        F.substring("text", 61, 80),
+        F.lit("### Detail"),
+        F.substring("text", 141, 60),
+        F.lit("## Results"),
+        F.expr("substring(text, 201)"),
+    )
+
+
+_SQL_MARKDOWN = (
+    "concat_ws(chr(10), '# Doc ' || doc_id, substr(text, 1, 60), '## Methods', "
+    "substr(text, 61, 80), '### Detail', substr(text, 141, 60), '## Results', "
+    "substr(text, 201))"
+)
+
+
+def q_markdown_sections(spark, sf_dir):
+    """T4 native section walker over synthesized markdown."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _markdown_col().alias("md")
+    )
+    out = chunking.markdown_sections(docs, text_col="md")
+    return _long(out, "section_index", "depth")
+
+
+def _sql_markdown_sections() -> str:
+    md_docs = f"(SELECT doc_id, {_SQL_MARKDOWN} AS md FROM documents)"
+    return chunking.sql_markdown_sections(table=md_docs, text_col="md")
+
+
+def q_chunk_doc_aware(spark, sf_dir):
+    """C4 native tier: one chunk per markdown section, breadcrumb prefix,
+    oversize sections sub-split by char windows."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _markdown_col().alias("md")
+    )
+    out = chunking.chunk_doc_aware(docs, size=120, text_col="md")
+    return _long(out, "section_index", "sub_index")
+
+
+def _sql_chunk_doc_aware() -> str:
+    md_docs = f"(SELECT doc_id, {_SQL_MARKDOWN} AS md FROM documents)"
+    return chunking.sql_chunk_doc_aware(size=120, table=md_docs, text_col="md")
 
 
 def q_ingest_stats(spark, sf_dir):
@@ -864,7 +1000,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "keyword_indexed": q_keyword_indexed,
         "hybrid_rerank": q_hybrid_rerank,
+        "hybrid_window": q_hybrid_window,
         "parse_text": q_parse_text,
+        "parser_dispatch": q_parser_dispatch,
+        "markdown_sections": q_markdown_sections,
+        "chunk_doc_aware": q_chunk_doc_aware,
         "ingest_stats": q_ingest_stats,
         "media_stats": q_media_stats,
         "rag_answer": q_rag_answer,
@@ -927,7 +1067,11 @@ def oracle_sql() -> dict[str, str]:
         # not SQL-expressible; driver records the rows-only check.
         "keyword_indexed": keyword_index.sql_keyword_indexed(SEARCH_QUERY, k=20),
         "hybrid_rerank": _sql_hybrid_rerank(),
+        "hybrid_window": _sql_hybrid_window(),
         "parse_text": _sql_parse_text(),
+        "parser_dispatch": _sql_parser_dispatch(),
+        "markdown_sections": _sql_markdown_sections(),
+        "chunk_doc_aware": _sql_chunk_doc_aware(),
         "media_stats": _SQL_MEDIA_STATS,
         "rag_answer": rag.sql_rag_answer(_SQL_RAG_HITS, max_context=5),
         "simhash_pairs": dedup.sql_simhash_neardup_pairs(max_hamming=3),

@@ -154,6 +154,192 @@ ORDER BY document_id, chunk_index
 """.strip()
 
 
+def markdown_sections(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T4 MarkdownSectionWalker as a NATIVE DataFrame plan (the per-document
+    Python walker is chunkers.walk_markdown_sections; this tier is the
+    corpus-scale path — posexplode lines + window aggregates, no Python).
+
+    Heading-stack semantics (MarkdownSectionWalker: pop on level ≤ current,
+    breadcrumb 'A > B > C') via windows instead of a stack: a level-v
+    heading is still on the stack at heading H iff the LATEST heading at or
+    before H with level ≤ v has level exactly v (anything later with a
+    smaller-or-equal level would have popped it). One conditional running
+    max per level (≤ 6), over heading rows only.
+
+    Output per section: document_id, section_index, header_path, depth,
+    start, end (next heading start / text length), body_start (end of the
+    heading line)."""
+    n = F.length(F.col(text_col))
+    lines = docs.select(
+        F.col(id_col).alias("document_id"),
+        n.alias("_n"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    )
+    wcum = (
+        Window.partitionBy("document_id")
+        .orderBy("line_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lines = lines.withColumn(
+        "line_start",
+        F.coalesce(F.sum(F.length("line") + F.lit(1)).over(wcum), F.lit(0)),
+    )
+    heads = lines.filter(F.col("line").rlike(r"^#{1,6}\s+")).select(
+        "document_id",
+        "_n",
+        F.col("line_start").alias("start"),
+        (F.col("line_start") + F.length("line")).alias("body_start"),
+        F.length(F.regexp_extract("line", r"^(#{1,6})\s", 1)).alias("depth"),
+        F.trim(F.regexp_extract("line", r"^#{1,6}\s+(.*)", 1)).alias("title"),
+    )
+    worder = Window.partitionBy("document_id").orderBy("start")
+    wstack = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    crumbs = []
+    for v in range(1, 6):  # stack entries strictly above the current level
+        last = F.max(
+            F.when(
+                F.col("depth") <= v, F.struct(F.col("start"), F.col("depth"), F.col("title"))
+            )
+        ).over(wstack)
+        crumbs.append(
+            F.when((F.lit(v) < F.col("depth")) & (last["depth"] == v), last["title"])
+        )
+    return (
+        heads.select(
+            "document_id",
+            F.row_number().over(worder).alias("section_index"),
+            F.concat_ws(" > ", *crumbs, F.col("title")).alias("header_path"),
+            "depth",
+            "start",
+            F.coalesce(F.lead("start").over(worder), F.col("_n")).alias("end"),
+            "body_start",
+        )
+        .orderBy("document_id", "section_index")
+    )
+
+
+def sql_markdown_sections(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    crumb_cols = []
+    for v in range(1, 6):
+        last = (
+            f"max(CASE WHEN depth <= {v} THEN "
+            f"{{'start': start, 'depth': depth, 'title': title}} END) "
+            f"OVER (PARTITION BY document_id ORDER BY start "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        crumb_cols.append(
+            f"CASE WHEN {v} < depth AND ({last}).depth = {v} THEN ({last}).title END"
+        )
+    crumbs = ", ".join(crumb_cols)
+    return f"""
+WITH lines AS (
+  SELECT {id_col} AS document_id, length({text_col}) AS _n,
+         unnest(range(1, len(string_split({text_col}, chr(10))) + 1)) - 1 AS line_idx,
+         unnest(string_split({text_col}, chr(10))) AS line
+  FROM {table}
+),
+pos AS (
+  SELECT *, CAST(coalesce(sum(length(line) + 1) OVER (
+           PARTITION BY document_id ORDER BY line_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS line_start
+  FROM lines
+),
+heads AS (
+  SELECT document_id, _n, line_start AS start,
+         line_start + length(line) AS body_start,
+         length(regexp_extract(line, '^(#{{1,6}})\\s', 1)) AS depth,
+         trim(regexp_extract(line, '^#{{1,6}}\\s+(.*)', 1)) AS title
+  FROM pos WHERE regexp_matches(line, '^#{{1,6}}\\s+')
+)
+SELECT document_id,
+       row_number() OVER (PARTITION BY document_id ORDER BY start) AS section_index,
+       concat_ws(' > ', {crumbs}, title) AS header_path,
+       depth,
+       start,
+       coalesce(lead(start) OVER (PARTITION BY document_id ORDER BY start), _n) AS "end",
+       body_start
+FROM heads
+ORDER BY document_id, section_index
+""".strip()
+
+
+def chunk_doc_aware(
+    docs: DataFrame,
+    size: int = 240,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 DocumentAwareChunker, NATIVE tier: one chunk per markdown section
+    with the HeaderPath breadcrumb prepended (the retrieval win,
+    SettingsModels.cs:141-148); sections longer than ``size`` chars
+    sub-split into char windows, each re-prefixed with the breadcrumb —
+    the same shape as the UDF tier (chunkers.chunk_document_aware) with a
+    char budget instead of a token budget, which keeps the whole plan in
+    Catalyst (sections → sequence → substring, zero Python).
+
+    Scale: markdown_sections is explode + windows per document; the
+    sub-split adds a map-side explode. No join back to the corpus — the
+    section body is sliced from the text carried through the plan."""
+    secs = markdown_sections(docs, id_col=id_col, text_col=text_col)
+    txt = docs.select(
+        F.col(id_col).alias("document_id"), F.col(text_col).alias("_txt")
+    )
+    j = secs.join(txt, "document_id").withColumn(
+        "body",
+        F.expr("substring(_txt, CAST(body_start AS INT) + 1, CAST(`end` - body_start AS INT))"),
+    )
+    n_sub = F.greatest(
+        F.lit(1), F.ceil(F.length("body") / F.lit(size)).cast("int")
+    )
+    out = j.select(
+        "document_id",
+        "section_index",
+        "header_path",
+        "body_start",
+        "body",
+        F.posexplode(F.sequence(F.lit(0), n_sub - 1)).alias("sub_index", "_i"),
+    )
+    return (
+        out.select(
+            "document_id",
+            "section_index",
+            "sub_index",
+            F.concat(
+                F.col("header_path"),
+                F.lit("\n\n"),
+                F.expr(f"substring(body, sub_index * {size} + 1, {size})"),
+            ).alias("content"),
+            (F.col("body_start") + F.col("sub_index") * F.lit(size)).alias("start_offset"),
+        )
+        .orderBy("document_id", "section_index", "sub_index")
+    )
+
+
+def sql_chunk_doc_aware(
+    size: int = 240, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    secs = sql_markdown_sections(table=table, id_col=id_col, text_col=text_col)
+    # strip the trailing ORDER BY — this is a building block here
+    secs = secs.rsplit("ORDER BY", 1)[0].rstrip()
+    return f"""
+SELECT document_id, section_index, sub_index,
+       concat(header_path, chr(10), chr(10), substr(body, sub_index * {size} + 1, {size})) AS content,
+       body_start + sub_index * {size} AS start_offset
+FROM (
+  SELECT s.*, unnest(range(0, greatest(1, CAST(ceil(length(body) / {size}.0) AS BIGINT)))) AS sub_index
+  FROM (
+    SELECT s.*, substr(t.{text_col}, CAST(body_start AS INT) + 1, CAST("end" - body_start AS INT)) AS body
+    FROM ({secs}) s JOIN {table} t ON s.document_id = t.{id_col}
+  ) s
+)
+ORDER BY document_id, section_index, sub_index
+""".strip()
+
+
 def chunk_token_window(
     docs: DataFrame,
     window: int = 3,

@@ -38,6 +38,33 @@ def is_supported_expr(path: Column) -> Column:
     return file_ext(path).isin(SUPPORTED_EXTENSIONS)
 
 
+def sql_is_supported(path: str) -> str:
+    exts = ", ".join(f"'{e}'" for e in SUPPORTED_EXTENSIONS)
+    return f"{sql_file_ext(path)} IN ({exts})"
+
+
+def parser_kind_expr(path: Column) -> Column:
+    """P4 dispatch (IngestionPipeline.ParseDocumentAsync:445-464): route a
+    path to the text or binary parser family; unsupported extensions get
+    NULL (the validator rejects them before dispatch)."""
+    ext = file_ext(path)
+    return (
+        F.when(ext.isin(TEXT_EXTENSIONS), F.lit("text"))
+        .when(ext.isin(BINARY_EXTENSIONS), F.lit("binary"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def sql_parser_kind(path: str) -> str:
+    ext = sql_file_ext(path)
+    t = ", ".join(f"'{e}'" for e in TEXT_EXTENSIONS)
+    b = ", ".join(f"'{e}'" for e in BINARY_EXTENSIONS)
+    return (
+        f"CASE WHEN {ext} IN ({t}) THEN 'text' "
+        f"WHEN {ext} IN ({b}) THEN 'binary' ELSE NULL END"
+    )
+
+
 def csv_delimiter_expr(first_line: Column) -> Column:
     """P1's delimiter heuristic (TextParser.cs:70-83): the most frequent of
     ',' '\\t' ';' in the first line; ties favor ',' then '\\t' then ';'

@@ -268,3 +268,29 @@ def test_multimodal_frame_sampling(spark, sf_dir):
         assert [r["frame_index"] for r in sorted(rows, key=lambda x: x["frame_index"])] == list(
             range(len(rows))
         )
+
+
+# ---------------------------------------------------------------------------
+# Native markdown sections (T4) / doc-aware chunker (C4)
+# ---------------------------------------------------------------------------
+
+
+def test_native_markdown_sections_match_python_walker(spark):
+    from connapse_spark.operators.chunking import chunk_doc_aware, markdown_sections
+    from connapse_spark.operators.chunkers import walk_markdown_sections
+    from tests.test_chunkers import MARKDOWN
+
+    df = spark.createDataFrame([(1, MARKDOWN)], "doc_id int, text string")
+    native = markdown_sections(df).collect()
+    py = walk_markdown_sections(MARKDOWN)
+    assert [r["header_path"] for r in native] == [s.header_path for s in py]
+    assert [(r["depth"], r["start"], r["end"], r["body_start"]) for r in native] == [
+        (s.depth, s.start, s.end, s.body_start) for s in py
+    ]
+    chunks = chunk_doc_aware(df, size=500).collect()
+    assert [c["content"].split("\n\n")[0] for c in chunks] == [
+        s.header_path for s in py
+    ]
+    for c, s in zip(chunks, py):
+        body = MARKDOWN[s.body_start : s.end]
+        assert c["content"] == s.header_path + "\n\n" + body
