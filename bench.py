@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "fingerprint",
     "chunk_fixed_char",
     "chunk_token_window",
+    "chunk_doc_aware",
+    "markdown_sections",
     "chunk_semantic",
     "ingest_stats",
     "parse_text",
