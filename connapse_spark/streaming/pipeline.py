@@ -93,6 +93,51 @@ def sessionized_event_counts(
     )
 
 
+def streaming_dedup_first_seen(
+    stream: DataFrame, id_col: str = "path", text_col: str = "text"
+) -> DataFrame:
+    """Streaming exact dedup — the T3 content hash as a CUSTOM STATEFUL
+    operator (``applyInPandasWithState``): group the stream by sha256 of the
+    content; per-hash state remembers how many occurrences have ever been
+    seen; only the FIRST arrival (smallest id within its micro-batch) is
+    emitted. The state store lives in the checkpoint, so dedup is
+    exactly-once ACROSS activations: re-ingesting a file that already
+    flowed through any earlier poll cycle emits nothing.
+
+    This is the streaming twin of operators.dedup.exact_dedup for the
+    ingest path: an arriving-documents stream is deduplicated before
+    chunk/embed spend, with state partitioned by hash (scales horizontally;
+    per-key state is one long).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = stream.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.sha2(F.col(text_col), 256).alias("content_hash"),
+    )
+
+    def first_seen(key, pdfs, state):
+        seen = state.get[0] if state.exists else 0
+        n, first = 0, None
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                m = pdf["id"].min()
+                first = m if first is None or m < first else first
+        if seen == 0 and n > 0:
+            yield pd.DataFrame({"content_hash": [key[0]], "id": [first]})
+        state.update((seen + n,))
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        first_seen,
+        outputStructType="content_hash string, id string",
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: str,

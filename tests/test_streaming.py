@@ -80,3 +80,32 @@ def test_sessionized_event_counts_stream(spark, tmpdir):
     assert len(by_user[1]) == 2
     assert sorted(r["n_events"] for r in by_user[1]) == [1, 2]
     assert len(by_user[2]) == 1
+
+
+def test_streaming_dedup_first_seen_across_activations(spark, tmpdir):
+    src = os.path.join(tmpdir, "in")
+    os.makedirs(src)
+    # a.txt and b.txt share content; c.txt is unique
+    for name, body in [("a.txt", "same"), ("b.txt", "same"), ("c.txt", "other")]:
+        with open(os.path.join(src, name), "w") as f:
+            f.write(body)
+    out = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    dedup = sp.streaming_dedup_first_seen(sp.stream_text_files(spark, src))
+    sp.run_available_now(dedup, ckpt, out)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # one per distinct content
+    by_hash = {r["content_hash"]: r["id"] for r in rows}
+    assert any(v.endswith("a.txt") for v in by_hash.values())  # min-id wins the tie
+    assert not any(v.endswith("b.txt") for v in by_hash.values())
+
+    # activation 2: a re-sent duplicate emits NOTHING (state in checkpoint),
+    # new content emits exactly once
+    for name, body in [("d.txt", "same"), ("e.txt", "brand new")]:
+        with open(os.path.join(src, name), "w") as f:
+            f.write(body)
+    dedup2 = sp.streaming_dedup_first_seen(sp.stream_text_files(spark, src))
+    sp.run_available_now(dedup2, ckpt, out)
+    rows2 = spark.read.parquet(out).collect()
+    assert len(rows2) == 3
+    assert sum(1 for r in rows2 if r["id"].endswith("e.txt")) == 1
