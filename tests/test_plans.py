@@ -158,3 +158,42 @@ def test_knn_join_no_full_pair_exchange(spark):
     rows = out.collect()
     assert {r["query_id"] for r in rows} == set(range(5))
     assert all(1 <= r["rank"] <= 3 for r in rows)
+
+
+def test_keyword_proximity_single_bounded_exchange(spark, sf_dir):
+    """The positional-tokens plan shuffles ONLY matched occurrences, once
+    (groupBy doc id); the explode and term filter stay map-side."""
+    from connapse_spark.operators.search import keyword_search_proximity
+
+    df = keyword_search_proximity(_docs(spark, sf_dir), "table scan fast merge", k=10)
+    plan = _plan(df)
+    assert "Generate" in plan  # posexplode of the zipped token arrays
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 1, plan
+
+
+def test_simhash_fingerprints_map_side_only(spark, sf_dir):
+    """Fingerprinting is a pure projection: no hash exchange anywhere (the
+    only exchange allowed is the final order-by range partitioning)."""
+    from connapse_spark.operators.dedup import simhash_fingerprints
+
+    plan = _plan(simhash_fingerprints(_docs(spark, sf_dir)))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_markdown_sections_partitions_by_document_only(spark, sf_dir):
+    """All window work in the native walker is keyed by document_id — no
+    whole-frame (single-partition) window, no join."""
+    from connapse_spark.operators.chunking import markdown_sections
+
+    df = markdown_sections(
+        _docs(spark, sf_dir).select("doc_id", F.col("text").alias("md")), text_col="md"
+    )
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert "document_id" in m.group(1)
