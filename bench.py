@@ -119,6 +119,31 @@ def main():
     for df in (tokens, pe, ps):
         df.unpersist()
 
+    # IVF ANN index: same build/probe split — the KMeans fit is an index job
+    # (M6's "rebuild on drift" path); the probe is the latency that matters.
+    from connapse_spark.functions.embed import embed_py
+    from connapse_spark.plans import ivf as _ivf
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = embed_py(entry_mod.SEARCH_QUERY, 64)
+    t0 = time.time()
+    index, centroids = _ivf.build_ivf_index(emb, n_lists=8, seed=42)
+    index = index.persist()
+    index.count()
+    build_t = time.time() - t0
+    timings["ivf_index_build"] = round(build_t, 3)
+    total += build_t
+    print(f"# ivf_index_build: {build_t:.2f}s", file=sys.stderr)
+    best, n = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.time()
+        n = _ivf.ann_ivf_topk(index, centroids, qv, k=10, nprobe=3).count()
+        best = min(best, time.time() - t0)
+    timings["ivf_probe"] = round(best, 3)
+    total += best
+    print(f"# ivf_probe: {best:.2f}s ({n} rows)", file=sys.stderr)
+    index.unpersist()
+
     print(
         json.dumps(
             {
