@@ -637,6 +637,33 @@ def _sql_chunk_doc_aware() -> str:
     return chunking.sql_chunk_doc_aware(size=120, table=md_docs, text_col="md")
 
 
+def q_chunk_recursive(spark, sf_dir):
+    """C2 native tier: separator split → greedy char pack → oversize
+    sub-split. Paragraph breaks are synthesized (corpus text is one line)."""
+    para = F.concat_ws(
+        "\n\n",
+        F.substring("text", 1, 150),
+        F.substring("text", 151, 150),
+        F.expr("substring(text, 301)"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", para.alias("ptext"))
+    out = chunking.chunk_recursive_native(docs, max_chars=120, text_col="ptext")
+    return _long(out, "pack_index", "sub_index")
+
+
+_SQL_PARA = (
+    "concat_ws(chr(10) || chr(10), substr(text, 1, 150), substr(text, 151, 150), "
+    "substr(text, 301))"
+)
+
+
+def _sql_chunk_recursive() -> str:
+    para_docs = f"(SELECT doc_id, {_SQL_PARA} AS ptext FROM documents)"
+    return chunking.sql_chunk_recursive_native(
+        max_chars=120, table=para_docs, text_col="ptext"
+    )
+
+
 def q_ingest_stats(spark, sf_dir):
     """Full §3.3 pipeline (UDF chunker → embed-cache anti-join → hash embed):
     per-document summary. Pandas-UDF chunking is not SQL-expressible —
@@ -1005,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parser_dispatch": q_parser_dispatch,
         "markdown_sections": q_markdown_sections,
         "chunk_doc_aware": q_chunk_doc_aware,
+        "chunk_recursive": q_chunk_recursive,
         "ingest_stats": q_ingest_stats,
         "media_stats": q_media_stats,
         "rag_answer": q_rag_answer,
@@ -1072,6 +1100,7 @@ def oracle_sql() -> dict[str, str]:
         "parser_dispatch": _sql_parser_dispatch(),
         "markdown_sections": _sql_markdown_sections(),
         "chunk_doc_aware": _sql_chunk_doc_aware(),
+        "chunk_recursive": _sql_chunk_recursive(),
         "media_stats": _SQL_MEDIA_STATS,
         "rag_answer": rag.sql_rag_answer(_SQL_RAG_HITS, max_context=5),
         "simhash_pairs": dedup.sql_simhash_neardup_pairs(max_hamming=3),

@@ -340,6 +340,138 @@ ORDER BY document_id, section_index, sub_index
 """.strip()
 
 
+def chunk_recursive_native(
+    docs: DataFrame,
+    max_chars: int = 400,
+    sep: str = "\n\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C2 RecursiveChunker, NATIVE tier (char budget; the token-budget
+    overlap/merge semantics live in the UDF tier, chunkers.chunk_recursive):
+    split at the natural separator, GREEDY-PACK consecutive pieces up to
+    ``max_chars`` (never splitting a piece that fits), and char-window
+    sub-split any piece that alone exceeds the budget — the essence of
+    LangChain-style recursive splitting as pure Catalyst ops.
+
+    The greedy pack is the sequential part: it runs as ONE aggregate fold
+    over the per-document piece array (either extend the last chunk or
+    append a new one) — per-doc arrays are small, the fold is map-side,
+    nothing shuffles. The DuckDB oracle reproduces the identical pack with
+    a recursive CTE; both sides then sub-split oversize chunks with the
+    same sequence + substring windows."""
+    # materialize the raw split as a column FIRST — the re-attach lambda
+    # then references a cheap column, not a re-evaluated split (lesson #1
+    # in ARCHITECTURE.md: lambda-captured subexpressions re-run per element)
+    base = docs.select(
+        F.col(id_col).alias("document_id"), F.split(F.col(text_col), sep).alias("_ps")
+    )
+    # re-attach the separator to every piece but the last (chunks then tile
+    # the document exactly); drop empties (trailing separator)
+    pieces = F.filter(
+        F.transform(
+            F.col("_ps"),
+            lambda p, i: F.when(
+                i < F.size(F.col("_ps")) - 1, F.concat(p, F.lit(sep))
+            ).otherwise(p),
+        ),
+        lambda p: p != "",
+    )
+    packed = F.aggregate(
+        pieces,
+        F.array().cast("array<string>"),
+        lambda acc, p: F.when(
+            (F.size(acc) == 0)
+            | (F.length(F.element_at(acc, -1)) + F.length(p) > max_chars),
+            F.concat(acc, F.array(p)),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), p)),
+            )
+        ),
+    )
+    ch = base.select(
+        "document_id",
+        F.posexplode(packed).alias("pack_index", "chunk"),
+    )
+    n_sub = F.greatest(
+        F.lit(1), F.ceil(F.length("chunk") / F.lit(max_chars)).cast("int")
+    )
+    out = ch.select(
+        "document_id",
+        "pack_index",
+        "chunk",
+        F.posexplode(F.sequence(F.lit(0), n_sub - 1)).alias("sub_index", "_i"),
+    )
+    return (
+        out.select(
+            "document_id",
+            "pack_index",
+            "sub_index",
+            F.expr(f"substring(chunk, sub_index * {max_chars} + 1, {max_chars})").alias(
+                "content"
+            ),
+        )
+        .orderBy("document_id", "pack_index", "sub_index")
+    )
+
+
+def sql_chunk_recursive_native(
+    max_chars: int = 400,
+    sep: str = "\n\n",
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    sql_sep = "chr(10) || chr(10)" if sep == "\n\n" else f"'{sep}'"
+    return f"""
+WITH RECURSIVE pieces AS (
+  SELECT document_id, i - 1 AS piece_idx, n,
+         CASE WHEN i < n THEN p || {sql_sep} ELSE p END AS piece
+  FROM (
+    SELECT {id_col} AS document_id,
+           unnest(range(1, len(ps) + 1)) AS i, len(ps) AS n,
+           unnest(ps) AS p
+    FROM (SELECT {id_col}, string_split({text_col}, {sql_sep}) AS ps FROM {table})
+  )
+  WHERE CASE WHEN i < n THEN p || {sql_sep} ELSE p END != ''
+),
+-- greedy pack as recursion over piece index: state = (chunks so far)
+pack AS (
+  SELECT document_id, piece_idx, [piece] AS chunks
+  FROM pieces WHERE piece_idx = 0
+  UNION ALL
+  SELECT p.document_id, p.piece_idx,
+         CASE WHEN length(k.chunks[-1]) + length(p.piece) > {max_chars}
+              THEN list_append(k.chunks, p.piece)
+              ELSE list_append(k.chunks[1:-2], k.chunks[-1] || p.piece) END
+  FROM pack k JOIN pieces p
+    ON p.document_id = k.document_id AND p.piece_idx = k.piece_idx + 1
+),
+final AS (
+  SELECT document_id, chunks FROM (
+    SELECT document_id, chunks,
+           row_number() OVER (PARTITION BY document_id ORDER BY piece_idx DESC) AS rn
+    FROM pack
+  ) WHERE rn = 1
+),
+packed AS (
+  SELECT document_id, unnest(range(1, len(chunks) + 1)) - 1 AS pack_index,
+         unnest(chunks) AS chunk
+  FROM final
+)
+SELECT document_id, pack_index, sub_index,
+       substr(chunk, sub_index * {max_chars} + 1, {max_chars}) AS content
+FROM (
+  SELECT document_id, pack_index, chunk,
+         unnest(range(0, greatest(1, CAST(ceil(length(chunk) / {max_chars}.0) AS BIGINT)))) AS sub_index
+  FROM packed
+)
+ORDER BY document_id, pack_index, sub_index
+""".strip()
+
+
 def chunk_token_window(
     docs: DataFrame,
     window: int = 3,

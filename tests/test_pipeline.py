@@ -294,3 +294,22 @@ def test_native_markdown_sections_match_python_walker(spark):
     for c, s in zip(chunks, py):
         body = MARKDOWN[s.body_start : s.end]
         assert c["content"] == s.header_path + "\n\n" + body
+
+
+def test_native_recursive_pack_invariants(spark):
+    from connapse_spark.operators.chunking import chunk_recursive_native
+
+    text = "para one is small\n\npara two also small\n\n" + ("x" * 300) + "\n\nlast"
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = chunk_recursive_native(df, max_chars=50).collect()
+    # content tiles the document exactly (separators retained)
+    assert "".join(r["content"] for r in rows) == text
+    # the two small paragraphs pack together (greedy), the giant one is
+    # sub-split into 50-char windows, 'last' rides after it
+    packs = {}
+    for r in rows:
+        packs.setdefault(r["pack_index"], []).append(r)
+    joined0 = "".join(r["content"] for r in packs[0])
+    assert joined0 == "para one is small\n\npara two also small\n\n"
+    assert len(packs[1]) == 7  # 302 chars (300 x's + trailing sep) / 50
+    assert all(len(r["content"]) <= 50 for r in rows)
