@@ -664,6 +664,37 @@ def _sql_chunk_recursive() -> str:
     )
 
 
+def q_chunk_sentence_aware(spark, sf_dir):
+    """C6 native tier: whole-sentence greedy pack (sentences synthesized —
+    corpus text carries no punctuation)."""
+    sent = F.concat(
+        F.concat_ws(
+            ". ",
+            F.substring("text", 1, 80),
+            F.substring("text", 81, 90),
+            F.substring("text", 171, 70),
+            F.expr("substring(text, 241)"),
+        ),
+        F.lit("."),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", sent.alias("stext"))
+    out = chunking.chunk_sentence_aware_native(docs, max_chars=180, text_col="stext")
+    return _long(out, "chunk_index", "n_chars")
+
+
+_SQL_SENT = (
+    "concat_ws('. ', substr(text, 1, 80), substr(text, 81, 90), substr(text, 171, 70), "
+    "substr(text, 241)) || '.'"
+)
+
+
+def _sql_chunk_sentence_aware() -> str:
+    sent_docs = f"(SELECT doc_id, {_SQL_SENT} AS stext FROM documents)"
+    return chunking.sql_chunk_sentence_aware_native(
+        max_chars=180, table=sent_docs, text_col="stext"
+    )
+
+
 def q_ingest_stats(spark, sf_dir):
     """Full §3.3 pipeline (UDF chunker → embed-cache anti-join → hash embed):
     per-document summary. Pandas-UDF chunking is not SQL-expressible —
@@ -1033,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_sections": q_markdown_sections,
         "chunk_doc_aware": q_chunk_doc_aware,
         "chunk_recursive": q_chunk_recursive,
+        "chunk_sentence_aware": q_chunk_sentence_aware,
         "ingest_stats": q_ingest_stats,
         "media_stats": q_media_stats,
         "rag_answer": q_rag_answer,
@@ -1101,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
         "markdown_sections": _sql_markdown_sections(),
         "chunk_doc_aware": _sql_chunk_doc_aware(),
         "chunk_recursive": _sql_chunk_recursive(),
+        "chunk_sentence_aware": _sql_chunk_sentence_aware(),
         "media_stats": _SQL_MEDIA_STATS,
         "rag_answer": rag.sql_rag_answer(_SQL_RAG_HITS, max_context=5),
         "simhash_pairs": dedup.sql_simhash_neardup_pairs(max_hamming=3),

@@ -472,6 +472,91 @@ ORDER BY document_id, pack_index, sub_index
 """.strip()
 
 
+def chunk_sentence_aware_native(
+    docs: DataFrame,
+    max_chars: int = 400,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C6 SentenceAwareFixedSize, NATIVE tier (char budget; token-budget
+    tier is chunkers.chunk_sentence_aware): regex sentence split, then
+    greedy-pack WHOLE sentences up to ``max_chars`` joined with ' ' — a
+    sentence is never split; a single over-budget sentence stands alone
+    (same invariant the UDF tier's tests assert). One aggregate fold per
+    document over the sentence array; map-side, no shuffle before the
+    final order."""
+    from connapse_spark.operators.semantic_chunking import sentences_expr
+
+    base = docs.select(
+        F.col(id_col).alias("document_id"),
+        sentences_expr(F.col(text_col)).alias("_sents"),
+    )
+    packed = F.aggregate(
+        F.col("_sents"),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) == 0)
+            | (F.length(F.element_at(acc, -1)) + 1 + F.length(s) > max_chars),
+            F.concat(acc, F.array(s)),
+        ).otherwise(
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), F.lit(" "), s)),
+            )
+        ),
+    )
+    return (
+        base.select(
+            "document_id", F.posexplode(packed).alias("chunk_index", "content")
+        )
+        .withColumn("n_chars", F.length("content"))
+        .orderBy("document_id", "chunk_index")
+    )
+
+
+def sql_chunk_sentence_aware_native(
+    max_chars: int = 400, table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    from connapse_spark.operators.semantic_chunking import sql_sentences
+
+    return f"""
+WITH RECURSIVE sents AS (
+  SELECT document_id, i - 1 AS sent_idx, s
+  FROM (
+    SELECT {id_col} AS document_id,
+           unnest(range(1, len(sn) + 1)) AS i, unnest(sn) AS s
+    FROM (SELECT {id_col}, {sql_sentences(text_col)} AS sn FROM {table})
+  )
+),
+pack AS (
+  SELECT document_id, sent_idx, [s] AS chunks
+  FROM sents WHERE sent_idx = 0
+  UNION ALL
+  SELECT n.document_id, n.sent_idx,
+         CASE WHEN length(k.chunks[-1]) + 1 + length(n.s) > {max_chars}
+              THEN list_append(k.chunks, n.s)
+              ELSE list_append(k.chunks[1:-2], k.chunks[-1] || ' ' || n.s) END
+  FROM pack k JOIN sents n
+    ON n.document_id = k.document_id AND n.sent_idx = k.sent_idx + 1
+),
+final AS (
+  SELECT document_id, chunks FROM (
+    SELECT document_id, chunks,
+           row_number() OVER (PARTITION BY document_id ORDER BY sent_idx DESC) AS rn
+    FROM pack
+  ) WHERE rn = 1
+)
+SELECT document_id, chunk_index, content, length(content) AS n_chars
+FROM (
+  SELECT document_id,
+         unnest(range(1, len(chunks) + 1)) - 1 AS chunk_index,
+         unnest(chunks) AS content
+  FROM final
+)
+ORDER BY document_id, chunk_index
+""".strip()
+
+
 def chunk_token_window(
     docs: DataFrame,
     window: int = 3,

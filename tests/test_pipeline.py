@@ -313,3 +313,18 @@ def test_native_recursive_pack_invariants(spark):
     assert joined0 == "para one is small\n\npara two also small\n\n"
     assert len(packs[1]) == 7  # 302 chars (300 x's + trailing sep) / 50
     assert all(len(r["content"]) <= 50 for r in rows)
+
+
+def test_native_sentence_aware_packs_whole_sentences(spark):
+    from connapse_spark.operators.chunking import chunk_sentence_aware_native
+
+    text = "One short. Two short. " + ("y" * 120) + ". Tail here."
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = chunk_sentence_aware_native(df, max_chars=40).collect()
+    contents = [r["content"] for r in rows]
+    assert contents[0] == "One short. Two short."  # packed pair
+    assert contents[1].startswith("y" * 120)  # oversize sentence stands alone
+    assert contents[2] == "Tail here."
+    # never splits a sentence: each chunk is whole sentences
+    for c in contents:
+        assert not c.startswith(" ") and not c.endswith(" ")
