@@ -197,3 +197,31 @@ def test_markdown_sections_partitions_by_document_only(spark, sf_dir):
 
     for m in _re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
         assert "document_id" in m.group(1)
+
+
+def test_salted_join_matches_plain_join_and_spreads_key(spark):
+    from connapse_spark.plans.skew import SALT_COL, salted_join, salt_expr
+
+    probe = spark.createDataFrame(
+        [(1, f"p{i}") for i in range(200)] + [(2, "q")],
+        "k int, payload string",
+    )
+    build = spark.createDataFrame([(1, "hot"), (2, "cold")], "k int, attr string")
+    out = salted_join(probe, build, "k", n_salts=8)
+    plain = probe.join(build, "k")
+    assert out.count() == plain.count() == 201
+    assert sorted(out.columns) == sorted(plain.columns)
+    # identical row multiset
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+    # the hot key's rows really spread over multiple salts
+    n_salts = (
+        probe.select(salt_expr(8, F.col("payload")).alias(SALT_COL))
+        .distinct()
+        .count()
+    )
+    assert n_salts > 4
+    # plan joins on (k, _salt): the salt is part of the join key
+    plan = _plan(salted_join(probe, build, "k", n_salts=8))
+    assert SALT_COL in plan
