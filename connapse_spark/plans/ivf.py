@@ -234,28 +234,32 @@ def ann_ivf_topk(
     k: int = 10,
     nprobe: int = 4,
 ) -> DataFrame:
-    """Probe: rank centroids by cosine to the query (tiny — broadcast),
-    keep the nprobe nearest lists, scan ONLY those partitions (Catalyst
-    pushes ``list_id IN (...)`` semi-join / filter into the scan), exact
-    re-rank inside. Mirrors pgvector's ivfflat.probes."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    """Probe: rank centroids by cosine to the query ON THE DRIVER (the
+    centroid table is ≤100 rows by the lists policy — exactly the
+    coordinator-side decision pgvector's ivfflat.probes makes), then scan
+    ONLY the chosen lists via a literal ``list_id IN (...)`` filter —
+    partition pruning against a list_id-partitioned index, one Spark job,
+    no centroid-ranking job and no broadcast-exchange job (the previous
+    join-based probe paid ~3 scheduled jobs per query)."""
     qn = sum(x * x for x in query_vec) ** 0.5
-    c_score = F.when(
-        (l2norm_expr(F.col("centroid")) > 0.0) & (F.lit(qn) > 0.0),
-        dot_expr(F.col("centroid"), q) / (l2norm_expr(F.col("centroid")) * F.lit(qn)),
-    ).otherwise(F.lit(0.0))
-    probe_lists = (
-        centroids.select("list_id", c_score.alias("cscore"))
-        .orderBy(F.desc("cscore"), F.col("list_id"))
-        .limit(nprobe)
-        .select("list_id")
+
+    def _cos(c: list[float]) -> float:
+        cn = sum(x * x for x in c) ** 0.5
+        if cn <= 0.0 or qn <= 0.0:
+            return 0.0
+        return sum(a * b for a, b in zip(c, query_vec)) / (cn * qn)
+
+    ranked = sorted(
+        ((-_cos(r["centroid"]), r["list_id"]) for r in centroids.collect())
     )
+    probe_ids = [lid for _, lid in ranked[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     score = F.when(
         (F.col("norm") > 0.0) & (F.lit(qn) > 0.0),
         dot_expr(F.col("vec"), q) / (F.col("norm") * F.lit(qn)),
     ).otherwise(F.lit(0.0))
     return (
-        index.join(F.broadcast(probe_lists), "list_id")
+        index.filter(F.col("list_id").isin(probe_ids))
         .select("id", "list_id", score.alias("score"))
         .orderBy(F.desc("score"), F.col("id"))
         .limit(k)
