@@ -849,6 +849,10 @@ def q_events_tumbling(spark, sf_dir):
     return events.tumbling_agg(events.load_events(spark, sf_dir))
 
 
+def q_events_sliding(spark, sf_dir):
+    return events.sliding_agg(events.load_events(spark, sf_dir))
+
+
 def q_events_sessionize(spark, sf_dir):
     df = events.sessionize(events.load_events(spark, sf_dir))
     return _long(df, "n_sessions")
@@ -1049,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_list_paged": q_doc_list_paged,
         "file_browser": q_file_browser,
         "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
         "latest_event": q_latest_event,
         "reindex_decisions": q_reindex_decisions,
@@ -1117,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_list_paged": analytics.sql_document_list_paged(),
         "file_browser": analytics.sql_file_browser(),
         "events_tumbling": events.sql_tumbling_agg(),
+        "events_sliding": events.sql_sliding_agg(),
         "events_sessionize": events.sql_sessionize(),
         "latest_event": events.sql_latest_event_per_user(),
         "reindex_decisions": _SQL_REINDEX,

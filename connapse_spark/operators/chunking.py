@@ -282,8 +282,13 @@ def chunk_doc_aware(
     Catalyst (sections → sequence → substring, zero Python).
 
     Scale: markdown_sections is explode + windows per document; the
-    sub-split adds a map-side explode. No join back to the corpus — the
-    section body is sliced from the text carried through the plan."""
+    sub-split adds a map-side explode. The section body is sliced by
+    offsets from a second read of the text, joined back on document_id —
+    co-partitioned with the section shuffle (and broadcast when the doc
+    side is small under AQE). Reconstructing bodies from the exploded
+    lines instead would save that read but re-derives newline edge cases
+    the offset slice gets for free; the join side carries the same bytes
+    either way."""
     secs = markdown_sections(docs, id_col=id_col, text_col=text_col)
     txt = docs.select(
         F.col(id_col).alias("document_id"), F.col(text_col).alias("_txt")

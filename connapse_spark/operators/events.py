@@ -65,6 +65,50 @@ FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """.strip()
 
 
+def sliding_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Sliding-window aggregate per (window, event_type): each event lands
+    in width/slide overlapping windows (Spark's native ``F.window`` with a
+    slide — epoch-aligned starts). Same exact-cents discipline as
+    tumbling_agg. The streaming twin is the identical expression under
+    readStream + watermark."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), width, slide).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sql_sliding_agg(width_us: int = 3600_000_000, slide_us: int = 900_000_000) -> str:
+    """DuckDB mirror of sliding_agg: replicate each event into the window
+    starts k·slide with k ∈ (⌊(e−W)/S⌋, ⌊e/S⌋] — integer microsecond math,
+    identical to Spark's epoch-aligned assignment."""
+    return f"""
+SELECT strftime(make_timestamp(k * {slide_us}), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM (
+  SELECT event_type, value,
+         unnest(range((epoch_us(ts) - {width_us}) // {slide_us} + 1,
+                      epoch_us(ts) // {slide_us} + 1)) AS k
+  FROM events
+)
+GROUP BY 1, 2 ORDER BY window_start, event_type
+""".strip()
+
+
 def sessionize(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since the
     user's previous event exceeds the gap. Classic lag + cumulative-sum

@@ -51,13 +51,16 @@ def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = DEFAULT_WATERMARK,
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling aggregate — streaming twin of
-    operators.events.tumbling_agg. Late events beyond the watermark are
-    dropped deterministically instead of reopening windows."""
+    """Watermarked tumbling (or, with ``slide``, sliding) aggregate —
+    streaming twin of operators.events.tumbling_agg / sliding_agg. Late
+    events beyond the watermark are dropped deterministically instead of
+    reopening windows."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .groupBy(w.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),

@@ -109,3 +109,20 @@ def test_streaming_dedup_first_seen_across_activations(spark, tmpdir):
     rows2 = spark.read.parquet(out).collect()
     assert len(rows2) == 3
     assert sum(1 for r in rows2 if r["id"].endswith("e.txt")) == 1
+
+
+def test_sliding_event_counts_stream(spark, tmpdir):
+    stream = sp.windowed_event_counts(
+        _event_stream(spark, tmpdir), window="1 hour", slide="30 minutes"
+    )
+    sp.run_complete_to_memory(stream, os.path.join(tmpdir, "ckpt-sl"), "t_slide")
+    rows = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_slide").collect()
+    }
+    # all three clicks (10:00, 10:10, 10:20) land in BOTH overlapping
+    # windows 09:30-10:30 and 10:00-11:00; the 11:05 view only in later ones
+    assert rows[("2026-01-01 09:30:00", "click")] == 3
+    assert rows[("2026-01-01 10:00:00", "click")] == 3
+    assert rows[("2026-01-01 11:00:00", "view")] == 1
+    assert ("2026-01-01 09:00:00", "click") not in rows
