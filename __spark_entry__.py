@@ -230,6 +230,15 @@ def q_neardup_cosine_lsh(spark, sf_dir):
     )
 
 
+def q_neardup_groups(spark, sf_dir):
+    """Near-dup clusters: LSH pair list -> connected components (iterative
+    min-label propagation; canonical representative = min id)."""
+    pairs = similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4
+    )
+    return dedup.neardup_components(pairs)
+
+
 def q_cosine_adjacent(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id"), to_double_array("embedding").alias("_va"))
@@ -1030,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "neardup_cosine": q_neardup_cosine,
         "neardup_cosine_lsh": q_neardup_cosine_lsh,
+        "neardup_groups": q_neardup_groups,
         "cosine_adjacent": q_cosine_adjacent,
         "cache_misses": q_cache_misses,
         "embed_cached": q_embed_cached,
@@ -1099,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": similarity.sql_knn_join(),
         "neardup_cosine": similarity.sql_neardup_cosine_pairs(threshold=0.5),
         "neardup_cosine_lsh": similarity.sql_neardup_cosine_pairs_lsh(threshold=0.3, n_planes=4),
+        "neardup_groups": similarity.sql_neardup_components_lsh(threshold=0.3, n_planes=4),
         "cosine_adjacent": _SQL_COSINE_ADJACENT,
         "cache_misses": _SQL_CACHE_MISSES,
         "embed_cached": _sql_embed_cached(),

@@ -612,3 +612,66 @@ WITH hashed AS MATERIALIZED (
 SELECT {id_col}, {_sql_simhash_from_th('th')} AS simhash
 FROM hashed ORDER BY {id_col}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup connected components (pair list → duplicate clusters)
+# ---------------------------------------------------------------------------
+
+
+def neardup_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a near-dup pair list — the stage that turns
+    pairwise matches into DUPLICATE CLUSTERS with a canonical representative
+    (component = min id), so a pipeline can keep one doc per cluster.
+
+    Min-label propagation: label(v) starts as v; each round every vertex
+    takes the min of its own and its neighbors' labels; converged when no
+    label changes. One equi-join shuffle per round, rounds bounded by the
+    cluster diameter (near-dup clusters are shallow — a handful of rounds
+    in practice, ``max_iter`` caps pathology). ``localCheckpoint`` truncates
+    the growing lineage each round; the per-round ``count()`` is the
+    convergence test — an iterative algorithm needs one action per step
+    (this is label propagation without a graph library). Deterministic, so
+    the DuckDB oracle (recursive reachability + min) matches exactly.
+
+    Output: (id, component) for every vertex that appears in a pair.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("_nmin"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("component")).orderBy("id")

@@ -280,6 +280,39 @@ ORDER BY id_a, id_b
 """.strip()
 
 
+def sql_neardup_components_lsh(threshold: float = 0.9, n_planes: int = 4) -> str:
+    """Mirror of dedup.neardup_components over the LSH pair list: recursive
+    reachability + min reachable id per vertex — a different algorithm than
+    the Spark side's label propagation, converging to the same (id,
+    component) integers."""
+    from connapse_spark.functions.vector import sql_cosine
+    from connapse_spark.plans.ivf import sql_lsh_bucket
+
+    return f"""
+WITH RECURSIVE v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         {sql_lsh_bucket('CAST(embedding AS DOUBLE[])', n_planes)} AS bucket
+  FROM embeddings
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {sql_cosine("a.e", "b.e")} >= {threshold!r}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS x, src AS lbl FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.x
+)
+SELECT x AS id, min(lbl) AS component FROM reach GROUP BY x ORDER BY id
+""".strip()
+
+
 def mean_pool_by(
     vectors: DataFrame,
     group_col: str = "label",

@@ -173,3 +173,16 @@ def test_proximity_single_term_matches_flat(spark):
     assert [(r["doc_id"], r["score"]) for r in flat] == [
         (r["doc_id"], r["score"]) for r in prox
     ]
+
+
+def test_neardup_components_clusters_pairs(spark):
+    from connapse_spark.operators.dedup import neardup_components
+
+    # component A: path 1-2-3-4 (forces multi-round propagation);
+    # component B: triangle 10-11-12; isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {r["id"]: r["component"] for r in neardup_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
