@@ -29,7 +29,7 @@ from connapse_spark.operators.maintenance import (
     sync_delta,
     upsert_last_writer_wins,
 )
-from connapse_spark.operators import keyword_index, multimodal, rag
+from connapse_spark.operators import keyword_index, multimodal, rag, sampling
 from connapse_spark.operators.ingest import ingest, ingest_stats
 from connapse_spark.operators.search import (
     SearchOptions,
@@ -237,6 +237,30 @@ def q_neardup_groups(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4
     )
     return dedup.neardup_components(pairs)
+
+
+def q_sample_mix(spark, sf_dir):
+    """Training-mix sampling: per-source rates + independent train/test
+    split, all row-deterministic (stable under repartitioning)."""
+    rates = {"src1": 1.0, "src2": 0.25, "src3": 0.05}
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(docs, rates, "source", "doc_id", default_rate=0.5)
+    return out.select(
+        "doc_id",
+        "source",
+        sampling.split_expr(F.col("doc_id").cast("string"), 0.1).alias("split"),
+    ).orderBy("doc_id")
+
+
+def _sql_sample_mix() -> str:
+    rates = {"src1": 1.0, "src2": 0.25, "src3": 0.05}
+    cut = sampling.sql_stratified_cut(rates, "source", default_rate=0.5)
+    return f"""
+SELECT doc_id, source, {sampling.sql_split('CAST(doc_id AS VARCHAR)', 0.1)} AS split
+FROM documents
+WHERE {sampling.sql_hash_bucket('CAST(doc_id AS VARCHAR)', 'sample')} < ({cut})
+ORDER BY doc_id
+""".strip()
 
 
 def q_cosine_adjacent(spark, sf_dir):
@@ -1040,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine": q_neardup_cosine,
         "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "neardup_groups": q_neardup_groups,
+        "sample_mix": q_sample_mix,
         "cosine_adjacent": q_cosine_adjacent,
         "cache_misses": q_cache_misses,
         "embed_cached": q_embed_cached,
@@ -1110,6 +1135,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_cosine": similarity.sql_neardup_cosine_pairs(threshold=0.5),
         "neardup_cosine_lsh": similarity.sql_neardup_cosine_pairs_lsh(threshold=0.3, n_planes=4),
         "neardup_groups": similarity.sql_neardup_components_lsh(threshold=0.3, n_planes=4),
+        "sample_mix": _sql_sample_mix(),
         "cosine_adjacent": _SQL_COSINE_ADJACENT,
         "cache_misses": _SQL_CACHE_MISSES,
         "embed_cached": _sql_embed_cached(),

@@ -1,0 +1,82 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-stable only for a FIXED partitioning — repartition
+the input (or rerun at another parallelism) and the sampled set changes.
+Training pipelines need sampling that is a pure function of the ROW so
+mixes are reproducible across runs, clusters, and engine versions: hash
+the row key, keep the row when the hash bucket clears the rate. Same
+sha256-derived buckets as the rest of the engine — map-side, no shuffle,
+mirrored exactly in the DuckDB oracle.
+
+Buckets are per-mille (rate resolution 0.001) over the first 8 sha256 hex
+chars — the same 32-bit hash family as dedup._sha_bigint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1000
+
+
+def hash_bucket_expr(key: Column, salt: str = "") -> Column:
+    """Deterministic bucket in [0, BUCKETS): sha256 of (salt || key).
+    Different salts give independent bucketings — sampling and splitting
+    with different salts are uncorrelated."""
+    return (
+        F.conv(F.substring(F.sha2(F.concat(F.lit(salt), key), 256), 1, 8), 16, 10)
+        .cast("bigint")
+        % BUCKETS
+    )
+
+
+def sql_hash_bucket(key: str, salt: str = "") -> str:
+    return f"(('0x' || substr(sha256('{salt}' || {key}), 1, 8))::BIGINT % {BUCKETS})"
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str, salt: str = "sample"
+) -> DataFrame:
+    """Keep rows whose bucket < fraction·BUCKETS — row-deterministic
+    sampling at per-mille resolution, stable under any repartitioning."""
+    cut = int(round(fraction * BUCKETS))
+    return df.filter(hash_bucket_expr(F.col(key_col).cast("string"), salt) < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-group sampling rates (the training-mix recipe: e.g. keep 100% of
+    one source, 10% of another). The rate lookup is a literal when-chain —
+    no join; groups absent from ``rates`` fall back to ``default_rate``."""
+    cut = F.lit(int(round(default_rate * BUCKETS)))
+    for g, r in sorted(rates.items()):
+        cut = F.when(F.col(group_col) == g, F.lit(int(round(r * BUCKETS)))).otherwise(cut)
+    return df.filter(hash_bucket_expr(F.col(key_col).cast("string"), salt) < cut)
+
+
+def sql_stratified_cut(rates: dict[str, float], group_col: str, default_rate: float = 0.0) -> str:
+    expr = str(int(round(default_rate * BUCKETS)))
+    for g, r in sorted(rates.items()):
+        expr = f"CASE WHEN {group_col} = '{g}' THEN {int(round(r * BUCKETS))} ELSE {expr} END"
+    return expr
+
+
+def split_expr(key: Column, test_fraction: float = 0.01, salt: str = "split") -> Column:
+    """'train' / 'test' assignment as a pure row function — independent of
+    the sampling buckets (different salt)."""
+    cut = int(round(test_fraction * BUCKETS))
+    return F.when(hash_bucket_expr(key, salt) < cut, F.lit("test")).otherwise(
+        F.lit("train")
+    )
+
+
+def sql_split(key: str, test_fraction: float = 0.01, salt: str = "split") -> str:
+    cut = int(round(test_fraction * BUCKETS))
+    return f"CASE WHEN {sql_hash_bucket(key, salt)} < {cut} THEN 'test' ELSE 'train' END"

@@ -186,3 +186,22 @@ def test_neardup_components_clusters_pairs(spark):
     )
     out = {r["id"]: r["component"] for r in neardup_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_deterministic_sample_stable_under_repartition(spark):
+    from connapse_spark.operators.sampling import deterministic_sample, split_expr
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in deterministic_sample(df, 0.3, "doc_id").collect()}
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(17), 0.3, "doc_id").collect()
+    }
+    assert s1 == s2  # pure row function: partitioning cannot change the set
+    assert 0.25 < len(s1) / 2000 < 0.35
+    # split is independent of the sample (different salt) and exhaustive
+    splits = df.select(
+        split_expr(F.col("doc_id").cast("string"), 0.1).alias("split")
+    ).groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in splits}
+    assert 0.05 < by["test"] / 2000 < 0.15 and by["train"] + by["test"] == 2000
