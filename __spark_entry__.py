@@ -263,6 +263,20 @@ ORDER BY doc_id
 """.strip()
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chop sequence packing per source (char budget 4096)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.pack_sequences(docs, 4096, "source", "doc_id", "n_chars")
+    return out.orderBy("source", "doc_id")
+
+
+def _sql_pack_sequences() -> str:
+    return (
+        sampling.sql_pack_sequences(4096, "source", "doc_id", "n_chars")
+        + "\nORDER BY source, doc_id"
+    )
+
+
 def q_cosine_adjacent(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id"), to_double_array("embedding").alias("_va"))
@@ -1065,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "neardup_groups": q_neardup_groups,
         "sample_mix": q_sample_mix,
+        "pack_sequences": q_pack_sequences,
         "cosine_adjacent": q_cosine_adjacent,
         "cache_misses": q_cache_misses,
         "embed_cached": q_embed_cached,
@@ -1136,6 +1151,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_cosine_lsh": similarity.sql_neardup_cosine_pairs_lsh(threshold=0.3, n_planes=4),
         "neardup_groups": similarity.sql_neardup_components_lsh(threshold=0.3, n_planes=4),
         "sample_mix": _sql_sample_mix(),
+        "pack_sequences": _sql_pack_sequences(),
         "cosine_adjacent": _SQL_COSINE_ADJACENT,
         "cache_misses": _SQL_CACHE_MISSES,
         "embed_cached": _sql_embed_cached(),

@@ -80,3 +80,75 @@ def split_expr(key: Column, test_fraction: float = 0.01, salt: str = "split") ->
 def sql_split(key: str, test_fraction: float = 0.01, salt: str = "split") -> str:
     cut = int(round(test_fraction * BUCKETS))
     return f"CASE WHEN {sql_hash_bucket(key, salt)} < {cut} THEN 'test' ELSE 'train' END"
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chop) for pretraining batches
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str,
+    key_col: str,
+    token_count_col: str,
+) -> DataFrame:
+    """Concat-and-chop sequence packing: within each group the documents are
+    concatenated in key order and the token stream is chopped every
+    ``budget_tokens`` — the standard pretraining packing (documents may
+    straddle a boundary; the trainer masks across the seam).
+
+    Pure window math — exclusive running token sum per group, then each
+    document spans sequences ⌊start/B⌋ .. ⌊(end−1)/B⌋:
+    (group, key, seq_first, seq_last, offset_in_seq n_seqs). The window
+    partitions by ``group_col``, so the cumsum is distributed across groups
+    — NEVER a global Window.orderBy (single-partition trap); at corpus
+    scale the group is (source, date-bucket) or similar, sized so one
+    group's stream fits a task.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(token_count_col).over(w), F.lit(0)).cast("bigint")
+    b = budget_tokens
+    with_start = df.select(
+        F.col(group_col), F.col(key_col), F.col(token_count_col), start.alias("start_tok")
+    )
+    # integer `div`, never float floor(x/y): a half-ulp rounding of the
+    # double quotient would shift a boundary at large stream offsets
+    return with_start.select(
+        group_col,
+        key_col,
+        token_count_col,
+        "start_tok",
+        F.expr(f"start_tok div {b}").alias("seq_first"),
+        F.expr(f"(start_tok + {token_count_col} - 1) div {b}").alias("seq_last"),
+        F.expr(f"start_tok % {b}").alias("offset_in_seq"),
+    )
+
+
+def sql_pack_sequences(
+    budget_tokens: int,
+    group_col: str,
+    key_col: str,
+    token_count_col: str,
+    table: str = "documents",
+) -> str:
+    start = (
+        f"CAST(coalesce(sum({token_count_col}) OVER ("
+        f"PARTITION BY {group_col} ORDER BY {key_col} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+    )
+    return f"""
+SELECT {group_col}, {key_col}, {token_count_col},
+       {start} AS start_tok,
+       {start} // {budget_tokens} AS seq_first,
+       ({start} + {token_count_col} - 1) // {budget_tokens} AS seq_last,
+       {start} % {budget_tokens} AS offset_in_seq
+FROM {table}
+""".strip()

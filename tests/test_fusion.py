@@ -205,3 +205,19 @@ def test_deterministic_sample_stable_under_repartition(spark):
     ).groupBy("split").count().collect()
     by = {r["split"]: r["count"] for r in splits}
     assert 0.05 < by["test"] / 2000 < 0.15 and by["train"] + by["test"] == 2000
+
+
+def test_pack_sequences_concat_and_chop(spark):
+    from connapse_spark.operators.sampling import pack_sequences
+
+    rows = [("s", i, n) for i, n in enumerate([60, 60, 100, 10, 250])]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n long")
+    out = {r["doc_id"]: r for r in pack_sequences(df, 100, "source", "doc_id", "n").collect()}
+    # stream offsets: 0, 60, 120, 220, 230
+    assert [out[i]["start_tok"] for i in range(5)] == [0, 60, 120, 220, 230]
+    assert (out[0]["seq_first"], out[0]["seq_last"]) == (0, 0)
+    assert (out[1]["seq_first"], out[1]["seq_last"]) == (0, 1)  # straddles
+    assert (out[2]["seq_first"], out[2]["seq_last"]) == (1, 2)
+    assert (out[3]["seq_first"], out[3]["seq_last"]) == (2, 2)
+    assert (out[4]["seq_first"], out[4]["seq_last"]) == (2, 4)  # spans 3 seqs
+    assert out[4]["offset_in_seq"] == 30
