@@ -277,6 +277,11 @@ def _sql_pack_sequences() -> str:
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-rule repetition signals: top-token / top-bigram ownership."""
+    return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_cosine_adjacent(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id"), to_double_array("embedding").alias("_va"))
@@ -1089,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "quality_stats": q_quality,
+        "repetition_stats": q_repetition_stats,
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
         "chunk_semantic": q_chunk_semantic,
@@ -1161,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": dedup.sql_minhash_lsh_pairs(threshold=0.2),
         "simhash": dedup.sql_simhash_fingerprints(),
         "quality_stats": textstats.sql_quality_stats() + " ORDER BY doc_id",
+        "repetition_stats": textstats.sql_repetition_stats(),
         "language_id": textstats.sql_language_id() + " ORDER BY doc_id",
         "fingerprint": textstats.sql_fingerprint() + " ORDER BY doc_id",
         "chunk_semantic": _sql_chunk_semantic("Percentile"),

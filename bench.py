@@ -43,12 +43,17 @@ BENCH_QUERIES = [
     "chunk_token_window",
     "chunk_doc_aware",
     "markdown_sections",
+    "chunk_recursive",
+    "chunk_sentence_aware",
     "chunk_semantic",
     "ingest_stats",
     "parse_text",
     "media_stats",
     "events_tumbling",
+    "events_sliding",
     "events_sessionize",
+    "sample_mix",
+    "pack_sequences",
     "mean_pool",
     "reindex_decisions",
     "sync_delta",

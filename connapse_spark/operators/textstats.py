@@ -152,3 +152,83 @@ SELECT {id_col},
                    (acc, v) -> (acc * 31 + v) % {HASH_MOD}) AS fingerprint
 FROM documents
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-rule repetition signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition signals per document — the Gopher-family filters that
+    quality_stats' length/stopword heuristics don't see: the fraction of
+    the document owned by its single most frequent token and by its most
+    frequent bigram (repetitive boilerplate scores high on both).
+
+    Plan: one explode of (token, next-token) pairs, two codegen'd
+    count-aggregations (by token and by bigram) reduced to per-doc
+    max/total, joined on doc id — partial aggregation combines map-side,
+    so the shuffles carry one row per DISTINCT term per doc, not per
+    occurrence."""
+    toks = tokens_exact_expr(F.col(text_col))
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    z = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.arrays_zip(toks.alias("t"), shifted.alias("t2"))
+        ).alias("_i", "p"),
+    ).select(
+        F.col(id_col),
+        F.col("p.t").alias("t"),
+        F.when(F.col("p.t2").isNotNull(), F.concat("p.t", F.lit(" "), "p.t2")).alias("bg"),
+    )
+    tok_counts = z.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("c"))
+    tok_agg = tok_counts.groupBy(id_col).agg(
+        F.max("c").alias("_max_tok"), F.sum("c").alias("_n_tok")
+    )
+    bg_counts = (
+        z.filter(F.col("bg").isNotNull())
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_agg = bg_counts.groupBy(id_col).agg(
+        F.max("c").alias("_max_bg"), F.sum("c").alias("_n_bg")
+    )
+    out = tok_agg.join(bg_agg, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        (F.col("_max_tok") / F.col("_n_tok")).alias("top_token_ratio"),
+        F.coalesce(F.col("_max_bg") / F.col("_n_bg"), F.lit(0.0)).alias(
+            "top_bigram_ratio"
+        ),
+    ).orderBy(id_col)
+
+
+def sql_repetition_stats(id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = sql_tokens_exact(text_col)
+    return f"""
+WITH z AS MATERIALIZED (
+  SELECT {id_col}, t,
+         CASE WHEN t2 IS NOT NULL THEN t || ' ' || t2 END AS bg
+  FROM (
+    SELECT {id_col}, unnest(ts) AS t,
+           unnest(list_append(ts[2:], NULL)) AS t2
+    FROM (SELECT {id_col}, {toks} AS ts FROM documents)
+  )
+),
+tok_agg AS (
+  SELECT {id_col}, max(c) AS max_tok, CAST(sum(c) AS BIGINT) AS n_tok
+  FROM (SELECT {id_col}, t, count(*) AS c FROM z GROUP BY 1, 2) GROUP BY 1
+),
+bg_agg AS (
+  SELECT {id_col}, max(c) AS max_bg, CAST(sum(c) AS BIGINT) AS n_bg
+  FROM (SELECT {id_col}, bg, count(*) AS c FROM z WHERE bg IS NOT NULL GROUP BY 1, 2) GROUP BY 1
+)
+SELECT t.{id_col},
+       t.max_tok / t.n_tok AS top_token_ratio,
+       coalesce(b.max_bg / b.n_bg, 0.0) AS top_bigram_ratio
+FROM tok_agg t LEFT JOIN bg_agg b ON t.{id_col} = b.{id_col}
+ORDER BY t.{id_col}
+""".strip()

@@ -221,3 +221,20 @@ def test_pack_sequences_concat_and_chop(spark):
     assert (out[3]["seq_first"], out[3]["seq_last"]) == (2, 2)
     assert (out[4]["seq_first"], out[4]["seq_last"]) == (2, 4)  # spans 3 seqs
     assert out[4]["offset_in_seq"] == 30
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from connapse_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "all words here are fully distinct tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["top_token_ratio"] == 1.0
+    assert out[1]["top_bigram_ratio"] == 1.0
+    assert out[2]["top_token_ratio"] < 0.2
+    assert out[2]["top_bigram_ratio"] < 0.2
