@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_prefix",
     "simhash",
     "quality_stats",
+    "repetition_stats",
     "fingerprint",
     "chunk_fixed_char",
     "chunk_token_window",

@@ -10,8 +10,10 @@ Scale design (100 TB):
    band-bucket self-join (shuffle on (band, bucket-hash)), NEVER a cross
    join. Verification re-computes exact Jaccard only on candidates.
  - n-gram Jaccard: inverted-index join on shingles (pairs sharing ≥1 shingle
-   are exactly the pairs with Jaccard > 0), with per-shingle frequency cap to
-   bound skew from stop-shingles.
+   are exactly the pairs with Jaccard > 0); skew from stop-shingles is
+   bounded by the size-window join predicate (inverted) and by rarest-first
+   prefix selection (prefix/PPJoin) — no frequency cap, both methods stay
+   EXACT.
  - simhash: per-row fingerprint (map-side), pairs via banded equality.
 Everything below is deterministic (sha256-derived hashes) and mirrored in
 DuckDB SQL for the oracle.
