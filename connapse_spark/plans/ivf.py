@@ -280,3 +280,59 @@ def ivf_recall_vs_exact(
     approx = {r["id"] for r in ann_ivf_topk(index, centroids, query_vec, k, nprobe).collect()}
     exact = {r[0] for r in exact_topk.limit(k).collect()}
     return len(approx & exact) / max(1, len(exact))
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Table-vs-table ANN join through the IVF index — the scale path for
+    large |Q| where the exact knn_join's per-partition scoring is too much
+    work: each query is routed to its ``nprobe`` nearest lists (cross join
+    against the BROADCAST centroid table — ≤100 rows by the lists policy),
+    then scored only against those lists' members.
+
+    Plan: queries ×_broadcast centroids → per-query top-nprobe lists
+    (window over ≤100 rows per query) → equi-join with the index ON
+    list_id (the index is partitioned by list_id, so with a stored index
+    this shuffles only the probe side) → exact cosine within the candidate
+    lists → per-query top-k window over nprobe/lists of the corpus.
+
+    Output: (query_id, id, score, rank) — approximate (recall dial =
+    nprobe), deterministic given the fitted centroids.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        to_double_array(F.col(query_vec_col)).alias("qvec"),
+    ).withColumn("qnorm", l2norm_expr(F.col("qvec")))
+    cj = q.crossJoin(F.broadcast(centroids))
+    cscore = F.when(
+        (l2norm_expr(F.col("centroid")) > 0.0) & (F.col("qnorm") > 0.0),
+        dot_expr(F.col("centroid"), F.col("qvec"))
+        / (l2norm_expr(F.col("centroid")) * F.col("qnorm")),
+    ).otherwise(F.lit(0.0))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_cscore"), F.col("list_id"))
+    routed = (
+        cj.select("query_id", "qvec", "qnorm", "list_id", cscore.alias("_cscore"))
+        .withColumn("_crk", F.row_number().over(wq))
+        .filter(F.col("_crk") <= nprobe)
+        .select("query_id", "qvec", "qnorm", "list_id")
+    )
+    score = F.when(
+        (F.col("norm") > 0.0) & (F.col("qnorm") > 0.0),
+        dot_expr(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")),
+    ).otherwise(F.lit(0.0))
+    scored = routed.join(index, "list_id").select(
+        "query_id", "id", score.alias("score")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -328,3 +328,32 @@ def test_native_sentence_aware_packs_whole_sentences(spark):
     # never splits a sentence: each chunk is whole sentences
     for c in contents:
         assert not c.startswith(" ") and not c.endswith(" ")
+
+
+def test_ivf_knn_join_recall_vs_exact(spark, sf_dir):
+    from connapse_spark.operators.similarity import knn_join
+    from connapse_spark.plans.ivf import build_ivf_index, ivf_knn_join
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    index, cents = build_ivf_index(emb, n_lists=4, seed=42)
+    index = index.cache()
+    exact = knn_join(queries, emb, k=5)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # probing every list IS exact
+    full = ivf_knn_join(queries, index, cents, k=5, nprobe=4)
+    got = {}
+    for r in full.collect():
+        got.setdefault(r["query_id"], set()).add(r["id"])
+    # exact knn_join excludes self-matches; the IVF join keeps them, so
+    # probing ALL lists must reproduce the exact top-5 minus the slot the
+    # self-match displaces
+    for q in ex:
+        assert len(ex[q] & (got[q] - {q})) >= 4
+    # fewer probes -> a valid (possibly lossier) subset discipline
+    one = ivf_knn_join(queries, index, cents, k=5, nprobe=1)
+    assert one.count() <= full.count()
+    assert {r["query_id"] for r in one.collect()} == set(range(8))
+    index.unpersist()
