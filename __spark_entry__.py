@@ -282,6 +282,25 @@ def q_repetition_stats(spark, sf_dir):
     return textstats.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_contamination(spark, sf_dir):
+    """Decontamination screen: docs sharing a 3-gram with the held-out set
+    (every 97th doc stands in for a benchmark suite)."""
+    docs = _t(spark, sf_dir, "documents")
+    held_out = docs.filter(F.col("doc_id") % 97 == 0)
+    blocklist = held_out.select(
+        F.explode(dedup.shingles_expr(F.col("text"), 3)).alias("s")
+    )
+    return dedup.contamination_check(docs, blocklist, n=3)
+
+
+def _sql_contamination() -> str:
+    bl = (
+        f"SELECT unnest({dedup.sql_shingles('text', 3)}) AS s "
+        "FROM documents WHERE doc_id % 97 = 0"
+    )
+    return dedup.sql_contamination_check(bl, n=3)
+
+
 def q_cosine_adjacent(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id"), to_double_array("embedding").alias("_va"))
@@ -1095,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "quality_stats": q_quality,
         "repetition_stats": q_repetition_stats,
+        "contamination": q_contamination,
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
         "chunk_semantic": q_chunk_semantic,
@@ -1168,6 +1188,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.sql_simhash_fingerprints(),
         "quality_stats": textstats.sql_quality_stats() + " ORDER BY doc_id",
         "repetition_stats": textstats.sql_repetition_stats(),
+        "contamination": _sql_contamination(),
         "language_id": textstats.sql_language_id() + " ORDER BY doc_id",
         "fingerprint": textstats.sql_fingerprint() + " ORDER BY doc_id",
         "chunk_semantic": _sql_chunk_semantic("Percentile"),

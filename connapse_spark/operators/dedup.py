@@ -677,3 +677,68 @@ def neardup_components(
             break
     edges.unpersist()
     return labels.select("id", F.col("label").alias("component")).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram membership vs a held-out blocklist)
+# ---------------------------------------------------------------------------
+
+
+def contamination_check(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_col: str = "s",
+) -> DataFrame:
+    """Screen a corpus against a held-out set: a document is contaminated
+    when it shares any n-gram shingle with the blocklist (the standard
+    "drop any training doc containing a test-set n-gram" rule).
+
+    Plan: explode the corpus shingles once, semi-join-count against the
+    blocklist (broadcast when it fits — benchmark suites are tiny next to
+    a corpus), left-join the hit counts back onto the ids so CLEAN
+    documents keep a row (n_hits 0) — a decontamination report must list
+    what it kept, not only what it dropped.
+
+    Output: (id, n_hits = distinct blocklisted shingles present,
+    contaminated flag)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
+    )
+    ex = sh.select("id", F.explode("sh").alias("s"))
+    bl = blocklist.select(F.col(shingle_col).alias("s")).distinct()
+    hits = (
+        ex.join(F.broadcast(bl), "s")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        sh.select("id")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("id")
+    )
+
+
+def sql_contamination_check(blocklist_sql: str, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Mirror; ``blocklist_sql`` is a SELECT yielding a column ``s``."""
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT {id_col} AS id, {sql_shingles(text_col, n)} AS sh FROM documents
+),
+ex AS (SELECT id, unnest(sh) AS s FROM sh),
+bl AS (SELECT DISTINCT s FROM ({blocklist_sql})),
+hits AS (
+  SELECT id, count(*) AS n_hits FROM ex JOIN bl USING (s) GROUP BY id
+)
+SELECT sh.id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM sh LEFT JOIN hits h ON sh.id = h.id
+ORDER BY sh.id
+""".strip()

@@ -238,3 +238,22 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[1]["top_bigram_ratio"] == 1.0
     assert out[2]["top_token_ratio"] < 0.2
     assert out[2]["top_bigram_ratio"] < 0.2
+
+
+def test_contamination_flags_ngram_overlap(spark):
+    from connapse_spark.operators.dedup import contamination_check
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely unrelated sentence lives here now"),
+            (3, "nothing shared with that quick brown fox run"),
+        ],
+        "doc_id long, text string",
+    )
+    bl = spark.createDataFrame([("quick brown fox",)], "s string")
+    out = {r["id"]: r for r in contamination_check(docs, bl, n=3).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert out[3]["contaminated"]  # shares the blocked 3-gram
+    assert len(out) == 3  # clean docs keep their row
