@@ -301,6 +301,33 @@ def _sql_contamination() -> str:
     return dedup.sql_contamination_check(bl, n=3)
 
 
+_SQL_PII_TEXT = (
+    "text || ' contact user' || doc_id || '@example.com or 10.0.' || (doc_id % 256) || '.7 tel +1555' || (1000000 + doc_id)"
+)
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrub over text with synthesized email/IP/phone per doc (the
+    corpus itself is clean)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' contact user', doc_id, '@example.com or 10.0.', "
+            "doc_id % 256, '.7 tel +1555', 1000000 + doc_id)"
+        ).alias("pii_text"),
+    )
+    out = textstats.redact_pii(docs, text_col="pii_text").orderBy("doc_id")
+    return _long(out, "n_email", "n_ipv4", "n_phone")
+
+
+def _sql_redact_pii() -> str:
+    table = f"(SELECT doc_id, {_SQL_PII_TEXT} AS pii_text FROM documents)"
+    return (
+        textstats.sql_redact_pii(text_col="pii_text", table=table)
+        + "\nORDER BY doc_id"
+    )
+
+
 def q_cosine_adjacent(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id"), to_double_array("embedding").alias("_va"))
@@ -1115,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stats": q_quality,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
+        "redact_pii": q_redact_pii,
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
         "chunk_semantic": q_chunk_semantic,
@@ -1189,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_stats": textstats.sql_quality_stats() + " ORDER BY doc_id",
         "repetition_stats": textstats.sql_repetition_stats(),
         "contamination": _sql_contamination(),
+        "redact_pii": _sql_redact_pii(),
         "language_id": textstats.sql_language_id() + " ORDER BY doc_id",
         "fingerprint": textstats.sql_fingerprint() + " ORDER BY doc_id",
         "chunk_semantic": _sql_chunk_semantic("Percentile"),

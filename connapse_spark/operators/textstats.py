@@ -232,3 +232,47 @@ SELECT t.{id_col},
 FROM tok_agg t LEFT JOIN bg_agg b ON t.{id_col} = b.{id_col}
 ORDER BY t.{id_col}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (map-side regex scrub)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 (DuckDB) interpret
+# identically: no backreferences, no lookaround, ASCII \b.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}", "<PHONE>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub emails / IPv4 addresses / international phone numbers to typed
+    placeholder tokens, with per-kind match counts — the pre-training
+    hygiene pass. Pure regexp_replace/regexp_count chain: map-side,
+    codegen'd, no shuffle; patterns are pinned to the Java∩RE2 dialect so
+    the DuckDB oracle applies the same automaton."""
+    out = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
+        out = F.regexp_replace(out, pat, token)
+    return docs.select(F.col(id_col), out.alias("redacted"), *counts)
+
+
+def sql_redact_pii(id_col: str = "doc_id", text_col: str = "text", table: str = "documents") -> str:
+    out = text_col
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        # DuckDB single-quoted strings pass backslashes through verbatim
+        counts.append(f"len(regexp_extract_all({text_col}, '{pat}')) AS n_{name}")
+        out = f"regexp_replace({out}, '{pat}', '{token}', 'g')"
+    cols = ",\n       ".join(counts)
+    return f"""
+SELECT {id_col}, {out} AS redacted,
+       {cols}
+FROM {table}
+""".strip()

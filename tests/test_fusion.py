@@ -257,3 +257,20 @@ def test_contamination_flags_ngram_overlap(spark):
     assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
     assert out[3]["contaminated"]  # shares the blocked 3-gram
     assert len(out) == 3  # clean docs keep their row
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from connapse_spark.operators.textstats import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test.org and 10.1.2.3 and +4912345678 done"),
+            (2, "no pii in this row"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> and <IP> and <PHONE> done"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[2]["redacted"] == "no pii in this row"
+    assert out[2]["n_email"] == 0
