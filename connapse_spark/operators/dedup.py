@@ -649,32 +649,45 @@ def neardup_components(
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
+    # labels only ever DECREASE, so the label-sum is strictly decreasing
+    # until convergence — comparing sums is the convergence test for the
+    # price of one aggregate over the just-materialized checkpoint, instead
+    # of a join-against-previous (which costs a shuffle per round)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("_nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+        stepped = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["src"], "left"
+        ).select(
+            labels["id"],
+            F.least(
+                labels["label"], F.coalesce(F.col("_nmin"), labels["label"])
+            ).alias("label"),
+        )
+        # pointer jumping (path doubling): follow the label's OWN label —
+        # label'(v) = label(label(v)) — so chains collapse in O(log D)
+        # rounds instead of O(D); one extra self-join per round
+        lref = stepped.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
+        labels = (
+            stepped.join(lref, stepped["label"] == lref["_lid"], "left")
             .select(
-                labels["id"],
+                stepped["id"],
                 F.least(
-                    labels["label"], F.coalesce(F.col("_nmin"), labels["label"])
+                    stepped["label"], F.coalesce(F.col("_llabel"), stepped["label"])
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select("id", F.col("label").alias("component")).orderBy("id")
 
