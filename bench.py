@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "events_sessionize",
     "sample_mix",
     "pack_sequences",
+    "contamination",
+    "redact_pii",
     "mean_pool",
     "reindex_decisions",
     "sync_delta",
