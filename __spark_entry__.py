@@ -328,6 +328,11 @@ def _sql_redact_pii() -> str:
     )
 
 
+def q_language_id_multi(spark, sf_dir):
+    """Per-language stopword fractions + argmax classification."""
+    return textstats.language_id_multi(_t(spark, sf_dir, "documents"))
+
+
 def q_cosine_adjacent(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id"), to_double_array("embedding").alias("_va"))
@@ -1143,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "redact_pii": q_redact_pii,
+        "language_id_multi": q_language_id_multi,
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
         "chunk_semantic": q_chunk_semantic,
@@ -1218,6 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": textstats.sql_repetition_stats(),
         "contamination": _sql_contamination(),
         "redact_pii": _sql_redact_pii(),
+        "language_id_multi": textstats.sql_language_id_multi(),
         "language_id": textstats.sql_language_id() + " ORDER BY doc_id",
         "fingerprint": textstats.sql_fingerprint() + " ORDER BY doc_id",
         "chunk_semantic": _sql_chunk_semantic("Percentile"),

@@ -276,3 +276,90 @@ SELECT {id_col}, {out} AS redacted,
        {cols}
 FROM {table}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Multi-language ID (per-language stopword scoring + argmax)
+# ---------------------------------------------------------------------------
+
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": EN_STOPWORDS,
+    "de": [
+        "der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+        "auf", "den", "von", "des", "im", "zu", "sich", "auch", "für",
+    ],
+    "fr": [
+        "le", "la", "les", "et", "est", "un", "une", "des", "du", "dans",
+        "pas", "pour", "que", "qui", "sur", "avec", "au", "ne",
+    ],
+    "es": [
+        "el", "la", "los", "las", "y", "es", "un", "una", "del", "en",
+        "no", "por", "para", "que", "con", "se", "su", "al",
+    ],
+}
+LANG_MIN_FRAC = 0.02
+
+
+def language_id_multi(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Multi-language stopword heuristic: one containment fraction per
+    language, classification = argmax (ties broken by language-code order),
+    'unknown' when the best fraction is under LANG_MIN_FRAC. One token
+    array, one filter pass per language — map-side.
+
+    A real deployment swaps the word lists for fastText/cld3 behind the
+    same (id, per-lang fracs, lang_pred) shape; the scoring and argmax
+    plumbing is what this operator pins down."""
+    toks = tokens_exact_expr(F.col(text_col))
+    n = F.size(toks)
+    langs = sorted(LANG_STOPWORDS)
+    fracs = {
+        lang: F.when(
+            n > 0,
+            F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang]))) / n,
+        ).otherwise(F.lit(0.0))
+        for lang in langs
+    }
+    best = F.greatest(*[fracs[lang] for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):  # earlier language wins ties
+        pred = F.when(
+            (best >= LANG_MIN_FRAC) & (fracs[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    return docs.select(
+        F.col(id_col),
+        *[fracs[lang].alias(f"frac_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+    ).orderBy(id_col)
+
+
+def sql_language_id_multi(id_col: str = "doc_id", text_col: str = "text") -> str:
+    langs = sorted(LANG_STOPWORDS)
+    toks = sql_tokens_exact(text_col)
+
+    def frac(lang: str) -> str:
+        words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        return (
+            f"CASE WHEN len(toks) > 0 THEN "
+            f"len(list_filter(toks, t -> t IN ({words}))) / len(toks) ELSE 0.0 END"
+        )
+
+    frac_cols = ",\n         ".join(f"{frac(lang)} AS frac_{lang}" for lang in langs)
+    best = "greatest(" + ", ".join(f"frac_{lang}" for lang in langs) + ")"
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        pred = (
+            f"CASE WHEN {best} >= {LANG_MIN_FRAC} AND frac_{lang} = {best} "
+            f"THEN '{lang}' ELSE {pred} END"
+        )
+    cols = ", ".join(f"frac_{lang}" for lang in langs)
+    return f"""
+SELECT {id_col}, {cols}, {pred} AS lang_pred
+FROM (
+  SELECT {id_col},
+         {frac_cols}
+  FROM (SELECT {id_col}, {toks} AS toks FROM documents)
+)
+ORDER BY {id_col}
+""".strip()

@@ -274,3 +274,20 @@ def test_redact_pii_scrubs_and_counts(spark):
     assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
     assert out[2]["redacted"] == "no pii in this row"
     assert out[2]["n_email"] == 0
+
+
+def test_language_id_multi_argmax(spark):
+    from connapse_spark.operators.textstats import language_id_multi
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it was good for him"),
+            (2, "der hund ist nicht mit der katze auf der wiese"),
+            (3, "le chat est dans la maison avec les enfants du village"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id_multi(docs).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
+    assert out[4] == "unknown"
