@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 
 from connapse_spark.functions.vector import (
     array_digest_cols,
+    dequantize_expr,
+    quantize_expr,
+    sql_quantize_codes,
+    sql_quantize_scale,
     cosine_expr,
     sql_array_digest,
     sql_cosine,
@@ -331,6 +335,44 @@ def _sql_redact_pii() -> str:
 def q_language_id_multi(spark, sf_dir):
     """Per-language stopword fractions + argmax classification."""
     return textstats.language_id_multi(_t(spark, sf_dir, "documents"))
+
+
+def q_embed_quantized(spark, sf_dir):
+    """Int8 scalar quantization round-trip: per-vector scale, code digests,
+    and max reconstruction error (the 4x-memory index storage path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    q = quantize_expr(v)
+    deq = dequantize_expr(q)
+    err = F.array_max(F.zip_with(v, deq, lambda a, b: F.abs(a - b)))
+    codes = q["codes"]
+    out = emb.select(
+        "vec_id",
+        q["scale"].alias("scale"),
+        F.aggregate(codes, F.lit(0), lambda a, c: a + c).cast("long").alias("code_sum"),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+        err.alias("max_abs_err"),
+    ).orderBy("vec_id")
+    return _long(out, "code_min", "code_max")
+
+
+def _sql_embed_quantized() -> str:
+    v = "CAST(embedding AS DOUBLE[])"
+    scale = sql_quantize_scale("v")
+    codes = sql_quantize_codes("v")
+    return f"""
+WITH q AS (
+  SELECT vec_id, v, {scale} AS scale, {codes} AS codes
+  FROM (SELECT vec_id, {v} AS v FROM embeddings)
+)
+SELECT vec_id, scale,
+       CAST(list_reduce(list_prepend(0, codes), (a, c) -> a + c) AS BIGINT) AS code_sum,
+       CAST(list_min(codes) AS BIGINT) AS code_min,
+       CAST(list_max(codes) AS BIGINT) AS code_max,
+       list_max(list_transform(range(1, len(v) + 1), i -> abs(v[i] - codes[i] * scale))) AS max_abs_err
+FROM q ORDER BY vec_id
+""".strip()
 
 
 def q_cosine_adjacent(spark, sf_dir):
@@ -1149,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "redact_pii": q_redact_pii,
         "language_id_multi": q_language_id_multi,
+        "embed_quantized": q_embed_quantized,
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
         "chunk_semantic": q_chunk_semantic,
@@ -1225,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": _sql_contamination(),
         "redact_pii": _sql_redact_pii(),
         "language_id_multi": textstats.sql_language_id_multi(),
+        "embed_quantized": _sql_embed_quantized(),
         "language_id": textstats.sql_language_id() + " ORDER BY doc_id",
         "fingerprint": textstats.sql_fingerprint() + " ORDER BY doc_id",
         "chunk_semantic": _sql_chunk_semantic("Percentile"),

@@ -101,3 +101,41 @@ def sql_array_digest(c: str, prefix: str) -> str:
         f"list_min({c}) AS {prefix}_min, "
         f"list_max({c}) AS {prefix}_max"
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization — 4x index memory at equal plan shapes
+# ---------------------------------------------------------------------------
+
+
+def quantize_expr(vec: Column) -> Column:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127, code =
+    round(x / scale) ∈ [-127, 127] (scale 0 → all-zero codes). Stored as
+    array<int> codes + one double scale; a 64-dim float64 row shrinks 4×+
+    (codes pack to bytes on parquet). Map-side HOFs; the distance math
+    stays JVM-side via dequantize_expr."""
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    codes = F.when(
+        amax > 0.0,
+        F.transform(vec, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0)))
+    return F.struct(codes.alias("codes"), scale.alias("scale"))
+
+
+def dequantize_expr(q: Column) -> Column:
+    """codes · scale → approximate vector (exact arithmetic both engines)."""
+    return F.transform(q["codes"], lambda c: c * q["scale"])
+
+
+def sql_quantize_scale(vec: str) -> str:
+    return f"(list_max(list_transform({vec}, x -> abs(x))) / 127.0)"
+
+
+def sql_quantize_codes(vec: str) -> str:
+    scale = sql_quantize_scale(vec)
+    return (
+        f"CASE WHEN list_max(list_transform({vec}, x -> abs(x))) > 0.0 "
+        f"THEN list_transform({vec}, x -> CAST(round(x / {scale}) AS INT)) "
+        f"ELSE list_transform({vec}, x -> 0) END"
+    )

@@ -357,3 +357,24 @@ def test_ivf_knn_join_recall_vs_exact(spark, sf_dir):
     assert one.count() <= full.count()
     assert {r["query_id"] for r in one.collect()} == set(range(8))
     index.unpersist()
+
+
+def test_int8_quantize_roundtrip_error_bound(spark, sf_dir):
+    from connapse_spark.functions.vector import (
+        dequantize_expr,
+        quantize_expr,
+        to_double_array,
+    )
+
+    emb = _emb(spark, sf_dir)
+    v = to_double_array(F.col("embedding"))
+    q = quantize_expr(v)
+    rows = emb.select(
+        q["scale"].alias("scale"),
+        q["codes"].alias("codes"),
+        F.array_max(F.zip_with(v, dequantize_expr(q), lambda a, b: F.abs(a - b))).alias("err"),
+    ).collect()
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        # symmetric quantizer: reconstruction error <= half a step
+        assert r["err"] <= r["scale"] / 2 + 1e-12
