@@ -919,3 +919,48 @@ def hybrid_search(
     if options.auto_cut:
         fused = auto_cut(fused, id_col="id")
     return fused.orderBy(F.desc("score"), F.col("id")).limit(options.top_k)
+
+
+def vector_knn_quantized(
+    quantized: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Exact-shape KNN over an int8-quantized index
+    (functions/vector.quantize_expr): the query is quantized driver-side
+    with the same symmetric scheme, the score is the INTEGER code dot
+    product rescaled by both scales and normalized by the code norms —
+    cosine of the dequantized vectors without materializing them. Same
+    plan as vector_knn (scan → project → TakeOrderedAndProject), ~4× less
+    index IO; ranking is approximate within quantization error.
+    """
+    amax = max(abs(x) for x in query_vec) or 1.0
+    qscale = amax / 127.0
+    qcodes = [int(round(x / qscale)) for x in query_vec] if amax > 0 else [0] * len(query_vec)
+    qarr = F.array(*[F.lit(c) for c in qcodes])
+    qnorm = sum(c * c for c in qcodes) ** 0.5
+    codes = F.col(codes_col)
+    idot = F.aggregate(
+        F.zip_with(codes, qarr, lambda a, b: (a * b).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform(codes, lambda c: (c * c).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+    )
+    score = F.when(
+        (cnorm > 0.0) & (F.lit(qnorm) > 0.0),
+        idot.cast("double") / (cnorm * F.lit(qnorm)),
+    ).otherwise(F.lit(0.0))
+    return (
+        quantized.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

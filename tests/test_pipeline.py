@@ -378,3 +378,19 @@ def test_int8_quantize_roundtrip_error_bound(spark, sf_dir):
         assert all(-127 <= c <= 127 for c in r["codes"])
         # symmetric quantizer: reconstruction error <= half a step
         assert r["err"] <= r["scale"] / 2 + 1e-12
+
+
+def test_quantized_knn_recall_vs_exact(spark, sf_dir):
+    from connapse_spark.functions.vector import quantize_expr, to_double_array
+    from connapse_spark.operators.search import vector_knn, vector_knn_quantized
+
+    emb = _emb(spark, sf_dir)
+    qv = embed_py(QUERY, 64)
+    exact = {r["vec_id"] for r in vector_knn(emb, qv, k=10, id_col="vec_id").collect()}
+    q = quantize_expr(to_double_array(F.col("embedding")))
+    qidx = emb.select(
+        "vec_id", q["codes"].alias("codes"), q["scale"].alias("scale")
+    )
+    approx = {r["vec_id"] for r in vector_knn_quantized(qidx, qv, k=10).collect()}
+    # int8 cosine keeps most of the exact top-10
+    assert len(exact & approx) >= 8
