@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "pack_sequences",
     "contamination",
     "redact_pii",
+    "language_id_multi",
+    "embed_quantized",
     "mean_pool",
     "reindex_decisions",
     "sync_delta",
