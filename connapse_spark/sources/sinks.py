@@ -113,3 +113,32 @@ def read_postings_for_terms(spark: SparkSession, path: str, terms: list[str]) ->
         .collect()
     ]
     return df.filter(bucket_col.isin(buckets) & term_col.isin(terms))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables — shuffle-free co-located joins
+# ---------------------------------------------------------------------------
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED managed table: rows are hash-distributed into
+    ``n_buckets`` files by ``bucket_col`` at write time, so two tables
+    bucketed the same way join WITHOUT a shuffle — Catalyst recognizes the
+    matching output partitioning and plans SortMergeJoin with zero
+    Exchange. This is the 100 TB answer for the recurring chunk ⋈ vector
+    join (both sides bucketed by chunk_id): the shuffle is paid ONCE at
+    ingest, then every join/groupBy on the bucket key is free.
+
+    Bucketing requires the table catalog (``saveAsTable``), not a bare
+    parquet path — bucket metadata lives in the catalog entry."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)

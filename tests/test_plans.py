@@ -225,3 +225,27 @@ def test_salted_join_matches_plain_join_and_spreads_key(spark):
     # plan joins on (k, _salt): the salt is part of the join key
     plan = _plan(salted_join(probe, build, "k", n_salts=8))
     assert SALT_COL in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must SortMergeJoin with ZERO
+    Exchange — the paid-once-at-ingest co-location contract."""
+    from connapse_spark.sources import sinks
+
+    # warehouse.dir is a static conf — managed tables land in the default
+    # warehouse and are dropped (files removed) in the finally block
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+        emb = _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"), "label")
+        sinks.write_bucketed(docs, "b_docs", "doc_id", n_buckets=8, sort_col="doc_id")
+        sinks.write_bucketed(emb, "b_emb", "doc_id", n_buckets=8, sort_col="doc_id")
+        j = spark.table("b_docs").join(spark.table("b_emb"), "doc_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan  # bucketing replaces the shuffle
+        assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_emb")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
