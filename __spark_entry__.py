@@ -182,6 +182,16 @@ def q_hybrid_filtered(spark, sf_dir):
 _HYBRID_WHERE = "lang = 'en' AND source IN ('src1', 'src2', 'src3')"
 
 
+def q_semantic_cross_model(spark, sf_dir):
+    """Q7 end-to-end: Semantic mode + cross-model flag resolves to Hybrid
+    (search.resolve_mode), so the keyword branch covers legacy-model docs —
+    the oracle is the full hybrid pipeline."""
+    from connapse_spark.operators.search import resolve_mode
+
+    mode = resolve_mode("Semantic", enable_cross_model=True)
+    return _hybrid(spark, sf_dir, mode=mode)
+
+
 def q_semantic_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     opts = SearchOptions(top_k=10, mode="Semantic")
@@ -998,6 +1008,11 @@ def q_events_sliding(spark, sf_dir):
     return events.sliding_agg(events.load_events(spark, sf_dir))
 
 
+def q_events_top_types(spark, sf_dir):
+    df = events.top_event_types(events.load_events(spark, sf_dir))
+    return _long(df, "rank")
+
+
 def q_events_sessionize(spark, sf_dir):
     df = events.sessionize(events.load_events(spark, sf_dir))
     return _long(df, "n_sessions")
@@ -1171,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_filtered": q_hybrid_filtered,
         "hybrid_minscore": q_hybrid_minscore,
         "semantic_topk": q_semantic_topk,
+        "semantic_cross_model": q_semantic_cross_model,
         "mean_pool": q_mean_pool,
         "knn_join": q_knn_join,
         "neardup_cosine": q_neardup_cosine,
@@ -1207,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_browser": q_file_browser,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
+        "events_top_types": q_events_top_types,
         "events_sessionize": q_events_sessionize,
         "latest_event": q_latest_event,
         "reindex_decisions": q_reindex_decisions,
@@ -1245,6 +1262,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hybrid_minscore": oracle.hybrid_sql(SEARCH_QUERY, min_score=0.3, stored_vectors=True),
         "semantic_topk": _sql_semantic_topk(),
+        "semantic_cross_model": oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True),
         "mean_pool": (
             f"SELECT label, n_vectors, {sql_array_digest('centroid', 'centroid')} "
             f"FROM ({similarity.sql_mean_pool_by()}) ORDER BY label"
@@ -1284,6 +1302,7 @@ def oracle_sql() -> dict[str, str]:
         "file_browser": analytics.sql_file_browser(),
         "events_tumbling": events.sql_tumbling_agg(),
         "events_sliding": events.sql_sliding_agg(),
+        "events_top_types": events.sql_top_event_types(),
         "events_sessionize": events.sql_sessionize(),
         "latest_event": events.sql_latest_event_per_user(),
         "reindex_decisions": _SQL_REINDEX,

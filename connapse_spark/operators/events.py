@@ -150,6 +150,48 @@ GROUP BY user_id ORDER BY user_id
 """.strip()
 
 
+def top_event_types(
+    events: DataFrame, granularity: str = "hour", k: int = 3
+) -> DataFrame:
+    """Top-k event types per tumbling window by count (ties → type order):
+    grouped counts, then a per-window rank — the canonical "trending items
+    per window" analytic. The input is repartitioned by the WINDOW alone
+    first: aggregation only requires clustering on a subset of its group
+    keys, so both the (window, type) groupBy and the rank window reuse
+    that single exchange (verified: one hashpartitioning in the plan; the
+    naive formulation shuffles twice)."""
+    win = F.date_format(
+        F.date_trunc(granularity, F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+    )
+    counts = (
+        events.repartition(win)
+        .groupBy(win.alias("window_start"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("window_start", "rank")
+    )
+
+
+def sql_top_event_types(granularity: str = "hour", k: int = 3) -> str:
+    return f"""
+SELECT window_start, event_type, n_events, rank FROM (
+  SELECT window_start, event_type, n_events,
+         row_number() OVER (PARTITION BY window_start ORDER BY n_events DESC, event_type) AS rank
+  FROM (
+    SELECT strftime(date_trunc('{granularity}', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+  )
+) WHERE rank <= {k} ORDER BY window_start, rank
+""".strip()
+
+
 def latest_event_per_user(events: DataFrame) -> DataFrame:
     """M5 last-writer-wins (IngestionPipeline.cs:164-176 generation guard →
     batch form): row_number over (partition key order by recency desc) = 1.

@@ -249,3 +249,13 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_emb")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_top_event_types_single_hash_exchange(spark, sf_dir):
+    """Pre-partitioning by the window alone lets the (window, type) groupBy
+    AND the rank window share one exchange."""
+    from connapse_spark.operators import events
+
+    df = events.top_event_types(events.load_events(spark, sf_dir))
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
