@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "media_stats",
     "events_tumbling",
     "events_sliding",
+    "events_top_types",
     "events_sessionize",
     "sample_mix",
     "pack_sequences",
