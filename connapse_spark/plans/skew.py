@@ -48,6 +48,9 @@ def salted_join(
     """
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1 (got {n_salts})")
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        # right/full joins would emit every unmatched BUILD row once per salt
+        raise ValueError(f"salted_join supports inner/left joins only (got {how!r})")
     salt_cols = [F.col(c) for c in (salt_on or [c for c in probe.columns if c != key])]
     if not salt_cols:  # key-only frame: fall back to spreading by the key
         salt_cols = [F.col(key)]

@@ -259,3 +259,14 @@ def test_top_event_types_single_hash_exchange(spark, sf_dir):
     df = events.top_event_types(events.load_events(spark, sf_dir))
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_salted_join_rejects_right_joins(spark):
+    import pytest as _pytest
+
+    from connapse_spark.plans.skew import salted_join
+
+    probe = spark.createDataFrame([(1, "p")], "k int, payload string")
+    build = spark.createDataFrame([(1, "b")], "k int, attr string")
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(probe, build, "k", how="full")
