@@ -40,10 +40,12 @@ from connapse_spark.operators.search import (
     fake_cross_encoder_expr,
     hybrid_search,
     keyword_search,
+    keyword_search_bm25,
     keyword_search_proximity,
     keyword_search_websearch,
     rerank,
     sql_fake_cross_encoder,
+    sql_keyword_bm25,
     window_substitution,
     sql_keyword_proximity,
     sql_keyword_websearch,
@@ -132,6 +134,19 @@ def q_keyword_proximity(spark, sf_dir):
     """Q3 cover-density variant: TF + adjacent-pair 1/mindist bonuses."""
     docs = _t(spark, sf_dir, "documents")
     return keyword_search_proximity(docs, SEARCH_QUERY, k=20)
+
+
+def q_keyword_bm25(spark, sf_dir):
+    """Q3 extension: Okapi BM25 over stemmed tokens (one corpus pass +
+    one-row stats broadcast)."""
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_search_bm25(docs, SEARCH_QUERY, k=20)
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Fusion extension: reciprocal-rank fusion of the stored-vector and
+    keyword branches (rank-only, normalization-free)."""
+    return _hybrid(spark, sf_dir, fusion="Rrf")
 
 
 def _vectors(spark, sf_dir):
@@ -1180,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": q_keyword_search,
         "keyword_websearch": q_keyword_websearch,
         "keyword_proximity": q_keyword_proximity,
+        "keyword_bm25": q_keyword_bm25,
+        "hybrid_rrf": q_hybrid_rrf,
         "hybrid_cc": q_hybrid_cc,
         "hybrid_dbsf": q_hybrid_dbsf,
         "hybrid_autocut": q_hybrid_autocut,
@@ -1254,6 +1271,8 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": oracle.keyword_sql(SEARCH_QUERY, k=20),
         "keyword_websearch": sql_keyword_websearch(WEBSEARCH_QUERY, k=20),
         "keyword_proximity": sql_keyword_proximity(SEARCH_QUERY, k=20),
+        "keyword_bm25": sql_keyword_bm25(SEARCH_QUERY, k=20),
+        "hybrid_rrf": oracle.rrf_sql(SEARCH_QUERY),
         "hybrid_cc": oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True),
         "hybrid_dbsf": oracle.hybrid_sql(SEARCH_QUERY, method="Dbsf", stored_vectors=True),
         "hybrid_autocut": oracle.hybrid_sql(SEARCH_QUERY, autocut=True, stored_vectors=True),

@@ -574,6 +574,121 @@ ORDER BY score DESC, {id_col} LIMIT {k}
 
 
 # ---------------------------------------------------------------------------
+# Keyword extension — BM25 (the idiomatic Spark IR scorer, SURVEY.md §2.6 Q3)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def keyword_search_bm25(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Okapi BM25 over the stemmed token arrays ('english'-config analogue;
+    Lucene likewise scores the stemmed field). Extension beyond the
+    reference's ts_rank_cd (KeywordSearchService.cs:73-91) — BM25 is the
+    scorer a Spark-first IR stack would use, per SURVEY §2.6 Q3's mapping.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with
+    Lucene's non-negative idf ``ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    Plan shape: ONE corpus pass computes per-term tf (integer containment
+    counts) and doc length; corpus stats (N, Σdl, per-term df) are a single
+    map-side-partial aggregate producing ONE row, broadcast back with a
+    cross join. All integer sums, so the stats are bit-exact regardless of
+    partition order — the FP work (idf, saturation) happens once per row in
+    a fixed expression order mirrored by the DuckDB oracle. Two jobs, no
+    corpus shuffle; the top-k is TakeOrderedAndProject.
+    """
+    terms = sorted({stem_py(t) for t in tokenize_py(query)})
+    base = docs.select(
+        F.col(id_col),
+        tokens_stemmed_expr(F.col(text_col)).alias("_ts"),
+    ).withColumn("_dl", F.size("_ts"))
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum(F.array_contains("_ts", t).cast("long")).alias(f"_df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("_dl").cast("double") / avgdl))
+    def _tf(term):
+        # single-arg lambda: a two-arg lambda (even via default binding)
+        # selects F.filter's (element, index) overload and breaks the predicate
+        return F.size(F.filter("_ts", lambda x: x == F.lit(term))).cast("double")
+
+    score = None
+    for i, t in enumerate(terms):
+        tf = _tf(t)
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n").cast("double") - F.col(f"_df_{i}").cast("double") + F.lit(0.5))
+            / (F.col(f"_df_{i}").cast("double") + F.lit(0.5))
+        )
+        part = idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+        score = part if score is None else score + part
+    return (
+        scored.select(F.col(id_col), score.alias("score"))
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sql_keyword_bm25(
+    query: str,
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    from connapse_spark.functions.text import sql_tokens_stemmed
+
+    terms = sorted({stem_py(t) for t in tokenize_py(query)})
+    df_cols = ", ".join(
+        f"sum(CASE WHEN list_contains(ts, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    norm = f"({k1!r} * (1.0 - {b!r} + {b!r} * (CAST(dl AS DOUBLE) / avgdl)))"
+    parts = []
+    for i, t in enumerate(terms):
+        tf = f"CAST(len(list_filter(ts, x -> x = '{t}')) AS DOUBLE)"
+        idf = f"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        parts.append(f"{idf} * ({tf} * {k1 + 1.0!r}) / ({tf} + {norm})")
+    score = "(" + " + ".join(parts) + ")"
+    return f"""
+WITH base AS (
+  SELECT {id_col}, ts, len(ts) AS dl FROM (
+    SELECT {id_col}, {sql_tokens_stemmed(text_col)} AS ts FROM {table}
+  )
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sumdl, {df_cols} FROM base
+),
+scored AS (
+  SELECT {id_col}, {score} AS score
+  FROM base, (SELECT *, CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl FROM stats)
+)
+SELECT {id_col}, score FROM scored WHERE score > 0.0
+ORDER BY score DESC, {id_col} LIMIT {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # Q5/Q6 — fusion
 # ---------------------------------------------------------------------------
 
@@ -676,6 +791,56 @@ def fuse(
         ).alias("score"),
         F.coalesce(F.col("vector_score"), F.lit(0.0)).alias("vector_score"),
         F.coalesce(F.col("keyword_score"), F.lit(0.0)).alias("keyword_score"),
+        F.when(in_v & in_k, "both").when(in_v, "vector").otherwise("keyword").alias("source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fusion extension — reciprocal-rank fusion (RRF)
+# ---------------------------------------------------------------------------
+
+
+def fuse_rrf(
+    vector_hits: DataFrame,
+    keyword_hits: DataFrame,
+    k0: int = 60,
+    id_col: str = "id",
+) -> DataFrame:
+    """Reciprocal-rank fusion — the baseline the reference's own docs
+    benchmark ConvexCombination against (docs/architecture.md:444, citing
+    Bruch et al., ACM TOIS 2023). Not a reference operator; shipped as a
+    first-class fusion extension because every hybrid-search user asks for it.
+
+    ``score = Σ_branches 1 / (k0 + rank)`` with rank assigned per branch by
+    (score desc, id). Rank-only, so it needs no score normalization and is
+    immune to scale mismatch between branches. Output mirrors ``fuse``:
+    (id, score, vector_rank, keyword_rank, source); a missing side
+    contributes 0 and rank 0.
+
+    The row_number windows ride the post-limit single-partition hit lists
+    (≤ k rows) — no corpus-scale shuffle, same as _minmax_normalize.
+    """
+    w = Window.partitionBy().orderBy(F.desc("score"), F.col(id_col))
+    v = (
+        vector_hits.select(F.col(id_col), F.col("score"))
+        .withColumn("vector_rank", F.row_number().over(w).cast("bigint"))
+        .drop("score")
+    )
+    kw = (
+        keyword_hits.select(F.col(id_col), F.col("score"))
+        .withColumn("keyword_rank", F.row_number().over(w).cast("bigint"))
+        .drop("score")
+    )
+    merged = v.join(kw, on=id_col, how="full_outer")
+    in_v = F.col("vector_rank").isNotNull()
+    in_k = F.col("keyword_rank").isNotNull()
+    rrf_v = F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("vector_rank")), F.lit(0.0))
+    rrf_k = F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("keyword_rank")), F.lit(0.0))
+    return merged.select(
+        F.col(id_col),
+        (rrf_v + rrf_k).alias("score"),
+        F.coalesce(F.col("vector_rank"), F.lit(0).cast("bigint")).alias("vector_rank"),
+        F.coalesce(F.col("keyword_rank"), F.lit(0).cast("bigint")).alias("keyword_rank"),
         F.when(in_v & in_k, "both").when(in_v, "vector").otherwise("keyword").alias("source"),
     )
 
@@ -910,6 +1075,8 @@ def hybrid_search(
         fused = v_hits.withColumn("source", F.lit("vector"))
     elif options.mode == "Keyword":
         fused = k_hits.withColumn("source", F.lit("keyword"))
+    elif options.fusion == "Rrf":
+        fused = fuse_rrf(v_hits, k_hits, id_col="id")
     else:
         fused = fuse(v_hits, k_hits, options.fusion_alpha, options.fusion, id_col="id")
 

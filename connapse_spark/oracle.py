@@ -233,3 +233,38 @@ kept AS (
 SELECT id AS {id_col}, score, vector_score, keyword_score, source
 FROM kept ORDER BY score DESC, id LIMIT {top_k}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion (extension — operators.search.fuse_rrf)
+# ---------------------------------------------------------------------------
+
+
+def rrf_sql(
+    query: str,
+    top_k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+    dims: int = 64,
+) -> str:
+    """Mirror of hybrid_search(fusion='Rrf') over stored vectors: per-branch
+    row_number ranks by (score desc, id), score = Σ 1/(k0+rank)."""
+    return f"""
+WITH v AS ({vector_cte_stored(query, top_k, dims)}
+),
+kw AS ({keyword_cte(query, top_k)}
+),
+vr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS vector_rank FROM v),
+kr AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS keyword_rank FROM kw),
+fused AS (
+  SELECT coalesce(vr.id, kr.id) AS id,
+         coalesce(1.0 / ({k0} + vector_rank), 0.0) + coalesce(1.0 / ({k0} + keyword_rank), 0.0) AS score,
+         coalesce(vector_rank, 0) AS vector_rank,
+         coalesce(keyword_rank, 0) AS keyword_rank,
+         CASE WHEN vr.id IS NOT NULL AND kr.id IS NOT NULL THEN 'both'
+              WHEN vr.id IS NOT NULL THEN 'vector' ELSE 'keyword' END AS source
+  FROM vr FULL OUTER JOIN kr ON vr.id = kr.id
+)
+SELECT id AS {id_col}, score, vector_rank, keyword_rank, source
+FROM fused ORDER BY score DESC, id LIMIT {top_k}
+""".strip()
