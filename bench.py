@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     "keyword_search",
     "keyword_websearch",
     "keyword_proximity",
+    "keyword_bm25",
+    "hybrid_rrf",
     "semantic_topk",
     "ann_lsh",
     "knn_join",

@@ -291,3 +291,41 @@ def test_language_id_multi_argmax(spark):
     out = {r["doc_id"]: r["lang_pred"] for r in language_id_multi(docs).collect()}
     assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
     assert out[4] == "unknown"
+
+
+def test_rrf_rank_only_and_tags(spark):
+    from connapse_spark.operators.search import fuse_rrf
+
+    out = fuse_rrf(_hits(spark, VEC), _hits(spark, KW)).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(by_id) == 5
+    # c2 is rank 1 keyword + rank 2 vector -> highest RRF mass
+    assert max(out, key=lambda r: r["score"])["id"] == "c2"
+    assert by_id["c2"]["source"] == "both"
+    assert by_id["c1"]["source"] == "vector" and by_id["c1"]["keyword_rank"] == 0
+    assert abs(by_id["c2"]["score"] - (1 / 62 + 1 / 61)) < 1e-12
+    # rank-only: scaling one branch's scores by 1000x changes nothing
+    scaled = _hits(spark, [(i, s * 1000) for i, s in VEC])
+    out2 = {r["id"]: r["score"] for r in fuse_rrf(scaled, _hits(spark, KW)).collect()}
+    assert all(abs(out2[i] - by_id[i]["score"]) < 1e-12 for i in by_id)
+
+
+def test_bm25_idf_and_length_normalization(spark):
+    from connapse_spark.operators.search import keyword_search_bm25
+
+    filler = " ".join(["filler"] * 40)
+    docs = spark.createDataFrame(
+        [
+            (1, "index rebuild finished"),             # both terms, short doc
+            (2, f"index rebuild finished {filler}"),   # both terms, long doc
+            (3, "index maintenance window"),            # common term only
+            (4, "nothing relevant here"),
+            (5, "index of topics"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["score"] for r in keyword_search_bm25(docs, "index rebuild", k=10).collect()}
+    assert 4 not in out                    # zero-score rows are dropped
+    assert out[1] > out[2]                 # length normalization: short doc wins
+    assert out[2] > out[3]                 # rare term (rebuild) outweighs common (index)
+    assert out[3] > 0.0 and out[5] > 0.0   # idf stays non-negative (Lucene form)
