@@ -533,6 +533,34 @@ def q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+LINE_DELIM = " line "  # synthetic corpus has no newlines; same plan, token delimiter
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb line-wise boilerplate removal (segments recurring in
+    >= 3 distinct docs are stripped; 41 segments hit at sf0.01)."""
+    return dedup.line_dedup(
+        _t(spark, sf_dir, "documents"), min_docs=3, delimiter=LINE_DELIM
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-5 characteristic terms per doc by tf·ln(N/df) over stemmed tokens."""
+    return textstats.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
+def q_cluster_assign(spark, sf_dir):
+    """One Lloyd assignment step against the 8 lowest-id seed vectors —
+    the oracle-checkable kernel under the rows-only ann_ivf path."""
+    return similarity.cluster_assign(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+def q_cluster_sizes(spark, sf_dir):
+    """Cluster population histogram + exact score extrema for the same
+    deterministic seed clustering."""
+    return similarity.cluster_sizes(_t(spark, sf_dir, "embeddings"), k=8)
+
+
 # ---------------------------------------------------------------------------
 # Chunking (oracle-checkable column-expression tier)
 # ---------------------------------------------------------------------------
@@ -1227,6 +1255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantized": q_embed_quantized,
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
+        "line_dedup": q_line_dedup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "cluster_assign": q_cluster_assign,
+        "cluster_sizes": q_cluster_sizes,
         "chunk_semantic": q_chunk_semantic,
         "chunk_semantic_stddev": q_chunk_semantic_stddev,
         "chunk_semantic_gradient": q_chunk_semantic_gradient,
@@ -1308,6 +1340,10 @@ def oracle_sql() -> dict[str, str]:
         "embed_quantized": _sql_embed_quantized(),
         "language_id": textstats.sql_language_id() + " ORDER BY doc_id",
         "fingerprint": textstats.sql_fingerprint() + " ORDER BY doc_id",
+        "line_dedup": dedup.sql_line_dedup(min_docs=3, delimiter=LINE_DELIM),
+        "tfidf_top_terms": textstats.sql_tfidf_top_terms(k=5),
+        "cluster_assign": similarity.sql_cluster_assign(k=8),
+        "cluster_sizes": similarity.sql_cluster_sizes(k=8),
         "chunk_semantic": _sql_chunk_semantic("Percentile"),
         "chunk_semantic_stddev": _sql_chunk_semantic("StandardDeviation"),
         "chunk_semantic_gradient": _sql_chunk_semantic("Gradient"),

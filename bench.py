@@ -36,12 +36,15 @@ BENCH_QUERIES = [
     "knn_join",
     "neardup_cosine_lsh",
     "exact_dedup",
+    "line_dedup",
     "minhash_lsh",
     "ngram_jaccard_prefix",
     "simhash",
     "quality_stats",
     "repetition_stats",
     "fingerprint",
+    "tfidf_top_terms",
+    "cluster_assign",
     "chunk_fixed_char",
     "chunk_token_window",
     "chunk_doc_aware",

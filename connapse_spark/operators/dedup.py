@@ -755,3 +755,96 @@ SELECT sh.id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
 FROM sh LEFT JOIN hits h ON sh.id = h.id
 ORDER BY sh.id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup (CCNet / RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 5,
+    delimiter: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove lines that recur across >= ``min_docs`` DISTINCT documents —
+    the line-wise dedup step of CCNet (Wenzek et al., LREC 2020 §4.1) and
+    RefinedWeb (Penedo et al., 2023 §3.4) that strips nav menus, cookie
+    banners, and license boilerplate before document-level dedup.
+
+    ``delimiter`` is a LITERAL separator (default newline); the synthetic
+    test corpus has no newlines, so the oracle entry parameterizes it with a
+    token delimiter — the plan is identical. Whitespace-only segments are
+    never counted and never removed.
+
+    Returns (id, clean_text, n_segments, n_removed) — one row per input doc,
+    segments re-joined with the same delimiter in original order.
+
+    Scale (100 TB): posexplode is map-side; the segment-frequency aggregate
+    is one shuffle on trim(segment) with map-side partial count-distinct;
+    the flag join shuffles on the same key (AQE broadcasts the boilerplate
+    side when it is small, the common case); reassembly is one shuffle on
+    the doc id. No window over the full corpus, no driver collect. Skewed
+    ultra-hot lines (empty-ish variants) are pre-filtered by the
+    whitespace guard.
+    """
+    seg = F.posexplode(F.split(F.col(text_col), r"\Q" + delimiter + r"\E", -1)).alias(
+        "pos", "seg"
+    )
+    parts = docs.select(F.col(id_col).alias("id"), seg).withColumn("k", F.trim("seg"))
+    boiler = (
+        parts.filter(F.col("k") != "")
+        .groupBy("k")
+        .agg(F.countDistinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") >= F.lit(min_docs))
+        .select(F.col("k").alias("bk"))
+    )
+    flagged = parts.join(boiler, parts["k"] == boiler["bk"], "left").withColumn(
+        "rm", F.col("bk").isNotNull()
+    )
+    packed = F.array_sort(F.collect_list(F.struct("pos", "seg", "rm")))
+    return flagged.groupBy("id").agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(F.filter(packed, lambda x: ~x["rm"]), lambda x: x["seg"]),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.col("rm").cast("long")).alias("n_removed"),
+    ).select(F.col("id").alias(id_col), "clean_text", "n_segments", "n_removed")
+
+
+def sql_line_dedup(
+    min_docs: int = 5,
+    delimiter: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """Mirror of line_dedup. DuckDB single-quoted strings keep backslashes
+    verbatim, so a newline delimiter is spelled chr(10)."""
+    assert "'" not in delimiter
+    d = "chr(10)" if delimiter == "\n" else f"'{delimiter}'"
+    return f"""
+WITH parts AS (
+  SELECT {id_col} AS id,
+         unnest(ls) AS seg,
+         generate_subscripts(ls, 1) - 1 AS pos
+  FROM (SELECT {id_col}, string_split({text_col}, {d}) AS ls FROM {table})
+),
+keyed AS (SELECT id, seg, pos, trim(seg) AS k FROM parts),
+boiler AS (
+  SELECT k AS bk FROM keyed WHERE k <> ''
+  GROUP BY k HAVING count(DISTINCT id) >= {min_docs}
+),
+flagged AS (
+  SELECT keyed.*, bk IS NOT NULL AS rm
+  FROM keyed LEFT JOIN boiler ON keyed.k = boiler.bk
+)
+SELECT id AS {id_col},
+       coalesce(string_agg(seg, {d} ORDER BY pos) FILTER (WHERE NOT rm), '') AS clean_text,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM flagged GROUP BY id
+""".strip()

@@ -639,8 +639,11 @@ def keyword_search_bm25(
         )
         part = idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)
         score = part if score is None else score + part
+    # round(…, 9): idf's ln is transcendental and Java Math.log can differ
+    # from DuckDB's libm by 1 ulp; rounding keeps the oracle bit-strict and
+    # makes cross-engine ranking identical (same rationale as tfidf_top_terms)
     return (
-        scored.select(F.col(id_col), score.alias("score"))
+        scored.select(F.col(id_col), F.round(score, 9).alias("score"))
         .filter(F.col("score") > 0.0)
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
@@ -680,7 +683,7 @@ stats AS (
   SELECT count(*) AS n, sum(dl) AS sumdl, {df_cols} FROM base
 ),
 scored AS (
-  SELECT {id_col}, {score} AS score
+  SELECT {id_col}, round({score}, 9) AS score
   FROM base, (SELECT *, CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl FROM stats)
 )
 SELECT {id_col}, score FROM scored WHERE score > 0.0

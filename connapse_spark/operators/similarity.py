@@ -361,3 +361,119 @@ FROM (
 )
 ORDER BY {group_col}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# KMeans assignment step (deterministic seeds) — the oracle-checkable kernel
+# of the IVF build's Lloyd iteration (plans/ivf.py)
+# ---------------------------------------------------------------------------
+
+
+def cluster_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its most-cosine-similar of k deterministic
+    seed centroids (the k lowest-id vectors). This is exactly one Lloyd
+    assignment step — the kernel plans/ivf.py iterates with sampled KMeans —
+    exposed standalone so the driver can hash-verify the math that the
+    (rows-only) ann_ivf path rests on.
+
+    Returns (id, cluster, score); ties go to the lowest cluster id.
+
+    Scale (100 TB): the k seeds collapse to ONE row (collect_list of k
+    structs) broadcast to every partition; assignment is a map-side fold
+    over that array — no shuffle at all, output partitioning inherits the
+    scan. The explode+groupBy alternative would shuffle N·k scored rows.
+    """
+    seeds = (
+        embeddings.filter(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("bigint").alias("cid"),
+            to_double_array(F.col(vec_col)).alias("cvec"),
+        )
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "cvec"))).alias("_seeds"))
+    )
+    v = to_double_array(F.col(vec_col))
+    acc0 = F.struct(
+        F.lit(-1).cast("bigint").alias("cid"), F.lit(-2.0).alias("score")
+    )
+
+    def _step(acc, s):
+        sc = cosine_expr(s["cvec"], v)
+        return F.when(
+            sc > acc["score"], F.struct(s["cid"].alias("cid"), sc.alias("score"))
+        ).otherwise(acc)
+
+    best = F.aggregate("_seeds", acc0, _step)
+    return embeddings.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col),
+        best["cid"].alias("cluster"),
+        best["score"].alias("score"),
+    )
+
+
+def sql_cluster_assign(
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """Mirror: score every (vector, seed) pair, keep the best by
+    (score DESC, cid ASC) — the fold's strict-> keeps the lowest cid on
+    bit-equal ties, and both sides compute cosine in the same FP order."""
+    from connapse_spark.functions.vector import sql_cosine
+
+    return f"""
+WITH seeds AS (
+  SELECT CAST({id_col} AS BIGINT) AS cid, CAST({vec_col} AS DOUBLE[]) AS cvec
+  FROM {table} WHERE {id_col} < {k}
+),
+scored AS (
+  SELECT e.{id_col}, s.cid,
+         {sql_cosine(f"CAST(e.{vec_col} AS DOUBLE[])", "s.cvec")} AS score
+  FROM {table} e CROSS JOIN seeds s
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY {id_col} ORDER BY score DESC, cid) AS rk
+  FROM scored
+)
+SELECT {id_col}, cid AS cluster, score FROM ranked WHERE rk = 1
+""".strip()
+
+
+def cluster_sizes(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster population + mean assignment score for the deterministic
+    seed clustering — the list-size histogram an IVF lists policy reads.
+    One extra map-side-partial aggregate on top of the shuffle-free
+    cluster_assign plan. Score spread is reported as min/max (order-
+    insensitive over bit-identical per-row doubles, so exactly mirrorable),
+    NOT an FP sum (partition-order-dependent)."""
+    a = cluster_assign(embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    return a.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
+
+
+def sql_cluster_sizes(
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """Mirror of cluster_sizes; min/max are the only order-insensitive
+    exact FP aggregates, so the comparison stays bit-strict."""
+    return f"""
+WITH assigned AS ({sql_cluster_assign(k, id_col, vec_col, table)})
+SELECT cluster, count(*) AS n_vectors, min(score) AS min_score, max(score) AS max_score
+FROM assigned GROUP BY cluster
+""".strip()

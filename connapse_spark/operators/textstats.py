@@ -363,3 +363,87 @@ FROM (
 )
 ORDER BY {id_col}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF over the stemmed
+    token stream (same analyzer as keyword search) — the standard corpus
+    keyword/topic-surfacing pass of a training-data pipeline.
+
+    ``score = round(tf · ln(N / df), 9)`` (raw counts; df = docs containing
+    the term). Ties break by term asc. Returns (id, term, tf, df, score).
+    The round is load-bearing for the oracle: ln is transcendental, and
+    Java's Math.log disagrees with DuckDB's libm ln by 1 ulp on some
+    inputs — every other oracle-mirrored FP path here uses only exactly-
+    rounded IEEE ops (+ − × ÷ sqrt) and stays bit-identical. Ranking uses
+    the rounded value so both engines rank identically too.
+
+    Scale (100 TB): explode + two hash aggregates with map-side partials
+    ((doc,term) tf, then per-term df); the tf⋈df join shuffles on term (AQE
+    handles stop-term skew); corpus size N is a one-row broadcast; the
+    top-k window is partitioned by doc id — never a global sort.
+    """
+    from connapse_spark.functions.text import tokens_stemmed_expr
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_stemmed_expr(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n)).select(
+        "id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.col("n").cast("double") / F.col("df").cast("double")),
+            9,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "df", "score")
+    )
+
+
+def sql_tfidf_top_terms(
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    from connapse_spark.functions.text import sql_tokens_stemmed
+
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, unnest({sql_tokens_stemmed(text_col)}) AS term FROM {table}
+),
+tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM {table}),
+scored AS (
+  SELECT id, term, tf, df,
+         round(CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)), 9) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS rk FROM scored
+)
+SELECT id AS {id_col}, term, tf, df, score FROM ranked WHERE rk <= {k}
+""".strip()

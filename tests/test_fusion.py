@@ -329,3 +329,67 @@ def test_bm25_idf_and_length_normalization(spark):
     assert out[1] > out[2]                 # length normalization: short doc wins
     assert out[2] > out[3]                 # rare term (rebuild) outweighs common (index)
     assert out[3] > 0.0 and out[5] > 0.0   # idf stays non-negative (Lucene form)
+
+
+def test_line_dedup_strips_boilerplate_preserves_order(spark):
+    from connapse_spark.operators.dedup import line_dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha unique\n{boiler}\nbeta closing"),
+            (2, f"{boiler}\ngamma body"),
+            (3, f"delta intro\n{boiler}"),
+            (4, "   \nepsilon only\n   "),  # whitespace segments never removed
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=3).collect()}
+    assert out[1]["clean_text"] == "alpha unique\nbeta closing"
+    assert out[1]["n_segments"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "gamma body"
+    assert out[3]["clean_text"] == "delta intro"
+    assert out[4]["clean_text"] == "   \nepsilon only\n   "
+    assert out[4]["n_removed"] == 0
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from connapse_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared shared shared zebra"),
+            (2, "shared words here"),
+            (3, "shared words again"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    doc1 = [r for r in out if r["doc_id"] == 1]
+    # zebra: tf=1 df=1 -> ln(3); shared: tf=3 df=3 -> 0. zebra must lead.
+    top1 = max(doc1, key=lambda r: r["score"])
+    assert top1["term"] == "zebra" and top1["df"] == 1
+    shared = [r for r in out if r["term"] == "shared"]
+    assert all(r["score"] == 0.0 for r in shared)
+    assert all(len([r for r in out if r["doc_id"] == d]) <= 2 for d in (1, 2, 3))
+
+
+def test_cluster_assign_seeds_map_to_self(spark):
+    from connapse_spark.operators.similarity import cluster_assign, cluster_sizes
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # near seed 0
+        (3, [0.0, 2.0, 0.1]),   # near seed 1
+        (4, [1.0, 0.0, 0.0]),   # exact tie with seed 0 direction
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in cluster_assign(emb, k=2).collect()}
+    assert out[0]["cluster"] == 0 and abs(out[0]["score"] - 1.0) < 1e-12
+    assert out[1]["cluster"] == 1
+    assert out[2]["cluster"] == 0
+    assert out[3]["cluster"] == 1
+    assert out[4]["cluster"] == 0  # tie -> lowest cluster id
+    sizes = {r["cluster"]: r["n_vectors"] for r in cluster_sizes(emb, k=2).collect()}
+    assert sizes == {0: 3, 1: 2}
