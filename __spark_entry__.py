@@ -544,6 +544,17 @@ def q_line_dedup(spark, sf_dir):
     )
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher-style composite quality gate: per-rule booleans + keep, all
+    integer counts and exact IEEE divisions (bit-strict oracle)."""
+    return textstats.gopher_filter(_t(spark, sf_dir, "documents"))
+
+
+def q_token_entropy(spark, sf_dir):
+    """Unigram entropy per doc (information-density quality signal)."""
+    return textstats.token_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-5 characteristic terms per doc by tf·ln(N/df) over stemmed tokens."""
     return textstats.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
@@ -1256,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
         "line_dedup": q_line_dedup,
+        "gopher_filter": q_gopher_filter,
+        "token_entropy": q_token_entropy,
         "tfidf_top_terms": q_tfidf_top_terms,
         "cluster_assign": q_cluster_assign,
         "cluster_sizes": q_cluster_sizes,
@@ -1341,6 +1354,8 @@ def oracle_sql() -> dict[str, str]:
         "language_id": textstats.sql_language_id() + " ORDER BY doc_id",
         "fingerprint": textstats.sql_fingerprint() + " ORDER BY doc_id",
         "line_dedup": dedup.sql_line_dedup(min_docs=3, delimiter=LINE_DELIM),
+        "gopher_filter": textstats.sql_gopher_filter(),
+        "token_entropy": textstats.sql_token_entropy(),
         "tfidf_top_terms": textstats.sql_tfidf_top_terms(k=5),
         "cluster_assign": similarity.sql_cluster_assign(k=8),
         "cluster_sizes": similarity.sql_cluster_sizes(k=8),

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "repetition_stats",
     "fingerprint",
     "tfidf_top_terms",
+    "gopher_filter",
+    "token_entropy",
     "cluster_assign",
     "chunk_fixed_char",
     "chunk_token_window",

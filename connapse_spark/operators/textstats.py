@@ -447,3 +447,167 @@ ranked AS (
 )
 SELECT id AS {id_col}, term, tf, df, score FROM ranked WHERE rk <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality gate
+# ---------------------------------------------------------------------------
+
+
+def gopher_filter(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    max_tokens: int = 10000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 10.0,
+    min_distinct_ratio: float = 0.4,
+    min_stopwords: int = 2,
+    min_alpha_frac: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Composite document-quality gate in the style of Gopher's quality
+    heuristics (Rae et al. 2021, table A1): length window, mean-token-length
+    sanity, lexical diversity, stopword presence, alphabetic fraction. Each
+    rule is emitted as its own boolean column plus the conjunction ``keep``,
+    so downstream can audit WHY a document was dropped.
+
+    Every signal is integer counts + one exact IEEE division — no
+    transcendental ops, so the oracle comparison is bit-strict with no
+    rounding. Map-side only (whole-stage codegen, no shuffle): at 100 TB
+    this runs at parquet-scan speed and composes with any later dedup pass.
+    """
+    toks = tokens_exact_expr(F.col(text_col))
+    n = F.size(toks)
+    dn = F.greatest(n.cast("double"), F.lit(1.0))  # guard /0; rules still fail via n
+    mean_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
+        "double"
+    ) / dn
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / dn
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / dn
+    r_len = (n >= min_tokens) & (n <= max_tokens)
+    r_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    r_div = distinct_ratio >= min_distinct_ratio
+    r_stop = n_stop >= min_stopwords
+    r_alpha = alpha_frac >= min_alpha_frac
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        distinct_ratio.alias("distinct_ratio"),
+        n_stop.cast("long").alias("n_stopwords"),
+        alpha_frac.alias("alpha_frac"),
+        r_len.alias("rule_length"),
+        r_mean.alias("rule_mean_len"),
+        r_div.alias("rule_diversity"),
+        r_stop.alias("rule_stopwords"),
+        r_alpha.alias("rule_alpha"),
+        (r_len & r_mean & r_div & r_stop & r_alpha).alias("keep"),
+    )
+
+
+def sql_gopher_filter(
+    min_tokens: int = 30,
+    max_tokens: int = 10000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 10.0,
+    min_distinct_ratio: float = 0.4,
+    min_stopwords: int = 2,
+    min_alpha_frac: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {sql_tokens_exact(text_col)} AS ts FROM {table}
+),
+m AS (
+  SELECT {id_col},
+         len(ts) AS n,
+         greatest(CAST(len(ts) AS DOUBLE), 1.0) AS dn,
+         CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) AS lensum,
+         len(list_distinct(ts)) AS ndist,
+         len(list_intersect(list_distinct(ts), [{stop_list}])) AS nstop,
+         len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS nalpha
+  FROM base
+),
+r AS (
+  SELECT {id_col},
+         CAST(n AS BIGINT) AS n_tokens,
+         lensum / dn AS mean_token_len,
+         CAST(ndist AS DOUBLE) / dn AS distinct_ratio,
+         CAST(nstop AS BIGINT) AS n_stopwords,
+         CAST(nalpha AS DOUBLE) / dn AS alpha_frac,
+         (n >= {min_tokens} AND n <= {max_tokens}) AS rule_length,
+         (lensum / dn >= {min_mean_len!r} AND lensum / dn <= {max_mean_len!r}) AS rule_mean_len,
+         (CAST(ndist AS DOUBLE) / dn >= {min_distinct_ratio!r}) AS rule_diversity,
+         (nstop >= {min_stopwords}) AS rule_stopwords,
+         (CAST(nalpha AS DOUBLE) / dn >= {min_alpha_frac!r}) AS rule_alpha
+  FROM m
+)
+SELECT *, (rule_length AND rule_mean_len AND rule_diversity AND rule_stopwords AND rule_alpha) AS keep
+FROM r
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Unigram token entropy
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram entropy ``-Σ p·ln p`` over the exact-token
+    distribution — the information-density quality signal (low entropy ≈
+    repetitive/templated text; complements repetition_stats' top-ngram
+    ownership rules).
+
+    Computed entirely within the row: fold over the SORTED distinct tokens
+    so the FP accumulation order is pinned on both engines (a groupBy-based
+    Σ would sum in partition order and drift in the last ulp); ln rounds to
+    9dp at the end (Java vs libm 1-ulp, same note as tfidf_top_terms).
+    Map-side only, no shuffle. O(distinct·n) per row — fine for documents,
+    and still cheaper than an explode+shuffle at corpus scale.
+    """
+    toks = tokens_exact_expr(F.col(text_col))
+    n = F.size(toks).cast("double")
+    ent = F.aggregate(
+        F.array_sort(F.array_distinct(toks)),
+        F.lit(0.0),
+        lambda acc, t: acc
+        - (F.size(F.filter(toks, lambda x: x == t)).cast("double") / n)
+        * F.log(F.size(F.filter(toks, lambda x: x == t)).cast("double") / n),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.when(F.size(toks) > 0, F.round(ent, 9)).otherwise(F.lit(0.0)).alias("entropy"),
+    )
+
+
+def sql_token_entropy(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {sql_tokens_exact(text_col)} AS ts FROM {table}
+),
+m AS (
+  SELECT {id_col}, ts, CAST(len(ts) AS DOUBLE) AS n, list_sort(list_distinct(ts)) AS dts
+  FROM base
+)
+SELECT {id_col},
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(len(dts) AS BIGINT) AS n_distinct,
+       CASE WHEN len(ts) > 0 THEN round(list_reduce(list_prepend(0.0,
+         list_transform(dts, t ->
+           -(CAST(len(list_filter(ts, x -> x = t)) AS DOUBLE) / n)
+            * ln(CAST(len(list_filter(ts, x -> x = t)) AS DOUBLE) / n))),
+         (a, v) -> a + v), 9) ELSE 0.0 END AS entropy
+FROM m
+""".strip()

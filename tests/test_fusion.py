@@ -393,3 +393,46 @@ def test_cluster_assign_seeds_map_to_self(spark):
     assert out[4]["cluster"] == 0  # tie -> lowest cluster id
     sizes = {r["cluster"]: r["n_vectors"] for r in cluster_sizes(emb, k=2).collect()}
     assert sizes == {0: 3, 1: 2}
+
+
+def test_gopher_filter_rules_and_keep(spark):
+    from connapse_spark.operators.textstats import gopher_filter
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs far away "
+        "while birds watch from tall trees near this quiet river valley as "
+        "morning light spreads slowly across wide green fields of wheat"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),                       # passes everything
+            (2, "short text only"),          # fails length
+            (3, "spam " * 60),               # fails diversity + stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_filter(docs, min_tokens=30).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["rule_length"] is False
+    assert out[3]["keep"] is False
+    assert out[3]["rule_diversity"] is False and out[3]["rule_stopwords"] is False
+    assert out[3]["rule_length"] is True  # 60 tokens: length alone is fine
+
+
+def test_token_entropy_uniform_beats_repetitive(spark):
+    import math
+
+    from connapse_spark.operators.textstats import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # uniform: ln(4)
+            (2, "a a a a"),      # degenerate: 0
+            (3, "a a a b"),      # skewed: between
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["entropy"] for r in token_entropy(docs).collect()}
+    assert abs(out[1] - math.log(4)) < 1e-9
+    assert out[2] == 0.0
+    assert 0.0 < out[3] < out[1]
