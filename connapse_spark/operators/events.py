@@ -24,14 +24,46 @@ def load_events(spark, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) — a type Spark's vectorized reader rejects outright
     ([PARQUET_TYPE_ILLEGAL]). ``nanosAsLong`` (runtime-settable SQL conf)
     surfaces it as raw nanos; we floor-divide to micros, exactly what
-    DuckDB's nanos→TIMESTAMP read does, so oracle timestamps agree."""
+    DuckDB's nanos→TIMESTAMP read does, so oracle timestamps agree.
+
+    The driver has shipped the column as parquet TIMESTAMP(NANOS) in one
+    round and plain timestamp[us] (no isAdjustedToUTC → Spark reads
+    TIMESTAMP_NTZ) in another, so normalize every shape to TIMESTAMP_NTZ:
+    DuckDB reads the same files as naive timestamps, and NTZ arithmetic /
+    date_trunc / date_format are session-timezone-independent, so oracle
+    agreement doesn't hinge on the harness's TZ setting."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = "timestamp"
+    if ts_type == "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
+
+
+_EPOCH_NTZ = "to_timestamp_ntz('1970-01-01 00:00:00')"
+
+
+def _epoch_us(col: str) -> "F.Column":
+    """Microseconds since the naive epoch, for TIMESTAMP or TIMESTAMP_NTZ
+    input (``unix_micros`` only accepts the former). Wall-clock arithmetic
+    on NTZ — mirrors DuckDB's ``epoch_us`` over naive parquet timestamps."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, cast({col} as timestamp_ntz))"
+    )
+
+
+def _epoch_seconds(col: str) -> "F.Column":
+    """Whole seconds since the naive epoch (floored, like cast-to-long on
+    TIMESTAMP): diff against the second-truncated wall time, exact integer
+    math — no double rounding."""
+    return F.expr(
+        f"timestampdiff(SECOND, {_EPOCH_NTZ}, date_trunc('second', cast({col} as timestamp_ntz)))"
+    )
 
 
 def tumbling_agg(events: DataFrame, granularity: str = "hour") -> DataFrame:
@@ -118,7 +150,7 @@ def sessionize(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> Dat
     with_gap = events.withColumn(
         "_new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            _epoch_seconds("ts") - F.lag(_epoch_seconds("ts")).over(w)
             > gap_seconds,
             1,
         )
@@ -200,7 +232,7 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
     return (
         events.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+        .select("user_id", "event_id", "event_type", _epoch_us("ts").alias("ts_us"))
         .orderBy("user_id")
     )
 
