@@ -39,6 +39,7 @@ from connapse_spark.operators.search import (
     SearchOptions,
     fake_cross_encoder_expr,
     hybrid_search,
+    hybrid_search_onepass,
     keyword_search,
     keyword_search_bm25,
     keyword_search_proximity,
@@ -147,6 +148,20 @@ def q_hybrid_rrf(spark, sf_dir):
     """Fusion extension: reciprocal-rank fusion of the stored-vector and
     keyword branches (rank-only, normalization-free)."""
     return _hybrid(spark, sf_dir, fusion="Rrf")
+
+
+def q_hybrid_onepass(spark, sf_dir):
+    """Single-scan hybrid over the co-located (text, embedding) corpus:
+    both branch scores in one JVM projection, per-Arrow-batch exact top-k
+    pooling via mapInPandas, fusion on the pinned candidate pool — the
+    corpus is read ONCE per query instead of once per branch."""
+    docs = _t(spark, sf_dir, "documents")
+    vecs = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding")
+    )
+    corpus = docs.join(vecs, "doc_id")
+    out = hybrid_search_onepass(corpus, SEARCH_QUERY, SearchOptions(top_k=10))
+    return out.withColumnRenamed("id", "doc_id")
 
 
 def _vectors(spark, sf_dir):
@@ -1236,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_proximity": q_keyword_proximity,
         "keyword_bm25": q_keyword_bm25,
         "hybrid_rrf": q_hybrid_rrf,
+        "hybrid_onepass": q_hybrid_onepass,
         "hybrid_cc": q_hybrid_cc,
         "hybrid_dbsf": q_hybrid_dbsf,
         "hybrid_autocut": q_hybrid_autocut,
@@ -1318,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_proximity": sql_keyword_proximity(SEARCH_QUERY, k=20),
         "keyword_bm25": sql_keyword_bm25(SEARCH_QUERY, k=20),
         "hybrid_rrf": oracle.rrf_sql(SEARCH_QUERY),
+        "hybrid_onepass": oracle.hybrid_onepass_sql(SEARCH_QUERY, top_k=10),
         "hybrid_cc": oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True),
         "hybrid_dbsf": oracle.hybrid_sql(SEARCH_QUERY, method="Dbsf", stored_vectors=True),
         "hybrid_autocut": oracle.hybrid_sql(SEARCH_QUERY, autocut=True, stored_vectors=True),

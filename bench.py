@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "keyword_proximity",
     "keyword_bm25",
     "hybrid_rrf",
+    "hybrid_onepass",
     "semantic_topk",
     "ann_lsh",
     "knn_join",

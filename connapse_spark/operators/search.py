@@ -1091,6 +1091,104 @@ def hybrid_search(
     return fused.orderBy(F.desc("score"), F.col("id")).limit(options.top_k)
 
 
+def hybrid_search_onepass(
+    corpus: DataFrame,
+    query: str,
+    options: SearchOptions | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    predicate: Column | None = None,
+    dims: int = 64,
+) -> DataFrame:
+    """Single-scan hybrid search over a CO-LOCATED corpus — one table
+    carrying both the text and its embedding, the layout the chunk+vector
+    batch sink writes (sources/sinks.py; reference ingest stores chunk and
+    vector rows in the same transaction, IngestionPipeline.cs).
+
+    The two-branch ``hybrid_search`` reads the corpus twice (vector scan ∥
+    keyword scan — mirroring the reference's thread pair). Here both branch
+    scores are computed in ONE JVM-codegen projection, and an Arrow-batched
+    ``mapInPandas`` keeps each batch's top-k for EACH branch under the same
+    (score desc, id asc) order the global cut uses — so the union of
+    per-batch winners is a superset of both global top-k sets (exact, not
+    approximate) while the scan emits ≤ 2k rows per ~10k-row Arrow batch.
+    At 100 TB that halves the dominant cost (corpus IO) per query.
+
+    The pooled candidates are persisted and materialized with one count()
+    action so the vector/keyword branch cuts and fusion — which reuse the
+    stage functions of the two-branch pipeline unchanged — read the tiny
+    cached pool instead of re-running the scan (two lazy subtrees over an
+    unpinned pool would re-scan; the pinned pool is ≤ 2k × n_batches narrow
+    rows, trivially cache-resident at any corpus scale).
+
+    Branch semantics on the joined corpus: a row must have BOTH text and
+    vector (inner-join layout). The two-branch form instead scans whatever
+    each side table holds; with 1:1 doc↔vector coverage the results are
+    identical.
+    """
+    options = options or SearchOptions()
+    if not query or not query.strip():  # Q13 empty-query guard
+        return corpus.select(
+            F.col(id_col).alias("id"), F.lit(0.0).alias("score")
+        ).limit(0)
+
+    k = options.top_k
+    base = corpus if predicate is None else corpus.filter(predicate)
+    qv = embed_py(query, dims)
+    qarr = F.array(*[F.lit(float(v)) for v in qv])
+    scored = base.select(
+        F.col(id_col).alias("id"),
+        cosine_expr(to_double_array(F.col(vec_col)), qarr).alias("vector_score"),
+        keyword_score_expr(F.col(text_col), query).alias("keyword_score"),
+    )
+    id_type = scored.schema["id"].dataType.simpleString()
+    out_schema = f"id {id_type}, vector_score double, keyword_score double"
+
+    def _batch_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            v = pdf.sort_values(
+                ["vector_score", "id"], ascending=[False, True]
+            ).head(k)
+            kw = (
+                pdf[pdf["keyword_score"] > 0.0]
+                .sort_values(["keyword_score", "id"], ascending=[False, True])
+                .head(k)
+            )
+            yield pd.concat([v, kw]).drop_duplicates(subset="id")
+
+    pool = scored.mapInPandas(_batch_topk, schema=out_schema).persist()
+    pool.count()  # materialize: exactly one corpus scan; branches read cache
+
+    v_hits = (
+        pool.select("id", F.col("vector_score").alias("score"))
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )
+    k_hits = (
+        pool.select("id", F.col("keyword_score").alias("score"))
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )
+
+    if options.mode == "Semantic":
+        fused = v_hits.withColumn("source", F.lit("vector"))
+    elif options.mode == "Keyword":
+        fused = k_hits.withColumn("source", F.lit("keyword"))
+    elif options.fusion == "Rrf":
+        fused = fuse_rrf(v_hits, k_hits, id_col="id")
+    else:
+        fused = fuse(v_hits, k_hits, options.fusion_alpha, options.fusion, id_col="id")
+
+    fused = apply_min_score(fused, options.min_score)
+    if options.auto_cut:
+        fused = auto_cut(fused, id_col="id")
+    return fused.orderBy(F.desc("score"), F.col("id")).limit(options.top_k)
+
+
 def vector_knn_quantized(
     quantized: DataFrame,
     query_vec: list[float],

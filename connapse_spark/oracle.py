@@ -179,19 +179,78 @@ def hybrid_sql(
 ) -> str:
     """Full mirror of operators.search.hybrid_search (Hybrid mode)."""
     fetch_k = top_k  # per-branch TopK, like the reference branches
-    a = min(max(alpha, 0.0), 1.0)
-    norm_tpl = _MINMAX_NORM if method == "ConvexCombination" else _DBSF_NORM
-    vn = norm_tpl.format(src="v", out="vscore")
-    kn = norm_tpl.format(src="kw", out="kscore")
     v_cte = (
         vector_cte_stored(query, fetch_k, dims, where)
         if stored_vectors
         else vector_cte(query, fetch_k, table, id_col, text_col, dims, where)
     )
+    kw_cte = keyword_cte(query, fetch_k, table, id_col, text_col, where)
+    return _hybrid_fusion_tail(
+        v_cte, kw_cte, top_k, min_score, alpha, method, autocut, id_col
+    )
+
+
+def hybrid_onepass_sql(
+    query: str,
+    top_k: int = 10,
+    min_score: float = 0.0,
+    alpha: float = 0.5,
+    method: str = "ConvexCombination",
+    autocut: bool = False,
+    id_col: str = "doc_id",
+    dims: int = 64,
+) -> str:
+    """Mirror of operators.search.hybrid_search_onepass: both branches read
+    the same co-located corpus (documents ⋈ embeddings on doc_id = vec_id).
+    The Spark side's per-batch top-k pooling is exact, so the oracle is just
+    the plain two-branch SQL over the joined corpus."""
+    qv = sql_vector_literal(embed_py(query, dims))
+    corpus = (
+        "SELECT d.doc_id AS id, d.text AS text, e.embedding AS embedding "
+        "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id"
+    )
+    v_cte = f"""
+  SELECT id, score FROM (
+    SELECT id, {sql_cosine("CAST(embedding AS DOUBLE[])", "qv")} AS score
+    FROM corpus, (SELECT {qv} AS qv)
+  ) ORDER BY score DESC, id LIMIT {top_k}
+""".rstrip()
+    kw_cte = keyword_cte(query, top_k, table="corpus", id_col="id", text_col="text")
+    return _hybrid_fusion_tail(
+        v_cte,
+        kw_cte,
+        top_k,
+        min_score,
+        alpha,
+        method,
+        autocut,
+        id_col,
+        prefix_ctes=f"corpus AS ({corpus}),",
+    )
+
+
+def _hybrid_fusion_tail(
+    v_cte: str,
+    kw_cte: str,
+    top_k: int,
+    min_score: float,
+    alpha: float,
+    method: str,
+    autocut: bool,
+    id_col: str,
+    prefix_ctes: str = "",
+) -> str:
+    """Shared fusion → min-score → (autocut) → top-k SQL tail over prebuilt
+    vector/keyword branch CTE bodies."""
+    a = min(max(alpha, 0.0), 1.0)
+    norm_tpl = _MINMAX_NORM if method == "ConvexCombination" else _DBSF_NORM
+    vn = norm_tpl.format(src="v", out="vscore")
+    kn = norm_tpl.format(src="kw", out="kscore")
     fused = f"""
-WITH v AS ({v_cte}
+WITH {prefix_ctes}
+v AS ({v_cte}
 ),
-kw AS ({keyword_cte(query, fetch_k, table, id_col, text_col, where)}
+kw AS ({kw_cte}
 ),
 vn AS ({vn}
 ),

@@ -436,3 +436,43 @@ def test_token_entropy_uniform_beats_repetitive(spark):
     assert abs(out[1] - math.log(4)) < 1e-9
     assert out[2] == 0.0
     assert 0.0 < out[3] < out[1]
+
+
+def test_onepass_matches_two_branch_hybrid(spark):
+    """hybrid_search_onepass over a co-located corpus must produce the
+    exact rows of the two-branch hybrid_search on the same data — the
+    per-Arrow-batch top-k pooling is a superset of both branch top-ks,
+    including ties broken by id."""
+    from connapse_spark.functions.embed import embed_expr
+    from connapse_spark.operators.search import (
+        SearchOptions,
+        hybrid_search,
+        hybrid_search_onepass,
+    )
+
+    texts = [
+        (i, f"parquet scan predicate pushdown doc {i}" if i % 3 else f"merge join shuffle doc {i}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    corpus = docs.withColumn("embedding", embed_expr(F.col("text"), 16))
+    opts = SearchOptions(top_k=5)
+    two = hybrid_search(
+        docs, "parquet scan", opts,
+        vectors=corpus.select(F.col("doc_id").alias("id"), "embedding"),
+        dims=16,
+    ).collect()
+    one = hybrid_search_onepass(corpus, "parquet scan", opts, dims=16).collect()
+    assert [(r["id"], r["score"], r["source"]) for r in two] == [
+        (r["id"], r["score"], r["source"]) for r in one
+    ]
+    assert len(one) == 5
+
+
+def test_onepass_empty_query_guard(spark):
+    from connapse_spark.functions.embed import embed_expr
+    from connapse_spark.operators.search import hybrid_search_onepass
+
+    docs = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    corpus = docs.withColumn("embedding", embed_expr(F.col("text"), 16))
+    assert hybrid_search_onepass(corpus, "   ").count() == 0
