@@ -1,0 +1,42 @@
+"""Driver-contract regression guard: every ``queries()`` entry must ANALYZE
+against the real driver testdata parquet files (sf0.001), and a representative
+subset must execute.
+
+This exists because the driver regenerates testdata between rounds and file
+schemas have drifted (events.ts shipped as parquet TIMESTAMP(NANOS) one round
+and timestamp[us]→TIMESTAMP_NTZ the next, breaking cast-to-long /
+unix_micros expressions). Unit fixtures use synthetic frames and never see
+the real files; this test does. Touching ``df.schema`` forces full Catalyst
+analysis (type-checking every expression) without running a job, so the
+whole surface is covered in seconds.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def test_all_queries_analyze_against_real_testdata(spark, sf_dir):
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            _ = df.schema  # forces analysis; no job
+        except Exception as ex:  # noqa: BLE001 — collect all, report once
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, "queries failing analysis vs real testdata:\n" + "\n".join(failures)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["events_sessionize", "latest_event", "hybrid_cc", "exact_dedup", "quality_stats"],
+)
+def test_representative_queries_execute(spark, sf_dir, name):
+    assert entry.queries()[name](spark, sf_dir).count() >= 0
+
+
+def test_every_query_has_oracle_or_is_declared(spark):
+    qs, osql = entry.queries(), entry.oracle_sql()
+    missing = [k for k in qs if k not in osql]
+    # rows-only entries are declared (non-SQL-expressible); keep the list tight
+    assert set(missing) <= {"ann_ivf", "ingest_stats"}, missing
