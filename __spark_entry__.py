@@ -587,6 +587,12 @@ def q_cluster_sizes(spark, sf_dir):
     return similarity.cluster_sizes(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540): cluster-bucketed semantic dedup — the
+    lowest-id member of every within-cluster cosine neighborhood survives."""
+    return similarity.semdedup(_t(spark, sf_dir, "embeddings"), k=8, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # Chunking (oracle-checkable column-expression tier)
 # ---------------------------------------------------------------------------
@@ -1288,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "cluster_assign": q_cluster_assign,
         "cluster_sizes": q_cluster_sizes,
+        "semdedup": q_semdedup,
         "chunk_semantic": q_chunk_semantic,
         "chunk_semantic_stddev": q_chunk_semantic_stddev,
         "chunk_semantic_gradient": q_chunk_semantic_gradient,
@@ -1376,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": textstats.sql_tfidf_top_terms(k=5),
         "cluster_assign": similarity.sql_cluster_assign(k=8),
         "cluster_sizes": similarity.sql_cluster_sizes(k=8),
+        "semdedup": similarity.sql_semdedup(k=8, threshold=0.3) + " ORDER BY vec_id",
         "chunk_semantic": _sql_chunk_semantic("Percentile"),
         "chunk_semantic_stddev": _sql_chunk_semantic("StandardDeviation"),
         "chunk_semantic_gradient": _sql_chunk_semantic("Gradient"),

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "gopher_filter",
     "token_entropy",
     "cluster_assign",
+    "semdedup",
     "chunk_fixed_char",
     "chunk_token_window",
     "chunk_doc_aware",

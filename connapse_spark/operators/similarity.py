@@ -374,6 +374,7 @@ def cluster_assign(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Assign every vector to its most-cosine-similar of k deterministic
     seed centroids (the k lowest-id vectors). This is exactly one Lloyd
@@ -408,11 +409,14 @@ def cluster_assign(
         ).otherwise(acc)
 
     best = F.aggregate("_seeds", acc0, _step)
-    return embeddings.crossJoin(F.broadcast(seeds)).select(
+    cols = [
         F.col(id_col),
         best["cid"].alias("cluster"),
         best["score"].alias("score"),
-    )
+    ]
+    if keep_vec:
+        cols.append(v.alias("_v"))
+    return embeddings.crossJoin(F.broadcast(seeds)).select(*cols)
 
 
 def sql_cluster_assign(
@@ -476,4 +480,80 @@ def sql_cluster_sizes(
 WITH assigned AS ({sql_cluster_assign(k, id_col, vec_col, table)})
 SELECT cluster, count(*) AS n_vectors, min(score) AS min_score, max(score) AS max_score
 FROM assigned GROUP BY cluster
+""".strip()
+
+
+def semdedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then removing all but one
+    member of every near-duplicate neighborhood WITHIN a cluster.
+
+    Rule (deterministic): a vector is removed iff some LOWER-id vector in
+    the same cluster has cosine >= threshold with it — the lowest-id member
+    of each duplicate neighborhood always survives (the paper keeps one
+    arbitrary representative; id order makes that reproducible).
+
+    Returns (id, cluster, keep).
+
+    Scale (100 TB): this is the cluster-bucketed analogue of
+    ``embedding_neardup_pairs`` — assignment is the shuffle-free broadcast
+    fold of cluster_assign, and the pair join is keyed on ``cluster``, so
+    all-pairs work happens only within a cluster. The paper's design point
+    is exactly that k grows with the corpus so cluster populations stay
+    bounded (they use k=11k for 5B docs); pick k so |cluster| stays in the
+    thousands and the per-cluster quadratic term stays trivial.
+    """
+    assigned = cluster_assign(
+        embeddings, k=k, id_col=id_col, vec_col=vec_col, keep_vec=True
+    ).select(F.col(id_col).alias("id"), "cluster", "_v")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cosine_expr(F.col("a._v"), F.col("b._v")) >= F.lit(threshold))
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("_removed", F.lit(True))
+    )
+    return (
+        assigned.join(removed, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster"),
+            F.coalesce(~F.col("_removed"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def sql_semdedup(
+    k: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """Mirror of semdedup: same assignment CTE, within-cluster lower-id
+    pairs, cosine in the identical FP order, >= against the same literal."""
+    from connapse_spark.functions.vector import sql_cosine
+
+    return f"""
+WITH assigned AS ({sql_cluster_assign(k, id_col, vec_col, table)}),
+vecs AS (SELECT {id_col} AS id, cluster, CAST(e.{vec_col} AS DOUBLE[]) AS v
+         FROM assigned JOIN {table} e USING ({id_col})),
+removed AS (
+  SELECT DISTINCT b.id AS id
+  FROM vecs a JOIN vecs b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE {sql_cosine("a.v", "b.v")} >= {threshold!r}
+)
+SELECT v.id AS {id_col}, v.cluster, (r.id IS NULL) AS keep
+FROM vecs v LEFT JOIN removed r ON v.id = r.id
 """.strip()

@@ -476,3 +476,23 @@ def test_onepass_empty_query_guard(spark):
     docs = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
     corpus = docs.withColumn("embedding", embed_expr(F.col("text"), 16))
     assert hybrid_search_onepass(corpus, "   ").count() == 0
+
+
+def test_semdedup_lowest_id_survives(spark):
+    """Two near-identical vectors in the same cluster: the lower id keeps,
+    the higher id is removed; an orthogonal vector is untouched."""
+    from connapse_spark.operators.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.999, 0.001, 0.0, 0.0]),   # near-dup of seed 0
+        (9, [0.0, 0.0, 1.0, 0.0]),       # orthogonal to both seeds... lands somewhere
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup(emb, k=2, threshold=0.95).collect()}
+    assert out[0]["keep"] is True
+    assert out[5]["keep"] is False          # removed: cos(0,5) > 0.95, same cluster
+    assert out[5]["cluster"] == out[0]["cluster"]
+    assert out[1]["keep"] is True
+    assert out[9]["keep"] is True           # nothing within 0.95 of it
