@@ -575,6 +575,22 @@ def q_tfidf_top_terms(spark, sf_dir):
     return textstats.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+def q_perplexity(spark, sf_dir):
+    """CCNet-style quality bucketing signal: per-doc mean NLL under a
+    self-fit Lidstone unigram LM, exact integer micro-nat accounting."""
+    return textstats.perplexity_score(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_mismatch(spark, sf_dir):
+    """Metadata-hygiene screen: declared lang tag vs stopword detector."""
+    return textstats.lang_mismatch(_t(spark, sf_dir, "documents"))
+
+
+def q_top_bigrams(spark, sf_dir):
+    """Corpus-wide top-20 token bigrams (tokenizer/merge-table counting pass)."""
+    return textstats.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
 def q_cluster_assign(spark, sf_dir):
     """One Lloyd assignment step against the 8 lowest-id seed vectors —
     the oracle-checkable kernel under the rows-only ann_ivf path."""
@@ -1292,6 +1308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "token_entropy": q_token_entropy,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "perplexity": q_perplexity,
+        "lang_mismatch": q_lang_mismatch,
+        "top_bigrams": q_top_bigrams,
         "cluster_assign": q_cluster_assign,
         "cluster_sizes": q_cluster_sizes,
         "semdedup": q_semdedup,
@@ -1381,6 +1400,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": textstats.sql_gopher_filter(),
         "token_entropy": textstats.sql_token_entropy(),
         "tfidf_top_terms": textstats.sql_tfidf_top_terms(k=5),
+        "perplexity": textstats.sql_perplexity_score() + " ORDER BY doc_id",
+        "lang_mismatch": textstats.sql_lang_mismatch() + " ORDER BY doc_id",
+        "top_bigrams": textstats.sql_top_ngrams(n=2, k=20),
         "cluster_assign": similarity.sql_cluster_assign(k=8),
         "cluster_sizes": similarity.sql_cluster_sizes(k=8),
         "semdedup": similarity.sql_semdedup(k=8, threshold=0.3) + " ORDER BY vec_id",

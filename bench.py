@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "repetition_stats",
     "fingerprint",
     "tfidf_top_terms",
+    "perplexity",
+    "lang_mismatch",
+    "top_bigrams",
     "gopher_filter",
     "token_entropy",
     "cluster_assign",

@@ -301,7 +301,10 @@ LANG_MIN_FRAC = 0.02
 
 
 def language_id_multi(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Multi-language stopword heuristic: one containment fraction per
     language, classification = argmax (ties broken by language-code order),
@@ -329,6 +332,7 @@ def language_id_multi(
         ).otherwise(pred)
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         *[fracs[lang].alias(f"frac_{lang}") for lang in langs],
         pred.alias("lang_pred"),
     ).orderBy(id_col)
@@ -610,4 +614,215 @@ SELECT {id_col},
             * ln(CAST(len(list_filter(ts, x -> x = t)) AS DOUBLE) / n))),
          (a, v) -> a + v), 9) ELSE 0.0 END AS entropy
 FROM m
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+PPL_ALPHA = 0.5  # Lidstone smoothing
+
+
+def unigram_model(
+    docs: DataFrame,
+    alpha: float = PPL_ALPHA,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language model fit on the corpus: per-term Lidstone-smoothed
+    log-probability ln((c+α)/(T+α(V+1))), quantized to integer micro-nats
+    (round(lp·1e6) as bigint) so downstream per-document sums are EXACT
+    integer math — partition-order independent, hence oracle-mirrorable.
+    The +1 in V+1 reserves one smoothing slot for OOV terms.
+
+    Scale: explode → one hash aggregate with map-side partials on term;
+    the (T, V) totals collapse to a single broadcast row. Quantization's
+    1-ulp ln risk is the same documented trade as tfidf_top_terms.
+    """
+    toks = docs.select(F.explode(tokens_exact_expr(F.col(text_col))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("_t"), F.count(F.lit(1)).alias("_v")
+    )
+    lp = F.log(
+        (F.col("c") + F.lit(alpha))
+        / (F.col("_t") + F.lit(alpha) * (F.col("_v") + F.lit(1)))
+    )
+    return counts.crossJoin(F.broadcast(stats)).select(
+        "term", F.round(lp * F.lit(1e6)).cast("bigint").alias("lp_q")
+    )
+
+
+def perplexity_score(
+    docs: DataFrame,
+    alpha: float = PPL_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: DataFrame | None = None,
+    oov_lp_q: int | None = None,
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a unigram LM
+    (CCNet, Wenzek et al. 2020, uses KenLM perplexity to bucket CommonCrawl
+    by quality; this is the unigram analogue over the same token stream —
+    no external model artifacts needed, fit on the corpus itself by
+    default, or pass ``model`` (term, lp_q) from a reference corpus plus
+    ``oov_lp_q``, the quantized logprob of the reserved OOV smoothing slot,
+    for terms the model never saw; a self-fit model has no OOV terms).
+
+    Returns (id, n_tokens, nll_q, mean_nll): nll_q is the exact integer
+    micro-nat total; mean_nll = nll_q/n/1e6 — two exact integers through
+    exactly-rounded double division, bit-identical across engines. exp()
+    is left to callers (transcendental; would break bit-parity).
+
+    Scale: the token→model join shuffles exploded tokens on term UNLESS the
+    model is broadcast — AQE converts automatically while the vocab is
+    under the broadcast threshold (typical even at large corpus scale:
+    vocab grows ~O(corpus^0.5), Heaps' law). Per-doc aggregate is map-side
+    partial on id.
+    """
+    model = model if model is not None else unigram_model(docs, alpha, text_col)
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_exact_expr(F.col(text_col))).alias("term"),
+    )
+    scored = tok.join(model, "term", "left")
+    lp = F.coalesce(F.col("lp_q"), F.lit(oov_lp_q or 0))
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (-F.sum(lp)).alias("nll_q"),
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(agg, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("nll_q", F.lit(0)).alias("nll_q"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            F.col("nll_q").cast("double") / F.col("n_tokens").cast("double") / F.lit(1e6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_nll"),
+    )
+
+
+def sql_perplexity_score(
+    alpha: float = PPL_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """Mirror of perplexity_score with a self-fit model (no OOV terms):
+    identical smoothing arithmetic, integer micro-nat sums, same division
+    order for mean_nll."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, unnest({sql_tokens_exact(text_col)}) AS term FROM {table}
+),
+counts AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+stats AS (SELECT sum(c) AS t, count(*) AS v FROM counts),
+model AS (
+  SELECT term,
+         CAST(round(ln((c + {alpha!r}) / (t + {alpha!r} * (v + 1))) * 1000000.0) AS BIGINT) AS lp_q
+  FROM counts, stats
+),
+agg AS (
+  SELECT id, count(*) AS n_tokens, -sum(lp_q) AS nll_q
+  FROM tok JOIN model USING (term) GROUP BY id
+)
+SELECT d.{id_col},
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(nll_q, 0) AS BIGINT) AS nll_q,
+       CASE WHEN coalesce(n_tokens, 0) > 0
+            THEN CAST(nll_q AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+            ELSE 0.0 END AS mean_nll
+FROM {table} d LEFT JOIN agg ON d.{id_col} = agg.id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Declared-vs-detected language mismatch
+# ---------------------------------------------------------------------------
+
+
+def lang_mismatch(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Flag documents whose declared language tag disagrees with the
+    stopword-fraction detector — the standard metadata-hygiene screen
+    before language-bucketed training mixes. Map-side only: the detector
+    runs in the same projection as the declared column (no join).
+
+    Returns (id, lang_declared, lang_pred, is_match)."""
+    pred = language_id_multi(docs, id_col, text_col, keep_cols=(lang_col,))
+    return pred.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang_declared"),
+        F.col("lang_pred"),
+        (F.col(lang_col) == F.col("lang_pred")).alias("is_match"),
+    )
+
+
+def sql_lang_mismatch(
+    id_col: str = "doc_id", text_col: str = "text", lang_col: str = "lang"
+) -> str:
+    return f"""
+SELECT {id_col}, {lang_col} AS lang_declared, lang_pred,
+       ({lang_col} = lang_pred) AS is_match
+FROM ({sql_language_id_multi(id_col, text_col)})
+JOIN documents USING ({id_col})
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide top-k n-grams (tokenizer / merge-table vocabulary pass)
+# ---------------------------------------------------------------------------
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Most frequent token n-grams corpus-wide — the counting pass behind
+    tokenizer training / BPE merge tables / collocation mining. Grams are
+    space-joined runs of n consecutive exact tokens.
+
+    Returns (gram, n_occurrences) for the top k by occurrence count
+    (ties by gram asc).
+
+    Scale: in-row gram construction (transform over an index sequence —
+    no self-join), explode, ONE hash aggregate with map-side partials on
+    gram, then TakeOrdered(k) — no global sort."""
+    toks = tokens_exact_expr(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.col("gram")).limit(k)
+
+
+def sql_top_ngrams(
+    n: int = 2, k: int = 20, text_col: str = "text", table: str = "documents"
+) -> str:
+    return f"""
+WITH base AS (SELECT {sql_tokens_exact(text_col)} AS ts FROM {table}),
+grams AS (
+  SELECT array_to_string(ts[i + 1:i + {n}], ' ') AS gram
+  FROM (SELECT ts, unnest(range(0, len(ts) - {n} + 1)) AS i FROM base WHERE len(ts) >= {n})
+)
+SELECT gram, count(*) AS n_occurrences
+FROM grams GROUP BY gram
+ORDER BY n_occurrences DESC, gram LIMIT {k}
 """.strip()

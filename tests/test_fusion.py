@@ -496,3 +496,46 @@ def test_semdedup_lowest_id_survives(spark):
     assert out[5]["cluster"] == out[0]["cluster"]
     assert out[1]["keep"] is True
     assert out[9]["keep"] is True           # nothing within 0.95 of it
+
+
+def test_perplexity_rare_tokens_score_higher(spark):
+    """A doc of corpus-rare tokens must have higher mean NLL than one made
+    of the corpus's dominant token; nll accounting is exact integers."""
+    from connapse_spark.operators.textstats import perplexity_score
+
+    docs = spark.createDataFrame(
+        [(1, "common common common common"), (2, "common common rare exotic")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in perplexity_score(docs).collect()}
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 4
+    assert out[2]["mean_nll"] > out[1]["mean_nll"]
+    assert out[1]["nll_q"] > 0  # negative logprobs -> positive nll
+
+
+def test_lang_mismatch_flags_wrong_tag(spark):
+    from connapse_spark.operators.textstats import lang_mismatch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is warm", "en"),
+            (2, "the cat is on the mat and it is warm", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in lang_mismatch(docs).collect()}
+    assert out[1]["is_match"] is True and out[1]["lang_pred"] == "en"
+    assert out[2]["is_match"] is False
+
+
+def test_top_ngrams_counts_and_short_docs(spark):
+    from connapse_spark.operators.textstats import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c"), (3, "x")],  # doc 3: too short for bigrams
+        "doc_id long, text string",
+    )
+    out = top_ngrams(docs, n=2, k=3).collect()
+    assert (out[0]["gram"], out[0]["n_occurrences"]) == ("a b", 4)
+    assert (out[1]["gram"], out[1]["n_occurrences"]) == ("b a", 2)
+    assert (out[2]["gram"], out[2]["n_occurrences"]) == ("b c", 1)
