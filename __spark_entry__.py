@@ -603,6 +603,11 @@ def q_cluster_sizes(spark, sf_dir):
     return similarity.cluster_sizes(_t(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_random_projection(spark, sf_dir):
+    """JL ±1 sketch to 16 components, long format (id, component, value)."""
+    return similarity.random_projection(_t(spark, sf_dir, "embeddings"), out_dims=16)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540): cluster-bucketed semantic dedup — the
     lowest-id member of every within-cluster cosine neighborhood survives."""
@@ -1314,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_assign": q_cluster_assign,
         "cluster_sizes": q_cluster_sizes,
         "semdedup": q_semdedup,
+        "random_projection": q_random_projection,
         "chunk_semantic": q_chunk_semantic,
         "chunk_semantic_stddev": q_chunk_semantic_stddev,
         "chunk_semantic_gradient": q_chunk_semantic_gradient,
@@ -1406,6 +1412,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_assign": similarity.sql_cluster_assign(k=8),
         "cluster_sizes": similarity.sql_cluster_sizes(k=8),
         "semdedup": similarity.sql_semdedup(k=8, threshold=0.3) + " ORDER BY vec_id",
+        "random_projection": similarity.sql_random_projection(out_dims=16)
+        + " ORDER BY vec_id, component",
         "chunk_semantic": _sql_chunk_semantic("Percentile"),
         "chunk_semantic_stddev": _sql_chunk_semantic("StandardDeviation"),
         "chunk_semantic_gradient": _sql_chunk_semantic("Gradient"),

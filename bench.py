@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "token_entropy",
     "cluster_assign",
     "semdedup",
+    "random_projection",
     "chunk_fixed_char",
     "chunk_token_window",
     "chunk_doc_aware",

@@ -557,3 +557,91 @@ removed AS (
 SELECT v.id AS {id_col}, v.cluster, (r.id IS NULL) AS keep
 FROM vecs v LEFT JOIN removed r ON v.id = r.id
 """.strip()
+
+
+def _jl_matrix(in_dims: int, out_dims: int) -> list[list[float]]:
+    """Deterministic ±1 projection matrix (Achlioptas 2003 sign variant of
+    Johnson–Lindenstrauss): entry sign = parity of sha256(f"{j}_{d}") —
+    reproducible everywhere, no RNG state. Both engines receive the SAME
+    literals, so determinism needs no SQL mirror of the generation."""
+    import hashlib
+
+    rows = []
+    for j in range(out_dims):
+        row = [
+            1.0 if hashlib.sha256(f"{j}_{d}".encode()).digest()[-1] & 1 else -1.0
+            for d in range(in_dims)
+        ]
+        rows.append(row)
+    return rows
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dims: int = 16,
+    in_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JL random projection: sketch each embedding down to ``out_dims``
+    components, value_j = (Σ_d v_d·r_{j,d}) / sqrt(out_dims) — the
+    distance-preserving cheap-projection step before ANN indexing or
+    clustering when the native dimensionality is wasteful.
+
+    Output is LONG format (id, component, value): one scalar row per
+    component, so the driver canonicalizer and the DuckDB mirror handle it
+    without array columns.
+
+    Scale: the projection matrix collapses to out_dims broadcast rows; the
+    join is map-side (broadcast hash), the fold is one codegen'd zip_with +
+    sequential aggregate per component — FP order pinned, bit-identical to
+    the SQL mirror. Output volume is out_dims × N rows; for a pure-compute
+    variant keep it wide with transform() instead.
+    """
+    import math
+
+    spark = embeddings.sparkSession
+    mat = _jl_matrix(in_dims, out_dims)
+    proj = spark.createDataFrame(
+        [(j, row) for j, row in enumerate(mat)], "component int, r array<double>"
+    )
+    v = to_double_array(F.col(vec_col))
+    scale = F.lit(math.sqrt(float(out_dims)))
+    value = (
+        F.aggregate(
+            F.zip_with(v, F.col("r"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / scale
+    )
+    return embeddings.crossJoin(F.broadcast(proj)).select(
+        F.col(id_col), F.col("component"), value.alias("value")
+    )
+
+
+def sql_random_projection(
+    out_dims: int = 16,
+    in_dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """Mirror of random_projection: the same literal matrix as a VALUES
+    table, elementwise multiply then the same sequential left-fold sum."""
+    import math
+
+    mat = _jl_matrix(in_dims, out_dims)
+    values = ", ".join(
+        f"({j}, [{', '.join(repr(x) for x in row)}])" for j, row in enumerate(mat)
+    )
+    scale = repr(math.sqrt(float(out_dims)))
+    return f"""
+WITH proj(component, r) AS (VALUES {values}),
+e AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})
+SELECT {id_col}, component,
+       list_reduce(list_prepend(0.0,
+         list_transform(range(1, {in_dims} + 1), i -> v[i] * r[i])),
+         (a, x) -> a + x) / {scale} AS value
+FROM e CROSS JOIN proj
+""".strip()

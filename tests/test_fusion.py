@@ -539,3 +539,23 @@ def test_top_ngrams_counts_and_short_docs(spark):
     assert (out[0]["gram"], out[0]["n_occurrences"]) == ("a b", 4)
     assert (out[1]["gram"], out[1]["n_occurrences"]) == ("b a", 2)
     assert (out[2]["gram"], out[2]["n_occurrences"]) == ("b c", 1)
+
+
+def test_random_projection_deterministic_and_sign_correct(spark):
+    """Projecting basis vector e_d yields r[j][d]/sqrt(k) exactly; equal
+    inputs sketch identically."""
+    import math
+
+    from connapse_spark.operators.similarity import _jl_matrix, random_projection
+
+    mat = _jl_matrix(4, 3)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = random_projection(emb, out_dims=3, in_dims=4).collect()
+    got = {(r["vec_id"], r["component"]): r["value"] for r in out}
+    for j in range(3):
+        expect = mat[j][0] / math.sqrt(3.0)
+        assert got[(0, j)] == expect
+        assert got[(1, j)] == got[(0, j)]
