@@ -92,3 +92,103 @@ def read_files(
 def decode_text(files: DataFrame, encoding: str = "UTF-8") -> DataFrame:
     """Text-file decode (P1 entry): binary → string column, JVM-side."""
     return files.withColumn("text", F.decode(F.col("content"), encoding))
+
+
+# ---------------------------------------------------------------------------
+# §2.9 connection testers (reference: Connapse.Storage/ConnectionTesters/*,
+# ConnectionTestResult.cs:1-50 — Success/Message/Details/Duration shape)
+# ---------------------------------------------------------------------------
+
+
+def _result(success: bool, message: str, details: dict, t0: float) -> dict:
+    import time
+
+    return {
+        "success": success,
+        "message": message,
+        "details": details,
+        "duration_s": round(time.monotonic() - t0, 3),
+    }
+
+
+def test_storage_connection(
+    spark: SparkSession, uri: str, glob: str | None = None
+) -> dict:
+    """Storage tester (S3ConnectionTester.cs / AzureBlobConnectionTester.cs /
+    MinioConnectionTester.cs analogue): the cheapest authenticated
+    round-trip is a metadata-only listing capped at one file — exercises
+    scheme resolution, credentials, and bucket/container reachability
+    without reading content. Never raises; failures come back in the
+    result like ConnectionTestResult.CreateFailure."""
+    import time
+
+    t0 = time.monotonic()
+    try:
+        n = len(list_files(spark, uri, glob).limit(1).collect())
+        return _result(
+            True,
+            f"Connected to {uri} ({'files visible' if n else 'empty prefix'})",
+            {"files_seen": n},
+            t0,
+        )
+    except Exception as ex:  # noqa: BLE001 — tester surface, never raises
+        return _result(
+            False, f"Connection failed: {type(ex).__name__}", {"error": str(ex)}, t0
+        )
+
+
+def test_embedding_provider(
+    provider=None, dims: int = 64, probe_text: str = "connection probe"
+) -> dict:
+    """Embedding-provider tester (TeiConnectionTester.cs /
+    OpenAiConnectionTester.cs analogue): one tiny driver-side probe call,
+    validating the (texts → vectors) contract and the dimension count the
+    index expects — the same checks the reference runs before saving a
+    provider config."""
+    import time
+
+    from connapse_spark.functions.embed import embed_py
+
+    t0 = time.monotonic()
+    fn = provider or (lambda texts: [embed_py(t, dims) for t in texts])
+    try:
+        out = fn([probe_text])
+        if len(out) != 1 or len(out[0]) != dims:
+            return _result(
+                False,
+                f"Provider returned shape ({len(out)}, {len(out[0]) if out else 0}), expected (1, {dims})",
+                {"expected_dims": dims},
+                t0,
+            )
+        return _result(True, f"Embedding provider OK ({dims} dims)", {"dims": dims}, t0)
+    except Exception as ex:  # noqa: BLE001
+        return _result(
+            False, f"Provider call failed: {type(ex).__name__}", {"error": str(ex)}, t0
+        )
+
+
+def test_llm_provider(complete_fn=None, probe_prompt: str = "ping") -> dict:
+    """LLM-provider tester (OllamaConnectionTester.cs /
+    AnthropicConnectionTester.cs analogue): one tiny completion, checking
+    the (prompts → strings) contract."""
+    import time
+
+    t0 = time.monotonic()
+    if complete_fn is None:
+        import pandas as pd
+
+        from connapse_spark.operators.rag import fake_provider
+
+        complete_fn = lambda ps: list(fake_provider(pd.Series(ps)))  # noqa: E731
+    try:
+        out = complete_fn([probe_prompt])
+        ok = len(out) == 1 and isinstance(out[0], str) and out[0]
+        return (
+            _result(True, "LLM provider OK", {"sample_len": len(out[0])}, t0)
+            if ok
+            else _result(False, "Provider returned empty/invalid completion", {}, t0)
+        )
+    except Exception as ex:  # noqa: BLE001
+        return _result(
+            False, f"Provider call failed: {type(ex).__name__}", {"error": str(ex)}, t0
+        )

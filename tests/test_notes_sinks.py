@@ -51,3 +51,36 @@ def test_chunks_sink_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == chunks.count()
     assert set(back.columns) >= set(chunks.columns)
+
+
+# ---------------------------------------------------------------------------
+# §2.9 connection testers
+# ---------------------------------------------------------------------------
+
+
+def test_storage_connection_ok_and_failure(spark, tmp_path):
+    from connapse_spark.sources.connectors import test_storage_connection
+
+    (tmp_path / "a.txt").write_text("hello")
+    ok = test_storage_connection(spark, f"file://{tmp_path}")
+    assert ok["success"] is True and ok["details"]["files_seen"] == 1
+    bad = test_storage_connection(spark, f"file://{tmp_path}/definitely-missing")
+    assert bad["success"] is False and "error" in bad["details"]
+    assert bad["duration_s"] >= 0.0
+
+
+def test_embedding_provider_tester_shapes():
+    from connapse_spark.sources.connectors import test_embedding_provider
+
+    assert test_embedding_provider()["success"] is True
+    short = test_embedding_provider(provider=lambda ts: [[0.0] * 3 for _ in ts])
+    assert short["success"] is False and "expected (1, 64)" in short["message"]
+    boom = test_embedding_provider(provider=lambda ts: 1 / 0)
+    assert boom["success"] is False and "ZeroDivisionError" in boom["message"]
+
+
+def test_llm_provider_tester():
+    from connapse_spark.sources.connectors import test_llm_provider
+
+    assert test_llm_provider()["success"] is True
+    assert test_llm_provider(lambda ps: [""])["success"] is False
