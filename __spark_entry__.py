@@ -685,6 +685,19 @@ def q_fix_types(df):
     return df.withColumn("list_id", F.col("list_id").cast("long"))
 
 
+def q_ann_ivf_seeded(spark, sf_dir):
+    """Deterministic-IVF twin: seed centroids + one Lloyd assignment step,
+    literal-IN pruned probe — the full ANN path under a value-hash oracle
+    (the sampled-KMeans build keeps its rows-only check)."""
+    from connapse_spark.functions.embed import embed_py
+
+    qv = embed_py(SEARCH_QUERY, 64)
+    index, centroids = ivf.build_ivf_index_seeded(
+        _t(spark, sf_dir, "embeddings"), n_lists=8
+    )
+    return ivf.ann_ivf_topk(index, centroids, qv, k=10, nprobe=3)
+
+
 def q_keyword_indexed(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tokens = keyword_index.build_token_table(docs).cache()
@@ -1341,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_lww": q_upsert_lww,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_seeded": q_ann_ivf_seeded,
         "keyword_indexed": q_keyword_indexed,
         "hybrid_rerank": q_hybrid_rerank,
         "hybrid_window": q_hybrid_window,
@@ -1434,6 +1448,7 @@ def oracle_sql() -> dict[str, str]:
         "sync_delta": _SQL_SYNC_DELTA,
         "upsert_lww": _SQL_UPSERT_LWW,
         "ann_lsh": ivf.sql_ann_lsh_topk(_embed_query(), k=10, n_planes=4),
+        "ann_ivf_seeded": ivf.sql_ann_ivf_seeded(_embed_query(), k=10, nprobe=3, n_lists=8),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.
         "keyword_indexed": keyword_index.sql_keyword_indexed(SEARCH_QUERY, k=20),

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "hybrid_onepass",
     "semantic_topk",
     "ann_lsh",
+    "ann_ivf_seeded",
     "knn_join",
     "neardup_cosine_lsh",
     "exact_dedup",

@@ -336,3 +336,63 @@ def ivf_knn_join(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def build_ivf_index_seeded(
+    vectors: DataFrame,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF twin of build_ivf_index: centroids are the n_lists
+    lowest-id vectors and assignment is the single broadcast-fold Lloyd
+    step (similarity.cluster_assign) — no iterative fit, so the index AND
+    the probe are SQL-expressible and the whole ANN path gets a full
+    value-hash oracle (the sampled-KMeans build keeps its rows-only check;
+    this twin pins the probe math end-to-end). Same (index, centroids)
+    contract as build_ivf_index; list_id stays bigint."""
+    from connapse_spark.operators.similarity import cluster_assign
+
+    assigned = cluster_assign(
+        vectors, k=n_lists, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
+    index = assigned.select(
+        F.col(id_col).alias("id"),
+        F.col("cluster").alias("list_id"),
+        F.col("_v").alias("vec"),
+        l2norm_expr(F.col("_v")).alias("norm"),
+    )
+    centroids = vectors.filter(F.col(id_col) < n_lists).select(
+        F.col(id_col).cast("bigint").alias("list_id"),
+        to_double_array(F.col(vec_col)).alias("centroid"),
+    )
+    return index, centroids
+
+
+def sql_ann_ivf_seeded(
+    query_vec: list[float], k: int = 10, nprobe: int = 3, n_lists: int = 8
+) -> str:
+    """Mirror of build_ivf_index_seeded + ann_ivf_topk: same assignment CTE
+    as cluster_assign, the same driver-side probe ranking expressed as an
+    ORDER BY ... LIMIT nprobe, cosine in the identical fold order (the
+    Python qn fold and the SQL sqrt-fold are the same sequential FP ops)."""
+    from connapse_spark.functions.embed import sql_vector_literal
+    from connapse_spark.functions.vector import sql_cosine
+    from connapse_spark.operators.similarity import sql_cluster_assign
+
+    qv = sql_vector_literal(query_vec)
+    return f"""
+WITH q AS (SELECT {qv} AS qv),
+assigned AS ({sql_cluster_assign(n_lists)}),
+seeds AS (SELECT CAST(vec_id AS BIGINT) AS list_id, CAST(embedding AS DOUBLE[]) AS centroid
+          FROM embeddings WHERE vec_id < {n_lists}),
+probe AS (
+  SELECT list_id FROM (
+    SELECT list_id, {sql_cosine("centroid", "qv")} AS s FROM seeds, q
+  ) ORDER BY s DESC, list_id LIMIT {nprobe}
+)
+SELECT e.vec_id AS id, a.cluster AS list_id,
+       {sql_cosine("CAST(e.embedding AS DOUBLE[])", "qv")} AS score
+FROM embeddings e JOIN assigned a USING (vec_id) JOIN probe p ON a.cluster = p.list_id, q
+ORDER BY score DESC, id LIMIT {k}
+""".strip()

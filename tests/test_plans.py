@@ -270,3 +270,31 @@ def test_salted_join_rejects_right_joins(spark):
     build = spark.createDataFrame([(1, "b")], "k int, attr string")
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(probe, build, "k", how="full")
+
+
+def test_seeded_ivf_full_probe_equals_exact_knn(spark, sf_dir):
+    """nprobe = n_lists scans every list, so the seeded-IVF probe must
+    reproduce the exact KNN top-k (ids AND scores) — the index is then a
+    pure partitioning, not an approximation."""
+    from connapse_spark.functions.embed import embed_py
+    from connapse_spark.operators.search import vector_knn
+
+    emb = _emb(spark, sf_dir)
+    qv = embed_py("the quick brown fox", 64)
+    index, centroids = ivf.build_ivf_index_seeded(emb, n_lists=4)
+    approx = ivf.ann_ivf_topk(index, centroids, qv, k=5, nprobe=4).collect()
+    exact = vector_knn(emb, qv, k=5).collect()
+    assert [(r["id"], r["score"]) for r in approx] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
+def test_seeded_ivf_pruned_probe_scans_subset(spark, sf_dir):
+    """nprobe < n_lists returns only rows from the probed lists."""
+    from connapse_spark.functions.embed import embed_py
+
+    emb = _emb(spark, sf_dir)
+    qv = embed_py("the quick brown fox", 64)
+    index, centroids = ivf.build_ivf_index_seeded(emb, n_lists=4)
+    out = ivf.ann_ivf_topk(index, centroids, qv, k=50, nprobe=1).collect()
+    assert len({r["list_id"] for r in out}) == 1
