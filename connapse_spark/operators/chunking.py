@@ -109,33 +109,33 @@ def chunk_fixed_char(
     step: int = 160,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ordered: bool = True,
 ) -> DataFrame:
     """Char-window fixed-size chunker: windows of `size` chars advancing by
     `step` (overlap = size − step). n_chunks = 1 + floor((len−1)/step) for
     the windows whose start < len; trailing window may be short.
     Pure posexplode(sequence) + substring — whole-stage codegen end to end.
+    ``ordered=False`` drops the output sort (required when the input is a
+    streaming DataFrame — sorting is illegal on append-mode streams).
     """
     n = F.length(F.col(text_col))
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
         F.floor((n - 1) / F.lit(step)).cast("int") + 1
     )
-    return (
-        docs.select(
-            F.col(id_col).alias("document_id"),
-            F.col(text_col),
-            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index", "_i"),
-        )
-        .select(
-            "document_id",
-            "chunk_index",
-            F.substring(F.col(text_col), F.col("chunk_index") * step + 1, size).alias("content"),
-            (F.col("chunk_index") * step).alias("start_offset"),
-            F.least(F.col("chunk_index") * F.lit(step) + size, F.length(text_col)).alias(
-                "end_offset"
-            ),
-        )
-        .orderBy("document_id", "chunk_index")
+    out = docs.select(
+        F.col(id_col).alias("document_id"),
+        F.col(text_col),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index", "_i"),
+    ).select(
+        "document_id",
+        "chunk_index",
+        F.substring(F.col(text_col), F.col("chunk_index") * step + 1, size).alias("content"),
+        (F.col("chunk_index") * step).alias("start_offset"),
+        F.least(F.col("chunk_index") * F.lit(step) + size, F.length(text_col)).alias(
+            "end_offset"
+        ),
     )
+    return out.orderBy("document_id", "chunk_index") if ordered else out
 
 
 def sql_chunk_fixed_char(size: int = 200, step: int = 160) -> str:

@@ -178,3 +178,84 @@ def run_complete_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_ingest_pipeline(
+    stream: DataFrame,
+    chunk_size: int = 200,
+    chunk_step: int = 160,
+    dims: int = 64,
+    provider=None,
+    model_id: str = "hash-64",
+) -> DataFrame:
+    """The reference's ENTIRE ingestion loop as one checkpointed stream:
+    watch → content-hash dedup → chunk → embed → (chunk, vector) rows —
+    the streaming composition of M3 (stream_text_files), T3
+    (streaming_dedup_first_seen's stateful exactly-once hash), C1
+    (chunk_fixed_char) and E1 (embedding_provider_udf). The reference runs
+    this as queue + workers + DB transactions (IngestionPipeline.cs);
+    here each micro-batch flows through the same DataFrame transforms the
+    batch pipeline uses, and the checkpoint carries both the file-source
+    bookkeeping and the dedup state, so a re-ingested file costs nothing
+    twice — not the listing, not the chunking, not the embed spend.
+
+    Input: a (path, text) stream (e.g. stream_text_files). Output stream:
+    (doc_id, chunk_index, content, content_hash, embedding, model_id) —
+    the chunk+vector co-located layout the single-scan hybrid consumes.
+
+    Scale: every stage is stateless except the hash-keyed dedup state (one
+    long per distinct document ever seen, partitioned by hash); chunking
+    is codegen'd posexplode, embedding is one Arrow-batched provider call
+    per micro-batch partition.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from connapse_spark.operators.chunking import chunk_fixed_char
+    from connapse_spark.operators.embedding import embedding_provider_udf
+
+    hashed = stream.select(
+        F.col("path").cast("string").alias("id"),
+        F.col("text"),
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+    )
+
+    # first_seen with the payload carried through the stateful operator: a
+    # stream-stream re-join of the dedup verdict onto the text would need
+    # its own watermark state; emitting (id, text) directly from the
+    # first-seen group costs nothing extra (state stays one long per hash).
+    def first_seen_with_text(key, pdfs, state):
+        seen = state.get[0] if state.exists else 0
+        n, first_id, first_text = 0, None, None
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                row = pdf.loc[pdf["id"].idxmin()]
+                if first_id is None or row["id"] < first_id:
+                    first_id, first_text = row["id"], row["text"]
+        if seen == 0 and n > 0:
+            yield pd.DataFrame(
+                {"doc_id": [first_id], "text": [first_text], "content_hash": [key[0]]}
+            )
+        state.update((seen + n,))
+
+    docs = hashed.groupBy("content_hash").applyInPandasWithState(
+        first_seen_with_text,
+        outputStructType="doc_id string, text string, content_hash string",
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    chunks = chunk_fixed_char(
+        docs, size=chunk_size, step=chunk_step, id_col="doc_id", text_col="text",
+        ordered=False,
+    )
+    embed = embedding_provider_udf(provider, dims)
+    return chunks.select(
+        F.col("document_id").alias("doc_id"),
+        "chunk_index",
+        "content",
+        F.sha2(F.col("content"), 256).alias("content_hash"),
+        embed(F.col("content")).alias("embedding"),
+        F.lit(model_id).alias("model_id"),
+    )

@@ -126,3 +126,46 @@ def test_sliding_event_counts_stream(spark, tmpdir):
     assert rows[("2026-01-01 10:00:00", "click")] == 3
     assert rows[("2026-01-01 11:00:00", "view")] == 1
     assert ("2026-01-01 09:00:00", "click") not in rows
+
+
+def test_streaming_ingest_pipeline_end_to_end(spark, tmpdir):
+    """Full ingest loop as one checkpointed stream: two activations — the
+    first embeds two distinct docs; the second sees one new doc and one
+    re-sent duplicate and spends chunk/embed on ONLY the new one."""
+    import os
+
+    from connapse_spark.streaming import pipeline as sp
+
+    src, ckpt, out = (
+        str(tmpdir.join("in")),
+        str(tmpdir.join("ck")),
+        str(tmpdir.join("out")),
+    )
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write("alpha " * 60)
+    with open(os.path.join(src, "b.txt"), "w") as f:
+        f.write("bravo " * 60)
+
+    pipe = sp.streaming_ingest_pipeline(sp.stream_text_files(spark, src))
+    sp.run_available_now(pipe, ckpt, out)
+    r1 = spark.read.parquet(out)
+    docs1 = {r["doc_id"] for r in r1.select("doc_id").distinct().collect()}
+    assert len(docs1) == 2
+    assert r1.filter(F.col("embedding").isNull()).count() == 0
+    n1 = r1.count()
+    assert n1 >= 4  # 360 chars / 160 step = 3 chunks per doc
+
+    # activation 2: one new file + one duplicate content under a new path
+    with open(os.path.join(src, "c.txt"), "w") as f:
+        f.write("charlie " * 60)
+    with open(os.path.join(src, "a_copy.txt"), "w") as f:
+        f.write("alpha " * 60)  # same content hash as a.txt
+
+    pipe2 = sp.streaming_ingest_pipeline(sp.stream_text_files(spark, src))
+    sp.run_available_now(pipe2, ckpt, out)
+    r2 = spark.read.parquet(out)
+    docs2 = {r["doc_id"] for r in r2.select("doc_id").distinct().collect()}
+    assert any("c.txt" in d for d in docs2)
+    assert not any("a_copy" in d for d in docs2)  # duplicate never re-embedded
+    assert len(docs2) == 3
