@@ -685,6 +685,20 @@ def q_fix_types(df):
     return df.withColumn("list_id", F.col("list_id").cast("long"))
 
 
+def q_ivf_upsert(spark, sf_dir):
+    """Incremental M6 maintenance: assign a new batch to EXISTING seeded
+    centroids (no refit) and LWW-merge — 20 inserts under shifted ids plus
+    20 same-id re-upserts (the output row count proves the LWW dedup)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    index, centroids = ivf.build_ivf_index_seeded(emb, n_lists=8)
+    low = emb.filter(F.col("vec_id") < 20)
+    new = low.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding").unionByName(
+        low.select("vec_id", "embedding")
+    )
+    merged = ivf.ivf_index_upsert(index, centroids, new)
+    return merged.select("id", "list_id", "norm").orderBy("id")
+
+
 def q_ann_ivf_seeded(spark, sf_dir):
     """Deterministic-IVF twin: seed centroids + one Lloyd assignment step,
     literal-IN pruned probe — the full ANN path under a value-hash oracle
@@ -1355,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_seeded": q_ann_ivf_seeded,
+        "ivf_upsert": q_ivf_upsert,
         "keyword_indexed": q_keyword_indexed,
         "hybrid_rerank": q_hybrid_rerank,
         "hybrid_window": q_hybrid_window,
@@ -1449,6 +1464,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_lww": _SQL_UPSERT_LWW,
         "ann_lsh": ivf.sql_ann_lsh_topk(_embed_query(), k=10, n_planes=4),
         "ann_ivf_seeded": ivf.sql_ann_ivf_seeded(_embed_query(), k=10, nprobe=3, n_lists=8),
+        "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.
         "keyword_indexed": keyword_index.sql_keyword_indexed(SEARCH_QUERY, k=20),

@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "semantic_topk",
     "ann_lsh",
     "ann_ivf_seeded",
+    "ivf_upsert",
     "knn_join",
     "neardup_cosine_lsh",
     "exact_dedup",

@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from connapse_spark.functions.embed import sql_vector_literal
 from connapse_spark.functions.vector import (
+    cosine_expr,
     dot_expr,
     l2norm_expr,
     sql_dot,
@@ -395,4 +396,109 @@ SELECT e.vec_id AS id, a.cluster AS list_id,
        {sql_cosine("CAST(e.embedding AS DOUBLE[])", "qv")} AS score
 FROM embeddings e JOIN assigned a USING (vec_id) JOIN probe p ON a.cluster = p.list_id, q
 ORDER BY score DESC, id LIMIT {k}
+""".strip()
+
+
+def ivf_index_upsert(
+    index: DataFrame,
+    centroids: DataFrame,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance (M6 as a production index manager runs
+    it): assign a batch of NEW vectors to the EXISTING centroids — no
+    refit — and merge, last-writer-wins on id (a re-ingested chunk's new
+    embedding replaces its old list entry). pgvector's ivfflat does the
+    same on INSERT: rows are routed to the nearest existing list; the fit
+    only reruns on REINDEX (the policy decision ivf_n_lists informs).
+
+    Plan: broadcast the centroid table (≤100 rows by the lists policy),
+    map-side argmax fold per new vector — the batch never shuffles for
+    assignment; the LWW merge is one window over id, and since both sides
+    are (or should be written) partitioned by list_id, the merge output
+    keeps the layout-as-index property.
+
+    Returns the merged (id, list_id, vec, norm) index.
+    """
+    packed = centroids.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("list_id").alias("cid"), F.col("centroid").alias("cvec")))
+        ).alias("_seeds")
+    )
+    v = to_double_array(F.col(vec_col))
+    acc0 = F.struct(
+        F.lit(-1).cast(dict(centroids.dtypes)["list_id"]).alias("cid"),
+        F.lit(-2.0).alias("score"),
+    )
+
+    def _step(acc, s):
+        sc = cosine_expr(s["cvec"], v)
+        return F.when(
+            sc > acc["score"], F.struct(s["cid"].alias("cid"), sc.alias("score"))
+        ).otherwise(acc)
+
+    best = F.aggregate("_seeds", acc0, _step)
+    assigned = new_vectors.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col).alias("id"),
+        best["cid"].alias("list_id"),
+        v.alias("vec"),
+        l2norm_expr(v).alias("norm"),
+        F.lit(1).alias("_gen"),
+    )
+    merged = index.select("id", "list_id", "vec", "norm").withColumn(
+        "_gen", F.lit(0)
+    ).unionByName(assigned)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("_gen"))
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "list_id", "vec", "norm")
+    )
+
+
+def sql_ivf_index_upsert_seeded(n_lists: int = 8, shift: int = 10_000, n_new: int = 20) -> str:
+    """Mirror of the driver query over ivf_index_upsert with the seeded
+    index: base assignment = the cluster_assign CTE; the synthetic new
+    batch (lowest n_new vectors re-keyed to id+shift plus the same rows
+    re-upserted under their own ids) is assigned by the identical
+    argmax-rank; LWW merge keeps generation 1 over 0."""
+    from connapse_spark.functions.vector import sql_cosine, sql_norm
+    from connapse_spark.operators.similarity import sql_cluster_assign
+
+    return f"""
+WITH assigned AS ({sql_cluster_assign(n_lists)}),
+base AS (
+  SELECT a.vec_id AS id, a.cluster AS list_id,
+         {sql_norm("CAST(e.embedding AS DOUBLE[])")} AS norm, 0 AS gen
+  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+seeds AS (SELECT CAST(vec_id AS BIGINT) AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+          FROM embeddings WHERE vec_id < {n_lists}),
+newb AS (
+  SELECT vec_id + {shift} AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {n_new}
+  UNION ALL
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {n_new}
+),
+newscored AS (
+  SELECT id, cid, {sql_cosine("v", "cvec")} AS s, {sql_norm("v")} AS norm
+  FROM newb CROSS JOIN seeds
+),
+newassigned AS (
+  SELECT id, cid AS list_id, norm, 1 AS gen FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rk
+    FROM newscored
+  ) WHERE rk = 1
+),
+merged AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY gen DESC) AS rn
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM newassigned)
+  ) WHERE rn = 1
+)
+SELECT id, list_id, norm FROM merged ORDER BY id
 """.strip()

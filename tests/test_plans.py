@@ -298,3 +298,26 @@ def test_seeded_ivf_pruned_probe_scans_subset(spark, sf_dir):
     index, centroids = ivf.build_ivf_index_seeded(emb, n_lists=4)
     out = ivf.ann_ivf_topk(index, centroids, qv, k=50, nprobe=1).collect()
     assert len({r["list_id"] for r in out}) == 1
+
+
+def test_ivf_upsert_routes_and_replaces(spark, sf_dir):
+    """New vectors land in their nearest existing list with no refit; a
+    re-upserted id replaces its old entry (LWW); untouched rows survive."""
+    emb = _emb(spark, sf_dir)
+    index, centroids = ivf.build_ivf_index_seeded(emb, n_lists=4)
+    n0 = index.count()
+
+    # one brand-new vector identical to seed 2 -> must land in list 2;
+    # one replacement for an existing id with seed-3's vector -> moves lists
+    seed2 = emb.filter(F.col("vec_id") == 2).collect()[0]["embedding"]
+    seed3 = emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    victim = index.filter(F.col("list_id") != 3).select("id").orderBy(F.desc("id")).limit(1).collect()[0]["id"]
+    new = spark.createDataFrame(
+        [(10_000, [float(x) for x in seed2]), (victim, [float(x) for x in seed3])],
+        "vec_id long, embedding array<double>",
+    )
+    merged = ivf.ivf_index_upsert(index, centroids, new)
+    assert merged.count() == n0 + 1  # one insert, one replace
+    got = {r["id"]: r["list_id"] for r in merged.filter(F.col("id").isin(10_000, victim)).collect()}
+    assert got[10_000] == 2
+    assert got[victim] == 3  # replaced embedding re-routed to list 3
