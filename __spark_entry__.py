@@ -581,6 +581,13 @@ def q_perplexity(spark, sf_dir):
     return textstats.perplexity_score(_t(spark, sf_dir, "documents"))
 
 
+def q_dsir(spark, sf_dir):
+    """DSIR importance weights vs the English subset as target: docs whose
+    token mix resembles lang='en' rows get positive mean log ratios."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
 def q_lang_mismatch(spark, sf_dir):
     """Metadata-hygiene screen: declared lang tag vs stopword detector."""
     return textstats.lang_mismatch(_t(spark, sf_dir, "documents"))
@@ -1342,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "perplexity": q_perplexity,
         "lang_mismatch": q_lang_mismatch,
+        "dsir_weights": q_dsir,
         "top_bigrams": q_top_bigrams,
         "cluster_assign": q_cluster_assign,
         "cluster_sizes": q_cluster_sizes,
@@ -1437,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": textstats.sql_tfidf_top_terms(k=5),
         "perplexity": textstats.sql_perplexity_score() + " ORDER BY doc_id",
         "lang_mismatch": textstats.sql_lang_mismatch() + " ORDER BY doc_id",
+        "dsir_weights": textstats.sql_dsir_weights() + " ORDER BY doc_id",
         "top_bigrams": textstats.sql_top_ngrams(n=2, k=20),
         "cluster_assign": similarity.sql_cluster_assign(k=8),
         "cluster_sizes": similarity.sql_cluster_sizes(k=8),

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "perplexity",
     "lang_mismatch",
+    "dsir_weights",
     "top_bigrams",
     "gopher_filter",
     "token_entropy",

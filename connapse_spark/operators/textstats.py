@@ -826,3 +826,131 @@ SELECT gram, count(*) AS n_occurrences
 FROM grams GROUP BY gram
 ORDER BY n_occurrences DESC, gram LIMIT {k}
 """.strip()
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    alpha: float = PPL_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    every source document by how much more likely its tokens are under a
+    TARGET-corpus unigram LM than under the source LM —
+    log w(doc) = Σ_t [ln p_target(t) − ln p_source(t)]. Documents that
+    look like the target distribution get high weights; importance
+    resampling then draws the training mix (sampling.deterministic_sample
+    over the weight is the draw step).
+
+    Same exact-arithmetic discipline as perplexity_score: both logprobs
+    are quantized to integer micro-nats, the per-doc sum is exact integer
+    math, and the mean is one exactly-rounded division. Target-OOV tokens
+    (present in source, absent in target) take the target's reserved
+    smoothing slot ln(α/(T+α(V+1))).
+
+    Returns (id, n_tokens, weight_q, mean_log_ratio); weight_q > 0 →
+    closer to target than to the source average.
+
+    Scale: two vocab tables (AQE-broadcast), one exploded-token join
+    pipeline, one per-doc aggregate — all map-side-partial.
+    """
+    src_model = unigram_model(docs, alpha, text_col)
+    tgt_toks = target_docs.select(
+        F.explode(tokens_exact_expr(F.col(text_col))).alias("term")
+    )
+    tgt_counts = tgt_toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tgt_stats = tgt_counts.agg(F.sum("c").alias("_t"), F.count(F.lit(1)).alias("_v"))
+    tgt_lp = F.log(
+        (F.col("c") + F.lit(alpha))
+        / (F.col("_t") + F.lit(alpha) * (F.col("_v") + F.lit(1)))
+    )
+    tgt_model = tgt_counts.crossJoin(F.broadcast(tgt_stats)).select(
+        "term", F.round(tgt_lp * F.lit(1e6)).cast("bigint").alias("lp_tgt_q")
+    )
+    oov_lp = F.round(
+        F.log(
+            F.lit(alpha)
+            / (F.col("_t") + F.lit(alpha) * (F.col("_v") + F.lit(1)))
+        )
+        * F.lit(1e6)
+    ).cast("bigint")
+
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_exact_expr(F.col(text_col))).alias("term"),
+    )
+    scored = (
+        tok.join(src_model, "term")  # every source token is in the source model
+        .join(tgt_model, "term", "left")
+        .crossJoin(F.broadcast(tgt_stats))
+        .select(
+            "id",
+            (F.coalesce(F.col("lp_tgt_q"), oov_lp) - F.col("lp_q")).alias("_d"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("_d").alias("weight_q")
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(agg, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("weight_q", F.lit(0)).alias("weight_q"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            F.col("weight_q").cast("double") / F.col("n_tokens").cast("double") / F.lit(1e6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_log_ratio"),
+    )
+
+
+def sql_dsir_weights(
+    alpha: float = PPL_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    target_where: str = "lang = 'en'",
+) -> str:
+    """Mirror of dsir_weights with target = source rows matching
+    ``target_where``: identical smoothing arithmetic and quantization on
+    both models, same OOV slot, same integer sums and division order."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, unnest({sql_tokens_exact(text_col)}) AS term FROM {table}
+),
+src_counts AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+src_stats AS (SELECT sum(c) AS t, count(*) AS v FROM src_counts),
+src_model AS (
+  SELECT term,
+         CAST(round(ln((c + {alpha!r}) / (t + {alpha!r} * (v + 1))) * 1000000.0) AS BIGINT) AS lp_q
+  FROM src_counts, src_stats
+),
+tgt_tok AS (
+  SELECT unnest({sql_tokens_exact(text_col)}) AS term FROM {table} WHERE {target_where}
+),
+tgt_counts AS (SELECT term, count(*) AS c FROM tgt_tok GROUP BY term),
+tgt_stats AS (SELECT sum(c) AS t, count(*) AS v FROM tgt_counts),
+tgt_model AS (
+  SELECT term,
+         CAST(round(ln((c + {alpha!r}) / (t + {alpha!r} * (v + 1))) * 1000000.0) AS BIGINT) AS lp_tgt_q
+  FROM tgt_counts, tgt_stats
+),
+agg AS (
+  SELECT id, count(*) AS n_tokens,
+         sum(coalesce(lp_tgt_q,
+                      CAST(round(ln({alpha!r} / (t + {alpha!r} * (v + 1))) * 1000000.0) AS BIGINT))
+             - lp_q) AS weight_q
+  FROM tok JOIN src_model USING (term)
+           LEFT JOIN tgt_model USING (term), tgt_stats
+  GROUP BY id
+)
+SELECT d.{id_col},
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(weight_q, 0) AS BIGINT) AS weight_q,
+       CASE WHEN coalesce(n_tokens, 0) > 0
+            THEN CAST(weight_q AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0
+            ELSE 0.0 END AS mean_log_ratio
+FROM {table} d LEFT JOIN agg ON d.{id_col} = agg.id
+""".strip()

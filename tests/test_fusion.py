@@ -559,3 +559,22 @@ def test_random_projection_deterministic_and_sign_correct(spark):
         expect = mat[j][0] / math.sqrt(3.0)
         assert got[(0, j)] == expect
         assert got[(1, j)] == got[(0, j)]
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    """Docs resembling the target subset score higher mean log ratio than
+    docs resembling only the source at large."""
+    from connapse_spark.operators.textstats import dsir_weights
+
+    rows = [
+        (1, "alpha beta alpha beta gamma", "tgt"),
+        (2, "alpha beta gamma alpha beta", "tgt"),
+        (3, "alpha beta gamma delta beta", "src"),   # target-like mix
+        (4, "zulu yankee xray whiskey victor", "src"),  # nothing like target
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = dsir_weights(docs, docs.filter(F.col("lang") == "tgt"))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[3]["mean_log_ratio"] > got[4]["mean_log_ratio"]
+    assert got[4]["weight_q"] < 0  # target-OOV everywhere -> strongly negative
+    assert got[1]["n_tokens"] == 5
