@@ -321,3 +321,13 @@ def test_ivf_upsert_routes_and_replaces(spark, sf_dir):
     got = {r["id"]: r["list_id"] for r in merged.filter(F.col("id").isin(10_000, victim)).collect()}
     assert got[10_000] == 2
     assert got[victim] == 3  # replaced embedding re-routed to list 3
+
+
+def test_onepass_pool_cached_no_corpus_rescan(spark, sf_dir):
+    """hybrid_search_onepass pins its candidate pool: the final plan's two
+    branch cuts must read InMemoryTableScan, not re-run the corpus scan."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["hybrid_onepass"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 2
