@@ -581,6 +581,12 @@ def q_perplexity(spark, sf_dir):
     return textstats.perplexity_score(_t(spark, sf_dir, "documents"))
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring dedup signal: fraction of 16-token spans repeated
+    anywhere in the corpus (60-bit hashed spans, longs-only shuffle)."""
+    return dedup.dup_span_stats(_t(spark, sf_dir, "documents"), n=16)
+
+
 def q_dsir(spark, sf_dir):
     """DSIR importance weights vs the English subset as target: docs whose
     token mix resembles lang='en' rows get positive mean log ratios."""
@@ -1350,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "lang_mismatch": q_lang_mismatch,
         "dsir_weights": q_dsir,
+        "dup_spans": q_dup_spans,
         "top_bigrams": q_top_bigrams,
         "cluster_assign": q_cluster_assign,
         "cluster_sizes": q_cluster_sizes,
@@ -1446,6 +1453,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity": textstats.sql_perplexity_score() + " ORDER BY doc_id",
         "lang_mismatch": textstats.sql_lang_mismatch() + " ORDER BY doc_id",
         "dsir_weights": textstats.sql_dsir_weights() + " ORDER BY doc_id",
+        "dup_spans": dedup.sql_dup_span_stats(n=16) + " ORDER BY doc_id",
         "top_bigrams": textstats.sql_top_ngrams(n=2, k=20),
         "cluster_assign": similarity.sql_cluster_assign(k=8),
         "cluster_sizes": similarity.sql_cluster_sizes(k=8),

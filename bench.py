@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "neardup_cosine_lsh",
     "exact_dedup",
     "line_dedup",
+    "dup_spans",
     "minhash_lsh",
     "ngram_jaccard_prefix",
     "simhash",

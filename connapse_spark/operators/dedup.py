@@ -848,3 +848,96 @@ SELECT id AS {id_col},
        CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
 FROM flagged GROUP BY id
 """.strip()
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-span statistics — the corpus-level signal behind exact
+    substring deduplication (Lee et al. 2022, arXiv:2107.06499, remove
+    repeated ≥50-token spans): for every document, how many of its n-token
+    spans occur MORE THAN ONCE anywhere in the corpus (including
+    within-document repeats), and what fraction of its spans that is.
+    High dup_frac → boilerplate/templated text; the filter/removal
+    decision consumes these stats.
+
+    Returns (id, n_grams, n_dup_grams, dup_frac).
+
+    Scale: spans are built in-row (chained shifted zip_with, O(n·len))
+    and hashed to 60-bit integers before leaving the row — the shuffle
+    carries (id, gh) longs, never span text. One count aggregate on gh
+    (map-side partials), one join back (same gh partitioning), one
+    per-doc aggregate. This is the n-gram-hash approximation of the
+    paper's suffix array: equal spans always collide (exact recall);
+    60-bit hash collisions are the only false positives.
+    """
+    from connapse_spark.functions.text import tokens_exact_expr
+
+    toks = tokens_exact_expr(F.col(text_col))
+    n_out = F.size(toks) - F.lit(n - 1)
+    gram = F.slice(toks, 1, n_out)
+    for j in range(1, n):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, 1 + j, n_out),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
+    pairs = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(grams, _sha_bigint60)).alias("gh"),
+    )
+    counts = pairs.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
+    dup = counts.filter(F.col("_c") > 1).select("gh")
+    per_doc = (
+        pairs.join(dup, "gh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)).alias("n_grams"),
+    )
+    return base.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.coalesce("n_dup_grams", F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+
+
+def sql_dup_span_stats(
+    n: int = 16, id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
+    """Mirror of dup_span_stats: same span construction (array slices
+    joined by spaces), same 60-bit hash, same >1 duplicate rule."""
+    toks = sql_tokens_exact(text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS ts FROM {table}
+),
+pairs AS (
+  SELECT id, {sql_sha_bigint60("array_to_string(ts[i + 1:i + " + str(n) + "], ' ')")} AS gh
+  FROM (SELECT id, ts, unnest(range(0, len(ts) - {n} + 1)) AS i FROM base WHERE len(ts) >= {n})
+),
+dup AS (SELECT gh FROM (SELECT gh, count(*) AS c FROM pairs GROUP BY gh) WHERE c > 1),
+per_doc AS (
+  SELECT id, count(*) AS n_dup_grams FROM pairs JOIN dup USING (gh) GROUP BY id
+)
+SELECT b.id AS {id_col},
+       CAST(greatest(len(ts) - {n} + 1, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CASE WHEN greatest(len(ts) - {n} + 1, 0) > 0
+            THEN CAST(coalesce(n_dup_grams, 0) AS DOUBLE) / CAST(greatest(len(ts) - {n} + 1, 0) AS DOUBLE)
+            ELSE 0.0 END AS dup_frac
+FROM base b LEFT JOIN per_doc p ON b.id = p.id
+""".strip()

@@ -578,3 +578,31 @@ def test_dsir_upweights_target_like_docs(spark):
     assert got[3]["mean_log_ratio"] > got[4]["mean_log_ratio"]
     assert got[4]["weight_q"] < 0  # target-OOV everywhere -> strongly negative
     assert got[1]["n_tokens"] == 5
+
+
+def test_dup_span_stats_flags_repeated_spans(spark):
+    """A 4-token span shared by two docs marks those positions duplicated;
+    a unique doc stays clean; short docs have zero grams."""
+    from connapse_spark.operators.dedup import dup_span_stats
+
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique tail one"),
+            (2, shared + " different ending two"),
+            (3, "totally fresh words nothing repeats here at all"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_stats(docs, n=4).collect()}
+    assert out[1]["n_dup_grams"] == 1 and out[2]["n_dup_grams"] == 1
+    assert out[1]["n_grams"] == 4  # 7 tokens -> 4 spans of 4
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_frac"] == 0.0
+    assert out[4]["n_grams"] == 0 and out[4]["dup_frac"] == 0.0
+    # within-doc repetition also counts
+    rep = spark.createDataFrame(
+        [(9, "x y z w x y z w")], "doc_id long, text string"
+    )
+    r = dup_span_stats(rep, n=4).collect()[0]
+    assert r["n_dup_grams"] >= 2  # 'x y z w' occurs at pos 0 and 4
