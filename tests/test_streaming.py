@@ -137,9 +137,9 @@ def test_streaming_ingest_pipeline_end_to_end(spark, tmpdir):
     from connapse_spark.streaming import pipeline as sp
 
     src, ckpt, out = (
-        str(tmpdir.join("in")),
-        str(tmpdir.join("ck")),
-        str(tmpdir.join("out")),
+        os.path.join(tmpdir, "in"),
+        os.path.join(tmpdir, "ck"),
+        os.path.join(tmpdir, "out"),
     )
     os.makedirs(src)
     with open(os.path.join(src, "a.txt"), "w") as f:
