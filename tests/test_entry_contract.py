@@ -17,11 +17,22 @@ import __spark_entry__ as entry
 
 
 def test_all_queries_analyze_against_real_testdata(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    banned = (
+        T.ArrayType,
+        T.MapType,
+        T.StructType,  # driver canonicalizer sort_values dies on these
+        T.TimestampType,
+        T.TimestampNTZType,  # ns-vs-us pandas dtypes hash-mismatch the oracle
+    )
     failures = []
     for name, fn in entry.queries().items():
         try:
             df = fn(spark, sf_dir)
-            _ = df.schema  # forces analysis; no job
+            bad = [f.name for f in df.schema.fields if isinstance(f.dataType, banned)]
+            if bad:
+                failures.append(f"{name}: driver-unsafe column types {bad}")
         except Exception as ex:  # noqa: BLE001 — collect all, report once
             failures.append(f"{name}: {type(ex).__name__}: {ex}")
     assert not failures, "queries failing analysis vs real testdata:\n" + "\n".join(failures)
