@@ -57,9 +57,23 @@ from connapse_spark import oracle
 
 SEARCH_QUERY = "table scan fast merge"
 
+# The driver compares Spark vs the DuckDB oracle at sf0.01 (TESTDATA.md);
+# oracle_sql() has no sf_dir parameter, so data-derived literals baked into
+# oracle strings (e.g. the semdedup cluster count) read this dir's metadata.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _parquet_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — no Spark job, no scan;
+    lets query entries derive size-dependent policy knobs (semdedup k)
+    deterministically on both the Spark and oracle sides."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
 
 
 def _long(df: DataFrame, *cols: str) -> DataFrame:
@@ -623,8 +637,14 @@ def q_random_projection(spark, sf_dir):
 
 def q_semdedup(spark, sf_dir):
     """SemDeDup (arXiv:2303.09540): cluster-bucketed semantic dedup — the
-    lowest-id member of every within-cluster cosine neighborhood survives."""
-    return similarity.semdedup(_t(spark, sf_dir, "embeddings"), k=8, threshold=0.3)
+    lowest-id member of every within-cluster cosine neighborhood survives.
+    k is DERIVED from the corpus size (semdedup_n_clusters: k ≈ N/1024, the
+    paper's own scaling rule) so per-cluster quadratic work stays bounded at
+    any scale — never a fixed k. Small-SF floor keeps k ≥ 8 so the test
+    corpus still exercises multi-cluster bucketing."""
+    n = _parquet_rows(sf_dir, "embeddings")
+    k = max(8, similarity.semdedup_n_clusters(n))
+    return similarity.semdedup(_t(spark, sf_dir, "embeddings"), k=k, threshold=0.3)
 
 
 # ---------------------------------------------------------------------------
@@ -1457,7 +1477,11 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": textstats.sql_top_ngrams(n=2, k=20),
         "cluster_assign": similarity.sql_cluster_assign(k=8),
         "cluster_sizes": similarity.sql_cluster_sizes(k=8),
-        "semdedup": similarity.sql_semdedup(k=8, threshold=0.3) + " ORDER BY vec_id",
+        "semdedup": similarity.sql_semdedup(
+            k=max(8, similarity.semdedup_n_clusters(_parquet_rows(ORACLE_SF_DIR, "embeddings"))),
+            threshold=0.3,
+        )
+        + " ORDER BY vec_id",
         "random_projection": similarity.sql_random_projection(out_dims=16)
         + " ORDER BY vec_id, component",
         "chunk_semantic": _sql_chunk_semantic("Percentile"),

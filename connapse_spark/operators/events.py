@@ -31,17 +31,28 @@ def load_events(spark, sf_dir: str) -> DataFrame:
     TIMESTAMP_NTZ) in another, so normalize every shape to TIMESTAMP_NTZ:
     DuckDB reads the same files as naive timestamps, and NTZ arithmetic /
     date_trunc / date_format are session-timezone-independent, so oracle
-    agreement doesn't hinge on the harness's TZ setting."""
+    agreement doesn't hinge on the harness's TZ setting.
+
+    Both conversions below go through integer epoch offsets added to a
+    TIMESTAMP_NTZ literal — never through an LTZ→NTZ ``cast``, which
+    renders wall-clock in the *session* timezone and would shift every
+    downstream window/session/epoch query on a non-UTC harness (DuckDB
+    reads the same bytes as naive UTC either way)."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        ts_type = "timestamp"
-    if ts_type == "timestamp":
-        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        # raw nanos → micros since epoch, as pure NTZ arithmetic
+        df = df.withColumn(
+            "ts", F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})")
+        )
+    elif ts_type == "timestamp":
+        # instant (LTZ) → UTC wall-clock: unix_micros is TZ-independent
+        df = df.withColumn(
+            "ts", F.expr(f"timestampadd(MICROSECOND, unix_micros(ts), {_EPOCH_NTZ})")
+        )
     return df
 
 

@@ -1115,12 +1115,16 @@ def hybrid_search_onepass(
     approximate) while the scan emits ≤ 2k rows per ~10k-row Arrow batch.
     At 100 TB that halves the dominant cost (corpus IO) per query.
 
-    The pooled candidates are persisted and materialized with one count()
-    action so the vector/keyword branch cuts and fusion — which reuse the
-    stage functions of the two-branch pipeline unchanged — read the tiny
-    cached pool instead of re-running the scan (two lazy subtrees over an
-    unpinned pool would re-scan; the pinned pool is ≤ 2k × n_batches narrow
-    rows, trivially cache-resident at any corpus scale).
+    Everything downstream of the pool is ONE linear lineage: the pooled
+    candidates explode into (branch, score, id) entries, each branch's
+    top-k cut is a branch-partitioned row_number, per-branch normalization
+    rides branch-partitioned window aggregates (identical arithmetic to
+    ``_minmax_normalize``/``_dbsf_normalize``), and the full-outer merge of
+    ``fuse`` becomes a groupBy(id) pivot — the same union-of-ids with nulls
+    for the missing side. No persist, no eager count: building the
+    DataFrame launches zero jobs (plan-only consumers never scan), one
+    action executes exactly one corpus scan, and nothing leaks a cached RDD
+    per invocation. The post-pool shuffles move ≤ 2k·n_batches narrow rows.
 
     Branch semantics on the joined corpus: a row must have BOTH text and
     vector (inner-join layout). The two-branch form instead scans whatever
@@ -1159,29 +1163,135 @@ def hybrid_search_onepass(
             )
             yield pd.concat([v, kw]).drop_duplicates(subset="id")
 
-    pool = scored.mapInPandas(_batch_topk, schema=out_schema).persist()
-    pool.count()  # materialize: exactly one corpus scan; branches read cache
+    pool = scored.mapInPandas(_batch_topk, schema=out_schema)
 
-    v_hits = (
-        pool.select("id", F.col("vector_score").alias("score"))
-        .orderBy(F.desc("score"), F.col("id"))
-        .limit(k)
+    # (branch, score, id) entries; the keyword branch keeps only score > 0
+    # (matching keyword_cte), the vector branch keeps every candidate.
+    entries = (
+        pool.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("v").alias("branch"),
+                        F.col("vector_score").alias("bscore"),
+                        F.col("id"),
+                    ),
+                    F.struct(
+                        F.lit("k").alias("branch"),
+                        F.col("keyword_score").alias("bscore"),
+                        F.col("id"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.branch", "e.bscore", "e.id")
+        .filter((F.col("branch") == "v") | (F.col("bscore") > 0.0))
     )
-    k_hits = (
-        pool.select("id", F.col("keyword_score").alias("score"))
-        .filter(F.col("score") > 0.0)
-        .orderBy(F.desc("score"), F.col("id"))
-        .limit(k)
+    wb = Window.partitionBy("branch").orderBy(F.desc("bscore"), F.col("id"))
+    ranked = entries.withColumn("rn", F.row_number().over(wb)).filter(
+        F.col("rn") <= k
     )
 
     if options.mode == "Semantic":
-        fused = v_hits.withColumn("source", F.lit("vector"))
+        fused = ranked.filter(F.col("branch") == "v").select(
+            F.col("id"), F.col("bscore").alias("score"), F.lit("vector").alias("source")
+        )
     elif options.mode == "Keyword":
-        fused = k_hits.withColumn("source", F.lit("keyword"))
+        fused = ranked.filter(F.col("branch") == "k").select(
+            F.col("id"), F.col("bscore").alias("score"), F.lit("keyword").alias("source")
+        )
     elif options.fusion == "Rrf":
-        fused = fuse_rrf(v_hits, k_hits, id_col="id")
+        per_id = ranked.groupBy("id").agg(
+            F.max(F.when(F.col("branch") == "v", F.col("rn"))).alias("_vr"),
+            F.max(F.when(F.col("branch") == "k", F.col("rn"))).alias("_kr"),
+        )
+        rrf_v = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("_vr")), F.lit(0.0))
+        rrf_k = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("_kr")), F.lit(0.0))
+        in_v, in_k = F.col("_vr").isNotNull(), F.col("_kr").isNotNull()
+        fused = per_id.select(
+            F.col("id"),
+            (rrf_v + rrf_k).alias("score"),
+            F.coalesce(F.col("_vr"), F.lit(0)).cast("bigint").alias("vector_rank"),
+            F.coalesce(F.col("_kr"), F.lit(0)).cast("bigint").alias("keyword_rank"),
+            F.when(in_v & in_k, "both")
+            .when(in_v, "vector")
+            .otherwise("keyword")
+            .alias("source"),
+        )
     else:
-        fused = fuse(v_hits, k_hits, options.fusion_alpha, options.fusion, id_col="id")
+        # Per-branch normalization with the exact arithmetic of
+        # _minmax_normalize / _dbsf_normalize, over the same post-cut row
+        # sets those helpers would see — just branch-partitioned.
+        wbranch = Window.partitionBy("branch")
+        if options.fusion == "ConvexCombination":
+            mn = F.min("bscore").over(wbranch)
+            mx = F.max("bscore").over(wbranch)
+            normed = ranked.withColumn(
+                "_ns",
+                F.when(mx > mn, (F.col("bscore") - mn) / (mx - mn)).otherwise(
+                    F.lit(1.0)
+                ),
+            )
+        else:  # Dbsf: sorted sequential fold, bit-stable (see _dbsf_normalize)
+            normed = (
+                ranked.withColumn(
+                    "_ss", F.sort_array(F.collect_list("bscore").over(wbranch))
+                )
+                .withColumn("_n", F.size("_ss"))
+                .withColumn(
+                    "_mu",
+                    F.aggregate("_ss", F.lit(0.0), lambda a, v: a + v) / F.col("_n"),
+                )
+                .withColumn(
+                    "_sd",
+                    F.sqrt(
+                        F.aggregate(
+                            "_ss",
+                            F.lit(0.0),
+                            lambda a, v: a + (v - F.col("_mu")) * (v - F.col("_mu")),
+                        )
+                        / F.col("_n")
+                    ),
+                )
+                .withColumn(
+                    "_ns",
+                    F.when(
+                        (F.col("_n") == 1) | (F.col("_sd") < 1e-9), F.lit(1.0)
+                    ).otherwise(
+                        F.least(
+                            F.lit(1.0),
+                            F.greatest(
+                                F.lit(0.0),
+                                (
+                                    F.col("bscore")
+                                    - (F.col("_mu") - F.lit(3.0) * F.col("_sd"))
+                                )
+                                / (F.lit(6.0) * F.col("_sd")),
+                            ),
+                        )
+                    ),
+                )
+                .drop("_ss", "_mu", "_sd", "_n")
+            )
+        a = min(max(options.fusion_alpha, 0.0), 1.0)
+        per_id = normed.groupBy("id").agg(
+            F.max(F.when(F.col("branch") == "v", F.col("_ns"))).alias("_vs"),
+            F.max(F.when(F.col("branch") == "k", F.col("_ns"))).alias("_ks"),
+        )
+        in_v, in_k = F.col("_vs").isNotNull(), F.col("_ks").isNotNull()
+        fused = per_id.select(
+            F.col("id"),
+            (
+                F.lit(a) * F.coalesce(F.col("_vs"), F.lit(0.0))
+                + F.lit(1.0 - a) * F.coalesce(F.col("_ks"), F.lit(0.0))
+            ).alias("score"),
+            F.coalesce(F.col("_vs"), F.lit(0.0)).alias("vector_score"),
+            F.coalesce(F.col("_ks"), F.lit(0.0)).alias("keyword_score"),
+            F.when(in_v & in_k, "both")
+            .when(in_v, "vector")
+            .otherwise("keyword")
+            .alias("source"),
+        )
 
     fused = apply_min_score(fused, options.min_score)
     if options.auto_cut:

@@ -21,6 +21,12 @@ from pyspark.sql.window import Window
 from connapse_spark.functions.vector import cosine_expr, dot_expr, l2norm_expr, to_double_array
 
 
+# knn_join's driver-side collect bound: 100k queries × (id + 64-dim double
+# vector) ≈ 52 MB — comfortably driver-resident; larger query tables belong
+# on the distributed IVF probe (plans/ivf.ivf_knn_join).
+MAX_DRIVER_QUERIES = 100_000
+
+
 def _paired_cosine(na: F.Column, nb: F.Column, a: F.Column, b: F.Column) -> F.Column:
     """Cosine from pre-materialized per-row norms: dot/(na·nb), 0.0 on zero
     magnitude — the same FP operation order as cosine_expr, so the DuckDB
@@ -58,8 +64,24 @@ def knn_join(
     (``acc += q_d·c_d`` over d), the exact FP order of the sequential fold
     in functions/vector.py — so scores are bit-identical to the previous
     Catalyst expression and to the DuckDB oracle.
+
+    Guard: the driver collect is bounded at ``MAX_DRIVER_QUERIES`` rows
+    (the collect itself is limit-bounded, so an oversized query table
+    never OOMs the driver before the check fires); beyond it, raises and
+    points at the distributed ``plans.ivf.ivf_knn_join`` path.
     """
-    q_rows = queries.select(F.col(q_id), to_double_array(F.col(q_vec))).collect()
+    q_rows = (
+        queries.select(F.col(q_id), to_double_array(F.col(q_vec)))
+        .limit(MAX_DRIVER_QUERIES + 1)
+        .collect()
+    )
+    if len(q_rows) > MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"knn_join collects the query table to the driver and is capped at "
+            f"{MAX_DRIVER_QUERIES} query rows (queries ≪ corpus regime); for "
+            f"larger query tables use the distributed IVF path: "
+            f"connapse_spark.plans.ivf.ivf_knn_join"
+        )
     if not q_rows:
         empty = corpus.sparkSession.createDataFrame(
             [], _knn_schema(queries.schema[q_id].dataType, corpus.schema[c_id].dataType)
@@ -390,7 +412,10 @@ def cluster_assign(
     scan. The explode+groupBy alternative would shuffle N·k scored rows.
     """
     seeds = (
-        embeddings.filter(F.col(id_col) < k)
+        # the k LOWEST ids (TakeOrdered, k rows) — NOT `id < k`, which
+        # silently yields fewer/zero seeds on sparse or offset id spaces
+        embeddings.orderBy(F.col(id_col))
+        .limit(k)
         .select(
             F.col(id_col).cast("bigint").alias("cid"),
             to_double_array(F.col(vec_col)).alias("cvec"),
@@ -433,7 +458,7 @@ def sql_cluster_assign(
     return f"""
 WITH seeds AS (
   SELECT CAST({id_col} AS BIGINT) AS cid, CAST({vec_col} AS DOUBLE[]) AS cvec
-  FROM {table} WHERE {id_col} < {k}
+  FROM {table} ORDER BY {id_col} LIMIT {k}
 ),
 scored AS (
   SELECT e.{id_col}, s.cid,
@@ -481,6 +506,17 @@ WITH assigned AS ({sql_cluster_assign(k, id_col, vec_col, table)})
 SELECT cluster, count(*) AS n_vectors, min(score) AS min_score, max(score) AS max_score
 FROM assigned GROUP BY cluster
 """.strip()
+
+
+def semdedup_n_clusters(n_rows: int, target_cluster_size: int = 1024) -> int:
+    """Cluster-count policy for semdedup/cluster_assign: k ≈ N/target so
+    per-cluster populations stay bounded as the corpus grows — the paper's
+    own scaling rule (Abbas et al. 2023 §3 use k=11,000 for 5B docs; the
+    within-cluster pair join is O(|cluster|²), so a FIXED k at 100× data
+    explodes quadratically while k∝N keeps per-cluster work constant).
+    Mirrors the shape of ivf_n_lists (plans/ivf.py:180); the 65,536 cap
+    only bounds the broadcast seed table (≈32 MB at 64 dims)."""
+    return max(1, min(65_536, n_rows // target_cluster_size))
 
 
 def semdedup(

@@ -680,13 +680,25 @@ def perplexity_score(
     vocab grows ~O(corpus^0.5), Heaps' law). Per-doc aggregate is map-side
     partial on id.
     """
-    model = model if model is not None else unigram_model(docs, alpha, text_col)
+    if model is None:
+        model = unigram_model(docs, alpha, text_col)
+        if oov_lp_q is None:
+            oov_lp_q = 0  # self-fit model: every corpus term is in-vocab
+    elif oov_lp_q is None:
+        # External model without the reserved OOV slot: coalescing to 0
+        # would score unseen terms at probability 1 and silently understate
+        # NLL. The caller must supply the quantized smoothing-slot logprob
+        # (round(ln(alpha / (T + alpha*(V+1))) * 1e6) from the model fit).
+        raise ValueError(
+            "perplexity_score: an external `model` requires `oov_lp_q` "
+            "(quantized logprob of the reserved OOV smoothing slot)"
+        )
     tok = docs.select(
         F.col(id_col).alias("id"),
         F.explode(tokens_exact_expr(F.col(text_col))).alias("term"),
     )
     scored = tok.join(model, "term", "left")
-    lp = F.coalesce(F.col("lp_q"), F.lit(oov_lp_q or 0))
+    lp = F.coalesce(F.col("lp_q"), F.lit(oov_lp_q))
     agg = scored.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (-F.sum(lp)).alias("nll_q"),

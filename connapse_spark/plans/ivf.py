@@ -363,9 +363,13 @@ def build_ivf_index_seeded(
         F.col("_v").alias("vec"),
         l2norm_expr(F.col("_v")).alias("norm"),
     )
-    centroids = vectors.filter(F.col(id_col) < n_lists).select(
-        F.col(id_col).cast("bigint").alias("list_id"),
-        to_double_array(F.col(vec_col)).alias("centroid"),
+    centroids = (
+        vectors.orderBy(F.col(id_col))  # k lowest ids, not `id < k` —
+        .limit(n_lists)  # sparse/offset id spaces yield full seed sets
+        .select(
+            F.col(id_col).cast("bigint").alias("list_id"),
+            to_double_array(F.col(vec_col)).alias("centroid"),
+        )
     )
     return index, centroids
 
@@ -386,7 +390,7 @@ def sql_ann_ivf_seeded(
 WITH q AS (SELECT {qv} AS qv),
 assigned AS ({sql_cluster_assign(n_lists)}),
 seeds AS (SELECT CAST(vec_id AS BIGINT) AS list_id, CAST(embedding AS DOUBLE[]) AS centroid
-          FROM embeddings WHERE vec_id < {n_lists}),
+          FROM embeddings ORDER BY vec_id LIMIT {n_lists}),
 probe AS (
   SELECT list_id FROM (
     SELECT list_id, {sql_cosine("centroid", "qv")} AS s FROM seeds, q
@@ -476,7 +480,7 @@ base AS (
   FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
 ),
 seeds AS (SELECT CAST(vec_id AS BIGINT) AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-          FROM embeddings WHERE vec_id < {n_lists}),
+          FROM embeddings ORDER BY vec_id LIMIT {n_lists}),
 newb AS (
   SELECT vec_id + {shift} AS id, CAST(embedding AS DOUBLE[]) AS v
   FROM embeddings WHERE vec_id < {n_new}

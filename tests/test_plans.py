@@ -323,11 +323,14 @@ def test_ivf_upsert_routes_and_replaces(spark, sf_dir):
     assert got[victim] == 3  # replaced embedding re-routed to list 3
 
 
-def test_onepass_pool_cached_no_corpus_rescan(spark, sf_dir):
-    """hybrid_search_onepass pins its candidate pool: the final plan's two
-    branch cuts must read InMemoryTableScan, not re-run the corpus scan."""
+def test_onepass_pool_single_lineage_no_corpus_rescan(spark, sf_dir):
+    """hybrid_search_onepass is ONE linear lineage: each corpus table is
+    scanned exactly once in the plan and nothing is persisted (round 2's
+    persist+count leaked a cached RDD per call and scanned eagerly)."""
     import __spark_entry__ as entry
 
     df = entry.queries()["hybrid_onepass"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("InMemoryTableScan") == 2
+    assert "InMemoryTableScan" not in plan
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("embeddings.parquet") == 1

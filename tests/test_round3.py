@@ -1,0 +1,229 @@
+"""Round-3 regressions: TZ-independent event loading, driver-collect guard,
+perplexity OOV contract, non-contiguous-id seeds, derived semdedup k, and
+the single-lineage hybrid_search_onepass (no persist, no eager jobs)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from connapse_spark.operators import events, similarity, textstats
+
+
+# ---------------------------------------------------------------------------
+# load_events: every historical ts shape must normalize to the SAME naive-UTC
+# TIMESTAMP_NTZ regardless of the session timezone (ADVICE r2: the LTZ→NTZ
+# cast path rendered wall-clock in the session TZ and broke oracle parity on
+# non-UTC harnesses).
+# ---------------------------------------------------------------------------
+
+_WALL_US = 1_704_110_400_000_000  # 2024-01-01 12:00:00 UTC in micros
+
+
+def _write_events(tmp_path, name, arr):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": arr,
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["click"]),
+            "value": pa.array([1.5], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("tz", ["UTC", "America/New_York", "Asia/Tokyo"])
+def test_load_events_ts_shapes_tz_independent(spark, tmp_path, tz):
+    import pyarrow as pa
+
+    shapes = {
+        "ntz": pa.array([_WALL_US], pa.timestamp("us")),
+        "nanos": pa.array([_WALL_US * 1000], pa.timestamp("ns")),
+        "ltz": pa.array([_WALL_US], pa.timestamp("us", tz="UTC")),
+    }
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        for name, arr in shapes.items():
+            d = _write_events(tmp_path, f"{name}_{tz.replace('/', '_')}", arr)
+            df = events.load_events(spark, d)
+            assert dict(df.dtypes)["ts"] == "timestamp_ntz", name
+            got = df.select(events._epoch_us("ts").alias("us")).collect()[0]["us"]
+            assert got == _WALL_US, (name, tz, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+# ---------------------------------------------------------------------------
+# knn_join driver-collect guard
+# ---------------------------------------------------------------------------
+
+
+def test_knn_join_guard_raises_beyond_cap(spark, monkeypatch):
+    monkeypatch.setattr(similarity, "MAX_DRIVER_QUERIES", 3)
+    rows = [(i, [float(i), 1.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="ivf_knn_join"):
+        similarity.knn_join(df, df, k=2)
+
+
+def test_knn_join_under_cap_still_works(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.knn_join(df, df, k=1)
+    assert out.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# perplexity_score OOV contract (ADVICE r2: `oov_lp_q or 0` treated an
+# explicit 0 as unset and silently scored unseen terms at probability 1)
+# ---------------------------------------------------------------------------
+
+
+def test_perplexity_external_model_requires_oov(spark):
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    model = spark.createDataFrame([("alpha", -1_000_000)], "term string, lp_q long")
+    with pytest.raises(ValueError, match="oov_lp_q"):
+        textstats.perplexity_score(docs, model=model)
+
+
+def test_perplexity_external_model_applies_oov_slot(spark):
+    docs = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    model = spark.createDataFrame([("alpha", -1_000_000)], "term string, lp_q long")
+    row = textstats.perplexity_score(docs, model=model, oov_lp_q=-5_000_000).collect()[0]
+    # alpha: -1.0 nats, beta (OOV): -5.0 nats → nll_q = 6_000_000
+    assert row["n_tokens"] == 2
+    assert row["nll_q"] == 6_000_000
+    # an EXPLICIT zero slot must be honored, not treated as unset
+    row0 = textstats.perplexity_score(docs, model=model, oov_lp_q=0).collect()[0]
+    assert row0["nll_q"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Seed selection on non-contiguous id spaces (ADVICE r2: `id < k` yields
+# fewer/zero seeds when ids are sparse or offset)
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_assign_offset_ids_get_full_seed_set(spark):
+    rows = [(1000 + 17 * i, [float(i % 3), float((i + 1) % 3), 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.cluster_assign(df, k=3).collect()
+    assert len(out) == 12
+    assert all(r["cluster"] >= 0 for r in out)  # nobody falls into cid -1
+    # seeds are the 3 LOWEST ids, so cluster ids are real vector ids
+    assert {r["cluster"] for r in out} <= {1000, 1017, 1034}
+
+
+def test_seeded_ivf_offset_ids_build_all_lists(spark):
+    from connapse_spark.plans.ivf import build_ivf_index_seeded
+
+    rows = [(5000 + i * 7, [float(i % 4), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    index, centroids = build_ivf_index_seeded(df, n_lists=4)
+    assert centroids.count() == 4
+    assert index.filter(F.col("list_id") < 0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# semdedup cluster-count policy
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_n_clusters_bounds_cluster_population():
+    for n in [10, 1_000, 100_000, 10_000_000, 5_000_000_000]:
+        k = similarity.semdedup_n_clusters(n)
+        assert 1 <= k <= 65_536
+        if k < 65_536:  # below the broadcast cap the population is bounded
+            assert n / k <= 2 * 1024, (n, k)
+    # monotone non-decreasing in corpus size
+    ks = [similarity.semdedup_n_clusters(n) for n in [1, 10**3, 10**6, 10**9]]
+    assert ks == sorted(ks)
+
+
+# ---------------------------------------------------------------------------
+# hybrid_search_onepass: fully lazy single lineage
+# ---------------------------------------------------------------------------
+
+
+def _onepass_df(spark, sf_dir, **opts):
+    from connapse_spark.operators.search import SearchOptions, hybrid_search_onepass
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    vecs = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+    )
+    corpus = docs.join(vecs, "doc_id")
+    return hybrid_search_onepass(
+        corpus, "table scan fast merge", SearchOptions(top_k=10, **opts)
+    )
+
+
+def test_onepass_builds_without_running_jobs(spark, sf_dir):
+    """Plan-only consumers (contract test, .explain) must not trigger a
+    corpus scan: constructing the query may run ZERO Spark jobs."""
+    from connapse_spark.operators.search import SearchOptions, hybrid_search_onepass
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    vecs = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select(F.col("vec_id").alias("doc_id"), "embedding")
+    )
+    corpus = docs.join(vecs, "doc_id")  # parquet footer jobs happen up here
+    sc = spark.sparkContext
+    sc.setJobGroup("onepass-build-probe", "plan only")
+    try:
+        df = hybrid_search_onepass(
+            corpus, "table scan fast merge", SearchOptions(top_k=10)
+        )
+        _ = df.schema  # analysis only
+        _ = df._jdf.queryExecution().executedPlan().toString()
+        ids = sc.statusTracker().getJobIdsForGroup("onepass-build-probe")
+        assert list(ids) == []
+    finally:
+        sc.setJobGroup("", "")
+
+
+def test_onepass_single_corpus_scan_no_cache(spark, sf_dir):
+    df = _onepass_df(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("embeddings.parquet") == 1
+
+
+def test_onepass_matches_two_branch_hybrid(spark, sf_dir):
+    """On the 1:1 doc↔vector corpus the single-scan plan must reproduce the
+    two-branch pipeline exactly, for every fusion mode."""
+    from connapse_spark.operators.search import SearchOptions, hybrid_search
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    for kw in [
+        {},
+        {"fusion": "Dbsf"},
+        {"fusion": "Rrf"},
+        {"mode": "Semantic"},
+        {"mode": "Keyword"},
+        {"min_score": 0.3},
+        {"auto_cut": True},
+    ]:
+        two = hybrid_search(
+            docs,
+            "table scan fast merge",
+            SearchOptions(top_k=10, **kw),
+            vectors=vecs,
+        ).collect()
+        one = _onepass_df(spark, sf_dir, **kw).collect()
+        assert [tuple(r) for r in one] == [tuple(r) for r in two], kw
