@@ -179,7 +179,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"headline query suite wall-clock (best of {runs})",
+                "metric": (
+                    "headline query suite wall-clock"
+                    + (f" (best of {runs})" if runs > 1 else " (single run)")
+                ),
+                "n": runs,
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
