@@ -218,7 +218,10 @@ def _phrase_occurrences(arr: Column, words: list[str]) -> Column:
 
 
 def _sql_phrase_occurrences(arr: str, words: list[str]) -> str:
-    s = f"(' ' || array_to_string({arr}, '  ') || ' ')"
+    # coalesce: DuckDB's array_to_string([]) is NULL while Spark's
+    # array_join([]) is '' — without it a NEGATED phrase never matches
+    # empty documents in the oracle (found by the websearch fuzz test)
+    s = f"(' ' || coalesce(array_to_string({arr}, '  '), '') || ' ')"
     p = " " + "  ".join(words) + " "
     return f"CAST((length({s}) - length(replace({s}, '{p}', ''))) / {len(p)} AS INT)"
 

@@ -82,3 +82,115 @@ def test_count_tokens_nonnegative_and_concat_superadditive(s):
     assert n >= 0
     mid = len(s) // 2
     assert count_tokens(s[:mid]) + count_tokens(s[mid:]) >= n
+
+
+# ---------------------------------------------------------------------------
+# Websearch semantics fuzz (VERDICT r2 ask #10): quoted-phrase × negation ×
+# OR combinations, checked against the DuckDB oracle mirror. The reference
+# evaluator below restates the DOCUMENTED semantics (OR-of-AND-groups,
+# per-config exact/stemmed presence, non-overlapping phrase counts, TF
+# score raw/(raw+1)) in plain Python; sql_keyword_websearch must agree on
+# every generated query over a fixed corpus.
+# ---------------------------------------------------------------------------
+
+
+def _ws_occurrences(tokens, words):
+    s = " " + "  ".join(tokens) + " "
+    p = " " + "  ".join(words) + " "
+    return (len(s) - len(s.replace(p, ""))) // len(p)
+
+
+def _ws_presence(te, ts, term):
+    stems = [stem_py(t) for t in term.tokens]
+    if term.phrase:
+        return _ws_occurrences(te, term.tokens) > 0 or _ws_occurrences(ts, stems) > 0
+    return term.tokens[0] in te or stems[0] in ts
+
+
+def _ws_match(te, ts, groups):
+    return any(
+        all(
+            (not _ws_presence(te, ts, t)) if t.negated else _ws_presence(te, ts, t)
+            for t in g
+        )
+        for g in groups
+    )
+
+
+def _ws_score(te, ts, groups):
+    from connapse_spark.operators.search import (
+        WEIGHT_EXACT,
+        WEIGHT_STEMMED,
+        _positive_terms,
+    )
+
+    singles, phrases = _positive_terms(groups)
+    raw = 0.0
+    if singles:
+        stems = sorted({stem_py(t) for t in singles})
+        raw += WEIGHT_EXACT * sum(1 for t in te if t in singles)
+        raw += WEIGHT_STEMMED * sum(1 for t in ts if t in set(stems))
+    for ph in phrases:
+        ph_stems = [stem_py(t) for t in ph]
+        raw += float(len(ph)) * (
+            WEIGHT_EXACT * _ws_occurrences(te, ph)
+            + WEIGHT_STEMMED * _ws_occurrences(ts, ph_stems)
+        )
+    return raw / (raw + 1.0)
+
+
+_WS_DOCS = [
+    (0, "table scan goes fast, merge follows"),
+    (1, "the tables were scanning and merged quickly"),
+    (2, "fast fast fast merge merge"),
+    (3, "a scan of the table; fast-merge hybrid"),
+    (4, "nothing relevant here at all"),
+    (5, "merge table scan fast scan table merge"),
+    (6, "OR or or OR"),
+    (7, "index scan beats table scan"),
+    (8, ""),
+    (9, "fast. merge! scan? table... index"),
+]
+
+_WS_VOCAB = ["table", "scan", "fast", "merge", "index", "tables", "scanning", "merged", "or"]
+
+_ws_word = st.sampled_from(_WS_VOCAB)
+_ws_phrase = st.lists(_ws_word, min_size=1, max_size=3).map(
+    lambda ws: '"' + " ".join(ws) + '"'
+)
+_ws_unit = st.one_of(_ws_word, _ws_phrase, st.sampled_from(["fast-merge", "OR"]))
+_ws_term = st.tuples(st.booleans(), _ws_unit).map(
+    lambda t: ("-" if t[0] else "") + t[1]
+)
+_WS_QUERY = st.lists(_ws_term, min_size=0, max_size=6).map(" ".join)
+
+
+def _ws_duck():
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(_WS_DOCS, columns=["doc_id", "text"])
+    )
+    return con
+
+
+_WS_CON = _ws_duck()
+
+
+@given(_WS_QUERY)
+@settings(max_examples=1000, deadline=None)
+def test_websearch_sql_mirror_matches_reference_semantics(q):
+    from connapse_spark.operators.search import sql_keyword_websearch
+
+    groups = parse_websearch(q)
+    expected = {}
+    for doc_id, text in _WS_DOCS:
+        te, ts = tokenize_py(text), [stem_py(t) for t in tokenize_py(text)]
+        if groups and _ws_match(te, ts, groups):
+            expected[doc_id] = round(_ws_score(te, ts, groups), 9)
+
+    sql = sql_keyword_websearch(q, k=len(_WS_DOCS))
+    got = {r[0]: round(r[1], 9) for r in _WS_CON.execute(sql).fetchall()}
+    assert got == expected, (q, groups)

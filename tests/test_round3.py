@@ -227,3 +227,59 @@ def test_onepass_matches_two_branch_hybrid(spark, sf_dir):
         ).collect()
         one = _onepass_df(spark, sf_dir, **kw).collect()
         assert [tuple(r) for r in one] == [tuple(r) for r in two], kw
+
+
+# ---------------------------------------------------------------------------
+# Optional-library slots (VERDICT r2 ask #7): exercised automatically the
+# day the libs land in the container; skipped (not silently dead) until then.
+# ---------------------------------------------------------------------------
+
+
+def test_tiktoken_slot_when_available():
+    tiktoken = pytest.importorskip("tiktoken")
+    from connapse_spark.operators import chunkers
+
+    enc = tiktoken.get_encoding("cl100k_base")
+    s = "Hello, world! Spark counts 100 tokens."
+    assert chunkers.count_tokens_bpe(s) == len(enc.encode(s))
+    assert chunkers.count_tokens_bpe is not chunkers.count_tokens
+
+
+def test_tiktoken_slot_fallback_when_absent():
+    try:
+        import tiktoken  # noqa: F401
+
+        pytest.skip("tiktoken present; fallback path not active")
+    except ImportError:
+        pass
+    from connapse_spark.operators import chunkers
+
+    # absent → the slot must alias the pinned BPE-ish regex counter
+    assert chunkers.count_tokens_bpe is chunkers.count_tokens
+    assert chunkers.count_tokens_bpe("a b c") == 3
+
+
+def test_websearch_negated_phrase_matches_empty_doc(spark):
+    """Spark↔oracle divergence found by the websearch fuzz: an empty doc
+    must satisfy a purely-negative query on BOTH engines (DuckDB's
+    array_to_string([]) is NULL and needed a coalesce in the mirror)."""
+    import duckdb
+    import pandas as pd
+
+    from connapse_spark.operators.search import (
+        keyword_search_websearch,
+        sql_keyword_websearch,
+    )
+
+    rows = [(0, "table scan"), (1, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        r["doc_id"]
+        for r in keyword_search_websearch(docs, '-"table scan"', k=10).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = sorted(
+        r[0] for r in con.execute(sql_keyword_websearch('-"table scan"', k=10)).fetchall()
+    )
+    assert got == oracle == [1]
