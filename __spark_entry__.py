@@ -26,7 +26,7 @@ from connapse_spark.functions.vector import (
     sql_cosine,
     to_double_array,
 )
-from connapse_spark.operators import analytics, chunking, dedup, events, similarity, textstats
+from connapse_spark.operators import analytics, chunking, dedup, events, similarity, temporal, textstats
 from connapse_spark.operators.embedding import cache_misses
 from connapse_spark.operators.maintenance import (
     reindex_decisions,
@@ -1164,6 +1164,25 @@ def q_events_sliding(spark, sf_dir):
     return events.sliding_agg(events.load_events(spark, sf_dir))
 
 
+def q_asof_attribution(spark, sf_dir):
+    """As-of join (union + keyed-sort + last-non-null window): each purchase
+    event attributed to the user's latest prior-or-simultaneous view.
+    Oracle is DuckDB's NATIVE ASOF JOIN — an independent implementation."""
+    return temporal.purchase_view_attribution(events.load_events(spark, sf_dir))
+
+
+def q_range_join_orders(spark, sf_dir):
+    """Banded range join (equi on customer + 30-day band): per order, count
+    and exact cents of the same customer's orders in the preceding window."""
+    return temporal.repeat_orders_window(_t(spark, sf_dir, "orders"))
+
+
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style rollup: (day, type) leaves + per-day + grand totals
+    in ONE aggregation pass via ROLLUP grouping sets."""
+    return temporal.events_rollup(events.load_events(spark, sf_dir))
+
+
 def q_events_top_types(spark, sf_dir):
     df = events.top_event_types(events.load_events(spark, sf_dir))
     return _long(df, "rank")
@@ -1371,6 +1390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf": q_ann_ivf,
         "ingest_stats": q_ingest_stats,
+        "asof_attribution": q_asof_attribution,
+        "range_join_orders": q_range_join_orders,
+        "events_rollup": q_events_rollup,
         "hybrid_onepass": q_hybrid_onepass,
         "semdedup": q_semdedup,
         "knn_join": q_knn_join,
@@ -1498,6 +1520,9 @@ def oracle_sql() -> dict[str, str]:
         "model_discovery": analytics.sql_model_discovery(),
         "doc_list_paged": analytics.sql_document_list_paged(),
         "file_browser": analytics.sql_file_browser(),
+        "asof_attribution": temporal.sql_purchase_view_attribution(),
+        "range_join_orders": temporal.sql_repeat_orders_window(),
+        "events_rollup": temporal.sql_events_rollup(),
         "events_tumbling": events.sql_tumbling_agg(),
         "events_sliding": events.sql_sliding_agg(),
         "events_top_types": events.sql_top_event_types(),

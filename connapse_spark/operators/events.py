@@ -68,6 +68,17 @@ def _epoch_us(col: str) -> "F.Column":
     )
 
 
+def epoch_us_any(df: DataFrame, col: str) -> "F.Column":
+    """Epoch micros for a timestamp column of EITHER flavor, without a
+    TZ-dependent cast: LTZ instants go through unix_micros (TZ-independent);
+    NTZ wall-clocks go through the naive-epoch diff. Shields operators that
+    read driver parquet directly (orders.o_orderdate, lineitem.l_shipdate)
+    from the same schema drift load_events absorbs for events.ts."""
+    if dict(df.dtypes).get(col) == "timestamp":
+        return F.unix_micros(F.col(col))
+    return _epoch_us(col)
+
+
 def _epoch_seconds(col: str) -> "F.Column":
     """Whole seconds since the naive epoch (floored, like cast-to-long on
     TIMESTAMP): diff against the second-truncated wall time, exact integer

@@ -283,3 +283,77 @@ def test_websearch_negated_phrase_matches_empty_doc(spark):
         r[0] for r in con.execute(sql_keyword_websearch('-"table scan"', k=10)).fetchall()
     )
     assert got == oracle == [1]
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators (as-of join / range join / rollup)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    from connapse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 50, "c"), (3, 10, "d")],
+        "key long, t long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 11), (1, 150, 12), (2, 60, 21)], "key long, t long, val long"
+    )
+    out = {
+        r["name"]: (r["_asof_val"], r["_asof_ts"])
+        for r in asof_join(left, right, "key", "t", "t", "val").collect()
+    }
+    assert out["a"] == (11, 100)   # inclusive: right row AT left ts matches
+    assert out["b"] == (12, 150)   # latest preceding, not first
+    assert out["c"] == (None, None)  # right row is LATER → no match
+    assert out["d"] == (None, None)  # key with no right rows at all
+
+
+def test_asof_join_single_shuffle(spark):
+    from connapse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100, "a")], "key long, t long, name string")
+    right = spark.createDataFrame([(1, 50, 9)], "key long, t long, val long")
+    plan = (
+        asof_join(left, right, "key", "t", "t", "val")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # union trick: no join operator at all, exactly one key exchange
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_events_rollup_totals_consistent(spark, sf_dir):
+    from connapse_spark.operators import events
+    from connapse_spark.operators.temporal import events_rollup
+
+    rows = events_rollup(events.load_events(spark, sf_dir)).collect()
+    grand = [r for r in rows if r["bucket"] == "ALL" and r["event_type"] == "ALL"]
+    leaves = [r for r in rows if r["bucket"] != "ALL" and r["event_type"] != "ALL"]
+    day_totals = [r for r in rows if r["bucket"] != "ALL" and r["event_type"] == "ALL"]
+    assert len(grand) == 1
+    assert grand[0]["n_events"] == sum(r["n_events"] for r in leaves)
+    assert grand[0]["value_cents"] == sum(r["value_cents"] for r in day_totals)
+
+
+def test_repeat_orders_window_counts(spark):
+    from connapse_spark.operators.temporal import repeat_orders_window
+
+    day = 86_400 * 1_000_000
+    import datetime
+
+    def ts(d):
+        return datetime.datetime(2024, 1, d)
+
+    orders = spark.createDataFrame(
+        [(1, 10, ts(1), 1.0), (2, 10, ts(15), 2.0), (3, 10, ts(28), 4.0),
+         (4, 20, ts(5), 8.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz, o_totalprice double",
+    )
+    got = {r["o_orderkey"]: (r["n_prior"], r["prior_cents"])
+           for r in repeat_orders_window(orders, window_us=30 * day).collect()}
+    assert got[1] == (0, 0)
+    assert got[2] == (1, 100)      # order 1 is 14 days prior
+    assert got[3] == (2, 300)      # orders 1+2 within 27 days
+    assert got[4] == (0, 0)
