@@ -919,6 +919,61 @@ _SQL_MARKDOWN = (
 )
 
 
+def q_parse_binary(spark, sf_dir):
+    """P2/P3: real stdlib PDF/docx/pptx decoding over the fixed fixture
+    corpus (``sources/docgen.fixture_corpus`` — deterministic bytes, so the
+    decode is a pure function).  The oracle pins the expected outputs as
+    literals: page/slide counts, sha256 of the extracted text (page markers,
+    ``" | "`` table rows — PdfParser.cs:55-80, OfficeParser.cs:62-208),
+    warning counts, and error codes for the corrupt/unsupported rows."""
+    from connapse_spark.sources.docgen import fixture_corpus
+
+    blobs = spark.createDataFrame(fixture_corpus(), "path string, content binary")
+    parsed = parsers.parse_binary_documents(blobs)
+    return parsed.select(
+        "path",
+        F.col("metadata")["Title"].alias("title"),
+        "n_pages",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        F.size("warnings").alias("n_warnings"),
+        "parse_error",
+    ).orderBy("path")
+
+
+def _sql_parse_binary() -> str:
+    # expected outputs of the pure decode function over the fixed fixture
+    # bytes; regenerate with: python -c "see tests/test_pipeline.py
+    # test_parse_binary_oracle_constants"
+    rows = [
+        ("/fx/deck.pptx", "'Deck'", 3,
+         "8572a8248909fa3b434416f23989b9b8c6192d1817064b0808944b3179cf7e90", 0, "NULL"),
+        ("/fx/empty.pdf", "NULL", 1,
+         "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855", 2, "NULL"),
+        ("/fx/notes.docx", "'Notes'", 1,
+         "5c9c3bf11ad90833a0d0cd347f03f32d287d2c0e7f925417343a8f6ae483dc1d", 0, "NULL"),
+        ("/fx/raw.pdf", "NULL", 1,
+         "3352612730d50e8884db10858308c527ccd4bf90366047b61c9f8f5f55f29a1c", 0, "NULL"),
+        ("/fx/report.pdf", "'Q3 Report'", 2,
+         "13ea15b0c7e2229cdd90b7de4011608ec77045ee0efba8b4165d3b439dc8fa79", 0, "NULL"),
+        ("/fx/ruined.docx", "NULL", 0,
+         "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855", 1, "'BadZipFile'"),
+        ("/fx/unknown.bin", "NULL", 0,
+         "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855", 1, "'UnsupportedFormat'"),
+    ]
+    values = ",\n  ".join(
+        f"('{p}', {t}, {n}, '{sha}', {w}, {e})" for p, t, n, sha, w, e in rows
+    )
+    return f"""
+SELECT path, CAST(title AS VARCHAR) AS title, CAST(n_pages AS INTEGER) AS n_pages,
+       content_sha, CAST(n_warnings AS INTEGER) AS n_warnings,
+       CAST(parse_error AS VARCHAR) AS parse_error
+FROM (VALUES
+  {values}
+) AS t(path, title, n_pages, content_sha, n_warnings, parse_error)
+ORDER BY path
+""".strip()
+
+
 def q_markdown_sections(spark, sf_dir):
     """T4 native section walker over synthesized markdown."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -1367,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_top_types": q_events_top_types,
         "random_projection": q_random_projection,
+        "parse_binary": q_parse_binary,  # new this round: real P2/P3 decoders
         "chunk_fixed_char": q_chunk_fixed_char,
         "chunk_token_window": q_chunk_token_window,
         "corpus_stats": q_corpus_stats,
@@ -1541,6 +1597,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_window": _sql_hybrid_window(),
         "parse_text": _sql_parse_text(),
         "parser_dispatch": _sql_parser_dispatch(),
+        "parse_binary": _sql_parse_binary(),
         "markdown_sections": _sql_markdown_sections(),
         "chunk_doc_aware": _sql_chunk_doc_aware(),
         "chunk_recursive": _sql_chunk_recursive(),

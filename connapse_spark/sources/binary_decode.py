@@ -1,0 +1,445 @@
+"""Pure-stdlib binary document decoders (P2/P3, SURVEY.md §2.2).
+
+The container has no pypdf/python-docx/python-pptx, but the formats
+themselves are open and simple enough to decode with the standard library:
+
+- ``.docx`` / ``.pptx`` are OPC packages (ECMA-376): a zip archive of XML
+  parts — ``zipfile`` + ``xml.etree`` cover them completely.
+- ``.pdf`` text extraction covers the dominant real-world shape: objects
+  located by scanning ``N 0 obj .. endobj``, the page tree walked from the
+  trailer's ``/Root``, content streams inflated with ``zlib`` (FlateDecode,
+  PDF 32000-1 §7.4.4) or taken raw, and text pulled from the ``Tj``/``TJ``/
+  ``'``/``"`` operators (§9.4.3). Image-only or CID/Type0-encoded pages
+  degrade to a per-page warning, mirroring the reference.
+
+Output shape mirrors the reference parsers exactly:
+
+- PDF: ``--- Page N ---`` markers, blank line between pages, doc-info
+  metadata Title/Author/Subject/Creator/CreationDate (PdfParser.cs:34-80),
+  "no extractable text" warnings (PdfParser.cs:73,86).
+- docx: every paragraph's inner text on its own line, then table rows with
+  cells joined ``" | "`` (OfficeParser.cs:93-121; note Descendants<Paragraph>
+  includes table-cell paragraphs, so table text appears both ways — we
+  reproduce that), core-props metadata (OfficeParser.cs:73-81).
+- pptx: ``--- Slide N ---`` markers, one ``a:t`` run per line, blank line
+  after each slide, SlideCount metadata (OfficeParser.cs:162-196).
+
+Everything here is per-document CPU work with no Spark dependency — the
+Spark integration is ``parsers.parse_binary_documents`` (Arrow-batched
+``mapInPandas``), which scales by adding executors.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import zlib
+import xml.etree.ElementTree as ET
+
+NS_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+NS_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+NS_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+NS_R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+NS_DC = "{http://purl.org/dc/elements/1.1/}"
+NS_DCTERMS = "{http://purl.org/dc/terms/}"
+NS_CP = (
+    "{http://schemas.openxmlformats.org/package/2006/metadata/core-properties}"
+)
+NS_REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+# ---------------------------------------------------------------------------
+# OPC core properties (shared by docx/pptx)
+# ---------------------------------------------------------------------------
+
+
+def _core_properties(zf: zipfile.ZipFile, metadata: dict[str, str]) -> None:
+    """docProps/core.xml → Title/Author/Subject/CreationDate, the subset the
+    reference lifts from PackageProperties (OfficeParser.cs:73-81)."""
+    try:
+        root = ET.fromstring(zf.read("docProps/core.xml"))
+    except (KeyError, ET.ParseError):
+        return
+    for tag, key in (
+        (f"{NS_DC}title", "Title"),
+        (f"{NS_DC}creator", "Author"),
+        (f"{NS_DC}subject", "Subject"),
+        (f"{NS_DCTERMS}created", "CreationDate"),
+    ):
+        el = root.find(tag)
+        if el is not None and el.text and el.text.strip():
+            metadata[key] = el.text
+
+
+# ---------------------------------------------------------------------------
+# docx
+# ---------------------------------------------------------------------------
+
+
+def decode_docx(blob: bytes) -> tuple[str, dict[str, str], list[str]]:
+    """Word document → (content, metadata, warnings) per OfficeParser.cs:62-131."""
+    warnings: list[str] = []
+    metadata: dict[str, str] = {"FileType": "Word Document"}
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        _core_properties(zf, metadata)
+        try:
+            doc = ET.fromstring(zf.read("word/document.xml"))
+        except KeyError:
+            warnings.append("Document body is empty or inaccessible")
+            return "", metadata, warnings
+        body = doc.find(f"{NS_W}body")
+        if body is None:
+            warnings.append("Document body is empty or inaccessible")
+            return "", metadata, warnings
+
+        lines: list[str] = []
+        # all paragraphs in document order — including those nested in table
+        # cells, matching Descendants<Paragraph>() (OfficeParser.cs:93)
+        for p in body.iter(f"{NS_W}p"):
+            text = "".join(t.text or "" for t in p.iter(f"{NS_W}t"))
+            if text.strip():
+                lines.append(text)
+        # then tables: rows with non-blank cells joined " | "
+        # (OfficeParser.cs:105-121)
+        for tbl in body.iter(f"{NS_W}tbl"):
+            for row in tbl.iter(f"{NS_W}tr"):
+                cells = []
+                for tc in row.iter(f"{NS_W}tc"):
+                    cell = "".join(t.text or "" for t in tc.iter(f"{NS_W}t")).strip()
+                    if cell:
+                        cells.append(cell)
+                row_text = " | ".join(cells)
+                if row_text.strip():
+                    lines.append(row_text)
+
+        content = "".join(line + "\n" for line in lines)
+        if not content.strip():
+            warnings.append("Document contains no extractable text")
+            content = ""
+        return content, metadata, warnings
+
+
+# ---------------------------------------------------------------------------
+# pptx
+# ---------------------------------------------------------------------------
+
+
+def decode_pptx(blob: bytes) -> tuple[str, dict[str, str], list[str]]:
+    """Presentation → (content, metadata, warnings) per OfficeParser.cs:134-208."""
+    warnings: list[str] = []
+    metadata: dict[str, str] = {"FileType": "PowerPoint Presentation"}
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        _core_properties(zf, metadata)
+        try:
+            pres = ET.fromstring(zf.read("ppt/presentation.xml"))
+        except KeyError:
+            warnings.append("Presentation is empty or inaccessible")
+            return "", metadata, warnings
+        sld_id_list = pres.find(f"{NS_P}sldIdLst")
+        if sld_id_list is None:
+            warnings.append("No slides found in presentation")
+            return "", metadata, warnings
+
+        # relationship id → slide part path (ppt/_rels/presentation.xml.rels)
+        rels: dict[str, str] = {}
+        try:
+            rel_root = ET.fromstring(zf.read("ppt/_rels/presentation.xml.rels"))
+            for rel in rel_root.iter(f"{NS_REL}Relationship"):
+                target = rel.get("Target", "")
+                # targets are relative to ppt/
+                rels[rel.get("Id", "")] = "ppt/" + target.lstrip("./")
+        except (KeyError, ET.ParseError):
+            pass
+
+        slide_ids = list(sld_id_list.iter(f"{NS_P}sldId"))
+        metadata["SlideCount"] = str(len(slide_ids))
+
+        lines: list[str] = []
+        slide_number = 1
+        for sld in slide_ids:
+            part = rels.get(sld.get(f"{NS_R}id", ""), "")
+            try:
+                slide = ET.fromstring(zf.read(part))
+            except (KeyError, ET.ParseError):
+                continue  # unresolvable slide: skipped, number not consumed
+            lines.append(f"--- Slide {slide_number} ---")
+            for t in slide.iter(f"{NS_A}t"):
+                if t.text and t.text.strip():
+                    lines.append(t.text)
+            lines.append("")
+            slide_number += 1
+
+        content = "".join(line + "\n" for line in lines)
+        if not content.strip():
+            warnings.append("Presentation contains no extractable text")
+            content = ""
+        return content, metadata, warnings
+
+
+# ---------------------------------------------------------------------------
+# pdf
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+def _pdf_objects(blob: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(blob)}
+
+
+def _dict_value_ref(body: bytes, key: bytes) -> int | None:
+    m = re.search(re.escape(key) + rb"\s*(\d+)\s+\d+\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def _dict_value_refs(body: bytes, key: bytes) -> list[int]:
+    """Resolve /Key as a single ref or an array of refs."""
+    m = re.search(re.escape(key) + rb"\s*\[(.*?)\]", body, re.DOTALL)
+    if m:
+        return [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+    one = _dict_value_ref(body, key)
+    return [one] if one is not None else []
+
+
+def _pdf_literal_string(raw: bytes) -> str:
+    """Unescape a PDF literal string body (PDF 32000-1 §7.3.4.2)."""
+    out = bytearray()
+    i = 0
+    esc = {
+        ord("n"): 10, ord("r"): 13, ord("t"): 9, ord("b"): 8, ord("f"): 12,
+        ord("("): 40, ord(")"): 41, ord("\\"): 92,
+    }
+    while i < len(raw):
+        c = raw[i]
+        if c == 0x5C and i + 1 < len(raw):  # backslash
+            n = raw[i + 1]
+            if n in esc:
+                out.append(esc[n])
+                i += 2
+            elif 0x30 <= n <= 0x37:  # octal \ddd (1-3 digits)
+                j = i + 1
+                oct_digits = b""
+                while j < len(raw) and len(oct_digits) < 3 and 0x30 <= raw[j] <= 0x37:
+                    oct_digits += bytes([raw[j]])
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+            elif n in (10, 13):  # line continuation
+                i += 2
+                if n == 13 and i < len(raw) and raw[i] == 10:
+                    i += 1
+            else:
+                out.append(n)
+                i += 2
+        else:
+            out.append(c)
+            i += 1
+    # PDFDocEncoding is latin-1-compatible for the printable range;
+    # UTF-16BE strings carry a BOM (§7.9.2.2)
+    if out[:2] == b"\xfe\xff":
+        return bytes(out[2:]).decode("utf-16-be", errors="replace")
+    return bytes(out).decode("latin-1")
+
+
+def _find_literal_strings(body: bytes, key: bytes) -> str | None:
+    """/Key (literal) or /Key <hex> in a dictionary body."""
+    m = re.search(re.escape(key) + rb"\s*\(", body)
+    if m:
+        s, _ = _scan_literal(body, m.end() - 1)
+        return _pdf_literal_string(s)
+    m = re.search(re.escape(key) + rb"\s*<([0-9a-fA-F\s]*)>", body)
+    if m:
+        raw = bytes.fromhex(re.sub(rb"\s", b"", m.group(1)).decode("ascii"))
+        if raw[:2] == b"\xfe\xff":
+            return raw[2:].decode("utf-16-be", errors="replace")
+        return raw.decode("latin-1")
+    return None
+
+
+def _scan_literal(data: bytes, open_paren: int) -> tuple[bytes, int]:
+    """Scan a balanced-paren PDF literal string starting at ``(``; returns
+    (body bytes without outer parens, index just past the closing paren)."""
+    depth = 0
+    i = open_paren
+    start = open_paren + 1
+    while i < len(data):
+        c = data[i]
+        if c == 0x5C:  # backslash escapes next byte
+            i += 2
+            continue
+        if c == 0x28:  # (
+            depth += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return data[start:i], i + 1
+        i += 1
+    return data[start:], len(data)
+
+
+def _page_text(content: bytes) -> str:
+    """Concatenate the string operands of text-showing operators, in stream
+    order — the same glyph-order concatenation PdfPig's ``page.Text`` gives
+    for simple (non-CID) PDFs. Kerning numbers inside TJ arrays are skipped."""
+    parts: list[str] = []
+    i = 0
+    n = len(content)
+    pending: list[str] = []  # strings seen since the last operator
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # ( literal string
+            raw, i = _scan_literal(content, i)
+            pending.append(_pdf_literal_string(raw))
+        elif c == 0x3C and i + 1 < n and content[i + 1] != 0x3C:  # <hex>
+            end = content.find(b">", i)
+            if end == -1:
+                break
+            hx = re.sub(rb"\s", b"", content[i + 1 : end])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                parts_bytes = bytes.fromhex(hx.decode("ascii"))
+                pending.append(parts_bytes.decode("latin-1"))
+            except ValueError:
+                pass
+            i = end + 1
+        elif c in (0x54, 0x27, 0x22):  # T / ' / "
+            if c == 0x54 and i + 1 < n and content[i + 1] in (0x6A, 0x4A):  # Tj TJ
+                parts.extend(pending)
+                pending = []
+                i += 2
+            elif c in (0x27, 0x22):  # ' and " also show text
+                parts.extend(pending)
+                pending = []
+                i += 1
+            else:
+                pending = []  # other T* operator: positioning, drop operands
+                i += 1
+        elif c in (0x5B, 0x5D):  # TJ array brackets: strings accumulate
+            i += 1
+        elif content[i : i + 2] in (b"BT", b"ET"):
+            pending = []
+            i += 2
+        else:
+            i += 1
+    return "".join(parts)
+
+
+def _walk_page_tree(objs: dict[int, bytes], node: int, acc: list[int], depth: int = 0) -> None:
+    if depth > 64 or node not in objs:
+        return
+    body = objs[node]
+    if re.search(rb"/Type\s*/Pages\b", body):
+        for kid in _dict_value_refs(body, b"/Kids"):
+            _walk_page_tree(objs, kid, acc, depth + 1)
+    elif re.search(rb"/Type\s*/Page\b", body):
+        acc.append(node)
+
+
+def decode_pdf(blob: bytes) -> tuple[str, dict[str, str], list[str]]:
+    """PDF → (content, metadata, warnings) per PdfParser.cs:27-102."""
+    warnings: list[str] = []
+    metadata: dict[str, str] = {"FileType": "PDF"}
+    try:
+        objs = _pdf_objects(blob)
+        if not objs or b"%PDF" not in blob[:1024]:
+            raise ValueError("not a PDF (no header or no objects)")
+
+        # trailer: /Info metadata + /Root for the page tree
+        trailer_at = blob.rfind(b"trailer")
+        trailer = blob[trailer_at:] if trailer_at != -1 else blob
+        info_ref = _dict_value_ref(trailer, b"/Info")
+        if info_ref is not None and info_ref in objs:
+            info = objs[info_ref]
+            for key, name in (
+                (b"/Title", "Title"), (b"/Author", "Author"),
+                (b"/Subject", "Subject"), (b"/Creator", "Creator"),
+                (b"/CreationDate", "CreationDate"),
+            ):
+                val = _find_literal_strings(info, key)
+                if val and val.strip():
+                    metadata[name] = val
+
+        pages: list[int] = []
+        root_ref = _dict_value_ref(trailer, b"/Root")
+        if root_ref is not None and root_ref in objs:
+            pages_ref = _dict_value_ref(objs[root_ref], b"/Pages")
+            if pages_ref is not None:
+                _walk_page_tree(objs, pages_ref, pages)
+        if not pages:  # damaged tree: fall back to object-number order
+            pages = sorted(
+                n for n, b in objs.items()
+                if re.search(rb"/Type\s*/Page\b", b) and not re.search(rb"/Type\s*/Pages\b", b)
+            )
+        metadata["PageCount"] = str(len(pages))
+
+        chunks: list[str] = []
+        for i, page_obj in enumerate(pages, start=1):
+            try:
+                text_parts = []
+                for cref in _dict_value_refs(objs[page_obj], b"/Contents"):
+                    if cref not in objs:
+                        continue
+                    cbody = objs[cref]
+                    sm = _STREAM_RE.search(cbody)
+                    if not sm:
+                        continue
+                    data = sm.group(1)
+                    if re.search(rb"/Filter\s*(\[\s*)?/FlateDecode", cbody):
+                        data = zlib.decompress(data)
+                    elif re.search(rb"/Filter\s*/", cbody):
+                        raise ValueError("unsupported stream filter")
+                    text_parts.append(_page_text(data))
+                page_text = "".join(text_parts)
+                if page_text.strip():
+                    chunks.append(f"--- Page {i} ---\n{page_text}\n\n")
+                else:
+                    warnings.append(
+                        f"Page {i} contains no extractable text (may be scanned image)"
+                    )
+            except Exception as ex:  # noqa: BLE001 — per-page isolation (PdfParser.cs:76-79)
+                warnings.append(f"Error extracting text from page {i}: {ex}")
+
+        content = "".join(chunks)
+        if not content.strip():
+            warnings.append(
+                "PDF contains no extractable text. Consider using OCR for scanned documents."
+            )
+            content = ""
+        return content, metadata, warnings
+    except Exception as ex:  # noqa: BLE001 — whole-file isolation (PdfParser.cs:98-102)
+        warnings.append(f"Error parsing PDF: {ex}")
+        return "", metadata, warnings
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+_DECODERS = {"pdf": decode_pdf, "docx": decode_docx, "pptx": decode_pptx}
+
+
+def decode_binary(
+    path: str, blob: bytes
+) -> tuple[str, int, dict[str, str], list[str], str | None]:
+    """(content, n_pages, metadata, warnings, parse_error) for one file.
+
+    ``n_pages`` is PageCount for PDFs, SlideCount for pptx, 1 for docx (Word
+    content is a single flow; the reference exposes no page count for it)."""
+    ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    decoder = _DECODERS.get(ext)
+    if decoder is None:
+        return "", 0, {}, [f"unsupported binary format: .{ext}"], "UnsupportedFormat"
+    try:
+        content, metadata, warnings = decoder(bytes(blob or b""))
+    except Exception as ex:  # noqa: BLE001 — corrupt container (bad zip etc.)
+        return (
+            "", 0, {"FileType": ext},
+            [f"Error parsing {ext} document: {ex}"],
+            type(ex).__name__,
+        )
+    n_pages = int(metadata.get("PageCount") or metadata.get("SlideCount") or 1)
+    return content, n_pages, metadata, warnings, None

@@ -2,10 +2,11 @@
 
 P1 TextParser (TextParser.cs:8-97) is pure column math: utf-8 decode +
 line/heading/delimiter heuristics, fully oracle-checkable. P2/P3 (PDF /
-Office) require binary-format libraries that are NOT in this container, so
-their *plumbing* is real (binary column in, ParsedDocument struct out,
-Arrow-batched) and the decoder is a clearly-marked stub — swap in
-``pypdf``/``python-docx`` behind the same signature in production.
+Office) decode for real with stdlib-only parsers (``binary_decode.py``:
+zip+XML for OOXML, zlib FlateDecode + Tj/TJ scan for PDF) behind
+Arrow-batched ``mapInPandas`` plumbing; swap in ``pypdf``/``python-docx``
+behind the same ``decode_binary`` signature if richer format coverage
+(CID fonts, embedded objects) is needed in production.
 
 Dispatch (P4, IngestionPipeline.ParseDocumentAsync:445-464) and the
 supported-extension gate (P5, FileTypeValidator.cs:8-29) are a ``when``
@@ -132,42 +133,42 @@ FROM {table}
 
 
 # ---------------------------------------------------------------------------
-# P2/P3 — binary parsers: real plumbing, stubbed decoder
+# P2/P3 — binary parsers: real stdlib decoders over Arrow-batched plumbing
 # ---------------------------------------------------------------------------
 
 PARSED_SCHEMA = (
-    "path string, content string, n_pages int, warnings array<string>, parse_error string"
+    "path string, content string, n_pages int, metadata map<string,string>, "
+    "warnings array<string>, parse_error string"
 )
 
 
 def parse_binary_documents(binary_df: DataFrame) -> DataFrame:
-    """P2/P3 plumbing over a ``binaryFile``-shaped frame (path, content:
-    binary): mapInPandas with Arrow batches — the production shape for
-    CPU-bound per-document decoding (each task decodes its partition's files;
-    no shuffle; scale = add executors).
+    """P2/P3 over a ``binaryFile``-shaped frame (path, content: binary):
+    mapInPandas with Arrow batches — the production shape for CPU-bound
+    per-document decoding (each task decodes its partition's files; no
+    shuffle; scale = add executors).
 
-    The decoder is a STUB: pypdf / python-docx / python-pptx are not in this
-    container. It emits a deterministic placeholder so the pipeline is
-    testable end-to-end; swap `_decode_stub` for the real library call."""
-
-    def _decode_stub(path: str, blob: bytes) -> tuple[str, int, list[str], str | None]:
-        ext = path.rsplit(".", 1)[-1].lower() if "." in path else ""
-        if ext not in ("pdf", "docx", "pptx"):
-            return "", 0, [f"unsupported binary format: .{ext}"], "UnsupportedFormat"
-        # deterministic fake: real impl returns page/slide texts with
-        # '--- Page N ---' markers (PdfParser.cs:55-80, OfficeParser.cs:134-208)
-        n_pages = max(1, len(blob) // 1024)
-        content = "\n".join(f"--- Page {i + 1} ---\n[stub:{ext}:{len(blob)}b]" for i in range(n_pages))
-        return content, n_pages, [], None
+    Decoders are real, stdlib-only (``sources/binary_decode.py``): docx/pptx
+    via zip+XML (ECMA-376), PDF via object-scan + FlateDecode + Tj/TJ text
+    operators. Output mirrors the reference parsers: ``--- Page N ---`` /
+    ``--- Slide N ---`` markers, docx table rows joined ``" | "``, and the
+    Title/Author/Subject/Creator/CreationDate metadata keys
+    (PdfParser.cs:34-80, OfficeParser.cs:62-208)."""
+    from connapse_spark.sources.binary_decode import decode_binary
 
     def _parse(batches):
         for pdf in batches:
             out = []
             for path, blob in zip(pdf["path"], pdf["content"]):
-                content, n_pages, warnings, err = _decode_stub(path, bytes(blob or b""))
-                out.append((path, content, n_pages, warnings, err))
+                content, n_pages, metadata, warnings, err = decode_binary(
+                    path, bytes(blob or b"")
+                )
+                out.append((path, content, n_pages, metadata, warnings, err))
             yield pd.DataFrame(
-                out, columns=["path", "content", "n_pages", "warnings", "parse_error"]
+                out,
+                columns=[
+                    "path", "content", "n_pages", "metadata", "warnings", "parse_error"
+                ],
             )
 
     return binary_df.select("path", "content").mapInPandas(_parse, PARSED_SCHEMA)

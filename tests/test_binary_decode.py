@@ -1,0 +1,132 @@
+"""Pure-Python decoder units (no Spark): the P2/P3 kernels in
+``sources/binary_decode.py`` against fixtures from ``sources/docgen.py``,
+plus the oracle-constant regeneration check for the ``parse_binary`` query."""
+
+from __future__ import annotations
+
+import hashlib
+
+from connapse_spark.sources import binary_decode as bd
+from connapse_spark.sources import docgen
+
+
+# ---------------------------------------------------------------------------
+# PDF
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_pages_markers_and_metadata():
+    blob = docgen.make_pdf(
+        ["Alpha line\nBeta line", "Gamma"], title="T", author="A"
+    )
+    content, meta, warnings = bd.decode_pdf(blob)
+    # page markers + blank line between pages (PdfParser.cs:67-69)
+    assert content == "--- Page 1 ---\nAlpha lineBeta line\n\n--- Page 2 ---\nGamma\n\n"
+    assert meta["Title"] == "T" and meta["Author"] == "A"
+    assert meta["PageCount"] == "2" and meta["FileType"] == "PDF"
+    assert warnings == []
+
+
+def test_pdf_uncompressed_and_escapes():
+    blob = docgen.make_pdf(["paren (x) and \\ backslash"], compress=False)
+    content, _, warnings = bd.decode_pdf(blob)
+    assert "paren (x) and \\ backslash" in content
+    assert warnings == []
+
+
+def test_pdf_textless_page_warns():
+    content, meta, warnings = bd.decode_pdf(docgen.make_pdf([""]))
+    assert content == ""
+    assert meta["PageCount"] == "1"
+    # both per-page and whole-doc warnings, phrased as the reference does
+    assert any("may be scanned image" in w for w in warnings)
+    assert any("Consider using OCR" in w for w in warnings)
+
+
+def test_pdf_garbage_degrades_to_warning():
+    content, _, warnings = bd.decode_pdf(b"%PDF" * 600)
+    assert content == ""
+    assert any(w.startswith("Error parsing PDF") for w in warnings)
+
+
+def test_pdf_hex_string_and_octal():
+    # hand-built single page with a hex string and an octal escape
+    page = "ignored"
+    blob = docgen.make_pdf([page], compress=False)
+    # splice a hex-string Tj into the content stream
+    blob = blob.replace(b"(ignored) Tj", b"<48 65 78> Tj (\\101\\102) Tj")
+    content, _, _ = bd.decode_pdf(blob)
+    assert "Hex" in content and "AB" in content
+
+
+# ---------------------------------------------------------------------------
+# docx / pptx
+# ---------------------------------------------------------------------------
+
+
+def test_docx_paragraphs_then_tables_with_cell_duplication():
+    blob = docgen.make_docx(
+        ["P one", "P two"], tables=[[["a", "b"], ["c", "d"]]]
+    )
+    content, meta, warnings = bd.decode_docx(blob)
+    # Descendants<Paragraph> includes table-cell paragraphs, then rows join
+    # " | " (OfficeParser.cs:93-121) — cell text appears both ways
+    assert content == "P one\nP two\na\nb\nc\nd\na | b\nc | d\n"
+    assert meta["FileType"] == "Word Document"
+    assert warnings == []
+
+
+def test_docx_empty_body_warns():
+    content, _, warnings = bd.decode_docx(docgen.make_docx([]))
+    assert content == "" and any("no extractable text" in w for w in warnings)
+
+
+def test_pptx_slide_markers_and_count():
+    blob = docgen.make_pptx([["One", "two"], [], ["Three"]], title="D")
+    content, meta, warnings = bd.decode_pptx(blob)
+    assert content == (
+        "--- Slide 1 ---\nOne\ntwo\n\n--- Slide 2 ---\n\n--- Slide 3 ---\nThree\n\n"
+    )
+    assert meta["SlideCount"] == "3" and meta["Title"] == "D"
+    assert warnings == []
+
+
+def test_dispatch_unsupported_and_corrupt():
+    _, _, _, _, err = bd.decode_binary("/x/a.exe", b"MZ")
+    assert err == "UnsupportedFormat"
+    _, _, _, warns, err = bd.decode_binary("/x/a.docx", b"junk")
+    assert err == "BadZipFile" and warns
+
+
+# ---------------------------------------------------------------------------
+# oracle constants for the parse_binary query
+# ---------------------------------------------------------------------------
+
+
+def test_parse_binary_oracle_constants():
+    """Regenerates the literal expectations pinned in
+    ``__spark_entry__._sql_parse_binary`` — if a decoder or fixture changes,
+    this fails with the new constants to paste."""
+    import __spark_entry__ as entry
+
+    expected = []
+    for path, blob in docgen.fixture_corpus():
+        content, n_pages, meta, warnings, err = bd.decode_binary(path, blob)
+        expected.append(
+            (
+                path,
+                meta.get("Title"),
+                n_pages,
+                hashlib.sha256(content.encode()).hexdigest(),
+                len(warnings),
+                err,
+            )
+        )
+    sql = entry._sql_parse_binary()
+    for path, title, n_pages, sha, n_warn, err in expected:
+        for token in (path, sha):
+            assert token in sql, f"oracle constant drift: {token} for {path}"
+        if title:
+            assert f"'{title}'" in sql
+        if err:
+            assert f"'{err}'" in sql

@@ -216,15 +216,22 @@ def test_parse_text_metadata(spark):
     assert out[4]["csv_delimiter"] is None
 
 
-def test_binary_parser_stub_plumbing(spark):
-    df = spark.createDataFrame(
-        [("/d/x.pdf", b"%PDF" * 600), ("/d/y.zzz", b"??")],
-        "path string, content binary",
-    )
+def test_binary_parser_real_decode(spark):
+    from connapse_spark.sources.docgen import fixture_corpus
+
+    df = spark.createDataFrame(fixture_corpus(), "path string, content binary")
     out = {r["path"]: r for r in parsers.parse_binary_documents(df).collect()}
-    assert out["/d/x.pdf"]["n_pages"] >= 1
-    assert "--- Page 1 ---" in out["/d/x.pdf"]["content"]
-    assert out["/d/y.zzz"]["parse_error"] == "UnsupportedFormat"
+    rep = out["/fx/report.pdf"]
+    assert rep["n_pages"] == 2 and rep["parse_error"] is None
+    assert "--- Page 1 ---" in rep["content"] and "--- Page 2 ---" in rep["content"]
+    assert "Quarterly results" in rep["content"]
+    assert rep["metadata"]["Title"] == "Q3 Report"
+    doc = out["/fx/notes.docx"]
+    assert "h1 | h2" in doc["content"] and doc["metadata"]["Author"] == "alice"
+    deck = out["/fx/deck.pptx"]
+    assert "--- Slide 3 ---" in deck["content"] and deck["n_pages"] == 3
+    assert out["/fx/unknown.bin"]["parse_error"] == "UnsupportedFormat"
+    assert out["/fx/ruined.docx"]["parse_error"] == "BadZipFile"
 
 
 def test_supported_extension_gate(spark):
