@@ -26,7 +26,7 @@ from connapse_spark.functions.vector import (
     sql_cosine,
     to_double_array,
 )
-from connapse_spark.operators import analytics, chunking, dedup, events, similarity, temporal, textstats
+from connapse_spark.operators import analytics, chunking, dedup, events, similarity, temporal, textstats, web
 from connapse_spark.operators.embedding import cache_misses
 from connapse_spark.operators.maintenance import (
     reindex_decisions,
@@ -974,6 +974,101 @@ ORDER BY path
 """.strip()
 
 
+# deterministic URL synthesis for the web-operator queries (the corpus has
+# no url column): scheme/host/port/query each cycle through literal pools
+# keyed on doc_id, exercising case-folding, default+explicit ports, eTLD+1
+# grouping (two co.uk hosts collapse to one registered domain), tracking
+# params, and param reordering
+_URL_SCHEMES = ["https", "HTTP", "https"]
+_URL_HOSTS = [
+    "www.Example.COM", "blog.example.co.uk", "news.example.co.uk",
+    "Docs.Widgets.ORG", "cdn.media.net", "shop.store.com",
+]
+_URL_PORTS = ["", ":443", ":8080", ""]
+_URL_QUERIES = [
+    "?utm_source=feed&id=7", "?gclid=x&q=spark&a=1", "?b=2&a=1", "",
+    "?ref=home&x=9",
+]
+
+
+def _pool(pool, k):
+    return F.element_at(
+        F.array(*[F.lit(v) for v in pool]), (F.col("doc_id") % k + 1).cast("int")
+    )
+
+
+def _url_col():
+    return F.concat(
+        _pool(_URL_SCHEMES, 3), F.lit("://"), _pool(_URL_HOSTS, 6),
+        _pool(_URL_PORTS, 4), F.lit("/p/"), F.col("doc_id").cast("string"),
+        _pool(_URL_QUERIES, 5),
+    )
+
+
+def _sql_pool(pool, k):
+    lits = ", ".join(f"'{v}'" for v in pool)
+    return f"([{lits}][(doc_id % {k} + 1)::INT])"
+
+
+_SQL_URL = (
+    f"({_sql_pool(_URL_SCHEMES, 3)} || '://' || {_sql_pool(_URL_HOSTS, 6)} || "
+    f"{_sql_pool(_URL_PORTS, 4)} || '/p/' || doc_id || {_sql_pool(_URL_QUERIES, 5)})"
+)
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Web ops: canonical URL (case-fold, default-port strip, tracking-param
+    strip, param sort) + registered domain (eTLD+1) as pure column math."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _url_col())
+    return web.canonicalize_urls(docs).select(
+        "doc_id", "url", "canonical_url", "domain"
+    ).orderBy("doc_id")
+
+
+def _sql_url_canonicalize() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, {_SQL_URL} AS url FROM documents)
+SELECT doc_id, url,
+       {web.sql_canonical_url('url')} AS canonical_url,
+       {web.sql_registered_domain(web.sql_host('url'))} AS domain
+FROM d ORDER BY doc_id
+""".strip()
+
+
+def q_domain_caps(spark, sf_dir):
+    """Per-registered-domain contribution cap (RefinedWeb-style): hash-order
+    row_number per domain, keep the first 20 — survivor set is a pure
+    function of the row keys."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _url_col())
+    return web.domain_caps(docs, max_per_domain=20).select(
+        "doc_id", "domain", "domain_rank"
+    ).orderBy("doc_id")
+
+
+def _sql_domain_caps() -> str:
+    inner = web.sql_domain_caps(
+        "url", max_per_domain=20,
+        table="(SELECT doc_id, " + _SQL_URL + " AS url FROM documents)",
+    )
+    return f"SELECT doc_id, domain, domain_rank FROM ({inner}) ORDER BY doc_id"
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain corpus profile: doc count, char totals, distinct paths."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _url_col())
+    return web.domain_stats(docs).orderBy("domain")
+
+
+def _sql_domain_stats() -> str:
+    return (
+        web.sql_domain_stats(
+            "url",
+            table="(SELECT doc_id, text, " + _SQL_URL + " AS url FROM documents)",
+        )
+        + " ORDER BY domain"
+    )
+
+
 def q_markdown_sections(spark, sf_dir):
     """T4 native section walker over synthesized markdown."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -1423,6 +1518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_types": q_events_top_types,
         "random_projection": q_random_projection,
         "parse_binary": q_parse_binary,  # new this round: real P2/P3 decoders
+        "url_canonicalize": q_url_canonicalize,  # new: web-corpus curation ops
+        "domain_caps": q_domain_caps,
+        "domain_stats": q_domain_stats,
         "chunk_fixed_char": q_chunk_fixed_char,
         "chunk_token_window": q_chunk_token_window,
         "corpus_stats": q_corpus_stats,
@@ -1598,6 +1696,9 @@ def oracle_sql() -> dict[str, str]:
         "parse_text": _sql_parse_text(),
         "parser_dispatch": _sql_parser_dispatch(),
         "parse_binary": _sql_parse_binary(),
+        "url_canonicalize": _sql_url_canonicalize(),
+        "domain_caps": _sql_domain_caps(),
+        "domain_stats": _sql_domain_stats(),
         "markdown_sections": _sql_markdown_sections(),
         "chunk_doc_aware": _sql_chunk_doc_aware(),
         "chunk_recursive": _sql_chunk_recursive(),

@@ -1,0 +1,221 @@
+"""Web-corpus operators: URL canonicalization, registered domains, and
+per-domain caps — the curation steps every web-scale training pipeline
+runs before dedup (C4, Raffel et al. 2020 §2.2; RefinedWeb, Penedo et al.
+2023 §3.1 use exactly this family: normalize the URL, group by the
+registered domain, bound any single site's contribution).
+
+Everything is pure JVM column math (regexp + array ops — whole-stage
+codegen, no UDFs, no shuffle except the one keyed shuffle a per-domain
+cap inherently needs), with DuckDB mirrors built from the same parts.
+
+The reference has no web module — this extends the engine in the
+training-data direction the brief asks for, reusing its hash-order
+determinism discipline (``sampling.hash_bucket_expr``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one regex, five groups: scheme, host, port, path, query (fragment dropped)
+URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)\??([^#]*)#?.*$"
+
+# query params that identify the click, not the page — stripped on
+# canonicalization (the C4/common-crawl cleaning convention)
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_[ce]id|igshid|ref)="
+
+# common two-level public suffixes; registered domain = one label more
+# than the public suffix. A full public-suffix list drops in as data —
+# the expression shape is the same.
+TWO_LEVEL_TLDS = [
+    "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk", "co.za",
+    "com.ar", "com.au", "com.br", "com.cn", "com.mx", "com.sg", "com.tr",
+    "ne.jp", "or.jp", "org.uk",
+]
+
+DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def url_part(url: Column, group: int) -> Column:
+    return F.regexp_extract(url, URL_RE, group)
+
+
+def sql_url_part(url: str, group: int) -> str:
+    # DuckDB regexp_extract has identical no-match ('') and group semantics
+    return f"regexp_extract({url}, '{URL_RE}', {group})"
+
+
+def host_expr(url: Column) -> Column:
+    return F.lower(url_part(url, 2))
+
+
+def sql_host(url: str) -> str:
+    return f"lower({sql_url_part(url, 2)})"
+
+
+def registered_domain_expr(host: Column) -> Column:
+    """eTLD+1 under the broadcast-literal suffix table: ``a.b.co.uk`` →
+    ``b.co.uk``; ``www.example.com`` → ``example.com``; bare or two-label
+    hosts pass through."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    last3 = F.array_join(F.slice(labels, -3, 3), ".")
+    is_two_level = last2.isin(TWO_LEVEL_TLDS)
+    return (
+        F.when(n >= 3, F.when(is_two_level, last3).otherwise(last2))
+        .when(n == 2, last2)
+        .otherwise(host)
+    )
+
+
+def sql_registered_domain(host: str) -> str:
+    tlds = ", ".join(f"'{t}'" for t in TWO_LEVEL_TLDS)
+    labels = f"string_split({host}, '.')"
+    return f"""(
+  CASE WHEN len({labels}) >= 3 THEN
+         CASE WHEN array_to_string({labels}[-2:], '.') IN ({tlds})
+              THEN array_to_string({labels}[-3:], '.')
+              ELSE array_to_string({labels}[-2:], '.') END
+       WHEN len({labels}) = 2 THEN array_to_string({labels}[-2:], '.')
+       ELSE {host} END)"""
+
+
+def clean_query_expr(query: Column) -> Column:
+    """Drop tracking params, sort the rest for order-insensitive equality
+    of semantically-equal URLs."""
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    return F.array_join(F.array_sort(params), "&")
+
+
+def sql_clean_query(query: str) -> str:
+    # outer COALESCE: DuckDB's list_sort/array_to_string return NULL on
+    # empty lists where Spark returns []/''
+    return (
+        f"COALESCE(array_to_string(list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), '&'), '')"
+    )
+
+
+def canonical_url_expr(url: Column) -> Column:
+    """Lower scheme+host, drop default ports and the fragment, default the
+    path to ``/``, strip tracking params and sort the survivors."""
+    scheme = F.lower(url_part(url, 1))
+    host = host_expr(url)
+    port = url_part(url, 3)
+    default_port = F.when(
+        scheme == "http", F.lit("80")
+    ).when(scheme == "https", F.lit("443")).when(scheme == "ftp", F.lit("21")).otherwise(F.lit(""))
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = url_part(url, 4)
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    q = clean_query_expr(url_part(url, 5))
+    q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    return F.concat(scheme, F.lit("://"), host, port_part, path_part, q_part)
+
+
+def sql_canonical_url(url: str) -> str:
+    scheme = f"lower({sql_url_part(url, 1)})"
+    host = sql_host(url)
+    port = sql_url_part(url, 3)
+    default_port = (
+        f"CASE {scheme} WHEN 'http' THEN '80' WHEN 'https' THEN '443' "
+        f"WHEN 'ftp' THEN '21' ELSE '' END"
+    )
+    port_part = (
+        f"CASE WHEN {port} = '' OR {port} = {default_port} THEN '' "
+        f"ELSE ':' || {port} END"
+    )
+    path = sql_url_part(url, 4)
+    path_part = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    q = sql_clean_query(sql_url_part(url, 5))
+    q_part = f"CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END"
+    return f"({scheme} || '://' || {host} || {port_part} || {path_part} || {q_part})"
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-row URL normalization + registered domain: map-side only
+    (whole-stage codegen), no shuffle — at 100 TB this rides the scan."""
+    url = F.col(url_col)
+    return df.withColumn("canonical_url", canonical_url_expr(url)).withColumn(
+        "domain", registered_domain_expr(host_expr(url))
+    )
+
+
+def domain_caps(
+    df: DataFrame,
+    url_col: str = "url",
+    max_per_domain: int = 100,
+    key_col: str = "doc_id",
+    salt: str = "domaincap",
+) -> DataFrame:
+    """Bound any one registered domain's contribution (RefinedWeb §3.1):
+    deterministic hash-order ``row_number`` per domain, keep the first
+    ``max_per_domain``. Survivor choice is a pure function of the row key —
+    stable across runs/partitionings, like ``sampling.deterministic_sample``.
+
+    Scale: ONE shuffle on domain. Mega-domains are exactly the skewed keys
+    AQE skew-split handles, and the output per key is bounded by the cap, so
+    the window never materializes more than it keeps + discards per task."""
+    from pyspark.sql import Window
+    from connapse_spark.operators.sampling import hash_bucket_expr
+
+    d = df.withColumn("domain", registered_domain_expr(host_expr(F.col(url_col))))
+    order = hash_bucket_expr(F.col(key_col).cast("string"), salt)
+    w = Window.partitionBy("domain").orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        d.withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= max_per_domain)
+    )
+
+
+def sql_domain_caps(
+    url: str,
+    max_per_domain: int = 100,
+    key_col: str = "doc_id",
+    salt: str = "domaincap",
+    table: str = "documents",
+) -> str:
+    from connapse_spark.operators.sampling import sql_hash_bucket
+
+    domain = sql_registered_domain(sql_host(url))
+    bucket = sql_hash_bucket(f"CAST({key_col} AS VARCHAR)", salt)
+    return f"""
+WITH d AS (SELECT *, {domain} AS domain, {bucket} AS _b FROM {table}),
+r AS (
+  SELECT *, (row_number() OVER (PARTITION BY domain ORDER BY _b, {key_col}))::INT AS domain_rank
+  FROM d
+)
+SELECT * EXCLUDE (_b) FROM r WHERE domain_rank <= {max_per_domain}
+""".strip()
+
+
+def domain_stats(df: DataFrame, url_col: str = "url", text_col: str = "text") -> DataFrame:
+    """Per-registered-domain corpus profile: doc count, total/mean text
+    bytes, distinct paths. One hash-aggregate with map-side partials."""
+    d = df.withColumn("domain", registered_domain_expr(host_expr(F.col(url_col))))
+    return d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+        F.round(F.avg(F.length(text_col)), 4).alias("avg_chars"),
+        F.countDistinct(url_part(F.col(url_col), 4)).alias("n_paths"),
+    )
+
+
+def sql_domain_stats(url: str, text_col: str = "text", table: str = "documents") -> str:
+    domain = sql_registered_domain(sql_host(url))
+    path = sql_url_part(url, 4)
+    return f"""
+SELECT {domain} AS domain,
+       count(*) AS n_docs,
+       CAST(sum(length({text_col})) AS BIGINT) AS total_chars,
+       round(avg(length({text_col})), 4) AS avg_chars,
+       count(DISTINCT {path}) AS n_paths
+FROM {table} GROUP BY 1
+""".strip()

@@ -1,0 +1,89 @@
+"""Web-corpus operator units: URL canonicalization edge cases, eTLD+1
+extraction, and the determinism/bound guarantees of per-domain caps."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from connapse_spark.operators import web
+
+
+def _one(spark, url):
+    row = (
+        spark.range(1)
+        .select(F.lit(url).alias("url"))
+        .select(
+            web.canonical_url_expr(F.col("url")).alias("canon"),
+            web.registered_domain_expr(web.host_expr(F.col("url"))).alias("domain"),
+        )
+        .first()
+    )
+    return row["canon"], row["domain"]
+
+
+def test_canonical_url_cases(spark):
+    cases = {
+        # case-fold scheme+host, keep path case
+        "HTTPS://WWW.Example.COM/Path": ("https://www.example.com/Path", "example.com"),
+        # default port stripped, explicit kept
+        "https://a.com:443/x": ("https://a.com/x", "a.com"),
+        "http://a.com:443/x": ("http://a.com:443/x", "a.com"),
+        "http://a.com:80/x": ("http://a.com/x", "a.com"),
+        # empty path → /
+        "https://a.com": ("https://a.com/", "a.com"),
+        # tracking stripped, survivors sorted, fragment dropped
+        "https://a.com/p?utm_source=x&b=2&a=1#frag": ("https://a.com/p?a=1&b=2", "a.com"),
+        # all-tracking query vanishes entirely
+        "https://a.com/p?utm_source=x&gclid=1": ("https://a.com/p", "a.com"),
+        # two-level TLD: one more label is the registered domain
+        "https://news.bbc.co.uk/story": ("https://news.bbc.co.uk/story", "bbc.co.uk"),
+        "https://deep.sub.site.com.au/": ("https://deep.sub.site.com.au/", "site.com.au"),
+        # bare host passes through
+        "https://localhost/x": ("https://localhost/x", "localhost"),
+    }
+    for url, (want_canon, want_domain) in cases.items():
+        canon, domain = _one(spark, url)
+        assert canon == want_canon, f"{url}: {canon} != {want_canon}"
+        assert domain == want_domain, f"{url}: {domain} != {want_domain}"
+
+
+def test_domain_caps_bound_and_determinism(spark):
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("https://site"),
+            (F.col("id") % 3).cast("string"),
+            F.lit(".com/p/"),
+            F.col("id").cast("string"),
+        ).alias("url"),
+    )
+    capped = web.domain_caps(df, max_per_domain=10)
+    rows = capped.select("doc_id", "domain").collect()
+    by_domain: dict[str, list[int]] = {}
+    for r in rows:
+        by_domain.setdefault(r["domain"], []).append(r["doc_id"])
+    assert set(by_domain) == {"site0.com", "site1.com", "site2.com"}
+    assert all(len(v) == 10 for v in by_domain.values())
+    # survivors are a pure function of the keys: stable under repartition
+    again = web.domain_caps(df.repartition(7), max_per_domain=10)
+    assert sorted(r["doc_id"] for r in again.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
+
+
+def test_canonicalize_is_mapside_only(spark):
+    """No Exchange in the canonicalization plan — it rides the scan."""
+    df = spark.range(100).select(
+        F.concat(F.lit("https://x.com/"), F.col("id").cast("string")).alias("url")
+    )
+    plan = web.canonicalize_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_domain_caps_single_shuffle(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("https://x.com/"), F.col("id").cast("string")).alias("url"),
+    )
+    plan = web.domain_caps(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
