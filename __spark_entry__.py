@@ -33,7 +33,7 @@ from connapse_spark.operators.maintenance import (
     sync_delta,
     upsert_last_writer_wins,
 )
-from connapse_spark.operators import keyword_index, multimodal, rag, sampling
+from connapse_spark.operators import keyword_index, multimodal, normalize, rag, sampling
 from connapse_spark.operators.ingest import ingest, ingest_stats
 from connapse_spark.operators.search import (
     SearchOptions,
@@ -1069,6 +1069,51 @@ def _sql_domain_stats() -> str:
     )
 
 
+# deterministic dirty-text synthesis for the normalization query: the
+# corpus text is clean, so each doc gets a suffix drawn from pools of
+# mojibake (generated from the same cp1252 round-trip the repair map
+# uses), NBSP/zero-width/control chars, and CRLF — never hand-typed
+def _moji(s: str) -> str:
+    return s.encode("utf-8").decode("cp1252")
+
+
+_DIRT_POOL = [
+    " " + _moji("café") + " r" + _moji("é") + "sum" + _moji("é"),
+    " " + _moji("“") + "quoted" + _moji("…") + " text",
+    "   spaced​ out\t\ttabs  ",
+    " ctrl\x07chars\x01here\r\nnext line",
+    "",
+]
+
+
+def q_normalize_text(spark, sf_dir):
+    """Normalization pass: mojibake repair + control/zero-width strip +
+    unicode-space folding + whitespace collapse, with before/after gauges.
+    Pure JVM replace/regexp chain — map-side, rides the scan at 100 TB."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), _pool(_DIRT_POOL, 5))
+    )
+    return normalize.normalize_documents(docs).select(
+        "doc_id",
+        "n_mojibake",
+        "chars_removed",
+        F.sha2(F.col("text_norm"), 256).alias("norm_sha"),
+    ).orderBy("doc_id")
+
+
+def _sql_normalize_text() -> str:
+    lits = ", ".join(normalize._sql_lit(d) for d in _DIRT_POOL)
+    dirty = f"(text || [{lits}][(doc_id % 5 + 1)::INT])"
+    return f"""
+WITH d AS (SELECT doc_id, {dirty} AS text FROM documents)
+SELECT doc_id,
+       {normalize.sql_mojibake_count('text')} AS n_mojibake,
+       (length(text) - length({normalize.sql_normalize_text('text')}))::INT AS chars_removed,
+       sha256({normalize.sql_normalize_text('text')}) AS norm_sha
+FROM d ORDER BY doc_id
+""".strip()
+
+
 def q_markdown_sections(spark, sf_dir):
     """T4 native section walker over synthesized markdown."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -1521,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,  # new: web-corpus curation ops
         "domain_caps": q_domain_caps,
         "domain_stats": q_domain_stats,
+        "normalize_text": q_normalize_text,
         "chunk_fixed_char": q_chunk_fixed_char,
         "chunk_token_window": q_chunk_token_window,
         "corpus_stats": q_corpus_stats,
@@ -1699,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _sql_url_canonicalize(),
         "domain_caps": _sql_domain_caps(),
         "domain_stats": _sql_domain_stats(),
+        "normalize_text": _sql_normalize_text(),
         "markdown_sections": _sql_markdown_sections(),
         "chunk_doc_aware": _sql_chunk_doc_aware(),
         "chunk_recursive": _sql_chunk_recursive(),

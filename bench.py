@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "ingest_stats",
     "parse_text",
     "media_stats",
+    "url_canonicalize",
+    "domain_caps",
+    "domain_stats",
+    "normalize_text",
     "asof_attribution",
     "range_join_orders",
     "events_rollup",
