@@ -33,7 +33,7 @@ from connapse_spark.operators.maintenance import (
     sync_delta,
     upsert_last_writer_wins,
 )
-from connapse_spark.operators import keyword_index, multimodal, normalize, rag, sampling
+from connapse_spark.operators import keyword_index, multimodal, normalize, profile, rag, sampling
 from connapse_spark.operators.ingest import ingest, ingest_stats
 from connapse_spark.operators.search import (
     SearchOptions,
@@ -1114,6 +1114,24 @@ FROM d ORDER BY doc_id
 """.strip()
 
 
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+_PROFILE_STABLE = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_table_stats(spark, sf_dir):
+    """ANALYZE-style column profile of orders: row/null/distinct counts +
+    min/max/avg-len for render-stable types — ONE scan (multi-distinct
+    Expand aggregate), unpivoted to a row per column."""
+    return profile.column_profile(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+def _sql_table_stats() -> str:
+    return profile.sql_column_profile("orders", _PROFILE_COLS, _PROFILE_STABLE)
+
+
 def q_markdown_sections(spark, sf_dir):
     """T4 native section walker over synthesized markdown."""
     docs = _t(spark, sf_dir, "documents").select(
@@ -1567,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": q_domain_caps,
         "domain_stats": q_domain_stats,
         "normalize_text": q_normalize_text,
+        "table_stats": q_table_stats,
         "chunk_fixed_char": q_chunk_fixed_char,
         "chunk_token_window": q_chunk_token_window,
         "corpus_stats": q_corpus_stats,
@@ -1746,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_caps": _sql_domain_caps(),
         "domain_stats": _sql_domain_stats(),
         "normalize_text": _sql_normalize_text(),
+        "table_stats": _sql_table_stats(),
         "markdown_sections": _sql_markdown_sections(),
         "chunk_doc_aware": _sql_chunk_doc_aware(),
         "chunk_recursive": _sql_chunk_recursive(),

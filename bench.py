@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "ingest_stats",
     "parse_text",
     "media_stats",
+    "table_stats",
     "url_canonicalize",
     "domain_caps",
     "domain_stats",
