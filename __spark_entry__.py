@@ -52,7 +52,7 @@ from connapse_spark.operators.search import (
     sql_keyword_websearch,
 )
 from connapse_spark.plans import ivf
-from connapse_spark.sources import parsers
+from connapse_spark.sources import parsers, sinks
 from connapse_spark import oracle
 
 SEARCH_QUERY = "table scan fast merge"
@@ -1121,6 +1121,18 @@ _PROFILE_COLS = [
 _PROFILE_STABLE = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Training-export integrity manifest: per-shard doc/char counts and a
+    key-ordered content hash for the deterministic JSONL shard writer
+    (``sinks.write_training_shards``) — two exports match iff manifests
+    match, no byte comparison needed."""
+    return sinks.shard_manifest(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
+def _sql_shard_manifest() -> str:
+    return sinks.sql_shard_manifest(n_shards=8)
+
+
 def q_table_stats(spark, sf_dir):
     """ANALYZE-style column profile of orders: row/null/distinct counts +
     min/max/avg-len for render-stable types — ONE scan (multi-distinct
@@ -1586,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "normalize_text": q_normalize_text,
         "table_stats": q_table_stats,
+        "shard_manifest": q_shard_manifest,
         "chunk_fixed_char": q_chunk_fixed_char,
         "chunk_token_window": q_chunk_token_window,
         "corpus_stats": q_corpus_stats,
@@ -1606,7 +1619,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_text": q_parse_text,
         "media_stats": q_media_stats,
         "rag_answer": q_rag_answer,
-        "simhash_pairs": q_simhash_pairs,
         "asof_attribution": q_asof_attribution,
         "range_join_orders": q_range_join_orders,
         "events_rollup": q_events_rollup,
@@ -1620,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver's ~50-query window — parked just past it
         "ann_ivf": q_ann_ivf,
         "ingest_stats": q_ingest_stats,
+        "simhash_pairs": q_simhash_pairs,  # r4 rotation seat
         "hybrid_cc": q_hybrid_cc,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_dbsf": q_hybrid_dbsf,
@@ -1768,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _sql_domain_stats(),
         "normalize_text": _sql_normalize_text(),
         "table_stats": _sql_table_stats(),
+        "shard_manifest": _sql_shard_manifest(),
         "markdown_sections": _sql_markdown_sections(),
         "chunk_doc_aware": _sql_chunk_doc_aware(),
         "chunk_recursive": _sql_chunk_recursive(),

@@ -19,7 +19,7 @@ construction, like Q2's forced model filter (VectorSearchService.cs:65-70).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 POSTINGS_BUCKETS = 64
@@ -142,3 +142,113 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Training-data export — deterministic JSONL shards + integrity manifest
+# ---------------------------------------------------------------------------
+
+
+def shard_expr(key: Column, n_shards: int, salt: str = "shards") -> Column:
+    """Deterministic shard id in [0, n_shards): sha256-derived like
+    ``sampling.hash_bucket_expr`` — a pure function of the row key, so the
+    shard a document lands in never depends on partitioning, cluster size,
+    or engine version. Different salts give independent shardings."""
+    return (
+        F.conv(F.substring(F.sha2(F.concat(F.lit(salt), key), 256), 1, 8), 16, 10)
+        .cast("bigint")
+        % n_shards
+    ).cast("int")
+
+
+def sql_shard(key: str, n_shards: int, salt: str = "shards") -> str:
+    return f"(('0x' || substr(sha256('{salt}' || {key}), 1, 8))::BIGINT % {n_shards})::INT"
+
+
+def shard_manifest(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    salt: str = "shards",
+) -> DataFrame:
+    """Per-shard integrity record: (shard, n_docs, n_chars, content_sha)
+    where content_sha = sha256 over the shard's row-hashes in key order —
+    two exports match iff their manifests match, without comparing bytes.
+    One shuffle (the groupBy); the in-shard sort happens on collected
+    row-hash structs, bounded by shard size."""
+    key = F.col(key_col).cast("string")
+    rows = df.select(
+        shard_expr(key, n_shards, salt).alias("shard"),
+        F.col(key_col).alias("_k"),
+        F.length(text_col).alias("_len"),
+        F.sha2(F.concat_ws("\x01", key, F.col(text_col)), 256).alias("_h"),
+    )
+    return (
+        rows.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_len").alias("n_chars"),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_k", "_h"))),
+                        lambda s: s["_h"],
+                    ),
+                    "",
+                ),
+                256,
+            ).alias("content_sha"),
+        )
+        .orderBy("shard")
+    )
+
+
+def sql_shard_manifest(
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    salt: str = "shards",
+    table: str = "documents",
+) -> str:
+    shard = sql_shard(f"CAST({key_col} AS VARCHAR)", n_shards, salt)
+    row_h = f"sha256(CAST({key_col} AS VARCHAR) || chr(1) || {text_col})"
+    return f"""
+WITH r AS (
+  SELECT {shard} AS shard, {key_col} AS k, length({text_col}) AS len, {row_h} AS h
+  FROM {table}
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_chars,
+       sha256(string_agg(h, '' ORDER BY k)) AS content_sha
+FROM r GROUP BY shard ORDER BY shard
+""".strip()
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shards",
+    mode: str = "overwrite",
+) -> None:
+    """Export as JSONL shards, the interchange format every trainer reads:
+    ``shard=K/part-*.json`` with rows sorted by key within each shard. The
+    shard assignment is ``shard_expr`` (row-pure), and the within-shard
+    order is the key order, so a re-export of identical data is
+    byte-identical — rsync-able, diff-able, resumable.
+
+    Scale: one repartition on the shard id (n_shards output tasks, each
+    streaming one sorted shard to disk). For 100 TB exports pick
+    n_shards ≈ total_bytes / 1-4 GB and raise
+    ``spark.sql.files.maxRecordsPerFile`` if per-file splitting is wanted
+    inside a shard directory."""
+    key = F.col(key_col).cast("string")
+    (
+        df.withColumn("shard", shard_expr(key, n_shards, salt))
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", key_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .json(path)
+    )

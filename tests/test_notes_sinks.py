@@ -84,3 +84,30 @@ def test_llm_provider_tester():
 
     assert test_llm_provider()["success"] is True
     assert test_llm_provider(lambda ps: [""])["success"] is False
+
+
+def test_training_shards_deterministic_export(spark, sf_dir, tmp_path):
+    from connapse_spark.sources import sinks
+    import hashlib
+    import pathlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+
+    def export(p):
+        sinks.write_training_shards(docs, str(p), n_shards=4)
+        out = {}
+        for f in sorted(pathlib.Path(p).rglob("*.json")):
+            out.setdefault(f.parent.name, hashlib.sha256()).update(f.read_bytes())
+        return {k: v.hexdigest() for k, v in out.items()}
+
+    a = export(tmp_path / "a")
+    b = export(tmp_path / "b")
+    # identical data → byte-identical shards, independent of run
+    assert a == b and set(a) == {f"shard={i}" for i in range(4)}
+    # re-read round-trips every row, and shard dirs match shard_expr
+    back = spark.read.json(str(tmp_path / "a"))
+    assert back.count() == 120
+    man = sinks.shard_manifest(docs, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in man) == 120
+    # manifest shards = written shards
+    assert {f"shard={r['shard']}" for r in man} == set(a)
