@@ -51,7 +51,7 @@ from connapse_spark.operators.search import (
     sql_keyword_proximity,
     sql_keyword_websearch,
 )
-from connapse_spark.plans import ivf
+from connapse_spark.plans import ivf, pq
 from connapse_spark.sources import parsers, sinks
 from connapse_spark import oracle
 
@@ -743,6 +743,23 @@ def q_ann_ivf_seeded(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), n_lists=8
     )
     return ivf.ann_ivf_topk(index, centroids, qv, k=10, nprobe=3)
+
+
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encode: (vec_id, 4-byte pq_code, recon_err).
+    The stored artifact of the 64×-compression ANN path (plans/pq.py)."""
+    return pq.pq_encode(_t(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+def q_pq_topk(spark, sf_dir):
+    """ADC top-10 by product-quantized L2 distance to vec 0's embedding —
+    the probe side of the PQ index, fused for oracle checkability; the
+    stored-codes LUT probe is unit-tested bit-equal (tests/test_round3.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        to_double_array(F.col("embedding")).alias("_qv")
+    )
+    return pq.pq_topk(emb, q, k=10)
 
 
 def q_keyword_indexed(spark, sf_dir):
@@ -1592,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_top_types": q_events_top_types,
         "random_projection": q_random_projection,
+        "pq_encode": q_pq_encode,  # new this round: product-quantization ANN
+        "pq_topk": q_pq_topk,
         "parse_binary": q_parse_binary,  # new this round: real P2/P3 decoders
         "url_canonicalize": q_url_canonicalize,  # new: web-corpus curation ops
         "domain_caps": q_domain_caps,
@@ -1743,6 +1762,8 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY vec_id",
         "random_projection": similarity.sql_random_projection(out_dims=16)
         + " ORDER BY vec_id, component",
+        "pq_encode": pq.sql_pq_encode() + " ORDER BY vec_id",
+        "pq_topk": pq.sql_pq_topk(k=10),
         "chunk_semantic": _sql_chunk_semantic("Percentile"),
         "chunk_semantic_stddev": _sql_chunk_semantic("StandardDeviation"),
         "chunk_semantic_gradient": _sql_chunk_semantic("Gradient"),

@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "ann_lsh",
     "ann_ivf_seeded",
     "ivf_upsert",
+    "pq_encode",
+    "pq_topk",
     "knn_join",
     "neardup_cosine_lsh",
     "exact_dedup",

@@ -73,6 +73,26 @@ def sql_cosine(a: str, b: str) -> str:
     )
 
 
+def l2sq_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance Σ(aᵢ-bᵢ)² of two array<double>
+    columns — the distance kernel product quantization minimizes."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sql_l2sq(a: str, b: str) -> str:
+    """DuckDB mirror of :func:`l2sq_expr` — same left-fold order, so the
+    doubles are bit-identical."""
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(range(1, len({a}) + 1), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar digest of an array column — for harnesses that canonicalize every
 # output column with a sort and therefore can't handle list cells. The five

@@ -1,0 +1,337 @@
+"""Product quantization (PQ) — compressed-vector ANN for the 100 TB regime.
+
+The reference's vector index is IVFFlat (VectorColumnManager.cs:14-194):
+every probe still reads full float vectors. At 100 TB of embeddings the
+scan is IO-bound, so the standard scale move (Jégou, Douze & Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011 — the PQ
+half of FAISS's IVFPQ) is to store each vector as a handful of codebook
+codes and score queries against a small distance look-up table (ADC,
+asymmetric distance computation):
+
+* split the d-dim vector into ``m`` subspaces of ``d/m`` dims;
+* per subspace, learn a tiny codebook of ``k`` centroids;
+* store each vector as m log2(k)-bit codes — here m=8, k=16 → **4 bytes
+  per vector vs 256 bytes of float32** (64×) or 512 bytes of float64;
+* at query time compute the m×k table of d(q_sub, centroid) ONCE, then
+  score every stored vector with m table lookups — no float math per row.
+
+Determinism / oracle story: like the seeded-IVF twin (plans/ivf.py:342),
+codebooks are NOT trained by an iterative fitter — codebook[s] is the
+s-th subvector slice of the ``k`` lowest-id vectors. That makes encode,
+reconstruction error, and the ADC top-k pure functions of the input
+table, mirrored exactly in DuckDB SQL (same left-fold FP order via
+functions/vector.sql_l2sq). A production deployment would swap the seeds
+for sampled-KMeans sub-codebooks exactly as build_ivf_index does; every
+plan below is unchanged by that swap.
+
+Scale notes (100 TB):
+* the codebook row is ONE broadcast row (m·k·(d/m) doubles = 8 KiB here);
+  encode is a map-side fold — no shuffle, partitioning inherits the scan;
+* the stored artifact is (id, pq_code) — a 4-byte column; probe scans
+  read ONLY that column (parquet column pruning), so probe IO drops ~64×;
+* the ADC look-up table is m·k doubles (1 KiB) broadcast per query;
+  scoring is integer shifts + array indexing inside whole-stage codegen;
+* global top-k is orderBy+limit → TakeOrderedAndProject (per-partition
+  partial top-k, no full sort, no shuffle of non-winners).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from connapse_spark.functions.vector import (
+    l2sq_expr,
+    sql_l2sq,
+    to_double_array,
+)
+
+# ---------------------------------------------------------------------------
+# Codebooks
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE-row frame: ``_books[s][j]`` = subspace-``s`` slice of the j-th
+    lowest-id vector (j = 0..n_codes-1). Deterministic stand-in for
+    per-subspace KMeans; the k lowest ids are taken with orderBy+limit
+    (TakeOrdered — NOT ``id < k``, which breaks on sparse id spaces)."""
+    sub_d = dims // n_subspaces
+    seeds = (
+        vectors.orderBy(F.col(id_col))
+        .limit(n_codes)
+        .select(
+            F.col(id_col).cast("bigint").alias("sid"),
+            to_double_array(F.col(vec_col)).alias("v"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("sid", "v"))).alias("_sv"))
+    )
+    books = F.transform(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        lambda s: F.transform(
+            F.col("_sv"), lambda sv: F.slice(sv["v"], s * sub_d + 1, sub_d)
+        ),
+    )
+    return seeds.select(books.alias("_books"))
+
+
+# ---------------------------------------------------------------------------
+# Encode (fused per-vector fold — map-side only)
+# ---------------------------------------------------------------------------
+
+
+def _best_codes(v: Column, books: Column, n_subspaces: int, sub_d: int) -> Column:
+    """array over s of struct(s, code, d, cvec): the argmin-L2 codebook
+    entry per subspace. Strict ``<`` keeps the LOWEST code on bit-equal
+    ties — the SQL mirror orders by (d, code)."""
+
+    def best_for(s: Column) -> Column:
+        sub = F.slice(v, s * sub_d + 1, sub_d)
+        book = F.get(books, s)
+        acc0 = F.struct(
+            s.cast("int").alias("s"),
+            F.lit(-1).alias("code"),
+            F.lit(float("inf")).alias("d"),
+            F.array().cast("array<double>").alias("cvec"),
+        )
+        scored = F.zip_with(
+            book,
+            F.sequence(F.lit(0), F.size(book) - 1),
+            lambda cv, j: F.struct(
+                s.cast("int").alias("s"),
+                j.alias("code"),
+                l2sq_expr(sub, cv).alias("d"),
+                cv.alias("cvec"),
+            ),
+        )
+        return F.aggregate(
+            scored, acc0, lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc)
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(n_subspaces - 1)), best_for)
+
+
+def _pack(bests: Column, n_codes: int) -> Column:
+    """Big-endian integer pack: fold acc·k + code over subspace order.
+    Integer math — no FP order concerns; m=8, k=16 fits in 32 bits."""
+    return F.aggregate(
+        bests,
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc * n_codes + b["code"],
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_code, recon_err): the stored PQ artifact plus the exact
+    quantization error Σ_s min_j d(v_s, c_sj) — the number a codebook
+    refresh job would monitor for drift. One broadcast row in, map-side
+    fold out; writing (id, pq_code) partitioned like the source keeps the
+    index co-located with its corpus."""
+    sub_d = dims // n_subspaces
+    books = pq_codebooks(vectors, n_subspaces, n_codes, dims, id_col, vec_col)
+    v = to_double_array(F.col(vec_col))
+    bests = _best_codes(v, F.col("_books"), n_subspaces, sub_d)
+    return (
+        vectors.crossJoin(F.broadcast(books))
+        .select(
+            F.col(id_col),
+            _pack(bests, n_codes).alias("pq_code"),
+            F.aggregate(bests, F.lit(0.0), lambda acc, b: acc + b["d"]).alias(
+                "recon_err"
+            ),
+        )
+    )
+
+
+def sql_pq_encode(
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """DuckDB mirror of :func:`pq_encode`. Same seeds (k lowest ids), same
+    argmin tie-break (ORDER BY d, code), same left-fold FP order for the
+    error sum (list(d ORDER BY s) prepended with 0.0)."""
+    sub_d = dims // n_subspaces
+    sl = f"list_slice(b.v, bk.s * {sub_d} + 1, bk.s * {sub_d} + {sub_d})"
+    return f"""
+WITH base AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS code, v
+  FROM base ORDER BY {id_col} LIMIT {n_codes}
+),
+books AS (
+  SELECT ss.s, seeds.code,
+         list_slice(seeds.v, ss.s * {sub_d} + 1, ss.s * {sub_d} + {sub_d}) AS cvec
+  FROM seeds CROSS JOIN (SELECT unnest(range(0, {n_subspaces})) AS s) ss
+),
+dists AS (
+  SELECT b.{id_col}, bk.s, bk.code, {sql_l2sq(sl, "bk.cvec")} AS d
+  FROM base b CROSS JOIN books bk
+),
+best AS (
+  SELECT {id_col}, s, code, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY {id_col}, s ORDER BY d, code) AS rk
+    FROM dists
+  ) WHERE rk = 1
+)
+SELECT {id_col},
+  list_reduce(list_prepend(0::BIGINT, list(code ORDER BY s)),
+              (acc, c) -> acc * {n_codes} + c) AS pq_code,
+  list_reduce(list_prepend(0.0, list(d ORDER BY s)), (acc, v) -> acc + v) AS recon_err
+FROM best GROUP BY {id_col}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# ADC top-k (fused: encode + score in one pass, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: every corpus vector is scored by the L2
+    distance from the QUERY subvectors to the vector's CHOSEN codebook
+    entries — the query side stays un-quantized (that is the "asymmetric"
+    in ADC; it halves the quantization error vs symmetric code-to-code).
+
+    ``queries`` must be a one-row frame with a ``_qv`` array<double>
+    column (broadcast). Fused shape so DuckDB can mirror it; the
+    production probe over a STORED (id, pq_code) column is
+    :func:`pq_probe_codes`, unit-tested bit-equal to this path."""
+    sub_d = dims // n_subspaces
+    books = pq_codebooks(vectors, n_subspaces, n_codes, dims, id_col, vec_col)
+    v = to_double_array(F.col(vec_col))
+    bests = _best_codes(v, F.col("_books"), n_subspaces, sub_d)
+    adc = F.aggregate(
+        bests,
+        F.lit(0.0),
+        lambda acc, b: acc
+        + l2sq_expr(F.slice(F.col("_qv"), b["s"] * sub_d + 1, sub_d), b["cvec"]),
+    )
+    return (
+        vectors.crossJoin(F.broadcast(books))
+        .crossJoin(F.broadcast(queries))
+        .select(F.col(id_col), adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sql_pq_topk(
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    query_id: int = 0,
+) -> str:
+    sub_d = dims // n_subspaces
+    sl = f"list_slice(b.v, bk.s * {sub_d} + 1, bk.s * {sub_d} + {sub_d})"
+    qsl = f"list_slice(q.qv, best.s * {sub_d} + 1, best.s * {sub_d} + {sub_d})"
+    return f"""
+WITH base AS (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+q AS (SELECT v AS qv FROM base WHERE {id_col} = {query_id}),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS code, v
+  FROM base ORDER BY {id_col} LIMIT {n_codes}
+),
+books AS (
+  SELECT ss.s, seeds.code,
+         list_slice(seeds.v, ss.s * {sub_d} + 1, ss.s * {sub_d} + {sub_d}) AS cvec
+  FROM seeds CROSS JOIN (SELECT unnest(range(0, {n_subspaces})) AS s) ss
+),
+dists AS (
+  SELECT b.{id_col}, bk.s, bk.code, bk.cvec, {sql_l2sq(sl, "bk.cvec")} AS d
+  FROM base b CROSS JOIN books bk
+),
+best AS (
+  SELECT {id_col}, s, code, cvec FROM (
+    SELECT *, row_number() OVER (PARTITION BY {id_col}, s ORDER BY d, code) AS rk
+    FROM dists
+  ) WHERE rk = 1
+),
+adc AS (
+  SELECT best.{id_col}, best.s, {sql_l2sq(qsl, "best.cvec")} AS qd
+  FROM best, q
+)
+SELECT {id_col},
+  list_reduce(list_prepend(0.0, list(qd ORDER BY s)), (acc, v) -> acc + v) AS adc_dist
+FROM adc GROUP BY {id_col}
+ORDER BY adc_dist, {id_col} LIMIT {k}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Production probe: stored codes + broadcast LUT (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+
+def pq_probe_codes(
+    codes: DataFrame,
+    books: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Score a STORED (id, pq_code) table: build the m×k look-up table
+    d(q_sub_s, c_sj) once from the broadcast codebook row, then each row
+    costs m integer shifts + m array lookups — the parquet scan reads only
+    the 4-byte code column. Bit-equal to :func:`pq_topk` (unit-tested):
+    the LUT entries are the same ``sql_l2sq``-order folds, added in the
+    same s-ascending order."""
+    sub_d = dims // n_subspaces
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        lambda s: F.transform(
+            F.get(F.col("_books"), s),
+            lambda cv: l2sq_expr(F.slice(F.col("_qv"), s * sub_d + 1, sub_d), cv),
+        ),
+    )
+    lut_row = books.crossJoin(F.broadcast(queries)).select(lut.alias("_lut"))
+    # unpack big-endian: code_s = (pq_code >> 4·(m-1-s)) & (k-1); k must be
+    # a power of two for the shift form (enforced below)
+    if n_codes & (n_codes - 1):
+        raise ValueError("pq_probe_codes requires power-of-two n_codes")
+    bits = n_codes.bit_length() - 1
+    dist = F.lit(0.0)
+    for s in range(n_subspaces):
+        code_s = F.shiftright(F.col("pq_code"), bits * (n_subspaces - 1 - s)).bitwiseAND(
+            F.lit(n_codes - 1)
+        )
+        dist = dist + F.get(F.get(F.col("_lut"), s), code_s.cast("int"))
+    return (
+        codes.crossJoin(F.broadcast(lut_row))
+        .select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist"), F.col(id_col))
+        .limit(k)
+    )
