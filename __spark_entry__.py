@@ -351,6 +351,27 @@ def q_contamination(spark, sf_dir):
     return dedup.contamination_check(docs, blocklist, n=3)
 
 
+def q_bloom_contamination(spark, sf_dir):
+    """Bloom-filter decontamination twin of q_contamination: same held-out
+    blocklist, but membership is j probes into a broadcast constant-size
+    bitmap — the blocklist never joins the corpus. One-sided error
+    (n_hits >= the exact screen's), exactly mirrored in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    held_out = docs.filter(F.col("doc_id") % 97 == 0)
+    blocklist = held_out.select(
+        F.explode(dedup.shingles_expr(F.col("text"), 3)).alias("s")
+    )
+    return dedup.bloom_contamination_check(docs, blocklist, n=3, m_bits=8192, j=5)
+
+
+def _sql_bloom_contamination() -> str:
+    bl = (
+        f"SELECT unnest({dedup.sql_shingles('text', 3)}) AS s "
+        "FROM documents WHERE doc_id % 97 = 0"
+    )
+    return dedup.sql_bloom_contamination_check(bl, n=3, m_bits=8192, j=5)
+
+
 def _sql_contamination() -> str:
     bl = (
         f"SELECT unnest({dedup.sql_shingles('text', 3)}) AS s "
@@ -1611,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "pq_encode": q_pq_encode,  # new this round: product-quantization ANN
         "pq_topk": q_pq_topk,
+        "bloom_contamination": q_bloom_contamination,  # new: Bloom decontamination
         "parse_binary": q_parse_binary,  # new this round: real P2/P3 decoders
         "url_canonicalize": q_url_canonicalize,  # new: web-corpus curation ops
         "domain_caps": q_domain_caps,
@@ -1764,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY vec_id, component",
         "pq_encode": pq.sql_pq_encode() + " ORDER BY vec_id",
         "pq_topk": pq.sql_pq_topk(k=10),
+        "bloom_contamination": _sql_bloom_contamination(),
         "chunk_semantic": _sql_chunk_semantic("Percentile"),
         "chunk_semantic_stddev": _sql_chunk_semantic("StandardDeviation"),
         "chunk_semantic_gradient": _sql_chunk_semantic("Gradient"),

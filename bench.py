@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "sample_mix",
     "pack_sequences",
     "contamination",
+    "bloom_contamination",
     "redact_pii",
     "language_id_multi",
     "embed_quantized",

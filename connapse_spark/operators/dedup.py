@@ -941,3 +941,208 @@ SELECT b.id AS {id_col},
             ELSE 0.0 END AS dup_frac
 FROM base b LEFT JOIN per_doc p ON b.id = p.id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (approximate-membership screen)
+# ---------------------------------------------------------------------------
+
+
+def bloom_params(n_items: int, target_fpp: float = 1e-4) -> tuple[int, int]:
+    """Size a Bloom filter from the blocklist cardinality: the textbook
+    m = -n·ln(p)/ln(2)², j = (m/n)·ln(2) (Bloom, CACM 1970), with m rounded
+    UP to a power of two so position masking stays cheap. Derived-knob
+    policy like ivf_n_lists / semdedup_n_clusters — a fixed m is a silent
+    scale bug: 100× the blocklist at constant m drives the false-positive
+    rate toward 1 and the screen quietly drops the whole corpus."""
+    import math
+
+    n_items = max(1, n_items)
+    m = max(1024, int(-n_items * math.log(target_fpp) / (math.log(2) ** 2)))
+    m_bits = 1 << (m - 1).bit_length()
+    j = max(1, round(m_bits / n_items * math.log(2)))
+    return m_bits, min(j, 16)
+
+
+def _bloom_hashes(s: Column) -> tuple[Column, Column]:
+    """The two base hashes of double hashing (Kirsch & Mitzenmacher, ESA
+    2006): pos_i = (h1 + i·(2·h2+1)) mod m. 2·h2+1 keeps the stride odd so
+    the probe sequence cannot collapse; both hashes are the repo-wide
+    sha-derived family, identical in the DuckDB mirror.
+
+    Returned as separate columns that callers MUST materialize before the
+    per-i transform: a lambda-captured sha256 is re-evaluated per element
+    (the shingles_expr pitfall), turning j probes into 2j sha256 calls."""
+    return _sha_bigint(s), _sha_bigint60(s) % F.lit(HASH_MOD)
+
+
+def _bloom_positions(h1: Column, h2: Column, j: int, m_bits: int) -> Column:
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(j - 1)),
+        lambda i: (h1 + i * (h2 * 2 + 1)) % m_bits,
+    )
+
+
+def bloom_build(
+    blocklist: DataFrame, m_bits: int, j: int, shingle_col: str = "s"
+) -> DataFrame:
+    """ONE-row bitmap: array<bigint> of m_bits/32 words, 32 bits per word
+    (kept positive so >>/& mirror exactly in DuckDB — a 64-bit word's sign
+    bit would make arithmetic-shift semantics engine-specific).
+
+    Scale: the bitmap is CONSTANT-size regardless of blocklist cardinality
+    — the whole point vs the exact broadcast semi-join
+    (contamination_check), whose broadcast grows with the blocklist. The
+    one-row array form holds to ~2^27 bits (16 MiB in a row); past that a
+    production deployment shards the bitmap into a broadcast variable or
+    leans on Spark's runtime Bloom join filter
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) — the probe-side
+    plan below is unchanged either way."""
+    n_words = m_bits // 32
+    h1, h2 = _bloom_hashes(F.col("s"))
+    pos = (
+        blocklist.select(F.col(shingle_col).alias("s"))
+        .distinct()
+        .select(h1.alias("h1"), h2.alias("h2"))
+        .select(
+            F.explode(
+                _bloom_positions(F.col("h1"), F.col("h2"), j, m_bits)
+            ).alias("p")
+        )
+        .distinct()
+        .select(
+            (F.col("p") / 32).cast("bigint").alias("w"),
+            (F.col("p") % 32).cast("int").alias("b"),
+        )
+        .distinct()
+        # distinct (w, b) pairs → plain SUM of the bit weights == bitwise OR
+        .groupBy("w")
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), b)")).alias("bits"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("_wm")
+        )
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda w: F.coalesce(
+            F.element_at(F.col("_wm"), w.cast("bigint")), F.lit(0).cast("bigint")
+        ),
+    )
+    return pos.select(dense.alias("_bloom"))
+
+
+def bloom_contamination_check(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    n: int = 3,
+    m_bits: int = 8192,
+    j: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_col: str = "s",
+) -> DataFrame:
+    """Approximate decontamination screen: like contamination_check but the
+    membership test is a Bloom filter, so the probe side never joins
+    against the blocklist — each shingle costs j hash-and-mask probes into
+    a broadcast constant-size bitmap, map-side only.
+
+    One-sided error: n_hits >= the exact screen's count (no false
+    negatives — every truly blocklisted shingle sets all its bits); the
+    false-positive overhang is bounded by bloom_params' target. The exact
+    screen stays the verification kernel; this is what you run at 100 TB
+    where the blocklist itself is huge.
+
+    Output: (id, n_hits = distinct shingles whose j bits are all set,
+    contaminated flag) — same shape as contamination_check.
+
+    Plan: blocklist → bitmap is one tiny aggregation; the corpus side is
+    explode → map-side fold over the broadcast row → groupBy(id) count.
+    One shuffle (the per-doc count), zero joins against the blocklist."""
+    bloom = bloom_build(blocklist, m_bits, j, shingle_col)
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
+    )
+    ex = sh.select("id", F.explode("sh").alias("s"))
+
+    def _bit_set(p: Column) -> Column:
+        # (word >> (p%32)) & 1 without a column-shift builtin: words hold 32
+        # bits so word/2^bit is an EXACT double division (both operands are
+        # integers < 2^32 and the divisor is a power of two) — same integer
+        # result as the DuckDB mirror's (word >> bit) & 1.
+        word = F.element_at(F.col("_bloom"), (p / 32).cast("int") + 1)
+        mask = F.pow(F.lit(2.0), (p % 32).cast("double"))
+        return (F.floor(word / mask).cast("bigint") % 2) == 1
+
+    h1, h2 = _bloom_hashes(F.col("s"))
+    probe = (
+        ex.withColumn("h1", h1)
+        .withColumn("h2", h2)
+        .crossJoin(F.broadcast(bloom))
+        .withColumn(
+            "_hit",
+            F.forall(
+                _bloom_positions(F.col("h1"), F.col("h2"), j, m_bits), _bit_set
+            ),
+        )
+    )
+    hits = (
+        probe.filter(F.col("_hit"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        sh.select("id")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("id")
+    )
+
+
+def sql_bloom_contamination_check(
+    blocklist_sql: str,
+    n: int = 3,
+    m_bits: int = 8192,
+    j: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Mirror of :func:`bloom_contamination_check`: membership in the Bloom
+    filter == "every probe position was set by SOME blocklist shingle",
+    which the mirror states directly as a positional set-join — no bitmap
+    needed, because a bit is set iff its position is in the blocklist's
+    position set. Same integer hash arithmetic, so parity is exact
+    including the false positives."""
+    h1 = sql_sha_bigint("s")
+    h2 = f"({sql_sha_bigint60('s')} % {HASH_MOD})"
+    probe = f"({h1} + i * (2 * {h2} + 1)) % {m_bits}"
+    return f"""
+WITH bl AS (SELECT DISTINCT s FROM ({blocklist_sql})),
+pos AS (
+  SELECT DISTINCT {probe} AS p
+  FROM bl CROSS JOIN (SELECT unnest(range(0, {j})) AS i) ii
+),
+sh AS MATERIALIZED (
+  SELECT {id_col} AS id, {sql_shingles(text_col, n)} AS sh FROM documents
+),
+ex AS (SELECT id, unnest(sh) AS s FROM sh),
+exp AS (
+  SELECT id, s, {probe} AS p
+  FROM ex CROSS JOIN (SELECT unnest(range(0, {j})) AS i) ii
+),
+shhit AS (
+  SELECT id, s, bool_and(pos.p IS NOT NULL) AS hit
+  FROM exp LEFT JOIN pos ON exp.p = pos.p
+  GROUP BY id, s
+),
+hits AS (
+  SELECT id, count(*) AS n_hits FROM shhit WHERE hit GROUP BY id
+)
+SELECT sh.id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM sh LEFT JOIN hits h ON sh.id = h.id
+ORDER BY sh.id
+""".strip()
