@@ -351,6 +351,13 @@ def q_contamination(spark, sf_dir):
     return dedup.contamination_check(docs, blocklist, n=3)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Top-20 BPE merge candidates (weighted adjacent symbol pairs) — the
+    corpus-scale tokenizer-training kernel; loops on the vocab, not the
+    corpus (textstats.bpe_merge_candidates)."""
+    return textstats.bpe_merge_candidates(_t(spark, sf_dir, "documents"), k=20)
+
+
 def q_bloom_contamination(spark, sf_dir):
     """Bloom-filter decontamination twin of q_contamination: same held-out
     blocklist, but membership is j probes into a broadcast constant-size
@@ -1633,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,  # new this round: product-quantization ANN
         "pq_topk": q_pq_topk,
         "bloom_contamination": q_bloom_contamination,  # new: Bloom decontamination
+        "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "parse_binary": q_parse_binary,  # new this round: real P2/P3 decoders
         "url_canonicalize": q_url_canonicalize,  # new: web-corpus curation ops
         "domain_caps": q_domain_caps,
@@ -1787,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode": pq.sql_pq_encode() + " ORDER BY vec_id",
         "pq_topk": pq.sql_pq_topk(k=10),
         "bloom_contamination": _sql_bloom_contamination(),
+        "bpe_merges": textstats.sql_bpe_merge_candidates(k=20),
         "chunk_semantic": _sql_chunk_semantic("Percentile"),
         "chunk_semantic_stddev": _sql_chunk_semantic("StandardDeviation"),
         "chunk_semantic_gradient": _sql_chunk_semantic("Gradient"),

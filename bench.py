@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "lang_mismatch",
     "dsir_weights",
     "top_bigrams",
+    "bpe_merges",
     "gopher_filter",
     "token_entropy",
     "cluster_assign",

@@ -973,3 +973,83 @@ SELECT d.{id_col},
             ELSE 0.0 END AS mean_log_ratio
 FROM {table} d LEFT JOIN agg ON d.{id_col} = agg.id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate statistics (tokenizer training, iteration 0)
+# ---------------------------------------------------------------------------
+
+
+def bpe_merge_candidates(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The first iteration of byte-pair-encoding tokenizer training
+    (Sennrich, Haddow & Birch, ACL 2016 §3.2): frequency of every adjacent
+    symbol pair over the corpus, where each word is its character sequence
+    plus the '</w>' end-of-word marker and pair occurrences are weighted by
+    corpus word frequency. The top pair IS the first BPE merge.
+
+    Output: (lhs, rhs, weight) — top ``k`` by (weight DESC, lhs, rhs).
+
+    Scale (100 TB): the ONLY corpus-sized operation is the word-frequency
+    aggregate — one shuffle with map-side partial counts. Everything after
+    runs on the (word, freq) VOCABULARY table, which Zipf keeps in the
+    low millions of rows regardless of corpus size; this is exactly why
+    corpus-scale BPE training is feasible — the merge loop iterates on the
+    compact vocab (re-pairing after each merge), never rescanning the
+    corpus. A full trainer would loop: apply best merge to the symbol
+    arrays (vocab-local map), re-aggregate pairs, repeat; every iteration
+    has this same vocab-sized plan."""
+    words = (
+        docs.select(F.explode(tokens_exact_expr(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")), lambda i: F.substring(F.col("w"), i, 1)
+    )
+    syms = words.select(
+        "freq", F.concat(chars, F.array(F.lit("</w>"))).alias("sy")
+    )
+    n = F.size("sy")
+    pairs = F.zip_with(
+        F.slice("sy", 1, n - 1),
+        F.slice("sy", 2, n - 1),
+        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+    )
+    return (
+        syms.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("freq").alias("weight"))
+        .orderBy(F.desc("weight"), "lhs", "rhs")
+        .limit(k)
+    )
+
+
+def sql_bpe_merge_candidates(
+    k: int = 20, text_col: str = "text", table: str = "documents"
+) -> str:
+    """Mirror — integer weights, so no FP-order concerns anywhere."""
+    return f"""
+WITH words AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest({sql_tokens_exact(text_col)}) AS w FROM {table})
+  GROUP BY w
+),
+syms AS (
+  SELECT freq,
+         list_append(list_transform(range(1, length(w) + 1),
+                                    i -> substr(w, i, 1)), '</w>') AS sy
+  FROM words
+),
+pairs AS (
+  SELECT freq, sy[i] AS lhs, sy[i + 1] AS rhs
+  FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS i FROM syms)
+)
+SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS weight
+FROM pairs GROUP BY lhs, rhs
+ORDER BY weight DESC, lhs, rhs LIMIT {k}
+""".strip()

@@ -357,3 +357,41 @@ def test_repeat_orders_window_counts(spark):
     assert got[2] == (1, 100)      # order 1 is 14 days prior
     assert got[3] == (2, 300)      # orders 1+2 within 27 days
     assert got[4] == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates (textstats.bpe_merge_candidates)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merge_candidates_classic_example(spark):
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest newest")], ["doc_id", "text"]
+    )
+    rows = textstats.bpe_merge_candidates(docs, k=50).collect()
+    w = {(r["lhs"], r["rhs"]): r["weight"] for r in rows}
+    # 'low'x2 + 'lower'x1 → l·o and o·w appear 3 times; 'newest'x2 → e·s twice
+    assert w[("l", "o")] == 3
+    assert w[("o", "w")] == 3
+    assert w[("w", "</w>")] == 2  # only the two bare 'low'
+    assert w[("e", "s")] == 2
+    assert w[("t", "</w>")] == 2
+    # ordering: ties break (weight DESC, lhs, rhs)
+    assert (rows[0]["lhs"], rows[0]["rhs"]) == ("l", "o")
+    assert (rows[1]["lhs"], rows[1]["rhs"]) == ("o", "w")
+
+
+def test_bpe_pair_agg_runs_on_vocab_not_corpus(spark):
+    """The pair aggregate's input must be the word-frequency table (one
+    corpus shuffle), not re-derived from documents: exactly 2 hash
+    exchanges total (word count, pair sum) before the final top-k."""
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("alpha beta gamma").alias("text")
+    )
+    plan = (
+        textstats.bpe_merge_candidates(docs, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2, plan
