@@ -26,7 +26,7 @@ from connapse_spark.functions.vector import (
     sql_cosine,
     to_double_array,
 )
-from connapse_spark.operators import analytics, chunking, dedup, events, similarity, temporal, textstats, web
+from connapse_spark.operators import analytics, chunking, curate, dedup, events, similarity, temporal, textstats, web
 from connapse_spark.operators.embedding import cache_misses
 from connapse_spark.operators.maintenance import (
     reindex_decisions,
@@ -356,6 +356,27 @@ def q_bpe_merges(spark, sf_dir):
     corpus-scale tokenizer-training kernel; loops on the vocab, not the
     corpus (textstats.bpe_merge_candidates)."""
     return textstats.bpe_merge_candidates(_t(spark, sf_dir, "documents"), k=20)
+
+
+def q_corpus_curate(spark, sf_dir):
+    """One-call curation verdict per document: exact dedup → MinHash
+    near-dup → decontamination → Gopher quality, RefinedWeb stage order
+    (operators/curate.py). The composition showcase — every stage is an
+    already-oracle-checked operator."""
+    docs = _t(spark, sf_dir, "documents")
+    held_out = docs.filter(F.col("doc_id") % 97 == 0)
+    blocklist = held_out.select(
+        F.explode(dedup.shingles_expr(F.col("text"), 3)).alias("s")
+    )
+    return curate.curate(docs, blocklist, neardup_threshold=0.4, contam_n=3)
+
+
+def _sql_corpus_curate() -> str:
+    bl = (
+        f"SELECT unnest({dedup.sql_shingles('text', 3)}) AS s "
+        "FROM documents WHERE doc_id % 97 = 0"
+    )
+    return curate.sql_curate(bl, neardup_threshold=0.4, contam_n=3)
 
 
 def q_bloom_contamination(spark, sf_dir):
@@ -1641,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "bloom_contamination": q_bloom_contamination,  # new: Bloom decontamination
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
+        "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "parse_binary": q_parse_binary,  # new this round: real P2/P3 decoders
         "url_canonicalize": q_url_canonicalize,  # new: web-corpus curation ops
         "domain_caps": q_domain_caps,
@@ -1796,6 +1818,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": pq.sql_pq_topk(k=10),
         "bloom_contamination": _sql_bloom_contamination(),
         "bpe_merges": textstats.sql_bpe_merge_candidates(k=20),
+        "corpus_curate": _sql_corpus_curate(),
         "chunk_semantic": _sql_chunk_semantic("Percentile"),
         "chunk_semantic_stddev": _sql_chunk_semantic("StandardDeviation"),
         "chunk_semantic_gradient": _sql_chunk_semantic("Gradient"),

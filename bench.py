@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "contamination",
     "bloom_contamination",
+    "corpus_curate",
     "redact_pii",
     "language_id_multi",
     "embed_quantized",

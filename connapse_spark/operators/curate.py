@@ -1,0 +1,119 @@
+"""End-to-end corpus curation: one verdict per document from the composed
+dedup/quality/decontamination operators — the single call a training-data
+team actually runs, showing the individual operators compose into a
+pipeline (the batch analogue of the reference's multi-stage ingestion
+pipeline, IngestionPipeline.cs:1-120, recast as corpus curation).
+
+Stage order follows the published curation recipes (RefinedWeb, Penedo et
+al. 2023 §3; Gopher/MassiveText, Rae et al. 2021 §A1.1): exact dedup →
+fuzzy dedup → benchmark decontamination → quality heuristics. The emitted
+``reason`` uses that same precedence, so per-stage drop counts read
+straight off a groupBy(reason).
+
+Scale (100 TB): each stage is the already-audited plan of its operator
+(one hash shuffle for exact, banded self-join for MinHash, broadcast
+semi-join for contamination, map-side quality). The verdict assembly is
+three left joins on the id — all against DROP-side tables that are orders
+of magnitude smaller than the corpus, so AQE broadcasts them; nothing here
+adds a corpus-sized shuffle beyond the stages themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from connapse_spark.operators import dedup, textstats
+
+
+def curate(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    neardup_threshold: float = 0.4,
+    contam_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, kept, reason) for every document.
+
+    reason ∈ {exact_duplicate, near_duplicate, contaminated, low_quality,
+    kept}, first matching stage wins:
+
+    * exact_duplicate — not the lowest-id member of its sha256 group;
+    * near_duplicate — appears as the HIGHER id of a MinHash-LSH pair at
+      ``neardup_threshold`` (greedy keep-lowest; transitive chains collapse
+      toward the lowest id, same convention as neardup_components' roots);
+    * contaminated — shares an n-gram with the blocklist;
+    * low_quality — fails any Gopher-style quality rule.
+    """
+    ex = dedup.exact_dedup(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("id"), (~F.col("is_kept")).alias("exact_dup")
+    )
+    nd_drop = (
+        dedup.minhash_lsh_pairs(docs, threshold=neardup_threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    ct = dedup.contamination_check(
+        docs, blocklist, n=contam_n, id_col=id_col, text_col=text_col
+    ).select("id", "contaminated")
+    gq = textstats.gopher_filter(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("id"), F.col("keep").alias("quality_ok")
+    )
+    reason = (
+        F.when(F.col("exact_dup"), F.lit("exact_duplicate"))
+        .when(F.coalesce(F.col("near_dup"), F.lit(False)), F.lit("near_duplicate"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .when(~F.col("quality_ok"), F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        ex.join(nd_drop, "id", "left")
+        .join(ct, "id")
+        .join(gq, "id")
+        .select("id", reason.alias("reason"))
+        .withColumn("kept", F.col("reason") == "kept")
+        .select("id", "kept", "reason")
+        .orderBy("id")
+    )
+
+
+def sql_curate(
+    blocklist_sql: str,
+    neardup_threshold: float = 0.4,
+    contam_n: int = 3,
+    id_col: str = "doc_id",
+) -> str:
+    """Mirror: wraps the component mirrors as subqueries (DuckDB allows a
+    CTE-prefixed statement inside parentheses), then applies the same
+    precedence CASE."""
+    mh = dedup.sql_minhash_lsh_pairs(threshold=neardup_threshold)
+    ct = dedup.sql_contamination_check(blocklist_sql, n=contam_n, id_col=id_col)
+    gq = textstats.sql_gopher_filter(id_col=id_col)
+    return f"""
+WITH ex AS (
+  SELECT {id_col} AS id,
+         row_number() OVER (PARTITION BY content_hash ORDER BY {id_col}) > 1 AS exact_dup
+  FROM (SELECT {id_col}, sha256(text) AS content_hash FROM documents)
+),
+nd AS (SELECT DISTINCT id_b AS id, true AS near_dup FROM ({mh})),
+ct AS (SELECT id, contaminated FROM ({ct})),
+gq AS (SELECT {id_col} AS id, keep AS quality_ok FROM ({gq}))
+SELECT ex.id,
+       (CASE WHEN ex.exact_dup THEN 'exact_duplicate'
+             WHEN coalesce(nd.near_dup, false) THEN 'near_duplicate'
+             WHEN ct.contaminated THEN 'contaminated'
+             WHEN NOT gq.quality_ok THEN 'low_quality'
+             ELSE 'kept' END) = 'kept' AS kept,
+       CASE WHEN ex.exact_dup THEN 'exact_duplicate'
+            WHEN coalesce(nd.near_dup, false) THEN 'near_duplicate'
+            WHEN ct.contaminated THEN 'contaminated'
+            WHEN NOT gq.quality_ok THEN 'low_quality'
+            ELSE 'kept' END AS reason
+FROM ex
+LEFT JOIN nd ON ex.id = nd.id
+JOIN ct ON ex.id = ct.id
+JOIN gq ON ex.id = gq.id
+ORDER BY ex.id
+""".strip()

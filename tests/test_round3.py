@@ -395,3 +395,38 @@ def test_bpe_pair_agg_runs_on_vocab_not_corpus(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline (operators/curate.py)
+# ---------------------------------------------------------------------------
+
+
+def test_curate_reason_precedence(spark):
+    from connapse_spark.operators import curate, dedup
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks back "
+        "home with a friend because they were quite tired after the long day "
+        "so they rested under a tall green tree near the old stone bridge "
+        "while the evening sun was slowly setting over the quiet valley"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),                      # kept
+            (2, good),                      # exact duplicate of 1
+            (3, good + " extra tail"),      # near-dup of 1 (high shingle overlap)
+            (4, "zz qq xx " * 20),          # low quality (no stopwords)
+        ],
+        ["doc_id", "text"],
+    )
+    blocklist = docs.filter(F.col("doc_id") == 4).select(
+        F.explode(dedup.shingles_expr(F.col("text"), 3)).alias("s")
+    )
+    out = {r["id"]: r for r in curate.curate(docs, blocklist, neardup_threshold=0.3).collect()}
+    assert out[1]["reason"] == "kept" and out[1]["kept"]
+    assert out[2]["reason"] == "exact_duplicate" and not out[2]["kept"]
+    assert out[3]["reason"] == "near_duplicate"
+    # doc 4 is BOTH contaminated (it is the blocklist source) and low
+    # quality — contamination precedes quality in the verdict order
+    assert out[4]["reason"] == "contaminated"
