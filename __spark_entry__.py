@@ -811,6 +811,19 @@ def q_pq_topk(spark, sf_dir):
     return pq.pq_topk(emb, q, k=10)
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVFPQ probe end-to-end under the value-hash oracle: seeded list
+    routing (nprobe=3 of 8 lists pruned before any scoring) + 4-byte PQ
+    codes scored against the broadcast ADC LUT (plans/pq.py ivfpq_*)."""
+    from connapse_spark.functions.embed import embed_py
+
+    qv = embed_py(SEARCH_QUERY, 64)
+    codes, books, cents = pq.ivfpq_build(
+        _t(spark, sf_dir, "embeddings"), n_lists=8
+    )
+    return pq.ivfpq_probe(codes, books, cents, qv, k=10, nprobe=3)
+
+
 def q_keyword_indexed(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     tokens = keyword_index.build_token_table(docs).cache()
@@ -1661,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,  # new this round: product-quantization ANN
         "pq_topk": q_pq_topk,
         "bloom_contamination": q_bloom_contamination,  # new: Bloom decontamination
+        "ann_ivfpq": q_ann_ivfpq,  # new: IVF+PQ composed probe
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "parse_binary": q_parse_binary,  # new this round: real P2/P3 decoders
@@ -1843,6 +1857,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_lww": _SQL_UPSERT_LWW,
         "ann_lsh": ivf.sql_ann_lsh_topk(_embed_query(), k=10, n_planes=4),
         "ann_ivf_seeded": ivf.sql_ann_ivf_seeded(_embed_query(), k=10, nprobe=3, n_lists=8),
+        "ann_ivfpq": pq.sql_ann_ivfpq(_embed_query(), k=10, nprobe=3, n_lists=8),
         "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "ivf_upsert",
     "pq_encode",
     "pq_topk",
+    "ann_ivfpq",
     "knn_join",
     "neardup_cosine_lsh",
     "exact_dedup",

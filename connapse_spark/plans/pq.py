@@ -293,6 +293,24 @@ ORDER BY adc_dist, {id_col} LIMIT {k}
 # ---------------------------------------------------------------------------
 
 
+def _adc_from_packed(n_subspaces: int, n_codes: int) -> Column:
+    """ADC distance from a packed ``pq_code`` column and a ``_lut`` column:
+    unpack big-endian (code_s = (pq_code >> bits·(m-1-s)) & (k-1)), add the
+    m LUT entries in s-ascending order — the same FP order as the fused
+    fold, so the two paths are bit-equal. k must be a power of two for the
+    shift form."""
+    if n_codes & (n_codes - 1):
+        raise ValueError("packed-code probe requires power-of-two n_codes")
+    bits = n_codes.bit_length() - 1
+    dist = F.lit(0.0)
+    for s in range(n_subspaces):
+        code_s = F.shiftright(F.col("pq_code"), bits * (n_subspaces - 1 - s)).bitwiseAND(
+            F.lit(n_codes - 1)
+        )
+        dist = dist + F.get(F.get(F.col("_lut"), s), code_s.cast("int"))
+    return dist
+
+
 def pq_probe_codes(
     codes: DataFrame,
     books: DataFrame,
@@ -318,20 +336,182 @@ def pq_probe_codes(
         ),
     )
     lut_row = books.crossJoin(F.broadcast(queries)).select(lut.alias("_lut"))
-    # unpack big-endian: code_s = (pq_code >> 4·(m-1-s)) & (k-1); k must be
-    # a power of two for the shift form (enforced below)
-    if n_codes & (n_codes - 1):
-        raise ValueError("pq_probe_codes requires power-of-two n_codes")
-    bits = n_codes.bit_length() - 1
-    dist = F.lit(0.0)
-    for s in range(n_subspaces):
-        code_s = F.shiftright(F.col("pq_code"), bits * (n_subspaces - 1 - s)).bitwiseAND(
-            F.lit(n_codes - 1)
-        )
-        dist = dist + F.get(F.get(F.col("_lut"), s), code_s.cast("int"))
+    dist = _adc_from_packed(n_subspaces, n_codes)
     return (
         codes.crossJoin(F.broadcast(lut_row))
         .select(F.col(id_col), dist.alias("adc_dist"))
         .orderBy(F.col("adc_dist"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ (the IVFPQ composition: prune lists, then score 4-byte codes)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build(
+    vectors: DataFrame,
+    n_lists: int = 8,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The FAISS-IVFPQ storage layout on Spark: every vector stored as
+    (id, list_id, pq_code) — 4-byte code + a routing key — plus the two
+    tiny broadcast artifacts (global PQ codebooks, IVF centroids). Written
+    partitioned by list_id, a probe reads nprobe/n_lists of the files and
+    only the code column within them: IO drops by BOTH factors
+    (nprobe/n_lists × 64). Deterministic twin like build_ivf_index_seeded
+    (plans/ivf.py:342): centroids = the n_lists lowest-id vectors, PQ
+    codebooks = sub-slices of the n_codes lowest-id vectors — a production
+    build swaps in sampled KMeans for both without touching any plan.
+
+    Returns (codes, books, centroids)."""
+    from connapse_spark.operators.similarity import cluster_assign
+
+    sub_d = dims // n_subspaces
+    books = pq_codebooks(vectors, n_subspaces, n_codes, dims, id_col, vec_col)
+    assigned = cluster_assign(
+        vectors, k=n_lists, id_col=id_col, vec_col=vec_col, keep_vec=True
+    )
+    bests = _best_codes(F.col("_v"), F.col("_books"), n_subspaces, sub_d)
+    codes = (
+        assigned.crossJoin(F.broadcast(books))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col("cluster").alias("list_id"),
+            _pack(bests, n_codes).alias("pq_code"),
+        )
+    )
+    centroids = (
+        vectors.orderBy(F.col(id_col))
+        .limit(n_lists)
+        .select(
+            F.col(id_col).cast("bigint").alias("list_id"),
+            to_double_array(F.col(vec_col)).alias("centroid"),
+        )
+    )
+    return codes, books, centroids
+
+
+def ivfpq_probe(
+    codes: DataFrame,
+    books: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+) -> DataFrame:
+    """Probe the IVFPQ index: rank centroids by cosine to the query ON THE
+    DRIVER (same coordinator-side decision as ann_ivf_topk,
+    plans/ivf.py:231 — the centroid table is ≤100 rows by policy), scan
+    only ``list_id IN (probe set)`` (partition pruning on the stored
+    layout), score the 4-byte codes against the broadcast m×k LUT, top-k.
+
+    Output: (id, list_id, adc_dist) ascending — ADC is a DISTANCE; the
+    cosine probes elsewhere return descending similarities."""
+    sub_d = dims // n_subspaces
+    qn = sum(x * x for x in query_vec) ** 0.5
+
+    def _cos(c: list[float]) -> float:
+        cn = sum(x * x for x in c) ** 0.5
+        if cn <= 0.0 or qn <= 0.0:
+            return 0.0
+        return sum(a * b for a, b in zip(c, query_vec)) / (cn * qn)
+
+    ranked = sorted(((-_cos(r["centroid"]), r["list_id"]) for r in centroids.collect()))
+    probe_ids = [int(lid) for _, lid in ranked[:nprobe]]
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(n_subspaces - 1)),
+        lambda s: F.transform(
+            F.get(F.col("_books"), s),
+            lambda cv: l2sq_expr(F.slice(qv, s * sub_d + 1, sub_d), cv),
+        ),
+    )
+    lut_row = books.select(lut.alias("_lut"))
+    return (
+        codes.filter(F.col("list_id").isin(probe_ids))
+        .crossJoin(F.broadcast(lut_row))
+        .select(
+            "id",
+            "list_id",
+            _adc_from_packed(n_subspaces, n_codes).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist"), F.col("id"))
+        .limit(k)
+    )
+
+
+def sql_ann_ivfpq(
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    n_lists: int = 8,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    """Mirror of ivfpq_build + ivfpq_probe: cluster assignment and probe
+    ranking from the seeded-IVF mirror (plans/ivf.py:377), PQ best-code and
+    ADC folds from the PQ mirrors — all the same FP orders."""
+    from connapse_spark.functions.embed import sql_vector_literal
+    from connapse_spark.functions.vector import sql_cosine
+    from connapse_spark.operators.similarity import sql_cluster_assign
+
+    sub_d = dims // n_subspaces
+    qv = sql_vector_literal(query_vec)
+    sl = f"list_slice(b.v, bk.s * {sub_d} + 1, bk.s * {sub_d} + {sub_d})"
+    qsl = f"list_slice(q.qv, best.s * {sub_d} + 1, best.s * {sub_d} + {sub_d})"
+    return f"""
+WITH q AS (SELECT {qv} AS qv),
+assigned AS ({sql_cluster_assign(n_lists, id_col=id_col, vec_col=vec_col, table=table)}),
+cents AS (SELECT CAST({id_col} AS BIGINT) AS list_id, CAST({vec_col} AS DOUBLE[]) AS centroid
+          FROM {table} ORDER BY {id_col} LIMIT {n_lists}),
+probe AS (
+  SELECT list_id FROM (
+    SELECT list_id, {sql_cosine("centroid", "qv")} AS s FROM cents, q
+  ) ORDER BY s DESC, list_id LIMIT {nprobe}
+),
+base AS (
+  SELECT e.{id_col}, a.cluster AS list_id, CAST(e.{vec_col} AS DOUBLE[]) AS v
+  FROM {table} e JOIN assigned a USING ({id_col}) JOIN probe p ON a.cluster = p.list_id
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS code, CAST({vec_col} AS DOUBLE[]) AS v
+  FROM {table} ORDER BY {id_col} LIMIT {n_codes}
+),
+books AS (
+  SELECT ss.s, seeds.code,
+         list_slice(seeds.v, ss.s * {sub_d} + 1, ss.s * {sub_d} + {sub_d}) AS cvec
+  FROM seeds CROSS JOIN (SELECT unnest(range(0, {n_subspaces})) AS s) ss
+),
+dists AS (
+  SELECT b.{id_col}, b.list_id, bk.s, bk.code, bk.cvec, {sql_l2sq(sl, "bk.cvec")} AS d
+  FROM base b CROSS JOIN books bk
+),
+best AS (
+  SELECT {id_col}, list_id, s, cvec FROM (
+    SELECT *, row_number() OVER (PARTITION BY {id_col}, s ORDER BY d, code) AS rk
+    FROM dists
+  ) WHERE rk = 1
+),
+adc AS (
+  SELECT best.{id_col}, best.list_id, best.s, {sql_l2sq(qsl, "best.cvec")} AS qd
+  FROM best, q
+)
+SELECT {id_col} AS id, list_id,
+  list_reduce(list_prepend(0.0, list(qd ORDER BY s)), (acc, v) -> acc + v) AS adc_dist
+FROM adc GROUP BY {id_col}, list_id
+ORDER BY adc_dist, id LIMIT {k}
+""".strip()

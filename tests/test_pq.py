@@ -88,3 +88,56 @@ def test_encode_and_probe_plans_have_no_shuffle(emb, qrow):
     assert "Exchange hashpartitioning" not in probe_plan, probe_plan
     assert "Exchange rangepartitioning" not in probe_plan, probe_plan
     assert "TakeOrderedAndProject" in probe_plan, probe_plan
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composition
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def test_ivfpq_probe_matches_lut_probe_on_probed_lists(emb, qvec, qrow):
+    """ivfpq_probe == pq_probe_codes restricted to the probed lists: list
+    routing prunes, it must not change any surviving score."""
+    codes, books, cents = pq.ivfpq_build(emb, n_lists=8)
+    got = pq.ivfpq_probe(codes, books, cents, qvec, k=10, nprobe=3).collect()
+    probed = {r["list_id"] for r in got}
+    expected = pq.pq_probe_codes(
+        codes.filter(F.col("list_id").isin([int(x) for x in probed])).select(
+            F.col("id").alias("vec_id"), "pq_code"
+        ),
+        books,
+        qrow,
+        k=10,
+        id_col="vec_id",
+    ).collect()
+    assert [r["id"] for r in got] == [r["vec_id"] for r in expected]
+    assert [r["adc_dist"] for r in got] == [r["adc_dist"] for r in expected]
+
+
+def test_ivfpq_prunes_before_scoring(emb, qvec):
+    """nprobe of n_lists means the scored row count is the probed lists'
+    population, not the corpus."""
+    codes, books, cents = pq.ivfpq_build(emb, n_lists=8)
+    probed = pq.ivfpq_probe(codes, books, cents, qvec, k=10**9, nprobe=2)
+    sizes = {r["list_id"]: r["n"] for r in codes.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_probed = probed.count()
+    assert n_probed < sum(sizes.values())
+    assert n_probed == sum(v for k_, v in sizes.items() if k_ in {r["list_id"] for r in probed.collect()})
+
+
+def test_ivfpq_probe_plan_no_corpus_shuffle(emb, qvec):
+    codes, books, cents = pq.ivfpq_build(emb, n_lists=8)
+    plan = (
+        pq.ivfpq_probe(codes, books, cents, qvec, k=10, nprobe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
