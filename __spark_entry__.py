@@ -51,7 +51,7 @@ from connapse_spark.operators.search import (
     sql_keyword_proximity,
     sql_keyword_websearch,
 )
-from connapse_spark.plans import ivf, pq
+from connapse_spark.plans import ivf, pq, zorder
 from connapse_spark.sources import parsers, sinks
 from connapse_spark import oracle
 
@@ -349,6 +349,36 @@ def q_contamination(spark, sf_dir):
         F.explode(dedup.shingles_expr(F.col("text"), 3)).alias("s")
     )
     return dedup.contamination_check(docs, blocklist, n=3)
+
+
+def q_zorder_key(spark, sf_dir):
+    """Morton z-key over (o_custkey, o_orderkey) — the multi-column
+    clustering key write_zordered lays files out by (plans/zorder.py);
+    integer bit interleave, exact mirror."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        zorder.zorder_key_expr(
+            [F.col("o_custkey"), F.col("o_orderkey")], bits=14
+        ).alias("zkey"),
+    ).orderBy("o_orderkey")
+
+
+def _sql_zorder_key() -> str:
+    return (
+        "SELECT o_orderkey, "
+        + zorder.sql_zorder_key(["o_custkey", "o_orderkey"], bits=14)
+        + " AS zkey FROM orders ORDER BY o_orderkey"
+    )
+
+
+def q_quality_logit(spark, sf_dir):
+    """Continuous model-based quality score (linear over the Gopher
+    feature vector, pinned weights) — the threshold-sweepable companion of
+    the hard gopher_filter gate (textstats.quality_score_linear)."""
+    return textstats.quality_score_linear(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
 
 
 def q_bpe_merges(spark, sf_dir):
@@ -1677,6 +1707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,  # new: IVF+PQ composed probe
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
+        "zorder_key": q_zorder_key,  # new: multi-column clustering key
+        "quality_logit": q_quality_logit,  # new: continuous quality classifier
         "parse_binary": q_parse_binary,  # new this round: real P2/P3 decoders
         "url_canonicalize": q_url_canonicalize,  # new: web-corpus curation ops
         "domain_caps": q_domain_caps,
@@ -1833,6 +1865,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_contamination": _sql_bloom_contamination(),
         "bpe_merges": textstats.sql_bpe_merge_candidates(k=20),
         "corpus_curate": _sql_corpus_curate(),
+        "zorder_key": _sql_zorder_key(),
+        "quality_logit": textstats.sql_quality_score_linear() + " ORDER BY doc_id",
         "chunk_semantic": _sql_chunk_semantic("Percentile"),
         "chunk_semantic_stddev": _sql_chunk_semantic("StandardDeviation"),
         "chunk_semantic_gradient": _sql_chunk_semantic("Gradient"),

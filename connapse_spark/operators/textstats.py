@@ -1053,3 +1053,61 @@ SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS weight
 FROM pairs GROUP BY lhs, rhs
 ORDER BY weight DESC, lhs, rhs LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Linear quality-classifier score (continuous quality, not a hard gate)
+# ---------------------------------------------------------------------------
+
+# Pinned interpretable weights over the Gopher feature vector. A real
+# deployment trains these (fasttext in DCLM, a distilled classifier in
+# FineWeb-Edu) and passes its own dict — the PLAN is weight-agnostic.
+QUALITY_LOGIT_WEIGHTS = {
+    "bias": -2.0,
+    "n_tokens": 0.002,        # longer docs mildly preferred…
+    "mean_token_len": -0.15,  # …but not gibberish long tokens
+    "distinct_ratio": 1.5,    # lexical diversity
+    "n_stopwords": 0.05,      # natural-language evidence
+    "alpha_frac": 1.2,        # alphabetic (not markup/numeric soup)
+}
+
+
+def quality_score_linear(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous quality score: a linear model over the gopher_filter
+    feature vector — the threshold-sweepable classifier score that
+    model-based filters rank and sample by (DCLM fasttext scores, Penedo
+    et al. 2024's FineWeb-Edu scores), where gopher_filter is the hard
+    gate. The LOGIT is emitted, not the sigmoid: monotone in it, and free
+    of cross-engine transcendental rounding, so the oracle stays
+    bit-strict. Terms are added in pinned declaration order (left-assoc in
+    both engines).
+
+    Scale: gopher_filter is map-side; this adds a projection. Nothing
+    shuffles."""
+    w = QUALITY_LOGIT_WEIGHTS if weights is None else weights
+    gf = gopher_filter(docs, id_col=id_col, text_col=text_col)
+    logit = F.lit(float(w["bias"]))
+    for feat in ("n_tokens", "mean_token_len", "distinct_ratio", "n_stopwords", "alpha_frac"):
+        logit = logit + F.lit(float(w[feat])) * F.col(feat).cast("double")
+    return gf.select(
+        F.col(id_col), logit.alias("quality_logit"), F.col("keep").alias("gate_keep")
+    )
+
+
+def sql_quality_score_linear(
+    weights: dict[str, float] | None = None, id_col: str = "doc_id"
+) -> str:
+    w = QUALITY_LOGIT_WEIGHTS if weights is None else weights
+    terms = "".join(
+        f" + {float(w[f])!r} * CAST({f} AS DOUBLE)"
+        for f in ("n_tokens", "mean_token_len", "distinct_ratio", "n_stopwords", "alpha_frac")
+    )
+    return f"""
+SELECT {id_col}, {float(w["bias"])!r}{terms} AS quality_logit, keep AS gate_keep
+FROM ({sql_gopher_filter(id_col=id_col)})
+""".strip()

@@ -430,3 +430,71 @@ def test_curate_reason_precedence(spark):
     # doc 4 is BOTH contaminated (it is the blocklist source) and low
     # quality — contamination precedes quality in the verdict order
     assert out[4]["reason"] == "contaminated"
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (plans/zorder.py)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_key_bit_interleave_exact(spark):
+    from connapse_spark.plans import zorder
+
+    # a=0b101 (5), b=0b011 (3), 3 bits → bits of a at even positions,
+    # b at odd: z = a0<<0 | b0<<1 | a1<<2 | b1<<3 | a2<<4 | b2<<5
+    #          = 1 + 2 + 0 + 8 + 16 + 0 = 27
+    df = spark.createDataFrame([(5, 3)], ["a", "b"])
+    z = df.select(
+        zorder.zorder_key_expr([F.col("a"), F.col("b")], bits=3).alias("z")
+    ).collect()[0]["z"]
+    assert z == 27
+
+
+def test_zorder_key_rejects_overflow(spark):
+    from connapse_spark.plans import zorder
+
+    with pytest.raises(ValueError):
+        zorder.zorder_key_expr([F.col("a"), F.col("b")], bits=32)
+
+
+def test_write_zordered_narrows_both_dimensions(spark, sf_dir, tmp_path):
+    """After z-order clustering, each FILE's min/max envelope must be
+    narrow on BOTH key columns — the property parquet row-group skipping
+    prunes on. Compare against a single-column sort, where the second
+    column's per-file envelope stays ~the global range."""
+    import os
+
+    from connapse_spark.plans import zorder
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    n_files = 8
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder.write_zordered(orders, zpath, ["o_custkey", "o_orderkey"], bits=14, n_files=n_files)
+    (
+        orders.repartitionByRange(n_files, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(spath)
+    )
+
+    def mean_spread(path, col):
+        spreads = []
+        glob_min, glob_max = None, None
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            pdf = spark.read.parquet(os.path.join(path, f))
+            r = pdf.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
+            spreads.append(r["hi"] - r["lo"])
+            glob_min = r["lo"] if glob_min is None else min(glob_min, r["lo"])
+            glob_max = r["hi"] if glob_max is None else max(glob_max, r["hi"])
+        return sum(spreads) / len(spreads), (glob_max - glob_min)
+
+    z_spread_b, rng_b = mean_spread(zpath, "o_orderkey")
+    s_spread_b, _ = mean_spread(spath, "o_orderkey")
+    # single-column sort leaves o_orderkey unclustered (per-file spread ≈
+    # global range); z-order must cut it substantially
+    assert s_spread_b > 0.9 * rng_b
+    assert z_spread_b < 0.6 * rng_b, (z_spread_b, rng_b)
+    # and o_custkey stays clustered too (better than half the range)
+    z_spread_a, rng_a = mean_spread(zpath, "o_custkey")
+    assert z_spread_a < 0.6 * rng_a, (z_spread_a, rng_a)
