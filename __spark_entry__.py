@@ -1709,6 +1709,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "zorder_key": q_zorder_key,  # new: multi-column clustering key
         "quality_logit": q_quality_logit,  # new: continuous quality classifier
+        "asof_attribution": q_asof_attribution,  # new this round: temporal joins
+        "range_join_orders": q_range_join_orders,
+        "events_rollup": q_events_rollup,
         "parse_binary": q_parse_binary,  # new this round: real P2/P3 decoders
         "url_canonicalize": q_url_canonicalize,  # new: web-corpus curation ops
         "domain_caps": q_domain_caps,
@@ -1733,12 +1736,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "keyword_indexed": q_keyword_indexed,
         "hybrid_rerank": q_hybrid_rerank,
-        "parse_text": q_parse_text,
-        "media_stats": q_media_stats,
-        "rag_answer": q_rag_answer,
-        "asof_attribution": q_asof_attribution,
-        "range_join_orders": q_range_join_orders,
-        "events_rollup": q_events_rollup,
         "hybrid_onepass": q_hybrid_onepass,
         "semdedup": q_semdedup,
         "knn_join": q_knn_join,
@@ -1749,7 +1746,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver's ~50-query window — parked just past it
         "ann_ivf": q_ann_ivf,
         "ingest_stats": q_ingest_stats,
-        "simhash_pairs": q_simhash_pairs,  # r4 rotation seat
+        "simhash_pairs": q_simhash_pairs,  # r4 rotation seats start here
+        "parse_text": q_parse_text,
+        "media_stats": q_media_stats,
+        "rag_answer": q_rag_answer,
         "hybrid_cc": q_hybrid_cc,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_dbsf": q_hybrid_dbsf,
