@@ -498,3 +498,60 @@ def test_write_zordered_narrows_both_dimensions(spark, sf_dir, tmp_path):
     # and o_custkey stays clustered too (better than half the range)
     z_spread_a, rng_a = mean_spread(zpath, "o_custkey")
     assert z_spread_a < 0.6 * rng_a, (z_spread_a, rng_a)
+
+
+def test_zorder_key_matches_python_reference_bulk(spark):
+    """500 seeded random pairs through ONE Spark job vs a pure-Python
+    Morton interleave — pins the expression bit-for-bit."""
+    import random
+
+    from connapse_spark.plans import zorder
+
+    rng = random.Random(7)
+    bits = 12
+    rows = [(rng.randrange(1 << 14), rng.randrange(1 << 14)) for _ in range(500)]
+
+    def ref(a, b):
+        a &= (1 << bits) - 1
+        b &= (1 << bits) - 1
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = (
+        df.select("a", "b", zorder.zorder_key_expr([F.col("a"), F.col("b")], bits=bits).alias("z"))
+        .collect()
+    )
+    for r in got:
+        assert r["z"] == ref(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_bloom_positions_match_python_reference_bulk(spark):
+    """Bloom probe positions vs a pure-Python sha256 double-hash reference
+    over 200 random token strings, one Spark job."""
+    import hashlib
+    import random
+
+    from connapse_spark.operators import dedup
+
+    rng = random.Random(11)
+    words = ["".join(rng.choice("abcdefgh") for _ in range(rng.randrange(1, 12))) for _ in range(200)]
+    m_bits, j = 4096, 5
+
+    def ref_positions(s):
+        hx = hashlib.sha256(s.encode()).hexdigest()
+        h1 = int(hx[:8], 16)
+        h2 = int(hx[:15], 16) % dedup.HASH_MOD
+        return [(h1 + i * (2 * h2 + 1)) % m_bits for i in range(j)]
+
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    h1c, h2c = dedup._bloom_hashes(F.col("s"))
+    got = df.select(
+        "s",
+        dedup._bloom_positions(h1c, h2c, j, m_bits).alias("ps"),
+    ).collect()
+    for r in got:
+        assert list(r["ps"]) == ref_positions(r["s"]), r["s"]
