@@ -381,6 +381,27 @@ def q_quality_logit(spark, sf_dir):
     )
 
 
+def q_quality_sample(spark, sf_dir):
+    """Quality-stratified per-source sampling: keep the best 50% of each
+    source by the continuous classifier score (sampling.
+    quality_stratified_sample) — classifier-score curation, stratified so
+    no domain crowds the mix."""
+    return sampling.quality_stratified_sample(
+        _t(spark, sf_dir, "documents"), keep_fraction=0.5
+    )
+
+
+def q_pq_recall(spark, sf_dir):
+    """Recall@10 of the PQ-ADC probe vs the exact L2 top-10 — the
+    quantization-loss acceptance gauge (plans/pq.py pq_recall), itself
+    value-hash-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        to_double_array(F.col("embedding")).alias("_qv")
+    )
+    return pq.pq_recall(emb, q, k=10)
+
+
 def q_bpe_merges(spark, sf_dir):
     """Top-20 BPE merge candidates (weighted adjacent symbol pairs) — the
     corpus-scale tokenizer-training kernel; loops on the vocab, not the
@@ -1705,6 +1726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "bloom_contamination": q_bloom_contamination,  # new: Bloom decontamination
         "ann_ivfpq": q_ann_ivfpq,  # new: IVF+PQ composed probe
+        "pq_recall": q_pq_recall,  # new: quantization-loss gauge
+        "quality_sample": q_quality_sample,  # new: classifier-score sampling
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "zorder_key": q_zorder_key,  # new: multi-column clustering key
@@ -1726,9 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_cascade": q_delete_cascade,
         "model_discovery": q_model_discovery,
         "doc_list_paged": q_doc_list_paged,
-        "file_browser": q_file_browser,
         "events_tumbling": q_events_tumbling,
-        "events_sessionize": q_events_sessionize,
         "latest_event": q_latest_event,
         "reindex_decisions": q_reindex_decisions,
         "sync_delta": q_sync_delta,
@@ -1750,6 +1771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_text": q_parse_text,
         "media_stats": q_media_stats,
         "rag_answer": q_rag_answer,
+        "events_sessionize": q_events_sessionize,
+        "file_browser": q_file_browser,
         "hybrid_cc": q_hybrid_cc,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_dbsf": q_hybrid_dbsf,
@@ -1892,6 +1915,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": ivf.sql_ann_lsh_topk(_embed_query(), k=10, n_planes=4),
         "ann_ivf_seeded": ivf.sql_ann_ivf_seeded(_embed_query(), k=10, nprobe=3, n_lists=8),
         "ann_ivfpq": pq.sql_ann_ivfpq(_embed_query(), k=10, nprobe=3, n_lists=8),
+        "pq_recall": pq.sql_pq_recall(k=10),
+        "quality_sample": sampling.sql_quality_stratified_sample(keep_fraction=0.5),
         "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "pq_encode",
     "pq_topk",
     "ann_ivfpq",
+    "pq_recall",
     "knn_join",
     "neardup_cosine_lsh",
     "exact_dedup",
@@ -85,6 +86,7 @@ BENCH_QUERIES = [
     "events_top_types",
     "events_sessionize",
     "sample_mix",
+    "quality_sample",
     "pack_sequences",
     "contamination",
     "bloom_contamination",

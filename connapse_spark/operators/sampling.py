@@ -152,3 +152,77 @@ SELECT {group_col}, {key_col}, {token_count_col},
        {start} % {budget_tokens} AS offset_in_seq
 FROM {table}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Quality-stratified per-group sampling (FineWeb-Edu-style "best X% per
+# source")
+# ---------------------------------------------------------------------------
+
+
+def quality_stratified_sample(
+    docs: DataFrame,
+    keep_fraction: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of each group by the continuous
+    quality score (textstats.quality_score_linear) — the classifier-score
+    sampling step of FineWeb-Edu (Penedo et al. 2024) / DCLM, stratified
+    per source so one high-scoring domain cannot crowd out the mix (the
+    same concern domain caps address by count; this addresses it by
+    quality mass).
+
+    Keep rule: rank_in_group <= ceil(keep_fraction · group_size), rank by
+    (quality_logit DESC, id) so ties are deterministic.
+
+    Output: (id, group, quality_logit, grp_rank, grp_n, kept) — every row
+    classified, like the dedup operators, so drop accounting is free.
+
+    Scale (100 TB): quality scoring is map-side; the only shuffle is the
+    per-group window (one hash partitioning on the group key — source
+    counts are Zipf-ish, AQE skew-split handles a giant domain). No global
+    sort, no driver state."""
+    from pyspark.sql.window import Window
+
+    from connapse_spark.operators.textstats import quality_score_linear
+
+    q = quality_score_linear(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col), F.col("quality_logit")
+    )
+    base = docs.select(F.col(id_col), F.col(group_col).alias("grp")).join(q, id_col)
+    w = Window.partitionBy("grp").orderBy(F.desc("quality_logit"), F.col(id_col))
+    wn = Window.partitionBy("grp")
+    ranked = base.select(
+        F.col(id_col),
+        F.col("grp").alias(group_col),
+        "quality_logit",
+        F.row_number().over(w).cast("long").alias("grp_rank"),
+        F.count(F.lit(1)).over(wn).alias("grp_n"),
+    )
+    kept = F.col("grp_rank") <= F.ceil(F.lit(keep_fraction) * F.col("grp_n"))
+    return ranked.withColumn("kept", kept).orderBy(id_col)
+
+
+def sql_quality_stratified_sample(
+    keep_fraction: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    from connapse_spark.operators.textstats import sql_quality_score_linear
+
+    return f"""
+WITH q AS (SELECT {id_col}, quality_logit FROM ({sql_quality_score_linear(id_col=id_col)})),
+ranked AS (
+  SELECT d.{id_col}, d.{group_col}, q.quality_logit,
+         row_number() OVER (PARTITION BY d.{group_col}
+                            ORDER BY q.quality_logit DESC, d.{id_col}) AS grp_rank,
+         count(*) OVER (PARTITION BY d.{group_col}) AS grp_n
+  FROM documents d JOIN q USING ({id_col})
+)
+SELECT {id_col}, {group_col}, quality_logit,
+       CAST(grp_rank AS BIGINT) AS grp_rank, CAST(grp_n AS BIGINT) AS grp_n,
+       grp_rank <= ceil({keep_fraction!r} * grp_n) AS kept
+FROM ranked ORDER BY {id_col}
+""".strip()

@@ -515,3 +515,78 @@ SELECT {id_col} AS id, list_id,
 FROM adc GROUP BY {id_col}, list_id
 ORDER BY adc_dist, id LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Recall gauge — quantization loss, measured not guessed
+# ---------------------------------------------------------------------------
+
+
+def pq_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE row: recall@k of the PQ-ADC top-k against the EXACT squared-L2
+    top-k for the same query — the acceptance metric an index rollout
+    gates on (FAISS reports exactly this). Same-metric comparison (L2 vs
+    L2), so the number isolates pure quantization loss, not metric
+    mismatch.
+
+    Both top-k sets are tiny (k rows); the join and count are driver-scale.
+    Corpus cost = one exact scan + one fused-ADC scan."""
+    exact = (
+        vectors.crossJoin(F.broadcast(queries))
+        .select(
+            F.col(id_col),
+            l2sq_expr(to_double_array(F.col(vec_col)), F.col("_qv")).alias("d"),
+        )
+        .orderBy(F.col("d"), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col).alias("id_exact"))
+    )
+    approx = pq_topk(
+        vectors, queries, k, n_subspaces, n_codes, dims, id_col, vec_col
+    ).select(F.col(id_col).alias("id_approx"))
+    hit = exact.join(approx, exact.id_exact == approx.id_approx).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return hit.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        (F.col("n_overlap") / F.lit(float(k))).alias("recall_at_k"),
+    )
+
+
+def sql_pq_recall(
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+    query_id: int = 0,
+) -> str:
+    from connapse_spark.functions.vector import sql_l2sq as _l2
+
+    qd = _l2(f"CAST(e.{vec_col} AS DOUBLE[])", "q.qv")
+    return f"""
+WITH q AS (SELECT CAST({vec_col} AS DOUBLE[]) AS qv FROM {table} WHERE {id_col} = {query_id}),
+exact AS (
+  SELECT e.{id_col} AS id_exact FROM {table} e, q
+  ORDER BY {qd}, e.{id_col} LIMIT {k}
+),
+approx AS (
+  SELECT {id_col} AS id_approx FROM ({sql_pq_topk(k, n_subspaces, n_codes, dims, id_col, vec_col, table, query_id)})
+),
+hit AS (SELECT count(*) AS n_overlap FROM exact JOIN approx ON id_exact = id_approx)
+SELECT CAST({k} AS BIGINT) AS k, CAST(n_overlap AS BIGINT) AS n_overlap,
+       n_overlap / {float(k)!r} AS recall_at_k
+FROM hit
+""".strip()

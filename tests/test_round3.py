@@ -555,3 +555,41 @@ def test_bloom_positions_match_python_reference_bulk(spark):
     ).collect()
     for r in got:
         assert list(r["ps"]) == ref_positions(r["s"]), r["s"]
+
+
+def test_quality_stratified_sample_invariants(spark, sf_dir):
+    from connapse_spark.operators import sampling
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(300)
+    out = sampling.quality_stratified_sample(docs, keep_fraction=0.5).collect()
+    assert len(out) == 300
+    import math
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["source"], []).append(r)
+    for grp, rows in by_grp.items():
+        n = len(rows)
+        kept = [r for r in rows if r["kept"]]
+        assert len(kept) == math.ceil(0.5 * n), grp
+        # kept set == top-ranked prefix, and ranks order by logit desc
+        assert {r["grp_rank"] for r in kept} == set(range(1, len(kept) + 1))
+        ordered = sorted(rows, key=lambda r: r["grp_rank"])
+        logits = [r["quality_logit"] for r in ordered]
+        assert logits == sorted(logits, reverse=True), grp
+
+
+def test_pq_recall_bounds_and_determinism(spark, sf_dir):
+    from connapse_spark.functions.vector import to_double_array
+    from connapse_spark.plans import pq
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        to_double_array(F.col("embedding")).alias("_qv")
+    )
+    r1 = pq.pq_recall(emb, q, k=10).collect()[0]
+    r2 = pq.pq_recall(emb, q, k=10).collect()[0]
+    assert r1 == r2
+    assert 0.0 <= r1["recall_at_k"] <= 1.0
+    # vec 0 quantizes to itself in every subspace (it IS seed 0), so the
+    # query's own row must be in both top-k sets → recall > 0
+    assert r1["n_overlap"] >= 1
