@@ -469,6 +469,7 @@ def gopher_filter(
     min_alpha_frac: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Composite document-quality gate in the style of Gopher's quality
     heuristics (Rae et al. 2021, table A1): length window, mean-token-length
@@ -508,6 +509,10 @@ def gopher_filter(
         r_stop.alias("rule_stopwords"),
         r_alpha.alias("rule_alpha"),
         (r_len & r_mean & r_div & r_stop & r_alpha).alias("keep"),
+        # passthrough keeps the result a SINGLE projection of `docs` —
+        # streaming callers cannot join a derived frame back onto the
+        # stream (stream-stream join), and batch callers save the join too
+        *[F.col(c) for c in passthrough],
     )
 
 
@@ -1077,6 +1082,7 @@ def quality_score_linear(
     weights: dict[str, float] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Continuous quality score: a linear model over the gopher_filter
     feature vector — the threshold-sweepable classifier score that
@@ -1090,12 +1096,15 @@ def quality_score_linear(
     Scale: gopher_filter is map-side; this adds a projection. Nothing
     shuffles."""
     w = QUALITY_LOGIT_WEIGHTS if weights is None else weights
-    gf = gopher_filter(docs, id_col=id_col, text_col=text_col)
+    gf = gopher_filter(docs, id_col=id_col, text_col=text_col, passthrough=passthrough)
     logit = F.lit(float(w["bias"]))
     for feat in ("n_tokens", "mean_token_len", "distinct_ratio", "n_stopwords", "alpha_frac"):
         logit = logit + F.lit(float(w[feat])) * F.col(feat).cast("double")
     return gf.select(
-        F.col(id_col), logit.alias("quality_logit"), F.col("keep").alias("gate_keep")
+        F.col(id_col),
+        logit.alias("quality_logit"),
+        F.col("keep").alias("gate_keep"),
+        *[F.col(c) for c in passthrough],
     )
 
 

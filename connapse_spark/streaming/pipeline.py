@@ -259,3 +259,56 @@ def streaming_ingest_pipeline(
         embed(F.col("content")).alias("embedding"),
         F.lit(model_id).alias("model_id"),
     )
+
+
+def streaming_quality_gate(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    contam_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming curation gate: per-micro-batch quality scoring plus a
+    STREAM-STATIC decontamination semi-join — the continuous twin of the
+    batch curate pipeline's quality/contamination stages (the dedup stages
+    live in streaming_dedup_first_seen; exact-dup state does not belong in
+    a stateless gate).
+
+    The blocklist side is a STATIC frame: stream-static joins need no
+    watermark and no join state — each micro-batch probes the (broadcast)
+    static side, which is exactly how a benchmark blocklist behaves in a
+    live ingest (it changes by deployment, not by event). Output keeps
+    EVERY document with (quality_logit, gate_keep, contaminated, admit) so
+    the sink can route accept/reject streams from one pass.
+
+    Works identically under ``spark.read`` (tests) and ``spark.readStream``
+    (deployment). The whole gate is ONE projection lineage of the stream:
+    deriving a hits frame and joining it back would be a stream-STREAM
+    self-join (illegal without watermarks, and pure overhead in batch), so
+    the blocklist collapses to a one-row collect_set that the stream
+    cross-joins broadcast-style — stream-static, stateless, append-safe —
+    and membership is an ``arrays_overlap`` against it. At blocklist sizes
+    past broadcast comfort, swap the set row for the CONSTANT-size Bloom
+    bitmap (dedup.bloom_build) — same one-row stream-static shape."""
+    from connapse_spark.operators.dedup import shingles_expr
+    from connapse_spark.operators.textstats import quality_score_linear
+
+    bl_row = blocklist.select(F.col("s")).agg(F.collect_set("s").alias("_bl"))
+    flagged = (
+        docs.crossJoin(F.broadcast(bl_row))
+        .withColumn(
+            "contaminated",
+            F.arrays_overlap(shingles_expr(F.col(text_col), contam_n), F.col("_bl")),
+        )
+        .drop("_bl")
+    )
+    scored = quality_score_linear(
+        flagged, id_col=id_col, text_col=text_col, passthrough=("contaminated",)
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("quality_logit"),
+        F.col("gate_keep"),
+        F.col("contaminated"),
+        (F.col("gate_keep") & ~F.col("contaminated")).alias("admit"),
+    )

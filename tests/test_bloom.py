@@ -12,11 +12,14 @@ from connapse_spark.operators import dedup
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return (
+    # unpersist on teardown — see tests/test_pq.py::emb
+    df = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         .limit(200)
         .cache()
     )
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

@@ -15,7 +15,12 @@ M, K, DIMS = 8, 16, 64
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    # unpersist on teardown: a lingering cache entry would substitute
+    # InMemoryTableScan into OTHER modules' plans (Spark's cache manager
+    # matches by logical plan) and break their scan-count assertions
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

@@ -169,3 +169,50 @@ def test_streaming_ingest_pipeline_end_to_end(spark, tmpdir):
     assert any("c.txt" in d for d in docs2)
     assert not any("a_copy" in d for d in docs2)  # duplicate never re-embedded
     assert len(docs2) == 3
+
+
+def test_streaming_quality_gate_stream_static_join(spark, tmpdir):
+    """The gate must run as a REAL stream (stream-static semi-join, no
+    watermark, append mode) and agree with its batch binding row-for-row."""
+    import json as _json
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks back "
+        "home with a friend because they were quite tired after the long "
+        "day so they rested under a tall green tree near the old stone "
+        "bridge while the evening sun was slowly setting over the valley"
+    )
+    rows = [
+        (1, good),
+        (2, "spam spam spam " * 10),          # fails quality gate
+        (3, good + " benchmark answer key"),  # contaminated below
+    ]
+    src = os.path.join(tmpdir, "docs")
+    os.makedirs(src)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    from connapse_spark.operators.dedup import shingles_expr
+
+    batch_docs = spark.read.parquet(src)
+    blocklist = spark.createDataFrame(
+        [("benchmark answer key",)], "s string"
+    )
+    expected = {
+        r["doc_id"]: r
+        for r in sp.streaming_quality_gate(batch_docs, blocklist).collect()
+    }
+    assert expected[1]["admit"]
+    assert not expected[2]["gate_keep"]
+    assert expected[3]["contaminated"] and not expected[3]["admit"]
+
+    stream_docs = spark.readStream.schema("doc_id long, text string").parquet(src)
+    gated = sp.streaming_quality_gate(stream_docs, blocklist)
+    assert gated.isStreaming
+    out = os.path.join(tmpdir, "gate-out")
+    sp.run_available_now(gated, os.path.join(tmpdir, "gate-ckpt"), out)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k].asDict() == expected[k].asDict(), k
