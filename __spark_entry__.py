@@ -381,6 +381,17 @@ def q_quality_logit(spark, sf_dir):
     )
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunk boundaries + per-chunk hashes (gear rolling
+    hash, FastCDC family) — insertion-stable dedup segmentation
+    (dedup.cdc_chunks). Entry restricted to a 200-doc slice: the DuckDB
+    mirror walks a recursive CTE one char per iteration (its only faithful
+    formulation — see sql_cdc_chunks), so the oracle side is the costly
+    one; the slice keeps the harness fast while checking identical math."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.cdc_chunks(docs)
+
+
 def q_quality_sample(spark, sf_dir):
     """Quality-stratified per-source sampling: keep the best 50% of each
     source by the continuous classifier score (sampling.
@@ -1728,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,  # new: IVF+PQ composed probe
         "pq_recall": q_pq_recall,  # new: quantization-loss gauge
         "quality_sample": q_quality_sample,  # new: classifier-score sampling
+        "cdc_chunks": q_cdc_chunks,  # new: content-defined chunking
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "zorder_key": q_zorder_key,  # new: multi-column clustering key
@@ -1917,6 +1929,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq": pq.sql_ann_ivfpq(_embed_query(), k=10, nprobe=3, n_lists=8),
         "pq_recall": pq.sql_pq_recall(k=10),
         "quality_sample": sampling.sql_quality_stratified_sample(keep_fraction=0.5),
+        "cdc_chunks": dedup.sql_cdc_chunks(
+            table="(SELECT * FROM documents WHERE doc_id < 200)"
+        ),
         "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.

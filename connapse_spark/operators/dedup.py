@@ -1146,3 +1146,177 @@ SELECT sh.id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
 FROM sh LEFT JOIN hits h ON sh.id = h.id
 ORDER BY sh.id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — insertion-stable dedup segmentation
+# ---------------------------------------------------------------------------
+
+
+def _cdc_gear() -> list[int]:
+    """256-entry gear table, sha-derived like every other hash family here
+    (deterministic, no RNG, identical literal in the SQL mirror)."""
+    import hashlib
+
+    return [
+        int(hashlib.sha256(f"gear:{i}".encode()).hexdigest()[:8], 16) % HASH_MOD
+        for i in range(256)
+    ]
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    min_len: int = 32,
+    avg_mod: int = 64,
+    max_len: int = 192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the Gear/FastCDC family — Xia et al.,
+    USENIX ATC'16): a rolling gear hash over the character stream cuts a
+    boundary wherever ``hash % avg_mod == 0`` (once ``min_len`` chars have
+    accumulated; ``max_len`` force-cuts). Because boundaries depend only on
+    LOCAL content, an insertion near the start of a document shifts only
+    the chunks it touches — the rest keep their content hashes, which is
+    what makes CDC the storage-dedup segmentation (vs fixed-size chunks,
+    where one inserted byte re-keys every downstream chunk).
+
+    Output: (id, chunk_idx, start, length, chunk_sha) — join chunk_sha
+    across snapshots/documents for shifted-content dedup that exact_dedup
+    and the fixed-window shingles both miss.
+
+    The hash must FORGET: h = (h·2 + gear[c]) mod 2^32, boundary when the
+    TOP 6 bits are zero (h < 2^26 ⇔ probability 1/64 per position). A
+    character k steps back only reaches bits ≥ k, so the top-bit test sees
+    a ~26-32 char window — that bounded window is what makes boundaries
+    re-synchronize after an edit (with full-history hashing, e.g. mod-P
+    multiplication, chunks never re-align and CDC degrades to fixed-size;
+    pinned by test_cdc_chunks_insertion_stable). Same construction as the
+    Gear hash's shift-out, with the word width made explicit so the DuckDB
+    mirror is exact integer math.
+
+    Determinism: codepoint stream (``% 256`` into the gear table — the
+    text twin of byte-oriented CDC), explicit mod-2^32 arithmetic, left
+    fold. The DuckDB mirror walks the identical state machine, so
+    boundaries are value-hash checkable.
+
+    Scale (100 TB): per-document fold, map-side only — no shuffle, O(len)
+    per row like any scan projection; the cross-snapshot dedup join after
+    it is one shuffle on chunk_sha."""
+    gear = _cdc_gear()
+    garr = F.array(*[F.lit(g) for g in gear])
+    text = F.col(text_col)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(text.substr(i, F.lit(1))),
+    )
+    zl = F.lit(0).cast("bigint")
+    acc0 = F.struct(
+        zl.alias("h"),
+        zl.alias("cur"),
+        zl.alias("pos"),
+        F.array().cast("array<bigint>").alias("b"),
+    )
+
+    thresh = (1 << 32) // avg_mod
+
+    def step(acc, c):
+        g = F.element_at(garr, (c % 256 + 1).cast("int"))
+        h2 = (acc["h"] * 2 + g) % F.lit(1 << 32).cast("bigint")
+        cur2 = acc["cur"] + 1
+        pos2 = acc["pos"] + 1
+        cut = ((cur2 >= min_len) & (h2 < thresh)) | (cur2 >= max_len)
+        return F.struct(
+            F.when(cut, zl).otherwise(h2).alias("h"),
+            F.when(cut, zl).otherwise(cur2).alias("cur"),
+            pos2.alias("pos"),
+            F.when(cut, F.concat(acc["b"], F.array(pos2)))
+            .otherwise(acc["b"])
+            .alias("b"),
+        )
+
+    bounds = F.aggregate(codes, acc0, step)["b"]
+    starts = F.concat(F.array(zl), bounds)
+    ends = F.concat(bounds, F.array(F.length(text).cast("bigint")))
+    segs = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("start"), e.alias("end"))
+        ),
+        lambda p: p["start"] < p["end"],
+    )
+    exploded = docs.select(F.col(id_col).alias("id"), text.alias("_t"), F.posexplode(segs))
+    chunk = F.col("_t").substr(
+        (F.col("col.start") + 1).cast("int"), (F.col("col.end") - F.col("col.start")).cast("int")
+    )
+    return exploded.select(
+        F.col("id"),
+        (F.col("pos") + 1).cast("bigint").alias("chunk_idx"),
+        F.col("col.start").alias("start"),
+        (F.col("col.end") - F.col("col.start")).alias("length"),
+        F.sha2(chunk, 256).alias("chunk_sha"),
+    ).orderBy("id", "chunk_idx")
+
+
+def sql_cdc_chunks(
+    min_len: int = 32,
+    avg_mod: int = 64,
+    max_len: int = 192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """Mirror: a RECURSIVE CTE walks every document's character stream one
+    position per iteration, carrying (h, cur, boundary-CSV) — the same
+    state machine as the Spark fold. DuckDB 1.0's lambda evaluator cannot
+    run this fold (list- and even scalar-typed struct-accumulator fields
+    reset between list_reduce iterations on longer inputs — verified
+    empirically), so the mirror uses the engine's recursive iteration
+    instead, like the connected-components mirror. Iterations = max doc
+    length; total work O(total chars), same as the fold."""
+    gear = "[" + ", ".join(str(g) for g in _cdc_gear()) + "]"
+    z = "0::BIGINT"
+    nxt = f"({gear})[(c.cs[w.pos + 1] % 256 + 1)::INT]"
+    thresh = (1 << 32) // avg_mod
+    h2 = f"((w.h * 2 + {nxt}) % {1 << 32})"
+    cut = (
+        f"((w.cur + 1 >= {min_len} AND {h2} < {thresh}) "
+        f"OR w.cur + 1 >= {max_len})"
+    )
+    return f"""
+WITH RECURSIVE codes AS (
+  SELECT {id_col} AS id, {text_col} AS t, CAST(length({text_col}) AS BIGINT) AS n,
+         list_transform(range(1, length({text_col}) + 1),
+                        i -> ord(substr({text_col}, i, 1))) AS cs
+  FROM {table}
+),
+walk AS (
+  SELECT id, 0::BIGINT AS pos, 0::BIGINT AS h, 0::BIGINT AS cur, '' AS b FROM codes
+  UNION ALL
+  SELECT w.id, w.pos + 1,
+         CASE WHEN {cut} THEN 0::BIGINT ELSE {h2} END,
+         CASE WHEN {cut} THEN 0::BIGINT ELSE w.cur + 1 END,
+         CASE WHEN {cut} THEN w.b || ',' || CAST(w.pos + 1 AS VARCHAR) ELSE w.b END
+  FROM walk w JOIN codes c ON w.id = c.id
+  WHERE w.pos < c.n
+),
+st AS (
+  SELECT c.id, c.t, c.n,
+         list_transform(list_filter(string_split(w.b, ','), s -> s != ''),
+                        s -> CAST(s AS BIGINT)) AS b
+  FROM walk w JOIN codes c ON w.id = c.id AND w.pos = c.n
+),
+segs AS (
+  SELECT id, t,
+         list_filter(
+           list_zip(list_prepend({z}, b), list_append(b, n)),
+           p -> p[1] < p[2]) AS segs
+  FROM st
+),
+ex AS (
+  SELECT id, t, i AS chunk_idx, segs[i][1] AS start, segs[i][2] - segs[i][1] AS length
+  FROM (SELECT id, t, segs, unnest(range(1, len(segs) + 1)) AS i FROM segs)
+)
+SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx, start, length,
+       sha256(substr(t, (start + 1)::INT, length::INT)) AS chunk_sha
+FROM ex ORDER BY id, chunk_idx
+""".strip()

@@ -593,3 +593,60 @@ def test_pq_recall_bounds_and_determinism(spark, sf_dir):
     # vec 0 quantizes to itself in every subspace (it IS seed 0), so the
     # query's own row must be in both top-k sets → recall > 0
     assert r1["n_overlap"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (dedup.cdc_chunks)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_insertion_stable(spark):
+    """THE property CDC buys: an insertion near the start shifts only the
+    chunks it touches; later boundaries re-align and chunk hashes are
+    shared again. Fixed-size windows lose every downstream chunk."""
+    from connapse_spark.operators import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while a calm river "
+        "flows past the old mill and children play in the warm afternoon "
+        "sun near the stone bridge as birds sing softly in the tall green "
+        "trees and the baker carries fresh bread through the narrow street "
+        "toward the busy market square where traders call out their wares"
+    )
+    edited = "BREAKING UPDATE: " + base
+    docs = spark.createDataFrame([(1, base), (2, edited)], ["doc_id", "text"])
+    out = dedup.cdc_chunks(docs, min_len=16, avg_mod=32, max_len=96).collect()
+    h1 = {r["chunk_sha"] for r in out if r["id"] == 1}
+    h2 = {r["chunk_sha"] for r in out if r["id"] == 2}
+    shared = h1 & h2
+    assert len(shared) >= max(1, len(h1) // 2), (len(shared), len(h1))
+    # fixed-size windows at the same granularity share NOTHING after an
+    # insertion that isn't a multiple of the window
+    import hashlib
+
+    def fixed(s, w=64):
+        return {hashlib.sha256(s[i:i+w].encode()).hexdigest() for i in range(0, len(s), w)}
+
+    assert not (fixed(base) & fixed(edited))
+
+
+def test_cdc_chunks_tile_exactly(spark):
+    """Chunks tile each document: starts/lengths reassemble the text."""
+    from connapse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} " * (5 + i)) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows = dedup.cdc_chunks(docs, min_len=8, avg_mod=16, max_len=48).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r["id"], r["chunk_idx"])):
+        by_doc.setdefault(r["id"], []).append(r)
+    for did, chunks in by_doc.items():
+        assert chunks[0]["start"] == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert a["start"] + a["length"] == b["start"]
+        assert chunks[-1]["start"] + chunks[-1]["length"] == len(texts[did])
+        for c in chunks:
+            assert c["length"] <= 48
