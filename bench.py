@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "exact_dedup",
     "line_dedup",
     "dup_spans",
+    "cdc_chunks",
     "minhash_lsh",
     "ngram_jaccard_prefix",
     "simhash",

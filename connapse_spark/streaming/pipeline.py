@@ -312,3 +312,52 @@ def streaming_quality_gate(
         F.col("contaminated"),
         (F.col("gate_keep") & ~F.col("contaminated")).alias("admit"),
     )
+
+
+def streaming_view_purchase_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-STREAM interval join: each purchase joined to the same
+    user's view events within the preceding ``max_gap`` — the streaming
+    twin of the batch as-of attribution (operators/temporal.py:90). The
+    batch kernel keeps exactly the LATEST prior view; unbounded "latest"
+    needs the whole history, so the streaming contract is the standard
+    bounded-interval one (every view within max_gap), with watermarks on
+    BOTH sides so the engine can expire join state — the range condition
+    plus watermarks is precisely what Structured Streaming requires to
+    bound a stream-stream join (state size ∝ watermark × rate, not
+    history).
+
+    Output (append-safe): user_id, purchase_id, purchase_ts, view_id,
+    gap_sec ≥ 0. Unmatched purchases are dropped (inner join) — an outer
+    variant only emits after the watermark closes, deployment's call.
+
+    Works identically bound to batch frames (the interval join degrades to
+    a plain range join — the tests pin batch↔stream parity)."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    joined = p.join(
+        v,
+        F.expr(
+            f"p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL {max_gap}"
+        ),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        F.col("p_ts").alias("purchase_ts"),
+        "view_id",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")))
+        .alias("gap_us"),
+    )

@@ -216,3 +216,42 @@ def test_streaming_quality_gate_stream_static_join(spark, tmpdir):
     assert set(got) == set(expected)
     for k in got:
         assert got[k].asDict() == expected[k].asDict(), k
+
+
+def test_stream_stream_interval_join_attribution(spark, tmpdir):
+    """Watermarked stream-STREAM interval join: purchases matched to the
+    same user's views within the window, parity with the batch binding."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    views = [
+        (1, 101, t0),
+        (1, 102, t0 + timedelta(minutes=30)),
+        (2, 201, t0),
+        (3, 301, t0 + timedelta(hours=5)),  # too old for purchase at +7h
+    ]
+    purchases = [
+        (1, 901, t0 + timedelta(minutes=45)),   # matches views 101? (45m>? within 1h) and 102
+        (2, 902, t0 + timedelta(hours=3)),      # view 201 too old
+        (3, 903, t0 + timedelta(hours=7)),      # view 301 outside 1h gap
+    ]
+    vdir, pdir = os.path.join(tmpdir, "v"), os.path.join(tmpdir, "p")
+    spark.createDataFrame(views, "user_id long, event_id long, ts timestamp").write.parquet(vdir)
+    spark.createDataFrame(purchases, "user_id long, event_id long, ts timestamp").write.parquet(pdir)
+
+    # batch binding
+    bv = spark.read.parquet(vdir)
+    bp = spark.read.parquet(pdir)
+    batch = sp.streaming_view_purchase_attribution(bv, bp, max_gap="1 hour")
+    expected = sorted((r["purchase_id"], r["view_id"]) for r in batch.collect())
+    assert expected == [(901, 101), (901, 102)]
+
+    # stream binding
+    sv = spark.readStream.schema("user_id long, event_id long, ts timestamp").parquet(vdir)
+    spc = spark.readStream.schema("user_id long, event_id long, ts timestamp").parquet(pdir)
+    joined = sp.streaming_view_purchase_attribution(sv, spc, max_gap="1 hour")
+    assert joined.isStreaming
+    out = os.path.join(tmpdir, "attr-out")
+    sp.run_available_now(joined, os.path.join(tmpdir, "attr-ckpt"), out)
+    got = sorted((r["purchase_id"], r["view_id"]) for r in spark.read.parquet(out).collect())
+    assert got == expected
