@@ -650,3 +650,44 @@ def test_cdc_chunks_tile_exactly(spark):
         assert chunks[-1]["start"] + chunks[-1]["length"] == len(texts[did])
         for c in chunks:
             assert c["length"] <= 48
+
+
+def test_cdc_chunks_match_python_reference_bulk(spark):
+    """Seeded random ASCII strings through ONE Spark job vs the pure-Python
+    CDC state machine — pins fold semantics bit-for-bit."""
+    import random
+
+    from connapse_spark.operators import dedup
+
+    rng = random.Random(23)
+    alphabet = "abcdefghij klmnop qrstuv wxyz.,!"
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 300))))
+        for i in range(60)
+    ]
+    gear = dedup._cdc_gear()
+    W, MIN, AVG, MAX = 1 << 32, 16, 32, 96
+    thresh = W // AVG
+
+    def ref_bounds(s):
+        h = cur = 0
+        b = []
+        for pos, ch in enumerate(s, 1):
+            h = (h * 2 + gear[ord(ch) % 256]) % W
+            cur += 1
+            if (cur >= MIN and h < thresh) or cur >= MAX:
+                b.append(pos)
+                h = cur = 0
+        return b
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = dedup.cdc_chunks(df, min_len=MIN, avg_mod=AVG, max_len=MAX).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["id"], []).append((r["start"], r["length"]))
+    for did, text in docs:
+        b = ref_bounds(text)
+        starts = [0] + b
+        ends = b + [len(text)]
+        want = [(s, e - s) for s, e in zip(starts, ends) if s < e]
+        assert got.get(did, []) == want, did
