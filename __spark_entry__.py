@@ -381,6 +381,14 @@ def q_quality_logit(spark, sf_dir):
     )
 
 
+def q_cms_hitters(spark, sf_dir):
+    """Count-Min Sketch audit: exact top-20 tokens with their CMS
+    estimates (cms_n >= exact_n, bounded overshoot) — the constant-memory
+    frequency kernel for streaming/per-partition state
+    (textstats.cms_heavy_hitters)."""
+    return textstats.cms_heavy_hitters(_t(spark, sf_dir, "documents"), k=20)
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunk boundaries + per-chunk hashes (gear rolling
     hash, FastCDC family) — insertion-stable dedup segmentation
@@ -1740,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,  # new: quantization-loss gauge
         "quality_sample": q_quality_sample,  # new: classifier-score sampling
         "cdc_chunks": q_cdc_chunks,  # new: content-defined chunking
+        "cms_hitters": q_cms_hitters,  # new: count-min sketch audit
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "zorder_key": q_zorder_key,  # new: multi-column clustering key
@@ -1932,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": dedup.sql_cdc_chunks(
             table="(SELECT * FROM documents WHERE doc_id < 200)"
         ),
+        "cms_hitters": textstats.sql_cms_heavy_hitters(k=20),
         "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.

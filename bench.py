@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "lang_mismatch",
     "dsir_weights",
     "top_bigrams",
+    "cms_hitters",
     "bpe_merges",
     "gopher_filter",
     "token_entropy",

@@ -1120,3 +1120,128 @@ def sql_quality_score_linear(
 SELECT {id_col}, {float(w["bias"])!r}{terms} AS quality_logit, keep AS gate_keep
 FROM ({sql_gopher_filter(id_col=id_col)})
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters (bounded-memory approximate counting)
+# ---------------------------------------------------------------------------
+
+
+def _cms_idx(tok: Column, i: int, w: int) -> Column:
+    """Row-``i`` counter index for a token: the (2i+1)·h + i²+7 affine
+    family over the shared sha hash — same construction as the minhash
+    coefficients, identical in SQL."""
+    h = _sha_bigint(tok)
+    return ((2 * i + 1) * h + i * i + 7) % HASH_MOD % w
+
+
+def _sql_cms_idx(tok: str, i: int, w: int) -> str:
+    return f"((({2 * i + 1} * {sql_sha_bigint(tok)} + {i * i + 7}) % {HASH_MOD}) % {w})"
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    k: int = 20,
+    d: int = 4,
+    w: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-Min Sketch audit (Cormode & Muthukrishnan, J.Algorithms 2005):
+    build a d×w counter sketch over the token stream, then report the
+    exact top-``k`` tokens with their CMS estimates. CMS never
+    underestimates (min over d rows of counters that each received every
+    occurrence), and overshoots by at most ε·N with ε = e/w w.h.p. —
+    emitting (token, exact_n, cms_n) makes the bound observable:
+    ``cms_n >= exact_n`` row by row.
+
+    Why at 100 TB: the exact counting pass shuffles a vocab-sized
+    aggregate; the sketch is a CONSTANT d·w counters regardless of vocab —
+    the building block for per-partition/streaming frequency state where a
+    full vocabulary map cannot live in memory (the sketch merges by cell
+    addition, so per-executor partials combine exactly like any map-side
+    aggregate).
+
+    Plan: one explode of the token stream → d map-side-partial aggregates
+    over (row, idx) — sketch build is ONE shuffle of ≤ d·w cells; the
+    exact top-k reuses top_ngrams' single-aggregate plan; estimates come
+    from a broadcast of the d·w-cell sketch (tiny)."""
+    toks = docs.select(F.explode(tokens_exact_expr(F.col(text_col))).alias("t"))
+    cells = toks.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("i"), _cms_idx(F.col("t"), i, w).alias("idx"))
+                for i in range(d)
+            ])
+        ).alias("c")
+    ).groupBy(F.col("c.i").alias("i"), F.col("c.idx").alias("idx")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sketch = cells.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct((F.col("i") * w + F.col("idx")).alias("k"), F.col("n")))
+        ).alias("_cms")
+    )
+    exact = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "t")
+        .limit(k)
+    )
+    est = F.least(
+        *[
+            F.coalesce(
+                F.element_at(F.col("_cms"), (F.lit(i * w) + _cms_idx(F.col("t"), i, w)).cast("bigint")),
+                F.lit(0).cast("bigint"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        exact.crossJoin(F.broadcast(sketch))
+        .select(
+            F.col("t").alias("token"),
+            F.col("exact_n"),
+            est.alias("cms_n"),
+        )
+        .orderBy(F.desc("exact_n"), "token")
+    )
+
+
+def sql_cms_heavy_hitters(
+    k: int = 20, d: int = 4, w: int = 1024, text_col: str = "text", table: str = "documents"
+) -> str:
+    idx_exprs = ", ".join(
+        f"{{'i': {i}, 'idx': {_sql_cms_idx('t', i, w)}}}" for i in range(d)
+    )
+    est = "least(" + ", ".join(
+        f"coalesce(cms[{i} * {w} + {_sql_cms_idx('e.t', i, w)} + 1], 0)" for i in range(d)
+    ) + ")"
+    return f"""
+WITH toks AS (
+  SELECT unnest({sql_tokens_exact(text_col)}) AS t FROM {table}
+),
+cells AS (
+  SELECT c.i AS i, c.idx AS idx, count(*) AS n
+  FROM (SELECT unnest([{idx_exprs}]) AS c FROM toks)
+  GROUP BY c.i, c.idx
+),
+sketch AS (
+  SELECT list_sort(list(CAST(i * {w} + idx AS BIGINT) ORDER BY i * {w} + idx)) AS ks,
+         list(CAST(n AS BIGINT) ORDER BY i * {w} + idx) AS vs
+  FROM cells
+),
+dense AS (
+  SELECT list_transform(range(0, {d} * {w}),
+                        kk -> CASE WHEN list_position(ks, CAST(kk AS BIGINT)) > 0
+                                   THEN vs[list_position(ks, CAST(kk AS BIGINT))]
+                                   ELSE 0::BIGINT END) AS cms
+  FROM sketch
+),
+exact AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY t
+  ORDER BY exact_n DESC, t LIMIT {k}
+)
+SELECT e.t AS token, e.exact_n, {est} AS cms_n
+FROM exact e, dense
+ORDER BY e.exact_n DESC, token
+""".strip()

@@ -691,3 +691,15 @@ def test_cdc_chunks_match_python_reference_bulk(spark):
         ends = b + [len(text)]
         want = [(s, e - s) for s, e in zip(starts, ends) if s < e]
         assert got.get(did, []) == want, did
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy_hitters(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(200)
+    rows = textstats.cms_heavy_hitters(docs, k=20, d=4, w=2048).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_n"] >= r["exact_n"], r["token"]
+    # with w=2048 ≫ heavy-hitter collisions, estimates should be near-exact
+    # for the top tokens (ε·N slack): allow 5% relative overshoot
+    for r in rows[:5]:
+        assert r["cms_n"] <= r["exact_n"] * 1.05 + 50, r
