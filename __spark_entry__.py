@@ -381,6 +381,13 @@ def q_quality_logit(spark, sf_dir):
     )
 
 
+def q_distinct_sketch(spark, sf_dir):
+    """Per-source approximate distinct tokens by linear counting, with the
+    exact count alongside (textstats.distinct_sketch_by) — constant-memory
+    cardinality where the vocabulary map can't fit."""
+    return textstats.distinct_sketch_by(_t(spark, sf_dir, "documents"))
+
+
 def q_cms_hitters(spark, sf_dir):
     """Count-Min Sketch audit: exact top-20 tokens with their CMS
     estimates (cms_n >= exact_n, bounded overshoot) — the constant-memory
@@ -1749,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_sample": q_quality_sample,  # new: classifier-score sampling
         "cdc_chunks": q_cdc_chunks,  # new: content-defined chunking
         "cms_hitters": q_cms_hitters,  # new: count-min sketch audit
+        "distinct_sketch": q_distinct_sketch,  # new: linear-counting distinct
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "zorder_key": q_zorder_key,  # new: multi-column clustering key
@@ -1942,6 +1950,7 @@ def oracle_sql() -> dict[str, str]:
             table="(SELECT * FROM documents WHERE doc_id < 200)"
         ),
         "cms_hitters": textstats.sql_cms_heavy_hitters(k=20),
+        "distinct_sketch": textstats.sql_distinct_sketch_by(),
         "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.

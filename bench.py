@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "top_bigrams",
     "cms_hitters",
+    "distinct_sketch",
     "bpe_merges",
     "gopher_filter",
     "token_entropy",

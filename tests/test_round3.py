@@ -703,3 +703,14 @@ def test_cms_never_underestimates_and_is_tight_for_heavy_hitters(spark, sf_dir):
     # for the top tokens (ε·N slack): allow 5% relative overshoot
     for r in rows[:5]:
         assert r["cms_n"] <= r["exact_n"] * 1.05 + 50, r
+
+
+def test_distinct_sketch_accuracy(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = textstats.distinct_sketch_by(docs, m_bits=8192).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r["occupied_bits"] <= 8192
+        # linear counting at load < 0.5 is within a few % of exact
+        rel = abs(r["estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 0.1, (r["source"], r["estimate"], r["exact_distinct"])
