@@ -1320,3 +1320,66 @@ SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx, start, length,
        sha256(substr(t, (start + 1)::INT, length::INT)) AS chunk_sha
 FROM ex ORDER BY id, chunk_idx
 """.strip()
+
+
+def cdc_chunks_fast(
+    docs: DataFrame,
+    min_len: int = 32,
+    avg_mod: int = 64,
+    max_len: int = 192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow-batched production tier of :func:`cdc_chunks` — identical
+    state machine, run as a per-document Python loop inside mapInPandas
+    instead of an interpreted Catalyst fold (Spark's higher-order-function
+    lambdas execute per element on the interpreted path; at sf0.1 the
+    column tier measures ~5× the scan cost, this tier runs at scan speed).
+    Same two-tier pattern as the chunkers: the column tier stays the
+    DuckDB-oracle kernel, this tier is unit-pinned bit-equal to it."""
+    import hashlib
+
+    import pandas as pd
+
+    gear = _cdc_gear()
+    W = 1 << 32
+    thresh = W // avg_mod
+
+    def run(batches):
+        for pdf in batches:
+            out_id, out_idx, out_start, out_len, out_sha = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""
+                h = cur = 0
+                b = []
+                for pos, ch in enumerate(text, 1):
+                    h = (h * 2 + gear[ord(ch) % 256]) % W
+                    cur += 1
+                    if (cur >= min_len and h < thresh) or cur >= max_len:
+                        b.append(pos)
+                        h = cur = 0
+                starts = [0] + b
+                ends = b + [len(text)]
+                idx = 0
+                for s, e in zip(starts, ends):
+                    if s < e:
+                        idx += 1
+                        out_id.append(did)
+                        out_idx.append(idx)
+                        out_start.append(s)
+                        out_len.append(e - s)
+                        out_sha.append(
+                            hashlib.sha256(text[s:e].encode("utf-8")).hexdigest()
+                        )
+            yield pd.DataFrame(
+                {
+                    "id": out_id,
+                    "chunk_idx": out_idx,
+                    "start": out_start,
+                    "length": out_len,
+                    "chunk_sha": out_sha,
+                }
+            )
+
+    schema = "id long, chunk_idx long, start long, length long, chunk_sha string"
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema)

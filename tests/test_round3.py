@@ -714,3 +714,18 @@ def test_distinct_sketch_accuracy(spark, sf_dir):
         # linear counting at load < 0.5 is within a few % of exact
         rel = abs(r["estimate"] - r["exact_distinct"]) / r["exact_distinct"]
         assert rel < 0.1, (r["source"], r["estimate"], r["exact_distinct"])
+
+
+def test_cdc_fast_tier_bit_equal_to_column_tier(spark, sf_dir):
+    from connapse_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(100)
+    col_rows = sorted(
+        (r["id"], r["chunk_idx"], r["start"], r["length"], r["chunk_sha"])
+        for r in dedup.cdc_chunks(docs).collect()
+    )
+    fast_rows = sorted(
+        (r["id"], r["chunk_idx"], r["start"], r["length"], r["chunk_sha"])
+        for r in dedup.cdc_chunks_fast(docs).collect()
+    )
+    assert col_rows == fast_rows and len(col_rows) > 0
