@@ -381,6 +381,13 @@ def q_quality_logit(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel: per-step reach where step i
+    must strictly follow the user's earliest step i-1 completion
+    (events.funnel_analysis) — fully lazy, k-row output."""
+    return events.funnel_analysis(events.load_events(spark, sf_dir))
+
+
 def q_distinct_sketch(spark, sf_dir):
     """Per-source approximate distinct tokens by linear counting, with the
     exact count alongside (textstats.distinct_sketch_by) — constant-memory
@@ -1757,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,  # new: content-defined chunking
         "cms_hitters": q_cms_hitters,  # new: count-min sketch audit
         "distinct_sketch": q_distinct_sketch,  # new: linear-counting distinct
+        "funnel": q_funnel,  # new: ordered event funnel
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "zorder_key": q_zorder_key,  # new: multi-column clustering key
@@ -1951,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cms_hitters": textstats.sql_cms_heavy_hitters(k=20),
         "distinct_sketch": textstats.sql_distinct_sketch_by(),
+        "funnel": events.sql_funnel_analysis(),
         "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "events_sliding",
     "events_top_types",
     "events_sessionize",
+    "funnel",
     "sample_mix",
     "quality_sample",
     "pack_sequences",

@@ -267,3 +267,98 @@ SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM (
   FROM events
 ) WHERE rn = 1 ORDER BY user_id
 """.strip()
+
+
+def funnel_analysis(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered funnel: per user, step ``i`` counts only if it happens
+    STRICTLY AFTER that user's earliest completion of step ``i-1`` (the
+    standard ordered-funnel semantics — a purchase before any view is not
+    a converted view). One row per step: (step_idx, step, n_users,
+    conv_from_prev, conv_from_first) with exact micro-rates as integer
+    pairs plus a rounded double.
+
+    Plan: one filtered per-user min-ts aggregate per step, each joined to
+    the previous step's reach — k−1 joins on user_id over
+    step-filtered subsets (tiny next to the event stream), all map-side
+    partial-aggregated. No windows over the full stream, no driver loops:
+    the per-step frames stay distributed and the output is k rows.
+
+    Scale (100 TB): each step's aggregate shuffles ONLY events of that
+    type (predicate pushed to the scan); user-key joins ride AQE. A
+    sessionized/windowed variant composes by pre-filtering `events`."""
+    base = events.select(
+        "user_id", F.col("event_type"), _epoch_us("ts").alias("t")
+    )
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    reach = []  # per step: DataFrame(step_idx, step, user_id)
+    cur = None
+    for i, s in enumerate(steps):
+        stepdf = base.filter(F.col("event_type") == s)
+        if cur is None:
+            cur = stepdf.groupBy("user_id").agg(F.min("t").alias("t"))
+        else:
+            cur = (
+                stepdf.join(cur.select("user_id", F.col("t").alias("_prev")), "user_id")
+                .filter(F.col("t") > F.col("_prev"))
+                .groupBy("user_id")
+                .agg(F.min("t").alias("t"))
+            )
+        reach.append(
+            cur.select(
+                F.lit(i + 1).cast("long").alias("step_idx"),
+                F.lit(s).alias("step"),
+                "user_id",
+            )
+        )
+    # fully lazy: k tiny per-step aggregates union into ONE k-row frame;
+    # rates come from a window over those k rows (no driver-side counts,
+    # so plan-only consumers run zero jobs)
+    tagged = reduce(lambda a, b: a.unionByName(b), reach)
+    counts = tagged.groupBy("step_idx", "step").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = Window.orderBy("step_idx").rowsBetween(Window.unboundedPreceding, 0)
+    prev_n = F.lag("n_users", 1).over(Window.orderBy("step_idx"))
+    first_n = F.first("n_users").over(w)
+    return counts.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.greatest(F.coalesce(prev_n, F.col("n_users")), F.lit(1)), 6
+        ).alias("conv_from_prev"),
+        F.round(F.col("n_users") / F.greatest(first_n, F.lit(1)), 6).alias(
+            "conv_from_first"
+        ),
+    ).orderBy("step_idx")
+
+
+def sql_funnel_analysis(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    ctes = []
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(
+                f"r0 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events "
+                f"WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"r{i} AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e "
+                f"JOIN r{i-1} p ON e.user_id = p.user_id "
+                f"WHERE e.event_type = '{s}' AND epoch_us(e.ts) > p.t "
+                f"GROUP BY e.user_id)"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {i + 1}::BIGINT AS step_idx, '{s}' AS step, "
+        f"(SELECT count(*) FROM r{i})::BIGINT AS n_users, "
+        f"round((SELECT count(*) FROM r{i}) / greatest((SELECT count(*) FROM r{max(i - 1, 0)}), 1), 6) AS conv_from_prev, "
+        f"round((SELECT count(*) FROM r{i}) / greatest((SELECT count(*) FROM r0), 1), 6) AS conv_from_first"
+        for i, s in enumerate(steps)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY step_idx"

@@ -729,3 +729,32 @@ def test_cdc_fast_tier_bit_equal_to_column_tier(spark, sf_dir):
         for r in dedup.cdc_chunks_fast(docs).collect()
     )
     assert col_rows == fast_rows and len(col_rows) > 0
+
+
+def test_funnel_ordered_semantics(spark):
+    """A purchase BEFORE the user's first view must not count; steps chain
+    on strictly-increasing timestamps."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + timedelta(minutes=1), 1, "click", 0.0, "{}"),
+        (3, t0 + timedelta(minutes=2), 1, "purchase", 0.0, "{}"),
+        # user 2: purchase BEFORE view — view counts, purchase must not
+        (4, t0, 2, "purchase", 0.0, "{}"),
+        (5, t0 + timedelta(minutes=1), 2, "view", 0.0, "{}"),
+        (6, t0 + timedelta(minutes=2), 2, "click", 0.0, "{}"),
+        # user 3: view only
+        (7, t0, 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r["step"]: r for r in events.funnel_analysis(df).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 2
+    assert out["purchase"]["n_users"] == 1  # only user 1
+    assert out["purchase"]["conv_from_prev"] == 0.5
+    assert out["purchase"]["conv_from_first"] == round(1 / 3, 6)
