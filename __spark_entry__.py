@@ -381,6 +381,12 @@ def q_quality_logit(spark, sf_dir):
     )
 
 
+def q_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (events.retention_cohorts) — integer
+    epoch-bucket cohorts, TZ-drift-proof."""
+    return events.retention_cohorts(events.load_events(spark, sf_dir))
+
+
 def q_funnel(spark, sf_dir):
     """Ordered view→click→purchase funnel: per-step reach where step i
     must strictly follow the user's earliest step i-1 completion
@@ -1765,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_hitters": q_cms_hitters,  # new: count-min sketch audit
         "distinct_sketch": q_distinct_sketch,  # new: linear-counting distinct
         "funnel": q_funnel,  # new: ordered event funnel
+        "retention": q_retention,  # new: cohort retention
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "zorder_key": q_zorder_key,  # new: multi-column clustering key
@@ -1960,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_hitters": textstats.sql_cms_heavy_hitters(k=20),
         "distinct_sketch": textstats.sql_distinct_sketch_by(),
         "funnel": events.sql_funnel_analysis(),
+        "retention": events.sql_retention_cohorts(),
         "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "events_top_types",
     "events_sessionize",
     "funnel",
+    "retention",
     "sample_mix",
     "quality_sample",
     "pack_sequences",

@@ -362,3 +362,74 @@ def sql_funnel_analysis(steps: tuple[str, ...] = ("view", "click", "purchase")) 
         for i, s in enumerate(steps)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + selects + "\nORDER BY step_idx"
+
+
+def retention_cohorts(
+    events: DataFrame,
+    bucket: str = "week",
+    max_offset: int = 8,
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity bucket; for each
+    (cohort, offset) the fraction of the cohort active ``offset`` buckets
+    later. The other half of product analytics next to the funnel.
+
+    Buckets are integer epoch-bucket indexes (epoch_us div bucket_us) —
+    pure integer arithmetic on the TZ-independent epoch micros, so the
+    mirror is exact and no date-truncation semantics can drift between
+    engines.
+
+    Output: (cohort_bucket, bucket_offset, n_active, cohort_size,
+    retention).
+
+    Plan: one per-user min-bucket aggregate (the cohort assignment), one
+    distinct (user, bucket) activity set, one join on user, one
+    (cohort, offset) count — every stage map-side-partial, keyed small.
+    Scale: activity is |users|·|buckets touched| rows, far below the raw
+    event stream; no windows over the stream itself."""
+    us_per = {"day": 86_400_000_000, "week": 604_800_000_000}[bucket]
+    base = events.select(
+        "user_id", (_epoch_us("ts") / us_per).cast("bigint").alias("b")
+    )
+    cohort = base.groupBy("user_id").agg(F.min("b").alias("cohort_b"))
+    active = base.distinct()
+    joined = (
+        active.join(cohort, "user_id")
+        .select("user_id", "cohort_b", (F.col("b") - F.col("cohort_b")).alias("off"))
+        .filter(F.col("off") <= max_offset)
+    )
+    sizes = cohort.groupBy("cohort_b").agg(F.count(F.lit(1)).alias("cohort_size"))
+    act = joined.groupBy("cohort_b", "off").agg(F.count(F.lit(1)).alias("n_active"))
+    return (
+        act.join(sizes, "cohort_b")
+        .select(
+            F.col("cohort_b").alias("cohort_bucket"),
+            F.col("off").alias("bucket_offset"),
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_bucket", "bucket_offset")
+    )
+
+
+def sql_retention_cohorts(bucket: str = "week", max_offset: int = 8) -> str:
+    us_per = {"day": 86_400_000_000, "week": 604_800_000_000}[bucket]
+    return f"""
+WITH base AS (
+  SELECT user_id, CAST(epoch_us(ts) // {us_per} AS BIGINT) AS b FROM events
+),
+cohort AS (SELECT user_id, min(b) AS cohort_b FROM base GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, b FROM base),
+joined AS (
+  SELECT a.user_id, c.cohort_b, a.b - c.cohort_b AS off
+  FROM active a JOIN cohort c ON a.user_id = c.user_id
+  WHERE a.b - c.cohort_b <= {max_offset}
+),
+sizes AS (SELECT cohort_b, count(*) AS cohort_size FROM cohort GROUP BY cohort_b),
+act AS (SELECT cohort_b, off, count(*) AS n_active FROM joined GROUP BY cohort_b, off)
+SELECT act.cohort_b AS cohort_bucket, act.off AS bucket_offset,
+       CAST(n_active AS BIGINT) AS n_active, CAST(cohort_size AS BIGINT) AS cohort_size,
+       round(n_active / cohort_size, 6) AS retention
+FROM act JOIN sizes ON act.cohort_b = sizes.cohort_b
+ORDER BY cohort_bucket, bucket_offset
+""".strip()
