@@ -381,6 +381,13 @@ def q_quality_logit(spark, sf_dir):
     )
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated value percentiles per event type, long-form
+    (events.value_percentiles) — Spark percentile() and DuckDB
+    quantile_cont() agree bit-for-bit."""
+    return events.value_percentiles(events.load_events(spark, sf_dir))
+
+
 def q_retention(spark, sf_dir):
     """Weekly cohort retention matrix (events.retention_cohorts) — integer
     epoch-bucket cohorts, TZ-drift-proof."""
@@ -1772,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch": q_distinct_sketch,  # new: linear-counting distinct
         "funnel": q_funnel,  # new: ordered event funnel
         "retention": q_retention,  # new: cohort retention
+        "value_percentiles": q_value_percentiles,  # new: exact quantile profile
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "zorder_key": q_zorder_key,  # new: multi-column clustering key
@@ -1968,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sketch": textstats.sql_distinct_sketch_by(),
         "funnel": events.sql_funnel_analysis(),
         "retention": events.sql_retention_cohorts(),
+        "value_percentiles": events.sql_value_percentiles(),
         "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "funnel",
     "retention",
+    "value_percentiles",
     "sample_mix",
     "quality_sample",
     "pack_sequences",

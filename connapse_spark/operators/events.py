@@ -433,3 +433,55 @@ SELECT act.cohort_b AS cohort_bucket, act.off AS bucket_offset,
 FROM act JOIN sizes ON act.cohort_b = sizes.cohort_b
 ORDER BY cohort_bucket, bucket_offset
 """.strip()
+
+
+def value_percentiles(
+    events: DataFrame,
+    pcts: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact interpolated percentiles of ``value`` per group, unpivoted to
+    (group, pct, value) — the latency/size-distribution profile every
+    operational dashboard wants. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` implement the same linear interpolation on the
+    sorted values and agree bit-for-bit (verified), so no rounding is
+    needed.
+
+    Scale: exact percentiles sort within each group's aggregation buffer —
+    fine while per-group cardinality fits an executor (events-per-type
+    here). At genuinely unbounded group sizes swap ``percentile`` for
+    ``percentile_approx`` with a declared accuracy — one token change in
+    this plan, at the cost of the oracle (approx algorithms differ across
+    engines)."""
+    plist = ", ".join(repr(p) for p in pcts)
+    agg = events.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, array({plist}))").alias("_ps")
+    )
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in pcts]).alias("pct"), F.col("_ps").alias("v")
+    )
+    return (
+        agg.select(group_col, F.explode(pairs).alias("z"))
+        .select(
+            group_col,
+            F.col("z.pct").alias("pct"),
+            F.col("z.v").alias("value"),
+        )
+        .orderBy(group_col, "pct")
+    )
+
+
+def sql_value_percentiles(
+    pcts: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    qs = ", ".join(
+        f"{{'pct': {p!r}, 'v': quantile_cont({value_col}, {p!r})}}" for p in pcts
+    )
+    return f"""
+SELECT {group_col}, z.pct AS pct, z.v AS value
+FROM (SELECT {group_col}, unnest([{qs}]) AS z FROM events GROUP BY {group_col})
+ORDER BY {group_col}, pct
+""".strip()
