@@ -476,6 +476,26 @@ def _sql_corpus_curate() -> str:
     return curate.sql_curate(bl, neardup_threshold=0.4, contam_n=3)
 
 
+def q_dataset_card(spark, sf_dir):
+    """ONE-row corpus-health card: volume, per-stage drop counts, mean
+    classifier score, language mix (curate.dataset_card) — the release
+    summary composed from the audited operators."""
+    docs = _t(spark, sf_dir, "documents")
+    held_out = docs.filter(F.col("doc_id") % 97 == 0)
+    blocklist = held_out.select(
+        F.explode(dedup.shingles_expr(F.col("text"), 3)).alias("s")
+    )
+    return curate.dataset_card(docs, blocklist)
+
+
+def _sql_dataset_card() -> str:
+    bl = (
+        f"SELECT unnest({dedup.sql_shingles('text', 3)}) AS s "
+        "FROM documents WHERE doc_id % 97 = 0"
+    )
+    return curate.sql_dataset_card(bl)
+
+
 def q_bloom_contamination(spark, sf_dir):
     """Bloom-filter decontamination twin of q_contamination: same held-out
     blocklist, but membership is j probes into a broadcast constant-size
@@ -1780,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,  # new: ordered event funnel
         "retention": q_retention,  # new: cohort retention
         "value_percentiles": q_value_percentiles,  # new: exact quantile profile
+        "dataset_card": q_dataset_card,  # new: one-row corpus-health summary
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "zorder_key": q_zorder_key,  # new: multi-column clustering key
@@ -1977,6 +1998,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": events.sql_funnel_analysis(),
         "retention": events.sql_retention_cohorts(),
         "value_percentiles": events.sql_value_percentiles(),
+        "dataset_card": _sql_dataset_card(),
         "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.

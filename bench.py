@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "contamination",
     "bloom_contamination",
     "corpus_curate",
+    "dataset_card",
     "redact_pii",
     "language_id_multi",
     "embed_quantized",

@@ -117,3 +117,104 @@ JOIN ct ON ex.id = ct.id
 JOIN gq ON ex.id = gq.id
 ORDER BY ex.id
 """.strip()
+
+
+def dataset_card(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE-row dataset card — the corpus-health summary a training-data
+    release ships (dataset cards à la Gebru et al.'s datasheets):
+    volume (docs, tokens), dedup rates, contamination rate, quality-gate
+    pass rate, mean classifier score, language mix, and source count.
+    Composes the audited operators; every input column is itself
+    oracle-checked elsewhere, and the card's aggregation is exact
+    (integer counts + one fixed-order mean).
+
+    Scale: each component is its operator's plan; the final agg is a
+    single-row reduce with map-side partials. The mean quality logit uses
+    round(·,6) — the only FP aggregation — over a SUM of micro-units
+    (integer), so partition order cannot move it."""
+    from connapse_spark.operators.textstats import (
+        language_id,
+        quality_score_linear,
+        token_count_bpeish_expr,
+    )
+
+    verdicts = curate(docs, blocklist, id_col=id_col, text_col=text_col)
+    q = quality_score_linear(docs, id_col=id_col, text_col=text_col)
+    lang = language_id(docs, id_col=id_col, text_col=text_col)
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        token_count_bpeish_expr(F.col(text_col)).cast("long").alias("n_tok"),
+    )
+    joined = (
+        verdicts.join(q.select(F.col(id_col).alias("id"), "quality_logit"), "id")
+        .join(lang.select(F.col(id_col).alias("id"), "lang_pred"), "id")
+        .join(toks, "id")
+    )
+    n = F.count(F.lit(1))
+    # integer micro-units → order-free sum; one division at the end
+    logit_u = F.sum(F.round(F.col("quality_logit") * 1_000_000).cast("long"))
+    return joined.agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("n_tok").alias("n_bpe_tokens"),
+        F.sum(F.when(F.col("reason") == "exact_duplicate", 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_dup"),
+        F.sum(F.when(F.col("reason") == "near_duplicate", 1).otherwise(0))
+        .cast("long")
+        .alias("n_near_dup"),
+        F.sum(F.when(F.col("reason") == "contaminated", 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum(F.when(F.col("reason") == "low_quality", 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_quality"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.round(logit_u / n / 1_000_000.0, 6).alias("mean_quality_logit"),
+        F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en"),
+    )
+
+
+def sql_dataset_card(
+    blocklist_sql: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    from connapse_spark.operators.textstats import (
+        BPE_RE,
+        sql_language_id,
+        sql_quality_score_linear,
+    )
+
+    # DuckDB string literals do NOT process backslash escapes, so the
+    # pattern goes in verbatim (same as sql_quality_stats)
+    bpe_re = BPE_RE
+    return f"""
+WITH verdicts AS ({sql_curate(blocklist_sql, id_col=id_col)}),
+q AS (SELECT {id_col} AS id, quality_logit FROM ({sql_quality_score_linear(id_col=id_col)})),
+lang AS (SELECT {id_col} AS id, lang_pred FROM ({sql_language_id(id_col=id_col)})),
+toks AS (
+  SELECT {id_col} AS id,
+         CAST(len(regexp_extract_all({text_col}, '{bpe_re}')) AS BIGINT) AS n_tok
+  FROM documents
+),
+joined AS (
+  SELECT v.id, v.kept, v.reason, q.quality_logit, lang.lang_pred, toks.n_tok
+  FROM verdicts v JOIN q ON v.id = q.id JOIN lang ON v.id = lang.id
+  JOIN toks ON v.id = toks.id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(CASE WHEN reason = 'exact_duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+       CAST(sum(CASE WHEN reason = 'near_duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       CAST(sum(CASE WHEN reason = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(sum(CASE WHEN reason = 'low_quality' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CAST(round(quality_logit * 1000000) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean_quality_logit,
+       CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+FROM joined
+""".strip()
