@@ -77,6 +77,8 @@ def normalized_zorder_cols(
     top = (1 << bits) - 1
     for c in cols:
         lo, hi = stats[f"_lo_{c}"], stats[f"_hi_{c}"]
+        if lo is None or hi is None:  # empty input: any constant key works
+            lo, hi = 0, 0
         rng = max(hi - lo, 1)
         out.append(
             ((F.col(c) - F.lit(lo)).cast("double") * top / rng).cast("bigint")
