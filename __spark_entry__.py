@@ -381,6 +381,13 @@ def q_quality_logit(spark, sf_dir):
     )
 
 
+def q_props_extract(spark, sf_dir):
+    """Typed JSON-payload extraction + per-type aggregate
+    (events.props_extract_agg) — from_json vs DuckDB's independent JSON
+    parser."""
+    return events.props_extract_agg(events.load_events(spark, sf_dir))
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact interpolated value percentiles per event type, long-form
     (events.value_percentiles) — Spark percentile() and DuckDB
@@ -1801,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,  # new: cohort retention
         "value_percentiles": q_value_percentiles,  # new: exact quantile profile
         "dataset_card": q_dataset_card,  # new: one-row corpus-health summary
+        "props_extract": q_props_extract,  # new: typed JSON payload extraction
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "zorder_key": q_zorder_key,  # new: multi-column clustering key
@@ -1999,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "retention": events.sql_retention_cohorts(),
         "value_percentiles": events.sql_value_percentiles(),
         "dataset_card": _sql_dataset_card(),
+        "props_extract": events.sql_props_extract_agg(),
         "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.

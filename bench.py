@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "funnel",
     "retention",
     "value_percentiles",
+    "props_extract",
     "sample_mix",
     "quality_sample",
     "pack_sequences",

@@ -485,3 +485,47 @@ SELECT {group_col}, z.pct AS pct, z.v AS value
 FROM (SELECT {group_col}, unnest([{qs}]) AS z FROM events GROUP BY {group_col})
 ORDER BY {group_col}, pct
 """.strip()
+
+
+def props_extract_agg(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: parse the ``props`` JSON column with a
+    declared schema (``from_json`` — JVM-side Jackson, no Python) and
+    aggregate the typed field per event type. The standard lakehouse move
+    for event payloads: parse ONCE into typed columns at the start of the
+    plan so every downstream predicate/aggregate runs on native columns
+    (and a persisted bronze→silver write would store the struct, paying
+    the parse a single time).
+
+    Output: (event_type, n_with_k, k_min, k_max, k_sum) — integer field,
+    exact aggregates.
+
+    Scale: from_json is a map-side projection inside codegen; malformed
+    rows yield NULL (counted out by n_with_k) instead of failing the job —
+    the PERMISSIVE-mode contract a 100 TB ingest needs."""
+    parsed = events.select(
+        "event_type",
+        F.from_json(F.col("props"), "k BIGINT").alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.col("p.k")).alias("n_with_k"),
+            F.min("p.k").alias("k_min"),
+            F.max("p.k").alias("k_max"),
+            F.sum("p.k").alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sql_props_extract_agg() -> str:
+    """Mirror via DuckDB's JSON extraction — an independent JSON parser,
+    so agreement checks the semantics, not a shared implementation."""
+    return """
+SELECT event_type,
+       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip()

@@ -758,3 +758,23 @@ def test_funnel_ordered_semantics(spark):
     assert out["purchase"]["n_users"] == 1  # only user 1
     assert out["purchase"]["conv_from_prev"] == 0.5
     assert out["purchase"]["conv_from_first"] == round(1 / 3, 6)
+
+
+def test_props_extract_permissive_on_malformed_json(spark):
+    """Malformed payloads must yield NULL (counted out), never fail the
+    job — the PERMISSIVE contract a large ingest needs."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "click", 0.0, '{"k": 7}'),
+        (2, datetime(2024, 1, 1), 2, "click", 0.0, "not json"),
+        (3, datetime(2024, 1, 1), 3, "click", 0.0, '{"other": 1}'),
+        (4, datetime(2024, 1, 1), 4, "click", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = events.props_extract_agg(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_with_k"] == 1 and r["k_sum"] == 7
