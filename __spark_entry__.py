@@ -381,6 +381,12 @@ def q_quality_logit(spark, sf_dir):
     )
 
 
+def q_embedding_hygiene(spark, sf_dir):
+    """Vector-table QA: exact milli-unit norms, zero-vector and z-score
+    outlier flags from integer corpus sums (similarity.embedding_hygiene)."""
+    return similarity.embedding_hygiene(_t(spark, sf_dir, "embeddings"))
+
+
 def q_props_extract(spark, sf_dir):
     """Typed JSON-payload extraction + per-type aggregate
     (events.props_extract_agg) — from_json vs DuckDB's independent JSON
@@ -1809,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,  # new: exact quantile profile
         "dataset_card": q_dataset_card,  # new: one-row corpus-health summary
         "props_extract": q_props_extract,  # new: typed JSON payload extraction
+        "embedding_hygiene": q_embedding_hygiene,  # new: vector-table QA screen
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "zorder_key": q_zorder_key,  # new: multi-column clustering key
@@ -2008,6 +2015,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": events.sql_value_percentiles(),
         "dataset_card": _sql_dataset_card(),
         "props_extract": events.sql_props_extract_agg(),
+        "embedding_hygiene": similarity.sql_embedding_hygiene(),
         "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.

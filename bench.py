@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "language_id_multi",
     "embed_quantized",
     "mean_pool",
+    "embedding_hygiene",
     "reindex_decisions",
     "sync_delta",
 ]

@@ -681,3 +681,91 @@ SELECT {id_col}, component,
          (a, x) -> a + x) / {scale} AS value
 FROM e CROSS JOIN proj
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene (norm stats + outlier screen)
+# ---------------------------------------------------------------------------
+
+
+def embedding_hygiene(
+    embeddings: DataFrame,
+    z_threshold: float = 3.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vector-table QA before anything expensive touches it: per-vector L2
+    norm in exact milli-units, zero-vector flag, and a z-score outlier
+    flag against the corpus norm distribution — the screen that catches
+    provider bugs (all-zero responses, double-normalized batches, wrong
+    dims mixed in) before they poison an index build.
+
+    Determinism: norms quantize to integer milli-units; the corpus mean
+    and variance come from INTEGER sums (order-free across partitions),
+    and the final mean/std doubles are exactly-rounded functions of those
+    integers — identical in the mirror. Milli-scale keeps the
+    sum-of-squares under 2^63 to ~10^12 rows.
+
+    Output: (id, dims, norm_mu, is_zero, is_outlier).
+
+    Plan: one map-side projection + ONE one-row aggregate broadcast back —
+    no shuffle of the vector table itself."""
+    v = to_double_array(F.col(vec_col))
+    per = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.size(v).cast("long").alias("dims"),
+        F.round(l2norm_expr(v) * 1000).cast("long").alias("norm_mu"),
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("norm_mu").alias("_s"),
+        F.sum(F.col("norm_mu") * F.col("norm_mu")).alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            "dims",
+            "norm_mu",
+            (F.col("norm_mu") == 0).alias("is_zero"),
+            (
+                F.abs(F.col("norm_mu").cast("double") - mean)
+                > F.lit(z_threshold) * std
+            ).alias("is_outlier"),
+        )
+        .orderBy("id")
+    )
+
+
+def sql_embedding_hygiene(
+    z_threshold: float = 3.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    table: str = "embeddings",
+) -> str:
+    from connapse_spark.functions.vector import sql_norm
+
+    nm = f"CAST(round({sql_norm(f'CAST({vec_col} AS DOUBLE[])')} * 1000) AS BIGINT)"
+    return f"""
+WITH per AS (
+  SELECT {id_col} AS id, CAST(len({vec_col}) AS BIGINT) AS dims, {nm} AS norm_mu
+  FROM {table}
+),
+st AS (
+  SELECT count(*) AS n, CAST(sum(norm_mu) AS BIGINT) AS s,
+         CAST(sum(norm_mu * norm_mu) AS BIGINT) AS ss
+  FROM per
+),
+m AS (
+  SELECT n, CAST(s AS DOUBLE) / n AS mean,
+         sqrt(greatest(CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS std
+  FROM st
+)
+SELECT id, dims, norm_mu,
+       norm_mu = 0 AS is_zero,
+       abs(CAST(norm_mu AS DOUBLE) - mean) > {z_threshold!r} * std AS is_outlier
+FROM per, m ORDER BY id
+""".strip()

@@ -778,3 +778,17 @@ def test_props_extract_permissive_on_malformed_json(spark):
     assert len(out) == 1
     r = out[0]
     assert r["n_with_k"] == 1 and r["k_sum"] == 7
+
+
+def test_embedding_hygiene_flags_planted_defects(spark):
+    from connapse_spark.operators import similarity
+
+    rows = [(i, [0.1 * ((i + j) % 7) for j in range(8)]) for i in range(50)]
+    rows.append((100, [0.0] * 8))                 # zero vector
+    rows.append((101, [100.0] * 8))               # norm outlier
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r for r in similarity.embedding_hygiene(df).collect()}
+    assert out[100]["is_zero"] and out[100]["norm_mu"] == 0
+    assert out[101]["is_outlier"]
+    normal_flags = [out[i]["is_outlier"] for i in range(50)]
+    assert sum(normal_flags) == 0
