@@ -42,6 +42,7 @@ from connapse_spark.operators.search import (
     hybrid_search_onepass,
     keyword_search,
     keyword_search_bm25,
+    keyword_search_snippets,
     keyword_search_proximity,
     keyword_search_websearch,
     rerank,
@@ -49,6 +50,7 @@ from connapse_spark.operators.search import (
     sql_keyword_bm25,
     window_substitution,
     sql_keyword_proximity,
+    sql_keyword_search_snippets,
     sql_keyword_websearch,
 )
 from connapse_spark.plans import ivf, pq, zorder
@@ -378,6 +380,14 @@ def q_quality_logit(spark, sf_dir):
     the hard gopher_filter gate (textstats.quality_score_linear)."""
     return textstats.quality_score_linear(_t(spark, sf_dir, "documents")).orderBy(
         "doc_id"
+    )
+
+
+def q_keyword_snippets(spark, sf_dir):
+    """Keyword top-k with result excerpts (earliest-term char window) —
+    the result-list rendering surface (search.keyword_search_snippets)."""
+    return keyword_search_snippets(
+        _t(spark, sf_dir, "documents"), SEARCH_QUERY, k=10
     )
 
 
@@ -1816,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card": q_dataset_card,  # new: one-row corpus-health summary
         "props_extract": q_props_extract,  # new: typed JSON payload extraction
         "embedding_hygiene": q_embedding_hygiene,  # new: vector-table QA screen
+        "keyword_snippets": q_keyword_snippets,  # new: result excerpts
         "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
         "corpus_curate": q_corpus_curate,  # new: composed curation verdict
         "zorder_key": q_zorder_key,  # new: multi-column clustering key
@@ -2016,6 +2027,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_card": _sql_dataset_card(),
         "props_extract": events.sql_props_extract_agg(),
         "embedding_hygiene": similarity.sql_embedding_hygiene(),
+        "keyword_snippets": sql_keyword_search_snippets(SEARCH_QUERY, k=10),
         "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.

@@ -1345,3 +1345,86 @@ def vector_knn_quantized(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def keyword_search_snippets(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    radius: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k keyword hits with a result EXCERPT: a 2·``radius``-char window
+    starting just before the earliest occurrence of any query term
+    (case-insensitive; earliest-match policy — a ts_headline-style
+    best-fragment ranker would layer the proximity machinery on top, this
+    is the fast default every result list renders).
+
+    Output: (id, score, match_pos, excerpt) — match_pos is the 1-based
+    char position of the earliest term (0 = no literal occurrence; the
+    excerpt then starts at the beginning).
+
+    Plan: the ranking is exactly keyword_search's; the excerpt is one
+    map-side projection over the ≤k winning rows AFTER the limit — zero
+    extra corpus scans beyond re-fetching the k winners' text."""
+    terms, _ = _query_term_pairs(query)
+    hits = keyword_search(docs, query, k=k, id_col=id_col, text_col=text_col)
+    with_text = hits.join(docs.select(F.col(id_col), F.col(text_col)), id_col)
+    low = F.lower(F.col(text_col))
+    sentinel = 2_147_483_647
+    if terms:
+        raw = F.least(
+            *[
+                F.when(F.instr(low, t) > 0, F.instr(low, t)).otherwise(
+                    F.lit(sentinel)
+                )
+                for t in sorted(set(terms))
+            ]
+        )
+    else:
+        raw = F.lit(sentinel)
+    pos = F.when(raw == sentinel, F.lit(0)).otherwise(raw).cast("int")
+    return (
+        with_text.withColumn("_pos", pos)
+        .select(
+            F.col(id_col),
+            F.col("score"),
+            F.col("_pos").cast("long").alias("match_pos"),
+            F.expr(
+                f"substring({text_col}, greatest(_pos - {radius}, 1), {2 * radius})"
+            ).alias("excerpt"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+    )
+
+
+def sql_keyword_search_snippets(
+    query: str,
+    k: int = 10,
+    radius: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from connapse_spark import oracle
+
+    terms, _ = _query_term_pairs(query)
+    pos_terms = ", ".join(
+        f"CASE WHEN strpos(lower(d.{text_col}), '{t}') > 0 "
+        f"THEN strpos(lower(d.{text_col}), '{t}') ELSE 2147483647 END"
+        for t in sorted(set(terms))
+    )
+    return f"""
+WITH hits AS ({oracle.keyword_sql(query, k=k)}),
+j AS (
+  SELECT hits.{id_col}, hits.score, d.{text_col},
+         least({pos_terms}) AS rawpos
+  FROM hits JOIN documents d ON hits.{id_col} = d.{id_col}
+)
+SELECT {id_col}, score,
+       CAST(CASE WHEN rawpos = 2147483647 THEN 0 ELSE rawpos END AS BIGINT) AS match_pos,
+       substring({text_col},
+                 greatest((CASE WHEN rawpos = 2147483647 THEN 0 ELSE rawpos END) - {radius}, 1),
+                 {2 * radius}) AS excerpt
+FROM j ORDER BY score DESC, {id_col}
+""".strip()
