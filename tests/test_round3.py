@@ -792,3 +792,104 @@ def test_embedding_hygiene_flags_planted_defects(spark):
     assert out[101]["is_outlier"]
     normal_flags = [out[i]["is_outlier"] for i in range(50)]
     assert sum(normal_flags) == 0
+
+
+def test_funnel_matches_python_reference_bulk(spark):
+    """200 random events, one Spark job vs a brute-force python funnel."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(31)
+    t0 = datetime(2024, 1, 1)
+    types = ["view", "click", "purchase", "error"]
+    rows = [
+        (i, t0 + timedelta(minutes=rng.randrange(10_000)), rng.randrange(30),
+         rng.choice(types), 0.0, "{}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["step"]: r["n_users"] for r in events.funnel_analysis(df).collect()}
+
+    by_user = {}
+    for _, ts, uid, et, _, _ in rows:
+        by_user.setdefault(uid, []).append((ts, et))
+    steps = ("view", "click", "purchase")
+    counts = []
+    reach_prev = {}
+    for si, s in enumerate(steps):
+        reach = {}
+        for uid, evs in by_user.items():
+            if si and uid not in reach_prev:
+                continue
+            cand = [ts for ts, et in evs if et == s and (not si or ts > reach_prev[uid])]
+            if cand:
+                reach[uid] = min(cand)
+        counts.append(len(reach))
+        reach_prev = reach
+    assert [got[s] for s in steps] == counts
+
+
+def test_retention_matches_python_reference_bulk(spark):
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(37)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(hours=rng.randrange(24 * 60)), rng.randrange(25),
+         "view", 0.0, "{}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {
+        (r["cohort_bucket"], r["bucket_offset"]): (r["n_active"], r["cohort_size"])
+        for r in events.retention_cohorts(df).collect()
+    }
+    WEEK_US = 604_800_000_000
+    ep = lambda ts: int(ts.timestamp() * 1_000_000)
+    user_buckets = {}
+    for _, ts, uid, _, _, _ in rows:
+        user_buckets.setdefault(uid, set()).add(ep(ts) // WEEK_US)
+    cohort = {u: min(bs) for u, bs in user_buckets.items()}
+    sizes = {}
+    for u, c in cohort.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    expect = {}
+    for u, bs in user_buckets.items():
+        c = cohort[u]
+        for b in bs:
+            off = b - c
+            if off <= 8:
+                k = (c, off)
+                expect[k] = expect.get(k, 0) + 1
+    assert set(got) == set(expect)
+    for k, n in expect.items():
+        assert got[k] == (n, sizes[k[0]]), k
+
+
+def test_text_operators_survive_adversarial_inputs(spark):
+    """Empty strings, one giant token, unicode, nulls — the text family
+    must classify, never crash."""
+    from connapse_spark.operators import dedup, textstats
+
+    rows = [
+        (1, ""),
+        (2, "x" * 5000),                      # one giant token
+        (3, "héllo wörld ünïcode çafé " * 10),
+        (4, None),
+        (5, "  \n\t  "),
+        (6, "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").fillna({"text": ""})
+    assert textstats.quality_stats(docs).count() == 6
+    assert textstats.gopher_filter(docs).count() == 6
+    assert textstats.quality_score_linear(docs).count() == 6
+    assert dedup.exact_dedup(docs).count() == 6
+    assert dedup.cdc_chunks_fast(docs).count() >= 4  # empty docs yield none
+    bl = spark.createDataFrame([("x y z",)], "s string")
+    assert dedup.bloom_contamination_check(docs, bl).count() == 6
+    assert textstats.bpe_merge_candidates(docs, k=5).count() <= 5
