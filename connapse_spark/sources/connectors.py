@@ -192,3 +192,108 @@ def test_llm_provider(complete_fn=None, probe_prompt: str = "ping") -> dict:
         return _result(
             False, f"Provider call failed: {type(ex).__name__}", {"error": str(ex)}, t0
         )
+
+
+# ---------------------------------------------------------------------------
+# S2/S4 executable path: boto3 S3 object connector (runs against any
+# S3-compatible endpoint — AWS, MinIO, or the moto test server, exactly the
+# LocalStack role in the reference's integration tests,
+# tests/Connapse.Integration.Tests/LocalStackFixture.cs)
+# ---------------------------------------------------------------------------
+
+
+def s3_client(endpoint_url: str | None = None, region: str = "us-east-1"):
+    """boto3 client factory; credentials resolve from the environment the
+    standard way (explicit test creds against local endpoints)."""
+    import boto3
+
+    kwargs = {"region_name": region}
+    if endpoint_url:
+        kwargs.update(
+            endpoint_url=endpoint_url,
+            aws_access_key_id=os.environ.get("AWS_ACCESS_KEY_ID", "test"),
+            aws_secret_access_key=os.environ.get("AWS_SECRET_ACCESS_KEY", "test"),
+        )
+    return boto3.client("s3", **kwargs)
+
+
+def s3_list_objects(
+    spark: SparkSession,
+    bucket: str,
+    prefix: str = "",
+    endpoint_url: str | None = None,
+    max_keys: int = 100_000,
+) -> DataFrame:
+    """ListFilesAsync against a real S3 API (S3Connector.cs:78-108's
+    paginated loop): driver-side paginator → (path, size_bytes,
+    last_modified) frame. Listings are metadata (tiny vs the objects);
+    ``max_keys`` guards the driver exactly like knn_join's query cap — at
+    true data-lake scale the s3a/binaryFile path (Hadoop's distributed
+    listing) or an S3 Inventory manifest replaces this, and everything
+    downstream is unchanged (same columns)."""
+    c = s3_client(endpoint_url)
+    rows, token = [], None
+    while len(rows) < max_keys:
+        kw = {"Bucket": bucket, "Prefix": prefix, "MaxKeys": 1000}
+        if token:
+            kw["ContinuationToken"] = token
+        resp = c.list_objects_v2(**kw)
+        for o in resp.get("Contents", []):
+            rows.append((f"s3://{bucket}/{o['Key']}", int(o["Size"]),
+                         o["LastModified"].isoformat()))
+        if not resp.get("IsTruncated"):
+            break
+        token = resp.get("NextContinuationToken")
+    if len(rows) >= max_keys:
+        raise ValueError(
+            f"s3_list_objects: listing exceeded max_keys={max_keys}; "
+            "use the s3a/binaryFile path or an S3 Inventory manifest"
+        )
+    return spark.createDataFrame(
+        rows, "path string, size_bytes long, last_modified string"
+    )
+
+
+def s3_read_objects(
+    listing: DataFrame,
+    endpoint_url: str | None = None,
+) -> DataFrame:
+    """ReadFileAsync, distributed: the listing's keys fan out over
+    executors and each partition GETs its objects with its own boto3
+    client (created per partition, NOT serialized from the driver),
+    yielding (path, content binary) Arrow batches — the exact input schema
+    of parsers.parse_text_documents / parse_binary_documents, so
+    S3 → parse → chunk → embed is one lazy plan.
+
+    Scale: repartition the listing by size-balanced ranges for even fetch
+    load; throughput is per-executor-connection bound, the same regime as
+    Hadoop's s3a readers. Object bytes never pass through the driver."""
+    import pandas as pd
+
+    ep = endpoint_url
+
+    def fetch(batches):
+        c = None
+        for pdf in batches:
+            if c is None:
+                import boto3
+
+                kwargs = {"region_name": "us-east-1"}
+                if ep:
+                    kwargs.update(
+                        endpoint_url=ep,
+                        aws_access_key_id=os.environ.get("AWS_ACCESS_KEY_ID", "test"),
+                        aws_secret_access_key=os.environ.get(
+                            "AWS_SECRET_ACCESS_KEY", "test"
+                        ),
+                    )
+                c = boto3.client("s3", **kwargs)
+            paths, bodies = [], []
+            for p in pdf["path"]:
+                assert p.startswith("s3://")
+                bucket, key = p[5:].split("/", 1)
+                bodies.append(c.get_object(Bucket=bucket, Key=key)["Body"].read())
+                paths.append(p)
+            yield pd.DataFrame({"path": paths, "content": bodies})
+
+    return listing.select("path").mapInPandas(fetch, "path string, content binary")

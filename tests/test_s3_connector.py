@@ -1,0 +1,80 @@
+"""Executable S2 path: the boto3 S3 connector against a moto server —
+the LocalStack role the reference's integration tests play
+(tests/Connapse.Integration.Tests/LocalStackFixture.cs). The server runs
+in its own thread with a real HTTP port, so Spark EXECUTOR processes (not
+just the driver) hit the S3 API — a genuine distributed fetch."""
+
+import pytest
+from pyspark.sql import functions as F
+
+moto = pytest.importorskip("moto.server")
+
+from connapse_spark.sources import connectors
+
+
+@pytest.fixture(scope="module")
+def s3_env():
+    from moto.server import ThreadedMotoServer
+
+    srv = ThreadedMotoServer(port=0)
+    srv.start()
+    port = srv._server.socket.getsockname()[1]
+    ep = f"http://127.0.0.1:{port}"
+    c = connectors.s3_client(ep)
+    c.create_bucket(Bucket="corpus")
+    docs = {
+        f"docs/doc{i}.txt": f"hello s3 document {i} with some text body".encode()
+        for i in range(12)
+    }
+    docs["other/skip.txt"] = b"outside the prefix"
+    for k, body in docs.items():
+        c.put_object(Bucket="corpus", Key=k, Body=body)
+    yield ep, docs
+    srv.stop()
+
+
+def test_s3_list_prefix_pruning(spark, s3_env):
+    ep, docs = s3_env
+    listing = connectors.s3_list_objects(spark, "corpus", prefix="docs/", endpoint_url=ep)
+    rows = listing.collect()
+    assert len(rows) == 12
+    assert all(r["path"].startswith("s3://corpus/docs/") for r in rows)
+    sizes = {r["path"]: r["size_bytes"] for r in rows}
+    assert sizes["s3://corpus/docs/doc0.txt"] == len(docs["docs/doc0.txt"])
+
+
+def test_s3_read_objects_distributed_roundtrip(spark, s3_env):
+    ep, docs = s3_env
+    listing = connectors.s3_list_objects(spark, "corpus", prefix="docs/", endpoint_url=ep)
+    # >1 partition so the fetch provably runs in executor workers
+    fetched = connectors.s3_read_objects(listing.repartition(3), endpoint_url=ep)
+    got = {r["path"]: bytes(r["content"]) for r in fetched.collect()}
+    assert got == {f"s3://corpus/{k}": v for k, v in docs.items() if k.startswith("docs/")}
+
+
+def test_s3_to_parse_pipeline(spark, s3_env):
+    """S3 → decode → text-parse: the connector output feeds the P1 parser
+    unchanged — the upload→searchable path with a cloud source."""
+    from connapse_spark.sources import parsers
+
+    ep, _ = s3_env
+    listing = connectors.s3_list_objects(spark, "corpus", prefix="docs/", endpoint_url=ep)
+    raw = connectors.s3_read_objects(listing, endpoint_url=ep)
+    texts = raw.select(
+        F.col("path"), F.decode(F.col("content"), "UTF-8").alias("text")
+    )
+    parsed = parsers.parse_text_documents(
+        texts.select(F.col("path"), F.col("text"))
+    )
+    rows = parsed.collect()
+    assert len(rows) == 12
+    assert all("hello s3 document" in r["text"] for r in rows)
+    assert all(r["file_type"] == ".txt" for r in rows)
+
+
+def test_s3_list_guard_raises_over_cap(spark, s3_env):
+    ep, _ = s3_env
+    with pytest.raises(ValueError, match="max_keys"):
+        connectors.s3_list_objects(
+            spark, "corpus", prefix="docs/", endpoint_url=ep, max_keys=5
+        )
