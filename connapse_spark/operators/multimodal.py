@@ -59,11 +59,106 @@ def synthesize_media(docs: DataFrame, modality: str = "image") -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs for uncompressed formats (numpy-only — no image libraries
+# needed): PPM P6 and 24-bit BMP. Compressed formats (JPEG/PNG/…) still
+# route to the labeled stub until Pillow is installable; the dispatch below
+# is exactly where it slots in.
+# ---------------------------------------------------------------------------
+
+
+def decode_image_array(blob: bytes):
+    """(H, W, 3) uint8 array for PPM-P6 / BMP-24 payloads, else (None, err).
+    err is None on success, 'UnsupportedFormat' for unknown magics, or a
+    parse error string for corrupt payloads of a supported format."""
+    import numpy as np
+
+    if blob[:2] == b"P6":
+        try:
+            # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+            parts, i, vals = [], 2, []
+            while len(vals) < 3:
+                while i < len(blob) and blob[i : i + 1].isspace():
+                    i += 1
+                if blob[i : i + 1] == b"#":  # comment line
+                    while i < len(blob) and blob[i : i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while j < len(blob) and not blob[j : j + 1].isspace():
+                    j += 1
+                vals.append(int(blob[i:j]))
+                i = j
+            i += 1  # the single whitespace after maxval
+            w, h, maxval = vals
+            if maxval != 255:
+                return None, "UnsupportedMaxval"
+            need = w * h * 3
+            data = np.frombuffer(blob, np.uint8, count=need, offset=i)
+            return data.reshape(h, w, 3), None
+        except Exception as e:  # corrupt header/short payload
+            return None, f"PpmParseError:{type(e).__name__}"
+    if blob[:2] == b"BM":
+        try:
+            off = int.from_bytes(blob[10:14], "little")
+            w = int.from_bytes(blob[18:22], "little", signed=True)
+            h = int.from_bytes(blob[22:26], "little", signed=True)
+            bpp = int.from_bytes(blob[28:30], "little")
+            if bpp != 24:
+                return None, "UnsupportedBitDepth"
+            row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+            rows = []
+            for r in range(abs(h)):
+                start = off + r * row_bytes
+                row = np.frombuffer(blob, np.uint8, count=w * 3, offset=start)
+                rows.append(row.reshape(w, 3)[:, ::-1])  # BGR -> RGB
+            arr = np.stack(rows)
+            if h > 0:
+                arr = arr[::-1]  # bottom-up storage
+            return arr, None
+        except Exception as e:
+            return None, f"BmpParseError:{type(e).__name__}"
+    return None, "UnsupportedFormat"
+
+
+def encode_ppm(arr) -> bytes:
+    """(H, W, 3) uint8 -> PPM P6 bytes — the stdlib-only re-encode for the
+    real resize path."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def _average_hash(arr) -> str:
+    """Real 64-bit average hash: 8x8 block-mean downsample of the luma
+    plane, threshold at its mean, bits packed row-major to hex."""
+    import numpy as np
+
+    luma = (
+        0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    )
+    h, w = luma.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    ye = np.append(ys[1:], h)
+    xe = np.append(xs[1:], w)
+    small = np.array(
+        [[luma[ys[i]:ye[i], xs[j]:xe[j]].mean() for j in range(8)] for i in range(8)]
+    )
+    bits = (small > small.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return f"{v:016x}"
+
+
 def extract_image_features(media: DataFrame) -> DataFrame:
-    """Decode + feature-extract via mapInPandas. STUB decode: real impl
-    opens ``content`` with Pillow and computes real stats; the stub derives
-    deterministic pseudo-features from the bytes so shapes and determinism
-    are testable."""
+    """Decode + feature-extract via mapInPandas. REAL decode for PPM-P6 and
+    BMP-24 (decode_image_array — numpy only, no codec libs): true dims,
+    mean luma, and a real 8x8 average-hash. Compressed formats fall
+    through to the labeled deterministic stub until Pillow lands — same
+    output schema either way, so swapping the stub touches nothing else."""
 
     def _decode_image_stub(blob: bytes) -> tuple[int, int, int, float, str, str | None]:
         if not blob:
@@ -74,11 +169,24 @@ def extract_image_features(media: DataFrame) -> DataFrame:
         phash = hashlib.sha256(b"phash" + blob).hexdigest()[:16]
         return w, h, 3, luma, phash, None
 
+    def _decode(blob: bytes):
+        arr, err = decode_image_array(blob) if blob else (None, "EmptyPayload")
+        if arr is not None:
+            h, w = arr.shape[:2]
+            luma = float(
+                (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]).mean()
+                / 255.0
+            )
+            return w, h, 3, luma, _average_hash(arr), None
+        if err in ("UnsupportedFormat",):
+            return _decode_image_stub(blob)  # compressed formats: stub tier
+        return 0, 0, 0, 0.0, "", err
+
     def _extract(batches):
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                w, h, c, luma, phash, err = _decode_image_stub(bytes(blob or b""))
+                w, h, c, luma, phash, err = _decode(bytes(blob or b""))
                 rows.append((mid, w, h, c, luma, phash, err))
             yield pd.DataFrame(
                 rows,
@@ -92,17 +200,28 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize stage. STUB kernel: truncates the payload proportionally to the
-    area ratio (real impl: Pillow thumbnail + re-encode). Aspect ratio
-    preserved; output dims are exact."""
+    """Resize stage. REAL nearest-neighbor resize + PPM re-encode for
+    decodable payloads (numpy index slicing — the thumbnail kernel);
+    the size-proportional stub remains for compressed formats."""
 
     def _resize(batches):
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for mid, w, h, blob in zip(
                 pdf["media_id"], pdf["width"], pdf["height"], pdf["content"]
             ):
                 blob = bytes(blob or b"")
+                arr, _err = decode_image_array(blob) if blob else (None, "EmptyPayload")
+                if arr is not None:
+                    ah, aw = arr.shape[:2]
+                    scale = min(1.0, max_side / max(1, max(aw, ah)))
+                    nw, nh = max(1, int(aw * scale)), max(1, int(ah * scale))
+                    yi = (np.arange(nh) * ah) // nh
+                    xi = (np.arange(nw) * aw) // nw
+                    rows.append((mid, nw, nh, encode_ppm(arr[yi][:, xi])))
+                    continue
                 scale = min(1.0, max_side / max(1, max(w, h)))
                 nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
                 keep = max(1, int(len(blob) * (nw * nh) / max(1, w * h)))

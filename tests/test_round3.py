@@ -893,3 +893,34 @@ def test_text_operators_survive_adversarial_inputs(spark):
     bl = spark.createDataFrame([("x y z",)], "s string")
     assert dedup.bloom_contamination_check(docs, bl).count() == 6
     assert textstats.bpe_merge_candidates(docs, k=5).count() <= 5
+
+
+def test_multimodal_real_ppm_decode_through_spark(spark):
+    """The REAL codec tier: PPM payloads decode to true dims/luma/ahash in
+    the mapInPandas stage; unknown magics still route to the stub."""
+    import numpy as np
+
+    from connapse_spark.operators import multimodal as mm
+
+    arr = np.zeros((16, 24, 3), dtype=np.uint8)
+    arr[:8, :, :] = 255  # top half white -> ahash split, luma 0.5-ish
+    ppm = mm.encode_ppm(arr)
+    rows = [
+        (1, "image", bytearray(ppm), "image/x-ppm", 0, 0, 0),
+        (2, "image", bytearray(b"\x89PNG fake compressed"), "image/png", 0, 0, 0),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.extract_image_features(media).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (24, 16)
+    assert abs(out[1]["mean_luma"] - 0.5) < 0.01
+    assert out[1]["decode_error"] is None
+    assert out[1]["phash"] == "ffffffff00000000"  # top rows bright
+    assert out[2]["width"] > 0  # stub tier still classifies
+
+    resized = {r["media_id"]: r for r in mm.resize_images(
+        media.withColumn("width", F.lit(24)).withColumn("height", F.lit(16)),
+        max_side=8,
+    ).collect()}
+    assert (resized[1]["width"], resized[1]["height"]) == (8, 5)
+    dec, err = mm.decode_image_array(bytes(resized[1]["content"]))
+    assert err is None and dec.shape == (5, 8, 3)
