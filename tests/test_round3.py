@@ -924,3 +924,29 @@ def test_multimodal_real_ppm_decode_through_spark(spark):
     assert (resized[1]["width"], resized[1]["height"]) == (8, 5)
     dec, err = mm.decode_image_array(bytes(resized[1]["content"]))
     assert err is None and dec.shape == (5, 8, 3)
+
+
+def test_multimodal_real_wav_decode_through_spark(spark):
+    import math
+
+    import numpy as np
+
+    from connapse_spark.operators import multimodal as mm
+
+    sr = 8000
+    t = np.arange(sr)  # 1 second
+    sine = 0.5 * np.sin(2 * math.pi * 440 * t / sr)
+    wav = mm.encode_wav(sine, sr)
+    rows = [
+        (1, "audio", bytearray(wav), "audio/wav", 0, 0, 1000),
+        (2, "audio", bytearray(b"not audio"), "audio/mp3", 0, 0, 0),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.extract_audio_features(media).collect()}
+    assert out[1]["decode_error"] is None
+    assert out[1]["sample_rate"] == sr and out[1]["duration_ms"] == 1000
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2)
+    assert abs(out[1]["rms"] - 0.5 / math.sqrt(2)) < 0.01
+    # 440 Hz crosses zero ~880x per second -> rate ~ 880/8000
+    assert abs(out[1]["zero_cross_rate"] - 880 / sr) < 0.02
+    assert out[2]["decode_error"] == "UnsupportedFormat"
