@@ -233,17 +233,60 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     )
 
 
+def parse_y4m(blob: bytes):
+    """(frames, fps) for an uncompressed YUV4MPEG2 stream (4:2:0): list of
+    raw YUV frame payloads plus the header frame rate. (None, 0.0, err)
+    otherwise — the pyav slot for compressed containers."""
+    if not blob.startswith(b"YUV4MPEG2"):
+        return None, 0.0, "UnsupportedFormat"
+    try:
+        nl = blob.index(b"\n")
+        header = blob[:nl].decode("ascii", "replace").split(" ")
+        w = h = 0
+        num, den = 30, 1
+        for tok in header[1:]:
+            if tok.startswith("W"):
+                w = int(tok[1:])
+            elif tok.startswith("H"):
+                h = int(tok[1:])
+            elif tok.startswith("F"):
+                num, den = (int(x) for x in tok[1:].split(":"))
+        frame_bytes = w * h * 3 // 2  # 4:2:0
+        frames, i = [], nl + 1
+        while i < len(blob):
+            if not blob[i:].startswith(b"FRAME"):
+                return None, 0.0, "Y4mParseError:BadFrameMarker"
+            j = blob.index(b"\n", i)
+            frames.append(blob[j + 1 : j + 1 + frame_bytes])
+            i = j + 1 + frame_bytes
+        return frames, num / den, None
+    except Exception as e:
+        return None, 0.0, f"Y4mParseError:{type(e).__name__}"
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
-    """Frame sampling for video rows. STUB kernel: slices the payload into
-    per-frame chunks at the sampling timestamps (real impl: pyav keyframe
-    seek). Output: one row per sampled frame — the explode shape downstream
-    vision models consume."""
+    """Frame sampling for video rows. REAL tier for uncompressed YUV4MPEG2
+    (parse_y4m — stdlib only): frames at the true timestamps nearest each
+    sampling instant, raw YUV payloads out. Compressed containers use the
+    labeled size-proportional stub until pyav lands. Output: one row per
+    sampled frame — the explode shape downstream vision models consume."""
 
     def _sample(batches):
         for pdf in batches:
             rows = []
             for mid, dur, blob in zip(pdf["media_id"], pdf["duration_ms"], pdf["content"]):
                 blob = bytes(blob or b"")
+                frames, fps, err = parse_y4m(blob) if blob else (None, 0.0, "EmptyPayload")
+                if frames is not None and fps > 0:
+                    total_ms = len(frames) * 1000 / fps
+                    # instants strictly inside [0, total): the stream has no
+                    # frame AT its end timestamp
+                    n = min(max_frames, max(1, -(-int(total_ms) // every_ms)))
+                    for i in range(n):
+                        ts = i * every_ms
+                        fi = min(len(frames) - 1, int(ts * fps / 1000))
+                        rows.append((mid, i, ts, frames[fi]))
+                    continue
                 n = min(max_frames, max(1, int(dur) // every_ms + 1))
                 step = max(1, len(blob) // n)
                 for i in range(n):

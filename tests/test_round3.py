@@ -950,3 +950,27 @@ def test_multimodal_real_wav_decode_through_spark(spark):
     # 440 Hz crosses zero ~880x per second -> rate ~ 880/8000
     assert abs(out[1]["zero_cross_rate"] - 880 / sr) < 0.02
     assert out[2]["decode_error"] == "UnsupportedFormat"
+
+
+def test_multimodal_real_y4m_frame_sampling(spark):
+    from connapse_spark.operators import multimodal as mm
+
+    w, h, fps = 4, 4, 2  # 24-byte frames, 2 fps
+    fsz = w * h * 3 // 2
+    frames = [bytes([i]) * fsz for i in range(6)]  # 3 seconds of video
+    blob = b"YUV4MPEG2 W4 H4 F2:1 Ip A1:1 C420\n" + b"".join(
+        b"FRAME\n" + f for f in frames
+    )
+    parsed, got_fps, err = mm.parse_y4m(blob)
+    assert err is None and got_fps == 2.0 and len(parsed) == 6
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(blob), "video/x-y4m", w, h, 3000)], mm.MEDIA_SCHEMA
+    )
+    out = sorted(
+        mm.sample_frames(media, every_ms=1000, max_frames=8).collect(),
+        key=lambda r: r["frame_index"],
+    )
+    # 3s at 1s sampling -> ts 0,1000,2000 -> true frames 0, 2, 4
+    assert [r["ts_ms"] for r in out] == [0, 1000, 2000]
+    assert [bytes(r["frame"])[0] for r in out] == [0, 2, 4]
