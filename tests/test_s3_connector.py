@@ -78,3 +78,42 @@ def test_s3_list_guard_raises_over_cap(spark, s3_env):
         connectors.s3_list_objects(
             spark, "corpus", prefix="docs/", endpoint_url=ep, max_keys=5
         )
+
+
+def test_s3_poll_cycle_drives_sync_delta(spark, s3_env):
+    """The reference's cloud change-capture (M2 poll + delta sets,
+    ConnectorWatcherService.cs:426-549), EXECUTED against the live S3 API:
+    poll 1 lists the bucket; objects are then added, modified, and
+    deleted; poll 2's listing + the poll-1 snapshot feed sync_delta and
+    must classify every path correctly."""
+    from connapse_spark.operators.maintenance import sync_delta
+
+    ep, _ = s3_env
+    c = connectors.s3_client(ep)
+    c.put_object(Bucket="corpus", Key="sync/a.txt", Body=b"version one")
+    c.put_object(Bucket="corpus", Key="sync/b.txt", Body=b"stays the same")
+    c.put_object(Bucket="corpus", Key="sync/c.txt", Body=b"will be deleted")
+
+    snap1 = connectors.s3_list_objects(spark, "corpus", prefix="sync/", endpoint_url=ep)
+    snap1_rows = snap1.collect()  # materialize before mutating the bucket
+    snap1 = spark.createDataFrame(snap1_rows, snap1.schema)
+
+    import time as _time
+
+    _time.sleep(1.1)  # S3 mtime granularity is seconds
+    c.put_object(Bucket="corpus", Key="sync/a.txt", Body=b"version two, longer")
+    c.delete_object(Bucket="corpus", Key="sync/c.txt")
+    c.put_object(Bucket="corpus", Key="sync/d.txt", Body=b"brand new")
+
+    remote = connectors.s3_list_objects(spark, "corpus", prefix="sync/", endpoint_url=ep)
+    catalog = snap1.select("path")  # poll-1 state is what's indexed
+    delta = {
+        r["path"]: r["action"]
+        for r in sync_delta(remote, catalog, snap1).collect()
+        if r["action"] != "none"
+    }
+    assert delta == {
+        "s3://corpus/sync/a.txt": "update",
+        "s3://corpus/sync/c.txt": "delete",
+        "s3://corpus/sync/d.txt": "create",
+    }
