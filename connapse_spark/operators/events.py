@@ -318,7 +318,9 @@ def funnel_analysis(
         )
     # fully lazy: k tiny per-step aggregates union into ONE k-row frame;
     # rates come from a window over those k rows (no driver-side counts,
-    # so plan-only consumers run zero jobs)
+    # so plan-only consumers run zero jobs). The unpartitioned window is
+    # deliberate and safe: its input is exactly k = len(steps) rows (one
+    # per funnel step), never corpus-sized.
     tagged = reduce(lambda a, b: a.unionByName(b), reach)
     counts = tagged.groupBy("step_idx", "step").agg(
         F.count(F.lit(1)).alias("n_users")
