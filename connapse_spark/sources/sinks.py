@@ -252,3 +252,81 @@ def write_training_shards(
         .partitionBy("shard")
         .json(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (OPTIMIZE-style maintenance for written layouts)
+# ---------------------------------------------------------------------------
+
+
+def list_data_files(spark: SparkSession, path: str) -> DataFrame:
+    """(dir, file, size_bytes) for every parquet data file under ``path``
+    (one level of partition dirs supported) — the input a compaction pass
+    plans over. Local/driver listing here; at lake scale the listing comes
+    from the table format's manifest (Delta/Iceberg) or the connector
+    listing (connectors.s3_list_objects) — same columns either way."""
+    import os
+
+    rows = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                rows.append(
+                    (os.path.relpath(root, path), f, os.path.getsize(full))
+                )
+    return spark.createDataFrame(rows, "dir string, file string, size_bytes long")
+
+
+def compaction_plan(
+    listing: DataFrame, target_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """OPTIMIZE-style bin packing: within each directory (= partition),
+    order files by name and cut merge groups at ``target_bytes`` via an
+    exclusive cumulative sum — the same integer window math as
+    pack_sequences. Files already ≥ target form singleton groups naturally.
+
+    Output: (dir, group, n_files, group_bytes) — one row per planned
+    output file; execute with ``compact_group`` per (dir, group).
+
+    Why it matters at 100 TB: streaming/append ingest produces file counts
+    that grow without bound, and scan/listing overhead grows with FILES,
+    not bytes — periodic compaction is what keeps the layout-as-index
+    properties (pruning, co-location) effective. The plan itself is one
+    window over the metadata listing — no data IO."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("dir")
+        .orderBy("file")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+    grouped = listing.withColumn("group", (start / target_bytes).cast("bigint"))
+    return (
+        grouped.groupBy("dir", "group")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size_bytes").alias("group_bytes"),
+        )
+        .orderBy("dir", "group")
+    )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Execute a compaction pass: rewrite ``path`` into ``out_path`` with
+    one output file per planned group (repartitionByRange on the plan's
+    group count). Returns the planned output file count. Rewrite-to-new-
+    location keeps the operation atomic-by-rename for plain parquet
+    layouts (a table format would commit a manifest swap instead)."""
+    listing = list_data_files(spark, path)
+    plan = compaction_plan(listing, target_bytes)
+    n_groups = plan.count()
+    df = spark.read.parquet(path)
+    df.repartition(max(1, n_groups)).write.mode("overwrite").parquet(out_path)
+    return n_groups

@@ -974,3 +974,26 @@ def test_multimodal_real_y4m_frame_sampling(spark):
     # 3s at 1s sampling -> ts 0,1000,2000 -> true frames 0, 2, 4
     assert [r["ts_ms"] for r in out] == [0, 1000, 2000]
     assert [bytes(r["frame"])[0] for r in out] == [0, 2, 4]
+
+
+def test_compaction_plan_and_execute(spark, sf_dir, tmp_path):
+    from connapse_spark.sources import sinks
+
+    src = str(tmp_path / "many")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders.repartition(24).write.parquet(src)  # deliberately fragmented
+    listing = sinks.list_data_files(spark, src)
+    n_files = listing.count()
+    assert n_files >= 24
+    total = listing.agg(F.sum("size_bytes")).collect()[0][0]
+    target = total // 3 + 1
+    plan = sinks.compaction_plan(listing, target_bytes=target)
+    rows = plan.collect()
+    # groups tile the listing and respect the target except singletons
+    assert sum(r["n_files"] for r in rows) == n_files
+    assert 3 <= len(rows) <= 5
+    out = str(tmp_path / "compacted")
+    n_groups = sinks.compact(spark, src, out, target_bytes=target)
+    compacted = sinks.list_data_files(spark, out)
+    assert compacted.count() == n_groups
+    assert spark.read.parquet(out).count() == orders.count()
