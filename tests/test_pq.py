@@ -146,3 +146,26 @@ def test_ivfpq_probe_plan_no_corpus_shuffle(emb, qvec):
     )
     assert "Exchange hashpartitioning" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ivfpq_index_persists_and_probes_from_disk(spark, emb, qvec, tmp_path):
+    """The storage contract: (id, list_id, pq_code) written partitioned by
+    list_id; a probe against the RELOADED frame matches the in-memory
+    probe bit-for-bit and its scan carries a list_id partition filter."""
+    codes, books, cents = pq.ivfpq_build(emb, n_lists=8)
+    path = str(tmp_path / "ivfpq")
+    codes.write.partitionBy("list_id").parquet(path)
+    reloaded = spark.read.parquet(path)
+    mem = pq.ivfpq_probe(codes, books, cents, qvec, k=10, nprobe=3).collect()
+    disk = pq.ivfpq_probe(reloaded, books, cents, qvec, k=10, nprobe=3).collect()
+    assert [(r["id"], r["adc_dist"]) for r in mem] == [
+        (r["id"], r["adc_dist"]) for r in disk
+    ]
+    plan = (
+        pq.ivfpq_probe(reloaded, books, cents, qvec, k=10, nprobe=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # pruning reaches the scan: the partition filter names list_id
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters")[1][:200], plan
