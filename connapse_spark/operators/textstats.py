@@ -1319,3 +1319,118 @@ SELECT e.grp AS {group_col},
 FROM exact e JOIN occ o ON e.grp = o.grp
 ORDER BY {group_col}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# BPE train + apply (the full tokenizer loop around bpe_merge_candidates)
+# ---------------------------------------------------------------------------
+
+MAX_DRIVER_VOCAB = 2_000_000
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    max_vocab_rows: int = MAX_DRIVER_VOCAB,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges. Architecture mirrors how production
+    tokenizer training actually splits the work (HF tokenizers, SentencePiece):
+    the CORPUS-scale part — word counting — is the distributed job; the
+    merge loop then runs on the Zipf-bounded (word, freq) VOCAB in driver
+    memory (guarded like knn_join's collect: raise past ``max_vocab_rows``
+    — at that point shard the vocab or sample, the counts are what matter).
+    Iteration 1 equals bpe_merge_candidates' top row by construction
+    (unit-pinned), so the oracle-checked operator anchors the loop."""
+    vocab_df = (
+        docs.select(F.explode(tokens_exact_expr(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rows = vocab_df.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"bpe_train: vocabulary exceeds max_vocab_rows={max_vocab_rows}; "
+            "sample the corpus or raise the cap on a larger driver"
+        )
+    vocab = {tuple(list(r["w"]) + ["</w>"]): r["freq"] for r in rows}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with learned merges: per word, start from characters+'</w>'
+    and apply each merge in priority order — the standard greedy BPE
+    segmenter. The merge list is tiny and closure-captured (broadcast with
+    the task); the work is an Arrow-batched map over documents.
+
+    Output: (id, n_words, n_bpe_tokens, tokens) — tokens space-joined with
+    the '</w>' markers kept, so the segmentation is fully recoverable."""
+    import pandas as pd
+    import re as _re
+
+    ranks = {m: i for i, m in enumerate(merges)}
+    token_re = _re.compile("[a-z0-9]+")
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            best_i, best_r = -1, None
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                r = ranks.get(pair)
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        return syms
+
+    def run(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, n_words, n_toks, toks = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = token_re.findall((text or "").lower())
+                out = []
+                for w in words:
+                    if w not in cache:
+                        cache[w] = encode_word(w)
+                    out.extend(cache[w])
+                ids.append(did)
+                n_words.append(len(words))
+                n_toks.append(len(out))
+                toks.append(" ".join(out))
+            yield pd.DataFrame(
+                {"id": ids, "n_words": n_words, "n_bpe_tokens": n_toks, "tokens": toks}
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, "id long, n_words long, n_bpe_tokens long, tokens string"
+    )

@@ -997,3 +997,41 @@ def test_compaction_plan_and_execute(spark, sf_dir, tmp_path):
     compacted = sinks.list_data_files(spark, out)
     assert compacted.count() == n_groups
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_bpe_train_first_merge_anchored_to_oracle_op(spark, sf_dir):
+    """bpe_train iteration 1 must equal bpe_merge_candidates' top row —
+    the driver-loop trainer is anchored to the oracle-checked operator."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(200)
+    top = textstats.bpe_merge_candidates(docs, k=1).collect()[0]
+    merges = textstats.bpe_train(docs, n_merges=1)
+    assert merges[0] == (top["lhs"], top["rhs"])
+
+
+def test_bpe_apply_compresses_and_roundtrips(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(100)
+    merges = textstats.bpe_train(docs, n_merges=40)
+    enc0 = {r["id"]: r for r in textstats.bpe_apply(docs, []).collect()}
+    enc = {r["id"]: r for r in textstats.bpe_apply(docs, merges).collect()}
+    total0 = sum(r["n_bpe_tokens"] for r in enc0.values())
+    total = sum(r["n_bpe_tokens"] for r in enc.values())
+    assert total < total0  # merges compress
+    # segmentation is lossless: removing separators and </w> restores the
+    # concatenated word stream
+    from connapse_spark.operators.textstats import tokens_exact_expr
+
+    words = {
+        r["doc_id"]: "".join(r["ws"])
+        for r in docs.select(
+            "doc_id", tokens_exact_expr(F.col("text")).alias("ws")
+        ).collect()
+    }
+    for did, r in enc.items():
+        joined = r["tokens"].replace(" ", "").replace("</w>", "")
+        assert joined == words[did], did
+
+
+def test_bpe_train_vocab_guard(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    with pytest.raises(ValueError, match="max_vocab_rows"):
+        textstats.bpe_train(docs, n_merges=1, max_vocab_rows=3)
