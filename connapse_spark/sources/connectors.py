@@ -297,3 +297,27 @@ def s3_read_objects(
             yield pd.DataFrame({"path": paths, "content": bodies})
 
     return listing.select("path").mapInPandas(fetch, "path string, content binary")
+
+
+def balance_by_size(listing: DataFrame, n_partitions: int) -> DataFrame:
+    """Spread a (path, size_bytes, …) listing across ``n_partitions`` by
+    BYTES, not file count: exclusive cumulative sum over size-desc order →
+    bin index → repartition on it. Without this, one partition drawing the
+    few giant objects straggles the whole fetch stage — the small-files
+    problem's mirror image. Used ahead of s3_read_objects:
+    ``s3_read_objects(balance_by_size(listing, 64), …)``."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(F.desc("size_bytes"), "path")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    total = listing.agg(F.sum("size_bytes")).collect()[0][0] or 1
+    per_bin = max(1, total // n_partitions + 1)
+    binned = listing.withColumn(
+        "_bin",
+        (F.coalesce(F.sum("size_bytes").over(w), F.lit(0)) / per_bin).cast("int"),
+    )
+    # range, not hash: hash-partitioning on the bin id can collide two
+    # bins into one task, re-creating the straggler
+    return binned.repartitionByRange(n_partitions, "_bin").drop("_bin")

@@ -117,3 +117,16 @@ def test_s3_poll_cycle_drives_sync_delta(spark, s3_env):
         "s3://corpus/sync/c.txt": "delete",
         "s3://corpus/sync/d.txt": "create",
     }
+
+
+def test_balance_by_size_spreads_bytes(spark):
+    rows = [(f"s3://b/{i}", size, "t") for i, size in enumerate([1000, 10, 10, 10, 900, 10, 10, 800])]
+    listing = spark.createDataFrame(rows, "path string, size_bytes long, last_modified string")
+    balanced = connectors.balance_by_size(listing, 3)
+    sizes = balanced.rdd.mapPartitions(
+        lambda it: [sum(r["size_bytes"] for r in it)]
+    ).collect()
+    nonzero = [s for s in sizes if s > 0]
+    # the three giants must not share a partition
+    assert max(nonzero) < 1000 + 3 * 10 + 1
+    assert balanced.count() == 8
