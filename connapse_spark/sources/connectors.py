@@ -318,6 +318,19 @@ def balance_by_size(listing: DataFrame, n_partitions: int) -> DataFrame:
         "_bin",
         (F.coalesce(F.sum("size_bytes").over(w), F.lit(0)) / per_bin).cast("int"),
     )
-    # range, not hash: hash-partitioning on the bin id can collide two
-    # bins into one task, re-creating the straggler
-    return binned.repartitionByRange(n_partitions, "_bin").drop("_bin")
+    # EXACT identity partitioner via the RDD API: hash-repartition can
+    # collide two bins into one task and repartitionByRange's sampled
+    # boundaries are unreliable on small listings (observed: all rows in
+    # one range) — both re-create the straggler this helper exists to
+    # kill. The RDD hop is fine here: the input is a metadata LISTING
+    # (bytes-per-row, not object bytes), one of the few places
+    # per-partition imperative control genuinely beats the DataFrame API.
+    spark = listing.sparkSession
+    schema = listing.schema
+    rdd = (
+        binned.rdd.map(lambda r: (r["_bin"], r))
+        .partitionBy(n_partitions, lambda k: int(k))
+        .values()
+        .map(lambda r: [r[f.name] for f in schema.fields])
+    )
+    return spark.createDataFrame(rdd, schema)

@@ -122,11 +122,18 @@ def test_s3_poll_cycle_drives_sync_delta(spark, s3_env):
 def test_balance_by_size_spreads_bytes(spark):
     rows = [(f"s3://b/{i}", size, "t") for i, size in enumerate([1000, 10, 10, 10, 900, 10, 10, 800])]
     listing = spark.createDataFrame(rows, "path string, size_bytes long, last_modified string")
-    balanced = connectors.balance_by_size(listing, 3)
-    sizes = balanced.rdd.mapPartitions(
-        lambda it: [sum(r["size_bytes"] for r in it)]
-    ).collect()
-    nonzero = [s for s in sizes if s > 0]
-    # the three giants must not share a partition
-    assert max(nonzero) < 1000 + 3 * 10 + 1
-    assert balanced.count() == 8
+    # AQE would re-coalesce these byte-tiny test partitions; the property
+    # under test is the range split itself
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        balanced = connectors.balance_by_size(listing, 3)
+        sizes = balanced.rdd.mapPartitions(
+            lambda it: [sum(r["size_bytes"] for r in it)]
+        ).collect()
+        nonzero = [s for s in sizes if s > 0]
+        # the three giants must not share a partition
+        assert max(nonzero) < 1000 + 3 * 10 + 1, sizes
+        assert balanced.count() == 8
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
