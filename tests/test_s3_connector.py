@@ -137,3 +137,55 @@ def test_balance_by_size_spreads_bytes(spark):
         assert balanced.count() == 8
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_s3_to_searchable_index_end_to_end(spark, s3_env, tmp_path):
+    """The reference's flagship path (upload → ingest → hybrid-searchable,
+    SURVEY §3.3) with a CLOUD source, fully executed: S3 objects → decode
+    → ingest (chunk + embed) → vector sink → KNN probe finds the planted
+    document."""
+    from connapse_spark.functions.embed import embed_py
+    from connapse_spark.operators.ingest import ingest
+    from connapse_spark.operators.search import vector_knn
+
+    ep, _ = s3_env
+    c = connectors.s3_client(ep)
+    needle = (
+        "the amazing zanzibar quantum flamingo protocol describes how "
+        "distributed flamingos synchronize their quantum dance steps"
+    )
+    c.put_object(Bucket="corpus", Key="ingest/needle.txt", Body=needle.encode())
+    for i in range(5):
+        c.put_object(
+            Bucket="corpus",
+            Key=f"ingest/hay{i}.txt",
+            Body=f"ordinary filler document number {i} about nothing much".encode(),
+        )
+
+    listing = connectors.s3_list_objects(spark, "corpus", prefix="ingest/", endpoint_url=ep)
+    raw = connectors.s3_read_objects(
+        connectors.balance_by_size(listing, 2), endpoint_url=ep
+    )
+    docs = raw.select(
+        F.abs(F.hash("path")).cast("long").alias("doc_id"),
+        F.col("path"),
+        F.decode(F.col("content"), "UTF-8").alias("text"),
+    )
+    chunks, vectors = ingest(docs)
+    vpath = str(tmp_path / "vectors")
+    vectors.select("chunk_id", "document_id", "embedding").write.parquet(vpath)
+
+    index = spark.read.parquet(vpath).select(
+        F.col("chunk_id").alias("vec_id"), "embedding"
+    )
+    # the deterministic hash embedder is self-similar, not semantic: the
+    # query that must hit is the needle's own text (cosine 1.0), exactly
+    # how the KNN oracle entries probe with a stored vector's text
+    qv = embed_py(needle, 64)
+    hits = vector_knn(index, qv, k=3).collect()
+    top_chunk = hits[0]["vec_id"]
+    assert hits[0]["score"] > 0.999
+    content = {
+        r["chunk_id"]: r["content"] for r in chunks.select("chunk_id", "content").collect()
+    }
+    assert "flamingo" in content[top_chunk]
