@@ -1035,3 +1035,72 @@ def test_bpe_train_vocab_guard(spark, sf_dir):
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     with pytest.raises(ValueError, match="max_vocab_rows"):
         textstats.bpe_train(docs, n_merges=1, max_vocab_rows=3)
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math
+
+    from connapse_spark.operators import evaluation
+
+    runs = spark.createDataFrame(
+        [
+            # q1: rel docs at ranks 1 and 3
+            (1, 101, 1), (1, 102, 2), (1, 103, 3),
+            # q2: first relevant at rank 2
+            (2, 201, 1), (2, 202, 2),
+            # q3: nothing relevant retrieved
+            (3, 301, 1),
+        ],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 101, 2), (1, 103, 1), (2, 202, 1), (3, 999, 1)],
+        "query_id long, doc_id long, rel long",
+    )
+    rows = {r["query_id"]: r for r in evaluation.retrieval_metrics(runs, qrels, k=10).collect()}
+    q1 = rows[1]
+    dcg1 = 2 / math.log2(2) + 1 / math.log2(4)
+    idcg1 = 2 / math.log2(2) + 1 / math.log2(3)
+    assert abs(q1["dcg"] - dcg1) < 1e-12
+    assert abs(q1["ndcg"] - dcg1 / idcg1) < 1e-12
+    assert q1["mrr"] == 1.0 and q1["recall_at_k"] == 1.0
+    q2 = rows[2]
+    assert q2["mrr"] == 0.5 and q2["hits_at_k"] == 1
+    q3 = rows[3]
+    assert q3["ndcg"] == 0.0 and q3["mrr"] == 0.0 and q3["recall_at_k"] == 0.0
+    macro = rows[None]
+    assert abs(macro["mrr"] - (1.0 + 0.5 + 0.0) / 3) < 1e-12
+
+
+def test_fusion_methods_evaluated_on_corpus(spark):
+    """The measurement the reference cites (fusion quality by nDCG/MRR):
+    planted-unique-term corpus, one query per planted doc, relevant = the
+    planted doc. With keyword-weighted fusion every query must resolve its
+    own document at rank 1 — and the report is the structure a fusion
+    tuning loop consumes."""
+    from connapse_spark.operators import evaluation
+    from connapse_spark.operators.search import SearchOptions, hybrid_search
+
+    filler = "the quick brown fox jumps over the lazy dog near the river "
+    docs = spark.createDataFrame(
+        [(i, f"{filler} zzuniq{i}token appears here {filler}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    run_rows, qrel_rows = [], []
+    for i in range(5):
+        hits = hybrid_search(
+            docs,
+            f"zzuniq{i}token river",
+            SearchOptions(top_k=10, fusion_alpha=0.3),  # keyword-weighted
+        ).collect()
+        for rank, h in enumerate(hits, 1):
+            run_rows.append((i, h["id"], rank))
+        qrel_rows.append((i, i, 1))
+    runs = spark.createDataFrame(run_rows, "query_id long, doc_id long, rank long")
+    qrels = spark.createDataFrame(qrel_rows, "query_id long, doc_id long, rel long")
+    macro = evaluation.retrieval_metrics(runs, qrels, k=10).filter(
+        F.col("query_id").isNull()
+    ).collect()[0]
+    assert macro["mrr"] == 1.0
+    assert macro["ndcg"] == 1.0
+    assert macro["recall_at_k"] == 1.0
