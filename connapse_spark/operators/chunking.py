@@ -11,7 +11,6 @@ Two tiers:
 
 from __future__ import annotations
 
-import json
 
 import pandas as pd
 from pyspark.sql import DataFrame
