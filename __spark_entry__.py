@@ -499,6 +499,17 @@ def _sql_corpus_curate() -> str:
     return curate.sql_curate(bl, neardup_threshold=0.4, contam_n=3)
 
 
+def q_neardup_incremental(spark, sf_dir):
+    """Incremental near-dup: the doc_id%5==0 'daily batch' screened
+    against the persisted banded index of the remaining corpus — no
+    corpus re-hash (dedup.incremental_neardup_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = dedup.minhash_banded(corpus)
+    return dedup.incremental_neardup_pairs(batch, index, threshold=0.2)
+
+
 def q_dataset_card(spark, sf_dir):
     """ONE-row corpus-health card: volume, per-stage drop counts, mean
     classifier score, language mix (curate.dataset_card) — the release
@@ -1832,6 +1843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,  # new: cohort retention
         "value_percentiles": q_value_percentiles,  # new: exact quantile profile
         "dataset_card": q_dataset_card,  # new: one-row corpus-health summary
+        "neardup_incremental": q_neardup_incremental,  # new: batch-vs-index dedup
         "props_extract": q_props_extract,  # new: typed JSON payload extraction
         "embedding_hygiene": q_embedding_hygiene,  # new: vector-table QA screen
         "keyword_snippets": q_keyword_snippets,  # new: result excerpts
@@ -2033,6 +2045,7 @@ def oracle_sql() -> dict[str, str]:
         "retention": events.sql_retention_cohorts(),
         "value_percentiles": events.sql_value_percentiles(),
         "dataset_card": _sql_dataset_card(),
+        "neardup_incremental": dedup.sql_incremental_neardup(threshold=0.2),
         "props_extract": events.sql_props_extract_agg(),
         "embedding_hygiene": similarity.sql_embedding_hygiene(),
         "keyword_snippets": sql_keyword_search_snippets(SEARCH_QUERY, k=10),

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "dup_spans",
     "cdc_chunks",
     "minhash_lsh",
+    "neardup_incremental",
     "ngram_jaccard_prefix",
     "simhash",
     "quality_stats",

@@ -309,6 +309,56 @@ def sql_minhash_signature(shingle_hashes: str, num_hashes: int = 32) -> str:
     )
 
 
+def minhash_banded(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, sig, band, key): signatures + band keys — the SHARED kernel of
+    the one-shot pair finder and the persisted incremental index (write it
+    partitioned by band; band-key probes then prune at the layout level).
+
+    Signature via explode → groupBy(id) with 32 cheap min-aggregates:
+    sha256 runs ONCE per (doc, shingle) row and partial (map-side) mins
+    keep the shuffle at 32 longs per doc. The nested-HOF formulation
+    (minhash_signature_expr) re-evaluates the whole shingle-hash array per
+    hash function because Catalyst does not hoist lambda-invariant
+    subexpressions — ~30× slower on wide docs."""
+    rows_per_band = num_hashes // bands
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(F.col(text_col), n)).alias("s"),
+    ).select("id", _sha_bigint(F.col("s")).alias("x"))
+    sig = (
+        exploded.groupBy("id")
+        .agg(
+            *[
+                F.min((F.col("x") * (2 * i + 1) + i * i + 7) % HASH_MOD).alias(f"_h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select("id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))
+                    ).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.4,
@@ -325,42 +375,7 @@ def minhash_lsh_pairs(
 
     Output: (id_a, id_b, est_jaccard). Deterministic; oracle-mirrored.
     """
-    rows_per_band = num_hashes // bands
-    # Signature via explode → groupBy(id) with 32 cheap min-aggregates:
-    # sha256 runs ONCE per (doc, shingle) row and partial (map-side) mins
-    # keep the shuffle at 32 longs per doc. The nested-HOF formulation
-    # (minhash_signature_expr) re-evaluates the whole shingle-hash array per
-    # hash function because Catalyst does not hoist lambda-invariant
-    # subexpressions — ~30× slower on wide docs.
-    exploded = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_expr(F.col(text_col), n)).alias("s"),
-    ).select("id", _sha_bigint(F.col("s")).alias("x"))
-    sig = (
-        exploded.groupBy("id")
-        .agg(
-            *[
-                F.min((F.col("x") * (2 * i + 1) + i * i + 7) % HASH_MOD).alias(f"_h{i}")
-                for i in range(num_hashes)
-            ]
-        )
-        .select("id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
-    )
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = minhash_banded(docs, n, num_hashes, bands, id_col, text_col)
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1383,3 +1398,99 @@ def cdc_chunks_fast(
 
     schema = "id long, chunk_idx long, start long, length long, chunk_sha string"
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(run, schema)
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dup: screen a NEW batch against a persisted corpus
+    index (minhash_banded output) WITHOUT touching the historical
+    documents — the production dedup regime, where today's crawl dump is
+    checked against years of corpus and re-hashing the corpus per batch
+    would dwarf the batch itself (the dedup-index twin of ivf_index_upsert's
+    no-refit contract).
+
+    Plan: signature+banding over the batch only, then a band-key join
+    against the index — with the index written partitioned by ``band``,
+    the probe prunes at the layout level. Index growth = append the
+    batch's own banded rows after screening.
+
+    Output: (new_id, old_id, est_jaccard) for batch-vs-corpus candidates
+    agreeing on ≥ threshold of signature components. Batch-internal pairs
+    come from minhash_lsh_pairs over the batch (tiny) — run both."""
+    probe = minhash_banded(new_docs, n, num_hashes, bands, id_col, text_col)
+    p, ix = probe.alias("p"), index.alias("ix")
+    cand = (
+        p.join(
+            ix,
+            (F.col("p.band") == F.col("ix.band"))
+            & (F.col("p.key") == F.col("ix.key"))
+            & (F.col("p.id") != F.col("ix.id")),
+        )
+        .select(
+            F.col("p.id").alias("new_id"),
+            F.col("ix.id").alias("old_id"),
+            F.col("p.sig").alias("sig_a"),
+            F.col("ix.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.select("new_id", "old_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= F.lit(threshold))
+        .orderBy("new_id", "old_id")
+    )
+
+
+def sql_incremental_neardup(
+    threshold: float = 0.4,
+    split_mod: int = 5,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> str:
+    """Mirror with the entry's split: corpus = doc_id % split_mod != 0,
+    batch = the rest; identical signature/band arithmetic."""
+    rows_per_band = num_hashes // bands
+    mins = ", ".join(
+        f"min((x * {2 * i + 1} + {i * i + 7}) % {HASH_MOD})" for i in range(num_hashes)
+    )
+    band_key = (
+        f"array_to_string(list_transform(list_slice(sig, b.band * {rows_per_band} + 1, "
+        f"b.band * {rows_per_band} + {rows_per_band}), v -> CAST(v AS VARCHAR)), ',')"
+    )
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT id, {sql_sha_bigint('s')} AS x
+  FROM (SELECT doc_id AS id, unnest({sql_shingles("text", n)}) AS s FROM documents)
+),
+sig AS MATERIALIZED (SELECT id, [{mins}] AS sig FROM ex GROUP BY id),
+banded AS MATERIALIZED (
+  SELECT id, sig, b.band AS band, {band_key} AS key
+  FROM sig, (SELECT unnest(range(0, {bands})) AS band) b
+),
+probe AS (SELECT * FROM banded WHERE id % {split_mod} = 0),
+ix AS (SELECT * FROM banded WHERE id % {split_mod} != 0),
+cand AS (
+  SELECT DISTINCT p.id AS new_id, ix.id AS old_id, p.sig AS sig_a, ix.sig AS sig_b
+  FROM probe p JOIN ix ON p.band = ix.band AND p.key = ix.key AND p.id != ix.id
+)
+SELECT new_id, old_id,
+       len(list_filter(list_transform(range(1, {num_hashes} + 1), i -> sig_a[i] = sig_b[i]), e -> e)) / {float(num_hashes)!r} AS est_jaccard
+FROM cand
+WHERE len(list_filter(list_transform(range(1, {num_hashes} + 1), i -> sig_a[i] = sig_b[i]), e -> e)) / {float(num_hashes)!r} >= {threshold!r}
+ORDER BY new_id, old_id
+""".strip()

@@ -1104,3 +1104,51 @@ def test_fusion_methods_evaluated_on_corpus(spark):
     assert macro["mrr"] == 1.0
     assert macro["ndcg"] == 1.0
     assert macro["recall_at_k"] == 1.0
+
+
+def test_incremental_neardup_matches_full_pass_on_cross_pairs(spark, sf_dir):
+    """Batch-vs-index pairs must equal the cross-split subset of the full
+    one-shot pair finder (same signatures, same banding, same estimate)."""
+    from connapse_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(200)
+    full = dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    expected = sorted(
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]), r["est_jaccard"])
+        for r in full
+        if (r["id_a"] % 5 == 0) != (r["id_b"] % 5 == 0)
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = dedup.minhash_banded(corpus)
+    inc = dedup.incremental_neardup_pairs(batch, index, threshold=0.2).collect()
+    got = sorted(
+        (min(r["new_id"], r["old_id"]), max(r["new_id"], r["old_id"]), r["est_jaccard"])
+        for r in inc
+    )
+    assert got == expected
+
+
+def test_incremental_neardup_probe_never_rehashes_corpus(spark, sf_dir):
+    """With the index pre-materialized, the probe plan must not contain the
+    corpus-side sha/shingle pipeline — only the batch is hashed."""
+    from connapse_spark.operators import dedup
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(100)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index_rows = dedup.minhash_banded(corpus).collect()  # "persisted"
+    index = spark.createDataFrame(
+        index_rows, "id long, sig array<bigint>, band int, key string"
+    )
+    plan = (
+        dedup.incremental_neardup_pairs(batch, index, threshold=0.2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly ONE hashing pipeline (the batch side): 1 sha2 projection and
+    # 2 Generates (shingle explode + banding); the one-shot two-sided
+    # finder shows 2 sha2 / 4 Generate on the same data
+    assert plan.count("sha2") == 1, plan
+    assert plan.count("Generate") == 2, plan
