@@ -42,6 +42,7 @@ from connapse_spark.operators.search import (
     hybrid_search_onepass,
     keyword_search,
     keyword_search_bm25,
+    keyword_search_many,
     keyword_search_snippets,
     keyword_search_proximity,
     keyword_search_websearch,
@@ -50,6 +51,7 @@ from connapse_spark.operators.search import (
     sql_keyword_bm25,
     window_substitution,
     sql_keyword_proximity,
+    sql_keyword_search_many,
     sql_keyword_search_snippets,
     sql_keyword_websearch,
 )
@@ -497,6 +499,20 @@ def _sql_corpus_curate() -> str:
         "FROM documents WHERE doc_id % 97 = 0"
     )
     return curate.sql_curate(bl, neardup_threshold=0.4, contam_n=3)
+
+
+BATCH_QUERIES = [
+    (1, SEARCH_QUERY),
+    (2, "parallel hash aggregation"),
+    (3, "columnar storage layout compression"),
+]
+
+
+def q_keyword_many(spark, sf_dir):
+    """Batched keyword search: 3 queries answered in ONE job over a shared
+    postings aggregation (search.keyword_search_many) — the amortized-batch
+    regime BASELINE.md scores."""
+    return keyword_search_many(_t(spark, sf_dir, "documents"), BATCH_QUERIES, k=5)
 
 
 def q_neardup_incremental(spark, sf_dir):
@@ -1844,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,  # new: exact quantile profile
         "dataset_card": q_dataset_card,  # new: one-row corpus-health summary
         "neardup_incremental": q_neardup_incremental,  # new: batch-vs-index dedup
+        "keyword_many": q_keyword_many,  # new: batched multi-query search
         "props_extract": q_props_extract,  # new: typed JSON payload extraction
         "embedding_hygiene": q_embedding_hygiene,  # new: vector-table QA screen
         "keyword_snippets": q_keyword_snippets,  # new: result excerpts
@@ -2046,6 +2063,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": events.sql_value_percentiles(),
         "dataset_card": _sql_dataset_card(),
         "neardup_incremental": dedup.sql_incremental_neardup(threshold=0.2),
+        "keyword_many": sql_keyword_search_many(BATCH_QUERIES, k=5),
         "props_extract": events.sql_props_extract_agg(),
         "embedding_hygiene": similarity.sql_embedding_hygiene(),
         "keyword_snippets": sql_keyword_search_snippets(SEARCH_QUERY, k=10),

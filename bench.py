@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "keyword_websearch",
     "keyword_proximity",
     "keyword_bm25",
+    "keyword_many",
     "keyword_snippets",
     "hybrid_rrf",
     "hybrid_onepass",

@@ -1428,3 +1428,115 @@ SELECT {id_col}, score,
                  {2 * radius}) AS excerpt
 FROM j ORDER BY score DESC, {id_col}
 """.strip()
+
+
+def keyword_search_many(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BATCHED keyword search: answer N queries in ONE job. The corpus
+    tokenizes ONCE into (doc, term, tf) postings shared by every query;
+    each query contributes only its term rows to two small broadcast
+    joins — so the per-query marginal cost is the matched-postings
+    aggregation, not a scheduled Spark query. This is the batch-engine
+    answer to per-query latency: at N queries the fixed scan/scheduling
+    cost amortizes N ways (the regime BASELINE.md's "amortized batch"
+    interpretation scores), exactly like knn_join on the vector side.
+
+    Scoring is keyword_score_expr's, term for term (same weights, same
+    rank/(rank+1) squash) — per-query results match keyword_search
+    row-for-row (unit-pinned).
+
+    Output: (qid, id, score, rank) — top ``k`` per query, rank 1-based."""
+    from pyspark.sql.window import Window
+
+    qe_rows, qs_rows = [], []
+    for qid, qtext in queries:
+        terms = sorted(set(tokenize_py(qtext)))
+        for t in terms:
+            qe_rows.append((qid, t))
+        for st in sorted({stem_py(t) for t in terms}):
+            qs_rows.append((qid, st))
+    spark = docs.sparkSession
+    qe = spark.createDataFrame(qe_rows, "qid long, t string")
+    qs = spark.createDataFrame(qs_rows, "qid long, st string")
+
+    te = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_exact_expr(F.col(text_col))).alias("t")
+    ).groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    ts = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_stemmed_expr(F.col(text_col))).alias("st")
+    ).groupBy("id", "st").agg(F.count(F.lit(1)).alias("tf"))
+
+    ne = te.join(F.broadcast(qe), "t").groupBy("qid", "id").agg(
+        F.sum("tf").alias("n_exact")
+    )
+    ns = ts.join(F.broadcast(qs), "st").groupBy("qid", "id").agg(
+        F.sum("tf").alias("n_stem")
+    )
+    merged = ne.join(ns, ["qid", "id"], "full_outer").select(
+        "qid",
+        "id",
+        (
+            F.lit(WEIGHT_EXACT) * F.coalesce(F.col("n_exact"), F.lit(0))
+            + F.lit(WEIGHT_STEMMED) * F.coalesce(F.col("n_stem"), F.lit(0))
+        ).alias("raw"),
+    )
+    scored = merged.select(
+        "qid", "id", (F.col("raw") / (F.col("raw") + F.lit(1.0))).alias("score")
+    ).filter(F.col("score") > 0.0)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
+def sql_keyword_search_many(
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from connapse_spark.functions.text import sql_tokens_exact, sql_tokens_stemmed
+
+    qe_vals, qs_vals = [], []
+    for qid, qtext in queries:
+        terms = sorted(set(tokenize_py(qtext)))
+        qe_vals += [f"({qid}, '{t}')" for t in terms]
+        qs_vals += [f"({qid}, '{st}')" for st in sorted({stem_py(t) for t in terms})]
+    return f"""
+WITH qe(qid, t) AS (VALUES {", ".join(qe_vals)}),
+qs(qid, st) AS (VALUES {", ".join(qs_vals)}),
+te AS (
+  SELECT {id_col} AS id, t, count(*) AS tf
+  FROM (SELECT {id_col}, unnest({sql_tokens_exact(text_col)}) AS t FROM documents)
+  GROUP BY {id_col}, t
+),
+ts AS (
+  SELECT {id_col} AS id, st, count(*) AS tf
+  FROM (SELECT {id_col}, unnest({sql_tokens_stemmed(text_col)}) AS st FROM documents)
+  GROUP BY {id_col}, st
+),
+ne AS (SELECT qid, id, sum(tf) AS n_exact FROM te JOIN qe USING (t) GROUP BY qid, id),
+ns AS (SELECT qid, id, sum(tf) AS n_stem FROM ts JOIN qs USING (st) GROUP BY qid, id),
+merged AS (
+  SELECT coalesce(ne.qid, ns.qid) AS qid, coalesce(ne.id, ns.id) AS id,
+         {WEIGHT_EXACT!r} * coalesce(n_exact, 0) + {WEIGHT_STEMMED!r} * coalesce(n_stem, 0) AS raw
+  FROM ne FULL OUTER JOIN ns ON ne.qid = ns.qid AND ne.id = ns.id
+),
+scored AS (
+  SELECT qid, id, raw / (raw + 1.0) AS score FROM merged WHERE raw / (raw + 1.0) > 0.0
+),
+ranked AS (
+  SELECT qid, id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+  FROM scored
+)
+SELECT CAST(qid AS BIGINT) AS qid, id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k} ORDER BY qid, rank
+""".strip()

@@ -1152,3 +1152,40 @@ def test_incremental_neardup_probe_never_rehashes_corpus(spark, sf_dir):
     # finder shows 2 sha2 / 4 Generate on the same data
     assert plan.count("sha2") == 1, plan
     assert plan.count("Generate") == 2, plan
+
+
+def test_keyword_many_matches_single_query_results(spark, sf_dir):
+    """Per query, the batched scorer must reproduce keyword_search
+    row-for-row (same weights, same squash, same tie-break)."""
+    from connapse_spark.operators.search import keyword_search, keyword_search_many
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    queries = [(1, "table scan fast merge"), (2, "parallel hash aggregation")]
+    many = keyword_search_many(docs, queries, k=8).collect()
+    for qid, qtext in queries:
+        single = keyword_search(docs, qtext, k=8).collect()
+        mine = [r for r in many if r["qid"] == qid]
+        assert [(r["id"], r["score"]) for r in mine] == [
+            (r["doc_id"], r["score"]) for r in single
+        ], qid
+
+
+def test_keyword_many_amortizes_scan(spark, sf_dir):
+    """20 queries in one call must cost far less than 20 scheduled
+    single-query jobs — the batched plan shares one postings aggregation."""
+    import time
+
+    from connapse_spark.operators.search import keyword_search, keyword_search_many
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    queries = [(i, f"table scan merge sort hash number {i}") for i in range(20)]
+    keyword_search_many(docs, queries[:1], k=5).count()  # warm codegen
+    t0 = time.time()
+    keyword_search_many(docs, queries, k=5).count()
+    batched = time.time() - t0
+    t0 = time.time()
+    for _, q in queries[:5]:
+        keyword_search(docs, q, k=5).count()
+    five_singles = time.time() - t0
+    # batched-20 must beat even FIVE sequential single queries
+    assert batched < five_singles, (batched, five_singles)
