@@ -1171,21 +1171,26 @@ def test_keyword_many_matches_single_query_results(spark, sf_dir):
 
 
 def test_keyword_many_amortizes_scan(spark, sf_dir):
-    """20 queries in one call must cost far less than 20 scheduled
-    single-query jobs — the batched plan shares one postings aggregation."""
-    import time
-
-    from connapse_spark.operators.search import keyword_search, keyword_search_many
+    """The batched plan must be INVARIANT in query count: 20 queries
+    produce the same corpus-side plan (scans, explodes, aggregations) as
+    1 query — only the tiny broadcast query tables grow. That plan
+    invariance IS the amortization; wall-clock follows from it without a
+    flaky timing assertion."""
+    from connapse_spark.operators.search import keyword_search_many
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    queries = [(i, f"table scan merge sort hash number {i}") for i in range(20)]
-    keyword_search_many(docs, queries[:1], k=5).count()  # warm codegen
-    t0 = time.time()
-    keyword_search_many(docs, queries, k=5).count()
-    batched = time.time() - t0
-    t0 = time.time()
-    for _, q in queries[:5]:
-        keyword_search(docs, q, k=5).count()
-    five_singles = time.time() - t0
-    # batched-20 must beat even FIVE sequential single queries
-    assert batched < five_singles, (batched, five_singles)
+
+    def shape(n_queries):
+        queries = [(i, f"table scan merge sort hash number {i}") for i in range(n_queries)]
+        plan = (
+            keyword_search_many(docs, queries, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return {
+            m: plan.count(m)
+            for m in ("FileScan", "Generate", "HashAggregate", "Exchange hashpartitioning")
+        }
+
+    assert shape(1) == shape(20)
