@@ -50,7 +50,9 @@ def curate(
         F.col(id_col).alias("id"), (~F.col("is_kept")).alias("exact_dup")
     )
     nd_drop = (
-        dedup.minhash_lsh_pairs(docs, threshold=neardup_threshold)
+        dedup.minhash_lsh_pairs(
+            docs, threshold=neardup_threshold, id_col=id_col, text_col=text_col
+        )
         .select(F.col("id_b").alias("id"))
         .distinct()
         .withColumn("near_dup", F.lit(True))

@@ -322,9 +322,19 @@ def funnel_analysis(
     # deliberate and safe: its input is exactly k = len(steps) rows (one
     # per funnel step), never corpus-sized.
     tagged = reduce(lambda a, b: a.unionByName(b), reach)
-    counts = tagged.groupBy("step_idx", "step").agg(
-        F.count(F.lit(1)).alias("n_users")
+    # A step nobody converted through must still emit its row (n_users=0):
+    # an empty groupBy produces NO row, which would shift the lag-based
+    # conv_from_prev onto the wrong predecessor and diverge from the SQL
+    # mirror (which always emits one row per step). Left-join the counts
+    # onto a literal k-row frame of all steps.
+    steps_df = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx long, step string"
     )
+    counts = steps_df.join(
+        tagged.groupBy("step_idx", "step").agg(F.count(F.lit(1)).alias("n_users")),
+        ["step_idx", "step"],
+        "left",
+    ).withColumn("n_users", F.coalesce(F.col("n_users"), F.lit(0)).cast("long"))
     w = Window.orderBy("step_idx").rowsBetween(Window.unboundedPreceding, 0)
     prev_n = F.lag("n_users", 1).over(Window.orderBy("step_idx"))
     first_n = F.first("n_users").over(w)

@@ -1409,16 +1409,22 @@ def sql_keyword_search_snippets(
     from connapse_spark import oracle
 
     terms, _ = _query_term_pairs(query)
-    pos_terms = ", ".join(
-        f"CASE WHEN strpos(lower(d.{text_col}), '{t}') > 0 "
-        f"THEN strpos(lower(d.{text_col}), '{t}') ELSE 2147483647 END"
-        for t in sorted(set(terms))
-    )
+    if terms:
+        pos_terms = "least(" + ", ".join(
+            f"CASE WHEN strpos(lower(d.{text_col}), '{t}') > 0 "
+            f"THEN strpos(lower(d.{text_col}), '{t}') ELSE 2147483647 END"
+            for t in sorted(set(terms))
+        ) + ")"
+    else:
+        # mirror of the Spark side's empty-terms guard: no terms → no
+        # literal occurrence, sentinel straight through (bare least() is
+        # invalid SQL)
+        pos_terms = "2147483647"
     return f"""
 WITH hits AS ({oracle.keyword_sql(query, k=k)}),
 j AS (
   SELECT hits.{id_col}, hits.score, d.{text_col},
-         least({pos_terms}) AS rawpos
+         {pos_terms} AS rawpos
   FROM hits JOIN documents d ON hits.{id_col} = d.{id_col}
 )
 SELECT {id_col}, score,

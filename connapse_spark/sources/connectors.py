@@ -232,8 +232,8 @@ def s3_list_objects(
     listing) or an S3 Inventory manifest replaces this, and everything
     downstream is unchanged (same columns)."""
     c = s3_client(endpoint_url)
-    rows, token = [], None
-    while len(rows) < max_keys:
+    rows, token, truncated = [], None, False
+    while True:
         kw = {"Bucket": bucket, "Prefix": prefix, "MaxKeys": 1000}
         if token:
             kw["ContinuationToken"] = token
@@ -241,10 +241,17 @@ def s3_list_objects(
         for o in resp.get("Contents", []):
             rows.append((f"s3://{bucket}/{o['Key']}", int(o["Size"]),
                          o["LastModified"].isoformat()))
-        if not resp.get("IsTruncated"):
+        truncated = bool(resp.get("IsTruncated"))
+        if not truncated or len(rows) > max_keys:
             break
         token = resp.get("NextContinuationToken")
-    if len(rows) >= max_keys:
+    # The guard fires only when the FULL listing cannot be returned within
+    # max_keys — either pagination was cut off with pages remaining, or a
+    # complete final page pushed past the cap. A bucket holding exactly
+    # max_keys objects lists cleanly (the earlier >= check wrongly raised
+    # there); silently trimming a too-long listing would corrupt every
+    # downstream delta computation, so over-cap is an error, not a trim.
+    if truncated or len(rows) > max_keys:
         raise ValueError(
             f"s3_list_objects: listing exceeded max_keys={max_keys}; "
             "use the s3a/binaryFile path or an S3 Inventory manifest"

@@ -313,20 +313,75 @@ def compaction_plan(
     )
 
 
+def compact_group(
+    spark: SparkSession, files: list[str], out_file: str
+) -> None:
+    """Rewrite one planned bin: read exactly its files, emit exactly ONE
+    parquet file at ``out_file`` (write to a temp dir, move the single
+    part file into place — the rename is the commit). Reading the explicit
+    file list (no basePath) keeps hive partition values OUT of the data
+    file, matching the source layout where they live in dir names only."""
+    import os
+    import shutil
+
+    tmp = out_file + "._tmp"
+    spark.read.parquet(*files).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    assert len(part) == 1
+    shutil.move(os.path.join(tmp, part[0]), out_file)
+    shutil.rmtree(tmp)
+
+
 def compact(
     spark: SparkSession,
     path: str,
     out_path: str,
     target_bytes: int = 128 * 1024 * 1024,
+    max_workers: int = 8,
 ) -> int:
     """Execute a compaction pass: rewrite ``path`` into ``out_path`` with
-    one output file per planned group (repartitionByRange on the plan's
-    group count). Returns the planned output file count. Rewrite-to-new-
-    location keeps the operation atomic-by-rename for plain parquet
-    layouts (a table format would commit a manifest swap instead)."""
-    listing = list_data_files(spark, path)
-    plan = compaction_plan(listing, target_bytes)
-    n_groups = plan.count()
-    df = spark.read.parquet(path)
-    df.repartition(max(1, n_groups)).write.mode("overwrite").parquet(out_path)
-    return n_groups
+    output files corresponding 1:1 to ``compaction_plan``'s (dir, group)
+    bins, PRESERVING the partition-directory layout (a global round-robin
+    repartition would flatten partition dirs into data columns and break
+    the pruning/co-location the layout encodes). Each bin is an
+    independent read-files→one-file job; bins run concurrently via driver
+    threads (Spark schedules concurrent jobs fine), which is exactly how
+    OPTIMIZE implementations turn a bin-packing plan into rewrite tasks.
+    Returns the output file count. Rewrite-to-new-location keeps the pass
+    atomic-by-rename for plain parquet; a table format would commit a
+    manifest swap instead."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("dir")
+        .orderBy("file")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+    # same window math as compaction_plan, kept per-file: the listing is
+    # metadata-sized (one row per data file), so this collect is bounded
+    assign = (
+        list_data_files(spark, path)
+        .withColumn("group", (start / target_bytes).cast("bigint"))
+        .collect()
+    )
+    bins: dict[tuple[str, int], list[str]] = {}
+    for r in assign:
+        bins.setdefault((r["dir"], r["group"]), []).append(
+            os.path.normpath(os.path.join(path, r["dir"], r["file"]))
+        )
+
+    def run(key: tuple[str, int]) -> None:
+        d, g = key
+        dest_dir = out_path if d == "." else os.path.join(out_path, d)
+        os.makedirs(dest_dir, exist_ok=True)
+        compact_group(
+            spark, sorted(bins[key]), os.path.join(dest_dir, f"compact-{g:05d}.parquet")
+        )
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        list(ex.map(run, sorted(bins)))
+    return len(bins)

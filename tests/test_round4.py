@@ -1,0 +1,124 @@
+"""Round-4 regression tests: the ADVICE fixes (curate column forwarding,
+layout-preserving compaction, funnel zero-step rows, S3 listing guard,
+empty-terms snippet SQL)."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_compact_preserves_partition_layout(spark, sf_dir, tmp_path):
+    """compact() must keep the hive partition dirs (pruning depends on
+    them) and emit one file per planned (dir, group) bin."""
+    from connapse_spark.sources import sinks
+
+    src = str(tmp_path / "parted")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    (
+        orders.withColumn("o_bucket", (F.col("o_orderkey") % 3).cast("int"))
+        .repartition(8)
+        .write.partitionBy("o_bucket")
+        .parquet(src)
+    )
+    listing = sinks.list_data_files(spark, src)
+    total = listing.agg(F.sum("size_bytes")).collect()[0][0]
+    target = total // 6 + 1
+    plan = sinks.compaction_plan(listing, target_bytes=target)
+    plan_rows = plan.collect()
+
+    out = str(tmp_path / "parted_compact")
+    n = sinks.compact(spark, src, out, target_bytes=target)
+    assert n == len(plan_rows)
+
+    # partition dirs survive (no flattening into data columns)
+    out_dirs = sorted(d for d in os.listdir(out) if d.startswith("o_bucket="))
+    assert out_dirs == ["o_bucket=0", "o_bucket=1", "o_bucket=2"]
+
+    # one output file per planned bin, in the bin's directory
+    compacted = sinks.list_data_files(spark, out)
+    got = {(r["dir"], ) for r in compacted.collect()}
+    assert compacted.count() == n
+    planned_dirs = {(r["dir"],) for r in plan_rows}
+    assert {d for (d,) in got} == {d for (d,) in planned_dirs}
+
+    # content round-trips, partition column still a partition column
+    before = orders.withColumn("o_bucket", (F.col("o_orderkey") % 3).cast("int"))
+    after = spark.read.parquet(out)
+    assert after.count() == before.count()
+    assert set(after.columns) == set(before.columns)
+    # partition pruning works on the compacted layout: scanning one bucket
+    # reads only that directory's file(s)
+    pruned = after.filter(F.col("o_bucket") == 1)
+    files_read = pruned.select(F.col("_metadata.file_path")).distinct().collect()
+    assert all("o_bucket=1" in r[0] for r in files_read)
+
+
+def test_funnel_emits_zero_rows_for_empty_steps(spark):
+    from connapse_spark.operators.events import funnel_analysis
+
+    ev = spark.createDataFrame(
+        [(1, "view", "2024-01-01 00:00:00"), (2, "view", "2024-01-01 00:01:00")],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = funnel_analysis(ev, steps=("view", "click", "purchase")).collect()
+    assert [r["step"] for r in out] == ["view", "click", "purchase"]
+    assert [r["n_users"] for r in out] == [2, 0, 0]
+    # zero-user steps: conversion is 0, not misattached to the wrong lag
+    assert out[1]["conv_from_prev"] == 0.0
+    assert out[2]["conv_from_first"] == 0.0
+
+
+def test_funnel_spark_matches_sql_with_empty_step(spark):
+    """The Spark plan and the DuckDB mirror must agree even when a middle
+    step has zero conversions (the r3 divergence)."""
+    from connapse_spark.operators.events import funnel_analysis, sql_funnel_analysis
+
+    rows = [
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "purchase", "2024-01-01 00:02:00"),
+        (2, "view", "2024-01-01 00:00:30"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = [
+        (r["step_idx"], r["step"], r["n_users"], r["conv_from_prev"], r["conv_from_first"])
+        for r in funnel_analysis(ev).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({u}, '{t}', TIMESTAMP '{ts}')" for u, t, ts in rows
+        )
+        + ") AS v(user_id, event_type, ts)"
+    )
+    con.execute("CREATE MACRO epoch_us(x) AS CAST(epoch_ms(x) AS BIGINT) * 1000")
+    want = con.execute(sql_funnel_analysis()).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_snippets_sql_handles_empty_terms():
+    from connapse_spark.operators.search import sql_keyword_search_snippets
+
+    sql = sql_keyword_search_snippets("")
+    assert "least()" not in sql
+    assert "2147483647 AS rawpos" in sql
+
+
+def test_curate_forwards_custom_columns(spark):
+    """curate() with non-default id/text columns must bind them in every
+    stage (the minhash stage silently used the defaults before)."""
+    from connapse_spark.operators.curate import curate
+
+    docs = spark.createDataFrame(
+        [(i, f"some repeated text body number {i % 3} " * 12) for i in range(12)],
+        "my_id long, body string",
+    )
+    blocklist = spark.createDataFrame([("nonexistent phrase here",)], "s string")
+    out = curate(docs, blocklist, id_col="my_id", text_col="body").collect()
+    assert len(out) == 12
+    reasons = {r["reason"] for r in out}
+    assert "near_duplicate" in reasons  # the forwarded minhash stage fired

@@ -80,6 +80,16 @@ def test_s3_list_guard_raises_over_cap(spark, s3_env):
         )
 
 
+def test_s3_list_exactly_max_keys_is_not_truncation(spark, s3_env):
+    """A prefix holding exactly max_keys objects completes without
+    truncation and must NOT trip the guard (the r3 >= check did)."""
+    ep, _ = s3_env
+    rows = connectors.s3_list_objects(
+        spark, "corpus", prefix="docs/", endpoint_url=ep, max_keys=12
+    ).collect()
+    assert len(rows) == 12
+
+
 def test_s3_poll_cycle_drives_sync_delta(spark, s3_env):
     """The reference's cloud change-capture (M2 poll + delta sets,
     ConnectorWatcherService.cs:426-549), EXECUTED against the live S3 API:
