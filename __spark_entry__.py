@@ -1821,68 +1821,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- driver checks the FIRST ~50 entries. Ordering invariant:
-        # --- every hash-checkable entry with no prior green CORRECTNESS row
-        # --- comes first (44 such entries in r3 — the r1-err chunk_semantic
-        # --- block, the r2-unsampled tail, and all r3 additions), then
-        # --- r1-only-green rotation seats fill the window to 50. For r4:
-        # --- promote the stalest r1-only-green entries (simhash_pairs,
-        # --- parse_text, media_stats, rag_answer, events_sessionize,
-        # --- file_browser, doc_list_paged, ann_lsh, keyword_indexed,
-        # --- hybrid_rerank, upsert_lww, latest_event, sync_delta,
-        # --- reindex_decisions, events_tumbling) into the window so
-        # --- r2∪r3∪r4 covers every key (VERDICT r2 asks #1/#9).
-        "chunk_semantic": q_chunk_semantic,
-        "chunk_semantic_stddev": q_chunk_semantic_stddev,
-        "chunk_semantic_gradient": q_chunk_semantic_gradient,
-        "chunk_recursive": q_chunk_recursive,
-        "chunk_doc_aware": q_chunk_doc_aware,
-        "chunk_sentence_aware": q_chunk_sentence_aware,
-        "markdown_sections": q_markdown_sections,
-        "parser_dispatch": q_parser_dispatch,
-        "hybrid_window": q_hybrid_window,
-        "ann_ivf_seeded": q_ann_ivf_seeded,
-        "ivf_upsert": q_ivf_upsert,
-        "events_sliding": q_events_sliding,
-        "events_top_types": q_events_top_types,
-        "random_projection": q_random_projection,
-        "pq_encode": q_pq_encode,  # new this round: product-quantization ANN
-        "pq_topk": q_pq_topk,
-        "bloom_contamination": q_bloom_contamination,  # new: Bloom decontamination
-        "ann_ivfpq": q_ann_ivfpq,  # new: IVF+PQ composed probe
-        "pq_recall": q_pq_recall,  # new: quantization-loss gauge
-        "quality_sample": q_quality_sample,  # new: classifier-score sampling
-        "cdc_chunks": q_cdc_chunks,  # new: content-defined chunking
-        "cms_hitters": q_cms_hitters,  # new: count-min sketch audit
-        "distinct_sketch": q_distinct_sketch,  # new: linear-counting distinct
-        "funnel": q_funnel,  # new: ordered event funnel
-        "retention": q_retention,  # new: cohort retention
-        "value_percentiles": q_value_percentiles,  # new: exact quantile profile
-        "dataset_card": q_dataset_card,  # new: one-row corpus-health summary
-        "neardup_incremental": q_neardup_incremental,  # new: batch-vs-index dedup
-        "keyword_many": q_keyword_many,  # new: batched multi-query search
-        "props_extract": q_props_extract,  # new: typed JSON payload extraction
-        "embedding_hygiene": q_embedding_hygiene,  # new: vector-table QA screen
-        "keyword_snippets": q_keyword_snippets,  # new: result excerpts
-        "bpe_merges": q_bpe_merges,  # new: tokenizer-training pair stats
-        "corpus_curate": q_corpus_curate,  # new: composed curation verdict
-        "zorder_key": q_zorder_key,  # new: multi-column clustering key
-        "quality_logit": q_quality_logit,  # new: continuous quality classifier
-        "asof_attribution": q_asof_attribution,  # new this round: temporal joins
-        "range_join_orders": q_range_join_orders,
-        "events_rollup": q_events_rollup,
-        "parse_binary": q_parse_binary,  # new this round: real P2/P3 decoders
-        "url_canonicalize": q_url_canonicalize,  # new: web-corpus curation ops
-        "domain_caps": q_domain_caps,
-        "domain_stats": q_domain_stats,
-        "normalize_text": q_normalize_text,
-        "table_stats": q_table_stats,
-        "shard_manifest": q_shard_manifest,
-        "chunk_fixed_char": q_chunk_fixed_char,
-        "chunk_token_window": q_chunk_token_window,
-        "corpus_stats": q_corpus_stats,
-        "batch_progress": q_batch_progress,
-        "delete_cascade": q_delete_cascade,
+        # --- driver checks the FIRST ~50 entries. Ordering invariant
+        # --- (r4 rotation, VERDICT r3 ask #1): the 17 queries whose only
+        # --- green row dates to round 1 lead the window — the events
+        # --- family especially sits downstream of the r3 TZ rewrite and
+        # --- must be re-proven. Next come entries whose code changed THIS
+        # --- round (funnel zero-rows fix, curate forwarding, bucketed
+        # --- range join, PSL eTLD+1, trained PQ) plus new r4 operators;
+        # --- the window back-fills with the stalest r2-only greens, so
+        # --- r3∪r4 freshly verifies every registered key.
+        "delete_cascade": q_delete_cascade,  # 17 r1-only-stale seats
         "model_discovery": q_model_discovery,
         "doc_list_paged": q_doc_list_paged,
         "events_tumbling": q_events_tumbling,
@@ -1893,22 +1841,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "keyword_indexed": q_keyword_indexed,
         "hybrid_rerank": q_hybrid_rerank,
+        "simhash_pairs": q_simhash_pairs,
+        "parse_text": q_parse_text,
+        "media_stats": q_media_stats,
+        "rag_answer": q_rag_answer,
+        "events_sessionize": q_events_sessionize,
+        "file_browser": q_file_browser,
+        # changed this round — re-verify
+        "funnel": q_funnel,  # zero-count step rows fix
+        "corpus_curate": q_corpus_curate,  # column forwarding fix
+        "dataset_card": q_dataset_card,
+        "keyword_snippets": q_keyword_snippets,  # empty-terms SQL guard
+        "range_join_orders": q_range_join_orders,  # time-bin bucketed path
+        "pq_recall": q_pq_recall,  # trained sub-codebooks
+        "domain_caps": q_domain_caps,  # PSL-backed eTLD+1
+        "domain_stats": q_domain_stats,
+        # r2-only greens, stalest remaining entries
         "hybrid_onepass": q_hybrid_onepass,
         "semdedup": q_semdedup,
         "knn_join": q_knn_join,
         "cluster_assign": q_cluster_assign,
         "cluster_sizes": q_cluster_sizes,
         "perplexity": q_perplexity,
-        # rows-only declarations (no oracle) gain nothing from a slot in the
-        # driver's ~50-query window — parked just past it
-        "ann_ivf": q_ann_ivf,
-        "ingest_stats": q_ingest_stats,
-        "simhash_pairs": q_simhash_pairs,  # r4 rotation seats start here
-        "parse_text": q_parse_text,
-        "media_stats": q_media_stats,
-        "rag_answer": q_rag_answer,
-        "events_sessionize": q_events_sessionize,
-        "file_browser": q_file_browser,
         "hybrid_cc": q_hybrid_cc,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_dbsf": q_hybrid_dbsf,
@@ -1927,6 +1881,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_cosine": q_neardup_cosine,
         "neardup_cosine_lsh": q_neardup_cosine_lsh,
         "neardup_groups": q_neardup_groups,
+        "exact_dedup": q_exact_dedup,
+        # --- past the ~50-query window: r3-green entries rotate out
+        "chunk_semantic": q_chunk_semantic,
+        "chunk_semantic_stddev": q_chunk_semantic_stddev,
+        "chunk_semantic_gradient": q_chunk_semantic_gradient,
+        "chunk_recursive": q_chunk_recursive,
+        "chunk_doc_aware": q_chunk_doc_aware,
+        "chunk_sentence_aware": q_chunk_sentence_aware,
+        "markdown_sections": q_markdown_sections,
+        "parser_dispatch": q_parser_dispatch,
+        "hybrid_window": q_hybrid_window,
+        "ann_ivf_seeded": q_ann_ivf_seeded,
+        "ivf_upsert": q_ivf_upsert,
+        "events_sliding": q_events_sliding,
+        "events_top_types": q_events_top_types,
+        "random_projection": q_random_projection,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
+        "bloom_contamination": q_bloom_contamination,
+        "ann_ivfpq": q_ann_ivfpq,
+        "quality_sample": q_quality_sample,
+        "cdc_chunks": q_cdc_chunks,
+        "cms_hitters": q_cms_hitters,
+        "distinct_sketch": q_distinct_sketch,
+        "retention": q_retention,
+        "value_percentiles": q_value_percentiles,
+        "neardup_incremental": q_neardup_incremental,
+        "keyword_many": q_keyword_many,
+        "props_extract": q_props_extract,
+        "embedding_hygiene": q_embedding_hygiene,
+        "bpe_merges": q_bpe_merges,
+        "zorder_key": q_zorder_key,
+        "quality_logit": q_quality_logit,
+        "asof_attribution": q_asof_attribution,
+        "events_rollup": q_events_rollup,
+        "parse_binary": q_parse_binary,
+        "url_canonicalize": q_url_canonicalize,
+        "normalize_text": q_normalize_text,
+        "table_stats": q_table_stats,
+        "shard_manifest": q_shard_manifest,
+        "chunk_fixed_char": q_chunk_fixed_char,
+        "chunk_token_window": q_chunk_token_window,
+        "corpus_stats": q_corpus_stats,
+        "batch_progress": q_batch_progress,
+        # rows-only declarations (no oracle) gain nothing from a window slot
+        "ann_ivf": q_ann_ivf,
+        "ingest_stats": q_ingest_stats,
         "sample_mix": q_sample_mix,
         "pack_sequences": q_pack_sequences,
         "cosine_adjacent": q_cosine_adjacent,
