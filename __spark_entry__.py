@@ -1643,9 +1643,12 @@ def q_asof_attribution(spark, sf_dir):
 
 
 def q_range_join_orders(spark, sf_dir):
-    """Banded range join (equi on customer + 30-day band): per order, count
-    and exact cents of the same customer's orders in the preceding window."""
-    return temporal.repeat_orders_window(_t(spark, sf_dir, "orders"))
+    """Banded range join through the TIME-BIN BUCKETED path (equi on
+    (customer, bin) + 30-day band): per order, count and exact cents of
+    the same customer's orders in the preceding window. The bucketed plan
+    is the production shape — per-key history spreads across time bins,
+    so a hot key cannot go quadratic."""
+    return temporal.repeat_orders_window_bucketed(_t(spark, sf_dir, "orders"))
 
 
 def q_events_rollup(spark, sf_dir):

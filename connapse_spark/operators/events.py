@@ -74,8 +74,11 @@ def epoch_us_any(df: DataFrame, col: str) -> "F.Column":
     NTZ wall-clocks go through the naive-epoch diff. Shields operators that
     read driver parquet directly (orders.o_orderdate, lineitem.l_shipdate)
     from the same schema drift load_events absorbs for events.ts."""
-    if dict(df.dtypes).get(col) == "timestamp":
+    dt = dict(df.dtypes).get(col)
+    if dt == "timestamp":
         return F.unix_micros(F.col(col))
+    if dt in ("bigint", "int"):  # already epoch micros
+        return F.col(col).cast("long")
     return _epoch_us(col)
 
 

@@ -150,11 +150,10 @@ def repeat_orders_window(
     Scale shape: the self-join is EQUI on o_custkey (one shuffle, AQE
     skew-splittable) with the band as a post-join filter; per-customer
     cardinality is bounded (TPC-H ~10 orders/customer), so per-key work is
-    O(k²) with tiny k. For keys with unbounded per-key history the right
-    refinement is bucketing both sides by time bin (join on (key, bin) for
-    the 2 bins the band can span) — documented here as the 100× fallback;
-    the equi-key plan is the right default while per-key history is
-    bounded. Money folds integer cents (exact, order-independent).
+    O(k²) with tiny k. For keys with unbounded per-key history use
+    ``repeat_orders_window_bucketed`` (the production entry path), which
+    joins on (key, time-bin) so a key's history spreads across bins.
+    Money folds integer cents (exact, order-independent).
     """
     o = orders.select(
         F.col("o_orderkey").alias("okey"),
@@ -170,6 +169,60 @@ def repeat_orders_window(
         & (F.col("b.t") >= F.col("a.t") - F.lit(window_us)),
         "left",
     )
+    return (
+        j.groupBy(F.col("a.okey").alias("o_orderkey"))
+        .agg(
+            F.count(F.col("b.okey")).alias("n_prior"),
+            F.coalesce(F.sum(F.col("b.cents")), F.lit(0)).alias("prior_cents"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def repeat_orders_window_bucketed(
+    orders: DataFrame, window_us: int = THIRTY_DAYS_US
+) -> DataFrame:
+    """Same contract as ``repeat_orders_window``, built as a TIME-BIN
+    BUCKETED band join — the shape that survives unbounded per-key history
+    (the plain equi-key variant goes O(k²) when one key accumulates k
+    rows).
+
+    Both sides bucket into bins of the band width: ``bin = t div W``. A
+    band ``[a.t − W, a.t)`` has length exactly W, so it intersects at most
+    TWO bins (a.t's own bin and the one before). Each probe row explodes
+    to those two (key, bin) probes; the join is EQUI on (key, bin) with
+    the band as a residual predicate. Every right row lives in exactly one
+    bin, so no probe double-counts. The shuffle key is (key, bin): a
+    hot key's years of history spread across its bins instead of
+    converging on one reducer, and per-bin candidate lists are bounded by
+    the key's arrival RATE, not its lifetime. This is the standard
+    bucketed interval-join layout (Flink's interval join and DuckDB's IEJoin
+    literature use the same binning argument).
+
+    2× probe duplication is the entire overhead — a constant factor on
+    the probe side against an asymptotic win on skewed keys; the
+    skewed-fixture unit pins both implementations equal row-for-row.
+    """
+    o = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("ckey"),
+        epoch_us_any(orders, "o_orderdate").alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    binf = F.floor(F.col("t") / F.lit(window_us)).cast("long")
+    right = o.withColumn("bin", binf)
+    probes = o.withColumn("bin", F.explode(F.array(binf, binf - F.lit(1))))
+    a, b = probes.alias("a"), right.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.ckey") == F.col("b.ckey"))
+        & (F.col("a.bin") == F.col("b.bin"))
+        & (F.col("b.t") < F.col("a.t"))
+        & (F.col("b.t") >= F.col("a.t") - F.lit(window_us)),
+        "left",
+    )
+    # each okey contributes two probe rows; a right row matches through
+    # its own bin's probe only, so the per-okey aggregate is exact
     return (
         j.groupBy(F.col("a.okey").alias("o_orderkey"))
         .agg(

@@ -122,3 +122,56 @@ def test_curate_forwards_custom_columns(spark):
     assert len(out) == 12
     reasons = {r["reason"] for r in out}
     assert "near_duplicate" in reasons  # the forwarded minhash stage fired
+
+
+def test_bucketed_range_join_matches_equi_on_skewed_key(spark):
+    """One key holding 200 orders across many band widths (the regime
+    where the plain equi-key join goes O(k²)) plus edge cases that sit
+    exactly on bin boundaries: the bucketed plan must match the equi-key
+    plan row for row."""
+    from connapse_spark.operators.temporal import (
+        repeat_orders_window,
+        repeat_orders_window_bucketed,
+    )
+
+    day_us = 86_400_000_000
+    rows = []
+    # hot key 1: 200 orders, one every 7 days -> history >> band width
+    for i in range(200):
+        rows.append((i, 1, i * 7 * day_us, float(i + 1)))
+    # key 2: orders exactly at band-width boundaries (t = 0, W, 2W)
+    W = 30 * day_us
+    for i, t in enumerate([0, W, 2 * W, 2 * W + 1]):
+        rows.append((1000 + i, 2, t, 10.0))
+    # key 3: single order (no priors)
+    rows.append((2000, 3, 5 * day_us, 1.0))
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate long, o_totalprice double"
+    )
+    base = {
+        r["o_orderkey"]: (r["n_prior"], r["prior_cents"])
+        for r in repeat_orders_window(orders).collect()
+    }
+    bucketed = {
+        r["o_orderkey"]: (r["n_prior"], r["prior_cents"])
+        for r in repeat_orders_window_bucketed(orders).collect()
+    }
+    assert bucketed == base
+    # boundary semantics sanity: order at t=W sees t=0? band is
+    # [W-W, W) = [0, W) -> includes t=0. Order at 2W sees only t=W.
+    assert bucketed[1001] == (1, 1000)
+    assert bucketed[1002] == (1, 1000)
+    assert bucketed[1003][0] == 1  # 2W+1 sees 2W only
+
+
+def test_bucketed_range_join_shuffle_key_includes_bin(spark):
+    """The physical plan must exchange on (ckey, bin), not ckey alone —
+    that's the whole point of the bucketed layout."""
+    from connapse_spark.operators.temporal import repeat_orders_window_bucketed
+
+    orders = spark.createDataFrame(
+        [(1, 1, 0, 1.0)],
+        "o_orderkey long, o_custkey long, o_orderdate long, o_totalprice double",
+    )
+    plan = repeat_orders_window_bucketed(orders)._jdf.queryExecution().toString()
+    assert "bin" in plan
