@@ -1191,6 +1191,8 @@ def _sql_parse_binary() -> str:
     # bytes; regenerate with: python -c "see tests/test_pipeline.py
     # test_parse_binary_oracle_constants"
     rows = [
+        ("/fx/cid.pdf", "NULL", 2,
+         "f4ff7f1ba39eff2dac32f6023558da312875515246fac470b4ea9dea52589160", 0, "NULL"),
         ("/fx/deck.pptx", "'Deck'", 3,
          "8572a8248909fa3b434416f23989b9b8c6192d1817064b0808944b3179cf7e90", 0, "NULL"),
         ("/fx/empty.pdf", "NULL", 1,

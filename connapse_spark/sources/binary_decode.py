@@ -9,8 +9,11 @@ themselves are open and simple enough to decode with the standard library:
   located by scanning ``N 0 obj .. endobj``, the page tree walked from the
   trailer's ``/Root``, content streams inflated with ``zlib`` (FlateDecode,
   PDF 32000-1 §7.4.4) or taken raw, and text pulled from the ``Tj``/``TJ``/
-  ``'``/``"`` operators (§9.4.3). Image-only or CID/Type0-encoded pages
-  degrade to a per-page warning, mirroring the reference.
+  ``'``/``"`` operators (§9.4.3). CID/Type0 fonts decode through their
+  ``/ToUnicode`` CMap (§9.10.3) when one is present — EXCEEDING the
+  reference, which warns on such pages (PdfParser.cs:73,86); image-only
+  pages (and CID fonts without a ToUnicode stream) still degrade to a
+  per-page warning like the reference.
 
 Output shape mirrors the reference parsers exactly:
 
@@ -204,8 +207,10 @@ def _dict_value_refs(body: bytes, key: bytes) -> list[int]:
     return [one] if one is not None else []
 
 
-def _pdf_literal_string(raw: bytes) -> str:
-    """Unescape a PDF literal string body (PDF 32000-1 §7.3.4.2)."""
+def _pdf_unescape(raw: bytes) -> bytes:
+    """Unescape a PDF literal string body to raw bytes (PDF 32000-1
+    §7.3.4.2) — decoding to text is a separate step because CID-keyed
+    strings must stay byte pairs until the font's CMap maps them."""
     out = bytearray()
     i = 0
     esc = {
@@ -237,11 +242,21 @@ def _pdf_literal_string(raw: bytes) -> str:
         else:
             out.append(c)
             i += 1
-    # PDFDocEncoding is latin-1-compatible for the printable range;
-    # UTF-16BE strings carry a BOM (§7.9.2.2)
-    if out[:2] == b"\xfe\xff":
-        return bytes(out[2:]).decode("utf-16-be", errors="replace")
-    return bytes(out).decode("latin-1")
+    return bytes(out)
+
+
+def _default_show_decode(raw: bytes) -> str:
+    """Simple-font string bytes → text: PDFDocEncoding is latin-1-
+    compatible for the printable range; UTF-16BE strings carry a BOM
+    (§7.9.2.2)."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1")
+
+
+def _pdf_literal_string(raw: bytes) -> str:
+    """Unescape + decode a PDF literal string body (metadata strings)."""
+    return _default_show_decode(_pdf_unescape(raw))
 
 
 def _find_literal_strings(body: bytes, key: bytes) -> str | None:
@@ -280,19 +295,187 @@ def _scan_literal(data: bytes, open_paren: int) -> tuple[bytes, int]:
     return data[start:], len(data)
 
 
-def _page_text(content: bytes) -> str:
+class _CMap:
+    """A /ToUnicode CMap (PDF 32000-1 §9.10.3): charcode → Unicode string.
+
+    Built from ``begincodespacerange`` (code byte widths), ``beginbfchar``
+    (single mappings) and ``beginbfrange`` (contiguous or array-listed
+    runs). ``decode`` walks a shown string's bytes grouping them by the
+    codespace widths — the Identity-H Type0 case is 2-byte codes."""
+
+    def __init__(self) -> None:
+        self.map: dict[tuple[int, int], str] = {}  # (width, code) -> text
+        self.widths: list[int] = []
+
+    @staticmethod
+    def parse(data: bytes) -> "_CMap":
+        cm = _CMap()
+        widths: set[int] = set()
+        for m in re.finditer(
+            rb"begincodespacerange(.*?)endcodespacerange", data, re.DOTALL
+        ):
+            for rm in re.finditer(rb"<([0-9a-fA-F]+)>", m.group(1)):
+                widths.add(len(rm.group(1)) // 2)
+        cm.widths = sorted(w for w in widths if w > 0) or [2]
+
+        def dst_text(hx: bytes) -> str:
+            return bytes.fromhex(hx.decode("ascii")).decode(
+                "utf-16-be", errors="replace"
+            )
+
+        for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+            for pm in re.finditer(
+                rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>", m.group(1)
+            ):
+                src = pm.group(1)
+                cm.map[(len(src) // 2, int(src, 16))] = dst_text(pm.group(2))
+        for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+            for pm in re.finditer(
+                rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*(\[.*?\]|<[0-9a-fA-F]+>)",
+                m.group(1),
+                re.DOTALL,
+            ):
+                lo_h, hi_h, dst = pm.group(1), pm.group(2), pm.group(3)
+                w = len(lo_h) // 2
+                lo, hi = int(lo_h, 16), int(hi_h, 16)
+                if dst.startswith(b"["):
+                    dsts = re.findall(rb"<([0-9a-fA-F]+)>", dst)
+                    for off, d in enumerate(dsts):
+                        if lo + off <= hi:
+                            cm.map[(w, lo + off)] = dst_text(d)
+                else:
+                    base = int(dst[1:-1], 16)
+                    nbytes = (len(dst) - 2) // 2
+                    for code in range(lo, hi + 1):
+                        cm.map[(w, code)] = dst_text(
+                            b"%0*x" % (nbytes * 2, base + code - lo)
+                        )
+        return cm
+
+    def decode(self, raw: bytes) -> str:
+        out: list[str] = []
+        i, n = 0, len(raw)
+        while i < n:
+            hit = None
+            for w in self.widths:
+                if i + w <= n:
+                    code = int.from_bytes(raw[i : i + w], "big")
+                    if (w, code) in self.map:
+                        hit = (w, self.map[(w, code)])
+                        break
+            if hit is None:
+                # unmapped code: consume the narrowest width, emit nothing
+                i += self.widths[0]
+            else:
+                out.append(hit[1])
+                i += hit[0]
+        return "".join(out)
+
+
+def _scan_balanced_dict(data: bytes, start: int) -> bytes | None:
+    """Return the body of a ``<< .. >>`` dict starting at ``start`` (which
+    must point at the opening ``<<``), handling nesting."""
+    if data[start : start + 2] != b"<<":
+        return None
+    depth = 0
+    i = start
+    while i < len(data) - 1:
+        pair = data[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            if depth == 0:
+                return data[start + 2 : i]
+            i += 2
+        else:
+            i += 1
+    return None
+
+
+def _dict_value_dict(
+    body: bytes, key: bytes, objs: dict[int, bytes]
+) -> bytes | None:
+    """Resolve /Key as an inline ``<< >>`` dict or an indirect reference."""
+    m = re.search(re.escape(key) + rb"\s*", body)
+    if m is None:
+        return None
+    at = m.end()
+    if body[at : at + 2] == b"<<":
+        return _scan_balanced_dict(body, at)
+    ref = _dict_value_ref(body, key)
+    return objs.get(ref) if ref is not None else None
+
+
+def _stream_data(body: bytes) -> bytes | None:
+    """A stream object's decoded bytes (raw or FlateDecode)."""
+    sm = _STREAM_RE.search(body)
+    if not sm:
+        return None
+    data = sm.group(1)
+    if re.search(rb"/Filter\s*(\[\s*)?/FlateDecode", body):
+        data = zlib.decompress(data)
+    elif re.search(rb"/Filter\s*/", body):
+        raise ValueError("unsupported stream filter")
+    return data
+
+
+def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, _CMap]:
+    """Font resource name → parsed /ToUnicode CMap for the page. Fonts
+    without a ToUnicode stream (plain simple fonts) are omitted — shown
+    strings then take the latin-1 default path."""
+    fonts: dict[bytes, _CMap] = {}
+    res = _dict_value_dict(page_body, b"/Resources", objs)
+    if res is None:
+        return fonts
+    fdict = _dict_value_dict(res, b"/Font", objs)
+    if fdict is None:
+        return fonts
+    for fm in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fdict):
+        fbody = objs.get(int(fm.group(2)))
+        if fbody is None:
+            continue
+        tu_ref = _dict_value_ref(fbody, b"/ToUnicode")
+        if tu_ref is None or tu_ref not in objs:
+            continue
+        try:
+            data = _stream_data(objs[tu_ref])
+            if data:
+                fonts[fm.group(1)] = _CMap.parse(data)
+        except Exception:  # noqa: BLE001 — a bad CMap falls back to latin-1
+            continue
+    return fonts
+
+
+_NAME_RE = re.compile(rb"/([^\s/<>\[\]()]*)")
+
+
+def _page_text(content: bytes, fonts: dict[bytes, _CMap] | None = None) -> str:
     """Concatenate the string operands of text-showing operators, in stream
-    order — the same glyph-order concatenation PdfPig's ``page.Text`` gives
-    for simple (non-CID) PDFs. Kerning numbers inside TJ arrays are skipped."""
+    order — the same glyph-order concatenation PdfPig's ``page.Text`` gives.
+    Kerning numbers inside TJ arrays are skipped. When the active font
+    (tracked through ``Tf``) has a /ToUnicode CMap, shown strings decode
+    through it — CID/Type0 (Identity-H) pages yield text instead of
+    degrading to warnings."""
     parts: list[str] = []
     i = 0
     n = len(content)
-    pending: list[str] = []  # strings seen since the last operator
+    pending: list[bytes] = []  # raw string bytes seen since the last operator
+    cur_cmap: _CMap | None = None
+    last_name: bytes = b""
+    fonts = fonts or {}
+
+    def flush() -> None:
+        decode = cur_cmap.decode if cur_cmap is not None else _default_show_decode
+        parts.extend(decode(raw) for raw in pending)
+        pending.clear()
+
     while i < n:
         c = content[i]
         if c == 0x28:  # ( literal string
             raw, i = _scan_literal(content, i)
-            pending.append(_pdf_literal_string(raw))
+            pending.append(_pdf_unescape(raw))
         elif c == 0x3C and i + 1 < n and content[i + 1] != 0x3C:  # <hex>
             end = content.find(b">", i)
             if end == -1:
@@ -301,27 +484,32 @@ def _page_text(content: bytes) -> str:
             if len(hx) % 2:
                 hx += b"0"
             try:
-                parts_bytes = bytes.fromhex(hx.decode("ascii"))
-                pending.append(parts_bytes.decode("latin-1"))
+                pending.append(bytes.fromhex(hx.decode("ascii")))
             except ValueError:
                 pass
             i = end + 1
+        elif c == 0x2F:  # /Name token (font selections ride these)
+            m = _NAME_RE.match(content, i)
+            last_name = m.group(1) if m else b""
+            i = m.end() if m else i + 1
         elif c in (0x54, 0x27, 0x22):  # T / ' / "
             if c == 0x54 and i + 1 < n and content[i + 1] in (0x6A, 0x4A):  # Tj TJ
-                parts.extend(pending)
-                pending = []
+                flush()
+                i += 2
+            elif c == 0x54 and i + 1 < n and content[i + 1] == 0x66:  # Tf
+                cur_cmap = fonts.get(last_name)
+                pending.clear()
                 i += 2
             elif c in (0x27, 0x22):  # ' and " also show text
-                parts.extend(pending)
-                pending = []
+                flush()
                 i += 1
             else:
-                pending = []  # other T* operator: positioning, drop operands
+                pending.clear()  # other T* operator: positioning, drop operands
                 i += 1
         elif c in (0x5B, 0x5D):  # TJ array brackets: strings accumulate
             i += 1
         elif content[i : i + 2] in (b"BT", b"ET"):
-            pending = []
+            pending.clear()
             i += 2
         else:
             i += 1
@@ -380,19 +568,14 @@ def decode_pdf(blob: bytes) -> tuple[str, dict[str, str], list[str]]:
         for i, page_obj in enumerate(pages, start=1):
             try:
                 text_parts = []
+                fonts = _page_fonts(objs, objs[page_obj])
                 for cref in _dict_value_refs(objs[page_obj], b"/Contents"):
                     if cref not in objs:
                         continue
-                    cbody = objs[cref]
-                    sm = _STREAM_RE.search(cbody)
-                    if not sm:
+                    data = _stream_data(objs[cref])
+                    if data is None:
                         continue
-                    data = sm.group(1)
-                    if re.search(rb"/Filter\s*(\[\s*)?/FlateDecode", cbody):
-                        data = zlib.decompress(data)
-                    elif re.search(rb"/Filter\s*/", cbody):
-                        raise ValueError("unsupported stream filter")
-                    text_parts.append(_page_text(data))
+                    text_parts.append(_page_text(data, fonts))
                 page_text = "".join(text_parts)
                 if page_text.strip():
                     chunks.append(f"--- Page {i} ---\n{page_text}\n\n")

@@ -245,6 +245,8 @@ def fixture_corpus() -> list[tuple[str, bytes]]:
     an image-only-shaped (textless) PDF, docx with a table, a multi-slide
     pptx, a corrupt container, and an unsupported extension."""
     return [
+        ("/fx/cid.pdf", make_pdf_cid(
+            ["CID page one: Identity-H", "CID page two"])),
         ("/fx/deck.pptx", make_pptx(
             [["Intro", "agenda"], ["Deep dive"], []], title="Deck", author="carol")),
         ("/fx/empty.pdf", make_pdf([""])),
@@ -258,3 +260,103 @@ def fixture_corpus() -> list[tuple[str, bytes]]:
         ("/fx/ruined.docx", b"not a zip at all"),
         ("/fx/unknown.bin", b"\x00\x01"),
     ]
+
+
+def make_pdf_cid(pages: list[str], compress: bool = True) -> bytes:
+    """Type0 (CID-keyed, Identity-H) PDF: text is shown as 2-byte hex
+    charcodes assigned subset-font style (sequential, NOT the unicode
+    values), with a /ToUnicode CMap stream mapping them back — the shape
+    real-world subset-embedded fonts produce. Exercises both bfchar and
+    bfrange CMap sections (consecutive-codepoint runs become ranges)."""
+    charset = sorted({ch for p in pages for ch in p})
+    code = {ch: i + 1 for i, ch in enumerate(charset)}
+
+    # group charset into runs of consecutive unicode codepoints — these
+    # become bfrange rows; singletons become bfchar rows
+    runs: list[tuple[int, int]] = []  # (start_idx, end_idx) into charset
+    for i, ch in enumerate(charset):
+        if runs and ord(charset[runs[-1][1]]) + 1 == ord(ch):
+            runs[-1] = (runs[-1][0], i)
+        else:
+            runs.append((i, i))
+    bfchars = [(code[charset[a]], ord(charset[a])) for a, b in runs if a == b]
+    bfranges = [
+        (code[charset[a]], code[charset[b]], ord(charset[a]))
+        for a, b in runs
+        if a < b
+    ]
+    cmap_lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CMapName /Adobe-Identity-UCS def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<0000> <FFFF>",
+        "endcodespacerange",
+    ]
+    if bfchars:
+        cmap_lines.append(f"{len(bfchars)} beginbfchar")
+        cmap_lines += [f"<{c:04x}> <{u:04x}>" for c, u in bfchars]
+        cmap_lines.append("endbfchar")
+    if bfranges:
+        cmap_lines.append(f"{len(bfranges)} beginbfrange")
+        cmap_lines += [f"<{lo:04x}> <{hi:04x}> <{u:04x}>" for lo, hi, u in bfranges]
+        cmap_lines.append("endbfrange")
+    cmap_lines += ["endcmap", "end", "end"]
+    cmap = "\n".join(cmap_lines).encode("ascii")
+
+    n_pages = len(pages)
+    font_obj = 3 + 2 * n_pages
+    tounicode_obj = font_obj + 1
+    page_objs = [3 + 2 * i for i in range(n_pages)]
+    content_objs = [4 + 2 * i for i in range(n_pages)]
+
+    objects: list[bytes] = []
+    kids = " ".join(f"{n} 0 R" for n in page_objs)
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )  # 2
+    for i, text in enumerate(pages):
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj} 0 R >> >> "
+                f"/Contents {content_objs[i]} 0 R >>"
+            ).encode()
+        )
+        hexcodes = "".join(f"{code[ch]:04x}" for ch in text)
+        stream = f"BT\n/F1 12 Tf\n72 720 Td\n<{hexcodes}> Tj\nET".encode("ascii")
+        if compress:
+            data = zlib.compress(stream, 9)
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+        else:
+            data = stream
+            head = f"<< /Length {len(data)} >>".encode()
+        objects.append(head + b"\nstream\n" + data + b"\nendstream")
+    objects.append(
+        (
+            "<< /Type /Font /Subtype /Type0 /BaseFont /Subset-Fake "
+            f"/Encoding /Identity-H /ToUnicode {tounicode_obj} 0 R >>"
+        ).encode()
+    )
+    objects.append(
+        f"<< /Length {len(cmap)} >>".encode() + b"\nstream\n" + cmap + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for n, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
