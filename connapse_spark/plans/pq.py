@@ -20,9 +20,12 @@ codebooks are NOT trained by an iterative fitter — codebook[s] is the
 s-th subvector slice of the ``k`` lowest-id vectors. That makes encode,
 reconstruction error, and the ADC top-k pure functions of the input
 table, mirrored exactly in DuckDB SQL (same left-fold FP order via
-functions/vector.sql_l2sq). A production deployment would swap the seeds
-for sampled-KMeans sub-codebooks exactly as build_ivf_index does; every
-plan below is unchanged by that swap.
+functions/vector.sql_l2sq). The production fit is
+:func:`pq_codebooks_trained` — per-subspace sampled MLlib KMeans exactly
+as build_ivf_index trains its coarse centroids; it returns the same
+one-row frame, so every plan below is unchanged by the swap (plan-pinned
+in tests/test_pq.py) and trained recall ≥ seeded recall is asserted
+there too.
 
 Scale notes (100 TB):
 * the codebook row is ONE broadcast row (m·k·(d/m) doubles = 8 KiB here);
@@ -82,6 +85,58 @@ def pq_codebooks(
     return seeds.select(books.alias("_books"))
 
 
+def pq_codebooks_trained(
+    vectors: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """PRODUCTION codebooks: per-subspace sampled KMeans (the FAISS
+    recipe — Jégou 2011 §III trains each sub-quantizer independently),
+    fitted with MLlib exactly as ``build_ivf_index`` trains its coarse
+    centroids (plans/ivf.py:185). At 100 TB you pass ``sample_fraction``
+    so the m tiny fits see ~1M rows, never the corpus.
+
+    Output is the SAME one-row ``_books`` frame as :func:`pq_codebooks`
+    (seeded twin): the fitted centers come back as one broadcast row, so
+    encode / ADC probe / IVFPQ plans are unchanged by the swap —
+    plan-pinned in tests/test_pq.py. Centers are sorted lexicographically
+    per subspace so the codebook (and hence every packed code) is a
+    stable function of the fit, not of MLlib's internal center order."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub_d = dims // n_subspaces
+    base = vectors.select(to_double_array(F.col(vec_col)).alias("v"))
+    if sample_fraction is not None:
+        base = base.sample(sample_fraction, seed=seed)
+    base = base.persist()
+    try:
+        books: list[list[list[float]]] = []
+        for s in range(n_subspaces):
+            sub = base.select(
+                array_to_vector(
+                    F.slice(F.col("v"), s * sub_d + 1, sub_d)
+                ).alias("features")
+            )
+            km = KMeans(
+                k=n_codes, seed=seed + s, featuresCol="features",
+                predictionCol="_c",
+            )
+            centers = [
+                [float(x) for x in c] for c in km.fit(sub).clusterCenters()
+            ]
+            books.append(sorted(centers))
+        return vectors.sparkSession.createDataFrame(
+            [(books,)], "_books array<array<array<double>>>"
+        )
+    finally:
+        base.unpersist()
+
+
 # ---------------------------------------------------------------------------
 # Encode (fused per-vector fold — map-side only)
 # ---------------------------------------------------------------------------
@@ -135,14 +190,19 @@ def pq_encode(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """(id, pq_code, recon_err): the stored PQ artifact plus the exact
     quantization error Σ_s min_j d(v_s, c_sj) — the number a codebook
     refresh job would monitor for drift. One broadcast row in, map-side
     fold out; writing (id, pq_code) partitioned like the source keeps the
-    index co-located with its corpus."""
+    index co-located with its corpus. ``books`` defaults to the seeded
+    deterministic codebooks (oracle twin); pass
+    :func:`pq_codebooks_trained` for the production fit — the plan is
+    identical either way."""
     sub_d = dims // n_subspaces
-    books = pq_codebooks(vectors, n_subspaces, n_codes, dims, id_col, vec_col)
+    if books is None:
+        books = pq_codebooks(vectors, n_subspaces, n_codes, dims, id_col, vec_col)
     v = to_double_array(F.col(vec_col))
     bests = _best_codes(v, F.col("_books"), n_subspaces, sub_d)
     return (
@@ -213,6 +273,7 @@ def pq_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: every corpus vector is scored by the L2
     distance from the QUERY subvectors to the vector's CHOSEN codebook
@@ -224,7 +285,8 @@ def pq_topk(
     production probe over a STORED (id, pq_code) column is
     :func:`pq_probe_codes`, unit-tested bit-equal to this path."""
     sub_d = dims // n_subspaces
-    books = pq_codebooks(vectors, n_subspaces, n_codes, dims, id_col, vec_col)
+    if books is None:
+        books = pq_codebooks(vectors, n_subspaces, n_codes, dims, id_col, vec_col)
     v = to_double_array(F.col(vec_col))
     bests = _best_codes(v, F.col("_books"), n_subspaces, sub_d)
     adc = F.aggregate(
@@ -531,6 +593,7 @@ def pq_recall(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """ONE row: recall@k of the PQ-ADC top-k against the EXACT squared-L2
     top-k for the same query — the acceptance metric an index rollout
@@ -551,7 +614,8 @@ def pq_recall(
         .select(F.col(id_col).alias("id_exact"))
     )
     approx = pq_topk(
-        vectors, queries, k, n_subspaces, n_codes, dims, id_col, vec_col
+        vectors, queries, k, n_subspaces, n_codes, dims, id_col, vec_col,
+        books=books,
     ).select(F.col(id_col).alias("id_approx"))
     hit = exact.join(approx, exact.id_exact == approx.id_approx).agg(
         F.count(F.lit(1)).alias("n_overlap")
