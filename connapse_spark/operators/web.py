@@ -25,15 +25,6 @@ URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)\??([^#]
 # canonicalization (the C4/common-crawl cleaning convention)
 TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_[ce]id|igshid|ref)="
 
-# common two-level public suffixes; registered domain = one label more
-# than the public suffix. A full public-suffix list drops in as data —
-# the expression shape is the same.
-TWO_LEVEL_TLDS = [
-    "ac.uk", "co.in", "co.jp", "co.kr", "co.nz", "co.uk", "co.za",
-    "com.ar", "com.au", "com.br", "com.cn", "com.mx", "com.sg", "com.tr",
-    "ne.jp", "or.jp", "org.uk",
-]
-
 DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 
 
@@ -54,32 +45,23 @@ def sql_host(url: str) -> str:
     return f"lower({sql_url_part(url, 2)})"
 
 
-def registered_domain_expr(host: Column) -> Column:
-    """eTLD+1 under the broadcast-literal suffix table: ``a.b.co.uk`` →
-    ``b.co.uk``; ``www.example.com`` → ``example.com``; bare or two-label
-    hosts pass through."""
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    last2 = F.array_join(F.slice(labels, -2, 2), ".")
-    last3 = F.array_join(F.slice(labels, -3, 3), ".")
-    is_two_level = last2.isin(TWO_LEVEL_TLDS)
-    return (
-        F.when(n >= 3, F.when(is_two_level, last3).otherwise(last2))
-        .when(n == 2, last2)
-        .otherwise(host)
-    )
+def registered_domain_expr(host: Column, rules: dict | None = None) -> Column:
+    """eTLD+1 under the FULL public-suffix-list algorithm (normal,
+    wildcard, and exception rules with longest-match precedence —
+    operators/psl.py): ``a.b.co.uk`` → ``b.co.uk``; ``x.pvt.k12.ma.us``
+    → ``x.pvt.k12.ma.us``'s 5-label registered form; ``anything.ck`` is
+    a public suffix under ``*.ck`` except ``www.ck``. ``rules`` defaults
+    to the embedded ICANN-section subset; pass
+    ``psl.load_psl_file(path)`` to use the complete upstream list."""
+    from connapse_spark.operators import psl
+
+    return psl.registered_domain_psl_expr(host, rules)
 
 
-def sql_registered_domain(host: str) -> str:
-    tlds = ", ".join(f"'{t}'" for t in TWO_LEVEL_TLDS)
-    labels = f"string_split({host}, '.')"
-    return f"""(
-  CASE WHEN len({labels}) >= 3 THEN
-         CASE WHEN array_to_string({labels}[-2:], '.') IN ({tlds})
-              THEN array_to_string({labels}[-3:], '.')
-              ELSE array_to_string({labels}[-2:], '.') END
-       WHEN len({labels}) = 2 THEN array_to_string({labels}[-2:], '.')
-       ELSE {host} END)"""
+def sql_registered_domain(host: str, rules: dict | None = None) -> str:
+    from connapse_spark.operators import psl
+
+    return psl.sql_registered_domain_psl(host, rules)
 
 
 def clean_query_expr(query: Column) -> Column:

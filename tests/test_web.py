@@ -87,3 +87,100 @@ def test_domain_caps_single_shuffle(spark):
     )
     plan = web.domain_caps(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# PSL-backed eTLD+1 (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_psl_registered_domain_cases(spark):
+    """The full PSL algorithm: multi-level suffixes, wildcard rules,
+    exception rules, suffix-only hosts, and the default rule."""
+    from connapse_spark.operators.psl import registered_domain_psl_expr
+
+    cases = [
+        ("www.example.com", "example.com"),          # default-ish 2-level
+        ("example.com", "example.com"),
+        ("com", "com"),                               # bare TLD = suffix
+        ("foo.co.uk", "foo.co.uk"),                   # already eTLD+1
+        ("deep.sub.foo.co.uk", "foo.co.uk"),          # multi-level suffix
+        ("bar.com.au", "bar.com.au"),
+        ("a.b.bar.com.au", "bar.com.au"),
+        ("co.uk", "co.uk"),                           # host IS a suffix
+        ("school.pvt.k12.ma.us", "school.pvt.k12.ma.us"),  # 4-label rule
+        ("x.school.pvt.k12.ma.us", "school.pvt.k12.ma.us"),
+        ("site.anything.ck", "site.anything.ck"),     # *.ck wildcard
+        ("sub.site.anything.ck", "site.anything.ck"),
+        ("www.ck", "www.ck"),                         # !www.ck exception
+        ("sub.www.ck", "www.ck"),
+        ("blog.example.co.uk", "example.co.uk"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {
+        r["host"]: r["reg"]
+        for r in df.select(
+            "host", registered_domain_psl_expr(F.col("host")).alias("reg")
+        ).collect()
+    }
+    for host, want in cases:
+        assert got[host] == want, (host, got[host], want)
+
+
+def test_psl_sql_mirror_matches_spark(spark):
+    import duckdb
+
+    from connapse_spark.operators.psl import (
+        registered_domain_psl_expr,
+        sql_registered_domain_psl,
+    )
+
+    hosts = [
+        "www.example.com", "deep.sub.foo.co.uk", "bar.com.au", "co.uk",
+        "x.school.pvt.k12.ma.us", "sub.site.anything.ck", "sub.www.ck",
+        "news.example.co.jp", "a.gov.uk", "com", "single",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = [
+        (r["host"], r["reg"])
+        for r in df.select(
+            "host", registered_domain_psl_expr(F.col("host")).alias("reg")
+        ).orderBy("host").collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE hosts AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{h}')" for h in hosts)
+        + ") v(host)"
+    )
+    want = con.execute(
+        f"SELECT host, {sql_registered_domain_psl('host')} AS reg "
+        "FROM hosts ORDER BY host"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_psl_dat_file_roundtrip(tmp_path):
+    """load_psl_file parses the upstream public_suffix_list.dat format
+    (comments, blank lines, sections) into the same table shape."""
+    from connapse_spark.operators.psl import load_psl_file, parse_rules
+
+    dat = tmp_path / "public_suffix_list.dat"
+    dat.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "\n"
+        "// ck : https://example\n"
+        "*.ck\n"
+        "!www.ck\n"
+        "co.uk\n"
+        "\n"
+        "// ===END ICANN DOMAINS===\n"
+        "blogspot.com\n"
+    )
+    rules = load_psl_file(str(dat))
+    assert rules["normal"][2] == ["co.uk", "blogspot.com"]
+    assert rules["wildcard_base"][1] == ["ck"]
+    assert rules["exception"][2] == ["www.ck"]
+    assert rules == parse_rules(
+        ["*.ck", "!www.ck", "co.uk", "blogspot.com", "// c", ""]
+    )
