@@ -56,6 +56,78 @@ def embedding_provider_udf(provider: Callable[[list[str]], list[list[float]]] | 
     return _embed
 
 
+def http_embedding_provider(
+    endpoint: str,
+    model: str = "nomic-embed-text",
+    batch_size: int = 16,
+    timeout: float = 30.0,
+    max_retries: int = 3,
+    api_key: str | None = None,
+) -> Callable[[list[str]], list[list[float]]]:
+    """REAL provider client for :func:`embedding_provider_udf`: POSTs
+    Ollama-style JSON ``{"model": ..., "input": [...]}`` to ``endpoint``
+    and reads ``{"embeddings": [[...], ...]}`` — the protocol of the
+    reference's OllamaEmbeddingProvider (OllamaEmbeddingProvider.cs:51-110),
+    including its sub-batching at ``batch_size`` texts per call.
+
+    * stdlib ``urllib`` only (no client library assumptions); the closure
+      captures just strings/numbers, so it serializes cleanly to executors
+      and each Python worker opens its own connections — no driver-side
+      session object crosses the wire (same discipline as
+      connectors.s3_read_objects' per-partition boto3 client);
+    * retries: 5xx and connection errors back off exponentially
+      (0.1·2^attempt) up to ``max_retries``; 4xx fail fast — a bad request
+      will not become less bad by retrying;
+    * deterministic result order: batch k's vectors land at positions
+      [k·batch_size, ...) — the UDF contract (one vector per input row)
+      holds by construction.
+
+    The deterministic hash embedder stays the DEFAULT provider everywhere;
+    this client is opt-in wiring for a live endpoint."""
+    import json
+    import time
+    import urllib.error
+    import urllib.request
+
+    def call_once(batch: list[str]) -> list[list[float]]:
+        body = json.dumps({"model": model, "input": batch}).encode("utf-8")
+        headers = {"Content-Type": "application/json"}
+        if api_key:
+            headers["Authorization"] = f"Bearer {api_key}"
+        req = urllib.request.Request(
+            endpoint, data=body, headers=headers, method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            out = json.loads(resp.read().decode("utf-8"))
+        vecs = out["embeddings"]
+        if len(vecs) != len(batch):
+            raise ValueError(
+                f"provider returned {len(vecs)} vectors for {len(batch)} texts"
+            )
+        return [[float(x) for x in v] for v in vecs]
+
+    def call_with_retry(batch: list[str]) -> list[list[float]]:
+        for attempt in range(max_retries + 1):
+            try:
+                return call_once(batch)
+            except urllib.error.HTTPError as ex:
+                if ex.code < 500 or attempt == max_retries:
+                    raise
+            except (urllib.error.URLError, TimeoutError, ConnectionError):
+                if attempt == max_retries:
+                    raise
+            time.sleep(0.1 * (2 ** attempt))
+        raise AssertionError("unreachable")
+
+    def provider(texts: list[str]) -> list[list[float]]:
+        out: list[list[float]] = []
+        for at in range(0, len(texts), batch_size):
+            out.extend(call_with_retry(texts[at : at + batch_size]))
+        return out
+
+    return provider
+
+
 def embed_chunks(
     chunks: DataFrame,
     existing_vectors: DataFrame | None = None,
