@@ -341,3 +341,174 @@ def balance_by_size(listing: DataFrame, n_partitions: int) -> DataFrame:
         .map(lambda r: [r[f.name] for f in schema.fields])
     )
     return spark.createDataFrame(rdd, schema)
+
+
+# ---------------------------------------------------------------------------
+# Azure Blob REST tier — the executable twin of the boto3 S3 tier above.
+# The container ships no azure-storage-blob SDK and no Azurite binary, but
+# the Blob service REST protocol is a public spec (List Blobs XML, Get
+# Blob, Shared Key signing — learn.microsoft.com/rest/api/storageservices),
+# simple enough for stdlib urllib + hmac; the integration tests run it
+# against a protocol-faithful mock server that verifies the signatures
+# with an independent implementation of the documented algorithm. The
+# reference integration-tests this connector against Azurite
+# (tests/Connapse.Integration.Tests/AzuriteFixture.cs).
+# ---------------------------------------------------------------------------
+
+AZURE_API_VERSION = "2021-08-06"
+
+_AZURE_STD_HEADERS = [
+    "Content-Encoding", "Content-Language", "Content-Length", "Content-MD5",
+    "Content-Type", "Date", "If-Modified-Since", "If-Match", "If-None-Match",
+    "If-Unmodified-Since", "Range",
+]
+
+
+def azure_shared_key_auth(
+    method: str,
+    path: str,
+    query: dict[str, str],
+    headers: dict[str, str],
+    account: str,
+    key_b64: str,
+) -> str:
+    """``Authorization: SharedKey`` header value for one Blob-service
+    request (the 2009-09-19+ Shared Key scheme): VERB + the 11 standard
+    headers + canonicalized ``x-ms-*`` headers (lowercase, sorted) +
+    canonicalized resource (/account/path + sorted query as name:value
+    lines), HMAC-SHA256 under the base64-decoded account key."""
+    import base64
+    import hashlib
+    import hmac
+
+    hl = {k.lower(): v for k, v in headers.items()}
+    parts = [method.upper()]
+    for h in _AZURE_STD_HEADERS:
+        v = hl.get(h.lower(), "")
+        if h == "Content-Length" and v == "0":
+            v = ""  # zero-length bodies sign as empty per the spec
+        parts.append(v)
+    xms = sorted((k, v) for k, v in hl.items() if k.startswith("x-ms-"))
+    canon_headers = "".join(f"{k}:{v}\n" for k, v in xms)
+    canon_res = f"/{account}{path}"
+    for name in sorted(query):
+        canon_res += f"\n{name.lower()}:{query[name]}"
+    string_to_sign = "\n".join(parts) + "\n" + canon_headers + canon_res
+    sig = base64.b64encode(
+        hmac.new(
+            base64.b64decode(key_b64), string_to_sign.encode("utf-8"), hashlib.sha256
+        ).digest()
+    ).decode("ascii")
+    return f"SharedKey {account}:{sig}"
+
+
+def _azure_request(
+    endpoint: str,
+    account: str,
+    key_b64: str,
+    path: str,
+    query: dict[str, str],
+) -> bytes:
+    """One signed GET; returns the response body. Stdlib urllib only —
+    the same no-client-library discipline as http_embedding_provider."""
+    import urllib.parse
+    import urllib.request
+    from email.utils import formatdate
+
+    headers = {
+        "x-ms-date": formatdate(usegmt=True),
+        "x-ms-version": AZURE_API_VERSION,
+    }
+    headers["Authorization"] = azure_shared_key_auth(
+        "GET", path, query, headers, account, key_b64
+    )
+    qs = urllib.parse.urlencode(query)
+    url = f"{endpoint}{urllib.parse.quote(path)}" + (f"?{qs}" if qs else "")
+    req = urllib.request.Request(url, headers=headers, method="GET")
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return resp.read()
+
+
+def azure_list_blobs(
+    spark: SparkSession,
+    account: str,
+    container: str,
+    key_b64: str,
+    prefix: str = "",
+    endpoint_url: str | None = None,
+    max_results: int = 100_000,
+) -> DataFrame:
+    """List Blobs (``?restype=container&comp=list``) with NextMarker
+    pagination → the same (path, size_bytes, last_modified) frame as
+    s3_list_objects, with ``abfss://`` paths so everything downstream of
+    either connector is identical. The guard semantics mirror the S3
+    fix: raise ONLY when the full listing cannot be returned within
+    ``max_results``."""
+    import xml.etree.ElementTree as ET
+
+    ep = endpoint_url or f"https://{account}.blob.core.windows.net"
+    rows: list[tuple[str, int, str]] = []
+    marker = ""
+    while True:
+        query = {"restype": "container", "comp": "list", "maxresults": "1000"}
+        if prefix:
+            query["prefix"] = prefix
+        if marker:
+            query["marker"] = marker
+        body = _azure_request(ep, account, key_b64, f"/{container}", query)
+        root = ET.fromstring(body)
+        for blob in root.iter("Blob"):
+            name = blob.findtext("Name") or ""
+            props = blob.find("Properties")
+            size = int(props.findtext("Content-Length") or 0)
+            mtime = props.findtext("Last-Modified") or ""
+            rows.append(
+                (
+                    f"abfss://{container}@{account}.dfs.core.windows.net/{name}",
+                    size,
+                    mtime,
+                )
+            )
+        marker = root.findtext("NextMarker") or ""
+        if not marker or len(rows) > max_results:
+            break
+    if marker or len(rows) > max_results:
+        raise ValueError(
+            f"azure_list_blobs: listing exceeded max_results={max_results}; "
+            "use the abfss/binaryFile path or a Blob Inventory manifest"
+        )
+    return spark.createDataFrame(
+        rows, "path string, size_bytes long, last_modified string"
+    )
+
+
+def azure_read_blobs(
+    listing: DataFrame,
+    account: str,
+    key_b64: str,
+    endpoint_url: str | None = None,
+) -> DataFrame:
+    """Get Blob, distributed: the listing fans out over executors and each
+    partition GETs its blobs with fresh signed requests (only strings
+    cross the closure boundary — no session object is serialized),
+    yielding (path, content) Arrow batches — the same schema as
+    s3_read_objects, so Azure → parse → chunk → embed is one lazy plan."""
+    import pandas as pd
+
+    ep = endpoint_url or f"https://{account}.blob.core.windows.net"
+    marker = f"@{account}.dfs.core.windows.net/"
+
+    def fetch(batches):
+        for pdf in batches:
+            paths, bodies = [], []
+            for p in pdf["path"]:
+                assert p.startswith("abfss://")
+                rest = p[len("abfss://"):]
+                container, name = rest.split(marker, 1)
+                bodies.append(
+                    _azure_request(ep, account, key_b64, f"/{container}/{name}", {})
+                )
+                paths.append(p)
+            yield pd.DataFrame({"path": paths, "content": bodies})
+
+    return listing.select("path").mapInPandas(fetch, "path string, content binary")
