@@ -175,3 +175,63 @@ def test_bucketed_range_join_shuffle_key_includes_bin(spark):
     )
     plan = repeat_orders_window_bucketed(orders)._jdf.queryExecution().toString()
     assert "bin" in plan
+
+
+def test_asof_join_fuzzed_against_duckdb_native_asof(spark):
+    """Property-fuzz the union-window as-of kernel against DuckDB's NATIVE
+    ASOF JOIN — an independent engine implementation, the strongest oracle
+    in the repo. 1200 randomized cases (random key collisions, timestamp
+    ties, exact-boundary equality, empty left / empty right sides) are
+    packed into ONE composite-keyed frame: the join partitions by key, so
+    distinct (case, key) composites are independent cases, and the whole
+    panel costs two engine runs instead of 1200."""
+    import random
+
+    from connapse_spark.operators.temporal import asof_join
+
+    rng = random.Random(20260814)
+    left_rows, right_rows = [], []
+    for case in range(1200):
+        n_left = rng.randint(0, 5)   # 0 -> empty-left case
+        n_right = rng.randint(0, 5)  # 0 -> empty-right case
+        for _ in range(n_left):
+            k = case * 10 + rng.randint(0, 2)
+            left_rows.append((k, rng.randint(0, 20)))
+        seen = {}
+        for _ in range(n_right):
+            k = case * 10 + rng.randint(0, 2)
+            t = rng.randint(0, 20)
+            v = rng.randint(-100, 100)
+            # contract: right unique per (key, ts) — keep max val like
+            # purchase_view_attribution's pre-aggregate
+            seen[(k, t)] = max(v, seen.get((k, t), -(10 ** 9)))
+        right_rows.extend((k, t, v) for (k, t), v in seen.items())
+
+    left = spark.createDataFrame(left_rows, "k long, t long")
+    right = spark.createDataFrame(right_rows, "k long, t long, val long")
+    out = asof_join(left, right, key="k", left_ts="t", right_ts="t", right_val="val")
+    got = sorted(
+        (r["k"], r["t"], r["_asof_val"], r["_asof_ts"])
+        for r in out.select(
+            "k", "t",
+            F.coalesce(F.col("_asof_val"), F.lit(-999)).alias("_asof_val"),
+            F.coalesce(F.col("_asof_ts"), F.lit(-999)).alias("_asof_ts"),
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k BIGINT, t BIGINT)")
+    con.execute("CREATE TABLE r (k BIGINT, t BIGINT, val BIGINT)")
+    if left_rows:
+        con.executemany("INSERT INTO l VALUES (?, ?)", left_rows)
+    if right_rows:
+        con.executemany("INSERT INTO r VALUES (?, ?, ?)", right_rows)
+    want = sorted(
+        tuple(w)
+        for w in con.execute(
+            "SELECT l.k, l.t, coalesce(r.val, -999), coalesce(r.t, -999) "
+            "FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.t >= r.t"
+        ).fetchall()
+    )
+    assert len(got) == len(left_rows)
+    assert got == want
