@@ -42,6 +42,7 @@ from connapse_spark.operators.search import (
     hybrid_search_onepass,
     keyword_search,
     keyword_search_bm25,
+    hybrid_search_many,
     keyword_search_many,
     keyword_search_snippets,
     keyword_search_proximity,
@@ -51,6 +52,7 @@ from connapse_spark.operators.search import (
     sql_keyword_bm25,
     window_substitution,
     sql_keyword_proximity,
+    sql_hybrid_search_many,
     sql_keyword_search_many,
     sql_keyword_search_snippets,
     sql_keyword_websearch,
@@ -180,6 +182,19 @@ def q_hybrid_onepass(spark, sf_dir):
     corpus = docs.join(vecs, "doc_id")
     out = hybrid_search_onepass(corpus, SEARCH_QUERY, SearchOptions(top_k=10))
     return out.withColumnRenamed("id", "doc_id")
+
+
+def q_hybrid_many(spark, sf_dir):
+    """BATCHED hybrid search: all BATCH_QUERIES answered in ONE corpus
+    scan (search.hybrid_search_many) — the keyword_many amortization
+    extended to the full vector+keyword+fusion pipeline; oracle is a
+    UNION of the verified single-query onepass mirrors."""
+    docs = _t(spark, sf_dir, "documents")
+    vecs = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding")
+    )
+    corpus = docs.join(vecs, "doc_id")
+    return hybrid_search_many(corpus, BATCH_QUERIES, top_k=5)
 
 
 def _vectors(spark, sf_dir):
@@ -1861,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,  # trained sub-codebooks
         "domain_caps": q_domain_caps,  # PSL-backed eTLD+1
         "domain_stats": q_domain_stats,
+        "hybrid_many": q_hybrid_many,  # new r4: batched full-hybrid search
         # r2-only greens, stalest remaining entries
         "hybrid_onepass": q_hybrid_onepass,
         "semdedup": q_semdedup,
@@ -2070,6 +2086,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_card": _sql_dataset_card(),
         "neardup_incremental": dedup.sql_incremental_neardup(threshold=0.2),
         "keyword_many": sql_keyword_search_many(BATCH_QUERIES, k=5),
+        "hybrid_many": sql_hybrid_search_many(BATCH_QUERIES, top_k=5),
         "props_extract": events.sql_props_extract_agg(),
         "embedding_hygiene": similarity.sql_embedding_hygiene(),
         "keyword_snippets": sql_keyword_search_snippets(SEARCH_QUERY, k=10),

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "keyword_proximity",
     "keyword_bm25",
     "keyword_many",
+    "hybrid_many",
     "keyword_snippets",
     "hybrid_rrf",
     "hybrid_onepass",

@@ -57,6 +57,12 @@ def sql_embed(c: str, dims: int = DEFAULT_DIMS) -> str:
 
 
 def sql_vector_literal(vec: list[float]) -> str:
-    """Emit a Python float list as a DuckDB array literal; repr() round-trips
-    doubles exactly, so the parsed values are bit-identical."""
-    return "[" + ", ".join(repr(v) for v in vec) + "]"
+    """Emit a Python float list as a DuckDB DOUBLE[] literal. repr()
+    round-trips doubles exactly, but a bare ``0.354`` literal parses as
+    DECIMAL in DuckDB and stays decimal through downstream folds (a norm
+    over decimals rounds differently in the last ulp — observed as a
+    1-ulp cosine divergence on hybrid_many). Tagging every element
+    ``::DOUBLE`` pins the whole expression tree to float math; the
+    decimal→double conversion is round-to-nearest, identical to Python's
+    parse, so values stay bit-exact."""
+    return "[" + ", ".join(f"{v!r}::DOUBLE" for v in vec) + "]"

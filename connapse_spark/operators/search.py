@@ -1546,3 +1546,163 @@ ranked AS (
 SELECT CAST(qid AS BIGINT) AS qid, id, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k} ORDER BY qid, rank
 """.strip()
+
+
+def hybrid_search_many(
+    corpus: DataFrame,
+    queries: list[tuple[int, str]],
+    top_k: int = 10,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """BATCHED hybrid search: answer N (qid, query) pairs in ONE corpus
+    scan — the amortized-batch regime BASELINE.md scores, extended from
+    the keyword family (keyword_search_many) to the FULL hybrid pipeline
+    (vector + keyword branches, per-branch top-k, min-max normalization,
+    convex-combination fusion — hybrid_search_onepass semantics per qid,
+    oracle-mirrored by a UNION of the single-query mirrors).
+
+    Shared work is hoisted out of the per-query expressions: the corpus
+    tokenizes ONCE (exact + stemmed arrays) and the embedding casts once;
+    each query then adds one cosine fold and two array-containment counts
+    over those shared columns — no re-tokenization, no extra scan. The
+    per-query scores explode into (id, qid, vscore, kscore) rows and an
+    Arrow-batched per-(batch, qid) top-k pre-cut bounds the post-scan
+    shuffle to ≤ 2k·N rows per ~10k-row batch, exactly the onepass
+    argument with a qid dimension: at 100 TB the corpus IO is paid once
+    for the whole query batch instead of once per query.
+    """
+    k = top_k
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        to_double_array(F.col(vec_col)).alias("_v"),
+        tokens_exact_expr(F.col(text_col)).alias("_te"),
+        tokens_stemmed_expr(F.col(text_col)).alias("_ts"),
+    )
+    per_q = []
+    for qid, qtext in queries:
+        qarr = F.array(*[F.lit(float(x)) for x in embed_py(qtext, dims)])
+        terms = sorted(set(tokenize_py(qtext)))
+        stems = sorted({stem_py(t) for t in terms})
+        raw = F.lit(WEIGHT_EXACT) * F.size(
+            F.filter(F.col("_te"), lambda t: t.isin(*terms))
+        ) + F.lit(WEIGHT_STEMMED) * F.size(
+            F.filter(F.col("_ts"), lambda t: t.isin(*stems))
+        )
+        per_q.append(
+            F.struct(
+                F.lit(int(qid)).cast("int").alias("qid"),
+                cosine_expr(F.col("_v"), qarr).alias("vector_score"),
+                (raw / (raw + F.lit(1.0))).alias("keyword_score"),
+            )
+        )
+    scored = base.select("id", F.explode(F.array(*per_q)).alias("q")).select(
+        "id", F.col("q.qid"), F.col("q.vector_score"), F.col("q.keyword_score")
+    )
+    id_type = scored.schema["id"].dataType.simpleString()
+
+    def _batch_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for _, g in pdf.groupby("qid"):
+                v = g.sort_values(["vector_score", "id"], ascending=[False, True]).head(k)
+                kw = (
+                    g[g["keyword_score"] > 0.0]
+                    .sort_values(["keyword_score", "id"], ascending=[False, True])
+                    .head(k)
+                )
+                outs.append(pd.concat([v, kw]).drop_duplicates(subset="id"))
+            yield pd.concat(outs) if outs else pdf.head(0)
+
+    pool = scored.mapInPandas(
+        _batch_topk,
+        schema=f"id {id_type}, qid int, vector_score double, keyword_score double",
+    )
+    entries = (
+        pool.select(
+            "qid",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("v").alias("branch"),
+                        F.col("vector_score").alias("bscore"),
+                        F.col("id"),
+                    ),
+                    F.struct(
+                        F.lit("k").alias("branch"),
+                        F.col("keyword_score").alias("bscore"),
+                        F.col("id"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("qid", "e.branch", "e.bscore", "e.id")
+        .filter((F.col("branch") == "v") | (F.col("bscore") > 0.0))
+    )
+    wb = Window.partitionBy("qid", "branch").orderBy(F.desc("bscore"), F.col("id"))
+    ranked = entries.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") <= k)
+    wbranch = Window.partitionBy("qid", "branch")
+    mn, mx = F.min("bscore").over(wbranch), F.max("bscore").over(wbranch)
+    normed = ranked.withColumn(
+        "_ns", F.when(mx > mn, (F.col("bscore") - mn) / (mx - mn)).otherwise(F.lit(1.0))
+    )
+    a = min(max(alpha, 0.0), 1.0)
+    per_id = normed.groupBy("qid", "id").agg(
+        F.max(F.when(F.col("branch") == "v", F.col("_ns"))).alias("_vs"),
+        F.max(F.when(F.col("branch") == "k", F.col("_ns"))).alias("_ks"),
+    )
+    in_v, in_k = F.col("_vs").isNotNull(), F.col("_ks").isNotNull()
+    fused = per_id.select(
+        "qid",
+        F.col("id"),
+        (
+            F.lit(a) * F.coalesce(F.col("_vs"), F.lit(0.0))
+            + F.lit(1.0 - a) * F.coalesce(F.col("_ks"), F.lit(0.0))
+        ).alias("score"),
+        F.coalesce(F.col("_vs"), F.lit(0.0)).alias("vector_score"),
+        F.coalesce(F.col("_ks"), F.lit(0.0)).alias("keyword_score"),
+        F.when(in_v & in_k, "both").when(in_v, "vector").otherwise("keyword").alias("source"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("id"))
+    return (
+        fused.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= k)
+        .select(
+            "qid",
+            F.col("id").alias(id_col),
+            "score",
+            "vector_score",
+            "keyword_score",
+            "source",
+        )
+        .orderBy("qid", F.desc("score"), F.col(id_col))
+    )
+
+
+def sql_hybrid_search_many(
+    queries: list[tuple[int, str]],
+    top_k: int = 10,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> str:
+    """Mirror: UNION ALL of the single-query onepass mirrors, qid-tagged —
+    each parenthesized block is a full CTE-prefixed statement (DuckDB
+    allows that), so the batched path is checked against N independent
+    runs of the already-verified single-query oracle."""
+    from connapse_spark import oracle
+
+    parts = [
+        f"SELECT CAST({qid} AS INT) AS qid, * FROM ("
+        + oracle.hybrid_onepass_sql(qtext, top_k=top_k, alpha=alpha, id_col=id_col)
+        + ")"
+        for qid, qtext in queries
+    ]
+    return (
+        "\nUNION ALL\n".join(parts)
+        + f"\nORDER BY qid, score DESC, {id_col}"
+    )

@@ -235,3 +235,58 @@ def test_asof_join_fuzzed_against_duckdb_native_asof(spark):
     )
     assert len(got) == len(left_rows)
     assert got == want
+
+
+def _hybrid_corpus(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    return docs.join(vecs, "doc_id")
+
+
+def test_hybrid_many_matches_single_query_results(spark, sf_dir):
+    """Per query, the batched hybrid must reproduce hybrid_search_onepass
+    row-for-row (same branch cuts, normalization, fusion, tie-breaks)."""
+    from connapse_spark.operators.search import (
+        SearchOptions,
+        hybrid_search_many,
+        hybrid_search_onepass,
+    )
+
+    corpus = _hybrid_corpus(spark, sf_dir)
+    queries = [(1, "table scan fast merge"), (2, "parallel hash aggregation")]
+    many = hybrid_search_many(corpus, queries, top_k=8).collect()
+    for qid, qtext in queries:
+        single = hybrid_search_onepass(corpus, qtext, SearchOptions(top_k=8)).collect()
+        mine = [r for r in many if r["qid"] == qid]
+        assert [(r["doc_id"], r["score"], r["source"]) for r in mine] == [
+            (r["id"], r["score"], r["source"]) for r in single
+        ], qid
+
+
+def test_hybrid_many_amortizes_scan(spark, sf_dir):
+    """Plan invariance in query count: 20 hybrid queries cost the same
+    corpus-side plan (scans, Arrow exchanges, aggregations) as 1 — only
+    per-row expression width grows. The invariance IS the amortization."""
+    from connapse_spark.operators.search import hybrid_search_many
+
+    corpus = _hybrid_corpus(spark, sf_dir)
+
+    def shape(n_queries):
+        queries = [(i, f"table scan merge sort hash number {i}") for i in range(n_queries)]
+        plan = (
+            hybrid_search_many(corpus, queries, top_k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return {
+            m: plan.count(m)
+            for m in (
+                "FileScan", "Generate", "HashAggregate",
+                "Exchange hashpartitioning", "ArrowEvalPython", "MapInPandas",
+            )
+        }
+
+    assert shape(1) == shape(20)
