@@ -33,7 +33,7 @@ from connapse_spark.operators.maintenance import (
     sync_delta,
     upsert_last_writer_wins,
 )
-from connapse_spark.operators import keyword_index, multimodal, normalize, profile, rag, sampling
+from connapse_spark.operators import keyword_index, multimodal, normalize, profile, rag, sampling, skew
 from connapse_spark.operators.ingest import ingest, ingest_stats
 from connapse_spark.operators.search import (
     SearchOptions,
@@ -182,6 +182,36 @@ def q_hybrid_onepass(spark, sf_dir):
     corpus = docs.join(vecs, "doc_id")
     out = hybrid_search_onepass(corpus, SEARCH_QUERY, SearchOptions(top_k=10))
     return out.withColumnRenamed("id", "doc_id")
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-resistant two-stage aggregation (operators/skew.py): groupBy
+    (event_type, salt) partials merged on event_type — the Zipfian-key
+    pattern. The oracle is the PLAIN unsalted aggregate: salting must be
+    an identity on results."""
+    ev = events.load_events(spark, sf_dir).select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return skew.salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "total_cents": ("sum_long", "cents"),
+            "n_events": ("count", "cents"),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+            "n_users": ("count_distinct", "user_id"),
+        },
+        n_salts=8,
+    ).orderBy("event_type")
+
+
+_SQL_SALTED_AGG_TABLE = (
+    "(SELECT event_type, user_id, CAST(round(value * 100) AS BIGINT) AS cents "
+    "FROM events)"
+)
 
 
 def q_hybrid_many(spark, sf_dir):
@@ -1877,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_caps": q_domain_caps,  # PSL-backed eTLD+1
         "domain_stats": q_domain_stats,
         "hybrid_many": q_hybrid_many,  # new r4: batched full-hybrid search
+        "salted_agg": q_salted_agg,  # new r4: skew-resistant aggregation
         # r2-only greens, stalest remaining entries
         "hybrid_onepass": q_hybrid_onepass,
         "semdedup": q_semdedup,
@@ -2087,6 +2118,17 @@ def oracle_sql() -> dict[str, str]:
         "neardup_incremental": dedup.sql_incremental_neardup(threshold=0.2),
         "keyword_many": sql_keyword_search_many(BATCH_QUERIES, k=5),
         "hybrid_many": sql_hybrid_search_many(BATCH_QUERIES, top_k=5),
+        "salted_agg": skew.sql_salted_agg(
+            ["event_type"],
+            {
+                "total_cents": ("sum_long", "cents"),
+                "n_events": ("count", "cents"),
+                "min_cents": ("min", "cents"),
+                "max_cents": ("max", "cents"),
+                "n_users": ("count_distinct", "user_id"),
+            },
+            table=_SQL_SALTED_AGG_TABLE,
+        ),
         "props_extract": events.sql_props_extract_agg(),
         "embedding_hygiene": similarity.sql_embedding_hygiene(),
         "keyword_snippets": sql_keyword_search_snippets(SEARCH_QUERY, k=10),

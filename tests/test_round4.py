@@ -290,3 +290,68 @@ def test_hybrid_many_amortizes_scan(spark, sf_dir):
         }
 
     assert shape(1) == shape(20)
+
+
+def test_salted_agg_equals_plain_on_skewed_fixture(spark):
+    """90% of rows share one hot key: the salted two-stage result must be
+    identical to the plain aggregate, including exact count_distinct and
+    sorted collect_set."""
+    from connapse_spark.operators.skew import salted_agg
+
+    rows = [("hot", i % 37, i % 1000) for i in range(9000)]
+    rows += [(f"cold{i % 10}", i, i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string, v long, u long")
+    got = {
+        r["k"]: (r["total"], r["n"], r["mn"], r["mx"], r["nd"], tuple(r["vals"]))
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "total": ("sum_long", "v"),
+                "n": ("count", "v"),
+                "mn": ("min", "v"),
+                "mx": ("max", "v"),
+                "nd": ("count_distinct", "u"),
+                "vals": ("collect_set", "v"),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["total"], r["n"], r["mn"], r["mx"], r["nd"], tuple(r["vals"]))
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.countDistinct("u").alias("nd"),
+            F.array_sort(F.collect_set("v")).alias("vals"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_two_stage_plan(spark):
+    """The physical plan must show the two-stage shape: an exchange on
+    (keys, _salt) feeding an exchange on keys alone."""
+    from connapse_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    plan = (
+        salted_agg(df, ["k"], {"t": ("sum_long", "v")}, n_salts=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "_salt" in plan
+
+
+def test_salted_agg_rejects_non_decomposable(spark):
+    from connapse_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="not decomposable"):
+        salted_agg(df, ["k"], {"m": ("median", "v")})
