@@ -1,0 +1,226 @@
+"""Manifest-committed table snapshots — the minimal table-format layer
+(Delta/Iceberg-lite) that turns "rewrite then rename" into a real atomic
+commit protocol. Several operators in this repo note that "a table
+format would commit a manifest swap instead" (sinks.compact,
+write_training_shards); this module IS that swap, built on two
+filesystem primitives that are atomic on POSIX and on object stores
+with a metadata layer:
+
+* data files are IMMUTABLE once written — every commit writes into a
+  fresh ``data/c<version>-<token>/`` directory, never in place;
+* a snapshot is born atomically by LINKING a fully-written temp file to
+  ``manifest-<version>.json`` — ``os.link`` fails with EEXIST if the
+  version already exists, which doubles as optimistic-concurrency
+  control (two racing writers cannot both commit version N; the loser
+  retries against N+1).
+
+Readers resolve the highest manifest (or a pinned ``version`` — time
+travel) and scan EXACTLY its file list: half-written commits, orphans
+from crashed jobs, and concurrent staging directories are invisible by
+construction, because visibility comes from the manifest, not from
+directory listing. Old versions stay readable until a retention pass
+deletes their files (not implemented — retention is policy, the commit
+protocol is mechanism).
+
+At 100 TB this is the difference between "the compaction job crashed
+halfway and the table is now double-counted" and "version N is still
+what every reader sees". The manifest also records per-file sizes, so
+compaction plans (sinks.compaction_plan) run off metadata with zero
+storage round trips.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"manifest-{version:06d}.json")
+
+
+def latest_version(table_dir: str) -> int | None:
+    """Highest committed version, or None for an empty table dir."""
+    if not os.path.isdir(table_dir):
+        return None
+    versions = [
+        int(f[len("manifest-"):-len(".json")])
+        for f in os.listdir(table_dir)
+        if f.startswith("manifest-") and f.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def load_manifest(table_dir: str, version: int | None = None) -> dict:
+    v = latest_version(table_dir) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    with open(_manifest_path(table_dir, v), encoding="utf-8") as f:
+        m = json.load(f)
+    m["version"] = v
+    return m
+
+
+def _atomic_publish(table_dir: str, version: int, manifest: dict) -> None:
+    """Write-then-link: the manifest becomes visible in one atomic step,
+    and an existing version makes the link fail (EEXIST) — optimistic
+    concurrency for free."""
+    tmp = os.path.join(table_dir, f".tmp-manifest-{uuid.uuid4().hex}.json")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(table_dir, version))
+    except FileExistsError as ex:
+        raise ConcurrentCommitError(
+            f"version {version} was committed by another writer"
+        ) from ex
+    finally:
+        os.unlink(tmp)
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
+def _stage_files(df: DataFrame, table_dir: str, version: int) -> list[dict]:
+    """Write ``df`` into a fresh immutable staging dir; return file
+    entries (relative path + size) for the manifest."""
+    rel_dir = os.path.join("data", f"c{version:06d}-{uuid.uuid4().hex[:8]}")
+    stage = os.path.join(table_dir, rel_dir)
+    df.write.parquet(stage)
+    entries = []
+    for f in sorted(os.listdir(stage)):
+        if f.endswith(".parquet"):
+            entries.append(
+                {
+                    "path": os.path.join(rel_dir, f),
+                    "size_bytes": os.path.getsize(os.path.join(stage, f)),
+                }
+            )
+    return entries
+
+
+def commit_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "overwrite",
+    base_version: int | None = None,
+) -> int:
+    """Write ``df`` and commit it as the next version. ``mode``:
+    ``overwrite`` (the new files ARE the table) or ``append`` (new files
+    join the previous version's list — the data of old versions is never
+    touched). Returns the committed version number.
+
+    ``base_version`` pins the snapshot this commit builds on (optimistic
+    concurrency): the commit publishes ``base_version + 1`` and FAILS
+    with ConcurrentCommitError if another writer got there first —
+    append semantics are then recomputed by the retrying caller against
+    the new latest, never silently merged. Unpinned commits build on
+    whatever is latest at publish time (last-writer-wins races are
+    acceptable for single-writer pipelines)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown mode {mode}")
+    os.makedirs(table_dir, exist_ok=True)
+    prev = latest_version(table_dir) if base_version is None else base_version
+    version = 0 if prev is None else prev + 1
+    files = _stage_files(df, table_dir, version)
+    if mode == "append" and prev is not None:
+        files = load_manifest(table_dir, prev)["files"] + files
+    _atomic_publish(
+        table_dir,
+        version,
+        {"files": files, "schema": df.schema.jsonValue(), "mode": mode},
+    )
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Scan exactly the pinned version's file list (latest by default).
+    Orphans and in-flight staging dirs are invisible — visibility comes
+    from the manifest."""
+    m = load_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, e["path"]) for e in m["files"]]
+    if not paths:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
+    return spark.read.parquet(*paths)
+
+
+def snapshot_listing(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
+    """(dir, file, size_bytes) for a version's files, straight from the
+    manifest — compaction plans off metadata, zero storage round trips.
+    Same columns as sinks.list_data_files."""
+    m = load_manifest(table_dir, version)
+    rows = [
+        (os.path.dirname(e["path"]), os.path.basename(e["path"]), e["size_bytes"])
+        for e in m["files"]
+    ]
+    return spark.createDataFrame(rows, "dir string, file string, size_bytes long")
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE on the snapshot layer: bin-pack the CURRENT version's
+    files (metadata-only planning via the manifest), rewrite each bin to
+    one new immutable file, and commit the rewritten file list as the
+    next version. The previous version remains fully readable — crash at
+    any point leaves either the old or the new version, never a mix.
+    Returns the new version number."""
+    from connapse_spark.sources import sinks
+
+    prev = latest_version(table_dir)
+    if prev is None:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    m = load_manifest(table_dir, prev)
+    version = prev + 1
+    listing = snapshot_listing(spark, table_dir, prev)
+    plan = sinks.compaction_plan(listing, target_bytes).collect()
+    # per-file bin assignment, same window math as the plan
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("dir")
+        .orderBy("file")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+    assign = listing.withColumn(
+        "group", (start / target_bytes).cast("bigint")
+    ).collect()
+    bins: dict[tuple[str, int], list[str]] = {}
+    for r in assign:
+        bins.setdefault((r["dir"], r["group"]), []).append(
+            os.path.join(table_dir, r["dir"], r["file"])
+        )
+    rel_dir = os.path.join("data", f"c{version:06d}-{uuid.uuid4().hex[:8]}")
+    out_dir = os.path.join(table_dir, rel_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    entries = []
+    for i, key in enumerate(sorted(bins)):
+        out_file = os.path.join(out_dir, f"compact-{i:05d}.parquet")
+        sinks.compact_group(spark, sorted(bins[key]), out_file)
+        entries.append(
+            {
+                "path": os.path.join(rel_dir, os.path.basename(out_file)),
+                "size_bytes": os.path.getsize(out_file),
+            }
+        )
+    assert len(entries) == len(plan)
+    _atomic_publish(
+        table_dir,
+        version,
+        {"files": entries, "schema": m["schema"], "mode": "compact"},
+    )
+    return version

@@ -1,0 +1,96 @@
+"""The manifest-committed snapshot layer: atomic visibility, time
+travel, orphan invisibility, optimistic concurrency, and crash-safe
+compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from connapse_spark.sources import snapshots
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+def test_commit_read_roundtrip_and_versioning(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir)
+    v0 = snapshots.commit_snapshot(orders.filter(F.col("o_orderkey") % 2 == 0), t)
+    v1 = snapshots.commit_snapshot(
+        orders.filter(F.col("o_orderkey") % 2 == 1), t, mode="append"
+    )
+    assert (v0, v1) == (0, 1)
+    assert snapshots.read_snapshot(spark, t).count() == orders.count()
+    # time travel: version 0 still sees only the even half
+    assert (
+        snapshots.read_snapshot(spark, t, version=0).count()
+        == orders.filter(F.col("o_orderkey") % 2 == 0).count()
+    )
+
+
+def test_overwrite_replaces_visible_files(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir)
+    snapshots.commit_snapshot(orders, t)
+    snapshots.commit_snapshot(orders.limit(10), t, mode="overwrite")
+    assert snapshots.read_snapshot(spark, t).count() == 10
+    assert snapshots.read_snapshot(spark, t, version=0).count() == orders.count()
+
+
+def test_orphan_files_are_invisible(spark, sf_dir, tmp_path):
+    """A crashed writer's leftover parquet in data/ must not leak into
+    reads — visibility comes from the manifest, not the listing."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir)
+    snapshots.commit_snapshot(orders.limit(50), t)
+    # simulate a crashed commit: data files staged, no manifest link
+    orphan_dir = os.path.join(t, "data", "c000042-deadbeef")
+    orders.limit(7).write.parquet(orphan_dir)
+    assert snapshots.read_snapshot(spark, t).count() == 50
+
+
+def test_concurrent_commit_conflict_detected(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir)
+    snapshots.commit_snapshot(orders.limit(5), t)
+    # two writers both build on version 0; the second to publish loses
+    snapshots.commit_snapshot(orders.limit(3), t, mode="append", base_version=0)
+    with pytest.raises(snapshots.ConcurrentCommitError):
+        snapshots.commit_snapshot(orders.limit(4), t, mode="append", base_version=0)
+    # the loser retries against the new latest and succeeds
+    v = snapshots.commit_snapshot(orders.limit(4), t, mode="append", base_version=1)
+    assert v == 2
+    assert snapshots.read_snapshot(spark, t).count() == 5 + 3 + 4
+
+
+def test_compact_snapshot_reduces_files_and_keeps_history(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir)
+    # fragment deliberately: 12 small files
+    snapshots.commit_snapshot(orders.repartition(12), t)
+    n_before = len(snapshots.load_manifest(t)["files"])
+    assert n_before >= 12
+    total = sum(e["size_bytes"] for e in snapshots.load_manifest(t)["files"])
+    v = snapshots.compact_snapshot(spark, t, target_bytes=total // 3 + 1)
+    m = snapshots.load_manifest(t)
+    assert m["version"] == v and m["mode"] == "compact"
+    assert len(m["files"]) < n_before
+    # same rows, and the pre-compaction version is untouched
+    assert snapshots.read_snapshot(spark, t).count() == orders.count()
+    assert snapshots.read_snapshot(spark, t, version=v - 1).count() == orders.count()
+    assert len(snapshots.load_manifest(t, version=v - 1)["files"]) == n_before
+
+
+def test_snapshot_listing_matches_manifest(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshots.commit_snapshot(_orders(spark, sf_dir).repartition(4), t)
+    listing = snapshots.snapshot_listing(spark, t).collect()
+    m = snapshots.load_manifest(t)
+    assert {(r["dir"], r["file"], r["size_bytes"]) for r in listing} == {
+        (os.path.dirname(e["path"]), os.path.basename(e["path"]), e["size_bytes"])
+        for e in m["files"]
+    }
