@@ -1006,6 +1006,16 @@ def q_ann_ivf_seeded(spark, sf_dir):
     return ivf.ann_ivf_topk(index, centroids, qv, k=10, nprobe=3)
 
 
+def q_ivf_drift(spark, sf_dir):
+    """M6 rebuild-on-drift gauge over the seeded index: per-list mean
+    refresh (one Lloyd update) vs the stored assignment — the one-row
+    reassignment fraction a rebuild policy thresholds on."""
+    index, _ = ivf.build_ivf_index_seeded(
+        _t(spark, sf_dir, "embeddings"), n_lists=8
+    )
+    return ivf.ivf_drift(index)
+
+
 def q_pq_encode(spark, sf_dir):
     """Product-quantization encode: (vec_id, 4-byte pq_code, recon_err).
     The stored artifact of the 64×-compression ANN path (plans/pq.py)."""
@@ -1908,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "hybrid_many": q_hybrid_many,  # new r4: batched full-hybrid search
         "salted_agg": q_salted_agg,  # new r4: skew-resistant aggregation
+        "ivf_drift": q_ivf_drift,  # new r4: rebuild-on-drift gauge
         # r2-only greens, stalest remaining entries
         "hybrid_onepass": q_hybrid_onepass,
         "semdedup": q_semdedup,
@@ -2103,6 +2114,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_lww": _SQL_UPSERT_LWW,
         "ann_lsh": ivf.sql_ann_lsh_topk(_embed_query(), k=10, n_planes=4),
         "ann_ivf_seeded": ivf.sql_ann_ivf_seeded(_embed_query(), k=10, nprobe=3, n_lists=8),
+        "ivf_drift": ivf.sql_ivf_drift_seeded(n_lists=8),
         "ann_ivfpq": pq.sql_ann_ivfpq(_embed_query(), k=10, nprobe=3, n_lists=8),
         "pq_recall": pq.sql_pq_recall(k=10),
         "quality_sample": sampling.sql_quality_stratified_sample(keep_fraction=0.5),

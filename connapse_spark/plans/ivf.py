@@ -506,3 +506,126 @@ merged AS (
 )
 SELECT id, list_id, norm FROM merged ORDER BY id
 """.strip()
+
+
+def ivf_drift(index: DataFrame, dims: int = 64, round_digits: int = 6) -> DataFrame:
+    """The M6 "rebuild on drift" DECISION GAUGE: refresh each list's
+    centroid as the mean of its current members (one Lloyd update,
+    computed as a sorted sequential fold for bit determinism — the
+    mean_pool discipline) and measure how much of the stored layout a
+    refit would move: a vector "would reassign" when its best-cosine
+    refreshed centroid is not its stored list. A rising reassign_frac
+    after upsert waves is exactly the signal that the lists no longer
+    match the data distribution and build_ivf_index should rerun
+    (pgvector: REINDEX; the reference's VectorColumnManager rebuild).
+
+    Output ONE row: (n_vectors, n_lists, n_reassigned, reassign_frac).
+
+    Plan: per-list mean = one groupBy(list_id) sorted-fold aggregate
+    (k rows); the refreshed centroids collapse to ONE broadcast row;
+    the would-reassign argmax is a map-side fold per vector; the verdict
+    is a single-row aggregate. No corpus shuffle beyond the per-list
+    groupBy — at 100 TB this is an audit-priced scan, not a rebuild."""
+    means = (
+        index.select(
+            "list_id",
+            F.struct(F.col("id").alias("i"), F.col("vec").alias("v")).alias("sv"),
+        )
+        .groupBy("list_id")
+        .agg(F.sort_array(F.collect_list("sv")).alias("svs"))
+        .select(
+            "list_id",
+            F.transform(
+                F.aggregate(
+                    "svs",
+                    F.array_repeat(F.lit(0.0), dims),
+                    lambda acc, sv: F.zip_with(acc, sv["v"], lambda x, y: x + y),
+                ),
+                lambda x: x / F.size("svs"),
+            ).alias("centroid"),
+        )
+    )
+    packed = means.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("list_id").alias("cid"), F.col("centroid").alias("cvec"))
+            )
+        ).alias("_seeds")
+    )
+    acc0 = F.struct(
+        F.lit(-1).cast(dict(index.dtypes)["list_id"]).alias("cid"),
+        F.lit(-2.0).alias("score"),
+    )
+
+    def _step(acc, s):
+        sc = cosine_expr(s["cvec"], F.col("vec"))
+        # strict > keeps the FIRST (lowest cid — _seeds is sorted) on ties,
+        # matching the SQL row_number ORDER BY s DESC, cid
+        return F.when(
+            sc > acc["score"], F.struct(s["cid"].alias("cid"), sc.alias("score"))
+        ).otherwise(acc)
+
+    best = F.aggregate("_seeds", acc0, _step)
+    scored = index.crossJoin(F.broadcast(packed)).select(
+        "id", "list_id", best["cid"].alias("new_list")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct("list_id").cast("long").alias("n_lists"),
+        F.sum(F.when(F.col("new_list") != F.col("list_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reassigned"),
+    )
+    return agg.select(
+        "*",
+        F.round(F.col("n_reassigned") / F.col("n_vectors"), round_digits).alias(
+            "reassign_frac"
+        ),
+    )
+
+
+def sql_ivf_drift_seeded(n_lists: int = 8, dims: int = 64) -> str:
+    """Mirror over the SEEDED index: cluster_assign's CTE rebuilds the
+    stored layout, the per-list mean is the same sorted fold as
+    sql_mean_pool_by, and the would-reassign argmax ranks by
+    (cosine DESC, cid) — identical FP orders throughout."""
+    from connapse_spark.functions.vector import sql_cosine
+    from connapse_spark.operators.similarity import sql_cluster_assign
+
+    return f"""
+WITH assigned AS ({sql_cluster_assign(n_lists)}),
+idx AS (
+  SELECT a.vec_id AS id, a.cluster AS list_id, CAST(e.embedding AS DOUBLE[]) AS vec
+  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+gathered AS (
+  SELECT list_id, list({{'i': id, 'v': vec}} ORDER BY id) AS svs
+  FROM idx GROUP BY list_id
+),
+means AS (
+  SELECT list_id,
+         list_transform(
+           list_reduce(
+             list_prepend(list_transform(range(0, {dims}), x -> 0.0),
+                          list_transform(svs, sv -> sv.v)),
+             (acc, v) -> list_transform(range(1, {dims} + 1), i -> acc[i] + v[i])),
+           x -> x / len(svs)) AS centroid
+  FROM gathered
+),
+scored AS (
+  SELECT idx.id, idx.list_id, m.list_id AS cid,
+         {sql_cosine("m.centroid", "idx.vec")} AS s
+  FROM idx CROSS JOIN means m
+),
+best AS (
+  SELECT id, list_id, cid AS new_list FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT list_id) AS BIGINT) AS n_lists,
+       CAST(sum(CASE WHEN new_list != list_id THEN 1 ELSE 0 END) AS BIGINT) AS n_reassigned,
+       round(sum(CASE WHEN new_list != list_id THEN 1 ELSE 0 END) / count(*), 6) AS reassign_frac
+FROM best
+""".strip()

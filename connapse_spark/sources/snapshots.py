@@ -166,6 +166,48 @@ def snapshot_listing(spark: SparkSession, table_dir: str, version: int | None = 
     return spark.createDataFrame(rows, "dir string, file string, size_bytes long")
 
 
+def vacuum_snapshot(table_dir: str, keep_last: int = 2) -> dict:
+    """Retention (the POLICY half of the commit protocol): delete the
+    manifests older than the newest ``keep_last`` versions and every data
+    file no retained version references. Files shared across versions
+    (append lineage) survive as long as any retained manifest lists them.
+    Returns {"removed_versions": [...], "removed_files": n,
+    "kept_versions": [...]} — time travel keeps working within the
+    retained window and fails loudly (missing manifest) outside it."""
+    latest = latest_version(table_dir)
+    if latest is None:
+        return {"removed_versions": [], "removed_files": 0, "kept_versions": []}
+    all_versions = sorted(
+        int(f[len("manifest-"):-len(".json")])
+        for f in os.listdir(table_dir)
+        if f.startswith("manifest-") and f.endswith(".json")
+    )
+    kept = all_versions[-keep_last:] if keep_last > 0 else []
+    dropped = [v for v in all_versions if v not in kept]
+    referenced = {
+        e["path"] for v in kept for e in load_manifest(table_dir, v)["files"]
+    }
+    removed_files = 0
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for sub in sorted(os.listdir(data_root)):
+            subdir = os.path.join(data_root, sub)
+            for f in sorted(os.listdir(subdir)):
+                rel = os.path.join("data", sub, f)
+                if rel not in referenced:
+                    os.unlink(os.path.join(subdir, f))
+                    removed_files += 1
+            if not os.listdir(subdir):
+                os.rmdir(subdir)
+    for v in dropped:
+        os.unlink(_manifest_path(table_dir, v))
+    return {
+        "removed_versions": dropped,
+        "removed_files": removed_files,
+        "kept_versions": kept,
+    }
+
+
 def compact_snapshot(
     spark: SparkSession,
     table_dir: str,

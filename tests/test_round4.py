@@ -355,3 +355,37 @@ def test_salted_agg_rejects_non_decomposable(spark):
     df = spark.createDataFrame([("a", 1)], "k string, v long")
     with pytest.raises(ValueError, match="not decomposable"):
         salted_agg(df, ["k"], {"m": ("median", "v")})
+
+
+def test_ivf_drift_zero_on_converged_and_positive_on_drifted(spark):
+    from connapse_spark.plans.ivf import ivf_drift
+
+    def vec(axis, eps):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        v[(axis + 1) % 64] = eps
+        return v
+
+    # two tight, orthogonal clusters correctly assigned -> a centroid
+    # refresh changes nothing
+    rows = []
+    for i in range(10):
+        rows.append((i, 0, vec(0, 0.01 * i)))
+        rows.append((100 + i, 1, vec(7, 0.01 * i)))
+    good = spark.createDataFrame(
+        [(i, l, v, 1.0) for i, l, v in rows],
+        "id long, list_id long, vec array<double>, norm double",
+    )
+    r = ivf_drift(good).collect()[0]
+    assert (r["n_vectors"], r["n_lists"], r["n_reassigned"]) == (20, 2, 0)
+    assert r["reassign_frac"] == 0.0
+
+    # swap half of cluster 1's members into list 0: the refresh must
+    # want them back
+    drifted = spark.createDataFrame(
+        [(i, 0 if l == 1 and i % 2 == 0 else l, v, 1.0) for i, l, v in rows],
+        "id long, list_id long, vec array<double>, norm double",
+    )
+    r2 = ivf_drift(drifted).collect()[0]
+    assert r2["n_reassigned"] > 0
+    assert r2["reassign_frac"] > 0.0

@@ -94,3 +94,25 @@ def test_snapshot_listing_matches_manifest(spark, sf_dir, tmp_path):
         (os.path.dirname(e["path"]), os.path.basename(e["path"]), e["size_bytes"])
         for e in m["files"]
     }
+
+
+def test_vacuum_keeps_shared_files_and_retained_versions(spark, sf_dir, tmp_path):
+    """Append lineage shares files across versions: vacuum must keep any
+    file a RETAINED manifest references, drop everything else, and leave
+    reads of retained versions bit-identical."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir)
+    snapshots.commit_snapshot(orders.limit(20), t)                     # v0
+    snapshots.commit_snapshot(orders.limit(5), t, mode="append")       # v1 (shares v0 files)
+    snapshots.commit_snapshot(orders.limit(7), t, mode="overwrite")    # v2
+    snapshots.commit_snapshot(orders.limit(3), t, mode="append")       # v3 (shares v2 files)
+    before_v3 = snapshots.read_snapshot(spark, t, version=3).count()
+    report = snapshots.vacuum_snapshot(t, keep_last=2)
+    assert report["kept_versions"] == [2, 3]
+    assert report["removed_versions"] == [0, 1]
+    assert report["removed_files"] > 0  # v0's unshared files went away
+    # retained reads unchanged; dropped versions now fail loudly
+    assert snapshots.read_snapshot(spark, t, version=3).count() == before_v3 == 10
+    assert snapshots.read_snapshot(spark, t, version=2).count() == 7
+    with pytest.raises(FileNotFoundError):
+        snapshots.load_manifest(t, version=0)
