@@ -2,12 +2,14 @@
 opaque ``binary`` columns + typed metadata, with decode / feature-extract /
 resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
-The decode kernels are STUBS (image/audio libraries are not in this
-container): each is a deterministic fake clearly marked for replacement
-(swap ``_decode_image_stub`` → Pillow, ``_sample_frames_stub`` → pyav, …).
-The Spark-side contract — schemas, batch iteration, partitioning, output
-shapes — is real and tested; it is exactly what a production pipeline
-reuses when the real codecs are installed.
+The decode kernels are REAL for the formats the stdlib + numpy can carry:
+PPM-P6 / BMP-24 / PNG images (zlib IDAT, all five scanline filters,
+gray/alpha/palette normalization), WAV-PCM audio, and YUV4MPEG2 video
+frame sampling. Only the formats needing heavyweight codecs (JPEG's
+DCT/huffman, compressed audio/video) still route to deterministic fakes
+clearly marked for replacement (swap ``_decode_image_stub`` → Pillow,
+``_sample_frames_stub`` → pyav). The Spark-side contract — schemas,
+batch iteration, partitioning, output shapes — is identical either way.
 
 Scale: every stage is map-side (no shuffle); binary payloads stay in Arrow
 record batches end-to-end; `spark.sql.execution.arrow.maxRecordsPerBatch`
@@ -62,17 +64,20 @@ def synthesize_media(docs: DataFrame, modality: str = "image") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL codecs for uncompressed formats (numpy-only — no image libraries
-# needed): PPM P6 and 24-bit BMP. Compressed formats (JPEG/PNG/…) still
-# route to the labeled stub until Pillow is installable; the dispatch below
-# is exactly where it slots in.
+# REAL codecs (numpy + stdlib only — no image libraries needed): PPM P6,
+# 24-bit BMP, and PNG (zlib IDAT + the five scanline filters; 8-bit
+# gray / gray+alpha / RGB / RGBA / palette, non-interlaced — the spec's
+# dominant shapes). JPEG still routes to the labeled stub (a DCT/huffman
+# decoder is out of scope until Pillow is installable); the dispatch
+# below is exactly where it slots in.
 # ---------------------------------------------------------------------------
 
 
 def decode_image_array(blob: bytes):
-    """(H, W, 3) uint8 array for PPM-P6 / BMP-24 payloads, else (None, err).
-    err is None on success, 'UnsupportedFormat' for unknown magics, or a
-    parse error string for corrupt payloads of a supported format."""
+    """(H, W, 3) uint8 array for PPM-P6 / PNG / BMP-24 payloads, else
+    (None, err). err is None on success, 'UnsupportedFormat' for unknown
+    magics, or a parse/unsupported-variant string for payloads of a
+    supported format."""
     import numpy as np
 
     if blob[:2] == b"P6":
@@ -100,6 +105,13 @@ def decode_image_array(blob: bytes):
             return data.reshape(h, w, 3), None
         except Exception as e:  # corrupt header/short payload
             return None, f"PpmParseError:{type(e).__name__}"
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            return _decode_png(blob), None
+        except _PngUnsupported as e:
+            return None, str(e)
+        except Exception as e:
+            return None, f"PngParseError:{type(e).__name__}"
     if blob[:2] == b"BM":
         try:
             off = int.from_bytes(blob[10:14], "little")
@@ -121,6 +133,130 @@ def decode_image_array(blob: bytes):
         except Exception as e:
             return None, f"BmpParseError:{type(e).__name__}"
     return None, "UnsupportedFormat"
+
+
+class _PngUnsupported(ValueError):
+    pass
+
+
+def _png_unfilter(raw, h: int, w: int, ch: int):
+    """Undo the per-scanline filters (PNG spec §9): none/sub/up are
+    vectorized (uint8 addition wraps mod 256 natively); average and paeth
+    are inherently sequential per pixel, so those rows fall back to a
+    per-byte loop."""
+    import numpy as np
+
+    stride = w * ch
+    out = np.zeros((h, stride), np.uint8)
+    pos = 0
+    zero_row = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, np.uint8, count=stride, offset=pos).copy()
+        pos += stride
+        prev = out[y - 1] if y else zero_row
+        if ft == 0:
+            out[y] = row
+        elif ft == 2:  # up
+            out[y] = row + prev
+        elif ft == 1:  # sub
+            for x in range(ch, stride):
+                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
+            out[y] = row
+        elif ft == 3:  # average
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(row[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+            out[y] = row
+        elif ft == 4:  # paeth
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pr) & 0xFF
+            out[y] = row
+        else:
+            raise ValueError(f"bad filter byte {ft}")
+    return out
+
+
+def _decode_png(blob: bytes):
+    """(H, W, 3) uint8 from a PNG: chunk walk, zlib-inflated IDAT,
+    unfilter, color-type normalization (alpha dropped, gray replicated,
+    palette resolved)."""
+    import zlib
+
+    import numpy as np
+
+    i, idat, plte, ihdr = 8, [], None, None
+    while i + 8 <= len(blob):
+        ln = int.from_bytes(blob[i : i + 4], "big")
+        typ = blob[i + 4 : i + 8]
+        data = blob[i + 8 : i + 8 + ln]
+        i += 12 + ln
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if bit_depth != 8:
+        raise _PngUnsupported("UnsupportedBitDepth")
+    if interlace:
+        raise _PngUnsupported("UnsupportedInterlace")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if ch is None:
+        raise _PngUnsupported("UnsupportedColorType")
+    raw = zlib.decompress(b"".join(idat))
+    px = _png_unfilter(np.frombuffer(raw, np.uint8), h, w, ch).reshape(h, w, ch)
+    if color_type == 2:
+        return px
+    if color_type == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    return pal[px[:, :, 0]]
+
+
+def encode_png(arr) -> bytes:
+    """(H, W, 3) uint8 -> PNG bytes (filter-0 scanlines, one IDAT) — the
+    stdlib-only re-encode twin of encode_ppm, also the fixture generator
+    for the decoder tests."""
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # 8-bit RGB, deflate, adaptive, no interlace
+    )
+    raw = b"".join(b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_ppm(arr) -> bytes:
@@ -154,9 +290,9 @@ def _average_hash(arr) -> str:
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
-    """Decode + feature-extract via mapInPandas. REAL decode for PPM-P6 and
-    BMP-24 (decode_image_array — numpy only, no codec libs): true dims,
-    mean luma, and a real 8x8 average-hash. Compressed formats fall
+    """Decode + feature-extract via mapInPandas. REAL decode for PPM-P6,
+    BMP-24, and PNG (decode_image_array — numpy + stdlib zlib, no codec
+    libs): true dims, mean luma, and a real 8x8 average-hash. JPEG falls
     through to the labeled deterministic stub until Pillow lands — same
     output schema either way, so swapping the stub touches nothing else."""
 
@@ -200,7 +336,8 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize stage. REAL nearest-neighbor resize + PPM re-encode for
+    """Resize stage (PNG inputs decode real and re-encode PPM too).
+    REAL nearest-neighbor resize + PPM re-encode for
     decodable payloads (numpy index slicing — the thumbnail kernel);
     the size-proportional stub remains for compressed formats."""
 
