@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "keyword_bm25",
     "keyword_many",
     "hybrid_many",
+    "hybrid_many_fast",
     "keyword_snippets",
     "hybrid_rrf",
     "hybrid_onepass",
@@ -207,6 +208,33 @@ def main():
     total += best
     print(f"# ivf_probe: {best:.2f}s ({n} rows)", file=sys.stderr, flush=True)
     index.unpersist()
+
+    # Amortized-batch hybrid — the regime BASELINE.md's <100 ms envelope
+    # is scored under: 20 full-hybrid queries in ONE job through the BLAS
+    # tier. Per-query latency = value / 20.
+    from connapse_spark.operators.search import hybrid_search_many_fast
+
+    corpus = docs.join(
+        emb.select(_F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    batch_words = [
+        "hash", "sort", "merge", "filter", "group", "window", "agg", "column",
+        "row", "batch", "spark", "index", "vector", "token", "stream", "cache",
+        "shuffle", "partition", "codegen", "parquet",
+    ]
+    batch_qs = [(i, f"query {w} table scan join") for i, w in enumerate(batch_words)]
+    hybrid_search_many_fast(corpus, batch_qs[:2], top_k=10).count()  # warm
+    best, n = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.time()
+        n = hybrid_search_many_fast(corpus, batch_qs, top_k=10).count()
+        best = min(best, time.time() - t0)
+    timings["hybrid_batch20_fast"] = round(best, 3)
+    total += best
+    print(
+        f"# hybrid_batch20_fast: {best:.2f}s ({n} rows) = {best / 20 * 1000:.0f} ms/query",
+        file=sys.stderr, flush=True,
+    )
 
     payload = json.dumps(
         {

@@ -1608,16 +1608,24 @@ def hybrid_search_many(
         import pandas as pd
 
         for pdf in batches:
-            outs = []
-            for _, g in pdf.groupby("qid"):
-                v = g.sort_values(["vector_score", "id"], ascending=[False, True]).head(k)
-                kw = (
-                    g[g["keyword_score"] > 0.0]
-                    .sort_values(["keyword_score", "id"], ascending=[False, True])
-                    .head(k)
+            # vectorized per-(batch, qid) cut: one global sort + grouped
+            # head per branch (a per-qid python loop costs ~10× at high N)
+            v = (
+                pdf.sort_values(
+                    ["qid", "vector_score", "id"], ascending=[True, False, True]
                 )
-                outs.append(pd.concat([v, kw]).drop_duplicates(subset="id"))
-            yield pd.concat(outs) if outs else pdf.head(0)
+                .groupby("qid", sort=False)
+                .head(k)
+            )
+            kw = (
+                pdf[pdf["keyword_score"] > 0.0]
+                .sort_values(
+                    ["qid", "keyword_score", "id"], ascending=[True, False, True]
+                )
+                .groupby("qid", sort=False)
+                .head(k)
+            )
+            yield pd.concat([v, kw]).drop_duplicates(subset=["qid", "id"])
 
     pool = scored.mapInPandas(
         _batch_topk,
@@ -1644,6 +1652,13 @@ def hybrid_search_many(
         .select("qid", "e.branch", "e.bscore", "e.id")
         .filter((F.col("branch") == "v") | (F.col("bscore") > 0.0))
     )
+    return _hybrid_many_fuse(entries, k, alpha, id_col)
+
+
+def _hybrid_many_fuse(entries: DataFrame, k: int, alpha: float, id_col: str) -> DataFrame:
+    """Shared per-qid fusion tail over (qid, branch, bscore, id) entries:
+    branch top-k cut, min-max normalization, convex combination, final
+    per-qid top-k — identical arithmetic to hybrid_search_onepass."""
     wb = Window.partitionBy("qid", "branch").orderBy(F.desc("bscore"), F.col("id"))
     ranked = entries.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") <= k)
     wbranch = Window.partitionBy("qid", "branch")
@@ -1682,6 +1697,124 @@ def hybrid_search_many(
         )
         .orderBy("qid", F.desc("score"), F.col(id_col))
     )
+
+
+def hybrid_search_many_fast(
+    corpus: DataFrame,
+    queries: list[tuple[int, str]],
+    top_k: int = 10,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """PRODUCTION tier of :func:`hybrid_search_many` — identical
+    semantics, kernels built for N: per-query JVM folds are interpreted
+    higher-order functions whose cost is O(corpus·N·d), which is exactly
+    what flattened the oracle tier's amortization curve at ~260 ms/query.
+    Here:
+
+    * vector branch: ONE BLAS matmul per Arrow batch against the
+      broadcast N×d query matrix (embed once, driver-side), then a
+      vectorized per-(batch, query) top-k — the scan does real linear
+      algebra instead of N interpreted folds;
+    * keyword branch: the postings-join shape of keyword_search_many
+      (tokenize once → (id, term, tf) → broadcast-join the query term
+      tables → per-(id, qid) integer sums) — set-based, zero per-query
+      expressions, bit-identical scores to the oracle tier (integer
+      math);
+    * both feed the SAME `_hybrid_many_fuse` tail.
+
+    FP caveat: BLAS accumulation order differs from the sequential
+    fold in the last ulp, so vector scores are allclose-not-bit-equal
+    to the oracle tier; per-query RANKINGS are unit-pinned equal
+    (tests/test_round4.py). Use the oracle tier when bit-exactness
+    matters; use this one to answer query batches."""
+    import numpy as np
+
+    k = top_k
+    Q = np.array([embed_py(q, dims) for _, q in queries], dtype=np.float64)
+    qids_arr = [int(q) for q, _ in queries]
+
+    base_v = corpus.select(
+        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("_v")
+    )
+    id_type = base_v.schema["id"].dataType.simpleString()
+
+    def _vec_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            en = np.sqrt((E * E).sum(axis=1))
+            S = E @ Q.T
+            denom = en[:, None] * qn[None, :]
+            S = np.divide(S, denom, out=np.zeros_like(S), where=denom > 0)
+            ids = pdf["id"].to_numpy()
+            kk = min(k, len(ids))
+            out_id: list = []
+            out_qid: list = []
+            out_s: list = []
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                idx = np.lexsort((ids, -col))[:kk]  # score desc, id asc
+                out_id.extend(ids[idx].tolist())
+                out_qid.extend([qids_arr[j]] * len(idx))
+                out_s.extend(col[idx].tolist())
+            yield pd.DataFrame({"id": out_id, "qid": out_qid, "bscore": out_s})
+
+    v_entries = base_v.mapInPandas(
+        _vec_topk, schema=f"id {id_type}, qid int, bscore double"
+    ).select("qid", F.lit("v").alias("branch"), "bscore", "id")
+
+    qe_rows, qs_rows = [], []
+    for qid, qtext in queries:
+        terms = sorted(set(tokenize_py(qtext)))
+        qe_rows += [(int(qid), t) for t in terms]
+        qs_rows += [(int(qid), st) for st in sorted({stem_py(t) for t in terms})]
+    spark = corpus.sparkSession
+    qe_df = spark.createDataFrame(qe_rows, "qid int, t string")
+    qs_df = spark.createDataFrame(qs_rows, "qid int, st string")
+    toks = corpus.select(
+        F.col(id_col).alias("id"),
+        tokens_exact_expr(F.col(text_col)).alias("_te"),
+        tokens_stemmed_expr(F.col(text_col)).alias("_ts"),
+    )
+    te = (
+        toks.select("id", F.explode("_te").alias("t"))
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tsx = (
+        toks.select("id", F.explode("_ts").alias("st"))
+        .groupBy("id", "st")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ne = te.join(F.broadcast(qe_df), "t").groupBy("id", "qid").agg(
+        F.sum("tf").alias("n_exact")
+    )
+    ns = tsx.join(F.broadcast(qs_df), "st").groupBy("id", "qid").agg(
+        F.sum("tf").alias("n_stem")
+    )
+    raw = F.lit(WEIGHT_EXACT) * F.coalesce(F.col("n_exact"), F.lit(0)) + F.lit(
+        WEIGHT_STEMMED
+    ) * F.coalesce(F.col("n_stem"), F.lit(0))
+    k_entries = (
+        ne.join(ns, ["id", "qid"], "full_outer")
+        .select(
+            "qid",
+            F.lit("k").alias("branch"),
+            (raw / (raw + F.lit(1.0))).alias("bscore"),
+            "id",
+        )
+        .filter(F.col("bscore") > 0.0)
+    )
+    return _hybrid_many_fuse(v_entries.unionByName(k_entries), k, alpha, id_col)
 
 
 def sql_hybrid_search_many(

@@ -521,3 +521,47 @@ def test_png_flows_through_image_features(spark):
     row = extract_image_features(media).collect()[0]
     assert (row["width"], row["height"]) == (6, 4)
     assert abs(row["mean_luma"] - 100.0 / 255.0) < 0.01  # luma normalized to [0,1]
+
+
+def test_hybrid_many_fast_ranking_parity_with_oracle_tier(spark, sf_dir):
+    """The BLAS tier must produce the identical per-query ranking (ids in
+    order) as the fold tier, and scores within FP-accumulation noise."""
+    from connapse_spark.operators.search import (
+        hybrid_search_many,
+        hybrid_search_many_fast,
+    )
+
+    corpus = _hybrid_corpus(spark, sf_dir)
+    queries = [(1, "table scan fast merge"), (2, "parallel hash aggregation"),
+               (3, "columnar storage layout compression")]
+    slow = hybrid_search_many(corpus, queries, top_k=8).collect()
+    fast = hybrid_search_many_fast(corpus, queries, top_k=8).collect()
+    assert [(r["qid"], r["doc_id"], r["source"]) for r in slow] == [
+        (r["qid"], r["doc_id"], r["source"]) for r in fast
+    ]
+    for a, b in zip(slow, fast):
+        assert abs(a["score"] - b["score"]) < 1e-9
+        assert abs(a["vector_score"] - b["vector_score"]) < 1e-9
+        assert a["keyword_score"] == b["keyword_score"]  # integer math: exact
+
+
+def test_hybrid_many_fast_plan_invariant_in_query_count(spark, sf_dir):
+    from connapse_spark.operators.search import hybrid_search_many_fast
+
+    corpus = _hybrid_corpus(spark, sf_dir)
+
+    def shape(n):
+        queries = [(i, f"table scan merge sort hash number {i}") for i in range(n)]
+        plan = (
+            hybrid_search_many_fast(corpus, queries, top_k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return {
+            m: plan.count(m)
+            for m in ("FileScan", "MapInPandas", "Exchange hashpartitioning",
+                      "HashAggregate", "Generate")
+        }
+
+    assert shape(1) == shape(40)
