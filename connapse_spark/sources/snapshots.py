@@ -87,22 +87,33 @@ class ConcurrentCommitError(RuntimeError):
     pass
 
 
-def _stage_files(df: DataFrame, table_dir: str, version: int) -> list[dict]:
-    """Write ``df`` into a fresh immutable staging dir; return file
-    entries (relative path + size) for the manifest."""
+def _stage_files(
+    df: DataFrame,
+    table_dir: str,
+    version: int,
+    partition_by: list[str] | None = None,
+) -> tuple[str, list[dict]]:
+    """Write ``df`` into a fresh immutable staging dir (optionally hive-
+    partitioned, preserving the layout-as-index properties inside the
+    commit protocol); return (relative staging dir, manifest entries)."""
     rel_dir = os.path.join("data", f"c{version:06d}-{uuid.uuid4().hex[:8]}")
     stage = os.path.join(table_dir, rel_dir)
-    df.write.parquet(stage)
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
     entries = []
-    for f in sorted(os.listdir(stage)):
-        if f.endswith(".parquet"):
-            entries.append(
-                {
-                    "path": os.path.join(rel_dir, f),
-                    "size_bytes": os.path.getsize(os.path.join(stage, f)),
-                }
-            )
-    return entries
+    for root, _dirs, files in os.walk(stage):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                entries.append(
+                    {
+                        "path": os.path.relpath(full, table_dir),
+                        "size_bytes": os.path.getsize(full),
+                    }
+                )
+    return rel_dir, sorted(entries, key=lambda e: e["path"])
 
 
 def commit_snapshot(
@@ -110,6 +121,7 @@ def commit_snapshot(
     table_dir: str,
     mode: str = "overwrite",
     base_version: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` and commit it as the next version. ``mode``:
     ``overwrite`` (the new files ARE the table) or ``append`` (new files
@@ -122,21 +134,50 @@ def commit_snapshot(
     append semantics are then recomputed by the retrying caller against
     the new latest, never silently merged. Unpinned commits build on
     whatever is latest at publish time (last-writer-wins races are
-    acceptable for single-writer pipelines)."""
+    acceptable for single-writer pipelines).
+
+    ``partition_by`` writes the commit hive-partitioned; the manifest
+    records each commit's staging root so readers re-derive partition
+    columns via ``basePath`` and partition pruning keeps working over
+    the explicit file lists."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode}")
     os.makedirs(table_dir, exist_ok=True)
     prev = latest_version(table_dir) if base_version is None else base_version
     version = 0 if prev is None else prev + 1
-    files = _stage_files(df, table_dir, version)
+    rel_dir, files = _stage_files(df, table_dir, version, partition_by)
+    bases = {rel_dir: files}
     if mode == "append" and prev is not None:
-        files = load_manifest(table_dir, prev)["files"] + files
+        prev_m = load_manifest(table_dir, prev)
+        # staging dirs are unique per commit, so bases never collide
+        bases.update(_manifest_bases(prev_m))
+    all_files = [e for fs in bases.values() for e in fs]
     _atomic_publish(
         table_dir,
         version,
-        {"files": files, "schema": df.schema.jsonValue(), "mode": mode},
+        {
+            "files": all_files,
+            "bases": bases,
+            "partition_by": partition_by or [],
+            "schema": df.schema.jsonValue(),
+            "mode": mode,
+        },
     )
     return version
+
+
+def _manifest_bases(m: dict) -> dict[str, list[dict]]:
+    """Per-staging-root file groups for a manifest; older manifests
+    without a ``bases`` key group by each file's first two path levels
+    (data/c<ver>-<token>)."""
+    if m.get("bases"):
+        return m["bases"]
+    groups: dict[str, list[dict]] = {}
+    for e in m["files"]:
+        parts = e["path"].split(os.sep)
+        base = os.path.join(*parts[:2]) if len(parts) > 2 else os.path.dirname(e["path"])
+        groups.setdefault(base, []).append(e)
+    return groups
 
 
 def read_snapshot(
@@ -144,14 +185,27 @@ def read_snapshot(
 ) -> DataFrame:
     """Scan exactly the pinned version's file list (latest by default).
     Orphans and in-flight staging dirs are invisible — visibility comes
-    from the manifest."""
+    from the manifest. Partitioned commits read with their staging root
+    as ``basePath`` so hive partition columns come back and partition
+    pruning applies over the explicit file list; a multi-commit lineage
+    unions its per-root reads (commit count is bounded by vacuum)."""
     m = load_manifest(table_dir, version)
-    paths = [os.path.join(table_dir, e["path"]) for e in m["files"]]
-    if not paths:
+    if not m["files"]:
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromJson(m["schema"]))
-    return spark.read.parquet(*paths)
+    if not m.get("partition_by"):
+        paths = [os.path.join(table_dir, e["path"]) for e in m["files"]]
+        return spark.read.parquet(*paths)
+    out = None
+    for base, fs in _manifest_bases(m).items():
+        paths = [os.path.join(table_dir, e["path"]) for e in fs]
+        part = (
+            spark.read.option("basePath", os.path.join(table_dir, base))
+            .parquet(*paths)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def snapshot_listing(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:

@@ -116,3 +116,25 @@ def test_vacuum_keeps_shared_files_and_retained_versions(spark, sf_dir, tmp_path
     assert snapshots.read_snapshot(spark, t, version=2).count() == 7
     with pytest.raises(FileNotFoundError):
         snapshots.load_manifest(t, version=0)
+
+
+def test_partitioned_commit_preserves_pruning(spark, sf_dir, tmp_path):
+    """A list_id-partitioned index committed through the snapshot layer
+    keeps the layout-as-index property: partition columns come back on
+    read and a partition filter scans ONLY that partition's files."""
+    t = str(tmp_path / "ivf_tbl")
+    from connapse_spark.plans.ivf import build_ivf_index_seeded
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    index, _ = build_ivf_index_seeded(emb, n_lists=4)
+    snapshots.commit_snapshot(index, t, partition_by=["list_id"])
+    back = snapshots.read_snapshot(spark, t)
+    assert "list_id" in back.columns
+    assert back.count() == index.count()
+    probe = back.filter(F.col("list_id") == 0)
+    files = {r[0] for r in probe.select(F.col("_metadata.file_path")).distinct().collect()}
+    assert files and all("list_id=0" in f for f in files)
+    # append keeps per-commit basePaths working
+    extra = index.limit(5).withColumn("id", F.col("id") + 100000)
+    snapshots.commit_snapshot(extra, t, mode="append", partition_by=["list_id"])
+    assert snapshots.read_snapshot(spark, t).count() == index.count() + 5
