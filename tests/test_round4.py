@@ -565,3 +565,49 @@ def test_hybrid_many_fast_plan_invariant_in_query_count(spark, sf_dir):
         }
 
     assert shape(1) == shape(40)
+
+
+def test_bucketed_range_join_fuzzed_against_duckdb(spark):
+    """800 randomized banded-join cases (key collisions, boundary hits at
+    exact multiples of the band width, empty histories) packed into one
+    composite-keyed frame, checked against DuckDB's direct banded-join
+    SQL — independent engine, same band semantics [t-W, t)."""
+    import random
+
+    from connapse_spark.operators.temporal import repeat_orders_window_bucketed
+
+    W = 1000
+    rng = random.Random(42)
+    rows = []
+    okey = 0
+    for case in range(800):
+        n = rng.randint(0, 6)
+        for _ in range(n):
+            k = case * 5 + rng.randint(0, 1)
+            # cluster timestamps around band multiples to hit boundaries
+            t = rng.choice([0, W - 1, W, W + 1, 2 * W, rng.randint(0, 5 * W)])
+            rows.append((okey, k, t, float(rng.randint(1, 500)) / 100.0))
+            okey += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate long, o_totalprice double"
+    )
+    got = sorted(
+        (r["o_orderkey"], r["n_prior"], r["prior_cents"])
+        for r in repeat_orders_window_bucketed(orders, window_us=W).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE o (okey BIGINT, ckey BIGINT, t BIGINT, cents BIGINT)")
+    con.executemany(
+        "INSERT INTO o VALUES (?, ?, ?, ?)",
+        [(ok, k, t, round(p * 100)) for ok, k, t, p in rows],
+    )
+    want = sorted(
+        tuple(w)
+        for w in con.execute(
+            "SELECT a.okey, count(b.okey), CAST(coalesce(sum(b.cents), 0) AS BIGINT) "
+            f"FROM o a LEFT JOIN o b ON a.ckey = b.ckey AND b.t < a.t AND b.t >= a.t - {W} "
+            "GROUP BY a.okey"
+        ).fetchall()
+    )
+    assert len(got) == len(rows)
+    assert got == want
