@@ -3,8 +3,9 @@ opaque ``binary`` columns + typed metadata, with decode / feature-extract /
 resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
 The decode kernels are REAL for the formats the stdlib + numpy can carry:
-PPM-P6 / BMP-24 / PNG images (zlib IDAT, all five scanline filters,
-gray/alpha/palette normalization), WAV-PCM audio, and YUV4MPEG2 video
+PPM-P6 / BMP-24 / PNG (zlib IDAT, all five scanline filters,
+gray/alpha/palette normalization) / GIF (LZW, interlace, local color
+tables — first frame) images, WAV-PCM audio, and YUV4MPEG2 video
 frame sampling. Only the formats needing heavyweight codecs (JPEG's
 DCT/huffman, compressed audio/video) still route to deterministic fakes
 clearly marked for replacement (swap ``_decode_image_stub`` → Pillow,
@@ -65,16 +66,18 @@ def synthesize_media(docs: DataFrame, modality: str = "image") -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # REAL codecs (numpy + stdlib only — no image libraries needed): PPM P6,
-# 24-bit BMP, and PNG (zlib IDAT + the five scanline filters; 8-bit
-# gray / gray+alpha / RGB / RGBA / palette, non-interlaced — the spec's
-# dominant shapes). JPEG still routes to the labeled stub (a DCT/huffman
+# 24-bit BMP, PNG (zlib IDAT + the five scanline filters; 8-bit
+# gray / gray+alpha / RGB / RGBA / palette, non-interlaced), and GIF
+# (variable-width LSB-first LZW with clear/KwKwK handling, 4-pass
+# interlace, local color tables; first frame). JPEG still routes to the
+# labeled stub (a DCT/huffman
 # decoder is out of scope until Pillow is installable); the dispatch
 # below is exactly where it slots in.
 # ---------------------------------------------------------------------------
 
 
 def decode_image_array(blob: bytes):
-    """(H, W, 3) uint8 array for PPM-P6 / PNG / BMP-24 payloads, else
+    """(H, W, 3) uint8 array for PPM-P6 / PNG / GIF / BMP-24 payloads, else
     (None, err). err is None on success, 'UnsupportedFormat' for unknown
     magics, or a parse/unsupported-variant string for payloads of a
     supported format."""
@@ -112,6 +115,13 @@ def decode_image_array(blob: bytes):
             return None, str(e)
         except Exception as e:
             return None, f"PngParseError:{type(e).__name__}"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return _decode_gif(blob), None
+        except _PngUnsupported as e:  # same labeled-unsupported channel
+            return None, str(e)
+        except Exception as e:
+            return None, f"GifParseError:{type(e).__name__}"
     if blob[:2] == b"BM":
         try:
             off = int.from_bytes(blob[10:14], "little")
@@ -228,6 +238,116 @@ def _decode_png(blob: bytes):
         return np.repeat(px[:, :, :1], 3, axis=2)
     pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
     return pal[px[:, :, 0]]
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW (GIF89a spec appendix F): variable code width
+    starting at min+1 bits, LSB-first bit packing, CLEAR resets the
+    table, the deferred-clear quirk is honored by simply growing until
+    reset."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+
+    def fresh_table():
+        return {i: [i] for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    acc = bits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                table = fresh_table()
+                next_code = eoi + 1
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+            else:  # the KwKwK case
+                entry = prev + [prev[0]]
+                table[next_code] = entry
+                next_code += 1
+            out.extend(entry)
+            prev = entry
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return out
+    return out
+
+
+def _decode_gif(blob: bytes):
+    """(H, W, 3) uint8 from the FIRST frame of a GIF: logical screen +
+    color tables, extension-block skipping, LZW-inflated indices,
+    4-pass interlace reorder."""
+    import numpy as np
+
+    gct = None
+    packed = blob[10]
+    i = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, np.uint8, count=n * 3, offset=i).reshape(-1, 3)
+        i += n * 3
+    while i < len(blob):
+        b = blob[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while blob[i] != 0:
+                i += 1 + blob[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(blob[i + 5 : i + 7], "little")
+            h = int.from_bytes(blob[i + 7 : i + 9], "little")
+            ipacked = blob[i + 9]
+            i += 10
+            table = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(blob, np.uint8, count=n * 3, offset=i).reshape(-1, 3)
+                i += n * 3
+            if table is None:
+                raise _PngUnsupported("MissingColorTable")
+            min_code = blob[i]
+            i += 1
+            chunks = []
+            while blob[i] != 0:
+                ln = blob[i]
+                chunks.append(blob[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
+            if len(idx) < w * h:
+                raise ValueError("short pixel stream")
+            px = np.array(idx[: w * h], dtype=np.uint16).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                de = np.empty_like(px)
+                de[order] = px
+                px = de
+            return table[np.minimum(px, len(table) - 1)].astype(np.uint8)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            i += 1
+    raise ValueError("no image descriptor")
 
 
 def encode_png(arr) -> bytes:

@@ -611,3 +611,120 @@ def test_bucketed_range_join_fuzzed_against_duckdb(spark):
     )
     assert len(got) == len(rows)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# GIF decoder (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _gif_encode(px, palette, min_code, interlace=False):
+    """Minimal GIF writer for fixtures: literal-code LZW whose table/width
+    bookkeeping mirrors the decoder's (first code after CLEAR adds no
+    entry; width grows when next_code hits 2^width)."""
+    import numpy as np
+
+    h, w = px.shape
+    clear = 1 << min_code
+    eoi = clear + 1
+
+    codes = []
+    width = min_code + 1
+    codes.append((clear, width))
+    next_code, first = eoi + 1, True
+    rows = px
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = px[order]
+    for v in rows.flatten():
+        codes.append((int(v), width))
+        if first:
+            first = False
+        else:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        if next_code >= 4093:
+            codes.append((clear, width))
+            width, next_code, first = min_code + 1, eoi + 1, True
+    codes.append((eoi, width))
+
+    acc = bits = 0
+    data = bytearray()
+    for code, cw in codes:
+        acc |= code << bits
+        bits += cw
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        data.append(acc & 0xFF)
+
+    n_colors = len(palette)
+    gct_bits = max(1, (n_colors - 1).bit_length()) - 1
+    gct_n = 2 << gct_bits
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += bytes(3 * (gct_n - n_colors))
+
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | gct_bits, 0, 0]) + pal
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext (skipped)
+    out += b"\x2c" + (0).to_bytes(2, "little") * 2
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00, min_code])
+    for at in range(0, len(data), 255):
+        block = data[at : at + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_palette():
+    import numpy as np
+
+    from connapse_spark.operators.multimodal import decode_image_array
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 4, size=(9, 11), dtype=np.uint8)
+    out, err = decode_image_array(_gif_encode(px, palette, min_code=2))
+    assert err is None and out.shape == (9, 11, 3)
+    want = np.array(palette, dtype=np.uint8)[px]
+    assert (out == want).all()
+
+
+def test_gif_interlaced_and_8bit():
+    import numpy as np
+
+    from connapse_spark.operators.multimodal import decode_image_array
+
+    palette = [(i, i, i) for i in range(256)]
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(17, 6), dtype=np.uint8)
+    out, err = decode_image_array(
+        _gif_encode(px, palette, min_code=8, interlace=True)
+    )
+    assert err is None
+    want = np.array(palette, dtype=np.uint8)[px]
+    assert (out == want).all()
+
+
+def test_gif_long_stream_with_clear_resets():
+    import numpy as np
+
+    from connapse_spark.operators.multimodal import decode_image_array
+
+    palette = [(i, 0, 255 - i) for i in range(256)]
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(80, 80), dtype=np.uint8)  # 6400 px > 4093
+    out, err = decode_image_array(_gif_encode(px, palette, min_code=8))
+    assert err is None
+    want = np.array(palette, dtype=np.uint8)[px]
+    assert (out == want).all()
