@@ -199,6 +199,8 @@ def read_snapshot(
         return spark.read.parquet(*paths)
     out = None
     for base, fs in _manifest_bases(m).items():
+        if not fs:  # an appended empty commit contributes no files
+            continue
         paths = [os.path.join(table_dir, e["path"]) for e in fs]
         part = (
             spark.read.option("basePath", os.path.join(table_dir, base))
@@ -280,7 +282,18 @@ def compact_snapshot(
         raise FileNotFoundError(f"no snapshot committed at {table_dir}")
     m = load_manifest(table_dir, prev)
     version = prev + 1
-    listing = snapshot_listing(spark, table_dir, prev)
+    # listing keyed by PARTITION-relative dir (staging roots stripped),
+    # so bins merge small files across commits WITHIN a partition — the
+    # whole point of compacting an append lineage; `file` carries the
+    # full relative path (unique across roots, deterministic order)
+    rows = []
+    for base, fs in _manifest_bases(m).items():
+        for e in fs:
+            pdir = os.path.dirname(os.path.relpath(e["path"], base)) or "."
+            rows.append((pdir, e["path"], e["size_bytes"]))
+    listing = spark.createDataFrame(
+        rows, "dir string, file string, size_bytes long"
+    )
     plan = sinks.compaction_plan(listing, target_bytes).collect()
     # per-file bin assignment, same window math as the plan
     from pyspark.sql import functions as F
@@ -298,18 +311,25 @@ def compact_snapshot(
     bins: dict[tuple[str, int], list[str]] = {}
     for r in assign:
         bins.setdefault((r["dir"], r["group"]), []).append(
-            os.path.join(table_dir, r["dir"], r["file"])
+            os.path.join(table_dir, r["file"])
         )
     rel_dir = os.path.join("data", f"c{version:06d}-{uuid.uuid4().hex[:8]}")
     out_dir = os.path.join(table_dir, rel_dir)
     os.makedirs(out_dir, exist_ok=True)
     entries = []
     for i, key in enumerate(sorted(bins)):
-        out_file = os.path.join(out_dir, f"compact-{i:05d}.parquet")
+        # a partitioned table's hive dirs are part of the layout — each
+        # bin rewrites INSIDE its partition dir so the compacted version
+        # keeps pruning (the bin's `dir` is relative to a staging root,
+        # e.g. "list_id=3", or "." for unpartitioned tables)
+        bin_dir, _g = key
+        sub = os.path.normpath(os.path.join(out_dir, bin_dir))
+        os.makedirs(sub, exist_ok=True)
+        out_file = os.path.join(sub, f"compact-{i:05d}.parquet")
         sinks.compact_group(spark, sorted(bins[key]), out_file)
         entries.append(
             {
-                "path": os.path.join(rel_dir, os.path.basename(out_file)),
+                "path": os.path.relpath(out_file, table_dir),
                 "size_bytes": os.path.getsize(out_file),
             }
         )
@@ -317,6 +337,12 @@ def compact_snapshot(
     _atomic_publish(
         table_dir,
         version,
-        {"files": entries, "schema": m["schema"], "mode": "compact"},
+        {
+            "files": entries,
+            "bases": {rel_dir: entries},
+            "partition_by": m.get("partition_by") or [],
+            "schema": m["schema"],
+            "mode": "compact",
+        },
     )
     return version

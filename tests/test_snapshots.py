@@ -138,3 +138,33 @@ def test_partitioned_commit_preserves_pruning(spark, sf_dir, tmp_path):
     extra = index.limit(5).withColumn("id", F.col("id") + 100000)
     snapshots.commit_snapshot(extra, t, mode="append", partition_by=["list_id"])
     assert snapshots.read_snapshot(spark, t).count() == index.count() + 5
+
+
+def test_compact_partitioned_lineage_merges_across_commits(spark, sf_dir, tmp_path):
+    """Compacting an appended partitioned lineage must merge files ACROSS
+    commits within each partition, keep the hive layout (pruning), and
+    carry partition_by into the new manifest."""
+    t = str(tmp_path / "ptbl")
+    orders = _orders(spark, sf_dir).withColumn(
+        "bucket", (F.col("o_orderkey") % 2).cast("int")
+    )
+    snapshots.commit_snapshot(orders.limit(40), t, partition_by=["bucket"])
+    snapshots.commit_snapshot(
+        orders.filter(F.col("o_orderkey") % 7 == 0).limit(30),
+        t, mode="append", partition_by=["bucket"],
+    )
+    total_rows = snapshots.read_snapshot(spark, t).count()
+    n_files_before = len(snapshots.load_manifest(t)["files"])
+    v = snapshots.compact_snapshot(spark, t, target_bytes=1 << 30)  # one bin per partition
+    m = snapshots.load_manifest(t)
+    assert m["partition_by"] == ["bucket"]
+    assert len(m["files"]) == 2  # one compacted file per bucket
+    assert len(m["files"]) < n_files_before
+    back = snapshots.read_snapshot(spark, t)
+    assert back.count() == total_rows
+    assert "bucket" in back.columns
+    pruned = back.filter(F.col("bucket") == 1)
+    files = {r[0] for r in pruned.select(F.col("_metadata.file_path")).distinct().collect()}
+    assert files and all("bucket=1" in f for f in files)
+    # history intact
+    assert snapshots.read_snapshot(spark, t, version=v - 1).count() == total_rows
