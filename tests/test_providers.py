@@ -154,7 +154,7 @@ def test_llm_provider_ollama_and_openai_styles(llm_server):
     assert log.requests[-1][1]["messages"][0]["role"] == "user"
 
     with pytest.raises(ValueError, match="style"):
-        http_llm_provider(url, style="anthropic-ish")
+        http_llm_provider(url, style="soap-xml")
 
 
 def test_llm_provider_retries_then_succeeds(llm_server):
