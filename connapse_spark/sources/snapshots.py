@@ -246,15 +246,16 @@ def vacuum_snapshot(table_dir: str, keep_last: int = 2) -> dict:
     removed_files = 0
     data_root = os.path.join(table_dir, "data")
     if os.path.isdir(data_root):
-        for sub in sorted(os.listdir(data_root)):
-            subdir = os.path.join(data_root, sub)
-            for f in sorted(os.listdir(subdir)):
-                rel = os.path.join("data", sub, f)
-                if rel not in referenced:
-                    os.unlink(os.path.join(subdir, f))
+        # bottom-up walk: partitioned staging dirs nest hive dirs under
+        # the commit root; empty dirs collapse after their files go
+        for root, dirs, files in os.walk(data_root, topdown=False):
+            for f in sorted(files):
+                full = os.path.join(root, f)
+                if os.path.relpath(full, table_dir) not in referenced:
+                    os.unlink(full)
                     removed_files += 1
-            if not os.listdir(subdir):
-                os.rmdir(subdir)
+            if root != data_root and not os.listdir(root):
+                os.rmdir(root)
     for v in dropped:
         os.unlink(_manifest_path(table_dir, v))
     return {

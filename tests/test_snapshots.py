@@ -168,3 +168,19 @@ def test_compact_partitioned_lineage_merges_across_commits(spark, sf_dir, tmp_pa
     assert files and all("bucket=1" in f for f in files)
     # history intact
     assert snapshots.read_snapshot(spark, t, version=v - 1).count() == total_rows
+
+
+def test_vacuum_partitioned_lineage(spark, sf_dir, tmp_path):
+    """Vacuum must handle nested hive dirs inside staging roots (a flat
+    listdir would try to unlink directories) and keep the retained
+    partitioned version readable with pruning intact."""
+    t = str(tmp_path / "pvtbl")
+    orders = _orders(spark, sf_dir).withColumn(
+        "bucket", (F.col("o_orderkey") % 2).cast("int")
+    )
+    snapshots.commit_snapshot(orders.limit(30), t, partition_by=["bucket"])
+    snapshots.commit_snapshot(orders.limit(10), t, partition_by=["bucket"])  # overwrite
+    report = snapshots.vacuum_snapshot(t, keep_last=1)
+    assert report["removed_versions"] == [0] and report["removed_files"] > 0
+    back = snapshots.read_snapshot(spark, t)
+    assert back.count() == 10 and "bucket" in back.columns
