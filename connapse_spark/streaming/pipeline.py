@@ -361,3 +361,54 @@ def streaming_view_purchase_attribution(
         (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts")))
         .alias("gap_us"),
     )
+
+
+def streaming_index_maintenance(
+    spark: SparkSession,
+    watch_dir: str,
+    table_dir: str,
+    centroids: DataFrame,
+    checkpoint_dir: str,
+) -> None:
+    """M6 as a STREAMING job — the production shape of continuous vector
+    index maintenance: new embedding batches landing under ``watch_dir``
+    (parquet: vec_id, embedding) are assigned to the EXISTING centroids
+    (plans/ivf.ivf_index_upsert — no refit, pgvector INSERT routing) and
+    the merged index is COMMITTED through the snapshot layer, partitioned
+    by list_id. Every micro-batch publishes a new atomically-visible
+    version; readers on a pinned version keep a consistent index while
+    maintenance runs, and a crashed batch leaves the previous version
+    intact (the foreachBatch + transactional-sink pattern the Structured
+    Streaming guide prescribes — the snapshot manifest IS the
+    transaction). The rebuild-on-drift decision stays with ivf_drift
+    over the committed snapshot."""
+    from connapse_spark.plans.ivf import ivf_index_upsert
+    from connapse_spark.sources import snapshots
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .parquet(watch_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if snapshots.latest_version(table_dir) is None:
+            cur = batch_df.sparkSession.createDataFrame(
+                [],
+                "id long, list_id bigint, vec array<double>, norm double",
+            )
+        else:
+            cur = snapshots.read_snapshot(batch_df.sparkSession, table_dir).select(
+                "id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm"
+            )
+        merged = ivf_index_upsert(cur, centroids, batch_df).select(
+            "id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm"
+        )
+        snapshots.commit_snapshot(merged, table_dir, partition_by=["list_id"])
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

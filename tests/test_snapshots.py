@@ -184,3 +184,49 @@ def test_vacuum_partitioned_lineage(spark, sf_dir, tmp_path):
     assert report["removed_versions"] == [0] and report["removed_files"] > 0
     back = snapshots.read_snapshot(spark, t)
     assert back.count() == 10 and "bucket" in back.columns
+
+
+def test_streaming_index_maintenance_commits_versions(spark, sf_dir, tmp_path):
+    """Two activation waves of new embeddings -> two snapshot versions of
+    the list_id-partitioned index; the final version answers a pruned
+    ANN probe, and the first version is still readable (maintenance never
+    breaks pinned readers)."""
+    from connapse_spark.plans.ivf import ann_ivf_topk, build_ivf_index_seeded
+    from connapse_spark.streaming.pipeline import streaming_index_maintenance
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    _, centroids = build_ivf_index_seeded(emb, n_lists=4)
+    centroids = spark.createDataFrame(centroids.collect(), centroids.schema)
+
+    watch = str(tmp_path / "incoming")
+    table = str(tmp_path / "index_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+
+    # waves land as flat files in the watched dir (the parquet streaming
+    # source lists the dir itself)
+    emb.filter(F.col("vec_id") < 100).coalesce(1).write.mode("append").parquet(watch)
+    streaming_index_maintenance(spark, watch, table, centroids, ckpt)
+    from connapse_spark.sources import snapshots as snaps
+
+    v1 = snaps.latest_version(table)
+    n1 = snaps.read_snapshot(spark, table).count()
+    assert n1 == 100
+
+    emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 160)).coalesce(
+        1
+    ).write.mode("append").parquet(watch)
+    streaming_index_maintenance(spark, watch, table, centroids, ckpt)
+    assert snaps.latest_version(table) > v1
+    index = snaps.read_snapshot(spark, table)
+    assert index.count() == 160
+    assert set(index.columns) >= {"id", "list_id", "vec", "norm"}
+
+    # pinned reader: version v1 still sees exactly the first wave
+    assert snaps.read_snapshot(spark, table, version=v1).count() == 100
+
+    # the committed snapshot serves a pruned probe
+    from connapse_spark.functions.embed import embed_py
+
+    hits = ann_ivf_topk(index, centroids, embed_py("probe text", 64), k=5, nprobe=2)
+    assert hits.count() == 5
