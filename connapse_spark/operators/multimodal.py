@@ -5,12 +5,13 @@ resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 The decode kernels are REAL for the formats the stdlib + numpy can carry:
 PPM-P6 / BMP-24 / PNG (zlib IDAT, all five scanline filters,
 gray/alpha/palette normalization) / GIF (LZW, interlace, local color
-tables — first frame) images, WAV-PCM audio, and YUV4MPEG2 video
-frame sampling. Only the formats needing heavyweight codecs (JPEG's
-DCT/huffman, compressed audio/video) still route to deterministic fakes
-clearly marked for replacement (swap ``_decode_image_stub`` → Pillow,
-``_sample_frames_stub`` → pyav). The Spark-side contract — schemas,
-batch iteration, partitioning, output shapes — is identical either way.
+tables — first frame) / baseline JPEG (huffman + IDCT + 4:2:0,
+operators/jpeg.py) images, WAV-PCM audio, and YUV4MPEG2 video frame
+sampling. Only progressive JPEG and compressed audio/video still route
+to deterministic fakes clearly marked for replacement (swap
+``_decode_image_stub`` → Pillow, ``_sample_frames_stub`` → pyav). The
+Spark-side contract — schemas, batch iteration, partitioning, output
+shapes — is identical either way.
 
 Scale: every stage is map-side (no shuffle); binary payloads stay in Arrow
 record batches end-to-end; `spark.sql.execution.arrow.maxRecordsPerBatch`
@@ -69,15 +70,14 @@ def synthesize_media(docs: DataFrame, modality: str = "image") -> DataFrame:
 # 24-bit BMP, PNG (zlib IDAT + the five scanline filters; 8-bit
 # gray / gray+alpha / RGB / RGBA / palette, non-interlaced), and GIF
 # (variable-width LSB-first LZW with clear/KwKwK handling, 4-pass
-# interlace, local color tables; first frame). JPEG still routes to the
-# labeled stub (a DCT/huffman
-# decoder is out of scope until Pillow is installable); the dispatch
-# below is exactly where it slots in.
+# interlace, local color tables; first frame), and baseline JPEG
+# (operators/jpeg.py — huffman, dequant, IDCT, 4:2:0; progressive/SOF2
+# returns a labeled unsupported error).
 # ---------------------------------------------------------------------------
 
 
 def decode_image_array(blob: bytes):
-    """(H, W, 3) uint8 array for PPM-P6 / PNG / GIF / BMP-24 payloads, else
+    """(H, W, 3) uint8 array for PPM-P6 / PNG / GIF / JPEG / BMP-24 payloads, else
     (None, err). err is None on success, 'UnsupportedFormat' for unknown
     magics, or a parse/unsupported-variant string for payloads of a
     supported format."""
@@ -115,6 +115,15 @@ def decode_image_array(blob: bytes):
             return None, str(e)
         except Exception as e:
             return None, f"PngParseError:{type(e).__name__}"
+    if blob[:3] == b"\xff\xd8\xff":
+        try:
+            from connapse_spark.operators.jpeg import JpegUnsupported, decode_jpeg
+
+            return decode_jpeg(blob), None
+        except JpegUnsupported as e:
+            return None, str(e)
+        except Exception as e:
+            return None, f"JpegParseError:{type(e).__name__}"
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         try:
             return _decode_gif(blob), None
