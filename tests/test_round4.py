@@ -728,3 +728,47 @@ def test_gif_long_stream_with_clear_resets():
     assert err is None
     want = np.array(palette, dtype=np.uint8)[px]
     assert (out == want).all()
+
+
+def test_hybrid_many_fuzzed_vs_onepass_on_random_corpus(spark):
+    """Random corpus (random word soup + random unit-ish vectors), six
+    random queries: both batched tiers must reproduce
+    hybrid_search_onepass per query — ranking AND scores (oracle tier
+    exact; fast tier within accumulation noise)."""
+    import random
+
+    from connapse_spark.operators.search import (
+        SearchOptions,
+        hybrid_search_many,
+        hybrid_search_many_fast,
+        hybrid_search_onepass,
+    )
+
+    rng = random.Random(123)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu"]
+    rows = []
+    for i in range(300):
+        text = " ".join(rng.choices(vocab, k=rng.randint(3, 30)))
+        vec = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, text, vec))
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    queries = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 4)))) for i in range(6)
+    ]
+    many = hybrid_search_many(corpus, queries, top_k=7).collect()
+    fast = hybrid_search_many_fast(corpus, queries, top_k=7).collect()
+    for qid, qtext in queries:
+        single = hybrid_search_onepass(corpus, qtext, SearchOptions(top_k=7)).collect()
+        m = [r for r in many if r["qid"] == qid]
+        f = [r for r in fast if r["qid"] == qid]
+        assert [(r["doc_id"], r["score"]) for r in m] == [
+            (r["id"], r["score"]) for r in single
+        ], ("oracle tier", qid, qtext)
+        assert [r["doc_id"] for r in f] == [r["id"] for r in single], (
+            "fast tier ranking", qid, qtext,
+        )
+        for a, b in zip(f, single):
+            assert abs(a["score"] - b["score"]) < 1e-9
