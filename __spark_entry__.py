@@ -1568,6 +1568,58 @@ def q_ingest_stats(spark, sf_dir):
     return ingest_stats(chunks, vectors)
 
 
+def q_ingest_stats_native(spark, sf_dir):
+    """Fully ORACLE-CHECKED ingest-pipeline twin: native recursive
+    chunker → content hash → JVM hash-embedder → per-document summary.
+    The UDF-tier ingest_stats keeps its rows-only declaration; this twin
+    puts the same chunk→hash→embed→summarize COMPOSITION under the
+    value-hash gate end to end (embedding inclusion is pinned by an
+    order-free integer micro-sum of each vector's head component)."""
+    from connapse_spark.functions.embed import embed_expr
+
+    para = F.concat_ws(
+        "\n\n",
+        F.substring("text", 1, 150),
+        F.substring("text", 151, 150),
+        F.expr("substring(text, 301)"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", para.alias("ptext"))
+    chunks = chunking.chunk_recursive_native(docs, max_chars=120, text_col="ptext")
+    enriched = chunks.select(
+        "document_id",
+        F.sha2("content", 256).alias("content_hash"),
+        F.length("content").alias("n_chars"),
+        embed_expr(F.col("content"), 64).alias("emb"),
+    )
+    return (
+        enriched.groupBy("document_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("chunk_count"),
+            F.sum("n_chars").cast("long").alias("char_sum"),
+            F.countDistinct("content_hash").cast("long").alias("n_unique_chunks"),
+            F.sum(
+                F.round(F.element_at("emb", 1) * 1000000).cast("long")
+            ).alias("emb_head_microsum"),
+        )
+        .orderBy("document_id")
+    )
+
+
+def _sql_ingest_stats_native() -> str:
+    from connapse_spark.functions.embed import sql_embed
+
+    emb_head = f"({sql_embed('content', 64)})[1]"
+    return f"""
+WITH chunks AS ({_sql_chunk_recursive()})
+SELECT document_id,
+       CAST(count(*) AS BIGINT) AS chunk_count,
+       CAST(sum(length(content)) AS BIGINT) AS char_sum,
+       CAST(count(DISTINCT sha256(content)) AS BIGINT) AS n_unique_chunks,
+       CAST(sum(CAST(round({emb_head} * 1000000) AS BIGINT)) AS BIGINT) AS emb_head_microsum
+FROM chunks GROUP BY document_id ORDER BY document_id
+""".strip()
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash banded near-dup pairs (pigeonhole bands + bit_count verify)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1945,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,  # new r4: skew-resistant aggregation
         "ivf_drift": q_ivf_drift,  # new r4: rebuild-on-drift gauge
         "hybrid_many_fast": q_hybrid_many_fast,  # new r4: BLAS batch tier
+        "ingest_stats_native": q_ingest_stats_native,  # new r4: oracled ingest twin
         # r2-only greens, stalest remaining entries
         "hybrid_onepass": q_hybrid_onepass,
         "semdedup": q_semdedup,
@@ -2141,6 +2194,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": ivf.sql_ann_lsh_topk(_embed_query(), k=10, n_planes=4),
         "ann_ivf_seeded": ivf.sql_ann_ivf_seeded(_embed_query(), k=10, nprobe=3, n_lists=8),
         "ivf_drift": ivf.sql_ivf_drift_seeded(n_lists=8),
+        "ingest_stats_native": _sql_ingest_stats_native(),
         "ann_ivfpq": pq.sql_ann_ivfpq(_embed_query(), k=10, nprobe=3, n_lists=8),
         "pq_recall": pq.sql_pq_recall(k=10),
         "quality_sample": sampling.sql_quality_stratified_sample(keep_fraction=0.5),
