@@ -1620,6 +1620,60 @@ FROM chunks GROUP BY document_id ORDER BY document_id
 """.strip()
 
 
+def q_postings_upsert(spark, sf_dir):
+    """Incremental keyword-index maintenance (keyword_index.upsert_postings):
+    base postings built WITHOUT the batch docs' new text, then a batch of
+    updated docs (doc_id%9==0, text + ' updated') and deletions
+    (doc_id%31==0, non-batch) fold in. The ORACLE rebuilds the postings
+    from scratch over the post-upsert corpus — incremental must equal
+    rebuild, the strongest possible contract for index maintenance."""
+    from connapse_spark.operators.keyword_index import (
+        build_postings,
+        build_token_table,
+        upsert_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base_postings = build_postings(build_token_table(docs))
+    batch_docs = docs.filter(F.col("doc_id") % 9 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
+    )
+    deleted = [
+        r["doc_id"]
+        for r in docs.filter((F.col("doc_id") % 31 == 0) & (F.col("doc_id") % 9 != 0))
+        .select("doc_id")
+        .collect()
+    ]
+    out = upsert_postings(
+        base_postings, build_token_table(batch_docs), deleted_ids=deleted
+    )
+    return (
+        out.select("term", F.explode("ids").alias("id"), "df")
+        .orderBy("term", "id")
+    )
+
+
+def _sql_postings_upsert() -> str:
+    from connapse_spark.functions.text import sql_tokens_exact
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 31 != 0 OR doc_id % 9 = 0
+),
+tok AS (
+  SELECT DISTINCT doc_id AS id, unnest({sql_tokens_exact('text')}) AS term
+  FROM corpus
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY term)
+SELECT tok.term, tok.id, df.df
+FROM tok JOIN df ON tok.term = df.term
+ORDER BY tok.term, tok.id
+""".strip()
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash banded near-dup pairs (pigeonhole bands + bit_count verify)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1998,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_drift": q_ivf_drift,  # new r4: rebuild-on-drift gauge
         "hybrid_many_fast": q_hybrid_many_fast,  # new r4: BLAS batch tier
         "ingest_stats_native": q_ingest_stats_native,  # new r4: oracled ingest twin
+        "postings_upsert": q_postings_upsert,  # new r4: incremental keyword index
         # r2-only greens, stalest remaining entries
         "hybrid_onepass": q_hybrid_onepass,
         "semdedup": q_semdedup,
@@ -2195,6 +2250,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_seeded": ivf.sql_ann_ivf_seeded(_embed_query(), k=10, nprobe=3, n_lists=8),
         "ivf_drift": ivf.sql_ivf_drift_seeded(n_lists=8),
         "ingest_stats_native": _sql_ingest_stats_native(),
+        "postings_upsert": _sql_postings_upsert(),
         "ann_ivfpq": pq.sql_ann_ivfpq(_embed_query(), k=10, nprobe=3, n_lists=8),
         "pq_recall": pq.sql_pq_recall(k=10),
         "quality_sample": sampling.sql_quality_stratified_sample(keep_fraction=0.5),

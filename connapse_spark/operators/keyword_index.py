@@ -140,3 +140,51 @@ SELECT id, raw / (raw + 1.0) AS score FROM scored
 WHERE raw / (raw + 1.0) > 0.0
 ORDER BY score DESC, id LIMIT {k}
 """.strip()
+
+
+def upsert_postings(
+    postings: DataFrame,
+    new_tokens: DataFrame,
+    deleted_ids: list[int] | None = None,
+    token_col: str = "tokens_exact",
+) -> DataFrame:
+    """Incremental posting-list maintenance — the Q3 analogue of
+    plans/ivf.ivf_index_upsert: a batch of NEW/UPDATED docs (their token
+    table) plus optional deletions folds into an EXISTING postings table
+    without re-tokenizing the corpus.
+
+    Semantics are rebuild-equivalent (the oracle entry checks exactly
+    that): every affected id (upserted or deleted) is first REMOVED from
+    the old lists — an upserted doc's stale terms must not linger — then
+    the batch's own postings merge in via one full-outer on term; lists
+    stay sorted and ``df`` stays the list length; terms whose last doc
+    vanished drop out.
+
+    Scale: the removal is a map-side array_except against the (bounded)
+    affected-id batch — the postings table is scanned once, never the
+    corpus; the merge shuffles only the postings-sized table on term.
+    This is how a real deployment keeps a tokenized layout fresh between
+    full rebuilds (PostgreSQL GIN's pending-list fastupdate plays the
+    same role)."""
+    batch_ids = [r["id"] for r in new_tokens.select("id").collect()]
+    affected = sorted(set(batch_ids) | set(deleted_ids or []))
+    aff_lit = F.array(*[F.lit(int(i)) for i in affected]) if affected else F.array().cast("array<bigint>")
+    cleaned = postings.select(
+        "term", F.array_except(F.col("ids"), aff_lit).alias("ids")
+    ).filter(F.size("ids") > 0)
+    fresh = build_postings(new_tokens, token_col=token_col).select("term", "ids")
+    merged = (
+        cleaned.withColumnRenamed("ids", "_old")
+        .join(fresh.withColumnRenamed("ids", "_new"), "term", "full_outer")
+        .select(
+            "term",
+            F.sort_array(
+                F.concat(
+                    F.coalesce(F.col("_old"), F.array().cast("array<bigint>")),
+                    F.coalesce(F.col("_new"), F.array().cast("array<bigint>")),
+                )
+            ).alias("ids"),
+        )
+        .filter(F.size("ids") > 0)
+    )
+    return merged.select("term", "ids", F.size("ids").cast("long").alias("df"))

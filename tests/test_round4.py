@@ -772,3 +772,33 @@ def test_hybrid_many_fuzzed_vs_onepass_on_random_corpus(spark):
         )
         for a, b in zip(f, single):
             assert abs(a["score"] - b["score"]) < 1e-9
+
+
+def test_postings_upsert_removes_stale_terms_and_empty_lists(spark):
+    """An upserted doc's STALE terms must leave its old lists, and a term
+    whose last doc is deleted must vanish entirely."""
+    from connapse_spark.operators.keyword_index import (
+        build_postings,
+        build_token_table,
+        upsert_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "unique_term here")],
+        "doc_id long, text string",
+    )
+    base = build_postings(build_token_table(docs))
+    # doc 1 re-written without 'alpha'; doc 3 deleted -> 'unique_term' gone
+    batch = spark.createDataFrame([(1, "beta delta")], "doc_id long, text string")
+    out = {
+        r["term"]: (list(r["ids"]), r["df"])
+        for r in upsert_postings(
+            base, build_token_table(batch), deleted_ids=[3]
+        ).collect()
+    }
+    assert "alpha" not in out          # stale term left doc 1's lists
+    assert "unique_term" not in out    # last doc deleted -> term gone
+    assert out["beta"] == ([1, 2], 2)
+    assert out["delta"] == ([1], 1)
+    assert out["gamma"] == ([2], 1)
+    assert "here" not in out
