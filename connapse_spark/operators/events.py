@@ -77,8 +77,12 @@ def epoch_us_any(df: DataFrame, col: str) -> "F.Column":
     dt = dict(df.dtypes).get(col)
     if dt == "timestamp":
         return F.unix_micros(F.col(col))
-    if dt in ("bigint", "int"):  # already epoch micros
+    if dt == "bigint":  # already epoch micros
         return F.col(col).cast("long")
+    if dt == "int":
+        # a 32-bit int tops out ~2.1e9 — ~35 MINUTES of epoch micros — so
+        # an int column can only be epoch SECONDS; scale, don't misread
+        return F.col(col).cast("long") * F.lit(1_000_000)
     return _epoch_us(col)
 
 

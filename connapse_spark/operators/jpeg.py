@@ -211,6 +211,9 @@ def decode_jpeg(blob: bytes) -> "np.ndarray":
             i += 1
             continue
         marker = blob[i + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: optional fill bytes before a marker
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -307,7 +310,9 @@ def _decode_scan(blob, pos, frame, scan, qt, huff, restart_interval):
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        y = np.clip(full[0], 0, 255)
+        # round like the color path — truncation would skew fractional
+        # pixels one level dark vs a reference decoder
+        y = np.clip(full[0], 0, 255).round()
         return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
     r = y + 1.402 * cr

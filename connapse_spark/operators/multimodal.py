@@ -420,10 +420,14 @@ def _average_hash(arr) -> str:
 
 def extract_image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract via mapInPandas. REAL decode for PPM-P6,
-    BMP-24, and PNG (decode_image_array — numpy + stdlib zlib, no codec
-    libs): true dims, mean luma, and a real 8x8 average-hash. JPEG falls
-    through to the labeled deterministic stub until Pillow lands — same
-    output schema either way, so swapping the stub touches nothing else."""
+    BMP-24, PNG, GIF, and baseline JPEG (decode_image_array — numpy +
+    stdlib zlib, no codec libs): true dims, mean luma, and a real 8x8
+    average-hash. Unknown magics AND labeled unsupported variants of
+    supported formats (progressive JPEG, interlaced/16-bit PNG, …) route
+    to the deterministic stub — fake-but-stable dims so downstream
+    classification keeps working; variant rows keep their Unsupported*
+    label in decode_error. Corrupt payloads of a supported format get
+    zero dims + the parse error. Same output schema in every tier."""
 
     def _decode_image_stub(blob: bytes) -> tuple[int, int, int, float, str, str | None]:
         if not blob:
@@ -443,9 +447,15 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                 / 255.0
             )
             return w, h, 3, luma, _average_hash(arr), None
-        if err in ("UnsupportedFormat",):
-            return _decode_image_stub(blob)  # compressed formats: stub tier
-        return 0, 0, 0, 0.0, "", err
+        if err == "UnsupportedFormat":
+            return _decode_image_stub(blob)  # unknown magic: stub tier
+        if err and err.startswith("Unsupported"):
+            # labeled variant of a supported format (progressive JPEG,
+            # interlaced/16-bit PNG, …): stub features, label kept so
+            # the row is both classifiable and diagnosable
+            stub = _decode_image_stub(blob)
+            return (*stub[:5], err)
+        return 0, 0, 0, 0.0, "", err  # corrupt payload: parse error row
 
     def _extract(batches):
         for pdf in batches:

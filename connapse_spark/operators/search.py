@@ -1574,7 +1574,13 @@ def hybrid_search_many(
     shuffle to ≤ 2k·N rows per ~10k-row batch, exactly the onepass
     argument with a qid dimension: at 100 TB the corpus IO is paid once
     for the whole query batch instead of once per query.
+
+    Empty/whitespace queries get onepass's Q13 treatment per qid: zero
+    rows for that qid (not a vector-only ranking).
     """
+    queries = [(q, t) for q, t in queries if t and t.strip()]
+    if not queries:
+        return _hybrid_many_empty(corpus, id_col)
     k = top_k
     base = corpus.select(
         F.col(id_col).alias("id"),
@@ -1655,6 +1661,19 @@ def hybrid_search_many(
     return _hybrid_many_fuse(entries, k, alpha, id_col)
 
 
+def _hybrid_many_empty(corpus: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row frame in the batched-hybrid output schema — every query
+    in the batch was empty/whitespace (Q13)."""
+    return corpus.select(
+        F.lit(0).cast("int").alias("qid"),
+        F.col(id_col),
+        F.lit(0.0).alias("score"),
+        F.lit(0.0).alias("vector_score"),
+        F.lit(0.0).alias("keyword_score"),
+        F.lit("").alias("source"),
+    ).limit(0)
+
+
 def _hybrid_many_fuse(entries: DataFrame, k: int, alpha: float, id_col: str) -> DataFrame:
     """Shared per-qid fusion tail over (qid, branch, bscore, id) entries:
     branch top-k cut, min-max normalization, convex combination, final
@@ -1733,6 +1752,9 @@ def hybrid_search_many_fast(
     matters; use this one to answer query batches."""
     import numpy as np
 
+    queries = [(q, t) for q, t in queries if t and t.strip()]  # Q13 per qid
+    if not queries:
+        return _hybrid_many_empty(corpus, id_col)
     k = top_k
     Q = np.array([embed_py(q, dims) for _, q in queries], dtype=np.float64)
     qids_arr = [int(q) for q, _ in queries]

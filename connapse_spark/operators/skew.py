@@ -10,17 +10,30 @@ partitions), but a skewed AGGREGATE still funnels each key's map-side
 partial results to a single reducer task; that is usually fine (partial
 aggregation has already collapsed per-partition duplicates) — the
 regime where it is NOT fine is high-cardinality per-key STATE, e.g.
-``collect_set``/``count_distinct`` over a hot key, where the reducer
-materializes the key's whole value universe. Salting keeps every task's
-state bounded by ``|key universe| / n_salts``.
+``count_distinct`` over a hot key, where a naive reducer materializes
+the key's whole value universe.
 
-Each aggregate must be decomposable into (partial, merge) pairs —
-exactly the algebraic/commutative-monoid condition map-side combine
-already requires. Supported here: sum, count, min, max, avg
-(sum+count), count_distinct (exact — set-union via two-level distinct),
-collect_set (set-union). The result is EXACTLY the unsalted answer —
-the oracle entry hash-checks that equivalence, and the salt column never
-escapes.
+How each family stays bounded:
+
+* **monoid aggs** (sum, count, min, max, avg): two-stage salting — stage
+  1 aggregates on (keys + salt), stage 2 merges ``n_salts`` scalar
+  partials per key. Every task's state is O(1) per (key, salt).
+* **count_distinct** (exact): NOT salted-set-union — merging per-salt
+  sets would re-concentrate the hot key's full universe in the stage-2
+  task. Instead the classic two-shuffle distinct: dedup on
+  (keys, value) — the shuffle key INCLUDES the value, so a hot key's
+  universe spreads across the whole cluster — then a per-key COUNT
+  (monoid). No task ever holds more than its shuffle partition's share.
+* **collect_set**: two-stage salted set-union. The intermediate state is
+  bounded by |universe|/n_salts per task, but the RESULT row itself
+  carries the key's full set — inherently |universe|-sized. Use it when
+  the sets are known-small; for hot-key cardinality use count_distinct
+  (exact, bounded) or a sketch (textstats.linear-counting / CMS).
+
+Each aggregate is decomposable into (partial, merge) pairs — exactly the
+algebraic/commutative-monoid condition map-side combine already
+requires. The result is EXACTLY the unsalted answer — the oracle entry
+hash-checks that equivalence, and the salt column never escapes.
 
 Reference has no analogue (single-node engines do not shuffle); this is
 pure Spark-scale machinery, same family as sampling.hash_bucket_expr's
@@ -32,11 +45,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# decomposition table: agg name -> (partial expr builder, merge expr builder)
-_DECOMPOSABLE = {
-    "sum", "sum_long", "count", "min", "max", "avg", "count_distinct",
-    "collect_set",
-}
+_MONOID = {"sum", "sum_long", "count", "min", "max", "avg", "collect_set"}
+_DECOMPOSABLE = _MONOID | {"count_distinct"}
 
 
 def salted_agg(
@@ -46,73 +56,94 @@ def salted_agg(
     n_salts: int = 16,
     salt_on: str | None = None,
 ) -> DataFrame:
-    """GROUP BY ``keys`` with per-key salting: stage 1 aggregates on
-    (keys + salt), stage 2 merges partials on keys alone.
+    """GROUP BY ``keys`` with skew-resistant execution: monoid aggs run
+    salted two-stage (partials on keys + salt, merge on keys);
+    count_distinct runs as a (keys, value)-keyed dedup + per-key count
+    (see the module docstring for why set-union salting would NOT bound
+    the merge task).
 
     ``aggs`` maps output column name → (agg, input column), with agg in
     {sum, count, min, max, avg, count_distinct, collect_set}.
-    ``salt_on`` picks the deterministic salt source (defaults to a
-    uniform hash of the whole row via monotonically increasing id-free
-    expression — here: pmod(hash of all non-key columns); pass a column
-    name for a stable row identity when one exists).
 
-    Determinism: with ``salt_on`` set, the salt is a pure function of
-    that column, so the two-stage plan is replay-stable; either way the
-    RESULT equals the unsalted aggregate exactly (monoid merges), which
-    the oracle entry verifies cell-for-cell.
+    ``salt_on`` picks the salt source. The default is row-position
+    round-robin (``monotonically_increasing_id() % n_salts``) — uniform
+    regardless of content, so even a hot key whose rows are
+    byte-identical spreads across all ``n_salts`` sub-keys, and complex
+    column types never enter a hash. Pass a column name when a stable
+    row identity exists and replay-stable task-level determinism matters
+    (the RESULT is identical either way: monoid merges make the answer
+    salt-assignment-independent, which the oracle entry verifies
+    cell-for-cell).
     """
+    if not aggs:
+        raise ValueError("aggs must name at least one aggregate")
     for out, (agg, _col) in aggs.items():
         if agg not in _DECOMPOSABLE:
             raise ValueError(
                 f"{out}: '{agg}' is not decomposable for salting "
                 f"(supported: {sorted(_DECOMPOSABLE)})"
             )
-    salt_src: Column = (
-        F.col(salt_on) if salt_on is not None
-        else F.concat_ws("", *[F.col(c) for c in df.columns])
-    )
-    salt = F.pmod(F.hash(salt_src), F.lit(n_salts)).alias("_salt")
-    salted = df.withColumn("_salt", salt)
+    monoid = {o: a for o, a in aggs.items() if a[0] in _MONOID}
+    distincts = {o: a for o, a in aggs.items() if a[0] == "count_distinct"}
 
-    partials, merges = [], []
-    for out, (agg, col) in aggs.items():
-        if agg in ("sum", "sum_long"):
-            partials.append(F.sum(col).alias(f"_p_{out}"))
-            merges.append(F.sum(f"_p_{out}").alias(out))
-        elif agg == "count":
-            partials.append(F.count(col).alias(f"_p_{out}"))
-            merges.append(F.sum(f"_p_{out}").cast("long").alias(out))
-        elif agg == "min":
-            partials.append(F.min(col).alias(f"_p_{out}"))
-            merges.append(F.min(f"_p_{out}").alias(out))
-        elif agg == "max":
-            partials.append(F.max(col).alias(f"_p_{out}"))
-            merges.append(F.max(f"_p_{out}").alias(out))
-        elif agg == "avg":
-            partials.append(F.sum(col).alias(f"_ps_{out}"))
-            partials.append(F.count(col).alias(f"_pc_{out}"))
-            merges.append(
-                (F.sum(f"_ps_{out}") / F.sum(f"_pc_{out}")).alias(out)
+    base: DataFrame | None = None
+    if monoid:
+        salt: Column = (
+            F.pmod(F.hash(F.col(salt_on)), F.lit(n_salts))
+            if salt_on is not None
+            else F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+        )
+        salted = df.withColumn("_salt", salt)
+        partials, merges = [], []
+        for out, (agg, col) in monoid.items():
+            if agg in ("sum", "sum_long"):
+                partials.append(F.sum(col).alias(f"_p_{out}"))
+                merges.append(F.sum(f"_p_{out}").alias(out))
+            elif agg == "count":
+                partials.append(F.count(col).alias(f"_p_{out}"))
+                merges.append(F.sum(f"_p_{out}").cast("long").alias(out))
+            elif agg == "min":
+                partials.append(F.min(col).alias(f"_p_{out}"))
+                merges.append(F.min(f"_p_{out}").alias(out))
+            elif agg == "max":
+                partials.append(F.max(col).alias(f"_p_{out}"))
+                merges.append(F.max(f"_p_{out}").alias(out))
+            elif agg == "avg":
+                partials.append(F.sum(col).alias(f"_ps_{out}"))
+                partials.append(F.count(col).alias(f"_pc_{out}"))
+                merges.append(
+                    (F.sum(f"_ps_{out}") / F.sum(f"_pc_{out}")).alias(out)
+                )
+            elif agg == "collect_set":
+                partials.append(F.collect_set(col).alias(f"_pd_{out}"))
+                merges.append(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list(f"_pd_{out}")))
+                    ).alias(out)
+                )
+        stage1 = salted.groupBy(*keys, "_salt").agg(*partials)
+        base = stage1.groupBy(*keys).agg(*merges)
+
+    for out, (_agg, col) in distincts.items():
+        # shuffle keyed by (keys, value): the hot key's universe spreads
+        # across every partition; the count merge is a bounded monoid
+        cd = (
+            df.filter(F.col(col).isNotNull())
+            .select(*keys, col)
+            .distinct()
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+        if base is None:
+            base = cd
+        else:
+            # per-key frames (post-aggregate) — keys absent from the
+            # distinct side had only NULLs: count(DISTINCT) there is 0
+            base = base.join(cd, keys, "left").withColumn(
+                out, F.coalesce(F.col(out), F.lit(0).cast("long"))
             )
-        elif agg == "count_distinct":
-            # correctness never needs disjoint per-salt sets (the merge
-            # re-distincts); a VALUE-derived salt additionally bounds
-            # each task's set size by |universe|/n_salts
-            partials.append(F.collect_set(col).alias(f"_pd_{out}"))
-            merges.append(
-                F.size(F.array_distinct(F.flatten(F.collect_list(f"_pd_{out}"))))
-                .cast("long")
-                .alias(out)
-            )
-        elif agg == "collect_set":
-            partials.append(F.collect_set(col).alias(f"_pd_{out}"))
-            merges.append(
-                F.array_sort(
-                    F.array_distinct(F.flatten(F.collect_list(f"_pd_{out}")))
-                ).alias(out)
-            )
-    stage1 = salted.groupBy(*keys, "_salt").agg(*partials)
-    return stage1.groupBy(*keys).agg(*merges)
+    assert base is not None  # aggs validated non-empty by construction
+    return base.select(*keys, *aggs)
 
 
 def sql_salted_agg(

@@ -278,13 +278,32 @@ def list_data_files(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "dir string, file string, size_bytes long")
 
 
-def compaction_plan(
+def assign_bins(
     listing: DataFrame, target_bytes: int = 128 * 1024 * 1024
 ) -> DataFrame:
-    """OPTIMIZE-style bin packing: within each directory (= partition),
+    """The packing rule, stated ONCE: within each directory (= partition),
     order files by name and cut merge groups at ``target_bytes`` via an
     exclusive cumulative sum — the same integer window math as
     pack_sequences. Files already ≥ target form singleton groups naturally.
+    Returns the listing plus a ``group`` column; ``compaction_plan``
+    aggregates this and every executor (``compact``,
+    ``snapshots.compact_snapshot``) collects it per-file, so plan and
+    execution cannot disagree."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("dir")
+        .orderBy("file")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+    return listing.withColumn("group", (start / target_bytes).cast("bigint"))
+
+
+def compaction_plan(
+    listing: DataFrame, target_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """OPTIMIZE-style bin packing over ``assign_bins``'s per-file groups.
 
     Output: (dir, group, n_files, group_bytes) — one row per planned
     output file; execute with ``compact_group`` per (dir, group).
@@ -294,17 +313,8 @@ def compaction_plan(
     not bytes — periodic compaction is what keeps the layout-as-index
     properties (pruning, co-location) effective. The plan itself is one
     window over the metadata listing — no data IO."""
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy("dir")
-        .orderBy("file")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
-    grouped = listing.withColumn("group", (start / target_bytes).cast("bigint"))
     return (
-        grouped.groupBy("dir", "group")
+        assign_bins(listing, target_bytes).groupBy("dir", "group")
         .agg(
             F.count(F.lit(1)).alias("n_files"),
             F.sum("size_bytes").alias("group_bytes"),
@@ -353,21 +363,9 @@ def compact(
     import os
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy("dir")
-        .orderBy("file")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
-    # same window math as compaction_plan, kept per-file: the listing is
-    # metadata-sized (one row per data file), so this collect is bounded
-    assign = (
-        list_data_files(spark, path)
-        .withColumn("group", (start / target_bytes).cast("bigint"))
-        .collect()
-    )
+    # the listing is metadata-sized (one row per data file), so this
+    # collect is bounded
+    assign = assign_bins(list_data_files(spark, path), target_bytes).collect()
     bins: dict[tuple[str, int], list[str]] = {}
     for r in assign:
         bins.setdefault((r["dir"], r["group"]), []).append(

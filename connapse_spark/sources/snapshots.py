@@ -139,16 +139,33 @@ def commit_snapshot(
     ``partition_by`` writes the commit hive-partitioned; the manifest
     records each commit's staging root so readers re-derive partition
     columns via ``basePath`` and partition pruning keeps working over
-    the explicit file lists."""
+    the explicit file lists. An append INHERITS the base version's
+    partitioning when ``partition_by`` is omitted (partition values live
+    only in hive dir names, so a flat append onto a partitioned lineage
+    would silently drop those columns at read time) and refuses a
+    conflicting layout outright."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode}")
     os.makedirs(table_dir, exist_ok=True)
     prev = latest_version(table_dir) if base_version is None else base_version
     version = 0 if prev is None else prev + 1
+    prev_m = (
+        load_manifest(table_dir, prev)
+        if mode == "append" and prev is not None
+        else None
+    )
+    if prev_m is not None:
+        base_parts = prev_m.get("partition_by") or []
+        if partition_by is None:
+            partition_by = base_parts
+        elif list(partition_by) != base_parts:
+            raise ValueError(
+                f"append partition_by {list(partition_by)} conflicts with the "
+                f"base version's {base_parts}; one lineage, one layout"
+            )
     rel_dir, files = _stage_files(df, table_dir, version, partition_by)
     bases = {rel_dir: files}
-    if mode == "append" and prev is not None:
-        prev_m = load_manifest(table_dir, prev)
+    if prev_m is not None:
         # staging dirs are unique per commit, so bases never collide
         bases.update(_manifest_bases(prev_m))
     all_files = [e for fs in bases.values() for e in fs]
@@ -222,14 +239,28 @@ def snapshot_listing(spark: SparkSession, table_dir: str, version: int | None = 
     return spark.createDataFrame(rows, "dir string, file string, size_bytes long")
 
 
-def vacuum_snapshot(table_dir: str, keep_last: int = 2) -> dict:
+def vacuum_snapshot(
+    table_dir: str, keep_last: int = 2, min_age_seconds: float = 24 * 3600
+) -> dict:
     """Retention (the POLICY half of the commit protocol): delete the
     manifests older than the newest ``keep_last`` versions and every data
     file no retained version references. Files shared across versions
     (append lineage) survive as long as any retained manifest lists them.
+
+    ``min_age_seconds`` protects IN-FLIGHT commits: a concurrent writer
+    stages its data files BEFORE publishing the manifest that references
+    them, so an unreferenced-but-fresh file may be a commit about to
+    happen, not an orphan — deleting it would corrupt the commit the
+    instant it publishes. Files younger than the threshold are skipped
+    (same guard as Delta's VACUUM retention window); pass 0 only when no
+    writer can be active.
+
     Returns {"removed_versions": [...], "removed_files": n,
     "kept_versions": [...]} — time travel keeps working within the
     retained window and fails loudly (missing manifest) outside it."""
+    import time
+
+    cutoff = time.time() - min_age_seconds
     latest = latest_version(table_dir)
     if latest is None:
         return {"removed_versions": [], "removed_files": 0, "kept_versions": []}
@@ -251,7 +282,10 @@ def vacuum_snapshot(table_dir: str, keep_last: int = 2) -> dict:
         for root, dirs, files in os.walk(data_root, topdown=False):
             for f in sorted(files):
                 full = os.path.join(root, f)
-                if os.path.relpath(full, table_dir) not in referenced:
+                if (
+                    os.path.relpath(full, table_dir) not in referenced
+                    and os.path.getmtime(full) < cutoff
+                ):
                     os.unlink(full)
                     removed_files += 1
             if root != data_root and not os.listdir(root):
@@ -295,20 +329,9 @@ def compact_snapshot(
     listing = spark.createDataFrame(
         rows, "dir string, file string, size_bytes long"
     )
-    plan = sinks.compaction_plan(listing, target_bytes).collect()
-    # per-file bin assignment, same window math as the plan
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy("dir")
-        .orderBy("file")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
-    assign = listing.withColumn(
-        "group", (start / target_bytes).cast("bigint")
-    ).collect()
+    # the ONE packing rule (sinks.assign_bins) — compaction_plan is its
+    # aggregate view, so output files match the plan by construction
+    assign = sinks.assign_bins(listing, target_bytes).collect()
     bins: dict[tuple[str, int], list[str]] = {}
     for r in assign:
         bins.setdefault((r["dir"], r["group"]), []).append(
@@ -334,7 +357,6 @@ def compact_snapshot(
                 "size_bytes": os.path.getsize(out_file),
             }
         )
-    assert len(entries) == len(plan)
     _atomic_publish(
         table_dir,
         version,

@@ -84,6 +84,56 @@ def test_multimodal_dispatch_decodes_jpeg():
     assert out is None and err.startswith("JpegParseError")
 
 
+def test_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    Some encoders pad before DQT — the parse must not read the marker
+    byte as a segment length."""
+    arr = np.full((8, 8, 3), 77, np.uint8)
+    blob = encode_jpeg(arr, quality=85)
+    assert blob[:2] == b"\xff\xd8"
+    filled = blob[:2] + b"\xff\xff" + blob[2:]  # FF FF FF DB ...
+    assert np.array_equal(decode_jpeg(filled), decode_jpeg(blob))
+
+
+def test_grayscale_rounds_like_color_path():
+    """Hand-built 1-component DC-only JPEG whose reconstruction is exactly
+    129.5 per pixel (dc=1, q00=12 -> 12/8 + 128): the grayscale path must
+    ROUND (130), not truncate (129) — parity with the color path."""
+    from connapse_spark.operators.jpeg import (
+        STD_AC_LUMA,
+        STD_DC_LUMA,
+        _BitWriter,
+        _build_encode,
+    )
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(
+            bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+        )
+
+    seg(0xDB, bytes([0]) + bytes([12] + [16] * 63))  # q00=12 (zigzag[0]=0)
+    for tc, th, (bits, vals) in ((0, 0, STD_DC_LUMA), (1, 0, STD_AC_LUMA)):
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]))
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    w = _BitWriter()
+    dc_enc, ac_enc = _build_encode(*STD_DC_LUMA), _build_encode(*STD_AC_LUMA)
+    ln, code = dc_enc[1]
+    w.write(code, ln)      # DC size=1
+    w.write(1, 1)          # diff=+1
+    ln, code = ac_enc[0x00]
+    w.write(code, ln)      # EOB
+    w.flush()
+    out.extend(w.out)
+    out.extend(b"\xff\xd9")
+    px = decode_jpeg(bytes(out))
+    assert px.shape == (8, 8, 3)
+    assert (px == 130).all()  # truncation would give 129
+
+
 def test_byte_stuffing_survives():
     """Force entropy bytes of 0xFF (stuffing) by using content that
     produces long 1-runs in the bitstream — any image works as a smoke,

@@ -107,7 +107,7 @@ def test_vacuum_keeps_shared_files_and_retained_versions(spark, sf_dir, tmp_path
     snapshots.commit_snapshot(orders.limit(7), t, mode="overwrite")    # v2
     snapshots.commit_snapshot(orders.limit(3), t, mode="append")       # v3 (shares v2 files)
     before_v3 = snapshots.read_snapshot(spark, t, version=3).count()
-    report = snapshots.vacuum_snapshot(t, keep_last=2)
+    report = snapshots.vacuum_snapshot(t, keep_last=2, min_age_seconds=0)
     assert report["kept_versions"] == [2, 3]
     assert report["removed_versions"] == [0, 1]
     assert report["removed_files"] > 0  # v0's unshared files went away
@@ -180,10 +180,53 @@ def test_vacuum_partitioned_lineage(spark, sf_dir, tmp_path):
     )
     snapshots.commit_snapshot(orders.limit(30), t, partition_by=["bucket"])
     snapshots.commit_snapshot(orders.limit(10), t, partition_by=["bucket"])  # overwrite
-    report = snapshots.vacuum_snapshot(t, keep_last=1)
+    report = snapshots.vacuum_snapshot(t, keep_last=1, min_age_seconds=0)
     assert report["removed_versions"] == [0] and report["removed_files"] > 0
     back = snapshots.read_snapshot(spark, t)
     assert back.count() == 10 and "bucket" in back.columns
+
+
+def test_vacuum_spares_inflight_staged_files(spark, sf_dir, tmp_path):
+    """A concurrent writer stages data files BEFORE publishing its
+    manifest; default vacuum must not delete fresh unreferenced files
+    (they may belong to a commit about to happen). min_age_seconds=0
+    opts into deleting them."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir)
+    snapshots.commit_snapshot(orders.limit(10), t)  # v0
+    # simulate an in-flight commit: staged files, manifest not yet linked
+    rel_dir, files = snapshots._stage_files(orders.limit(5), t, version=1)
+    assert files
+    report = snapshots.vacuum_snapshot(t, keep_last=1)  # default age guard
+    assert report["removed_files"] == 0
+    for e in files:
+        assert os.path.exists(os.path.join(t, e["path"]))
+    # with the guard off, the same pass reclaims them
+    report = snapshots.vacuum_snapshot(t, keep_last=1, min_age_seconds=0)
+    assert report["removed_files"] >= len(files)  # + _SUCCESS/.crc sidecars
+    for e in files:
+        assert not os.path.exists(os.path.join(t, e["path"]))
+
+
+def test_append_inherits_and_validates_partition_by(spark, sf_dir, tmp_path):
+    """Append onto a partitioned lineage without partition_by must inherit
+    the base layout (a flat append would silently drop the hive-encoded
+    columns at read time); a conflicting layout must be refused."""
+    t = str(tmp_path / "ptbl")
+    orders = _orders(spark, sf_dir).withColumn(
+        "bucket", (F.col("o_orderkey") % 2).cast("int")
+    )
+    snapshots.commit_snapshot(orders.limit(20), t, partition_by=["bucket"])
+    snapshots.commit_snapshot(orders.limit(6), t, mode="append")  # inherits
+    m = snapshots.load_manifest(t)
+    assert m["partition_by"] == ["bucket"]
+    back = snapshots.read_snapshot(spark, t)
+    assert back.count() == 26 and "bucket" in back.columns
+    assert back.filter(F.col("bucket").isNull()).count() == 0
+    with pytest.raises(ValueError, match="conflicts"):
+        snapshots.commit_snapshot(
+            orders.limit(3), t, mode="append", partition_by=["o_custkey"]
+        )
 
 
 def test_streaming_index_maintenance_commits_versions(spark, sf_dir, tmp_path):
