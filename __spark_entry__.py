@@ -371,6 +371,20 @@ def q_neardup_groups(spark, sf_dir):
     return dedup.neardup_components(pairs)
 
 
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/test split (sampling.leakage_safe_split): the
+    LSH near-dup pair graph collapses to connected components and the
+    split hashes the GROUP key — a dup cluster never straddles the
+    held-out boundary (the eval-contamination guard a per-doc hash split
+    cannot give)."""
+    pairs = similarity.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4
+    )
+    return sampling.leakage_safe_split(
+        _t(spark, sf_dir, "documents"), pairs, test_fraction=0.1
+    ).orderBy("id")
+
+
 def q_sample_mix(spark, sf_dir):
     """Training-mix sampling: per-source rates + independent train/test
     split, all row-deterministic (stable under repartitioning)."""
@@ -1275,6 +1289,8 @@ def _sql_parse_binary() -> str:
          "f4ff7f1ba39eff2dac32f6023558da312875515246fac470b4ea9dea52589160", 0, "NULL"),
         ("/fx/deck.pptx", "'Deck'", 3,
          "8572a8248909fa3b434416f23989b9b8c6192d1817064b0808944b3179cf7e90", 0, "NULL"),
+        ("/fx/modern.pdf", "'Modern'", 2,
+         "6e12a0d8907bbfd5afbc5e8cc40c2721a01d7dd865eb36c9b51e640345bd385c", 0, "NULL"),
         ("/fx/empty.pdf", "NULL", 1,
          "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855", 2, "NULL"),
         ("/fx/notes.docx", "'Notes'", 1,
@@ -2053,6 +2069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_many_fast": q_hybrid_many_fast,  # new r4: BLAS batch tier
         "ingest_stats_native": q_ingest_stats_native,  # new r4: oracled ingest twin
         "postings_upsert": q_postings_upsert,  # new r4: incremental keyword index
+        "leakage_split": q_leakage_split,  # new r4: group-aware train/test split
+        "parse_binary": q_parse_binary,  # re-verify: +ObjStm/XRef-stream fixture
         # r2-only greens, stalest remaining entries
         "hybrid_onepass": q_hybrid_onepass,
         "semdedup": q_semdedup,
@@ -2113,7 +2131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logit": q_quality_logit,
         "asof_attribution": q_asof_attribution,
         "events_rollup": q_events_rollup,
-        "parse_binary": q_parse_binary,
         "url_canonicalize": q_url_canonicalize,
         "normalize_text": q_normalize_text,
         "table_stats": q_table_stats,
@@ -2181,6 +2198,10 @@ def oracle_sql() -> dict[str, str]:
         "neardup_cosine": similarity.sql_neardup_cosine_pairs(threshold=0.5),
         "neardup_cosine_lsh": similarity.sql_neardup_cosine_pairs_lsh(threshold=0.3, n_planes=4),
         "neardup_groups": similarity.sql_neardup_components_lsh(threshold=0.3, n_planes=4),
+        "leakage_split": sampling.sql_leakage_safe_split(
+            similarity.sql_neardup_components_lsh(threshold=0.3, n_planes=4),
+            test_fraction=0.1,
+        ),
         "sample_mix": _sql_sample_mix(),
         "pack_sequences": _sql_pack_sequences(),
         "cosine_adjacent": _SQL_COSINE_ADJACENT,

@@ -82,6 +82,75 @@ def sql_split(key: str, test_fraction: float = 0.01, salt: str = "split") -> str
     return f"CASE WHEN {sql_hash_bucket(key, salt)} < {cut} THEN 'test' ELSE 'train' END"
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    test_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Group-aware train/test split: near-duplicate documents MUST land on
+    the same side, or the held-out set leaks into training as near-copies
+    — the eval-contamination failure mode a per-document ``split_expr``
+    cannot prevent (two near-dups hash independently).
+
+    ``dup_pairs`` is any pairwise match list (id_a, id_b) — MinHash/LSH,
+    SemDeDup, embedding near-dup. Pairs collapse to connected components
+    (dedup.neardup_components, min-id canonical label); the split then
+    hashes the GROUP key, so a whole dup cluster moves together;
+    documents in no pair are their own group. The group key, not the raw
+    id, is the unit of assignment — the same rule GPT-3/Llama-style
+    decontamination applies between train and benchmark sets.
+
+    At scale: components cost O(log diameter) equi-join rounds over the
+    PAIR list only (corpus-sized docs never enter the iteration); the
+    final assignment is one left join + a pure projection.
+
+    Output: (id, group_key, split) — ``split`` in {'train', 'test'}.
+    """
+    from connapse_spark.operators.dedup import neardup_components
+
+    comps = neardup_components(dup_pairs)
+    out = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(comps, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id"))
+            .cast("long")
+            .alias("group_key"),
+        )
+    )
+    return out.select(
+        "id",
+        "group_key",
+        split_expr(F.col("group_key").cast("string"), test_fraction, salt).alias(
+            "split"
+        ),
+    )
+
+
+def sql_leakage_safe_split(
+    components_sql: str,
+    test_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    table: str = "documents",
+) -> str:
+    """Mirror: ``components_sql`` is a full (CTE-prefixed) statement
+    yielding (id, component) — e.g. similarity.sql_neardup_components_lsh
+    — used as a parenthesized subquery (DuckDB allows that)."""
+    key = f"CAST(coalesce(c.component, d.{id_col}) AS BIGINT)"
+    return f"""
+SELECT d.{id_col} AS id,
+       {key} AS group_key,
+       {sql_split(f"CAST({key} AS VARCHAR)", test_fraction, salt)} AS split
+FROM {table} d
+LEFT JOIN ({components_sql}) c ON c.id = d.{id_col}
+ORDER BY id
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chop) for pretraining batches
 # ---------------------------------------------------------------------------

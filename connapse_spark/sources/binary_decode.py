@@ -190,7 +190,37 @@ _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 
 
 def _pdf_objects(blob: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(blob)}
+    """All indirect objects, including ones compressed inside object
+    streams (/Type /ObjStm, PDF 32000-1 §7.5.7) — the storage modern
+    writers (PDF 1.5+ with cross-reference streams) use for every
+    non-stream object. The ObjStm payload starts with N (objnum, offset)
+    integer pairs; bodies begin at /First + offset. Direct definitions
+    win on the (spec-invalid) off chance of a collision."""
+    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(blob)}
+    for body in list(objs.values()):
+        if not re.search(rb"/Type\s*/ObjStm\b", body):
+            continue
+        try:
+            data = _stream_data(body)
+            n = _dict_value_int(body, b"/N")
+            first = _dict_value_int(body, b"/First")
+            if data is None or n is None or first is None:
+                continue
+            header = data[:first].split()
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+            ]
+            for i, (num, off) in enumerate(pairs):
+                end = pairs[i + 1][1] if i + 1 < len(pairs) else len(data) - first
+                objs.setdefault(num, data[first + off : first + end])
+        except Exception:  # noqa: BLE001 — a bad ObjStm loses only its objects
+            continue
+    return objs
+
+
+def _dict_value_int(body: bytes, key: bytes) -> int | None:
+    m = re.search(re.escape(key) + rb"\s+(\d+)", body)
+    return int(m.group(1)) if m else None
 
 
 def _dict_value_ref(body: bytes, key: bytes) -> int | None:
@@ -538,7 +568,16 @@ def decode_pdf(blob: bytes) -> tuple[str, dict[str, str], list[str]]:
 
         # trailer: /Info metadata + /Root for the page tree
         trailer_at = blob.rfind(b"trailer")
-        trailer = blob[trailer_at:] if trailer_at != -1 else blob
+        if trailer_at != -1:
+            trailer = blob[trailer_at:]
+        else:
+            # PDF 1.5+ cross-reference streams: no `trailer` keyword —
+            # /Root and /Info live in the /Type /XRef stream's dict
+            xref = next(
+                (b for b in objs.values() if re.search(rb"/Type\s*/XRef\b", b)),
+                None,
+            )
+            trailer = xref if xref is not None else blob
         info_ref = _dict_value_ref(trailer, b"/Info")
         if info_ref is not None and info_ref in objs:
             info = objs[info_ref]

@@ -239,14 +239,105 @@ def make_pdf(
     return bytes(out)
 
 
+def make_pdf_modern(
+    pages: list[str], title: str | None = None, compress: bool = True
+) -> bytes:
+    """PDF 1.5-style fixture: every non-stream object (catalog, page tree,
+    pages, font, info) lives compressed inside a /Type /ObjStm object
+    stream, the file has NO `trailer` keyword, and /Root + /Info ride the
+    /Type /XRef cross-reference stream's dict — the layout modern writers
+    (pdflatex, Chromium print-to-PDF, word processors) emit. Content
+    streams stay direct objects (streams may not live in an ObjStm)."""
+    n = len(pages)
+    content_objs = list(range(1, n + 1))
+    objstm_obj = n + 1
+    catalog, pagesroot = n + 2, n + 3
+    page_objs = [n + 4 + i for i in range(n)]
+    font_obj = n + 4 + n
+    info_obj = font_obj + 1
+    xref_obj = info_obj + 1
+
+    out = bytearray(b"%PDF-1.5\n")
+    for i, text in enumerate(pages):
+        ops = ["BT", "/F1 12 Tf", "72 720 Td", "14 TL"]
+        for j, line in enumerate(text.split("\n")):
+            if j > 0:
+                ops.append("T*")
+            ops.append(f"({_pdf_escape(line)}) Tj")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1")
+        if compress:
+            data = zlib.compress(stream, 9)
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+        else:
+            data = stream
+            head = f"<< /Length {len(data)} >>".encode()
+        out += (
+            f"{content_objs[i]} 0 obj\n".encode()
+            + head + b"\nstream\n" + data + b"\nendstream\nendobj\n"
+        )
+
+    kids = " ".join(f"{p} 0 R" for p in page_objs)
+    inner: list[tuple[int, bytes]] = [
+        (catalog, f"<< /Type /Catalog /Pages {pagesroot} 0 R >>".encode()),
+        (pagesroot, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()),
+    ]
+    for i in range(n):
+        inner.append((
+            page_objs[i],
+            (
+                f"<< /Type /Page /Parent {pagesroot} 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 {font_obj} 0 R >> >> "
+                f"/Contents {content_objs[i]} 0 R >>"
+            ).encode(),
+        ))
+    inner.append(
+        (font_obj, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    )
+    inner.append((
+        info_obj,
+        (f"<< /Title ({_pdf_escape(title)}) >>" if title else "<< >>").encode(),
+    ))
+    bodies, offsets, pos = [], [], 0
+    for _num, body in inner:
+        offsets.append(pos)
+        bodies.append(body)
+        pos += len(body) + 1  # newline separator
+    header = " ".join(
+        f"{num} {off}" for (num, _), off in zip(inner, offsets)
+    ).encode() + b"\n"
+    payload = header + b"\n".join(bodies) + b"\n"
+    stm = zlib.compress(payload, 9)
+    out += (
+        f"{objstm_obj} 0 obj\n<< /Type /ObjStm /N {len(inner)} "
+        f"/First {len(header)} /Length {len(stm)} /Filter /FlateDecode >>\n"
+        .encode()
+        + b"stream\n" + stm + b"\nendstream\nendobj\n"
+    )
+    xref_at = len(out)
+    xstm = zlib.compress(b"\x00", 9)  # entries unused by the scanner
+    out += (
+        f"{xref_obj} 0 obj\n<< /Type /XRef /Size {xref_obj + 1} "
+        f"/Root {catalog} 0 R /Info {info_obj} 0 R /W [1 2 1] "
+        f"/Length {len(xstm)} /Filter /FlateDecode >>\n".encode()
+        + b"stream\n" + xstm + b"\nendstream\nendobj\n"
+        + f"startxref\n{xref_at}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
 def fixture_corpus() -> list[tuple[str, bytes]]:
     """The fixed binary-parse fixture set shared by unit tests and the
     oracle-checked ``parse_binary`` query: covers compressed + raw PDF,
-    an image-only-shaped (textless) PDF, docx with a table, a multi-slide
-    pptx, a corrupt container, and an unsupported extension."""
+    an image-only-shaped (textless) PDF, a PDF 1.5 object-stream/xref-
+    stream layout, docx with a table, a multi-slide pptx, a corrupt
+    container, and an unsupported extension."""
     return [
         ("/fx/cid.pdf", make_pdf_cid(
             ["CID page one: Identity-H", "CID page two"])),
+        ("/fx/modern.pdf", make_pdf_modern(
+            ["ObjStm page one", "ObjStm page two\ncompressed catalog"],
+            title="Modern")),
         ("/fx/deck.pptx", make_pptx(
             [["Intro", "agenda"], ["Deep dive"], []], title="Deck", author="carol")),
         ("/fx/empty.pdf", make_pdf([""])),

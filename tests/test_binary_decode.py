@@ -64,6 +64,43 @@ def test_pdf_hex_string_and_octal():
 # ---------------------------------------------------------------------------
 
 
+def test_pdf_modern_objstm_xref_stream_layout():
+    """PDF 1.5 layout: catalog/page-tree/font/info compressed inside a
+    /Type /ObjStm, no `trailer` keyword, /Root + /Title via the /Type
+    /XRef stream dict — the modern-writer shape. All pages must decode
+    and metadata must resolve through the xref stream."""
+    blob = docgen.make_pdf_modern(
+        ["ObjStm alpha", "ObjStm beta\nsecond line"], title="Modern Doc"
+    )
+    assert b"trailer" not in blob and b"/ObjStm" in blob
+    content, meta, warnings = bd.decode_pdf(blob)
+    assert "--- Page 1 ---" in content and "ObjStm alpha" in content
+    assert "--- Page 2 ---" in content and "second line" in content
+    assert meta["Title"] == "Modern Doc" and meta["PageCount"] == "2"
+    assert warnings == []
+
+
+def test_pdf_modern_uncompressed_contents():
+    content, _, warnings = bd.decode_pdf(
+        docgen.make_pdf_modern(["raw body"], compress=False)
+    )
+    assert "raw body" in content and warnings == []
+
+
+def test_pdf_corrupt_objstm_loses_only_its_objects():
+    """A damaged ObjStm payload must not take down the whole parse —
+    direct objects still decode (whole-file isolation stays page-level)."""
+    blob = docgen.make_pdf(["direct page survives"])
+    # graft a broken ObjStm object in front of the xref table
+    broken = (
+        b"90 0 obj\n<< /Type /ObjStm /N 2 /First 8 /Length 4 >>\n"
+        b"stream\n\xde\xad\xbe\xef\nendstream\nendobj\n"
+    )
+    patched = blob.replace(b"xref\n", broken + b"xref\n", 1)
+    content, _, warnings = bd.decode_pdf(patched)
+    assert "direct page survives" in content
+
+
 def test_docx_paragraphs_then_tables_with_cell_duplication():
     blob = docgen.make_docx(
         ["P one", "P two"], tables=[[["a", "b"], ["c", "d"]]]

@@ -349,6 +349,151 @@ def test_salted_agg_two_stage_plan(spark):
     assert "_salt" in plan
 
 
+def test_salted_agg_distinct_shuffles_on_key_and_value(spark):
+    """count_distinct must NOT re-concentrate a hot key's universe in one
+    merge task: the plan dedups on (key, value) — an exchange keyed by
+    BOTH columns — then counts per key. No collect_list/flatten of
+    per-salt sets anywhere."""
+    from connapse_spark.operators.skew import salted_agg
+
+    import contextlib
+    import io
+    import re
+
+    df = spark.createDataFrame([("a", 1)], "k string, u long")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted_agg(df, ["k"], {"nd": ("count_distinct", "u")}, n_salts=4).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert re.search(r"hashpartitioning\(k#\d+, u#\d+", plan)  # (key, value) dedup
+    assert "collect_list" not in plan and "flatten" not in plan
+
+
+def test_salted_agg_identical_rows_still_spread(spark):
+    """A hot key whose rows are byte-identical must still split across
+    salts (row-position round-robin default, not a content hash): stage 1
+    is correct regardless, so we pin the RESULT and that the default salt
+    expression is content-independent."""
+    from connapse_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame([("hot", 5)] * 4000, "k string, v long")
+    got = salted_agg(
+        df, ["k"], {"t": ("sum_long", "v"), "n": ("count", "v")}, n_salts=8
+    ).collect()
+    assert [(r["k"], r["t"], r["n"]) for r in got] == [("hot", 20000, 4000)]
+    # content-independent default: identical rows land on many salts
+    from pyspark.sql import functions as F
+
+    n_salts_hit = (
+        df.withColumn("_s", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
+        .select("_s").distinct().count()
+    )
+    assert n_salts_hit > 1
+
+
+def test_salted_agg_all_null_distinct_key_counts_zero(spark):
+    """A key whose distinct column is entirely NULL must still appear,
+    with count 0 — count(DISTINCT) semantics."""
+    from connapse_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", 1, 7), ("a", 2, 8), ("b", None, 9)],
+        "k string, u int, v int",
+    )
+    got = {
+        r["k"]: (r["nd"], r["t"])
+        for r in salted_agg(
+            df, ["k"], {"nd": ("count_distinct", "u"), "t": ("sum_long", "v")}
+        ).collect()
+    }
+    assert got == {"a": (2, 15), "b": (0, 9)}
+
+
+def test_hybrid_many_empty_query_matches_onepass_guard(spark, sf_dir):
+    """An empty/whitespace query in a batch yields ZERO rows for that qid
+    (onepass's Q13 guard), never a vector-only ranking; all-empty batches
+    return an empty frame in the output schema. Both tiers."""
+    from connapse_spark.operators.search import (
+        hybrid_search_many,
+        hybrid_search_many_fast,
+    )
+
+    corpus = _hybrid_corpus(spark, sf_dir)
+    for fn in (hybrid_search_many, hybrid_search_many_fast):
+        out = fn(corpus, [(1, "data processing"), (2, "   "), (3, "")], top_k=5)
+        qids = {r["qid"] for r in out.collect()}
+        assert qids == {1}, fn.__name__
+        empty = fn(corpus, [(2, "   ")], top_k=5)
+        assert empty.count() == 0
+        assert empty.columns == [
+            "qid", "doc_id", "score", "vector_score", "keyword_score", "source",
+        ]
+
+
+def test_epoch_us_any_int_column_is_seconds(spark):
+    """A 32-bit int column cannot hold epoch micros (~35 minutes max) —
+    it must be read as epoch SECONDS and scaled, unlike bigint which is
+    taken as micros."""
+    from connapse_spark.operators.events import epoch_us_any
+
+    df = spark.createDataFrame([(1_700_000_000,)], "ts int")
+    got = df.select(epoch_us_any(df, "ts").alias("us")).collect()[0]["us"]
+    assert got == 1_700_000_000 * 1_000_000
+    df64 = spark.createDataFrame([(1_700_000_000_000_000,)], "ts bigint")
+    got64 = df64.select(epoch_us_any(df64, "ts").alias("us")).collect()[0]["us"]
+    assert got64 == 1_700_000_000_000_000
+
+
+def test_unsupported_image_variant_routes_to_stub_with_label(spark):
+    """A progressive JPEG (supported format, unsupported variant) must get
+    deterministic stub features per the module contract — labeled, so the
+    row is diagnosable — while a corrupt PNG stays a zero-dim error row."""
+    from connapse_spark.operators import multimodal as mm
+
+    progressive = (
+        b"\xff\xd8\xff\xc2" + (11).to_bytes(2, "big")
+        + bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    corrupt_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+    rows = [
+        (1, "image", bytearray(progressive), "image/jpeg", 0, 0, 0),
+        (2, "image", bytearray(corrupt_png), "image/png", 0, 0, 0),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.extract_image_features(media).collect()}
+    assert out[1]["width"] > 0 and out[1]["height"] > 0  # stub dims
+    assert out[1]["decode_error"] == "UnsupportedJpegProcess"
+    assert out[2]["width"] == 0 and out[2]["decode_error"].startswith("PngParseError")
+
+
+def test_leakage_safe_split_keeps_dup_clusters_together(spark):
+    """Every near-dup component must land entirely on one side of the
+    split; singletons are their own group; no document is lost."""
+    from connapse_spark.operators import sampling
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long"
+    )
+    rows = {
+        r["id"]: (r["group_key"], r["split"])
+        for r in sampling.leakage_safe_split(
+            docs, pairs, test_fraction=0.5
+        ).collect()
+    }
+    assert len(rows) == 7
+    assert rows[1][0] == rows[2][0] == rows[3][0] == 1  # min-id canonical
+    assert rows[10][0] == rows[11][0] == 10
+    assert rows[1][1] == rows[2][1] == rows[3][1]  # cluster moves together
+    assert rows[10][1] == rows[11][1]
+    assert rows[20][0] == 20 and rows[21][0] == 21  # singletons
+
+
 def test_salted_agg_rejects_non_decomposable(spark):
     from connapse_spark.operators.skew import salted_agg
 
