@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "minhash_lsh",
     "neardup_incremental",
+    "leakage_split",
     "ngram_jaccard_prefix",
     "simhash",
     "quality_stats",

@@ -637,7 +637,11 @@ FROM hashed ORDER BY {id_col}
 
 
 def neardup_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    driver_edge_limit: int = 200_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list — the stage that turns
     pairwise matches into DUPLICATE CLUSTERS with a canonical representative
@@ -653,8 +657,44 @@ def neardup_components(
     (this is label propagation without a graph library). Deterministic, so
     the DuckDB oracle (recursive reachability + min) matches exactly.
 
+    Two tiers, one contract (unit-pinned equal): after LSH banding +
+    threshold screening the surviving MATCH list is usually tiny relative
+    to the corpus, and a multi-round Spark iteration pays seconds of
+    scheduling for microseconds of work — so when a bounded limit-probe
+    shows at most ``driver_edge_limit`` pairs, the edges collect to the
+    driver (≤ limit+1 rows, never unbounded) and a union-find with path
+    compression labels them in one pass. Larger graphs take the
+    distributed loop. ``driver_edge_limit=0`` forces the iterative tier.
+
     Output: (id, component) for every vertex that appears in a pair.
     """
+    if driver_edge_limit > 0:
+        probe = pairs.select(
+            F.col(id_a).alias("a"), F.col(id_b).alias("b")
+        ).limit(driver_edge_limit + 1).collect()
+        if len(probe) <= driver_edge_limit:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in probe:
+                ra, rb = find(r["a"]), find(r["b"])
+                if ra != rb:
+                    # union by MIN root: canonical label = min reachable id
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            vertices = {v for r in probe for v in (r["a"], r["b"])}
+            rows = sorted((v, find(v)) for v in vertices)
+            id_type = pairs.schema[id_a].dataType.simpleString()
+            return pairs.sparkSession.createDataFrame(
+                rows, f"id {id_type}, component {id_type}"
+            )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -469,6 +469,32 @@ def test_unsupported_image_variant_routes_to_stub_with_label(spark):
     assert out[2]["width"] == 0 and out[2]["decode_error"].startswith("PngParseError")
 
 
+def test_neardup_components_tiers_agree(spark):
+    """The driver union-find fast tier (bounded limit-probe collect) must
+    produce cell-for-cell the same (id, component) labels as the
+    distributed label-propagation tier, including chains (path
+    compression), multi-cluster graphs, and self-pairs."""
+    from connapse_spark.operators.dedup import neardup_components
+
+    pairs = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1),  # chain collapsing to 1
+         (10, 11), (11, 12), (10, 12),    # triangle
+         (20, 20),                        # self pair
+         (31, 30)],                       # reversed order
+        "id_a long, id_b long",
+    )
+    fast = [(r["id"], r["component"]) for r in neardup_components(pairs).collect()]
+    slow = [
+        (r["id"], r["component"])
+        for r in neardup_components(pairs, driver_edge_limit=0).collect()
+    ]
+    assert fast == slow
+    comp = dict(fast)
+    assert comp[5] == comp[1] == 1
+    assert comp[10] == comp[11] == comp[12] == 10
+    assert comp[20] == 20 and comp[31] == 30
+
+
 def test_leakage_safe_split_keeps_dup_clusters_together(spark):
     """Every near-dup component must land entirely on one side of the
     split; singletons are their own group; no document is lost."""
