@@ -59,7 +59,7 @@ from connapse_spark.operators.search import (
     sql_keyword_websearch,
 )
 from connapse_spark.plans import ivf, pq, zorder
-from connapse_spark.sources import parsers, sinks
+from connapse_spark.sources import parsers, sinks, snapshots
 from connapse_spark import oracle
 
 SEARCH_QUERY = "table scan fast merge"
@@ -369,6 +369,64 @@ def q_neardup_groups(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), threshold=0.3, n_planes=4
     )
     return dedup.neardup_components(pairs)
+
+
+def q_snapshot_merge(spark, sf_dir):
+    """Lakehouse MERGE end to end (sources/snapshots.merge_snapshot):
+    commit the orders relation as snapshot v0, merge a keyed batch
+    (updates via file-level copy-on-write + inserts), read the COMMITTED
+    v1 back from disk. The oracle recomputes the merged relation
+    directly — so the round trip through staging, manifest commit, and
+    by-reference carry-over of untouched files is what's hash-checked."""
+    import shutil
+    import tempfile
+
+    tdir = os.path.join(
+        tempfile.gettempdir(),
+        f"connapse_merge_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(tdir, ignore_errors=True)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).repartition(8)
+    snapshots.commit_snapshot(base, tdir)
+    upd = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        F.lit(-1).cast("long").alias("o_custkey"),
+        (F.col("cents") + 1).alias("cents"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 1000 == 1).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit(42).cast("long").alias("o_custkey"),
+        F.lit(7).cast("long").alias("cents"),
+    )
+    snapshots.merge_snapshot(spark, upd.unionByName(ins), tdir, "o_orderkey")
+    return snapshots.read_snapshot(spark, tdir).orderBy("o_orderkey")
+
+
+_SQL_SNAPSHOT_MERGE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+upd AS (
+  SELECT o_orderkey, CAST(-1 AS BIGINT) AS o_custkey, cents + 1 AS cents
+  FROM base WHERE o_orderkey % 10 = 3
+),
+ins AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey,
+         CAST(42 AS BIGINT) AS o_custkey, CAST(7 AS BIGINT) AS cents
+  FROM base WHERE o_orderkey % 1000 = 1
+)
+SELECT * FROM (
+  SELECT * FROM base WHERE o_orderkey % 10 <> 3
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+) ORDER BY o_orderkey
+""".strip()
 
 
 def q_leakage_split(spark, sf_dir):
@@ -2070,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_stats_native": q_ingest_stats_native,  # new r4: oracled ingest twin
         "postings_upsert": q_postings_upsert,  # new r4: incremental keyword index
         "leakage_split": q_leakage_split,  # new r4: group-aware train/test split
+        "snapshot_merge": q_snapshot_merge,  # new r4: lakehouse MERGE round trip
         "parse_binary": q_parse_binary,  # re-verify: +ObjStm/XRef-stream fixture
         # r2-only greens, stalest remaining entries
         "hybrid_onepass": q_hybrid_onepass,
@@ -2198,6 +2257,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_cosine": similarity.sql_neardup_cosine_pairs(threshold=0.5),
         "neardup_cosine_lsh": similarity.sql_neardup_cosine_pairs_lsh(threshold=0.3, n_planes=4),
         "neardup_groups": similarity.sql_neardup_components_lsh(threshold=0.3, n_planes=4),
+        "snapshot_merge": _SQL_SNAPSHOT_MERGE,
         "leakage_split": sampling.sql_leakage_safe_split(
             similarity.sql_neardup_components_lsh(threshold=0.3, n_planes=4),
             test_fraction=0.1,

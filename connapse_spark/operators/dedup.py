@@ -636,6 +636,31 @@ FROM hashed ORDER BY {id_col}
 # ---------------------------------------------------------------------------
 
 
+def union_find_components(edges: list[tuple]) -> list[tuple]:
+    """Pure union-find with path compression over an edge list; component
+    label = min reachable id (union by min root). Returns sorted
+    (id, component) for every vertex in an edge — the driver-tier kernel
+    of :func:`neardup_components`, kept pure so property tests can fuzz
+    it against a reachability reference without a SparkSession."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    vertices = {v for e in edges for v in e}
+    return sorted((v, find(v)) for v in vertices)
+
+
 def neardup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -673,24 +698,7 @@ def neardup_components(
             F.col(id_a).alias("a"), F.col(id_b).alias("b")
         ).limit(driver_edge_limit + 1).collect()
         if len(probe) <= driver_edge_limit:
-            parent: dict = {}
-
-            def find(x):
-                root = x
-                while parent.get(root, root) != root:
-                    root = parent[root]
-                while parent.get(x, x) != x:  # path compression
-                    parent[x], x = root, parent[x]
-                return root
-
-            for r in probe:
-                ra, rb = find(r["a"]), find(r["b"])
-                if ra != rb:
-                    # union by MIN root: canonical label = min reachable id
-                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                    parent[hi] = lo
-            vertices = {v for r in probe for v in (r["a"], r["b"])}
-            rows = sorted((v, find(v)) for v in vertices)
+            rows = union_find_components([(r["a"], r["b"]) for r in probe])
             id_type = pairs.schema[id_a].dataType.simpleString()
             return pairs.sparkSession.createDataFrame(
                 rows, f"id {id_type}, component {id_type}"

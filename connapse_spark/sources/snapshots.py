@@ -36,6 +36,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -297,6 +298,95 @@ def vacuum_snapshot(
         "removed_files": removed_files,
         "kept_versions": kept,
     }
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    key_col: str,
+    base_version: int | None = None,
+) -> int:
+    """Keyed MERGE (upsert) with FILE-LEVEL copy-on-write — the operation
+    that makes the snapshot layer a usable lakehouse table instead of an
+    append log: rows in ``df`` replace current rows with the same key,
+    everything else is untouched, and only the data files that actually
+    CONTAIN a matching key are rewritten.
+
+    Mechanics (Delta/Iceberg MERGE's shape):
+    1. metadata-bounded probe: join the current version (tagged with
+       ``_metadata.file_path``) against the batch's keys → the TOUCHED
+       file set (collect is ≤ file-count rows, never data-sized);
+    2. rewrite: survivors from touched files (anti-join on key) + the
+       whole batch stage into a fresh immutable dir;
+    3. commit: untouched files carry over into the next manifest BY
+       REFERENCE (same paths, zero IO), staged files join them; the
+       previous version stays fully readable (time travel, crash safety
+       — the same _atomic_publish as every other commit).
+
+    At 100 TB the touched set is what partitioning/Z-ordering made it —
+    a key-clustered layout turns a 0.1% upsert into rewriting ~0.1% of
+    files; an append-then-dedup-on-read design rewrites nothing but taxes
+    EVERY subsequent scan. Partitioned lineages keep their hive layout:
+    survivors re-stage through the same partition_by.
+
+    Returns the committed version number."""
+    prev = latest_version(table_dir) if base_version is None else base_version
+    if prev is None:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    m = load_manifest(table_dir, prev)
+    version = prev + 1
+    partition_by = m.get("partition_by") or []
+
+    cur = read_snapshot(spark, table_dir, prev).withColumn(
+        "_src_file", F.col("_metadata.file_path")
+    )
+    keys = df.select(key_col).distinct()
+    touched_rows = (
+        cur.join(F.broadcast(keys), key_col)
+        .select("_src_file")
+        .distinct()
+        .collect()
+    )
+    touched = {r["_src_file"] for r in touched_rows}
+
+    survivors = (
+        cur.filter(F.col("_src_file").isin(list(touched)) if touched else F.lit(False))
+        .drop("_src_file")
+        .join(F.broadcast(keys), key_col, "left_anti")
+    )
+    staged = survivors.unionByName(df.select(*survivors.columns))
+    rel_dir, new_entries = _stage_files(
+        staged, table_dir, version, partition_by or None
+    )
+
+    # untouched files carry over by reference — path-identical entries;
+    # _metadata.file_path is a URI (file:/...), manifest paths are
+    # table-relative plain paths
+    bases: dict[str, list[dict]] = {rel_dir: new_entries}
+    abs_touched = {
+        os.path.relpath(
+            p[len("file:"):] if p.startswith("file:") else p, table_dir
+        )
+        for p in touched
+    }
+    for base, fs in _manifest_bases(m).items():
+        kept = [e for e in fs if e["path"] not in abs_touched]
+        if kept:
+            bases.setdefault(base, []).extend(kept)
+    all_files = [e for fs in bases.values() for e in fs]
+    _atomic_publish(
+        table_dir,
+        version,
+        {
+            "files": all_files,
+            "bases": bases,
+            "partition_by": partition_by,
+            "schema": m["schema"],
+            "mode": "merge",
+        },
+    )
+    return version
 
 
 def compact_snapshot(

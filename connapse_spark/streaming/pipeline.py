@@ -412,3 +412,55 @@ def streaming_index_maintenance(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_table_upsert(
+    spark: SparkSession,
+    watch_dir: str,
+    table_dir: str,
+    key_col: str,
+    schema: str,
+    order_col: str,
+    checkpoint_dir: str,
+) -> None:
+    """CDC-style streaming MERGE — keyed record batches landing under
+    ``watch_dir`` (parquet) upsert into the snapshot table through
+    ``snapshots.merge_snapshot``: file-level copy-on-write, so a
+    micro-batch touching 0.1% of keys rewrites ~0.1% of the table's files
+    instead of the whole table (contrast streaming_index_maintenance,
+    which re-commits the merged index because centroid assignment is
+    global). Within a batch, last writer wins by ``order_col`` (the
+    Debezium-shaped reduction: one surviving row per key per batch).
+
+    Exactly-once: the snapshot manifest is the transactional sink — every
+    micro-batch publishes one atomically-visible version, a crashed batch
+    leaves the previous version intact, and a replayed batch re-merges
+    idempotently (same keys, same rows, one extra version). Readers on a
+    pinned version never observe a half-applied batch."""
+    from pyspark.sql.window import Window
+
+    from connapse_spark.sources import snapshots
+
+    stream = spark.readStream.schema(schema).parquet(watch_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(key_col).orderBy(F.desc(order_col))
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if snapshots.latest_version(table_dir) is None:
+            snapshots.commit_snapshot(latest, table_dir)
+        else:
+            snapshots.merge_snapshot(
+                batch_df.sparkSession, latest, table_dir, key_col
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

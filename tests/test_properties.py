@@ -194,3 +194,43 @@ def test_websearch_sql_mirror_matches_reference_semantics(q):
     sql = sql_keyword_websearch(q, k=len(_WS_DOCS))
     got = {r[0]: round(r[1], 9) for r in _WS_CON.execute(sql).fetchall()}
     assert got == expected, (q, groups)
+
+
+# ---------------------------------------------------------------------------
+# Union-find components (driver tier of dedup.neardup_components)
+# ---------------------------------------------------------------------------
+
+_EDGE_LISTS = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)), max_size=120
+)
+
+
+@given(_EDGE_LISTS)
+@settings(max_examples=500, deadline=None)
+def test_union_find_matches_bfs_reachability(edges):
+    """Union-find (path compression, union-by-min-root) must label every
+    vertex with the MINIMUM reachable id — checked against a brute-force
+    BFS over the undirected graph, including self-loops, duplicate edges,
+    and reversed duplicates."""
+    from collections import deque
+
+    from connapse_spark.operators.dedup import union_find_components
+
+    got = union_find_components(edges)
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = []
+    for v in adj:
+        seen = {v}
+        dq = deque([v])
+        while dq:
+            x = dq.popleft()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    dq.append(y)
+        want.append((v, min(seen)))
+    assert got == sorted(want)

@@ -229,6 +229,148 @@ def test_append_inherits_and_validates_partition_by(spark, sf_dir, tmp_path):
         )
 
 
+def test_merge_snapshot_rewrites_only_touched_files(spark, sf_dir, tmp_path):
+    """Keyed MERGE with file-level copy-on-write: updated keys replace
+    their rows, new keys insert, rows in untouched files survive, and the
+    new manifest carries untouched files BY REFERENCE (identical paths —
+    zero rewrite IO for them)."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    base = orders.limit(60).repartition(6)  # several files
+    snapshots.commit_snapshot(base, t)
+    keys = [r["o_orderkey"] for r in base.orderBy("o_orderkey").limit(3).collect()]
+    batch = spark.createDataFrame(
+        [(k, 999, 1.5) for k in keys] + [(10**9, 777, 2.5)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    before = {e["path"] for e in snapshots.load_manifest(t)["files"]}
+    v = snapshots.merge_snapshot(spark, batch, t, "o_orderkey")
+    m = snapshots.load_manifest(t)
+    after = {e["path"] for e in m["files"]}
+    assert m["mode"] == "merge" and m["version"] == v
+    assert before & after, "untouched files must carry over by reference"
+    back = snapshots.read_snapshot(spark, t)
+    assert back.count() == 61  # 60 originals + 1 insert (3 replaced in place)
+    got = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_totalprice"])
+        for r in back.filter(F.col("o_orderkey").isin(keys + [10**9])).collect()
+    }
+    assert got == {k: (999, 1.5) for k in keys} | {10**9: (777, 2.5)}
+    # time travel: the pre-merge version is bit-identical
+    prev = snapshots.read_snapshot(spark, t, version=v - 1)
+    assert prev.count() == 60
+    assert prev.filter(F.col("o_orderkey") == 10**9).count() == 0
+    assert (
+        prev.filter(F.col("o_orderkey").isin(keys))
+        .filter(F.col("o_custkey") == 999)
+        .count()
+        == 0
+    )
+
+
+def test_merge_snapshot_partitioned_keeps_layout(spark, sf_dir, tmp_path):
+    """MERGE on a partitioned lineage keeps hive pruning: survivors
+    re-stage under their partition dirs and partition_by persists."""
+    t = str(tmp_path / "ptbl")
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % 2).cast("int").alias("bucket"),
+    )
+    snapshots.commit_snapshot(orders.limit(40), t, partition_by=["bucket"])
+    k = [r["o_orderkey"] for r in orders.limit(1).collect()][0]
+    batch = spark.createDataFrame(
+        [(k, 123.0, int(k % 2))], "o_orderkey long, o_totalprice double, bucket int"
+    )
+    snapshots.merge_snapshot(spark, batch, t, "o_orderkey")
+    m = snapshots.load_manifest(t)
+    assert m["partition_by"] == ["bucket"]
+    back = snapshots.read_snapshot(spark, t)
+    assert back.count() == 40 and "bucket" in back.columns
+    assert back.filter(F.col("o_orderkey") == k).collect()[0]["o_totalprice"] == 123.0
+    # hive layout survives: every file (kept and rewritten) sits under a
+    # partition dir, so partition pruning keeps applying per base
+    assert all("bucket=" in e["path"] for e in m["files"])
+    assert back.filter(F.col("bucket") == 0).count() == 20
+
+
+def test_merge_snapshot_pure_insert_touches_nothing(spark, sf_dir, tmp_path):
+    """A batch with only new keys must rewrite zero existing files."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    snapshots.commit_snapshot(orders.limit(20), t)
+    before = {e["path"] for e in snapshots.load_manifest(t)["files"]}
+    batch = spark.createDataFrame(
+        [(10**9, 1.0), (10**9 + 1, 2.0)], "o_orderkey long, o_totalprice double"
+    )
+    snapshots.merge_snapshot(spark, batch, t, "o_orderkey")
+    after = {e["path"] for e in snapshots.load_manifest(t)["files"]}
+    assert before <= after  # every pre-merge file carried over by reference
+    assert snapshots.read_snapshot(spark, t).count() == 22
+
+
+def test_streaming_table_upsert_cdc_merge(spark, tmp_path):
+    """Two activation waves of keyed records upsert through the snapshot
+    MERGE: wave 1 seeds the table, wave 2 updates + inserts with an
+    intra-batch conflict resolved last-writer-wins by order_col; untouched
+    files carry over by reference and the pre-merge version stays pinned."""
+    from connapse_spark.streaming.pipeline import streaming_table_upsert
+
+    watch = str(tmp_path / "incoming")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    schema = "doc_id long, generation long, text string"
+
+    wave1a = spark.createDataFrame(
+        [(i, 1, f"v1 of {i}") for i in range(1, 11)], schema
+    )
+    wave1a.coalesce(1).write.mode("append").parquet(watch)
+    streaming_table_upsert(
+        spark, watch, table, "doc_id", schema, "generation", ckpt
+    )
+    wave1b = spark.createDataFrame(
+        [(i, 1, f"v1 of {i}") for i in range(11, 21)], schema
+    )
+    wave1b.coalesce(1).write.mode("append").parquet(watch)
+    streaming_table_upsert(
+        spark, watch, table, "doc_id", schema, "generation", ckpt
+    )
+    assert snapshots.read_snapshot(spark, table).count() == 20
+    v0 = snapshots.latest_version(table)
+    # the file holding keys 11..20 will be untouched by wave 2
+    before = {e["path"] for e in snapshots.load_manifest(table)["files"]}
+    assert len(before) >= 2
+
+    wave2 = spark.createDataFrame(
+        [(1, 2, "v2 of 1"), (2, 2, "v2 of 2"), (2, 3, "v3 of 2"),
+         (3, 2, "v2 of 3"), (100, 1, "new 100")],
+        schema,
+    )
+    wave2.coalesce(1).write.mode("append").parquet(watch)
+    streaming_table_upsert(
+        spark, watch, table, "doc_id", schema, "generation", ckpt
+    )
+    m = snapshots.load_manifest(table)
+    assert m["version"] > v0 and m["mode"] == "merge"
+    assert before & {e["path"] for e in m["files"]}, "untouched files carried"
+    back = snapshots.read_snapshot(spark, table)
+    assert back.count() == 21
+    got = {
+        r["doc_id"]: (r["generation"], r["text"])
+        for r in back.filter(F.col("doc_id").isin([1, 2, 3, 100])).collect()
+    }
+    assert got == {
+        1: (2, "v2 of 1"),
+        2: (3, "v3 of 2"),  # intra-batch LWW by generation
+        3: (2, "v2 of 3"),
+        100: (1, "new 100"),
+    }
+    # pinned reader: the pre-merge version still shows generation 1
+    prev = snapshots.read_snapshot(spark, table, version=v0)
+    assert prev.count() == 20
+    assert {r["generation"] for r in prev.collect()} == {1}
+
+
 def test_streaming_index_maintenance_commits_versions(spark, sf_dir, tmp_path):
     """Two activation waves of new embeddings -> two snapshot versions of
     the list_id-partitioned index; the final version answers a pruned
