@@ -228,6 +228,37 @@ def q_hybrid_many(spark, sf_dir):
     return hybrid_search_many(corpus, BATCH_QUERIES, top_k=5)
 
 
+_BATCH_FILTERS_SQL = {
+    1: "lang = 'en'",
+    2: "source IN ('src1', 'src2')",
+    # qid 3 deliberately unfiltered — mixed batches are the common case
+}
+
+
+def _batch_filters_cols():
+    return {
+        1: F.col("lang") == "en",
+        2: F.col("source").isin("src1", "src2"),
+    }
+
+
+def q_hybrid_many_filtered(spark, sf_dir):
+    """Filtered search in the BATCH regime: each query in the batch
+    carries its own corpus predicate (per-qid boolean masks evaluated in
+    the one shared scan — search.hybrid_search_many's `predicates`);
+    oracle = UNION of the verified single-query filtered onepass
+    mirrors. The production (BLAS) tier is ranking-pinned to this one in
+    units."""
+    docs = _t(spark, sf_dir, "documents")
+    vecs = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding")
+    )
+    corpus = docs.join(vecs, "doc_id")
+    return hybrid_search_many(
+        corpus, BATCH_QUERIES, top_k=5, predicates=_batch_filters_cols()
+    )
+
+
 def q_hybrid_many_fast(spark, sf_dir):
     """PRODUCTION batched hybrid: BLAS-matmul vector branch + postings
     keyword branch into the same fusion tail — ~10 ms/query at batch
@@ -2129,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_upsert": q_postings_upsert,  # new r4: incremental keyword index
         "leakage_split": q_leakage_split,  # new r4: group-aware train/test split
         "snapshot_merge": q_snapshot_merge,  # new r4: lakehouse MERGE round trip
+        "hybrid_many_filtered": q_hybrid_many_filtered,  # new r4: per-query filters in batch
         "parse_binary": q_parse_binary,  # re-verify: +ObjStm/XRef-stream fixture
         # r2-only greens, stalest remaining entries
         "hybrid_onepass": q_hybrid_onepass,
@@ -2347,6 +2379,9 @@ def oracle_sql() -> dict[str, str]:
         "neardup_incremental": dedup.sql_incremental_neardup(threshold=0.2),
         "keyword_many": sql_keyword_search_many(BATCH_QUERIES, k=5),
         "hybrid_many": sql_hybrid_search_many(BATCH_QUERIES, top_k=5),
+        "hybrid_many_filtered": sql_hybrid_search_many(
+            BATCH_QUERIES, top_k=5, wheres=_BATCH_FILTERS_SQL
+        ),
         "hybrid_many_fast": (
             "SELECT qid, doc_id, round(score, 9) AS score, "
             "round(vector_score, 9) AS vector_score, "

@@ -1557,6 +1557,7 @@ def hybrid_search_many(
     text_col: str = "text",
     vec_col: str = "embedding",
     dims: int = 64,
+    predicates: dict[int, Column] | None = None,
 ) -> DataFrame:
     """BATCHED hybrid search: answer N (qid, query) pairs in ONE corpus
     scan — the amortized-batch regime BASELINE.md scores, extended from
@@ -1577,19 +1578,36 @@ def hybrid_search_many(
 
     Empty/whitespace queries get onepass's Q13 treatment per qid: zero
     rows for that qid (not a vector-only ranking).
+
+    ``predicates`` (qid → boolean Column over the corpus) narrows the
+    corpus PER QUERY before either branch scores — filtered search in
+    the batch regime. The masks evaluate in the same scan projection
+    (one boolean array column), so a 20-query batch with 20 different
+    filters still reads the corpus once; masked (id, qid) rows never
+    enter the per-batch top-k.
     """
     queries = [(q, t) for q, t in queries if t and t.strip()]
     if not queries:
         return _hybrid_many_empty(corpus, id_col)
     k = top_k
-    base = corpus.select(
+    base_cols = [
         F.col(id_col).alias("id"),
         to_double_array(F.col(vec_col)).alias("_v"),
         tokens_exact_expr(F.col(text_col)).alias("_te"),
         tokens_stemmed_expr(F.col(text_col)).alias("_ts"),
-    )
+    ]
+    if predicates:
+        # evaluated against the ORIGINAL corpus columns, then projected
+        base_cols.append(
+            F.array(*[
+                (predicates[qid] if qid in predicates else F.lit(True))
+                .cast("boolean")
+                for qid, _ in queries
+            ]).alias("_oks")
+        )
+    base = corpus.select(*base_cols)
     per_q = []
-    for qid, qtext in queries:
+    for i, (qid, qtext) in enumerate(queries):
         qarr = F.array(*[F.lit(float(x)) for x in embed_py(qtext, dims)])
         terms = sorted(set(tokenize_py(qtext)))
         stems = sorted({stem_py(t) for t in terms})
@@ -1598,15 +1616,19 @@ def hybrid_search_many(
         ) + F.lit(WEIGHT_STEMMED) * F.size(
             F.filter(F.col("_ts"), lambda t: t.isin(*stems))
         )
+        ok = F.col("_oks")[i] if predicates else F.lit(True)
         per_q.append(
             F.struct(
                 F.lit(int(qid)).cast("int").alias("qid"),
                 cosine_expr(F.col("_v"), qarr).alias("vector_score"),
                 (raw / (raw + F.lit(1.0))).alias("keyword_score"),
+                ok.alias("ok"),
             )
         )
-    scored = base.select("id", F.explode(F.array(*per_q)).alias("q")).select(
-        "id", F.col("q.qid"), F.col("q.vector_score"), F.col("q.keyword_score")
+    scored = (
+        base.select("id", F.explode(F.array(*per_q)).alias("q"))
+        .filter(F.col("q.ok"))
+        .select("id", F.col("q.qid"), F.col("q.vector_score"), F.col("q.keyword_score"))
     )
     id_type = scored.schema["id"].dataType.simpleString()
 
@@ -1727,6 +1749,7 @@ def hybrid_search_many_fast(
     text_col: str = "text",
     vec_col: str = "embedding",
     dims: int = 64,
+    predicates: dict[int, Column] | None = None,
 ) -> DataFrame:
     """PRODUCTION tier of :func:`hybrid_search_many` — identical
     semantics, kernels built for N: per-query JVM folds are interpreted
@@ -1749,7 +1772,13 @@ def hybrid_search_many_fast(
     fold in the last ulp, so vector scores are allclose-not-bit-equal
     to the oracle tier; per-query RANKINGS are unit-pinned equal
     (tests/test_round4.py). Use the oracle tier when bit-exactness
-    matters; use this one to answer query batches."""
+    matters; use this one to answer query batches.
+
+    ``predicates`` (qid → boolean Column over the corpus) narrows the
+    corpus per query: the vector branch masks the score matrix per Arrow
+    batch (the mask array rides the same scan), the keyword branch
+    semi-joins its (qid, id) scores against the scan-side-filtered
+    allowed pairs — still one corpus read for the whole batch."""
     import numpy as np
 
     queries = [(q, t) for q, t in queries if t and t.strip()]  # Q13 per qid
@@ -1758,10 +1787,21 @@ def hybrid_search_many_fast(
     k = top_k
     Q = np.array([embed_py(q, dims) for _, q in queries], dtype=np.float64)
     qids_arr = [int(q) for q, _ in queries]
-
-    base_v = corpus.select(
-        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("_v")
+    ok_arr = (
+        F.array(*[
+            (predicates[qid] if qid in predicates else F.lit(True)).cast("boolean")
+            for qid, _ in queries
+        ])
+        if predicates
+        else None
     )
+
+    base_cols = [
+        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("_v")
+    ]
+    if ok_arr is not None:
+        base_cols.append(ok_arr.alias("_oks"))
+    base_v = corpus.select(*base_cols)
     id_type = base_v.schema["id"].dataType.simpleString()
 
     def _vec_topk(batches):
@@ -1778,14 +1818,24 @@ def hybrid_search_many_fast(
             denom = en[:, None] * qn[None, :]
             S = np.divide(S, denom, out=np.zeros_like(S), where=denom > 0)
             ids = pdf["id"].to_numpy()
-            kk = min(k, len(ids))
+            OK = (
+                np.array(pdf["_oks"].tolist(), dtype=bool)
+                if "_oks" in pdf.columns
+                else None
+            )
             out_id: list = []
             out_qid: list = []
             out_s: list = []
             for j in range(S.shape[1]):
-                col = S[:, j]
-                idx = np.lexsort((ids, -col))[:kk]  # score desc, id asc
-                out_id.extend(ids[idx].tolist())
+                col, sel_ids = S[:, j], ids
+                if OK is not None:
+                    m = OK[:, j]
+                    if not m.any():
+                        continue
+                    col, sel_ids = col[m], ids[m]
+                kk = min(k, len(sel_ids))
+                idx = np.lexsort((sel_ids, -col))[:kk]  # score desc, id asc
+                out_id.extend(sel_ids[idx].tolist())
                 out_qid.extend([qids_arr[j]] * len(idx))
                 out_s.extend(col[idx].tolist())
             yield pd.DataFrame({"id": out_id, "qid": out_qid, "bscore": out_s})
@@ -1836,6 +1886,19 @@ def hybrid_search_many_fast(
         )
         .filter(F.col("bscore") > 0.0)
     )
+    if ok_arr is not None:
+        # allowed (qid, id) pairs, filtered in the scan projection — the
+        # shuffled volume is the predicate-selected pairs, not corpus×N
+        qid_lookup = F.array(*[F.lit(int(q)) for q, _ in queries])
+        allowed = (
+            corpus.select(
+                F.col(id_col).alias("id"),
+                F.posexplode(ok_arr).alias("qpos", "ok"),
+            )
+            .filter(F.col("ok"))
+            .select(qid_lookup[F.col("qpos")].alias("qid"), "id")
+        )
+        k_entries = k_entries.join(allowed, ["qid", "id"], "left_semi")
     return _hybrid_many_fuse(v_entries.unionByName(k_entries), k, alpha, id_col)
 
 
@@ -1844,16 +1907,25 @@ def sql_hybrid_search_many(
     top_k: int = 10,
     alpha: float = 0.5,
     id_col: str = "doc_id",
+    wheres: dict[int, str] | None = None,
 ) -> str:
     """Mirror: UNION ALL of the single-query onepass mirrors, qid-tagged —
     each parenthesized block is a full CTE-prefixed statement (DuckDB
     allows that), so the batched path is checked against N independent
-    runs of the already-verified single-query oracle."""
+    runs of the already-verified single-query oracle. ``wheres`` maps a
+    qid to the SQL predicate mirroring that query's ``predicates``
+    Column."""
     from connapse_spark import oracle
 
     parts = [
         f"SELECT CAST({qid} AS INT) AS qid, * FROM ("
-        + oracle.hybrid_onepass_sql(qtext, top_k=top_k, alpha=alpha, id_col=id_col)
+        + oracle.hybrid_onepass_sql(
+            qtext,
+            top_k=top_k,
+            alpha=alpha,
+            id_col=id_col,
+            where=(wheres or {}).get(qid),
+        )
         + ")"
         for qid, qtext in queries
     ]

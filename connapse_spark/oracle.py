@@ -199,15 +199,18 @@ def hybrid_onepass_sql(
     autocut: bool = False,
     id_col: str = "doc_id",
     dims: int = 64,
+    where: str | None = None,
 ) -> str:
     """Mirror of operators.search.hybrid_search_onepass: both branches read
     the same co-located corpus (documents ⋈ embeddings on doc_id = vec_id).
     The Spark side's per-batch top-k pooling is exact, so the oracle is just
-    the plain two-branch SQL over the joined corpus."""
+    the plain two-branch SQL over the joined corpus. ``where`` narrows the
+    corpus before EITHER branch scores (the filtered-search semantics)."""
     qv = sql_vector_literal(embed_py(query, dims))
     corpus = (
         "SELECT d.doc_id AS id, d.text AS text, e.embedding AS embedding "
         "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id"
+        + (f" WHERE {where}" if where else "")
     )
     v_cte = f"""
   SELECT id, score FROM (

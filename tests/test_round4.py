@@ -469,6 +469,50 @@ def test_unsupported_image_variant_routes_to_stub_with_label(spark):
     assert out[2]["width"] == 0 and out[2]["decode_error"].startswith("PngParseError")
 
 
+def test_hybrid_many_filtered_tiers_and_semantics(spark, sf_dir):
+    """Per-query predicates in the batch regime: each qid's results match
+    the single-query filtered onepass; the BLAS tier matches the oracle
+    tier per qid (ids + ranking); a predicate matching nothing yields
+    zero rows for that qid only."""
+    from pyspark.sql import functions as F
+
+    from connapse_spark.operators.search import (
+        SearchOptions,
+        hybrid_search_many,
+        hybrid_search_many_fast,
+        hybrid_search_onepass,
+    )
+
+    corpus = _hybrid_corpus(spark, sf_dir)
+    queries = [(1, "table scan fast merge"), (2, "parallel hash aggregation"),
+               (3, "columnar storage layout")]
+    preds = {
+        1: F.col("lang") == "en",
+        2: F.col("doc_id") % 2 == 0,
+        3: F.lit(False),  # matches nothing
+    }
+    slow = hybrid_search_many(corpus, queries, top_k=6, predicates=preds)
+    rows = slow.collect()
+    assert {r["qid"] for r in rows} == {1, 2}
+    assert all(r["doc_id"] % 2 == 0 for r in rows if r["qid"] == 2)
+    # per-qid equality with the verified single-query filtered onepass
+    for qid, qtext in queries[:2]:
+        single = hybrid_search_onepass(
+            corpus, qtext, SearchOptions(top_k=6), predicate=preds[qid]
+        ).collect()
+        got = [(r["doc_id"], round(r["score"], 9)) for r in rows if r["qid"] == qid]
+        want = [(r["id"], round(r["score"], 9)) for r in single]
+        assert got == want, qid
+    # production tier: same ids in the same order per qid
+    fast = hybrid_search_many_fast(corpus, queries, top_k=6, predicates=preds)
+    fast_rows = fast.collect()
+    assert {r["qid"] for r in fast_rows} == {1, 2}
+    for qid in (1, 2):
+        assert [r["doc_id"] for r in fast_rows if r["qid"] == qid] == [
+            r["doc_id"] for r in rows if r["qid"] == qid
+        ], qid
+
+
 def test_neardup_components_tiers_agree(spark):
     """The driver union-find fast tier (bounded limit-probe collect) must
     produce cell-for-cell the same (id, component) labels as the
