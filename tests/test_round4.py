@@ -469,6 +469,32 @@ def test_unsupported_image_variant_routes_to_stub_with_label(spark):
     assert out[2]["width"] == 0 and out[2]["decode_error"].startswith("PngParseError")
 
 
+def test_hybrid_many_filtered_keeps_one_scan(spark, sf_dir):
+    """Adding per-query predicates must not add a corpus scan: the masks
+    are one boolean array in the same projection, so scan/exchange/
+    MapInPandas counts match the unfiltered batch plan."""
+    from pyspark.sql import functions as F
+
+    from connapse_spark.operators.search import hybrid_search_many
+
+    corpus = _hybrid_corpus(spark, sf_dir)
+    queries = [(i, f"merge sort {i}") for i in range(5)]
+
+    def shape(preds):
+        plan = (
+            hybrid_search_many(corpus, queries, top_k=5, predicates=preds)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return {
+            m: plan.count(m)
+            for m in ("FileScan", "Exchange hashpartitioning", "MapInPandas")
+        }
+
+    assert shape(None) == shape({i: F.col("lang") == "en" for i in range(5)})
+
+
 def test_hybrid_many_filtered_tiers_and_semantics(spark, sf_dir):
     """Per-query predicates in the batch regime: each qid's results match
     the single-query filtered onepass; the BLAS tier matches the oracle
