@@ -693,19 +693,23 @@ def neardup_components(
 
     Output: (id, component) for every vertex that appears in a pair.
     """
+    sel = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     if driver_edge_limit > 0:
-        probe = pairs.select(
-            F.col(id_a).alias("a"), F.col(id_b).alias("b")
-        ).limit(driver_edge_limit + 1).collect()
+        # persist BEFORE the probe: if the graph exceeds the gate, the
+        # partitions the limit already computed are reused by the
+        # iterative tier instead of re-running the (expensive) pair plan
+        sel = sel.persist()
+        probe = sel.limit(driver_edge_limit + 1).collect()
         if len(probe) <= driver_edge_limit:
             rows = union_find_components([(r["a"], r["b"]) for r in probe])
             id_type = pairs.schema[id_a].dataType.simpleString()
+            sel.unpersist()
             return pairs.sparkSession.createDataFrame(
                 rows, f"id {id_type}, component {id_type}"
             )
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        sel.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(sel.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
         .persist()
     )
@@ -752,6 +756,8 @@ def neardup_components(
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if driver_edge_limit > 0:
+        sel.unpersist()
     return labels.select("id", F.col("label").alias("component")).orderBy("id")
 
 

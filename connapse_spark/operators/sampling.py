@@ -116,9 +116,9 @@ def leakage_safe_split(
         .join(comps, "id", "left")
         .select(
             "id",
-            F.coalesce(F.col("component"), F.col("id"))
-            .cast("long")
-            .alias("group_key"),
+            # keep the id's own type — a numeric cast would crash (ANSI)
+            # or NULL-collapse string ids into one hash group
+            F.coalesce(F.col("component"), F.col("id")).alias("group_key"),
         )
     )
     return out.select(
@@ -140,7 +140,7 @@ def sql_leakage_safe_split(
     """Mirror: ``components_sql`` is a full (CTE-prefixed) statement
     yielding (id, component) — e.g. similarity.sql_neardup_components_lsh
     — used as a parenthesized subquery (DuckDB allows that)."""
-    key = f"CAST(coalesce(c.component, d.{id_col}) AS BIGINT)"
+    key = f"coalesce(c.component, d.{id_col})"
     return f"""
 SELECT d.{id_col} AS id,
        {key} AS group_key,

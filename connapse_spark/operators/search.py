@@ -1776,9 +1776,11 @@ def hybrid_search_many_fast(
 
     ``predicates`` (qid → boolean Column over the corpus) narrows the
     corpus per query: the vector branch masks the score matrix per Arrow
-    batch (the mask array rides the same scan), the keyword branch
-    semi-joins its (qid, id) scores against the scan-side-filtered
-    allowed pairs — still one corpus read for the whole batch."""
+    batch (the mask array rides the same scan); the keyword branch
+    semi-joins its (qid, id) scores against allowed pairs produced by a
+    separate COLUMN-PRUNED pass (id + the predicate's columns only — a
+    narrow metadata-weight scan next to the tokenization scans, and the
+    shuffled volume is the predicate-selected pairs, not corpus×N)."""
     import numpy as np
 
     queries = [(q, t) for q, t in queries if t and t.strip()]  # Q13 per qid
@@ -1914,9 +1916,18 @@ def sql_hybrid_search_many(
     allows that), so the batched path is checked against N independent
     runs of the already-verified single-query oracle. ``wheres`` maps a
     qid to the SQL predicate mirroring that query's ``predicates``
-    Column."""
+    Column. Empty/whitespace queries are dropped per qid — the same Q13
+    guard both Spark tiers apply — so the mirror cannot return a
+    vector-only ranking the implementation refuses to produce."""
     from connapse_spark import oracle
 
+    queries = [(q, t) for q, t in queries if t and t.strip()]
+    if not queries:
+        return (
+            f"SELECT CAST(0 AS INT) AS qid, CAST(NULL AS BIGINT) AS {id_col}, "
+            "0.0 AS score, 0.0 AS vector_score, 0.0 AS keyword_score, "
+            "'' AS source WHERE 1 = 0"
+        )
     parts = [
         f"SELECT CAST({qid} AS INT) AS qid, * FROM ("
         + oracle.hybrid_onepass_sql(

@@ -124,6 +124,10 @@ def salted_agg(
         stage1 = salted.groupBy(*keys, "_salt").agg(*partials)
         base = stage1.groupBy(*keys).agg(*merges)
 
+    if distincts and base is None:
+        # no monoid aggs to carry the group set: every key must still
+        # appear, even when its distinct column is entirely NULL
+        base = df.select(*keys).distinct()
     for out, (_agg, col) in distincts.items():
         # shuffle keyed by (keys, value): the hot key's universe spreads
         # across every partition; the count merge is a bounded monoid
@@ -134,14 +138,22 @@ def salted_agg(
             .groupBy(*keys)
             .agg(F.count(F.lit(1)).cast("long").alias(out))
         )
-        if base is None:
-            base = cd
-        else:
-            # per-key frames (post-aggregate) — keys absent from the
-            # distinct side had only NULLs: count(DISTINCT) there is 0
-            base = base.join(cd, keys, "left").withColumn(
-                out, F.coalesce(F.col(out), F.lit(0).cast("long"))
-            )
+        # per-key frames (post-aggregate); the join must be NULL-SAFE —
+        # a NULL grouping key is a real group (SQL GROUP BY semantics),
+        # and keys absent from the distinct side had only NULL values:
+        # count(DISTINCT) there is 0
+        cd = cd.select(
+            *[F.col(k).alias(f"_cd_{k}") for k in keys], F.col(out)
+        )
+        cond = None
+        for k in keys:
+            eq = base[k].eqNullSafe(cd[f"_cd_{k}"])
+            cond = eq if cond is None else cond & eq
+        base = (
+            base.join(cd, cond, "left")
+            .drop(*[f"_cd_{k}" for k in keys])
+            .withColumn(out, F.coalesce(F.col(out), F.lit(0).cast("long")))
+        )
     assert base is not None  # aggs validated non-empty by construction
     return base.select(*keys, *aggs)
 

@@ -300,6 +300,33 @@ def vacuum_snapshot(
     }
 
 
+def _read_with_source(spark: SparkSession, table_dir: str, m: dict) -> DataFrame:
+    """The manifest's rows tagged with ``_src_file`` (the data file each
+    row lives in). ``_metadata`` is a per-FileScan pseudo-column, so it
+    must be selected INSIDE each per-base read — reading through
+    read_snapshot's union and then asking for _metadata fails to
+    resolve on any multi-base lineage."""
+    out = None
+    for base, fs in _manifest_bases(m).items():
+        if not fs:
+            continue
+        paths = [os.path.join(table_dir, e["path"]) for e in fs]
+        reader = spark.read
+        if m.get("partition_by"):
+            reader = reader.option("basePath", os.path.join(table_dir, base))
+        part = reader.parquet(*paths).withColumn(
+            "_src_file", F.col("_metadata.file_path")
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(m["schema"])
+        ).withColumn("_src_file", F.lit(""))
+    return out
+
+
 def merge_snapshot(
     spark: SparkSession,
     df: DataFrame,
@@ -338,9 +365,7 @@ def merge_snapshot(
     version = prev + 1
     partition_by = m.get("partition_by") or []
 
-    cur = read_snapshot(spark, table_dir, prev).withColumn(
-        "_src_file", F.col("_metadata.file_path")
-    )
+    cur = _read_with_source(spark, table_dir, m)
     keys = df.select(key_col).distinct()
     touched_rows = (
         cur.join(F.broadcast(keys), key_col)

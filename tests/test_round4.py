@@ -565,6 +565,74 @@ def test_neardup_components_tiers_agree(spark):
     assert comp[20] == 20 and comp[31] == 30
 
 
+def test_salted_agg_null_grouping_key_is_a_real_group(spark):
+    """SQL GROUP BY treats NULL as a real group: the count_distinct merge
+    join must be null-safe, or the NULL key silently gets count 0."""
+    from connapse_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 20), ("a", 3, 30)],
+        "k string, u int, v int",
+    )
+    got = {
+        r["k"]: (r["nd"], r["t"])
+        for r in salted_agg(
+            df, ["k"], {"nd": ("count_distinct", "u"), "t": ("sum_long", "v")}
+        ).collect()
+    }
+    assert got == {None: (2, 30), "a": (1, 30)}
+
+
+def test_salted_agg_distinct_only_keeps_all_null_groups(spark):
+    """With ONLY count_distinct aggs, a key whose distinct column is all
+    NULL must still appear with count 0 (there is no monoid frame to
+    carry the group set — the distinct-keys base must)."""
+    from connapse_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None)], "k string, u int"
+    )
+    got = {
+        r["k"]: r["nd"]
+        for r in salted_agg(df, ["k"], {"nd": ("count_distinct", "u")}).collect()
+    }
+    assert got == {"a": 2, "b": 0}
+
+
+def test_leakage_safe_split_string_ids(spark):
+    """String document ids must split (no numeric cast): ids keep their
+    type, near-dup string clusters still move together."""
+    from connapse_spark.operators import sampling
+
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b")], "id_a string, id_b string"
+    )
+    docs = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("doc-c",)], "doc_id string"
+    )
+    rows = {
+        r["id"]: (r["group_key"], r["split"])
+        for r in sampling.leakage_safe_split(docs, pairs, 0.5).collect()
+    }
+    assert len(rows) == 3
+    assert rows["doc-a"][0] == rows["doc-b"][0] == "doc-a"
+    assert rows["doc-a"][1] == rows["doc-b"][1]
+    assert rows["doc-c"][0] == "doc-c"
+
+
+def test_sql_hybrid_many_mirror_applies_q13_guard(spark):
+    """The oracle mirror must drop empty/whitespace queries exactly like
+    both Spark tiers — otherwise the oracle returns a vector-only
+    ranking for a qid the implementation returns zero rows for."""
+    from connapse_spark.operators.search import sql_hybrid_search_many
+
+    sql = sql_hybrid_search_many([(1, "real query"), (2, "   ")], top_k=5)
+    assert "UNION ALL" not in sql  # only the one surviving block
+    assert "CAST(1 AS INT)" in sql and "CAST(2 AS INT)" not in sql
+    empty = sql_hybrid_search_many([(2, "")], top_k=5)
+    assert "WHERE 1 = 0" in empty
+
+
 def test_leakage_safe_split_keeps_dup_clusters_together(spark):
     """Every near-dup component must land entirely on one side of the
     split; singletons are their own group; no document is lost."""

@@ -293,6 +293,42 @@ def test_merge_snapshot_partitioned_keeps_layout(spark, sf_dir, tmp_path):
     assert back.filter(F.col("bucket") == 0).count() == 20
 
 
+def test_merge_snapshot_multi_base_partitioned_lineage(spark, sf_dir, tmp_path):
+    """MERGE must work when the current version spans SEVERAL staging
+    roots (append lineage / successive merges) on a partitioned table —
+    _metadata is a per-FileScan pseudo-column, so the source-file tag has
+    to be selected inside each per-base read, not through the union."""
+    t = str(tmp_path / "ptbl")
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % 2).cast("int").alias("bucket"),
+    )
+    first = orders.limit(30)
+    snapshots.commit_snapshot(first, t, partition_by=["bucket"])
+    extra = orders.limit(40).subtract(first).limit(6)
+    snapshots.commit_snapshot(extra, t, mode="append")  # second base
+    total = snapshots.read_snapshot(spark, t).count()
+    ks = [r["o_orderkey"] for r in first.limit(2).collect()]
+    batch = spark.createDataFrame(
+        [(k, 5.0, int(k % 2)) for k in ks],
+        "o_orderkey long, o_totalprice double, bucket int",
+    )
+    v = snapshots.merge_snapshot(spark, batch, t, "o_orderkey")  # must not raise
+    back = snapshots.read_snapshot(spark, t)
+    assert back.count() == total
+    got = {r["o_orderkey"]: r["o_totalprice"] for r in back.filter(
+        F.col("o_orderkey").isin(ks)).collect()}
+    assert got == {k: 5.0 for k in ks}
+    # a THIRD base now exists; a second merge over it must also work
+    batch2 = spark.createDataFrame(
+        [(ks[0], 7.0, int(ks[0] % 2))],
+        "o_orderkey long, o_totalprice double, bucket int",
+    )
+    snapshots.merge_snapshot(spark, batch2, t, "o_orderkey")
+    assert snapshots.read_snapshot(spark, t).count() == total
+    assert snapshots.load_manifest(t)["version"] == v + 1
+
+
 def test_merge_snapshot_pure_insert_touches_nothing(spark, sf_dir, tmp_path):
     """A batch with only new keys must rewrite zero existing files."""
     t = str(tmp_path / "tbl")
