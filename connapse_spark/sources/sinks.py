@@ -335,7 +335,11 @@ def compact_group(
     import shutil
 
     tmp = out_file + "._tmp"
-    spark.read.parquet(*files).coalesce(1).write.mode("overwrite").parquet(tmp)
+    # mergeSchema: an evolved lineage's bins can mix pre- and
+    # post-add-column files; the rewrite must keep the union of fields
+    spark.read.option("mergeSchema", "true").parquet(*files).coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
     part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
     assert len(part) == 1
     shutil.move(os.path.join(tmp, part[0]), out_file)

@@ -117,6 +117,44 @@ def _stage_files(
     return rel_dir, sorted(entries, key=lambda e: e["path"])
 
 
+def _merged_schema(prev_schema_json: dict, df: DataFrame) -> dict:
+    """Schema evolution, add-column only (the lakehouse default): fields
+    shared by name must keep the SAME type (a silent type change corrupts
+    old files' reads — refuse it); fields new in ``df`` append after the
+    base fields. Returns the merged schema's jsonValue."""
+    from pyspark.sql.types import StructType
+
+    base = StructType.fromJson(prev_schema_json)
+    by_name = {f.name: f for f in base.fields}
+    out = list(base.fields)
+    for f in df.schema.fields:
+        old = by_name.get(f.name)
+        if old is None:
+            out.append(f)
+        elif old.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution cannot change column '{f.name}' from "
+                f"{old.dataType.simpleString()} to {f.dataType.simpleString()}"
+            )
+    return StructType(out).jsonValue()
+
+
+def _conform(df: DataFrame, schema_json: dict, extra: list[str] | None = None) -> DataFrame:
+    """Project ``df`` to the manifest schema: missing columns become
+    typed NULLs (rows written before an added column existed), order
+    follows the manifest. ``extra`` names pass-through columns kept
+    after the schema fields (e.g. the merge tier's _src_file tag)."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(schema_json)
+    cols = [
+        F.col(f.name) if f.name in df.columns
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols, *[F.col(c) for c in (extra or []) if c in df.columns])
+
+
 def commit_snapshot(
     df: DataFrame,
     table_dir: str,
@@ -166,9 +204,14 @@ def commit_snapshot(
             )
     rel_dir, files = _stage_files(df, table_dir, version, partition_by)
     bases = {rel_dir: files}
+    schema = df.schema.jsonValue()
     if prev_m is not None:
         # staging dirs are unique per commit, so bases never collide
         bases.update(_manifest_bases(prev_m))
+        # add-column schema evolution: the manifest records the UNION of
+        # the lineage's fields; readers fill pre-evolution files' missing
+        # columns with typed NULLs
+        schema = _merged_schema(prev_m["schema"], df)
     all_files = [e for fs in bases.values() for e in fs]
     _atomic_publish(
         table_dir,
@@ -177,7 +220,7 @@ def commit_snapshot(
             "files": all_files,
             "bases": bases,
             "partition_by": partition_by or [],
-            "schema": df.schema.jsonValue(),
+            "schema": schema,
             "mode": mode,
         },
     )
@@ -206,24 +249,27 @@ def read_snapshot(
     from the manifest. Partitioned commits read with their staging root
     as ``basePath`` so hive partition columns come back and partition
     pruning applies over the explicit file list; a multi-commit lineage
-    unions its per-root reads (commit count is bounded by vacuum)."""
+    unions its per-root reads (commit count is bounded by vacuum).
+    Columns added by schema evolution come back as typed NULLs on rows
+    written before the column existed — the manifest schema, not any one
+    file's footer, is the read contract."""
     m = load_manifest(table_dir, version)
     if not m["files"]:
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromJson(m["schema"]))
-    if not m.get("partition_by"):
+    groups = {b: fs for b, fs in _manifest_bases(m).items() if fs}
+    if not m.get("partition_by") and len(groups) == 1:
+        # single-root unpartitioned fast path: one homogeneous read
         paths = [os.path.join(table_dir, e["path"]) for e in m["files"]]
         return spark.read.parquet(*paths)
     out = None
-    for base, fs in _manifest_bases(m).items():
-        if not fs:  # an appended empty commit contributes no files
-            continue
+    for base, fs in groups.items():
         paths = [os.path.join(table_dir, e["path"]) for e in fs]
-        part = (
-            spark.read.option("basePath", os.path.join(table_dir, base))
-            .parquet(*paths)
-        )
+        reader = spark.read
+        if m.get("partition_by"):
+            reader = reader.option("basePath", os.path.join(table_dir, base))
+        part = _conform(reader.parquet(*paths), m["schema"])
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -314,8 +360,12 @@ def _read_with_source(spark: SparkSession, table_dir: str, m: dict) -> DataFrame
         reader = spark.read
         if m.get("partition_by"):
             reader = reader.option("basePath", os.path.join(table_dir, base))
-        part = reader.parquet(*paths).withColumn(
-            "_src_file", F.col("_metadata.file_path")
+        part = _conform(
+            reader.parquet(*paths).withColumn(
+                "_src_file", F.col("_metadata.file_path")
+            ),
+            m["schema"],
+            extra=["_src_file"],
         )
         out = part if out is None else out.unionByName(part)
     if out is None:
@@ -357,6 +407,12 @@ def merge_snapshot(
     EVERY subsequent scan. Partitioned lineages keep their hive layout:
     survivors re-stage through the same partition_by.
 
+    Schema evolution (add-column): the batch may CARRY NEW COLUMNS —
+    they merge into the manifest schema and earlier rows read back as
+    typed NULLs. The batch must still provide every EXISTING column
+    (merge replaces whole rows; silently nulling a column the caller
+    forgot would be data loss, so that raises instead).
+
     Returns the committed version number."""
     prev = latest_version(table_dir) if base_version is None else base_version
     if prev is None:
@@ -364,6 +420,16 @@ def merge_snapshot(
     m = load_manifest(table_dir, prev)
     version = prev + 1
     partition_by = m.get("partition_by") or []
+    from pyspark.sql.types import StructType
+
+    table_cols = [f.name for f in StructType.fromJson(m["schema"]).fields]
+    missing = [c for c in table_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"merge batch lacks existing columns {missing} — merge replaces "
+            "whole rows, so every current column must be supplied"
+        )
+    schema = _merged_schema(m["schema"], df)
 
     cur = _read_with_source(spark, table_dir, m)
     keys = df.select(key_col).distinct()
@@ -375,12 +441,13 @@ def merge_snapshot(
     )
     touched = {r["_src_file"] for r in touched_rows}
 
-    survivors = (
+    survivors = _conform(
         cur.filter(F.col("_src_file").isin(list(touched)) if touched else F.lit(False))
         .drop("_src_file")
-        .join(F.broadcast(keys), key_col, "left_anti")
+        .join(F.broadcast(keys), key_col, "left_anti"),
+        schema,
     )
-    staged = survivors.unionByName(df.select(*survivors.columns))
+    staged = survivors.unionByName(_conform(df, schema))
     rel_dir, new_entries = _stage_files(
         staged, table_dir, version, partition_by or None
     )
@@ -407,7 +474,7 @@ def merge_snapshot(
             "files": all_files,
             "bases": bases,
             "partition_by": partition_by,
-            "schema": m["schema"],
+            "schema": schema,
             "mode": "merge",
         },
     )

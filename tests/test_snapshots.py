@@ -344,6 +344,67 @@ def test_merge_snapshot_pure_insert_touches_nothing(spark, sf_dir, tmp_path):
     assert snapshots.read_snapshot(spark, t).count() == 22
 
 
+def test_schema_evolution_append_adds_column(spark, sf_dir, tmp_path):
+    """Add-column evolution: an append carrying a new column merges it
+    into the manifest schema; pre-evolution rows read back with typed
+    NULLs; a type CHANGE on an existing column is refused; time travel
+    still shows the old schema."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    snapshots.commit_snapshot(orders.limit(10), t)
+    evolved = orders.limit(15).subtract(orders.limit(10)).withColumn(
+        "priority", F.lit("high")
+    )
+    snapshots.commit_snapshot(evolved, t, mode="append")
+    back = snapshots.read_snapshot(spark, t)
+    assert back.columns == ["o_orderkey", "o_totalprice", "priority"]
+    assert back.count() == 15
+    assert back.filter(F.col("priority").isNull()).count() == 10
+    assert back.filter(F.col("priority") == "high").count() == 5
+    # pinned pre-evolution version keeps its original two columns
+    v0 = snapshots.read_snapshot(spark, t, version=0)
+    assert v0.columns == ["o_orderkey", "o_totalprice"]
+    # type change refused
+    bad = orders.limit(2).withColumn("priority", F.lit(7))
+    with pytest.raises(ValueError, match="cannot change column"):
+        snapshots.commit_snapshot(bad, t, mode="append")
+
+
+def test_schema_evolution_merge_and_compaction(spark, sf_dir, tmp_path):
+    """A merge batch may add a column (earlier rows -> NULL); a batch
+    missing an EXISTING column is refused (whole-row replace would
+    silently null it); compaction of the evolved lineage keeps the union
+    of fields."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    base = orders.limit(12)
+    snapshots.commit_snapshot(base, t)
+    k = [r["o_orderkey"] for r in base.limit(1).collect()][0]
+    batch = spark.createDataFrame(
+        [(k, 9.5, "eu")], "o_orderkey long, o_totalprice double, region string"
+    )
+    snapshots.merge_snapshot(spark, batch, t, "o_orderkey")
+    back = snapshots.read_snapshot(spark, t)
+    assert back.columns == ["o_orderkey", "o_totalprice", "region"]
+    assert back.count() == 12
+    got = {r["o_orderkey"]: r["region"] for r in back.collect()}
+    assert got[k] == "eu" and sum(v is None for v in got.values()) == 11
+    # missing existing column refused
+    with pytest.raises(ValueError, match="lacks existing columns"):
+        snapshots.merge_snapshot(
+            spark,
+            spark.createDataFrame([(k, "x")], "o_orderkey long, region string"),
+            t,
+            "o_orderkey",
+        )
+    # compaction preserves the evolved union of fields and all values
+    snapshots.compact_snapshot(spark, t, target_bytes=1 << 30)
+    compacted = snapshots.read_snapshot(spark, t)
+    assert set(compacted.columns) == {"o_orderkey", "o_totalprice", "region"}
+    assert compacted.count() == 12
+    assert {r["o_orderkey"]: r["region"] for r in compacted.collect()} == got
+
+
 def test_streaming_table_upsert_cdc_merge(spark, tmp_path):
     """Two activation waves of keyed records upsert through the snapshot
     MERGE: wave 1 seeds the table, wave 2 updates + inserts with an
