@@ -112,9 +112,61 @@ def _stage_files(
                     {
                         "path": os.path.relpath(full, table_dir),
                         "size_bytes": os.path.getsize(full),
+                        "stats": _footer_stats(full),
                     }
                 )
     return rel_dir, sorted(entries, key=lambda e: e["path"])
+
+
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] for the file's primitive columns, read from
+    the parquet FOOTER (metadata-only — no data pages touched). This is
+    the Iceberg/Delta per-file stats record: the manifest can answer
+    "can this file contain key k?" without opening the file, which is
+    what turns a keyed probe over a sorted/clustered layout from
+    read-everything into read-the-one-file."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        mins: dict = {}
+        maxs: dict = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                name = col.path_in_schema
+                if "." in name:  # nested/list columns: skip
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(lo, (int, float, str, bool)):
+                    continue  # keep the manifest JSON-serializable
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        return {c: [mins[c], maxs[c]] for c in mins}
+    except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
+        return {}
+
+
+def prune_files(m: dict, col: str, lo, hi) -> list[dict]:
+    """Manifest-level data skipping: the file entries whose recorded
+    [min, max] for ``col`` can intersect [lo, hi]. Files without stats
+    for the column are kept (skipping must never drop data). This runs
+    on the driver over metadata — zero storage IO."""
+    out = []
+    for e in m["files"]:
+        st = (e.get("stats") or {}).get(col)
+        if st is None or not (hi < st[0] or lo > st[1]):
+            out.append(e)
+    return out
 
 
 def _merged_schema(prev_schema_json: dict, df: DataFrame) -> dict:
@@ -263,8 +315,19 @@ def read_snapshot(
         # single-root unpartitioned fast path: one homogeneous read
         paths = [os.path.join(table_dir, e["path"]) for e in m["files"]]
         return spark.read.parquet(*paths)
+    return _read_conformed(spark, table_dir, m)
+
+
+def _read_conformed(
+    spark: SparkSession, table_dir: str, m: dict, keep: set | None = None
+) -> DataFrame | None:
+    """Per-base conformed union over the manifest's files, optionally
+    restricted to the ``keep`` path set (manifest-level data skipping)."""
     out = None
-    for base, fs in groups.items():
+    for base, fs in _manifest_bases(m).items():
+        fs = [e for e in fs if keep is None or e["path"] in keep]
+        if not fs:
+            continue
         paths = [os.path.join(table_dir, e["path"]) for e in fs]
         reader = spark.read
         if m.get("partition_by"):
@@ -272,6 +335,30 @@ def read_snapshot(
         part = _conform(reader.parquet(*paths), m["schema"])
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def scan_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Range scan with MANIFEST-LEVEL data skipping: files whose footer
+    [min, max] for ``col`` cannot intersect [lo, hi] are never opened —
+    they are dropped from the plan before Spark lists anything. On a
+    layout clustered by ``col`` (sorted writes, Z-order) this reads
+    O(selectivity) of the files; the residual exact filter still applies
+    (and pushes down) inside the surviving files."""
+    m = load_manifest(table_dir, version)
+    keep = {e["path"] for e in prune_files(m, col, lo, hi)}
+    out = _read_conformed(spark, table_dir, m, keep)
+    if out is None:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
+    return out.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
 
 def snapshot_listing(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
@@ -346,14 +433,18 @@ def vacuum_snapshot(
     }
 
 
-def _read_with_source(spark: SparkSession, table_dir: str, m: dict) -> DataFrame:
+def _read_with_source(
+    spark: SparkSession, table_dir: str, m: dict, keep: set | None = None
+) -> DataFrame:
     """The manifest's rows tagged with ``_src_file`` (the data file each
     row lives in). ``_metadata`` is a per-FileScan pseudo-column, so it
     must be selected INSIDE each per-base read — reading through
     read_snapshot's union and then asking for _metadata fails to
-    resolve on any multi-base lineage."""
+    resolve on any multi-base lineage. ``keep`` restricts to a pruned
+    file subset (stats-based skipping)."""
     out = None
     for base, fs in _manifest_bases(m).items():
+        fs = [e for e in fs if keep is None or e["path"] in keep]
         if not fs:
             continue
         paths = [os.path.join(table_dir, e["path"]) for e in fs]
@@ -431,7 +522,18 @@ def merge_snapshot(
         )
     schema = _merged_schema(m["schema"], df)
 
-    cur = _read_with_source(spark, table_dir, m)
+    # stats-based probe pruning: files whose footer [min, max] on the
+    # key column cannot contain ANY batch key never enter the probe —
+    # on a key-clustered layout the probe reads O(batch-locality) files
+    rng = df.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
+    candidates = (
+        {e["path"] for e in prune_files(m, key_col, rng["lo"], rng["hi"])}
+        if rng["lo"] is not None
+        else set()
+    )
+    cur = _read_with_source(spark, table_dir, m, keep=candidates)
     keys = df.select(key_col).distinct()
     touched_rows = (
         cur.join(F.broadcast(keys), key_col)

@@ -344,6 +344,89 @@ def test_merge_snapshot_pure_insert_touches_nothing(spark, sf_dir, tmp_path):
     assert snapshots.read_snapshot(spark, t).count() == 22
 
 
+def test_manifest_records_footer_stats(spark, sf_dir, tmp_path):
+    """Every staged file's manifest entry carries per-column [min, max]
+    read from the parquet footer — numeric and string columns, nested
+    columns skipped — so pruning decisions never open a data file."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    snapshots.commit_snapshot(orders.limit(50).repartition(4), t)
+    m = snapshots.load_manifest(t)
+    assert m["files"]
+    for e in m["files"]:
+        st = e["stats"]
+        assert set(st) >= {"o_orderkey", "o_totalprice", "o_orderpriority"}
+        assert st["o_orderkey"][0] <= st["o_orderkey"][1]
+        assert isinstance(st["o_orderpriority"][0], str)
+
+
+def test_prune_files_keeps_statless_and_intersecting(spark):
+    m = {
+        "files": [
+            {"path": "a", "stats": {"k": [0, 10]}},
+            {"path": "b", "stats": {"k": [20, 30]}},
+            {"path": "c", "stats": {}},  # no stats: must be kept
+        ]
+    }
+    keep = {e["path"] for e in snapshots.prune_files(m, "k", 12, 25)}
+    assert keep == {"b", "c"}
+    keep = {e["path"] for e in snapshots.prune_files(m, "k", 11, 19)}
+    assert keep == {"c"}
+
+
+def test_scan_pruned_skips_files_and_matches_full_filter(spark, sf_dir, tmp_path):
+    """On a key-clustered layout (range-partitioned write), a range scan
+    through the manifest stats opens a strict subset of files and
+    returns exactly the rows of the full-scan filter."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    snapshots.commit_snapshot(orders.repartitionByRange(6, "o_orderkey"), t)
+    m = snapshots.load_manifest(t)
+    lo = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    hi = lo + 50
+    kept = snapshots.prune_files(m, "o_orderkey", lo, hi)
+    assert 0 < len(kept) < len(m["files"])  # skipping actually happened
+    got = {
+        r["o_orderkey"]
+        for r in snapshots.scan_pruned(spark, t, "o_orderkey", lo, hi).collect()
+    }
+    want = {
+        r["o_orderkey"]
+        for r in snapshots.read_snapshot(spark, t)
+        .filter(F.col("o_orderkey").between(lo, hi))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_merge_probe_prunes_by_key_stats(spark, sf_dir, tmp_path):
+    """A merge batch whose keys fall inside one file's key range must
+    leave the other files' entries untouched in the new manifest — and
+    the stats pruning pre-screens them out of the probe read."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    snapshots.commit_snapshot(orders.repartitionByRange(6, "o_orderkey"), t)
+    m = snapshots.load_manifest(t)
+    lo = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    candidates = snapshots.prune_files(m, "o_orderkey", lo, lo)
+    assert len(candidates) < len(m["files"])
+    batch = spark.createDataFrame(
+        [(lo, 0.5)], "o_orderkey long, o_totalprice double"
+    )
+    snapshots.merge_snapshot(spark, batch, t, "o_orderkey")
+    m2 = snapshots.load_manifest(t)
+    before = {e["path"] for e in m["files"]}
+    after = {e["path"] for e in m2["files"]}
+    # only files the pruner admitted can have been rewritten
+    rewritten = before - after
+    assert rewritten <= {e["path"] for e in candidates}
+    back = snapshots.read_snapshot(spark, t)
+    assert back.count() == orders.count()
+    assert back.filter(F.col("o_orderkey") == lo).collect()[0]["o_totalprice"] == 0.5
+
+
 def test_schema_evolution_append_adds_column(spark, sf_dir, tmp_path):
     """Add-column evolution: an append carrying a new column merges it
     into the manifest schema; pre-evolution rows read back with typed
