@@ -716,12 +716,8 @@ def neardup_components(
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
-    # labels only ever DECREASE, so the label-sum is strictly decreasing
-    # until convergence — comparing sums is the convergence test for the
-    # price of one aggregate over the just-materialized checkpoint, instead
-    # of a join-against-previous (which costs a shuffle per round)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
+        prev_labels = labels
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -751,10 +747,19 @@ def neardup_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
+        # convergence: any vertex whose label still changed this round?
+        # (an equi-join between two vertex-sized checkpointed frames —
+        # type-agnostic, unlike a label-sum, which is NULL for string ids
+        # and would terminate the loop after one round with wrong labels)
+        changed = (
+            labels.alias("n")
+            .join(prev_labels.alias("p"), "id")
+            .filter(F.col("n.label") != F.col("p.label"))
+            .limit(1)
+            .count()
+        )
+        if changed == 0:
             break
-        prev_sum = cur_sum
     edges.unpersist()
     if driver_edge_limit > 0:
         sel.unpersist()

@@ -1910,6 +1910,7 @@ def sql_hybrid_search_many(
     alpha: float = 0.5,
     id_col: str = "doc_id",
     wheres: dict[int, str] | None = None,
+    id_sql_type: str = "BIGINT",
 ) -> str:
     """Mirror: UNION ALL of the single-query onepass mirrors, qid-tagged —
     each parenthesized block is a full CTE-prefixed statement (DuckDB
@@ -1923,10 +1924,12 @@ def sql_hybrid_search_many(
 
     queries = [(q, t) for q, t in queries if t and t.strip()]
     if not queries:
+        # typed zero-row frame: id type parameterized (string-id corpora),
+        # scores cast DOUBLE so even the empty schema mirrors the tiers
         return (
-            f"SELECT CAST(0 AS INT) AS qid, CAST(NULL AS BIGINT) AS {id_col}, "
-            "0.0 AS score, 0.0 AS vector_score, 0.0 AS keyword_score, "
-            "'' AS source WHERE 1 = 0"
+            f"SELECT CAST(0 AS INT) AS qid, CAST(NULL AS {id_sql_type}) AS {id_col}, "
+            "CAST(0.0 AS DOUBLE) AS score, CAST(0.0 AS DOUBLE) AS vector_score, "
+            "CAST(0.0 AS DOUBLE) AS keyword_score, '' AS source WHERE 1 = 0"
         )
     parts = [
         f"SELECT CAST({qid} AS INT) AS qid, * FROM ("

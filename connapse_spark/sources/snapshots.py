@@ -131,27 +131,42 @@ def _footer_stats(path: str) -> dict:
         md = pq.ParquetFile(path).metadata
         mins: dict = {}
         maxs: dict = {}
+        seen: dict = {}
+        invalid: set = set()
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 col = g.column(ci)
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    continue
                 name = col.path_in_schema
                 if "." in name:  # nested/list columns: skip
                     continue
-                lo, hi = st.min, st.max
-                if isinstance(lo, bytes):
-                    try:
-                        lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
-                    except UnicodeDecodeError:
-                        continue
-                if not isinstance(lo, (int, float, str, bool)):
-                    continue  # keep the manifest JSON-serializable
+                st = col.statistics
+                ok = st is not None and st.has_min_max
+                lo = hi = None
+                if ok:
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                        except UnicodeDecodeError:
+                            ok = False
+                    if ok and not isinstance(lo, (int, float, str, bool)):
+                        ok = False  # keep the manifest JSON-serializable
+                if not ok:
+                    # a single row group without usable stats poisons the
+                    # whole column: a partial [min, max] would be NARROWER
+                    # than the data, and pruning on it would DROP rows —
+                    # skipping must stay conservative, never lossy
+                    invalid.add(name)
+                    continue
+                seen[name] = seen.get(name, 0) + 1
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-        return {c: [mins[c], maxs[c]] for c in mins}
+        return {
+            c: [mins[c], maxs[c]]
+            for c in mins
+            if c not in invalid and seen[c] == md.num_row_groups
+        }
     except Exception:  # noqa: BLE001 — stats are an optimization, never fatal
         return {}
 
@@ -310,29 +325,41 @@ def read_snapshot(
         from pyspark.sql.types import StructType
 
         return spark.createDataFrame([], StructType.fromJson(m["schema"]))
-    groups = {b: fs for b, fs in _manifest_bases(m).items() if fs}
-    if not m.get("partition_by") and len(groups) == 1:
-        # single-root unpartitioned fast path: one homogeneous read
-        paths = [os.path.join(table_dir, e["path"]) for e in m["files"]]
-        return spark.read.parquet(*paths)
     return _read_conformed(spark, table_dir, m)
 
 
 def _read_conformed(
-    spark: SparkSession, table_dir: str, m: dict, keep: set | None = None
+    spark: SparkSession,
+    table_dir: str,
+    m: dict,
+    keep: set | None = None,
+    with_source: bool = False,
 ) -> DataFrame | None:
-    """Per-base conformed union over the manifest's files, optionally
-    restricted to the ``keep`` path set (manifest-level data skipping)."""
+    """Per-base union over the manifest's files with the MANIFEST SCHEMA
+    passed explicitly to every read: schema inference over a
+    heterogeneous file set (an evolved lineage, or a compaction bin that
+    rewrote pre-evolution rows) would take one arbitrary file's footer
+    and silently drop or null a column's real values — the explicit
+    schema makes every file fill its missing columns with typed NULLs
+    and keep the rest. ``keep`` restricts to a pruned file subset (stats
+    skipping); ``with_source`` tags rows with ``_src_file`` (selected
+    INSIDE each read — ``_metadata`` is a per-FileScan pseudo-column and
+    cannot be resolved through the union)."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(m["schema"])
     out = None
     for base, fs in _manifest_bases(m).items():
         fs = [e for e in fs if keep is None or e["path"] in keep]
         if not fs:
             continue
         paths = [os.path.join(table_dir, e["path"]) for e in fs]
-        reader = spark.read
+        reader = spark.read.schema(schema)
         if m.get("partition_by"):
             reader = reader.option("basePath", os.path.join(table_dir, base))
-        part = _conform(reader.parquet(*paths), m["schema"])
+        part = reader.parquet(*paths)
+        if with_source:
+            part = part.withColumn("_src_file", F.col("_metadata.file_path"))
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -437,28 +464,9 @@ def _read_with_source(
     spark: SparkSession, table_dir: str, m: dict, keep: set | None = None
 ) -> DataFrame:
     """The manifest's rows tagged with ``_src_file`` (the data file each
-    row lives in). ``_metadata`` is a per-FileScan pseudo-column, so it
-    must be selected INSIDE each per-base read — reading through
-    read_snapshot's union and then asking for _metadata fails to
-    resolve on any multi-base lineage. ``keep`` restricts to a pruned
-    file subset (stats-based skipping)."""
-    out = None
-    for base, fs in _manifest_bases(m).items():
-        fs = [e for e in fs if keep is None or e["path"] in keep]
-        if not fs:
-            continue
-        paths = [os.path.join(table_dir, e["path"]) for e in fs]
-        reader = spark.read
-        if m.get("partition_by"):
-            reader = reader.option("basePath", os.path.join(table_dir, base))
-        part = _conform(
-            reader.parquet(*paths).withColumn(
-                "_src_file", F.col("_metadata.file_path")
-            ),
-            m["schema"],
-            extra=["_src_file"],
-        )
-        out = part if out is None else out.unionByName(part)
+    row lives in) — _read_conformed's with_source mode plus a typed
+    empty frame when everything was pruned away."""
+    out = _read_conformed(spark, table_dir, m, keep=keep, with_source=True)
     if out is None:
         from pyspark.sql.types import StructType
 
@@ -639,6 +647,8 @@ def compact_snapshot(
             {
                 "path": os.path.relpath(out_file, table_dir),
                 "size_bytes": os.path.getsize(out_file),
+                # compaction must not silently disable data skipping
+                "stats": _footer_stats(out_file),
             }
         )
     _atomic_publish(

@@ -488,6 +488,77 @@ def test_schema_evolution_merge_and_compaction(spark, sf_dir, tmp_path):
     assert {r["o_orderkey"]: r["region"] for r in compacted.collect()} == got
 
 
+def test_compaction_of_evolved_lineage_with_split_bins(spark, sf_dir, tmp_path):
+    """Compaction bins that separate pre- and post-evolution files yield
+    a heterogeneous staging root; reads pass the MANIFEST schema
+    explicitly, so the evolved column's real values survive and
+    pre-evolution rows stay NULL — schema inference from one arbitrary
+    footer would silently drop or null the column."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    old = orders.limit(10)
+    snapshots.commit_snapshot(old.coalesce(1), t)
+    new = orders.limit(16).subtract(old).withColumn("region", F.lit("eu"))
+    snapshots.commit_snapshot(new.coalesce(1), t, mode="append")
+    want = {
+        r["o_orderkey"]: r["region"]
+        for r in snapshots.read_snapshot(spark, t).collect()
+    }
+    assert sum(v == "eu" for v in want.values()) == 6
+    # tiny target -> every input file becomes its own bin: the compacted
+    # root mixes files with and without `region`
+    snapshots.compact_snapshot(spark, t, target_bytes=1)
+    m = snapshots.load_manifest(t)
+    assert len(m["files"]) >= 2
+    back = snapshots.read_snapshot(spark, t)
+    got = {r["o_orderkey"]: r["region"] for r in back.collect()}
+    assert got == want  # evolved values intact, pre-evolution rows NULL
+    # compacted entries keep footer stats — skipping stays alive
+    assert all("o_orderkey" in (e.get("stats") or {}) for e in m["files"])
+
+
+def test_footer_stats_absent_means_no_pruning(tmp_path):
+    """A file written WITHOUT statistics must yield no stats entries —
+    prune_files then conservatively keeps it for every range."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from connapse_spark.sources.snapshots import _footer_stats, prune_files
+
+    p = str(tmp_path / "nostats.parquet")
+    pq.write_table(
+        pa.table({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]}),
+        p,
+        write_statistics=False,
+        row_group_size=2,
+    )
+    assert _footer_stats(p) == {}
+    m = {"files": [{"path": "nostats.parquet", "stats": {}}]}
+    assert prune_files(m, "k", 100, 200) == m["files"]
+    # and with stats on, both row groups fold into one envelope
+    p2 = str(tmp_path / "stats.parquet")
+    pq.write_table(
+        pa.table({"k": [5, 1, 9], "v": [1.0, 2.0, 3.0]}), p2, row_group_size=2
+    )
+    assert _footer_stats(p2)["k"] == [1, 9]
+
+
+def test_neardup_components_string_ids_distributed_tier(spark):
+    """The iterative tier's convergence test must work for STRING ids (a
+    label-sum is NULL over strings and exits after one round): a 5-hop
+    chain needs several propagation rounds and must fully collapse."""
+    from connapse_spark.operators.dedup import neardup_components
+
+    chain = [(f"doc-{i}", f"doc-{i+1}") for i in range(1, 6)]
+    pairs = spark.createDataFrame(chain + [("zz-1", "zz-2")], "id_a string, id_b string")
+    got = {
+        r["id"]: r["component"]
+        for r in neardup_components(pairs, driver_edge_limit=0).collect()
+    }
+    assert {got[f"doc-{i}"] for i in range(1, 7)} == {"doc-1"}
+    assert got["zz-1"] == got["zz-2"] == "zz-1"
+
+
 def test_streaming_table_upsert_cdc_merge(spark, tmp_path):
     """Two activation waves of keyed records upsert through the snapshot
     MERGE: wave 1 seeds the table, wave 2 updates + inserts with an
