@@ -529,11 +529,65 @@ def merge_snapshot(
             "whole rows, so every current column must be supplied"
         )
     schema = _merged_schema(m["schema"], df)
+    return _cow_commit(
+        spark, table_dir, m, version, key_col,
+        keys=df.select(key_col).distinct(),
+        insert_df=_conform(df, schema),
+        schema=schema,
+        mode="merge",
+    )
 
+
+def delete_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    keys_df: DataFrame,
+    base_version: int | None = None,
+) -> int:
+    """Keyed DELETE with FILE-LEVEL copy-on-write — the GDPR /
+    right-to-be-forgotten primitive: rows whose key appears in
+    ``keys_df`` disappear from the next version; only data files that
+    actually CONTAIN a matching key are rewritten (survivors re-stage,
+    untouched files carry over by reference). Same probe pruning,
+    atomic publish, and time-travel behavior as merge_snapshot —
+    deleted rows remain readable in PINNED older versions until
+    vacuum_snapshot retires them, which is the part a real
+    erasure-compliance pass must schedule.
+
+    Returns the committed version number."""
+    prev = latest_version(table_dir) if base_version is None else base_version
+    if prev is None:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    m = load_manifest(table_dir, prev)
+    return _cow_commit(
+        spark, table_dir, m, prev + 1, key_col,
+        keys=keys_df.select(F.col(keys_df.columns[0]).alias(key_col)).distinct(),
+        insert_df=None,
+        schema=m["schema"],
+        mode="delete",
+    )
+
+
+def _cow_commit(
+    spark: SparkSession,
+    table_dir: str,
+    m: dict,
+    version: int,
+    key_col: str,
+    keys: DataFrame,
+    insert_df: DataFrame | None,
+    schema: dict,
+    mode: str,
+) -> int:
+    """Shared copy-on-write core of merge/delete: stats-pruned probe for
+    the touched files, survivor rewrite (+ optional insert batch),
+    by-reference carry-over of everything untouched, atomic publish."""
+    partition_by = m.get("partition_by") or []
     # stats-based probe pruning: files whose footer [min, max] on the
     # key column cannot contain ANY batch key never enter the probe —
     # on a key-clustered layout the probe reads O(batch-locality) files
-    rng = df.agg(
+    rng = keys.agg(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]
     candidates = (
@@ -542,7 +596,6 @@ def merge_snapshot(
         else set()
     )
     cur = _read_with_source(spark, table_dir, m, keep=candidates)
-    keys = df.select(key_col).distinct()
     touched_rows = (
         cur.join(F.broadcast(keys), key_col)
         .select("_src_file")
@@ -557,7 +610,9 @@ def merge_snapshot(
         .join(F.broadcast(keys), key_col, "left_anti"),
         schema,
     )
-    staged = survivors.unionByName(_conform(df, schema))
+    staged = (
+        survivors if insert_df is None else survivors.unionByName(insert_df)
+    )
     rel_dir, new_entries = _stage_files(
         staged, table_dir, version, partition_by or None
     )
@@ -585,7 +640,7 @@ def merge_snapshot(
             "bases": bases,
             "partition_by": partition_by,
             "schema": schema,
-            "mode": "merge",
+            "mode": mode,
         },
     )
     return version

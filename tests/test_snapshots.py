@@ -488,6 +488,45 @@ def test_schema_evolution_merge_and_compaction(spark, sf_dir, tmp_path):
     assert {r["o_orderkey"]: r["region"] for r in compacted.collect()} == got
 
 
+def test_delete_snapshot_cow_and_time_travel(spark, sf_dir, tmp_path):
+    """Keyed DELETE: matching rows vanish from the new version, only
+    files containing a matching key rewrite, deletes of absent keys
+    rewrite nothing, and pinned older versions still show the rows
+    (until vacuum retires them)."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    snapshots.commit_snapshot(orders.repartitionByRange(5, "o_orderkey"), t)
+    total = snapshots.read_snapshot(spark, t).count()
+    m0 = snapshots.load_manifest(t)
+    lo = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    keys = spark.createDataFrame([(lo,)], "o_orderkey long")
+    v = snapshots.delete_snapshot(spark, t, "o_orderkey", keys)
+    m1 = snapshots.load_manifest(t)
+    assert m1["mode"] == "delete" and m1["version"] == v
+    back = snapshots.read_snapshot(spark, t)
+    assert back.count() == total - 1
+    assert back.filter(F.col("o_orderkey") == lo).count() == 0
+    # only the pruner-admitted file(s) were rewritten
+    rewritten = {e["path"] for e in m0["files"]} - {e["path"] for e in m1["files"]}
+    admitted = {e["path"] for e in snapshots.prune_files(m0, "o_orderkey", lo, lo)}
+    assert rewritten and rewritten <= admitted
+    # pinned pre-delete version still shows the row
+    assert (
+        snapshots.read_snapshot(spark, t, version=v - 1)
+        .filter(F.col("o_orderkey") == lo)
+        .count()
+        == 1
+    )
+    # absent keys: nothing rewritten, same file set
+    v2 = snapshots.delete_snapshot(
+        spark, t, "o_orderkey",
+        spark.createDataFrame([(10**9,)], "o_orderkey long"),
+    )
+    m2 = snapshots.load_manifest(t)
+    assert {e["path"] for e in m1["files"]} <= {e["path"] for e in m2["files"]}
+    assert snapshots.read_snapshot(spark, t, version=v2).count() == total - 1
+
+
 def test_compaction_of_evolved_lineage_with_split_bins(spark, sf_dir, tmp_path):
     """Compaction bins that separate pre- and post-evolution files yield
     a heterogeneous staging root; reads pass the MANIFEST schema
