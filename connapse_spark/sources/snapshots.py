@@ -400,6 +400,54 @@ def snapshot_listing(spark: SparkSession, table_dir: str, version: int | None = 
     return spark.createDataFrame(rows, "dir string, file string, size_bytes long")
 
 
+def snapshot_history(table_dir: str) -> list[dict]:
+    """One row per committed version (oldest first): version, mode, file
+    count, total bytes, column count — DESCRIBE HISTORY off pure
+    manifest metadata, zero storage IO."""
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for v in sorted(
+        int(f[len("manifest-"):-len(".json")])
+        for f in os.listdir(table_dir)
+        if f.startswith("manifest-") and f.endswith(".json")
+    ):
+        m = load_manifest(table_dir, v)
+        out.append(
+            {
+                "version": v,
+                "mode": m.get("mode", "overwrite"),
+                "n_files": len(m["files"]),
+                "total_bytes": sum(e["size_bytes"] for e in m["files"]),
+                "n_columns": len(m["schema"].get("fields", [])),
+            }
+        )
+    return out
+
+
+def restore_snapshot(table_dir: str, version: int) -> int:
+    """ROLLBACK: republish an older version's manifest as the NEXT
+    version — no data IO (the restored files are shared by reference,
+    and vacuum keeps them because the new manifest references them).
+    History is preserved: the bad versions stay readable between the
+    restored point and the restore commit, exactly Delta's RESTORE
+    semantics. Returns the new version number."""
+    m = load_manifest(table_dir, version)
+    new_version = (latest_version(table_dir) or 0) + 1
+    _atomic_publish(
+        table_dir,
+        new_version,
+        {
+            "files": m["files"],
+            "bases": _manifest_bases(m),
+            "partition_by": m.get("partition_by") or [],
+            "schema": m["schema"],
+            "mode": "restore",
+        },
+    )
+    return new_version
+
+
 def vacuum_snapshot(
     table_dir: str, keep_last: int = 2, min_age_seconds: float = 24 * 3600
 ) -> dict:

@@ -488,6 +488,38 @@ def test_schema_evolution_merge_and_compaction(spark, sf_dir, tmp_path):
     assert {r["o_orderkey"]: r["region"] for r in compacted.collect()} == got
 
 
+def test_restore_and_history(spark, sf_dir, tmp_path):
+    """RESTORE republishes an older manifest as the next version with
+    zero data IO (files shared by reference); history lists every
+    version's mode off metadata; a restore after a bad delete brings the
+    rows back while the delete stays in history."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_totalprice")
+    snapshots.commit_snapshot(orders.limit(20), t)                       # v0
+    lo = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    snapshots.delete_snapshot(
+        spark, t, "o_orderkey",
+        spark.createDataFrame([(lo,)], "o_orderkey long"),
+    )                                                                    # v1
+    assert snapshots.read_snapshot(spark, t).count() == 19
+    v = snapshots.restore_snapshot(t, 0)                                 # v2
+    assert v == 2
+    back = snapshots.read_snapshot(spark, t)
+    assert back.count() == 20
+    assert back.filter(F.col("o_orderkey") == lo).count() == 1
+    # no new data files were written by the restore
+    assert {e["path"] for e in snapshots.load_manifest(t, 2)["files"]} == {
+        e["path"] for e in snapshots.load_manifest(t, 0)["files"]
+    }
+    hist = snapshots.snapshot_history(t)
+    assert [(h["version"], h["mode"]) for h in hist] == [
+        (0, "overwrite"), (1, "delete"), (2, "restore"),
+    ]
+    assert all(h["n_columns"] == 2 for h in hist)
+    # the bad version stays readable between the two points
+    assert snapshots.read_snapshot(spark, t, version=1).count() == 19
+
+
 def test_delete_snapshot_cow_and_time_travel(spark, sf_dir, tmp_path):
     """Keyed DELETE: matching rows vanish from the new version, only
     files containing a matching key rewrite, deletes of absent keys
