@@ -617,6 +617,58 @@ def delete_snapshot(
     )
 
 
+def apply_changes(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    upserts: DataFrame | None,
+    delete_keys: DataFrame | None,
+    base_version: int | None = None,
+) -> int:
+    """Mixed CDC batch in ONE commit — the APPLY CHANGES INTO shape:
+    ``upserts`` replace/insert their keys, ``delete_keys`` (single
+    column) remove theirs, and the copy-on-write core rewrites only the
+    files containing ANY affected key. One atomic version per batch, so
+    readers never observe the deletes without the upserts (two separate
+    merge+delete commits would expose that intermediate state). A key
+    present on BOTH sides ends up upserted (the insert wins) — callers
+    routing a CDC stream resolve per-key order first and send each key
+    to exactly one side (streaming_table_upsert's op_col does this).
+
+    Returns the committed version number."""
+    prev = latest_version(table_dir) if base_version is None else base_version
+    if prev is None:
+        raise FileNotFoundError(f"no snapshot committed at {table_dir}")
+    m = load_manifest(table_dir, prev)
+    schema = m["schema"]
+    keys = None
+    insert_df = None
+    if upserts is not None:
+        from pyspark.sql.types import StructType
+
+        table_cols = [f.name for f in StructType.fromJson(schema).fields]
+        missing = [c for c in table_cols if c not in upserts.columns]
+        if missing:
+            raise ValueError(
+                f"CDC upserts lack existing columns {missing} — upserts "
+                "replace whole rows, so every current column must be supplied"
+            )
+        schema = _merged_schema(schema, upserts)
+        keys = upserts.select(key_col).distinct()
+        insert_df = _conform(upserts, schema)
+    if delete_keys is not None:
+        dk = delete_keys.select(
+            F.col(delete_keys.columns[0]).alias(key_col)
+        ).distinct()
+        keys = dk if keys is None else keys.unionByName(dk).distinct()
+    if keys is None:
+        raise ValueError("apply_changes needs upserts and/or delete_keys")
+    return _cow_commit(
+        spark, table_dir, m, prev + 1, key_col,
+        keys=keys, insert_df=insert_df, schema=schema, mode="cdc",
+    )
+
+
 def _cow_commit(
     spark: SparkSession,
     table_dir: str,

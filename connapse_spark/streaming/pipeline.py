@@ -422,15 +422,23 @@ def streaming_table_upsert(
     schema: str,
     order_col: str,
     checkpoint_dir: str,
+    op_col: str | None = None,
 ) -> None:
     """CDC-style streaming MERGE — keyed record batches landing under
-    ``watch_dir`` (parquet) upsert into the snapshot table through
-    ``snapshots.merge_snapshot``: file-level copy-on-write, so a
-    micro-batch touching 0.1% of keys rewrites ~0.1% of the table's files
-    instead of the whole table (contrast streaming_index_maintenance,
-    which re-commits the merged index because centroid assignment is
-    global). Within a batch, last writer wins by ``order_col`` (the
-    Debezium-shaped reduction: one surviving row per key per batch).
+    ``watch_dir`` (parquet) upsert into the snapshot table through the
+    snapshot layer's copy-on-write core, so a micro-batch touching 0.1%
+    of keys rewrites ~0.1% of the table's files instead of the whole
+    table (contrast streaming_index_maintenance, which re-commits the
+    merged index because centroid assignment is global). Within a batch,
+    last writer wins by ``order_col`` (the Debezium-shaped reduction:
+    one surviving row per key per batch).
+
+    ``op_col`` enables FULL change feeds: the column carries the change
+    kind per row ('d' = delete, anything else = upsert); after the
+    per-key LWW cut, keys whose LAST event is a delete leave the table
+    and the rest upsert — both applied in ONE atomic version per batch
+    (snapshots.apply_changes), so readers never see the deletes without
+    the upserts.
 
     Exactly-once: the snapshot manifest is the transactional sink — every
     micro-batch publishes one atomically-visible version, a crashed batch
@@ -450,12 +458,22 @@ def streaming_table_upsert(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if snapshots.latest_version(table_dir) is None:
+        sess = batch_df.sparkSession
+        if op_col is not None:
+            dels = latest.filter(F.col(op_col) == "d").select(key_col)
+            ups = latest.filter(
+                F.coalesce(F.col(op_col) != "d", F.lit(True))
+            ).drop(op_col)
+            if snapshots.latest_version(table_dir) is None:
+                snapshots.commit_snapshot(ups, table_dir)
+            else:
+                snapshots.apply_changes(
+                    sess, table_dir, key_col, upserts=ups, delete_keys=dels
+                )
+        elif snapshots.latest_version(table_dir) is None:
             snapshots.commit_snapshot(latest, table_dir)
         else:
-            snapshots.merge_snapshot(
-                batch_df.sparkSession, latest, table_dir, key_col
-            )
+            snapshots.merge_snapshot(sess, latest, table_dir, key_col)
 
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -693,6 +693,54 @@ def test_streaming_table_upsert_cdc_merge(spark, tmp_path):
     assert {r["generation"] for r in prev.collect()} == {1}
 
 
+def test_streaming_cdc_with_delete_ops(spark, tmp_path):
+    """Full change feed through op_col: per key the LAST event decides —
+    a trailing delete removes the row, a delete-then-update keeps the
+    update, inserts land — all in ONE version per activation
+    (apply_changes), with history recording the cdc commit."""
+    from connapse_spark.streaming.pipeline import streaming_table_upsert
+
+    watch = str(tmp_path / "incoming")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    schema = "doc_id long, generation long, op string, text string"
+
+    wave1 = spark.createDataFrame(
+        [(i, 1, "c", f"v1 of {i}") for i in range(1, 11)], schema
+    )
+    wave1.coalesce(1).write.mode("append").parquet(watch)
+    streaming_table_upsert(
+        spark, watch, table, "doc_id", schema, "generation", ckpt, op_col="op"
+    )
+    assert snapshots.read_snapshot(spark, table).count() == 10
+    v0 = snapshots.latest_version(table)
+
+    wave2 = spark.createDataFrame(
+        [
+            (1, 2, "u", "v2 of 1"),       # plain update
+            (2, 2, "d", None),            # trailing delete -> gone
+            (3, 2, "d", None), (3, 3, "u", "v3 of 3"),  # delete then update
+            (4, 2, "u", "x"), (4, 3, "d", None),        # update then delete
+            (50, 1, "c", "new 50"),       # insert
+        ],
+        schema,
+    )
+    wave2.coalesce(1).write.mode("append").parquet(watch)
+    streaming_table_upsert(
+        spark, watch, table, "doc_id", schema, "generation", ckpt, op_col="op"
+    )
+    m = snapshots.load_manifest(table)
+    assert m["version"] == v0 + 1 and m["mode"] == "cdc"  # ONE commit
+    back = snapshots.read_snapshot(spark, table)
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert 2 not in got and 4 not in got
+    assert got[1] == "v2 of 1" and got[3] == "v3 of 3" and got[50] == "new 50"
+    assert back.count() == 9  # 10 - 2 deletes + 1 insert
+    # the op column never lands in the table
+    assert "op" not in back.columns
+
+
 def test_streaming_index_maintenance_commits_versions(spark, sf_dir, tmp_path):
     """Two activation waves of new embeddings -> two snapshot versions of
     the list_id-partitioned index; the final version answers a pruned
