@@ -43,16 +43,22 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, f"manifest-{version:06d}.json")
 
 
-def latest_version(table_dir: str) -> int | None:
-    """Highest committed version, or None for an empty table dir."""
+def _list_versions(table_dir: str) -> list[int]:
+    """All committed version numbers, ascending (the single place the
+    manifest naming scheme is parsed)."""
     if not os.path.isdir(table_dir):
-        return None
-    versions = [
+        return []
+    return sorted(
         int(f[len("manifest-"):-len(".json")])
         for f in os.listdir(table_dir)
         if f.startswith("manifest-") and f.endswith(".json")
-    ]
-    return max(versions) if versions else None
+    )
+
+
+def latest_version(table_dir: str) -> int | None:
+    """Highest committed version, or None for an empty table dir."""
+    versions = _list_versions(table_dir)
+    return versions[-1] if versions else None
 
 
 def load_manifest(table_dir: str, version: int | None = None) -> dict:
@@ -404,14 +410,8 @@ def snapshot_history(table_dir: str) -> list[dict]:
     """One row per committed version (oldest first): version, mode, file
     count, total bytes, column count — DESCRIBE HISTORY off pure
     manifest metadata, zero storage IO."""
-    if not os.path.isdir(table_dir):
-        return []
     out = []
-    for v in sorted(
-        int(f[len("manifest-"):-len(".json")])
-        for f in os.listdir(table_dir)
-        if f.startswith("manifest-") and f.endswith(".json")
-    ):
+    for v in _list_versions(table_dir):
         m = load_manifest(table_dir, v)
         out.append(
             {
@@ -473,11 +473,7 @@ def vacuum_snapshot(
     latest = latest_version(table_dir)
     if latest is None:
         return {"removed_versions": [], "removed_files": 0, "kept_versions": []}
-    all_versions = sorted(
-        int(f[len("manifest-"):-len(".json")])
-        for f in os.listdir(table_dir)
-        if f.startswith("manifest-") and f.endswith(".json")
-    )
+    all_versions = _list_versions(table_dir)
     kept = all_versions[-keep_last:] if keep_last > 0 else []
     dropped = [v for v in all_versions if v not in kept]
     referenced = {
