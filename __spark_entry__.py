@@ -2118,15 +2118,66 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver checks the FIRST ~50 entries. Ordering invariant
-        # --- (r4 rotation, VERDICT r3 ask #1): the 17 queries whose only
-        # --- green row dates to round 1 lead the window — the events
-        # --- family especially sits downstream of the r3 TZ rewrite and
-        # --- must be re-proven. Next come entries whose code changed THIS
-        # --- round (funnel zero-rows fix, curate forwarding, bucketed
-        # --- range join, PSL eTLD+1, trained PQ) plus new r4 operators;
-        # --- the window back-fills with the stalest r2-only greens, so
-        # --- r3∪r4 freshly verifies every registered key.
-        "delete_cascade": q_delete_cascade,  # 17 r1-only-stale seats
+        # --- (r5 rotation, VERDICT r4 ask #1): the 35 queries whose last
+        # --- driver-green row dates to round 2 lead the window (keyword
+        # --- variants, semantic/mean-pool, the neardup/dedup block, the
+        # --- whole r2 textstats/sampling block); the remaining 15 seats
+        # --- back-fill with the stalest r3-greens (chunkers, parser
+        # --- dispatch, IVF/PQ variants). New r5 entries are inserted at
+        # --- the very top as they land.
+        "keyword_websearch": q_keyword_websearch,
+        "keyword_proximity": q_keyword_proximity,
+        "keyword_bm25": q_keyword_bm25,
+        "semantic_topk": q_semantic_topk,
+        "semantic_cross_model": q_semantic_cross_model,
+        "mean_pool": q_mean_pool,
+        "exact_dedup": q_exact_dedup,
+        "neardup_cosine": q_neardup_cosine,
+        "neardup_cosine_lsh": q_neardup_cosine_lsh,
+        "neardup_groups": q_neardup_groups,
+        "minhash_lsh": q_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+        "simhash": q_simhash,
+        "line_dedup": q_line_dedup,
+        "dup_spans": q_dup_spans,
+        "quality_stats": q_quality,
+        "repetition_stats": q_repetition_stats,
+        "fingerprint": q_fingerprint,
+        "language_id": q_langid,
+        "language_id_multi": q_language_id_multi,
+        "lang_mismatch": q_lang_mismatch,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "token_entropy": q_token_entropy,
+        "top_bigrams": q_top_bigrams,
+        "dsir_weights": q_dsir,
+        "gopher_filter": q_gopher_filter,
+        "redact_pii": q_redact_pii,
+        "contamination": q_contamination,
+        "cosine_adjacent": q_cosine_adjacent,
+        "cache_misses": q_cache_misses,
+        "embed_cached": q_embed_cached,
+        "embed_quantized": q_embed_quantized,
+        "sample_mix": q_sample_mix,
+        "pack_sequences": q_pack_sequences,
+        # r3-green back-fill (stalest first)
+        "chunk_semantic": q_chunk_semantic,
+        "chunk_semantic_stddev": q_chunk_semantic_stddev,
+        "chunk_semantic_gradient": q_chunk_semantic_gradient,
+        "chunk_recursive": q_chunk_recursive,
+        "chunk_doc_aware": q_chunk_doc_aware,
+        "chunk_sentence_aware": q_chunk_sentence_aware,
+        "markdown_sections": q_markdown_sections,
+        "parser_dispatch": q_parser_dispatch,
+        "hybrid_window": q_hybrid_window,
+        "ann_ivf_seeded": q_ann_ivf_seeded,
+        "ivf_upsert": q_ivf_upsert,
+        "events_sliding": q_events_sliding,
+        "events_top_types": q_events_top_types,
+        "random_projection": q_random_projection,
+        "pq_encode": q_pq_encode,
+        # --- past the ~50-query window: r4-greens and fresher r3-greens
+        "delete_cascade": q_delete_cascade,
         "model_discovery": q_model_discovery,
         "doc_list_paged": q_doc_list_paged,
         "events_tumbling": q_events_tumbling,
@@ -2143,26 +2194,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_answer": q_rag_answer,
         "events_sessionize": q_events_sessionize,
         "file_browser": q_file_browser,
-        # changed this round — re-verify
-        "funnel": q_funnel,  # zero-count step rows fix
-        "corpus_curate": q_corpus_curate,  # column forwarding fix
+        "funnel": q_funnel,
+        "corpus_curate": q_corpus_curate,
         "dataset_card": q_dataset_card,
-        "keyword_snippets": q_keyword_snippets,  # empty-terms SQL guard
-        "range_join_orders": q_range_join_orders,  # time-bin bucketed path
-        "pq_recall": q_pq_recall,  # trained sub-codebooks
-        "domain_caps": q_domain_caps,  # PSL-backed eTLD+1
+        "keyword_snippets": q_keyword_snippets,
+        "range_join_orders": q_range_join_orders,
+        "pq_recall": q_pq_recall,
+        "domain_caps": q_domain_caps,
         "domain_stats": q_domain_stats,
-        "hybrid_many": q_hybrid_many,  # new r4: batched full-hybrid search
-        "salted_agg": q_salted_agg,  # new r4: skew-resistant aggregation
-        "ivf_drift": q_ivf_drift,  # new r4: rebuild-on-drift gauge
-        "hybrid_many_fast": q_hybrid_many_fast,  # new r4: BLAS batch tier
-        "ingest_stats_native": q_ingest_stats_native,  # new r4: oracled ingest twin
-        "postings_upsert": q_postings_upsert,  # new r4: incremental keyword index
-        "leakage_split": q_leakage_split,  # new r4: group-aware train/test split
-        "snapshot_merge": q_snapshot_merge,  # new r4: lakehouse MERGE round trip
-        "hybrid_many_filtered": q_hybrid_many_filtered,  # new r4: per-query filters in batch
-        "parse_binary": q_parse_binary,  # re-verify: +ObjStm/XRef-stream fixture
-        # r2-only greens, stalest remaining entries
+        "hybrid_many": q_hybrid_many,
+        "salted_agg": q_salted_agg,
+        "ivf_drift": q_ivf_drift,
+        "hybrid_many_fast": q_hybrid_many_fast,
+        "ingest_stats_native": q_ingest_stats_native,
+        "postings_upsert": q_postings_upsert,
+        "leakage_split": q_leakage_split,
+        "snapshot_merge": q_snapshot_merge,
+        "hybrid_many_filtered": q_hybrid_many_filtered,
+        "parse_binary": q_parse_binary,
         "hybrid_onepass": q_hybrid_onepass,
         "semdedup": q_semdedup,
         "knn_join": q_knn_join,
@@ -2178,32 +2227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": q_keyword_search,
         "knn_vector": q_knn_vector,
         "knn_vector_filtered": q_knn_vector_filtered,
-        "keyword_websearch": q_keyword_websearch,
-        "keyword_proximity": q_keyword_proximity,
-        "keyword_bm25": q_keyword_bm25,
-        "semantic_topk": q_semantic_topk,
-        "semantic_cross_model": q_semantic_cross_model,
-        "mean_pool": q_mean_pool,
-        "neardup_cosine": q_neardup_cosine,
-        "neardup_cosine_lsh": q_neardup_cosine_lsh,
-        "neardup_groups": q_neardup_groups,
-        "exact_dedup": q_exact_dedup,
-        # --- past the ~50-query window: r3-green entries rotate out
-        "chunk_semantic": q_chunk_semantic,
-        "chunk_semantic_stddev": q_chunk_semantic_stddev,
-        "chunk_semantic_gradient": q_chunk_semantic_gradient,
-        "chunk_recursive": q_chunk_recursive,
-        "chunk_doc_aware": q_chunk_doc_aware,
-        "chunk_sentence_aware": q_chunk_sentence_aware,
-        "markdown_sections": q_markdown_sections,
-        "parser_dispatch": q_parser_dispatch,
-        "hybrid_window": q_hybrid_window,
-        "ann_ivf_seeded": q_ann_ivf_seeded,
-        "ivf_upsert": q_ivf_upsert,
-        "events_sliding": q_events_sliding,
-        "events_top_types": q_events_top_types,
-        "random_projection": q_random_projection,
-        "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
         "bloom_contamination": q_bloom_contamination,
         "ann_ivfpq": q_ann_ivfpq,
@@ -2233,32 +2256,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only declarations (no oracle) gain nothing from a window slot
         "ann_ivf": q_ann_ivf,
         "ingest_stats": q_ingest_stats,
-        "sample_mix": q_sample_mix,
-        "pack_sequences": q_pack_sequences,
-        "cosine_adjacent": q_cosine_adjacent,
-        "cache_misses": q_cache_misses,
-        "embed_cached": q_embed_cached,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "quality_stats": q_quality,
-        "repetition_stats": q_repetition_stats,
-        "contamination": q_contamination,
-        "redact_pii": q_redact_pii,
-        "language_id_multi": q_language_id_multi,
-        "embed_quantized": q_embed_quantized,
-        "language_id": q_langid,
-        "fingerprint": q_fingerprint,
-        "line_dedup": q_line_dedup,
-        "gopher_filter": q_gopher_filter,
-        "token_entropy": q_token_entropy,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "lang_mismatch": q_lang_mismatch,
-        "dsir_weights": q_dsir,
-        "dup_spans": q_dup_spans,
-        "top_bigrams": q_top_bigrams,
     }
 
 

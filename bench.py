@@ -251,13 +251,27 @@ def main():
         }
     )
     # The headline JSON must survive any tail/stream truncation in the
-    # caller's capture (BENCH_r03 lost its parsed result to exactly that):
-    # emit it on stdout AND stderr, and durably to BENCH_SELF.json next to
-    # this script.
+    # caller's capture. BENCH_r03 AND BENCH_r04 both lost their parsed
+    # result because the full per-query map makes the line longer than the
+    # caller's tail window — so the final line printed to stdout/stderr is
+    # a COMPACT summary only; the full per-query map lives durably in
+    # BENCH_SELF.json next to this script.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"), "w") as f:
         f.write(payload + "\n")
-    print(payload, flush=True)
-    print(payload, file=sys.stderr, flush=True)
+    compact = json.dumps(
+        {
+            "metric": "headline query suite wall-clock"
+            + (f" (best of {runs})" if runs > 1 else " (single run)"),
+            "n": runs,
+            "value": round(total, 3),
+            "unit": "sec",
+            "n_queries": len(timings),
+            "per_query": "BENCH_SELF.json",
+            "sf": sf,
+        }
+    )
+    print(compact, flush=True)
+    print(compact, file=sys.stderr, flush=True)
     spark.stop()
 
 
