@@ -222,58 +222,76 @@ def _split_recursive(text: str, seps: tuple[str, ...], max_tokens: int) -> list[
 def chunk_recursive(text: str, s: ChunkingSettings | None = None) -> list[dict]:
     """LangChain-style recursive split with merge-buffer + head-pop overlap;
     sub-min chunks merge into a neighbor (never dropped); offsets round-trip
-    with the source."""
+    with the source.
+
+    Offsets are THREADED, never re-discovered: ``_split_recursive`` emits
+    pieces that concatenate exactly back to the source, so every piece has a
+    known (start, end) span; the merge buffer holds consecutive piece indices
+    (the head-pop overlap keeps a suffix, so consecutiveness is preserved) and
+    each merged chunk is a source span. The sub-min fold extends the
+    neighbor's span (``end = max(prev_end, cur_end)``) instead of
+    concatenating overlap-bearing strings — the r5 bug where fold duplicated
+    the overlap region and produced content not present in the source
+    (reference invariant: RecursiveChunker.cs:194-255 tracks offsets through
+    merge, never searches)."""
     s = s or ChunkingSettings()
     if not text or not text.strip():
         return []
     pieces = _split_recursive(text, tuple(s.separators), s.max_chunk_size)
-    # merge buffer with overlap preservation
-    merged: list[str] = []
-    buf: list[str] = []
+    # piece spans: pieces concatenate exactly to text (split keeps separators)
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    for p in pieces:
+        spans.append((pos, pos + len(p)))
+        pos += len(p)
+    # merge buffer holds consecutive piece indices; overlap keeps a suffix
+    merged: list[tuple[int, int]] = []  # (start, end) spans into text
+    buf: list[int] = []
 
     def buf_tokens() -> int:
-        return count_tokens("".join(buf))
+        return count_tokens(text[spans[buf[0]][0] : spans[buf[-1]][1]]) if buf else 0
 
-    for piece in pieces:
+    for i, piece in enumerate(pieces):
         if buf and buf_tokens() + count_tokens(piece) > s.max_chunk_size:
-            merged.append("".join(buf))
+            merged.append((spans[buf[0]][0], spans[buf[-1]][1]))
             # head-pop: retain trailing pieces totalling ≤ overlap tokens
-            keep: list[str] = []
+            keep: list[int] = []
             total = 0
-            for p in reversed(buf):
-                pt = count_tokens(p)
+            for j in reversed(buf):
+                pt = count_tokens(pieces[j])
                 if total + pt > s.overlap:
                     break
-                keep.insert(0, p)
+                keep.insert(0, j)
                 total += pt
             buf = keep
-        buf.append(piece)
+        buf.append(i)
     if buf:
-        merged.append("".join(buf))
-    # post-pass: fold sub-min chunks into the previous (or next) chunk
-    folded: list[str] = []
-    for m in merged:
-        if folded and count_tokens(m.strip()) < s.min_chunk_size:
-            folded[-1] = folded[-1] + m
+        merged.append((spans[buf[0]][0], spans[buf[-1]][1]))
+    # post-pass: fold sub-min chunks into the previous (or next) chunk by
+    # extending the neighbor's span — overlap regions are never duplicated
+    folded: list[tuple[int, int]] = []
+    for cs, ce in merged:
+        if folded and count_tokens(text[cs:ce].strip()) < s.min_chunk_size:
+            ps, pe = folded[-1]
+            folded[-1] = (ps, max(pe, ce))
         else:
-            folded.append(m)
-    if len(folded) >= 2 and count_tokens(folded[0].strip()) < s.min_chunk_size:
-        folded[1] = folded[0] + folded[1]
-        folded.pop(0)
+            folded.append((cs, ce))
+    if len(folded) >= 2:
+        cs, ce = folded[0]
+        if count_tokens(text[cs:ce].strip()) < s.min_chunk_size:
+            ns, ne = folded[1]
+            folded[1] = (min(cs, ns), max(ce, ne))
+            folded.pop(0)
 
     chunks: list[dict] = []
-    cursor = 0
-    for i, raw in enumerate(folded):
-        content = raw.strip()
-        if not content:
+    for cs, ce in folded:
+        seg = text[cs:ce]
+        lead = len(seg) - len(seg.lstrip())
+        trail = len(seg) - len(seg.rstrip())
+        start, end = cs + lead, ce - trail
+        if start >= end:
             continue
-        # overlap means raw may start before cursor; search from a safe floor
-        start = text.find(content, max(0, cursor - len(raw)))
-        if start < 0:
-            start = text.find(content)
-        end = start + len(content)
-        chunks.append(_mk(content, len(chunks), start, end, "Recursive"))
-        cursor = end
+        chunks.append(_mk(text[start:end], len(chunks), start, end, "Recursive"))
     return chunks
 
 
@@ -362,13 +380,17 @@ def chunk_sentence_aware(text: str, s: ChunkingSettings | None = None) -> list[d
         else:
             merged.append(g)
     out = []
-    for i, g in enumerate(merged):
+    for g in merged:
+        # sentence spans are exact source slices, so the group span is too;
+        # strip by arithmetic (never re-find — the r5 chunk_recursive lesson)
         start, end = g[0][1], g[-1][2]
-        content = text[start:end].strip() if end <= len(text) else " ".join(x[0] for x in g)
-        if not content:
-            content = " ".join(x[0].strip() for x in g)
-        cstart = start + text[start:end].index(content[0]) if content and text[start:end].find(content[0]) >= 0 else start
-        out.append(_mk(content, i, cstart, cstart + len(content), "SentenceAwareFixedSize"))
+        seg = text[start:end]
+        lead = len(seg) - len(seg.lstrip())
+        trail = len(seg) - len(seg.rstrip())
+        cs, ce = start + lead, end - trail
+        if cs >= ce:
+            continue
+        out.append(_mk(text[cs:ce], len(out), cs, ce, "SentenceAwareFixedSize"))
     return out
 
 

@@ -8,8 +8,10 @@ from hypothesis import strategies as st
 from connapse_spark.functions.text import stem_py, tokenize_py
 from connapse_spark.operators.chunkers import (
     ChunkingSettings,
+    chunk_document_aware,
     chunk_fixed_size,
     chunk_recursive,
+    chunk_sentence_aware,
     count_tokens,
     walk_markdown_sections,
 )
@@ -60,6 +62,32 @@ def test_chunk_fixed_size_offsets_roundtrip(text):
     s = ChunkingSettings(max_chunk_size=12, min_chunk_size=1, overlap=3)
     for c in chunk_fixed_size(text, s):
         assert text[c["start_offset"] : c["end_offset"]] == c["content"]
+
+
+@given(TEXT)
+@settings(max_examples=100, deadline=None)
+def test_chunk_sentence_aware_offsets_roundtrip(text):
+    s = ChunkingSettings(max_chunk_size=16, min_chunk_size=2, overlap=4)
+    chunks = chunk_sentence_aware(text, s)
+    for c in chunks:
+        assert text[c["start_offset"] : c["end_offset"]] == c["content"]
+        assert c["content"].strip() == c["content"]
+    assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+
+
+@given(TEXT)
+@settings(max_examples=100, deadline=None)
+def test_chunk_document_aware_offsets_roundtrip(text):
+    # breadcrumb-prefixed chunks carry OffsetEstimated=true by design
+    # (content = HeaderPath + body, offsets point at the body span);
+    # every chunk NOT so flagged must round-trip exactly.
+    s = ChunkingSettings(max_chunk_size=16, min_chunk_size=2, overlap=4)
+    chunks = chunk_document_aware(text, s)
+    for c in chunks:
+        if c["metadata"].get("OffsetEstimated") == "true":
+            continue
+        assert text[c["start_offset"] : c["end_offset"]] == c["content"]
+    assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
 
 
 @given(TEXT)
