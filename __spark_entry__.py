@@ -1182,6 +1182,25 @@ def q_keyword_indexed(spark, sf_dir):
     return keyword_index.keyword_search_indexed(tokens, pe, ps, SEARCH_QUERY, k=20)
 
 
+def q_hybrid_indexed(spark, sf_dir):
+    """hybrid_search SERVED from the posting-list keyword index (VERDICT r5
+    ask #2): keyword candidates come from the write-time postings + token
+    table instead of a full-scan re-tokenize. The oracle is IDENTICAL to
+    hybrid_cc's — the index is a physical structure, so the rows must be
+    row-equal to the full-scan hybrid."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = keyword_index.build_keyword_index(docs)
+    idx.tokens.cache()
+    out = hybrid_search(
+        docs,
+        SEARCH_QUERY,
+        SearchOptions(top_k=10, fusion="ConvexCombination", fusion_alpha=0.5),
+        vectors=_vectors(spark, sf_dir),
+        keyword_index=idx,
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def q_hybrid_rerank(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     hits = _hybrid(spark, sf_dir).select("doc_id", "score")
@@ -2125,6 +2144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- back-fill with the stalest r3-greens (chunkers, parser
         # --- dispatch, IVF/PQ variants). New r5 entries are inserted at
         # --- the very top as they land.
+        # --- r6 NEW entries (lead the window):
+        "hybrid_indexed": q_hybrid_indexed,
         "keyword_websearch": q_keyword_websearch,
         "keyword_proximity": q_keyword_proximity,
         "keyword_bm25": q_keyword_bm25,
@@ -2270,6 +2291,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": oracle.rrf_sql(SEARCH_QUERY),
         "hybrid_onepass": oracle.hybrid_onepass_sql(SEARCH_QUERY, top_k=10),
         "hybrid_cc": oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True),
+        # the index is a physical structure: the indexed serving path must
+        # produce EXACTLY the full-scan hybrid rows
+        "hybrid_indexed": oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True),
         "hybrid_dbsf": oracle.hybrid_sql(SEARCH_QUERY, method="Dbsf", stored_vectors=True),
         "hybrid_autocut": oracle.hybrid_sql(SEARCH_QUERY, autocut=True, stored_vectors=True),
         "hybrid_filtered": oracle.hybrid_sql(

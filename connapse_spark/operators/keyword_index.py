@@ -23,6 +23,8 @@ invariant is what the oracle checks.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -63,17 +65,59 @@ def build_postings(
     )
 
 
+@dataclass
+class KeywordIndex:
+    """The write-time keyword index bundle: the tokenized corpus plus one
+    postings table per config — the repo analogue of the reference's GIN
+    index over the generated tsvector column (KnowledgeDbContext.cs:232-245,
+    served by KeywordSearchService.cs:73-91). Build once at ingest with
+    :func:`build_keyword_index`; pass to ``hybrid_search(keyword_index=…)``
+    so query-time keyword scoring touches only posting-list candidates
+    instead of scanning and re-tokenizing every document."""
+
+    tokens: DataFrame  # (id, tokens_exact, tokens_stemmed)
+    postings_exact: DataFrame  # (term, ids, df)
+    postings_stemmed: DataFrame  # (term, ids, df)
+
+    def persist(self) -> "KeywordIndex":
+        for df in (self.tokens, self.postings_exact, self.postings_stemmed):
+            df.persist()
+        return self
+
+    def unpersist(self) -> "KeywordIndex":
+        for df in (self.tokens, self.postings_exact, self.postings_stemmed):
+            df.unpersist()
+        return self
+
+
+def build_keyword_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> KeywordIndex:
+    """One-stop ingest-time build: token table + both postings tables. At
+    deployment scale, write all three partitioned/sorted (tokens bucketed by
+    id for the score-join; postings sorted by term for pruned lookups)."""
+    tokens = build_token_table(docs, id_col=id_col, text_col=text_col)
+    return KeywordIndex(
+        tokens=tokens,
+        postings_exact=build_postings(tokens, "tokens_exact"),
+        postings_stemmed=build_postings(tokens, "tokens_stemmed"),
+    )
+
+
 def keyword_search_indexed(
     tokens: DataFrame,
     postings_exact: DataFrame,
     postings_stemmed: DataFrame,
     query: str,
     k: int = 10,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Indexed keyword query: candidates = union of the query terms' posting
     lists (tiny scan), scored by joining back to the candidates' token rows
     only. Returns (id, score) — identical to operators.search.keyword_search
-    on the same corpus."""
+    on the same corpus. ``allowed`` (an ``id`` column) semi-joins a filter
+    predicate into the candidate set, mirroring the reference AND-composing
+    documentId/path filters into the keyword SQL."""
     terms = sorted(set(tokenize_py(query)))
     stems = sorted({stem_py(t) for t in terms})
     if not terms:
@@ -94,6 +138,8 @@ def keyword_search_indexed(
             )
         )
     )
+    if allowed is not None:
+        cand = cand.join(allowed.select("id"), "id", "left_semi")
     n_exact = F.size(F.filter("tokens_exact", lambda t: t.isin(*terms)))
     n_stem = F.size(F.filter("tokens_stemmed", lambda t: t.isin(*stems)))
     raw = F.lit(WEIGHT_EXACT) * n_exact + F.lit(WEIGHT_STEMMED) * n_stem

@@ -1034,9 +1034,18 @@ def hybrid_search(
     predicate: Column | None = None,
     dims: int = 64,
     vectors: DataFrame | None = None,
+    keyword_index=None,
 ) -> DataFrame:
     """End-to-end search over a corpus with text. Mirrors
     HybridSearchService.SearchAsync stage order.
+
+    ``keyword_index`` (an ``operators.keyword_index.KeywordIndex``) is the
+    serving configuration: the keyword branch then scores ONLY the posting
+    lists' candidates from the write-time token table — no per-query corpus
+    re-tokenization — the way the reference serves keyword from the GIN
+    index (KeywordSearchService.cs:73-91). Results are identical to the
+    full-scan branch (the index is a physical structure, not a semantic
+    change); ``hybrid_indexed``'s oracle pins row-equality to ``hybrid_cc``.
 
     The vector branch scans STORED vectors when ``vectors`` (id, embedding)
     is given — the reference architecture (chunk_vectors precomputed at
@@ -1074,8 +1083,23 @@ def hybrid_search(
             vecs = base.select(F.col(id_col).alias("id"), vec_expr.alias("embedding"))
         v_hits = vector_knn(vecs, qv, fetch_k, id_col="id")
     if options.mode in ("Keyword", "Hybrid"):
-        k_hits = keyword_search(base, query, fetch_k, id_col=id_col, text_col=text_col)
-        k_hits = k_hits.withColumnRenamed(id_col, "id") if id_col != "id" else k_hits
+        if keyword_index is not None:
+            from connapse_spark.operators.keyword_index import keyword_search_indexed
+
+            allowed = None
+            if predicate is not None:
+                allowed = base.select(F.col(id_col).alias("id"))
+            k_hits = keyword_search_indexed(
+                keyword_index.tokens,
+                keyword_index.postings_exact,
+                keyword_index.postings_stemmed,
+                query,
+                fetch_k,
+                allowed=allowed,
+            )
+        else:
+            k_hits = keyword_search(base, query, fetch_k, id_col=id_col, text_col=text_col)
+            k_hits = k_hits.withColumnRenamed(id_col, "id") if id_col != "id" else k_hits
 
     if options.mode == "Semantic":
         fused = v_hits.withColumn("source", F.lit("vector"))
@@ -1442,9 +1466,13 @@ def keyword_search_many(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """BATCHED keyword search: answer N queries in ONE job. The corpus
     tokenizes ONCE into (doc, term, tf) postings shared by every query;
+    pass ``tokens`` (the write-time ``keyword_index.build_token_table``
+    output) to skip even that — the batch then reads the pre-tokenized
+    arrays instead of re-running the tokenizer over the text;
     each query contributes only its term rows to two small broadcast
     joins — so the per-query marginal cost is the matched-postings
     aggregation, not a scheduled Spark query. This is the batch-engine
@@ -1470,12 +1498,20 @@ def keyword_search_many(
     qe = spark.createDataFrame(qe_rows, "qid long, t string")
     qs = spark.createDataFrame(qs_rows, "qid long, st string")
 
-    te = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokens_exact_expr(F.col(text_col))).alias("t")
-    ).groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    ts = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokens_stemmed_expr(F.col(text_col))).alias("st")
-    ).groupBy("id", "st").agg(F.count(F.lit(1)).alias("tf"))
+    if tokens is not None:
+        te_src = tokens.select("id", F.explode("tokens_exact").alias("t"))
+        ts_src = tokens.select("id", F.explode("tokens_stemmed").alias("st"))
+    else:
+        te_src = docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_exact_expr(F.col(text_col))).alias("t"),
+        )
+        ts_src = docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens_stemmed_expr(F.col(text_col))).alias("st"),
+        )
+    te = te_src.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    ts = ts_src.groupBy("id", "st").agg(F.count(F.lit(1)).alias("tf"))
 
     ne = te.join(F.broadcast(qe), "t").groupBy("qid", "id").agg(
         F.sum("tf").alias("n_exact")
@@ -1558,6 +1594,7 @@ def hybrid_search_many(
     vec_col: str = "embedding",
     dims: int = 64,
     predicates: dict[int, Column] | None = None,
+    keyword_index=None,
 ) -> DataFrame:
     """BATCHED hybrid search: answer N (qid, query) pairs in ONE corpus
     scan — the amortized-batch regime BASELINE.md scores, extended from
@@ -1590,11 +1627,29 @@ def hybrid_search_many(
     if not queries:
         return _hybrid_many_empty(corpus, id_col)
     k = top_k
+    if keyword_index is not None:
+        # serve the token arrays from the write-time index instead of
+        # re-tokenizing the text in the scan projection; at deployment
+        # scale tokens is bucketed by id next to the corpus so this join
+        # is co-located (no shuffle), and the scan drops the text column
+        # entirely — the batched analogue of GIN serving.
+        corpus = corpus.join(
+            keyword_index.tokens.select(
+                F.col("id").alias("__kid"),
+                F.col("tokens_exact").alias("__te"),
+                F.col("tokens_stemmed").alias("__ts"),
+            ),
+            F.col(id_col) == F.col("__kid"),
+        )
+        te_expr, ts_expr = F.col("__te"), F.col("__ts")
+    else:
+        te_expr = tokens_exact_expr(F.col(text_col))
+        ts_expr = tokens_stemmed_expr(F.col(text_col))
     base_cols = [
         F.col(id_col).alias("id"),
         to_double_array(F.col(vec_col)).alias("_v"),
-        tokens_exact_expr(F.col(text_col)).alias("_te"),
-        tokens_stemmed_expr(F.col(text_col)).alias("_ts"),
+        te_expr.alias("_te"),
+        ts_expr.alias("_ts"),
     ]
     if predicates:
         # evaluated against the ORIGINAL corpus columns, then projected

@@ -306,6 +306,112 @@ def s3_read_objects(
     return listing.select("path").mapInPandas(fetch, "path string, content binary")
 
 
+def s3_put_object(
+    bucket: str,
+    key: str,
+    data: bytes,
+    content_type: str | None = None,
+    endpoint_url: str | None = None,
+) -> dict:
+    """WriteFileAsync, single object (MinioConnector.cs WriteFileAsync:
+    PutObject with optional ContentType). Driver-side — the control-plane
+    write for manifests/small artifacts; bulk data goes through
+    :func:`s3_write_objects`."""
+    c = s3_client(endpoint_url)
+    kw = {"Bucket": bucket, "Key": key, "Body": data}
+    if content_type:
+        kw["ContentType"] = content_type
+    resp = c.put_object(**kw)
+    return {
+        "path": f"s3://{bucket}/{key}",
+        "size_bytes": len(data),
+        "etag": resp.get("ETag", "").strip('"'),
+    }
+
+
+def s3_delete_object(bucket: str, key: str, endpoint_url: str | None = None) -> None:
+    """DeleteFileAsync: S3 DeleteObject is idempotent (no error on a missing
+    key), matching the reference's already-deleted-is-success contract."""
+    s3_client(endpoint_url).delete_object(Bucket=bucket, Key=key)
+
+
+def s3_object_exists(bucket: str, key: str, endpoint_url: str | None = None) -> bool:
+    """ExistsAsync: HEAD the object, 404 → False (MinioConnector.cs
+    ExistsAsync via GetObjectMetadataAsync)."""
+    from botocore.exceptions import ClientError
+
+    try:
+        s3_client(endpoint_url).head_object(Bucket=bucket, Key=key)
+        return True
+    except ClientError as e:
+        if e.response.get("ResponseMetadata", {}).get("HTTPStatusCode") == 404:
+            return False
+        raise
+
+
+def s3_write_objects(
+    files: DataFrame,
+    bucket: str,
+    prefix: str = "",
+    endpoint_url: str | None = None,
+) -> DataFrame:
+    """WriteFileAsync, distributed: the batch twin of s3_read_objects for
+    the WRITE direction (the S4 managed-storage gap carried since r4).
+    Input: (key, content binary[, content_type]); each partition PUTs its
+    objects with its own boto3 client — object bytes never pass through
+    the driver, so a 1000-executor cluster uploads 1000-wide. Returns
+    (path, key, size_bytes, etag) — an upload receipt the caller can join
+    back or feed straight to a listing-delta (sync_delta).
+
+    This is an ACTION-on-collect operator like the read twin: the PUTs
+    happen when the returned frame is materialized; re-materializing would
+    re-upload (PUT is idempotent per key, so the result state is the same —
+    but persist the receipt if it feeds multiple downstream plans)."""
+    import pandas as pd
+
+    ep = endpoint_url
+    pfx = prefix.strip("/")
+    has_ct = "content_type" in files.columns
+    cols = ["key", "content"] + (["content_type"] if has_ct else [])
+
+    def put(batches):
+        c = None
+        for pdf in batches:
+            if c is None:
+                import boto3
+
+                kwargs = {"region_name": "us-east-1"}
+                if ep:
+                    kwargs.update(
+                        endpoint_url=ep,
+                        aws_access_key_id=os.environ.get("AWS_ACCESS_KEY_ID", "test"),
+                        aws_secret_access_key=os.environ.get(
+                            "AWS_SECRET_ACCESS_KEY", "test"
+                        ),
+                    )
+                c = boto3.client("s3", **kwargs)
+            out = {"path": [], "key": [], "size_bytes": [], "etag": []}
+            for row in pdf.itertuples(index=False):
+                key = row.key.lstrip("/")
+                if pfx:
+                    key = f"{pfx}/{key}"
+                body = bytes(row.content)
+                kw = {"Bucket": bucket, "Key": key, "Body": body}
+                ct = getattr(row, "content_type", None)
+                if ct:
+                    kw["ContentType"] = ct
+                resp = c.put_object(**kw)
+                out["path"].append(f"s3://{bucket}/{key}")
+                out["key"].append(key)
+                out["size_bytes"].append(len(body))
+                out["etag"].append(resp.get("ETag", "").strip('"'))
+            yield pd.DataFrame(out)
+
+    return files.select(*cols).mapInPandas(
+        put, "path string, key string, size_bytes long, etag string"
+    )
+
+
 def balance_by_size(listing: DataFrame, n_partitions: int) -> DataFrame:
     """Spread a (path, size_bytes, …) listing across ``n_partitions`` by
     BYTES, not file count: exclusive cumulative sum over size-desc order →

@@ -126,6 +126,44 @@ def test_keyword_indexed_equals_full_scan(spark, sf_dir):
     ]
 
 
+def test_hybrid_served_from_index_equals_full_scan(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
+    idx = keyword_index.build_keyword_index(docs).persist()
+    opts = SearchOptions(top_k=10)
+    full = hybrid_search(docs, QUERY, opts, vectors=emb).collect()
+    served = hybrid_search(docs, QUERY, opts, vectors=emb, keyword_index=idx).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in full]
+    # filtered search: the predicate must reach the indexed candidate set
+    pred = F.col("doc_id") % 2 == 0
+    full_f = hybrid_search(docs, QUERY, opts, vectors=emb, predicate=pred).collect()
+    served_f = hybrid_search(
+        docs, QUERY, opts, vectors=emb, predicate=pred, keyword_index=idx
+    ).collect()
+    assert [tuple(r) for r in served_f] == [tuple(r) for r in full_f]
+    assert all(r["id"] % 2 == 0 for r in served_f)
+    idx.unpersist()
+
+
+def test_batched_tiers_accept_token_table(spark, sf_dir):
+    from connapse_spark.operators.search import hybrid_search_many, keyword_search_many
+
+    docs = _docs(spark, sf_dir).limit(200)
+    idx = keyword_index.build_keyword_index(docs).persist()
+    queries = [(1, QUERY), (2, "fast merge"), (3, "index scan")]
+    kw_full = keyword_search_many(docs, queries, k=5).collect()
+    kw_idx = keyword_search_many(docs, queries, k=5, tokens=idx.tokens).collect()
+    assert [tuple(r) for r in kw_idx] == [tuple(r) for r in kw_full]
+    corpus = docs.join(
+        _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+    )
+    hy_full = hybrid_search_many(corpus, queries, top_k=5).collect()
+    hy_idx = hybrid_search_many(corpus, queries, top_k=5, keyword_index=idx).collect()
+    assert [tuple(r) for r in hy_idx] == [tuple(r) for r in hy_full]
+    idx.unpersist()
+
+
 def test_postings_df_counts(spark, sf_dir):
     docs = _docs(spark, sf_dir).limit(50)
     tokens = keyword_index.build_token_table(docs)
