@@ -68,21 +68,40 @@ def _epoch_us(col: str) -> "F.Column":
     )
 
 
-def epoch_us_any(df: DataFrame, col: str) -> "F.Column":
+def epoch_us_any(df: DataFrame, col: str, unit: str = "auto") -> "F.Column":
     """Epoch micros for a timestamp column of EITHER flavor, without a
     TZ-dependent cast: LTZ instants go through unix_micros (TZ-independent);
     NTZ wall-clocks go through the naive-epoch diff. Shields operators that
     read driver parquet directly (orders.o_orderdate, lineitem.l_shipdate)
-    from the same schema drift load_events absorbs for events.ts."""
+    from the same schema drift load_events absorbs for events.ts.
+
+    Integer columns: pass ``unit`` ("s" | "ms" | "us") when the producer's
+    convention is known — that is always the right call. ``auto`` (the r5
+    ADVICE fix: the old code hard-assumed bigint=micros, misreading an
+    epoch-seconds bigint as ~30 minutes after 1970) resolves per value by
+    magnitude, the pandas ``to_datetime`` convention: |v| < 1e11 → seconds
+    (covers ±3100 AD), < 1e14 → millis, else micros. The bands only
+    misread instants within weeks of 1970 stored in the finer unit —
+    documented, deterministic, and overridable."""
     dt = dict(df.dtypes).get(col)
     if dt == "timestamp":
         return F.unix_micros(F.col(col))
-    if dt == "bigint":  # already epoch micros
-        return F.col(col).cast("long")
-    if dt == "int":
-        # a 32-bit int tops out ~2.1e9 — ~35 MINUTES of epoch micros — so
-        # an int column can only be epoch SECONDS; scale, don't misread
-        return F.col(col).cast("long") * F.lit(1_000_000)
+    if dt in ("bigint", "int"):
+        v = F.col(col).cast("long")
+        scale = {"s": 1_000_000, "ms": 1_000, "us": 1}
+        if unit != "auto":
+            if unit not in scale:
+                raise ValueError(f"epoch_us_any: unit must be one of {sorted(scale)} or 'auto'")
+            return v * F.lit(scale[unit])
+        if dt == "int":
+            # a 32-bit int tops out ~2.1e9 — ~35 MINUTES of epoch micros — so
+            # an int column can only be epoch SECONDS; scale, don't misread
+            return v * F.lit(1_000_000)
+        return (
+            F.when(F.abs(v) < F.lit(100_000_000_000), v * F.lit(1_000_000))
+            .when(F.abs(v) < F.lit(100_000_000_000_000), v * F.lit(1_000))
+            .otherwise(v)
+        )
     return _epoch_us(col)
 
 

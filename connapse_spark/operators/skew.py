@@ -65,15 +65,21 @@ def salted_agg(
     ``aggs`` maps output column name → (agg, input column), with agg in
     {sum, count, min, max, avg, count_distinct, collect_set}.
 
-    ``salt_on`` picks the salt source. The default is row-position
-    round-robin (``monotonically_increasing_id() % n_salts``) — uniform
-    regardless of content, so even a hot key whose rows are
-    byte-identical spreads across all ``n_salts`` sub-keys, and complex
-    column types never enter a hash. Pass a column name when a stable
-    row identity exists and replay-stable task-level determinism matters
-    (the RESULT is identical either way: monoid merges make the answer
-    salt-assignment-independent, which the oracle entry verifies
-    cell-for-cell).
+    ``salt_on`` picks the salt source. The default is a CONTENT hash of
+    the grouping keys plus every monoid input column
+    (``pmod(hash(keys…, inputs…), n_salts)``) — fully deterministic
+    under partition replay. The earlier default
+    (``monotonically_increasing_id() % n_salts``) was the SPARK-23207
+    indeterminate-shuffle class: an executor-loss replay can reorder the
+    recomputed partition, reassign salts, and silently duplicate or lose
+    stage-1 partials in exactly the large-cluster regime this module
+    targets — never acceptable for a default. The trade: rows that are
+    byte-identical IN THE HASHED COLUMNS share one salt bucket, so a hot
+    key whose rows are all identical does not spread; pass ``salt_on``
+    naming any higher-cardinality stable column (an id, an event time)
+    to spread such keys. The RESULT is identical either way: monoid
+    merges make the answer salt-assignment-independent, which the oracle
+    entry verifies cell-for-cell.
     """
     if not aggs:
         raise ValueError("aggs must name at least one aggregate")
@@ -88,11 +94,13 @@ def salted_agg(
 
     base: DataFrame | None = None
     if monoid:
-        salt: Column = (
-            F.pmod(F.hash(F.col(salt_on)), F.lit(n_salts))
-            if salt_on is not None
-            else F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
-        )
+        if salt_on is not None:
+            salt: Column = F.pmod(F.hash(F.col(salt_on)), F.lit(n_salts))
+        else:
+            hashed = list(
+                dict.fromkeys(keys + [c for _, (_, c) in sorted(monoid.items()) if c != "*"])
+            )
+            salt = F.pmod(F.hash(*[F.col(c) for c in hashed]), F.lit(n_salts))
         salted = df.withColumn("_salt", salt)
         partials, merges = [], []
         for out, (agg, col) in monoid.items():

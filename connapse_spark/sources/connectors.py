@@ -525,11 +525,16 @@ def _azure_request(
         "x-ms-date": formatdate(usegmt=True),
         "x-ms-version": AZURE_API_VERSION,
     }
+    # Sign the path AS SENT ON THE WIRE (percent-encoded): the service
+    # reconstructs the canonicalized resource from the request URI, so a
+    # blob name needing encoding (space, unicode) must sign its encoded
+    # form — signing the raw path 403s on exactly those names (r5 ADVICE).
+    wire_path = urllib.parse.quote(path)
     headers["Authorization"] = azure_shared_key_auth(
-        "GET", path, query, headers, account, key_b64
+        "GET", wire_path, query, headers, account, key_b64
     )
     qs = urllib.parse.urlencode(query)
-    url = f"{endpoint}{urllib.parse.quote(path)}" + (f"?{qs}" if qs else "")
+    url = f"{endpoint}{wire_path}" + (f"?{qs}" if qs else "")
     req = urllib.request.Request(url, headers=headers, method="GET")
     with urllib.request.urlopen(req, timeout=30) as resp:
         return resp.read()

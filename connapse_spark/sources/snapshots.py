@@ -19,8 +19,12 @@ travel) and scan EXACTLY its file list: half-written commits, orphans
 from crashed jobs, and concurrent staging directories are invisible by
 construction, because visibility comes from the manifest, not from
 directory listing. Old versions stay readable until a retention pass
-deletes their files (not implemented — retention is policy, the commit
-protocol is mechanism).
+deletes their files — retention is policy layered on the mechanism:
+``vacuum_snapshot`` (keep the newest N versions) and
+``expire_snapshots`` (expire versions older than an age, Iceberg's
+expire_snapshots shape); both delete only data files no RETAINED
+manifest references, so pinned reads within the retained window never
+break mid-scan.
 
 At 100 TB this is the difference between "the compaction job crashed
 halfway and the table is now double-counted" and "version N is still
@@ -466,15 +470,66 @@ def vacuum_snapshot(
 
     Returns {"removed_versions": [...], "removed_files": n,
     "kept_versions": [...]} — time travel keeps working within the
-    retained window and fails loudly (missing manifest) outside it."""
+    retained window and fails loudly (missing manifest) outside it.
+
+    ``keep_last`` must be ≥ 1: retention trims HISTORY, it never deletes
+    the table — keep_last=0 would drop every manifest including the
+    current version (the r5 ADVICE foot-gun). Deleting a table is a
+    different intent; do it explicitly on the directory."""
+    if keep_last < 1:
+        raise ValueError(
+            "vacuum_snapshot: keep_last must be >= 1 — retention keeps the "
+            "table's current version by definition; to delete the whole "
+            "table remove its directory explicitly"
+        )
     import time
 
     cutoff = time.time() - min_age_seconds
-    latest = latest_version(table_dir)
-    if latest is None:
-        return {"removed_versions": [], "removed_files": 0, "kept_versions": []}
     all_versions = _list_versions(table_dir)
-    kept = all_versions[-keep_last:] if keep_last > 0 else []
+    if not all_versions:
+        return {"removed_versions": [], "removed_files": 0, "kept_versions": []}
+    kept = all_versions[-keep_last:]
+    return _reap(table_dir, kept, cutoff)
+
+
+def expire_snapshots(
+    table_dir: str,
+    older_than_seconds: float,
+    keep_last: int = 1,
+    min_age_seconds: float = 24 * 3600,
+) -> dict:
+    """AGE-based retention (Iceberg ``expire_snapshots`` shape): expire
+    every version whose manifest was committed more than
+    ``older_than_seconds`` ago, but ALWAYS retain the newest ``keep_last``
+    (≥ 1) regardless of age — an idle table never loses its current
+    version. Data files referenced by any retained manifest survive
+    (pinned-read safety: time travel within the retained window keeps
+    working); the ``min_age_seconds`` in-flight guard from
+    :func:`vacuum_snapshot` applies to unreferenced data files. Composes
+    with vacuum_snapshot — run either or both on any cadence."""
+    if keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    import time
+
+    now = time.time()
+    age_cutoff = now - older_than_seconds
+    all_versions = _list_versions(table_dir)
+    if not all_versions:
+        return {"removed_versions": [], "removed_files": 0, "kept_versions": []}
+    always = set(all_versions[-keep_last:])
+    kept = [
+        v
+        for v in all_versions
+        if v in always or os.path.getmtime(_manifest_path(table_dir, v)) >= age_cutoff
+    ]
+    return _reap(table_dir, kept, now - min_age_seconds)
+
+
+def _reap(table_dir: str, kept: list[int], file_cutoff: float) -> dict:
+    """Shared retention core: drop every manifest not in ``kept``, then
+    delete data files that (a) no retained manifest references and
+    (b) are older than ``file_cutoff`` (the in-flight commit guard)."""
+    all_versions = _list_versions(table_dir)
     dropped = [v for v in all_versions if v not in kept]
     referenced = {
         e["path"] for v in kept for e in load_manifest(table_dir, v)["files"]
@@ -489,7 +544,7 @@ def vacuum_snapshot(
                 full = os.path.join(root, f)
                 if (
                     os.path.relpath(full, table_dir) not in referenced
-                    and os.path.getmtime(full) < cutoff
+                    and os.path.getmtime(full) < file_cutoff
                 ):
                     os.unlink(full)
                     removed_files += 1
@@ -500,7 +555,7 @@ def vacuum_snapshot(
     return {
         "removed_versions": dropped,
         "removed_files": removed_files,
-        "kept_versions": kept,
+        "kept_versions": list(kept),
     }
 
 
@@ -665,6 +720,26 @@ def apply_changes(
     )
 
 
+def _uri_to_table_rel(p: str, table_dir: str) -> str:
+    """``_metadata.file_path`` URI → table-relative manifest path. Handles
+    file:/abs, file:///abs, percent-encoded characters, and bare paths; any
+    OTHER scheme fails loudly instead of producing a nonsense relpath (the
+    r5 ADVICE scheme-handling gap — this snapshot layer is local-filesystem
+    based by construction: os.link is its commit primitive)."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(p)
+    if u.scheme == "file":
+        return os.path.relpath(unquote(u.path), table_dir)
+    if u.scheme == "":
+        return os.path.relpath(p, table_dir)
+    raise ValueError(
+        f"snapshot layer: unsupported file URI scheme '{u.scheme}' in {p!r}; "
+        "manifest-committed tables live on a local/POSIX filesystem "
+        "(os.link is the commit primitive)"
+    )
+
+
 def _cow_commit(
     spark: SparkSession,
     table_dir: str,
@@ -717,12 +792,7 @@ def _cow_commit(
     # _metadata.file_path is a URI (file:/...), manifest paths are
     # table-relative plain paths
     bases: dict[str, list[dict]] = {rel_dir: new_entries}
-    abs_touched = {
-        os.path.relpath(
-            p[len("file:"):] if p.startswith("file:") else p, table_dir
-        )
-        for p in touched
-    }
+    abs_touched = {_uri_to_table_rel(p, table_dir) for p in touched}
     for base, fs in _manifest_bases(m).items():
         kept = [e for e in fs if e["path"] not in abs_touched]
         if kept:

@@ -75,7 +75,9 @@ def _make_server(store: _BlobStore, page_size: int = 2):
             if self.headers.get("Authorization") != want:
                 store.auth_failures += 1
                 return self._fail(403, b"signature mismatch")
-            segs = parsed.path.lstrip("/").split("/", 1)
+            # store lookup uses the DECODED name (a real service decodes the
+            # URI path); the signature check above used the wire path
+            segs = urllib.parse.unquote(parsed.path).lstrip("/").split("/", 1)
             if query.get("comp") == "list":
                 return self._list(segs[0], query)
             if len(segs) == 2 and (segs[0], segs[1]) in store.blobs:
@@ -168,6 +170,26 @@ def test_azure_read_blobs_distributed_roundtrip(spark, azure_env):
         for (c, n), b in store.blobs.items()
         if n.startswith("docs/")
     }
+
+
+def test_azure_encoded_blob_name_signs_and_fetches(spark, azure_env):
+    """A blob name that needs percent-encoding (space, unicode): the
+    connector must sign the ENCODED wire path — signing the raw path
+    403s on exactly these names (r5 ADVICE connectors.py:426)."""
+    store, ep = azure_env
+    store.blobs[("corpus", "docs/with space é.txt")] = b"encoded name body"
+    try:
+        listing = connectors.azure_list_blobs(
+            spark, ACCOUNT, "corpus", KEY_B64, prefix="docs/with", endpoint_url=ep
+        )
+        fetched = connectors.azure_read_blobs(
+            listing, ACCOUNT, KEY_B64, endpoint_url=ep
+        ).collect()
+        assert len(fetched) == 1
+        assert bytes(fetched[0]["content"]) == b"encoded name body"
+        assert store.auth_failures == 0
+    finally:
+        del store.blobs[("corpus", "docs/with space é.txt")]
 
 
 def test_azure_bad_key_is_rejected_by_signature_check(spark, azure_env):

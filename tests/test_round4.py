@@ -446,6 +446,33 @@ def test_epoch_us_any_int_column_is_seconds(spark):
     assert got64 == 1_700_000_000_000_000
 
 
+def test_epoch_us_any_bigint_magnitude_bands_and_explicit_unit(spark):
+    """r5 ADVICE fix: a bigint column is no longer hard-assumed micros —
+    auto mode resolves per value by magnitude (seconds / millis / micros),
+    and an explicit unit always wins."""
+    import pytest as _pytest
+
+    from connapse_spark.operators.events import epoch_us_any
+
+    df = spark.createDataFrame(
+        [(1_700_000_000,), (1_700_000_000_000,), (1_700_000_000_000_000,)],
+        "ts bigint",
+    )
+    got = sorted(r["us"] for r in df.select(epoch_us_any(df, "ts").alias("us")).collect())
+    # all three encodings of the same instant resolve identically
+    assert got == [1_700_000_000_000_000] * 3
+    forced = sorted(
+        r["us"] for r in df.select(epoch_us_any(df, "ts", unit="ms").alias("us")).collect()
+    )
+    assert forced == [
+        1_700_000_000 * 1_000,
+        1_700_000_000_000 * 1_000,
+        1_700_000_000_000_000 * 1_000,
+    ]
+    with _pytest.raises(ValueError, match="unit"):
+        epoch_us_any(df, "ts", unit="ns")
+
+
 def test_unsupported_image_variant_routes_to_stub_with_label(spark):
     """A progressive JPEG (supported format, unsupported variant) must get
     deterministic stub features per the module contract — labeled, so the

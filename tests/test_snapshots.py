@@ -118,6 +118,68 @@ def test_vacuum_keeps_shared_files_and_retained_versions(spark, sf_dir, tmp_path
         snapshots.load_manifest(t, version=0)
 
 
+def test_vacuum_refuses_keep_last_zero(spark, sf_dir, tmp_path):
+    """Retention trims history; it must never delete the current version
+    (the r5 ADVICE keep_last=0 foot-gun)."""
+    t = str(tmp_path / "tbl")
+    snapshots.commit_snapshot(_orders(spark, sf_dir).limit(5), t)
+    with pytest.raises(ValueError, match="keep_last"):
+        snapshots.vacuum_snapshot(t, keep_last=0, min_age_seconds=0)
+    with pytest.raises(ValueError, match="keep_last"):
+        snapshots.expire_snapshots(t, older_than_seconds=0, keep_last=0)
+    # table untouched after the refused calls
+    assert snapshots.read_snapshot(spark, t).count() == 5
+
+
+def test_expire_snapshots_by_age_keeps_pinned_window(spark, sf_dir, tmp_path):
+    """Age-based expiry: versions older than the horizon go, the newest
+    keep_last always stay (idle-table safety), retained time travel is
+    intact, expired versions fail loudly."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir)
+    snapshots.commit_snapshot(orders.limit(20), t)                   # v0
+    snapshots.commit_snapshot(orders.limit(5), t, mode="append")     # v1
+    snapshots.commit_snapshot(orders.limit(7), t, mode="overwrite")  # v2
+    # age v0/v1 manifests into the past; v2 stays fresh
+    for v in (0, 1):
+        p = snapshots._manifest_path(t, v)
+        os.utime(p, (os.path.getmtime(p) - 7200, os.path.getmtime(p) - 7200))
+    report = snapshots.expire_snapshots(
+        t, older_than_seconds=3600, keep_last=1, min_age_seconds=0
+    )
+    assert report["removed_versions"] == [0, 1]
+    assert report["kept_versions"] == [2]
+    assert snapshots.read_snapshot(spark, t).count() == 7
+    with pytest.raises(FileNotFoundError):
+        snapshots.load_manifest(t, version=1)
+    # everything old on an IDLE table: the current version still survives
+    p = snapshots._manifest_path(t, 2)
+    os.utime(p, (os.path.getmtime(p) - 7200, os.path.getmtime(p) - 7200))
+    report = snapshots.expire_snapshots(
+        t, older_than_seconds=3600, keep_last=1, min_age_seconds=0
+    )
+    assert report["removed_versions"] == []
+    assert snapshots.read_snapshot(spark, t).count() == 7
+
+
+def test_expire_composes_with_vacuum(spark, sf_dir, tmp_path):
+    """expire (age policy) then vacuum (count policy) on the same table:
+    both reap through the shared core, shared files survive as long as a
+    retained manifest lists them."""
+    t = str(tmp_path / "tbl")
+    orders = _orders(spark, sf_dir)
+    for i in range(4):
+        snapshots.commit_snapshot(orders.limit(5 + i), t, mode="append" if i else "overwrite")
+    for v in (0, 1):
+        p = snapshots._manifest_path(t, v)
+        os.utime(p, (os.path.getmtime(p) - 7200, os.path.getmtime(p) - 7200))
+    snapshots.expire_snapshots(t, older_than_seconds=3600, keep_last=1, min_age_seconds=0)
+    report = snapshots.vacuum_snapshot(t, keep_last=1, min_age_seconds=0)
+    assert report["kept_versions"] == [3]
+    # v3 is an append lineage over v0..v2 data: its read must be intact
+    assert snapshots.read_snapshot(spark, t).count() == 5 + 6 + 7 + 8
+
+
 def test_partitioned_commit_preserves_pruning(spark, sf_dir, tmp_path):
     """A list_id-partitioned index committed through the snapshot layer
     keeps the layout-as-index property: partition columns come back on
