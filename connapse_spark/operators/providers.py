@@ -42,9 +42,13 @@ def http_post_json(
     api_key: str | None = None,
     timeout: float = 60.0,
     max_retries: int = 3,
+    api_key_header: str = "Authorization",
 ) -> dict:
     """One JSON POST with the shared retry policy: 5xx/connection errors
-    back off exponentially (0.1·2^attempt); 4xx fail fast."""
+    back off exponentially (0.1·2^attempt); 4xx fail fast.
+    ``api_key_header``: "Authorization" sends ``Bearer <key>`` (Cohere/
+    Jina/Voyage/OpenAI); any other header name (Azure's ``api-key``)
+    sends the raw key."""
     import json
     import time
     import urllib.error
@@ -53,7 +57,10 @@ def http_post_json(
     body = json.dumps(payload).encode("utf-8")
     headers = {"Content-Type": "application/json"}
     if api_key:
-        headers["Authorization"] = f"Bearer {api_key}"
+        if api_key_header == "Authorization":
+            headers["Authorization"] = f"Bearer {api_key}"
+        else:
+            headers[api_key_header] = api_key
     for attempt in range(max_retries + 1):
         try:
             req = urllib.request.Request(url, data=body, headers=headers, method="POST")
@@ -69,6 +76,85 @@ def http_post_json(
     raise AssertionError("unreachable")
 
 
+def foundry_rerank_url(base_url: str, model: str | None = None) -> str:
+    """Azure AI Foundry endpoint routing
+    (AzureAIFoundryCrossEncoderProvider.BuildRerankUrl): a full Target URI
+    containing ``/rerank`` passes through; an AI-Services gateway
+    (``.services.ai.azure.com``) routes ``/providers/{slug}/v2/rerank``
+    with the slug inferred from the model name; model-specific deployments
+    use Cohere-native ``/v1/rerank``."""
+    trimmed = base_url.rstrip("/")
+    if "/rerank" in trimmed.lower():
+        return trimmed
+    if ".services.ai.azure.com" in trimmed.lower():
+        slug = "cohere"
+        if model and model.lower().startswith("jina"):
+            slug = "jina"
+        return f"{trimmed}/providers/{slug}/v2/rerank"
+    return f"{trimmed}/v1/rerank"
+
+
+def azure_openai_url(endpoint: str, deployment: str, api_version: str = "2024-06-01") -> str:
+    """Azure OpenAI deployment-URL routing (the REST form of what
+    AzureOpenAiLlmProvider.cs builds through the SDK): chat completions
+    live under /openai/deployments/{deployment}/chat/completions with an
+    api-version query parameter."""
+    return (
+        f"{endpoint.rstrip('/')}/openai/deployments/{deployment}"
+        f"/chat/completions?api-version={api_version}"
+    )
+
+
+# rerank request/response wire shapes per provider style. Each entry:
+# (payload builder, results extractor, score field, api-key header)
+_RERANK_STYLES = {
+    # Cohere/Jina /v1/rerank (CohereCrossEncoderProvider.cs,
+    # JinaCrossEncoderProvider.cs)
+    "cohere": (
+        lambda model, query, batch: {
+            "model": model, "query": query, "documents": batch,
+            "top_n": len(batch),
+        },
+        lambda resp: resp["results"],
+        "relevance_score",
+        "Authorization",
+    ),
+    # HuggingFace text-embeddings-inference /rerank
+    # (TeiCrossEncoderProvider.cs: {query, texts, raw_scores} → top-level
+    # [{index, score}] list; no model field — the server IS the model)
+    "tei": (
+        lambda model, query, batch: {
+            "query": query, "texts": batch, "raw_scores": False,
+        },
+        lambda resp: resp,
+        "score",
+        "Authorization",
+    ),
+    # Voyage /v1/rerank (VoyageCrossEncoderProvider.cs: top_k request
+    # field, results under "data")
+    "voyage": (
+        lambda model, query, batch: {
+            "model": model, "query": query, "documents": batch,
+            "top_k": len(batch),
+        },
+        lambda resp: resp["data"],
+        "relevance_score",
+        "Authorization",
+    ),
+    # Azure AI Foundry (AzureAIFoundryCrossEncoderProvider.cs: Cohere
+    # body, api-key header auth; pair with foundry_rerank_url)
+    "azure_foundry": (
+        lambda model, query, batch: {
+            "model": model, "query": query, "documents": batch,
+            "top_n": len(batch),
+        },
+        lambda resp: resp["results"],
+        "relevance_score",
+        "api-key",
+    ),
+}
+
+
 def http_rerank_scorer(
     query: str,
     endpoint: str,
@@ -78,19 +164,28 @@ def http_rerank_scorer(
     timeout: float = 60.0,
     max_retries: int = 3,
     content_col: str = "content",
+    style: str = "cohere",
 ) -> Column:
     """A ``scorer`` Column for :func:`search.rerank`: an Arrow-batched
-    pandas UDF that sends each batch's contents as one ``/v1/rerank``
-    call (documents list + the fixed query) and maps the returned
-    (index, relevance_score) pairs back to row order. Results the
-    provider omits score NULL — ``rerank`` then drops them, exactly the
-    reference's scoredHits behavior. The hit set is top-k-sized, so this
-    costs per-HIT, never per-corpus.
+    pandas UDF that sends each batch's contents as one rerank call
+    (documents list + the fixed query) and maps the returned
+    (index, score) pairs back to row order. ``style`` picks the wire
+    shape — "cohere" (also Jina), "tei", "voyage", "azure_foundry" — the
+    reference's 5-provider family (Reranking/Providers/*.cs); all four
+    share index-addressed results, so the mapping logic is one code
+    path. Results the provider omits score NULL — ``rerank`` then drops
+    them, exactly the reference's scoredHits behavior. The hit set is
+    top-k-sized, so this costs per-HIT, never per-corpus.
 
     Cost note: a global ``orderBy`` downstream samples its input to pick
     range bounds, which re-runs the scoring — when provider calls are
     billed, ``.persist()`` the scored frame (or ``coalesce(1)`` the
     k-sized hits so the sort is single-partition) before ordering."""
+    if style not in _RERANK_STYLES:
+        raise ValueError(
+            f"unknown rerank style: {style} (choose from {sorted(_RERANK_STYLES)})"
+        )
+    build, extract, score_field, key_header = _RERANK_STYLES[style]
 
     @F.pandas_udf(DoubleType())
     def _score(contents: pd.Series) -> pd.Series:
@@ -100,16 +195,16 @@ def http_rerank_scorer(
             batch = docs[at : at + batch_size]
             resp = http_post_json(
                 endpoint,
-                {"model": model, "query": query, "documents": batch,
-                 "top_n": len(batch)},
+                build(model, query, batch),
                 api_key=api_key, timeout=timeout, max_retries=max_retries,
+                api_key_header=key_header,
             )
             scores: list[float | None] = [None] * len(batch)
-            for r in resp["results"]:
+            for r in extract(resp):
                 i = int(r["index"])
                 if not 0 <= i < len(batch):
                     raise ValueError(f"rerank result index {i} out of range")
-                scores[i] = float(r["relevance_score"])
+                scores[i] = float(r[score_field])
             out.extend(scores)
         return pd.Series(out, dtype="float64")
 
@@ -132,8 +227,12 @@ def http_llm_provider(
     single-prompt; the pandas-UDF batching amortizes the Python↔JVM hop,
     not the provider round-trips, same as the reference's per-request
     provider calls). ``style`` picks the request/response shape:
-    ``"ollama"`` (/api/generate) or ``"openai"`` (/v1/chat/completions)."""
-    if style not in ("ollama", "openai"):
+    ``"ollama"`` (/api/generate), ``"openai"`` (/v1/chat/completions,
+    Bearer auth), or ``"azure_openai"`` (AzureOpenAiLlmProvider.cs:
+    same chat body/response as openai but the deployment IS the route —
+    build ``endpoint`` with :func:`azure_openai_url` — the model field is
+    omitted and auth is the raw ``api-key`` header)."""
+    if style not in ("ollama", "openai", "azure_openai"):
         raise ValueError(f"unknown provider style: {style}")
 
     def complete_one(prompt: str) -> str:
@@ -144,6 +243,14 @@ def http_llm_provider(
                 api_key=api_key, timeout=timeout, max_retries=max_retries,
             )
             return str(resp["response"])
+        if style == "azure_openai":
+            resp = http_post_json(
+                endpoint,
+                {"messages": [{"role": "user", "content": prompt}]},
+                api_key=api_key, timeout=timeout, max_retries=max_retries,
+                api_key_header="api-key",
+            )
+            return str(resp["choices"][0]["message"]["content"])
         resp = http_post_json(
             endpoint,
             {"model": model,

@@ -107,6 +107,111 @@ def test_rerank_scorer_batches(spark, rerank_server):
 
 
 @pytest.fixture()
+def multi_style_rerank_server():
+    """One server speaking all three non-Cohere rerank wire shapes, each
+    verified against its reference provider (TeiCrossEncoderProvider.cs,
+    VoyageCrossEncoderProvider.cs, AzureAIFoundryCrossEncoderProvider.cs)."""
+    log = _Log()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            payload = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            log.requests.append((self.path, dict(self.headers), payload))
+            if self.path == "/rerank":  # TEI: {query, texts} → top-level list
+                assert "texts" in payload and "model" not in payload
+                _json_response(
+                    self,
+                    [
+                        {"index": i, "score": len(d) / 100.0}
+                        for i, d in enumerate(payload["texts"])
+                    ],
+                )
+            elif self.path == "/v1/rerank" and "top_k" in payload:  # Voyage
+                _json_response(
+                    self,
+                    {"data": [
+                        {"index": i, "relevance_score": len(d) / 100.0}
+                        for i, d in enumerate(payload["documents"])
+                    ]},
+                )
+            else:  # Azure AI Foundry: Cohere body, api-key auth
+                if self.headers.get("api-key") != "foundry-secret":
+                    self.send_response(401)
+                    self.end_headers()
+                    return
+                _json_response(
+                    self,
+                    {"results": [
+                        {"index": i, "relevance_score": len(d) / 100.0}
+                        for i, d in enumerate(payload["documents"])
+                    ]},
+                )
+
+        def log_message(self, *a):
+            pass
+
+    srv, url = _serve(Handler)
+    yield log, url
+    srv.shutdown()
+
+
+def test_rerank_styles_tei_voyage_foundry(spark, multi_style_rerank_server):
+    log, url = multi_style_rerank_server
+    df = spark.createDataFrame(
+        [(1, "a" * 30), (2, "b" * 50)], "id long, content string"
+    ).coalesce(1)
+
+    for style, path, key in (
+        ("tei", "/rerank", None),
+        ("voyage", "/v1/rerank", "vk"),
+        ("azure_foundry", "/v2/rerank", "foundry-secret"),
+    ):
+        got = {
+            r["id"]: r["s"]
+            for r in df.select(
+                "id",
+                http_rerank_scorer("q", url + path, api_key=key, style=style).alias("s"),
+            ).collect()
+        }
+        assert got == {1: 0.30, 2: 0.50}, style
+
+    # wire assertions: TEI sent texts/raw_scores; Voyage sent top_k;
+    # Foundry used Bearer-less api-key auth (asserted server-side by the
+    # 401 gate) while Voyage sent a Bearer token
+    tei = next(p for path, h, p in log.requests if path == "/rerank")
+    assert tei["raw_scores"] is False
+    voy_headers = next(h for path, h, p in log.requests if path == "/v1/rerank")
+    assert voy_headers.get("Authorization") == "Bearer vk"
+
+    with pytest.raises(ValueError, match="style"):
+        http_rerank_scorer("q", url, style="grpc")
+
+
+def test_foundry_rerank_url_routing():
+    from connapse_spark.operators.providers import foundry_rerank_url
+
+    # full Target URI passes through
+    assert (
+        foundry_rerank_url("https://x.models.ai.azure.com/v1/rerank/")
+        == "https://x.models.ai.azure.com/v1/rerank"
+    )
+    # AI-Services gateway routes per provider slug inferred from model
+    assert (
+        foundry_rerank_url("https://r.services.ai.azure.com", "Cohere-rerank-v4.0")
+        == "https://r.services.ai.azure.com/providers/cohere/v2/rerank"
+    )
+    assert (
+        foundry_rerank_url("https://r.services.ai.azure.com", "jina-reranker-v3")
+        == "https://r.services.ai.azure.com/providers/jina/v2/rerank"
+    )
+    # model deployment defaults to Cohere-native /v1/rerank
+    assert (
+        foundry_rerank_url("https://dep.models.ai.azure.com")
+        == "https://dep.models.ai.azure.com/v1/rerank"
+    )
+
+
+@pytest.fixture()
 def llm_server():
     log = _Log()
 
@@ -119,6 +224,7 @@ def llm_server():
                 self.end_headers()
                 return
             log.requests.append((self.path, payload))
+            log.last_headers = dict(self.headers)
             if self.path.endswith("/api/generate"):
                 _json_response(
                     self, {"response": f"echo[{payload['prompt'][:20]}]"}
@@ -155,6 +261,28 @@ def test_llm_provider_ollama_and_openai_styles(llm_server):
 
     with pytest.raises(ValueError, match="style"):
         http_llm_provider(url, style="soap-xml")
+
+
+def test_llm_provider_azure_openai_style(llm_server):
+    """AzureOpenAiLlmProvider.cs semantics over REST: deployment-routed
+    URL (azure_openai_url), raw api-key header, NO model field in the
+    body (the deployment IS the model)."""
+    import pandas as pd
+
+    from connapse_spark.operators.providers import azure_openai_url
+
+    log, url = llm_server
+    ep = azure_openai_url(url, "gpt4-deploy", api_version="2024-06-01")
+    assert ep == url + "/openai/deployments/gpt4-deploy/chat/completions?api-version=2024-06-01"
+    p = http_llm_provider(ep, style="azure_openai", api_key="az-secret")
+    out = p(pd.Series(["hello from azure!!!"]))
+    assert out[0] == "chat[hello from azure!!!]"
+    path, payload = log.requests[-1]
+    assert "/openai/deployments/gpt4-deploy/chat/completions" in path
+    assert "model" not in payload
+    hl = {k.lower(): v for k, v in log.last_headers.items()}
+    assert hl.get("api-key") == "az-secret"
+    assert "authorization" not in hl
 
 
 def test_llm_provider_retries_then_succeeds(llm_server):
