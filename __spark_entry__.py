@@ -1684,21 +1684,77 @@ def _sql_chunk_sentence_aware() -> str:
 
 
 def q_ingest_stats(spark, sf_dir):
-    """Full §3.3 pipeline (UDF chunker → embed-cache anti-join → hash embed):
-    per-document summary. Pandas-UDF chunking is not SQL-expressible —
-    rows-only check."""
+    """Full §3.3 pipeline (UDF chunker → embed-cache anti-join → hash
+    embed), HASH-CHECKED via its invariant projection (r5 ask #8 — was
+    rows-only): the pandas-UDF chunker's per-chunk output is not
+    SQL-expressible, but its OFFSET CONTRACT is — chunks tile the stripped
+    document exactly, so per document min(start_offset) must equal the
+    leading-whitespace length and max(end_offset) the rstripped length,
+    both computable by DuckDB from the raw text. The boolean invariants
+    pin the vector side (one vector per chunk, nothing cache-served
+    without a cache) and token coverage (chunk token_count sums to at
+    least the document's own BPE-token count — chunks cover every token,
+    overlap only adds). This doubles as the pipeline-level regression
+    test for the r5 chunk_recursive offset bug: a single corrupted
+    start_offset=-1 flips cover_start and the hash."""
     docs = _t(spark, sf_dir, "documents")
     chunks, vectors = ingest(docs)
-    return ingest_stats(chunks, vectors)
+    stats = ingest_stats(chunks, vectors)
+    cover = chunks.groupBy("document_id").agg(
+        F.min("start_offset").cast("long").alias("cover_start"),
+        F.max("end_offset").cast("long").alias("cover_end"),
+    )
+    doc_tokens = docs.select(
+        F.col("doc_id").alias("document_id"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        ).alias("_doc_tokens"),
+    )
+    return (
+        stats.join(cover, "document_id")
+        .join(doc_tokens, "document_id")
+        .select(
+            "document_id",
+            "cover_start",
+            "cover_end",
+            (F.col("total_vectors") == F.col("chunk_count")).alias("vectors_complete"),
+            (F.col("cached_vectors") == F.lit(0)).alias("all_embedded"),
+            (F.col("token_sum") >= F.col("_doc_tokens")).alias("token_sum_covers"),
+            "status",
+        )
+        .orderBy("document_id")
+    )
+
+
+def _sql_ingest_stats() -> str:
+    """DuckDB mirror of the UDF-tier invariants, computed from the raw
+    text alone: the chunker must tile [leading-ws, rstrip-length)."""
+    ws = " \\t\\n\\r\\f"
+    return f"""
+SELECT doc_id AS document_id,
+       CAST(length(text) - length(regexp_replace(text, '^[{ws}]+', '')) AS BIGINT)
+         AS cover_start,
+       CAST(length(regexp_replace(text, '[{ws}]+$', '')) AS BIGINT) AS cover_end,
+       TRUE AS vectors_complete,
+       TRUE AS all_embedded,
+       TRUE AS token_sum_covers,
+       'Ready' AS status
+FROM documents
+WHERE text IS NOT NULL AND regexp_matches(text, '[^{ws}]')
+ORDER BY document_id
+""".strip()
 
 
 def q_ingest_stats_native(spark, sf_dir):
     """Fully ORACLE-CHECKED ingest-pipeline twin: native recursive
     chunker → content hash → JVM hash-embedder → per-document summary.
-    The UDF-tier ingest_stats keeps its rows-only declaration; this twin
-    puts the same chunk→hash→embed→summarize COMPOSITION under the
-    value-hash gate end to end (embedding inclusion is pinned by an
-    order-free integer micro-sum of each vector's head component)."""
+    This twin puts the chunk→hash→embed→summarize COMPOSITION under the
+    value-hash gate with exact per-chunk values (embedding inclusion is
+    pinned by an order-free integer micro-sum of each vector's head
+    component); the UDF-tier ingest_stats is hash-checked too since r6,
+    via its offset/coverage invariant projection."""
     from connapse_spark.functions.embed import embed_expr
 
     para = F.concat_ws(
@@ -2384,6 +2440,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_seeded": ivf.sql_ann_ivf_seeded(_embed_query(), k=10, nprobe=3, n_lists=8),
         "ivf_drift": ivf.sql_ivf_drift_seeded(n_lists=8),
         "ingest_stats_native": _sql_ingest_stats_native(),
+        "ingest_stats": _sql_ingest_stats(),
         "postings_upsert": _sql_postings_upsert(),
         "ann_ivfpq": pq.sql_ann_ivfpq(_embed_query(), k=10, nprobe=3, n_lists=8),
         "pq_recall": pq.sql_pq_recall(k=10),
