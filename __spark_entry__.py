@@ -2193,15 +2193,65 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver checks the FIRST ~50 entries. Ordering invariant
-        # --- (r5 rotation, VERDICT r4 ask #1): the 35 queries whose last
-        # --- driver-green row dates to round 2 lead the window (keyword
-        # --- variants, semantic/mean-pool, the neardup/dedup block, the
-        # --- whole r2 textstats/sampling block); the remaining 15 seats
-        # --- back-fill with the stalest r3-greens (chunkers, parser
-        # --- dispatch, IVF/PQ variants). New r5 entries are inserted at
-        # --- the very top as they land.
-        # --- r6 NEW entries (lead the window):
+        # --- (r6 rotation, VERDICT r5 ask #9): seats 1-12 are the round-6
+        # --- NEW or CODE-CHANGED entries (hybrid_indexed, the upgraded
+        # --- ingest_stats invariant oracle, the rewritten chunkers, the
+        # --- new-default salted_agg, the keyword-index-touched hybrid
+        # --- batch family); seats 13-37 are every remaining entry whose
+        # --- last driver-green row dates to round 3; seats 38-50 back-fill
+        # --- with the stalest r4-greens. Everything below seat 50 is
+        # --- r4/r5-green and rotates forward next round.
         "hybrid_indexed": q_hybrid_indexed,
+        "ingest_stats": q_ingest_stats,
+        "ann_ivf": q_ann_ivf,
+        "chunk_recursive": q_chunk_recursive,
+        "chunk_sentence_aware": q_chunk_sentence_aware,
+        "chunk_doc_aware": q_chunk_doc_aware,
+        "salted_agg": q_salted_agg,
+        "hybrid_cc": q_hybrid_cc,
+        "keyword_many": q_keyword_many,
+        "hybrid_many": q_hybrid_many,
+        "hybrid_many_filtered": q_hybrid_many_filtered,
+        "hybrid_many_fast": q_hybrid_many_fast,
+        "pq_topk": q_pq_topk,
+        "bloom_contamination": q_bloom_contamination,
+        "ann_ivfpq": q_ann_ivfpq,
+        "quality_sample": q_quality_sample,
+        "cdc_chunks": q_cdc_chunks,
+        "cms_hitters": q_cms_hitters,
+        "distinct_sketch": q_distinct_sketch,
+        "retention": q_retention,
+        "value_percentiles": q_value_percentiles,
+        "neardup_incremental": q_neardup_incremental,
+        "props_extract": q_props_extract,
+        "embedding_hygiene": q_embedding_hygiene,
+        "bpe_merges": q_bpe_merges,
+        "zorder_key": q_zorder_key,
+        "quality_logit": q_quality_logit,
+        "asof_attribution": q_asof_attribution,
+        "events_rollup": q_events_rollup,
+        "url_canonicalize": q_url_canonicalize,
+        "normalize_text": q_normalize_text,
+        "table_stats": q_table_stats,
+        "shard_manifest": q_shard_manifest,
+        "chunk_fixed_char": q_chunk_fixed_char,
+        "chunk_token_window": q_chunk_token_window,
+        "corpus_stats": q_corpus_stats,
+        "batch_progress": q_batch_progress,
+        "delete_cascade": q_delete_cascade,
+        "model_discovery": q_model_discovery,
+        "doc_list_paged": q_doc_list_paged,
+        "events_tumbling": q_events_tumbling,
+        "latest_event": q_latest_event,
+        "reindex_decisions": q_reindex_decisions,
+        "sync_delta": q_sync_delta,
+        "upsert_lww": q_upsert_lww,
+        "ann_lsh": q_ann_lsh,
+        "keyword_indexed": q_keyword_indexed,
+        "hybrid_rerank": q_hybrid_rerank,
+        "simhash_pairs": q_simhash_pairs,
+        "parse_text": q_parse_text,
+        # --- past the ~50-query window: r4/r5-greens, freshest last
         "keyword_websearch": q_keyword_websearch,
         "keyword_proximity": q_keyword_proximity,
         "keyword_bm25": q_keyword_bm25,
@@ -2237,13 +2287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantized": q_embed_quantized,
         "sample_mix": q_sample_mix,
         "pack_sequences": q_pack_sequences,
-        # r3-green back-fill (stalest first)
         "chunk_semantic": q_chunk_semantic,
         "chunk_semantic_stddev": q_chunk_semantic_stddev,
         "chunk_semantic_gradient": q_chunk_semantic_gradient,
-        "chunk_recursive": q_chunk_recursive,
-        "chunk_doc_aware": q_chunk_doc_aware,
-        "chunk_sentence_aware": q_chunk_sentence_aware,
         "markdown_sections": q_markdown_sections,
         "parser_dispatch": q_parser_dispatch,
         "hybrid_window": q_hybrid_window,
@@ -2253,20 +2299,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_types": q_events_top_types,
         "random_projection": q_random_projection,
         "pq_encode": q_pq_encode,
-        # --- past the ~50-query window: r4-greens and fresher r3-greens
-        "delete_cascade": q_delete_cascade,
-        "model_discovery": q_model_discovery,
-        "doc_list_paged": q_doc_list_paged,
-        "events_tumbling": q_events_tumbling,
-        "latest_event": q_latest_event,
-        "reindex_decisions": q_reindex_decisions,
-        "sync_delta": q_sync_delta,
-        "upsert_lww": q_upsert_lww,
-        "ann_lsh": q_ann_lsh,
-        "keyword_indexed": q_keyword_indexed,
-        "hybrid_rerank": q_hybrid_rerank,
-        "simhash_pairs": q_simhash_pairs,
-        "parse_text": q_parse_text,
         "media_stats": q_media_stats,
         "rag_answer": q_rag_answer,
         "events_sessionize": q_events_sessionize,
@@ -2279,15 +2311,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         "domain_caps": q_domain_caps,
         "domain_stats": q_domain_stats,
-        "hybrid_many": q_hybrid_many,
-        "salted_agg": q_salted_agg,
         "ivf_drift": q_ivf_drift,
-        "hybrid_many_fast": q_hybrid_many_fast,
         "ingest_stats_native": q_ingest_stats_native,
         "postings_upsert": q_postings_upsert,
         "leakage_split": q_leakage_split,
         "snapshot_merge": q_snapshot_merge,
-        "hybrid_many_filtered": q_hybrid_many_filtered,
         "parse_binary": q_parse_binary,
         "hybrid_onepass": q_hybrid_onepass,
         "semdedup": q_semdedup,
@@ -2295,7 +2323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_assign": q_cluster_assign,
         "cluster_sizes": q_cluster_sizes,
         "perplexity": q_perplexity,
-        "hybrid_cc": q_hybrid_cc,
         "hybrid_rrf": q_hybrid_rrf,
         "hybrid_dbsf": q_hybrid_dbsf,
         "hybrid_autocut": q_hybrid_autocut,
@@ -2304,35 +2331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_search": q_keyword_search,
         "knn_vector": q_knn_vector,
         "knn_vector_filtered": q_knn_vector_filtered,
-        "pq_topk": q_pq_topk,
-        "bloom_contamination": q_bloom_contamination,
-        "ann_ivfpq": q_ann_ivfpq,
-        "quality_sample": q_quality_sample,
-        "cdc_chunks": q_cdc_chunks,
-        "cms_hitters": q_cms_hitters,
-        "distinct_sketch": q_distinct_sketch,
-        "retention": q_retention,
-        "value_percentiles": q_value_percentiles,
-        "neardup_incremental": q_neardup_incremental,
-        "keyword_many": q_keyword_many,
-        "props_extract": q_props_extract,
-        "embedding_hygiene": q_embedding_hygiene,
-        "bpe_merges": q_bpe_merges,
-        "zorder_key": q_zorder_key,
-        "quality_logit": q_quality_logit,
-        "asof_attribution": q_asof_attribution,
-        "events_rollup": q_events_rollup,
-        "url_canonicalize": q_url_canonicalize,
-        "normalize_text": q_normalize_text,
-        "table_stats": q_table_stats,
-        "shard_manifest": q_shard_manifest,
-        "chunk_fixed_char": q_chunk_fixed_char,
-        "chunk_token_window": q_chunk_token_window,
-        "corpus_stats": q_corpus_stats,
-        "batch_progress": q_batch_progress,
-        # rows-only declarations (no oracle) gain nothing from a window slot
-        "ann_ivf": q_ann_ivf,
-        "ingest_stats": q_ingest_stats,
     }
 
 
