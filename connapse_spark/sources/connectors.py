@@ -508,15 +508,22 @@ def azure_shared_key_auth(
     return f"SharedKey {account}:{sig}"
 
 
-def _azure_request(
+def _azure_call(
     endpoint: str,
     account: str,
     key_b64: str,
+    method: str,
     path: str,
     query: dict[str, str],
-) -> bytes:
-    """One signed GET; returns the response body. Stdlib urllib only —
-    the same no-client-library discipline as http_embedding_provider."""
+    body: bytes | None = None,
+    extra_headers: dict[str, str] | None = None,
+    ok_statuses: tuple[int, ...] = (200,),
+) -> tuple[int, bytes]:
+    """One signed Blob-service request; returns (status, body). Statuses
+    in ``ok_statuses`` return normally; anything else raises. Stdlib
+    urllib only — the same no-client-library discipline as
+    http_embedding_provider."""
+    import urllib.error
     import urllib.parse
     import urllib.request
     from email.utils import formatdate
@@ -525,19 +532,145 @@ def _azure_request(
         "x-ms-date": formatdate(usegmt=True),
         "x-ms-version": AZURE_API_VERSION,
     }
+    if body is not None:
+        headers["Content-Length"] = str(len(body))
+    if extra_headers:
+        headers.update(extra_headers)
+    if body is not None and "Content-Type" not in headers:
+        # urllib injects application/x-www-form-urlencoded for bodied
+        # requests with no Content-Type — an UNSIGNED header the service
+        # would include in its canonicalization; pin one explicitly
+        headers["Content-Type"] = "application/octet-stream"
     # Sign the path AS SENT ON THE WIRE (percent-encoded): the service
     # reconstructs the canonicalized resource from the request URI, so a
     # blob name needing encoding (space, unicode) must sign its encoded
     # form — signing the raw path 403s on exactly those names (r5 ADVICE).
     wire_path = urllib.parse.quote(path)
     headers["Authorization"] = azure_shared_key_auth(
-        "GET", wire_path, query, headers, account, key_b64
+        method, wire_path, query, headers, account, key_b64
     )
     qs = urllib.parse.urlencode(query)
     url = f"{endpoint}{wire_path}" + (f"?{qs}" if qs else "")
-    req = urllib.request.Request(url, headers=headers, method="GET")
-    with urllib.request.urlopen(req, timeout=30) as resp:
-        return resp.read()
+    req = urllib.request.Request(url, data=body, headers=headers, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as ex:
+        if ex.code in ok_statuses:
+            return ex.code, ex.read()
+        raise
+
+
+def _azure_request(
+    endpoint: str,
+    account: str,
+    key_b64: str,
+    path: str,
+    query: dict[str, str],
+) -> bytes:
+    """One signed GET; returns the response body."""
+    return _azure_call(endpoint, account, key_b64, "GET", path, query)[1]
+
+
+def azure_put_blob(
+    account: str,
+    container: str,
+    name: str,
+    data: bytes,
+    key_b64: str,
+    content_type: str | None = None,
+    endpoint_url: str | None = None,
+) -> dict:
+    """WriteFileAsync (AzureBlobConnector.cs WriteFileAsync): Put Blob as
+    a BlockBlob with optional Content-Type; overwrites like the SDK's
+    UploadAsync. Returns the landing receipt."""
+    ep = endpoint_url or f"https://{account}.blob.core.windows.net"
+    extra = {"x-ms-blob-type": "BlockBlob"}
+    if content_type:
+        extra["Content-Type"] = content_type
+    _azure_call(
+        ep, account, key_b64, "PUT", f"/{container}/{name}", {},
+        body=data, extra_headers=extra, ok_statuses=(201,),
+    )
+    return {
+        "path": f"abfss://{container}@{account}.dfs.core.windows.net/{name}",
+        "size_bytes": len(data),
+    }
+
+
+def azure_delete_blob(
+    account: str,
+    container: str,
+    name: str,
+    key_b64: str,
+    endpoint_url: str | None = None,
+) -> None:
+    """DeleteFileAsync: Delete Blob; a missing blob is success
+    (DeleteIfExistsAsync semantics)."""
+    ep = endpoint_url or f"https://{account}.blob.core.windows.net"
+    _azure_call(
+        ep, account, key_b64, "DELETE", f"/{container}/{name}", {},
+        ok_statuses=(202, 404),
+    )
+
+
+def azure_blob_exists(
+    account: str,
+    container: str,
+    name: str,
+    key_b64: str,
+    endpoint_url: str | None = None,
+) -> bool:
+    """ExistsAsync: HEAD the blob, 404 → False."""
+    ep = endpoint_url or f"https://{account}.blob.core.windows.net"
+    status, _ = _azure_call(
+        ep, account, key_b64, "HEAD", f"/{container}/{name}", {},
+        ok_statuses=(200, 404),
+    )
+    return status == 200
+
+
+def azure_write_blobs(
+    files: DataFrame,
+    account: str,
+    container: str,
+    key_b64: str,
+    endpoint_url: str | None = None,
+) -> DataFrame:
+    """Put Blob, distributed — the Azure twin of s3_write_objects: input
+    (name, content binary[, content_type]); each partition PUTs its blobs
+    with fresh signed requests (strings-only closure), returning
+    (path, name, size_bytes) receipts. Blob bytes never pass through the
+    driver."""
+    import pandas as pd
+
+    ep = endpoint_url or f"https://{account}.blob.core.windows.net"
+    has_ct = "content_type" in files.columns
+    cols = ["name", "content"] + (["content_type"] if has_ct else [])
+
+    def put(batches):
+        for pdf in batches:
+            out = {"path": [], "name": [], "size_bytes": []}
+            for row in pdf.itertuples(index=False):
+                body = bytes(row.content)
+                extra = {"x-ms-blob-type": "BlockBlob"}
+                ct = getattr(row, "content_type", None)
+                if ct:
+                    extra["Content-Type"] = ct
+                _azure_call(
+                    ep, account, key_b64, "PUT", f"/{container}/{row.name}", {},
+                    body=body, extra_headers=extra, ok_statuses=(201,),
+                )
+                out["path"].append(
+                    f"abfss://{container}@{account}.dfs.core.windows.net/{row.name}"
+                )
+                out["name"].append(row.name)
+                out["size_bytes"].append(len(body))
+            yield pd.DataFrame(out)
+
+    return files.select(*cols).mapInPandas(
+        put, "path string, name string, size_bytes long"
+    )
 
 
 def azure_list_blobs(

@@ -119,6 +119,53 @@ def _make_server(store: _BlobStore, page_size: int = 2):
             self.end_headers()
             self.wfile.write(body)
 
+        def _verify(self, method):
+            parsed = urllib.parse.urlparse(self.path)
+            query = dict(urllib.parse.parse_qsl(parsed.query))
+            want = _expected_signature(method, parsed.path, query, self.headers)
+            if self.headers.get("Authorization") != want:
+                store.auth_failures += 1
+                self._fail(403, b"signature mismatch")
+                return None
+            return urllib.parse.unquote(parsed.path).lstrip("/").split("/", 1)
+
+        def do_PUT(self):
+            segs = self._verify("PUT")
+            if segs is None:
+                return
+            if self.headers.get("x-ms-blob-type") != "BlockBlob":
+                return self._fail(400, b"missing x-ms-blob-type")
+            body = self.rfile.read(int(self.headers.get("Content-Length", "0")))
+            store.blobs[(segs[0], segs[1])] = body
+            self.send_response(201)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def do_DELETE(self):
+            segs = self._verify("DELETE")
+            if segs is None:
+                return
+            if (segs[0], segs[1]) not in store.blobs:
+                return self._fail(404)
+            del store.blobs[(segs[0], segs[1])]
+            self.send_response(202)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def do_HEAD(self):
+            segs = self._verify("HEAD")
+            if segs is None:
+                return
+            if (segs[0], segs[1]) in store.blobs:
+                self.send_response(200)
+                self.send_header(
+                    "Content-Length", str(len(store.blobs[(segs[0], segs[1])]))
+                )
+                self.end_headers()
+            else:
+                self.send_response(404)
+                self.end_headers()
+
         def log_message(self, *a):
             pass
 
@@ -227,3 +274,51 @@ def test_azure_to_parse_pipeline(spark, azure_env):
     rows = parsers.parse_text_documents(texts).collect()
     assert len(rows) == 5
     assert all("azure blob document" in r["text"] for r in rows)
+
+
+def test_azure_put_exists_delete_single(azure_env):
+    """The Azure WRITE surface (AzureBlobConnector.cs Write/Delete/Exists):
+    Put Blob lands and overwrites; HEAD answers existence; Delete is
+    DeleteIfExists (missing blob is success)."""
+    store, ep = azure_env
+    fail0 = store.auth_failures
+    r = connectors.azure_put_blob(
+        ACCOUNT, "corpus", "w/new.txt", b"azure write body", KEY_B64,
+        content_type="text/plain", endpoint_url=ep,
+    )
+    assert r["size_bytes"] == 16 and r["path"].startswith("abfss://corpus@")
+    assert store.blobs[("corpus", "w/new.txt")] == b"azure write body"
+    assert connectors.azure_blob_exists(ACCOUNT, "corpus", "w/new.txt", KEY_B64, endpoint_url=ep)
+    # overwrite semantics (UploadAsync default)
+    connectors.azure_put_blob(ACCOUNT, "corpus", "w/new.txt", b"v2", KEY_B64, endpoint_url=ep)
+    assert store.blobs[("corpus", "w/new.txt")] == b"v2"
+    connectors.azure_delete_blob(ACCOUNT, "corpus", "w/new.txt", KEY_B64, endpoint_url=ep)
+    assert not connectors.azure_blob_exists(ACCOUNT, "corpus", "w/new.txt", KEY_B64, endpoint_url=ep)
+    # already-deleted is success
+    connectors.azure_delete_blob(ACCOUNT, "corpus", "w/new.txt", KEY_B64, endpoint_url=ep)
+    assert store.auth_failures == fail0
+
+
+def test_azure_write_blobs_distributed_roundtrip(spark, azure_env):
+    store, ep = azure_env
+    fail0 = store.auth_failures
+    files = spark.createDataFrame(
+        [(f"wb/blob{i}.txt", f"distributed azure write {i}".encode()) for i in range(6)],
+        "name string, content binary",
+    ).repartition(3)  # >1 partition: PUTs run on executor workers
+    receipts = connectors.azure_write_blobs(
+        files, ACCOUNT, "corpus", KEY_B64, endpoint_url=ep
+    ).collect()
+    assert len(receipts) == 6
+    try:
+        listing = connectors.azure_list_blobs(
+            spark, ACCOUNT, "corpus", KEY_B64, prefix="wb/", endpoint_url=ep
+        )
+        back = connectors.azure_read_blobs(listing, ACCOUNT, KEY_B64, endpoint_url=ep)
+        got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in back.collect()}
+        assert got["blob4.txt"] == b"distributed azure write 4"
+        assert len(got) == 6
+        assert store.auth_failures == fail0
+    finally:
+        for i in range(6):
+            store.blobs.pop(("corpus", f"wb/blob{i}.txt"), None)
