@@ -100,6 +100,31 @@ def test_postings_read_prunes_term_buckets(spark, sf_dir, tmp_path):
     assert {r["term"] for r in rows} <= {"table", "scan"}
 
 
+def test_indexed_keyword_probe_plan_is_shuffle_free(spark, sf_dir):
+    """The SERVING plan of the posting-list keyword probe over a
+    materialized index: candidate ids broadcast into a LeftSemi join
+    against the token table, top-k via TakeOrderedAndProject, and ZERO
+    shuffle Exchange — the whole point of paying tokenization at write
+    time. (hybrid_indexed's bench row measures this same path.)"""
+    from connapse_spark.operators import keyword_index
+
+    docs = _docs(spark, sf_dir).limit(300)
+    idx = keyword_index.build_keyword_index(docs).persist()
+    for df in (idx.tokens, idx.postings_exact, idx.postings_stemmed):
+        df.count()  # materialize: the probe must plan against the cache
+    probe = keyword_index.keyword_search_indexed(
+        idx.tokens, idx.postings_exact, idx.postings_stemmed, "table scan", k=10
+    )
+    plan = _plan(probe)
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan) or "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    # broadcast exchanges are fine (candidate ids are tiny); a SHUFFLE
+    # exchange would mean the probe re-aggregates the corpus
+    shuffles = re.findall(r"\n[^\n]*\bExchange (?!.*Broadcast)", plan)
+    assert not [s for s in shuffles if "Broadcast" not in s], plan
+    idx.unpersist()
+
+
 def test_broadcast_join_for_small_dimension(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     small = spark.createDataFrame([("src1",), ("src2",)], "source string")
