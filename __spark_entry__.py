@@ -1189,8 +1189,11 @@ def q_hybrid_indexed(spark, sf_dir):
     hybrid_cc's — the index is a physical structure, so the rows must be
     row-equal to the full-scan hybrid."""
     docs = _t(spark, sf_dir, "documents")
-    idx = keyword_index.build_keyword_index(docs)
-    idx.tokens.cache()
+    # persist via the bundle (not a bare .cache() on one member) so a
+    # caller holding the index can pair it with idx.unpersist(); the
+    # driver's one-shot evaluation still benefits — tokens feeds three
+    # subtrees (two postings builds + the scorer) in this single plan
+    idx = keyword_index.build_keyword_index(docs).persist()
     out = hybrid_search(
         docs,
         SEARCH_QUERY,
@@ -1696,8 +1699,18 @@ def q_ingest_stats(spark, sf_dir):
     least the document's own BPE-token count — chunks cover every token,
     overlap only adds). This doubles as the pipeline-level regression
     test for the r5 chunk_recursive offset bug: a single corrupted
-    start_offset=-1 flips cover_start and the hash."""
-    docs = _t(spark, sf_dir, "documents")
+    start_offset=-1 flips cover_start and the hash.
+
+    Whitespace contract: Python str.strip()/re \\s are Unicode-aware while
+    DuckDB RE2 classes are ASCII — so BOTH sides deterministically exclude
+    documents containing any non-ASCII whitespace (or the \\x1c-\\x1f
+    separators Python also strips), and the ASCII class itself includes
+    \\x0b/\\x0c to match Python/Java exactly. On the all-ASCII driver
+    corpus the filter excludes nothing; on exotic input it keeps the gate
+    sound instead of flipping on semantics the chunker never promised."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & ~F.col("text").rlike(_EXOTIC_WS_CLASS)
+    )
     chunks, vectors = ingest(docs)
     stats = ingest_stats(chunks, vectors)
     cover = chunks.groupBy("document_id").agg(
@@ -1728,10 +1741,28 @@ def q_ingest_stats(spark, sf_dir):
     )
 
 
+# Unicode whitespace + \x1c-\x1f separators: chars Python strip()/\s treat
+# as whitespace but ASCII regex classes do not. Built as LITERAL chars so
+# the Spark (Java) and DuckDB (RE2) patterns are byte-identical.
+_EXOTIC_WS_CLASS = "[" + "".join(
+    chr(c)
+    for c in (
+        [0x1C, 0x1D, 0x1E, 0x1F, 0x85, 0xA0, 0x1680]
+        + list(range(0x2000, 0x200B))
+        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+    )
+) + "]"
+# the ASCII whitespace class, matching Python/Java semantics exactly
+# (\x0b vertical tab and \x0c form feed included)
+_ASCII_WS = " \\t\\n\\r\\f\\x0b"
+
+
 def _sql_ingest_stats() -> str:
     """DuckDB mirror of the UDF-tier invariants, computed from the raw
-    text alone: the chunker must tile [leading-ws, rstrip-length)."""
-    ws = " \\t\\n\\r\\f"
+    text alone: the chunker must tile [leading-ws, rstrip-length). Docs
+    with exotic (non-ASCII) whitespace are excluded on BOTH sides — see
+    q_ingest_stats."""
+    ws = _ASCII_WS
     return f"""
 SELECT doc_id AS document_id,
        CAST(length(text) - length(regexp_replace(text, '^[{ws}]+', '')) AS BIGINT)
@@ -1742,7 +1773,9 @@ SELECT doc_id AS document_id,
        TRUE AS token_sum_covers,
        'Ready' AS status
 FROM documents
-WHERE text IS NOT NULL AND regexp_matches(text, '[^{ws}]')
+WHERE text IS NOT NULL
+  AND NOT regexp_matches(text, '{_EXOTIC_WS_CLASS}')
+  AND regexp_matches(text, '[^{ws}]')
 ORDER BY document_id
 """.strip()
 

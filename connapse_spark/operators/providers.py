@@ -84,7 +84,10 @@ def foundry_rerank_url(base_url: str, model: str | None = None) -> str:
     with the slug inferred from the model name; model-specific deployments
     use Cohere-native ``/v1/rerank``."""
     trimmed = base_url.rstrip("/")
-    if "/rerank" in trimmed.lower():
+    # "already a rerank endpoint" means the path ENDS at /rerank — a
+    # substring test would misclassify e.g. /models/rerankers as a full
+    # Target URI and skip the gateway routing
+    if trimmed.lower().endswith("/rerank"):
         return trimmed
     if ".services.ai.azure.com" in trimmed.lower():
         slug = "cohere"

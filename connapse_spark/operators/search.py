@@ -1632,7 +1632,13 @@ def hybrid_search_many(
         # re-tokenizing the text in the scan projection; at deployment
         # scale tokens is bucketed by id next to the corpus so this join
         # is co-located (no shuffle), and the scan drops the text column
-        # entirely — the batched analogue of GIN serving.
+        # entirely — the batched analogue of GIN serving. LEFT join:
+        # corpus rows missing from the index (docs ingested after the
+        # index build) keep serving the VECTOR branch — they just score 0
+        # on keyword, matching single-query hybrid_search whose vector
+        # branch is index-independent. An inner join would silently drop
+        # them from both branches.
+        empty = F.array().cast("array<string>")
         corpus = corpus.join(
             keyword_index.tokens.select(
                 F.col("id").alias("__kid"),
@@ -1640,8 +1646,10 @@ def hybrid_search_many(
                 F.col("tokens_stemmed").alias("__ts"),
             ),
             F.col(id_col) == F.col("__kid"),
+            "left",
         )
-        te_expr, ts_expr = F.col("__te"), F.col("__ts")
+        te_expr = F.coalesce(F.col("__te"), empty)
+        ts_expr = F.coalesce(F.col("__ts"), empty)
     else:
         te_expr = tokens_exact_expr(F.col(text_col))
         ts_expr = tokens_stemmed_expr(F.col(text_col))

@@ -97,9 +97,39 @@ def salted_agg(
         if salt_on is not None:
             salt: Column = F.pmod(F.hash(F.col(salt_on)), F.lit(n_salts))
         else:
+            from pyspark.sql.types import MapType
+
+            maps = {
+                f.name for f in df.schema.fields if isinstance(f.dataType, MapType)
+            }
             hashed = list(
-                dict.fromkeys(keys + [c for _, (_, c) in sorted(monoid.items()) if c != "*"])
+                dict.fromkeys(
+                    keys
+                    + [
+                        c
+                        for _, (_, c) in sorted(monoid.items())
+                        if c != "*" and c not in maps
+                    ]
+                )
             )
+            if set(hashed) <= set(keys):
+                # hashing only the grouping keys gives every row of a group
+                # the SAME salt — the hot key would collapse into one
+                # stage-1 partition, silently defeating the module. Widen
+                # the hash with the frame's other hashable columns (maps
+                # are not hashable in Spark).
+                extra = [
+                    f.name
+                    for f in df.schema.fields
+                    if f.name not in hashed and not isinstance(f.dataType, MapType)
+                ]
+                hashed += extra
+                if set(hashed) <= set(keys):
+                    raise ValueError(
+                        "salted_agg: no non-key hashable column exists to "
+                        "derive a deterministic spreading salt — pass "
+                        "salt_on naming a stable column"
+                    )
             salt = F.pmod(F.hash(*[F.col(c) for c in hashed]), F.lit(n_salts))
         salted = df.withColumn("_salt", salt)
         partials, merges = [], []

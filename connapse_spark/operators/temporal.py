@@ -158,7 +158,7 @@ def repeat_orders_window(
     o = orders.select(
         F.col("o_orderkey").alias("okey"),
         F.col("o_custkey").alias("ckey"),
-        epoch_us_any(orders, "o_orderdate").alias("t"),
+        epoch_us_any(orders, "o_orderdate", unit="us").alias("t"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     a, b = o.alias("a"), o.alias("b")
@@ -206,7 +206,7 @@ def repeat_orders_window_bucketed(
     o = orders.select(
         F.col("o_orderkey").alias("okey"),
         F.col("o_custkey").alias("ckey"),
-        epoch_us_any(orders, "o_orderdate").alias("t"),
+        epoch_us_any(orders, "o_orderdate", unit="us").alias("t"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     binf = F.floor(F.col("t") / F.lit(window_us)).cast("long")

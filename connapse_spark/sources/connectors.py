@@ -204,7 +204,11 @@ def test_llm_provider(complete_fn=None, probe_prompt: str = "ping") -> dict:
 
 def s3_client(endpoint_url: str | None = None, region: str = "us-east-1"):
     """boto3 client factory; credentials resolve from the environment the
-    standard way (explicit test creds against local endpoints)."""
+    standard way (explicit test creds against local endpoints). The ONE
+    place the endpoint/credential policy lives — the distributed
+    read/write twins construct their per-partition clients through this
+    same function (it is module-level, so executors import it instead of
+    closure-capturing a client)."""
     import boto3
 
     kwargs = {"region_name": region}
@@ -283,18 +287,9 @@ def s3_read_objects(
         c = None
         for pdf in batches:
             if c is None:
-                import boto3
+                from connapse_spark.sources.connectors import s3_client
 
-                kwargs = {"region_name": "us-east-1"}
-                if ep:
-                    kwargs.update(
-                        endpoint_url=ep,
-                        aws_access_key_id=os.environ.get("AWS_ACCESS_KEY_ID", "test"),
-                        aws_secret_access_key=os.environ.get(
-                            "AWS_SECRET_ACCESS_KEY", "test"
-                        ),
-                    )
-                c = boto3.client("s3", **kwargs)
+                c = s3_client(ep)
             paths, bodies = [], []
             for p in pdf["path"]:
                 assert p.startswith("s3://")
@@ -378,18 +373,9 @@ def s3_write_objects(
         c = None
         for pdf in batches:
             if c is None:
-                import boto3
+                from connapse_spark.sources.connectors import s3_client
 
-                kwargs = {"region_name": "us-east-1"}
-                if ep:
-                    kwargs.update(
-                        endpoint_url=ep,
-                        aws_access_key_id=os.environ.get("AWS_ACCESS_KEY_ID", "test"),
-                        aws_secret_access_key=os.environ.get(
-                            "AWS_SECRET_ACCESS_KEY", "test"
-                        ),
-                    )
-                c = boto3.client("s3", **kwargs)
+                c = s3_client(ep)
             out = {"path": [], "key": [], "size_bytes": [], "etag": []}
             for row in pdf.itertuples(index=False):
                 key = row.key.lstrip("/")

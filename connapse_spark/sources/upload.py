@@ -114,7 +114,11 @@ def validate_uploads(
     supported = file_ext(name).isin(list(SUPPORTED_EXTENSIONS))
     empty = F.coalesce(F.length(F.col(content_col)), F.lit(0)) == 0
     error = (
-        F.when(
+        # NULL name first: every later rule evaluates to SQL NULL on a NULL
+        # name (no .when() fires), which would route the row to the PUT
+        # stage as "valid" and crash the executor on key=None
+        F.when(name.isNull(), F.lit("Invalid filename: missing."))
+        .when(
             F.length(name) > MAX_FILE_NAME_LENGTH,
             F.lit(f"Filename exceeds {MAX_FILE_NAME_LENGTH} characters."),
         )
@@ -159,13 +163,16 @@ def upload_documents(
     key_expr = F.regexp_replace("virtual_path", r"^/", "")
     if pfx:
         key_expr = F.concat(F.lit(pfx + "/"), key_expr)
+    # path identity: rows landing on the same key collapse to ONE upload
+    # (the reference upserts by path — same-path uploads overwrite); without
+    # this, duplicate keys fan out many-to-many in the receipt join below
     to_put = valid.select(
         F.col("virtual_path"),
         key_expr.alias("key"),
         F.col(content_col).alias("content"),
         infer_content_type_expr(F.col(file_col)).alias("content_type"),
         F.col(file_col).alias("file_name"),
-    )
+    ).dropDuplicates(["key"])
     receipts = connectors.s3_write_objects(
         to_put.select("key", "content", "content_type"),
         bucket,

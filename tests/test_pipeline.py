@@ -164,6 +164,28 @@ def test_batched_tiers_accept_token_table(spark, sf_dir):
     idx.unpersist()
 
 
+def test_batched_hybrid_serves_vector_for_unindexed_docs(spark, sf_dir):
+    """A corpus row missing from the keyword index (ingested after the
+    index build) must still serve the VECTOR branch — the index join is
+    left, not inner; an inner join silently dropped such rows from both
+    branches."""
+    from connapse_spark.operators.search import hybrid_search_many
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    idx = keyword_index.build_keyword_index(
+        docs.filter(F.col("doc_id") < 60)
+    ).persist()  # stale index: docs 60-99 ingested after the build
+    corpus = docs.join(
+        _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+    )
+    out = hybrid_search_many(corpus, [(1, QUERY)], top_k=100, keyword_index=idx)
+    ids = {r["doc_id"] for r in out.collect()}
+    unindexed_hits = {i for i in ids if i >= 60}
+    assert unindexed_hits, "docs outside the index must still rank via vectors"
+    idx.unpersist()
+
+
 def test_postings_df_counts(spark, sf_dir):
     docs = _docs(spark, sf_dir).limit(50)
     tokens = keyword_index.build_token_table(docs)

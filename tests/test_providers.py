@@ -209,6 +209,12 @@ def test_foundry_rerank_url_routing():
         foundry_rerank_url("https://dep.models.ai.azure.com")
         == "https://dep.models.ai.azure.com/v1/rerank"
     )
+    # a path merely CONTAINING 'rerank' is not a full Target URI — the
+    # gateway route must still be appended (substring-check regression)
+    assert (
+        foundry_rerank_url("https://r.services.ai.azure.com/models/rerankers")
+        == "https://r.services.ai.azure.com/models/rerankers/providers/cohere/v2/rerank"
+    )
 
 
 @pytest.fixture()

@@ -333,6 +333,35 @@ def test_salted_agg_equals_plain_on_skewed_fixture(spark):
     assert got == want
 
 
+def test_salted_agg_keys_only_inputs_widen_or_fail_loudly(spark):
+    """count('*') grouped by the key alone: hashing only grouping columns
+    would give every row of a group ONE salt (skew mitigation silently
+    off), so the salt must widen over the frame's other hashable columns —
+    and with NO other column it must refuse, pointing at salt_on."""
+    import pytest as _pytest
+
+    from connapse_spark.operators.skew import salted_agg
+
+    rows = [("hot", i) for i in range(5000)] + [(f"c{i}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        r["k"]: r["n"]
+        for r in salted_agg(df, ["k"], {"n": ("count", "*")}, n_salts=8).collect()
+    }
+    assert got["hot"] == 5000 and got["c7"] == 1
+    # the widened salt actually spreads the hot key across sub-keys
+    from pyspark.sql import functions as _F
+
+    salted = df.withColumn(
+        "_s", _F.pmod(_F.hash("k", "v"), _F.lit(8))
+    )
+    spread = salted.filter("k = 'hot'").select("_s").distinct().count()
+    assert spread > 1
+    # single-column frame: no spreading salt can exist — loud refusal
+    with _pytest.raises(ValueError, match="salt_on"):
+        salted_agg(df.select("k"), ["k"], {"n": ("count", "*")}).collect()
+
+
 def test_salted_agg_two_stage_plan(spark):
     """The physical plan must show the two-stage shape: an exchange on
     (keys, _salt) feeding an exchange on keys alone."""

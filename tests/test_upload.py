@@ -69,6 +69,7 @@ def test_upload_flow_validation_and_landing(spark, s3_env):
             ("noext", "x", b"data"),  # unsupported extension
             ("empty.txt", "x", b""),  # zero-byte
             ("x" * 300 + ".txt", "x", b"data"),  # filename too long
+            (None, "x", b"data"),  # NULL name must be invalid, not a crash
         ],
     )
     res = upload.upload_documents(files, "managed", prefix="up", endpoint_url=s3_env)
@@ -83,9 +84,25 @@ def test_upload_flow_validation_and_landing(spark, s3_env):
     assert "Unsupported" in rows["noext"]["error"]
     assert "empty" in rows["empty.txt"]["error"]
     assert "exceeds" in rows["x" * 300 + ".txt"]["error"]
+    assert not rows[None]["success"] and "Invalid filename" in rows[None]["error"]
     # landing is real: the listing delta sees exactly the 2 valid files
     listing = connectors.s3_list_objects(spark, "managed", prefix="up/", endpoint_url=s3_env)
     assert listing.count() == 2
+
+
+def test_upload_duplicate_paths_collapse_to_one(spark, s3_env):
+    """Two batch rows with the same virtual path: path identity means ONE
+    upload and ONE result row (the reference upserts by path), not a
+    many-to-many receipt fan-out."""
+    files = _files(
+        spark,
+        [("dup.txt", "d", b"first body"), ("dup.txt", "d", b"second body")],
+    )
+    res = upload.upload_documents(files, "managed", prefix="dup", endpoint_url=s3_env)
+    rows = res.collect()
+    assert len(rows) == 1 and rows[0]["success"]
+    listing = connectors.s3_list_objects(spark, "managed", prefix="dup/", endpoint_url=s3_env)
+    assert listing.count() == 1
 
 
 def test_upload_to_ingest_pipeline(spark, s3_env):
