@@ -688,6 +688,17 @@ def q_keyword_many(spark, sf_dir):
     return keyword_search_many(_t(spark, sf_dir, "documents"), BATCH_QUERIES, k=5)
 
 
+def q_keyword_many_indexed(spark, sf_dir):
+    """Batched keyword search SERVED from write-time tf-postings (r6):
+    identical rows to keyword_many (same oracle SQL) but the corpus
+    tokenize + per-(id, term) aggregation is a materialized table the
+    query batch only probes — the GIN regime for the batch tier."""
+    tokens = keyword_index.build_token_table(_t(spark, sf_dir, "documents"))
+    tfe = keyword_index.build_tf_postings(tokens, "tokens_exact")
+    tfs = keyword_index.build_tf_postings(tokens, "tokens_stemmed")
+    return keyword_index.keyword_search_many_indexed(tfe, tfs, BATCH_QUERIES, k=5)
+
+
 def q_neardup_incremental(spark, sf_dir):
     """Incremental near-dup: the doc_id%5==0 'daily batch' screened
     against the persisted banded index of the remaining corpus — no
@@ -2235,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- with the stalest r4-greens. Everything below seat 50 is
         # --- r4/r5-green and rotates forward next round.
         "hybrid_indexed": q_hybrid_indexed,
+        "keyword_many_indexed": q_keyword_many_indexed,
         "ingest_stats": q_ingest_stats,
         "ann_ivf": q_ann_ivf,
         "chunk_recursive": q_chunk_recursive,
@@ -2487,6 +2499,8 @@ def oracle_sql() -> dict[str, str]:
         "dataset_card": _sql_dataset_card(),
         "neardup_incremental": dedup.sql_incremental_neardup(threshold=0.2),
         "keyword_many": sql_keyword_search_many(BATCH_QUERIES, k=5),
+        # tf-postings-served batch tier: physically different, row-identical
+        "keyword_many_indexed": sql_keyword_search_many(BATCH_QUERIES, k=5),
         "hybrid_many": sql_hybrid_search_many(BATCH_QUERIES, top_k=5),
         "hybrid_many_filtered": sql_hybrid_search_many(
             BATCH_QUERIES, top_k=5, wheres=_BATCH_FILTERS_SQL

@@ -167,7 +167,9 @@ def main():
     tokens = keyword_index.build_token_table(docs).persist()
     pe = keyword_index.build_postings(tokens, "tokens_exact").persist()
     ps = keyword_index.build_postings(tokens, "tokens_stemmed").persist()
-    tokens.count(), pe.count(), ps.count()
+    tfe = keyword_index.build_tf_postings(tokens, "tokens_exact").persist()
+    tfs = keyword_index.build_tf_postings(tokens, "tokens_stemmed").persist()
+    tokens.count(), pe.count(), ps.count(), tfe.count(), tfs.count()
     build_t = time.time() - t0
     timings["keyword_index_build"] = round(build_t, 3)
     total += build_t
@@ -182,6 +184,29 @@ def main():
     timings["keyword_indexed_probe"] = round(best, 3)
     total += best
     print(f"# keyword_indexed_probe: {best:.2f}s ({n} rows)", file=sys.stderr, flush=True)
+
+    # Batched keyword from materialized tf-postings: 20 queries, one
+    # pruned postings probe — the GIN regime for BASELINE.md's <20 ms
+    # keyword envelope in the amortized-batch interpretation.
+    kw_batch = [
+        (i, f"{w} table scan") for i, w in enumerate(
+            ["hash", "sort", "merge", "filter", "group", "window", "agg",
+             "column", "row", "batch", "spark", "index", "vector", "token",
+             "stream", "cache", "shuffle", "partition", "codegen", "parquet"]
+        )
+    ]
+    keyword_index.keyword_search_many_indexed(tfe, tfs, kw_batch[:2], k=10).count()  # warm
+    best, n = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.time()
+        n = keyword_index.keyword_search_many_indexed(tfe, tfs, kw_batch, k=10).count()
+        best = min(best, time.time() - t0)
+    timings["keyword_batch20_indexed"] = round(best, 3)
+    total += best
+    print(
+        f"# keyword_batch20_indexed: {best:.2f}s ({n} rows) = {best / 20 * 1000:.0f} ms/query",
+        file=sys.stderr, flush=True,
+    )
 
     # Full hybrid SERVED from the same materialized index (VERDICT r5 ask
     # #2): keyword branch = posting-list candidates, vector branch = stored
@@ -206,7 +231,7 @@ def main():
     timings["hybrid_indexed_probe"] = round(best, 3)
     total += best
     print(f"# hybrid_indexed_probe: {best:.2f}s ({n} rows)", file=sys.stderr, flush=True)
-    for df in (tokens, pe, ps):
+    for df in (tokens, pe, ps, tfe, tfs):
         df.unpersist()
 
     # IVF ANN index: same build/probe split — the KMeans fit is an index job

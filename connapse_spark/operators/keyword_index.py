@@ -104,6 +104,89 @@ def build_keyword_index(
     )
 
 
+def build_tf_postings(
+    tokens: DataFrame, token_col: str = "tokens_exact"
+) -> DataFrame:
+    """Term-frequency postings: (term, id, tf) — the write-time layout that
+    serves BATCHED keyword scoring (keyword_search_many's per-(id, term)
+    aggregation, materialized once at ingest instead of recomputed per
+    query batch). Store partitioned/sorted by term: a batch's lookup scans
+    only its query terms' row groups. This is the GIN-with-positions
+    trade: postings with payload cost more to store, serve in one join."""
+    return (
+        tokens.select("id", F.explode(F.col(token_col)).alias("term"))
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def keyword_search_many_indexed(
+    tf_exact: DataFrame,
+    tf_stemmed: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """BATCHED keyword search served from materialized tf-postings: N
+    queries against write-time (term, id, tf) tables. Identical scores and
+    output shape to operators.search.keyword_search_many — (qid, id,
+    score, rank), rank 1-based — but the corpus-wide tokenize + two
+    groupBy aggregations are replaced by a term-pruned postings scan
+    joined to the broadcast query-term lists. Marginal cost per batch is
+    the matched-postings aggregation alone, which at 100 TB is the
+    difference between scanning the corpus per batch and reading a few
+    hundred posting rows per term."""
+    from pyspark.sql.window import Window
+
+    from connapse_spark.operators.search import WEIGHT_EXACT, WEIGHT_STEMMED
+
+    qe_rows, qs_rows = [], []
+    for qid, qtext in queries:
+        terms = sorted(set(tokenize_py(qtext)))
+        for t in terms:
+            qe_rows.append((qid, t))
+        for st in sorted({stem_py(t) for t in terms}):
+            qs_rows.append((qid, st))
+    spark = tf_exact.sparkSession
+    if not qe_rows:
+        return spark.createDataFrame([], "qid long, id long, score double, rank long")
+    qe = spark.createDataFrame(qe_rows, "qid long, term string")
+    qs = spark.createDataFrame(qs_rows, "qid long, term string")
+
+    # literal IN-filters push into the postings scan (row-group pruning on
+    # the term-sorted layout) BEFORE the broadcast join fans rows out per qid
+    all_terms = sorted({t for _, t in qe_rows})
+    all_stems = sorted({s for _, s in qs_rows})
+    ne = (
+        tf_exact.filter(F.col("term").isin(*all_terms))
+        .join(F.broadcast(qe), "term")
+        .groupBy("qid", "id")
+        .agg(F.sum("tf").alias("n_exact"))
+    )
+    ns = (
+        tf_stemmed.filter(F.col("term").isin(*all_stems))
+        .join(F.broadcast(qs), "term")
+        .groupBy("qid", "id")
+        .agg(F.sum("tf").alias("n_stem"))
+    )
+    merged = ne.join(ns, ["qid", "id"], "full_outer").select(
+        "qid",
+        "id",
+        (
+            F.lit(WEIGHT_EXACT) * F.coalesce(F.col("n_exact"), F.lit(0))
+            + F.lit(WEIGHT_STEMMED) * F.coalesce(F.col("n_stem"), F.lit(0))
+        ).alias("raw"),
+    )
+    scored = merged.select(
+        "qid", "id", (F.col("raw") / (F.col("raw") + F.lit(1.0))).alias("score")
+    ).filter(F.col("score") > 0.0)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
 def keyword_search_indexed(
     tokens: DataFrame,
     postings_exact: DataFrame,

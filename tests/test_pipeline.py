@@ -186,6 +186,23 @@ def test_batched_hybrid_serves_vector_for_unindexed_docs(spark, sf_dir):
     idx.unpersist()
 
 
+def test_keyword_many_indexed_equals_scan_tier(spark, sf_dir):
+    """tf-postings-served batch keyword must match keyword_search_many
+    row-for-row (same scores, same ranks) — the index is physical."""
+    from connapse_spark.operators.search import keyword_search_many
+
+    docs = _docs(spark, sf_dir)
+    tokens = keyword_index.build_token_table(docs)
+    tfe = keyword_index.build_tf_postings(tokens, "tokens_exact")
+    tfs = keyword_index.build_tf_postings(tokens, "tokens_stemmed")
+    queries = [(1, QUERY), (2, "fast merge"), (3, "index scan"), (4, "")]
+    want = keyword_search_many(docs, [q for q in queries if q[1]], k=7).collect()
+    got = keyword_index.keyword_search_many_indexed(tfe, tfs, queries, k=7).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # empty batch: typed empty frame, no crash
+    assert keyword_index.keyword_search_many_indexed(tfe, tfs, [], k=7).count() == 0
+
+
 def test_postings_df_counts(spark, sf_dir):
     docs = _docs(spark, sf_dir).limit(50)
     tokens = keyword_index.build_token_table(docs)
