@@ -693,7 +693,7 @@ def q_keyword_many_indexed(spark, sf_dir):
     identical rows to keyword_many (same oracle SQL) but the corpus
     tokenize + per-(id, term) aggregation is a materialized table the
     query batch only probes — the GIN regime for the batch tier."""
-    tokens = keyword_index.build_token_table(_t(spark, sf_dir, "documents"))
+    tokens = keyword_index.build_token_table(_t(spark, sf_dir, "documents")).persist()
     tfe = keyword_index.build_tf_postings(tokens, "tokens_exact")
     tfs = keyword_index.build_tf_postings(tokens, "tokens_stemmed")
     return keyword_index.keyword_search_many_indexed(tfe, tfs, BATCH_QUERIES, k=5)
