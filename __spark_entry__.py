@@ -283,6 +283,33 @@ def q_hybrid_many_fast(spark, sf_dir):
     )
 
 
+def q_hybrid_many_indexed(spark, sf_dir):
+    """Batched hybrid SERVED from write-time tf-postings (r6, the batched
+    half of VERDICT r5 ask #2): the BLAS fast tier with its keyword
+    branch replaced by a term-pruned probe of the materialized (term, id,
+    tf) tables — no corpus tokenize in the query path at all. Bit-equal
+    to hybrid_many_fast (same BLAS vector branch, same integer keyword
+    math, same fuse), so it shares that tier's round-9 oracle contract."""
+    docs = _t(spark, sf_dir, "documents")
+    vecs = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding")
+    )
+    tokens = keyword_index.build_token_table(docs).persist()
+    tfe = keyword_index.build_tf_postings(tokens, "tokens_exact")
+    tfs = keyword_index.build_tf_postings(tokens, "tokens_stemmed")
+    out = hybrid_search_many_fast(
+        docs.join(vecs, "doc_id"), BATCH_QUERIES, top_k=5, tf_postings=(tfe, tfs)
+    )
+    return out.select(
+        "qid",
+        "doc_id",
+        F.round("score", 9).alias("score"),
+        F.round("vector_score", 9).alias("vector_score"),
+        F.round("keyword_score", 9).alias("keyword_score"),
+        "source",
+    )
+
+
 def _vectors(spark, sf_dir):
     """Stored-vector index side (the reference's chunk_vectors analogue)."""
     return _t(spark, sf_dir, "embeddings").select(
@@ -2247,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4/r5-green and rotates forward next round.
         "hybrid_indexed": q_hybrid_indexed,
         "keyword_many_indexed": q_keyword_many_indexed,
+        "hybrid_many_indexed": q_hybrid_many_indexed,
         "ingest_stats": q_ingest_stats,
         "ann_ivf": q_ann_ivf,
         "chunk_recursive": q_chunk_recursive,
@@ -2506,6 +2534,15 @@ def oracle_sql() -> dict[str, str]:
             BATCH_QUERIES, top_k=5, wheres=_BATCH_FILTERS_SQL
         ),
         "hybrid_many_fast": (
+            "SELECT qid, doc_id, round(score, 9) AS score, "
+            "round(vector_score, 9) AS vector_score, "
+            "round(keyword_score, 9) AS keyword_score, source FROM ("
+            + sql_hybrid_search_many(BATCH_QUERIES, top_k=5)
+            + ") ORDER BY qid, score DESC, doc_id"
+        ),
+        # tf-postings-served batched hybrid: same round-9 contract as the
+        # fast tier it is bit-equal to (BLAS vector branch on both)
+        "hybrid_many_indexed": (
             "SELECT qid, doc_id, round(score, 9) AS score, "
             "round(vector_score, 9) AS vector_score, "
             "round(keyword_score, 9) AS keyword_score, source FROM ("

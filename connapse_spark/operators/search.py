@@ -1813,6 +1813,7 @@ def hybrid_search_many_fast(
     vec_col: str = "embedding",
     dims: int = 64,
     predicates: dict[int, Column] | None = None,
+    tf_postings: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PRODUCTION tier of :func:`hybrid_search_many` — identical
     semantics, kernels built for N: per-query JVM folds are interpreted
@@ -1843,7 +1844,19 @@ def hybrid_search_many_fast(
     semi-joins its (qid, id) scores against allowed pairs produced by a
     separate COLUMN-PRUNED pass (id + the predicate's columns only — a
     narrow metadata-weight scan next to the tokenization scans, and the
-    shuffled volume is the predicate-selected pairs, not corpus×N)."""
+    shuffled volume is the predicate-selected pairs, not corpus×N).
+
+    ``tf_postings`` = (tf_exact, tf_stemmed) from
+    ``keyword_index.build_tf_postings`` — the write-time (term, id, tf)
+    materialization. When given, the keyword branch skips the corpus
+    tokenize + two aggregations entirely and probes the postings pruned
+    to the batch's query terms (literal IN-filters that reach the
+    parquet scan on a term-sorted layout). Integer tf math is identical,
+    so scores are bit-equal to the scan-tier keyword branch. Index
+    semantics match the fold tier's ``keyword_index`` contract: rows
+    missing from a stale index still rank through the vector branch
+    (that branch always scans ``corpus``), they just contribute no
+    keyword score until reindex."""
     import numpy as np
 
     queries = [(q, t) for q, t in queries if t and t.strip()]  # Q13 per qid
@@ -1917,21 +1930,35 @@ def hybrid_search_many_fast(
     spark = corpus.sparkSession
     qe_df = spark.createDataFrame(qe_rows, "qid int, t string")
     qs_df = spark.createDataFrame(qs_rows, "qid int, st string")
-    toks = corpus.select(
-        F.col(id_col).alias("id"),
-        tokens_exact_expr(F.col(text_col)).alias("_te"),
-        tokens_stemmed_expr(F.col(text_col)).alias("_ts"),
-    )
-    te = (
-        toks.select("id", F.explode("_te").alias("t"))
-        .groupBy("id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    tsx = (
-        toks.select("id", F.explode("_ts").alias("st"))
-        .groupBy("id", "st")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    if tf_postings is not None:
+        tf_e, tf_s = tf_postings
+        # prune the postings scan to the batch's term set BEFORE the
+        # broadcast join fans rows out per qid (list-form isin compiles
+        # to false on an empty batch-term set rather than erroring)
+        all_terms = sorted({t for _, t in qe_rows})
+        all_stems = sorted({s for _, s in qs_rows})
+        te = tf_e.filter(F.col("term").isin(all_terms)).select(
+            "id", F.col("term").alias("t"), "tf"
+        )
+        tsx = tf_s.filter(F.col("term").isin(all_stems)).select(
+            "id", F.col("term").alias("st"), "tf"
+        )
+    else:
+        toks = corpus.select(
+            F.col(id_col).alias("id"),
+            tokens_exact_expr(F.col(text_col)).alias("_te"),
+            tokens_stemmed_expr(F.col(text_col)).alias("_ts"),
+        )
+        te = (
+            toks.select("id", F.explode("_te").alias("t"))
+            .groupBy("id", "t")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        tsx = (
+            toks.select("id", F.explode("_ts").alias("st"))
+            .groupBy("id", "st")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
     ne = te.join(F.broadcast(qe_df), "t").groupBy("id", "qid").agg(
         F.sum("tf").alias("n_exact")
     )

@@ -203,6 +203,61 @@ def test_keyword_many_indexed_equals_scan_tier(spark, sf_dir):
     assert keyword_index.keyword_search_many_indexed(tfe, tfs, [], k=7).count() == 0
 
 
+def test_hybrid_many_indexed_equals_fast_tier(spark, sf_dir):
+    """tf-postings-served batched hybrid must be BIT-equal to the fast
+    tier: same BLAS vector branch, integer keyword math, same fuse —
+    the postings table only replaces where keyword tf counts come from."""
+    from connapse_spark.operators.search import hybrid_search_many_fast
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.join(
+        _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+    )
+    tokens = keyword_index.build_token_table(docs)
+    tfe = keyword_index.build_tf_postings(tokens, "tokens_exact")
+    tfs = keyword_index.build_tf_postings(tokens, "tokens_stemmed")
+    queries = [(1, QUERY), (2, "fast merge"), (3, "index scan"), (4, "")]
+    want = hybrid_search_many_fast(corpus, queries, top_k=7).collect()
+    got = hybrid_search_many_fast(
+        corpus, queries, top_k=7, tf_postings=(tfe, tfs)
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # filtered: predicate masking + allowed-pairs semi-join still applies
+    preds = {1: F.col("doc_id") % 2 == 0}
+    want_f = hybrid_search_many_fast(
+        corpus, queries[:2], top_k=7, predicates=preds
+    ).collect()
+    got_f = hybrid_search_many_fast(
+        corpus, queries[:2], top_k=7, predicates=preds, tf_postings=(tfe, tfs)
+    ).collect()
+    assert [tuple(r) for r in got_f] == [tuple(r) for r in want_f]
+    assert all(r["doc_id"] % 2 == 0 for r in got_f if r["qid"] == 1)
+
+
+def test_hybrid_many_indexed_stale_index_serves_vector(spark, sf_dir):
+    """Docs ingested after the postings build must still rank through the
+    vector branch (which always scans the corpus) — the index contract of
+    the fold tier holds for the postings-served fast tier too."""
+    from connapse_spark.operators.search import hybrid_search_many_fast
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    stale = docs.filter(F.col("doc_id") < 60)
+    tokens = keyword_index.build_token_table(stale)
+    tfe = keyword_index.build_tf_postings(tokens, "tokens_exact")
+    tfs = keyword_index.build_tf_postings(tokens, "tokens_stemmed")
+    corpus = docs.join(
+        _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+    )
+    out = hybrid_search_many_fast(
+        corpus, [(1, QUERY)], top_k=100, tf_postings=(tfe, tfs)
+    ).collect()
+    ids = {r["doc_id"] for r in out}
+    assert {i for i in ids if i >= 60}, "unindexed docs must rank via vectors"
+    assert all(r["keyword_score"] == 0.0 for r in out if r["doc_id"] >= 60)
+
+
 def test_postings_df_counts(spark, sf_dir):
     docs = _docs(spark, sf_dir).limit(50)
     tokens = keyword_index.build_token_table(docs)
