@@ -1904,6 +1904,57 @@ def q_postings_upsert(spark, sf_dir):
     )
 
 
+def q_tf_postings_upsert(spark, sf_dir):
+    """Incremental tf-postings maintenance (keyword_index.upsert_tf_postings)
+    — the write side of the r6 postings-SERVED query tiers, same fixture
+    as postings_upsert: base (term, id, tf) built over the original
+    corpus, then doc_id%9==0 upserts (text + ' updated') and %31 deletes
+    fold in with a broadcast anti-join (no driver collect). The oracle
+    rebuilds from the post-upsert corpus — incremental must equal
+    rebuild."""
+    from connapse_spark.operators.keyword_index import (
+        build_tf_postings,
+        build_token_table,
+        upsert_tf_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = build_tf_postings(build_token_table(docs))
+    batch_docs = docs.filter(F.col("doc_id") % 9 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
+    )
+    deleted = [
+        r["doc_id"]
+        for r in docs.filter((F.col("doc_id") % 31 == 0) & (F.col("doc_id") % 9 != 0))
+        .select("doc_id")
+        .collect()
+    ]
+    out = upsert_tf_postings(
+        base, build_token_table(batch_docs), deleted_ids=deleted
+    )
+    return out.orderBy("term", "id")
+
+
+def _sql_tf_postings_upsert() -> str:
+    from connapse_spark.functions.text import sql_tokens_exact
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 31 != 0 OR doc_id % 9 = 0
+),
+tok AS (
+  SELECT doc_id AS id, unnest({sql_tokens_exact('text')}) AS term
+  FROM corpus
+)
+SELECT term, id, CAST(count(*) AS BIGINT) AS tf
+FROM tok GROUP BY term, id
+ORDER BY term, id
+""".strip()
+
+
 def _sql_postings_upsert() -> str:
     from connapse_spark.functions.text import sql_tokens_exact
 
@@ -2275,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_indexed": q_hybrid_indexed,
         "keyword_many_indexed": q_keyword_many_indexed,
         "hybrid_many_indexed": q_hybrid_many_indexed,
+        "tf_postings_upsert": q_tf_postings_upsert,
         "ingest_stats": q_ingest_stats,
         "ann_ivf": q_ann_ivf,
         "chunk_recursive": q_chunk_recursive,
@@ -2513,6 +2565,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_stats_native": _sql_ingest_stats_native(),
         "ingest_stats": _sql_ingest_stats(),
         "postings_upsert": _sql_postings_upsert(),
+        "tf_postings_upsert": _sql_tf_postings_upsert(),
         "ann_ivfpq": pq.sql_ann_ivfpq(_embed_query(), k=10, nprobe=3, n_lists=8),
         "pq_recall": pq.sql_pq_recall(k=10),
         "quality_sample": sampling.sql_quality_stratified_sample(keep_fraction=0.5),

@@ -120,6 +120,39 @@ def build_tf_postings(
     )
 
 
+def upsert_tf_postings(
+    tf: DataFrame,
+    new_tokens: DataFrame,
+    deleted_ids: list[int] | None = None,
+    token_col: str = "tokens_exact",
+) -> DataFrame:
+    """Incremental maintenance of the tf-postings layout — the write side
+    of what ``keyword_search_many_indexed`` / the fast hybrid tier's
+    ``tf_postings`` serve from. A batch of NEW/UPDATED docs (their token
+    table) plus optional deletions folds into the existing (term, id, tf)
+    table without re-tokenizing the corpus; rebuild-equivalent semantics
+    (the oracle entry checks incremental == rebuild over the post-upsert
+    corpus).
+
+    Unlike :func:`upsert_postings`'s array surgery, row-level postings
+    make removal a plain anti-join: affected ids (upserted — their stale
+    terms must not linger — or deleted) drop in one broadcast left_anti
+    against the batch's id set, with NO driver-side collect, so the batch
+    side may itself be a full change feed. The postings table is scanned
+    once; the only shuffle is the batch's own (term, id) aggregation."""
+    spark = tf.sparkSession
+    affected = new_tokens.select("id")
+    if deleted_ids:
+        affected = affected.unionByName(
+            spark.createDataFrame([(int(i),) for i in deleted_ids], "id bigint")
+        )
+    cleaned = tf.join(F.broadcast(affected.distinct()), "id", "left_anti").select(
+        "term", "id", "tf"  # the join hoists its key; restore the layout order
+    )
+    fresh = build_tf_postings(new_tokens, token_col=token_col)
+    return cleaned.unionByName(fresh)
+
+
 def keyword_search_many_indexed(
     tf_exact: DataFrame,
     tf_stemmed: DataFrame,

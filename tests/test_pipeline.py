@@ -258,6 +258,35 @@ def test_hybrid_many_indexed_stale_index_serves_vector(spark, sf_dir):
     assert all(r["keyword_score"] == 0.0 for r in out if r["doc_id"] >= 60)
 
 
+def test_upsert_tf_postings_rebuild_equivalent(spark, sf_dir):
+    """Incremental tf-postings must equal a from-scratch rebuild over the
+    post-upsert corpus: stale terms of updated docs gone, deleted ids
+    gone, fresh tf counts in; empty batch + no deletes is the identity."""
+    from connapse_spark.operators.keyword_index import upsert_tf_postings
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 80)
+    base = keyword_index.build_tf_postings(keyword_index.build_token_table(docs))
+    updated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.lit("fresh words only "), F.col("doc_id")).alias("text")
+    )
+    deleted = [3, 11]
+    got = upsert_tf_postings(
+        base, keyword_index.build_token_table(updated), deleted_ids=deleted
+    )
+    post = docs.filter(~F.col("doc_id").isin(deleted)).filter(
+        F.col("doc_id") % 7 != 0
+    ).select("doc_id", "text").unionByName(updated)
+    want = keyword_index.build_tf_postings(keyword_index.build_token_table(post))
+    key = lambda r: (r["term"], r["id"])  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, want.collect()), key=lambda t: (t[0], t[1])
+    )
+    # identity: empty batch, no deletes
+    empty = keyword_index.build_token_table(docs.filter(F.lit(False)))
+    same = upsert_tf_postings(base, empty)
+    assert same.count() == base.count()
+
+
 def test_postings_df_counts(spark, sf_dir):
     docs = _docs(spark, sf_dir).limit(50)
     tokens = keyword_index.build_token_table(docs)
