@@ -123,7 +123,7 @@ def build_tf_postings(
 def upsert_tf_postings(
     tf: DataFrame,
     new_tokens: DataFrame,
-    deleted_ids: list[int] | None = None,
+    deleted_ids: "list[int] | DataFrame | None" = None,
     token_col: str = "tokens_exact",
 ) -> DataFrame:
     """Incremental maintenance of the tf-postings layout — the write side
@@ -139,10 +139,16 @@ def upsert_tf_postings(
     terms must not linger — or deleted) drop in one broadcast left_anti
     against the batch's id set, with NO driver-side collect, so the batch
     side may itself be a full change feed. The postings table is scanned
-    once; the only shuffle is the batch's own (term, id) aggregation."""
+    once; the only shuffle is the batch's own (term, id) aggregation.
+
+    ``deleted_ids`` may be a Python list (bounded ad-hoc batch) or a
+    DataFrame with an ``id`` column (change-feed scale — stays
+    distributed end to end)."""
     spark = tf.sparkSession
     affected = new_tokens.select("id")
-    if deleted_ids:
+    if isinstance(deleted_ids, DataFrame):
+        affected = affected.unionByName(deleted_ids.select("id"))
+    elif deleted_ids:
         affected = affected.unionByName(
             spark.createDataFrame([(int(i),) for i in deleted_ids], "id bigint")
         )

@@ -414,6 +414,65 @@ def streaming_index_maintenance(
     q.awaitTermination()
 
 
+def streaming_keyword_maintenance(
+    spark: SparkSession,
+    watch_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Q3/T3 as a STREAMING job — continuous keyword-index maintenance,
+    the tf-postings twin of :func:`streaming_index_maintenance`: document
+    batches landing under ``watch_dir`` (parquet: doc_id, text, op — op
+    'D' deletes, anything else upserts) are tokenized BATCH-ONLY and
+    folded into the committed (kind, term, id, tf) snapshot via
+    ``keyword_index.upsert_tf_postings``, one atomically-visible version
+    per micro-batch, partitioned by kind (exact/stemmed — the two tables
+    ``keyword_search_many_indexed`` and the fast hybrid tier serve from,
+    recovered with a kind filter that prunes at the partition level).
+    A crashed batch leaves the prior version intact; pinned readers keep
+    a consistent index while maintenance runs. The corpus is never
+    re-tokenized — per-batch cost is the batch's own (term, id)
+    aggregation plus one anti-join against the postings table."""
+    from connapse_spark.operators.keyword_index import (
+        build_token_table,
+        upsert_tf_postings,
+    )
+    from connapse_spark.sources import snapshots
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, op string")
+        .parquet(watch_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        is_del = F.coalesce(F.col("op"), F.lit("U")) == "D"
+        upserts = batch_df.filter(~is_del).select("doc_id", "text")
+        deleted = batch_df.filter(is_del).select(F.col("doc_id").alias("id"))
+        toks = build_token_table(upserts)
+        if snapshots.latest_version(table_dir) is None:
+            cur = s.createDataFrame([], "kind string, term string, id long, tf long")
+        else:
+            cur = snapshots.read_snapshot(s, table_dir)
+        parts = []
+        for kind, col in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed")):
+            cur_k = cur.filter(F.col("kind") == kind).select("term", "id", "tf")
+            parts.append(
+                upsert_tf_postings(cur_k, toks, deleted_ids=deleted, token_col=col)
+                .withColumn("kind", F.lit(kind))
+            )
+        merged = parts[0].unionByName(parts[1]).select("kind", "term", "id", "tf")
+        snapshots.commit_snapshot(merged, table_dir, partition_by=["kind"])
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_table_upsert(
     spark: SparkSession,
     watch_dir: str,

@@ -847,3 +847,76 @@ def test_streaming_index_maintenance_commits_versions(spark, sf_dir, tmp_path):
 
     hits = ann_ivf_topk(index, centroids, embed_py("probe text", 64), k=5, nprobe=2)
     assert hits.count() == 5
+
+
+def test_streaming_keyword_maintenance_rebuild_equivalent(spark, sf_dir, tmp_path):
+    """Two activation waves of doc batches -> two versions of the
+    kind-partitioned tf-postings snapshot. After each wave the committed
+    index must equal a from-scratch rebuild over the live corpus (the
+    upsert_tf_postings contract, end to end through the stream), the
+    prior version stays readable, and the final snapshot SERVES a batched
+    keyword query identical to the scan tier."""
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.search import keyword_search_many
+    from connapse_spark.sources import snapshots as snaps
+    from connapse_spark.streaming.pipeline import streaming_keyword_maintenance
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .persist()
+    )
+    watch = str(tmp_path / "incoming")
+    table = str(tmp_path / "kw_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+
+    def rebuild(live):
+        toks = ki.build_token_table(live)
+        return (
+            ki.build_tf_postings(toks, "tokens_exact").withColumn("kind", F.lit("exact"))
+            .unionByName(
+                ki.build_tf_postings(toks, "tokens_stemmed").withColumn(
+                    "kind", F.lit("stemmed")
+                )
+            )
+        )
+
+    def snap_set(df):
+        return {(r["kind"], r["term"], r["id"], r["tf"]) for r in df.collect()}
+
+    # wave 1: initial corpus
+    docs.withColumn("op", F.lit("U")).coalesce(1).write.mode("append").parquet(watch)
+    streaming_keyword_maintenance(spark, watch, table, ckpt)
+    v1 = snaps.latest_version(table)
+    got1 = snaps.read_snapshot(spark, table)
+    assert snap_set(got1) == snap_set(rebuild(docs))
+
+    # wave 2: update doc 3, delete doc 7
+    updated = docs.filter(F.col("doc_id") == 3).select(
+        "doc_id", F.lit("completely new words here").alias("text"), F.lit("U").alias("op")
+    )
+    deleted = spark.createDataFrame([(7, None, "D")], "doc_id long, text string, op string")
+    updated.unionByName(deleted).coalesce(1).write.mode("append").parquet(watch)
+    streaming_keyword_maintenance(spark, watch, table, ckpt)
+    assert snaps.latest_version(table) > v1
+
+    live = docs.filter(F.col("doc_id") != 7).filter(F.col("doc_id") != 3).unionByName(
+        updated.select("doc_id", "text")
+    )
+    got2 = snaps.read_snapshot(spark, table)
+    assert snap_set(got2) == snap_set(rebuild(live))
+    # pinned reader: v1 unchanged
+    assert snap_set(snaps.read_snapshot(spark, table, version=v1)) == snap_set(
+        rebuild(docs)
+    )
+
+    # the committed snapshot SERVES the batch tier, row-equal to the scan
+    tfe = got2.filter(F.col("kind") == "exact").select("term", "id", "tf")
+    tfs = got2.filter(F.col("kind") == "stemmed").select("term", "id", "tf")
+    queries = [(1, "table scan"), (2, "merge join")]
+    want = keyword_search_many(live, queries, k=5).collect()
+    served = ki.keyword_search_many_indexed(tfe, tfs, queries, k=5).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in want]
+    docs.unpersist()
