@@ -159,6 +159,130 @@ def upsert_tf_postings(
     return cleaned.unionByName(fresh)
 
 
+def tf_pending_append(
+    docs_batch: DataFrame,
+    delta_dir: str,
+    deleted_ids: "list[int] | DataFrame | None" = None,
+    batch: int | None = None,
+) -> int:
+    """PENDING-LIST maintenance of the tf-postings index (the GIN
+    fastupdate regime): instead of rewriting the whole term-clustered
+    index per micro-batch (``upsert_tf_postings`` + overwrite — O(index)
+    per batch), append ONE batch's postings and tombstones to a small
+    delta table — O(batch) per commit, no base read at all. Serving
+    resolves base ∪ delta through :func:`tf_resolve`; :func:`tf_compact`
+    periodically folds the delta into the base so the resolution join
+    stays broadcast-sized.
+
+    Delta rows: (kind ∈ exact|stemmed, term, id, tf, batch) for the
+    batch's postings, plus one (kind='tomb', term='', id, tf=NULL,
+    batch) row per AFFECTED id — upserted ids tombstone their own prior
+    state; deleted-only ids get just the tombstone. ``batch`` must be
+    monotone across commits (a streaming caller passes its replayed-
+    stable micro-batch id; default = next delta version); replaying the
+    same batch appends byte-identical rows, which resolution dedups —
+    crash-replay is idempotent at serve time."""
+    from connapse_spark.sources import snapshots
+
+    spark = docs_batch.sparkSession
+    toks = build_token_table(docs_batch)
+    fresh = (
+        build_tf_postings(toks, "tokens_exact").withColumn("kind", F.lit("exact"))
+        .unionByName(
+            build_tf_postings(toks, "tokens_stemmed").withColumn(
+                "kind", F.lit("stemmed")
+            )
+        )
+    )
+    affected = toks.select("id")
+    if isinstance(deleted_ids, DataFrame):
+        affected = affected.unionByName(deleted_ids.select("id"))
+    elif deleted_ids:
+        affected = affected.unionByName(
+            spark.createDataFrame([(int(i),) for i in deleted_ids], "id bigint")
+        )
+    lv = snapshots.latest_version(delta_dir)
+    if batch is None:
+        batch = 0 if lv is None else lv + 1
+    tomb = affected.distinct().select(
+        F.lit("tomb").alias("kind"),
+        F.lit("").alias("term"),
+        "id",
+        F.lit(None).cast("long").alias("tf"),
+    )
+    rows = (
+        fresh.select("kind", "term", "id", "tf")
+        .unionByName(tomb)
+        .withColumn("batch", F.lit(int(batch)).cast("long"))
+    )
+    return snapshots.commit_snapshot(
+        rows,
+        delta_dir,
+        mode="append" if lv is not None else "overwrite",
+        partition_by=["kind"],
+    )
+
+
+def tf_resolve(spark, base_dir: str, delta_dir: str) -> DataFrame:
+    """Serve-time view of a pending-list tf index: base postings minus
+    tombstoned ids, plus each delta id's LATEST batch of postings (an id
+    upserted at batch b carries its own tomb at b, so live delta rows
+    are exactly those whose batch equals the id's max tombstone batch;
+    a later delete raises the max above every posting batch and the id
+    vanishes). The tombstone set is the ids touched since the last
+    compaction — broadcast-sized by construction, so the base table is
+    scanned once with no shuffle. ``dropDuplicates`` over the delta
+    makes crash-replayed appends invisible."""
+    from connapse_spark.sources import snapshots
+
+    empty = spark.createDataFrame([], "kind string, term string, id long, tf long")
+    base = (
+        snapshots.read_snapshot(spark, base_dir).select("kind", "term", "id", "tf")
+        if snapshots.latest_version(base_dir) is not None
+        else empty
+    )
+    if snapshots.latest_version(delta_dir) is None:
+        return base
+    delta = snapshots.read_snapshot(spark, delta_dir).dropDuplicates(
+        ["kind", "term", "id", "batch"]
+    )
+    tomb = (
+        delta.filter(F.col("kind") == "tomb")
+        .groupBy("id")
+        .agg(F.max("batch").alias("_tb"))
+    )
+    live_base = base.join(F.broadcast(tomb), "id", "left_anti").select(
+        "kind", "term", "id", "tf"
+    )
+    live_delta = (
+        delta.filter(F.col("kind") != "tomb")
+        .join(F.broadcast(tomb), "id")
+        .filter(F.col("batch") == F.col("_tb"))
+        .select("kind", "term", "id", "tf")
+    )
+    return live_base.unionByName(live_delta)
+
+
+def tf_compact(spark, base_dir: str, delta_dir: str) -> int:
+    """Fold the pending delta into the base index: commit the resolved
+    view as the next base version, then truncate the delta. Crash-safe
+    without coordination: if the truncate never happens, the stale
+    delta's tombstones suppress exactly the base rows its own postings
+    re-add, so resolution over (compacted base, stale delta) equals
+    resolution over the old pair — re-running compaction converges.
+    Old base/delta versions stay readable for pinned readers until a
+    retention pass expires them."""
+    from connapse_spark.sources import snapshots
+
+    resolved = tf_resolve(spark, base_dir, delta_dir)
+    v = snapshots.commit_snapshot(resolved, base_dir, partition_by=["kind"])
+    empty = spark.createDataFrame(
+        [], "kind string, term string, id long, tf long, batch long"
+    )
+    snapshots.commit_snapshot(empty, delta_dir, partition_by=["kind"])
+    return v
+
+
 def keyword_search_many_indexed(
     tf_exact: DataFrame,
     tf_stemmed: DataFrame,

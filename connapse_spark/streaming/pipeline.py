@@ -473,6 +473,48 @@ def streaming_keyword_maintenance(
     q.awaitTermination()
 
 
+def streaming_keyword_maintenance_pending(
+    spark: SparkSession,
+    watch_dir: str,
+    base_dir: str,
+    delta_dir: str,
+    checkpoint_dir: str,
+    compact_every: int = 8,
+) -> None:
+    """High-frequency variant of :func:`streaming_keyword_maintenance` —
+    the GIN-fastupdate regime. The overwrite variant pays O(index) per
+    micro-batch (a term-clustered index cannot benefit from keyed
+    copy-on-write: a doc touches postings in every term range); here each
+    batch APPENDS its postings + tombstones to a small delta table in
+    O(batch), and every ``compact_every``-th batch folds the delta into
+    the base (``keyword_index.tf_compact`` — amortized, crash-safe).
+    Readers resolve base ∪ delta via ``keyword_index.tf_resolve``; the
+    micro-batch id is the tombstone clock (replay-stable through the
+    checkpoint, so crashed-batch replays resolve away)."""
+    from connapse_spark.operators.keyword_index import tf_compact, tf_pending_append
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, op string")
+        .parquet(watch_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        is_del = F.coalesce(F.col("op"), F.lit("U")) == "D"
+        upserts = batch_df.filter(~is_del).select("doc_id", "text")
+        deleted = batch_df.filter(is_del).select(F.col("doc_id").alias("id"))
+        tf_pending_append(upserts, delta_dir, deleted_ids=deleted, batch=batch_id)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            tf_compact(batch_df.sparkSession, base_dir, delta_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_table_upsert(
     spark: SparkSession,
     watch_dir: str,

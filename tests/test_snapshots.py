@@ -920,3 +920,132 @@ def test_streaming_keyword_maintenance_rebuild_equivalent(spark, sf_dir, tmp_pat
     served = ki.keyword_search_many_indexed(tfe, tfs, queries, k=5).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in want]
     docs.unpersist()
+
+
+def test_tf_pending_list_resolve_and_compact(spark, sf_dir, tmp_path):
+    """GIN-fastupdate regime: per-batch O(batch) appends to the delta,
+    serve-time resolution, periodic compaction. Every state must equal a
+    from-scratch rebuild over the live corpus; replayed appends and the
+    compaction crash window (base committed, delta not yet truncated)
+    must resolve identically."""
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.sources import snapshots as snaps
+
+    base_dir = str(tmp_path / "base")
+    delta_dir = str(tmp_path / "delta")
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .persist()
+    )
+
+    def rebuild(live):
+        toks = ki.build_token_table(live)
+        return (
+            ki.build_tf_postings(toks, "tokens_exact").withColumn("kind", F.lit("exact"))
+            .unionByName(
+                ki.build_tf_postings(toks, "tokens_stemmed").withColumn(
+                    "kind", F.lit("stemmed")
+                )
+            )
+        )
+
+    def as_set(df):
+        return {(r["kind"], r["term"], r["id"], r["tf"]) for r in df.collect()}
+
+    # batch 0: initial corpus, base does not exist yet
+    ki.tf_pending_append(docs, delta_dir, batch=0)
+    assert as_set(ki.tf_resolve(spark, base_dir, delta_dir)) == as_set(rebuild(docs))
+
+    # batch 1: update doc 3, delete doc 7
+    upd = docs.filter(F.col("doc_id") == 3).select(
+        "doc_id", F.lit("entirely different words").alias("text")
+    )
+    ki.tf_pending_append(upd, delta_dir, deleted_ids=[7], batch=1)
+    live = docs.filter(~F.col("doc_id").isin(3, 7)).unionByName(upd)
+    want = as_set(rebuild(live))
+    assert as_set(ki.tf_resolve(spark, base_dir, delta_dir)) == want
+
+    # crash-replay of batch 1: identical rows append again, resolution dedups
+    ki.tf_pending_append(upd, delta_dir, deleted_ids=[7], batch=1)
+    assert as_set(ki.tf_resolve(spark, base_dir, delta_dir)) == want
+
+    # compaction crash window: base committed from the resolved view but
+    # the delta NOT truncated — stale tombstones suppress exactly the base
+    # rows the stale postings re-add
+    snaps.commit_snapshot(
+        ki.tf_resolve(spark, base_dir, delta_dir), base_dir, partition_by=["kind"]
+    )
+    assert as_set(ki.tf_resolve(spark, base_dir, delta_dir)) == want
+
+    # full compaction converges; base alone now carries the index
+    ki.tf_compact(spark, base_dir, delta_dir)
+    assert as_set(snaps.read_snapshot(spark, base_dir).select("kind", "term", "id", "tf")) == want
+    assert snaps.read_snapshot(spark, delta_dir).count() == 0
+    assert as_set(ki.tf_resolve(spark, base_dir, delta_dir)) == want
+
+    # post-compact batch: delete the updated doc again
+    ki.tf_pending_append(
+        docs.filter(F.lit(False)).select("doc_id", "text"), delta_dir,
+        deleted_ids=[3], batch=2,
+    )
+    live2 = live.filter(F.col("doc_id") != 3)
+    assert as_set(ki.tf_resolve(spark, base_dir, delta_dir)) == as_set(rebuild(live2))
+    docs.unpersist()
+
+
+def test_streaming_keyword_maintenance_pending_compacts(spark, sf_dir, tmp_path):
+    """End-to-end pending-mode stream: batch 0 appends, batch 1 appends
+    then compacts (compact_every=2); the resolved index equals a rebuild
+    and the post-compaction delta is empty."""
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.sources import snapshots as snaps
+    from connapse_spark.streaming.pipeline import streaming_keyword_maintenance_pending
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+        .persist()
+    )
+    watch = str(tmp_path / "incoming")
+    base = str(tmp_path / "base")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+
+    docs.withColumn("op", F.lit("U")).coalesce(1).write.mode("append").parquet(watch)
+    streaming_keyword_maintenance_pending(spark, watch, base, delta, ckpt, compact_every=2)
+
+    upd = docs.filter(F.col("doc_id") == 2).select(
+        "doc_id", F.lit("replacement text").alias("text"), F.lit("U").alias("op")
+    )
+    dele = spark.createDataFrame([(5, None, "D")], "doc_id long, text string, op string")
+    upd.unionByName(dele).coalesce(1).write.mode("append").parquet(watch)
+    streaming_keyword_maintenance_pending(spark, watch, base, delta, ckpt, compact_every=2)
+
+    live = docs.filter(~F.col("doc_id").isin(2, 5)).unionByName(
+        upd.select("doc_id", "text")
+    )
+    toks = ki.build_token_table(live)
+    want = {
+        (r["kind"], r["term"], r["id"], r["tf"])
+        for r in ki.build_tf_postings(toks, "tokens_exact")
+        .withColumn("kind", F.lit("exact"))
+        .unionByName(
+            ki.build_tf_postings(toks, "tokens_stemmed").withColumn(
+                "kind", F.lit("stemmed")
+            )
+        )
+        .collect()
+    }
+    got = {
+        (r["kind"], r["term"], r["id"], r["tf"])
+        for r in ki.tf_resolve(spark, base, delta).collect()
+    }
+    assert got == want
+    # batch 1 triggered compaction: delta truncated, base carries the index
+    assert snaps.read_snapshot(spark, delta).count() == 0
+    assert snaps.read_snapshot(spark, base).count() == len(want)
+    docs.unpersist()
