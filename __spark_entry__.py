@@ -1935,6 +1935,45 @@ def q_tf_postings_upsert(spark, sf_dir):
     return out.orderBy("term", "id")
 
 
+def q_tf_pending_resolve(spark, sf_dir):
+    """Pending-list keyword index END TO END on disk (keyword_index.
+    tf_pending_append → tf_resolve): batch 0 commits the original corpus
+    to the delta, batch 1 appends the postings_upsert fixture's updates
+    (doc_id%9) and deletes (%31) as tombstones, then the SERVE-time
+    resolution reads both committed versions back. Same oracle as
+    tf_postings_upsert (rebuild over the post-change corpus) — what is
+    hash-checked is the whole fastupdate regime: append-only commits,
+    tombstone clock, latest-batch resolution."""
+    import shutil
+    import tempfile
+
+    from connapse_spark.operators.keyword_index import (
+        tf_pending_append,
+        tf_resolve,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"connapse_tfpend_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    base_dir, delta_dir = os.path.join(root, "base"), os.path.join(root, "delta")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tf_pending_append(docs, delta_dir, batch=0)
+    upd = docs.filter(F.col("doc_id") % 9 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
+    )
+    deleted = [
+        r["doc_id"]
+        for r in docs.filter((F.col("doc_id") % 31 == 0) & (F.col("doc_id") % 9 != 0))
+        .select("doc_id")
+        .collect()
+    ]
+    tf_pending_append(upd, delta_dir, deleted_ids=deleted, batch=1)
+    out = tf_resolve(spark, base_dir, delta_dir).filter(F.col("kind") == "exact")
+    return out.select("term", "id", "tf").orderBy("term", "id")
+
+
 def _sql_tf_postings_upsert() -> str:
     from connapse_spark.functions.text import sql_tokens_exact
 
@@ -2315,18 +2354,21 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver checks the FIRST ~50 entries. Ordering invariant
-        # --- (r6 rotation, VERDICT r5 ask #9): seats 1-12 are the round-6
-        # --- NEW or CODE-CHANGED entries (hybrid_indexed, the upgraded
-        # --- ingest_stats invariant oracle, the rewritten chunkers, the
-        # --- new-default salted_agg, the keyword-index-touched hybrid
-        # --- batch family); seats 13-37 are every remaining entry whose
-        # --- last driver-green row dates to round 3; seats 38-50 back-fill
-        # --- with the stalest r4-greens. Everything below seat 50 is
-        # --- r4/r5-green and rotates forward next round.
+        # --- (r6 rotation, VERDICT r5 ask #9): seats 1-15 are the round-6
+        # --- NEW or CODE-CHANGED entries (the index-served single/batch
+        # --- tiers, tf-postings write paths incl. the pending-list
+        # --- resolve, the upgraded ingest_stats invariant oracle, the
+        # --- rewritten chunkers, the new-default salted_agg, the
+        # --- keyword-index-touched hybrid batch family); then every
+        # --- remaining entry whose last driver-green row dates to round
+        # --- 3; the tail back-fills with the stalest r4-greens.
+        # --- Everything below seat 50 is r4/r5-green and rotates forward
+        # --- next round.
         "hybrid_indexed": q_hybrid_indexed,
         "keyword_many_indexed": q_keyword_many_indexed,
         "hybrid_many_indexed": q_hybrid_many_indexed,
         "tf_postings_upsert": q_tf_postings_upsert,
+        "tf_pending_resolve": q_tf_pending_resolve,
         "ingest_stats": q_ingest_stats,
         "ann_ivf": q_ann_ivf,
         "chunk_recursive": q_chunk_recursive,
@@ -2566,6 +2608,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_stats": _sql_ingest_stats(),
         "postings_upsert": _sql_postings_upsert(),
         "tf_postings_upsert": _sql_tf_postings_upsert(),
+        "tf_pending_resolve": _sql_tf_postings_upsert(),
         "ann_ivfpq": pq.sql_ann_ivfpq(_embed_query(), k=10, nprobe=3, n_lists=8),
         "pq_recall": pq.sql_pq_recall(k=10),
         "quality_sample": sampling.sql_quality_stratified_sample(keep_fraction=0.5),
