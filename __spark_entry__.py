@@ -1974,6 +1974,41 @@ def q_tf_pending_resolve(spark, sf_dir):
     return out.select("term", "id", "tf").orderBy("term", "id")
 
 
+def q_token_shards(spark, sf_dir):
+    """Seeded global shuffle + token-budget sharding (sampling.
+    token_budget_shards): the training-export op — every doc takes a
+    deterministic pseudorandom position (md5 of seed||doc_id) and shards
+    chop at 4000-token boundaries, so shards balance by TOKEN mass. The
+    Spark side runs the distributed two-pass prefix sum (range partition
+    + per-partition window + broadcast offsets); the oracle runs DuckDB's
+    single-stream global window — hash equality proves the distributed
+    prefix is exact, boundary for boundary."""
+    from connapse_spark.functions.text import tokens_exact_expr
+    from connapse_spark.operators.sampling import token_budget_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens_exact_expr(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    out = token_budget_shards(
+        docs, budget_tokens=4000, key_col="doc_id",
+        token_count_col="n_tokens", seed="r6",
+    )
+    return out.orderBy("doc_id")
+
+
+def _sql_token_shards() -> str:
+    from connapse_spark.functions.text import sql_tokens_exact
+    from connapse_spark.operators.sampling import sql_token_budget_shards
+
+    return (
+        sql_token_budget_shards(
+            4000, "doc_id", f"len({sql_tokens_exact('text')})", seed="r6"
+        )
+        + "\nORDER BY doc_id"
+    )
+
+
 def _sql_tf_postings_upsert() -> str:
     from connapse_spark.functions.text import sql_tokens_exact
 
@@ -2369,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_many_indexed": q_hybrid_many_indexed,
         "tf_postings_upsert": q_tf_postings_upsert,
         "tf_pending_resolve": q_tf_pending_resolve,
+        "token_shards": q_token_shards,
         "ingest_stats": q_ingest_stats,
         "ann_ivf": q_ann_ivf,
         "chunk_recursive": q_chunk_recursive,
@@ -2609,6 +2645,7 @@ def oracle_sql() -> dict[str, str]:
         "postings_upsert": _sql_postings_upsert(),
         "tf_postings_upsert": _sql_tf_postings_upsert(),
         "tf_pending_resolve": _sql_tf_postings_upsert(),
+        "token_shards": _sql_token_shards(),
         "ann_ivfpq": pq.sql_ann_ivfpq(_embed_query(), k=10, nprobe=3, n_lists=8),
         "pq_recall": pq.sql_pq_recall(k=10),
         "quality_sample": sampling.sql_quality_stratified_sample(keep_fraction=0.5),

@@ -295,3 +295,99 @@ SELECT {id_col}, {group_col}, quality_logit,
        grp_rank <= ceil({keep_fraction!r} * grp_n) AS kept
 FROM ranked ORDER BY {id_col}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Seeded global shuffle + token-budget sharding (training-export op)
+# ---------------------------------------------------------------------------
+
+
+def token_budget_shards(
+    df: DataFrame,
+    budget_tokens: int,
+    key_col: str,
+    token_count_col: str,
+    seed: str = "shuffle",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Deterministic seeded global shuffle + token-budget shard chop — the
+    export-side sibling of :func:`pack_sequences`: rows take a
+    pseudorandom order that is a pure function of the row key (md5 over
+    seed||key — stable across runs, clusters, partitionings, engine
+    versions), and each document lands WHOLLY in shard
+    ``exclusive_prefix_tokens div budget`` — shards carry ≈equal token
+    mass (each may overrun by at most one document), which is what
+    training loaders actually balance on, where count-balanced shards
+    skew by document length.
+
+    The global exclusive prefix sum uses the classic two-pass distributed
+    pattern — NEVER a global ``Window.orderBy`` (the single-partition
+    trap): range-partition on the shuffle key into ``n_parts`` ranges,
+    per-partition window cumsum (distributed), then add broadcast
+    per-partition offsets (one bounded ``n_parts``-row collect — sized by
+    parallelism, not data). Two full-width shuffles total (the range
+    exchange and the pid-hash exchange the per-partition window needs);
+    the result is partition-boundary-independent, so it is oracle-exact.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    tp = (
+        df.select(F.col(key_col), F.col(token_count_col), h.alias("_h"))
+        .repartitionByRange(n_parts, "_h", key_col)
+        .persist()
+    )
+    tp.count()  # pin the partitioning so spark_partition_id is consistent
+    withpid = tp.withColumn("_pid", F.spark_partition_id())
+    part_sums = withpid.groupBy("_pid").agg(
+        F.sum(token_count_col).cast("bigint").alias("_s")
+    ).collect()
+    totals = {r["_pid"]: (r["_s"] or 0) for r in part_sums}
+    offs, acc = [], 0
+    for pid in sorted(totals):
+        offs.append((int(pid), int(acc)))
+        acc += totals[pid]
+    spark = df.sparkSession
+    odf = spark.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_excl = F.coalesce(F.sum(token_count_col).over(w), F.lit(0)).cast("bigint")
+    return (
+        withpid.join(F.broadcast(odf), "_pid")
+        .withColumn("_lexcl", local_excl)
+        .withColumn("start_tok", F.col("_off") + F.col("_lexcl"))
+        .select(
+            key_col,
+            F.col(token_count_col).cast("bigint").alias(token_count_col),
+            "start_tok",
+            F.expr(f"start_tok div {int(budget_tokens)}").alias("shard"),
+        )
+    )
+
+
+def sql_token_budget_shards(
+    budget_tokens: int,
+    key_col: str,
+    token_count_expr: str,
+    seed: str = "shuffle",
+    table: str = "documents",
+    token_count_alias: str = "n_tokens",
+) -> str:
+    """Mirror: one global window over the same md5 shuffle order — DuckDB
+    can afford the single-stream window at oracle scale; the Spark side
+    proves the distributed two-pass computes the identical prefix."""
+    order = f"ORDER BY md5(concat('{seed}', CAST({key_col} AS VARCHAR))), {key_col}"
+    start = (
+        f"CAST(coalesce(sum({token_count_alias}) OVER ({order} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)"
+    )
+    return f"""
+WITH t AS (SELECT {key_col}, CAST({token_count_expr} AS BIGINT) AS {token_count_alias} FROM {table})
+SELECT {key_col}, {token_count_alias},
+       {start} AS start_tok,
+       {start} // {budget_tokens} AS shard
+FROM t
+""".strip()

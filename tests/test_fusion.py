@@ -606,3 +606,42 @@ def test_dup_span_stats_flags_repeated_spans(spark):
     )
     r = dup_span_stats(rep, n=4).collect()[0]
     assert r["n_dup_grams"] >= 2  # 'x y z w' occurs at pos 0 and 4
+
+
+def test_token_budget_shards_partition_invariant(spark):
+    """The distributed two-pass prefix sum must be a pure function of the
+    data: identical shard assignment at any n_parts (1, 3, 32), every doc
+    wholly in one shard, shard boundaries = exclusive prefix div budget,
+    and total token mass preserved."""
+    from connapse_spark.operators.sampling import token_budget_shards
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    base = {
+        r["doc_id"]: (r["start_tok"], r["shard"])
+        for r in token_budget_shards(
+            df, 500, "doc_id", "n", seed="t", n_parts=32
+        ).collect()
+    }
+    for np_ in (1, 3):
+        other = {
+            r["doc_id"]: (r["start_tok"], r["shard"])
+            for r in token_budget_shards(
+                df, 500, "doc_id", "n", seed="t", n_parts=np_
+            ).collect()
+        }
+        assert other == base
+    toks = dict(rows)
+    assert sorted(s for s, _ in base.values()) == sorted(
+        st for st, _ in base.values()
+    )
+    assert all(sh == st // 500 for st, sh in base.values())
+    assert sum(toks.values()) == max(
+        st + toks[d] for d, (st, sh) in base.items()
+    )
+    # a different seed permutes the order (shards differ for some doc)
+    reseeded = {
+        r["doc_id"]: r["shard"]
+        for r in token_budget_shards(df, 500, "doc_id", "n", seed="u").collect()
+    }
+    assert any(reseeded[d] != sh for d, (_, sh) in base.items())
