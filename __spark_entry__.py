@@ -1242,6 +1242,50 @@ def q_hybrid_indexed(spark, sf_dir):
     return out.withColumnRenamed("id", "doc_id")
 
 
+def q_hybrid_ann(spark, sf_dir):
+    """Hybrid search with BOTH branches served from write-time index
+    structures: keyword from the posting-list index, semantic from the
+    seeded IVF vector index at FULL probe (nprobe = n_lists) — the regime
+    proving the indexes are physical structures, not semantic changes. The
+    oracle is IDENTICAL to hybrid_cc's: full-probe candidates are the whole
+    corpus and vector_index scoring reuses vector_knn's exact cosine
+    expression, so rows must be row-equal to the scan pipeline (reference:
+    pgvector ivfflat + GIN serve the same SQL the seq-scan plan answers)."""
+    docs = _t(spark, sf_dir, "documents")
+    vidx = ivf.build_vector_index(
+        _vectors(spark, sf_dir), n_lists=8, nprobe=8, id_col="id", seeded=True
+    ).persist()
+    kidx = keyword_index.build_keyword_index(docs).persist()
+    out = hybrid_search(
+        docs,
+        SEARCH_QUERY,
+        SearchOptions(top_k=10, fusion="ConvexCombination", fusion_alpha=0.5),
+        keyword_index=kidx,
+        vector_index=vidx,
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
+def q_hybrid_ann_probe(spark, sf_dir):
+    """The SUBLINEAR serving regime: semantic branch scans only the 3 of 8
+    probed inverted lists (|corpus|·3/8 of the vectors; at 100 TB the
+    list_id-partitioned index makes the probe partition pruning). Its own
+    exact oracle (oracle.hybrid_ann_sql) mirrors the probe: seeded
+    assignment + seed-centroid ranking + probed cosine, so this pins the
+    approximate path's semantics value-for-value, not just its recall."""
+    docs = _t(spark, sf_dir, "documents")
+    vidx = ivf.build_vector_index(
+        _vectors(spark, sf_dir), n_lists=8, nprobe=3, id_col="id", seeded=True
+    ).persist()
+    out = hybrid_search(
+        docs,
+        SEARCH_QUERY,
+        SearchOptions(top_k=10, fusion="ConvexCombination", fusion_alpha=0.5),
+        vector_index=vidx,
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def q_hybrid_rerank(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     hits = _hybrid(spark, sf_dir).select("doc_id", "score")
@@ -2389,8 +2433,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver checks the FIRST ~50 entries. Ordering invariant
-        # --- (r6 rotation, VERDICT r5 ask #9): seats 1-15 are the round-6
-        # --- NEW or CODE-CHANGED entries (the index-served single/batch
+        # --- (r6 rotation, VERDICT r5 ask #9): seats 1-17 are the round-6
+        # --- NEW or CODE-CHANGED entries (the IVF-served hybrid pair,
+        # --- the index-served single/batch
         # --- tiers, tf-postings write paths incl. the pending-list
         # --- resolve, the upgraded ingest_stats invariant oracle, the
         # --- rewritten chunkers, the new-default salted_agg, the
@@ -2399,6 +2444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 3; the tail back-fills with the stalest r4-greens.
         # --- Everything below seat 50 is r4/r5-green and rotates forward
         # --- next round.
+        "hybrid_ann": q_hybrid_ann,
+        "hybrid_ann_probe": q_hybrid_ann_probe,
         "hybrid_indexed": q_hybrid_indexed,
         "keyword_many_indexed": q_keyword_many_indexed,
         "hybrid_many_indexed": q_hybrid_many_indexed,
@@ -2551,6 +2598,10 @@ def oracle_sql() -> dict[str, str]:
         # the index is a physical structure: the indexed serving path must
         # produce EXACTLY the full-scan hybrid rows
         "hybrid_indexed": oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True),
+        # full probe ⇒ row-equal to the scan pipeline (same oracle as hybrid_cc)
+        "hybrid_ann": oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True),
+        # probed regime has its own exact mirror (seeded assignment + probe CTEs)
+        "hybrid_ann_probe": oracle.hybrid_ann_sql(SEARCH_QUERY, nprobe=3, n_lists=8),
         "hybrid_dbsf": oracle.hybrid_sql(SEARCH_QUERY, method="Dbsf", stored_vectors=True),
         "hybrid_autocut": oracle.hybrid_sql(SEARCH_QUERY, autocut=True, stored_vectors=True),
         "hybrid_filtered": oracle.hybrid_sql(

@@ -1035,6 +1035,7 @@ def hybrid_search(
     dims: int = 64,
     vectors: DataFrame | None = None,
     keyword_index=None,
+    vector_index=None,
 ) -> DataFrame:
     """End-to-end search over a corpus with text. Mirrors
     HybridSearchService.SearchAsync stage order.
@@ -1046,6 +1047,18 @@ def hybrid_search(
     index (KeywordSearchService.cs:73-91). Results are identical to the
     full-scan branch (the index is a physical structure, not a semantic
     change); ``hybrid_indexed``'s oracle pins row-equality to ``hybrid_cc``.
+
+    ``vector_index`` (a ``plans.ivf.VectorIndex``) is the semantic branch's
+    analogue: candidates come from the ``nprobe`` nearest inverted lists of
+    the write-time IVF index instead of a full vector scan — the reference
+    serves KNN through pgvector's ivfflat partial index the same way
+    (VectorColumnManager.cs:14-194, PgVectorStore.cs:186-285). Scoring uses
+    the SAME ``vector_knn`` cosine expression over the candidate subset, so
+    with ``nprobe >= n_lists`` the output is row-equal to the brute branch
+    (``hybrid_ann``'s oracle pins this); smaller ``nprobe`` trades recall
+    for a |corpus|·nprobe/n_lists scan — at 100 TB the index table is
+    written partitioned by list_id so the probe's ``IN`` filter is
+    partition pruning. ``vector_index`` takes precedence over ``vectors``.
 
     The vector branch scans STORED vectors when ``vectors`` (id, embedding)
     is given — the reference architecture (chunk_vectors precomputed at
@@ -1073,7 +1086,20 @@ def hybrid_search(
 
     if options.mode in ("Semantic", "Hybrid"):
         qv = embed_py(query, dims)
-        if vectors is not None:
+        if vector_index is not None:
+            from connapse_spark.plans.ivf import probe_list_ids
+
+            probe_ids = probe_list_ids(
+                vector_index.centroids, qv, vector_index.nprobe
+            )
+            cands = vector_index.index.filter(
+                F.col("list_id").isin(probe_ids)
+            ).select("id", F.col("vec").alias("embedding"))
+            if predicate is not None:
+                allowed = base.select(F.col(id_col).alias("id"))
+                cands = cands.join(F.broadcast(allowed), "id", "left_semi")
+            vecs = cands
+        elif vectors is not None:
             vecs = vectors
             if predicate is not None:
                 allowed = base.select(F.col(id_col).alias("id"))

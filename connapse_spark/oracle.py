@@ -190,6 +190,58 @@ def hybrid_sql(
     )
 
 
+def hybrid_ann_sql(
+    query: str,
+    top_k: int = 10,
+    min_score: float = 0.0,
+    alpha: float = 0.5,
+    method: str = "ConvexCombination",
+    autocut: bool = False,
+    dims: int = 64,
+    nprobe: int = 3,
+    n_lists: int = 8,
+) -> str:
+    """Mirror of ``hybrid_search(vector_index=seeded IVF, nprobe=…)``: the
+    semantic branch scores ONLY the probed inverted lists of the
+    deterministic seeded IVF index — the same assignment + seed-centroid +
+    probe CTEs the green ``ann_ivf_seeded`` oracle pins (plans/ivf.py
+    ``sql_ann_ivf_seeded``) — then the standard keyword branch and fusion
+    tail. Python's driver-side probe fold and this SQL's ``ORDER BY s DESC,
+    list_id`` are the same sequential FP ops, so list selection matches
+    bit-for-bit."""
+    from connapse_spark.operators.similarity import sql_cluster_assign
+
+    qv = sql_vector_literal(embed_py(query, dims))
+    prefix = f"""q AS (SELECT {qv} AS qv),
+assigned AS ({sql_cluster_assign(n_lists)}),
+seeds AS (SELECT CAST(vec_id AS BIGINT) AS list_id, CAST(embedding AS DOUBLE[]) AS centroid
+          FROM embeddings ORDER BY vec_id LIMIT {n_lists}),
+probe AS (
+  SELECT list_id FROM (
+    SELECT list_id, {sql_cosine("centroid", "qv")} AS s FROM seeds, q
+  ) ORDER BY s DESC, list_id LIMIT {nprobe}
+),"""
+    v_cte = f"""
+  SELECT id, score FROM (
+    SELECT e.vec_id AS id, {sql_cosine("CAST(e.embedding AS DOUBLE[])", "qv")} AS score
+    FROM embeddings e JOIN assigned a USING (vec_id)
+         JOIN probe p ON a.cluster = p.list_id, q
+  ) ORDER BY score DESC, id LIMIT {top_k}
+""".rstrip()
+    kw_cte = keyword_cte(query, top_k, "documents", "doc_id", "text", None)
+    return _hybrid_fusion_tail(
+        v_cte,
+        kw_cte,
+        top_k,
+        min_score,
+        alpha,
+        method,
+        autocut,
+        "doc_id",
+        prefix_ctes=prefix,
+    )
+
+
 def hybrid_onepass_sql(
     query: str,
     top_k: int = 10,

@@ -27,6 +27,8 @@ parquet row-group level.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -228,20 +230,16 @@ def build_ivf_index(
     return index, centroids
 
 
-def ann_ivf_topk(
-    index: DataFrame,
-    centroids: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    nprobe: int = 4,
-) -> DataFrame:
-    """Probe: rank centroids by cosine to the query ON THE DRIVER (the
-    centroid table is ≤100 rows by the lists policy — exactly the
-    coordinator-side decision pgvector's ivfflat.probes makes), then scan
-    ONLY the chosen lists via a literal ``list_id IN (...)`` filter —
-    partition pruning against a list_id-partitioned index, one Spark job,
-    no centroid-ranking job and no broadcast-exchange job (the previous
-    join-based probe paid ~3 scheduled jobs per query)."""
+def probe_list_ids(
+    centroids: DataFrame, query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Rank centroids by cosine to the query ON THE DRIVER (the centroid
+    table is ≤100 rows by the lists policy — exactly the coordinator-side
+    decision pgvector's ivfflat.probes makes) and return the ``nprobe``
+    nearest list_ids. The Python fold here is the same sequential FP ops as
+    ``sql_cosine``'s left fold, so a DuckDB mirror ranks identically
+    (pinned by the green ``ann_ivf_seeded`` oracle). Ties break on list_id
+    ascending, mirroring ``ORDER BY s DESC, list_id``."""
     qn = sum(x * x for x in query_vec) ** 0.5
 
     def _cos(c: list[float]) -> float:
@@ -253,7 +251,23 @@ def ann_ivf_topk(
     ranked = sorted(
         ((-_cos(r["centroid"]), r["list_id"]) for r in centroids.collect())
     )
-    probe_ids = [lid for _, lid in ranked[:nprobe]]
+    return [lid for _, lid in ranked[:nprobe]]
+
+
+def ann_ivf_topk(
+    index: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe: pick lists driver-side (:func:`probe_list_ids`), then scan
+    ONLY the chosen lists via a literal ``list_id IN (...)`` filter —
+    partition pruning against a list_id-partitioned index, one Spark job,
+    no centroid-ranking job and no broadcast-exchange job (the previous
+    join-based probe paid ~3 scheduled jobs per query)."""
+    qn = sum(x * x for x in query_vec) ** 0.5
+    probe_ids = probe_list_ids(centroids, query_vec, nprobe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     score = F.when(
         (F.col("norm") > 0.0) & (F.lit(qn) > 0.0),
@@ -372,6 +386,66 @@ def build_ivf_index_seeded(
         )
     )
     return index, centroids
+
+
+@dataclass
+class VectorIndex:
+    """The write-time ANN index bundle — the vector twin of
+    ``keyword_index.KeywordIndex``: build once at ingest, pass to
+    ``hybrid_search(vector_index=…)`` so the semantic branch scores ONLY the
+    ``nprobe`` nearest inverted lists instead of scanning every stored
+    vector, the way the reference serves KNN from pgvector's ivfflat index
+    (VectorColumnManager.cs:14-194 builds it; PgVectorStore.cs:186-285
+    queries through it). With ``nprobe >= n_lists`` the candidate set is the
+    whole corpus and results are row-equal to the brute-force branch — the
+    index is a physical structure, not a semantic change.
+
+    index: (id, list_id, vec, norm) — write partitioned by list_id.
+    centroids: (list_id, centroid) — ≤100 rows, collected at probe time.
+    """
+
+    index: DataFrame
+    centroids: DataFrame
+    nprobe: int = 4
+
+    def persist(self) -> "VectorIndex":
+        self.index.persist()
+        self.centroids.persist()
+        return self
+
+    def unpersist(self) -> "VectorIndex":
+        self.index.unpersist()
+        self.centroids.unpersist()
+        return self
+
+
+def build_vector_index(
+    vectors: DataFrame,
+    n_lists: int | None = None,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeded: bool = False,
+    n_rows: int | None = None,
+    sample_fraction: float | None = None,
+) -> VectorIndex:
+    """One-stop ingest-time ANN build. ``seeded=True`` uses the
+    deterministic single-Lloyd-step build (SQL-mirrorable, used by the
+    oracle entries); the default is the sampled MLlib KMeans fit."""
+    if seeded:
+        idx, cents = build_ivf_index_seeded(
+            vectors, n_lists or 8, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        idx, cents = build_ivf_index(
+            vectors,
+            n_lists,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_rows=n_rows,
+            sample_fraction=sample_fraction,
+        )
+    return VectorIndex(index=idx, centroids=cents, nprobe=nprobe)
 
 
 def sql_ann_ivf_seeded(

@@ -359,3 +359,65 @@ def test_onepass_pool_single_lineage_no_corpus_rescan(spark, sf_dir):
     assert "InMemoryTableScan" not in plan
     assert plan.count("documents.parquet") == 1
     assert plan.count("embeddings.parquet") == 1
+
+
+def test_hybrid_vector_index_full_probe_row_equal(spark, sf_dir):
+    """hybrid_search(vector_index=…) at full probe must reproduce the
+    brute-force hybrid exactly (ids, scores, sources) — the VectorIndex is
+    a physical structure, like the posting-list keyword index."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
+    opts = SearchOptions(top_k=10)
+    brute = hybrid_search(docs, "the quick brown fox", opts, vectors=emb).collect()
+    vidx = ivf.build_vector_index(emb, n_lists=4, nprobe=4, id_col="id", seeded=True)
+    served = hybrid_search(
+        docs, "the quick brown fox", opts, vector_index=vidx
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in brute]
+
+
+def test_hybrid_vector_index_probe_prunes_lists(spark, sf_dir):
+    """Pruned probe: the semantic branch's candidates come only from the
+    probed lists — every vector-sourced hit id must belong to a probed
+    list, and the Semantic-mode plan must carry the list_id IN filter."""
+    emb = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
+    # persist = the deployed regime (the index is a written, list_id-
+    # partitioned table, not a recomputed expression) — the probe filter
+    # must then survive to the plan as a list_id pruning predicate
+    vidx = ivf.build_vector_index(
+        emb, n_lists=4, nprobe=1, id_col="id", seeded=True
+    ).persist()
+    qv = embed_py("the quick brown fox", 64)
+    probed = set(ivf.probe_list_ids(vidx.centroids, qv, 1))
+    docs = _docs(spark, sf_dir)
+    out = hybrid_search(
+        docs,
+        "the quick brown fox",
+        SearchOptions(top_k=10, mode="Semantic"),
+        vector_index=vidx,
+    )
+    member = {
+        r["id"]
+        for r in vidx.index.filter(F.col("list_id").isin(list(probed))).collect()
+    }
+    assert {r["id"] for r in out.collect()} <= member
+    assert "list_id" in _optimized(out)
+    vidx.unpersist()
+
+
+def test_hybrid_vector_index_respects_predicate(spark, sf_dir):
+    """A docs-side predicate reaches the IVF candidate set as a semi-join:
+    no hit may come from a filtered-out document."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
+    vidx = ivf.build_vector_index(emb, n_lists=4, nprobe=4, id_col="id", seeded=True)
+    pred = F.col("lang") == "en"
+    out = hybrid_search(
+        docs,
+        "the quick brown fox",
+        SearchOptions(top_k=10),
+        predicate=pred,
+        vector_index=vidx,
+    ).collect()
+    allowed = {r["doc_id"] for r in docs.filter(pred).select("doc_id").collect()}
+    assert out and {r["id"] for r in out} <= allowed
