@@ -310,6 +310,42 @@ def q_hybrid_many_indexed(spark, sf_dir):
     )
 
 
+def q_hybrid_many_ann(spark, sf_dir):
+    """FULLY index-served batched hybrid: keyword from write-time
+    tf-postings AND vectors from the seeded IVF index at full probe
+    (nprobe = n_lists) — zero corpus scan in the query path; candidates at
+    full probe are the whole corpus and the BLAS kernel is identical, so
+    this is bit-equal to hybrid_many_fast and shares its round-9 oracle.
+    The PRUNED batched regime (nprobe < n_lists, per-query list masks over
+    a union-pruned scan) is pinned by tests/test_plans.py against the
+    single-query hybrid_ann_probe semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    vecs = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding")
+    )
+    tokens = keyword_index.build_token_table(docs).persist()
+    tfe = keyword_index.build_tf_postings(tokens, "tokens_exact")
+    tfs = keyword_index.build_tf_postings(tokens, "tokens_stemmed")
+    vidx = ivf.build_vector_index(
+        _vectors(spark, sf_dir), n_lists=8, nprobe=8, id_col="id", seeded=True
+    ).persist()
+    out = hybrid_search_many_fast(
+        docs.join(vecs, "doc_id"),
+        BATCH_QUERIES,
+        top_k=5,
+        tf_postings=(tfe, tfs),
+        vector_index=vidx,
+    )
+    return out.select(
+        "qid",
+        "doc_id",
+        F.round("score", 9).alias("score"),
+        F.round("vector_score", 9).alias("vector_score"),
+        F.round("keyword_score", 9).alias("keyword_score"),
+        "source",
+    )
+
+
 def _vectors(spark, sf_dir):
     """Stored-vector index side (the reference's chunk_vectors analogue)."""
     return _t(spark, sf_dir, "embeddings").select(
@@ -2446,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- next round.
         "hybrid_ann": q_hybrid_ann,
         "hybrid_ann_probe": q_hybrid_ann_probe,
+        "hybrid_many_ann": q_hybrid_many_ann,
         "hybrid_indexed": q_hybrid_indexed,
         "keyword_many_indexed": q_keyword_many_indexed,
         "hybrid_many_indexed": q_hybrid_many_indexed,
@@ -2727,6 +2764,15 @@ def oracle_sql() -> dict[str, str]:
         # tf-postings-served batched hybrid: same round-9 contract as the
         # fast tier it is bit-equal to (BLAS vector branch on both)
         "hybrid_many_indexed": (
+            "SELECT qid, doc_id, round(score, 9) AS score, "
+            "round(vector_score, 9) AS vector_score, "
+            "round(keyword_score, 9) AS keyword_score, source FROM ("
+            + sql_hybrid_search_many(BATCH_QUERIES, top_k=5)
+            + ") ORDER BY qid, score DESC, doc_id"
+        ),
+        # fully index-served batch tier (tf-postings + full-probe IVF):
+        # bit-equal to hybrid_many_fast, same round-9 contract
+        "hybrid_many_ann": (
             "SELECT qid, doc_id, round(score, 9) AS score, "
             "round(vector_score, 9) AS vector_score, "
             "round(keyword_score, 9) AS keyword_score, source FROM ("

@@ -282,7 +282,8 @@ def main():
     timings["hybrid_ann_probe"] = round(best, 3)
     total += best
     print(f"# hybrid_ann_probe: {best:.2f}s ({n} rows)", file=sys.stderr, flush=True)
-    index.unpersist()
+    # index/centroids stay pinned: the batched section below serves its
+    # vector branch from them (hybrid_batch20_ann)
 
     # Amortized-batch hybrid — the regime BASELINE.md's <100 ms envelope
     # is scored under: 20 full-hybrid queries in ONE job through the BLAS
@@ -336,8 +337,31 @@ def main():
         f"# hybrid_batch20_indexed: {best:.2f}s ({n} rows) = {best / 20 * 1000:.0f} ms/query",
         file=sys.stderr, flush=True,
     )
+
+    # FULLY index-served batch: keyword from tf-postings AND vectors from
+    # the pinned IVF index at pruned probe (3/8 lists) — no corpus scan at
+    # all in the query path. The 100 TB serving shape: both branches read
+    # matched-candidate slices of write-time structures.
+    vidx_b = _ivf.VectorIndex(index=index, centroids=centroids, nprobe=3)
+    hybrid_search_many_fast(
+        corpus, batch_qs[:2], top_k=10, tf_postings=(tfe, tfs), vector_index=vidx_b
+    ).count()  # warm
+    best, n = float("inf"), 0
+    for _ in range(max(runs, 3)):
+        t0 = time.time()
+        n = hybrid_search_many_fast(
+            corpus, batch_qs, top_k=10, tf_postings=(tfe, tfs), vector_index=vidx_b
+        ).count()
+        best = min(best, time.time() - t0)
+    timings["hybrid_batch20_ann"] = round(best, 3)
+    total += best
+    print(
+        f"# hybrid_batch20_ann: {best:.2f}s ({n} rows) = {best / 20 * 1000:.0f} ms/query",
+        file=sys.stderr, flush=True,
+    )
     corpus.unpersist()
     tfe.unpersist(), tfs.unpersist()
+    index.unpersist()
 
     # One base dict; the durable payload adds the per-query map, the printed
     # line swaps it for a pointer. The headline JSON must survive any

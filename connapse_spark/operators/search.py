@@ -1840,6 +1840,7 @@ def hybrid_search_many_fast(
     dims: int = 64,
     predicates: dict[int, Column] | None = None,
     tf_postings: tuple[DataFrame, DataFrame] | None = None,
+    vector_index=None,
 ) -> DataFrame:
     """PRODUCTION tier of :func:`hybrid_search_many` — identical
     semantics, kernels built for N: per-query JVM folds are interpreted
@@ -1882,7 +1883,21 @@ def hybrid_search_many_fast(
     semantics match the fold tier's ``keyword_index`` contract: rows
     missing from a stale index still rank through the vector branch
     (that branch always scans ``corpus``), they just contribute no
-    keyword score until reindex."""
+    keyword score until reindex.
+
+    ``vector_index`` (a ``plans.ivf.VectorIndex``) is the vector branch's
+    serving structure, batched: probe lists are ranked driver-side ONCE per
+    query against the collected centroid table, the index scan is pruned to
+    the UNION of the batch's probed lists (a literal ``list_id IN`` that is
+    partition pruning on the list_id-partitioned layout), and each query's
+    score column is masked to ITS probe set inside the Arrow kernel — so a
+    batch of 20 queries at nprobe 3 of 100 lists scans ≤60% of the index
+    once instead of the whole corpus, and per-query candidates match the
+    single-query ``hybrid_search(vector_index=…)`` exactly. With
+    ``nprobe >= n_lists`` candidates are the whole corpus and this tier is
+    bit-equal to the brute fast tier (same BLAS kernel). Per-query
+    ``predicates`` compose: the ok-mask columns are joined onto the pruned
+    index by id (the predicate lives on corpus columns)."""
     import numpy as np
 
     queries = [(q, t) for q, t in queries if t and t.strip()]  # Q13 per qid
@@ -1900,12 +1915,33 @@ def hybrid_search_many_fast(
         else None
     )
 
-    base_cols = [
-        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("_v")
-    ]
-    if ok_arr is not None:
-        base_cols.append(ok_arr.alias("_oks"))
-    base_v = corpus.select(*base_cols)
+    probe_sets: list | None = None
+    if vector_index is not None:
+        from connapse_spark.plans.ivf import probe_list_ids_many
+
+        probes = probe_list_ids_many(
+            vector_index.centroids,
+            [qv.tolist() for qv in Q],
+            vector_index.nprobe,
+        )
+        probe_sets = [np.array(p) for p in probes]
+        union_lists = sorted({int(l) for p in probes for l in p})
+        idx = vector_index.index.filter(F.col("list_id").isin(union_lists))
+        base_v = idx.select(
+            "id", F.col("vec").alias("_v"), F.col("list_id").alias("_lid")
+        )
+        if ok_arr is not None:
+            base_v = base_v.join(
+                corpus.select(F.col(id_col).alias("id"), ok_arr.alias("_oks")),
+                "id",
+            )
+    else:
+        base_cols = [
+            F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("_v")
+        ]
+        if ok_arr is not None:
+            base_cols.append(ok_arr.alias("_oks"))
+        base_v = corpus.select(*base_cols)
     id_type = base_v.schema["id"].dataType.simpleString()
 
     def _vec_topk(batches):
@@ -1927,13 +1963,19 @@ def hybrid_search_many_fast(
                 if "_oks" in pdf.columns
                 else None
             )
+            LID = pdf["_lid"].to_numpy() if "_lid" in pdf.columns else None
             out_id: list = []
             out_qid: list = []
             out_s: list = []
             for j in range(S.shape[1]):
-                col, sel_ids = S[:, j], ids
+                m = None
                 if OK is not None:
                     m = OK[:, j]
+                if LID is not None:
+                    ml = np.isin(LID, probe_sets[j])
+                    m = ml if m is None else (m & ml)
+                col, sel_ids = S[:, j], ids
+                if m is not None:
                     if not m.any():
                         continue
                     col, sel_ids = col[m], ids[m]

@@ -240,18 +240,31 @@ def probe_list_ids(
     ``sql_cosine``'s left fold, so a DuckDB mirror ranks identically
     (pinned by the green ``ann_ivf_seeded`` oracle). Ties break on list_id
     ascending, mirroring ``ORDER BY s DESC, list_id``."""
-    qn = sum(x * x for x in query_vec) ** 0.5
+    return probe_list_ids_many(centroids, [query_vec], nprobe)[0]
 
-    def _cos(c: list[float]) -> float:
-        cn = sum(x * x for x in c) ** 0.5
-        if cn <= 0.0 or qn <= 0.0:
-            return 0.0
-        return sum(a * b for a, b in zip(c, query_vec)) / (cn * qn)
 
-    ranked = sorted(
-        ((-_cos(r["centroid"]), r["list_id"]) for r in centroids.collect())
-    )
-    return [lid for _, lid in ranked[:nprobe]]
+def probe_list_ids_many(
+    centroids: DataFrame, query_vecs: list[list[float]], nprobe: int
+) -> list[list[int]]:
+    """Batched probe selection: ONE collect of the centroid table, then the
+    same sequential-fold ranking per query — the driver-side cost of
+    serving an N-query batch through the IVF index is one tiny collect,
+    not N."""
+    rows = [(r["list_id"], r["centroid"]) for r in centroids.collect()]
+
+    def _probe(qv: list[float]) -> list[int]:
+        qn = sum(x * x for x in qv) ** 0.5
+
+        def _cos(c: list[float]) -> float:
+            cn = sum(x * x for x in c) ** 0.5
+            if cn <= 0.0 or qn <= 0.0:
+                return 0.0
+            return sum(a * b for a, b in zip(c, qv)) / (cn * qn)
+
+        ranked = sorted((-_cos(c), lid) for lid, c in rows)
+        return [lid for _, lid in ranked[:nprobe]]
+
+    return [_probe(qv) for qv in query_vecs]
 
 
 def ann_ivf_topk(

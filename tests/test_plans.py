@@ -421,3 +421,59 @@ def test_hybrid_vector_index_respects_predicate(spark, sf_dir):
     ).collect()
     allowed = {r["doc_id"] for r in docs.filter(pred).select("doc_id").collect()}
     assert out and {r["id"] for r in out} <= allowed
+
+
+def test_hybrid_many_fast_vector_index_full_probe_bit_equal(spark, sf_dir):
+    """Batched fast tier with a full-probe VectorIndex is bit-equal to the
+    brute fast tier: identical BLAS kernel over an identical candidate set
+    (the whole corpus), regardless of how Arrow batches regroup rows."""
+    from connapse_spark.operators.search import hybrid_search_many_fast
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    queries = [(0, "the quick brown fox"), (1, "hash join"), (2, "parquet scan")]
+    brute = hybrid_search_many_fast(corpus, queries, top_k=5).collect()
+    vidx = ivf.build_vector_index(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        n_lists=4,
+        nprobe=4,
+        id_col="id",
+        seeded=True,
+    )
+    served = hybrid_search_many_fast(
+        corpus, queries, top_k=5, vector_index=vidx
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in brute]
+
+
+def test_hybrid_many_fast_vector_index_pruned_matches_single_query(spark, sf_dir):
+    """Pruned batched probe must reproduce the single-query IVF-served
+    hybrid per qid: same per-query probe sets, same candidates, same
+    rankings (scores are BLAS-vs-fold so compare ids + order)."""
+    from connapse_spark.operators.search import hybrid_search_many_fast
+
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    vidx = ivf.build_vector_index(
+        emb.select(F.col("vec_id").alias("id"), "embedding"),
+        n_lists=4,
+        nprobe=1,
+        id_col="id",
+        seeded=True,
+    )
+    queries = [(0, "the quick brown fox"), (1, "hash join")]
+    batched = hybrid_search_many_fast(
+        corpus, queries, top_k=5, vector_index=vidx
+    ).collect()
+    for qid, qtext in queries:
+        single = hybrid_search(
+            docs, qtext, SearchOptions(top_k=5), vector_index=vidx
+        ).collect()
+        got = [r["doc_id"] for r in batched if r["qid"] == qid]
+        assert got == [r["id"] for r in single]
