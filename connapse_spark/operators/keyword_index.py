@@ -120,6 +120,24 @@ def build_tf_postings(
     )
 
 
+def _affected_ids(
+    spark, new_tokens: DataFrame, deleted_ids: "list[int] | DataFrame | None"
+) -> "tuple[DataFrame, bool]":
+    """Union the upserted ids with the deletions; the second element says
+    whether a broadcast HINT on the resulting id set is safe — true only
+    when deletions arrived as a bounded Python list. A DataFrame of
+    deletions may be a full change feed, so its join strategy is left to
+    the optimizer (AQE broadcasts it at runtime when it measures small)."""
+    affected = new_tokens.select("id")
+    if isinstance(deleted_ids, DataFrame):
+        return affected.unionByName(deleted_ids.select("id")), False
+    if deleted_ids:
+        affected = affected.unionByName(
+            spark.createDataFrame([(int(i),) for i in deleted_ids], "id bigint")
+        )
+    return affected, True
+
+
 def upsert_tf_postings(
     tf: DataFrame,
     new_tokens: DataFrame,
@@ -143,16 +161,13 @@ def upsert_tf_postings(
 
     ``deleted_ids`` may be a Python list (bounded ad-hoc batch) or a
     DataFrame with an ``id`` column (change-feed scale — stays
-    distributed end to end)."""
-    spark = tf.sparkSession
-    affected = new_tokens.select("id")
-    if isinstance(deleted_ids, DataFrame):
-        affected = affected.unionByName(deleted_ids.select("id"))
-    elif deleted_ids:
-        affected = affected.unionByName(
-            spark.createDataFrame([(int(i),) for i in deleted_ids], "id bigint")
-        )
-    cleaned = tf.join(F.broadcast(affected.distinct()), "id", "left_anti").select(
+    distributed end to end; the anti-join is then left to the optimizer
+    rather than broadcast-hinted, since a full feed can exceed the
+    broadcast cap — AQE still broadcasts when the measured size is
+    small)."""
+    affected, bounded = _affected_ids(tf.sparkSession, new_tokens, deleted_ids)
+    probe = F.broadcast(affected.distinct()) if bounded else affected.distinct()
+    cleaned = tf.join(probe, "id", "left_anti").select(
         "term", "id", "tf"  # the join hoists its key; restore the layout order
     )
     fresh = build_tf_postings(new_tokens, token_col=token_col)
@@ -194,13 +209,7 @@ def tf_pending_append(
             )
         )
     )
-    affected = toks.select("id")
-    if isinstance(deleted_ids, DataFrame):
-        affected = affected.unionByName(deleted_ids.select("id"))
-    elif deleted_ids:
-        affected = affected.unionByName(
-            spark.createDataFrame([(int(i),) for i in deleted_ids], "id bigint")
-        )
+    affected, _ = _affected_ids(spark, toks, deleted_ids)
     lv = snapshots.latest_version(delta_dir)
     if batch is None:
         batch = 0 if lv is None else lv + 1
@@ -298,9 +307,7 @@ def keyword_search_many_indexed(
     the matched-postings aggregation alone, which at 100 TB is the
     difference between scanning the corpus per batch and reading a few
     hundred posting rows per term."""
-    from pyspark.sql.window import Window
-
-    from connapse_spark.operators.search import WEIGHT_EXACT, WEIGHT_STEMMED
+    from connapse_spark.operators.search import batch_keyword_scores, rank_topk_per_qid
 
     qe_rows, qs_rows = [], []
     for qid, qtext in queries:
@@ -331,23 +338,7 @@ def keyword_search_many_indexed(
         .groupBy("qid", "id")
         .agg(F.sum("tf").alias("n_stem"))
     )
-    merged = ne.join(ns, ["qid", "id"], "full_outer").select(
-        "qid",
-        "id",
-        (
-            F.lit(WEIGHT_EXACT) * F.coalesce(F.col("n_exact"), F.lit(0))
-            + F.lit(WEIGHT_STEMMED) * F.coalesce(F.col("n_stem"), F.lit(0))
-        ).alias("raw"),
-    )
-    scored = merged.select(
-        "qid", "id", (F.col("raw") / (F.col("raw") + F.lit(1.0))).alias("score")
-    ).filter(F.col("score") > 0.0)
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .orderBy("qid", "rank")
-    )
+    return rank_topk_per_qid(batch_keyword_scores(ne, ns), k)
 
 
 def keyword_search_indexed(

@@ -322,23 +322,33 @@ def token_budget_shards(
 
     The global exclusive prefix sum uses the classic two-pass distributed
     pattern — NEVER a global ``Window.orderBy`` (the single-partition
-    trap): range-partition on the shuffle key into ``n_parts`` ranges,
-    per-partition window cumsum (distributed), then add broadcast
-    per-partition offsets (one bounded ``n_parts``-row collect — sized by
-    parallelism, not data). Two full-width shuffles total (the range
-    exchange and the pid-hash exchange the per-partition window needs);
-    the result is partition-boundary-independent, so it is oracle-exact.
+    trap): rows bucket into ``n_parts`` ranges, per-bucket window cumsum
+    (distributed), then add broadcast per-bucket offsets (one bounded
+    ``n_parts``-row collect — sized by parallelism, not data). The bucket
+    is a PURE FUNCTION of the shuffle key — ``floor(n_parts ×
+    md5-prefix/16^4)``, monotone in the md5 order since hex compares
+    lexicographically as it compares numerically — NOT
+    ``spark_partition_id`` over a pinned range exchange: a data-derived
+    bucket survives recomputation (no persist to leak, no cached
+    partitioning to silently shift under executor loss — the
+    SPARK-23207 class), md5 uniformity balances the ranges without
+    sampling, and the result is partition-boundary-independent, so it is
+    oracle-exact. One full-width shuffle total (the per-bucket window's
+    hash exchange); the offsets pass is a map-side partial agg over a
+    second scan of the narrow projection.
     """
     from pyspark.sql.window import Window
 
     h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
-    tp = (
-        df.select(F.col(key_col), F.col(token_count_col), h.alias("_h"))
-        .repartitionByRange(n_parts, "_h", key_col)
-        .persist()
-    )
-    tp.count()  # pin the partitioning so spark_partition_id is consistent
-    withpid = tp.withColumn("_pid", F.spark_partition_id())
+    n_parts = max(int(n_parts), 1)
+    pid = F.floor(
+        F.conv(F.substring(F.col("_h"), 1, 4), 16, 10).cast("long")
+        * n_parts
+        / F.lit(65536)
+    ).cast("int")
+    withpid = df.select(
+        F.col(key_col), F.col(token_count_col), h.alias("_h")
+    ).withColumn("_pid", pid)
     part_sums = withpid.groupBy("_pid").agg(
         F.sum(token_count_col).cast("bigint").alias("_s")
     ).collect()

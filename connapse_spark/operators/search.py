@@ -1486,6 +1486,40 @@ FROM j ORDER BY score DESC, {id_col}
 """.strip()
 
 
+def batch_keyword_scores(ne: DataFrame, ns: DataFrame) -> DataFrame:
+    """The ONE home of the batched keyword scoring math: full-outer merge
+    of the per-(qid, id) exact/stemmed term counts, the reference's
+    weighted ``raw / (raw + 1)`` squash (keyword_score_expr's ts_rank_cd
+    proxy, same WEIGHT_EXACT/WEIGHT_STEMMED), and the score > 0 cut. The
+    scan tier (:func:`keyword_search_many`), the tf-postings tier
+    (``keyword_index.keyword_search_many_indexed``) and the fast hybrid's
+    keyword branch all feed from it — a weight or squash change cannot
+    silently fork one tier off the others' row-identical oracle
+    contracts."""
+    merged = ne.join(ns, ["qid", "id"], "full_outer").select(
+        "qid",
+        "id",
+        (
+            F.lit(WEIGHT_EXACT) * F.coalesce(F.col("n_exact"), F.lit(0))
+            + F.lit(WEIGHT_STEMMED) * F.coalesce(F.col("n_stem"), F.lit(0))
+        ).alias("raw"),
+    )
+    return merged.select(
+        "qid", "id", (F.col("raw") / (F.col("raw") + F.lit(1.0))).alias("score")
+    ).filter(F.col("score") > 0.0)
+
+
+def rank_topk_per_qid(scored: DataFrame, k: int) -> DataFrame:
+    """Shared (score desc, id) rank window + top-k cut for batched tiers;
+    rank is 1-based."""
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
 def keyword_search_many(
     docs: DataFrame,
     queries: list[tuple[int, str]],
@@ -1545,23 +1579,7 @@ def keyword_search_many(
     ns = ts.join(F.broadcast(qs), "st").groupBy("qid", "id").agg(
         F.sum("tf").alias("n_stem")
     )
-    merged = ne.join(ns, ["qid", "id"], "full_outer").select(
-        "qid",
-        "id",
-        (
-            F.lit(WEIGHT_EXACT) * F.coalesce(F.col("n_exact"), F.lit(0))
-            + F.lit(WEIGHT_STEMMED) * F.coalesce(F.col("n_stem"), F.lit(0))
-        ).alias("raw"),
-    )
-    scored = merged.select(
-        "qid", "id", (F.col("raw") / (F.col("raw") + F.lit(1.0))).alias("score")
-    ).filter(F.col("score") > 0.0)
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.col("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .orderBy("qid", "rank")
-    )
+    return rank_topk_per_qid(batch_keyword_scores(ne, ns), k)
 
 
 def sql_keyword_search_many(
@@ -2033,18 +2051,8 @@ def hybrid_search_many_fast(
     ns = tsx.join(F.broadcast(qs_df), "st").groupBy("id", "qid").agg(
         F.sum("tf").alias("n_stem")
     )
-    raw = F.lit(WEIGHT_EXACT) * F.coalesce(F.col("n_exact"), F.lit(0)) + F.lit(
-        WEIGHT_STEMMED
-    ) * F.coalesce(F.col("n_stem"), F.lit(0))
-    k_entries = (
-        ne.join(ns, ["id", "qid"], "full_outer")
-        .select(
-            "qid",
-            F.lit("k").alias("branch"),
-            (raw / (raw + F.lit(1.0))).alias("bscore"),
-            "id",
-        )
-        .filter(F.col("bscore") > 0.0)
+    k_entries = batch_keyword_scores(ne, ns).select(
+        "qid", F.lit("k").alias("branch"), F.col("score").alias("bscore"), "id"
     )
     if ok_arr is not None:
         # allowed (qid, id) pairs, filtered in the scan projection — the

@@ -391,6 +391,18 @@ def streaming_index_maintenance(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # one surviving row per vec_id within the batch — without the cut,
+        # duplicate ids would BOTH insert (ivf_index_upsert anti-joins the
+        # current index by id, not the batch against itself); array<double>
+        # is orderable, so desc(embedding) is a deterministic tie-break
+        from pyspark.sql.window import Window
+
+        wv = Window.partitionBy("vec_id").orderBy(F.desc("embedding"))
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(wv))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         if snapshots.latest_version(table_dir) is None:
             cur = batch_df.sparkSession.createDataFrame(
                 [],
@@ -414,6 +426,28 @@ def streaming_index_maintenance(
     q.awaitTermination()
 
 
+def _lww_latest_doc_event(batch_df: DataFrame) -> DataFrame:
+    """Reduce a micro-batch to ONE surviving event per doc_id before it
+    touches the index — the same Debezium-shaped cut
+    :func:`streaming_table_upsert` applies. Without it, two updates for
+    one doc in a batch would SUM their tf counts (equal to neither
+    version), and an update+delete pair would resurrect the doc. Order:
+    ``seq`` desc when the feed carries one (nulls last), then op desc
+    ('U' beats 'D' on true ties) and text desc — arbitrary but
+    deterministic, so replays converge; feeds that care about intra-batch
+    order must supply ``seq``."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc_nulls_last("seq"), F.desc("op"), F.desc("text")
+    )
+    return (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def streaming_keyword_maintenance(
     spark: SparkSession,
     watch_dir: str,
@@ -423,7 +457,9 @@ def streaming_keyword_maintenance(
     """Q3/T3 as a STREAMING job — continuous keyword-index maintenance,
     the tf-postings twin of :func:`streaming_index_maintenance`: document
     batches landing under ``watch_dir`` (parquet: doc_id, text, op — op
-    'D' deletes, anything else upserts) are tokenized BATCH-ONLY and
+    'D' deletes, anything else upserts; optional seq long orders events
+    within a batch, and the batch is first cut to one surviving event per
+    doc via :func:`_lww_latest_doc_event`) are tokenized BATCH-ONLY and
     folded into the committed (kind, term, id, tf) snapshot via
     ``keyword_index.upsert_tf_postings``, one atomically-visible version
     per micro-batch, partitioned by kind (exact/stemmed — the two tables
@@ -440,15 +476,16 @@ def streaming_keyword_maintenance(
     from connapse_spark.sources import snapshots
 
     stream = (
-        spark.readStream.schema("doc_id long, text string, op string")
+        spark.readStream.schema("doc_id long, text string, op string, seq long")
         .parquet(watch_dir)
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        latest = _lww_latest_doc_event(batch_df)
         is_del = F.coalesce(F.col("op"), F.lit("U")) == "D"
-        upserts = batch_df.filter(~is_del).select("doc_id", "text")
-        deleted = batch_df.filter(is_del).select(F.col("doc_id").alias("id"))
+        upserts = latest.filter(~is_del).select("doc_id", "text")
+        deleted = latest.filter(is_del).select(F.col("doc_id").alias("id"))
         toks = build_token_table(upserts)
         if snapshots.latest_version(table_dir) is None:
             cur = s.createDataFrame([], "kind string, term string, id long, tf long")
@@ -488,20 +525,23 @@ def streaming_keyword_maintenance_pending(
     batch APPENDS its postings + tombstones to a small delta table in
     O(batch), and every ``compact_every``-th batch folds the delta into
     the base (``keyword_index.tf_compact`` — amortized, crash-safe).
+    Like the overwrite variant, the batch is first cut to one surviving
+    event per doc (:func:`_lww_latest_doc_event`, optional seq column).
     Readers resolve base ∪ delta via ``keyword_index.tf_resolve``; the
     micro-batch id is the tombstone clock (replay-stable through the
     checkpoint, so crashed-batch replays resolve away)."""
     from connapse_spark.operators.keyword_index import tf_compact, tf_pending_append
 
     stream = (
-        spark.readStream.schema("doc_id long, text string, op string")
+        spark.readStream.schema("doc_id long, text string, op string, seq long")
         .parquet(watch_dir)
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _lww_latest_doc_event(batch_df)
         is_del = F.coalesce(F.col("op"), F.lit("U")) == "D"
-        upserts = batch_df.filter(~is_del).select("doc_id", "text")
-        deleted = batch_df.filter(is_del).select(F.col("doc_id").alias("id"))
+        upserts = latest.filter(~is_del).select("doc_id", "text")
+        deleted = latest.filter(is_del).select(F.col("doc_id").alias("id"))
         tf_pending_append(upserts, delta_dir, deleted_ids=deleted, batch=batch_id)
         if compact_every and (batch_id + 1) % compact_every == 0:
             tf_compact(batch_df.sparkSession, base_dir, delta_dir)

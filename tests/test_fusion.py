@@ -632,13 +632,14 @@ def test_token_budget_shards_partition_invariant(spark):
         }
         assert other == base
     toks = dict(rows)
-    assert sorted(s for s, _ in base.values()) == sorted(
-        st for st, _ in base.values()
-    )
+    # start_toks are EXACTLY the exclusive prefix sums of the token
+    # counts in start_tok order: contiguous, no gaps, no overlaps
+    acc = 0
+    for d, (st, _sh) in sorted(base.items(), key=lambda kv: kv[1][0]):
+        assert st == acc, f"doc {d}: start_tok {st} != prefix {acc}"
+        acc += toks[d]
+    assert acc == sum(toks.values())
     assert all(sh == st // 500 for st, sh in base.values())
-    assert sum(toks.values()) == max(
-        st + toks[d] for d, (st, sh) in base.items()
-    )
     # a different seed permutes the order (shards differ for some doc)
     reseeded = {
         r["doc_id"]: r["shard"]

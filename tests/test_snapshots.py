@@ -1049,3 +1049,48 @@ def test_streaming_keyword_maintenance_pending_compacts(spark, sf_dir, tmp_path)
     assert snaps.read_snapshot(spark, delta).count() == 0
     assert snaps.read_snapshot(spark, base).count() == len(want)
     docs.unpersist()
+
+
+def test_streaming_keyword_maintenance_intra_batch_lww(spark, sf_dir, tmp_path):
+    """One micro-batch carrying BOTH an update and a later delete for the
+    same doc, and two versions of another doc: the batch must first reduce
+    to one surviving event per doc (seq order), so the delete wins over the
+    earlier update and only the seq-latest text is indexed — without the
+    cut the dead doc resurrects and the two versions' tf counts sum."""
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.sources import snapshots as snaps
+    from connapse_spark.streaming.pipeline import streaming_keyword_maintenance
+
+    watch = str(tmp_path / "incoming")
+    table = str(tmp_path / "kw_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    batch = spark.createDataFrame(
+        [
+            (1, "alpha beta", "U", 10),   # doc 1 v1
+            (1, "gamma delta", "U", 20),  # doc 1 v2 — must be the ONLY one indexed
+            (2, "old words", "U", 10),    # doc 2 updated...
+            (2, None, "D", 20),           # ...then deleted: must NOT serve
+            (3, "keep me", "U", 10),
+        ],
+        "doc_id long, text string, op string, seq long",
+    )
+    batch.coalesce(1).write.mode("append").parquet(watch)
+    streaming_keyword_maintenance(spark, watch, table, ckpt)
+
+    got = snaps.read_snapshot(spark, table)
+    by_doc = {(r["kind"], r["term"], r["id"]): r["tf"] for r in got.collect()}
+    ids = {i for (_, _, i) in by_doc}
+    assert 2 not in ids  # delete won
+    assert 3 in ids
+    # doc 1 serves EXACTLY its seq-latest version — not a v1+v2 merge
+    live = spark.createDataFrame(
+        [(1, "gamma delta"), (3, "keep me")], "doc_id long, text string"
+    )
+    toks = ki.build_token_table(live)
+    want = {
+        (k, r["term"], r["id"]): r["tf"]
+        for k, c in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed"))
+        for r in ki.build_tf_postings(toks, c).collect()
+    }
+    assert by_doc == want
