@@ -461,6 +461,43 @@ def build_vector_index(
     return VectorIndex(index=idx, centroids=cents, nprobe=nprobe)
 
 
+def write_vector_index(
+    vidx: VectorIndex, path: str, model_id: str = "hash-64"
+) -> None:
+    """Persist the bundle for serving: the index table goes down
+    partitioned by (model_id, list_id) via ``sinks.write_ivf_index`` — so
+    a probe's ``list_id IN (...)`` is PARTITION PRUNING on disk, the
+    pgvector-ivfflat layout property — and the tiny centroid table lands
+    under ``_centroids/`` (underscore-prefixed paths are invisible to
+    Spark's file index, so readers of the index never see it)."""
+    import os
+
+    from connapse_spark.sources.sinks import write_ivf_index
+
+    write_ivf_index(vidx.index, path, model_id=model_id)
+    vidx.centroids.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_centroids")
+    )
+
+
+def load_vector_index(
+    spark, path: str, model_id: str = "hash-64", nprobe: int = 4
+) -> VectorIndex:
+    """Reopen a written bundle for serving. The model_id filter prunes at
+    the partition level; list_id comes back as a partition column, so the
+    probe's IN-filter stays a PartitionFilter (pinned by
+    tests/test_plans.py)."""
+    import os
+
+    index = (
+        spark.read.parquet(path)
+        .filter(F.col("model_id") == model_id)
+        .select("id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm")
+    )
+    centroids = spark.read.parquet(os.path.join(path, "_centroids"))
+    return VectorIndex(index=index, centroids=centroids, nprobe=nprobe)
+
+
 def sql_ann_ivf_seeded(
     query_vec: list[float], k: int = 10, nprobe: int = 3, n_lists: int = 8
 ) -> str:

@@ -477,3 +477,31 @@ def test_hybrid_many_fast_vector_index_pruned_matches_single_query(spark, sf_dir
         ).collect()
         got = [r["doc_id"] for r in batched if r["qid"] == qid]
         assert got == [r["id"] for r in single]
+
+
+def test_written_vector_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The deployed serving path: a VectorIndex written through the
+    (model_id, list_id)-partitioned layout and reopened must (a) answer the
+    IVF-served hybrid identically to the in-memory index, and (b) show the
+    probe's list filter as a PartitionFilter in the scan — disk-level
+    pruning, the pgvector-ivfflat property the 100 TB design claims."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
+    vidx = ivf.build_vector_index(emb, n_lists=4, nprobe=2, id_col="id", seeded=True)
+    path = str(tmp_path / "vidx")
+    ivf.write_vector_index(vidx, path)
+    stored = ivf.load_vector_index(spark, path, nprobe=2)
+    mem = hybrid_search(
+        docs, "the quick brown fox", SearchOptions(top_k=10), vector_index=vidx
+    ).collect()
+    out = hybrid_search(
+        docs, "the quick brown fox", SearchOptions(top_k=10), vector_index=stored
+    )
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in mem]
+    sem = hybrid_search(
+        docs,
+        "the quick brown fox",
+        SearchOptions(top_k=10, mode="Semantic"),
+        vector_index=stored,
+    )
+    assert re.search(r"PartitionFilters: \[.*list_id.*\]", _plan(sem))
