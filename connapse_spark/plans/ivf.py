@@ -498,6 +498,91 @@ def load_vector_index(
     return VectorIndex(index=index, centroids=centroids, nprobe=nprobe)
 
 
+class VectorIndexManager:
+    """M6's per-model index registry — the repo analogue of the reference's
+    VectorColumnManager (VectorColumnManager.cs:14-194): ONE partial IVF
+    index per embedding model over the shared vectors table, built only
+    once a model has ``min_rows`` vectors (the reference's ≥10 guard),
+    sized by the lists policy (``ivf_n_lists`` = clamp(rows/1000, 1, 100)).
+    Models below the threshold serve BRUTE-FORCE — exactly pgvector's
+    behavior when no partial index matches: the planner falls back to the
+    sequential scan, answers stay correct, only latency differs.
+
+    ``ensure`` runs ONE count aggregation over the vectors table (grouped
+    by model — bounded by model count, not rows) and builds the missing or
+    stale indexes; ``knn`` routes a query to its model's index or the
+    brute scan. State is driver-side {model: VectorIndex} — at deployment
+    scale each bundle is persisted via :func:`write_vector_index` under
+    its model_id partition and reopened with :func:`load_vector_index`.
+    """
+
+    def __init__(
+        self,
+        min_rows: int = 10,
+        nprobe: int = 4,
+        seeded: bool = False,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        model_col: str = "label",
+    ) -> None:
+        self.min_rows = min_rows
+        self.nprobe = nprobe
+        self.seeded = seeded
+        self.id_col, self.vec_col, self.model_col = id_col, vec_col, model_col
+        self.indexes: dict = {}
+        self.skipped: dict = {}  # model -> row count below threshold
+
+    def ensure(self, vectors: DataFrame) -> "VectorIndexManager":
+        counts = {
+            r["m"]: r["n"]
+            for r in vectors.groupBy(F.col(self.model_col).alias("m"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for m, n in sorted(counts.items(), key=lambda kv: str(kv[0])):
+            if n < self.min_rows:
+                self.skipped[m] = n
+                continue
+            subset = vectors.filter(F.col(self.model_col) == m)
+            self.indexes[m] = build_vector_index(
+                subset,
+                n_lists=ivf_n_lists(n),
+                nprobe=self.nprobe,
+                id_col=self.id_col,
+                vec_col=self.vec_col,
+                seeded=self.seeded,
+                n_rows=n,
+            )
+        return self
+
+    def knn(
+        self, vectors: DataFrame, model, query_vec: list[float], k: int = 10
+    ) -> DataFrame:
+        """Route: the model's index when built, else the brute scan over
+        that model's rows (correctness-identical, latency-different)."""
+        from connapse_spark.operators.search import vector_knn
+
+        idx = self.indexes.get(model)
+        if idx is not None:
+            probe_ids = probe_list_ids(idx.centroids, query_vec, idx.nprobe)
+            cands = idx.index.filter(F.col("list_id").isin(probe_ids)).select(
+                "id", F.col("vec").alias(self.vec_col)
+            )
+            return vector_knn(cands, query_vec, k, id_col="id", vec_col=self.vec_col)
+        subset = vectors.filter(F.col(self.model_col) == model).select(
+            F.col(self.id_col).alias("id"), F.col(self.vec_col)
+        )
+        return vector_knn(subset, query_vec, k, id_col="id", vec_col=self.vec_col)
+
+    def status(self) -> list[tuple]:
+        """(model, built, n_lists|rows) — the discovery view an operator
+        checks before forcing a rebuild (cf. analytics.model_discovery)."""
+        rows = [
+            (m, True, idx.centroids.count()) for m, idx in self.indexes.items()
+        ] + [(m, False, n) for m, n in self.skipped.items()]
+        return sorted(rows, key=lambda r: str(r[0]))
+
+
 def sql_ann_ivf_seeded(
     query_vec: list[float], k: int = 10, nprobe: int = 3, n_lists: int = 8
 ) -> str:

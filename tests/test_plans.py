@@ -505,3 +505,31 @@ def test_written_vector_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
         vector_index=stored,
     )
     assert re.search(r"PartitionFilters: \[.*list_id.*\]", _plan(sem))
+
+
+def test_vector_index_manager_routes_per_model(spark):
+    """VectorColumnManager parity: one partial index per model that meets
+    the min-rows guard; under-threshold models serve brute-force with
+    identical answers; full probe reproduces the brute KNN per model."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, "big", [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ] + [(100 + i, "tiny", [rng.uniform(-1, 1) for _ in range(8)]) for i in range(3)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    mgr = ivf.VectorIndexManager(min_rows=10, nprobe=99, seeded=True).ensure(vecs)
+    assert set(mgr.indexes) == {"big"} and mgr.skipped == {"tiny": 3}
+    status = dict((m, built) for m, built, _ in mgr.status())
+    assert status == {"big": True, "tiny": False}
+    qv = [0.3] * 8
+    for model in ("big", "tiny"):
+        got = mgr.knn(vecs, model, qv, k=5).collect()
+        brute = vector_knn(
+            vecs.filter(F.col("label") == model), qv, k=5, id_col="vec_id"
+        ).collect()
+        assert [(r["id"], r["score"]) for r in got] == [
+            (r["vec_id"], r["score"]) for r in brute
+        ]
