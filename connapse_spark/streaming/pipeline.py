@@ -369,6 +369,9 @@ def streaming_index_maintenance(
     table_dir: str,
     centroids: DataFrame,
     checkpoint_dir: str,
+    retain_last: int | None = None,
+    vacuum_every: int = 8,
+    vacuum_min_age_seconds: float = 0.0,
 ) -> None:
     """M6 as a STREAMING job — the production shape of continuous vector
     index maintenance: new embedding batches landing under ``watch_dir``
@@ -381,7 +384,10 @@ def streaming_index_maintenance(
     intact (the foreachBatch + transactional-sink pattern the Structured
     Streaming guide prescribes — the snapshot manifest IS the
     transaction). The rebuild-on-drift decision stays with ivf_drift
-    over the committed snapshot."""
+    over the committed snapshot. ``retain_last``/``vacuum_every``/
+    ``vacuum_min_age_seconds`` bound version growth exactly as in
+    :func:`streaming_keyword_maintenance` (this job is the table's only
+    writer, so the 0-second in-flight guard default is safe)."""
     from connapse_spark.plans.ivf import ivf_index_upsert
     from connapse_spark.sources import snapshots
 
@@ -416,6 +422,12 @@ def streaming_index_maintenance(
             "id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm"
         )
         snapshots.commit_snapshot(merged, table_dir, partition_by=["list_id"])
+        if retain_last is not None and (batch_id + 1) % max(vacuum_every, 1) == 0:
+            snapshots.vacuum_snapshot(
+                table_dir,
+                keep_last=retain_last,
+                min_age_seconds=vacuum_min_age_seconds,
+            )
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -453,6 +465,9 @@ def streaming_keyword_maintenance(
     watch_dir: str,
     table_dir: str,
     checkpoint_dir: str,
+    retain_last: int | None = None,
+    vacuum_every: int = 8,
+    vacuum_min_age_seconds: float = 0.0,
 ) -> None:
     """Q3/T3 as a STREAMING job — continuous keyword-index maintenance,
     the tf-postings twin of :func:`streaming_index_maintenance`: document
@@ -468,7 +483,16 @@ def streaming_keyword_maintenance(
     A crashed batch leaves the prior version intact; pinned readers keep
     a consistent index while maintenance runs. The corpus is never
     re-tokenized — per-batch cost is the batch's own (term, id)
-    aggregation plus one anti-join against the postings table."""
+    aggregation plus one anti-join against the postings table.
+
+    ``retain_last`` bounds version growth: every ``vacuum_every``-th batch
+    runs ``snapshots.vacuum_snapshot(keep_last=retain_last)`` — without
+    it a long-running stream accretes one manifest + full table copy per
+    micro-batch forever. ``vacuum_min_age_seconds`` defaults to 0 because
+    THIS job is by design the table's only writer (the in-flight-commit
+    guard protects concurrent writers, which the maintenance stream
+    doesn't have); raise it if anything else ever commits to the same
+    table."""
     from connapse_spark.operators.keyword_index import (
         build_token_table,
         upsert_tf_postings,
@@ -500,6 +524,12 @@ def streaming_keyword_maintenance(
             )
         merged = parts[0].unionByName(parts[1]).select("kind", "term", "id", "tf")
         snapshots.commit_snapshot(merged, table_dir, partition_by=["kind"])
+        if retain_last is not None and (batch_id + 1) % max(vacuum_every, 1) == 0:
+            snapshots.vacuum_snapshot(
+                table_dir,
+                keep_last=retain_last,
+                min_age_seconds=vacuum_min_age_seconds,
+            )
 
     q = (
         stream.writeStream.foreachBatch(handle)

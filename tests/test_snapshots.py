@@ -1094,3 +1094,43 @@ def test_streaming_keyword_maintenance_intra_batch_lww(spark, sf_dir, tmp_path):
         for r in ki.build_tf_postings(toks, c).collect()
     }
     assert by_doc == want
+
+
+def test_streaming_keyword_maintenance_retention(spark, sf_dir, tmp_path):
+    """retain_last bounds the stream's version growth: with vacuum every
+    batch and keep_last=1 only the newest version's manifest survives each
+    wave — the old version becomes unreadable (fails loudly) while the
+    live index keeps serving, closing the unbounded-manifest-growth gap a
+    per-micro-batch committer otherwise has."""
+    import pytest as _pytest
+
+    from connapse_spark.sources import snapshots as snaps
+    from connapse_spark.streaming.pipeline import streaming_keyword_maintenance
+
+    watch = str(tmp_path / "incoming")
+    table = str(tmp_path / "kw_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    d1 = spark.createDataFrame(
+        [(1, "alpha beta", "U", None)], "doc_id long, text string, op string, seq long"
+    )
+    d1.coalesce(1).write.mode("append").parquet(watch)
+    streaming_keyword_maintenance(
+        spark, watch, table, ckpt, retain_last=1, vacuum_every=1,
+        vacuum_min_age_seconds=0.0,
+    )
+    v1 = snaps.latest_version(table)
+    d2 = spark.createDataFrame(
+        [(2, "gamma delta", "U", None)], "doc_id long, text string, op string, seq long"
+    )
+    d2.coalesce(1).write.mode("append").parquet(watch)
+    streaming_keyword_maintenance(
+        spark, watch, table, ckpt, retain_last=1, vacuum_every=1,
+        vacuum_min_age_seconds=0.0,
+    )
+    v2 = snaps.latest_version(table)
+    assert v2 > v1
+    ids = {r["id"] for r in snaps.read_snapshot(spark, table).collect()}
+    assert ids == {1, 2}  # live index intact
+    with _pytest.raises(Exception):
+        snaps.read_snapshot(spark, table, version=v1).collect()
