@@ -346,6 +346,47 @@ def q_hybrid_many_ann(spark, sf_dir):
     )
 
 
+def q_ann_router(spark, sf_dir):
+    """Per-model ANN routing under the value-hash oracle — M6 /
+    VectorColumnManager parity (VectorColumnManager.cs:14-194: one partial
+    ivfflat index per embedding model, queries routed to their model's
+    index). ``label`` stands in for model_id; the manager builds one
+    seeded index per model (lists policy → 1 list at this SF, so the
+    routed probe is provably full coverage) and the per-model top-3 must
+    equal a per-label brute KNN window — the router changes WHERE
+    candidates come from, never WHAT ranks."""
+    from connapse_spark.functions.embed import embed_py
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = embed_py(SEARCH_QUERY, 64)
+    mgr = ivf.VectorIndexManager(min_rows=10, nprobe=99, seeded=True).ensure(emb)
+    models = sorted(r["label"] for r in emb.select("label").distinct().collect())
+    out = None
+    for m in models:
+        part = mgr.knn(emb, m, qv, k=3).select(
+            F.lit(int(m)).alias("model_id"), F.col("id"), "score"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("model_id", F.desc("score"), "id")
+
+
+def _sql_ann_router() -> str:
+    from connapse_spark.functions.embed import embed_py, sql_vector_literal
+    from connapse_spark.functions.vector import sql_cosine
+
+    qv = sql_vector_literal(embed_py(SEARCH_QUERY, 64))
+    cos = sql_cosine("CAST(embedding AS DOUBLE[])", "qv")
+    return f"""
+WITH q AS (SELECT {qv} AS qv)
+SELECT model_id, id, score FROM (
+  SELECT label AS model_id, vec_id AS id, {cos} AS score,
+         row_number() OVER (PARTITION BY label ORDER BY {cos} DESC, vec_id) AS rn
+  FROM embeddings, q
+) WHERE rn <= 3
+ORDER BY model_id, score DESC, id
+""".strip()
+
+
 def _vectors(spark, sf_dir):
     """Stored-vector index side (the reference's chunk_vectors analogue)."""
     return _t(spark, sf_dir, "embeddings").select(
@@ -2483,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_ann": q_hybrid_ann,
         "hybrid_ann_probe": q_hybrid_ann_probe,
         "hybrid_many_ann": q_hybrid_many_ann,
+        "ann_router": q_ann_router,
         "hybrid_indexed": q_hybrid_indexed,
         "keyword_many_indexed": q_keyword_many_indexed,
         "hybrid_many_indexed": q_hybrid_many_indexed,
@@ -2639,6 +2681,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_ann": oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True),
         # probed regime has its own exact mirror (seeded assignment + probe CTEs)
         "hybrid_ann_probe": oracle.hybrid_ann_sql(SEARCH_QUERY, nprobe=3, n_lists=8),
+        # per-model routed KNN == per-label brute window
+        "ann_router": _sql_ann_router(),
         "hybrid_dbsf": oracle.hybrid_sql(SEARCH_QUERY, method="Dbsf", stored_vectors=True),
         "hybrid_autocut": oracle.hybrid_sql(SEARCH_QUERY, autocut=True, stored_vectors=True),
         "hybrid_filtered": oracle.hybrid_sql(
