@@ -107,3 +107,104 @@ def ingest_stats(chunks: DataFrame, vectors: DataFrame) -> DataFrame:
         .withColumn("status", F.lit("Ready"))
         .orderBy("document_id")
     )
+
+
+def ingest_serving(
+    docs: DataFrame,
+    base_dir: str | None = None,
+    existing_vectors: DataFrame | None = None,
+    strategy: str = "Recursive",
+    settings: ChunkingSettings | None = None,
+    model_id: str = "hash-64",
+    dims: int = DEFAULT_DIMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ext_col: str | None = None,
+    embedder: Column | None = None,
+    nprobe: int = 4,
+    seeded_index: bool = False,
+) -> dict:
+    """The COMPLETE write path: one :func:`ingest` run feeding EVERY
+    serving structure the query side reads — the batch re-expression of
+    what the reference gets implicitly from Postgres (the GIN index and
+    the ivfflat partial index are maintained by the same INSERT that
+    lands the chunk rows; IngestionPipeline.cs:96-414 +
+    KnowledgeDbContext.cs:232-245 + VectorColumnManager.cs:14-194).
+
+    Returns a dict: ``chunks``, ``vectors``, ``keyword_index`` (the
+    KeywordIndex bundle ``hybrid_search(keyword_index=…)`` serves from),
+    ``tf_postings`` (the (tf_exact, tf_stemmed) pair the batched tiers
+    serve from), and ``vector_index`` (the IVF bundle for
+    ``hybrid_search(vector_index=…)``).
+
+    ``chunks`` is persisted here so the pandas-UDF chunker executes ONCE
+    and feeds all structures (same barrier rationale as ingest_stats);
+    the caller unpersists via ``result["chunks"].unpersist()`` when the
+    serving structures are materialized or committed.
+
+    With ``base_dir`` the table structures also COMMIT through the
+    snapshot layer as atomically-visible versions — ``chunks/``,
+    ``chunk_vectors/``, ``tf_postings/`` (kind-partitioned, the layout
+    the streaming maintenance job keeps fresh) — and the IVF bundle
+    lands at ``ivf_index/`` via :func:`plans.ivf.write_vector_index`
+    ((model_id, list_id)-partitioned so probes prune partitions): the
+    deployed layout a reader opens with ``snapshots.read_snapshot`` /
+    ``ivf.load_vector_index``."""
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.plans import ivf as _ivf
+
+    chunks, vectors = ingest(
+        docs,
+        existing_vectors=existing_vectors,
+        strategy=strategy,
+        settings=settings,
+        model_id=model_id,
+        dims=dims,
+        id_col=id_col,
+        text_col=text_col,
+        ext_col=ext_col,
+        embedder=embedder,
+    )
+    chunks = chunks.persist()
+    n_chunks = chunks.count()  # materialize the barrier; sizes the lists policy
+
+    tokens = ki.build_token_table(chunks, id_col="chunk_id", text_col="content")
+    kidx = ki.KeywordIndex(
+        tokens=tokens,
+        postings_exact=ki.build_postings(tokens, "tokens_exact"),
+        postings_stemmed=ki.build_postings(tokens, "tokens_stemmed"),
+    )
+    tfe = ki.build_tf_postings(tokens, "tokens_exact")
+    tfs = ki.build_tf_postings(tokens, "tokens_stemmed")
+    vidx = _ivf.build_vector_index(
+        vectors,
+        n_lists=_ivf.ivf_n_lists(n_chunks),
+        nprobe=nprobe,
+        id_col="chunk_id",
+        vec_col="embedding",
+        seeded=seeded_index,
+        n_rows=n_chunks,
+    )
+    if base_dir is not None:
+        import os
+
+        from connapse_spark.sources import snapshots
+
+        snapshots.commit_snapshot(chunks, os.path.join(base_dir, "chunks"))
+        snapshots.commit_snapshot(vectors, os.path.join(base_dir, "chunk_vectors"))
+        tf_all = tfe.withColumn("kind", F.lit("exact")).unionByName(
+            tfs.withColumn("kind", F.lit("stemmed"))
+        ).select("kind", "term", "id", "tf")
+        snapshots.commit_snapshot(
+            tf_all, os.path.join(base_dir, "tf_postings"), partition_by=["kind"]
+        )
+        _ivf.write_vector_index(
+            vidx, os.path.join(base_dir, "ivf_index"), model_id=model_id
+        )
+    return {
+        "chunks": chunks,
+        "vectors": vectors,
+        "keyword_index": kidx,
+        "tf_postings": (tfe, tfs),
+        "vector_index": vidx,
+    }

@@ -217,6 +217,22 @@ def build_ivf_index(
         if n_rows is None:
             n_rows = base.count()  # opt-in convenience path only
         n_lists = ivf_n_lists(n_rows)
+    if n_lists < 2:
+        # the lists policy yields 1 below ~2k rows (pgvector allows
+        # lists=1); MLlib KMeans requires k >= 2, and a single list needs
+        # no fit at all — every probe scans everything, trivially exact
+        index = base.select(
+            "id",
+            F.lit(0).alias("list_id"),
+            "vec",
+            l2norm_expr(F.col("vec")).alias("norm"),
+        )
+        dims_row = base.select(F.size("vec").alias("d")).first()
+        d = int(dims_row["d"]) if dims_row else 0
+        centroids = base.sparkSession.createDataFrame(
+            [(0, [0.0] * d)], "list_id int, centroid array<double>"
+        )
+        return index, centroids
     km = KMeans(k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id")
     model = km.fit(fit_input.select(array_to_vector(F.col("vec")).alias("features")))
     assigned = model.transform(base.select("id", "vec", array_to_vector(F.col("vec")).alias("features")))
@@ -378,7 +394,10 @@ def build_ivf_index_seeded(
     the probe are SQL-expressible and the whole ANN path gets a full
     value-hash oracle (the sampled-KMeans build keeps its rows-only check;
     this twin pins the probe math end-to-end). Same (index, centroids)
-    contract as build_ivf_index; list_id stays bigint."""
+    contract as build_ivf_index; list_id stays bigint. Requires a NUMERIC
+    id column (list_id IS the seed's id cast to bigint — the property the
+    SQL mirror leans on); string-keyed tables (e.g. chunk_ids) use the
+    MLlib build, whose list_id is the fit's dense cluster index."""
     from connapse_spark.operators.similarity import cluster_assign
 
     assigned = cluster_assign(

@@ -562,3 +562,55 @@ def test_quantized_knn_recall_vs_exact(spark, sf_dir):
     approx = {r["vec_id"] for r in vector_knn_quantized(qidx, qv, k=10).collect()}
     # int8 cosine keeps most of the exact top-10
     assert len(exact & approx) >= 8
+
+
+def test_ingest_serving_builds_every_structure(spark, sf_dir, tmp_path):
+    """The capstone write path: one ingest run emits chunks, vectors,
+    keyword index, tf-postings, and the IVF bundle; the fully index-served
+    hybrid over the chunk corpus is row-equal to the brute pipeline, both
+    from the in-memory bundles and after reloading from the committed
+    on-disk layout."""
+    import os as _os
+
+    from connapse_spark.operators.ingest import ingest_serving
+    from connapse_spark.operators.search import SearchOptions, hybrid_search
+    from connapse_spark.plans import ivf as _ivf
+    from connapse_spark.sources import snapshots as snaps
+
+    docs = (
+        spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    base = str(tmp_path / "serving")
+    # MLlib build (not seeded): chunk_ids are strings ("doc:idx"), and the
+    # seeded builder's list_id-from-seed-id trick requires numeric ids
+    out = ingest_serving(docs, base_dir=base, nprobe=99)
+    corpus = out["chunks"].select(
+        F.col("chunk_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    vecs = out["vectors"].select(F.col("chunk_id").alias("id"), "embedding")
+    opts = SearchOptions(top_k=10)
+    q = "the quick brown fox"
+    brute = hybrid_search(corpus, q, opts, vectors=vecs).collect()
+    served = hybrid_search(
+        corpus, q, opts,
+        keyword_index=out["keyword_index"],
+        vector_index=out["vector_index"],
+    ).collect()
+    assert served and [tuple(r) for r in served] == [tuple(r) for r in brute]
+
+    # committed layout round-trips: snapshot tables + reloadable IVF bundle
+    assert snaps.latest_version(_os.path.join(base, "chunks")) is not None
+    assert snaps.latest_version(_os.path.join(base, "chunk_vectors")) is not None
+    tf = snaps.read_snapshot(spark, _os.path.join(base, "tf_postings"))
+    assert {r["kind"] for r in tf.select("kind").distinct().collect()} == {
+        "exact", "stemmed"
+    }
+    stored = _ivf.load_vector_index(
+        spark, _os.path.join(base, "ivf_index"), nprobe=99
+    )
+    reloaded = hybrid_search(corpus, q, opts, vector_index=stored).collect()
+    brute_vec_only = hybrid_search(corpus, q, opts, vectors=vecs).collect()
+    assert [tuple(r) for r in reloaded] == [tuple(r) for r in brute_vec_only]
+    out["chunks"].unpersist()
