@@ -2510,9 +2510,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver checks the FIRST ~50 entries. Ordering invariant
-        # --- (r6 rotation, VERDICT r5 ask #9): seats 1-17 are the round-6
-        # --- NEW or CODE-CHANGED entries (the IVF-served hybrid pair,
-        # --- the index-served single/batch
+        # --- (r6 rotation, VERDICT r5 ask #9): seats 1-19 are the round-6
+        # --- NEW or CODE-CHANGED entries (the IVF-served hybrid family
+        # --- incl. the fully index-served batch tier and the per-model
+        # --- ANN router, the index-served single/batch
         # --- tiers, tf-postings write paths incl. the pending-list
         # --- resolve, the upgraded ingest_stats invariant oracle, the
         # --- rewritten chunkers, the new-default salted_agg, the

@@ -812,6 +812,41 @@ def ivf_drift(index: DataFrame, dims: int = 64, round_digits: int = 6) -> DataFr
     )
 
 
+def maybe_rebuild_index(
+    vidx: VectorIndex,
+    vectors: DataFrame,
+    threshold: float = 0.2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+    sample_fraction: float | None = None,
+) -> "tuple[bool, VectorIndex]":
+    """The M6 rebuild-on-drift DECISION, closed into one call (reference:
+    VectorColumnManager's rebuild path; pgvector REINDEX): run the
+    :func:`ivf_drift` gauge over the served index and, when
+    ``reassign_frac`` crosses ``threshold``, refit from the CURRENT
+    vectors table (sampled at scale) and return the fresh bundle;
+    otherwise return the served bundle untouched. Returns
+    ``(rebuilt, VectorIndex)`` so a maintenance job can commit the new
+    layout through the snapshot layer only when it actually changed —
+    upsert waves keep routing into stale lists for free until the gauge
+    says the layout no longer matches the data."""
+    verdict = ivf_drift(vidx.index, dims=dims).first()
+    frac = float(verdict["reassign_frac"] or 0.0)
+    if frac < threshold:
+        return False, vidx
+    return True, build_vector_index(
+        vectors,
+        n_lists=None,
+        nprobe=vidx.nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_rows=n_rows,
+        sample_fraction=sample_fraction,
+    )
+
+
 def sql_ivf_drift_seeded(n_lists: int = 8, dims: int = 64) -> str:
     """Mirror over the SEEDED index: cluster_assign's CTE rebuilds the
     stored layout, the per-list mean is the same sorted fold as

