@@ -359,7 +359,10 @@ def q_ann_router(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = embed_py(SEARCH_QUERY, 64)
-    mgr = ivf.VectorIndexManager(min_rows=10, nprobe=99, seeded=True).ensure(emb)
+    # nprobe=100 == the lists policy's cap (ivf_n_lists clamps at 100), so
+    # full coverage holds at ANY scale factor — 99 would drop one list the
+    # moment a model reaches 100k rows
+    mgr = ivf.VectorIndexManager(min_rows=10, nprobe=100, seeded=True).ensure(emb)
     models = sorted(r["label"] for r in emb.select("label").distinct().collect())
     out = None
     for m in models:

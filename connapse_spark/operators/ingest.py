@@ -122,7 +122,6 @@ def ingest_serving(
     ext_col: str | None = None,
     embedder: Column | None = None,
     nprobe: int = 4,
-    seeded_index: bool = False,
 ) -> dict:
     """The COMPLETE write path: one :func:`ingest` run feeding EVERY
     serving structure the query side reads — the batch re-expression of
@@ -137,10 +136,15 @@ def ingest_serving(
     serve from), and ``vector_index`` (the IVF bundle for
     ``hybrid_search(vector_index=…)``).
 
-    ``chunks`` is persisted here so the pandas-UDF chunker executes ONCE
-    and feeds all structures (same barrier rationale as ingest_stats);
-    the caller unpersists via ``result["chunks"].unpersist()`` when the
-    serving structures are materialized or committed.
+    ``chunks`` AND ``vectors`` are persisted here so the pandas-UDF
+    chunker and the embedder each execute ONCE and feed all structures
+    (same barrier rationale as ingest_stats — the KMeans fit alone makes
+    several passes over the vectors); the caller unpersists both via
+    ``result["chunks"].unpersist()`` / ``result["vectors"].unpersist()``
+    when the serving structures are materialized or committed. The IVF
+    build is always the MLlib fit: chunk_ids are strings ("doc:idx"),
+    which the seeded builder's numeric list_id-from-seed-id trick cannot
+    represent.
 
     With ``base_dir`` the table structures also COMMIT through the
     snapshot layer as atomically-visible versions — ``chunks/``,
@@ -166,6 +170,7 @@ def ingest_serving(
         embedder=embedder,
     )
     chunks = chunks.persist()
+    vectors = vectors.persist()
     n_chunks = chunks.count()  # materialize the barrier; sizes the lists policy
 
     tokens = ki.build_token_table(chunks, id_col="chunk_id", text_col="content")
@@ -182,7 +187,6 @@ def ingest_serving(
         nprobe=nprobe,
         id_col="chunk_id",
         vec_col="embedding",
-        seeded=seeded_index,
         n_rows=n_chunks,
     )
     if base_dir is not None:

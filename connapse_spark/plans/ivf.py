@@ -484,18 +484,32 @@ def write_vector_index(
     vidx: VectorIndex, path: str, model_id: str = "hash-64"
 ) -> None:
     """Persist the bundle for serving: the index table goes down
-    partitioned by (model_id, list_id) via ``sinks.write_ivf_index`` — so
-    a probe's ``list_id IN (...)`` is PARTITION PRUNING on disk, the
-    pgvector-ivfflat layout property — and the tiny centroid table lands
-    under ``_centroids/`` (underscore-prefixed paths are invisible to
-    Spark's file index, so readers of the index never see it)."""
+    partitioned by (model_id, list_id) — so a probe's ``list_id IN (...)``
+    is PARTITION PRUNING on disk, the pgvector-ivfflat layout property —
+    and the centroid table lands model-partitioned under ``_centroids/``
+    (underscore-prefixed paths are invisible to Spark's file index, so
+    readers of the index never see it). Both writes use DYNAMIC partition
+    overwrite: re-writing model B replaces only B's partitions, never
+    model A's — one path really does hold one bundle per model_id, the
+    layout VectorIndexManager documents."""
     import os
 
-    from connapse_spark.sources.sinks import write_ivf_index
-
-    write_ivf_index(vidx.index, path, model_id=model_id)
-    vidx.centroids.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "_centroids")
+    (
+        vidx.index.withColumn("model_id", F.lit(model_id))
+        .repartition("list_id")
+        .sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("model_id", "list_id")
+        .parquet(path)
+    )
+    (
+        vidx.centroids.withColumn("model_id", F.lit(model_id))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("model_id")
+        .parquet(os.path.join(path, "_centroids"))
     )
 
 
@@ -513,7 +527,11 @@ def load_vector_index(
         .filter(F.col("model_id") == model_id)
         .select("id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm")
     )
-    centroids = spark.read.parquet(os.path.join(path, "_centroids"))
+    centroids = (
+        spark.read.parquet(os.path.join(path, "_centroids"))
+        .filter(F.col("model_id") == model_id)
+        .select("list_id", "centroid")
+    )
     return VectorIndex(index=index, centroids=centroids, nprobe=nprobe)
 
 
@@ -550,6 +568,7 @@ class VectorIndexManager:
         self.id_col, self.vec_col, self.model_col = id_col, vec_col, model_col
         self.indexes: dict = {}
         self.skipped: dict = {}  # model -> row count below threshold
+        self._counts: dict = {}  # model -> row count at last build
 
     def ensure(self, vectors: DataFrame) -> "VectorIndexManager":
         counts = {
@@ -558,10 +577,22 @@ class VectorIndexManager:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        # evict state for models no longer present — a stale index would
+        # otherwise keep serving vectors that left the table
+        for gone in set(self.indexes) - set(counts):
+            del self.indexes[gone]
+        for gone in set(self.skipped) - set(counts):
+            del self.skipped[gone]
         for m, n in sorted(counts.items(), key=lambda kv: str(kv[0])):
             if n < self.min_rows:
+                # dropped below threshold: the model serves brute again
+                self.indexes.pop(m, None)
+                self._counts.pop(m, None)
                 self.skipped[m] = n
                 continue
+            self.skipped.pop(m, None)
+            if m in self.indexes and self._counts.get(m) == n:
+                continue  # unchanged since last build — skip the refit
             subset = vectors.filter(F.col(self.model_col) == m)
             self.indexes[m] = build_vector_index(
                 subset,
@@ -572,6 +603,7 @@ class VectorIndexManager:
                 seeded=self.seeded,
                 n_rows=n,
             )
+            self._counts[m] = n
         return self
 
     def knn(
@@ -583,11 +615,11 @@ class VectorIndexManager:
 
         idx = self.indexes.get(model)
         if idx is not None:
-            probe_ids = probe_list_ids(idx.centroids, query_vec, idx.nprobe)
-            cands = idx.index.filter(F.col("list_id").isin(probe_ids)).select(
-                "id", F.col("vec").alias(self.vec_col)
-            )
-            return vector_knn(cands, query_vec, k, id_col="id", vec_col=self.vec_col)
+            # one probe implementation: ann_ivf_topk owns the
+            # rank/tie-break contract (score DESC, id) for the index path
+            return ann_ivf_topk(
+                idx.index, idx.centroids, query_vec, k, nprobe=idx.nprobe
+            ).select("id", "score")
         subset = vectors.filter(F.col(self.model_col) == model).select(
             F.col(self.id_col).alias("id"), F.col(self.vec_col)
         )
@@ -821,29 +853,42 @@ def maybe_rebuild_index(
     vec_col: str = "embedding",
     n_rows: int | None = None,
     sample_fraction: float | None = None,
+    seeded: bool = False,
 ) -> "tuple[bool, VectorIndex]":
     """The M6 rebuild-on-drift DECISION, closed into one call (reference:
-    VectorColumnManager's rebuild path; pgvector REINDEX): run the
-    :func:`ivf_drift` gauge over the served index and, when
-    ``reassign_frac`` crosses ``threshold``, refit from the CURRENT
-    vectors table (sampled at scale) and return the fresh bundle;
-    otherwise return the served bundle untouched. Returns
-    ``(rebuilt, VectorIndex)`` so a maintenance job can commit the new
-    layout through the snapshot layer only when it actually changed —
-    upsert waves keep routing into stale lists for free until the gauge
-    says the layout no longer matches the data."""
-    verdict = ivf_drift(vidx.index, dims=dims).first()
-    frac = float(verdict["reassign_frac"] or 0.0)
-    if frac < threshold:
-        return False, vidx
+    VectorColumnManager's rebuild path; pgvector REINDEX). Two triggers:
+
+    1. **Size**: the lists policy wants more lists than the served index
+       has (``ivf_n_lists(current rows) > stored lists``) — corpus growth
+       the drift gauge is structurally blind to (a 1-list index can never
+       report reassignments: there is only one candidate centroid).
+    2. **Drift**: :func:`ivf_drift`'s ``reassign_frac`` over the served
+       layout crosses ``threshold`` — upsert waves redistributed the data
+       within the existing list count.
+
+    Returns ``(rebuilt, VectorIndex)`` so a maintenance job commits the
+    new layout through the snapshot layer only when it actually changed.
+    ``seeded`` preserves the served bundle's regime across the rebuild —
+    a seeded (oracle-mirrorable, numeric-id) index must refit seeded, or
+    downstream SQL mirrors silently disagree with the served list_ids."""
+    if n_rows is None:
+        n_rows = vectors.count()
+    have_lists = vidx.centroids.count()
+    want_lists = ivf_n_lists(n_rows)
+    if want_lists <= have_lists:
+        verdict = ivf_drift(vidx.index, dims=dims).first()
+        frac = float(verdict["reassign_frac"] or 0.0)
+        if frac < threshold:
+            return False, vidx
     return True, build_vector_index(
         vectors,
-        n_lists=None,
+        n_lists=None if not seeded else max(want_lists, 2),
         nprobe=vidx.nprobe,
         id_col=id_col,
         vec_col=vec_col,
         n_rows=n_rows,
         sample_fraction=sample_fraction,
+        seeded=seeded,
     )
 
 

@@ -558,21 +558,55 @@ def test_maybe_rebuild_index_fires_only_on_drift(spark):
     rebuilt, same = ivf.maybe_rebuild_index(vidx, base, threshold=0.2, dims=8)
     assert not rebuilt and same is vidx
 
-    # drift: upsert waves moved most mass to new regions the stored
-    # centroids don't represent — simulate by routing shifted vectors
-    # into the existing lists, then gauge
-    shifted = spark.createDataFrame(
-        cloud(0.2, 40, 200) + cloud(-0.2, 40, 300),
-        "vec_id long, embedding array<double>",
+    # drift: scramble the stored assignment (list = id parity — random
+    # with respect to direction) so each refreshed list mean is a noisy
+    # mixture and roughly half the vectors prefer the other list; the
+    # gauge MUST cross the 5% threshold and fire the rebuild
+    scrambled = ivf.VectorIndex(
+        index=vidx.index.withColumn(
+            "list_id", F.pmod(F.col("id"), F.lit(2)).cast("int")
+        ),
+        centroids=vidx.centroids,
+        nprobe=2,
     )
-    drifted_index = ivf.ivf_index_upsert(vidx.index, vidx.centroids, shifted)
-    drifted = ivf.VectorIndex(index=drifted_index, centroids=vidx.centroids, nprobe=2)
-    full = base.unionByName(shifted)
-    rebuilt2, fresh = ivf.maybe_rebuild_index(drifted, full, threshold=0.05, dims=8)
-    if rebuilt2:
-        assert fresh is not drifted
-        # the refit covers the full corpus: every vector routed to a list
-        assert fresh.index.count() == full.count()
-    else:
-        # gauge stayed under threshold: the served bundle must be returned
-        assert fresh is drifted
+    rebuilt2, fresh = ivf.maybe_rebuild_index(scrambled, base, threshold=0.05, dims=8)
+    assert rebuilt2 and fresh is not scrambled
+    # the refit covers the full corpus: every vector routed to a list
+    assert fresh.index.count() == base.count()
+
+    # growth trigger: a 1-list index over a corpus the lists policy sizes
+    # bigger must rebuild even though a single candidate centroid can
+    # never report drift
+    one_list = ivf.VectorIndex(
+        index=vidx.index.withColumn("list_id", F.lit(0)),
+        centroids=vidx.centroids.limit(1),
+        nprobe=2,
+    )
+    rebuilt3, _ = ivf.maybe_rebuild_index(
+        one_list, base, threshold=0.99, dims=8, n_rows=5000
+    )
+    assert rebuilt3  # ivf_n_lists(5000)=5 > 1 stored list
+
+
+def test_write_vector_index_is_per_model(spark, sf_dir, tmp_path):
+    """Two models written to ONE path must coexist: dynamic partition
+    overwrite replaces only the written model's partitions, and each
+    reload gets its own index rows AND its own centroids — a second
+    model's write must not clobber the first (the one-path-per-model
+    layout VectorIndexManager documents)."""
+    emb = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
+    a = ivf.build_vector_index(emb, n_lists=4, nprobe=2, id_col="id", seeded=True)
+    b = ivf.build_vector_index(
+        emb.limit(30), n_lists=2, nprobe=2, id_col="id", seeded=True
+    )
+    path = str(tmp_path / "multi")
+    ivf.write_vector_index(a, path, model_id="model-a")
+    ivf.write_vector_index(b, path, model_id="model-b")
+    ra = ivf.load_vector_index(spark, path, model_id="model-a", nprobe=2)
+    rb = ivf.load_vector_index(spark, path, model_id="model-b", nprobe=2)
+    assert ra.index.count() == a.index.count() > 0
+    assert rb.index.count() == b.index.count() > 0
+    assert ra.centroids.count() == 4 and rb.centroids.count() == 2
+    # re-write model-b alone: model-a untouched
+    ivf.write_vector_index(b, path, model_id="model-b")
+    assert ivf.load_vector_index(spark, path, model_id="model-a").index.count() == a.index.count()
