@@ -212,3 +212,162 @@ def ingest_serving(
         "tf_postings": (tfe, tfs),
         "vector_index": vidx,
     }
+
+
+def ingest_serving_incremental(
+    docs_batch: DataFrame,
+    base_dir: str,
+    deleted_doc_ids: "list | DataFrame | None" = None,
+    strategy: str = "Recursive",
+    settings: ChunkingSettings | None = None,
+    model_id: str = "hash-64",
+    dims: int = DEFAULT_DIMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ext_col: str | None = None,
+    embedder: Column | None = None,
+    nprobe: int = 4,
+    rebuild_threshold: float = 0.2,
+) -> dict:
+    """The NIGHTLY/CDC twin of :func:`ingest_serving`: fold ONE document
+    batch (updates + deletes) into the serving layout an earlier
+    ingest_serving committed under ``base_dir`` — the batch analogue of
+    the reference re-ingesting changed documents while Postgres maintains
+    the GIN/ivfflat indexes row-by-row. Per-batch cost is proportional to
+    the BATCH, never the corpus:
+
+    - **chunks / chunk_vectors**: one ``snapshots.apply_changes`` each —
+      the affected documents' old chunk rows delete (a doc's new version
+      may have FEWER chunks, so deletion is by the OLD chunk ids, not by
+      overwrite) and the new rows upsert, with file-level copy-on-write
+      rewriting only files containing affected keys, one atomic version
+      per table. Embeddings reuse the content-addressed cache: unchanged
+      chunk text carries its stored vector (from_cache=true), only novel
+      content pays the embedder.
+    - **tf_postings**: ``keyword_index.upsert_tf_postings`` per kind —
+      anti-join the affected chunk ids out, append the batch's fresh
+      postings; one kind-partitioned commit.
+    - **IVF**: the affected ids anti-join out of the stored index, the
+      batch's vectors route to the EXISTING centroids
+      (``ivf_index_upsert`` — no refit), and
+      :func:`plans.ivf.maybe_rebuild_index` then decides whether drift or
+      corpus growth warrants a refit from the live vectors table; the
+      bundle (re)writes only when changed.
+
+    Returns {"chunks_version", "vectors_version", "tf_version",
+    "vector_index", "rebuilt", "chunks", "vectors"} (the two DataFrames
+    stay persisted — same unpersist contract as ingest_serving)."""
+    import os
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.plans import ivf as _ivf
+    from connapse_spark.sources import snapshots
+
+    spark = docs_batch.sparkSession
+    chunks_dir = os.path.join(base_dir, "chunks")
+    vectors_dir = os.path.join(base_dir, "chunk_vectors")
+    tf_dir = os.path.join(base_dir, "tf_postings")
+    ivf_dir = os.path.join(base_dir, "ivf_index")
+
+    # affected documents = this batch's ids ∪ explicit deletions
+    affected_docs = docs_batch.select(F.col(id_col).alias("_doc"))
+    if isinstance(deleted_doc_ids, DataFrame):
+        affected_docs = affected_docs.unionByName(
+            deleted_doc_ids.toDF("_doc")
+        )
+    elif deleted_doc_ids:
+        affected_docs = affected_docs.unionByName(
+            spark.createDataFrame([(i,) for i in deleted_doc_ids], "_doc long")
+        )
+    affected_docs = affected_docs.distinct()
+
+    cur_chunks = snapshots.read_snapshot(spark, chunks_dir)
+    old_chunk_ids = (
+        cur_chunks.join(
+            affected_docs, cur_chunks["document_id"] == affected_docs["_doc"], "left_semi"
+        )
+        .select("chunk_id")
+        .persist()
+    )
+    old_chunk_ids.count()
+
+    cur_vectors = snapshots.read_snapshot(spark, vectors_dir)
+    chunks, vectors = ingest(
+        docs_batch,
+        existing_vectors=cur_vectors,
+        strategy=strategy,
+        settings=settings,
+        model_id=model_id,
+        dims=dims,
+        id_col=id_col,
+        text_col=text_col,
+        ext_col=ext_col,
+        embedder=embedder,
+    )
+    chunks = chunks.persist()
+    vectors = vectors.persist()
+    chunks.count()
+
+    cv = snapshots.apply_changes(
+        spark, chunks_dir, "chunk_id", upserts=chunks, delete_keys=old_chunk_ids
+    )
+    vv = snapshots.apply_changes(
+        spark, vectors_dir, "chunk_id", upserts=vectors, delete_keys=old_chunk_ids
+    )
+
+    # keyword side: remove every affected old chunk id, add the batch's rows
+    tokens = ki.build_token_table(chunks, id_col="chunk_id", text_col="content")
+    cur_tf = snapshots.read_snapshot(spark, tf_dir)
+    deleted_ids = old_chunk_ids.select(F.col("chunk_id").alias("id"))
+    parts = []
+    for kind, col in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed")):
+        cur_k = cur_tf.filter(F.col("kind") == kind).select("term", "id", "tf")
+        parts.append(
+            ki.upsert_tf_postings(cur_k, tokens, deleted_ids=deleted_ids, token_col=col)
+            .withColumn("kind", F.lit(kind))
+        )
+    tfv = snapshots.commit_snapshot(
+        parts[0].unionByName(parts[1]).select("kind", "term", "id", "tf"),
+        tf_dir,
+        partition_by=["kind"],
+    )
+
+    # vector side: anti-join affected ids, route the batch, gauge rebuild
+    stored = _ivf.load_vector_index(spark, ivf_dir, model_id=model_id, nprobe=nprobe)
+    cleaned = stored.index.join(
+        old_chunk_ids.select(F.col("chunk_id").alias("id")), "id", "left_anti"
+    )
+    merged = _ivf.ivf_index_upsert(
+        cleaned, stored.centroids, vectors, id_col="chunk_id", vec_col="embedding"
+    )
+    vidx = _ivf.VectorIndex(index=merged, centroids=stored.centroids, nprobe=nprobe)
+    live_vectors = snapshots.read_snapshot(spark, vectors_dir).select(
+        F.col("chunk_id"), F.col("embedding")
+    )
+    rebuilt, vidx = _ivf.maybe_rebuild_index(
+        vidx,
+        live_vectors,
+        threshold=rebuild_threshold,
+        dims=dims,
+        id_col="chunk_id",
+        vec_col="embedding",
+    )
+    # the merged (non-rebuilt) bundle's lineage READS ivf_dir; truncate it
+    # (eager localCheckpoint) before overwriting the same path — Spark
+    # rejects a write whose plan scans the destination
+    vidx = _ivf.VectorIndex(
+        index=vidx.index.localCheckpoint(),
+        centroids=vidx.centroids.localCheckpoint(),
+        nprobe=vidx.nprobe,
+    )
+    _ivf.write_vector_index(vidx, ivf_dir, model_id=model_id)
+    old_chunk_ids.unpersist()
+    return {
+        "chunks_version": cv,
+        "vectors_version": vv,
+        "tf_version": tfv,
+        "vector_index": vidx,
+        "rebuilt": rebuilt,
+        "chunks": chunks,
+        "vectors": vectors,
+    }

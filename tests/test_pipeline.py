@@ -614,3 +614,74 @@ def test_ingest_serving_builds_every_structure(spark, sf_dir, tmp_path):
     brute_vec_only = hybrid_search(corpus, q, opts, vectors=vecs).collect()
     assert [tuple(r) for r in reloaded] == [tuple(r) for r in brute_vec_only]
     out["chunks"].unpersist()
+
+
+def test_ingest_serving_incremental_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental wave (doc 3 updated, doc 7 deleted) over a committed
+    serving layout must leave every structure equal to a from-scratch
+    ingest_serving over the live corpus: chunks/vectors row sets,
+    tf-postings, and the IVF-served semantic answers; unchanged documents'
+    embeddings must ride the content-addressed cache instead of
+    re-embedding."""
+    import os as _os
+
+    from connapse_spark.operators.ingest import (
+        ingest_serving,
+        ingest_serving_incremental,
+    )
+    from connapse_spark.operators.search import SearchOptions, hybrid_search
+    from connapse_spark.sources import snapshots as snaps
+
+    docs = (
+        spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .persist()
+    )
+    base = str(tmp_path / "serving")
+    first = ingest_serving(docs, base_dir=base, nprobe=99)
+
+    batch = docs.filter(F.col("doc_id") == 3).select(
+        "doc_id", F.lit("entirely new content about table scan joins").alias("text")
+    )
+    out = ingest_serving_incremental(
+        batch, base, deleted_doc_ids=[7], nprobe=99, rebuild_threshold=2.0
+    )
+    # updated doc rides fresh embeds; its vectors are not from_cache
+    assert all(not r["from_cache"] for r in out["vectors"].collect())
+
+    live = docs.filter(~F.col("doc_id").isin(3, 7)).unionByName(batch)
+    want = ingest_serving(live, nprobe=99)
+
+    def rows(df, cols):
+        return {tuple(r) for r in df.select(*cols).collect()}
+
+    got_chunks = snaps.read_snapshot(spark, _os.path.join(base, "chunks"))
+    assert rows(got_chunks, ["chunk_id", "content"]) == rows(
+        want["chunks"], ["chunk_id", "content"]
+    )
+    got_tf = snaps.read_snapshot(spark, _os.path.join(base, "tf_postings"))
+    want_tf = want["tf_postings"][0].withColumn("kind", F.lit("exact")).unionByName(
+        want["tf_postings"][1].withColumn("kind", F.lit("stemmed"))
+    )
+    assert rows(got_tf, ["kind", "term", "id", "tf"]) == rows(
+        want_tf, ["kind", "term", "id", "tf"]
+    )
+    # the maintained IVF bundle answers identically to a brute scan over
+    # the live corpus (nprobe=99 covers every list)
+    corpus = got_chunks.select(
+        F.col("chunk_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    vecs = snaps.read_snapshot(spark, _os.path.join(base, "chunk_vectors")).select(
+        F.col("chunk_id").alias("id"), "embedding"
+    )
+    opts = SearchOptions(top_k=10, mode="Semantic")
+    served = hybrid_search(
+        corpus, "table scan joins", opts, vector_index=out["vector_index"]
+    ).collect()
+    brute = hybrid_search(corpus, "table scan joins", opts, vectors=vecs).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in brute]
+    # deleted doc 7 serves nowhere
+    assert not any(str(r["id"]).startswith("7:") for r in served)
+    for h in (first, out, want):
+        h["chunks"].unpersist(), h["vectors"].unpersist()
