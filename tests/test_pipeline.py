@@ -685,3 +685,84 @@ def test_ingest_serving_incremental_equals_rebuild(spark, sf_dir, tmp_path):
     assert not any(str(r["id"]).startswith("7:") for r in served)
     for h in (first, out, want):
         h["chunks"].unpersist(), h["vectors"].unpersist()
+
+
+def test_ingest_serving_incremental_multi_wave(spark, sf_dir, tmp_path):
+    """Three compounding waves — updates, deletes, and documents that did
+    not exist at the initial build — must leave the committed layout equal
+    to a from-scratch ingest over the final live corpus (incremental state
+    bugs compound; one green wave does not prove three)."""
+    import os as _os
+
+    from connapse_spark.operators.ingest import (
+        ingest_serving,
+        ingest_serving_incremental,
+    )
+    from connapse_spark.sources import snapshots as snaps
+
+    all_docs = (
+        spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+        .persist()
+    )
+    base = str(tmp_path / "serving")
+    handles = [ingest_serving(all_docs.filter(F.col("doc_id") < 15), base_dir=base)]
+
+    # wave 1: update docs 2,4; delete doc 9
+    w1 = all_docs.filter(F.col("doc_id").isin(2, 4)).select(
+        "doc_id", F.concat(F.lit("updated once "), F.col("text")).alias("text")
+    )
+    handles.append(ingest_serving_incremental(w1, base, deleted_doc_ids=[9]))
+    # wave 2: brand-new docs 20-24 (not in the initial build)
+    w2 = all_docs.filter(F.col("doc_id").between(20, 24))
+    handles.append(ingest_serving_incremental(w2, base))
+    # wave 3: re-update doc 2 again; delete the wave-2 doc 21
+    w3 = all_docs.filter(F.col("doc_id") == 2).select(
+        "doc_id", F.lit("updated twice entirely different words").alias("text")
+    )
+    handles.append(ingest_serving_incremental(w3, base, deleted_doc_ids=[21]))
+
+    live = (
+        all_docs.filter(F.col("doc_id") < 15)
+        .filter(~F.col("doc_id").isin(2, 4, 9))
+        .unionByName(all_docs.filter(F.col("doc_id").isin(20, 22, 23, 24)))
+        .unionByName(
+            all_docs.filter(F.col("doc_id") == 4).select(
+                "doc_id",
+                F.concat(F.lit("updated once "), F.col("text")).alias("text"),
+            )
+        )
+        .unionByName(w3)
+    )
+    want = ingest_serving(live)
+    handles.append(want)
+
+    def rows(df, cols):
+        return {tuple(r) for r in df.select(*cols).collect()}
+
+    got_chunks = snaps.read_snapshot(spark, _os.path.join(base, "chunks"))
+    assert rows(got_chunks, ["chunk_id", "content"]) == rows(
+        want["chunks"], ["chunk_id", "content"]
+    )
+    got_vecs = snaps.read_snapshot(spark, _os.path.join(base, "chunk_vectors"))
+    assert rows(got_vecs, ["chunk_id", "content_hash"]) == rows(
+        want["vectors"], ["chunk_id", "content_hash"]
+    )
+    got_tf = snaps.read_snapshot(spark, _os.path.join(base, "tf_postings"))
+    want_tf = want["tf_postings"][0].withColumn("kind", F.lit("exact")).unionByName(
+        want["tf_postings"][1].withColumn("kind", F.lit("stemmed"))
+    )
+    assert rows(got_tf, ["kind", "term", "id", "tf"]) == rows(
+        want_tf, ["kind", "term", "id", "tf"]
+    )
+    # the maintained IVF index covers exactly the live chunk ids
+    from connapse_spark.plans import ivf as _ivf
+
+    stored = _ivf.load_vector_index(spark, _os.path.join(base, "ivf_index"))
+    assert {r["id"] for r in stored.index.select("id").collect()} == {
+        r["chunk_id"] for r in want["chunks"].select("chunk_id").collect()
+    }
+    for h in handles:
+        h["chunks"].unpersist(), h["vectors"].unpersist()
+    all_docs.unpersist()
