@@ -317,11 +317,13 @@ def ingest_serving_incremental(
 
     # keyword side: remove every affected old chunk id, add the batch's rows
     tokens = ki.build_token_table(chunks, id_col="chunk_id", text_col="content")
-    cur_tf = snapshots.read_snapshot(spark, tf_dir)
+    cur_tfe, cur_tfs = ki.read_tf_postings(spark, tf_dir)
     deleted_ids = old_chunk_ids.select(F.col("chunk_id").alias("id"))
     parts = []
-    for kind, col in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed")):
-        cur_k = cur_tf.filter(F.col("kind") == kind).select("term", "id", "tf")
+    for kind, col, cur_k in (
+        ("exact", "tokens_exact", cur_tfe),
+        ("stemmed", "tokens_stemmed", cur_tfs),
+    ):
         parts.append(
             ki.upsert_tf_postings(cur_k, tokens, deleted_ids=deleted_ids, token_col=col)
             .withColumn("kind", F.lit(kind))

@@ -292,6 +292,21 @@ def tf_compact(spark, base_dir: str, delta_dir: str) -> int:
     return v
 
 
+def read_tf_postings(spark, table_dir: str) -> "tuple[DataFrame, DataFrame]":
+    """Reopen a committed kind-partitioned tf-postings snapshot (the
+    layout ``ingest_serving`` / ``streaming_keyword_maintenance`` write)
+    as the ``(tf_exact, tf_stemmed)`` pair every serving tier takes —
+    the keyword counterpart of ``plans.ivf.load_vector_index``. The kind
+    filter is partition pruning on the committed layout."""
+    from connapse_spark.sources import snapshots
+
+    cur = snapshots.read_snapshot(spark, table_dir)
+    return (
+        cur.filter(F.col("kind") == "exact").select("term", "id", "tf"),
+        cur.filter(F.col("kind") == "stemmed").select("term", "id", "tf"),
+    )
+
+
 def keyword_search_many_indexed(
     tf_exact: DataFrame,
     tf_stemmed: DataFrame,

@@ -766,3 +766,29 @@ def test_ingest_serving_incremental_multi_wave(spark, sf_dir, tmp_path):
     for h in handles:
         h["chunks"].unpersist(), h["vectors"].unpersist()
     all_docs.unpersist()
+
+
+def test_read_tf_postings_serves_committed_layout(spark, sf_dir, tmp_path):
+    """read_tf_postings over an ingest_serving-committed layout must serve
+    a batched keyword query identical to the in-memory tf pair."""
+    import os as _os
+
+    from connapse_spark.operators.ingest import ingest_serving
+    from connapse_spark.operators.keyword_index import (
+        keyword_search_many_indexed,
+        read_tf_postings,
+    )
+
+    docs = (
+        spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", "text")
+    )
+    base = str(tmp_path / "serving")
+    out = ingest_serving(docs, base_dir=base)
+    queries = [(1, QUERY), (2, "fast merge")]
+    mem = keyword_search_many_indexed(*out["tf_postings"], queries, k=5).collect()
+    tfe, tfs = read_tf_postings(spark, _os.path.join(base, "tf_postings"))
+    disk = keyword_search_many_indexed(tfe, tfs, queries, k=5).collect()
+    assert disk and [tuple(r) for r in disk] == [tuple(r) for r in mem]
+    out["chunks"].unpersist(), out["vectors"].unpersist()
