@@ -48,6 +48,11 @@ def ingest(
                     start_offset, end_offset, metadata, content_hash)
     chunk_vectors: (chunk_id, document_id, content_hash, model_id,
                     dimensions, embedding, from_cache)
+
+    With ``existing_vectors`` the chunk subtree appears on both sides of
+    the cache join (the batch's hash set narrows the cache), so persist
+    the returned ``chunks`` before materializing ``vectors`` to run the
+    chunker once — ``ingest_stats`` / ``ingest_serving*`` already do.
     """
     chunks = chunk_documents(
         docs, strategy=strategy, settings=settings, id_col=id_col,
@@ -63,7 +68,14 @@ def ingest(
         # one vector per hash (content-addressed): hashes are unique keys in
         # the vectors table by construction; dropDuplicates guards anyway
         cache = cache.dropDuplicates(["content_hash"])
-        joined = chunks.join(F.broadcast(cache), "content_hash", "left")
+        # narrow the cache to THIS batch's hashes before it joins in: the
+        # stored vectors table may be corpus-sized (the incremental path
+        # passes the whole committed snapshot) and a forced broadcast of it
+        # would hit the 8 GB cap — after the semi-join the cache side is
+        # bounded by the batch, and AQE broadcasts it at runtime when small
+        batch_hashes = chunks.select("content_hash").distinct()
+        cache = cache.join(batch_hashes, "content_hash", "left_semi")
+        joined = chunks.join(cache, "content_hash", "left")
         vectors = joined.select(
             "chunk_id",
             "document_id",
@@ -228,33 +240,47 @@ def ingest_serving_incremental(
     embedder: Column | None = None,
     nprobe: int = 4,
     rebuild_threshold: float = 0.2,
+    tf_mode: str = "overwrite",
 ) -> dict:
     """The NIGHTLY/CDC twin of :func:`ingest_serving`: fold ONE document
     batch (updates + deletes) into the serving layout an earlier
     ingest_serving committed under ``base_dir`` — the batch analogue of
     the reference re-ingesting changed documents while Postgres maintains
-    the GIN/ivfflat indexes row-by-row. Per-batch cost is proportional to
-    the BATCH, never the corpus:
+    the GIN/ivfflat indexes row-by-row. Cost per structure, honestly:
 
-    - **chunks / chunk_vectors**: one ``snapshots.apply_changes`` each —
-      the affected documents' old chunk rows delete (a doc's new version
-      may have FEWER chunks, so deletion is by the OLD chunk ids, not by
-      overwrite) and the new rows upsert, with file-level copy-on-write
-      rewriting only files containing affected keys, one atomic version
-      per table. Embeddings reuse the content-addressed cache: unchanged
-      chunk text carries its stored vector (from_cache=true), only novel
-      content pays the embedder.
-    - **tf_postings**: ``keyword_index.upsert_tf_postings`` per kind —
-      anti-join the affected chunk ids out, append the batch's fresh
-      postings; one kind-partitioned commit.
-    - **IVF**: the affected ids anti-join out of the stored index, the
-      batch's vectors route to the EXISTING centroids
-      (``ivf_index_upsert`` — no refit), and
-      :func:`plans.ivf.maybe_rebuild_index` then decides whether drift or
-      corpus growth warrants a refit from the live vectors table; the
-      bundle (re)writes only when changed.
+    - **chunks / chunk_vectors — O(affected files)**: one
+      ``snapshots.apply_changes`` each — the affected documents' old
+      chunk rows delete (a doc's new version may have FEWER chunks, so
+      deletion is by the OLD chunk ids, not by overwrite) and the new
+      rows upsert, with file-level copy-on-write rewriting only files
+      containing affected keys, one atomic version per table. Embeddings
+      reuse the content-addressed cache: unchanged chunk text carries its
+      stored vector (from_cache=true), only novel content pays the
+      embedder; the cache narrows to the batch's hashes before joining,
+      so the corpus-sized vectors table is never broadcast.
+    - **tf_postings**: ``tf_mode="overwrite"`` (default) runs
+      ``upsert_tf_postings`` per kind and re-commits the postings table —
+      O(tf table) per batch, the simple regime ``read_tf_postings``
+      serves directly (a term-clustered index cannot use keyed
+      copy-on-write: one doc touches every term range).
+      ``tf_mode="pending"`` appends the batch's postings + tombstones to
+      ``tf_pending/`` in O(batch) (the GIN-fastupdate regime —
+      ``keyword_index.tf_pending_append``); serve via
+      ``keyword_index.tf_resolve(tf_postings, tf_pending)`` and fold with
+      ``tf_compact`` on your cadence.
+    - **IVF — O(batch) assignment + O(index) rewrite**: the affected ids
+      anti-join out of the stored index, the batch's vectors route to the
+      EXISTING centroids (``ivf_index_upsert`` — no refit), and
+      :func:`plans.ivf.maybe_rebuild_index` decides whether drift or
+      corpus growth warrants a refit; the plain-parquet bundle rewrite is
+      index-proportional — use ``streaming_index_maintenance`` (snapshot
+      layer) when that write dominates.
 
-    Returns {"chunks_version", "vectors_version", "tf_version",
+    One layout holds ONE model's pipeline (the assumption every structure
+    here shares — chunk-keyed vector deletion and the rebuild gauge are
+    only correct within a single model_id/dims config); a vectors table
+    carrying other models raises rather than silently destroying their
+    rows. Returns {"chunks_version", "vectors_version", "tf_version",
     "vector_index", "rebuilt", "chunks", "vectors"} (the two DataFrames
     stay persisted — same unpersist contract as ingest_serving)."""
     import os
@@ -276,8 +302,16 @@ def ingest_serving_incremental(
             deleted_doc_ids.toDF("_doc")
         )
     elif deleted_doc_ids:
+        # type the list form off the batch's own id column — doc ids may
+        # be strings/UUIDs, not just longs
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = docs_batch.schema[id_col].dataType
         affected_docs = affected_docs.unionByName(
-            spark.createDataFrame([(i,) for i in deleted_doc_ids], "_doc long")
+            spark.createDataFrame(
+                [(i,) for i in deleted_doc_ids],
+                StructType([StructField("_doc", id_type)]),
+            )
         )
     affected_docs = affected_docs.distinct()
 
@@ -292,6 +326,16 @@ def ingest_serving_incremental(
     old_chunk_ids.count()
 
     cur_vectors = snapshots.read_snapshot(spark, vectors_dir)
+    other_models = (
+        cur_vectors.select("model_id").distinct().filter(F.col("model_id") != model_id)
+    ).take(1)
+    if other_models:
+        raise ValueError(
+            f"chunk_vectors at {vectors_dir} holds model_id="
+            f"{other_models[0]['model_id']!r} besides {model_id!r}: incremental "
+            "maintenance is per-layout (chunk-keyed deletion would destroy the "
+            "other model's rows) — keep one base_dir per model/config"
+        )
     chunks, vectors = ingest(
         docs_batch,
         existing_vectors=cur_vectors,
@@ -316,23 +360,35 @@ def ingest_serving_incremental(
     )
 
     # keyword side: remove every affected old chunk id, add the batch's rows
-    tokens = ki.build_token_table(chunks, id_col="chunk_id", text_col="content")
-    cur_tfe, cur_tfs = ki.read_tf_postings(spark, tf_dir)
     deleted_ids = old_chunk_ids.select(F.col("chunk_id").alias("id"))
-    parts = []
-    for kind, col, cur_k in (
-        ("exact", "tokens_exact", cur_tfe),
-        ("stemmed", "tokens_stemmed", cur_tfs),
-    ):
-        parts.append(
-            ki.upsert_tf_postings(cur_k, tokens, deleted_ids=deleted_ids, token_col=col)
-            .withColumn("kind", F.lit(kind))
+    if tf_mode == "pending":
+        # O(batch): append postings + tombstones to the pending delta;
+        # serve via tf_resolve(tf_dir, tf_pending), fold with tf_compact
+        tfv = ki.tf_pending_append(
+            chunks.select(
+                F.col("chunk_id").alias("doc_id"), F.col("content").alias("text")
+            ),
+            os.path.join(base_dir, "tf_pending"),
+            deleted_ids=deleted_ids,
         )
-    tfv = snapshots.commit_snapshot(
-        parts[0].unionByName(parts[1]).select("kind", "term", "id", "tf"),
-        tf_dir,
-        partition_by=["kind"],
-    )
+    else:
+        tokens = ki.build_token_table(chunks, id_col="chunk_id", text_col="content")
+        cur_tfe, cur_tfs = ki.read_tf_postings(spark, tf_dir)
+        parts = []
+        for kind, col, cur_k in (
+            ("exact", "tokens_exact", cur_tfe),
+            ("stemmed", "tokens_stemmed", cur_tfs),
+        ):
+            parts.append(
+                ki.upsert_tf_postings(
+                    cur_k, tokens, deleted_ids=deleted_ids, token_col=col
+                ).withColumn("kind", F.lit(kind))
+            )
+        tfv = snapshots.commit_snapshot(
+            parts[0].unionByName(parts[1]).select("kind", "term", "id", "tf"),
+            tf_dir,
+            partition_by=["kind"],
+        )
 
     # vector side: anti-join affected ids, route the batch, gauge rebuild
     stored = _ivf.load_vector_index(spark, ivf_dir, model_id=model_id, nprobe=nprobe)
@@ -343,8 +399,10 @@ def ingest_serving_incremental(
         cleaned, stored.centroids, vectors, id_col="chunk_id", vec_col="embedding"
     )
     vidx = _ivf.VectorIndex(index=merged, centroids=stored.centroids, nprobe=nprobe)
-    live_vectors = snapshots.read_snapshot(spark, vectors_dir).select(
-        F.col("chunk_id"), F.col("embedding")
+    live_vectors = (
+        snapshots.read_snapshot(spark, vectors_dir)
+        .filter((F.col("model_id") == model_id) & (F.col("dimensions") == dims))
+        .select(F.col("chunk_id"), F.col("embedding"))
     )
     rebuilt, vidx = _ivf.maybe_rebuild_index(
         vidx,

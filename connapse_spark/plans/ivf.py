@@ -511,6 +511,25 @@ def write_vector_index(
         .partitionBy("model_id")
         .parquet(os.path.join(path, "_centroids"))
     )
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data: a list that emptied (delete wave) or disappeared (rebuild with
+    # fewer lists) would keep serving its stale files forever. Prune this
+    # model's list dirs that the new bundle no longer has (≤100 dirs by
+    # the lists policy; Hadoop FS API, so the same code works on local
+    # paths and object stores).
+    keep = {
+        str(r["list_id"]) for r in vidx.index.select("list_id").distinct().collect()
+    }
+    sc = vidx.index.sparkSession.sparkContext
+    jvm_path = sc._jvm.org.apache.hadoop.fs.Path(
+        os.path.join(path, f"model_id={model_id}")
+    )
+    fs = jvm_path.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
+        for st in fs.listStatus(jvm_path):
+            name = st.getPath().getName()
+            if name.startswith("list_id=") and name.split("=", 1)[1] not in keep:
+                fs.delete(st.getPath(), True)
 
 
 def load_vector_index(

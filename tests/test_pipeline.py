@@ -649,6 +649,12 @@ def test_ingest_serving_incremental_equals_rebuild(spark, sf_dir, tmp_path):
     )
     # updated doc rides fresh embeds; its vectors are not from_cache
     assert all(not r["from_cache"] for r in out["vectors"].collect())
+    # a wave re-ingesting IDENTICAL content must ride the content-addressed
+    # cache end to end: every vector from_cache, zero embedder work
+    rewave = ingest_serving_incremental(batch, base, nprobe=99, rebuild_threshold=2.0)
+    rows_cached = rewave["vectors"].collect()
+    assert rows_cached and all(r["from_cache"] for r in rows_cached)
+    rewave["chunks"].unpersist(), rewave["vectors"].unpersist()
 
     live = docs.filter(~F.col("doc_id").isin(3, 7)).unionByName(batch)
     want = ingest_serving(live, nprobe=99)
@@ -792,3 +798,46 @@ def test_read_tf_postings_serves_committed_layout(spark, sf_dir, tmp_path):
     disk = keyword_search_many_indexed(tfe, tfs, queries, k=5).collect()
     assert disk and [tuple(r) for r in disk] == [tuple(r) for r in mem]
     out["chunks"].unpersist(), out["vectors"].unpersist()
+
+
+def test_ingest_serving_incremental_pending_mode(spark, sf_dir, tmp_path):
+    """tf_mode='pending' appends the wave's postings + tombstones to the
+    pending delta in O(batch); tf_resolve(base, delta) must then serve the
+    same postings the overwrite mode would have committed."""
+    import os as _os
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.ingest import (
+        ingest_serving,
+        ingest_serving_incremental,
+    )
+
+    docs = (
+        spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 15)
+        .select("doc_id", "text")
+        .persist()
+    )
+    base = str(tmp_path / "serving")
+    first = ingest_serving(docs, base_dir=base)
+    batch = docs.filter(F.col("doc_id") == 3).select(
+        "doc_id", F.lit("pending regime new words").alias("text")
+    )
+    out = ingest_serving_incremental(
+        batch, base, deleted_doc_ids=[7], tf_mode="pending", rebuild_threshold=2.0
+    )
+    resolved = ki.tf_resolve(
+        spark, _os.path.join(base, "tf_postings"), _os.path.join(base, "tf_pending")
+    )
+    live = docs.filter(~F.col("doc_id").isin(3, 7)).unionByName(batch)
+    want = ingest_serving(live)
+    want_tf = want["tf_postings"][0].withColumn("kind", F.lit("exact")).unionByName(
+        want["tf_postings"][1].withColumn("kind", F.lit("stemmed"))
+    )
+    cols = ["kind", "term", "id", "tf"]
+    assert {tuple(r) for r in resolved.select(*cols).collect()} == {
+        tuple(r) for r in want_tf.select(*cols).collect()
+    }
+    for h in (first, out, want):
+        h["chunks"].unpersist(), h["vectors"].unpersist()
+    docs.unpersist()

@@ -610,3 +610,12 @@ def test_write_vector_index_is_per_model(spark, sf_dir, tmp_path):
     # re-write model-b alone: model-a untouched
     ivf.write_vector_index(b, path, model_id="model-b")
     assert ivf.load_vector_index(spark, path, model_id="model-a").index.count() == a.index.count()
+    # shrinking rebuild: re-writing model-a with FEWER lists must prune the
+    # stale list partitions (dynamic overwrite alone would leave them
+    # serving deleted data)
+    ivf.write_vector_index(b, path, model_id="model-a")
+    ra2 = ivf.load_vector_index(spark, path, model_id="model-a", nprobe=2)
+    assert ra2.index.count() == b.index.count()
+    assert {r["list_id"] for r in ra2.index.select("list_id").distinct().collect()} == {
+        r["list_id"] for r in b.index.select("list_id").distinct().collect()
+    }
