@@ -214,6 +214,17 @@ def ingest_serving(
         snapshots.commit_snapshot(
             tf_all, os.path.join(base_dir, "tf_postings"), partition_by=["kind"]
         )
+        # the single-query serving bundle persists too: the token table +
+        # posting arrays are what hybrid_search(keyword_index=…) reads —
+        # without them only the batched (tf) and vector tiers survive a
+        # restart
+        snapshots.commit_snapshot(tokens, os.path.join(base_dir, "tokens"))
+        posts = kidx.postings_exact.withColumn("kind", F.lit("exact")).unionByName(
+            kidx.postings_stemmed.withColumn("kind", F.lit("stemmed"))
+        ).select("kind", "term", "ids", "df")
+        snapshots.commit_snapshot(
+            posts, os.path.join(base_dir, "postings"), partition_by=["kind"]
+        )
         _ivf.write_vector_index(
             vidx, os.path.join(base_dir, "ivf_index"), model_id=model_id
         )
@@ -293,6 +304,8 @@ def ingest_serving_incremental(
     chunks_dir = os.path.join(base_dir, "chunks")
     vectors_dir = os.path.join(base_dir, "chunk_vectors")
     tf_dir = os.path.join(base_dir, "tf_postings")
+    tokens_dir = os.path.join(base_dir, "tokens")
+    postings_dir = os.path.join(base_dir, "postings")
     ivf_dir = os.path.join(base_dir, "ivf_index")
 
     # affected documents = this batch's ids ∪ explicit deletions
@@ -361,6 +374,28 @@ def ingest_serving_incremental(
 
     # keyword side: remove every affected old chunk id, add the batch's rows
     deleted_ids = old_chunk_ids.select(F.col("chunk_id").alias("id"))
+    tokens_new = ki.build_token_table(chunks, id_col="chunk_id", text_col="content")
+    # single-query serving bundle: token table via chunk-keyed COW, posting
+    # arrays via the array_except surgery — so hybrid_search(keyword_index=…)
+    # over a load_serving() of this layout stays fresh across increments
+    snapshots.apply_changes(
+        spark, tokens_dir, "id", upserts=tokens_new, delete_keys=deleted_ids
+    )
+    old_id_list = [r["chunk_id"] for r in old_chunk_ids.collect()]  # batch-sized
+    cur_posts = snapshots.read_snapshot(spark, postings_dir)
+    pparts = []
+    for kind, col in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed")):
+        cur_k = cur_posts.filter(F.col("kind") == kind).select("term", "ids", "df")
+        pparts.append(
+            ki.upsert_postings(
+                cur_k, tokens_new, deleted_ids=old_id_list, token_col=col
+            ).withColumn("kind", F.lit(kind))
+        )
+    snapshots.commit_snapshot(
+        pparts[0].unionByName(pparts[1]).select("kind", "term", "ids", "df"),
+        postings_dir,
+        partition_by=["kind"],
+    )
     if tf_mode == "pending":
         # O(batch): append postings + tombstones to the pending delta;
         # serve via tf_resolve(tf_dir, tf_pending), fold with tf_compact
@@ -372,7 +407,6 @@ def ingest_serving_incremental(
             deleted_ids=deleted_ids,
         )
     else:
-        tokens = ki.build_token_table(chunks, id_col="chunk_id", text_col="content")
         cur_tfe, cur_tfs = ki.read_tf_postings(spark, tf_dir)
         parts = []
         for kind, col, cur_k in (
@@ -381,7 +415,7 @@ def ingest_serving_incremental(
         ):
             parts.append(
                 ki.upsert_tf_postings(
-                    cur_k, tokens, deleted_ids=deleted_ids, token_col=col
+                    cur_k, tokens_new, deleted_ids=deleted_ids, token_col=col
                 ).withColumn("kind", F.lit(kind))
             )
         tfv = snapshots.commit_snapshot(
@@ -430,4 +464,40 @@ def ingest_serving_incremental(
         "rebuilt": rebuilt,
         "chunks": chunks,
         "vectors": vectors,
+    }
+
+
+def load_serving(
+    spark, base_dir: str, model_id: str = "hash-64", nprobe: int = 4
+) -> dict:
+    """Reopen EVERYTHING an :func:`ingest_serving` layout committed, as
+    the live bundles every query tier takes — the restart story in one
+    call: ``keyword_index`` (token table + posting arrays →
+    ``hybrid_search(keyword_index=…)``), ``tf_postings`` (the batched
+    tiers), and ``vector_index`` (IVF bundle with disk-level partition
+    pruning). All lazy snapshot/parquet reads — persist what the serving
+    process keeps hot."""
+    import os
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.plans import ivf as _ivf
+    from connapse_spark.sources import snapshots
+
+    tokens = snapshots.read_snapshot(spark, os.path.join(base_dir, "tokens"))
+    posts = snapshots.read_snapshot(spark, os.path.join(base_dir, "postings"))
+    kidx = ki.KeywordIndex(
+        tokens=tokens,
+        postings_exact=posts.filter(F.col("kind") == "exact").select(
+            "term", "ids", "df"
+        ),
+        postings_stemmed=posts.filter(F.col("kind") == "stemmed").select(
+            "term", "ids", "df"
+        ),
+    )
+    return {
+        "keyword_index": kidx,
+        "tf_postings": ki.read_tf_postings(spark, os.path.join(base_dir, "tf_postings")),
+        "vector_index": _ivf.load_vector_index(
+            spark, os.path.join(base_dir, "ivf_index"), model_id=model_id, nprobe=nprobe
+        ),
     }

@@ -443,7 +443,7 @@ ORDER BY score DESC, id LIMIT {k}
 def upsert_postings(
     postings: DataFrame,
     new_tokens: DataFrame,
-    deleted_ids: list[int] | None = None,
+    deleted_ids: "list | None" = None,
     token_col: str = "tokens_exact",
 ) -> DataFrame:
     """Incremental posting-list maintenance — the Q3 analogue of
@@ -463,10 +463,17 @@ def upsert_postings(
     corpus; the merge shuffles only the postings-sized table on term.
     This is how a real deployment keeps a tokenized layout fresh between
     full rebuilds (PostgreSQL GIN's pending-list fastupdate plays the
-    same role)."""
+    same role). Id-type-agnostic: the affected-id literals cast to the
+    postings table's own ``ids`` element type, so bigint doc ids and
+    string chunk ids ("doc:idx") both maintain."""
+    ids_type = dict(postings.dtypes)["ids"]
     batch_ids = [r["id"] for r in new_tokens.select("id").collect()]
     affected = sorted(set(batch_ids) | set(deleted_ids or []))
-    aff_lit = F.array(*[F.lit(int(i)) for i in affected]) if affected else F.array().cast("array<bigint>")
+    aff_lit = (
+        F.array(*[F.lit(i) for i in affected]).cast(ids_type)
+        if affected
+        else F.array().cast(ids_type)
+    )
     cleaned = postings.select(
         "term", F.array_except(F.col("ids"), aff_lit).alias("ids")
     ).filter(F.size("ids") > 0)
@@ -478,8 +485,8 @@ def upsert_postings(
             "term",
             F.sort_array(
                 F.concat(
-                    F.coalesce(F.col("_old"), F.array().cast("array<bigint>")),
-                    F.coalesce(F.col("_new"), F.array().cast("array<bigint>")),
+                    F.coalesce(F.col("_old"), F.array().cast(ids_type)),
+                    F.coalesce(F.col("_new"), F.array().cast(ids_type)),
                 )
             ).alias("ids"),
         )

@@ -841,3 +841,79 @@ def test_ingest_serving_incremental_pending_mode(spark, sf_dir, tmp_path):
     for h in (first, out, want):
         h["chunks"].unpersist(), h["vectors"].unpersist()
     docs.unpersist()
+
+
+def test_load_serving_restart_round_trip(spark, sf_dir, tmp_path):
+    """The restart story: everything ingest_serving committed reopens via
+    load_serving and answers the FULLY index-served single-query hybrid
+    identically to the brute pipeline — including after an incremental
+    wave updated the on-disk token table and posting arrays."""
+    import os as _os
+
+    from connapse_spark.operators.ingest import (
+        ingest_serving,
+        ingest_serving_incremental,
+        load_serving,
+    )
+    from connapse_spark.operators.search import SearchOptions, hybrid_search
+    from connapse_spark.sources import snapshots as snaps
+
+    docs = (
+        spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .persist()
+    )
+    base = str(tmp_path / "serving")
+    first = ingest_serving(docs, base_dir=base, nprobe=99)
+
+    def served_vs_brute():
+        got_chunks = snaps.read_snapshot(spark, _os.path.join(base, "chunks"))
+        corpus = got_chunks.select(
+            F.col("chunk_id").alias("doc_id"), F.col("content").alias("text")
+        )
+        vecs = snaps.read_snapshot(
+            spark, _os.path.join(base, "chunk_vectors")
+        ).select(F.col("chunk_id").alias("id"), "embedding")
+        bundles = load_serving(spark, base, nprobe=99)
+        opts = SearchOptions(top_k=10)
+        served = hybrid_search(
+            corpus,
+            "table scan joins",
+            opts,
+            keyword_index=bundles["keyword_index"],
+            vector_index=bundles["vector_index"],
+        ).collect()
+        brute = hybrid_search(corpus, "table scan joins", opts, vectors=vecs).collect()
+        return served, brute
+
+    served, brute = served_vs_brute()
+    assert served and [tuple(r) for r in served] == [tuple(r) for r in brute]
+
+    # incremental wave: the on-disk token/posting bundle must stay fresh
+    batch = docs.filter(F.col("doc_id") == 5).select(
+        "doc_id", F.lit("table scan joins everywhere now").alias("text")
+    )
+    out = ingest_serving_incremental(
+        batch, base, deleted_doc_ids=[11], nprobe=99, rebuild_threshold=2.0
+    )
+    served2, brute2 = served_vs_brute()
+    assert served2 and [tuple(r) for r in served2] == [tuple(r) for r in brute2]
+    # the refreshed on-disk keyword bundle sees the new content and not the
+    # deleted doc: keyword-only mode, where the literal term hits must rank
+    bundles2 = load_serving(spark, base, nprobe=99)
+    got_chunks = snaps.read_snapshot(spark, _os.path.join(base, "chunks"))
+    corpus2 = got_chunks.select(
+        F.col("chunk_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    kw = hybrid_search(
+        corpus2,
+        "table scan joins everywhere",
+        SearchOptions(top_k=20, mode="Keyword"),
+        keyword_index=bundles2["keyword_index"],
+    ).collect()
+    assert any(str(r["id"]).startswith("5:") for r in kw)
+    assert not any(str(r["id"]).startswith("11:") for r in kw)
+    for h in (first, out):
+        h["chunks"].unpersist(), h["vectors"].unpersist()
+    docs.unpersist()
