@@ -158,14 +158,16 @@ def ingest_serving(
     which the seeded builder's numeric list_id-from-seed-id trick cannot
     represent.
 
-    With ``base_dir`` the table structures also COMMIT through the
-    snapshot layer as atomically-visible versions — ``chunks/``,
-    ``chunk_vectors/``, ``tf_postings/`` (kind-partitioned, the layout
-    the streaming maintenance job keeps fresh) — and the IVF bundle
-    lands at ``ivf_index/`` via :func:`plans.ivf.write_vector_index`
-    ((model_id, list_id)-partitioned so probes prune partitions): the
-    deployed layout a reader opens with ``snapshots.read_snapshot`` /
-    ``ivf.load_vector_index``."""
+    With ``base_dir`` EVERY structure commits through the snapshot layer
+    as an atomically-visible version — ``chunks/``, ``chunk_vectors/``,
+    ``tf_postings/`` (kind-partitioned), ``tokens/``, ``postings/``, and
+    the IVF bundle at ``ivf_index/`` (list_id-partitioned, pruning
+    intact) + ``ivf_centroids/`` — and a ROOT SERVING MANIFEST publishes
+    LAST (:func:`publish_serving`), pinning the versions that form this
+    wave's consistent cut; :func:`load_serving` opens exactly that cut,
+    so a crash between table commits can never serve torn state (the
+    cross-table transactionality Postgres gives the reference for
+    free)."""
     from connapse_spark.operators import keyword_index as ki
     from connapse_spark.plans import ivf as _ivf
 
@@ -206,27 +208,45 @@ def ingest_serving(
 
         from connapse_spark.sources import snapshots
 
-        snapshots.commit_snapshot(chunks, os.path.join(base_dir, "chunks"))
-        snapshots.commit_snapshot(vectors, os.path.join(base_dir, "chunk_vectors"))
+        tables = {}
+        tables["chunks"] = snapshots.commit_snapshot(
+            chunks, os.path.join(base_dir, "chunks")
+        )
+        tables["chunk_vectors"] = snapshots.commit_snapshot(
+            vectors, os.path.join(base_dir, "chunk_vectors")
+        )
         tf_all = tfe.withColumn("kind", F.lit("exact")).unionByName(
             tfs.withColumn("kind", F.lit("stemmed"))
         ).select("kind", "term", "id", "tf")
-        snapshots.commit_snapshot(
+        tables["tf_postings"] = snapshots.commit_snapshot(
             tf_all, os.path.join(base_dir, "tf_postings"), partition_by=["kind"]
         )
         # the single-query serving bundle persists too: the token table +
         # posting arrays are what hybrid_search(keyword_index=…) reads —
         # without them only the batched (tf) and vector tiers survive a
         # restart
-        snapshots.commit_snapshot(tokens, os.path.join(base_dir, "tokens"))
+        tables["tokens"] = snapshots.commit_snapshot(
+            tokens, os.path.join(base_dir, "tokens")
+        )
         posts = kidx.postings_exact.withColumn("kind", F.lit("exact")).unionByName(
             kidx.postings_stemmed.withColumn("kind", F.lit("stemmed"))
         ).select("kind", "term", "ids", "df")
-        snapshots.commit_snapshot(
+        tables["postings"] = snapshots.commit_snapshot(
             posts, os.path.join(base_dir, "postings"), partition_by=["kind"]
         )
-        _ivf.write_vector_index(
-            vidx, os.path.join(base_dir, "ivf_index"), model_id=model_id
+        # the IVF bundle goes through the snapshot layer too — versioned,
+        # list_id-partitioned (pruning intact), and pinnable by the root
+        # serving manifest like every other structure
+        tables["ivf_index"] = snapshots.commit_snapshot(
+            vidx.index.select("id", "list_id", "vec", "norm"),
+            os.path.join(base_dir, "ivf_index"),
+            partition_by=["list_id"],
+        )
+        tables["ivf_centroids"] = snapshots.commit_snapshot(
+            vidx.centroids, os.path.join(base_dir, "ivf_centroids")
+        )
+        publish_serving(
+            base_dir, tables, model_id=model_id, dims=dims, nprobe=nprobe
         )
     return {
         "chunks": chunks,
@@ -279,13 +299,20 @@ def ingest_serving_incremental(
       ``keyword_index.tf_pending_append``); serve via
       ``keyword_index.tf_resolve(tf_postings, tf_pending)`` and fold with
       ``tf_compact`` on your cadence.
-    - **IVF — O(batch) assignment + O(index) rewrite**: the affected ids
-      anti-join out of the stored index, the batch's vectors route to the
-      EXISTING centroids (``ivf_index_upsert`` — no refit), and
-      :func:`plans.ivf.maybe_rebuild_index` decides whether drift or
-      corpus growth warrants a refit; the plain-parquet bundle rewrite is
-      index-proportional — use ``streaming_index_maintenance`` (snapshot
-      layer) when that write dominates.
+    - **IVF — O(batch) assignment + O(index) version commit**: the
+      affected ids anti-join out of the stored index, the batch's vectors
+      route to the EXISTING centroids (``ivf_index_upsert`` — no refit),
+      and :func:`plans.ivf.maybe_rebuild_index` decides whether drift or
+      corpus growth warrants a refit; the merged bundle commits as a new
+      snapshot version (index-proportional write, like
+      ``streaming_index_maintenance``).
+
+    Every wave ends by PUBLISHING a root serving manifest
+    (:func:`publish_serving`): readers through :func:`load_serving` see
+    either the previous complete cut or this one, never a torn mix; a
+    crashed wave's partial table commits are invisible, and replaying the
+    wave converges (keyed deletes/upserts are idempotent against the
+    already-applied state).
 
     One layout holds ONE model's pipeline (the assumption every structure
     here shares — chunk-keyed vector deletion and the rebuild gauge are
@@ -378,7 +405,7 @@ def ingest_serving_incremental(
     # single-query serving bundle: token table via chunk-keyed COW, posting
     # arrays via the array_except surgery — so hybrid_search(keyword_index=…)
     # over a load_serving() of this layout stays fresh across increments
-    snapshots.apply_changes(
+    tokv = snapshots.apply_changes(
         spark, tokens_dir, "id", upserts=tokens_new, delete_keys=deleted_ids
     )
     old_id_list = [r["chunk_id"] for r in old_chunk_ids.collect()]  # batch-sized
@@ -391,7 +418,7 @@ def ingest_serving_incremental(
                 cur_k, tokens_new, deleted_ids=old_id_list, token_col=col
             ).withColumn("kind", F.lit(kind))
         )
-    snapshots.commit_snapshot(
+    postv = snapshots.commit_snapshot(
         pparts[0].unionByName(pparts[1]).select("kind", "term", "ids", "df"),
         postings_dir,
         partition_by=["kind"],
@@ -424,15 +451,23 @@ def ingest_serving_incremental(
             partition_by=["kind"],
         )
 
-    # vector side: anti-join affected ids, route the batch, gauge rebuild
-    stored = _ivf.load_vector_index(spark, ivf_dir, model_id=model_id, nprobe=nprobe)
-    cleaned = stored.index.join(
+    # vector side: anti-join affected ids, route the batch, gauge rebuild.
+    # The bundle lives in the snapshot layer (versioned + pinnable by the
+    # serving manifest); a commit writes NEW version files, so there is no
+    # read-path/overwrite conflict to checkpoint around.
+    stored_index = snapshots.read_snapshot(spark, ivf_dir).select(
+        "id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm"
+    )
+    stored_centroids = snapshots.read_snapshot(
+        spark, os.path.join(base_dir, "ivf_centroids")
+    )
+    cleaned = stored_index.join(
         old_chunk_ids.select(F.col("chunk_id").alias("id")), "id", "left_anti"
     )
     merged = _ivf.ivf_index_upsert(
-        cleaned, stored.centroids, vectors, id_col="chunk_id", vec_col="embedding"
+        cleaned, stored_centroids, vectors, id_col="chunk_id", vec_col="embedding"
     )
-    vidx = _ivf.VectorIndex(index=merged, centroids=stored.centroids, nprobe=nprobe)
+    vidx = _ivf.VectorIndex(index=merged, centroids=stored_centroids, nprobe=nprobe)
     live_vectors = (
         snapshots.read_snapshot(spark, vectors_dir)
         .filter((F.col("model_id") == model_id) & (F.col("dimensions") == dims))
@@ -446,20 +481,44 @@ def ingest_serving_incremental(
         id_col="chunk_id",
         vec_col="embedding",
     )
-    # the merged (non-rebuilt) bundle's lineage READS ivf_dir; truncate it
-    # (eager localCheckpoint) before overwriting the same path — Spark
-    # rejects a write whose plan scans the destination
-    vidx = _ivf.VectorIndex(
-        index=vidx.index.localCheckpoint(),
-        centroids=vidx.centroids.localCheckpoint(),
-        nprobe=vidx.nprobe,
+    ivf_v = snapshots.commit_snapshot(
+        vidx.index.select("id", "list_id", "vec", "norm"),
+        ivf_dir,
+        partition_by=["list_id"],
     )
-    _ivf.write_vector_index(vidx, ivf_dir, model_id=model_id)
+    cent_v = snapshots.commit_snapshot(
+        vidx.centroids, os.path.join(base_dir, "ivf_centroids")
+    )
     old_chunk_ids.unpersist()
+    if tf_mode == "pending":
+        # the base tf table is untouched this wave; the cut pins the base
+        # version plus the pending-delta version readers resolve against
+        tf_tables = {
+            "tf_postings": snapshots.latest_version(tf_dir),
+            "tf_pending": tfv,
+        }
+    else:
+        tf_tables = {"tf_postings": tfv}
+    sv = publish_serving(
+        base_dir,
+        {
+            "chunks": cv,
+            "chunk_vectors": vv,
+            **tf_tables,
+            "tokens": tokv,
+            "postings": postv,
+            "ivf_index": ivf_v,
+            "ivf_centroids": cent_v,
+        },
+        model_id=model_id,
+        dims=dims,
+        nprobe=nprobe,
+    )
     return {
         "chunks_version": cv,
         "vectors_version": vv,
         "tf_version": tfv,
+        "serving_version": sv,
         "vector_index": vidx,
         "rebuilt": rebuilt,
         "chunks": chunks,
@@ -467,24 +526,59 @@ def ingest_serving_incremental(
     }
 
 
+def publish_serving(base_dir: str, tables: dict, **meta) -> int:
+    """Atomically publish a SERVING VERSION: one root manifest recording
+    which version of EVERY structure belongs to this wave — the
+    cross-table transactionality the reference gets from Postgres (one
+    COMMIT covers the chunk rows, the GIN index, and the ivfflat index).
+    Our per-table snapshot commits are individually atomic but a crash
+    mid-wave would otherwise leave a torn cut (new chunks, stale
+    postings); readers going through :func:`load_serving` only ever see
+    cuts a completed wave published, because this manifest is written
+    LAST. Same write-then-link publish (and optimistic concurrency) as
+    table manifests. Retention note: vacuum each table with a keep_last
+    that covers every serving manifest you intend to keep openable."""
+    import os
+
+    from connapse_spark.sources import snapshots
+
+    sdir = os.path.join(base_dir, "_serving")
+    os.makedirs(sdir, exist_ok=True)
+    prev = snapshots.latest_version(sdir)
+    v = 0 if prev is None else prev + 1
+    snapshots._atomic_publish(sdir, v, {"tables": dict(tables), **meta})
+    return v
+
+
 def load_serving(
-    spark, base_dir: str, model_id: str = "hash-64", nprobe: int = 4
+    spark, base_dir: str, serving_version: int | None = None, nprobe: int | None = None
 ) -> dict:
     """Reopen EVERYTHING an :func:`ingest_serving` layout committed, as
     the live bundles every query tier takes — the restart story in one
     call: ``keyword_index`` (token table + posting arrays →
     ``hybrid_search(keyword_index=…)``), ``tf_postings`` (the batched
-    tiers), and ``vector_index`` (IVF bundle with disk-level partition
-    pruning). All lazy snapshot/parquet reads — persist what the serving
-    process keeps hot."""
+    tiers), and ``vector_index`` (snapshot-committed IVF bundle,
+    list_id-partitioned so probes prune). Every table opens at the
+    version the ROOT SERVING MANIFEST pins (latest complete wave by
+    default, or ``serving_version`` for time travel across the whole
+    layout at once) — a crashed half-committed wave is invisible. All
+    lazy snapshot reads — persist what the serving process keeps hot."""
     import os
 
     from connapse_spark.operators import keyword_index as ki
     from connapse_spark.plans import ivf as _ivf
     from connapse_spark.sources import snapshots
 
-    tokens = snapshots.read_snapshot(spark, os.path.join(base_dir, "tokens"))
-    posts = snapshots.read_snapshot(spark, os.path.join(base_dir, "postings"))
+    m = snapshots.load_manifest(os.path.join(base_dir, "_serving"), serving_version)
+    pinned = m["tables"]
+
+    def _open(name):
+        return snapshots.read_snapshot(
+            spark, os.path.join(base_dir, name), version=pinned[name]
+        )
+
+    tokens = _open("tokens")
+    posts = _open("postings")
     kidx = ki.KeywordIndex(
         tokens=tokens,
         postings_exact=posts.filter(F.col("kind") == "exact").select(
@@ -494,10 +588,21 @@ def load_serving(
             "term", "ids", "df"
         ),
     )
+    tf = _open("tf_postings")
+    vidx = _ivf.VectorIndex(
+        index=_open("ivf_index").select(
+            "id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm"
+        ),
+        centroids=_open("ivf_centroids"),
+        nprobe=nprobe if nprobe is not None else int(m.get("nprobe", 4)),
+    )
     return {
         "keyword_index": kidx,
-        "tf_postings": ki.read_tf_postings(spark, os.path.join(base_dir, "tf_postings")),
-        "vector_index": _ivf.load_vector_index(
-            spark, os.path.join(base_dir, "ivf_index"), model_id=model_id, nprobe=nprobe
+        "tf_postings": (
+            tf.filter(F.col("kind") == "exact").select("term", "id", "tf"),
+            tf.filter(F.col("kind") == "stemmed").select("term", "id", "tf"),
         ),
+        "vector_index": vidx,
+        "serving_version": m["version"],
+        "tables": pinned,
     }

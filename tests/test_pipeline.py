@@ -607,9 +607,9 @@ def test_ingest_serving_builds_every_structure(spark, sf_dir, tmp_path):
     assert {r["kind"] for r in tf.select("kind").distinct().collect()} == {
         "exact", "stemmed"
     }
-    stored = _ivf.load_vector_index(
-        spark, _os.path.join(base, "ivf_index"), nprobe=99
-    )
+    from connapse_spark.operators.ingest import load_serving
+
+    stored = load_serving(spark, base, nprobe=99)["vector_index"]
     reloaded = hybrid_search(corpus, q, opts, vector_index=stored).collect()
     brute_vec_only = hybrid_search(corpus, q, opts, vectors=vecs).collect()
     assert [tuple(r) for r in reloaded] == [tuple(r) for r in brute_vec_only]
@@ -763,9 +763,9 @@ def test_ingest_serving_incremental_multi_wave(spark, sf_dir, tmp_path):
         want_tf, ["kind", "term", "id", "tf"]
     )
     # the maintained IVF index covers exactly the live chunk ids
-    from connapse_spark.plans import ivf as _ivf
+    from connapse_spark.operators.ingest import load_serving
 
-    stored = _ivf.load_vector_index(spark, _os.path.join(base, "ivf_index"))
+    stored = load_serving(spark, base)["vector_index"]
     assert {r["id"] for r in stored.index.select("id").collect()} == {
         r["chunk_id"] for r in want["chunks"].select("chunk_id").collect()
     }
@@ -914,6 +914,76 @@ def test_load_serving_restart_round_trip(spark, sf_dir, tmp_path):
     ).collect()
     assert any(str(r["id"]).startswith("5:") for r in kw)
     assert not any(str(r["id"]).startswith("11:") for r in kw)
+    for h in (first, out):
+        h["chunks"].unpersist(), h["vectors"].unpersist()
+    docs.unpersist()
+
+
+def test_serving_manifest_hides_torn_waves(spark, sf_dir, tmp_path, monkeypatch):
+    """Cross-table atomicity: a wave that crashes AFTER committing new
+    chunk versions but BEFORE publishing the root serving manifest must be
+    invisible to load_serving — readers keep the previous complete cut
+    (even though the chunks table itself has advanced) — and replaying the
+    wave converges and publishes."""
+    import os as _os
+
+    from connapse_spark.operators import ingest as ingest_mod
+    from connapse_spark.operators.ingest import (
+        ingest_serving,
+        ingest_serving_incremental,
+        load_serving,
+    )
+    from connapse_spark.sources import snapshots as snaps
+
+    docs = (
+        spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 12)
+        .select("doc_id", "text")
+        .persist()
+    )
+    base = str(tmp_path / "serving")
+    first = ingest_serving(docs, base_dir=base)
+    cut0 = load_serving(spark, base)
+    v0 = cut0["serving_version"]
+    chunks_v0 = cut0["tables"]["chunks"]
+
+    batch = docs.filter(F.col("doc_id") == 2).select(
+        "doc_id", F.lit("crashed wave content").alias("text")
+    )
+
+    # crash injection: the wave dies after the chunk/vector/token/posting
+    # commits, before the tf upsert — well before publish_serving
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(
+        keyword_index, "upsert_tf_postings", boom, raising=True
+    )  # the incremental path resolves ki.upsert_tf_postings at call time
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        ingest_serving_incremental(batch, base, rebuild_threshold=2.0)
+    monkeypatch.undo()
+
+    # the chunks TABLE advanced past the pinned cut…
+    assert snaps.latest_version(_os.path.join(base, "chunks")) > chunks_v0
+    # …but the serving cut did not: readers see the pre-crash state exactly
+    cut1 = load_serving(spark, base)
+    assert cut1["serving_version"] == v0 and cut1["tables"]["chunks"] == chunks_v0
+    toks = cut1["keyword_index"].tokens
+    assert not [r for r in toks.collect() if "crashed" in str(r)]
+
+    # replaying the wave converges and publishes a complete cut
+    out = ingest_serving_incremental(batch, base, rebuild_threshold=2.0)
+    cut2 = load_serving(spark, base)
+    assert cut2["serving_version"] > v0
+    live_contents = {
+        r["content"]
+        for r in snaps.read_snapshot(
+            spark, _os.path.join(base, "chunks"), version=cut2["tables"]["chunks"]
+        ).collect()
+    }
+    assert any("crashed wave content" in c for c in live_contents)
     for h in (first, out):
         h["chunks"].unpersist(), h["vectors"].unpersist()
     docs.unpersist()
