@@ -238,7 +238,9 @@ def ingest_serving(
         # list_id-partitioned (pruning intact), and pinnable by the root
         # serving manifest like every other structure
         tables["ivf_index"] = snapshots.commit_snapshot(
-            vidx.index.select("id", "list_id", "vec", "norm"),
+            vidx.index.select("id", "list_id", "vec", "norm")
+            .repartition("list_id")
+            .sortWithinPartitions("id"),
             os.path.join(base_dir, "ivf_index"),
             partition_by=["list_id"],
         )
@@ -335,6 +337,25 @@ def ingest_serving_incremental(
     postings_dir = os.path.join(base_dir, "postings")
     ivf_dir = os.path.join(base_dir, "ivf_index")
 
+    # EVERY "current state" read below pins to the last PUBLISHED serving
+    # cut, never to whatever table version happens to be latest: a prior
+    # wave that crashed between table commits leaves tables advanced past
+    # the manifest, and a replay computing its deletion set from those
+    # torn versions would miss the ids the crashed attempt already
+    # removed — permanently leaking deleted docs into the keyword/vector
+    # structures. Reading the pinned cut makes replay convergent: keyed
+    # deletes/upserts re-apply idempotently against the torn tables, and
+    # overwrite-mode commits are derived from pinned state outright.
+    try:
+        cut = snapshots.load_manifest(os.path.join(base_dir, "_serving"))
+    except FileNotFoundError as ex:
+        raise FileNotFoundError(
+            f"{base_dir} has no serving manifest — the layout predates the "
+            "r6 serving-manifest format (or was never built by "
+            "ingest_serving); re-ingest with ingest_serving to migrate"
+        ) from ex
+    pinned = cut["tables"]
+
     # affected documents = this batch's ids ∪ explicit deletions
     affected_docs = docs_batch.select(F.col(id_col).alias("_doc"))
     if isinstance(deleted_doc_ids, DataFrame):
@@ -355,7 +376,7 @@ def ingest_serving_incremental(
         )
     affected_docs = affected_docs.distinct()
 
-    cur_chunks = snapshots.read_snapshot(spark, chunks_dir)
+    cur_chunks = snapshots.read_snapshot(spark, chunks_dir, version=pinned["chunks"])
     old_chunk_ids = (
         cur_chunks.join(
             affected_docs, cur_chunks["document_id"] == affected_docs["_doc"], "left_semi"
@@ -365,7 +386,9 @@ def ingest_serving_incremental(
     )
     old_chunk_ids.count()
 
-    cur_vectors = snapshots.read_snapshot(spark, vectors_dir)
+    cur_vectors = snapshots.read_snapshot(
+        spark, vectors_dir, version=pinned["chunk_vectors"]
+    )
     other_models = (
         cur_vectors.select("model_id").distinct().filter(F.col("model_id") != model_id)
     ).take(1)
@@ -401,7 +424,12 @@ def ingest_serving_incremental(
 
     # keyword side: remove every affected old chunk id, add the batch's rows
     deleted_ids = old_chunk_ids.select(F.col("chunk_id").alias("id"))
-    tokens_new = ki.build_token_table(chunks, id_col="chunk_id", text_col="content")
+    # persisted: feeds the tokens COW, both posting surgeries, and both tf
+    # upserts — without the barrier the batch re-tokenizes per action
+    tokens_new = ki.build_token_table(
+        chunks, id_col="chunk_id", text_col="content"
+    ).persist()
+    tokens_new.count()
     # single-query serving bundle: token table via chunk-keyed COW, posting
     # arrays via the array_except surgery — so hybrid_search(keyword_index=…)
     # over a load_serving() of this layout stays fresh across increments
@@ -409,7 +437,7 @@ def ingest_serving_incremental(
         spark, tokens_dir, "id", upserts=tokens_new, delete_keys=deleted_ids
     )
     old_id_list = [r["chunk_id"] for r in old_chunk_ids.collect()]  # batch-sized
-    cur_posts = snapshots.read_snapshot(spark, postings_dir)
+    cur_posts = snapshots.read_snapshot(spark, postings_dir, version=pinned["postings"])
     pparts = []
     for kind, col in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed")):
         cur_k = cur_posts.filter(F.col("kind") == kind).select("term", "ids", "df")
@@ -434,7 +462,9 @@ def ingest_serving_incremental(
             deleted_ids=deleted_ids,
         )
     else:
-        cur_tfe, cur_tfs = ki.read_tf_postings(spark, tf_dir)
+        cur_tfe, cur_tfs = ki.read_tf_postings(
+            spark, tf_dir, version=pinned["tf_postings"]
+        )
         parts = []
         for kind, col, cur_k in (
             ("exact", "tokens_exact", cur_tfe),
@@ -455,11 +485,11 @@ def ingest_serving_incremental(
     # The bundle lives in the snapshot layer (versioned + pinnable by the
     # serving manifest); a commit writes NEW version files, so there is no
     # read-path/overwrite conflict to checkpoint around.
-    stored_index = snapshots.read_snapshot(spark, ivf_dir).select(
-        "id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm"
-    )
+    stored_index = snapshots.read_snapshot(
+        spark, ivf_dir, version=pinned["ivf_index"]
+    ).select("id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm")
     stored_centroids = snapshots.read_snapshot(
-        spark, os.path.join(base_dir, "ivf_centroids")
+        spark, os.path.join(base_dir, "ivf_centroids"), version=pinned["ivf_centroids"]
     )
     cleaned = stored_index.join(
         old_chunk_ids.select(F.col("chunk_id").alias("id")), "id", "left_anti"
@@ -468,8 +498,10 @@ def ingest_serving_incremental(
         cleaned, stored_centroids, vectors, id_col="chunk_id", vec_col="embedding"
     )
     vidx = _ivf.VectorIndex(index=merged, centroids=stored_centroids, nprobe=nprobe)
+    # gauge and (if needed) refit over the version THIS wave committed —
+    # not "latest", which a concurrent torn wave could in principle move
     live_vectors = (
-        snapshots.read_snapshot(spark, vectors_dir)
+        snapshots.read_snapshot(spark, vectors_dir, version=vv)
         .filter((F.col("model_id") == model_id) & (F.col("dimensions") == dims))
         .select(F.col("chunk_id"), F.col("embedding"))
     )
@@ -481,15 +513,33 @@ def ingest_serving_incremental(
         id_col="chunk_id",
         vec_col="embedding",
     )
+    # one sorted file set per list (the layout-as-index discipline): the
+    # merged plan is a union of shuffled subtrees that would otherwise
+    # fragment into a file per (task, list) pair every wave
     ivf_v = snapshots.commit_snapshot(
-        vidx.index.select("id", "list_id", "vec", "norm"),
+        vidx.index.select("id", "list_id", "vec", "norm")
+        .repartition("list_id")
+        .sortWithinPartitions("id"),
         ivf_dir,
         partition_by=["list_id"],
     )
     cent_v = snapshots.commit_snapshot(
         vidx.centroids, os.path.join(base_dir, "ivf_centroids")
     )
+    # rebind the returned bundle to the JUST-COMMITTED versions: the lazy
+    # merge plan would otherwise recompute on every use and break once its
+    # superseded input version is vacuumed
+    vidx = _ivf.VectorIndex(
+        index=snapshots.read_snapshot(spark, ivf_dir, version=ivf_v).select(
+            "id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm"
+        ),
+        centroids=snapshots.read_snapshot(
+            spark, os.path.join(base_dir, "ivf_centroids"), version=cent_v
+        ),
+        nprobe=nprobe,
+    )
     old_chunk_ids.unpersist()
+    tokens_new.unpersist()
     if tf_mode == "pending":
         # the base tf table is untouched this wave; the cut pins the base
         # version plus the pending-delta version readers resolve against
@@ -542,12 +592,9 @@ def publish_serving(base_dir: str, tables: dict, **meta) -> int:
 
     from connapse_spark.sources import snapshots
 
-    sdir = os.path.join(base_dir, "_serving")
-    os.makedirs(sdir, exist_ok=True)
-    prev = snapshots.latest_version(sdir)
-    v = 0 if prev is None else prev + 1
-    snapshots._atomic_publish(sdir, v, {"tables": dict(tables), **meta})
-    return v
+    return snapshots.publish_root(
+        os.path.join(base_dir, "_serving"), {"tables": dict(tables), **meta}
+    )
 
 
 def load_serving(
@@ -588,7 +635,24 @@ def load_serving(
             "term", "ids", "df"
         ),
     )
-    tf = _open("tf_postings")
+    if "tf_pending" in pinned:
+        # a pending-mode wave: the batched tier's truth is base ∪ delta,
+        # both pinned — resolve the exact cut, then kind-split
+        resolved = ki.tf_resolve(
+            spark,
+            os.path.join(base_dir, "tf_postings"),
+            os.path.join(base_dir, "tf_pending"),
+            base_version=pinned["tf_postings"],
+            delta_version=pinned["tf_pending"],
+        )
+        tf_pair = (
+            resolved.filter(F.col("kind") == "exact").select("term", "id", "tf"),
+            resolved.filter(F.col("kind") == "stemmed").select("term", "id", "tf"),
+        )
+    else:
+        tf_pair = ki.read_tf_postings(
+            spark, os.path.join(base_dir, "tf_postings"), version=pinned["tf_postings"]
+        )
     vidx = _ivf.VectorIndex(
         index=_open("ivf_index").select(
             "id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm"
@@ -598,10 +662,7 @@ def load_serving(
     )
     return {
         "keyword_index": kidx,
-        "tf_postings": (
-            tf.filter(F.col("kind") == "exact").select("term", "id", "tf"),
-            tf.filter(F.col("kind") == "stemmed").select("term", "id", "tf"),
-        ),
+        "tf_postings": tf_pair,
         "vector_index": vidx,
         "serving_version": m["version"],
         "tables": pinned,

@@ -232,7 +232,13 @@ def tf_pending_append(
     )
 
 
-def tf_resolve(spark, base_dir: str, delta_dir: str) -> DataFrame:
+def tf_resolve(
+    spark,
+    base_dir: str,
+    delta_dir: str,
+    base_version: int | None = None,
+    delta_version: int | None = None,
+) -> DataFrame:
     """Serve-time view of a pending-list tf index: base postings minus
     tombstoned ids, plus each delta id's LATEST batch of postings (an id
     upserted at batch b carries its own tomb at b, so live delta rows
@@ -246,15 +252,19 @@ def tf_resolve(spark, base_dir: str, delta_dir: str) -> DataFrame:
 
     empty = spark.createDataFrame([], "kind string, term string, id long, tf long")
     base = (
-        snapshots.read_snapshot(spark, base_dir).select("kind", "term", "id", "tf")
+        snapshots.read_snapshot(spark, base_dir, version=base_version).select(
+            "kind", "term", "id", "tf"
+        )
         if snapshots.latest_version(base_dir) is not None
         else empty
     )
     if snapshots.latest_version(delta_dir) is None:
         return base
-    delta = snapshots.read_snapshot(spark, delta_dir).dropDuplicates(
-        ["kind", "term", "id", "batch"]
-    )
+    # version pins let a serving-manifest reader resolve the exact cut a
+    # wave published rather than whatever is latest
+    delta = snapshots.read_snapshot(
+        spark, delta_dir, version=delta_version
+    ).dropDuplicates(["kind", "term", "id", "batch"])
     tomb = (
         delta.filter(F.col("kind") == "tomb")
         .groupBy("id")
@@ -292,15 +302,18 @@ def tf_compact(spark, base_dir: str, delta_dir: str) -> int:
     return v
 
 
-def read_tf_postings(spark, table_dir: str) -> "tuple[DataFrame, DataFrame]":
+def read_tf_postings(
+    spark, table_dir: str, version: int | None = None
+) -> "tuple[DataFrame, DataFrame]":
     """Reopen a committed kind-partitioned tf-postings snapshot (the
     layout ``ingest_serving`` / ``streaming_keyword_maintenance`` write)
     as the ``(tf_exact, tf_stemmed)`` pair every serving tier takes —
     the keyword counterpart of ``plans.ivf.load_vector_index``. The kind
-    filter is partition pruning on the committed layout."""
+    filter is partition pruning on the committed layout; ``version``
+    pins a serving-manifest cut."""
     from connapse_spark.sources import snapshots
 
-    cur = snapshots.read_snapshot(spark, table_dir)
+    cur = snapshots.read_snapshot(spark, table_dir, version=version)
     return (
         cur.filter(F.col("kind") == "exact").select("term", "id", "tf"),
         cur.filter(F.col("kind") == "stemmed").select("term", "id", "tf"),

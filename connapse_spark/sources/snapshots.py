@@ -98,6 +98,20 @@ class ConcurrentCommitError(RuntimeError):
     pass
 
 
+def publish_root(root_dir: str, payload: dict) -> int:
+    """Publish a CROSS-TABLE root manifest as the next version of
+    ``root_dir`` — the same write-then-link atomicity and optimistic
+    concurrency as table commits, lifted one level: the payload typically
+    records {table: version} pins that together form one consistent cut
+    (see operators.ingest.publish_serving). Keeping the primitive here
+    means any change to the commit protocol covers root manifests too."""
+    os.makedirs(root_dir, exist_ok=True)
+    prev = latest_version(root_dir)
+    v = 0 if prev is None else prev + 1
+    _atomic_publish(root_dir, v, payload)
+    return v
+
+
 def _stage_files(
     df: DataFrame,
     table_dir: str,

@@ -962,7 +962,9 @@ def test_serving_manifest_hides_torn_waves(spark, sf_dir, tmp_path, monkeypatch)
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="injected crash"):
-        ingest_serving_incremental(batch, base, rebuild_threshold=2.0)
+        ingest_serving_incremental(
+            batch, base, deleted_doc_ids=[4], rebuild_threshold=2.0
+        )
     monkeypatch.undo()
 
     # the chunks TABLE advanced past the pinned cut…
@@ -973,8 +975,14 @@ def test_serving_manifest_hides_torn_waves(spark, sf_dir, tmp_path, monkeypatch)
     toks = cut1["keyword_index"].tokens
     assert not [r for r in toks.collect() if "crashed" in str(r)]
 
-    # replaying the wave converges and publishes a complete cut
-    out = ingest_serving_incremental(batch, base, rebuild_threshold=2.0)
+    # replaying the wave converges and publishes a complete cut — CRUCIALLY
+    # including the deletion: the crashed attempt already removed doc 4's
+    # chunks from the (torn) latest chunks version, so a replay that read
+    # "latest" instead of the pinned cut would compute an empty deletion
+    # set and leak doc 4 into the keyword/vector structures forever
+    out = ingest_serving_incremental(
+        batch, base, deleted_doc_ids=[4], rebuild_threshold=2.0
+    )
     cut2 = load_serving(spark, base)
     assert cut2["serving_version"] > v0
     live_contents = {
@@ -984,6 +992,14 @@ def test_serving_manifest_hides_torn_waves(spark, sf_dir, tmp_path, monkeypatch)
         ).collect()
     }
     assert any("crashed wave content" in c for c in live_contents)
+    tok_ids = {r["id"] for r in cut2["keyword_index"].tokens.collect()}
+    assert not any(str(i).startswith("4:") for i in tok_ids)
+    vec_ids = {r["id"] for r in cut2["vector_index"].index.select("id").collect()}
+    assert not any(str(i).startswith("4:") for i in vec_ids)
+    tfe2, _ = cut2["tf_postings"]
+    assert not any(
+        str(r["id"]).startswith("4:") for r in tfe2.select("id").collect()
+    )
     for h in (first, out):
         h["chunks"].unpersist(), h["vectors"].unpersist()
     docs.unpersist()
