@@ -667,3 +667,54 @@ def load_serving(
         "serving_version": m["version"],
         "tables": pinned,
     }
+
+
+def vacuum_serving(
+    base_dir: str, keep_last_cuts: int = 2, min_age_seconds: float = 0.0
+) -> dict:
+    """Retention for the WHOLE serving layout, pin-aware: keep the newest
+    ``keep_last_cuts`` root serving manifests, delete the older ones, then
+    vacuum every pinned table so it keeps exactly the versions some
+    retained cut still pins (and everything newer — a torn wave's
+    advanced-but-unpublished versions survive until the next complete
+    wave supersedes them). This is the missing half of
+    :func:`publish_serving`'s contract: per-table ``vacuum_snapshot``
+    knows nothing about cross-table pins, so calling it directly can
+    delete a version an older serving cut needs; route retention for
+    ingest_serving layouts through here instead. Returns
+    {table: vacuum stats} plus "serving_manifests_deleted"."""
+    import os
+
+    from connapse_spark.sources import snapshots
+
+    if keep_last_cuts < 1:
+        raise ValueError("vacuum_serving: keep_last_cuts must be >= 1")
+    sdir = os.path.join(base_dir, "_serving")
+    versions = snapshots._list_versions(sdir)
+    if not versions:
+        raise FileNotFoundError(f"no serving manifest at {sdir}")
+    retained = versions[-keep_last_cuts:]
+    dropped = [v for v in versions if v not in retained]
+    # oldest pinned version per table across the RETAINED cuts
+    min_pin: dict = {}
+    for v in retained:
+        m = snapshots.load_manifest(sdir, v)
+        for table, tv in m["tables"].items():
+            if tv is None:
+                continue
+            min_pin[table] = min(min_pin.get(table, tv), tv)
+    stats: dict = {}
+    for table, pin in sorted(min_pin.items()):
+        tdir = os.path.join(base_dir, table)
+        latest = snapshots.latest_version(tdir)
+        if latest is None:
+            continue
+        # keep_last counts back from latest; pinned and newer all survive
+        keep = latest - pin + 1
+        stats[table] = snapshots.vacuum_snapshot(
+            tdir, keep_last=keep, min_age_seconds=min_age_seconds
+        )
+    for v in dropped:
+        os.unlink(os.path.join(sdir, f"manifest-{v:06d}.json"))
+    stats["serving_manifests_deleted"] = dropped
+    return stats

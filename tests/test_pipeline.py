@@ -1003,3 +1003,56 @@ def test_serving_manifest_hides_torn_waves(spark, sf_dir, tmp_path, monkeypatch)
     for h in (first, out):
         h["chunks"].unpersist(), h["vectors"].unpersist()
     docs.unpersist()
+
+
+def test_vacuum_serving_respects_pins(spark, sf_dir, tmp_path):
+    """Pin-aware layout retention: after three waves, keeping one cut must
+    (a) delete the older serving manifests, (b) keep every table version
+    the retained cut pins (the cut still loads and serves), and (c) make
+    versions older than any retained pin unreadable."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from connapse_spark.operators.ingest import (
+        ingest_serving,
+        ingest_serving_incremental,
+        load_serving,
+        vacuum_serving,
+    )
+    from connapse_spark.sources import snapshots as snaps
+
+    docs = (
+        spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 12)
+        .select("doc_id", "text")
+        .persist()
+    )
+    base = str(tmp_path / "serving")
+    handles = [ingest_serving(docs, base_dir=base)]
+    cut0 = load_serving(spark, base)
+    for i in (2, 3):
+        batch = docs.filter(F.col("doc_id") == i).select(
+            "doc_id", F.lit(f"wave {i} text").alias("text")
+        )
+        handles.append(
+            ingest_serving_incremental(batch, base, rebuild_threshold=2.0)
+        )
+    stats = vacuum_serving(base, keep_last_cuts=1, min_age_seconds=0.0)
+    assert stats["serving_manifests_deleted"] == [0, 1]
+    # the retained cut still loads and serves end to end
+    cut = load_serving(spark, base)
+    assert cut["serving_version"] == 2
+    assert cut["keyword_index"].tokens.count() > 0
+    assert cut["vector_index"].index.count() > 0
+    # the dropped cut's manifest is gone, and its pinned chunks version
+    # (older than the retained pin) is no longer readable
+    with _pytest.raises(Exception):
+        load_serving(spark, base, serving_version=cut0["serving_version"])
+    with _pytest.raises(Exception):
+        snaps.read_snapshot(
+            spark, _os.path.join(base, "chunks"), version=cut0["tables"]["chunks"]
+        ).collect()
+    for h in handles:
+        h["chunks"].unpersist(), h["vectors"].unpersist()
+    docs.unpersist()
