@@ -240,7 +240,7 @@ def ingest_serving(
         tables["ivf_index"] = snapshots.commit_snapshot(
             vidx.index.select("id", "list_id", "vec", "norm")
             .repartition("list_id")
-            .sortWithinPartitions("id"),
+            .sortWithinPartitions("list_id", "id"),
             os.path.join(base_dir, "ivf_index"),
             partition_by=["list_id"],
         )
@@ -323,257 +323,278 @@ def ingest_serving_incremental(
     rows. Returns {"chunks_version", "vectors_version", "tf_version",
     "vector_index", "rebuilt", "chunks", "vectors"} (the two DataFrames
     stay persisted — same unpersist contract as ingest_serving)."""
-    import os
-
-    from connapse_spark.operators import keyword_index as ki
-    from connapse_spark.plans import ivf as _ivf
-    from connapse_spark.sources import snapshots
-
-    spark = docs_batch.sparkSession
-    chunks_dir = os.path.join(base_dir, "chunks")
-    vectors_dir = os.path.join(base_dir, "chunk_vectors")
-    tf_dir = os.path.join(base_dir, "tf_postings")
-    tokens_dir = os.path.join(base_dir, "tokens")
-    postings_dir = os.path.join(base_dir, "postings")
-    ivf_dir = os.path.join(base_dir, "ivf_index")
-
-    # EVERY "current state" read below pins to the last PUBLISHED serving
-    # cut, never to whatever table version happens to be latest: a prior
-    # wave that crashed between table commits leaves tables advanced past
-    # the manifest, and a replay computing its deletion set from those
-    # torn versions would miss the ids the crashed attempt already
-    # removed — permanently leaking deleted docs into the keyword/vector
-    # structures. Reading the pinned cut makes replay convergent: keyed
-    # deletes/upserts re-apply idempotently against the torn tables, and
-    # overwrite-mode commits are derived from pinned state outright.
+    _pinned_dfs: list = []
+    # on ANY failure, unpersist everything this wave cached — a
+    # long-running driver replaying failed waves must not accumulate
+    # orphaned cache (success keeps chunks/vectors pinned per contract)
     try:
-        cut = snapshots.load_manifest(os.path.join(base_dir, "_serving"))
-    except FileNotFoundError as ex:
-        raise FileNotFoundError(
-            f"{base_dir} has no serving manifest — the layout predates the "
-            "r6 serving-manifest format (or was never built by "
-            "ingest_serving); re-ingest with ingest_serving to migrate"
-        ) from ex
-    pinned = cut["tables"]
+        import os
 
-    # affected documents = this batch's ids ∪ explicit deletions
-    affected_docs = docs_batch.select(F.col(id_col).alias("_doc"))
-    if isinstance(deleted_doc_ids, DataFrame):
-        affected_docs = affected_docs.unionByName(
-            deleted_doc_ids.toDF("_doc")
-        )
-    elif deleted_doc_ids:
-        # type the list form off the batch's own id column — doc ids may
-        # be strings/UUIDs, not just longs
-        from pyspark.sql.types import StructField, StructType
+        from connapse_spark.operators import keyword_index as ki
+        from connapse_spark.plans import ivf as _ivf
+        from connapse_spark.sources import snapshots
 
-        id_type = docs_batch.schema[id_col].dataType
-        affected_docs = affected_docs.unionByName(
-            spark.createDataFrame(
-                [(i,) for i in deleted_doc_ids],
-                StructType([StructField("_doc", id_type)]),
+        spark = docs_batch.sparkSession
+        chunks_dir = os.path.join(base_dir, "chunks")
+        vectors_dir = os.path.join(base_dir, "chunk_vectors")
+        tf_dir = os.path.join(base_dir, "tf_postings")
+        tokens_dir = os.path.join(base_dir, "tokens")
+        postings_dir = os.path.join(base_dir, "postings")
+        ivf_dir = os.path.join(base_dir, "ivf_index")
+
+        # EVERY "current state" read below pins to the last PUBLISHED serving
+        # cut, never to whatever table version happens to be latest: a prior
+        # wave that crashed between table commits leaves tables advanced past
+        # the manifest, and a replay computing its deletion set from those
+        # torn versions would miss the ids the crashed attempt already
+        # removed — permanently leaking deleted docs into the keyword/vector
+        # structures. Reading the pinned cut makes replay convergent: keyed
+        # deletes/upserts re-apply idempotently against the torn tables, and
+        # overwrite-mode commits are derived from pinned state outright.
+        try:
+            cut = snapshots.load_manifest(os.path.join(base_dir, "_serving"))
+        except FileNotFoundError as ex:
+            raise FileNotFoundError(
+                f"{base_dir} has no serving manifest — the layout predates the "
+                "r6 serving-manifest format (or was never built by "
+                "ingest_serving); re-ingest with ingest_serving to migrate"
+            ) from ex
+        pinned = cut["tables"]
+
+        # affected documents = this batch's ids ∪ explicit deletions
+        affected_docs = docs_batch.select(F.col(id_col).alias("_doc"))
+        if isinstance(deleted_doc_ids, DataFrame):
+            affected_docs = affected_docs.unionByName(
+                deleted_doc_ids.toDF("_doc")
             )
-        )
-    affected_docs = affected_docs.distinct()
+        elif deleted_doc_ids:
+            # type the list form off the batch's own id column — doc ids may
+            # be strings/UUIDs, not just longs
+            from pyspark.sql.types import StructField, StructType
 
-    cur_chunks = snapshots.read_snapshot(spark, chunks_dir, version=pinned["chunks"])
-    old_chunk_ids = (
-        cur_chunks.join(
-            affected_docs, cur_chunks["document_id"] == affected_docs["_doc"], "left_semi"
-        )
-        .select("chunk_id")
-        .persist()
-    )
-    old_chunk_ids.count()
+            id_type = docs_batch.schema[id_col].dataType
+            affected_docs = affected_docs.unionByName(
+                spark.createDataFrame(
+                    [(i,) for i in deleted_doc_ids],
+                    StructType([StructField("_doc", id_type)]),
+                )
+            )
+        affected_docs = affected_docs.distinct()
 
-    cur_vectors = snapshots.read_snapshot(
-        spark, vectors_dir, version=pinned["chunk_vectors"]
-    )
-    other_models = (
-        cur_vectors.select("model_id").distinct().filter(F.col("model_id") != model_id)
-    ).take(1)
-    if other_models:
-        raise ValueError(
-            f"chunk_vectors at {vectors_dir} holds model_id="
-            f"{other_models[0]['model_id']!r} besides {model_id!r}: incremental "
-            "maintenance is per-layout (chunk-keyed deletion would destroy the "
-            "other model's rows) — keep one base_dir per model/config"
+        cur_chunks = snapshots.read_snapshot(spark, chunks_dir, version=pinned["chunks"])
+        old_chunk_ids = (
+            cur_chunks.join(
+                affected_docs, cur_chunks["document_id"] == affected_docs["_doc"], "left_semi"
+            )
+            .select("chunk_id")
+            .persist()
         )
-    chunks, vectors = ingest(
-        docs_batch,
-        existing_vectors=cur_vectors,
-        strategy=strategy,
-        settings=settings,
-        model_id=model_id,
-        dims=dims,
-        id_col=id_col,
-        text_col=text_col,
-        ext_col=ext_col,
-        embedder=embedder,
-    )
-    chunks = chunks.persist()
-    vectors = vectors.persist()
-    chunks.count()
+        _pinned_dfs.append(old_chunk_ids)
+        old_chunk_ids.count()
 
-    cv = snapshots.apply_changes(
-        spark, chunks_dir, "chunk_id", upserts=chunks, delete_keys=old_chunk_ids
-    )
-    vv = snapshots.apply_changes(
-        spark, vectors_dir, "chunk_id", upserts=vectors, delete_keys=old_chunk_ids
-    )
+        cur_vectors = snapshots.read_snapshot(
+            spark, vectors_dir, version=pinned["chunk_vectors"]
+        )
+        other_models = (
+            cur_vectors.select("model_id").distinct().filter(F.col("model_id") != model_id)
+        ).take(1)
+        if other_models:
+            raise ValueError(
+                f"chunk_vectors at {vectors_dir} holds model_id="
+                f"{other_models[0]['model_id']!r} besides {model_id!r}: incremental "
+                "maintenance is per-layout (chunk-keyed deletion would destroy the "
+                "other model's rows) — keep one base_dir per model/config"
+            )
+        chunks, vectors = ingest(
+            docs_batch,
+            existing_vectors=cur_vectors,
+            strategy=strategy,
+            settings=settings,
+            model_id=model_id,
+            dims=dims,
+            id_col=id_col,
+            text_col=text_col,
+            ext_col=ext_col,
+            embedder=embedder,
+        )
+        chunks = chunks.persist()
+        vectors = vectors.persist()
+        _pinned_dfs.extend([chunks, vectors])
+        chunks.count()
 
-    # keyword side: remove every affected old chunk id, add the batch's rows
-    deleted_ids = old_chunk_ids.select(F.col("chunk_id").alias("id"))
-    # persisted: feeds the tokens COW, both posting surgeries, and both tf
-    # upserts — without the barrier the batch re-tokenizes per action
-    tokens_new = ki.build_token_table(
-        chunks, id_col="chunk_id", text_col="content"
-    ).persist()
-    tokens_new.count()
-    # single-query serving bundle: token table via chunk-keyed COW, posting
-    # arrays via the array_except surgery — so hybrid_search(keyword_index=…)
-    # over a load_serving() of this layout stays fresh across increments
-    tokv = snapshots.apply_changes(
-        spark, tokens_dir, "id", upserts=tokens_new, delete_keys=deleted_ids
-    )
-    old_id_list = [r["chunk_id"] for r in old_chunk_ids.collect()]  # batch-sized
-    cur_posts = snapshots.read_snapshot(spark, postings_dir, version=pinned["postings"])
-    pparts = []
-    for kind, col in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed")):
-        cur_k = cur_posts.filter(F.col("kind") == kind).select("term", "ids", "df")
-        pparts.append(
-            ki.upsert_postings(
-                cur_k, tokens_new, deleted_ids=old_id_list, token_col=col
-            ).withColumn("kind", F.lit(kind))
+        cv = snapshots.apply_changes(
+            spark, chunks_dir, "chunk_id", upserts=chunks, delete_keys=old_chunk_ids
         )
-    postv = snapshots.commit_snapshot(
-        pparts[0].unionByName(pparts[1]).select("kind", "term", "ids", "df"),
-        postings_dir,
-        partition_by=["kind"],
-    )
-    if tf_mode == "pending":
-        # O(batch): append postings + tombstones to the pending delta;
-        # serve via tf_resolve(tf_dir, tf_pending), fold with tf_compact
-        tfv = ki.tf_pending_append(
-            chunks.select(
-                F.col("chunk_id").alias("doc_id"), F.col("content").alias("text")
-            ),
-            os.path.join(base_dir, "tf_pending"),
-            deleted_ids=deleted_ids,
+        vv = snapshots.apply_changes(
+            spark, vectors_dir, "chunk_id", upserts=vectors, delete_keys=old_chunk_ids
         )
-    else:
-        cur_tfe, cur_tfs = ki.read_tf_postings(
-            spark, tf_dir, version=pinned["tf_postings"]
+
+        # keyword side: remove every affected old chunk id, add the batch's rows
+        deleted_ids = old_chunk_ids.select(F.col("chunk_id").alias("id"))
+        # persisted: feeds the tokens COW, both posting surgeries, and both tf
+        # upserts — without the barrier the batch re-tokenizes per action
+        tokens_new = ki.build_token_table(
+            chunks, id_col="chunk_id", text_col="content"
+        ).persist()
+        _pinned_dfs.append(tokens_new)
+        tokens_new.count()
+        # single-query serving bundle: token table via chunk-keyed COW, posting
+        # arrays via the array_except surgery — so hybrid_search(keyword_index=…)
+        # over a load_serving() of this layout stays fresh across increments
+        tokv = snapshots.apply_changes(
+            spark, tokens_dir, "id", upserts=tokens_new, delete_keys=deleted_ids
         )
-        parts = []
-        for kind, col, cur_k in (
-            ("exact", "tokens_exact", cur_tfe),
-            ("stemmed", "tokens_stemmed", cur_tfs),
-        ):
-            parts.append(
-                ki.upsert_tf_postings(
-                    cur_k, tokens_new, deleted_ids=deleted_ids, token_col=col
+        old_id_list = [r["chunk_id"] for r in old_chunk_ids.collect()]  # batch-sized
+        cur_posts = snapshots.read_snapshot(spark, postings_dir, version=pinned["postings"])
+        pparts = []
+        for kind, col in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed")):
+            cur_k = cur_posts.filter(F.col("kind") == kind).select("term", "ids", "df")
+            pparts.append(
+                ki.upsert_postings(
+                    cur_k, tokens_new, deleted_ids=old_id_list, token_col=col
                 ).withColumn("kind", F.lit(kind))
             )
-        tfv = snapshots.commit_snapshot(
-            parts[0].unionByName(parts[1]).select("kind", "term", "id", "tf"),
-            tf_dir,
+        postv = snapshots.commit_snapshot(
+            pparts[0].unionByName(pparts[1]).select("kind", "term", "ids", "df"),
+            postings_dir,
             partition_by=["kind"],
         )
+        if tf_mode == "pending":
+            # O(batch): append postings + tombstones to the pending delta;
+            # serve via tf_resolve(tf_dir, tf_pending), fold with tf_compact
+            tfv = ki.tf_pending_append(
+                chunks.select(
+                    F.col("chunk_id").alias("doc_id"), F.col("content").alias("text")
+                ),
+                os.path.join(base_dir, "tf_pending"),
+                deleted_ids=deleted_ids,
+            )
+        else:
+            cur_tfe, cur_tfs = ki.read_tf_postings(
+                spark, tf_dir, version=pinned["tf_postings"]
+            )
+            parts = []
+            for kind, col, cur_k in (
+                ("exact", "tokens_exact", cur_tfe),
+                ("stemmed", "tokens_stemmed", cur_tfs),
+            ):
+                parts.append(
+                    ki.upsert_tf_postings(
+                        cur_k, tokens_new, deleted_ids=deleted_ids, token_col=col
+                    ).withColumn("kind", F.lit(kind))
+                )
+            tfv = snapshots.commit_snapshot(
+                parts[0].unionByName(parts[1]).select("kind", "term", "id", "tf"),
+                tf_dir,
+                partition_by=["kind"],
+            )
 
-    # vector side: anti-join affected ids, route the batch, gauge rebuild.
-    # The bundle lives in the snapshot layer (versioned + pinnable by the
-    # serving manifest); a commit writes NEW version files, so there is no
-    # read-path/overwrite conflict to checkpoint around.
-    stored_index = snapshots.read_snapshot(
-        spark, ivf_dir, version=pinned["ivf_index"]
-    ).select("id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm")
-    stored_centroids = snapshots.read_snapshot(
-        spark, os.path.join(base_dir, "ivf_centroids"), version=pinned["ivf_centroids"]
-    )
-    cleaned = stored_index.join(
-        old_chunk_ids.select(F.col("chunk_id").alias("id")), "id", "left_anti"
-    )
-    merged = _ivf.ivf_index_upsert(
-        cleaned, stored_centroids, vectors, id_col="chunk_id", vec_col="embedding"
-    )
-    vidx = _ivf.VectorIndex(index=merged, centroids=stored_centroids, nprobe=nprobe)
-    # gauge and (if needed) refit over the version THIS wave committed —
-    # not "latest", which a concurrent torn wave could in principle move
-    live_vectors = (
-        snapshots.read_snapshot(spark, vectors_dir, version=vv)
-        .filter((F.col("model_id") == model_id) & (F.col("dimensions") == dims))
-        .select(F.col("chunk_id"), F.col("embedding"))
-    )
-    rebuilt, vidx = _ivf.maybe_rebuild_index(
-        vidx,
-        live_vectors,
-        threshold=rebuild_threshold,
-        dims=dims,
-        id_col="chunk_id",
-        vec_col="embedding",
-    )
-    # one sorted file set per list (the layout-as-index discipline): the
-    # merged plan is a union of shuffled subtrees that would otherwise
-    # fragment into a file per (task, list) pair every wave
-    ivf_v = snapshots.commit_snapshot(
-        vidx.index.select("id", "list_id", "vec", "norm")
-        .repartition("list_id")
-        .sortWithinPartitions("id"),
-        ivf_dir,
-        partition_by=["list_id"],
-    )
-    cent_v = snapshots.commit_snapshot(
-        vidx.centroids, os.path.join(base_dir, "ivf_centroids")
-    )
-    # rebind the returned bundle to the JUST-COMMITTED versions: the lazy
-    # merge plan would otherwise recompute on every use and break once its
-    # superseded input version is vacuumed
-    vidx = _ivf.VectorIndex(
-        index=snapshots.read_snapshot(spark, ivf_dir, version=ivf_v).select(
-            "id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm"
-        ),
-        centroids=snapshots.read_snapshot(
-            spark, os.path.join(base_dir, "ivf_centroids"), version=cent_v
-        ),
-        nprobe=nprobe,
-    )
-    old_chunk_ids.unpersist()
-    tokens_new.unpersist()
-    if tf_mode == "pending":
-        # the base tf table is untouched this wave; the cut pins the base
-        # version plus the pending-delta version readers resolve against
-        tf_tables = {
-            "tf_postings": snapshots.latest_version(tf_dir),
-            "tf_pending": tfv,
+        # vector side: anti-join affected ids, route the batch, gauge rebuild.
+        # The bundle lives in the snapshot layer (versioned + pinnable by the
+        # serving manifest); a commit writes NEW version files, so there is no
+        # read-path/overwrite conflict to checkpoint around.
+        stored_index = snapshots.read_snapshot(
+            spark, ivf_dir, version=pinned["ivf_index"]
+        ).select("id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm")
+        stored_centroids = snapshots.read_snapshot(
+            spark, os.path.join(base_dir, "ivf_centroids"), version=pinned["ivf_centroids"]
+        )
+        cleaned = stored_index.join(
+            old_chunk_ids.select(F.col("chunk_id").alias("id")), "id", "left_anti"
+        )
+        merged = _ivf.ivf_index_upsert(
+            cleaned, stored_centroids, vectors, id_col="chunk_id", vec_col="embedding"
+        )
+        vidx = _ivf.VectorIndex(index=merged, centroids=stored_centroids, nprobe=nprobe)
+        # gauge and (if needed) refit over the version THIS wave committed —
+        # not "latest", which a concurrent torn wave could in principle move
+        live_vectors = (
+            snapshots.read_snapshot(spark, vectors_dir, version=vv)
+            .filter((F.col("model_id") == model_id) & (F.col("dimensions") == dims))
+            .select(F.col("chunk_id"), F.col("embedding"))
+        )
+        rebuilt, vidx = _ivf.maybe_rebuild_index(
+            vidx,
+            live_vectors,
+            threshold=rebuild_threshold,
+            dims=dims,
+            id_col="chunk_id",
+            vec_col="embedding",
+        )
+        # one sorted file set per list (the layout-as-index discipline): the
+        # merged plan is a union of shuffled subtrees that would otherwise
+        # fragment into a file per (task, list) pair every wave
+        ivf_v = snapshots.commit_snapshot(
+            vidx.index.select("id", "list_id", "vec", "norm")
+            .repartition("list_id")
+            # the writer requires child ordering by the partition columns —
+            # leading with list_id avoids a second writer-side sort and
+            # actually guarantees the within-list id order
+            .sortWithinPartitions("list_id", "id"),
+            ivf_dir,
+            partition_by=["list_id"],
+        )
+        cent_v = snapshots.commit_snapshot(
+            vidx.centroids, os.path.join(base_dir, "ivf_centroids")
+        )
+        # rebind the returned bundle to the JUST-COMMITTED versions: the lazy
+        # merge plan would otherwise recompute on every use and break once its
+        # superseded input version is vacuumed
+        vidx = _ivf.VectorIndex(
+            index=snapshots.read_snapshot(spark, ivf_dir, version=ivf_v).select(
+                "id", F.col("list_id").cast("bigint").alias("list_id"), "vec", "norm"
+            ),
+            centroids=snapshots.read_snapshot(
+                spark, os.path.join(base_dir, "ivf_centroids"), version=cent_v
+            ),
+            nprobe=nprobe,
+        )
+        old_chunk_ids.unpersist()
+        tokens_new.unpersist()
+        if tf_mode == "pending":
+            # the base tf table is untouched this wave; the cut carries FORWARD
+            # the previous cut's base pin (never latest_version — a crashed
+            # overwrite wave may have advanced the table past the published
+            # cut, and pinning that torn version would launder it into a
+            # "consistent" cut) plus the pending-delta version readers resolve
+            tf_tables = {
+                "tf_postings": pinned["tf_postings"],
+                "tf_pending": tfv,
+            }
+        else:
+            tf_tables = {"tf_postings": tfv}
+        sv = publish_serving(
+            base_dir,
+            {
+                "chunks": cv,
+                "chunk_vectors": vv,
+                **tf_tables,
+                "tokens": tokv,
+                "postings": postv,
+                "ivf_index": ivf_v,
+                "ivf_centroids": cent_v,
+            },
+            model_id=model_id,
+            dims=dims,
+            nprobe=nprobe,
+        )
+        return {
+            "chunks_version": cv,
+            "vectors_version": vv,
+            "tf_version": tfv,
+            "serving_version": sv,
+            "vector_index": vidx,
+            "rebuilt": rebuilt,
+            "chunks": chunks,
+            "vectors": vectors,
         }
-    else:
-        tf_tables = {"tf_postings": tfv}
-    sv = publish_serving(
-        base_dir,
-        {
-            "chunks": cv,
-            "chunk_vectors": vv,
-            **tf_tables,
-            "tokens": tokv,
-            "postings": postv,
-            "ivf_index": ivf_v,
-            "ivf_centroids": cent_v,
-        },
-        model_id=model_id,
-        dims=dims,
-        nprobe=nprobe,
-    )
-    return {
-        "chunks_version": cv,
-        "vectors_version": vv,
-        "tf_version": tfv,
-        "serving_version": sv,
-        "vector_index": vidx,
-        "rebuilt": rebuilt,
-        "chunks": chunks,
-        "vectors": vectors,
-    }
+    except BaseException:
+        for _df in _pinned_dfs:
+            try:
+                _df.unpersist()
+            except Exception:
+                pass
+        raise
 
 
 def publish_serving(base_dir: str, tables: dict, **meta) -> int:
@@ -670,7 +691,7 @@ def load_serving(
 
 
 def vacuum_serving(
-    base_dir: str, keep_last_cuts: int = 2, min_age_seconds: float = 0.0
+    base_dir: str, keep_last_cuts: int = 2, min_age_seconds: float = 24 * 3600
 ) -> dict:
     """Retention for the WHOLE serving layout, pin-aware: keep the newest
     ``keep_last_cuts`` root serving manifests, delete the older ones, then
@@ -681,8 +702,15 @@ def vacuum_serving(
     :func:`publish_serving`'s contract: per-table ``vacuum_snapshot``
     knows nothing about cross-table pins, so calling it directly can
     delete a version an older serving cut needs; route retention for
-    ingest_serving layouts through here instead. Returns
-    {table: vacuum stats} plus "serving_manifests_deleted"."""
+    ingest_serving layouts through here instead.
+    ``min_age_seconds`` inherits vacuum_snapshot's 24h in-flight-commit
+    guard: a wave stages data files BEFORE the manifest that references
+    them exists, so deleting young unreferenced files can corrupt a
+    commit about to publish — pass 0 only when no writer can be active.
+    Tables pinned only by DROPPED cuts (e.g. a pending delta after
+    switching back to overwrite mode) vacuum down to their latest
+    version. Returns {table: vacuum stats} plus
+    "serving_manifests_deleted"."""
     import os
 
     from connapse_spark.sources import snapshots
@@ -703,6 +731,10 @@ def vacuum_serving(
             if tv is None:
                 continue
             min_pin[table] = min(min_pin.get(table, tv), tv)
+    dropped_only: set = set()
+    for v in dropped:
+        m = snapshots.load_manifest(sdir, v)
+        dropped_only |= set(m["tables"]) - set(min_pin)
     stats: dict = {}
     for table, pin in sorted(min_pin.items()):
         tdir = os.path.join(base_dir, table)
@@ -714,7 +746,15 @@ def vacuum_serving(
         stats[table] = snapshots.vacuum_snapshot(
             tdir, keep_last=keep, min_age_seconds=min_age_seconds
         )
+    for table in sorted(dropped_only):
+        # pinned only by cuts we just dropped: nothing references its
+        # history any more — keep the latest version only
+        tdir = os.path.join(base_dir, table)
+        if snapshots.latest_version(tdir) is not None:
+            stats[table] = snapshots.vacuum_snapshot(
+                tdir, keep_last=1, min_age_seconds=min_age_seconds
+            )
     for v in dropped:
-        os.unlink(os.path.join(sdir, f"manifest-{v:06d}.json"))
+        os.unlink(snapshots._manifest_path(sdir, v))
     stats["serving_manifests_deleted"] = dropped
     return stats

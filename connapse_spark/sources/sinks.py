@@ -59,10 +59,13 @@ def write_vectors(vectors: DataFrame, path: str, mode: str = "overwrite") -> Non
 
 
 def write_lsh_index(index: DataFrame, path: str, model_id: str = "hash-64", mode: str = "overwrite") -> None:
+    # the writer requires child ordering by the partition columns; leading
+    # the sort with them avoids a second writer-side sort and guarantees
+    # the within-bucket id order the row-group pruning relies on
     (
         index.withColumn("model_id", F.lit(model_id))
         .repartition("bucket")
-        .sortWithinPartitions("id")
+        .sortWithinPartitions("model_id", "bucket", "id")
         .write.mode(mode)
         .partitionBy("model_id", "bucket")
         .parquet(path)
@@ -73,7 +76,7 @@ def write_ivf_index(index: DataFrame, path: str, model_id: str = "hash-64", mode
     (
         index.withColumn("model_id", F.lit(model_id))
         .repartition("list_id")
-        .sortWithinPartitions("id")
+        .sortWithinPartitions("model_id", "list_id", "id")
         .write.mode(mode)
         .partitionBy("model_id", "list_id")
         .parquet(path)
