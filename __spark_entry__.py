@@ -1591,6 +1591,110 @@ ORDER BY path
 """.strip()
 
 
+def q_parse_warc(spark, sf_dir):
+    """WARC ingest (sources/warc.py — the Common Crawl stage-one path the
+    reference's parser family lacks): parse the deterministic fixture
+    archives (gzip-member + plain layouts, warcinfo/request/response
+    types, non-200, non-text, latin-1 charset, a bad-Content-Length
+    record to skip over, a truncated tail) and project the full record
+    surface. The oracle pins the expected outputs of the pure parser as
+    literals, the ``parse_binary`` discipline."""
+    from connapse_spark.sources import warc as _warc
+
+    blobs = spark.createDataFrame(_warc.fixture_warc(), "path string, content binary")
+    recs = _warc.warc_records(blobs)
+    return recs.select(
+        "warc_file",
+        "record_idx",
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "content_type",
+        F.substring(F.sha2(F.col("payload"), 256), 1, 16).alias("payload_sha"),
+        F.substring(F.sha2(F.col("text").cast("binary"), 256), 1, 16).alias("text_sha"),
+        F.col("warning").isNotNull().alias("has_warning"),
+    ).orderBy("warc_file", "record_idx")
+
+
+def _sql_parse_warc() -> str:
+    # pinned outputs of the pure WARC parser over the fixture bytes;
+    # regenerate with tests/test_warc_html.py::test_parse_warc_oracle_constants
+    rows = [
+        ("/fx/good.warc", 0, "'warcinfo'", "NULL", "NULL",
+         "'application/warc-fields'", "70e6e9bcb686d6cc", "NULL", "false"),
+        ("/fx/good.warc", 1, "'request'", "'https://a.example/'", "NULL",
+         "'application/http; msgtype=request'", "093d5adc97678383", "NULL", "false"),
+        ("/fx/good.warc", 2, "'response'", "'https://a.example/'", 200,
+         "'text/html; charset=utf-8'", "caf73b9e3e76ec9e", "'caf73b9e3e76ec9e'", "false"),
+        ("/fx/good.warc", 3, "'response'", "'https://a.example/missing'", 404,
+         "'text/plain'", "283bb9deef02e684", "'283bb9deef02e684'", "false"),
+        ("/fx/good.warc", 4, "'response'", "'https://a.example/doc.pdf'", 200,
+         "'application/pdf'", "932d2676c1e461ba", "NULL", "false"),
+        ("/fx/good.warc", 5, "'response'", "'https://b.example/latin'", 200,
+         "'text/html; charset=iso-8859-1'", "0230b0c519322940", "'4fe8ae2ecdb0a611'", "false"),
+        ("/fx/mixed.warc", 0, "'response'", "'https://a.example/'", 200,
+         "'text/html; charset=utf-8'", "caf73b9e3e76ec9e", "'caf73b9e3e76ec9e'", "false"),
+        ("/fx/mixed.warc", 1, "'response'", "'https://a.example/missing'", 404,
+         "'text/plain'", "283bb9deef02e684", "'283bb9deef02e684'", "true"),
+        ("/fx/trunc.warc", 0, "'response'", "'https://a.example/'", 200,
+         "'text/html; charset=utf-8'", "d948af4674bba925", "'d948af4674bba925'", "true"),
+    ]
+    # the gzip-member layout parses byte-identically to the plain one
+    gz_twin = [
+        (p.replace("/fx/good.warc", "/fx/good.warc.gz"), *rest)
+        for p, *rest in rows
+        if p == "/fx/good.warc"
+    ]
+    values = ",\n  ".join(
+        f"('{p}', {i}, {t}, {u}, {s if s is not None else 'NULL'}, {c}, '{ps}', {ts}, {w})"
+        for p, i, t, u, s, c, ps, ts, w in rows + gz_twin
+    )
+    return f"""
+SELECT warc_file, CAST(record_idx AS INTEGER) AS record_idx,
+       warc_type, CAST(target_uri AS VARCHAR) AS target_uri,
+       CAST(http_status AS INTEGER) AS http_status, content_type,
+       payload_sha, CAST(text_sha AS VARCHAR) AS text_sha, has_warning
+FROM (VALUES
+  {values}
+) AS t(warc_file, record_idx, warc_type, target_uri, http_status,
+       content_type, payload_sha, text_sha, has_warning)
+ORDER BY warc_file, record_idx
+""".strip()
+
+
+def q_html_extract(spark, sf_dir):
+    """HTML → text with boilerplate stripping (operators/htmltext.py):
+    wrap every document's text in a deterministic page template (title +
+    nav/footer chrome + one escaped <p>) with JVM column math, then run
+    the stdlib-parser extractor. Chrome must vanish, entities must decode,
+    and the body must round-trip modulo the documented whitespace
+    collapse — so the oracle is a pure projection of ``documents``
+    (trim + single-space), no literals to drift."""
+    from connapse_spark.operators import htmltext as _ht
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style></head><body>"
+              "<nav><ul><li>Home</li><li>About</li></ul></nav><article><p>"),
+        _ht.escape_html_expr(F.col("text")),
+        F.lit("</p></article><footer>&copy; example</footer></body></html>"),
+    )
+    html = docs.select("doc_id", page.alias("text"))
+    out = _ht.extract_html_text(html, "text", boilerplate=True)
+    return out.select("doc_id", "title", "text").orderBy("doc_id")
+
+
+def _sql_html_extract() -> str:
+    return """
+SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g')) AS text
+FROM documents
+ORDER BY doc_id
+""".strip()
+
+
 # deterministic URL synthesis for the web-operator queries (the corpus has
 # no url column): scheme/host/port/query each cycle through literal pools
 # keyed on doc_id, exercising case-folding, default+explicit ports, eTLD+1
@@ -2524,7 +2628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- remaining entry whose last driver-green row dates to round
         # --- 3; the tail back-fills with the stalest r4-greens.
         # --- Everything below seat 50 is r4/r5-green and rotates forward
-        # --- next round.
+        # --- next round. parse_warc/html_extract are the newest additions
+        # --- (WARC ingest + HTML extraction) and take the first seats.
+        "parse_warc": q_parse_warc,
+        "html_extract": q_html_extract,
         "hybrid_ann": q_hybrid_ann,
         "hybrid_ann_probe": q_hybrid_ann_probe,
         "hybrid_many_ann": q_hybrid_many_ann,
@@ -2850,6 +2957,8 @@ def oracle_sql() -> dict[str, str]:
         "parse_text": _sql_parse_text(),
         "parser_dispatch": _sql_parser_dispatch(),
         "parse_binary": _sql_parse_binary(),
+        "parse_warc": _sql_parse_warc(),
+        "html_extract": _sql_html_extract(),
         "url_canonicalize": _sql_url_canonicalize(),
         "domain_caps": _sql_domain_caps(),
         "domain_stats": _sql_domain_stats(),

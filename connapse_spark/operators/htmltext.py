@@ -1,0 +1,164 @@
+"""HTML → text extraction with boilerplate stripping — the stage between
+WARC ingest (``sources/warc.py``) and the chunk/dedup/quality pipeline.
+
+The reference parses no HTML (its TextParser.cs handles .txt/.md/.csv);
+this is a training-data extension: every web corpus (C4 §2.2, RefinedWeb
+§3.2) starts with "drop the markup and the chrome, keep the prose".
+Libraries like trafilatura aren't in the container, so the extractor is
+a stdlib ``html.parser`` state machine with deterministic, documented
+semantics — the contract the oracle pins:
+
+- content inside ``script/style/noscript/template/svg/iframe`` never
+  reaches the output (nor does anything inside ``head`` except
+  ``<title>``, captured separately);
+- with ``boilerplate=True`` the chrome containers
+  (``nav/header/footer/aside/form``) drop too (the C4 move);
+- block-level boundaries (``p/div/li/h1..h6/tr/section/article/
+  blockquote/pre/br/table/ul/ol``) split the output into lines;
+- within a block, whitespace runs collapse to single spaces and
+  entities are decoded; blocks that collapse to '' vanish;
+- lines join with '\\n'.
+
+Pure function per document → Arrow-batched ``mapInPandas``: no shuffle,
+scales with executors, and the same per-row independence the other
+decoders (binary_decode.py) rely on.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DROP_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "iframe"})
+_CHROME_TAGS = frozenset({"nav", "header", "footer", "aside", "form"})
+_BLOCK_TAGS = frozenset({
+    "p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "tr", "br",
+    "table", "ul", "ol", "section", "article", "blockquote", "pre",
+    "main", "figure", "figcaption", "dd", "dt", "hr",
+})
+_VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link"})
+_WS_RE = re.compile(r"\s+")
+
+
+class _Extractor(HTMLParser):
+    def __init__(self, boilerplate: bool):
+        super().__init__(convert_charrefs=True)
+        self._drop = _DROP_TAGS | (_CHROME_TAGS if boilerplate else frozenset())
+        self._drop_depth = 0
+        self._in_head = 0
+        self._in_title = False
+        self.title_parts: list[str] = []
+        self._block: list[str] = []
+        self.lines: list[str] = []
+
+    def _flush(self) -> None:
+        line = _WS_RE.sub(" ", "".join(self._block)).strip()
+        self._block = []
+        if line:
+            self.lines.append(line)
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._drop and tag not in _VOID_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return  # e.g. <title> inside a dropped <svg> is not THE title
+        if tag == "head":
+            self._in_head += 1
+        elif tag == "title":
+            self._in_title = True
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in self._drop and tag not in _VOID_TAGS:
+            # tolerate stray close tags (real-web HTML is never balanced)
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag == "head":
+            self._in_head = max(0, self._in_head - 1)
+        elif tag == "title":
+            self._in_title = False
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._drop_depth:
+            return
+        if self._in_title:
+            self.title_parts.append(data)
+        elif not self._in_head:
+            self._block.append(data)
+
+
+def extract_html(html: str, boilerplate: bool = True) -> tuple[str | None, str]:
+    """(title, text) per the module-docstring contract. Never raises on
+    malformed markup — html.parser is a recovering tokenizer, and a page
+    that is all chrome extracts to ('title-or-None', '')."""
+    p = _Extractor(boilerplate)
+    p.feed(html or "")
+    p.close()
+    p._flush()
+    title = _WS_RE.sub(" ", "".join(p.title_parts)).strip() or None
+    return title, "\n".join(p.lines)
+
+
+HTML_TEXT_SCHEMA = "title string, text string"
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "text",
+    boilerplate: bool = True,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Column form: (keep_cols..., title, text). keep_cols defaults to
+    every non-html column — pass an explicit subset on wide frames so the
+    Arrow transfer only carries what survives (column pruning through a
+    mapInPandas boundary is manual)."""
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != html_col
+    ]
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keep
+    )
+    schema = (schema + ", " if schema else "") + HTML_TEXT_SCHEMA
+
+    def _extract(batches):
+        for pdf in batches:
+            titles, texts = [], []
+            for h in pdf[html_col]:
+                t, x = extract_html(h if isinstance(h, str) else "", boilerplate)
+                titles.append(t)
+                texts.append(x)
+            out = pdf[keep].copy()
+            out["title"] = titles
+            out["text"] = texts
+            yield out
+
+    return df.select(*keep, html_col).mapInPandas(_extract, schema)
+
+
+def sql_escape_html(text: str) -> str:
+    """DuckDB mirror of ``escape_html_expr`` (oracle side)."""
+    return (
+        f"replace(replace(replace({text}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    )
+
+
+def escape_html_expr(text):
+    """Minimal HTML escaping (&, <, >) as JVM column math — used by the
+    round-trip oracle to build markup from corpus text inside the plan."""
+    return F.replace(
+        F.replace(
+            F.replace(text, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )

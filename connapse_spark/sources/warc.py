@@ -1,0 +1,350 @@
+"""WARC (Web ARChive, ISO 28500) reader + writer — the Common Crawl
+ingest path a web-scale training pipeline starts from.
+
+The reference parses txt/pdf/office only (Parsers/*.cs); this module
+extends the parser family (P1-P5) in the training-data direction the
+build brief asks for: 100 TB corpora arrive as ``.warc.gz`` files (one
+gzip member per record — the Common Crawl convention, which makes every
+record independently seekable), and the first pipeline stage is
+"WARC → (url, http status, content-type, payload)".
+
+Spark shape: ``spark.read.format("binaryFile")`` gives one row per
+archive file (path, content) with files spread across tasks —
+embarrassingly parallel, no shuffle; each task walks its files' records
+with a pure stdlib parser inside Arrow-batched ``mapInPandas``. At
+100 TB (≈100k CC warc.gz files of ~1 GB) the unit of parallelism is the
+file, which matches how CC shards: scale = add executors. binaryFile
+materializes a whole file per row (2 GB format ceiling > the ~1 GB CC
+file size); a multi-TB *single* archive would need a range-splitting
+datasource — per-member gzip makes that possible (split at member
+boundaries), and ``iter_warc_records`` already parses from any byte
+offset that starts a member.
+
+Writer + parser are deterministic and stdlib-only (gzip/zlib + bytes),
+so fixture round-trips pin the oracle exactly, the same discipline as
+``docgen.py`` / ``binary_decode.py``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CRLF = b"\r\n"
+
+# ---------------------------------------------------------------------------
+# writer (fixture/docgen side)
+# ---------------------------------------------------------------------------
+
+
+def make_warc_record(
+    warc_type: str,
+    payload: bytes,
+    target_uri: str | None = None,
+    content_type: str = "application/http; msgtype=response",
+    date: str = "2024-01-01T00:00:00Z",
+    extra_headers: dict[str, str] | None = None,
+) -> bytes:
+    """One WARC/1.0 record. The record id derives from sha256 of
+    (type, uri, payload) so identical inputs give identical bytes —
+    fixtures stay hash-pinnable."""
+    rid = hashlib.sha256(
+        warc_type.encode() + (target_uri or "").encode() + payload
+    ).hexdigest()[:32]
+    headers = [
+        ("WARC-Type", warc_type),
+        ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
+        ("WARC-Date", date),
+        ("Content-Type", content_type),
+        ("Content-Length", str(len(payload))),
+    ]
+    if target_uri is not None:
+        headers.insert(2, ("WARC-Target-URI", target_uri))
+    for k, v in (extra_headers or {}).items():
+        headers.append((k, v))
+    head = b"WARC/1.0" + CRLF
+    head += CRLF.join(f"{k}: {v}".encode() for k, v in headers)
+    # record = headers, blank line, payload, two blank lines (ISO 28500 §4)
+    return head + CRLF + CRLF + payload + CRLF + CRLF
+
+
+def make_http_response(
+    status: int,
+    body: bytes,
+    content_type: str = "text/html; charset=utf-8",
+    reason: str = "OK",
+) -> bytes:
+    """The HTTP response head+body that a WARC ``response`` record wraps."""
+    head = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+    ).encode()
+    return head + CRLF + body
+
+
+def make_warc(records: list[bytes], gzip_members: bool = True) -> bytes:
+    """Assemble records into one archive. ``gzip_members=True`` writes the
+    Common Crawl layout — each record its own gzip member (mtime pinned to
+    0 so the bytes are deterministic); ``False`` writes a plain ``.warc``."""
+    if not gzip_members:
+        return b"".join(records)
+    out = io.BytesIO()
+    for rec in records:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(rec)
+        out.write(buf.getvalue())
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def _ungzip_all(blob: bytes) -> bytes:
+    """Concatenate every gzip member (tolerates trailing garbage after the
+    last complete member — a truncated tail upload keeps its good prefix)."""
+    out, pos = [], 0
+    while pos < len(blob):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        try:
+            out.append(d.decompress(blob[pos:]))
+        except zlib.error:
+            break
+        if not d.eof:  # truncated final member: keep what decompressed
+            break
+        consumed = len(blob) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
+def iter_warc_records(blob: bytes):
+    """Yield ``(headers: dict, payload: bytes, warning: str|None)`` per
+    record. Accepts plain or gzip'ed (multi-member) archives and both CRLF
+    and bare-LF header line endings. Malformed records (bad/missing
+    Content-Length, headers without a version line) are skipped by scanning
+    forward to the next ``WARC/`` magic, with a warning attached to the
+    NEXT successfully parsed record (or yielded standalone at EOF) so a
+    100 TB run can count corruption without dying on it."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = _ungzip_all(blob)
+    pos, pending_warning = 0, None
+    while True:
+        # the two blank lines that terminate the previous record (ISO 28500
+        # §4) are legal inter-record bytes, not corruption
+        while pos < len(blob) and blob[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        start = blob.find(b"WARC/", pos)
+        if start < 0:
+            if pending_warning:
+                yield {}, b"", pending_warning
+            return
+        if start > pos and pending_warning is None:
+            pending_warning = f"skipped {start - pos} stray bytes at {pos}"
+        # header block ends at the first blank line (CRLFCRLF or LFLF)
+        hdr_end_crlf = blob.find(b"\r\n\r\n", start)
+        hdr_end_lf = blob.find(b"\n\n", start)
+        ends = [e for e in (hdr_end_crlf, hdr_end_lf) if e >= 0]
+        if not ends:
+            yield {}, b"", pending_warning or "truncated header block"
+            return
+        hdr_end = min(ends)
+        sep = 4 if hdr_end == hdr_end_crlf else 2
+        head = blob[start:hdr_end].decode("utf-8", errors="replace")
+        lines = head.replace("\r\n", "\n").split("\n")
+        headers: dict[str, str] = {"warc-version": lines[0].strip()}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        body_start = hdr_end + sep
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            pending_warning = f"bad Content-Length in record at {start}"
+            pos = body_start
+            continue
+        payload = blob[body_start : body_start + length]
+        if len(payload) < length:
+            yield headers, payload, "truncated payload (archive cut short)"
+            return
+        yield headers, payload, pending_warning
+        pending_warning = None
+        pos = body_start + length
+
+
+def split_http_response(body: bytes) -> tuple[int | None, dict[str, str], bytes]:
+    """(status, headers, payload) from the HTTP message a ``response``
+    record wraps; (None, {}, body) if it isn't an HTTP message."""
+    if not body.startswith(b"HTTP/"):
+        return None, {}, body
+    for sep, width in ((b"\r\n\r\n", 4), (b"\n\n", 2)):
+        end = body.find(sep)
+        if end >= 0:
+            break
+    else:
+        return None, {}, b""
+    head = body[:end].decode("utf-8", errors="replace").replace("\r\n", "\n")
+    lines = head.split("\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, {}, body
+    headers = {}
+    for line in lines[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return status, headers, body[end + width :]
+
+
+def decode_text_payload(payload: bytes, content_type: str | None) -> str | None:
+    """Decode an html/text payload using the declared charset, utf-8 with
+    latin-1 fallback otherwise; None for non-text content types."""
+    ct = (content_type or "").lower()
+    if not (ct.startswith("text/") or "html" in ct or "xml" in ct or "json" in ct):
+        return None
+    charset = None
+    if "charset=" in ct:
+        charset = ct.split("charset=", 1)[1].split(";")[0].strip().strip('"')
+    for enc in filter(None, (charset, "utf-8")):
+        try:
+            return payload.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            continue
+    return payload.decode("latin-1")
+
+
+WARC_RECORDS_SCHEMA = (
+    "warc_file string, record_idx int, warc_type string, target_uri string, "
+    "http_status int, content_type string, payload binary, text string, "
+    "warning string"
+)
+
+
+def warc_records(binary_df: DataFrame) -> DataFrame:
+    """binaryFile frame (path, content) → one row per WARC record.
+    Pure per-file work inside Arrow batches: no shuffle, predicate on
+    warc_type/status/content_type prunes before anything downstream."""
+
+    def _parse(batches):
+        for pdf in batches:
+            out = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                for i, (hdrs, payload, warning) in enumerate(
+                    iter_warc_records(bytes(blob or b""))
+                ):
+                    wtype = hdrs.get("warc-type")
+                    uri = hdrs.get("warc-target-uri")
+                    status, http_hdrs, body = (None, {}, payload)
+                    if wtype in ("response", "revisit"):
+                        status, http_hdrs, body = split_http_response(payload)
+                    ct = http_hdrs.get("content-type") or (
+                        None if wtype in ("response", "revisit") else hdrs.get("content-type")
+                    )
+                    text = decode_text_payload(body, ct) if wtype == "response" else None
+                    out.append((path, i, wtype, uri, status, ct, body, text, warning))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "warc_file", "record_idx", "warc_type", "target_uri",
+                    "http_status", "content_type", "payload", "text", "warning",
+                ],
+            )
+
+    return binary_df.select("path", "content").mapInPandas(_parse, WARC_RECORDS_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """``read_warc(spark, "s3a://cc/segments/*/warc/*.warc.gz")`` — file
+    listing/distribution via binaryFile, record parsing via warc_records."""
+    blobs = spark.read.format("binaryFile").load(path_glob)
+    return warc_records(blobs)
+
+
+def web_documents(records: DataFrame) -> DataFrame:
+    """The stage-one pipeline projection: successful html responses only →
+    (url, text). Filters run before the (already cheap) projection so a
+    real corpus drops the ~40% of CC records that are request/metadata
+    rows without decoding them further downstream."""
+    return (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("content_type").contains("html")
+            & F.col("text").isNotNull()
+            & F.col("warning").isNull()  # truncated/recovered records stay out
+        )
+        .select(F.col("target_uri").alias("url"), "text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixture (edge-case archive for the pinned oracle; docgen discipline)
+# ---------------------------------------------------------------------------
+
+
+def fixture_warc() -> list[tuple[str, bytes]]:
+    """Deterministic archives covering the parse surface: gzip-member and
+    plain layouts, warcinfo/request/response types, non-200, non-text,
+    declared non-utf8 charset, a bad-Content-Length record to skip, and a
+    truncated final record."""
+    html = "<html><head><title>T\u00e9st</title></head><body><p>caf\u00e9 &amp; more</p></body></html>"
+    recs = [
+        make_warc_record("warcinfo", b"software: connapse-spark\r\n",
+                         content_type="application/warc-fields"),
+        make_warc_record(
+            "request", b"GET / HTTP/1.1\r\nHost: a.example\r\n\r\n",
+            target_uri="https://a.example/",
+            content_type="application/http; msgtype=request",
+        ),
+        make_warc_record(
+            "response",
+            make_http_response(200, html.encode("utf-8")),
+            target_uri="https://a.example/",
+        ),
+        make_warc_record(
+            "response",
+            make_http_response(404, b"gone", content_type="text/plain", reason="Not Found"),
+            target_uri="https://a.example/missing",
+        ),
+        make_warc_record(
+            "response",
+            make_http_response(200, b"%PDF-1.4 fake", content_type="application/pdf"),
+            target_uri="https://a.example/doc.pdf",
+        ),
+        make_warc_record(
+            "response",
+            make_http_response(
+                200, "ol\u00e9".encode("latin-1"),
+                content_type="text/html; charset=iso-8859-1",
+            ),
+            target_uri="https://b.example/latin",
+        ),
+    ]
+    good_gz = make_warc(recs, gzip_members=True)
+    good_plain = make_warc(recs, gzip_members=False)
+    # bad Content-Length record between two good ones: parser skips to next
+    bad = make_warc_record("response", make_http_response(200, b"x"),
+                           target_uri="https://c.example/bad")
+    bad = bad.replace(b"Content-Length: ", b"Content-Length: NaN-", 1)
+    mixed = make_warc([recs[2], bad, recs[3]], gzip_members=False)
+    # truncated final record (payload cut mid-way)
+    trunc = make_warc([recs[2]], gzip_members=False)[:-20]
+    return [
+        ("/fx/good.warc.gz", good_gz),
+        ("/fx/good.warc", good_plain),
+        ("/fx/mixed.warc", mixed),
+        ("/fx/trunc.warc", trunc),
+    ]

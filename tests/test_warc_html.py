@@ -1,0 +1,270 @@
+"""WARC reader/writer + HTML extraction (sources/warc.py, operators/htmltext.py)."""
+
+import gzip
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from connapse_spark.operators.htmltext import extract_html, extract_html_text
+from connapse_spark.sources import warc
+
+
+# ---------------------------------------------------------------------------
+# pure-function layer
+# ---------------------------------------------------------------------------
+
+
+def test_record_roundtrip_plain_and_gz():
+    recs = [
+        warc.make_warc_record(
+            "response",
+            warc.make_http_response(200, b"<html><p>hi</p></html>"),
+            target_uri="https://x.example/",
+        ),
+        warc.make_warc_record("warcinfo", b"k: v\r\n", content_type="application/warc-fields"),
+    ]
+    for gz in (False, True):
+        blob = warc.make_warc(recs, gzip_members=gz)
+        parsed = list(warc.iter_warc_records(blob))
+        assert [h.get("warc-type") for h, _, _ in parsed] == ["response", "warcinfo"]
+        assert all(w is None for _, _, w in parsed)
+        status, hdrs, body = warc.split_http_response(parsed[0][1])
+        assert status == 200
+        assert hdrs["content-type"] == "text/html; charset=utf-8"
+        assert body == b"<html><p>hi</p></html>"
+
+
+def test_gzip_members_are_independent():
+    # the CC layout property: each record decompresses on its own
+    recs = [
+        warc.make_warc_record("response", warc.make_http_response(200, bytes([i]) * 10),
+                              target_uri=f"https://x/{i}")
+        for i in range(3)
+    ]
+    blob = warc.make_warc(recs, gzip_members=True)
+    # find the second member boundary by decompressing member-by-member
+    first = gzip.decompress(blob)  # multi-member concat
+    assert first == b"".join(recs)
+
+
+def test_bad_content_length_skips_to_next_record():
+    good = warc.make_warc_record("response", warc.make_http_response(200, b"ok"),
+                                 target_uri="https://g/")
+    bad = good.replace(b"Content-Length: ", b"Content-Length: NaN-", 1)
+    blob = warc.make_warc([bad, good], gzip_members=False)
+    parsed = list(warc.iter_warc_records(blob))
+    assert len(parsed) == 1
+    hdrs, payload, warning = parsed[0]
+    assert hdrs["warc-target-uri"] == "https://g/"
+    assert warning is not None and "Content-Length" in warning
+
+
+def test_truncated_payload_yields_warning_and_stops():
+    good = warc.make_warc_record("response", warc.make_http_response(200, b"0123456789"),
+                                 target_uri="https://g/")
+    parsed = list(warc.iter_warc_records(good[:-14]))
+    assert len(parsed) == 1
+    assert parsed[0][2] is not None and "truncated" in parsed[0][2]
+
+
+def test_truncated_gzip_member_keeps_good_prefix():
+    recs = [
+        warc.make_warc_record("response", warc.make_http_response(200, b"a" * 100),
+                              target_uri="https://a/"),
+        warc.make_warc_record("response", warc.make_http_response(200, b"b" * 100),
+                              target_uri="https://b/"),
+    ]
+    blob = warc.make_warc(recs, gzip_members=True)
+    parsed = list(warc.iter_warc_records(blob[:-30]))  # cut inside member 2
+    assert [h.get("warc-target-uri") for h, _, _ in parsed if h] >= ["https://a/"]
+
+
+def test_charset_decode():
+    assert warc.decode_text_payload("olé".encode("latin-1"),
+                                    "text/html; charset=iso-8859-1") == "olé"
+    assert warc.decode_text_payload("olé".encode(), "text/html") == "olé"
+    assert warc.decode_text_payload(b"\xff\xfe", "text/plain") == "ÿþ"  # latin-1 fallback
+    assert warc.decode_text_payload(b"%PDF", "application/pdf") is None
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(min_size=0, max_size=80),
+                  st.binary(min_size=0, max_size=200)),
+        min_size=0, max_size=5,
+    ),
+    st.booleans(),
+)
+def test_property_writer_parser_roundtrip(pairs, gz):
+    recs = [
+        warc.make_warc_record("response", warc.make_http_response(200, body),
+                              target_uri="https://e/" + uri.replace("\r", "").replace("\n", ""))
+        for uri, body in pairs
+    ]
+    parsed = list(warc.iter_warc_records(warc.make_warc(recs, gzip_members=gz)))
+    assert len(parsed) == len(recs)
+    for (_, body_in), (hdrs, payload, warning) in zip(pairs, parsed):
+        assert warning is None
+        assert warc.split_http_response(payload)[2] == body_in
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction
+# ---------------------------------------------------------------------------
+
+
+def test_extract_html_blocks_and_title():
+    title, text = extract_html(
+        "<html><head><title>  My   Page </title><style>p{x}</style></head>"
+        "<body><nav><ul><li>Home</li></ul></nav>"
+        "<article><h1>Head</h1><p>one\n  two</p><p>three</p></article>"
+        "<script>var x = '<p>no</p>';</script>"
+        "<footer>(c) nope</footer></body></html>"
+    )
+    assert title == "My Page"
+    assert text == "Head\none two\nthree"
+
+
+def test_extract_html_keeps_chrome_when_asked():
+    _, text = extract_html(
+        "<body><nav>Menu</nav><p>body</p></body>", boilerplate=False
+    )
+    assert text == "Menu\nbody"
+
+
+def test_extract_html_entities_and_malformed():
+    title, text = extract_html(
+        "<title>a &amp; b</title><p>x &lt;tag&gt; &#233;</p><div>open"
+    )
+    assert title == "a & b"
+    assert text == "x <tag> é\nopen"
+
+
+def test_extract_html_svg_title_is_not_the_title():
+    title, text = extract_html(
+        "<svg><title>icon</title><text>glyph</text></svg><p>real</p><title>Page</title>"
+    )
+    assert title == "Page"
+    assert text == "real"
+
+
+def test_extract_html_empty_and_none():
+    assert extract_html("") == (None, "")
+    assert extract_html("<head><title></title></head>") == (None, "")
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=300))
+def test_property_extract_never_raises_and_never_leaks_tags(s):
+    _, text = extract_html(s)
+    # output never contains an unescaped script/style body marker
+    assert "\r" not in text
+    for line in text.split("\n"):
+        assert line == line.strip()
+        assert "  " not in line
+
+
+# ---------------------------------------------------------------------------
+# Spark layer
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def records_df(spark):
+    blobs = spark.createDataFrame(warc.fixture_warc(), "path string, content binary")
+    return warc.warc_records(blobs).cache()
+
+
+def test_warc_records_df(records_df):
+    rows = {(r.warc_file, r.record_idx): r for r in records_df.collect()}
+    good = [r for (f, _), r in sorted(rows.items()) if f == "/fx/good.warc.gz"]
+    assert [r.warc_type for r in good] == [
+        "warcinfo", "request", "response", "response", "response", "response"
+    ]
+    html_rec = good[2]
+    assert html_rec.http_status == 200
+    assert "café &amp; more" in html_rec.text
+    assert good[3].http_status == 404
+    assert good[4].content_type == "application/pdf" and good[4].text is None
+    assert good[5].text == "olé"  # declared latin-1 honored
+    # plain layout parses identically
+    plain = [r for (f, _), r in sorted(rows.items()) if f == "/fx/good.warc"]
+    assert [r.warc_type for r in plain] == [r.warc_type for r in good]
+    assert plain[2].text == html_rec.text
+    # mixed: bad record skipped, warning lands on the next good record
+    mixed = [r for (f, _), r in sorted(rows.items()) if f == "/fx/mixed.warc"]
+    assert [r.http_status for r in mixed] == [200, 404]
+    assert mixed[1].warning is not None
+    # truncated: the one cut record surfaces with a warning
+    trunc = [r for (f, _), r in sorted(rows.items()) if f == "/fx/trunc.warc"]
+    assert len(trunc) == 1 and "truncated" in trunc[0].warning
+
+
+def test_web_documents_projection(records_df):
+    docs = warc.web_documents(records_df).collect()
+    # html 200s only: one from each of good.warc.gz / good.warc / mixed.warc
+    # (+ the latin-1 page from each good layout)
+    urls = sorted(d.url for d in docs)
+    assert urls == [
+        "https://a.example/", "https://a.example/", "https://a.example/",
+        "https://b.example/latin", "https://b.example/latin",
+    ]
+
+
+def test_extract_html_text_df(spark):
+    df = spark.createDataFrame(
+        [("d1", "<title>T1</title><nav>chrome</nav><p>alpha  beta</p>"),
+         ("d2", "<p>solo</p>")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in extract_html_text(df, "text").collect()}
+    assert out["d1"].title == "T1" and out["d1"].text == "alpha beta"
+    assert out["d2"].title is None and out["d2"].text == "solo"
+
+
+def test_warc_to_text_pipeline(spark):
+    """End-to-end stage one: archive bytes → web_documents → extract."""
+    blobs = spark.createDataFrame(
+        [t for t in warc.fixture_warc() if t[0] == "/fx/good.warc.gz"],
+        "path string, content binary",
+    )
+    docs = warc.web_documents(warc.warc_records(blobs))
+    out = extract_html_text(docs, "text").orderBy("url").collect()
+    assert [(r.url, r.title, r.text) for r in out] == [
+        ("https://a.example/", "Tést", "café & more"),
+        ("https://b.example/latin", None, "olé"),
+    ]
+
+
+def test_parse_warc_oracle_constants():
+    """The pinned literals in __spark_entry__._sql_parse_warc must equal the
+    pure parser's outputs over the fixture bytes (regeneration recipe: print
+    the rows this test computes)."""
+    import hashlib
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    expected = []
+    for path, blob in warc.fixture_warc():
+        for i, (h, payload, w) in enumerate(warc.iter_warc_records(blob)):
+            wtype = h.get("warc-type")
+            status, hh, body = (None, {}, payload)
+            if wtype in ("response", "revisit"):
+                status, hh, body = warc.split_http_response(payload)
+            ct = hh.get("content-type") or (
+                None if wtype in ("response", "revisit") else h.get("content-type")
+            )
+            text = warc.decode_text_payload(body, ct) if wtype == "response" else None
+            expected.append((
+                path, i, wtype, h.get("warc-target-uri"), status, ct,
+                hashlib.sha256(body).hexdigest()[:16],
+                hashlib.sha256(text.encode()).hexdigest()[:16] if text is not None else None,
+                w is not None,
+            ))
+    expected.sort(key=lambda r: (r[0], r[1]))
+    got = duckdb.connect().execute(entry._sql_parse_warc()).fetchall()
+    assert [tuple(r) for r in got] == expected
