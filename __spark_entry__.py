@@ -1468,12 +1468,12 @@ ORDER BY doc_id
 
 # wider modulus than _EXTS so the P5 gate actually rejects: exe/bin are
 # unsupported, pdf/docx route to the binary parser family
-_DISPATCH_EXTS = ["md", "txt", "csv", "pdf", "docx", "exe", "bin"]
+_DISPATCH_EXTS = ["md", "txt", "csv", "pdf", "docx", "html", "exe", "bin"]
 
 
 def _dispatch_path(docs):
     ext = F.element_at(
-        F.array(*[F.lit(e) for e in _DISPATCH_EXTS]), (F.col("doc_id") % 7 + 1).cast("int")
+        F.array(*[F.lit(e) for e in _DISPATCH_EXTS]), (F.col("doc_id") % 8 + 1).cast("int")
     )
     return F.concat(
         F.lit("/"), F.col("source"), F.lit("/doc_"), F.col("doc_id").cast("string"),
@@ -1483,7 +1483,7 @@ def _dispatch_path(docs):
 
 _SQL_DISPATCH_PATH = (
     "concat('/', source, '/doc_', doc_id, '.', "
-    "['md','txt','csv','pdf','docx','exe','bin'][(doc_id % 7 + 1)::INT])"
+    "['md','txt','csv','pdf','docx','html','exe','bin'][(doc_id % 8 + 1)::INT])"
 )
 
 
@@ -2632,6 +2632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (WARC ingest + HTML extraction) and take the first seats.
         "parse_warc": q_parse_warc,
         "html_extract": q_html_extract,
+        "parser_dispatch": q_parser_dispatch,
         "hybrid_ann": q_hybrid_ann,
         "hybrid_ann_probe": q_hybrid_ann_probe,
         "hybrid_many_ann": q_hybrid_many_ann,
@@ -2731,7 +2732,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_semantic_stddev": q_chunk_semantic_stddev,
         "chunk_semantic_gradient": q_chunk_semantic_gradient,
         "markdown_sections": q_markdown_sections,
-        "parser_dispatch": q_parser_dispatch,
         "hybrid_window": q_hybrid_window,
         "ann_ivf_seeded": q_ann_ivf_seeded,
         "ivf_upsert": q_ivf_upsert,

@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 TEXT_EXTENSIONS = [".txt", ".md", ".markdown", ".csv", ".log", ".json", ".xml", ".yaml", ".yml"]
 BINARY_EXTENSIONS = [".pdf", ".docx", ".pptx"]
-SUPPORTED_EXTENSIONS = TEXT_EXTENSIONS + BINARY_EXTENSIONS
+# engine extension beyond FileTypeValidator.cs: HTML routes through the
+# boilerplate-stripping extractor (operators/htmltext.py), not TextParser
+HTML_EXTENSIONS = [".html", ".htm", ".xhtml"]
+SUPPORTED_EXTENSIONS = TEXT_EXTENSIONS + BINARY_EXTENSIONS + HTML_EXTENSIONS
 
 
 def file_ext(path: Column) -> Column:
@@ -52,6 +55,7 @@ def parser_kind_expr(path: Column) -> Column:
     return (
         F.when(ext.isin(TEXT_EXTENSIONS), F.lit("text"))
         .when(ext.isin(BINARY_EXTENSIONS), F.lit("binary"))
+        .when(ext.isin(HTML_EXTENSIONS), F.lit("html"))
         .otherwise(F.lit(None).cast("string"))
     )
 
@@ -60,9 +64,11 @@ def sql_parser_kind(path: str) -> str:
     ext = sql_file_ext(path)
     t = ", ".join(f"'{e}'" for e in TEXT_EXTENSIONS)
     b = ", ".join(f"'{e}'" for e in BINARY_EXTENSIONS)
+    h = ", ".join(f"'{e}'" for e in HTML_EXTENSIONS)
     return (
         f"CASE WHEN {ext} IN ({t}) THEN 'text' "
-        f"WHEN {ext} IN ({b}) THEN 'binary' ELSE NULL END"
+        f"WHEN {ext} IN ({b}) THEN 'binary' "
+        f"WHEN {ext} IN ({h}) THEN 'html' ELSE NULL END"
     )
 
 
@@ -172,3 +178,81 @@ def parse_binary_documents(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.select("path", "content").mapInPandas(_parse, PARSED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# HTML parse path + unified router (engine extension past FileTypeValidator)
+# ---------------------------------------------------------------------------
+
+
+def parse_html_documents(binary_df: DataFrame, boilerplate: bool = True) -> DataFrame:
+    """HTML files through the boilerplate-stripping extractor
+    (operators/htmltext.py), emitting the same PARSED_SCHEMA as the
+    binary parsers so downstream (chunk -> embed -> sink) is
+    parser-agnostic: content = extracted text, metadata.Title from
+    <title>, n_pages = 1, undecodable bytes -> warning + latin-1
+    fallback (never a dropped row)."""
+    from connapse_spark.operators.htmltext import extract_html
+
+    def _parse(batches):
+        for pdf in batches:
+            out = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                raw = bytes(blob or b"")
+                warnings = []
+                try:
+                    html = raw.decode("utf-8")
+                except UnicodeDecodeError:
+                    html = raw.decode("latin-1")
+                    warnings.append("utf-8 decode failed; latin-1 fallback")
+                title, text = extract_html(html)
+                meta = {"Title": title} if title else {}
+                out.append((path, text, 1, meta, warnings, None))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "path", "content", "n_pages", "metadata", "warnings", "parse_error"
+                ],
+            )
+
+    return binary_df.select("path", "content").mapInPandas(_parse, PARSED_SCHEMA)
+
+
+def parse_documents_auto(binary_df: DataFrame) -> DataFrame:
+    """P4 dispatch over a binaryFile-shaped frame, one output schema:
+    route by extension to the text / binary / html parser family;
+    unsupported extensions become error rows (the validator's reject,
+    kept as data so a 100 TB ingest can count them instead of dying).
+
+    Plan shape: three filtered branches of the SAME scan unioned back
+    together — Spark pushes the isin() filters into each branch, no
+    shuffle anywhere (union is shuffle-free), and each branch's
+    mapInPandas only sees its own rows."""
+    kind = parser_kind_expr(F.col("path"))
+    tagged = binary_df.withColumn("_kind", kind)
+
+    binary = parse_binary_documents(tagged.filter(F.col("_kind") == "binary"))
+    html = parse_html_documents(tagged.filter(F.col("_kind") == "html"))
+    # text family: utf-8 decode is column math; P1 metadata lives on the
+    # text, content passes through unchanged
+    text = tagged.filter(F.col("_kind") == "text").select(
+        "path",
+        F.col("content").cast("string").alias("content"),
+        F.lit(1).alias("n_pages"),
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ).alias("metadata"),
+        F.array().cast("array<string>").alias("warnings"),
+        F.lit(None).cast("string").alias("parse_error"),
+    )
+    rejected = tagged.filter(F.col("_kind").isNull()).select(
+        "path",
+        F.lit("").alias("content"),
+        F.lit(0).alias("n_pages"),
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ).alias("metadata"),
+        F.array().cast("array<string>").alias("warnings"),
+        F.lit("UnsupportedFormat").alias("parse_error"),
+    )
+    return text.unionByName(binary).unionByName(html).unionByName(rejected)

@@ -268,3 +268,29 @@ def test_parse_warc_oracle_constants():
     expected.sort(key=lambda r: (r[0], r[1]))
     got = duckdb.connect().execute(entry._sql_parse_warc()).fetchall()
     assert [tuple(r) for r in got] == expected
+
+
+def test_parse_documents_auto_routes_all_kinds(spark):
+    from connapse_spark.sources import docgen, parsers
+
+    rows = [
+        ("/a/page.html", b"<title>T</title><nav>chrome</nav><p>body  text</p>"),
+        ("/a/plain.txt", b"plain"),
+        ("/a/prog.exe", b"MZ"),
+        ("/a/notes.docx", dict(docgen.fixture_corpus())["/fx/notes.docx"]),
+        ("/a/bad.html", "olé".encode("latin-1")),  # broken utf-8 → fallback
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r.path: r for r in parsers.parse_documents_auto(df).collect()}
+    assert out["/a/page.html"].content == "body text"
+    assert dict(out["/a/page.html"].metadata) == {"Title": "T"}
+    assert out["/a/plain.txt"].content == "plain"
+    assert out["/a/prog.exe"].parse_error == "UnsupportedFormat"
+    assert out["/a/notes.docx"].metadata["Title"] == "Notes"
+    assert out["/a/bad.html"].content == "olé"
+    assert any("latin-1" in w for w in out["/a/bad.html"].warnings)
+    # the P4 kind column routes .html distinctly from text
+    kinds = df.select(
+        "path", parsers.parser_kind_expr(parsers.F.col("path")).alias("k")
+    ).collect()
+    assert {r.path: r.k for r in kinds}["/a/page.html"] == "html"
