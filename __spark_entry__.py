@@ -1695,6 +1695,48 @@ ORDER BY doc_id
 """.strip()
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """Full-stack web pipeline: documents → HTML pages (JVM template) →
+    distributed WARC shard export (gzip members, one archive per task —
+    sources/warc.export_warc_shards) → re-ingest through warc_records →
+    web_documents → boilerplate-stripped extraction. The corpus must
+    survive the disk format byte-exactly, so the oracle is again a pure
+    projection of ``documents`` — writer, gzip framing, record parser,
+    HTTP split, charset decode, and extractor all sit on the verified
+    path."""
+    from connapse_spark.operators import htmltext as _ht
+    from connapse_spark.sources import warc as _warc
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><header>site chrome</header><main><p>"),
+        _ht.escape_html_expr(F.col("text")),
+        F.lit("</p></main><footer>foot</footer></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://ex.com/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        page.alias("text"),
+    )
+    shards = _warc.export_warc_shards(pages, n_shards=8)
+    recs = _warc.warc_records(
+        shards.select(F.col("shard").cast("string").alias("path"), "content")
+    )
+    out = _ht.extract_html_text(_warc.web_documents(recs), "text", boilerplate=True)
+    return out.select("url", "title", "text").orderBy("url")
+
+
+def _sql_warc_roundtrip() -> str:
+    return """
+SELECT 'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g')) AS text
+FROM documents
+ORDER BY url
+""".strip()
+
+
 # deterministic URL synthesis for the web-operator queries (the corpus has
 # no url column): scheme/host/port/query each cycle through literal pools
 # keyed on doc_id, exercising case-folding, default+explicit ports, eTLD+1
@@ -2632,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (WARC ingest + HTML extraction) and take the first seats.
         "parse_warc": q_parse_warc,
         "html_extract": q_html_extract,
+        "warc_roundtrip": q_warc_roundtrip,
         "parser_dispatch": q_parser_dispatch,
         "hybrid_ann": q_hybrid_ann,
         "hybrid_ann_probe": q_hybrid_ann_probe,
@@ -2959,6 +3002,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_binary": _sql_parse_binary(),
         "parse_warc": _sql_parse_warc(),
         "html_extract": _sql_html_extract(),
+        "warc_roundtrip": _sql_warc_roundtrip(),
         "url_canonicalize": _sql_url_canonicalize(),
         "domain_caps": _sql_domain_caps(),
         "domain_stats": _sql_domain_stats(),

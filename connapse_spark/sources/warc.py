@@ -348,3 +348,53 @@ def fixture_warc() -> list[tuple[str, bytes]]:
         ("/fx/mixed.warc", mixed),
         ("/fx/trunc.warc", trunc),
     ]
+
+
+# ---------------------------------------------------------------------------
+# export (the write half: corpus → WARC shards, the CC re-publish shape)
+# ---------------------------------------------------------------------------
+
+EXPORT_SCHEMA = "shard bigint, content binary, n_records int"
+
+
+def export_warc_shards(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "text",
+    content_type: str = "text/html; charset=utf-8",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """(url, html) rows → one gzip-member WARC archive per partition
+    (shard, content, n_records). Map-side only after the optional
+    repartition: each task serializes its own rows, so shard count =
+    partition count and 100 TB export scales with executors. Rows are
+    sorted by url within a shard so shard bytes are a deterministic
+    function of shard membership. Round-trip contract:
+    ``warc_records(export(df))`` re-yields every row (tests + the
+    warc_roundtrip oracle pin it)."""
+    if n_shards is not None:
+        df = df.repartition(n_shards, url_col)
+
+    def _write(batches):
+        rows = []
+        for pdf in batches:
+            rows.extend(zip(pdf[url_col], pdf[html_col]))
+        rows.sort(key=lambda r: r[0])
+        recs = [
+            make_warc_record(
+                "response",
+                make_http_response(200, (html or "").encode("utf-8"),
+                                   content_type=content_type),
+                target_uri=url,
+            )
+            for url, html in rows
+        ]
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        yield pd.DataFrame(
+            [(pid, make_warc(recs, gzip_members=True), len(recs))],
+            columns=["shard", "content", "n_records"],
+        )
+
+    return df.select(url_col, html_col).mapInPandas(_write, EXPORT_SCHEMA)

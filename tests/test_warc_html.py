@@ -294,3 +294,22 @@ def test_parse_documents_auto_routes_all_kinds(spark):
         "path", parsers.parser_kind_expr(parsers.F.col("path")).alias("k")
     ).collect()
     assert {r.path: r.k for r in kinds}["/a/page.html"] == "html"
+
+
+def test_export_warc_shards_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(f"https://e/{i}", f"<p>doc {i} café</p>") for i in range(20)],
+        "url string, text string",
+    )
+    shards = warc.export_warc_shards(df, n_shards=4).collect()
+    assert sum(s.n_records for s in shards) == 20
+    assert all(bytes(s.content)[:2] == b"\x1f\x8b" for s in shards if s.n_records)
+    back = warc.warc_records(
+        spark.createDataFrame(
+            [(str(s.shard), s.content) for s in shards], "path string, content binary"
+        )
+    )
+    rows = warc.web_documents(back).orderBy("url").collect()
+    assert [(r.url, r.text) for r in rows] == sorted(
+        (f"https://e/{i}", f"<p>doc {i} café</p>") for i in range(20)
+    )
