@@ -47,6 +47,33 @@ def stream_text_files(spark: SparkSession, path: str, glob: str = "*.txt") -> Da
     )
 
 
+def stream_warc_files(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc.gz",
+    boilerplate: bool = True,
+) -> DataFrame:
+    """M3 for the web-ingest front (sources/warc.py): new WARC archives
+    under ``path`` → clean html-200 records → boilerplate-stripped
+    (url, title, text) rows. Each archive is parsed exactly once per the
+    file-source checkpoint — the crawl-drop directory pattern (a fetcher
+    lands ``.warc.gz`` shards; every activation drains only the new
+    ones). mapInPandas binds to streaming frames unchanged, so this is
+    the same code path the batch round-trip oracle verifies."""
+    from connapse_spark.operators.htmltext import extract_html_text
+    from connapse_spark.sources import warc as _warc
+
+    blobs = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    docs = _warc.web_documents(_warc.warc_records(blobs))
+    return extract_html_text(docs, "text", boilerplate=boilerplate)
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -255,3 +255,42 @@ def test_stream_stream_interval_join_attribution(spark, tmpdir):
     sp.run_available_now(joined, os.path.join(tmpdir, "attr-ckpt"), out)
     got = sorted((r["purchase_id"], r["view_id"]) for r in spark.read.parquet(out).collect())
     assert got == expected
+
+
+def test_stream_warc_files_two_activations(spark, tmpdir):
+    from connapse_spark.sources import warc
+
+    src = os.path.join(tmpdir, "crawl")
+    os.makedirs(src)
+
+    def _archive(name, pages):
+        recs = [
+            warc.make_warc_record(
+                "response",
+                warc.make_http_response(200, html.encode()),
+                target_uri=url,
+            )
+            for url, html in pages
+        ]
+        with open(os.path.join(src, name), "wb") as f:
+            f.write(warc.make_warc(recs, gzip_members=True))
+
+    _archive("seg-0.warc.gz", [
+        ("https://a/1", "<title>A1</title><nav>x</nav><p>alpha</p>"),
+        ("https://a/2", "<p>beta  gamma</p>"),
+    ])
+    out = os.path.join(tmpdir, "docs")
+    ckpt = os.path.join(tmpdir, "ckpt-warc")
+    sp.run_available_now(sp.stream_warc_files(spark, src), ckpt, out)
+    rows = {r.url: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"https://a/1", "https://a/2"}
+    assert rows["https://a/1"].title == "A1" and rows["https://a/1"].text == "alpha"
+    assert rows["https://a/2"].text == "beta gamma"
+
+    # activation 2: only the NEW archive's records land (exactly-once)
+    _archive("seg-1.warc.gz", [("https://b/1", "<p>delta</p>")])
+    sp.run_available_now(sp.stream_warc_files(spark, src), ckpt, out)
+    rows2 = spark.read.parquet(out).collect()
+    assert len(rows2) == 3
+    assert sum(1 for r in rows2 if r.url == "https://a/1") == 1
+    assert any(r.url == "https://b/1" and r.text == "delta" for r in rows2)
