@@ -1737,6 +1737,52 @@ ORDER BY url
 """.strip()
 
 
+def q_web_curate(spark, sf_dir):
+    """The crawl-to-corpus flagship composition: documents → HTML pages
+    (body inside <pre>, which the extractor keeps VERBATIM — the C4
+    code-block convention) → WARC shard export → re-ingest → extraction →
+    the full curate() verdict pipeline (exact dedup → MinHash near-dup →
+    decontamination → Gopher quality). Because <pre> round-trips the text
+    byte-exactly, the oracle is ``sql_curate`` over raw ``documents``
+    UNCHANGED — the whole web front (writer, gzip, record parse, HTTP
+    split, extractor) must be transparent for the verdicts to match."""
+    from connapse_spark.operators import htmltext as _ht
+    from connapse_spark.sources import warc as _warc
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><nav>chrome</nav><pre>"),
+        _ht.escape_html_expr(F.col("text")),
+        F.lit("</pre><footer>foot</footer></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://ex.com/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        page.alias("text"),
+    )
+    shards = _warc.export_warc_shards(pages, n_shards=8)
+    recs = _warc.warc_records(
+        shards.select(F.col("shard").cast("string").alias("path"), "content")
+    )
+    web = _ht.extract_html_text(_warc.web_documents(recs), "text", boilerplate=True)
+    crawled = web.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "text",
+    )
+    held_out = crawled.filter(F.col("doc_id") % 97 == 0)
+    blocklist = held_out.select(
+        F.explode(dedup.shingles_expr(F.col("text"), 3)).alias("s")
+    )
+    return curate.curate(crawled, blocklist, neardup_threshold=0.4, contam_n=3)
+
+
+def _sql_web_curate() -> str:
+    # the web front is transparent by construction, so the oracle is the
+    # same statement corpus_curate pins — over the raw table
+    return _sql_corpus_curate()
+
+
 # deterministic URL synthesis for the web-operator queries (the corpus has
 # no url column): scheme/host/port/query each cycle through literal pools
 # keyed on doc_id, exercising case-folding, default+explicit ports, eTLD+1
@@ -2675,6 +2721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_warc": q_parse_warc,
         "html_extract": q_html_extract,
         "warc_roundtrip": q_warc_roundtrip,
+        "web_curate": q_web_curate,
         "parser_dispatch": q_parser_dispatch,
         "hybrid_ann": q_hybrid_ann,
         "hybrid_ann_probe": q_hybrid_ann_probe,
@@ -3003,6 +3050,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_warc": _sql_parse_warc(),
         "html_extract": _sql_html_extract(),
         "warc_roundtrip": _sql_warc_roundtrip(),
+        "web_curate": _sql_web_curate(),
         "url_canonicalize": _sql_url_canonicalize(),
         "domain_caps": _sql_domain_caps(),
         "domain_stats": _sql_domain_stats(),

@@ -17,6 +17,9 @@ semantics — the contract the oracle pins:
   blockquote/pre/br/table/ul/ol``) split the output into lines;
 - within a block, whitespace runs collapse to single spaces and
   entities are decoded; blocks that collapse to '' vanish;
+- EXCEPT ``<pre>``: its content is kept verbatim (newlines, runs of
+  spaces — the C4 convention that code blocks survive extraction);
+  an all-whitespace pre vanishes like any empty block;
 - lines join with '\\n'.
 
 Pure function per document → Arrow-batched ``mapInPandas``: no shuffle,
@@ -51,12 +54,18 @@ class _Extractor(HTMLParser):
         self._drop_depth = 0
         self._in_head = 0
         self._in_title = False
+        self._in_pre = 0
         self.title_parts: list[str] = []
         self._block: list[str] = []
         self.lines: list[str] = []
 
     def _flush(self) -> None:
-        line = _WS_RE.sub(" ", "".join(self._block)).strip()
+        if self._in_pre:
+            line = "".join(self._block)  # verbatim
+            if not line.strip():
+                line = ""
+        else:
+            line = _WS_RE.sub(" ", "".join(self._block)).strip()
         self._block = []
         if line:
             self.lines.append(line)
@@ -71,7 +80,10 @@ class _Extractor(HTMLParser):
             self._in_head += 1
         elif tag == "title":
             self._in_title = True
-        elif tag in _BLOCK_TAGS:
+        elif tag == "pre":
+            self._flush()
+            self._in_pre += 1
+        elif tag in _BLOCK_TAGS and not self._in_pre:
             self._flush()
 
     def handle_endtag(self, tag):
@@ -85,7 +97,10 @@ class _Extractor(HTMLParser):
             self._in_head = max(0, self._in_head - 1)
         elif tag == "title":
             self._in_title = False
-        elif tag in _BLOCK_TAGS:
+        elif tag == "pre":
+            self._flush()
+            self._in_pre = max(0, self._in_pre - 1)
+        elif tag in _BLOCK_TAGS and not self._in_pre:
             self._flush()
 
     def handle_data(self, data):

@@ -159,11 +159,23 @@ def test_extract_html_empty_and_none():
 @given(st.text(max_size=300))
 def test_property_extract_never_raises_and_never_leaks_tags(s):
     _, text = extract_html(s)
+    if "<pre" in s.lower():
+        return  # pre content is verbatim by contract — no collapse invariants
     # output never contains an unescaped script/style body marker
     assert "\r" not in text
     for line in text.split("\n"):
         assert line == line.strip()
         assert "  " not in line
+
+
+def test_extract_html_pre_is_verbatim():
+    _, text = extract_html(
+        "<p>before  x</p><pre>a  b\n  indented\tcode</pre><p>after</p>"
+    )
+    assert text == "before x\na  b\n  indented\tcode\nafter"
+    # all-whitespace pre vanishes; nested tags inside pre don't flush
+    _, t2 = extract_html("<pre>   \n </pre><pre>x<br>y<code>z</code></pre>")
+    assert t2 == "xyz"
 
 
 # ---------------------------------------------------------------------------
