@@ -1783,6 +1783,97 @@ def _sql_web_curate() -> str:
     return _sql_corpus_curate()
 
 
+def q_link_graph(spark, sf_dir):
+    """Out-link extraction (operators/links.py): pages carry a relative
+    href (resolved against the page url), an absolute one with a fragment
+    (stripped), and a mailto: (dropped) — the oracle regenerates the two
+    surviving edges per page arithmetically."""
+    from connapse_spark.operators import links as _links
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit('<p>see <a href="p/'), (F.col("doc_id") * 2).cast("string"),
+        F.lit('">rel</a> and <a href="https://out.example/'),
+        (F.col("doc_id") + 7).cast("string"),
+        F.lit('#sec">abs</a> <a href="mailto:x@y">no</a></p>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://ex.com/doc/"), did).alias("url"), page.alias("text")
+    )
+    return _links.link_edges(pages, "url", "text").orderBy("src", "dst")
+
+
+def _sql_link_graph() -> str:
+    return """
+SELECT src, dst FROM (
+  SELECT 'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS src,
+         'https://ex.com/doc/p/' || CAST(doc_id * 2 AS VARCHAR) AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS src,
+         'https://out.example/' || CAST(doc_id + 7 AS VARCHAR) AS dst
+  FROM documents
+) ORDER BY src, dst
+""".strip()
+
+
+_PR_ITER, _PR_DAMP, _PR_NODES = 5, 0.85, 50
+
+
+def q_pagerank(spark, sf_dir):
+    """Damped PageRank by distributed power iteration (operators/links.py
+    — one edges⋈ranks shuffle + one aggregate per iteration, rank vector
+    persisted so lineage stays one-iteration deep, dangling mass folded
+    into the teleport term). The corpus-derived 50-node multigraph has
+    parallel edges, self-loops and dangling nodes; the oracle unrolls the
+    exact same 5 iterations as chained CTEs."""
+    from connapse_spark.operators import links as _links
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("n"), (F.col("doc_id") % _PR_NODES).cast("string")).alias("src"),
+        F.concat(
+            F.lit("n"), ((F.col("doc_id") * 13 + 7) % (2 * _PR_NODES)).cast("string")
+        ).alias("dst"),
+    )
+    pr = _links.pagerank(edges, n_iter=_PR_ITER, damping=_PR_DAMP, round_to=9)
+    return pr.orderBy("node")
+
+
+def _sql_pagerank() -> str:
+    d, k = _PR_DAMP, _PR_ITER
+    teleport = f"(1 - {d}) / (SELECT n FROM nn)"
+    parts = [f"""
+e AS (SELECT 'n' || CAST(doc_id % {_PR_NODES} AS VARCHAR) AS src,
+             'n' || CAST((doc_id * 13 + 7) % {2 * _PR_NODES} AS VARCHAR) AS dst
+      FROM documents),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+base AS (SELECT node, deg FROM nodes LEFT JOIN deg ON node = src),
+nn AS (SELECT count(*) AS n FROM base),
+r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS rank FROM base)"""]
+    for i in range(1, k + 1):
+        prev = f"r{i - 1}"
+        parts.append(f"""
+r{i} AS (
+  SELECT b.node, b.deg,
+         {teleport} + {d} * (
+           coalesce(c.contrib, 0)
+           + (SELECT coalesce(sum(rank), 0) FROM {prev} WHERE deg IS NULL)
+             / (SELECT n FROM nn)
+         ) AS rank
+  FROM base b
+  LEFT JOIN (SELECT e.dst, sum(r.rank / r.deg) AS contrib
+             FROM e JOIN {prev} r ON e.src = r.node GROUP BY e.dst) c
+    ON b.node = c.dst
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"\nSELECT node, round(rank, 9) AS rank FROM r{k} ORDER BY node"
+    )
+
+
 # deterministic URL synthesis for the web-operator queries (the corpus has
 # no url column): scheme/host/port/query each cycle through literal pools
 # keyed on doc_id, exercising case-folding, default+explicit ports, eTLD+1
@@ -2722,6 +2813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "warc_roundtrip": q_warc_roundtrip,
         "web_curate": q_web_curate,
+        "link_graph": q_link_graph,
+        "pagerank": q_pagerank,
         "parser_dispatch": q_parser_dispatch,
         "hybrid_ann": q_hybrid_ann,
         "hybrid_ann_probe": q_hybrid_ann_probe,
@@ -3051,6 +3144,8 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _sql_html_extract(),
         "warc_roundtrip": _sql_warc_roundtrip(),
         "web_curate": _sql_web_curate(),
+        "link_graph": _sql_link_graph(),
+        "pagerank": _sql_pagerank(),
         "url_canonicalize": _sql_url_canonicalize(),
         "domain_caps": _sql_domain_caps(),
         "domain_stats": _sql_domain_stats(),

@@ -1,0 +1,82 @@
+"""Link graph operators (operators/links.py)."""
+
+import numpy as np
+import pytest
+
+from connapse_spark.operators import links
+
+
+def test_extract_links_resolution_and_filtering():
+    html = (
+        '<a href="/x">r</a><a href="https://b.com/p#frag">a</a>'
+        '<area href="mailto:z@q"><a href="y.html">rel</a>'
+        '<a href="javascript:void(0)">js</a><a>no href</a>'
+    )
+    assert links.extract_links(html, "https://a.com/dir/page") == [
+        "https://a.com/x", "https://b.com/p", "https://a.com/dir/y.html"
+    ]
+    assert links.extract_links("", "https://a.com/") == []
+    # duplicates kept (link weight), self-links kept
+    dup = '<a href="/s">1</a><a href="/s">2</a><a href="https://a.com/dir/page">self</a>'
+    assert links.extract_links(dup, "https://a.com/dir/page") == [
+        "https://a.com/s", "https://a.com/s", "https://a.com/dir/page"
+    ]
+
+
+def _numpy_pagerank(edges, n_iter=5, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dang = sum(r[idx[u]] for u in nodes if u not in deg)
+        new = np.full(n, (1 - d) / n)
+        for u, v in edges:
+            new[idx[v]] += d * r[idx[u]] / deg[u]
+        new += d * dang / n
+        r = new
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+@pytest.mark.parametrize("edges", [
+    [("A", "B"), ("A", "C"), ("B", "C")],                     # dangling C
+    [("A", "A"), ("A", "B"), ("B", "A"), ("B", "A")],         # self-loop + parallel
+    [("A", "B"), ("C", "D")],                                  # disconnected
+])
+def test_pagerank_matches_reference(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in links.pagerank(df, n_iter=5, round_to=None).collect()}
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-12, n
+    # total rank mass is conserved (sums to 1 with dangling folded back)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_domain_edges_collapses_to_etld1(spark):
+    df = spark.createDataFrame(
+        [("https://blog.example.co.uk/a", "https://www.other.com/x"),
+         ("https://news.example.co.uk/b", "https://www.other.com/y"),
+         ("https://www.other.com/z", "https://blog.example.co.uk/c")],
+        "src string, dst string",
+    )
+    rows = {(r.src_domain, r.dst_domain): r.n_links
+            for r in links.domain_edges(df).collect()}
+    assert rows == {
+        ("example.co.uk", "other.com"): 2,
+        ("other.com", "example.co.uk"): 1,
+    }
+
+
+def test_link_edges_spark(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/", '<a href="/one">x</a><a href="bad://y">n</a>'),
+         ("https://b.com/", None)],
+        "url string, text string",
+    )
+    rows = [(r.src, r.dst) for r in links.link_edges(df).collect()]
+    assert rows == [("https://a.com/", "https://a.com/one")]
