@@ -1687,9 +1687,12 @@ def q_html_extract(spark, sf_dir):
 
 
 def _sql_html_extract() -> str:
+    # the whitespace class mirrors the extractor's _WS_RE exactly
+    # (ASCII [ \t\n\r\f\x0b] on both engines — NOT Python \s, which
+    # additionally eats NBSP/Unicode spaces that RE2's \s does not)
     return """
 SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
-       trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g')) AS text
+       trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g')) AS text
 FROM documents
 ORDER BY doc_id
 """.strip()
@@ -1731,7 +1734,7 @@ def _sql_warc_roundtrip() -> str:
     return """
 SELECT 'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
-       trim(regexp_replace(text, '[ \\t\\n\\r\\f]+', ' ', 'g')) AS text
+       trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g')) AS text
 FROM documents
 ORDER BY url
 """.strip()
@@ -1770,6 +1773,10 @@ def q_web_curate(spark, sf_dir):
         F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
         "text",
     )
+    # a whitespace-only document is the ONE lossy case of the <pre> carrier
+    # (the extractor drops an all-whitespace block) — exclude blanks on
+    # both sides so the transparency contract is total, not corpus-lucky
+    crawled = crawled.filter(F.trim(F.col("text")) != "")
     held_out = crawled.filter(F.col("doc_id") % 97 == 0)
     blocklist = held_out.select(
         F.explode(dedup.shingles_expr(F.col("text"), 3)).alias("s")
@@ -1778,9 +1785,17 @@ def q_web_curate(spark, sf_dir):
 
 
 def _sql_web_curate() -> str:
-    # the web front is transparent by construction, so the oracle is the
-    # same statement corpus_curate pins — over the raw table
-    return _sql_corpus_curate()
+    # the web front is transparent by construction for every non-blank
+    # document, so the oracle is corpus_curate's statement with the same
+    # blank-row exclusion the Spark side applies (every table reference in
+    # the composed mirror is a bare `FROM documents` — asserted so a future
+    # `JOIN documents` can't silently skip the rewrite)
+    sql = _sql_corpus_curate()
+    assert "JOIN documents" not in sql
+    return sql.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE trim(text) <> '') documents",
+    )
 
 
 def q_link_graph(spark, sf_dir):

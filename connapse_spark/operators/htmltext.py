@@ -15,8 +15,10 @@ semantics — the contract the oracle pins:
   (``nav/header/footer/aside/form``) drop too (the C4 move);
 - block-level boundaries (``p/div/li/h1..h6/tr/section/article/
   blockquote/pre/br/table/ul/ol``) split the output into lines;
-- within a block, whitespace runs collapse to single spaces and
-  entities are decoded; blocks that collapse to '' vanish;
+- within a block, ASCII whitespace runs (``[ \\t\\n\\r\\f\\x0b]``,
+  matching the oracle's RE2 class exactly — Python's ``\\s`` also eats
+  NBSP/Unicode spaces, which RE2 does not) collapse to single spaces
+  and entities are decoded; blocks that collapse to '' vanish;
 - EXCEPT ``<pre>``: its content is kept verbatim (newlines, runs of
   spaces — the C4 convention that code blocks survive extraction);
   an all-whitespace pre vanishes like any empty block;
@@ -44,7 +46,13 @@ _BLOCK_TAGS = frozenset({
     "main", "figure", "figcaption", "dd", "dt", "hr",
 })
 _VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link"})
-_WS_RE = re.compile(r"\s+")
+# elements legal inside <head>; anything else implicitly closes it
+# (</head> is optional in HTML5 — real crawl pages omit it constantly,
+# and head state must not swallow the body)
+_HEAD_TAGS = frozenset({
+    "head", "title", "meta", "link", "style", "script", "base", "noscript", "template",
+})
+_WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
 
 
 class _Extractor(HTMLParser):
@@ -76,6 +84,8 @@ class _Extractor(HTMLParser):
             return
         if self._drop_depth:
             return  # e.g. <title> inside a dropped <svg> is not THE title
+        if self._in_head and tag not in _HEAD_TAGS:
+            self._in_head = 0  # implicit </head> (flow content begins)
         if tag == "head":
             self._in_head += 1
         elif tag == "title":

@@ -116,6 +116,9 @@ def pagerank(
     base = nodes.join(deg, nodes.node == deg.src, "left").select("node", "deg")
     base = base.persist()
     n = base.count()
+    if n == 0:  # empty graph (e.g. a crawl segment with no extractable links)
+        base.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
     ranks = base.withColumn("rank", F.lit(1.0 / n)).persist()
 
     for _ in range(n_iter):

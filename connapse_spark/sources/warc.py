@@ -178,7 +178,11 @@ def iter_warc_records(blob: bytes):
         if len(payload) < length:
             yield headers, payload, "truncated payload (archive cut short)"
             return
-        yield headers, payload, pending_warning
+        # a carried warning describes an EARLIER record's corruption, not
+        # this one — prefix it so filters can tell the two apart
+        yield headers, payload, (
+            PRIOR_WARNING_PREFIX + pending_warning if pending_warning else None
+        )
         pending_warning = None
         pos = body_start + length
 
@@ -188,12 +192,14 @@ def split_http_response(body: bytes) -> tuple[int | None, dict[str, str], bytes]
     record wraps; (None, {}, body) if it isn't an HTTP message."""
     if not body.startswith(b"HTTP/"):
         return None, {}, body
-    for sep, width in ((b"\r\n\r\n", 4), (b"\n\n", 2)):
-        end = body.find(sep)
-        if end >= 0:
-            break
-    else:
-        return None, {}, b""
+    # EARLIEST separator wins (an LF-headed message whose body contains
+    # CRLFCRLF must not split inside the body), same rule as the record
+    # parser; no separator at all (message truncated before the blank
+    # line) degrades to not-an-HTTP-message so the bytes are preserved
+    ends = [(e, w) for e, w in ((body.find(b"\r\n\r\n"), 4), (body.find(b"\n\n"), 2)) if e >= 0]
+    if not ends:
+        return None, {}, body
+    end, width = min(ends)
     head = body[:end].decode("utf-8", errors="replace").replace("\r\n", "\n")
     lines = head.split("\n")
     parts = lines[0].split(None, 2)
@@ -207,6 +213,12 @@ def split_http_response(body: bytes) -> tuple[int | None, dict[str, str], bytes]
             k, v = line.split(":", 1)
             headers[k.strip().lower()] = v.strip()
     return status, headers, body[end + width :]
+
+
+# warnings about the record ITSELF vs. corruption observed BEFORE it in
+# the archive (carried forward so it can be counted somewhere) — filters
+# must not punish an intact record for its neighbor's damage
+PRIOR_WARNING_PREFIX = "prior-record: "
 
 
 def decode_text_payload(payload: bytes, content_type: str | None) -> str | None:
@@ -284,7 +296,13 @@ def web_documents(records: DataFrame) -> DataFrame:
             & (F.col("http_status") == 200)
             & F.col("content_type").contains("html")
             & F.col("text").isNotNull()
-            & F.col("warning").isNull()  # truncated/recovered records stay out
+            # records that are THEMSELVES damaged (truncated payload) stay
+            # out; an intact record carrying a prior-record corruption note
+            # is good data and stays in
+            & (
+                F.col("warning").isNull()
+                | F.col("warning").startswith(PRIOR_WARNING_PREFIX)
+            )
         )
         .select(F.col("target_uri").alias("url"), "text")
     )

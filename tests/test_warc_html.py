@@ -163,8 +163,10 @@ def test_property_extract_never_raises_and_never_leaks_tags(s):
         return  # pre content is verbatim by contract — no collapse invariants
     # output never contains an unescaped script/style body marker
     assert "\r" not in text
+    ascii_ws = " \t\n\r\f\x0b"
     for line in text.split("\n"):
-        assert line == line.strip()
+        # the collapse contract is ASCII whitespace (NBSP etc. is content)
+        assert line == line.strip(ascii_ws)
         assert "  " not in line
 
 
@@ -325,3 +327,66 @@ def test_export_warc_shards_roundtrip(spark):
     assert [(r.url, r.text) for r in rows] == sorted(
         (f"https://e/{i}", f"<p>doc {i} café</p>") for i in range(20)
     )
+
+
+# --- regressions from the round-6 review -----------------------------------
+
+
+def test_extract_html_unclosed_head_does_not_swallow_body():
+    # </head> is optional in HTML5 — flow content implicitly closes head
+    title, text = extract_html(
+        "<html><head><title>T</title><body><p>hello world</p></body></html>"
+    )
+    assert title == "T" and text == "hello world"
+    # no <body> tag either: the first non-head element closes head
+    title, text = extract_html("<head><title>T</title><p>still here</p>")
+    assert title == "T" and text == "still here"
+    # head-legal elements do NOT close it
+    title, text = extract_html(
+        '<head><meta charset="utf-8"><title>T</title><style>x{}</style><p>b</p>'
+    )
+    assert title == "T" and text == "b"
+
+
+def test_split_http_response_lf_headers_crlf_in_body():
+    status, hdrs, body = warc.split_http_response(
+        b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<p>a</p>\r\n\r\n<p>b</p>"
+    )
+    assert status == 200
+    assert body == b"<p>a</p>\r\n\r\n<p>b</p>"
+
+
+def test_split_http_response_truncated_before_blank_line_keeps_bytes():
+    raw = b"HTTP/1.1 200 OK\r\nContent-Type: text/ht"
+    status, hdrs, body = warc.split_http_response(raw)
+    assert status is None and body == raw
+
+
+def test_web_documents_keeps_intact_record_after_corrupt_neighbor(spark):
+    good = warc.make_warc_record(
+        "response",
+        warc.make_http_response(200, b"<p>fine</p>"),
+        target_uri="https://g/after-bad",
+    )
+    bad = good.replace(b"Content-Length: ", b"Content-Length: NaN-", 1)
+    blob = warc.make_warc([bad, good], gzip_members=False)
+    df = spark.createDataFrame([("/fx/x.warc", blob)], "path string, content binary")
+    recs = warc.warc_records(df).collect()
+    assert len(recs) == 1
+    assert recs[0].warning.startswith(warc.PRIOR_WARNING_PREFIX)
+    kept = warc.web_documents(warc.warc_records(df)).collect()
+    assert [r.url for r in kept] == ["https://g/after-bad"]
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from connapse_spark.operators import links
+
+    df = spark.createDataFrame([], "src string, dst string")
+    assert links.pagerank(df, n_iter=3).collect() == []
+
+
+def test_extract_html_nbsp_is_content():
+    # NBSP must not be collapsed or stripped (the oracle's RE2 class can't
+    # see it, so the extractor must not either)
+    _, text = extract_html("<p>a  b</p>")
+    assert text == "a  b"
