@@ -116,6 +116,11 @@ BENCH_QUERIES = [
     "embedding_hygiene",
     "reindex_decisions",
     "sync_delta",
+    # round-6 web front: full export→re-ingest→extract round trip, link
+    # extraction, and the 5-iteration PageRank power loop
+    "warc_roundtrip",
+    "link_graph",
+    "pagerank",
 ]
 
 
