@@ -1833,6 +1833,59 @@ SELECT src, dst FROM (
 """.strip()
 
 
+_ROBOTS_BODY = (
+    "User-agent: *\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok\n"
+    "Disallow: /*.tmp$\n"
+    "Allow: /\n"
+)
+
+
+def q_robots_gate(spark, sf_dir):
+    """RFC 9309 robots evaluation (operators/robots.py) over five URL
+    shapes per document: plain path (allowed by the catch-all Allow),
+    /private (longest-match disallow), /private/ok (longer allow wins),
+    a ``$``-anchored ``*.tmp`` disallow, and the same path with a query
+    string the anchor must NOT match. The oracle pins the five verdicts
+    of the fixed rule set — the parse_warc discipline: expected outputs
+    of a pure evaluator, exercised across the corpus."""
+    from connapse_spark.operators import robots as _robots
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/public/"), did))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/"), did))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/private/ok/"), did))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/files/"), did, F.lit(".tmp")))
+        .otherwise(F.concat(F.lit("/files/"), did, F.lit(".tmp?x=1")))
+    )
+    urls = docs.select(F.concat(F.lit("https://ex.com"), path).alias("url"))
+    out = _robots.robots_filter(urls, {"ex.com": _ROBOTS_BODY}, user_agent="connapse-bot")
+    return out.orderBy("url")
+
+
+def _sql_robots_gate() -> str:
+    return """
+SELECT 'https://ex.com' ||
+       CASE doc_id % 5
+         WHEN 0 THEN '/public/' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+         WHEN 3 THEN '/files/' || CAST(doc_id AS VARCHAR) || '.tmp'
+         ELSE '/files/' || CAST(doc_id AS VARCHAR) || '.tmp?x=1'
+       END AS url,
+       CASE doc_id % 5
+         WHEN 1 THEN false  -- Disallow /private outweighs Allow /
+         WHEN 3 THEN false  -- /*.tmp$ anchors and matches
+         ELSE true          -- catch-all Allow / Allow /private/ok / unanchored query
+       END AS allowed
+FROM documents
+ORDER BY url
+""".strip()
+
+
 _PR_ITER, _PR_DAMP, _PR_NODES = 5, 0.85, 50
 
 
@@ -2830,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_curate": q_web_curate,
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
+        "robots_gate": q_robots_gate,
         "parser_dispatch": q_parser_dispatch,
         "hybrid_ann": q_hybrid_ann,
         "hybrid_ann_probe": q_hybrid_ann_probe,
@@ -3161,6 +3215,7 @@ def oracle_sql() -> dict[str, str]:
         "web_curate": _sql_web_curate(),
         "link_graph": _sql_link_graph(),
         "pagerank": _sql_pagerank(),
+        "robots_gate": _sql_robots_gate(),
         "url_canonicalize": _sql_url_canonicalize(),
         "domain_caps": _sql_domain_caps(),
         "domain_stats": _sql_domain_stats(),

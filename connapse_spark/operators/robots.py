@@ -1,0 +1,137 @@
+"""robots.txt (RFC 9309) parsing and URL filtering — the crawl-side
+politeness gate in front of the WARC/link pipeline (sources/warc.py,
+operators/links.py). No reference counterpart; training-data extension.
+
+Semantics implemented (RFC 9309):
+
+- groups: consecutive ``User-agent:`` lines share the rule block that
+  follows; a crawler uses the union of groups whose product token
+  matches its own case-insensitively, falling back to the ``*`` group
+  (and to allow-all when neither exists);
+- rules: ``Allow:`` / ``Disallow:`` path patterns, prefix match with
+  ``*`` (any chars) and a final ``$`` (end anchor); an empty pattern is
+  no rule (``Disallow:`` alone allows everything);
+- precedence: the longest (most-octets) matching pattern wins; on a
+  length tie, allow wins;
+- unknown directives and comments (``#``) ignored; matching operates on
+  the path+query as given (percent-encoding normalization is the
+  fetcher's job and is documented out of scope).
+
+Spark shape: robots bodies are per-host and tiny, so the evaluator
+broadcasts a host→compiled-rules dict and filters URLs map-side inside
+Arrow batches — no shuffle, no join; at 100 TB of frontier URLs the
+rule table (≈1 rule-set per host, millions of hosts ≈ a few hundred MB)
+still broadcasts, and above that you'd swap the dict for a host-keyed
+broadcast join with identical row semantics.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _compile_pattern(pattern: str) -> re.Pattern:
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(part) for part in body.split("*"))
+    return re.compile(rx + (r"\Z" if anchored else ""))
+
+
+def parse_robots(text: str, user_agent: str = "*") -> list[tuple[bool, str, re.Pattern]]:
+    """The (allow, pattern, compiled) rules the given crawler must obey:
+    the union of groups matching ``user_agent`` exactly (case-insensitive),
+    else the ``*`` group, else no rules (allow all)."""
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    in_agent_run = True  # consecutive UA lines accumulate into one group
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_agent_run = True
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_agent_run = False
+            if val:  # empty pattern = no rule
+                cur_rules.append((key == "allow", val))
+        # crawl-delay / sitemap / unknown: ignored for matching
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+
+    def rules_for(pred):
+        out = []
+        for agents, rules in groups:
+            if any(pred(a) for a in agents):
+                out.extend(rules)
+        return out
+
+    selected = rules_for(lambda a: a == ua)
+    if not selected and ua != "*":
+        selected = rules_for(lambda a: a == "*")
+    return [(allow, pat, _compile_pattern(pat)) for allow, pat in selected]
+
+
+def is_allowed(rules: list[tuple[bool, str, re.Pattern]], path: str) -> bool:
+    """Longest-match precedence, allow wins ties; no match → allowed."""
+    best_len, best_allow = -1, True
+    for allow, pat, rx in rules:
+        if rx.match(path):
+            # RFC: most octets wins; a tie prefers allow
+            if len(pat) > best_len or (len(pat) == best_len and allow and not best_allow):
+                best_len, best_allow = len(pat), allow
+    return best_allow
+
+
+ROBOTS_FILTER_SCHEMA_SUFFIX = "allowed boolean"
+
+
+def robots_filter(
+    urls: DataFrame,
+    robots: dict[str, str],
+    user_agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Annotate each URL row with ``allowed`` under the host's robots
+    body (``robots`` maps host → robots.txt text; absent host = allowed).
+    Map-side Arrow batches; the parsed rule table is built once per task
+    from the broadcast dict."""
+    spark = urls.sparkSession
+    b_robots = spark.sparkContext.broadcast(robots)
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in urls.schema
+    ) + ", " + ROBOTS_FILTER_SCHEMA_SUFFIX
+
+    def _filter(batches):
+        compiled: dict[str, list] = {}
+        for host, body in b_robots.value.items():
+            compiled[host.lower()] = parse_robots(body, user_agent)
+        for pdf in batches:
+            allowed = []
+            for u in pdf[url_col]:
+                parts = urlsplit(u or "")
+                rules = compiled.get((parts.hostname or "").lower())
+                if rules is None:
+                    allowed.append(True)
+                    continue
+                path = parts.path or "/"
+                if parts.query:
+                    path += "?" + parts.query
+                allowed.append(is_allowed(rules, path))
+            out = pdf.copy()
+            out["allowed"] = allowed
+            yield out
+
+    return urls.mapInPandas(_filter, schema)

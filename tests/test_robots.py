@@ -1,0 +1,89 @@
+"""RFC 9309 robots.txt evaluation (operators/robots.py)."""
+
+from connapse_spark.operators.robots import is_allowed, parse_robots, robots_filter
+
+
+def _allowed(body, path, ua="*"):
+    return is_allowed(parse_robots(body, ua), path)
+
+
+def test_groups_and_ua_selection():
+    body = (
+        "User-agent: googlebot\nDisallow: /g\n\n"
+        "User-agent: a\nUser-agent: b\nDisallow: /ab\n\n"
+        "User-agent: *\nDisallow: /all\n"
+    )
+    # exact UA match picks its group only
+    assert not _allowed(body, "/g", "googlebot")
+    assert _allowed(body, "/all", "googlebot")  # not the * group
+    # shared group (two UA lines)
+    assert not _allowed(body, "/ab", "b")
+    # unknown UA falls back to *
+    assert not _allowed(body, "/all", "nobody")
+    assert _allowed(body, "/g", "nobody")
+    # case-insensitive UA
+    assert not _allowed(body, "/g", "GoogleBot")
+
+
+def test_longest_match_precedence():
+    # the RFC 9309 / Google documentation examples
+    assert _allowed("User-agent: *\nAllow: /p\nDisallow: /", "/page")
+    assert _allowed("User-agent: *\nAllow: /folder\nDisallow: /folder", "/folder/page")
+    assert not _allowed("User-agent: *\nAllow: /page\nDisallow: /*.htm", "/page.htm")
+    assert _allowed("User-agent: *\nAllow: /$\nDisallow: /", "/")
+    assert not _allowed("User-agent: *\nAllow: /$\nDisallow: /", "/page.htm")
+
+
+def test_wildcards_and_anchor():
+    body = "User-agent: *\nDisallow: /*.gif$\nDisallow: /tmp/*\n"
+    assert not _allowed(body, "/pics/cat.gif")
+    assert _allowed(body, "/pics/cat.gif?v=1")  # $ anchors the end
+    assert not _allowed(body, "/tmp/x/y")
+    assert _allowed(body, "/tmpfile")
+
+
+def test_empty_disallow_comments_unknown_directives():
+    body = (
+        "# politeness file\nUser-agent: *\nDisallow:\n"
+        "Crawl-delay: 10\nSitemap: https://x/s.xml\n"
+    )
+    assert _allowed(body, "/anything")
+    assert _allowed("", "/x")
+    # rules before any user-agent line are ignored
+    assert _allowed("Disallow: /\nUser-agent: *\nAllow: /", "/x")
+
+
+def test_new_group_after_rules():
+    body = "User-agent: a\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+    assert not _allowed(body, "/x", "a")
+    assert _allowed(body, "/y", "a")
+    assert not _allowed(body, "/y", "b")
+    assert _allowed(body, "/x", "b")
+
+
+def test_robots_filter_spark(spark):
+    robots = {
+        "a.com": "User-agent: *\nDisallow: /private\nAllow: /private/ok\n",
+        "b.com": "User-agent: *\nDisallow: /\n",
+    }
+    df = spark.createDataFrame(
+        [("https://a.com/public",), ("https://a.com/private/x",),
+         ("https://a.com/private/ok/y",), ("https://b.com/anything",),
+         ("https://c.com/no-robots",), ("https://A.COM/private/z",)],
+        "url string",
+    )
+    rows = {r.url: r.allowed for r in robots_filter(df, robots).collect()}
+    assert rows == {
+        "https://a.com/public": True,
+        "https://a.com/private/x": False,
+        "https://a.com/private/ok/y": True,
+        "https://b.com/anything": False,
+        "https://c.com/no-robots": True,
+        "https://A.COM/private/z": False,  # host matching is case-insensitive
+    }
+
+
+def test_robots_filter_query_string_matches():
+    body = "User-agent: *\nDisallow: /search?*q=\n"
+    assert not _allowed(body, "/search?lang=en&q=x")
+    assert _allowed(body, "/search")
