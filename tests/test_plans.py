@@ -619,3 +619,35 @@ def test_write_vector_index_is_per_model(spark, sf_dir, tmp_path):
     assert {r["list_id"] for r in ra2.index.select("list_id").distinct().collect()} == {
         r["list_id"] for r in b.index.select("list_id").distinct().collect()
     }
+
+
+def test_link_edges_and_robots_gate_are_map_side_only(spark, sf_dir):
+    """The web-front per-row operators add no exchange of any kind: href
+    extraction and the robots gate ride the scan (100 TB = add executors)."""
+    from pyspark.sql import functions as F
+
+    from connapse_spark.operators.links import link_edges
+    from connapse_spark.operators.robots import robots_filter
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://e/"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+    )
+    assert "Exchange" not in _plan(link_edges(pages))
+    gated = robots_filter(pages.select("url"), {"e": "User-agent: *\nDisallow: /x\n"})
+    assert "Exchange" not in _plan(gated)
+
+
+def test_domain_edges_single_aggregation_exchange(spark, sf_dir):
+    """Domain-graph rollup = map-side partial agg + ONE hash exchange on the
+    (src_domain, dst_domain) key."""
+    from pyspark.sql import functions as F
+
+    from connapse_spark.operators.links import domain_edges
+
+    edges = _docs(spark, sf_dir).select(
+        F.concat(F.lit("https://a.com/"), F.col("doc_id").cast("string")).alias("src"),
+        F.lit("https://b.co.uk/x").alias("dst"),
+    )
+    plan = _plan(domain_edges(edges))
+    assert plan.count("Exchange hashpartitioning") == 1
