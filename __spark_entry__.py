@@ -1886,6 +1886,63 @@ ORDER BY url
 """.strip()
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap URL discovery (operators/links.py parse_sitemap): one
+    namespaced urlset per document with lastmod/changefreq cycling and
+    priority derived from doc_id (absent every 4th row — NULL handling);
+    the oracle regenerates the rows arithmetically."""
+    from connapse_spark.operators import links as _links
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    prio_part = F.when(
+        F.col("doc_id") % 4 == 3, F.lit("")
+    ).otherwise(
+        F.concat(
+            F.lit("<priority>0."), (F.col("doc_id") % 10).cast("string"),
+            F.lit("</priority>"),
+        )
+    )
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>https://ex.com/p/"),
+        did,
+        F.lit("</loc><lastmod>2024-01-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("</lastmod>"),
+        prio_part,
+        F.lit("</url><url><loc>https://ex.com/q/"),
+        did,
+        F.lit("</loc></url></urlset>"),
+    )
+    maps = docs.select(
+        F.concat(F.lit("https://ex.com/sm/"), did).alias("url"), xml.alias("text")
+    )
+    out = _links.sitemap_urls(maps, "url", "text")
+    return out.orderBy("sitemap_url", "loc")
+
+
+def _sql_sitemap_urls() -> str:
+    return """
+SELECT * FROM (
+  SELECT 'https://ex.com/sm/' || CAST(doc_id AS VARCHAR) AS sitemap_url,
+         'url' AS kind,
+         'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS loc,
+         '2024-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod,
+         CAST(NULL AS VARCHAR) AS changefreq,
+         CASE WHEN doc_id % 4 = 3 THEN NULL
+              ELSE CAST(doc_id % 10 AS DOUBLE) / 10 END AS priority
+  FROM documents
+  UNION ALL
+  SELECT 'https://ex.com/sm/' || CAST(doc_id AS VARCHAR),
+         'url',
+         'https://ex.com/q/' || CAST(doc_id AS VARCHAR),
+         NULL, NULL, NULL
+  FROM documents
+) ORDER BY sitemap_url, loc
+""".strip()
+
+
 _PR_ITER, _PR_DAMP, _PR_NODES = 5, 0.85, 50
 
 
@@ -2884,6 +2941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
         "robots_gate": q_robots_gate,
+        "sitemap_urls": q_sitemap_urls,
         "parser_dispatch": q_parser_dispatch,
         "hybrid_ann": q_hybrid_ann,
         "hybrid_ann_probe": q_hybrid_ann_probe,
@@ -3216,6 +3274,7 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": _sql_link_graph(),
         "pagerank": _sql_pagerank(),
         "robots_gate": _sql_robots_gate(),
+        "sitemap_urls": _sql_sitemap_urls(),
         "url_canonicalize": _sql_url_canonicalize(),
         "domain_caps": _sql_domain_caps(),
         "domain_stats": _sql_domain_stats(),

@@ -154,3 +154,76 @@ def pagerank(
     if round_to is not None:
         out = out.select("node", F.round("rank", round_to).alias("rank"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# sitemaps (URL discovery — the frontier's push side; robots.py is the gate)
+# ---------------------------------------------------------------------------
+
+
+def parse_sitemap(xml_text: str) -> list[dict]:
+    """Rows from one sitemap document (sitemaps.org 0.9): ``urlset``
+    entries yield kind='url' with loc/lastmod/changefreq/priority;
+    ``sitemapindex`` entries yield kind='sitemap' with loc/lastmod (feed
+    them back through the fetcher). Namespace-agnostic (matches on local
+    names); unparseable XML or documents without a recognized root yield
+    []. priority parses to float, anything malformed → None."""
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    try:
+        root = ET.fromstring(xml_text or "")
+    except ET.ParseError:
+        return []
+    root_kind = {"urlset": "url", "sitemapindex": "sitemap"}.get(local(root.tag))
+    if root_kind is None:
+        return []
+    out = []
+    for child in root:
+        if local(child.tag) not in ("url", "sitemap"):
+            continue
+        fields = {local(el.tag): (el.text or "").strip() for el in child}
+        loc = fields.get("loc")
+        if not loc:
+            continue
+        prio = None
+        if root_kind == "url" and fields.get("priority"):
+            try:
+                prio = float(fields["priority"])
+            except ValueError:
+                prio = None
+        out.append({
+            "kind": root_kind,
+            "loc": loc,
+            "lastmod": fields.get("lastmod") or None,
+            "changefreq": fields.get("changefreq") or None,
+            "priority": prio,
+        })
+    return out
+
+
+SITEMAP_SCHEMA = (
+    "sitemap_url string, kind string, loc string, lastmod string, "
+    "changefreq string, priority double"
+)
+
+
+def sitemap_urls(df: DataFrame, url_col: str = "url", xml_col: str = "text") -> DataFrame:
+    """(sitemap url, xml) rows → one row per discovered URL or child
+    sitemap. Map-side only, like the other web-front per-row ops."""
+
+    def _parse(batches):
+        for pdf in batches:
+            out = []
+            for url, xml in zip(pdf[url_col], pdf[xml_col]):
+                for row in parse_sitemap(xml if isinstance(xml, str) else ""):
+                    out.append((url, row["kind"], row["loc"], row["lastmod"],
+                                row["changefreq"], row["priority"]))
+            yield pd.DataFrame(
+                out,
+                columns=["sitemap_url", "kind", "loc", "lastmod", "changefreq", "priority"],
+            )
+
+    return df.select(url_col, xml_col).mapInPandas(_parse, SITEMAP_SCHEMA)

@@ -80,3 +80,39 @@ def test_link_edges_spark(spark):
     )
     rows = [(r.src, r.dst) for r in links.link_edges(df).collect()]
     assert rows == [("https://a.com/", "https://a.com/one")]
+
+
+def test_parse_sitemap_urlset_and_index():
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    rows = links.parse_sitemap(
+        f'<urlset {ns}><url><loc>https://a/1</loc><lastmod>2024-01-01</lastmod>'
+        f'<changefreq>daily</changefreq><priority>0.8</priority></url>'
+        f'<url><loc>https://a/2</loc><priority>bogus</priority></url>'
+        f'<url><lastmod>no-loc</lastmod></url></urlset>'
+    )
+    assert rows == [
+        {"kind": "url", "loc": "https://a/1", "lastmod": "2024-01-01",
+         "changefreq": "daily", "priority": 0.8},
+        {"kind": "url", "loc": "https://a/2", "lastmod": None,
+         "changefreq": None, "priority": None},
+    ]
+    idx = links.parse_sitemap(
+        "<sitemapindex><sitemap><loc>https://a/s1.xml</loc>"
+        "<lastmod>2024-02-02</lastmod></sitemap></sitemapindex>"
+    )
+    assert idx == [{"kind": "sitemap", "loc": "https://a/s1.xml",
+                    "lastmod": "2024-02-02", "changefreq": None, "priority": None}]
+    assert links.parse_sitemap("not xml <<<") == []
+    assert links.parse_sitemap("<html><p>wrong root</p></html>") == []
+    assert links.parse_sitemap("") == []
+
+
+def test_sitemap_urls_spark(spark):
+    df = spark.createDataFrame(
+        [("https://a/sm.xml",
+          "<urlset><url><loc>https://a/x</loc></url></urlset>"),
+         ("https://b/sm.xml", "broken <")],
+        "url string, text string",
+    )
+    rows = [(r.sitemap_url, r.kind, r.loc) for r in links.sitemap_urls(df).collect()]
+    assert rows == [("https://a/sm.xml", "url", "https://a/x")]
