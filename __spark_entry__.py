@@ -1740,6 +1740,33 @@ ORDER BY url
 """.strip()
 
 
+def q_wet_roundtrip(spark, sf_dir):
+    """WET (extracted-text conversion records — the CC companion format):
+    documents → conversion-record shard export → re-ingest →
+    wet_documents. No HTTP envelope and no HTML carrier, so the text
+    must survive byte-exactly; the oracle is the raw projection."""
+    from connapse_spark.sources import warc as _warc
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("https://ex.com/doc/"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    )
+    shards = _warc.export_warc_shards(pages, n_shards=8, conversion=True)
+    recs = _warc.warc_records(
+        shards.select(F.col("shard").cast("string").alias("path"), "content")
+    )
+    return _warc.wet_documents(recs).orderBy("url")
+
+
+def _sql_wet_roundtrip() -> str:
+    return """
+SELECT 'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS url, text
+FROM documents
+ORDER BY url
+""".strip()
+
+
 def q_web_curate(spark, sf_dir):
     """The crawl-to-corpus flagship composition: documents → HTML pages
     (body inside <pre>, which the extractor keeps VERBATIM — the C4
@@ -2937,6 +2964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_warc": q_parse_warc,
         "html_extract": q_html_extract,
         "warc_roundtrip": q_warc_roundtrip,
+        "wet_roundtrip": q_wet_roundtrip,
         "web_curate": q_web_curate,
         "link_graph": q_link_graph,
         "pagerank": q_pagerank,
@@ -3270,6 +3298,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_warc": _sql_parse_warc(),
         "html_extract": _sql_html_extract(),
         "warc_roundtrip": _sql_warc_roundtrip(),
+        "wet_roundtrip": _sql_wet_roundtrip(),
         "web_curate": _sql_web_curate(),
         "link_graph": _sql_link_graph(),
         "pagerank": _sql_pagerank(),

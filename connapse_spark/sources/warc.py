@@ -265,7 +265,13 @@ def warc_records(binary_df: DataFrame) -> DataFrame:
                     ct = http_hdrs.get("content-type") or (
                         None if wtype in ("response", "revisit") else hdrs.get("content-type")
                     )
-                    text = decode_text_payload(body, ct) if wtype == "response" else None
+                    # conversion = the WET shape: already-extracted text,
+                    # no HTTP envelope, record-level content type
+                    text = (
+                        decode_text_payload(body, ct)
+                        if wtype in ("response", "conversion")
+                        else None
+                    )
                     out.append((path, i, wtype, uri, status, ct, body, text, warning))
             yield pd.DataFrame(
                 out,
@@ -381,15 +387,18 @@ def export_warc_shards(
     html_col: str = "text",
     content_type: str = "text/html; charset=utf-8",
     n_shards: int | None = None,
+    conversion: bool = False,
 ) -> DataFrame:
     """(url, html) rows → one gzip-member WARC archive per partition
     (shard, content, n_records). Map-side only after the optional
     repartition: each task serializes its own rows, so shard count =
     partition count and 100 TB export scales with executors. Rows are
     sorted by url within a shard so shard bytes are a deterministic
-    function of shard membership. Round-trip contract:
-    ``warc_records(export(df))`` re-yields every row (tests + the
-    warc_roundtrip oracle pin it)."""
+    function of shard membership. ``conversion=True`` writes the WET
+    shape instead: bare ``conversion`` records (text/plain payload, no
+    HTTP envelope) — the Common Crawl extracted-text companion format.
+    Round-trip contract: ``warc_records(export(df))`` re-yields every
+    row (tests + the warc_roundtrip / wet_roundtrip oracles pin it)."""
     if n_shards is not None:
         df = df.repartition(n_shards, url_col)
 
@@ -398,15 +407,26 @@ def export_warc_shards(
         for pdf in batches:
             rows.extend(zip(pdf[url_col], pdf[html_col]))
         rows.sort(key=lambda r: r[0])
-        recs = [
-            make_warc_record(
-                "response",
-                make_http_response(200, (html or "").encode("utf-8"),
-                                   content_type=content_type),
-                target_uri=url,
-            )
-            for url, html in rows
-        ]
+        if conversion:
+            recs = [
+                make_warc_record(
+                    "conversion",
+                    (text or "").encode("utf-8"),
+                    target_uri=url,
+                    content_type="text/plain; charset=utf-8",
+                )
+                for url, text in rows
+            ]
+        else:
+            recs = [
+                make_warc_record(
+                    "response",
+                    make_http_response(200, (html or "").encode("utf-8"),
+                                       content_type=content_type),
+                    target_uri=url,
+                )
+                for url, html in rows
+            ]
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
@@ -416,3 +436,20 @@ def export_warc_shards(
         )
 
     return df.select(url_col, html_col).mapInPandas(_write, EXPORT_SCHEMA)
+
+
+def wet_documents(records: DataFrame) -> DataFrame:
+    """WET projection: clean conversion records → (url, text). The
+    text-only twin of web_documents for archives written with
+    ``export_warc_shards(conversion=True)`` or upstream CC WET files."""
+    return (
+        records.filter(
+            (F.col("warc_type") == "conversion")
+            & F.col("text").isNotNull()
+            & (
+                F.col("warning").isNull()
+                | F.col("warning").startswith(PRIOR_WARNING_PREFIX)
+            )
+        )
+        .select(F.col("target_uri").alias("url"), "text")
+    )

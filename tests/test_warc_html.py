@@ -390,3 +390,20 @@ def test_extract_html_nbsp_is_content():
     # see it, so the extractor must not either)
     _, text = extract_html("<p>a  b</p>")
     assert text == "a  b"
+
+
+def test_wet_export_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(f"https://e/{i}", f"text {i}\nwith\nnewlines  kept") for i in range(10)],
+        "url string, text string",
+    )
+    shards = warc.export_warc_shards(df, n_shards=3, conversion=True)
+    back = warc.warc_records(
+        shards.select(shards.shard.cast("string").alias("path"), "content")
+    )
+    rows = warc.wet_documents(back).orderBy("url").collect()
+    assert [(r.url, r.text) for r in rows] == sorted(
+        (f"https://e/{i}", f"text {i}\nwith\nnewlines  kept") for i in range(10)
+    )
+    # conversion records are invisible to the html projection and vice versa
+    assert warc.web_documents(back).count() == 0
