@@ -1970,6 +1970,84 @@ SELECT * FROM (
 """.strip()
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Crawl-scheduling capstone (operators/links.crawl_frontier): URL
+    discovery runs through the REAL extractors (sitemap XML parse + href
+    extraction), then dedup → robots gate (Disallow /q on ex.com;
+    out.example has no robots) → deterministic per-domain cap. The oracle
+    regenerates the candidate set arithmetically and applies the same
+    verdict + hash-window logic in SQL — extraction, RFC 9309 evaluation,
+    PSL domains, and the cap's hash order all have to agree."""
+    from connapse_spark.operators import links as _links
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    sm_xml = F.concat(
+        F.lit("<urlset><url><loc>https://ex.com/p/"), did,
+        F.lit("</loc></url><url><loc>https://ex.com/q/"), did,
+        F.lit("</loc></url></urlset>"),
+    )
+    sitemaps = docs.select(
+        F.concat(F.lit("https://ex.com/sm/"), did).alias("url"), sm_xml.alias("text")
+    )
+    from_sitemaps = _links.sitemap_urls(sitemaps, "url", "text").select(
+        F.col("loc").alias("url")
+    )
+    page = F.concat(
+        F.lit('<a href="p/'), (F.col("doc_id") * 2).cast("string"),
+        F.lit('">r</a><a href="https://out.example/'),
+        (F.col("doc_id") + 7).cast("string"), F.lit('">a</a>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://ex.com/doc/"), did).alias("url"), page.alias("text")
+    )
+    from_links = _links.link_edges(pages, "url", "text").select(
+        F.col("dst").alias("url")
+    )
+    discovered = from_sitemaps.unionByName(from_links)
+    frontier = _links.crawl_frontier(
+        discovered,
+        {"ex.com": "User-agent: *\nDisallow: /q\nAllow: /\n"},
+        max_per_domain=150,
+        user_agent="connapse-bot",
+    )
+    return frontier.orderBy("url")
+
+
+def _sql_crawl_frontier() -> str:
+    from connapse_spark.operators.sampling import sql_hash_bucket
+
+    domain = web.sql_registered_domain(web.sql_host("url"))
+    bucket = sql_hash_bucket("url", "frontier")
+    return f"""
+WITH discovered AS (
+  SELECT DISTINCT url FROM (
+    SELECT 'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents
+    UNION ALL
+    SELECT 'https://ex.com/q/' || CAST(doc_id AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'https://ex.com/doc/p/' || CAST(doc_id * 2 AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'https://out.example/' || CAST(doc_id + 7 AS VARCHAR) FROM documents
+  )
+),
+gated AS (
+  -- the fixed ruleset's verdicts: Disallow /q outweighs Allow / on ex.com;
+  -- hosts without a robots body are allowed
+  SELECT url FROM discovered
+  WHERE NOT ({web.sql_host('url')} = 'ex.com' AND url LIKE 'https://ex.com/q/%')
+),
+d AS (SELECT url, {domain} AS domain, {bucket} AS _b FROM gated),
+r AS (
+  SELECT url, domain,
+         (row_number() OVER (PARTITION BY domain ORDER BY _b, url))::INT AS domain_rank
+  FROM d
+)
+SELECT url, domain, domain_rank FROM r WHERE domain_rank <= 150
+ORDER BY url
+""".strip()
+
+
 _PR_ITER, _PR_DAMP, _PR_NODES = 5, 0.85, 50
 
 
@@ -2970,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "robots_gate": q_robots_gate,
         "sitemap_urls": q_sitemap_urls,
+        "crawl_frontier": q_crawl_frontier,
         "parser_dispatch": q_parser_dispatch,
         "hybrid_ann": q_hybrid_ann,
         "hybrid_ann_probe": q_hybrid_ann_probe,
@@ -3304,6 +3383,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "robots_gate": _sql_robots_gate(),
         "sitemap_urls": _sql_sitemap_urls(),
+        "crawl_frontier": _sql_crawl_frontier(),
         "url_canonicalize": _sql_url_canonicalize(),
         "domain_caps": _sql_domain_caps(),
         "domain_stats": _sql_domain_stats(),

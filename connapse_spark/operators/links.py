@@ -227,3 +227,32 @@ def sitemap_urls(df: DataFrame, url_col: str = "url", xml_col: str = "text") -> 
             )
 
     return df.select(url_col, xml_col).mapInPandas(_parse, SITEMAP_SCHEMA)
+
+
+def crawl_frontier(
+    urls: DataFrame,
+    robots: dict[str, str],
+    max_per_domain: int = 1000,
+    user_agent: str = "*",
+    url_col: str = "url",
+    salt: str = "frontier",
+) -> DataFrame:
+    """The crawl-scheduling capstone: discovered URLs (sitemap_urls +
+    link_edges output) → dedup → robots gate → per-domain cap. Returns
+    (url, domain, domain_rank). One distinct shuffle + one domain-window
+    shuffle; the robots pass is map-side (broadcast rules). The cap uses
+    the deterministic hash order of operators/web.domain_caps, so the
+    surviving frontier is a pure function of the URL set."""
+    from connapse_spark.operators import robots as robots_mod
+    from connapse_spark.operators import web
+
+    uniq = urls.select(F.col(url_col).alias("url")).distinct()
+    gated = (
+        robots_mod.robots_filter(uniq, robots, user_agent=user_agent)
+        .filter(F.col("allowed"))
+        .drop("allowed")
+    )
+    return web.domain_caps(
+        gated, url_col="url", max_per_domain=max_per_domain,
+        key_col="url", salt=salt,
+    ).select("url", "domain", "domain_rank")
