@@ -1800,10 +1800,14 @@ def q_web_curate(spark, sf_dir):
         F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
         "text",
     )
-    # a whitespace-only document is the ONE lossy case of the <pre> carrier
-    # (the extractor drops an all-whitespace block) — exclude blanks on
-    # both sides so the transparency contract is total, not corpus-lucky
-    crawled = crawled.filter(F.trim(F.col("text")) != "")
+    # an ASCII-whitespace-only document is the ONE lossy case of the <pre>
+    # carrier (the extractor drops an all-ASCII-whitespace block; NBSP-only
+    # survives verbatim) — exclude such blanks with the extractor's OWN
+    # whitespace class on both sides so the transparency contract is total,
+    # not corpus-lucky (F.trim strips 0x20 only and would miss '\t' docs)
+    crawled = crawled.filter(
+        F.regexp_replace(F.col("text"), r"[ \t\n\r\f\x0b]+", "") != ""
+    )
     held_out = crawled.filter(F.col("doc_id") % 97 == 0)
     blocklist = held_out.select(
         F.explode(dedup.shingles_expr(F.col("text"), 3)).alias("s")
@@ -1821,7 +1825,8 @@ def _sql_web_curate() -> str:
     assert "JOIN documents" not in sql
     return sql.replace(
         "FROM documents",
-        "FROM (SELECT * FROM documents WHERE trim(text) <> '') documents",
+        "FROM (SELECT * FROM documents "
+        "WHERE regexp_replace(text, '[ \\t\\n\\r\\f\\x0b]+', '', 'g') <> '') documents",
     )
 
 

@@ -53,6 +53,7 @@ _HEAD_TAGS = frozenset({
     "head", "title", "meta", "link", "style", "script", "base", "noscript", "template",
 })
 _WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+_ASCII_WS = " \t\n\r\f\x0b"
 
 
 class _Extractor(HTMLParser):
@@ -68,12 +69,14 @@ class _Extractor(HTMLParser):
         self.lines: list[str] = []
 
     def _flush(self) -> None:
+        # edge-trimming uses the same ASCII class as the collapse — bare
+        # str.strip() would eat NBSP/Unicode spaces the oracle keeps
         if self._in_pre:
             line = "".join(self._block)  # verbatim
-            if not line.strip():
+            if not line.strip(_ASCII_WS):
                 line = ""
         else:
-            line = _WS_RE.sub(" ", "".join(self._block)).strip()
+            line = _WS_RE.sub(" ", "".join(self._block)).strip(_ASCII_WS)
         self._block = []
         if line:
             self.lines.append(line)
@@ -118,7 +121,11 @@ class _Extractor(HTMLParser):
             return
         if self._in_title:
             self.title_parts.append(data)
-        elif not self._in_head:
+            return
+        # HTML5: non-whitespace character data also implicitly closes head
+        if self._in_head and data.strip(_ASCII_WS):
+            self._in_head = 0
+        if not self._in_head:
             self._block.append(data)
 
 
@@ -130,7 +137,7 @@ def extract_html(html: str, boilerplate: bool = True) -> tuple[str | None, str]:
     p.feed(html or "")
     p.close()
     p._flush()
-    title = _WS_RE.sub(" ", "".join(p.title_parts)).strip() or None
+    title = _WS_RE.sub(" ", "".join(p.title_parts)).strip(_ASCII_WS) or None
     return title, "\n".join(p.lines)
 
 

@@ -19,6 +19,7 @@ folded into the teleport term, so sinks don't leak rank.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 from urllib.parse import urldefrag, urljoin
 
@@ -167,12 +168,19 @@ def parse_sitemap(xml_text: str) -> list[dict]:
     ``sitemapindex`` entries yield kind='sitemap' with loc/lastmod (feed
     them back through the fetcher). Namespace-agnostic (matches on local
     names); unparseable XML or documents without a recognized root yield
-    []. priority parses to float, anything malformed → None."""
+    []. priority parses to float, anything malformed → None. Documents
+    carrying a DTD are rejected outright: sitemaps never need one, and
+    expat expands nested internal entities (billion-laughs — one hostile
+    10-level document would OOM the executor)."""
     import xml.etree.ElementTree as ET
 
     def local(tag: str) -> str:
         return tag.rsplit("}", 1)[-1].lower()
 
+    if "<!" in (xml_text or "")[:4096] and re.search(
+        r"<!(?:DOCTYPE|ENTITY)", xml_text, re.IGNORECASE
+    ):
+        return []
     try:
         root = ET.fromstring(xml_text or "")
     except ET.ParseError:

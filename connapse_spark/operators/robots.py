@@ -72,15 +72,19 @@ def parse_robots(text: str, user_agent: str = "*") -> list[tuple[bool, str, re.P
         groups.append((cur_agents, cur_rules))
 
     def rules_for(pred):
-        out = []
+        out, matched = [], False
         for agents, rules in groups:
             if any(pred(a) for a in agents):
+                matched = True
                 out.extend(rules)
-        return out
+        return out, matched
 
-    selected = rules_for(lambda a: a == ua)
-    if not selected and ua != "*":
-        selected = rules_for(lambda a: a == "*")
+    # RFC 9309: a group that MATCHES the crawler but has no rules means
+    # allow-all — it must NOT fall back to the * group (sites whitelist
+    # specific bots exactly this way)
+    selected, matched = rules_for(lambda a: a == ua)
+    if not matched and ua != "*":
+        selected, _ = rules_for(lambda a: a == "*")
     return [(allow, pat, _compile_pattern(pat)) for allow, pat in selected]
 
 
@@ -115,21 +119,28 @@ def robots_filter(
     ) + ", " + ROBOTS_FILTER_SCHEMA_SUFFIX
 
     def _filter(batches):
-        compiled: dict[str, list] = {}
-        for host, body in b_robots.value.items():
-            compiled[host.lower()] = parse_robots(body, user_agent)
+        raw = {h.lower(): body for h, body in b_robots.value.items()}
+        compiled: dict[str, list] = {}  # lazy: only hosts this task sees
         for pdf in batches:
             allowed = []
             for u in pdf[url_col]:
-                parts = urlsplit(u or "")
-                rules = compiled.get((parts.hostname or "").lower())
-                if rules is None:
+                try:
+                    parts = urlsplit(u or "")
+                    host = (parts.hostname or "").lower()
+                except ValueError:
+                    # malformed URL (e.g. bad IPv6 bracket) — can't evaluate
+                    # the gate, so don't crawl it; never kill the task
+                    allowed.append(False)
+                    continue
+                if host not in raw:
                     allowed.append(True)
                     continue
+                if host not in compiled:
+                    compiled[host] = parse_robots(raw[host], user_agent)
                 path = parts.path or "/"
                 if parts.query:
                     path += "?" + parts.query
-                allowed.append(is_allowed(rules, path))
+                allowed.append(is_allowed(compiled[host], path))
             out = pdf.copy()
             out["allowed"] = allowed
             yield out

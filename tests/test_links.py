@@ -116,3 +116,15 @@ def test_sitemap_urls_spark(spark):
     )
     rows = [(r.sitemap_url, r.kind, r.loc) for r in links.sitemap_urls(df).collect()]
     assert rows == [("https://a/sm.xml", "url", "https://a/x")]
+
+
+def test_parse_sitemap_rejects_dtd_bombs():
+    bomb = (
+        '<?xml version="1.0"?><!DOCTYPE x [<!ENTITY a "aaaa">'
+        '<!ENTITY b "&a;&a;&a;&a;">]>'
+        "<urlset><url><loc>https://a/&b;</loc></url></urlset>"
+    )
+    assert links.parse_sitemap(bomb) == []
+    # plain prolog without a DTD still parses
+    ok = '<?xml version="1.0"?><urlset><url><loc>https://a/1</loc></url></urlset>'
+    assert [r["loc"] for r in links.parse_sitemap(ok)] == ["https://a/1"]

