@@ -1865,6 +1865,43 @@ SELECT src, dst FROM (
 """.strip()
 
 
+def q_link_anchors(spark, sf_dir):
+    """Anchor-text capture (links.link_edges(anchors=True)): the anchor
+    is the classic query-document training pair; markup inside the
+    anchor contributes its text, whitespace collapses with the ASCII
+    class, and empty anchors stay ''. Oracle regenerates arithmetically."""
+    from connapse_spark.operators import links as _links
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit('<a href="p/'), (F.col("doc_id") * 2).cast("string"),
+        F.lit('">see   <b>doc</b>\n'), did,
+        F.lit('</a><a href="https://out.example/'), (F.col("doc_id") + 7).cast("string"),
+        F.lit('"></a>'),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://ex.com/doc/"), did).alias("url"), page.alias("text")
+    )
+    return _links.link_edges(pages, "url", "text", anchors=True).orderBy("src", "dst")
+
+
+def _sql_link_anchors() -> str:
+    return """
+SELECT src, dst, anchor FROM (
+  SELECT 'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS src,
+         'https://ex.com/doc/p/' || CAST(doc_id * 2 AS VARCHAR) AS dst,
+         'see doc ' || CAST(doc_id AS VARCHAR) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'https://ex.com/doc/' || CAST(doc_id AS VARCHAR),
+         'https://out.example/' || CAST(doc_id + 7 AS VARCHAR),
+         ''
+  FROM documents
+) ORDER BY src, dst
+""".strip()
+
+
 _ROBOTS_BODY = (
     "User-agent: *\n"
     "Disallow: /private\n"
@@ -3050,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": q_wet_roundtrip,
         "web_curate": q_web_curate,
         "link_graph": q_link_graph,
+        "link_anchors": q_link_anchors,
         "pagerank": q_pagerank,
         "robots_gate": q_robots_gate,
         "sitemap_urls": q_sitemap_urls,
@@ -3385,6 +3423,7 @@ def oracle_sql() -> dict[str, str]:
         "wet_roundtrip": _sql_wet_roundtrip(),
         "web_curate": _sql_web_curate(),
         "link_graph": _sql_link_graph(),
+        "link_anchors": _sql_link_anchors(),
         "pagerank": _sql_pagerank(),
         "robots_gate": _sql_robots_gate(),
         "sitemap_urls": _sql_sitemap_urls(),

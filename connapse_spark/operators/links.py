@@ -31,48 +31,94 @@ from pyspark.sql import functions as F
 class _LinkCollector(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self.hrefs: list[str] = []
+        self.links: list[tuple[str, str]] = []  # (href, anchor text)
+        self._open: tuple[str, list[str]] | None = None  # innermost open <a>
+
+    def _close_open(self):
+        if self._open is not None:
+            href, parts = self._open
+            self.links.append((href, "".join(parts)))
+            self._open = None
 
     def handle_starttag(self, tag, attrs):
         if tag in ("a", "area"):
+            self._close_open()  # a nested/unclosed <a> implicitly closes
             for k, v in attrs:
                 if k == "href" and v:
-                    self.hrefs.append(v)
+                    self._open = (v, []) if tag == "a" else None
+                    if tag == "area":  # void element, no anchor text
+                        self.links.append((v, ""))
+                    break
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._close_open()
+
+    def handle_data(self, data):
+        if self._open is not None:
+            self._open[1].append(data)
+
+    def finish(self):
+        self._close_open()
 
 
-def extract_links(html: str, base_url: str) -> list[str]:
+_ANCHOR_WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
+
+
+def extract_links(html: str, base_url: str, anchors: bool = False):
     """Absolute http(s) out-links of a page, in document order, fragments
-    dropped, self-links kept, duplicates kept (count = link weight)."""
+    dropped, self-links kept, duplicates kept (count = link weight).
+    With ``anchors=True`` returns (url, anchor) pairs — anchor text is
+    whitespace-collapsed (same ASCII class as htmltext), '' for <area>
+    and empty anchors; it is the classic query-document training signal
+    (anchor pretraining / MS MARCO-style pairs)."""
     p = _LinkCollector()
     p.feed(html or "")
     p.close()
+    p.finish()
     out = []
-    for href in p.hrefs:
+    for href, anchor in p.links:
         try:
             url = urldefrag(urljoin(base_url, href)).url
         except ValueError:
             continue
         if url.startswith(("http://", "https://")):
-            out.append(url)
+            if anchors:
+                out.append((url, _ANCHOR_WS_RE.sub(" ", anchor).strip(" \t\n\r\f\x0b")))
+            else:
+                out.append(url)
     return out
 
 
 LINK_EDGES_SCHEMA = "src string, dst string"
+LINK_ANCHORS_SCHEMA = "src string, dst string, anchor string"
 
 
-def link_edges(df: DataFrame, url_col: str = "url", html_col: str = "text") -> DataFrame:
-    """(page url, html) rows → one (src, dst) row per out-link. Map-side
-    only; downstream graph ops impose their own partitioning."""
+def link_edges(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "text",
+    anchors: bool = False,
+) -> DataFrame:
+    """(page url, html) rows → one (src, dst[, anchor]) row per out-link.
+    Map-side only; downstream graph ops impose their own partitioning."""
 
     def _extract(batches):
         for pdf in batches:
             out = []
             for url, html in zip(pdf[url_col], pdf[html_col]):
-                for dst in extract_links(html if isinstance(html, str) else "", url or ""):
-                    out.append((url, dst))
-            yield pd.DataFrame(out, columns=["src", "dst"])
+                body = html if isinstance(html, str) else ""
+                if anchors:
+                    for dst, anchor in extract_links(body, url or "", anchors=True):
+                        out.append((url, dst, anchor))
+                else:
+                    for dst in extract_links(body, url or ""):
+                        out.append((url, dst))
+            cols = ["src", "dst", "anchor"] if anchors else ["src", "dst"]
+            yield pd.DataFrame(out, columns=cols)
 
-    return df.select(url_col, html_col).mapInPandas(_extract, LINK_EDGES_SCHEMA)
+    schema = LINK_ANCHORS_SCHEMA if anchors else LINK_EDGES_SCHEMA
+    return df.select(url_col, html_col).mapInPandas(_extract, schema)
 
 
 def domain_edges(edges: DataFrame) -> DataFrame:

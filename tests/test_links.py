@@ -128,3 +128,32 @@ def test_parse_sitemap_rejects_dtd_bombs():
     # plain prolog without a DTD still parses
     ok = '<?xml version="1.0"?><urlset><url><loc>https://a/1</loc></url></urlset>'
     assert [r["loc"] for r in links.parse_sitemap(ok)] == ["https://a/1"]
+
+
+def test_extract_links_anchor_text():
+    html = (
+        '<a href="/x">click  <b>here</b>\nnow</a>'
+        '<a href="/y"></a>'
+        '<area href="/z">'
+        '<a href="/open">unclosed'
+    )
+    assert links.extract_links(html, "https://a.com/", anchors=True) == [
+        ("https://a.com/x", "click here now"),
+        ("https://a.com/y", ""),
+        ("https://a.com/z", ""),
+        ("https://a.com/open", "unclosed"),
+    ]
+    # anchors=False keeps the original shape
+    assert links.extract_links('<a href="/x">t</a>', "https://a.com/") == [
+        "https://a.com/x"
+    ]
+
+
+def test_link_edges_with_anchors_spark(spark):
+    df = spark.createDataFrame(
+        [("https://a.com/", '<a href="/one">First  Link</a>')],
+        "url string, text string",
+    )
+    rows = [(r.src, r.dst, r.anchor)
+            for r in links.link_edges(df, anchors=True).collect()]
+    assert rows == [("https://a.com/", "https://a.com/one", "First Link")]
