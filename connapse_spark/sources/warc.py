@@ -109,23 +109,27 @@ def make_warc(records: list[bytes], gzip_members: bool = True) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _ungzip_all(blob: bytes) -> bytes:
-    """Concatenate every gzip member (tolerates trailing garbage after the
-    last complete member — a truncated tail upload keeps its good prefix)."""
-    out, pos = [], 0
+def _iter_gzip_members(blob: bytes):
+    """Yield each gzip member's decompressed bytes one at a time, so a
+    1 GB CC archive never materializes its ~4 GB plaintext at once —
+    memory stays O(largest member). Tolerates trailing garbage after the
+    last complete member and a truncated final member (its good prefix
+    is yielded)."""
+    pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
         try:
-            out.append(d.decompress(blob[pos:]))
+            chunk = d.decompress(blob[pos:])
         except zlib.error:
-            break
-        if not d.eof:  # truncated final member: keep what decompressed
-            break
+            return
+        if chunk:
+            yield chunk
+        if not d.eof:  # truncated final member
+            return
         consumed = len(blob) - pos - len(d.unused_data)
         if consumed <= 0:
-            break
+            return
         pos += consumed
-    return b"".join(out)
 
 
 def iter_warc_records(blob: bytes):
@@ -135,16 +139,47 @@ def iter_warc_records(blob: bytes):
     Content-Length, headers without a version line) are skipped by scanning
     forward to the next ``WARC/`` magic, with a warning attached to the
     NEXT successfully parsed record (or yielded standalone at EOF) so a
-    100 TB run can count corruption without dying on it."""
+    100 TB run can count corruption without dying on it.
+
+    Gzip members decompress INCREMENTALLY into a working buffer that is
+    compacted as records are consumed — plaintext memory stays
+    O(largest record), not O(archive) (a 1 GB CC file is ~4 GB raw)."""
     if blob[:2] == b"\x1f\x8b":
-        blob = _ungzip_all(blob)
+        members = _iter_gzip_members(blob)
+    else:
+        members = iter((blob,))
+    buf = bytearray()
+    eof = False
+
+    def fill() -> bool:
+        nonlocal eof
+        if eof:
+            return False
+        try:
+            buf.extend(next(members))
+            return True
+        except StopIteration:
+            eof = True
+            return False
+
     pos, pending_warning = 0, None
     while True:
+        if pos > (1 << 20):  # compact consumed prefix
+            del buf[:pos]
+            pos = 0
         # the two blank lines that terminate the previous record (ISO 28500
         # §4) are legal inter-record bytes, not corruption
-        while pos < len(blob) and blob[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        start = blob.find(b"WARC/", pos)
+        while True:
+            while pos < len(buf) and buf[pos] in (13, 10):
+                pos += 1
+            if pos < len(buf) or not fill():
+                break
+        # locate the next record's magic (it may span a member boundary —
+        # keep pulling members until found or exhausted)
+        while True:
+            start = buf.find(b"WARC/", pos)
+            if start >= 0 or not fill():
+                break
         if start < 0:
             if pending_warning:
                 yield {}, b"", pending_warning
@@ -152,15 +187,18 @@ def iter_warc_records(blob: bytes):
         if start > pos and pending_warning is None:
             pending_warning = f"skipped {start - pos} stray bytes at {pos}"
         # header block ends at the first blank line (CRLFCRLF or LFLF)
-        hdr_end_crlf = blob.find(b"\r\n\r\n", start)
-        hdr_end_lf = blob.find(b"\n\n", start)
-        ends = [e for e in (hdr_end_crlf, hdr_end_lf) if e >= 0]
+        while True:
+            hdr_end_crlf = buf.find(b"\r\n\r\n", start)
+            hdr_end_lf = buf.find(b"\n\n", start)
+            ends = [e for e in (hdr_end_crlf, hdr_end_lf) if e >= 0]
+            if ends or not fill():
+                break
         if not ends:
             yield {}, b"", pending_warning or "truncated header block"
             return
         hdr_end = min(ends)
         sep = 4 if hdr_end == hdr_end_crlf else 2
-        head = blob[start:hdr_end].decode("utf-8", errors="replace")
+        head = bytes(buf[start:hdr_end]).decode("utf-8", errors="replace")
         lines = head.replace("\r\n", "\n").split("\n")
         headers: dict[str, str] = {"warc-version": lines[0].strip()}
         for line in lines[1:]:
@@ -174,7 +212,9 @@ def iter_warc_records(blob: bytes):
             pending_warning = f"bad Content-Length in record at {start}"
             pos = body_start
             continue
-        payload = blob[body_start : body_start + length]
+        while len(buf) < body_start + length and fill():
+            pass
+        payload = bytes(buf[body_start : body_start + length])
         if len(payload) < length:
             yield headers, payload, "truncated payload (archive cut short)"
             return

@@ -425,3 +425,37 @@ def test_extract_html_bare_text_after_title_closes_head():
     # whitespace-only data does NOT close head
     title, text = extract_html("<head><title>T</title>  \n <meta x='1'><p>b</p>")
     assert (title, text) == ("T", "b")
+
+
+def test_record_split_across_gzip_members_parses():
+    # members need not align with record boundaries — the buffered parser
+    # must reassemble a record whose bytes span two members
+    import io
+
+    rec = warc.make_warc_record(
+        "response", warc.make_http_response(200, b"x" * 300),
+        target_uri="https://span/",
+    )
+    half = len(rec) // 2
+    out = io.BytesIO()
+    for part in (rec[:half], rec[half:]):
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(part)
+        out.write(buf.getvalue())
+    parsed = list(warc.iter_warc_records(out.getvalue()))
+    assert len(parsed) == 1
+    hdrs, payload, warning = parsed[0]
+    assert hdrs["warc-target-uri"] == "https://span/" and warning is None
+    assert warc.split_http_response(payload)[2] == b"x" * 300
+
+
+def test_many_member_archive_streams():
+    recs = [
+        warc.make_warc_record("response", warc.make_http_response(200, bytes([65 + i % 26]) * 50),
+                              target_uri=f"https://m/{i}")
+        for i in range(200)
+    ]
+    parsed = list(warc.iter_warc_records(warc.make_warc(recs, gzip_members=True)))
+    assert len(parsed) == 200
+    assert all(w is None for _, _, w in parsed)
