@@ -1865,6 +1865,46 @@ SELECT src, dst FROM (
 """.strip()
 
 
+def q_html_meta(spark, sf_dir):
+    """Head-metadata curation signals (htmltext.extract_html_meta):
+    rel=canonical (many-to-one — the dedup key), meta-robots noindex
+    (every 3rd page opts out), description; a second canonical that must
+    lose (first wins) and a meta inside <svg> that must be ignored."""
+    from connapse_spark.operators import htmltext as _ht
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    robots = F.when(
+        F.col("doc_id") % 3 == 0, F.lit("noindex, follow")
+    ).otherwise(F.lit("index, follow"))
+    page = F.concat(
+        F.lit('<head><title>Doc '), did,
+        F.lit('</title><link rel="canonical" href="https://ex.com/c/'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"><meta name="robots" content="'), robots,
+        F.lit('"><meta name="description" content="Desc '), did,
+        F.lit('"><link rel="canonical" href="https://loser/"></head>'
+              '<body><svg><meta name="robots" content="noindex"></svg><p>b</p></body>'),
+    )
+    html = docs.select("doc_id", page.alias("text"))
+    out = _ht.extract_html_meta(html, "text")
+    return out.select(
+        "doc_id", "title", "canonical", "noindex", "description"
+    ).orderBy("doc_id")
+
+
+def _sql_html_meta() -> str:
+    return """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'https://ex.com/c/' || CAST(doc_id % 7 AS VARCHAR) AS canonical,
+       doc_id % 3 = 0 AS noindex,
+       'Desc ' || CAST(doc_id AS VARCHAR) AS description
+FROM documents
+ORDER BY doc_id
+""".strip()
+
+
 def q_link_anchors(spark, sf_dir):
     """Anchor-text capture (links.link_edges(anchors=True)): the anchor
     is the classic query-document training pair; markup inside the
@@ -3083,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (WARC ingest + HTML extraction) and take the first seats.
         "parse_warc": q_parse_warc,
         "html_extract": q_html_extract,
+        "html_meta": q_html_meta,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_roundtrip": q_wet_roundtrip,
         "web_curate": q_web_curate,
@@ -3419,6 +3460,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_binary": _sql_parse_binary(),
         "parse_warc": _sql_parse_warc(),
         "html_extract": _sql_html_extract(),
+        "html_meta": _sql_html_meta(),
         "warc_roundtrip": _sql_warc_roundtrip(),
         "wet_roundtrip": _sql_wet_roundtrip(),
         "web_curate": _sql_web_curate(),

@@ -67,6 +67,18 @@ class _Extractor(HTMLParser):
         self.title_parts: list[str] = []
         self._block: list[str] = []
         self.lines: list[str] = []
+        self.meta: dict[str, str] = {}  # canonical/robots/description/og:*
+
+    _META_NAMES = frozenset({"robots", "description", "og:title", "og:description"})
+
+    def _collect_meta(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "link" and (a.get("rel") or "").lower() == "canonical" and a.get("href"):
+            self.meta.setdefault("canonical", a["href"].strip())
+        elif tag == "meta":
+            name = (a.get("name") or a.get("property") or "").lower()
+            if name in self._META_NAMES and a.get("content") is not None:
+                self.meta.setdefault(name, a["content"].strip())
 
     def _flush(self) -> None:
         # edge-trimming uses the same ASCII class as the collapse — bare
@@ -87,6 +99,8 @@ class _Extractor(HTMLParser):
             return
         if self._drop_depth:
             return  # e.g. <title> inside a dropped <svg> is not THE title
+        if tag in ("meta", "link"):
+            self._collect_meta(tag, attrs)
         if self._in_head and tag not in _HEAD_TAGS:
             self._in_head = 0  # implicit </head> (flow content begins)
         if tag == "head":
@@ -129,16 +143,36 @@ class _Extractor(HTMLParser):
             self._block.append(data)
 
 
-def extract_html(html: str, boilerplate: bool = True) -> tuple[str | None, str]:
-    """(title, text) per the module-docstring contract. Never raises on
-    malformed markup — html.parser is a recovering tokenizer, and a page
-    that is all chrome extracts to ('title-or-None', '')."""
+def extract_html_full(
+    html: str, boilerplate: bool = True
+) -> tuple[str | None, str, dict[str, str]]:
+    """(title, text, meta) — meta carries the curation signals real
+    pipelines act on: ``canonical`` (link rel=canonical href — the dedup
+    key search engines honor), ``robots`` (meta robots directives, see
+    :func:`meta_noindex`), ``description`` and ``og:title``/
+    ``og:description``. First occurrence wins, matching browser/crawler
+    behavior. Never raises on malformed markup."""
     p = _Extractor(boilerplate)
     p.feed(html or "")
     p.close()
     p._flush()
     title = _WS_RE.sub(" ", "".join(p.title_parts)).strip(_ASCII_WS) or None
-    return title, "\n".join(p.lines)
+    return title, "\n".join(p.lines), p.meta
+
+
+def extract_html(html: str, boilerplate: bool = True) -> tuple[str | None, str]:
+    """(title, text) per the module-docstring contract. Never raises on
+    malformed markup — html.parser is a recovering tokenizer, and a page
+    that is all chrome extracts to ('title-or-None', '')."""
+    title, text, _ = extract_html_full(html, boilerplate)
+    return title, text
+
+
+def meta_noindex(meta: dict[str, str]) -> bool:
+    """True when meta robots carries a noindex/none directive — pages a
+    curation pipeline must drop (the site owner opted out of indexing)."""
+    directives = {d.strip().lower() for d in (meta.get("robots") or "").split(",")}
+    return bool(directives & {"noindex", "none"})
 
 
 HTML_TEXT_SCHEMA = "title string, text string"
@@ -194,3 +228,47 @@ def escape_html_expr(text):
         ),
         F.lit(">"), F.lit("&gt;"),
     )
+
+
+HTML_META_SCHEMA = (
+    "title string, text string, canonical string, noindex boolean, "
+    "description string"
+)
+
+
+def extract_html_meta(
+    df: DataFrame,
+    html_col: str = "text",
+    boilerplate: bool = True,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Column form of extract_html_full: (keep_cols..., title, text,
+    canonical, noindex, description). Same Arrow shape and manual
+    column-pruning rules as extract_html_text."""
+    keep = keep_cols if keep_cols is not None else [
+        c for c in df.columns if c != html_col
+    ]
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keep
+    )
+    schema = (schema + ", " if schema else "") + HTML_META_SCHEMA
+
+    def _extract(batches):
+        for pdf in batches:
+            titles, texts, canonicals, noindexes, descs = [], [], [], [], []
+            for h in pdf[html_col]:
+                t, x, m = extract_html_full(h if isinstance(h, str) else "", boilerplate)
+                titles.append(t)
+                texts.append(x)
+                canonicals.append(m.get("canonical"))
+                noindexes.append(meta_noindex(m))
+                descs.append(m.get("description"))
+            out = pdf[keep].copy()
+            out["title"] = titles
+            out["text"] = texts
+            out["canonical"] = canonicals
+            out["noindex"] = noindexes
+            out["description"] = descs
+            yield out
+
+    return df.select(*keep, html_col).mapInPandas(_extract, schema)

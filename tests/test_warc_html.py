@@ -459,3 +459,43 @@ def test_many_member_archive_streams():
     parsed = list(warc.iter_warc_records(warc.make_warc(recs, gzip_members=True)))
     assert len(parsed) == 200
     assert all(w is None for _, _, w in parsed)
+
+
+def test_extract_html_full_meta_signals():
+    from connapse_spark.operators.htmltext import extract_html_full, meta_noindex
+
+    html = (
+        '<head><title>T</title>'
+        '<link rel="canonical" href=" https://c.example/x ">'
+        '<meta name="robots" content="NOINDEX, nofollow">'
+        '<meta name="description" content="a page">'
+        '<meta property="og:title" content="OG T">'
+        '<link rel="canonical" href="https://second/ignored">'
+        '</head><body><p>b</p></body>'
+    )
+    title, text, meta = extract_html_full(html)
+    assert (title, text) == ("T", "b")
+    assert meta["canonical"] == "https://c.example/x"  # first wins, trimmed
+    assert meta["og:title"] == "OG T"
+    assert meta_noindex(meta) is True
+    assert meta_noindex({"robots": "index, follow"}) is False
+    assert meta_noindex({}) is False
+    assert meta_noindex({"robots": "none"}) is True
+    # meta inside a dropped subtree is ignored
+    _, _, m2 = extract_html_full('<svg><meta name="robots" content="noindex"></svg><p>x</p>')
+    assert m2 == {}
+
+
+def test_extract_html_meta_df(spark):
+    from connapse_spark.operators.htmltext import extract_html_meta
+
+    df = spark.createDataFrame(
+        [("d1", '<link rel="canonical" href="https://c/1"><meta name="robots" '
+                'content="noindex"><p>body</p>'),
+         ("d2", "<p>plain</p>")],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in extract_html_meta(df, "text").collect()}
+    assert out["d1"].canonical == "https://c/1" and out["d1"].noindex is True
+    assert out["d2"].canonical is None and out["d2"].noindex is False
+    assert out["d2"].text == "plain"
