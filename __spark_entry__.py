@@ -2153,15 +2153,17 @@ def q_pagerank(spark, sf_dir):
     return pr.orderBy("node")
 
 
-def _sql_pagerank() -> str:
+def _sql_pagerank_unrolled(edges_sql: str, weighted: bool) -> str:
+    """The k-iteration power loop as chained CTEs over an arbitrary
+    (src, dst[, w]) edge query — the shared mirror for the unweighted and
+    weighted (domain-graph) variants."""
     d, k = _PR_DAMP, _PR_ITER
     teleport = f"(1 - {d}) / (SELECT n FROM nn)"
+    w = "w" if weighted else "1.0"
     parts = [f"""
-e AS (SELECT 'n' || CAST(doc_id % {_PR_NODES} AS VARCHAR) AS src,
-             'n' || CAST((doc_id * 13 + 7) % {2 * _PR_NODES} AS VARCHAR) AS dst
-      FROM documents),
+e AS ({edges_sql}),
 nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+deg AS (SELECT src, sum({w}) AS deg FROM e GROUP BY src),
 base AS (SELECT node, deg FROM nodes LEFT JOIN deg ON node = src),
 nn AS (SELECT count(*) AS n FROM base),
 r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS rank FROM base)"""]
@@ -2176,13 +2178,54 @@ r{i} AS (
              / (SELECT n FROM nn)
          ) AS rank
   FROM base b
-  LEFT JOIN (SELECT e.dst, sum(r.rank / r.deg) AS contrib
+  LEFT JOIN (SELECT e.dst, sum(r.rank * {'e.w' if weighted else '1.0'} / r.deg) AS contrib
              FROM e JOIN {prev} r ON e.src = r.node GROUP BY e.dst) c
     ON b.node = c.dst
 )""")
     return (
         "WITH " + ",".join(parts)
         + f"\nSELECT node, round(rank, 9) AS rank FROM r{k} ORDER BY node"
+    )
+
+
+def _sql_pagerank() -> str:
+    return _sql_pagerank_unrolled(
+        f"""SELECT 'n' || CAST(doc_id % {_PR_NODES} AS VARCHAR) AS src,
+             'n' || CAST((doc_id * 13 + 7) % {2 * _PR_NODES} AS VARCHAR) AS dst
+      FROM documents""",
+        weighted=False,
+    )
+
+
+def q_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (links.pagerank(weight_col=...)) — the
+    domain-graph crawl-priority form: a node splits rank across
+    out-edges proportionally to weight. Same corpus-derived multigraph
+    as `pagerank` but with arithmetic weights 1..5; the oracle reuses
+    the shared unrolled-CTE mirror with weighted sums."""
+    from connapse_spark.operators import links as _links
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("n"), (F.col("doc_id") % _PR_NODES).cast("string")).alias("src"),
+        F.concat(
+            F.lit("n"), ((F.col("doc_id") * 13 + 7) % (2 * _PR_NODES)).cast("string")
+        ).alias("dst"),
+        ((F.col("doc_id") % 5) + 1).cast("double").alias("n_links"),
+    )
+    pr = _links.pagerank(
+        edges, n_iter=_PR_ITER, damping=_PR_DAMP, round_to=9, weight_col="n_links"
+    )
+    return pr.orderBy("node")
+
+
+def _sql_pagerank_weighted() -> str:
+    return _sql_pagerank_unrolled(
+        f"""SELECT 'n' || CAST(doc_id % {_PR_NODES} AS VARCHAR) AS src,
+             'n' || CAST((doc_id * 13 + 7) % {2 * _PR_NODES} AS VARCHAR) AS dst,
+             CAST(doc_id % 5 + 1 AS DOUBLE) AS w
+      FROM documents""",
+        weighted=True,
     )
 
 
@@ -3130,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "link_anchors": q_link_anchors,
         "pagerank": q_pagerank,
+        "pagerank_weighted": q_pagerank_weighted,
         "robots_gate": q_robots_gate,
         "sitemap_urls": q_sitemap_urls,
         "crawl_frontier": q_crawl_frontier,
@@ -3467,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": _sql_link_graph(),
         "link_anchors": _sql_link_anchors(),
         "pagerank": _sql_pagerank(),
+        "pagerank_weighted": _sql_pagerank_weighted(),
         "robots_gate": _sql_robots_gate(),
         "sitemap_urls": _sql_sitemap_urls(),
         "crawl_frontier": _sql_crawl_frontier(),

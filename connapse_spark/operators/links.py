@@ -141,6 +141,7 @@ def pagerank(
     n_iter: int = 5,
     damping: float = 0.85,
     round_to: int | None = 9,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Damped PageRank by power iteration over a (src, dst) edge list.
 
@@ -153,12 +154,22 @@ def pagerank(
     1e-15-scale noise). Plan per iteration: edges⋈ranks (AQE picks
     broadcast while the rank vector is small) + one groupBy dst; the
     edge table is never mutated, so persist it partitioned by src and
-    every iteration's shuffle touches only the rank vector."""
-    edges = edges.select("src", "dst")
+    every iteration's shuffle touches only the rank vector.
+
+    ``weight_col`` generalizes to the weighted form (e.g. the
+    ``domain_edges`` n_links graph — the crawl-priority unit): a node
+    splits its rank across out-edges proportionally to weight. Unweighted
+    is the weight≡1.0 special case (sum of ones == the count, exactly)."""
+    if weight_col is None:
+        edges = edges.select("src", "dst").withColumn("_w", F.lit(1.0))
+    else:
+        edges = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("_w")
+        )
     nodes = edges.select(F.col("src").alias("node")).unionByName(
         edges.select(F.col("dst").alias("node"))
     ).distinct()
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = edges.groupBy("src").agg(F.sum("_w").alias("deg"))
     # (node, deg|null): null deg = dangling
     base = nodes.join(deg, nodes.node == deg.src, "left").select("node", "deg")
     base = base.persist()
@@ -179,7 +190,7 @@ def pagerank(
         contribs = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+            .agg(F.sum(F.col("rank") * F.col("_w") / F.col("deg")).alias("contrib"))
         )
         new_ranks = base.join(
             contribs.withColumnRenamed("dst", "node"), "node", "left"

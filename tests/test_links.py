@@ -157,3 +157,34 @@ def test_link_edges_with_anchors_spark(spark):
     rows = [(r.src, r.dst, r.anchor)
             for r in links.link_edges(df, anchors=True).collect()]
     assert rows == [("https://a.com/", "https://a.com/one", "First Link")]
+
+
+def test_pagerank_weighted_matches_reference(spark):
+    edges = [("A", "B", 3.0), ("A", "C", 1.0), ("B", "C", 2.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r.node: r.rank
+           for r in links.pagerank(df, n_iter=4, round_to=None,
+                                   weight_col="w").collect()}
+    # numpy reference with proportional splitting
+    import numpy as np
+    nodes = ["A", "B", "C"]
+    idx = {n: i for i, n in enumerate(nodes)}
+    d, n = 0.85, 3
+    outw = {"A": 4.0, "B": 2.0}
+    r = np.full(n, 1 / 3)
+    for _ in range(4):
+        dang = r[idx["C"]]
+        new = np.full(n, (1 - d) / n) + d * dang / n
+        for u, v, w in edges:
+            new[idx[v]] += d * r[idx[u]] * w / outw[u]
+        r = new
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-12, node
+    # unweighted stays the weight==1 special case, bit-for-bit
+    uw = spark.createDataFrame([(u, v) for u, v, _ in edges], "src string, dst string")
+    a = {r_.node: r_.rank for r_ in links.pagerank(uw, n_iter=4, round_to=None).collect()}
+    ones = spark.createDataFrame([(u, v, 1.0) for u, v, _ in edges],
+                                 "src string, dst string, w double")
+    b = {r_.node: r_.rank
+         for r_ in links.pagerank(ones, n_iter=4, round_to=None, weight_col="w").collect()}
+    assert a == b
