@@ -2133,6 +2133,29 @@ ORDER BY url
 _PR_ITER, _PR_DAMP, _PR_NODES = 5, 0.85, 50
 
 
+def _pr_edges(docs, weighted: bool):
+    """The corpus-derived 50-node multigraph both pagerank variants rank —
+    one definition, mirrored by _PR_EDGES_SQL."""
+    cols = [
+        F.concat(F.lit("n"), (F.col("doc_id") % _PR_NODES).cast("string")).alias("src"),
+        F.concat(
+            F.lit("n"), ((F.col("doc_id") * 13 + 7) % (2 * _PR_NODES)).cast("string")
+        ).alias("dst"),
+    ]
+    if weighted:
+        cols.append(((F.col("doc_id") % 5) + 1).cast("double").alias("n_links"))
+    return docs.select(*cols)
+
+
+def _pr_edges_sql(weighted: bool) -> str:
+    w = ",\n             CAST(doc_id % 5 + 1 AS DOUBLE) AS w" if weighted else ""
+    return (
+        f"""SELECT 'n' || CAST(doc_id % {_PR_NODES} AS VARCHAR) AS src,
+             'n' || CAST((doc_id * 13 + 7) % {2 * _PR_NODES} AS VARCHAR) AS dst{w}
+      FROM documents"""
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Damped PageRank by distributed power iteration (operators/links.py
     — one edges⋈ranks shuffle + one aggregate per iteration, rank vector
@@ -2142,13 +2165,7 @@ def q_pagerank(spark, sf_dir):
     exact same 5 iterations as chained CTEs."""
     from connapse_spark.operators import links as _links
 
-    docs = _t(spark, sf_dir, "documents")
-    edges = docs.select(
-        F.concat(F.lit("n"), (F.col("doc_id") % _PR_NODES).cast("string")).alias("src"),
-        F.concat(
-            F.lit("n"), ((F.col("doc_id") * 13 + 7) % (2 * _PR_NODES)).cast("string")
-        ).alias("dst"),
-    )
+    edges = _pr_edges(_t(spark, sf_dir, "documents"), weighted=False)
     pr = _links.pagerank(edges, n_iter=_PR_ITER, damping=_PR_DAMP, round_to=9)
     return pr.orderBy("node")
 
@@ -2189,12 +2206,7 @@ r{i} AS (
 
 
 def _sql_pagerank() -> str:
-    return _sql_pagerank_unrolled(
-        f"""SELECT 'n' || CAST(doc_id % {_PR_NODES} AS VARCHAR) AS src,
-             'n' || CAST((doc_id * 13 + 7) % {2 * _PR_NODES} AS VARCHAR) AS dst
-      FROM documents""",
-        weighted=False,
-    )
+    return _sql_pagerank_unrolled(_pr_edges_sql(weighted=False), weighted=False)
 
 
 def q_pagerank_weighted(spark, sf_dir):
@@ -2205,14 +2217,7 @@ def q_pagerank_weighted(spark, sf_dir):
     the shared unrolled-CTE mirror with weighted sums."""
     from connapse_spark.operators import links as _links
 
-    docs = _t(spark, sf_dir, "documents")
-    edges = docs.select(
-        F.concat(F.lit("n"), (F.col("doc_id") % _PR_NODES).cast("string")).alias("src"),
-        F.concat(
-            F.lit("n"), ((F.col("doc_id") * 13 + 7) % (2 * _PR_NODES)).cast("string")
-        ).alias("dst"),
-        ((F.col("doc_id") % 5) + 1).cast("double").alias("n_links"),
-    )
+    edges = _pr_edges(_t(spark, sf_dir, "documents"), weighted=True)
     pr = _links.pagerank(
         edges, n_iter=_PR_ITER, damping=_PR_DAMP, round_to=9, weight_col="n_links"
     )
@@ -2220,13 +2225,7 @@ def q_pagerank_weighted(spark, sf_dir):
 
 
 def _sql_pagerank_weighted() -> str:
-    return _sql_pagerank_unrolled(
-        f"""SELECT 'n' || CAST(doc_id % {_PR_NODES} AS VARCHAR) AS src,
-             'n' || CAST((doc_id * 13 + 7) % {2 * _PR_NODES} AS VARCHAR) AS dst,
-             CAST(doc_id % 5 + 1 AS DOUBLE) AS w
-      FROM documents""",
-        weighted=True,
-    )
+    return _sql_pagerank_unrolled(_pr_edges_sql(weighted=True), weighted=True)
 
 
 # deterministic URL synthesis for the web-operator queries (the corpus has

@@ -72,13 +72,24 @@ class _Extractor(HTMLParser):
     _META_NAMES = frozenset({"robots", "description", "og:title", "og:description"})
 
     def _collect_meta(self, tag, attrs):
-        a = dict(attrs)
-        if tag == "link" and (a.get("rel") or "").lower() == "canonical" and a.get("href"):
-            self.meta.setdefault("canonical", a["href"].strip())
+        a: dict[str, str] = {}
+        for k, v in attrs:  # HTML keeps the FIRST duplicate attribute
+            a.setdefault(k, v or "")
+        if tag == "link":
+            # rel is a space-separated token list ("canonical alternate")
+            rel_tokens = (a.get("rel") or "").lower().split()
+            href = (a.get("href") or "").strip()
+            if "canonical" in rel_tokens and href:
+                self.meta.setdefault("canonical", href)
         elif tag == "meta":
             name = (a.get("name") or a.get("property") or "").lower()
             if name in self._META_NAMES and a.get("content") is not None:
-                self.meta.setdefault(name, a["content"].strip())
+                if name == "robots" and "robots" in self.meta:
+                    # directives UNION across tags (most restrictive wins
+                    # downstream) — crawlers combine, not first-wins
+                    self.meta["robots"] += "," + a["content"].strip()
+                else:
+                    self.meta.setdefault(name, a["content"].strip())
 
     def _flush(self) -> None:
         # edge-trimming uses the same ASCII class as the collapse — bare
@@ -148,10 +159,11 @@ def extract_html_full(
 ) -> tuple[str | None, str, dict[str, str]]:
     """(title, text, meta) — meta carries the curation signals real
     pipelines act on: ``canonical`` (link rel=canonical href — the dedup
-    key search engines honor), ``robots`` (meta robots directives, see
-    :func:`meta_noindex`), ``description`` and ``og:title``/
-    ``og:description``. First occurrence wins, matching browser/crawler
-    behavior. Never raises on malformed markup."""
+    key search engines honor; first non-blank wins), ``robots`` (meta
+    robots directives UNIONED across tags — crawlers combine them, so a
+    later noindex still bites; see :func:`meta_noindex`), ``description``
+    and ``og:title``/``og:description`` (first wins). Never raises on
+    malformed markup."""
     p = _Extractor(boilerplate)
     p.feed(html or "")
     p.close()
@@ -178,37 +190,46 @@ def meta_noindex(meta: dict[str, str]) -> bool:
 HTML_TEXT_SCHEMA = "title string, text string"
 
 
-def extract_html_text(
-    df: DataFrame,
-    html_col: str = "text",
-    boilerplate: bool = True,
-    keep_cols: list[str] | None = None,
-) -> DataFrame:
-    """Column form: (keep_cols..., title, text). keep_cols defaults to
-    every non-html column — pass an explicit subset on wide frames so the
-    Arrow transfer only carries what survives (column pruning through a
-    mapInPandas boundary is manual)."""
+def _column_form(df, html_col, keep_cols, schema_suffix, out_names, row_fn):
+    """Shared mapInPandas scaffold for the extractor column forms:
+    (keep_cols..., out_names...) where ``row_fn(html) -> tuple`` computes
+    one output row's values. keep_cols defaults to every non-html column
+    — pass an explicit subset on wide frames so the Arrow transfer only
+    carries what survives (column pruning through a mapInPandas boundary
+    is manual)."""
     keep = keep_cols if keep_cols is not None else [
         c for c in df.columns if c != html_col
     ]
     schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keep
     )
-    schema = (schema + ", " if schema else "") + HTML_TEXT_SCHEMA
+    schema = (schema + ", " if schema else "") + schema_suffix
 
     def _extract(batches):
         for pdf in batches:
-            titles, texts = [], []
+            cols = [[] for _ in out_names]
             for h in pdf[html_col]:
-                t, x = extract_html(h if isinstance(h, str) else "", boilerplate)
-                titles.append(t)
-                texts.append(x)
+                for col, val in zip(cols, row_fn(h if isinstance(h, str) else "")):
+                    col.append(val)
             out = pdf[keep].copy()
-            out["title"] = titles
-            out["text"] = texts
+            for name, col in zip(out_names, cols):
+                out[name] = col
             yield out
 
     return df.select(*keep, html_col).mapInPandas(_extract, schema)
+
+
+def extract_html_text(
+    df: DataFrame,
+    html_col: str = "text",
+    boilerplate: bool = True,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Column form: (keep_cols..., title, text)."""
+    return _column_form(
+        df, html_col, keep_cols, HTML_TEXT_SCHEMA, ["title", "text"],
+        lambda h: extract_html(h, boilerplate),
+    )
 
 
 def sql_escape_html(text: str) -> str:
@@ -243,32 +264,13 @@ def extract_html_meta(
     keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Column form of extract_html_full: (keep_cols..., title, text,
-    canonical, noindex, description). Same Arrow shape and manual
-    column-pruning rules as extract_html_text."""
-    keep = keep_cols if keep_cols is not None else [
-        c for c in df.columns if c != html_col
-    ]
-    schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema if f.name in keep
+    canonical, noindex, description)."""
+
+    def _row(h):
+        t, x, m = extract_html_full(h, boilerplate)
+        return t, x, m.get("canonical"), meta_noindex(m), m.get("description")
+
+    return _column_form(
+        df, html_col, keep_cols, HTML_META_SCHEMA,
+        ["title", "text", "canonical", "noindex", "description"], _row,
     )
-    schema = (schema + ", " if schema else "") + HTML_META_SCHEMA
-
-    def _extract(batches):
-        for pdf in batches:
-            titles, texts, canonicals, noindexes, descs = [], [], [], [], []
-            for h in pdf[html_col]:
-                t, x, m = extract_html_full(h if isinstance(h, str) else "", boilerplate)
-                titles.append(t)
-                texts.append(x)
-                canonicals.append(m.get("canonical"))
-                noindexes.append(meta_noindex(m))
-                descs.append(m.get("description"))
-            out = pdf[keep].copy()
-            out["title"] = titles
-            out["text"] = texts
-            out["canonical"] = canonicals
-            out["noindex"] = noindexes
-            out["description"] = descs
-            yield out
-
-    return df.select(*keep, html_col).mapInPandas(_extract, schema)

@@ -166,9 +166,14 @@ def pagerank(
         edges = edges.select(
             "src", "dst", F.col(weight_col).cast("double").alias("_w")
         )
+    # node membership comes from ALL edges; rank flow only from positive
+    # weights — a non-positive/null weight would make deg=0 divide by zero
+    # (ANSI) or leak rank mass silently (non-ANSI), so such edges carry no
+    # rank and their src, if left without positive out-edges, is dangling
     nodes = edges.select(F.col("src").alias("node")).unionByName(
         edges.select(F.col("dst").alias("node"))
     ).distinct()
+    edges = edges.filter(F.col("_w") > 0)
     deg = edges.groupBy("src").agg(F.sum("_w").alias("deg"))
     # (node, deg|null): null deg = dangling
     base = nodes.join(deg, nodes.node == deg.src, "left").select("node", "deg")

@@ -188,3 +188,15 @@ def test_pagerank_weighted_matches_reference(spark):
     b = {r_.node: r_.rank
          for r_ in links.pagerank(ones, n_iter=4, round_to=None, weight_col="w").collect()}
     assert a == b
+
+
+def test_pagerank_nonpositive_weights_drop_but_nodes_stay(spark):
+    df = spark.createDataFrame(
+        [("A", "B", 0.0), ("C", "A", 1.0)], "src string, dst string, w double"
+    )
+    got = {r.node: r.rank
+           for r in links.pagerank(df, n_iter=3, round_to=None, weight_col="w").collect()}
+    # B stays a node (it was a link target); A is dangling (no positive
+    # out-weight); no crash, mass conserved
+    assert set(got) == {"A", "B", "C"}
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -499,3 +499,29 @@ def test_extract_html_meta_df(spark):
     assert out["d1"].canonical == "https://c/1" and out["d1"].noindex is True
     assert out["d2"].canonical is None and out["d2"].noindex is False
     assert out["d2"].text == "plain"
+
+
+def test_meta_robots_union_and_rel_token_list():
+    from connapse_spark.operators.htmltext import extract_html_full, meta_noindex
+
+    # a later noindex still bites (crawlers union directives across tags)
+    _, _, m = extract_html_full(
+        '<meta name="robots" content="index, follow">'
+        '<meta name="robots" content="noindex"><p>b</p>'
+    )
+    assert meta_noindex(m) is True
+    # rel is a token list; whitespace-only href never claims the slot
+    _, _, m2 = extract_html_full(
+        '<link rel="canonical alternate" href="https://a/"><p>x</p>'
+    )
+    assert m2["canonical"] == "https://a/"
+    _, _, m3 = extract_html_full(
+        '<link rel="canonical" href="  ">'
+        '<link rel="canonical" href="https://real/"><p>x</p>'
+    )
+    assert m3["canonical"] == "https://real/"
+    # duplicated attributes: HTML keeps the FIRST
+    _, _, m4 = extract_html_full(
+        '<meta name="robots" content="noindex" content="index"><p>x</p>'
+    )
+    assert meta_noindex(m4) is True
