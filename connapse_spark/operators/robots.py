@@ -146,3 +146,16 @@ def robots_filter(
             yield out
 
     return urls.mapInPandas(_filter, schema)
+
+
+def robots_sitemaps(text: str) -> list[str]:
+    """The ``Sitemap:`` lines of a robots body (RFC 9309 §2.3 treats them
+    as global, group-independent) — the discovery loop's first hop:
+    robots.txt → sitemaps → sitemap_urls → frontier."""
+    out = []
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out

@@ -680,3 +680,77 @@ def streaming_table_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_web_ingest(
+    spark: SparkSession,
+    watch_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.warc.gz",
+    boilerplate: bool = True,
+) -> None:
+    """Crawl-drop → snapshot-layer documents table, end to end: new WARC
+    archives under ``watch_dir`` parse to clean html-200 records, extract
+    to (url, title, text), and MERGE into ``table_dir`` keyed by url —
+    one atomically-visible snapshot version per micro-batch, copy-on-write
+    at file level (a drop touching 0.1% of urls rewrites ~0.1% of files).
+
+    Within a batch, the LAST occurrence wins per url — ordered by
+    (warc_file, record_idx), the fetcher's recency proxy (a re-fetch in
+    the same drop lands in a later archive/record). Across activations,
+    merge_snapshot's keyed upsert IS last-writer-wins. Exactly-once on
+    BOTH ends: the file-source checkpoint never re-reads an archive, and
+    the manifest commit makes each batch's merge atomic."""
+    from pyspark.sql.window import Window
+
+    from connapse_spark.operators.htmltext import extract_html_text
+    from connapse_spark.sources import snapshots
+    from connapse_spark.sources import warc as _warc
+
+    blobs = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(watch_dir)
+    )
+    recs = _warc.warc_records(blobs).filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").contains("html")
+        & F.col("text").isNotNull()
+        & (
+            F.col("warning").isNull()
+            | F.col("warning").startswith(_warc.PRIOR_WARNING_PREFIX)
+        )
+    ).select(
+        F.col("target_uri").alias("url"), "warc_file", "record_idx", "text"
+    )
+    docs = extract_html_text(
+        recs, "text", boilerplate=boilerplate,
+        keep_cols=["url", "warc_file", "record_idx"],
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("url").orderBy(
+            F.desc("warc_file"), F.desc("record_idx")
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("url", "title", "text")
+        )
+        sess = batch_df.sparkSession
+        if snapshots.latest_version(table_dir) is None:
+            snapshots.commit_snapshot(latest, table_dir)
+        else:
+            snapshots.merge_snapshot(sess, latest, table_dir, "url")
+
+    q = (
+        docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -119,3 +119,16 @@ def test_robots_filter_compiles_lazily(spark):
     df = spark.createDataFrame([("https://seen.com/x",)], "url string")
     rows = robots_filter(df, robots).collect()
     assert rows[0].allowed is False
+
+
+def test_robots_sitemaps_lines():
+    from connapse_spark.operators.robots import robots_sitemaps
+
+    body = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a/sitemap.xml\n"
+        "sitemap:https://a/s2.xml   # comment\n"
+        "Sitemap:\n"
+    )
+    assert robots_sitemaps(body) == ["https://a/sitemap.xml", "https://a/s2.xml"]
+    assert robots_sitemaps("") == []

@@ -294,3 +294,53 @@ def test_stream_warc_files_two_activations(spark, tmpdir):
     assert len(rows2) == 3
     assert sum(1 for r in rows2 if r.url == "https://a/1") == 1
     assert any(r.url == "https://b/1" and r.text == "delta" for r in rows2)
+
+
+def test_streaming_web_ingest_to_snapshot_table(spark, tmpdir):
+    from connapse_spark.sources import snapshots, warc
+
+    src = os.path.join(tmpdir, "crawl-drop")
+    os.makedirs(src)
+
+    def _archive(name, pages):
+        recs = [
+            warc.make_warc_record(
+                "response", warc.make_http_response(200, html.encode()),
+                target_uri=url,
+            )
+            for url, html in pages
+        ]
+        with open(os.path.join(src, name), "wb") as f:
+            f.write(warc.make_warc(recs, gzip_members=True))
+
+    table = os.path.join(tmpdir, "webdocs")
+    ckpt = os.path.join(tmpdir, "ckpt-web-ingest")
+
+    # drop 1: two pages, one url fetched twice (later record wins)
+    _archive("seg-0.warc.gz", [
+        ("https://a/1", "<title>old</title><p>v1</p>"),
+        ("https://a/1", "<title>new</title><p>v2</p>"),
+        ("https://a/2", "<p>two</p>"),
+    ])
+    sp.streaming_web_ingest(spark, src, table, ckpt)
+    rows = {r.url: r for r in snapshots.read_snapshot(spark, table).collect()}
+    assert set(rows) == {"https://a/1", "https://a/2"}
+    assert rows["https://a/1"].title == "new" and rows["https://a/1"].text == "v2"
+    v1 = snapshots.latest_version(table)
+
+    # drop 2: update one url, add another — merge, not rewrite
+    _archive("seg-1.warc.gz", [
+        ("https://a/2", "<p>two-updated</p>"),
+        ("https://a/3", "<p>three</p>"),
+    ])
+    sp.streaming_web_ingest(spark, src, table, ckpt)
+    rows2 = {r.url: r.text for r in snapshots.read_snapshot(spark, table).collect()}
+    assert rows2 == {"https://a/1": "v2", "https://a/2": "two-updated",
+                     "https://a/3": "three"}
+    # the previous version is still time-travel readable (one version/batch)
+    old = {r.url: r.text for r in snapshots.read_snapshot(spark, table, version=v1).collect()}
+    assert old["https://a/2"] == "two"
+    # re-activation with nothing new commits nothing
+    v2 = snapshots.latest_version(table)
+    sp.streaming_web_ingest(spark, src, table, ckpt)
+    assert snapshots.latest_version(table) == v2
