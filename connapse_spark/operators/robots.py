@@ -159,3 +159,69 @@ def robots_sitemaps(text: str) -> list[str]:
         if key.strip().lower() == "sitemap" and val.strip():
             out.append(val.strip())
     return out
+
+
+def robots_filter_join(
+    urls: DataFrame,
+    robots_df: DataFrame,
+    user_agent: str = "*",
+    url_col: str = "url",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """The join tier of :func:`robots_filter` — for rule tables past
+    broadcast-dict scale: ``robots_df`` (host, robots_txt) joins onto the
+    URLs by host (Spark broadcasts it while small; past that it's a plain
+    shuffled join with identical row semantics), then the same evaluator
+    runs map-side with a per-task memo keyed by host, so each distinct
+    host's body parses once per task regardless of row count. Same
+    verdict contract as robots_filter: absent host → allowed, malformed
+    URL → not crawled."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    host_of = F.lower(
+        F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)
+    )
+    joined = urls.withColumn("_host", host_of).join(
+        F.broadcast(
+            robots_df.select(
+                F.lower(F.col(host_col)).alias("_host"),
+                F.col(body_col).alias("_robots"),
+            )
+        ),
+        "_host",
+        "left",
+    )
+
+    schema = StructType(
+        [f for f in joined.schema if f.name not in ("_host", "_robots")]
+    ).add(StructField("allowed", BooleanType()))
+    out_cols = [f.name for f in schema]
+
+    def _filter(batches):
+        memo: dict[str, list] = {}
+        for pdf in batches:
+            allowed = []
+            for u, body in zip(pdf[url_col], pdf["_robots"]):
+                try:
+                    parts = urlsplit(u or "")
+                    host = (parts.hostname or "").lower()
+                except ValueError:
+                    # same contract as the dict tier: unevaluable URLs are
+                    # not crawled, whether or not a body joined on
+                    allowed.append(False)
+                    continue
+                if body is None:
+                    allowed.append(True)
+                    continue
+                if host not in memo:
+                    memo[host] = parse_robots(body, user_agent)
+                path = parts.path or "/"
+                if parts.query:
+                    path += "?" + parts.query
+                allowed.append(is_allowed(memo[host], path))
+            out = pdf.copy()
+            out["allowed"] = allowed
+            yield out[out_cols]
+
+    return joined.mapInPandas(_filter, schema)

@@ -132,3 +132,21 @@ def test_robots_sitemaps_lines():
     )
     assert robots_sitemaps(body) == ["https://a/sitemap.xml", "https://a/s2.xml"]
     assert robots_sitemaps("") == []
+
+
+def test_robots_filter_join_tier_matches_dict_tier(spark):
+    from connapse_spark.operators.robots import robots_filter_join
+
+    robots = {
+        "a.com": "User-agent: *\nDisallow: /private\nAllow: /private/ok\n",
+        "b.com": "User-agent: *\nDisallow: /\n",
+    }
+    urls = [("https://a.com/public",), ("https://a.com/private/x",),
+            ("https://a.com/private/ok/y",), ("https://b.com/anything",),
+            ("https://c.com/no-robots",), ("https://[x",)]
+    df = spark.createDataFrame(urls, "url string")
+    rdf = spark.createDataFrame(list(robots.items()), "host string, robots_txt string")
+    dict_tier = {r.url: r.allowed for r in robots_filter(df, robots).collect()}
+    join_tier = {r.url: r.allowed
+                 for r in robots_filter_join(df, rdf).collect()}
+    assert join_tier == dict_tier
