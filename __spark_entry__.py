@@ -1632,6 +1632,10 @@ def _sql_parse_warc() -> str:
          "'application/pdf'", "932d2676c1e461ba", "NULL", "false"),
         ("/fx/good.warc", 5, "'response'", "'https://b.example/latin'", 200,
          "'text/html; charset=iso-8859-1'", "0230b0c519322940", "'4fe8ae2ecdb0a611'", "false"),
+        ("/fx/good.warc", 6, "'response'", "'https://b.example/sniff'", 200,
+         "'text/html'", "591e56cd9f73856c", "'591e56cd9f73856c'", "false"),
+        ("/fx/good.warc", 7, "'response'", "'https://b.example/meta-charset'", 200,
+         "'text/html'", "f6162e02e03d4cec", "'6692046f924c336b'", "false"),
         ("/fx/mixed.warc", 0, "'response'", "'https://a.example/'", 200,
          "'text/html; charset=utf-8'", "caf73b9e3e76ec9e", "'caf73b9e3e76ec9e'", "false"),
         ("/fx/mixed.warc", 1, "'response'", "'https://a.example/missing'", 404,

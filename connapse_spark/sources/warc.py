@@ -30,6 +30,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import io
+import re
 import zlib
 
 import pandas as pd
@@ -261,15 +262,52 @@ def split_http_response(body: bytes) -> tuple[int | None, dict[str, str], bytes]
 PRIOR_WARNING_PREFIX = "prior-record: "
 
 
+_MAGIC_TYPES = [
+    (b"%PDF", "application/pdf"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"\x1f\x8b", "application/gzip"),
+    (b"PK\x03\x04", "application/zip"),
+]
+_HTML_SNIFF_RE = re.compile(
+    rb"^\s*(?:<!doctype\s+html|<html|<head|<title|<body)", re.IGNORECASE
+)
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_:.-]+)""", re.IGNORECASE
+)
+
+
+def sniff_content_type(payload: bytes) -> str | None:
+    """Magic-byte content sniffing for records whose HTTP headers omit (or
+    lie about) Content-Type — routine in real crawl data. Conservative:
+    binary signatures first, then an HTML prolog heuristic; None when
+    nothing is recognizable (callers keep the record as opaque binary)."""
+    head = payload[:1024]
+    for magic, ct in _MAGIC_TYPES:
+        if head.startswith(magic):
+            return ct
+    if _HTML_SNIFF_RE.match(head):
+        return "text/html"
+    return None
+
+
 def decode_text_payload(payload: bytes, content_type: str | None) -> str | None:
-    """Decode an html/text payload using the declared charset, utf-8 with
-    latin-1 fallback otherwise; None for non-text content types."""
+    """Decode an html/text payload: declared header charset first, then an
+    HTML5-style ``<meta charset>`` sniff of the first 1024 bytes (the spec's
+    prescan — headers routinely omit the charset real pages declare inline),
+    then utf-8 with latin-1 fallback; None for non-text content types."""
     ct = (content_type or "").lower()
     if not (ct.startswith("text/") or "html" in ct or "xml" in ct or "json" in ct):
         return None
     charset = None
     if "charset=" in ct:
         charset = ct.split("charset=", 1)[1].split(";")[0].strip().strip('"')
+    elif "html" in ct:
+        m = _META_CHARSET_RE.search(payload[:1024])
+        if m:
+            charset = m.group(1).decode("ascii", errors="replace")
     for enc in filter(None, (charset, "utf-8")):
         try:
             return payload.decode(enc)
@@ -305,6 +343,8 @@ def warc_records(binary_df: DataFrame) -> DataFrame:
                     ct = http_hdrs.get("content-type") or (
                         None if wtype in ("response", "revisit") else hdrs.get("content-type")
                     )
+                    if ct is None and wtype == "response" and body:
+                        ct = sniff_content_type(body)  # headerless real-web rows
                     # conversion = the WET shape: already-extracted text,
                     # no HTTP envelope, record-level content type
                     text = (
@@ -362,8 +402,9 @@ def web_documents(records: DataFrame) -> DataFrame:
 def fixture_warc() -> list[tuple[str, bytes]]:
     """Deterministic archives covering the parse surface: gzip-member and
     plain layouts, warcinfo/request/response types, non-200, non-text,
-    declared non-utf8 charset, a bad-Content-Length record to skip, and a
-    truncated final record."""
+    declared non-utf8 charset, a bad-Content-Length record to skip, a
+    truncated final record, a headerless response (magic-byte sniff), and
+    an html response whose charset lives only in <meta charset>."""
     html = "<html><head><title>T\u00e9st</title></head><body><p>caf\u00e9 &amp; more</p></body></html>"
     recs = [
         make_warc_record("warcinfo", b"software: connapse-spark\r\n",
@@ -395,6 +436,22 @@ def fixture_warc() -> list[tuple[str, bytes]]:
                 content_type="text/html; charset=iso-8859-1",
             ),
             target_uri="https://b.example/latin",
+        ),
+        # no Content-Type header at all \u2192 magic-byte/prolog sniff
+        make_warc_record(
+            "response",
+            b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\n<!DOCTYPE html><p>sniffed</p>",
+            target_uri="https://b.example/sniff",
+        ),
+        # header says html but no charset; the page declares <meta charset>
+        make_warc_record(
+            "response",
+            make_http_response(
+                200,
+                '<meta charset="iso-8859-1"><p>se\u00f1or</p>'.encode("latin-1"),
+                content_type="text/html",
+            ),
+            target_uri="https://b.example/meta-charset",
         ),
     ]
     good_gz = make_warc(recs, gzip_members=True)

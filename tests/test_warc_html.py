@@ -195,7 +195,8 @@ def test_warc_records_df(records_df):
     rows = {(r.warc_file, r.record_idx): r for r in records_df.collect()}
     good = [r for (f, _), r in sorted(rows.items()) if f == "/fx/good.warc.gz"]
     assert [r.warc_type for r in good] == [
-        "warcinfo", "request", "response", "response", "response", "response"
+        "warcinfo", "request", "response", "response",
+        "response", "response", "response", "response",
     ]
     html_rec = good[2]
     assert html_rec.http_status == 200
@@ -203,6 +204,10 @@ def test_warc_records_df(records_df):
     assert good[3].http_status == 404
     assert good[4].content_type == "application/pdf" and good[4].text is None
     assert good[5].text == "olé"  # declared latin-1 honored
+    # no Content-Type header at all → html sniffed from the prolog
+    assert good[6].content_type == "text/html" and "sniffed" in good[6].text
+    # header lacks charset; the page's <meta charset> governs
+    assert good[7].text == '<meta charset="iso-8859-1"><p>señor</p>'
     # plain layout parses identically
     plain = [r for (f, _), r in sorted(rows.items()) if f == "/fx/good.warc"]
     assert [r.warc_type for r in plain] == [r.warc_type for r in good]
@@ -218,12 +223,14 @@ def test_warc_records_df(records_df):
 
 def test_web_documents_projection(records_df):
     docs = warc.web_documents(records_df).collect()
-    # html 200s only: one from each of good.warc.gz / good.warc / mixed.warc
-    # (+ the latin-1 page from each good layout)
+    # html 200s only: the a.example page from good.gz/good/mixed, plus the
+    # latin-1, sniffed, and meta-charset pages from each good layout
     urls = sorted(d.url for d in docs)
     assert urls == [
         "https://a.example/", "https://a.example/", "https://a.example/",
         "https://b.example/latin", "https://b.example/latin",
+        "https://b.example/meta-charset", "https://b.example/meta-charset",
+        "https://b.example/sniff", "https://b.example/sniff",
     ]
 
 
@@ -249,6 +256,8 @@ def test_warc_to_text_pipeline(spark):
     assert [(r.url, r.title, r.text) for r in out] == [
         ("https://a.example/", "Tést", "café & more"),
         ("https://b.example/latin", None, "olé"),
+        ("https://b.example/meta-charset", None, "señor"),
+        ("https://b.example/sniff", None, "sniffed"),
     ]
 
 
@@ -272,6 +281,8 @@ def test_parse_warc_oracle_constants():
             ct = hh.get("content-type") or (
                 None if wtype in ("response", "revisit") else h.get("content-type")
             )
+            if ct is None and wtype == "response" and body:
+                ct = warc.sniff_content_type(body)
             text = warc.decode_text_payload(body, ct) if wtype == "response" else None
             expected.append((
                 path, i, wtype, h.get("warc-target-uri"), status, ct,
@@ -525,3 +536,25 @@ def test_meta_robots_union_and_rel_token_list():
         '<meta name="robots" content="noindex" content="index"><p>x</p>'
     )
     assert meta_noindex(m4) is True
+
+
+def test_sniff_content_type():
+    assert warc.sniff_content_type(b"%PDF-1.7 ...") == "application/pdf"
+    assert warc.sniff_content_type(b"\x89PNG\r\n\x1a\nxxx") == "image/png"
+    assert warc.sniff_content_type(b"\xff\xd8\xff\xe0JFIF") == "image/jpeg"
+    assert warc.sniff_content_type(b"  <!DOCTYPE HTML><html>") == "text/html"
+    assert warc.sniff_content_type(b"<title>x</title>") == "text/html"
+    assert warc.sniff_content_type(b"random bytes \x00\x01") is None
+    assert warc.sniff_content_type(b"") is None
+
+
+def test_meta_charset_prescan():
+    body = '<meta charset="iso-8859-1"><p>señor</p>'.encode("latin-1")
+    assert warc.decode_text_payload(body, "text/html") == body.decode("latin-1")
+    # a declared header charset outranks the meta prescan
+    assert warc.decode_text_payload(
+        "ü".encode("utf-8"), "text/html; charset=utf-8"
+    ) == "ü"
+    # meta charset only applies to html content types
+    assert warc.decode_text_payload(b"charset=iso-8859-1 \xc3\xbc", "text/plain") \
+        == "charset=iso-8859-1 ü"
