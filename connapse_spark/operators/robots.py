@@ -171,23 +171,34 @@ def robots_filter_join(
 ) -> DataFrame:
     """The join tier of :func:`robots_filter` — for rule tables past
     broadcast-dict scale: ``robots_df`` (host, robots_txt) joins onto the
-    URLs by host (Spark broadcasts it while small; past that it's a plain
-    shuffled join with identical row semantics), then the same evaluator
+    URLs by host (the optimizer/AQE picks broadcast while it fits and a
+    shuffled join past that — no forced hint), then the same evaluator
     runs map-side with a per-task memo keyed by host, so each distinct
-    host's body parses once per task regardless of row count. Same
-    verdict contract as robots_filter: absent host → allowed, malformed
-    URL → not crawled."""
+    host's body parses once per task regardless of row count. The join
+    key is computed with the SAME urlsplit-hostname logic the evaluator
+    uses (userinfo/IPv6 forms must resolve identically on both sides).
+    Same verdict contract as robots_filter: absent host → allowed,
+    malformed URL → not crawled. Known cost: the joined body rides every
+    URL row into the Arrow batches (the memo dedups parsing, not bytes);
+    if per-host URL counts are huge, the next tier is a host-cogrouped
+    ``applyInPandas`` that ships each body once per partition."""
+    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType, StructField, StructType
 
-    host_of = F.lower(
-        F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)
-    )
-    joined = urls.withColumn("_host", host_of).join(
-        F.broadcast(
-            robots_df.select(
-                F.lower(F.col(host_col)).alias("_host"),
-                F.col(body_col).alias("_robots"),
-            )
+    @pandas_udf("string")
+    def _host_of(col: pd.Series) -> pd.Series:
+        def h(u):
+            try:
+                return (urlsplit(u or "").hostname or "").lower()
+            except ValueError:
+                return None  # malformed: joins nothing; evaluator gates it
+
+        return col.map(h)
+
+    joined = urls.withColumn("_host", _host_of(F.col(url_col))).join(
+        robots_df.select(
+            F.lower(F.col(host_col)).alias("_host"),
+            F.col(body_col).alias("_robots"),
         ),
         "_host",
         "left",

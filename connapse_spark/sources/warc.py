@@ -274,40 +274,77 @@ _MAGIC_TYPES = [
 _HTML_SNIFF_RE = re.compile(
     rb"^\s*(?:<!doctype\s+html|<html|<head|<title|<body)", re.IGNORECASE
 )
-_META_CHARSET_RE = re.compile(
-    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_:.-]+)""", re.IGNORECASE
+_HTML_COMMENT_RE = re.compile(rb"\s*<!--.*?-->", re.DOTALL)
+_BOMS = [(b"\xef\xbb\xbf", "utf-8-sig"), (b"\xff\xfe", "utf-16"), (b"\xfe\xff", "utf-16")]
+_META_TAG_RE = re.compile(rb"<meta\b[^>]*>", re.IGNORECASE)
+_ATTR_RE = re.compile(
+    rb"""([A-Za-z-]+)\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""", re.IGNORECASE
 )
+_CHARSET_IN_CONTENT_RE = re.compile(rb"charset\s*=\s*([A-Za-z0-9_:.-]+)", re.IGNORECASE)
 
 
 def sniff_content_type(payload: bytes) -> str | None:
     """Magic-byte content sniffing for records whose HTTP headers omit (or
     lie about) Content-Type — routine in real crawl data. Conservative:
-    binary signatures first, then an HTML prolog heuristic; None when
-    nothing is recognizable (callers keep the record as opaque binary)."""
+    binary signatures first, then an HTML prolog heuristic (after
+    skipping a BOM and leading comments, per the WHATWG algorithm's first
+    steps); None when nothing is recognizable (callers keep the record as
+    opaque binary)."""
     head = payload[:1024]
     for magic, ct in _MAGIC_TYPES:
         if head.startswith(magic):
             return ct
+    for bom, _ in _BOMS:
+        if head.startswith(bom):
+            head = head[len(bom):]
+            break
+    while True:  # leading comments don't make a page non-HTML
+        m = _HTML_COMMENT_RE.match(head)
+        if not m:
+            break
+        head = head[m.end():]
     if _HTML_SNIFF_RE.match(head):
         return "text/html"
     return None
 
 
+def _prescan_meta_charset(head: bytes) -> str | None:
+    """The HTML5 meta prescan, attribute-aware: a bare ``charset``
+    ATTRIBUTE, or an ``http-equiv=content-type`` meta whose ``content``
+    value carries ``charset=``. A charset mentioned inside any other
+    attribute's text (e.g. a description) must NOT count."""
+    for tag in _META_TAG_RE.finditer(head):
+        attrs = {
+            k.lower(): v.strip(b"\"'")
+            for k, v in _ATTR_RE.findall(tag.group(0))
+        }
+        if b"charset" in attrs and attrs[b"charset"]:
+            return attrs[b"charset"].decode("ascii", errors="replace")
+        if attrs.get(b"http-equiv", b"").lower() == b"content-type":
+            m = _CHARSET_IN_CONTENT_RE.search(attrs.get(b"content", b""))
+            if m:
+                return m.group(1).decode("ascii", errors="replace")
+    return None
+
+
 def decode_text_payload(payload: bytes, content_type: str | None) -> str | None:
-    """Decode an html/text payload: declared header charset first, then an
-    HTML5-style ``<meta charset>`` sniff of the first 1024 bytes (the spec's
-    prescan — headers routinely omit the charset real pages declare inline),
-    then utf-8 with latin-1 fallback; None for non-text content types."""
+    """Decode an html/text payload. Precedence per HTML5: a byte-order
+    mark outranks everything; then the declared header charset; then the
+    attribute-aware ``<meta charset>`` prescan of the first 1024 bytes
+    (headers routinely omit the charset real pages declare inline); then
+    utf-8 with latin-1 fallback. None for non-text content types."""
     ct = (content_type or "").lower()
     if not (ct.startswith("text/") or "html" in ct or "xml" in ct or "json" in ct):
         return None
     charset = None
-    if "charset=" in ct:
+    for bom, enc in _BOMS:
+        if payload.startswith(bom):
+            charset = enc
+            break
+    if charset is None and "charset=" in ct:
         charset = ct.split("charset=", 1)[1].split(";")[0].strip().strip('"')
-    elif "html" in ct:
-        m = _META_CHARSET_RE.search(payload[:1024])
-        if m:
-            charset = m.group(1).decode("ascii", errors="replace")
+    elif charset is None and "html" in ct:
+        charset = _prescan_meta_charset(payload[:1024])
     for enc in filter(None, (charset, "utf-8")):
         try:
             return payload.decode(enc)
@@ -323,15 +360,20 @@ WARC_RECORDS_SCHEMA = (
 )
 
 
-def warc_records(binary_df: DataFrame) -> DataFrame:
+def warc_records(binary_df: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
     """binaryFile frame (path, content) → one row per WARC record.
     Pure per-file work inside Arrow batches: no shuffle, predicate on
-    warc_type/status/content_type prunes before anything downstream."""
+    warc_type/status/content_type prunes before anything downstream.
+    ``extra_cols`` carries file-level columns (e.g. binaryFile's
+    modificationTime — the recency key streaming ingest orders by)
+    through onto every record row."""
+    extra = list(extra_cols or [])
 
     def _parse(batches):
         for pdf in batches:
             out = []
-            for path, blob in zip(pdf["path"], pdf["content"]):
+            for row_i, (path, blob) in enumerate(zip(pdf["path"], pdf["content"])):
+                extra_vals = tuple(pdf[c].iloc[row_i] for c in extra)
                 for i, (hdrs, payload, warning) in enumerate(
                     iter_warc_records(bytes(blob or b""))
                 ):
@@ -352,16 +394,26 @@ def warc_records(binary_df: DataFrame) -> DataFrame:
                         if wtype in ("response", "conversion")
                         else None
                     )
-                    out.append((path, i, wtype, uri, status, ct, body, text, warning))
+                    out.append(
+                        (path, i, wtype, uri, status, ct, body, text, warning)
+                        + extra_vals
+                    )
             yield pd.DataFrame(
                 out,
                 columns=[
                     "warc_file", "record_idx", "warc_type", "target_uri",
                     "http_status", "content_type", "payload", "text", "warning",
-                ],
+                ] + extra,
             )
 
-    return binary_df.select("path", "content").mapInPandas(_parse, WARC_RECORDS_SCHEMA)
+    in_cols = ["path", "content"] + extra
+    schema = WARC_RECORDS_SCHEMA
+    if extra:
+        schema += ", " + ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in binary_df.schema if f.name in extra
+        )
+    return binary_df.select(*in_cols).mapInPandas(_parse, schema)
 
 
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -371,26 +423,30 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     return warc_records(blobs)
 
 
-def web_documents(records: DataFrame) -> DataFrame:
-    """The stage-one pipeline projection: successful html responses only →
-    (url, text). Filters run before the (already cheap) projection so a
-    real corpus drops the ~40% of CC records that are request/metadata
-    rows without decoding them further downstream."""
+def clean_html_predicate():
+    """THE definition of a usable web document, shared by every consumer
+    (batch web_documents, streaming_web_ingest): an html 200 response
+    whose text decoded and that is not ITSELF damaged — an intact record
+    carrying a prior-record corruption note is good data and stays in."""
     return (
-        records.filter(
-            (F.col("warc_type") == "response")
-            & (F.col("http_status") == 200)
-            & F.col("content_type").contains("html")
-            & F.col("text").isNotNull()
-            # records that are THEMSELVES damaged (truncated payload) stay
-            # out; an intact record carrying a prior-record corruption note
-            # is good data and stays in
-            & (
-                F.col("warning").isNull()
-                | F.col("warning").startswith(PRIOR_WARNING_PREFIX)
-            )
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("content_type").contains("html")
+        & F.col("text").isNotNull()
+        & (
+            F.col("warning").isNull()
+            | F.col("warning").startswith(PRIOR_WARNING_PREFIX)
         )
-        .select(F.col("target_uri").alias("url"), "text")
+    )
+
+
+def web_documents(records: DataFrame, keep_cols: list[str] | None = None) -> DataFrame:
+    """The stage-one pipeline projection: successful html responses only →
+    (url, text[, keep_cols...]). Filters run before the (already cheap)
+    projection so a real corpus drops the ~40% of CC records that are
+    request/metadata rows without decoding them further downstream."""
+    return records.filter(clean_html_predicate()).select(
+        F.col("target_uri").alias("url"), "text", *(keep_cols or [])
     )
 
 

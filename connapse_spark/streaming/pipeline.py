@@ -696,12 +696,14 @@ def streaming_web_ingest(
     one atomically-visible snapshot version per micro-batch, copy-on-write
     at file level (a drop touching 0.1% of urls rewrites ~0.1% of files).
 
-    Within a batch, the LAST occurrence wins per url — ordered by
-    (warc_file, record_idx), the fetcher's recency proxy (a re-fetch in
-    the same drop lands in a later archive/record). Across activations,
-    merge_snapshot's keyed upsert IS last-writer-wins. Exactly-once on
-    BOTH ends: the file-source checkpoint never re-reads an archive, and
-    the manifest commit makes each batch's merge atomic."""
+    Within a batch, the LAST occurrence wins per url — ordered by the
+    archive's modificationTime (the fetcher's recency), with
+    (warc_file, record_idx) as a DETERMINISTIC tie-break for archives
+    written in the same instant (lexicographic, so not a recency claim —
+    zero-pad shard names if same-mtime ordering matters). Across
+    activations, merge_snapshot's keyed upsert IS last-writer-wins.
+    Exactly-once on BOTH ends: the file-source checkpoint never re-reads
+    an archive, and the manifest commit makes each batch's merge atomic."""
     from pyspark.sql.window import Window
 
     from connapse_spark.operators.htmltext import extract_html_text
@@ -715,26 +717,18 @@ def streaming_web_ingest(
         .option("recursiveFileLookup", "true")
         .load(watch_dir)
     )
-    recs = _warc.warc_records(blobs).filter(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.col("content_type").contains("html")
-        & F.col("text").isNotNull()
-        & (
-            F.col("warning").isNull()
-            | F.col("warning").startswith(_warc.PRIOR_WARNING_PREFIX)
-        )
-    ).select(
-        F.col("target_uri").alias("url"), "warc_file", "record_idx", "text"
+    recs = _warc.web_documents(
+        _warc.warc_records(blobs, extra_cols=["modificationTime"]),
+        keep_cols=["warc_file", "record_idx", "modificationTime"],
     )
     docs = extract_html_text(
         recs, "text", boilerplate=boilerplate,
-        keep_cols=["url", "warc_file", "record_idx"],
+        keep_cols=["url", "warc_file", "record_idx", "modificationTime"],
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         w = Window.partitionBy("url").orderBy(
-            F.desc("warc_file"), F.desc("record_idx")
+            F.desc("modificationTime"), F.desc("warc_file"), F.desc("record_idx")
         )
         latest = (
             batch_df.withColumn("_rn", F.row_number().over(w))

@@ -84,7 +84,9 @@ def test_charset_decode():
     assert warc.decode_text_payload("olé".encode("latin-1"),
                                     "text/html; charset=iso-8859-1") == "olé"
     assert warc.decode_text_payload("olé".encode(), "text/html") == "olé"
-    assert warc.decode_text_payload(b"\xff\xfe", "text/plain") == "ÿþ"  # latin-1 fallback
+    assert warc.decode_text_payload(b"\xfa\xfb", "text/plain") == "úû"  # latin-1 fallback
+    # \xff\xfe is a UTF-16 BOM, not latin-1 noise — BOM outranks everything
+    assert warc.decode_text_payload(b"\xff\xfe", "text/plain") == ""
     assert warc.decode_text_payload(b"%PDF", "application/pdf") is None
 
 
@@ -558,3 +560,30 @@ def test_meta_charset_prescan():
     # meta charset only applies to html content types
     assert warc.decode_text_payload(b"charset=iso-8859-1 \xc3\xbc", "text/plain") \
         == "charset=iso-8859-1 ü"
+
+
+def test_sniff_bom_and_leading_comment():
+    assert warc.sniff_content_type(b"\xef\xbb\xbf<!DOCTYPE html><p>x") == "text/html"
+    assert warc.sniff_content_type(b"<!-- banner --><html>") == "text/html"
+    assert warc.sniff_content_type(b"<!-- a --><!-- b -->\n<title>t") == "text/html"
+
+
+def test_decode_bom_outranks_everything():
+    body = "﻿café".encode("utf-8")  # utf-8 BOM + utf-8 text
+    # even a (wrong) latin-1 header loses to the BOM
+    assert warc.decode_text_payload(body, "text/html; charset=iso-8859-1") == "café"
+    b16 = "olé".encode("utf-16")  # carries the utf-16 BOM
+    assert warc.decode_text_payload(b16, "text/html") == "olé"
+
+
+def test_meta_prescan_is_attribute_aware():
+    # charset mentioned inside a description must NOT govern decoding
+    body = (b'<meta name="description" content="how to set charset=iso-8859-1">'
+            b"<p>caf\xc3\xa9</p>")
+    assert warc.decode_text_payload(body, "text/html") == \
+        '<meta name="description" content="how to set charset=iso-8859-1"><p>café</p>'
+    # but http-equiv content-type's content DOES
+    body2 = (b'<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">'
+             b"<p>caf\xe9</p>")
+    out = warc.decode_text_payload(body2, "text/html")
+    assert out.endswith("<p>café</p>")
