@@ -150,3 +150,26 @@ def test_robots_filter_join_tier_matches_dict_tier(spark):
     join_tier = {r.url: r.allowed
                  for r in robots_filter_join(df, rdf).collect()}
     assert join_tier == dict_tier
+
+
+def test_robots_filter_cogroup_tier_matches_dict_tier(spark):
+    from connapse_spark.operators.robots import (
+        robots_filter_cogroup, robots_filter_join,
+    )
+
+    robots = {
+        "a.com": "User-agent: *\nDisallow: /private\nAllow: /private/ok\n",
+        "b.com": "User-agent: *\nDisallow: /\n",
+    }
+    urls = [("https://a.com/public",), ("https://a.com/private/x",),
+            ("https://a.com/private/ok/y",), ("https://b.com/anything",),
+            ("https://c.com/no-robots",), ("https://[x",),
+            ("https://user@a.com/private/z",)]
+    df = spark.createDataFrame(urls, "url string")
+    rdf = spark.createDataFrame(list(robots.items()), "host string, robots_txt string")
+    dict_tier = {r.url: r.allowed for r in robots_filter(df, robots).collect()}
+    join_tier = {r.url: r.allowed for r in robots_filter_join(df, rdf).collect()}
+    cg_tier = {r.url: r.allowed for r in robots_filter_cogroup(df, rdf).collect()}
+    assert cg_tier == dict_tier == join_tier
+    # the userinfo form resolves to a.com on every tier (the wave-4 fix)
+    assert dict_tier["https://user@a.com/private/z"] is False
