@@ -102,6 +102,25 @@ def is_allowed(rules: list[tuple[bool, str, re.Pattern]], path: str) -> bool:
 ROBOTS_FILTER_SCHEMA_SUFFIX = "allowed boolean"
 
 
+def _host_of_udf():
+    """THE host derivation every tier keys on (urlsplit hostname,
+    lowercased; None on malformed) — one definition so the join/cogroup
+    keys can never drift from the evaluator's own urlsplit logic."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _host_of(col: pd.Series) -> pd.Series:
+        def h(u):
+            try:
+                return (urlsplit(u or "").hostname or "").lower()
+            except ValueError:
+                return None
+
+        return col.map(h)
+
+    return _host_of
+
+
 def robots_filter(
     urls: DataFrame,
     robots: dict[str, str],
@@ -182,20 +201,9 @@ def robots_filter_join(
     URL row into the Arrow batches (the memo dedups parsing, not bytes);
     if per-host URL counts are huge, the next tier is a host-cogrouped
     ``applyInPandas`` that ships each body once per partition."""
-    from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType, StructField, StructType
 
-    @pandas_udf("string")
-    def _host_of(col: pd.Series) -> pd.Series:
-        def h(u):
-            try:
-                return (urlsplit(u or "").hostname or "").lower()
-            except ValueError:
-                return None  # malformed: joins nothing; evaluator gates it
-
-        return col.map(h)
-
-    joined = urls.withColumn("_host", _host_of(F.col(url_col))).join(
+    joined = urls.withColumn("_host", _host_of_udf()(F.col(url_col))).join(
         robots_df.select(
             F.lower(F.col(host_col)).alias("_host"),
             F.col(body_col).alias("_robots"),
@@ -253,22 +261,10 @@ def robots_filter_cogroup(
     group. Verdicts are identical to the other tiers (equivalence-tested).
     Cost model: one shuffle of the URLs + one of the (tiny) rule table;
     the dict tier is still cheapest while the rule table broadcasts."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def _host_of(col: pd.Series) -> pd.Series:
-        def h(u):
-            try:
-                return (urlsplit(u or "").hostname or "").lower()
-            except ValueError:
-                return None
-
-        return col.map(h)
-
     schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in urls.schema
     ) + ", " + ROBOTS_FILTER_SCHEMA_SUFFIX
-    keyed_urls = urls.withColumn("_host", _host_of(F.col(url_col)))
+    keyed_urls = urls.withColumn("_host", _host_of_udf()(F.col(url_col)))
     keyed_rules = robots_df.select(
         F.lower(F.col(host_col)).alias("_host"), F.col(body_col).alias("_robots")
     )

@@ -308,22 +308,33 @@ def sniff_content_type(payload: bytes) -> str | None:
     return None
 
 
+_COMMENT_BLOCK_RE = re.compile(rb"<!--.*?-->", re.DOTALL)
+
+
 def _prescan_meta_charset(head: bytes) -> str | None:
     """The HTML5 meta prescan, attribute-aware: a bare ``charset``
     ATTRIBUTE, or an ``http-equiv=content-type`` meta whose ``content``
     value carries ``charset=``. A charset mentioned inside any other
-    attribute's text (e.g. a description) must NOT count."""
+    attribute's text (e.g. a description) must NOT count; commented-out
+    metas don't either; a prescanned utf-16 family remaps to utf-8 (the
+    spec's guard — such declarations on byte-decodable pages are lies)."""
+    head = _COMMENT_BLOCK_RE.sub(b"", head)
+
+    def norm(raw: bytes) -> str:
+        cs = raw.decode("ascii", errors="replace")
+        return "utf-8" if cs.lower() in ("utf-16", "utf-16le", "utf-16be") else cs
+
     for tag in _META_TAG_RE.finditer(head):
         attrs = {
             k.lower(): v.strip(b"\"'")
             for k, v in _ATTR_RE.findall(tag.group(0))
         }
         if b"charset" in attrs and attrs[b"charset"]:
-            return attrs[b"charset"].decode("ascii", errors="replace")
+            return norm(attrs[b"charset"])
         if attrs.get(b"http-equiv", b"").lower() == b"content-type":
             m = _CHARSET_IN_CONTENT_RE.search(attrs.get(b"content", b""))
             if m:
-                return m.group(1).decode("ascii", errors="replace")
+                return norm(m.group(1))
     return None
 
 
@@ -342,8 +353,9 @@ def decode_text_payload(payload: bytes, content_type: str | None) -> str | None:
             charset = enc
             break
     if charset is None and "charset=" in ct:
-        charset = ct.split("charset=", 1)[1].split(";")[0].strip().strip('"')
-    elif charset is None and "html" in ct:
+        # a dangling 'charset=' extracts '' — treat as undeclared
+        charset = ct.split("charset=", 1)[1].split(";")[0].strip().strip('"') or None
+    if charset is None and "html" in ct:
         charset = _prescan_meta_charset(payload[:1024])
     for enc in filter(None, (charset, "utf-8")):
         try:
@@ -409,9 +421,11 @@ def warc_records(binary_df: DataFrame, extra_cols: list[str] | None = None) -> D
     in_cols = ["path", "content"] + extra
     schema = WARC_RECORDS_SCHEMA
     if extra:
+        # schema order must follow the extra LIST order (the emitted
+        # DataFrame's column order), not the file schema's field order
+        by_name = {f.name: f for f in binary_df.schema}
         schema += ", " + ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}"
-            for f in binary_df.schema if f.name in extra
+            f"`{by_name[c].name}` {by_name[c].dataType.simpleString()}" for c in extra
         )
     return binary_df.select(*in_cols).mapInPandas(_parse, schema)
 

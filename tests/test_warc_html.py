@@ -587,3 +587,29 @@ def test_meta_prescan_is_attribute_aware():
              b"<p>caf\xe9</p>")
     out = warc.decode_text_payload(body2, "text/html")
     assert out.endswith("<p>café</p>")
+
+
+def test_prescan_wave5_guards():
+    # utf-16 prescan declarations remap to utf-8 (the WHATWG guard)
+    body = b'<meta charset="utf-16"><p>hello worlds</p>'
+    assert warc.decode_text_payload(body, "text/html") == body.decode("utf-8")
+    # commented-out metas don't govern decoding
+    body2 = b'<!-- <meta charset="iso-8859-1"> --><p>caf\xc3\xa9</p>'
+    assert warc.decode_text_payload(body2, "text/html").endswith("<p>café</p>")
+    # a dangling header 'charset=' falls through to the prescan
+    sj = '<meta charset="shift_jis"><p>こんにちは</p>'.encode("shift_jis")
+    assert warc.decode_text_payload(sj, "text/html; charset=") \
+        == sj.decode("shift_jis")
+
+
+def test_warc_records_extra_cols_order(spark):
+    blobs = spark.createDataFrame(
+        [("/f.warc", warc.make_warc(
+            [warc.make_warc_record("response", warc.make_http_response(200, b"x"),
+                                   target_uri="https://a/")], gzip_members=False),
+          7, "m1")],
+        "path string, content binary, length long, tag string",
+    )
+    # extra order deliberately differs from the file schema order
+    rows = warc.warc_records(blobs, extra_cols=["tag", "length"]).collect()
+    assert rows[0].tag == "m1" and rows[0].length == 7
