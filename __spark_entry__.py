@@ -1881,8 +1881,13 @@ def q_html_meta(spark, sf_dir):
     robots = F.when(
         F.col("doc_id") % 3 == 0, F.lit("noindex, follow")
     ).otherwise(F.lit("index, follow"))
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("fr"), F.lit("de"), F.lit("ja")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
     page = F.concat(
-        F.lit('<head><title>Doc '), did,
+        F.lit('<html lang="'), lang,
+        F.lit('"><head><title>Doc '), did,
         F.lit('</title><link rel="canonical" href="https://ex.com/c/'),
         (F.col("doc_id") % 7).cast("string"),
         F.lit('"><meta name="robots" content="'), robots,
@@ -1893,7 +1898,7 @@ def q_html_meta(spark, sf_dir):
     html = docs.select("doc_id", page.alias("text"))
     out = _ht.extract_html_meta(html, "text")
     return out.select(
-        "doc_id", "title", "canonical", "noindex", "description"
+        "doc_id", "title", "canonical", "noindex", "description", "lang"
     ).orderBy("doc_id")
 
 
@@ -1903,7 +1908,8 @@ SELECT doc_id,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
        'https://ex.com/c/' || CAST(doc_id % 7 AS VARCHAR) AS canonical,
        doc_id % 3 = 0 AS noindex,
-       'Desc ' || CAST(doc_id AS VARCHAR) AS description
+       'Desc ' || CAST(doc_id AS VARCHAR) AS description,
+       ['en','fr','de','ja'][(doc_id % 4 + 1)::INT] AS lang
 FROM documents
 ORDER BY doc_id
 """.strip()

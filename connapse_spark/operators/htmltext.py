@@ -112,6 +112,11 @@ class _Extractor(HTMLParser):
             return  # e.g. <title> inside a dropped <svg> is not THE title
         if tag in ("meta", "link"):
             self._collect_meta(tag, attrs)
+        elif tag == "html" and "lang" not in self.meta:
+            for k, v in attrs:
+                if k == "lang" and v and v.strip():
+                    self.meta["lang"] = v.strip()
+                    break
         if self._in_head and tag not in _HEAD_TAGS:
             self._in_head = 0  # implicit </head> (flow content begins)
         if tag == "head":
@@ -253,7 +258,7 @@ def escape_html_expr(text):
 
 HTML_META_SCHEMA = (
     "title string, text string, canonical string, noindex boolean, "
-    "description string"
+    "description string, lang string"
 )
 
 
@@ -268,9 +273,10 @@ def extract_html_meta(
 
     def _row(h):
         t, x, m = extract_html_full(h, boilerplate)
-        return t, x, m.get("canonical"), meta_noindex(m), m.get("description")
+        return (t, x, m.get("canonical"), meta_noindex(m),
+                m.get("description"), m.get("lang"))
 
     return _column_form(
         df, html_col, keep_cols, HTML_META_SCHEMA,
-        ["title", "text", "canonical", "noindex", "description"], _row,
+        ["title", "text", "canonical", "noindex", "description", "lang"], _row,
     )

@@ -298,3 +298,38 @@ def robots_filter_cogroup(
     return keyed_urls.groupBy("_host").cogroup(
         keyed_rules.groupBy("_host")
     ).applyInPandas(evaluate, schema)
+
+
+def crawl_delay(text: str, user_agent: str = "*") -> float | None:
+    """The ``Crawl-delay`` (seconds) the given crawler should honor — a
+    de-facto directive (not in RFC 9309 but served by ~20% of sites and
+    honored by most commercial crawlers). Group selection mirrors
+    parse_robots: the matching UA group's delay, else the ``*`` group's,
+    else None; a malformed value is ignored."""
+    ua = user_agent.lower()
+    delays: dict[str, float] = {}
+    cur_agents: list[str] = []
+    in_agent_run = True
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                cur_agents = []
+                in_agent_run = True
+            cur_agents.append(val.lower())
+        else:
+            in_agent_run = False
+            if key == "crawl-delay":
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                for a in cur_agents:
+                    delays.setdefault(a, d)
+    if ua in delays:
+        return delays[ua]
+    return delays.get("*")

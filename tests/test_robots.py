@@ -173,3 +173,19 @@ def test_robots_filter_cogroup_tier_matches_dict_tier(spark):
     assert cg_tier == dict_tier == join_tier
     # the userinfo form resolves to a.com on every tier (the wave-4 fix)
     assert dict_tier["https://user@a.com/private/z"] is False
+
+
+def test_crawl_delay():
+    from connapse_spark.operators.robots import crawl_delay
+
+    body = (
+        "User-agent: fast-bot\nCrawl-delay: 0.5\nDisallow: /x\n"
+        "User-agent: *\nCrawl-delay: 10\n"
+        "User-agent: broken\nCrawl-delay: soon\n"
+    )
+    assert crawl_delay(body, "fast-bot") == 0.5
+    assert crawl_delay(body, "anyone") == 10.0
+    # a malformed value is ignored; the * group's delay then applies
+    assert crawl_delay(body, "broken") == 10.0
+    assert crawl_delay("User-agent: *\nDisallow: /x\n", "bot") is None
+    assert crawl_delay("", "bot") is None

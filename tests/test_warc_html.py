@@ -613,3 +613,15 @@ def test_warc_records_extra_cols_order(spark):
     # extra order deliberately differs from the file schema order
     rows = warc.warc_records(blobs, extra_cols=["tag", "length"]).collect()
     assert rows[0].tag == "m1" and rows[0].length == 7
+
+
+def test_html_lang_attribute_captured():
+    from connapse_spark.operators.htmltext import extract_html_full
+
+    _, _, m = extract_html_full('<html lang="en-GB"><p>x</p></html>')
+    assert m["lang"] == "en-GB"
+    _, _, m2 = extract_html_full('<html><p>no lang</p></html>')
+    assert "lang" not in m2
+    # first html tag wins; blank lang ignored
+    _, _, m3 = extract_html_full('<html lang=" "><html lang="fr"><p>x</p>')
+    assert m3["lang"] == "fr"
