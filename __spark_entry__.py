@@ -1771,6 +1771,55 @@ ORDER BY url
 """.strip()
 
 
+def q_warc_images(spark, sf_dir):
+    """WARC × multimodal: real PNG payloads (encoded by the stdlib codec)
+    ride WARC response records; the pipeline parses the archive, keeps
+    image/png 200s, and runs the REAL decoder — binary payloads must
+    survive record framing bit-exact for dims/luma/ahash to reproduce,
+    and the corrupt payload must degrade to an error row, not a crash."""
+    from connapse_spark.operators import multimodal as _mm
+    from connapse_spark.sources import warc as _warc
+
+    blobs = spark.createDataFrame(
+        _warc.fixture_warc_images(), "path string, content binary"
+    )
+    recs = _warc.warc_records(blobs).filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & (F.col("content_type") == "image/png")
+    )
+    # the feature extractor keys on a LONG media_id — derive one from the
+    # record position, keep the url alongside, and re-attach it after
+    keyed = recs.select(
+        F.col("record_idx").cast("long").alias("media_id"),
+        F.col("target_uri").alias("url"),
+        F.col("payload").alias("content"),
+    )
+    feats = _mm.extract_image_features(keyed)
+    out = feats.join(keyed.select("media_id", "url"), "media_id")
+    return out.select(
+        "url", "width", "height",
+        F.round("mean_luma", 9).alias("mean_luma"), "phash", "decode_error",
+    ).orderBy("url")
+
+
+def _sql_warc_images() -> str:
+    # pinned outputs of parse+decode over the fixture archive; regenerate
+    # with tests/test_warc_html.py::test_warc_images_oracle_constants
+    return """
+SELECT url, CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(mean_luma AS DOUBLE) AS mean_luma, phash,
+       CAST(decode_error AS VARCHAR) AS decode_error
+FROM (VALUES
+  ('https://img.example/checker.png', 8, 8, 0.5, 'aa55aa55aa55aa55', NULL),
+  ('https://img.example/corrupt.png', 0, 0, 0.0, '', 'PngParseError:TypeError'),
+  ('https://img.example/flat.png', 8, 8, 0.301960784, '0000000000000000', NULL),
+  ('https://img.example/grad.png', 12, 8, 0.410921569, '000001071f7fffff', NULL)
+) AS t(url, width, height, mean_luma, phash, decode_error)
+ORDER BY url
+""".strip()
+
+
 def q_web_curate(spark, sf_dir):
     """The crawl-to-corpus flagship composition: documents → HTML pages
     (body inside <pre>, which the extractor keeps VERBATIM — the C4
@@ -3178,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": q_html_meta,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_roundtrip": q_wet_roundtrip,
+        "warc_images": q_warc_images,
         "web_curate": q_web_curate,
         "link_graph": q_link_graph,
         "link_anchors": q_link_anchors,
@@ -3516,6 +3566,7 @@ def oracle_sql() -> dict[str, str]:
         "html_meta": _sql_html_meta(),
         "warc_roundtrip": _sql_warc_roundtrip(),
         "wet_roundtrip": _sql_wet_roundtrip(),
+        "warc_images": _sql_warc_images(),
         "web_curate": _sql_web_curate(),
         "link_graph": _sql_link_graph(),
         "link_anchors": _sql_link_anchors(),

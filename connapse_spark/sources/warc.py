@@ -620,3 +620,38 @@ def wet_documents(records: DataFrame) -> DataFrame:
         )
         .select(F.col("target_uri").alias("url"), "text")
     )
+
+
+def fixture_warc_images() -> list[tuple[str, bytes]]:
+    """An archive of real PNG payloads (encoded by the stdlib codec in
+    operators/multimodal) + one corrupt png — ties the WARC front to the
+    image pipeline: binary payloads must survive record framing bit-exact
+    for the decoder to reproduce pinned dims/luma/ahash."""
+    import numpy as np
+
+    from connapse_spark.operators.multimodal import encode_png
+
+    grad = np.zeros((8, 12, 3), dtype=np.uint8)
+    for y in range(8):
+        for x in range(12):
+            grad[y, x] = (x * 20 % 256, y * 30 % 256, (x + y) * 10 % 256)
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    checker = np.zeros((8, 8, 3), dtype=np.uint8)
+    checker[::2, ::2] = 255
+    checker[1::2, 1::2] = 255
+    recs = [
+        make_warc_record(
+            "response",
+            make_http_response(200, encode_png(arr), content_type="image/png"),
+            target_uri=f"https://img.example/{name}.png",
+        )
+        for name, arr in (("grad", grad), ("flat", flat), ("checker", checker))
+    ]
+    recs.append(
+        make_warc_record(
+            "response",
+            make_http_response(200, b"\x89PNG\r\n\x1a\nbroken", content_type="image/png"),
+            target_uri="https://img.example/corrupt.png",
+        )
+    )
+    return [("/fx/images.warc.gz", make_warc(recs, gzip_members=True))]

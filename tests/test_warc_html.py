@@ -625,3 +625,29 @@ def test_html_lang_attribute_captured():
     # first html tag wins; blank lang ignored
     _, _, m3 = extract_html_full('<html lang=" "><html lang="fr"><p>x</p>')
     assert m3["lang"] == "fr"
+
+
+def test_warc_images_oracle_constants():
+    """Pinned literals in _sql_warc_images == parse+decode over the fixture."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from connapse_spark.operators.multimodal import _average_hash, decode_image_array
+
+    expected = []
+    for _, blob in warc.fixture_warc_images():
+        for h, payload, _w in warc.iter_warc_records(blob):
+            _, _, body = warc.split_http_response(payload)
+            arr, err = decode_image_array(bytes(body))
+            if arr is not None:
+                luma = float(
+                    (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1]
+                     + 0.114 * arr[:, :, 2]).mean() / 255.0
+                )
+                expected.append((h["warc-target-uri"], arr.shape[1], arr.shape[0],
+                                 round(luma, 9), _average_hash(arr), None))
+            else:
+                expected.append((h["warc-target-uri"], 0, 0, 0.0, "", err))
+    expected.sort()
+    got = duckdb.connect().execute(entry._sql_warc_images()).fetchall()
+    assert [tuple(r) for r in got] == expected
