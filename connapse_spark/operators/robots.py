@@ -13,9 +13,10 @@ Semantics implemented (RFC 9309):
   no rule (``Disallow:`` alone allows everything);
 - precedence: the longest (most-octets) matching pattern wins; on a
   length tie, allow wins;
-- unknown directives and comments (``#``) ignored; matching operates on
-  the path+query as given (percent-encoding normalization is the
-  fetcher's job and is documented out of scope).
+- unknown directives and comments (``#``) ignored; percent-encodings of
+  unreserved characters normalize away on both sides before matching
+  (§2.2.2 — ``%2F`` and other reserved escapes stay distinct octets,
+  with the hex case folded).
 
 Spark shape: robots bodies are per-host and tiny, so the evaluator
 broadcasts a host→compiled-rules dict and filters URLs map-side inside
@@ -35,9 +36,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_UNRESERVED = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _normalize_pct(s: str) -> str:
+    """RFC 9309 §2.2.2 match normalization: percent-encodings of
+    UNRESERVED characters decode before comparison (so ``/a%2Db`` and
+    ``/a-b`` match each other), everything else — including %2F — stays
+    encoded (a literal slash and an encoded one are different octets).
+    Applied identically to rule patterns and request paths."""
+
+    def sub(m: re.Match) -> str:
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else m.group(0).upper()
+
+    return _PCT_RE.sub(sub, s)
+
+
 def _compile_pattern(pattern: str) -> re.Pattern:
     anchored = pattern.endswith("$")
-    body = pattern[:-1] if anchored else pattern
+    body = _normalize_pct(pattern[:-1] if anchored else pattern)
     rx = ".*".join(re.escape(part) for part in body.split("*"))
     return re.compile(rx + (r"\Z" if anchored else ""))
 
@@ -89,7 +110,9 @@ def parse_robots(text: str, user_agent: str = "*") -> list[tuple[bool, str, re.P
 
 
 def is_allowed(rules: list[tuple[bool, str, re.Pattern]], path: str) -> bool:
-    """Longest-match precedence, allow wins ties; no match → allowed."""
+    """Longest-match precedence, allow wins ties; no match → allowed.
+    The path gets the same §2.2.2 percent normalization as the patterns."""
+    path = _normalize_pct(path)
     best_len, best_allow = -1, True
     for allow, pat, rx in rules:
         if rx.match(path):

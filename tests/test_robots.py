@@ -189,3 +189,13 @@ def test_crawl_delay():
     assert crawl_delay(body, "broken") == 10.0
     assert crawl_delay("User-agent: *\nDisallow: /x\n", "bot") is None
     assert crawl_delay("", "bot") is None
+
+
+def test_percent_encoding_normalization():
+    # unreserved escapes decode on both sides before matching (§2.2.2)
+    assert not _allowed("User-agent: *\nDisallow: /a%2Db\n", "/a-b")
+    assert not _allowed("User-agent: *\nDisallow: /a-b\n", "/a%2Db")
+    # reserved escapes stay distinct octets: %2F is not a path slash...
+    assert _allowed("User-agent: *\nDisallow: /x%2Fy\n", "/x/y")
+    # ...but matches itself case-insensitively in the hex digits
+    assert not _allowed("User-agent: *\nDisallow: /x%2Fy\n", "/x%2fy")
