@@ -1964,6 +1964,58 @@ ORDER BY doc_id
 """.strip()
 
 
+def q_canonical_dedup(spark, sf_dir):
+    """Canonical-URL dedup — the curation move the rel=canonical signal
+    exists for: pages sharing a canonical collapse to ONE representative
+    (lowest url wins deterministically); pages without a canonical stand
+    alone. Built on the REAL extractor: 7 canonical groups per the
+    html_meta template, every 5th page canonical-less."""
+    from connapse_spark.operators import htmltext as _ht
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    canon_part = F.when(F.col("doc_id") % 5 == 4, F.lit("")).otherwise(
+        F.concat(
+            F.lit('<link rel="canonical" href="https://ex.com/c/'),
+            (F.col("doc_id") % 7).cast("string"), F.lit('">'),
+        )
+    )
+    page = F.concat(
+        F.lit("<head><title>Doc "), did, F.lit("</title>"), canon_part,
+        F.lit("</head><body><p>b</p></body>"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://ex.com/p/"), did).alias("url"), page.alias("text")
+    )
+    meta = _ht.extract_html_meta(pages, "text", keep_cols=["url"])
+    from pyspark.sql import Window
+
+    key = F.coalesce(F.col("canonical"), F.col("url"))
+    w = Window.partitionBy(key).orderBy(F.col("url"))
+    return (
+        meta.select("url", "canonical")
+        .withColumn("dedup_key", key)
+        .withColumn("is_kept", F.row_number().over(w) == 1)
+        .orderBy("url")
+    )
+
+
+def _sql_canonical_dedup() -> str:
+    return """
+WITH pages AS (
+  SELECT 'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 5 = 4 THEN NULL
+              ELSE 'https://ex.com/c/' || CAST(doc_id % 7 AS VARCHAR) END AS canonical
+  FROM documents
+)
+SELECT url, canonical,
+       COALESCE(canonical, url) AS dedup_key,
+       row_number() OVER (PARTITION BY COALESCE(canonical, url) ORDER BY url) = 1 AS is_kept
+FROM pages
+ORDER BY url
+""".strip()
+
+
 def q_link_anchors(spark, sf_dir):
     """Anchor-text capture (links.link_edges(anchors=True)): the anchor
     is the classic query-document training pair; markup inside the
@@ -3225,6 +3277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_warc": q_parse_warc,
         "html_extract": q_html_extract,
         "html_meta": q_html_meta,
+        "canonical_dedup": q_canonical_dedup,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_roundtrip": q_wet_roundtrip,
         "warc_images": q_warc_images,
@@ -3564,6 +3617,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_warc": _sql_parse_warc(),
         "html_extract": _sql_html_extract(),
         "html_meta": _sql_html_meta(),
+        "canonical_dedup": _sql_canonical_dedup(),
         "warc_roundtrip": _sql_warc_roundtrip(),
         "wet_roundtrip": _sql_wet_roundtrip(),
         "warc_images": _sql_warc_images(),
