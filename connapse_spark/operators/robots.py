@@ -63,14 +63,19 @@ def _compile_pattern(pattern: str) -> re.Pattern:
     return re.compile(rx + (r"\Z" if anchored else ""))
 
 
-def parse_robots(text: str, user_agent: str = "*") -> list[tuple[bool, str, re.Pattern]]:
-    """The (allow, pattern, compiled) rules the given crawler must obey:
-    the union of groups matching ``user_agent`` exactly (case-insensitive),
-    else the ``*`` group, else no rules (allow all)."""
-    ua = user_agent.lower()
-    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+# directives that belong to a group and therefore END a user-agent run;
+# sitemap/unknown lines are transparent (ignored entirely, runs survive)
+_GROUP_DIRECTIVES = frozenset({"allow", "disallow", "crawl-delay"})
+
+
+def _iter_groups(text: str):
+    """THE group scanner both parse_robots and crawl_delay consume —
+    yields (agents, directives) where directives is [(key, value), ...]
+    of the group's recognized lines. One definition, so group semantics
+    can never drift between rule matching and delay lookup."""
+    groups: list[tuple[list[str], list[tuple[str, str]]]] = []
     cur_agents: list[str] = []
-    cur_rules: list[tuple[bool, str]] = []
+    cur_dirs: list[tuple[str, str]] = []
     in_agent_run = True  # consecutive UA lines accumulate into one group
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -80,33 +85,50 @@ def parse_robots(text: str, user_agent: str = "*") -> list[tuple[bool, str, re.P
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
             if not in_agent_run:
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                groups.append((cur_agents, cur_dirs))
+                cur_agents, cur_dirs = [], []
                 in_agent_run = True
             cur_agents.append(val.lower())
-        elif key in ("allow", "disallow"):
+        elif key in _GROUP_DIRECTIVES:
             in_agent_run = False
-            if val:  # empty pattern = no rule
-                cur_rules.append((key == "allow", val))
-        # crawl-delay / sitemap / unknown: ignored for matching
-    if cur_agents or cur_rules:
-        groups.append((cur_agents, cur_rules))
+            cur_dirs.append((key, val))
+    if cur_agents or cur_dirs:
+        groups.append((cur_agents, cur_dirs))
+    return groups
 
-    def rules_for(pred):
+
+def _directives_for(groups, ua: str):
+    """The union of matching groups' directives, with the RFC fallback:
+    a group that MATCHES the crawler but has no directives means
+    allow-all — it must NOT fall back to the * group (sites whitelist
+    specific bots exactly this way)."""
+
+    def collect(pred):
         out, matched = [], False
-        for agents, rules in groups:
+        for agents, dirs in groups:
             if any(pred(a) for a in agents):
                 matched = True
-                out.extend(rules)
+                out.extend(dirs)
         return out, matched
 
-    # RFC 9309: a group that MATCHES the crawler but has no rules means
-    # allow-all — it must NOT fall back to the * group (sites whitelist
-    # specific bots exactly this way)
-    selected, matched = rules_for(lambda a: a == ua)
+    selected, matched = collect(lambda a: a == ua)
     if not matched and ua != "*":
-        selected, _ = rules_for(lambda a: a == "*")
-    return [(allow, pat, _compile_pattern(pat)) for allow, pat in selected]
+        selected, _ = collect(lambda a: a == "*")
+    return selected
+
+
+def parse_robots(text: str, user_agent: str = "*") -> list[tuple[bool, str, re.Pattern]]:
+    """The (allow, normalized-pattern, compiled) rules the given crawler
+    must obey: the union of groups matching ``user_agent`` exactly
+    (case-insensitive), else the ``*`` group, else no rules (allow all).
+    Patterns are stored §2.2.2-normalized so most-octets precedence
+    counts real octets, not escape inflation."""
+    selected = _directives_for(_iter_groups(text), user_agent.lower())
+    return [
+        (key == "allow", _normalize_pct(val), _compile_pattern(val))
+        for key, val in selected
+        if key in ("allow", "disallow") and val  # empty pattern = no rule
+    ]
 
 
 def is_allowed(rules: list[tuple[bool, str, re.Pattern]], path: str) -> bool:
@@ -326,33 +348,28 @@ def robots_filter_cogroup(
 def crawl_delay(text: str, user_agent: str = "*") -> float | None:
     """The ``Crawl-delay`` (seconds) the given crawler should honor — a
     de-facto directive (not in RFC 9309 but served by ~20% of sites and
-    honored by most commercial crawlers). Group selection mirrors
-    parse_robots: the matching UA group's delay, else the ``*`` group's,
-    else None; a malformed value is ignored."""
+    honored by most commercial crawlers). Group selection IS
+    parse_robots' (one shared scanner): the matching groups' first valid
+    delay, falling back to the ``*`` group when the matching group
+    carries no valid one; malformed, negative, or non-finite values are
+    ignored."""
+    import math
+
+    def first_valid(directives):
+        for key, val in directives:
+            if key != "crawl-delay":
+                continue
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if math.isfinite(d) and d >= 0:
+                return d
+        return None
+
+    groups = _iter_groups(text)
     ua = user_agent.lower()
-    delays: dict[str, float] = {}
-    cur_agents: list[str] = []
-    in_agent_run = True
-    for raw in (text or "").splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line or ":" not in line:
-            continue
-        key, _, val = line.partition(":")
-        key, val = key.strip().lower(), val.strip()
-        if key == "user-agent":
-            if not in_agent_run:
-                cur_agents = []
-                in_agent_run = True
-            cur_agents.append(val.lower())
-        else:
-            in_agent_run = False
-            if key == "crawl-delay":
-                try:
-                    d = float(val)
-                except ValueError:
-                    continue
-                for a in cur_agents:
-                    delays.setdefault(a, d)
-    if ua in delays:
-        return delays[ua]
-    return delays.get("*")
+    d = first_valid(_directives_for(groups, ua))
+    if d is None and ua != "*":
+        d = first_valid(_directives_for(groups, "*"))
+    return d

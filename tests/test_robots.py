@@ -199,3 +199,30 @@ def test_percent_encoding_normalization():
     assert _allowed("User-agent: *\nDisallow: /x%2Fy\n", "/x/y")
     # ...but matches itself case-insensitively in the hex digits
     assert not _allowed("User-agent: *\nDisallow: /x%2Fy\n", "/x%2fy")
+
+
+def test_precedence_counts_normalized_octets():
+    # '/a%2Db' normalizes to '/a-b' (4 octets) — the 5-octet disallow is
+    # more specific, so the verdict is disallowed (review finding)
+    assert not _allowed("User-agent: *\nAllow: /a%2Db\nDisallow: /a-bc\n", "/a-bc")
+    # byte-equivalent decoded body agrees
+    assert not _allowed("User-agent: *\nAllow: /a-b\nDisallow: /a-bc\n", "/a-bc")
+
+
+def test_crawl_delay_group_semantics_match_parse_robots():
+    from connapse_spark.operators.robots import crawl_delay
+
+    # a transparent Sitemap line does not split the UA run — both agents
+    # share the group and BOTH get the delay and the rule
+    body = ("User-agent: a\nSitemap: https://x/s.xml\nUser-agent: b\n"
+            "Crawl-delay: 5\nDisallow: /x\n")
+    assert crawl_delay(body, "a") == 5.0
+    assert crawl_delay(body, "b") == 5.0
+    assert not _allowed(body, "/x", "a")
+    # non-finite / negative values are ignored (then * fallback applies)
+    assert crawl_delay("User-agent: *\nCrawl-delay: nan\n", "bot") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: inf\n", "bot") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: -5\n", "bot") is None
+    assert crawl_delay(
+        "User-agent: b\nCrawl-delay: nan\nUser-agent: *\nCrawl-delay: 3\n", "b"
+    ) == 3.0
