@@ -63,8 +63,11 @@ def _compile_pattern(pattern: str) -> re.Pattern:
     return re.compile(rx + (r"\Z" if anchored else ""))
 
 
-# directives that belong to a group and therefore END a user-agent run;
-# sitemap/unknown lines are transparent (ignored entirely, runs survive)
+# rule lines END a user-agent run (RFC 9309 grammar: groups are UA lines
+# then rules); crawl-delay is collected as a group directive but — being
+# unknown to the RFC — is TRANSPARENT for run-splitting, exactly like
+# sitemap/unknown lines, so rule grouping is unchanged by its presence
+_RUN_ENDERS = frozenset({"allow", "disallow"})
 _GROUP_DIRECTIVES = frozenset({"allow", "disallow", "crawl-delay"})
 
 
@@ -90,7 +93,8 @@ def _iter_groups(text: str):
                 in_agent_run = True
             cur_agents.append(val.lower())
         elif key in _GROUP_DIRECTIVES:
-            in_agent_run = False
+            if key in _RUN_ENDERS:
+                in_agent_run = False
             cur_dirs.append((key, val))
     if cur_agents or cur_dirs:
         groups.append((cur_agents, cur_dirs))

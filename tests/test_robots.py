@@ -226,3 +226,16 @@ def test_crawl_delay_group_semantics_match_parse_robots():
     assert crawl_delay(
         "User-agent: b\nCrawl-delay: nan\nUser-agent: *\nCrawl-delay: 3\n", "b"
     ) == 3.0
+
+
+def test_crawl_delay_is_transparent_for_rule_grouping():
+    from connapse_spark.operators.robots import crawl_delay
+
+    # a crawl-delay between UA lines does NOT split the run: a and b share
+    # one group, so BOTH get the rule and the delay (RFC: unknown lines
+    # are transparent; only rule lines end a user-agent run)
+    body = "User-agent: a\nCrawl-delay: 2\nUser-agent: b\nDisallow: /x\n"
+    assert not _allowed(body, "/x", "a")
+    assert not _allowed(body, "/x", "b")
+    assert crawl_delay(body, "a") == 2.0
+    assert crawl_delay(body, "b") == 2.0
