@@ -10,6 +10,7 @@ builders that live next to the Spark implementations in
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1596,9 +1597,12 @@ def q_parse_warc(spark, sf_dir):
     reference's parser family lacks): parse the deterministic fixture
     archives (gzip-member + plain layouts, warcinfo/request/response
     types, non-200, non-text, latin-1 charset, a bad-Content-Length
-    record to skip over, a truncated tail) and project the full record
-    surface. The oracle pins the expected outputs of the pure parser as
-    literals, the ``parse_binary`` discipline."""
+    record to skip over, a truncated tail, and HTTP payload codings —
+    Transfer-Encoding: chunked, Content-Encoding: gzip/deflate, and
+    gzip-inside-chunked, each pinned to decode byte-identically to the
+    plain twin) and project the full record surface. The oracle pins the
+    expected outputs of the pure parser as literals, the
+    ``parse_binary`` discipline."""
     from connapse_spark.sources import warc as _warc
 
     blobs = spark.createDataFrame(_warc.fixture_warc(), "path string, content binary")
@@ -1636,6 +1640,16 @@ def _sql_parse_warc() -> str:
          "'text/html'", "591e56cd9f73856c", "'591e56cd9f73856c'", "false"),
         ("/fx/good.warc", 7, "'response'", "'https://b.example/meta-charset'", 200,
          "'text/html'", "f6162e02e03d4cec", "'6692046f924c336b'", "false"),
+        # rows 8-11: Transfer-Encoding/Content-Encoding payloads — each
+        # decodes to the SAME payload/text sha as plain row 2 (round-trip)
+        ("/fx/good.warc", 8, "'response'", "'https://c.example/chunked'", 200,
+         "'text/html; charset=utf-8'", "caf73b9e3e76ec9e", "'caf73b9e3e76ec9e'", "false"),
+        ("/fx/good.warc", 9, "'response'", "'https://c.example/gzipped'", 200,
+         "'text/html; charset=utf-8'", "caf73b9e3e76ec9e", "'caf73b9e3e76ec9e'", "false"),
+        ("/fx/good.warc", 10, "'response'", "'https://c.example/chunked-gzip'", 200,
+         "'text/html; charset=utf-8'", "caf73b9e3e76ec9e", "'caf73b9e3e76ec9e'", "false"),
+        ("/fx/good.warc", 11, "'response'", "'https://c.example/deflated'", 200,
+         "'text/html; charset=utf-8'", "caf73b9e3e76ec9e", "'caf73b9e3e76ec9e'", "false"),
         ("/fx/mixed.warc", 0, "'response'", "'https://a.example/'", 200,
          "'text/html; charset=utf-8'", "caf73b9e3e76ec9e", "'caf73b9e3e76ec9e'", "false"),
         ("/fx/mixed.warc", 1, "'response'", "'https://a.example/missing'", 404,
@@ -1875,7 +1889,17 @@ def _sql_web_curate() -> str:
     # the composed mirror is a bare `FROM documents` — asserted so a future
     # `JOIN documents` can't silently skip the rewrite)
     sql = _sql_corpus_curate()
+    # every occurrence must be exactly the bare form — an aliased
+    # `FROM documents d` / `AS d`, or a comma-join, would make the
+    # blanket replace produce invalid or wrong SQL (ADVICE r6): the word
+    # after each occurrence must be a clause keyword, not an alias
     assert "JOIN documents" not in sql
+    _clause_kw = {"where", "group", "order", "union", "having", "limit",
+                  "window", "qualify", "intersect", "except"}
+    for m in re.finditer(r"FROM documents\s*(,)?\s*(\w+)?", sql):
+        assert not m.group(1), f"comma-join after FROM documents: {m.group(0)!r}"
+        nxt = (m.group(2) or "").lower()
+        assert nxt in _clause_kw or not nxt, f"aliased FROM documents: {m.group(0)!r}"
     return sql.replace(
         "FROM documents",
         "FROM (SELECT * FROM documents "
@@ -2237,6 +2261,86 @@ r AS (
   FROM d
 )
 SELECT url, domain, domain_rank FROM r WHERE domain_rank <= 150
+ORDER BY url
+""".strip()
+
+
+def q_frontier_schedule(spark, sf_dir):
+    """Politeness scheduling (operators/links.crawl_schedule — VERDICT r6
+    ask #2): the crawl_frontier candidate set plus per-host fetch pacing
+    derived from the robots bodies' own Crawl-delay. ex.com declares
+    Crawl-delay: 2 → one URL per wave, not_before = wave × 2 s;
+    out.example has no robots → default burst of 8 per wave at 1 s
+    spacing. The oracle mirrors the gate, the cap's hash window, AND the
+    wave arithmetic over the same pinned rule set."""
+    from connapse_spark.operators import links as _links
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    discovered = docs.select(
+        F.concat(F.lit("https://ex.com/p/"), did).alias("url")
+    ).unionByName(
+        docs.select(F.concat(F.lit("https://ex.com/q/"), did).alias("url"))
+    ).unionByName(
+        docs.select(
+            F.concat(F.lit("https://out.example/"), (F.col("doc_id") + 7).cast("string")).alias("url")
+        )
+    )
+    sched = _links.crawl_schedule(
+        discovered,
+        {"ex.com": "User-agent: *\nDisallow: /q\nAllow: /\nCrawl-delay: 2\n"},
+        max_per_domain=150,
+        user_agent="connapse-bot",
+        default_delay=1.0,
+        burst=8,
+    )
+    return sched.orderBy("url")
+
+
+def _sql_frontier_schedule() -> str:
+    from connapse_spark.operators.sampling import sql_hash_bucket
+
+    host = web.sql_host("url")
+    domain = web.sql_registered_domain(host)
+    bucket = sql_hash_bucket("url", "frontier")
+    return f"""
+WITH discovered AS (
+  SELECT DISTINCT url FROM (
+    SELECT 'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents
+    UNION ALL
+    SELECT 'https://ex.com/q/' || CAST(doc_id AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'https://out.example/' || CAST(doc_id + 7 AS VARCHAR) FROM documents
+  )
+),
+gated AS (
+  SELECT url FROM discovered
+  WHERE NOT ({host} = 'ex.com' AND url LIKE 'https://ex.com/q/%')
+),
+d AS (SELECT url, {host} AS host, {domain} AS domain, {bucket} AS _b FROM gated),
+r AS (
+  SELECT url, host, domain, _b,
+         (row_number() OVER (PARTITION BY domain ORDER BY _b, url))::INT AS domain_rank
+  FROM d
+),
+-- host_rank ranks the CAPPED survivors (the Spark path windows the
+-- frontier output), not the pre-cap candidate set
+capped AS (
+  SELECT url, host, domain, domain_rank,
+         (row_number() OVER (PARTITION BY host ORDER BY _b, url))::INT AS host_rank
+  FROM r WHERE domain_rank <= 150
+),
+sched AS (
+  SELECT *,
+         CASE WHEN host = 'ex.com' THEN 2.0 ELSE 1.0 END AS delay_s,
+         CASE WHEN host = 'ex.com' THEN 1 ELSE 8 END AS _burst
+  FROM capped
+)
+SELECT url, host, domain, domain_rank, host_rank,
+       round(delay_s, 9) AS delay_s,
+       CAST(floor((host_rank - 1) / _burst) AS INTEGER) AS fetch_wave,
+       round(CAST(floor((host_rank - 1) / _burst) AS INTEGER) * delay_s, 9) AS not_before_s
+FROM sched
 ORDER BY url
 """.strip()
 
@@ -3261,19 +3365,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver checks the FIRST ~50 entries. Ordering invariant
-        # --- (r6 rotation, VERDICT r5 ask #9): seats 1-19 are the round-6
-        # --- NEW or CODE-CHANGED entries (the IVF-served hybrid family
-        # --- incl. the fully index-served batch tier and the per-model
-        # --- ANN router, the index-served single/batch
-        # --- tiers, tf-postings write paths incl. the pending-list
-        # --- resolve, the upgraded ingest_stats invariant oracle, the
-        # --- rewritten chunkers, the new-default salted_agg, the
-        # --- keyword-index-touched hybrid batch family); then every
-        # --- remaining entry whose last driver-green row dates to round
-        # --- 3; the tail back-fills with the stalest r4-greens.
-        # --- Everything below seat 50 is r4/r5-green and rotates forward
-        # --- next round. parse_warc/html_extract are the newest additions
-        # --- (WARC ingest + HTML extraction) and take the first seats.
+        # --- (r6 rotation): the round-7 NEW or CODE-CHANGED entries take
+        # --- the first seats — frontier_schedule (crawl_delay composed
+        # --- into the frontier, VERDICT r6 #2), parse_warc (fixture grew
+        # --- chunked/gzip/deflate payload rows, VERDICT r6 #1),
+        # --- html_extract/html_meta (adversarial real-web fixture rows),
+        # --- language_id_multi (10-language + script-class expansion),
+        # --- chunk_semantic family (golden-rules segmenter), the IVF
+        # --- lists-policy-touched ANN family; then the stalest greens
+        # --- rotate forward from the r5/r6 tail.
+        "frontier_schedule": q_frontier_schedule,
         "parse_warc": q_parse_warc,
         "html_extract": q_html_extract,
         "html_meta": q_html_meta,
@@ -3614,6 +3715,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_text": _sql_parse_text(),
         "parser_dispatch": _sql_parser_dispatch(),
         "parse_binary": _sql_parse_binary(),
+        "frontier_schedule": _sql_frontier_schedule(),
         "parse_warc": _sql_parse_warc(),
         "html_extract": _sql_html_extract(),
         "html_meta": _sql_html_meta(),

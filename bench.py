@@ -168,17 +168,26 @@ def main():
     from connapse_spark.operators import keyword_index
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # r7: split into two rows so rounds compare like-for-like — r6 folded
+    # the (new) tf-postings structures into keyword_index_build, which made
+    # its 1.11s→1.91s delta read as a regression when it was added work.
     t0 = time.time()
     tokens = keyword_index.build_token_table(docs).persist()
     pe = keyword_index.build_postings(tokens, "tokens_exact").persist()
     ps = keyword_index.build_postings(tokens, "tokens_stemmed").persist()
-    tfe = keyword_index.build_tf_postings(tokens, "tokens_exact").persist()
-    tfs = keyword_index.build_tf_postings(tokens, "tokens_stemmed").persist()
-    tokens.count(), pe.count(), ps.count(), tfe.count(), tfs.count()
+    tokens.count(), pe.count(), ps.count()
     build_t = time.time() - t0
     timings["keyword_index_build"] = round(build_t, 3)
     total += build_t
     print(f"# keyword_index_build: {build_t:.2f}s", file=sys.stderr, flush=True)
+    t0 = time.time()
+    tfe = keyword_index.build_tf_postings(tokens, "tokens_exact").persist()
+    tfs = keyword_index.build_tf_postings(tokens, "tokens_stemmed").persist()
+    tfe.count(), tfs.count()
+    tf_build_t = time.time() - t0
+    timings["tf_postings_build"] = round(tf_build_t, 3)
+    total += tf_build_t
+    print(f"# tf_postings_build: {tf_build_t:.2f}s", file=sys.stderr, flush=True)
     best, n = float("inf"), 0
     for _ in range(runs):
         t0 = time.time()

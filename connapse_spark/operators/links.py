@@ -41,13 +41,18 @@ class _LinkCollector(HTMLParser):
             self._open = None
 
     def handle_starttag(self, tag, attrs):
-        if tag in ("a", "area"):
+        if tag == "a":
             self._close_open()  # a nested/unclosed <a> implicitly closes
             for k, v in attrs:
                 if k == "href" and v:
-                    self._open = (v, []) if tag == "a" else None
-                    if tag == "area":  # void element, no anchor text
-                        self.links.append((v, ""))
+                    self._open = (v, [])
+                    break
+        elif tag == "area":
+            # void element, no anchor text — and legal INSIDE an open <a>
+            # (<map> within an anchor), so it must not close the anchor
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.links.append((v, ""))
                     break
 
     def handle_endtag(self, tag):
@@ -326,3 +331,71 @@ def crawl_frontier(
         gated, url_col="url", max_per_domain=max_per_domain,
         key_col="url", salt=salt,
     ).select("url", "domain", "domain_rank")
+
+
+def crawl_schedule(
+    urls: DataFrame,
+    robots: dict[str, str],
+    max_per_domain: int = 1000,
+    user_agent: str = "*",
+    url_col: str = "url",
+    salt: str = "frontier",
+    default_delay: float = 1.0,
+    burst: int = 8,
+) -> DataFrame:
+    """Politeness scheduling over the gated frontier: ``crawl_frontier``
+    gates and caps but emits no per-host fetch pacing, so its output
+    can't drive a real fetcher. This composes the SAME robots bodies'
+    ``Crawl-delay`` (robots.crawl_delay — one parse, one group-selection
+    rule with the gate) into a wave assignment:
+
+    - ``host_rank``: the URL's deterministic hash-order position within
+      its host (the frontier's own survivor order, restricted to host).
+    - A host with a positive Crawl-delay gets ONE url per wave
+      (``fetch_wave = host_rank - 1``); undeclared hosts get ``burst``
+      urls per wave at ``default_delay`` spacing.
+    - ``not_before_s = fetch_wave * delay_s`` — the earliest fetch
+      offset a scheduler must honor (seconds from crawl start).
+
+    A fetcher partitions by ``fetch_wave`` (or streams waves in order)
+    and within a wave touches each delayed host exactly once.
+
+    Scale: the delay table is |hosts-with-robots| rows → broadcast join;
+    the wave math is one window on host (same skew profile as the
+    domain cap — bounded by max_per_domain per domain). Nothing here is
+    proportional to corpus size beyond the frontier itself."""
+    from pyspark.sql import Window
+
+    from connapse_spark.operators import robots as robots_mod
+    from connapse_spark.operators import web
+    from connapse_spark.operators.sampling import hash_bucket_expr
+
+    frontier = crawl_frontier(
+        urls, robots, max_per_domain=max_per_domain,
+        user_agent=user_agent, url_col=url_col, salt=salt,
+    )
+    spark = frontier.sparkSession
+    delay_rows = [
+        (h.lower(), float(d))
+        for h, body in robots.items()
+        for d in [robots_mod.crawl_delay(body, user_agent)]
+        if d is not None
+    ]
+    delay_df = spark.createDataFrame(delay_rows, "host string, declared_delay_s double")
+    d = frontier.withColumn("host", web.host_expr(F.col("url")))
+    d = d.join(F.broadcast(delay_df), "host", "left")
+    delay_s = F.coalesce(F.col("declared_delay_s"), F.lit(float(default_delay)))
+    host_burst = F.when(
+        F.col("declared_delay_s").isNotNull() & (F.col("declared_delay_s") > 0),
+        F.lit(1),
+    ).otherwise(F.lit(int(burst)))
+    order = hash_bucket_expr(F.col("url"), salt)
+    w = Window.partitionBy("host").orderBy(order.asc(), F.col("url").asc())
+    d = d.withColumn("host_rank", F.row_number().over(w))
+    wave = F.floor((F.col("host_rank") - 1) / host_burst).cast("int")
+    return d.select(
+        "url", "host", "domain", "domain_rank", "host_rank",
+        F.round(delay_s, 9).alias("delay_s"),
+        wave.alias("fetch_wave"),
+        F.round(wave * delay_s, 9).alias("not_before_s"),
+    )

@@ -246,19 +246,27 @@ def robots_filter_join(
     key is computed with the SAME urlsplit-hostname logic the evaluator
     uses (userinfo/IPv6 forms must resolve identically on both sides).
     Same verdict contract as robots_filter: absent host → allowed,
-    malformed URL → not crawled. Known cost: the joined body rides every
-    URL row into the Arrow batches (the memo dedups parsing, not bytes);
-    if per-host URL counts are huge, the next tier is a host-cogrouped
-    ``applyInPandas`` that ships each body once per partition."""
+    malformed URL → not crawled. A duplicate-host rule table is deduped
+    (min body wins, deterministically) so the left join can't multiply
+    URL rows or make verdicts depend on join order — the dict/cogroup
+    tiers see one body per host by construction, and equivalence across
+    tiers requires this one to as well. Known cost: the joined body
+    rides every URL row into the Arrow batches (the memo dedups parsing,
+    not bytes); if per-host URL counts are huge, the next tier is a
+    host-cogrouped ``applyInPandas`` that ships each body once per
+    partition."""
     from pyspark.sql.types import BooleanType, StructField, StructType
 
-    joined = urls.withColumn("_host", _host_of_udf()(F.col(url_col))).join(
+    rules = (
         robots_df.select(
             F.lower(F.col(host_col)).alias("_host"),
             F.col(body_col).alias("_robots"),
-        ),
-        "_host",
-        "left",
+        )
+        .groupBy("_host")
+        .agg(F.min("_robots").alias("_robots"))
+    )
+    joined = urls.withColumn("_host", _host_of_udf()(F.col(url_col))).join(
+        rules, "_host", "left"
     )
 
     schema = StructType(

@@ -190,9 +190,13 @@ def parse_html_documents(binary_df: DataFrame, boilerplate: bool = True) -> Data
     (operators/htmltext.py), emitting the same PARSED_SCHEMA as the
     binary parsers so downstream (chunk -> embed -> sink) is
     parser-agnostic: content = extracted text, metadata.Title from
-    <title>, n_pages = 1, undecodable bytes -> warning + latin-1
-    fallback (never a dropped row)."""
+    <title>, n_pages = 1. Decoding delegates to the WARC path's
+    decode_text_payload so BOMs strip, an inline <meta charset>
+    declaration is honored, and undecodable bytes degrade to latin-1 +
+    warning (never a dropped row) — one charset policy for both the
+    file-ingest and crawl-ingest HTML seams."""
     from connapse_spark.operators.htmltext import extract_html
+    from connapse_spark.sources.warc import decode_text_payload
 
     def _parse(batches):
         for pdf in batches:
@@ -200,10 +204,8 @@ def parse_html_documents(binary_df: DataFrame, boilerplate: bool = True) -> Data
             for path, blob in zip(pdf["path"], pdf["content"]):
                 raw = bytes(blob or b"")
                 warnings = []
-                try:
-                    html = raw.decode("utf-8")
-                except UnicodeDecodeError:
-                    html = raw.decode("latin-1")
+                html, enc = decode_text_payload(raw, "text/html", with_encoding=True)
+                if enc == "latin-1":
                     warnings.append("utf-8 decode failed; latin-1 fallback")
                 title, text = extract_html(html)
                 meta = {"Title": title} if title else {}

@@ -80,14 +80,48 @@ def make_http_response(
     body: bytes,
     content_type: str = "text/html; charset=utf-8",
     reason: str = "OK",
+    content_encoding: str | None = None,
+    chunk_sizes: list[int] | None = None,
 ) -> bytes:
-    """The HTTP response head+body that a WARC ``response`` record wraps."""
-    head = (
-        f"HTTP/1.1 {status} {reason}\r\n"
-        f"Content-Type: {content_type}\r\n"
-        f"Content-Length: {len(body)}\r\n"
-    ).encode()
-    return head + CRLF + body
+    """The HTTP response head+body that a WARC ``response`` record wraps.
+
+    ``content_encoding`` ('gzip'/'deflate') compresses the body and emits
+    the matching Content-Encoding header; ``chunk_sizes`` frames the (post-
+    compression) body with ``Transfer-Encoding: chunked`` using the given
+    chunk lengths (the last chunk absorbs any remainder) — both are routine
+    in real Common Crawl captures, and the writer exists so fixtures and
+    Hypothesis round-trips can pin the decoder exactly."""
+    if content_encoding == "gzip":
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(body)
+        body = buf.getvalue()
+    elif content_encoding == "deflate":
+        body = zlib.compress(body)  # zlib-wrapped, the RFC meaning
+    elif content_encoding is not None:
+        raise ValueError(f"unsupported content_encoding {content_encoding!r}")
+    head = f"HTTP/1.1 {status} {reason}\r\nContent-Type: {content_type}\r\n"
+    if content_encoding:
+        head += f"Content-Encoding: {content_encoding}\r\n"
+    if chunk_sizes is not None:
+        head += "Transfer-Encoding: chunked\r\n"
+        framed, pos = [], 0
+        sizes = [n for n in chunk_sizes if n > 0]
+        for i, n in enumerate(sizes):
+            if i == len(sizes) - 1:
+                n = len(body) - pos  # last chunk absorbs the remainder
+            part = body[pos : pos + n]
+            if part:
+                framed.append(b"%x" % len(part) + CRLF + part + CRLF)
+            pos += len(part)
+        if pos < len(body):
+            part = body[pos:]
+            framed.append(b"%x" % len(part) + CRLF + part + CRLF)
+        framed.append(b"0" + CRLF + CRLF)
+        body = b"".join(framed)
+    else:
+        head += f"Content-Length: {len(body)}\r\n"
+    return head.encode() + CRLF + body
 
 
 def make_warc(records: list[bytes], gzip_members: bool = True) -> bytes:
@@ -256,6 +290,82 @@ def split_http_response(body: bytes) -> tuple[int | None, dict[str, str], bytes]
     return status, headers, body[end + width :]
 
 
+def _dechunk(body: bytes) -> tuple[bytes, str | None]:
+    """Undo ``Transfer-Encoding: chunked`` framing (RFC 9112 §7.1):
+    ``hex-size[;ext] CRLF data CRLF`` repeated, ``0 CRLF [trailers] CRLF``.
+    Tolerates bare-LF line endings (real crawls contain them) and
+    truncation — the good prefix is returned with a warning rather than
+    dying, the same degrade-don't-die rule as the record parser."""
+    out, pos = [], 0
+    while True:
+        nl = body.find(b"\n", pos)
+        if nl < 0:
+            return b"".join(out), "truncated chunked body (no size line)"
+        line = body[pos:nl].strip()
+        size_tok = line.split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return b"".join(out), f"bad chunk size {size_tok[:16]!r}"
+        pos = nl + 1
+        if size == 0:
+            return b"".join(out), None  # trailers (if any) are ignored
+        part = body[pos : pos + size]
+        out.append(part)
+        if len(part) < size:
+            return b"".join(out), "truncated chunked body (short chunk)"
+        pos += size
+        # the CRLF/LF that terminates the chunk data
+        if body[pos : pos + 2] == CRLF:
+            pos += 2
+        elif body[pos : pos + 1] == b"\n":
+            pos += 1
+
+
+def _inflate(body: bytes, coding: str) -> tuple[bytes, str | None]:
+    """Undo one content coding. ``deflate`` on the real web is ambiguous —
+    RFC says zlib-wrapped, some servers send raw — so try both. Truncated
+    streams yield their good prefix plus a warning."""
+    if coding in ("gzip", "x-gzip"):
+        tries = (zlib.MAX_WBITS | 16,)
+    elif coding == "deflate":
+        tries = (zlib.MAX_WBITS, -zlib.MAX_WBITS)
+    else:
+        return body, f"unknown content coding {coding!r}"
+    err = None
+    for wbits in tries:
+        d = zlib.decompressobj(wbits=wbits)
+        try:
+            out = d.decompress(body)
+        except zlib.error as e:
+            err = str(e)
+            continue
+        return out, (None if d.eof else f"truncated {coding} stream")
+    return body, f"undecodable {coding} body ({err})"
+
+
+def decode_http_body(http_headers: dict[str, str], body: bytes) -> tuple[bytes, str | None]:
+    """Undo the transfer/content codings an HTTP response declares, in
+    wire order: Transfer-Encoding right-to-left (``chunked`` is last per
+    RFC 9112, so it unwraps first; a TE ``gzip`` before it unwraps next),
+    then Content-Encoding right-to-left. ``identity`` is a no-op token.
+    Every failure degrades to (bytes-so-far, warning) — at 100 TB the
+    pipeline counts damage, it doesn't die on it."""
+    te = [t.strip().lower() for t in http_headers.get("transfer-encoding", "").split(",") if t.strip()]
+    ce = [t.strip().lower() for t in http_headers.get("content-encoding", "").split(",") if t.strip()]
+    codings = list(reversed(te)) + list(reversed(ce))
+    for coding in codings:
+        if coding == "identity":
+            continue
+        if coding == "chunked":
+            body, warn = _dechunk(body)
+        else:
+            body, warn = _inflate(body, coding)
+        if warn:
+            return body, warn
+    return body, None
+
+
 # warnings about the record ITSELF vs. corruption observed BEFORE it in
 # the archive (carried forward so it can be counted somewhere) — filters
 # must not punish an intact record for its neighbor's damage
@@ -338,15 +448,19 @@ def _prescan_meta_charset(head: bytes) -> str | None:
     return None
 
 
-def decode_text_payload(payload: bytes, content_type: str | None) -> str | None:
+def decode_text_payload(
+    payload: bytes, content_type: str | None, with_encoding: bool = False
+) -> str | None | tuple[str | None, str | None]:
     """Decode an html/text payload. Precedence per HTML5: a byte-order
     mark outranks everything; then the declared header charset; then the
     attribute-aware ``<meta charset>`` prescan of the first 1024 bytes
     (headers routinely omit the charset real pages declare inline); then
-    utf-8 with latin-1 fallback. None for non-text content types."""
+    utf-8 with latin-1 fallback. None for non-text content types.
+    ``with_encoding=True`` returns ``(text, encoding_used)`` so callers
+    can warn on the lossy latin-1 fallback."""
     ct = (content_type or "").lower()
     if not (ct.startswith("text/") or "html" in ct or "xml" in ct or "json" in ct):
-        return None
+        return (None, None) if with_encoding else None
     charset = None
     for bom, enc in _BOMS:
         if payload.startswith(bom):
@@ -359,10 +473,12 @@ def decode_text_payload(payload: bytes, content_type: str | None) -> str | None:
         charset = _prescan_meta_charset(payload[:1024])
     for enc in filter(None, (charset, "utf-8")):
         try:
-            return payload.decode(enc)
+            text = payload.decode(enc)
+            return (text, enc) if with_encoding else text
         except (UnicodeDecodeError, LookupError):
             continue
-    return payload.decode("latin-1")
+    text = payload.decode("latin-1")
+    return (text, "latin-1") if with_encoding else text
 
 
 WARC_RECORDS_SCHEMA = (
@@ -394,6 +510,12 @@ def warc_records(binary_df: DataFrame, extra_cols: list[str] | None = None) -> D
                     status, http_hdrs, body = (None, {}, payload)
                     if wtype in ("response", "revisit"):
                         status, http_hdrs, body = split_http_response(payload)
+                        if status is not None:
+                            body, enc_warn = decode_http_body(http_hdrs, body)
+                            if enc_warn:
+                                warning = (
+                                    f"{warning}; {enc_warn}" if warning else enc_warn
+                                )
                     ct = http_hdrs.get("content-type") or (
                         None if wtype in ("response", "revisit") else hdrs.get("content-type")
                     )
@@ -473,8 +595,10 @@ def fixture_warc() -> list[tuple[str, bytes]]:
     """Deterministic archives covering the parse surface: gzip-member and
     plain layouts, warcinfo/request/response types, non-200, non-text,
     declared non-utf8 charset, a bad-Content-Length record to skip, a
-    truncated final record, a headerless response (magic-byte sniff), and
-    an html response whose charset lives only in <meta charset>."""
+    truncated final record, a headerless response (magic-byte sniff),
+    an html response whose charset lives only in <meta charset>, and the
+    HTTP payload codings of real captures — Transfer-Encoding: chunked,
+    Content-Encoding: gzip/deflate, and gzip-inside-chunked."""
     html = "<html><head><title>T\u00e9st</title></head><body><p>caf\u00e9 &amp; more</p></body></html>"
     recs = [
         make_warc_record("warcinfo", b"software: connapse-spark\r\n",
@@ -522,6 +646,36 @@ def fixture_warc() -> list[tuple[str, bytes]]:
                 content_type="text/html",
             ),
             target_uri="https://b.example/meta-charset",
+        ),
+        # Transfer-Encoding: chunked framing (uneven chunk boundaries,
+        # including one that splits a UTF-8 sequence mid-character)
+        make_warc_record(
+            "response",
+            make_http_response(
+                200, html.encode("utf-8"), chunk_sizes=[7, 1, 19, 3]
+            ),
+            target_uri="https://c.example/chunked",
+        ),
+        # Content-Encoding: gzip (the dominant real-web coding)
+        make_warc_record(
+            "response",
+            make_http_response(200, html.encode("utf-8"), content_encoding="gzip"),
+            target_uri="https://c.example/gzipped",
+        ),
+        # both: gzip inside chunked framing, exactly the modern CC shape
+        make_warc_record(
+            "response",
+            make_http_response(
+                200, html.encode("utf-8"),
+                content_encoding="gzip", chunk_sizes=[11, 5],
+            ),
+            target_uri="https://c.example/chunked-gzip",
+        ),
+        # zlib-wrapped deflate
+        make_warc_record(
+            "response",
+            make_http_response(200, html.encode("utf-8"), content_encoding="deflate"),
+            target_uri="https://c.example/deflated",
         ),
     ]
     good_gz = make_warc(recs, gzip_members=True)

@@ -200,3 +200,39 @@ def test_pagerank_nonpositive_weights_drop_but_nodes_stay(spark):
     # out-weight); no crash, mass conserved
     assert set(got) == {"A", "B", "C"}
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_area_inside_anchor_does_not_truncate_anchor_text():
+    # <area> (inside <map>) is legal within an <a>; the enclosing link's
+    # anchor text must survive it (ADVICE r6)
+    html = '<a href="/x">start <map><area href="/z"></map> end</a>'
+    assert links.extract_links(html, "https://a.com/", anchors=True) == [
+        ("https://a.com/z", ""),
+        ("https://a.com/x", "start end"),
+    ]
+
+
+def test_crawl_schedule_politeness_invariants(spark):
+    urls = spark.createDataFrame(
+        [(f"https://slow.com/{i}",) for i in range(7)]
+        + [(f"https://fast.com/{i}",) for i in range(20)],
+        "url string",
+    )
+    sched = links.crawl_schedule(
+        urls,
+        {"slow.com": "User-agent: *\nAllow: /\nCrawl-delay: 2\n"},
+        default_delay=1.0,
+        burst=8,
+    ).collect()
+    slow = [r for r in sched if r.host == "slow.com"]
+    fast = [r for r in sched if r.host == "fast.com"]
+    # a host with Crawl-delay: 2 never has two URLs in one wave
+    assert len({r.fetch_wave for r in slow}) == len(slow)
+    assert all(r.delay_s == 2.0 for r in slow)
+    assert sorted(r.not_before_s for r in slow) == [2.0 * i for i in range(7)]
+    # an undeclared host packs `burst` URLs per wave at the default spacing
+    waves = {}
+    for r in fast:
+        waves.setdefault(r.fetch_wave, []).append(r)
+        assert r.delay_s == 1.0 and r.not_before_s == float(r.fetch_wave)
+    assert {w: len(v) for w, v in sorted(waves.items())} == {0: 8, 1: 8, 2: 4}

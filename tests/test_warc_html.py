@@ -112,6 +112,70 @@ def test_property_writer_parser_roundtrip(pairs, gz):
         assert warc.split_http_response(payload)[2] == body_in
 
 
+@given(
+    st.binary(min_size=0, max_size=400),
+    st.lists(st.integers(min_value=1, max_value=64), min_size=0, max_size=8),
+    st.sampled_from([None, "gzip", "deflate"]),
+    st.booleans(),
+)
+@settings(max_examples=120)
+def test_property_http_encoding_roundtrip(body, chunk_sizes, ce, chunked):
+    """Random bodies through random chunk boundaries and content codings
+    must round-trip byte-exactly through split_http_response +
+    decode_http_body, with no warning."""
+    msg = warc.make_http_response(
+        200, body, content_encoding=ce,
+        chunk_sizes=chunk_sizes if chunked else None,
+    )
+    status, hdrs, wire = warc.split_http_response(msg)
+    assert status == 200
+    out, warn = warc.decode_http_body(hdrs, wire)
+    assert warn is None
+    assert out == body
+
+
+def test_decode_http_body_edge_cases():
+    # truncated chunked body keeps the good prefix + warns
+    out, warn = warc._dechunk(b"5\r\nhello\r\n10\r\nshort")
+    assert out == b"hello" + b"short" and "truncated" in warn
+    # bad hex size line
+    out, warn = warc._dechunk(b"zz\r\nx")
+    assert out == b"" and "bad chunk size" in warn
+    # chunk extension tokens are ignored
+    out, warn = warc._dechunk(b"5;ext=1\r\nhello\r\n0\r\n\r\n")
+    assert out == b"hello" and warn is None
+    # bare-LF framing
+    out, warn = warc._dechunk(b"3\nabc\n0\n\n")
+    assert out == b"abc" and warn is None
+    # raw-deflate (non-RFC but common) still inflates
+    import zlib as _z
+    comp = _z.compressobj(wbits=-15)
+    raw = comp.compress(b"payload") + comp.flush()
+    out, warn = warc._inflate(raw, "deflate")
+    assert out == b"payload" and warn is None
+    # garbage gzip degrades with a warning, bytes preserved
+    out, warn = warc.decode_http_body({"content-encoding": "gzip"}, b"not gzip")
+    assert out == b"not gzip" and "undecodable" in warn
+    # truncated gzip keeps good prefix
+    import gzip as _g, io as _io
+    buf = _io.BytesIO()
+    with _g.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(b"A" * 5000)
+    out, warn = warc.decode_http_body(
+        {"content-encoding": "gzip"}, buf.getvalue()[:-8])
+    assert out.startswith(b"AAAA") and "truncated" in warn
+    # TE list 'gzip, chunked' unwraps chunked first, then gzip
+    msg = warc.make_http_response(200, b"te-stack", content_encoding="gzip",
+                                  chunk_sizes=[4])
+    status, hdrs, wire = warc.split_http_response(msg)
+    hdrs = {"transfer-encoding": "gzip, chunked"}
+    out, warn = warc.decode_http_body(hdrs, wire)
+    assert out == b"te-stack" and warn is None
+    # identity is a no-op token
+    out, warn = warc.decode_http_body({"content-encoding": "identity"}, b"x")
+    assert out == b"x" and warn is None
+
+
 # ---------------------------------------------------------------------------
 # HTML extraction
 # ---------------------------------------------------------------------------
@@ -196,10 +260,7 @@ def records_df(spark):
 def test_warc_records_df(records_df):
     rows = {(r.warc_file, r.record_idx): r for r in records_df.collect()}
     good = [r for (f, _), r in sorted(rows.items()) if f == "/fx/good.warc.gz"]
-    assert [r.warc_type for r in good] == [
-        "warcinfo", "request", "response", "response",
-        "response", "response", "response", "response",
-    ]
+    assert [r.warc_type for r in good] == ["warcinfo", "request"] + ["response"] * 10
     html_rec = good[2]
     assert html_rec.http_status == 200
     assert "café &amp; more" in html_rec.text
@@ -210,6 +271,9 @@ def test_warc_records_df(records_df):
     assert good[6].content_type == "text/html" and "sniffed" in good[6].text
     # header lacks charset; the page's <meta charset> governs
     assert good[7].text == '<meta charset="iso-8859-1"><p>señor</p>'
+    # chunked / gzip / chunked-gzip / deflate all decode to the plain twin
+    for enc_rec in good[8:12]:
+        assert enc_rec.text == html_rec.text and enc_rec.warning is None
     # plain layout parses identically
     plain = [r for (f, _), r in sorted(rows.items()) if f == "/fx/good.warc"]
     assert [r.warc_type for r in plain] == [r.warc_type for r in good]
@@ -233,7 +297,11 @@ def test_web_documents_projection(records_df):
         "https://b.example/latin", "https://b.example/latin",
         "https://b.example/meta-charset", "https://b.example/meta-charset",
         "https://b.example/sniff", "https://b.example/sniff",
-    ]
+    ] + sorted(
+        f"https://c.example/{s}"
+        for s in ("chunked", "gzipped", "chunked-gzip", "deflated")
+        for _ in range(2)  # both good layouts
+    )
 
 
 def test_extract_html_text_df(spark):
@@ -260,6 +328,11 @@ def test_warc_to_text_pipeline(spark):
         ("https://b.example/latin", None, "olé"),
         ("https://b.example/meta-charset", None, "señor"),
         ("https://b.example/sniff", None, "sniffed"),
+        # the four payload-coded twins of the a.example page
+        ("https://c.example/chunked", "Tést", "café & more"),
+        ("https://c.example/chunked-gzip", "Tést", "café & more"),
+        ("https://c.example/deflated", "Tést", "café & more"),
+        ("https://c.example/gzipped", "Tést", "café & more"),
     ]
 
 
@@ -280,6 +353,10 @@ def test_parse_warc_oracle_constants():
             status, hh, body = (None, {}, payload)
             if wtype in ("response", "revisit"):
                 status, hh, body = warc.split_http_response(payload)
+                if status is not None:
+                    body, enc_warn = warc.decode_http_body(hh, body)
+                    if enc_warn:
+                        w = f"{w}; {enc_warn}" if w else enc_warn
             ct = hh.get("content-type") or (
                 None if wtype in ("response", "revisit") else h.get("content-type")
             )
@@ -321,6 +398,24 @@ def test_parse_documents_auto_routes_all_kinds(spark):
         "path", parsers.parser_kind_expr(parsers.F.col("path")).alias("k")
     ).collect()
     assert {r.path: r.k for r in kinds}["/a/page.html"] == "html"
+
+
+def test_parse_html_bom_and_meta_charset(spark):
+    """A UTF-8-BOM file must not leak \\ufeff into the text, and a
+    latin-1 file with a declared <meta charset> must decode through the
+    declaration (the WARC decode path, reused) with no fallback warning."""
+    from connapse_spark.sources import parsers
+
+    rows = [
+        ("/a/bom.html", b"\xef\xbb\xbf<title>B</title><p>bom body</p>"),
+        ("/a/meta.html", '<meta charset="iso-8859-1"><p>señor</p>'.encode("latin-1")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = {r.path: r for r in parsers.parse_html_documents(df).collect()}
+    assert out["/a/bom.html"].content == "bom body"
+    assert "﻿" not in out["/a/bom.html"].content
+    assert out["/a/meta.html"].content == "señor"
+    assert list(out["/a/meta.html"].warnings) == []
 
 
 def test_export_warc_shards_roundtrip(spark):
