@@ -894,9 +894,47 @@ def _sql_redact_pii() -> str:
     )
 
 
+_LANG_PLANTS: list[tuple[int, str]] = [
+    # (doc_id beyond the corpus range, text) — one per r7-added language
+    # class: Latin-script stopword languages + the script-class detections
+    # (kana→ja, Han→zh, Hangul→ko, Cyrillic→ru, Arabic→ar), plus a
+    # nothing-matches row that must classify 'unknown'.
+    (10000001, "il di che per non sono come anche della nel alla gli dei questo ma piu"),
+    (10000002, "de que em para com uma os dos das mais como mas foi ele sua ou"),
+    (10000003, "de het een van dat niet op voor met zijn aan ook naar bij uit maar wordt"),
+    (10000004, "これは日本語のテキストです。漢字とひらがなが混ざっています。"),
+    (10000005, "这是一段中文文本，用于测试语言识别功能。"),
+    (10000006, "이것은 한국어 텍스트입니다 언어 감지 테스트"),
+    (10000007, "Это русский текст для проверки определения языка"),
+    (10000008, "هذا نص عربي لاختبار تحديد اللغة"),
+    (10000009, "zxqv 12345 blorp"),
+]
+
+
 def q_language_id_multi(spark, sf_dir):
-    """Per-language stopword fractions + argmax classification."""
-    return textstats.language_id_multi(_t(spark, sf_dir, "documents"))
+    """Per-language stopword fractions + script-class fractions + the
+    two-tier classification (r7: 7 Latin-script languages by stopwords,
+    ja/zh/ko/ru/ar by character-script ranges). The corpus rows exercise
+    the English path; the planted rows (one per added language, plus an
+    'unknown') exercise each new class — both engines see the identical
+    union."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    plants = spark.createDataFrame(_LANG_PLANTS, "doc_id long, text string")
+    return textstats.language_id_multi(docs.unionByName(plants))
+
+
+def _sql_language_id_multi() -> str:
+    values = ",\n    ".join(
+        f"({i}, '{t}')" for i, t in _LANG_PLANTS
+    )
+    table = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {values}
+  ) AS v(doc_id, text)
+)"""
+    return textstats.sql_language_id_multi(table=table)
 
 
 def q_embed_quantized(spark, sf_dir):
@@ -2265,6 +2303,57 @@ ORDER BY url
 """.strip()
 
 
+def q_html_adversarial(spark, sf_dir):
+    """Real-web failure modes through the FULL warc → decode → extract
+    pipeline (VERDICT r6 ask #4): mislabeled charset (latin-1 bytes under
+    a utf-8 header → fallback, not mojibake), unclosed <b>/<td> soup,
+    numeric-entity edges (NUL / surrogate / past-U+10FFFF → U+FFFD per
+    WHATWG §13.2.5.80), commented-out markup inside <script> (invisible),
+    and a UTF-8 BOM conflicting with <meta charset> (BOM wins). Fixture
+    bytes are deterministic (operators/htmltext.fixture_adversarial_pages)
+    so the oracle pins the extracted surface as literals."""
+    from connapse_spark.operators import htmltext as _ht
+    from connapse_spark.sources import warc as _warc
+
+    recs = [
+        _warc.make_warc_record(
+            "response",
+            _warc.make_http_response(200, raw, content_type=ct),
+            target_uri=f"https://adv.example/{case}",
+        )
+        for case, raw, ct in _ht.fixture_adversarial_pages()
+    ]
+    blobs = spark.createDataFrame(
+        [("/fx/adv.warc.gz", _warc.make_warc(recs, gzip_members=True))],
+        "path string, content binary",
+    )
+    pages = _warc.warc_records(blobs).select(
+        F.element_at(F.split("target_uri", "/"), -1).alias("case_name"), "text"
+    )
+    out = _ht.extract_html_meta(pages, "text", keep_cols=["case_name"])
+    return out.select(
+        "case_name", "title", "text", "canonical", "noindex", "description", "lang"
+    ).orderBy("case_name")
+
+
+def _sql_html_adversarial() -> str:
+    # pinned outputs of the full pipeline over the adversarial fixture;
+    # regenerate with tests/test_warc_html.py::test_html_adversarial_constants
+    return """
+SELECT case_name, CAST(title AS VARCHAR) AS title, text,
+       CAST(canonical AS VARCHAR) AS canonical, noindex,
+       CAST(description AS VARCHAR) AS description, CAST(lang AS VARCHAR) AS lang
+FROM (VALUES
+  ('bom-meta-conflict', NULL, 'café', 'https://e/x', false, NULL, NULL),
+  ('entity-edges', 'E�T', 'a�b � � &ok', NULL, false, NULL, NULL),
+  ('mislabeled-charset', NULL, 'olé café', NULL, true, NULL, 'es'),
+  ('script-comment', 'T', 'real <tag>', NULL, false, NULL, NULL),
+  ('tag-soup', NULL, 'bold cell' || chr(10) || 'para', NULL, false, 'd ésc', NULL)
+) AS t(case_name, title, text, canonical, noindex, description, lang)
+ORDER BY case_name
+""".strip()
+
+
 def q_frontier_schedule(spark, sf_dir):
     """Politeness scheduling (operators/links.crawl_schedule — VERDICT r6
     ask #2): the crawl_frontier candidate set plus per-host fetch pacing
@@ -3375,6 +3464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- lists-policy-touched ANN family; then the stalest greens
         # --- rotate forward from the r5/r6 tail.
         "frontier_schedule": q_frontier_schedule,
+        "html_adversarial": q_html_adversarial,
+        "language_id_multi": q_language_id_multi,
         "parse_warc": q_parse_warc,
         "html_extract": q_html_extract,
         "html_meta": q_html_meta,
@@ -3471,7 +3562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "fingerprint": q_fingerprint,
         "language_id": q_langid,
-        "language_id_multi": q_language_id_multi,
         "lang_mismatch": q_lang_mismatch,
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_entropy": q_token_entropy,
@@ -3587,7 +3677,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": textstats.sql_repetition_stats(),
         "contamination": _sql_contamination(),
         "redact_pii": _sql_redact_pii(),
-        "language_id_multi": textstats.sql_language_id_multi(),
+        "language_id_multi": _sql_language_id_multi(),
         "embed_quantized": _sql_embed_quantized(),
         "language_id": textstats.sql_language_id() + " ORDER BY doc_id",
         "fingerprint": textstats.sql_fingerprint() + " ORDER BY doc_id",
@@ -3716,6 +3806,7 @@ def oracle_sql() -> dict[str, str]:
         "parser_dispatch": _sql_parser_dispatch(),
         "parse_binary": _sql_parse_binary(),
         "frontier_schedule": _sql_frontier_schedule(),
+        "html_adversarial": _sql_html_adversarial(),
         "parse_warc": _sql_parse_warc(),
         "html_extract": _sql_html_extract(),
         "html_meta": _sql_html_meta(),

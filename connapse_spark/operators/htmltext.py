@@ -280,3 +280,47 @@ def extract_html_meta(
         df, html_col, keep_cols, HTML_META_SCHEMA,
         ["title", "text", "canonical", "noindex", "description", "lang"], _row,
     )
+
+
+def fixture_adversarial_pages() -> list[tuple[str, bytes, str]]:
+    """(case, raw_bytes, http_content_type) rows for the real-web failure
+    modes the template fixtures can't produce (VERDICT r6 ask #4): a
+    mislabeled charset (latin-1 bytes under a utf-8 header), unclosed
+    <b>/<td> tag soup, numeric-entity edge cases (NUL, a surrogate, one
+    past U+10FFFF — all must become U+FFFD, WHATWG §13.2.5.80),
+    commented-out markup inside <script> (must stay invisible), and a
+    UTF-8 BOM conflicting with a declared <meta charset> (BOM wins).
+    Deterministic bytes → pinned oracle literals, the parse_warc
+    discipline; consumed by __spark_entry__.q_html_adversarial through
+    the REAL warc → decode → extract pipeline."""
+    return [
+        (
+            "bom-meta-conflict",
+                        b"\xef\xbb\xbf"  # explicit UTF-8 BOM (don't trust editors)
+            + ('<meta charset="iso-8859-1">'
+               '<link rel="canonical" href="https://e/x"><p>café</p>').encode("utf-8"),
+            "text/html",
+        ),
+        (
+            "mislabeled-charset",
+            ('<html lang="es"><meta name="robots" content="noindex">'
+             "<p>olé café</p>").encode("latin-1"),
+            "text/html; charset=utf-8",
+        ),
+        (
+            "tag-soup",
+            b'<b>bold <td>cell <meta name="description" content="d \xc3\xa9sc"> <p>para',
+            "text/html",
+        ),
+        (
+            "entity-edges",
+            b"<title>E&#x0;T</title><p>a&#x0;b &#xD800; &#1114112; &amp;ok</p>",
+            "text/html",
+        ),
+        (
+            "script-comment",
+            b"<title>T</title><script><!-- var x='<p>fake</p>'; --></script>"
+            b"<p>real &lt;tag&gt;</p>",
+            "text/html",
+        ),
+    ]

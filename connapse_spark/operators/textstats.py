@@ -286,7 +286,7 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "en": EN_STOPWORDS,
     "de": [
         "der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
-        "auf", "den", "von", "des", "im", "zu", "sich", "auch", "für",
+        "auf", "den", "von", "des", "im", "zu", "sich", "auch", "als",
     ],
     "fr": [
         "le", "la", "les", "et", "est", "un", "une", "des", "du", "dans",
@@ -296,8 +296,49 @@ LANG_STOPWORDS: dict[str, list[str]] = {
         "el", "la", "los", "las", "y", "es", "un", "una", "del", "en",
         "no", "por", "para", "que", "con", "se", "su", "al",
     ],
+    # r7 expansion (VERDICT r6 ask #5): a 100 TB web corpus is majority
+    # non-English. Stopword lists stay ASCII-only because TOKEN_SPLIT_RE
+    # is [^a-z0-9]+ — accented function words would never tokenize (the
+    # old de list's 'für' was such a dead entry).
+    "it": [
+        "il", "di", "che", "per", "non", "sono", "come", "anche", "della",
+        "nel", "alla", "gli", "dei", "questo", "ma", "piu",
+    ],
+    "pt": [
+        "de", "que", "em", "para", "com", "uma", "os", "dos", "das",
+        "mais", "como", "mas", "foi", "ele", "sua", "ou", "quando", "muito",
+    ],
+    "nl": [
+        "de", "het", "een", "van", "dat", "niet", "op", "voor", "met",
+        "zijn", "aan", "ook", "naar", "bij", "uit", "maar", "wordt",
+    ],
 }
 LANG_MIN_FRAC = 0.02
+
+# Script-class detection for languages an ASCII stopword list can't see:
+# CJK has no spaces to tokenize on, Cyrillic/Arabic words never survive
+# TOKEN_SPLIT_RE. Character-range fractions over non-whitespace chars are
+# pure column math (regexp_count), identical in Java regex and RE2, so
+# the oracle stays SQL-expressible. BMP ranges only (both engines count
+# code points; supplementary-plane ranges risk UTF-16 disagreement).
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("han", "一-鿿"),          # CJK Unified Ideographs
+    ("kana", "぀-ヿ"),         # Hiragana + Katakana
+    ("hangul", "가-힣"),       # Hangul syllables
+    ("cyrillic", "Ѐ-ӿ"),
+    ("arabic", "؀-ۿ"),
+]
+# decision order: kana present → ja (Japanese mixes kana with Han, so
+# kana is the discriminator and its threshold is low); then the
+# dominant-script rules; stopword argmax only when no script dominates
+SCRIPT_RULES: list[tuple[str, float, str]] = [
+    ("kana", 0.05, "ja"),
+    ("hangul", 0.30, "ko"),
+    ("han", 0.30, "zh"),
+    ("arabic", 0.30, "ar"),
+    ("cyrillic", 0.30, "ru"),
+]
+_NONWS_CLASS = "[ \\t\\n\\r\\f\\x0b]+"  # the shared ASCII ws class (RE2 ∩ Java)
 
 
 def language_id_multi(
@@ -306,14 +347,21 @@ def language_id_multi(
     text_col: str = "text",
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Multi-language stopword heuristic: one containment fraction per
-    language, classification = argmax (ties broken by language-code order),
-    'unknown' when the best fraction is under LANG_MIN_FRAC. One token
-    array, one filter pass per language — map-side.
+    """Multi-language ID, two tiers sharing one map-side pass:
 
-    A real deployment swaps the word lists for fastText/cld3 behind the
-    same (id, per-lang fracs, lang_pred) shape; the scoring and argmax
-    plumbing is what this operator pins down."""
+    1. Script-class fractions (SCRIPT_RANGES — Han / kana / Hangul /
+       Cyrillic / Arabic chars over non-whitespace chars) decide the
+       languages tokenization can't see (CJK has no spaces; non-Latin
+       words never survive TOKEN_SPLIT_RE), in SCRIPT_RULES order —
+       kana→ja first since Japanese mixes kana with Han.
+    2. Otherwise the stopword containment fraction per Latin-script
+       language, classification = argmax (ties broken by language-code
+       order), 'unknown' when the best fraction is under LANG_MIN_FRAC.
+
+    One token array + one regexp_count per script — all codegen'd column
+    math, no shuffle. A real deployment swaps the word lists for
+    fastText/cld3 behind the same (id, fracs, lang_pred) shape; the
+    scoring and argmax plumbing is what this operator pins down."""
     toks = tokens_exact_expr(F.col(text_col))
     n = F.size(toks)
     langs = sorted(LANG_STOPWORDS)
@@ -324,21 +372,34 @@ def language_id_multi(
         ).otherwise(F.lit(0.0))
         for lang in langs
     }
+    nonws = F.length(F.regexp_replace(F.col(text_col), _NONWS_CLASS, ""))
+    script_fracs = {
+        name: F.when(
+            nonws > 0,
+            F.regexp_count(F.col(text_col), F.lit(f"[{rng}]")) / nonws,
+        ).otherwise(F.lit(0.0))
+        for name, rng in SCRIPT_RANGES
+    }
     best = F.greatest(*[fracs[lang] for lang in langs])
     pred = F.lit("unknown")
     for lang in reversed(langs):  # earlier language wins ties
         pred = F.when(
             (best >= LANG_MIN_FRAC) & (fracs[lang] == best), F.lit(lang)
         ).otherwise(pred)
+    for name, thresh, code in reversed(SCRIPT_RULES):  # first rule wins
+        pred = F.when(script_fracs[name] >= thresh, F.lit(code)).otherwise(pred)
     return docs.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         *[fracs[lang].alias(f"frac_{lang}") for lang in langs],
+        *[script_fracs[name].alias(f"frac_sc_{name}") for name, _ in SCRIPT_RANGES],
         pred.alias("lang_pred"),
     ).orderBy(id_col)
 
 
-def sql_language_id_multi(id_col: str = "doc_id", text_col: str = "text") -> str:
+def sql_language_id_multi(
+    id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
+) -> str:
     langs = sorted(LANG_STOPWORDS)
     toks = sql_tokens_exact(text_col)
 
@@ -349,7 +410,16 @@ def sql_language_id_multi(id_col: str = "doc_id", text_col: str = "text") -> str
             f"len(list_filter(toks, t -> t IN ({words}))) / len(toks) ELSE 0.0 END"
         )
 
+    def sfrac(rng: str) -> str:
+        return (
+            f"CASE WHEN nonws > 0 THEN "
+            f"len(regexp_extract_all(txt, '[{rng}]')) / nonws ELSE 0.0 END"
+        )
+
     frac_cols = ",\n         ".join(f"{frac(lang)} AS frac_{lang}" for lang in langs)
+    sfrac_cols = ",\n         ".join(
+        f"{sfrac(rng)} AS frac_sc_{name}" for name, rng in SCRIPT_RANGES
+    )
     best = "greatest(" + ", ".join(f"frac_{lang}" for lang in langs) + ")"
     pred = "'unknown'"
     for lang in reversed(langs):
@@ -357,13 +427,23 @@ def sql_language_id_multi(id_col: str = "doc_id", text_col: str = "text") -> str
             f"CASE WHEN {best} >= {LANG_MIN_FRAC} AND frac_{lang} = {best} "
             f"THEN '{lang}' ELSE {pred} END"
         )
-    cols = ", ".join(f"frac_{lang}" for lang in langs)
+    for name, thresh, code in reversed(SCRIPT_RULES):
+        pred = f"CASE WHEN frac_sc_{name} >= {thresh} THEN '{code}' ELSE {pred} END"
+    cols = ", ".join(
+        [f"frac_{lang}" for lang in langs]
+        + [f"frac_sc_{name}" for name, _ in SCRIPT_RANGES]
+    )
     return f"""
 SELECT {id_col}, {cols}, {pred} AS lang_pred
 FROM (
   SELECT {id_col},
-         {frac_cols}
-  FROM (SELECT {id_col}, {toks} AS toks FROM documents)
+         {frac_cols},
+         {sfrac_cols}
+  FROM (
+    SELECT {id_col}, {toks} AS toks, {text_col} AS txt,
+           length(regexp_replace({text_col}, '{_NONWS_CLASS}', '', 'g')) AS nonws
+    FROM {table}
+  )
 )
 ORDER BY {id_col}
 """.strip()

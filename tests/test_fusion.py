@@ -293,6 +293,32 @@ def test_language_id_multi_argmax(spark):
     assert out[4] == "unknown"
 
 
+def test_language_id_script_classes(spark):
+    from connapse_spark.operators.textstats import language_id_multi
+
+    docs = spark.createDataFrame(
+        [
+            (1, "日本語のテキストです。漢字も混ざる。"),   # kana+Han → ja
+            (2, "这是中文文本没有假名只有汉字"),            # pure Han → zh
+            (3, "한국어 텍스트 언어 감지"),                 # Hangul → ko
+            (4, "Это русский текст для проверки"),          # Cyrillic → ru
+            (5, "هذا نص عربي للاختبار"),                    # Arabic → ar
+            (6, "mostly english text with 中 one ideograph"),  # below threshold
+            (7, "il di che per non sono come anche della nel"),  # it stopwords
+            (8, "de que em para com uma os dos das mais"),       # pt
+            (9, "de het een van dat niet op voor met zijn"),     # nl
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in language_id_multi(docs).collect()}
+    assert [out[i]["lang_pred"] for i in range(1, 6)] == ["ja", "zh", "ko", "ru", "ar"]
+    assert out[6]["lang_pred"] == "en"  # one ideograph must not flip it
+    assert [out[i]["lang_pred"] for i in (7, 8, 9)] == ["it", "pt", "nl"]
+    # script fractions are real fractions of non-whitespace chars
+    assert out[2]["frac_sc_han"] == 1.0
+    assert 0 < out[1]["frac_sc_kana"] < 1 and out[1]["frac_sc_han"] > 0
+
+
 def test_rrf_rank_only_and_tags(spark):
     from connapse_spark.operators.search import fuse_rrf
 

@@ -746,3 +746,47 @@ def test_warc_images_oracle_constants():
     expected.sort()
     got = duckdb.connect().execute(entry._sql_warc_images()).fetchall()
     assert [tuple(r) for r in got] == expected
+
+
+def test_html_adversarial_constants():
+    """The pinned literals in __spark_entry__._sql_html_adversarial must
+    equal the pure pipeline's outputs over the adversarial fixture
+    (regeneration recipe: print the rows this test computes)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from connapse_spark.operators.htmltext import (
+        extract_html_full, fixture_adversarial_pages, meta_noindex,
+    )
+
+    expected = []
+    for case, raw, ct in fixture_adversarial_pages():
+        rec = warc.make_warc_record(
+            "response", warc.make_http_response(200, raw, content_type=ct),
+            target_uri=f"https://adv.example/{case}",
+        )
+        (h, payload, w), = warc.iter_warc_records(warc.make_warc([rec]))
+        status, hh, body = warc.split_http_response(payload)
+        body, enc_warn = warc.decode_http_body(hh, body)
+        assert status == 200 and enc_warn is None
+        text = warc.decode_text_payload(body, hh.get("content-type"))
+        t, x, m = extract_html_full(text)
+        expected.append((case, t, x, m.get("canonical"), meta_noindex(m),
+                         m.get("description"), m.get("lang")))
+    expected.sort()
+    got = duckdb.connect().execute(entry._sql_html_adversarial()).fetchall()
+    assert [tuple(r) for r in got] == expected
+
+
+@given(st.binary(min_size=0, max_size=600))
+@settings(max_examples=150)
+def test_property_arbitrary_bytes_never_raise(raw):
+    """Byte-level mutations (VERDICT r6 ask #4): ANY byte string through
+    decode → extract must produce a string, never an exception — the
+    100 TB contract for undamaged task execution on damaged data."""
+    from connapse_spark.operators.htmltext import extract_html_full
+
+    text = warc.decode_text_payload(raw, "text/html")
+    title, x, meta = extract_html_full(text)
+    assert isinstance(x, str)
+    assert title is None or isinstance(title, str)
