@@ -95,13 +95,68 @@ except Exception:  # pragma: no cover
 
 _SENTENCE_RE = re.compile(r"(?<=[.!?])\s+")
 
+# Golden-rules guards (r7 — the public pragmatic_segmenter rule classes the
+# reference wraps, PragmaticSentenceSegmenter.cs:10-18; its test cases are
+# pinned in tests/test_chunkers.py::test_split_sentences_golden_rules).
+# Periods after these tokens are NEVER sentence boundaries (prepositive
+# titles + mid-sentence Latin markers):
+_ABBREV_ALWAYS = frozenset(
+    "mr mrs ms dr prof rev hon sgt capt lt col gen sen gov pres supt det "
+    "insp messrs mmes msgr fr pvt cmdr adm maj brig mt ft e.g i.e cf vs v "
+    "viz resp ca al seq".split()
+)
+# boundaries after these split only when the next word is capitalized
+# (sentence-final 'etc.' is common, mid-list 'etc.' more so):
+_ABBREV_UNLESS_UPPER = frozenset(
+    "etc est approx min max jr sr inc ltd co corp dept univ assn bros "
+    "jan feb mar apr jun jul aug sep sept oct nov dec mon tue wed thu fri "
+    "sat sun".split()
+)
+# after these, a following DIGIT continues the sentence ("No. 5", "p. 12"):
+_ABBREV_BEFORE_NUMBER = frozenset("no nos fig figs eq art pp p vol vols ch sec pt".split())
+# a single letter or dotted-acronym tail ("A.", "U.S.") — initials and
+# acronyms never end a sentence here (over-joining beats splitting a name)
+_ACRONYM_RE = re.compile(r"^(?:[a-z]\.)*[a-z]$")
+_LAST_WORD_RE = re.compile(r"(\S+)\Z")
+
+
+def _is_boundary(before: str, after: str) -> bool:
+    """Is the whitespace gap between ``before`` and ``after`` a sentence
+    boundary? ``before`` ends with one of [.!?]."""
+    if before.endswith(("!", "?")):
+        return True
+    m = _LAST_WORD_RE.search(before)
+    if not m:
+        return True
+    word = m.group(1)
+    next_upper = bool(after) and after[0].isupper()
+    if word.endswith("..."):  # ellipsis continues unless a new sentence starts
+        return next_upper
+    tok = word.strip("'\"()[]“”‘’").rstrip(".").lower()
+    if tok in _ABBREV_BEFORE_NUMBER and after[:1].isdigit():
+        return False
+    if tok in _ABBREV_ALWAYS:
+        return False
+    if tok in _ABBREV_UNLESS_UPPER and not next_upper:
+        return False
+    if _ACRONYM_RE.match(tok):
+        return False
+    return True
+
 
 def split_sentences(text: str) -> list[tuple[str, int, int]]:
-    """(sentence, start, end) spans; golden-rules engines (pysbd) can be
-    swapped in behind the same signature."""
+    """(sentence, start, end) spans with pragmatic-segmenter golden-rule
+    guards: no split after titles/latin abbreviations ("Dr.", "e.g."),
+    initials/acronyms ("U.S."), number markers before digits ("No. 5"),
+    or a mid-sentence ellipsis; "etc."-class tokens split only before a
+    capitalized word. A full engine (pysbd) can be swapped in behind the
+    same signature; these rules cover the reference's golden test cases
+    (PragmaticSentenceSegmenterTests.cs)."""
     out: list[tuple[str, int, int]] = []
     start = 0
     for m in _SENTENCE_RE.finditer(text):
+        if not _is_boundary(text[: m.start()], text[m.end() :]):
+            continue
         seg = text[start : m.start()]
         if seg.strip():
             out.append((seg, start, m.start()))

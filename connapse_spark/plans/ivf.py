@@ -179,8 +179,26 @@ ORDER BY score DESC, id LIMIT {k}
 # ---------------------------------------------------------------------------
 
 
-def ivf_n_lists(n_rows: int) -> int:
-    """lists = clamp(rows/1000, 1, 100) — VectorColumnManager.cs:98."""
+def ivf_n_lists(n_rows: int, policy: str = "reference", max_lists: int = 65536) -> int:
+    """List-count sizing.
+
+    ``policy="reference"``: lists = clamp(rows/1000, 1, 100)
+    (VectorColumnManager.cs:98,22) — the default for parity. Its 100-list
+    cap is fine at pgvector's single-node scale but collapses at corpus
+    scale: 10¹¹ rows → 10⁹-row lists, so a probe scans nprobe×10⁹ vectors
+    and the index prunes nothing.
+
+    ``policy="sqrt"``: lists ≈ √n (the classic IVF sizing — per-list size
+    and list count balance at √n, so probe cost ~ nprobe·√n), capped by
+    ``max_lists`` as the centroid-table memory bound: 65536 × 1024-dim
+    float8 centroids ≈ 512 MB, the broadcast ceiling. Crossover: the two
+    policies agree at n = 10⁴ (both 100); past 10⁷ rows sqrt gives
+    3162+ lists vs the reference's 100 — a 30×+ smaller probe set.
+    Opt-in, keyed per index at build time."""
+    if policy == "sqrt":
+        return max(1, min(max_lists, int(n_rows**0.5)))
+    if policy != "reference":
+        raise ValueError(f"unknown lists policy {policy!r}")
     return max(1, min(100, n_rows // 1000))
 
 
@@ -192,6 +210,7 @@ def build_ivf_index(
     seed: int = 42,
     sample_fraction: float | None = None,
     n_rows: int | None = None,
+    lists_policy: str = "reference",
 ) -> tuple[DataFrame, DataFrame]:
     """Fit KMeans centroids (optionally on a sample — at 100 TB you fit on
     ~1M sampled rows, never the full corpus) and assign every vector its
@@ -201,10 +220,12 @@ def build_ivf_index(
     centroids_df: (list_id, centroid) — tiny, broadcast at probe time.
 
     Sizing: pass ``n_lists`` directly, or ``n_rows`` (a catalog/metastore
-    row-count estimate) to derive it via the reference's clamp policy. Only
-    when neither is given does the build run a count job first — at corpus
-    scale the caller always knows the approximate row count for free, so
-    the extra scan is an opt-in convenience, not the default plan shape.
+    row-count estimate) to derive it via ``lists_policy`` — "reference"
+    (the clamp, default for parity) or "sqrt" (≈√n, the corpus-scale
+    sizing; see :func:`ivf_n_lists` for the crossover). Only when neither
+    is given does the build run a count job first — at corpus scale the
+    caller always knows the approximate row count for free, so the extra
+    scan is an opt-in convenience, not the default plan shape.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -216,7 +237,7 @@ def build_ivf_index(
     if n_lists is None:
         if n_rows is None:
             n_rows = base.count()  # opt-in convenience path only
-        n_lists = ivf_n_lists(n_rows)
+        n_lists = ivf_n_lists(n_rows, policy=lists_policy)
     if n_lists < 2:
         # the lists policy yields 1 below ~2k rows (pgvector allows
         # lists=1); MLlib KMeans requires k >= 2, and a single list needs
@@ -460,6 +481,7 @@ def build_vector_index(
     seeded: bool = False,
     n_rows: int | None = None,
     sample_fraction: float | None = None,
+    lists_policy: str = "reference",
 ) -> VectorIndex:
     """One-stop ingest-time ANN build. ``seeded=True`` uses the
     deterministic single-Lloyd-step build (SQL-mirrorable, used by the
@@ -476,6 +498,7 @@ def build_vector_index(
             vec_col=vec_col,
             n_rows=n_rows,
             sample_fraction=sample_fraction,
+            lists_policy=lists_policy,
         )
     return VectorIndex(index=idx, centroids=cents, nprobe=nprobe)
 
@@ -580,10 +603,12 @@ class VectorIndexManager:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         model_col: str = "label",
+        lists_policy: str = "reference",
     ) -> None:
         self.min_rows = min_rows
         self.nprobe = nprobe
         self.seeded = seeded
+        self.lists_policy = lists_policy
         self.id_col, self.vec_col, self.model_col = id_col, vec_col, model_col
         self.indexes: dict = {}
         self.skipped: dict = {}  # model -> row count below threshold
@@ -615,7 +640,7 @@ class VectorIndexManager:
             subset = vectors.filter(F.col(self.model_col) == m)
             self.indexes[m] = build_vector_index(
                 subset,
-                n_lists=ivf_n_lists(n),
+                n_lists=ivf_n_lists(n, policy=self.lists_policy),
                 nprobe=self.nprobe,
                 id_col=self.id_col,
                 vec_col=self.vec_col,
@@ -873,6 +898,7 @@ def maybe_rebuild_index(
     n_rows: int | None = None,
     sample_fraction: float | None = None,
     seeded: bool = False,
+    lists_policy: str = "reference",
 ) -> "tuple[bool, VectorIndex]":
     """The M6 rebuild-on-drift DECISION, closed into one call (reference:
     VectorColumnManager's rebuild path; pgvector REINDEX). Two triggers:
@@ -893,7 +919,7 @@ def maybe_rebuild_index(
     if n_rows is None:
         n_rows = vectors.count()
     have_lists = vidx.centroids.count()
-    want_lists = ivf_n_lists(n_rows)
+    want_lists = ivf_n_lists(n_rows, policy=lists_policy)
     if want_lists <= have_lists:
         verdict = ivf_drift(vidx.index, dims=dims).first()
         frac = float(verdict["reassign_frac"] or 0.0)

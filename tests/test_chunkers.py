@@ -282,3 +282,30 @@ def test_breakpoint_threshold_methods():
     assert grad[4] == pytest.approx(0.28)
     assert grad[-1] == pytest.approx(0.02)
     assert sum(1 for g in grad if g > thr) == 1
+
+
+def test_split_sentences_golden_rules():
+    """The reference's PragmaticSentenceSegmenterTests.cs cases, plus the
+    guard classes the rule table adds (VERDICT r6 ask #8)."""
+    def sents(t):
+        return [s for s, _, _ in split_sentences(t)]
+
+    assert sents("") == []
+    assert sents("   \n  \t  ") == []
+    assert len(sents("Hello world. How are you?")) == 2
+    # abbreviations: the naive regex yields 4 fragments; golden keeps 1
+    assert len(sents("Dr. Smith works for the U.S. government.")) == 1
+    assert len(sents("The value is 3.14 and the price is $1.99.")) == 1
+    assert len(sents("He paused... then walked away. The room was silent.")) == 2
+    assert len(sents("What now? Run! Then he stopped.")) == 3
+    # guard classes beyond the reference's cases
+    assert len(sents("See No. 5 for details. Then stop.")) == 2   # No.+digit joins
+    assert len(sents("Apples, pears, etc. were cheap.")) == 1      # etc.+lower joins
+    assert len(sents("Apples, pears, etc. Then we left.")) == 2    # etc.+Upper splits
+    assert len(sents("John F. Kennedy spoke. He was brief.")) == 2 # initial joins
+    assert len(sents("Mr. and Mrs. Smith arrived. Prof. Jones left.")) == 2
+    # spans still tile the text in order (the C5/C6 offset contract)
+    spans = split_sentences("A cat sat. It purred... then slept. Done!")
+    assert [s for s, _, _ in spans] == ["A cat sat.", "It purred... then slept.", "Done!"]
+    for (s, a, b) in spans:
+        assert s == "A cat sat. It purred... then slept. Done!"[a:b]

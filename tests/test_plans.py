@@ -651,3 +651,35 @@ def test_domain_edges_single_aggregation_exchange(spark, sf_dir):
     )
     plan = _plan(domain_edges(edges))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivf_lists_policy_seam():
+    """The reference clamp stays default; sqrt is the corpus-scale opt-in
+    (VERDICT r6 ask #6): they agree at 10^4, diverge 30x+ past 10^7, and
+    sqrt caps at the 65536 centroid-broadcast bound."""
+    # reference policy: clamp(rows/1000, 1, 100)
+    assert ivf.ivf_n_lists(500) == 1
+    assert ivf.ivf_n_lists(50_000) == 50
+    assert ivf.ivf_n_lists(10**11) == 100
+    # sqrt policy
+    assert ivf.ivf_n_lists(10_000, policy="sqrt") == 100  # crossover point
+    assert ivf.ivf_n_lists(10**7, policy="sqrt") == 3162
+    assert ivf.ivf_n_lists(10**11, policy="sqrt") == 65536  # capped
+    assert ivf.ivf_n_lists(0, policy="sqrt") == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ivf.ivf_n_lists(10, policy="golden")
+
+
+def test_ivf_build_honors_lists_policy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    # sqrt policy at this n gives more lists than the reference clamp
+    idx_ref, cents_ref = ivf.build_ivf_index(emb, n_rows=n)
+    idx_sq, cents_sq = ivf.build_ivf_index(emb, n_rows=n, lists_policy="sqrt")
+    n_ref, n_sq = cents_ref.count(), cents_sq.count()
+    assert n_ref == ivf.ivf_n_lists(n)
+    assert n_sq == ivf.ivf_n_lists(n, policy="sqrt")
+    assert n_sq > n_ref
+    # every vector still lands in exactly one list
+    assert idx_sq.count() == n
