@@ -2354,6 +2354,125 @@ ORDER BY case_name
 """.strip()
 
 
+def q_redirect_edges(spark, sf_dir):
+    """Redirect-edge extraction (sources/warc.redirect_edges): per
+    document, a generated archive carries a 301 with an absolute
+    Location, a 302 with a RELATIVE Location (resolved against the
+    request URI per RFC 9110 §10.2.2), and a 200 (no edge) — built with
+    the real writer, parsed by the real record parser, so the Location
+    header rides the full warc path. The oracle regenerates the two
+    expected edges per document arithmetically."""
+    from connapse_spark.sources import warc as _warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                src = f"https://r{did}.com/start"
+                recs = [
+                    _warc.make_warc_record(
+                        "response",
+                        _warc.make_http_response(
+                            301, b"", reason="Moved Permanently",
+                            extra_headers={"Location": f"https://r{did}.com/final"},
+                        ),
+                        target_uri=src,
+                    ),
+                    _warc.make_warc_record(
+                        "response",
+                        _warc.make_http_response(
+                            302, b"", reason="Found",
+                            extra_headers={"Location": f"next?p={did}"},
+                        ),
+                        target_uri=src,
+                    ),
+                    _warc.make_warc_record(
+                        "response", _warc.make_http_response(200, b"<p>ok</p>"),
+                        target_uri=src,
+                    ),
+                ]
+                out.append((f"/gen/{did}.warc.gz", _warc.make_warc(recs)))
+            yield _pd.DataFrame(out, columns=["path", "content"])
+
+    blobs = docs.mapInPandas(_gen, "path string, content binary")
+    edges = _warc.redirect_edges(_warc.warc_records(blobs))
+    return edges.orderBy("src", "http_status")
+
+
+def _sql_redirect_edges() -> str:
+    return """
+SELECT src, dst, http_status FROM (
+  SELECT 'https://r' || CAST(doc_id AS VARCHAR) || '.com/start' AS src,
+         'https://r' || CAST(doc_id AS VARCHAR) || '.com/final' AS dst,
+         301 AS http_status
+  FROM documents
+  UNION ALL
+  SELECT 'https://r' || CAST(doc_id AS VARCHAR) || '.com/start',
+         'https://r' || CAST(doc_id AS VARCHAR) || '.com/next?p=' || CAST(doc_id AS VARCHAR),
+         302
+  FROM documents
+)
+ORDER BY src, http_status
+""".strip()
+
+
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots bodies (operators/robots.
+    sitemap_declarations — the seam between the robots fetch and
+    links.sitemap_urls): bodies are generated arithmetically with the
+    edge shapes (comment after the value, lowercase/uppercase keys,
+    leading whitespace, an empty-value SITEMAP: line to drop, hosts
+    declaring none emit nothing), the oracle regenerates the expected
+    (host, sitemap_url, decl_idx) rows arithmetically."""
+    from connapse_spark.operators import robots as _robots
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), did, F.lit(".com"))
+    kind = F.col("doc_id") % 3
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /q\n"),
+        F.when(
+            kind == 0,
+            F.concat(
+                F.lit("Sitemap: https://h"), did, F.lit(".com/sm-a.xml # primary\n"),
+                F.lit("  sitemap: https://h"), did, F.lit(".com/sm-b.xml\nSITEMAP:\n"),
+            ),
+        ).when(
+            kind == 1,
+            F.concat(F.lit("sitemap: https://h"), did,
+                     F.lit(".com/only.xml\nCrawl-delay: 2\n")),
+        ).otherwise(F.lit("Crawl-delay: 1\n")),
+    )
+    robots_df = docs.select(host.alias("host"), body.alias("robots_txt"))
+    out = _robots.sitemap_declarations(robots_df)
+    return _long(out, "decl_idx").orderBy("host", "decl_idx")
+
+
+def _sql_robots_sitemaps() -> str:
+    return """
+SELECT host, sitemap_url, decl_idx FROM (
+  SELECT 'h' || CAST(doc_id AS VARCHAR) || '.com' AS host,
+         'https://h' || CAST(doc_id AS VARCHAR) || '.com/sm-a.xml' AS sitemap_url,
+         CAST(0 AS BIGINT) AS decl_idx
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'h' || CAST(doc_id AS VARCHAR) || '.com',
+         'https://h' || CAST(doc_id AS VARCHAR) || '.com/sm-b.xml', 1
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'h' || CAST(doc_id AS VARCHAR) || '.com',
+         'https://h' || CAST(doc_id AS VARCHAR) || '.com/only.xml', 0
+  FROM documents WHERE doc_id % 3 = 1
+)
+ORDER BY host, decl_idx
+""".strip()
+
+
 def q_frontier_schedule(spark, sf_dir):
     """Politeness scheduling (operators/links.crawl_schedule — VERDICT r6
     ask #2): the crawl_frontier candidate set plus per-host fetch pacing
@@ -3464,6 +3583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- lists-policy-touched ANN family; then the stalest greens
         # --- rotate forward from the r5/r6 tail.
         "frontier_schedule": q_frontier_schedule,
+        "robots_sitemaps": q_robots_sitemaps,
+        "redirect_edges": q_redirect_edges,
         "html_adversarial": q_html_adversarial,
         "language_id_multi": q_language_id_multi,
         "parse_warc": q_parse_warc,
@@ -3806,6 +3927,8 @@ def oracle_sql() -> dict[str, str]:
         "parser_dispatch": _sql_parser_dispatch(),
         "parse_binary": _sql_parse_binary(),
         "frontier_schedule": _sql_frontier_schedule(),
+        "robots_sitemaps": _sql_robots_sitemaps(),
+        "redirect_edges": _sql_redirect_edges(),
         "html_adversarial": _sql_html_adversarial(),
         "parse_warc": _sql_parse_warc(),
         "html_extract": _sql_html_extract(),

@@ -385,3 +385,54 @@ def crawl_delay(text: str, user_agent: str = "*") -> float | None:
     if d is None and ua != "*":
         d = first_valid(_directives_for(groups, "*"))
     return d
+
+
+def robots_sitemaps(text: str) -> list[str]:
+    """The ``Sitemap:`` declarations in a robots body, in order. Unlike
+    rules, Sitemap is NOT group-scoped (sitemaps.org protocol: the
+    directive is independent of any User-agent line), so this scans every
+    line: comments strip at ``#``, the key matches case-insensitively,
+    the value is the rest of the line (URLs contain ':', so only the
+    FIRST colon separates); blank values drop."""
+    out: list[str] = []
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out
+
+
+SITEMAP_DECLS_SCHEMA_SUFFIX = "sitemap_url string, decl_idx int"
+
+
+def sitemap_declarations(
+    robots_df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) → one row per declared sitemap (host, ...,
+    sitemap_url, decl_idx) — the discovery seam between the robots fetch
+    and links.sitemap_urls (which expands the sitemap XML into URLs).
+    Hosts declaring none emit no rows. Map-side Arrow batches over the
+    per-host bodies: no shuffle; at crawl scale the robots table is one
+    row per host, so this is a projection of an already-small frame."""
+    keep = [f.name for f in robots_df.schema if f.name != body_col]
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in robots_df.schema if f.name != body_col
+    ) + ", " + SITEMAP_DECLS_SCHEMA_SUFFIX
+
+    def _extract(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                body = getattr(row, body_col)
+                kept = tuple(getattr(row, c) for c in keep)
+                for i, sm in enumerate(robots_sitemaps(body)):
+                    out.append(kept + (sm, i))
+            yield pd.DataFrame(out, columns=keep + ["sitemap_url", "decl_idx"])
+
+    return robots_df.mapInPandas(_extract, schema)

@@ -239,3 +239,38 @@ def test_crawl_delay_is_transparent_for_rule_grouping():
     assert not _allowed(body, "/x", "b")
     assert crawl_delay(body, "a") == 2.0
     assert crawl_delay(body, "b") == 2.0
+
+
+def test_robots_sitemaps_pure():
+    from connapse_spark.operators.robots import robots_sitemaps
+
+    body = (
+        "User-agent: *\nDisallow: /q\n"
+        "Sitemap: https://e.com/sm1.xml  # primary\n"
+        "  sitemap: https://e.com/sm2.xml\n"
+        "SITEMAP:\n"             # empty value drops
+        "Crawl-delay: 2\n"
+        "# Sitemap: https://e.com/commented.xml\n"
+    )
+    assert robots_sitemaps(body) == [
+        "https://e.com/sm1.xml", "https://e.com/sm2.xml"
+    ]
+    assert robots_sitemaps("") == [] and robots_sitemaps(None) == []
+
+
+def test_sitemap_declarations_df(spark):
+    from connapse_spark.operators.robots import sitemap_declarations
+
+    df = spark.createDataFrame(
+        [
+            ("a.com", "Sitemap: https://a.com/s.xml\nsitemap: https://a.com/t.xml"),
+            ("b.com", "User-agent: *\nDisallow: /"),
+        ],
+        "host string, robots_txt string",
+    )
+    rows = [(r.host, r.sitemap_url, r.decl_idx)
+            for r in sitemap_declarations(df).orderBy("host", "decl_idx").collect()]
+    assert rows == [
+        ("a.com", "https://a.com/s.xml", 0),
+        ("a.com", "https://a.com/t.xml", 1),
+    ]

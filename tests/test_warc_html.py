@@ -790,3 +790,47 @@ def test_property_arbitrary_bytes_never_raise(raw):
     title, x, meta = extract_html_full(text)
     assert isinstance(x, str)
     assert title is None or isinstance(title, str)
+
+
+def test_redirect_edges(spark):
+    recs = [
+        warc.make_warc_record(
+            "response",
+            warc.make_http_response(
+                301, b"", reason="Moved Permanently",
+                extra_headers={"Location": "https://new.example/home"},
+            ),
+            target_uri="https://old.example/",
+        ),
+        warc.make_warc_record(
+            "response",
+            warc.make_http_response(
+                302, b"", reason="Found", extra_headers={"Location": "../up"},
+            ),
+            target_uri="https://a.example/d/e",
+        ),
+        # no Location header → no edge
+        warc.make_warc_record(
+            "response", warc.make_http_response(303, b"", reason="See Other"),
+            target_uri="https://c.example/",
+        ),
+        # mailto Location → dropped (non-http scheme)
+        warc.make_warc_record(
+            "response",
+            warc.make_http_response(
+                301, b"", extra_headers={"Location": "mailto:x@y"}),
+            target_uri="https://d.example/",
+        ),
+        warc.make_warc_record(
+            "response", warc.make_http_response(200, b"<p>ok</p>"),
+            target_uri="https://ok.example/",
+        ),
+    ]
+    blobs = spark.createDataFrame(
+        [("/fx/r.warc.gz", warc.make_warc(recs))], "path string, content binary"
+    )
+    edges = warc.redirect_edges(warc.warc_records(blobs)).orderBy("src").collect()
+    assert [(r.src, r.dst, r.http_status) for r in edges] == [
+        ("https://a.example/d/e", "https://a.example/up", 302),
+        ("https://old.example/", "https://new.example/home", 301),
+    ]
