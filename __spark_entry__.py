@@ -1597,6 +1597,8 @@ def _sql_parse_binary() -> str:
     # bytes; regenerate with: python -c "see tests/test_pipeline.py
     # test_parse_binary_oracle_constants"
     rows = [
+        ("/fx/book.epub", "'A Tiny Book'", 3,
+         "97abb1541167427f97b0985f054f0a79d488bf5e9705998427aeed69c6d0ce31", 0, "NULL"),
         ("/fx/cid.pdf", "NULL", 2,
          "f4ff7f1ba39eff2dac32f6023558da312875515246fac470b4ea9dea52589160", 0, "NULL"),
         ("/fx/deck.pptx", "'Deck'", 3,

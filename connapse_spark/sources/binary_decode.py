@@ -641,7 +641,80 @@ def decode_pdf(blob: bytes) -> tuple[str, dict[str, str], list[str]]:
 # dispatch
 # ---------------------------------------------------------------------------
 
-_DECODERS = {"pdf": decode_pdf, "docx": decode_docx, "pptx": decode_pptx}
+_CONTAINER_NS = "{urn:oasis:names:tc:opendocument:xmlns:container}"
+_OPF_NS = "{http://www.idpf.org/2007/opf}"
+_DC_NS = "{http://purl.org/dc/elements/1.1/}"
+
+
+def decode_epub(blob: bytes) -> tuple[str, dict[str, str], list[str]]:
+    """EPUB (OCF/OPF, ISO/IEC 23736) → (content, metadata, warnings) —
+    r7 format-family extension beyond the reference's parser set
+    (Parsers/*.cs has txt/pdf/office only). An EPUB is a zip: META-INF/
+    container.xml names the OPF package document; the OPF's <spine>
+    orders the XHTML chapters; each chapter's prose extracts through the
+    SAME html extractor as the web path (one extraction policy for both
+    seams). Output shape mirrors the pdf/pptx convention:
+    ``--- Chapter N ---`` markers, blank line between chapters,
+    dc:title/dc:creator metadata, ChapterCount."""
+    import posixpath
+
+    from connapse_spark.operators.htmltext import extract_html
+
+    warnings: list[str] = []
+    metadata: dict[str, str] = {"FileType": "EPUB Book"}
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        try:
+            container = ET.fromstring(zf.read("META-INF/container.xml"))
+            rootfile = container.find(
+                f".//{_CONTAINER_NS}rootfile"
+            ).get("full-path")
+            opf = ET.fromstring(zf.read(rootfile))
+        except (KeyError, AttributeError, ET.ParseError) as ex:
+            warnings.append(f"EPUB package structure unreadable: {ex}")
+            return "", metadata, warnings
+        title = opf.findtext(f".//{_DC_NS}title")
+        creator = opf.findtext(f".//{_DC_NS}creator")
+        if title:
+            metadata["Title"] = title
+        if creator:
+            metadata["Author"] = creator
+        hrefs = {
+            item.get("id"): item.get("href")
+            for item in opf.iter(f"{_OPF_NS}item")
+        }
+        opf_dir = posixpath.dirname(rootfile)
+        lines: list[str] = []
+        n_chapters = 0
+        for itemref in opf.iter(f"{_OPF_NS}itemref"):
+            href = hrefs.get(itemref.get("idref"))
+            if not href:
+                continue
+            part = posixpath.normpath(posixpath.join(opf_dir, href))
+            n_chapters += 1
+            try:
+                html = zf.read(part).decode("utf-8", errors="replace")
+            except KeyError:
+                warnings.append(f"spine item missing from archive: {part}")
+                continue
+            _, text = extract_html(html, boilerplate=False)
+            lines.append(f"--- Chapter {n_chapters} ---")
+            if text.strip():
+                lines.append(text)
+            else:
+                warnings.append(f"Chapter {n_chapters} contains no extractable text")
+            lines.append("")
+        metadata["ChapterCount"] = str(n_chapters)
+        content = "\n".join(lines)
+        if not content.strip():
+            warnings.append("Document contains no extractable text")
+            content = ""
+        return content, metadata, warnings
+
+
+_DECODERS = {
+    "pdf": decode_pdf, "docx": decode_docx, "pptx": decode_pptx,
+    "epub": decode_epub,
+}
 
 
 def decode_binary(
@@ -663,5 +736,8 @@ def decode_binary(
             [f"Error parsing {ext} document: {ex}"],
             type(ex).__name__,
         )
-    n_pages = int(metadata.get("PageCount") or metadata.get("SlideCount") or 1)
+    n_pages = int(
+        metadata.get("PageCount") or metadata.get("SlideCount")
+        or metadata.get("ChapterCount") or 1
+    )
     return content, n_pages, metadata, warnings, None

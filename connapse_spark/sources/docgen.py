@@ -326,13 +326,70 @@ def make_pdf_modern(
     return bytes(out)
 
 
+def make_epub(
+    chapters: list[tuple[str, list[str]]],
+    title: str | None = None,
+    author: str | None = None,
+) -> bytes:
+    """Deterministic EPUB (OCF zip + OPF package): one XHTML file per
+    (chapter_title, paragraphs) entry, spine in list order. Dates pinned
+    to the zip epoch so fixture bytes are hash-stable."""
+    parts: dict[str, str] = {
+        "mimetype": "application/epub+zip",
+        "META-INF/container.xml": (
+            '<?xml version="1.0"?>'
+            '<container version="1.0" '
+            'xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+            'media-type="application/oebps-package+xml"/></rootfiles>'
+            "</container>"
+        ),
+    }
+    manifest, spine = [], []
+    for i, (ch_title, paras) in enumerate(chapters, start=1):
+        body = "".join(f"<p>{escape(p)}</p>" for p in paras)
+        parts[f"OEBPS/ch{i}.xhtml"] = (
+            '<?xml version="1.0" encoding="utf-8"?>'
+            '<html xmlns="http://www.w3.org/1999/xhtml">'
+            f"<head><title>{escape(ch_title)}</title></head>"
+            f"<body><h1>{escape(ch_title)}</h1>{body}</body></html>"
+        )
+        manifest.append(
+            f'<item id="ch{i}" href="ch{i}.xhtml" '
+            'media-type="application/xhtml+xml"/>'
+        )
+        spine.append(f'<itemref idref="ch{i}"/>')
+    meta = []
+    if title:
+        meta.append(f"<dc:title>{escape(title)}</dc:title>")
+    if author:
+        meta.append(f"<dc:creator>{escape(author)}</dc:creator>")
+    parts["OEBPS/content.opf"] = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" '
+        'unique-identifier="uid">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        + "".join(meta)
+        + "</metadata>"
+        f"<manifest>{''.join(manifest)}</manifest>"
+        f"<spine>{''.join(spine)}</spine>"
+        "</package>"
+    )
+    return _zip_bytes(parts)
+
+
 def fixture_corpus() -> list[tuple[str, bytes]]:
     """The fixed binary-parse fixture set shared by unit tests and the
     oracle-checked ``parse_binary`` query: covers compressed + raw PDF,
     an image-only-shaped (textless) PDF, a PDF 1.5 object-stream/xref-
-    stream layout, docx with a table, a multi-slide pptx, a corrupt
-    container, and an unsupported extension."""
+    stream layout, docx with a table, a multi-slide pptx, an EPUB (r7),
+    a corrupt container, and an unsupported extension."""
     return [
+        ("/fx/book.epub", make_epub(
+            [("Opening", ["It began quietly.", "Nothing moved."]),
+             ("The Middle", ["Things happened — fast & loud."]),
+             ("Coda", [])],
+            title="A Tiny Book", author="dana")),
         ("/fx/cid.pdf", make_pdf_cid(
             ["CID page one: Identity-H", "CID page two"])),
         ("/fx/modern.pdf", make_pdf_modern(

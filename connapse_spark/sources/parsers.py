@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TEXT_EXTENSIONS = [".txt", ".md", ".markdown", ".csv", ".log", ".json", ".xml", ".yaml", ".yml"]
-BINARY_EXTENSIONS = [".pdf", ".docx", ".pptx"]
+BINARY_EXTENSIONS = [".pdf", ".docx", ".pptx", ".epub"]
 # engine extension beyond FileTypeValidator.cs: HTML routes through the
 # boilerplate-stripping extractor (operators/htmltext.py), not TextParser
 HTML_EXTENSIONS = [".html", ".htm", ".xhtml"]

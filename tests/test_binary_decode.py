@@ -221,3 +221,48 @@ def test_pdf_mixed_simple_and_cid_fonts_switch_on_tf():
     )
     content, _, _ = bd.decode_pdf(patched)
     assert "plain!" in content and "XY" in content
+
+
+# ---------------------------------------------------------------------------
+# EPUB (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_epub_decodes_spine_in_order():
+    blob = docgen.make_epub(
+        [("One", ["alpha", "beta"]), ("Two", ["gamma & <delta>"])],
+        title="T", author="a",
+    )
+    content, meta, warnings = bd.decode_epub(blob)
+    assert content.split("\n") == [
+        "--- Chapter 1 ---", "One", "alpha", "beta", "",
+        "--- Chapter 2 ---", "Two", "gamma & <delta>", "",
+    ]
+    assert meta["Title"] == "T" and meta["Author"] == "a"
+    assert meta["ChapterCount"] == "2" and warnings == []
+
+
+def test_epub_missing_spine_item_warns_but_survives():
+    import io as _io
+    import zipfile as _zf
+
+    blob = docgen.make_epub([("One", ["x"]), ("Two", ["y"])])
+    buf_in = _io.BytesIO(blob)
+    buf_out = _io.BytesIO()
+    with _zf.ZipFile(buf_in) as src, _zf.ZipFile(buf_out, "w") as dst:
+        for item in src.infolist():
+            if item.filename != "OEBPS/ch2.xhtml":
+                dst.writestr(item, src.read(item.filename))
+    content, meta, warnings = bd.decode_epub(buf_out.getvalue())
+    assert "--- Chapter 1 ---" in content and "x" in content
+    assert any("missing" in w for w in warnings)
+    assert meta["ChapterCount"] == "2"
+
+
+def test_epub_corrupt_container_is_error_row_not_crash():
+    content, n, meta, warnings, err = bd.decode_binary("/x/b.epub", b"PK\x03\x04junk")
+    assert err is not None and content == ""
+    # a zip missing container.xml degrades with a warning, no exception
+    blob = docgen._zip_bytes({"mimetype": "application/epub+zip"})
+    content, meta, warnings = bd.decode_epub(blob)
+    assert content == "" and any("unreadable" in w for w in warnings)
