@@ -120,20 +120,33 @@ _ACRONYM_RE = re.compile(r"^(?:[a-z]\.)*[a-z]$")
 _LAST_WORD_RE = re.compile(r"(\S+)\Z")
 
 
-def _is_boundary(before: str, after: str) -> bool:
-    """Is the whitespace gap between ``before`` and ``after`` a sentence
-    boundary? ``before`` ends with one of [.!?]."""
-    if before.endswith(("!", "?")):
+# the guards only inspect the last whitespace-delimited word before the
+# gap and the first char after it — bound both lookups so segmentation
+# stays O(n) per document (a full text[:m.start()] slice per candidate
+# would be O(n²) inside the per-document chunker hot path)
+_GUARD_WINDOW = 256
+
+
+def _is_boundary(text: str, gap_start: int, gap_end: int) -> bool:
+    """Is the whitespace gap text[gap_start:gap_end] a sentence boundary?
+    text[gap_start-1] is one of [.!?]."""
+    if text[gap_start - 1] in "!?":
         return True
+    before = text[max(0, gap_start - _GUARD_WINDOW) : gap_start]
+    after = text[gap_end : gap_end + 1]
     m = _LAST_WORD_RE.search(before)
     if not m:
         return True
     word = m.group(1)
-    next_upper = bool(after) and after[0].isupper()
+    next_upper = bool(after) and after.isupper()
     if word.endswith("..."):  # ellipsis continues unless a new sentence starts
         return next_upper
+    if m.start() == 0 and gap_start > _GUARD_WINDOW:
+        # window cut mid-word: a ≥256-char token can't be an abbreviation,
+        # initial, or acronym — only the (already handled) ellipsis applies
+        return True
     tok = word.strip("'\"()[]“”‘’").rstrip(".").lower()
-    if tok in _ABBREV_BEFORE_NUMBER and after[:1].isdigit():
+    if tok in _ABBREV_BEFORE_NUMBER and after.isdigit():
         return False
     if tok in _ABBREV_ALWAYS:
         return False
@@ -155,7 +168,7 @@ def split_sentences(text: str) -> list[tuple[str, int, int]]:
     out: list[tuple[str, int, int]] = []
     start = 0
     for m in _SENTENCE_RE.finditer(text):
-        if not _is_boundary(text[: m.start()], text[m.end() :]):
+        if not _is_boundary(text, m.start(), m.end()):
             continue
         seg = text[start : m.start()]
         if seg.strip():

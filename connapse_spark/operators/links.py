@@ -383,7 +383,10 @@ def crawl_schedule(
         if d is not None
     ]
     delay_df = spark.createDataFrame(delay_rows, "host string, declared_delay_s double")
-    d = frontier.withColumn("host", web.host_expr(F.col("url")))
+    # host via the SAME urlsplit derivation the robots gate keys on — a
+    # userinfo/IPv6 URL must hit the same delay row as the rule row the
+    # gate evaluated it under (web.host_expr's regex keeps userinfo)
+    d = frontier.withColumn("host", robots_mod._host_of_udf()(F.col("url")))
     d = d.join(F.broadcast(delay_df), "host", "left")
     delay_s = F.coalesce(F.col("declared_delay_s"), F.lit(float(default_delay)))
     host_burst = F.when(

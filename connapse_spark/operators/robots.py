@@ -426,13 +426,13 @@ def sitemap_declarations(
     ) + ", " + SITEMAP_DECLS_SCHEMA_SUFFIX
 
     def _extract(batches):
+        # positional column arrays, not itertuples — namedtuple silently
+        # renames non-identifier/underscore-led columns (e.g. '_host')
         for pdf in batches:
             out = []
-            for row in pdf.itertuples(index=False):
-                body = getattr(row, body_col)
-                kept = tuple(getattr(row, c) for c in keep)
+            for body, *kept in zip(pdf[body_col], *(pdf[c] for c in keep)):
                 for i, sm in enumerate(robots_sitemaps(body)):
-                    out.append(kept + (sm, i))
+                    out.append(tuple(kept) + (sm, i))
             yield pd.DataFrame(out, columns=keep + ["sitemap_url", "decl_idx"])
 
     return robots_df.mapInPandas(_extract, schema)

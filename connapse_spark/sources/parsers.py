@@ -205,7 +205,7 @@ def parse_html_documents(binary_df: DataFrame, boilerplate: bool = True) -> Data
                 raw = bytes(blob or b"")
                 warnings = []
                 html, enc = decode_text_payload(raw, "text/html", with_encoding=True)
-                if enc == "latin-1":
+                if enc == "fallback:latin-1":
                     warnings.append("utf-8 decode failed; latin-1 fallback")
                 title, text = extract_html(html)
                 meta = {"Title": title} if title else {}

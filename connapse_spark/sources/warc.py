@@ -328,7 +328,9 @@ def _dechunk(body: bytes) -> tuple[bytes, str | None]:
 
 def _inflate(body: bytes, coding: str) -> tuple[bytes, str | None]:
     """Undo one content coding. ``deflate`` on the real web is ambiguous —
-    RFC says zlib-wrapped, some servers send raw — so try both. Truncated
+    RFC says zlib-wrapped, some servers send raw — so try both. A gzip
+    body may be several CONCATENATED members (server/CDN restreaming) —
+    all members decode, like the record parser's member walk. Truncated
     streams yield their good prefix plus a warning."""
     if coding in ("gzip", "x-gzip"):
         tries = (zlib.MAX_WBITS | 16,)
@@ -338,13 +340,25 @@ def _inflate(body: bytes, coding: str) -> tuple[bytes, str | None]:
         return body, f"unknown content coding {coding!r}"
     err = None
     for wbits in tries:
-        d = zlib.decompressobj(wbits=wbits)
-        try:
-            out = d.decompress(body)
-        except zlib.error as e:
-            err = str(e)
-            continue
-        return out, (None if d.eof else f"truncated {coding} stream")
+        out, pos, failed = [], 0, False
+        while pos < len(body):
+            d = zlib.decompressobj(wbits=wbits)
+            try:
+                out.append(d.decompress(body[pos:]))
+            except zlib.error as e:
+                if pos == 0:
+                    err, failed = str(e), True
+                    break
+                # trailing garbage after ≥1 good member — keep the good part
+                return b"".join(out), f"trailing garbage after {coding} stream"
+            if not d.eof:
+                return b"".join(out), f"truncated {coding} stream"
+            consumed = len(body) - pos - len(d.unused_data)
+            if consumed <= 0:
+                break
+            pos += consumed
+        if not failed:
+            return b"".join(out), None
     return body, f"undecodable {coding} body ({err})"
 
 
@@ -461,7 +475,9 @@ def decode_text_payload(
     (headers routinely omit the charset real pages declare inline); then
     utf-8 with latin-1 fallback. None for non-text content types.
     ``with_encoding=True`` returns ``(text, encoding_used)`` so callers
-    can warn on the lossy latin-1 fallback."""
+    can warn on the lossy latin-1 fallback; the fallback reports as
+    ``"fallback:latin-1"``, distinct from a DECLARED latin-1 charset
+    (which decoded by declaration, not by failure)."""
     ct = (content_type or "").lower()
     if not (ct.startswith("text/") or "html" in ct or "xml" in ct or "json" in ct):
         return (None, None) if with_encoding else None
@@ -482,7 +498,7 @@ def decode_text_payload(
         except (UnicodeDecodeError, LookupError):
             continue
     text = payload.decode("latin-1")
-    return (text, "latin-1") if with_encoding else text
+    return (text, "fallback:latin-1") if with_encoding else text
 
 
 WARC_RECORDS_SCHEMA = (

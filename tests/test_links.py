@@ -236,3 +236,17 @@ def test_crawl_schedule_politeness_invariants(spark):
         waves.setdefault(r.fetch_wave, []).append(r)
         assert r.delay_s == 1.0 and r.not_before_s == float(r.fetch_wave)
     assert {w: len(v) for w, v in sorted(waves.items())} == {0: 8, 1: 8, 2: 4}
+
+
+def test_crawl_schedule_userinfo_host_matches_gate(spark):
+    # the delay join must key on the SAME host derivation as the robots
+    # gate (urlsplit hostname) — a userinfo URL still paces per its host
+    urls = spark.createDataFrame(
+        [("https://u@slow.com/a",), ("https://slow.com/b",)], "url string"
+    )
+    sched = links.crawl_schedule(
+        urls, {"slow.com": "User-agent: *\nAllow: /\nCrawl-delay: 2\n"}
+    ).collect()
+    assert {r.host for r in sched} == {"slow.com"}
+    assert all(r.delay_s == 2.0 for r in sched)
+    assert len({r.fetch_wave for r in sched}) == 2  # one URL per wave

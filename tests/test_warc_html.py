@@ -834,3 +834,31 @@ def test_redirect_edges(spark):
         ("https://a.example/d/e", "https://a.example/up", 302),
         ("https://old.example/", "https://new.example/home", 301),
     ]
+
+
+def test_inflate_multi_member_gzip_body():
+    # server/CDN restreaming concatenates gzip members — all must decode
+    import gzip as _g, io as _io
+
+    def gz(b):
+        buf = _io.BytesIO()
+        with _g.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(b)
+        return buf.getvalue()
+
+    out, warn = warc._inflate(gz(b"hello ") + gz(b"world"), "gzip")
+    assert out == b"hello world" and warn is None
+    # trailing garbage after a good member keeps the good part + warns
+    out, warn = warc._inflate(gz(b"good") + b"\x00garbage", "gzip")
+    assert out == b"good" and "garbage" in warn
+
+
+def test_declared_latin1_is_not_a_fallback_warning(spark):
+    from connapse_spark.sources import parsers
+
+    rows = [("/a/declared.html",
+             '<meta charset="latin-1"><p>olé</p>'.encode("latin-1"))]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    out = parsers.parse_html_documents(df).collect()[0]
+    assert out.content == "olé"
+    assert list(out.warnings) == []  # decoded BY DECLARATION, no fallback
