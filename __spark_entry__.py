@@ -2356,6 +2356,88 @@ ORDER BY case_name
 """.strip()
 
 
+def q_resolve_revisits(spark, sf_dir):
+    """Revisit-record resolution (sources/warc.resolve_revisits — the
+    Common Crawl deduplicated-crawl mechanism): per document, a response
+    capture with a WARC-Payload-Digest, a revisit resolving BY DIGEST, an
+    every-other-doc revisit resolving by the WARC-Refers-To-Target-URI
+    fallback (no digest), and an every-third-doc unresolvable revisit
+    that must keep a NULL text. Archives ride the real writer/parser; the
+    oracle regenerates the resolved surface arithmetically."""
+    from connapse_spark.sources import warc as _warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                url_a = f"https://v{did}.com/a"
+                http_head_only = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                recs = [
+                    _warc.make_warc_record(
+                        "response",
+                        _warc.make_http_response(200, f"<p>capture {did}</p>".encode()),
+                        target_uri=url_a,
+                        extra_headers={"WARC-Payload-Digest": f"sha1:D{did}"},
+                    ),
+                    _warc.make_warc_record(
+                        "revisit", http_head_only, target_uri=url_a,
+                        extra_headers={
+                            "WARC-Payload-Digest": f"sha1:D{did}",
+                            "WARC-Profile": "identical-payload-digest",
+                        },
+                    ),
+                ]
+                if did % 2 == 0:
+                    recs.append(_warc.make_warc_record(
+                        "revisit", http_head_only,
+                        target_uri=f"https://v{did}.com/b",
+                        extra_headers={"WARC-Refers-To-Target-URI": url_a},
+                    ))
+                if did % 3 == 0:
+                    recs.append(_warc.make_warc_record(
+                        "revisit", http_head_only,
+                        target_uri=f"https://v{did}.com/c",
+                        extra_headers={"WARC-Payload-Digest": f"sha1:MISSING{did}"},
+                    ))
+                out.append((f"/gen/v{did}.warc.gz", _warc.make_warc(recs)))
+            yield _pd.DataFrame(out, columns=["path", "content"])
+
+    blobs = docs.mapInPandas(_gen, "path string, content binary")
+    out = _warc.resolve_revisits(_warc.warc_records(blobs))
+    return out.orderBy("url", "was_revisit")
+
+
+def _sql_resolve_revisits() -> str:
+    return """
+SELECT url, text, source_url, was_revisit FROM (
+  SELECT 'https://v' || CAST(doc_id AS VARCHAR) || '.com/a' AS url,
+         '<p>capture ' || CAST(doc_id AS VARCHAR) || '</p>' AS text,
+         'https://v' || CAST(doc_id AS VARCHAR) || '.com/a' AS source_url,
+         false AS was_revisit
+  FROM documents
+  UNION ALL
+  SELECT 'https://v' || CAST(doc_id AS VARCHAR) || '.com/a',
+         '<p>capture ' || CAST(doc_id AS VARCHAR) || '</p>',
+         'https://v' || CAST(doc_id AS VARCHAR) || '.com/a', true
+  FROM documents
+  UNION ALL
+  SELECT 'https://v' || CAST(doc_id AS VARCHAR) || '.com/b',
+         '<p>capture ' || CAST(doc_id AS VARCHAR) || '</p>',
+         'https://v' || CAST(doc_id AS VARCHAR) || '.com/a', true
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'https://v' || CAST(doc_id AS VARCHAR) || '.com/c',
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), true
+  FROM documents WHERE doc_id % 3 = 0
+)
+ORDER BY url, was_revisit
+""".strip()
+
+
 def q_redirect_edges(spark, sf_dir):
     """Redirect-edge extraction (sources/warc.redirect_edges): per
     document, a generated archive carries a 301 with an absolute
@@ -3587,6 +3669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "robots_sitemaps": q_robots_sitemaps,
         "redirect_edges": q_redirect_edges,
+        "resolve_revisits": q_resolve_revisits,
         "html_adversarial": q_html_adversarial,
         "language_id_multi": q_language_id_multi,
         "parse_warc": q_parse_warc,
@@ -3931,6 +4014,7 @@ def oracle_sql() -> dict[str, str]:
         "frontier_schedule": _sql_frontier_schedule(),
         "robots_sitemaps": _sql_robots_sitemaps(),
         "redirect_edges": _sql_redirect_edges(),
+        "resolve_revisits": _sql_resolve_revisits(),
         "html_adversarial": _sql_html_adversarial(),
         "parse_warc": _sql_parse_warc(),
         "html_extract": _sql_html_extract(),

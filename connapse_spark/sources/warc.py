@@ -37,6 +37,7 @@ from urllib.parse import urljoin
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 CRLF = b"\r\n"
 
@@ -504,6 +505,7 @@ def decode_text_payload(
 WARC_RECORDS_SCHEMA = (
     "warc_file string, record_idx int, warc_type string, target_uri string, "
     "http_status int, content_type string, http_location string, "
+    "payload_digest string, refers_to_uri string, "
     "payload binary, text string, warning string"
 )
 
@@ -550,7 +552,10 @@ def warc_records(binary_df: DataFrame, extra_cols: list[str] | None = None) -> D
                     )
                     out.append(
                         (path, i, wtype, uri, status, ct,
-                         http_hdrs.get("location"), body, text, warning)
+                         http_hdrs.get("location"),
+                         hdrs.get("warc-payload-digest"),
+                         hdrs.get("warc-refers-to-target-uri"),
+                         body, text, warning)
                         + extra_vals
                     )
             yield pd.DataFrame(
@@ -558,6 +563,7 @@ def warc_records(binary_df: DataFrame, extra_cols: list[str] | None = None) -> D
                 columns=[
                     "warc_file", "record_idx", "warc_type", "target_uri",
                     "http_status", "content_type", "http_location",
+                    "payload_digest", "refers_to_uri",
                     "payload", "text", "warning",
                 ] + extra,
             )
@@ -606,6 +612,61 @@ def web_documents(records: DataFrame, keep_cols: list[str] | None = None) -> Dat
     return records.filter(clean_html_predicate()).select(
         F.col("target_uri").alias("url"), "text", *(keep_cols or [])
     )
+
+
+def resolve_revisits(records: DataFrame) -> DataFrame:
+    """Resolve ``revisit`` records (ISO 28500 §6.7.2 identical-payload-
+    digest profile — how Common Crawl's deduplicated crawls reference a
+    prior capture instead of re-storing its bytes) against the archive's
+    own ``response`` records. Returns one row per page capture:
+
+    ``(url, text, source_url, was_revisit)`` — a response serves its own
+    text; a revisit serves the text of the capture it references, found
+    by ``WARC-Payload-Digest`` first (the profile's key), falling back to
+    ``WARC-Refers-To-Target-URI``; an unresolvable revisit keeps a NULL
+    text (counted, not dropped — degrade-don't-die).
+
+    Scale: two left joins keyed on digest / uri. The digest side is the
+    real CC shape: both tables shuffle once on the digest (revisits are
+    ~30-60% of a deduplicated crawl, so neither side broadcasts); ties
+    resolve to the deterministic first capture (min warc_file,
+    record_idx) so re-runs are stable."""
+    w_digest = Window.partitionBy("payload_digest").orderBy("warc_file", "record_idx")
+    w_uri = Window.partitionBy("url").orderBy("warc_file", "record_idx")
+    responses = records.filter(F.col("warc_type") == "response").select(
+        F.col("target_uri").alias("url"), "text", "payload_digest",
+        "warc_file", "record_idx",
+    )
+    by_digest = (
+        responses.filter(F.col("payload_digest").isNotNull())
+        .withColumn("_rn", F.row_number().over(w_digest))
+        .filter(F.col("_rn") == 1)
+        .select("payload_digest", F.col("text").alias("_dtext"),
+                F.col("url").alias("_durl"))
+    )
+    by_uri = (
+        responses.withColumn("_rn", F.row_number().over(w_uri))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("url").alias("refers_to_uri"),
+                F.col("text").alias("_utext"), F.col("url").alias("_uurl"))
+    )
+    revisits = (
+        records.filter(F.col("warc_type") == "revisit")
+        .select("target_uri", "payload_digest", "refers_to_uri")
+        .join(by_digest, "payload_digest", "left")
+        .join(by_uri, "refers_to_uri", "left")
+        .select(
+            F.col("target_uri").alias("url"),
+            F.coalesce("_dtext", "_utext").alias("text"),
+            F.coalesce("_durl", "_uurl").alias("source_url"),
+            F.lit(True).alias("was_revisit"),
+        )
+    )
+    own = responses.select(
+        "url", "text", F.col("url").alias("source_url"),
+        F.lit(False).alias("was_revisit"),
+    )
+    return own.unionByName(revisits)
 
 
 REDIRECT_EDGES_SCHEMA = "src string, dst string, http_status int"

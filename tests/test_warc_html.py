@@ -862,3 +862,43 @@ def test_declared_latin1_is_not_a_fallback_warning(spark):
     out = parsers.parse_html_documents(df).collect()[0]
     assert out.content == "olé"
     assert list(out.warnings) == []  # decoded BY DECLARATION, no fallback
+
+
+def test_resolve_revisits_digest_uri_and_unresolvable(spark):
+    head_only = b"HTTP/1.1 200 OK\r\n\r\n"
+    recs = [
+        warc.make_warc_record(
+            "response", warc.make_http_response(200, b"<p>one</p>"),
+            target_uri="https://a/1",
+            extra_headers={"WARC-Payload-Digest": "sha1:X"},
+        ),
+        # a SECOND response with the same digest: ties resolve to the
+        # deterministic first capture
+        warc.make_warc_record(
+            "response", warc.make_http_response(200, b"<p>dup</p>"),
+            target_uri="https://a/1-dup",
+            extra_headers={"WARC-Payload-Digest": "sha1:X"},
+        ),
+        warc.make_warc_record(
+            "revisit", head_only, target_uri="https://a/1-again",
+            extra_headers={"WARC-Payload-Digest": "sha1:X"},
+        ),
+        warc.make_warc_record(
+            "revisit", head_only, target_uri="https://a/by-uri",
+            extra_headers={"WARC-Refers-To-Target-URI": "https://a/1"},
+        ),
+        warc.make_warc_record(
+            "revisit", head_only, target_uri="https://a/orphan",
+            extra_headers={"WARC-Payload-Digest": "sha1:NOPE"},
+        ),
+    ]
+    blobs = spark.createDataFrame(
+        [("/fx/v.warc.gz", warc.make_warc(recs))], "path string, content binary"
+    )
+    rows = {r.url: r for r in warc.resolve_revisits(warc.warc_records(blobs)).collect()}
+    assert rows["https://a/1"].was_revisit is False
+    assert rows["https://a/1-again"].text == "<p>one</p>"          # digest, first capture
+    assert rows["https://a/1-again"].source_url == "https://a/1"
+    assert rows["https://a/by-uri"].text == "<p>one</p>"           # uri fallback
+    assert rows["https://a/orphan"].text is None                   # kept, not dropped
+    assert rows["https://a/orphan"].was_revisit is True
