@@ -3671,6 +3671,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_edges": q_redirect_edges,
         "resolve_revisits": q_resolve_revisits,
         "html_adversarial": q_html_adversarial,
+        "parse_binary": q_parse_binary,
+        "chunk_semantic": q_chunk_semantic,
+        "chunk_semantic_stddev": q_chunk_semantic_stddev,
+        "chunk_semantic_gradient": q_chunk_semantic_gradient,
+        "chunk_token_window": q_chunk_token_window,
         "language_id_multi": q_language_id_multi,
         "parse_warc": q_parse_warc,
         "html_extract": q_html_extract,
@@ -3731,7 +3736,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_stats": q_table_stats,
         "shard_manifest": q_shard_manifest,
         "chunk_fixed_char": q_chunk_fixed_char,
-        "chunk_token_window": q_chunk_token_window,
         "corpus_stats": q_corpus_stats,
         "batch_progress": q_batch_progress,
         "delete_cascade": q_delete_cascade,
@@ -3782,9 +3786,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantized": q_embed_quantized,
         "sample_mix": q_sample_mix,
         "pack_sequences": q_pack_sequences,
-        "chunk_semantic": q_chunk_semantic,
-        "chunk_semantic_stddev": q_chunk_semantic_stddev,
-        "chunk_semantic_gradient": q_chunk_semantic_gradient,
         "markdown_sections": q_markdown_sections,
         "hybrid_window": q_hybrid_window,
         "ann_ivf_seeded": q_ann_ivf_seeded,
@@ -3810,7 +3811,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_upsert": q_postings_upsert,
         "leakage_split": q_leakage_split,
         "snapshot_merge": q_snapshot_merge,
-        "parse_binary": q_parse_binary,
         "hybrid_onepass": q_hybrid_onepass,
         "semdedup": q_semdedup,
         "knn_join": q_knn_join,

@@ -630,7 +630,11 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
     real CC shape: both tables shuffle once on the digest (revisits are
     ~30-60% of a deduplicated crawl, so neither side broadcasts); ties
     resolve to the deterministic first capture (min warc_file,
-    record_idx) so re-runs are stable."""
+    record_idx) so re-runs are stable. The plan references ``records``
+    FOUR times (own responses, the two lookup sides, revisits) — at
+    corpus scale pass a PERSISTED or already-written records frame, or
+    Spark re-parses the archives once per branch (plan-audited: 4×
+    MapInPandas against a lazy source)."""
     w_digest = Window.partitionBy("payload_digest").orderBy("warc_file", "record_idx")
     w_uri = Window.partitionBy("url").orderBy("warc_file", "record_idx")
     responses = records.filter(F.col("warc_type") == "response").select(
