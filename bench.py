@@ -121,6 +121,10 @@ BENCH_QUERIES = [
     "warc_roundtrip",
     "link_graph",
     "pagerank",
+    # round-7 crawl front: politeness scheduling over the gated frontier
+    # and revisit resolution through the real writer/parser
+    "frontier_schedule",
+    "resolve_revisits",
 ]
 
 
