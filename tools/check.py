@@ -125,6 +125,21 @@ def main():
             print(f"     - {p}")
     n_fail = sum(1 for v in results.values() if v)
     print(f"\n{len(results) - n_fail}/{len(results)} queries match")
+    if not only:
+        # full-gate evidence (VERDICT r6 ask #3): persist name → verdict so
+        # drift OUTSIDE the driver's 50-query window is observable in the
+        # round diff. Written only for full runs — a filtered run would
+        # shadow the full record.
+        import json
+
+        self_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_SELF.json")
+        with open(os.path.abspath(self_path), "w") as f:
+            json.dump(
+                {name: {"ok": not probs, "problems": probs}
+                 for name, probs in sorted(results.items())},
+                f, indent=1,
+            )
+        print(f"wrote CORRECTNESS_SELF.json ({len(results)} queries)")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
