@@ -2663,11 +2663,62 @@ def _pr_edges_sql(weighted: bool) -> str:
     )
 
 
+def q_hits(spark, sf_dir):
+    """HITS hub/authority power iteration (operators/links.hits —
+    Kleinberg 1999, L1-normalized half-steps, L1 totals folded in as
+    broadcast one-row aggregates, score vector localCheckpoint'ed per
+    half-step so the twice-referenced plan can't compound). Same
+    corpus-derived 50-node multigraph as pagerank (parallel edges,
+    self-loops, dangling nodes); the oracle unrolls the identical 3
+    iterations as chained CTEs."""
+    from connapse_spark.operators import links as _links
+
+    edges = _pr_edges(_t(spark, sf_dir, "documents"), weighted=False)
+    return _links.hits(edges, n_iter=_HITS_ITER, round_to=9).orderBy("node")
+
+
+_HITS_ITER = 3
+
+
+def _sql_hits_unrolled() -> str:
+    parts = [f"""
+e AS MATERIALIZED ({_pr_edges_sql(weighted=False)}),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT count(*) AS n FROM nodes),
+s0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS a, 1.0 / (SELECT n FROM nn) AS h FROM nodes)"""]
+    for k in range(1, _HITS_ITER + 1):
+        p = f"s{k - 1}"
+        parts.append(f"""
+ar{k} AS MATERIALIZED (SELECT e.dst AS node, sum(s.h) AS raw FROM e JOIN {p} s ON e.src = s.node GROUP BY e.dst),
+at{k} AS (SELECT coalesce(sum(raw), 0.0) AS t FROM ar{k}),
+sa{k} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN (SELECT t FROM at{k}) > 0
+              THEN coalesce(r.raw, 0.0) / (SELECT t FROM at{k}) ELSE 0.0 END AS a,
+         s.h
+  FROM nodes n LEFT JOIN ar{k} r ON n.node = r.node JOIN {p} s ON n.node = s.node),
+hr{k} AS MATERIALIZED (SELECT e.src AS node, sum(s.a) AS raw FROM e JOIN sa{k} s ON e.dst = s.node GROUP BY e.src),
+ht{k} AS (SELECT coalesce(sum(raw), 0.0) AS t FROM hr{k}),
+s{k} AS MATERIALIZED (
+  SELECT n.node, s.a,
+         CASE WHEN (SELECT t FROM ht{k}) > 0
+              THEN coalesce(r.raw, 0.0) / (SELECT t FROM ht{k}) ELSE 0.0 END AS h
+  FROM nodes n LEFT JOIN hr{k} r ON n.node = r.node JOIN sa{k} s ON n.node = s.node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT node, round(a, 9) AS authority, round(h, 9) AS hub
+FROM s{_HITS_ITER} ORDER BY node
+""".rstrip()
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Damped PageRank by distributed power iteration (operators/links.py
     — one edges⋈ranks shuffle + one aggregate per iteration, rank vector
-    persisted so lineage stays one-iteration deep, dangling mass folded
-    into the teleport term). The corpus-derived 50-node multigraph has
+    localCheckpoint'ed so the twice-referenced plan can't compound,
+    dangling mass folded into the teleport term as a broadcast one-row
+    aggregate). The corpus-derived 50-node multigraph has
     parallel edges, self-loops and dangling nodes; the oracle unrolls the
     exact same 5 iterations as chained CTEs."""
     from connapse_spark.operators import links as _links
@@ -3670,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "redirect_edges": q_redirect_edges,
         "resolve_revisits": q_resolve_revisits,
+        "hits": q_hits,
         "html_adversarial": q_html_adversarial,
         "parse_binary": q_parse_binary,
         "chunk_semantic": q_chunk_semantic,
@@ -4015,6 +4067,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemaps": _sql_robots_sitemaps(),
         "redirect_edges": _sql_redirect_edges(),
         "resolve_revisits": _sql_resolve_revisits(),
+        "hits": _sql_hits_unrolled(),
         "html_adversarial": _sql_html_adversarial(),
         "parse_warc": _sql_parse_warc(),
         "html_extract": _sql_html_extract(),

@@ -187,14 +187,16 @@ def pagerank(
     if n == 0:  # empty graph (e.g. a crawl segment with no extractable links)
         base.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
-    ranks = base.withColumn("rank", F.lit(1.0 / n)).persist()
-
+    ranks = base.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     for _ in range(n_iter):
         # dangling mass folds in as a broadcast ONE-ROW aggregate instead
         # of a per-iteration driver collect (r7, VERDICT r6 'what's wrong'
-        # #4): the whole step is a single job — the count() below both
-        # materializes the new vector (lineage stays one-iteration deep)
-        # and computes the dangling sum inside the same DAG
+        # #4): the whole step is a single job. The step's plan references
+        # `ranks` TWICE (dangling + contribs), so the iteration output is
+        # localCheckpoint'ed — an eager materialization that also TRUNCATES
+        # the logical plan to a LogicalRDD. A persist()+count() would cache
+        # results but keep compounding the plan tree 2× per iteration
+        # (exponential — measured OOM in plan-string generation).
         dangling = ranks.filter(F.col("deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
@@ -203,7 +205,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("_w") / F.col("deg")).alias("contrib"))
         )
-        new_ranks = base.join(
+        ranks = base.join(
             contribs.withColumnRenamed("dst", "node"), "node", "left"
         ).crossJoin(F.broadcast(dangling)).select(
             "node",
@@ -213,15 +215,88 @@ def pagerank(
                 + F.lit(damping)
                 * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dangling") / n)
             ).alias("rank"),
-        ).persist()
-        new_ranks.count()
-        ranks.unpersist()
-        ranks = new_ranks
+        ).localCheckpoint()
 
     base.unpersist()  # the final rank vector is already materialized
     out = ranks.select("node", "rank")
     if round_to is not None:
         out = out.select("node", F.round("rank", round_to).alias("rank"))
+    return out
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 5,
+    round_to: int | None = 9,
+) -> DataFrame:
+    """HITS hub/authority scoring (Kleinberg 1999) — the second classic
+    crawl-priority signal next to :func:`pagerank`: authorities are pages
+    many hubs point at, hubs are pages that point at many authorities.
+
+    Power iteration with L1 normalization each half-step (the sum-norm
+    keeps the oracle a pure arithmetic mirror — an L2 norm would add a
+    sqrt but nothing structural): ``a'(v) = Σ_{u→v} h(u)`` then
+    ``a'/=Σa'``; ``h'(u) = Σ_{u→v} a'(v)`` then ``h'/=Σh'``. Initial
+    a = h = 1/N. Parallel edges count once per occurrence. Nodes with no
+    in-edges have authority 0 (resp. hubs / out-edges).
+
+    Plan per iteration: two edges⋈scores joins + two aggregates (the
+    same single-shuffle-per-half-step shape as pagerank — the edge table
+    never moves once partitioned by the join key; only the |V| score
+    vector shuffles), with each L1 total folded in as a broadcast
+    one-row aggregate, no driver collect. Each half-step's output is
+    localCheckpoint'ed: the step plan references the score vector twice
+    (raw sums + the L1 total), so anything short of a plan-truncating
+    materialization compounds the logical plan 2× per half-step —
+    exponential (pagerank learned this the hard way in r7)."""
+    edges = edges.select("src", "dst")
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("authority", F.lit(0.0)).withColumn("hub", F.lit(0.0))
+    scores = nodes.select(
+        "node", F.lit(1.0 / n).alias("authority"), F.lit(1.0 / n).alias("hub")
+    ).localCheckpoint()
+
+    def _half(edge_key: str, other_key: str, in_col: str, out_name: str):
+        """One half-step: sum ``in_col`` of the ``edge_key`` endpoint onto
+        the ``other_key`` endpoint, L1-normalized."""
+        raw = (
+            edges.join(
+                scores.select(F.col("node").alias(edge_key), in_col), edge_key
+            )
+            .groupBy(F.col(other_key).alias("node"))
+            .agg(F.sum(in_col).alias("_raw"))
+        )
+        total = raw.agg(F.coalesce(F.sum("_raw"), F.lit(0.0)).alias("_total"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.when(
+                    F.col("_total") > 0.0,
+                    F.coalesce(F.col("_raw"), F.lit(0.0)) / F.col("_total"),
+                ).otherwise(F.lit(0.0)).alias(out_name),
+            )
+        )
+
+    for _ in range(n_iter):
+        auth = _half("src", "dst", "hub", "authority")
+        # the hub half-step consumes the NEW authorities (classic HITS)
+        scores = scores.select("node", "hub").join(auth, "node").localCheckpoint()
+        hub = _half("dst", "src", "authority", "hub")
+        scores = scores.select("node", "authority").join(hub, "node").localCheckpoint()
+    nodes.unpersist()
+    out = scores.select("node", "authority", "hub")
+    if round_to is not None:
+        out = out.select(
+            "node",
+            F.round("authority", round_to).alias("authority"),
+            F.round("hub", round_to).alias("hub"),
+        )
     return out
 
 

@@ -250,3 +250,43 @@ def test_crawl_schedule_userinfo_host_matches_gate(spark):
     assert {r.host for r in sched} == {"slow.com"}
     assert all(r.delay_s == 2.0 for r in sched)
     assert len({r.fetch_wave for r in sched}) == 2  # one URL per wave
+
+
+@pytest.mark.parametrize("edge_list", [
+    [("A", "B"), ("A", "C"), ("B", "C")],
+    [("A", "A"), ("A", "B"), ("B", "A"), ("B", "A")],          # self-loop + parallel
+    [("A", "B"), ("C", "D"), ("E", "D")],                       # disconnected
+])
+def test_hits_matches_numpy_reference(spark, edge_list):
+    df = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.node: (r.authority, r.hub)
+           for r in links.hits(df, n_iter=4, round_to=None).collect()}
+    # independent dense-matrix mirror
+    nodes = sorted({u for u, v in edge_list} | {v for u, v in edge_list})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for u, v in edge_list:
+        A[idx[u], idx[v]] += 1.0
+    a = np.full(len(nodes), 1.0 / len(nodes))
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(4):
+        a = A.T @ h
+        a = a / a.sum() if a.sum() > 0 else a
+        h = A @ a
+        h = h / h.sum() if h.sum() > 0 else h
+    for n_ in nodes:
+        assert abs(got[n_][0] - a[idx[n_]]) < 1e-9, n_
+        assert abs(got[n_][1] - h[idx[n_]]) < 1e-9, n_
+    # L1-normalized each step
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-9
+
+
+def test_hits_empty_and_dangling(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert links.hits(empty, n_iter=2).count() == 0
+    # B has no out-edges (hub 0), A no in-edges (authority 0)
+    df = spark.createDataFrame([("A", "B")], "src string, dst string")
+    got = {r.node: r for r in links.hits(df, n_iter=3).collect()}
+    assert got["A"].authority == 0.0 and got["B"].hub == 0.0
+    assert got["B"].authority == 1.0 and got["A"].hub == 1.0
