@@ -2713,6 +2713,58 @@ FROM s{_HITS_ITER} ORDER BY node
     )
 
 
+def q_anchor_text_agg(spark, sf_dir):
+    """Anchor-text aggregation (operators/links.anchor_text_agg — the
+    document-expansion / query-document training signal): arithmetic
+    edges with 25 destinations × up to 12 anchor classes plus empty
+    anchors (counted as links, never as anchors); top-10 per dst by
+    count desc then lexically. The oracle regenerates counts and the
+    rank-ordered join arithmetically."""
+    from connapse_spark.operators import links as _links
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.concat(F.lit("https://s/"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(F.lit("https://t/"), (F.col("doc_id") % 25).cast("string")).alias("dst"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("ref "), (F.col("doc_id") % 12).cast("string"))
+        ).alias("anchor"),
+    )
+    out = _links.anchor_text_agg(edges, k=10)
+    return _long(out, "n_links", "n_anchor_kinds").orderBy("url")
+
+
+def _sql_anchor_text_agg() -> str:
+    return """
+WITH e AS MATERIALIZED (
+  SELECT 'https://t/' || CAST(doc_id % 25 AS VARCHAR) AS url,
+         CASE WHEN doc_id % 5 = 0 THEN ''
+              ELSE 'ref ' || CAST(doc_id % 12 AS VARCHAR) END AS anchor
+  FROM documents
+),
+counts AS (
+  SELECT url, anchor, count(*) AS cnt FROM e WHERE anchor <> '' GROUP BY url, anchor
+),
+ranked AS (
+  SELECT url, anchor, cnt,
+         row_number() OVER (PARTITION BY url ORDER BY cnt DESC, anchor) AS rk
+  FROM counts
+),
+agg AS (
+  SELECT url, string_agg(anchor, '|' ORDER BY rk) AS top_anchors
+  FROM ranked WHERE rk <= 10 GROUP BY url
+),
+totals AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_links,
+         CAST(count(DISTINCT CASE WHEN anchor <> '' THEN anchor END) AS BIGINT) AS n_anchor_kinds
+  FROM e GROUP BY url
+)
+SELECT t.url, t.n_links, t.n_anchor_kinds, coalesce(a.top_anchors, '') AS top_anchors
+FROM totals t LEFT JOIN agg a ON t.url = a.url
+ORDER BY t.url
+""".strip()
+
+
 def q_pagerank(spark, sf_dir):
     """Damped PageRank by distributed power iteration (operators/links.py
     — one edges⋈ranks shuffle + one aggregate per iteration, rank vector
@@ -3722,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_edges": q_redirect_edges,
         "resolve_revisits": q_resolve_revisits,
         "hits": q_hits,
+        "anchor_text_agg": q_anchor_text_agg,
         "html_adversarial": q_html_adversarial,
         "parse_binary": q_parse_binary,
         "chunk_semantic": q_chunk_semantic,
@@ -4068,6 +4121,7 @@ def oracle_sql() -> dict[str, str]:
         "redirect_edges": _sql_redirect_edges(),
         "resolve_revisits": _sql_resolve_revisits(),
         "hits": _sql_hits_unrolled(),
+        "anchor_text_agg": _sql_anchor_text_agg(),
         "html_adversarial": _sql_html_adversarial(),
         "parse_warc": _sql_parse_warc(),
         "html_extract": _sql_html_extract(),

@@ -26,6 +26,7 @@ from urllib.parse import urldefrag, urljoin
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 class _LinkCollector(HTMLParser):
@@ -298,6 +299,58 @@ def hits(
             F.round("hub", round_to).alias("hub"),
         )
     return out
+
+
+def anchor_text_agg(
+    edges: DataFrame,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    k: int = 10,
+) -> DataFrame:
+    """Per-destination anchor-text aggregation — the classic
+    document-expansion / query-document training signal (an anchor is a
+    human-written query that points at the page; MS MARCO-style pairs,
+    anchor pretraining). Returns per url:
+
+    - ``n_links``: incoming edges (multiplicity = link weight),
+    - ``n_anchor_kinds``: distinct non-empty anchor texts,
+    - ``top_anchors``: the k most frequent anchors, '|'-joined, ordered
+      by count desc then lexically — deterministic, so the whole surface
+      is oracle-hashable.
+
+    Scale: ONE shuffle on (dst, anchor) for the counts, one on dst for
+    the assembly — both keyed aggregations with map-side partials; the
+    per-dst state is bounded by k after the rank filter."""
+    counts = (
+        edges.filter(F.col(anchor_col).isNotNull() & (F.col(anchor_col) != ""))
+        .groupBy(F.col(dst_col).alias("url"), F.col(anchor_col).alias("anchor"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("url").orderBy(F.desc("cnt"), F.asc("anchor"))
+    topk = counts.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    agg = topk.groupBy("url").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                # collect_list is unordered; the struct sorts by the rank
+                # computed above, making the joined string deterministic
+                F.sort_array(F.collect_list(F.struct(
+                    F.col("_rk").alias("rk"), F.col("anchor").alias("anchor")
+                ))),
+                lambda s: s["anchor"],
+            ),
+        ).alias("top_anchors"),
+    )
+    totals = edges.groupBy(F.col(dst_col).alias("url")).agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct(
+            F.when(F.col(anchor_col) != "", F.col(anchor_col))
+        ).alias("n_anchor_kinds"),
+    )
+    return totals.join(agg, "url", "left").select(
+        "url", "n_links", "n_anchor_kinds",
+        F.coalesce("top_anchors", F.lit("")).alias("top_anchors"),
+    )
 
 
 # ---------------------------------------------------------------------------

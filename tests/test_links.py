@@ -290,3 +290,20 @@ def test_hits_empty_and_dangling(spark):
     got = {r.node: r for r in links.hits(df, n_iter=3).collect()}
     assert got["A"].authority == 0.0 and got["B"].hub == 0.0
     assert got["B"].authority == 1.0 and got["A"].hub == 1.0
+
+
+def test_anchor_text_agg_topk_and_empty_anchors(spark):
+    rows = (
+        [("s", "https://t/x", "buy now")] * 3
+        + [("s", "https://t/x", "cheap")] * 3          # tie with 'buy now'
+        + [("s", "https://t/x", "rare")]
+        + [("s", "https://t/x", "")] * 2               # links, not anchors
+        + [("s", "https://t/y", "")]
+    )
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    got = {r.url: r for r in links.anchor_text_agg(df, k=2).collect()}
+    x = got["https://t/x"]
+    assert x.n_links == 9 and x.n_anchor_kinds == 3
+    assert x.top_anchors == "buy now|cheap"  # tie broken lexically, k=2 cuts 'rare'
+    y = got["https://t/y"]
+    assert y.n_links == 1 and y.n_anchor_kinds == 0 and y.top_anchors == ""
