@@ -646,7 +646,7 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w_digest))
         .filter(F.col("_rn") == 1)
         .select("payload_digest", F.col("text").alias("_dtext"),
-                F.col("url").alias("_durl"))
+                F.col("url").alias("_durl"), F.lit(True).alias("_dhit"))
     )
     by_uri = (
         responses.withColumn("_rn", F.row_number().over(w_uri))
@@ -654,6 +654,12 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
         .select(F.col("url").alias("refers_to_uri"),
                 F.col("text").alias("_utext"), F.col("url").alias("_uurl"))
     )
+    # resolution is ATOMIC per capture: a digest hit supplies BOTH text
+    # and source_url (even if that capture's text is NULL — e.g. a
+    # non-text payload); only a digest MISS falls through to the uri
+    # capture. Per-column coalesce would mix provenance (text from one
+    # capture, source_url from another).
+    digest_hit = F.col("_dhit").isNotNull() & F.col("_dhit")
     revisits = (
         records.filter(F.col("warc_type") == "revisit")
         .select("target_uri", "payload_digest", "refers_to_uri")
@@ -661,8 +667,8 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
         .join(by_uri, "refers_to_uri", "left")
         .select(
             F.col("target_uri").alias("url"),
-            F.coalesce("_dtext", "_utext").alias("text"),
-            F.coalesce("_durl", "_uurl").alias("source_url"),
+            F.when(digest_hit, F.col("_dtext")).otherwise(F.col("_utext")).alias("text"),
+            F.when(digest_hit, F.col("_durl")).otherwise(F.col("_uurl")).alias("source_url"),
             F.lit(True).alias("was_revisit"),
         )
     )
