@@ -2438,6 +2438,72 @@ ORDER BY url, was_revisit
 """.strip()
 
 
+def q_web_noindex(spark, sf_dir):
+    """Indexability gate (sources/warc.noindex_verdicts): X-Robots-Tag
+    header ∪ <meta robots> — either channel's noindex drops the page.
+    Per document the generated capture cycles through: an unscoped header
+    noindex, a googlebot-scoped one (must NOT bind our 'ccbot' UA), a
+    value-carrying non-noindex header (max-snippet + nofollow), TWO
+    header occurrences (folding must not drop the first), and no header;
+    every 7th page also carries <meta name=robots content=noindex>. The
+    oracle regenerates the union verdict arithmetically."""
+    from connapse_spark.sources import warc as _warc
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                meta = (
+                    '<meta name="robots" content="noindex">' if did % 7 == 0 else ""
+                )
+                html = f"<html><body>{meta}<p>page {did}</p></body></html>".encode()
+                kind = did % 5
+                raw = _warc.make_http_response(200, html)
+                if kind == 0:
+                    raw = _warc.make_http_response(
+                        200, html, extra_headers={"X-Robots-Tag": "noindex"})
+                elif kind == 1:
+                    raw = _warc.make_http_response(
+                        200, html,
+                        extra_headers={"X-Robots-Tag": "googlebot: noindex"})
+                elif kind == 2:
+                    raw = _warc.make_http_response(
+                        200, html,
+                        extra_headers={"X-Robots-Tag": "max-snippet: 20, nofollow"})
+                elif kind == 3:
+                    # two occurrences of the header — folding must keep both
+                    head, body = raw.split(b"\r\n\r\n", 1)
+                    head += b"\r\nX-Robots-Tag: nofollow\r\nX-Robots-Tag: noindex"
+                    raw = head + b"\r\n\r\n" + body
+                rec = _warc.make_warc_record(
+                    "response", raw, target_uri=f"https://n{did}.com/p")
+                out.append((f"/gen/n{did}.warc.gz", _warc.make_warc([rec])))
+            yield _pd.DataFrame(out, columns=["path", "content"])
+
+    blobs = docs.mapInPandas(_gen, "path string, content binary")
+    out = _warc.noindex_verdicts(_warc.warc_records(blobs), user_agent="ccbot")
+    return out.orderBy("url")
+
+
+def _sql_web_noindex() -> str:
+    # hdr: kinds 0 and 3 are noindex for ccbot (kind 1 is googlebot-scoped);
+    # meta: every 7th doc; indexable = NOT (hdr OR meta)
+    return """
+SELECT url, hdr_noindex, meta_noindex, NOT (hdr_noindex OR meta_noindex) AS indexable
+FROM (
+  SELECT 'https://n' || CAST(doc_id AS VARCHAR) || '.com/p' AS url,
+         (doc_id % 5) IN (0, 3) AS hdr_noindex,
+         doc_id % 7 = 0 AS meta_noindex
+  FROM documents
+)
+ORDER BY url
+""".strip()
+
+
 def q_redirect_edges(spark, sf_dir):
     """Redirect-edge extraction (sources/warc.redirect_edges): per
     document, a generated archive carries a 301 with an absolute
@@ -3775,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_revisits": q_resolve_revisits,
         "hits": q_hits,
         "anchor_text_agg": q_anchor_text_agg,
+        "web_noindex": q_web_noindex,
         "html_adversarial": q_html_adversarial,
         "parse_binary": q_parse_binary,
         "chunk_semantic": q_chunk_semantic,
@@ -4122,6 +4189,7 @@ def oracle_sql() -> dict[str, str]:
         "resolve_revisits": _sql_resolve_revisits(),
         "hits": _sql_hits_unrolled(),
         "anchor_text_agg": _sql_anchor_text_agg(),
+        "web_noindex": _sql_web_noindex(),
         "html_adversarial": _sql_html_adversarial(),
         "parse_warc": _sql_parse_warc(),
         "html_extract": _sql_html_extract(),

@@ -287,11 +287,18 @@ def split_http_response(body: bytes) -> tuple[int | None, dict[str, str], bytes]
         status = int(parts[1])
     except (IndexError, ValueError):
         return None, {}, body
-    headers = {}
+    headers: dict[str, str] = {}
     for line in lines[1:]:
         if ":" in line:
             k, v = line.split(":", 1)
-            headers[k.strip().lower()] = v.strip()
+            k, v = k.strip().lower(), v.strip()
+            if k in headers:
+                # repeated field = comma-joined list (RFC 9110 §5.2) —
+                # X-Robots-Tag and Set-Cookie-style repeats must not
+                # silently drop all but the last occurrence
+                headers[k] = f"{headers[k]}, {v}"
+            else:
+                headers[k] = v
     return status, headers, body[end + width :]
 
 
@@ -505,9 +512,35 @@ def decode_text_payload(
 WARC_RECORDS_SCHEMA = (
     "warc_file string, record_idx int, warc_type string, target_uri string, "
     "http_status int, content_type string, http_location string, "
-    "payload_digest string, refers_to_uri string, "
+    "x_robots string, payload_digest string, refers_to_uri string, "
     "payload binary, text string, warning string"
 )
+
+
+def header_noindex(x_robots: str | None, user_agent: str | None = None) -> bool:
+    """True when an ``X-Robots-Tag`` value carries a noindex/none
+    directive the given crawler must honor (Google's documented
+    semantics, the de-facto standard): the header value is a comma list
+    of directives, optionally prefixed ``<bot-name>:`` to scope a
+    directive to one crawler — an unscoped directive applies to all,
+    a scoped one only to the named bot. Multiple header occurrences
+    arrive comma-joined (the parser folds repeated headers)."""
+    if not x_robots:
+        return False
+    ua = (user_agent or "").lower()
+    applies = {"noindex", "none"}
+    scope = None  # a "bot:" prefix scopes every directive UNTIL the next prefix
+    for token in x_robots.split(","):
+        token = token.strip().lower()
+        if ":" in token:
+            prefix, rest = token.split(":", 1)
+            # a prefix is a bot name only if it isn't itself a known
+            # directive-with-value (e.g. "max-snippet: 20")
+            if not prefix.startswith(("max-", "unavailable_after")):
+                scope, token = prefix.strip(), rest.strip()
+        if token in applies and (scope is None or scope == ua):
+            return True
+    return False
 
 
 def warc_records(binary_df: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
@@ -553,6 +586,7 @@ def warc_records(binary_df: DataFrame, extra_cols: list[str] | None = None) -> D
                     out.append(
                         (path, i, wtype, uri, status, ct,
                          http_hdrs.get("location"),
+                         http_hdrs.get("x-robots-tag"),
                          hdrs.get("warc-payload-digest"),
                          hdrs.get("warc-refers-to-target-uri"),
                          body, text, warning)
@@ -562,7 +596,7 @@ def warc_records(binary_df: DataFrame, extra_cols: list[str] | None = None) -> D
                 out,
                 columns=[
                     "warc_file", "record_idx", "warc_type", "target_uri",
-                    "http_status", "content_type", "http_location",
+                    "http_status", "content_type", "http_location", "x_robots",
                     "payload_digest", "refers_to_uri",
                     "payload", "text", "warning",
                 ] + extra,
@@ -677,6 +711,37 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
         F.lit(False).alias("was_revisit"),
     )
     return own.unionByName(revisits)
+
+
+NOINDEX_SCHEMA = "url string, hdr_noindex boolean, meta_noindex boolean, indexable boolean"
+
+
+def noindex_verdicts(records: DataFrame, user_agent: str = "*") -> DataFrame:
+    """The indexability gate a curation pipeline must apply per capture:
+    the UNION of the HTTP ``X-Robots-Tag`` header (:func:`header_noindex`
+    — scoped-directive aware) and the page's ``<meta robots>`` directives
+    (htmltext's meta union) — either one opting out drops the page, the
+    same both-channels rule search engines document. One Arrow pass over
+    html 200 responses (filter first), no shuffle."""
+    from connapse_spark.operators.htmltext import extract_html_full, meta_noindex
+
+    cand = records.filter(clean_html_predicate()).select(
+        F.col("target_uri").alias("url"), "x_robots", "text"
+    )
+
+    def _verdict(batches):
+        for pdf in batches:
+            out = []
+            for url, xr, text in zip(pdf["url"], pdf["x_robots"], pdf["text"]):
+                hdr = header_noindex(xr, user_agent)
+                _, _, meta = extract_html_full(text or "")
+                m = meta_noindex(meta)
+                out.append((url, hdr, m, not (hdr or m)))
+            yield pd.DataFrame(
+                out, columns=["url", "hdr_noindex", "meta_noindex", "indexable"]
+            )
+
+    return cand.mapInPandas(_verdict, NOINDEX_SCHEMA)
 
 
 REDIRECT_EDGES_SCHEMA = "src string, dst string, http_status int"

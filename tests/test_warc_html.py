@@ -902,3 +902,30 @@ def test_resolve_revisits_digest_uri_and_unresolvable(spark):
     assert rows["https://a/by-uri"].text == "<p>one</p>"           # uri fallback
     assert rows["https://a/orphan"].text is None                   # kept, not dropped
     assert rows["https://a/orphan"].was_revisit is True
+
+
+def test_header_noindex_scoping_and_folding():
+    hn = warc.header_noindex
+    assert hn("noindex") is True
+    assert hn("none", "anybot") is True
+    assert hn("nofollow, nosnippet") is False
+    # bot-scoped directives bind only the named crawler
+    assert hn("googlebot: noindex", "googlebot") is True
+    assert hn("googlebot: noindex", "ccbot") is False
+    assert hn("googlebot: noindex") is False
+    # the scope is sticky across the comma list until a new prefix
+    assert hn("googlebot: nofollow, noindex", "googlebot") is True
+    assert hn("googlebot: nofollow, noindex", "ccbot") is False
+    # value-carrying directives are not bot prefixes
+    assert hn("max-snippet: 20, noindex") is True
+    assert hn("max-snippet: 20, nofollow") is False
+    assert hn("unavailable_after: 2030-01-01, nofollow") is False
+    assert hn(None) is False and hn("") is False
+
+
+def test_split_http_response_folds_repeated_headers():
+    msg = (b"HTTP/1.1 200 OK\r\nX-Robots-Tag: nofollow\r\n"
+           b"X-Robots-Tag: noindex\r\nContent-Type: text/html\r\n\r\nbody")
+    status, hdrs, body = warc.split_http_response(msg)
+    assert hdrs["x-robots-tag"] == "nofollow, noindex"
+    assert warc.header_noindex(hdrs["x-robots-tag"]) is True
