@@ -1756,6 +1756,44 @@ ORDER BY doc_id
 """.strip()
 
 
+def q_main_content(spark, sf_dir):
+    """Density-based main-content extraction (htmltext.extract_main_text
+    — the boilerpipe/Arc90 tier above the tag-name chrome strip): each
+    page wraps the document text in an UNNAMED link-farm div (no chrome
+    tag to strip), the prose paragraph, and a related-links div. Only
+    the prose may survive, so the oracle is the same pure projection of
+    ``documents`` as html_extract (trim + single-space) — no literals to
+    drift."""
+    from connapse_spark.operators import htmltext as _ht
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</title></head><body>'
+              '<div><a href="/">Home</a> | <a href="/n">News</a> | '
+              '<a href="/s">Sport</a> | <a href="/w">Weather</a></div><p>'),
+        _ht.escape_html_expr(F.col("text")),
+        F.lit('</p><div>Read next: <a href="/r1">story one</a> '
+              '<a href="/r2">story two</a> <a href="/r3">story three</a>'
+              '</div></body></html>'),
+    )
+    html = docs.select("doc_id", page.alias("text"))
+    out = _ht.extract_main_text_df(html, "text")
+    return out.select("doc_id", "title", "text").orderBy("doc_id")
+
+
+def _sql_main_content() -> str:
+    # identical mirror discipline to _sql_html_extract: the only block
+    # that survives the density gate is the document's own prose
+    return """
+SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g')) AS text
+FROM documents
+ORDER BY doc_id
+""".strip()
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """Full-stack web pipeline: documents → HTML pages (JVM template) →
     distributed WARC shard export (gzip members, one archive per task —
@@ -3842,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "anchor_text_agg": q_anchor_text_agg,
         "web_noindex": q_web_noindex,
+        "main_content": q_main_content,
         "html_adversarial": q_html_adversarial,
         "parse_binary": q_parse_binary,
         "chunk_semantic": q_chunk_semantic,
@@ -4190,6 +4229,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _sql_hits_unrolled(),
         "anchor_text_agg": _sql_anchor_text_agg(),
         "web_noindex": _sql_web_noindex(),
+        "main_content": _sql_main_content(),
         "html_adversarial": _sql_html_adversarial(),
         "parse_warc": _sql_parse_warc(),
         "html_extract": _sql_html_extract(),

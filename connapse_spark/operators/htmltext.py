@@ -68,6 +68,13 @@ class _Extractor(HTMLParser):
         self._block: list[str] = []
         self.lines: list[str] = []
         self.meta: dict[str, str] = {}  # canonical/robots/description/og:*
+        # density accounting (extract_main_text): raw char counts per
+        # emitted line, split into inside-<a> vs total — additive state,
+        # never consulted by the plain extraction path
+        self._anchor_depth = 0
+        self._block_chars = 0
+        self._block_anchor_chars = 0
+        self.line_density: list[tuple[int, int]] = []  # (anchor_chars, chars)
 
     _META_NAMES = frozenset({"robots", "description", "og:title", "og:description"})
 
@@ -100,9 +107,12 @@ class _Extractor(HTMLParser):
                 line = ""
         else:
             line = _WS_RE.sub(" ", "".join(self._block)).strip(_ASCII_WS)
+        counts = (self._block_anchor_chars, self._block_chars)
         self._block = []
+        self._block_chars = self._block_anchor_chars = 0
         if line:
             self.lines.append(line)
+            self.line_density.append(counts)
 
     def handle_starttag(self, tag, attrs):
         if tag in self._drop and tag not in _VOID_TAGS:
@@ -117,6 +127,8 @@ class _Extractor(HTMLParser):
                 if k == "lang" and v and v.strip():
                     self.meta["lang"] = v.strip()
                     break
+        if tag == "a":
+            self._anchor_depth += 1
         if self._in_head and tag not in _HEAD_TAGS:
             self._in_head = 0  # implicit </head> (flow content begins)
         if tag == "head":
@@ -136,6 +148,8 @@ class _Extractor(HTMLParser):
             return
         if self._drop_depth:
             return
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
         if tag == "head":
             self._in_head = max(0, self._in_head - 1)
         elif tag == "title":
@@ -157,6 +171,10 @@ class _Extractor(HTMLParser):
             self._in_head = 0
         if not self._in_head:
             self._block.append(data)
+            n = len(data.strip(_ASCII_WS))
+            self._block_chars += n
+            if self._anchor_depth > 0:
+                self._block_anchor_chars += n
 
 
 def extract_html_full(
@@ -324,3 +342,53 @@ def fixture_adversarial_pages() -> list[tuple[str, bytes, str]]:
             "text/html",
         ),
     ]
+
+
+def extract_main_text(
+    html: str,
+    max_link_density: float = 1 / 3,
+    long_block_chars: int = 80,
+    long_block_density: float = 2 / 3,
+) -> tuple[str | None, str]:
+    """Main-content extraction by link density (the boilerpipe/Arc90
+    family, Kohlschütter et al. WSDM'10) — the tier ABOVE the tag-name
+    chrome strip: real pages put "related articles" lists, tag clouds,
+    and pagination in plain <div>s no tag heuristic can name. Per block
+    (the extractor's line unit), with density = anchor-chars / chars
+    counted on the RAW text before whitespace collapse:
+
+    - keep when density < ``max_link_density`` (prose links a little),
+    - keep long blocks (≥ ``long_block_chars``) up to
+      ``long_block_density`` (link-heavy but substantial paragraphs),
+    - drop the rest (short + link-dominated = navigation).
+
+    Deterministic pure function — same contract as extract_html, so the
+    oracle can pin it; runs on TOP of the tag-level chrome strip."""
+    p = _Extractor(boilerplate=True)
+    p.feed(html or "")
+    p.close()
+    p._flush()
+    title = _WS_RE.sub(" ", "".join(p.title_parts)).strip(_ASCII_WS) or None
+    kept = []
+    for line, (a_chars, chars) in zip(p.lines, p.line_density):
+        density = (a_chars / chars) if chars else 0.0
+        if density < max_link_density or (
+            chars >= long_block_chars and density < long_block_density
+        ):
+            kept.append(line)
+    return title, "\n".join(kept)
+
+
+MAIN_TEXT_SCHEMA = "title string, text string"
+
+
+def extract_main_text_df(
+    df: DataFrame,
+    html_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Column form of extract_main_text: (keep_cols..., title, text)."""
+    return _column_form(
+        df, html_col, keep_cols, MAIN_TEXT_SCHEMA, ["title", "text"],
+        lambda h: extract_main_text(h),
+    )

@@ -929,3 +929,30 @@ def test_split_http_response_folds_repeated_headers():
     status, hdrs, body = warc.split_http_response(msg)
     assert hdrs["x-robots-tag"] == "nofollow, noindex"
     assert warc.header_noindex(hdrs["x-robots-tag"]) is True
+
+
+def test_extract_main_text_density_rules():
+    from connapse_spark.operators.htmltext import extract_main_text
+
+    nav = '<div><a href="1">Home</a> | <a href="2">News</a></div>'
+    prose = "<p>A real paragraph of article prose that stands on its own.</p>"
+    related = '<div>More: <a href="3">one</a> <a href="4">two</a></div>'
+    title, text = extract_main_text(f"<title>T</title>{nav}{prose}{related}")
+    assert title == "T"
+    assert text == "A real paragraph of article prose that stands on its own."
+    # a LONG link-heavy block survives below the long-block ceiling
+    long_mixed = (
+        "<p>" + "Substantial sentence with context. " * 4
+        + '<a href="x">a supporting citation link here</a></p>'
+    )
+    _, kept = extract_main_text(long_mixed)
+    assert "Substantial sentence" in kept
+    # wholly-linked long block (a link list) still drops
+    farm = "<p>" + " ".join(f'<a href="{i}">item number {i} in the farm</a>'
+                            for i in range(12)) + "</p>"
+    _, kept = extract_main_text(farm)
+    assert kept == ""
+    # chrome tags still strip first (density runs on top)
+    _, kept = extract_main_text("<nav>Menu</nav><p>body</p>")
+    assert kept == "body"
+    assert extract_main_text("") == (None, "")
