@@ -3864,14 +3864,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver checks the FIRST ~50 entries. Ordering invariant
-        # --- (r6 rotation): the round-7 NEW or CODE-CHANGED entries take
-        # --- the first seats — frontier_schedule (crawl_delay composed
-        # --- into the frontier, VERDICT r6 #2), parse_warc (fixture grew
-        # --- chunked/gzip/deflate payload rows, VERDICT r6 #1),
-        # --- html_extract/html_meta (adversarial real-web fixture rows),
-        # --- language_id_multi (10-language + script-class expansion),
-        # --- chunk_semantic family (golden-rules segmenter), the IVF
-        # --- lists-policy-touched ANN family; then the stalest greens
+        # --- (r6 rotation): the round-7 NEW entries take the first seats
+        # --- (frontier_schedule, robots_sitemaps, redirect_edges,
+        # --- resolve_revisits, hits, anchor_text_agg, web_noindex,
+        # --- main_content, html_adversarial), then the r7 CODE-CHANGED
+        # --- ones (parse_binary +epub, the chunk_semantic family +
+        # --- golden-rules segmenter, language_id_multi 10-language +
+        # --- script classes, parse_warc + payload codings, the
+        # --- extraction family with density accounting, pagerank with
+        # --- the checkpointed dangling fold); then the stalest greens
         # --- rotate forward from the r5/r6 tail.
         "frontier_schedule": q_frontier_schedule,
         "robots_sitemaps": q_robots_sitemaps,
