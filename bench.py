@@ -121,10 +121,16 @@ BENCH_QUERIES = [
     "warc_roundtrip",
     "link_graph",
     "pagerank",
-    # round-7 crawl front: politeness scheduling over the gated frontier
-    # and revisit resolution through the real writer/parser
+    # round-7 crawl front: politeness scheduling over the gated frontier,
+    # revisit resolution through the real writer/parser, HITS over the
+    # 50-node multigraph, anchor aggregation, indexability union gate,
+    # and density-based main-content extraction
     "frontier_schedule",
     "resolve_revisits",
+    "hits",
+    "anchor_text_agg",
+    "web_noindex",
+    "main_content",
 ]
 
 
