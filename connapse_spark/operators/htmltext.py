@@ -110,6 +110,10 @@ class _Extractor(HTMLParser):
         counts = (self._block_anchor_chars, self._block_chars)
         self._block = []
         self._block_chars = self._block_anchor_chars = 0
+        # a block boundary implicitly closes an open anchor for density
+        # purposes — an <a> spanning blocks is almost always tag soup,
+        # and letting it ride would score whole articles as link text
+        self._anchor_depth = 0
         if line:
             self.lines.append(line)
             self.line_density.append(counts)
@@ -128,7 +132,10 @@ class _Extractor(HTMLParser):
                     self.meta["lang"] = v.strip()
                     break
         if tag == "a":
-            self._anchor_depth += 1
+            # implicit close of any open anchor (nested <a> is illegal;
+            # real-web anchors are routinely never closed — without this,
+            # one unclosed <a> taints every later block's density)
+            self._anchor_depth = 1
         if self._in_head and tag not in _HEAD_TAGS:
             self._in_head = 0  # implicit </head> (flow content begins)
         if tag == "head":
@@ -149,7 +156,7 @@ class _Extractor(HTMLParser):
         if self._drop_depth:
             return
         if tag == "a":
-            self._anchor_depth = max(0, self._anchor_depth - 1)
+            self._anchor_depth = 0
         if tag == "head":
             self._in_head = max(0, self._in_head - 1)
         elif tag == "title":
@@ -177,6 +184,19 @@ class _Extractor(HTMLParser):
                 self._block_anchor_chars += n
 
 
+def _parse_html(html: str, boilerplate: bool) -> "tuple[_Extractor, str | None]":
+    """Shared parse scaffold: run the extractor to completion and derive
+    the normalized title — ONE definition for every public extraction
+    entry point (plain, full, main-text) so flush ordering and title
+    normalization can't drift between them."""
+    p = _Extractor(boilerplate)
+    p.feed(html or "")
+    p.close()
+    p._flush()
+    title = _WS_RE.sub(" ", "".join(p.title_parts)).strip(_ASCII_WS) or None
+    return p, title
+
+
 def extract_html_full(
     html: str, boilerplate: bool = True
 ) -> tuple[str | None, str, dict[str, str]]:
@@ -187,11 +207,7 @@ def extract_html_full(
     later noindex still bites; see :func:`meta_noindex`), ``description``
     and ``og:title``/``og:description`` (first wins). Never raises on
     malformed markup."""
-    p = _Extractor(boilerplate)
-    p.feed(html or "")
-    p.close()
-    p._flush()
-    title = _WS_RE.sub(" ", "".join(p.title_parts)).strip(_ASCII_WS) or None
+    p, title = _parse_html(html, boilerplate)
     return title, "\n".join(p.lines), p.meta
 
 
@@ -364,11 +380,7 @@ def extract_main_text(
 
     Deterministic pure function — same contract as extract_html, so the
     oracle can pin it; runs on TOP of the tag-level chrome strip."""
-    p = _Extractor(boilerplate=True)
-    p.feed(html or "")
-    p.close()
-    p._flush()
-    title = _WS_RE.sub(" ", "".join(p.title_parts)).strip(_ASCII_WS) or None
+    p, title = _parse_html(html, boilerplate=True)
     kept = []
     for line, (a_chars, chars) in zip(p.lines, p.line_density):
         density = (a_chars / chars) if chars else 0.0
@@ -379,7 +391,7 @@ def extract_main_text(
     return title, "\n".join(kept)
 
 
-MAIN_TEXT_SCHEMA = "title string, text string"
+MAIN_TEXT_SCHEMA = HTML_TEXT_SCHEMA  # same (title, text) surface
 
 
 def extract_main_text_df(

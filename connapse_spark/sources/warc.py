@@ -267,6 +267,12 @@ def iter_warc_records(blob: bytes):
         pos = body_start + length
 
 
+# repeated-header handling: only genuinely list-typed fields fold (RFC
+# 9110 §5.2 allows it for them); everything else is a singleton where a
+# duplicate is wire damage and last-wins is the safe read
+_FOLDABLE_HEADERS = frozenset({"x-robots-tag", "link", "via", "vary", "cache-control"})
+
+
 def split_http_response(body: bytes) -> tuple[int | None, dict[str, str], bytes]:
     """(status, headers, payload) from the HTTP message a ``response``
     record wraps; (None, {}, body) if it isn't an HTTP message."""
@@ -292,11 +298,14 @@ def split_http_response(body: bytes) -> tuple[int | None, dict[str, str], bytes]
         if ":" in line:
             k, v = line.split(":", 1)
             k, v = k.strip().lower(), v.strip()
-            if k in headers:
-                # repeated field = comma-joined list (RFC 9110 §5.2) —
-                # X-Robots-Tag and Set-Cookie-style repeats must not
-                # silently drop all but the last occurrence
-                headers[k] = f"{headers[k]}, {v}"
+            if k in headers and k in _FOLDABLE_HEADERS:
+                # LIST-TYPED repeats fold, preserving the occurrence
+                # boundary with '\n' (can't appear in a line-parsed
+                # value) — X-Robots-Tag scoping resets per occurrence.
+                # Singleton fields (Content-Type/-Encoding, Location…)
+                # keep last-wins: real crawls duplicate them (proxy +
+                # origin), and 'gzip, gzip' would break the decoder
+                headers[k] = f"{headers[k]}\n{v}"
             else:
                 headers[k] = v
     return status, headers, body[end + width :]
@@ -523,23 +532,27 @@ def header_noindex(x_robots: str | None, user_agent: str | None = None) -> bool:
     semantics, the de-facto standard): the header value is a comma list
     of directives, optionally prefixed ``<bot-name>:`` to scope a
     directive to one crawler — an unscoped directive applies to all,
-    a scoped one only to the named bot. Multiple header occurrences
-    arrive comma-joined (the parser folds repeated headers)."""
+    a scoped one only to the named bot. A bot prefix scopes the rest of
+    ITS OWN header occurrence only (Google's semantics); repeated
+    headers arrive '\\n'-folded from split_http_response, and the scope
+    RESETS at each occurrence — a blanket 'noindex' in a second header
+    must not inherit the first header's bot scope."""
     if not x_robots:
         return False
     ua = (user_agent or "").lower()
     applies = {"noindex", "none"}
-    scope = None  # a "bot:" prefix scopes every directive UNTIL the next prefix
-    for token in x_robots.split(","):
-        token = token.strip().lower()
-        if ":" in token:
-            prefix, rest = token.split(":", 1)
-            # a prefix is a bot name only if it isn't itself a known
-            # directive-with-value (e.g. "max-snippet: 20")
-            if not prefix.startswith(("max-", "unavailable_after")):
-                scope, token = prefix.strip(), rest.strip()
-        if token in applies and (scope is None or scope == ua):
-            return True
+    for occurrence in x_robots.split("\n"):
+        scope = None  # a "bot:" prefix scopes the rest of this occurrence
+        for token in occurrence.split(","):
+            token = token.strip().lower()
+            if ":" in token:
+                prefix, rest = token.split(":", 1)
+                # a prefix is a bot name only if it isn't itself a known
+                # directive-with-value (e.g. "max-snippet: 20")
+                if not prefix.startswith(("max-", "unavailable_after")):
+                    scope, token = prefix.strip(), rest.strip()
+            if token in applies and (scope is None or scope == ua):
+                return True
     return False
 
 

@@ -927,7 +927,8 @@ def test_split_http_response_folds_repeated_headers():
     msg = (b"HTTP/1.1 200 OK\r\nX-Robots-Tag: nofollow\r\n"
            b"X-Robots-Tag: noindex\r\nContent-Type: text/html\r\n\r\nbody")
     status, hdrs, body = warc.split_http_response(msg)
-    assert hdrs["x-robots-tag"] == "nofollow, noindex"
+    # list-typed repeats fold with '\n' so occurrence boundaries survive
+    assert hdrs["x-robots-tag"] == "nofollow\nnoindex"
     assert warc.header_noindex(hdrs["x-robots-tag"]) is True
 
 
@@ -956,3 +957,44 @@ def test_extract_main_text_density_rules():
     _, kept = extract_main_text("<nav>Menu</nav><p>body</p>")
     assert kept == "body"
     assert extract_main_text("") == (None, "")
+
+
+def test_singleton_headers_keep_last_wins_foldables_fold():
+    # duplicated singletons (proxy + origin) must NOT fold — 'gzip, gzip'
+    # would break the decoder and a folded Content-Type breaks charset
+    msg = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+           b"Content-Encoding: gzip\r\nContent-Type: text/plain\r\n"
+           b"Content-Type: text/html; charset=utf-8\r\n\r\nx")
+    _, hdrs, _ = warc.split_http_response(msg)
+    assert hdrs["content-encoding"] == "gzip"
+    assert hdrs["content-type"] == "text/html; charset=utf-8"
+    # and the whole decode path survives a double-header gzip capture
+    body_msg = warc.make_http_response(200, b"<p>ok</p>", content_encoding="gzip")
+    head, body = body_msg.split(b"\r\n\r\n", 1)
+    head += b"\r\nContent-Encoding: gzip"  # duplicate of the same value
+    _, hdrs, wire = warc.split_http_response(head + b"\r\n\r\n" + body)
+    out, warn = warc.decode_http_body(hdrs, wire)
+    assert out == b"<p>ok</p>" and warn is None
+
+
+def test_header_noindex_scope_resets_per_occurrence():
+    # 'googlebot: noindex' in one header + a blanket 'noindex' in ANOTHER:
+    # the blanket one binds every crawler (scope must not leak across the
+    # fold boundary)
+    msg = (b"HTTP/1.1 200 OK\r\nX-Robots-Tag: googlebot: noindex\r\n"
+           b"X-Robots-Tag: noindex\r\n\r\nx")
+    _, hdrs, _ = warc.split_http_response(msg)
+    assert warc.header_noindex(hdrs["x-robots-tag"], "ccbot") is True
+    # whereas within ONE occurrence the scope stays sticky
+    assert warc.header_noindex("googlebot: nofollow, noindex", "ccbot") is False
+
+
+def test_main_text_survives_unclosed_anchor_soup():
+    from connapse_spark.operators.htmltext import extract_main_text
+
+    soup = ('<div><a href="/more">read more</div>'
+            "<p>First paragraph of the article, long and prose-like.</p>"
+            "<p>Second paragraph continues here.</p>")
+    _, text = extract_main_text(soup)
+    assert "First paragraph" in text and "Second paragraph" in text
+    assert "read more" not in text  # the link block itself still drops
