@@ -194,6 +194,58 @@ def test_llm_provider(complete_fn=None, probe_prompt: str = "ping") -> dict:
         )
 
 
+def test_rerank_provider(rerank_fn=None, probe_query: str = "ping") -> dict:
+    """Reranker tester (CohereConnectionTester.cs / JinaConnectionTester.cs
+    / VoyageConnectionTester.cs analogue): one two-document probe,
+    checking the (query, docs → scores) contract — as many scores as
+    docs, all finite floats. ``rerank_fn(query, docs) -> list[float]``;
+    defaults to the deterministic fake provider the search tests use."""
+    import math
+    import time
+
+    t0 = time.monotonic()
+    if rerank_fn is None:
+        from connapse_spark.functions.embed import embed_py
+
+        def rerank_fn(query, docs):  # deterministic hash-embedding dot scores
+            qv = embed_py(query, 16)
+            return [
+                sum(a * b for a, b in zip(qv, embed_py(d, 16))) for d in docs
+            ]
+    docs = ["first probe document", "second probe document"]
+    try:
+        scores = list(rerank_fn(probe_query, docs))
+        if len(scores) != len(docs) or not all(
+            isinstance(s, (int, float)) and math.isfinite(s) for s in scores
+        ):
+            return _result(
+                False,
+                f"Provider returned {len(scores)} scores for {len(docs)} docs",
+                {"scores": [str(s) for s in scores]},
+                t0,
+            )
+        return _result(True, "Rerank provider OK", {"n_scored": len(scores)}, t0)
+    except Exception as ex:  # noqa: BLE001
+        return _result(
+            False, f"Provider call failed: {type(ex).__name__}", {"error": str(ex)}, t0
+        )
+
+
+def test_all_connections(spark: SparkSession, storage_uri: str | None = None) -> dict:
+    """The reference's connection-tester sweep (ConnectionTesters/*.cs —
+    one result per configured seam) as a single call: every tester runs,
+    nothing raises, and the report maps seam → ConnectionTestResult-shaped
+    dict. Pass ``storage_uri`` to include the storage probe."""
+    report = {
+        "embedding": test_embedding_provider(),
+        "llm": test_llm_provider(),
+        "rerank": test_rerank_provider(),
+    }
+    if storage_uri is not None:
+        report["storage"] = test_storage_connection(spark, storage_uri)
+    return report
+
+
 # ---------------------------------------------------------------------------
 # S2/S4 executable path: boto3 S3 object connector (runs against any
 # S3-compatible endpoint — AWS, MinIO, or the moto test server, exactly the

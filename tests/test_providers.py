@@ -339,3 +339,31 @@ def test_http_post_json_fails_fast_on_4xx():
         assert Handler.calls == 1  # no retries on 4xx
     finally:
         srv.shutdown()
+
+
+def test_rerank_connection_tester():
+    from connapse_spark.sources.connectors import test_rerank_provider
+
+    ok = test_rerank_provider()
+    assert ok["success"] is True and ok["details"]["n_scored"] == 2
+    # wrong-arity provider → failure result, not an exception
+    bad = test_rerank_provider(rerank_fn=lambda q, d: [1.0])
+    assert bad["success"] is False
+    # raising provider → failure result
+    def boom(q, d):
+        raise ConnectionError("down")
+    err = test_rerank_provider(rerank_fn=boom)
+    assert err["success"] is False and "ConnectionError" in err["message"]
+    # NaN scores are invalid
+    nan = test_rerank_provider(rerank_fn=lambda q, d: [float("nan")] * len(d))
+    assert nan["success"] is False
+
+
+def test_all_connections_sweep(spark):
+    from connapse_spark.sources.connectors import test_all_connections
+
+    report = test_all_connections(spark)
+    assert set(report) == {"embedding", "llm", "rerank"}
+    assert all(r["success"] for r in report.values())
+    with_storage = test_all_connections(spark, storage_uri="/root/testdata/sf0.001")
+    assert with_storage["storage"]["success"] is True
