@@ -9,8 +9,27 @@ generated column; we keep two array columns computed at write time — the same
 suffix-stripper, not full Snowball): exact Postgres rank values are not the
 contract, ranking behavior is (SURVEY.md §7 hard-part a).
 
+Unicode-aware (r8, parity with ``to_tsvector('simple', ...)`` which is
+locale/Unicode-aware): the split class is ``[^\\p{L}\\p{N}]+`` — general
+categories, identical semantics in Java regex (Spark) and RE2 (DuckDB);
+the Python mirror uses ``[\\W_]+`` which is the same set (Unicode
+alphanumerics minus underscore). Unsegmented scripts (Han + kana — no
+word boundaries to split on) get a character-bigram tier: each pure-CJK
+run is isolated and expanded into overlapping 2-char grams, the standard
+CJK recall fallback when no dictionary segmenter ships (what Postgres'
+'simple' config also cannot do — this engine is WIDER there). Hangul,
+Cyrillic, Arabic, accented Latin are space-separated scripts and tokenize
+whole-word. All ranges are raw BMP characters (never ``\\p{IsHan}`` /
+``\\x{...}`` script syntax, which Java and RE2 spell differently — the
+same portability rule as textstats.SCRIPT_RANGES).
+
 Every function has a DuckDB SQL mirror so the oracle computes identical
-token arrays.
+token arrays; a 3-way parity test (Spark expr / Spark SQL surface /
+DuckDB / Python) pins the agreement on CJK, Cyrillic, Arabic and accented
+fixtures. Greek is deliberately absent from fixtures: utf8proc's lower()
+(DuckDB) is per-codepoint while Java/Python apply the contextual
+final-sigma rule, so uppercase-final-sigma words are a documented
+engine-divergence corner.
 """
 
 from __future__ import annotations
@@ -18,18 +37,41 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT_RE = "[^a-z0-9]+"
+# Java regex and RE2 both support one-letter general categories in classes.
+TOKEN_SPLIT_RE = r"[^\p{L}\p{N}]+"
+# Python re has no \p{...}: [\W_] == NOT(Unicode alphanumeric) plus '_',
+# which equals the complement of \p{L}\p{N} (Python \w = L* + Nd/Nl/No + _).
+TOKEN_SPLIT_RE_PY = r"[\W_]+"
+# Unsegmented-script runs, raw BMP chars (RE2 ∩ Java ∩ Python-safe):
+# Hiragana+Katakana U+3040-30FF, Katakana phonetic ext U+31F0-31FF,
+# CJK ext A U+3400-4DBF, CJK unified U+4E00-9FFF, compat ideographs
+# U+F900-FAFF. Hangul is NOT here (Korean spaces between words).
+CJK_CLASS = "[぀-ヿㇰ-ㇿ㐀-䶿一-鿿豈-﫿]"
 # Applied once, leftmost alternative first (same in Java regex and RE2).
 STEM_SUFFIX_RE = "(ing|ed|ies|es|s)$"
 STEM_MIN_LEN = 4  # only stem tokens longer than 3 chars
 
 
-def tokens_exact_expr(text: Column) -> Column:
-    """Lowercase alphanumeric tokens (weight-A 'simple' config analogue)."""
-    return F.filter(
-        F.split(F.lower(text), TOKEN_SPLIT_RE),
-        lambda t: F.length(t) > 0,
+def _expand_cjk(t: Column) -> Column:
+    """Pure-CJK token → overlapping char bigrams; anything else → [t].
+    After run isolation a token is pure-CJK iff its first char is (the
+    spacing step guarantees runs never mix with other scripts)."""
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - 1), lambda i: t.substr(i, F.lit(2))
     )
+    return F.when(t.rlike("^" + CJK_CLASS) & (F.length(t) >= 2), bigrams).otherwise(
+        F.array(t)
+    )
+
+
+def tokens_exact_expr(text: Column) -> Column:
+    """Lowercase Unicode-alphanumeric tokens (weight-A 'simple' config
+    analogue) with the CJK bigram tier. Pure column math — on ASCII text
+    this is byte-for-byte the r7 ``[^a-z0-9]+`` behavior (no CJK runs →
+    the bigram branch never fires), so ASCII corpora are unchanged."""
+    spaced = F.regexp_replace(F.lower(text), "(" + CJK_CLASS + "+)", " $1 ")
+    toks = F.filter(F.split(spaced, TOKEN_SPLIT_RE), lambda t: F.length(t) > 0)
+    return F.flatten(F.transform(toks, _expand_cjk))
 
 
 def stem_expr(tok: Column) -> Column:
@@ -39,7 +81,8 @@ def stem_expr(tok: Column) -> Column:
 
 
 def tokens_stemmed_expr(text: Column) -> Column:
-    """Suffix-stripped tokens (weight-B 'english' config analogue)."""
+    """Suffix-stripped tokens (weight-B 'english' config analogue). The
+    suffixes are ASCII so non-Latin tokens and CJK bigrams pass through."""
     return F.transform(tokens_exact_expr(text), stem_expr)
 
 
@@ -55,7 +98,15 @@ def stem_py(tok: str) -> str:
 def tokenize_py(text: str) -> list[str]:
     import re
 
-    return [t for t in re.split(TOKEN_SPLIT_RE, text.lower()) if t]
+    spaced = re.sub(f"({CJK_CLASS}+)", r" \1 ", (text or "").lower())
+    toks = [t for t in re.split(TOKEN_SPLIT_RE_PY, spaced) if t]
+    out: list[str] = []
+    for t in toks:
+        if len(t) >= 2 and re.match(CJK_CLASS, t):
+            out.extend(t[i : i + 2] for i in range(len(t) - 1))
+        else:
+            out.append(t)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -64,7 +115,16 @@ def tokenize_py(text: str) -> list[str]:
 
 
 def sql_tokens_exact(c: str) -> str:
-    return f"list_filter(string_split_regex(lower({c}), '{TOKEN_SPLIT_RE}'), t -> len(t) > 0)"
+    # DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
+    # default); the rewrite backreference is \1 (RE2), not Java's $1.
+    spaced = f"regexp_replace(lower({c}), '({CJK_CLASS}+)', ' \\1 ', 'g')"
+    base = f"list_filter(string_split_regex({spaced}, '{TOKEN_SPLIT_RE}'), t -> len(t) > 0)"
+    big = "list_transform(range(1, len(t)), i -> substring(t, CAST(i AS INT), 2))"
+    expand = (
+        f"CASE WHEN regexp_matches(t, '^{CJK_CLASS}') AND len(t) >= 2 "
+        f"THEN {big} ELSE [t] END"
+    )
+    return f"flatten(list_transform({base}, t -> {expand}))"
 
 
 def sql_stem(t: str) -> str:
@@ -76,3 +136,17 @@ def sql_stem(t: str) -> str:
 
 def sql_tokens_stemmed(c: str) -> str:
     return f"list_transform({sql_tokens_exact(c)}, t -> {sql_stem('t')})"
+
+
+def spark_sql_tokens_exact(c: str) -> str:
+    """The same tokenizer as a Spark-SQL string expression (for the SQL
+    surface's ck_tokens temp function — Spark SQL literals eat one level
+    of backslash, so the split class is escape-doubled)."""
+    split_sql = TOKEN_SPLIT_RE.replace(chr(92), chr(92) * 2)
+    return (
+        f"flatten(transform(filter(split(regexp_replace(lower({c}), "
+        f"'({CJK_CLASS}+)', ' $1 '), '{split_sql}'), x -> length(x) > 0), "
+        f"x -> CASE WHEN x RLIKE '^{CJK_CLASS}' AND length(x) >= 2 "
+        f"THEN transform(sequence(1, length(x) - 1), i -> substring(x, i, 2)) "
+        f"ELSE array(x) END))"
+    )

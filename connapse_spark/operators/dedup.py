@@ -408,7 +408,11 @@ def minhash_lsh_pairs(
 
 
 def sql_minhash_lsh_pairs(
-    threshold: float = 0.4, n: int = 3, num_hashes: int = 32, bands: int = 8
+    threshold: float = 0.4,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    table: str = "documents",
 ) -> str:
     rows_per_band = num_hashes // bands
     mins = ", ".join(
@@ -417,7 +421,7 @@ def sql_minhash_lsh_pairs(
     return f"""
 WITH ex AS MATERIALIZED (
   SELECT id, {sql_sha_bigint('s')} AS x
-  FROM (SELECT doc_id AS id, unnest({sql_shingles("text", n)}) AS s FROM documents)
+  FROM (SELECT doc_id AS id, unnest({sql_shingles("text", n)}) AS s FROM {table})
 ),
 sig AS MATERIALIZED (
   SELECT id, [{mins}] AS sig

@@ -287,19 +287,21 @@ LANG_STOPWORDS: dict[str, list[str]] = {
     "de": [
         "der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
         "auf", "den", "von", "des", "im", "zu", "sich", "auch", "als",
+        "für", "über",
     ],
     "fr": [
         "le", "la", "les", "et", "est", "un", "une", "des", "du", "dans",
         "pas", "pour", "que", "qui", "sur", "avec", "au", "ne",
+        "être", "où", "déjà", "après",
     ],
     "es": [
         "el", "la", "los", "las", "y", "es", "un", "una", "del", "en",
         "no", "por", "para", "que", "con", "se", "su", "al",
     ],
     # r7 expansion (VERDICT r6 ask #5): a 100 TB web corpus is majority
-    # non-English. Stopword lists stay ASCII-only because TOKEN_SPLIT_RE
-    # is [^a-z0-9]+ — accented function words would never tokenize (the
-    # old de list's 'für' was such a dead entry).
+    # non-English. r8: TOKEN_SPLIT_RE is now Unicode ([^\p{L}\p{N}]+), so
+    # accented function words tokenize whole — de/fr regain the accented
+    # entries that were dead under the old ASCII split ('für', 'être').
     "it": [
         "il", "di", "che", "per", "non", "sono", "come", "anche", "della",
         "nel", "alla", "gli", "dei", "questo", "ma", "piu",
@@ -315,9 +317,12 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 LANG_MIN_FRAC = 0.02
 
-# Script-class detection for languages an ASCII stopword list can't see:
-# CJK has no spaces to tokenize on, Cyrillic/Arabic words never survive
-# TOKEN_SPLIT_RE. Character-range fractions over non-whitespace chars are
+# Script-class detection for languages a stopword list can't see: CJK
+# has no spaces to tokenize on (the tokenizer's bigram tier gives them
+# tokens, but no stopword list); Cyrillic/Arabic could carry word lists
+# now that TOKEN_SPLIT_RE is Unicode, but the script fraction is the
+# cheaper, more robust discriminator for whole-script languages.
+# Character-range fractions over non-whitespace chars are
 # pure column math (regexp_count), identical in Java regex and RE2, so
 # the oracle stays SQL-expressible. BMP ranges only (both engines count
 # code points; supplementary-plane ranges risk UTF-16 disagreement).
@@ -351,9 +356,10 @@ def language_id_multi(
 
     1. Script-class fractions (SCRIPT_RANGES — Han / kana / Hangul /
        Cyrillic / Arabic chars over non-whitespace chars) decide the
-       languages tokenization can't see (CJK has no spaces; non-Latin
-       words never survive TOKEN_SPLIT_RE), in SCRIPT_RULES order —
-       kana→ja first since Japanese mixes kana with Han.
+       whole-script languages (CJK word boundaries don't exist for a
+       stopword list; the script fraction needs no list at all), in
+       SCRIPT_RULES order — kana→ja first since Japanese mixes kana
+       with Han.
     2. Otherwise the stopword containment fraction per Latin-script
        language, classification = argmax (ties broken by language-code
        order), 'unknown' when the best fraction is under LANG_MIN_FRAC.
@@ -570,7 +576,10 @@ def gopher_filter(
     ) / dn
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / dn
     n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in EN_STOPWORDS])))
-    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / dn
+    # r8: any Unicode letter counts as alphabetic (the tokenizer is now
+    # Unicode-wide — a Cyrillic or CJK token must not fail the alpha rule
+    # the way it would under the old ASCII [a-z] class)
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}"))).cast("double") / dn
     r_len = (n >= min_tokens) & (n <= max_tokens)
     r_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
     r_div = distinct_ratio >= min_distinct_ratio
@@ -620,7 +629,7 @@ m AS (
          CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) AS lensum,
          len(list_distinct(ts)) AS ndist,
          len(list_intersect(list_distinct(ts), [{stop_list}])) AS nstop,
-         len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS nalpha
+         len(list_filter(ts, t -> regexp_matches(t, '\\p{{L}}'))) AS nalpha
   FROM base
 ),
 r AS (

@@ -70,7 +70,7 @@ def register_functions(spark: SparkSession) -> None:
     )
     norm_a = f"sqrt({dot.replace('(a, b,', '(a, a,')})"
     norm_b = f"sqrt({dot.replace('(a, b,', '(b, b,')})"
-    from connapse_spark.functions.text import TOKEN_SPLIT_RE
+    from connapse_spark.functions.text import spark_sql_tokens_exact
     from connapse_spark.operators.textstats import BPE_RE
 
     stmts = {
@@ -83,7 +83,7 @@ def register_functions(spark: SparkSession) -> None:
         ),
         "ck_tokens": (
             "(t STRING) RETURNS ARRAY<STRING> RETURN "
-            f"filter(split(lower(t), '{TOKEN_SPLIT_RE}'), x -> length(x) > 0)"
+            f"{spark_sql_tokens_exact('t')}"
         ),
         "ck_token_count": (
             "(t STRING) RETURNS INT RETURN "
