@@ -26,10 +26,18 @@ same portability rule as textstats.SCRIPT_RANGES).
 Every function has a DuckDB SQL mirror so the oracle computes identical
 token arrays; a 3-way parity test (Spark expr / Spark SQL surface /
 DuckDB / Python) pins the agreement on CJK, Cyrillic, Arabic and accented
-fixtures. Greek is deliberately absent from fixtures: utf8proc's lower()
-(DuckDB) is per-codepoint while Java/Python apply the contextual
-final-sigma rule, so uppercase-final-sigma words are a documented
-engine-divergence corner.
+fixtures. Case-mapping corners between utf8proc (DuckDB — simple,
+per-codepoint) and Java/Python (full Unicode case mapping):
+
+- U+0130 'İ' (the one one-to-many lowercase in the full mapping:
+  'i'+U+0307 vs simple 'i') is NEUTRALIZED by an explicit pre-fold to
+  'i'+U+0307 before lower() in every mirror, so all engines then split
+  identically (U+0307 is Mn — not a letter — so the combining dot
+  separates; Turkish text tokenizes the same everywhere).
+- Greek contextual final-sigma (uppercase 'Σ' at word end → 'ς' in the
+  full mapping, 'σ' in the simple one) has no such one-line fold and
+  stays a documented divergence corner — deliberately absent from
+  fixtures.
 """
 
 from __future__ import annotations
@@ -47,6 +55,9 @@ TOKEN_SPLIT_RE_PY = r"[\W_]+"
 # CJK ext A U+3400-4DBF, CJK unified U+4E00-9FFF, compat ideographs
 # U+F900-FAFF. Hangul is NOT here (Korean spaces between words).
 CJK_CLASS = "[぀-ヿㇰ-ㇿ㐀-䶿一-鿿豈-﫿]"
+# U+0130 pre-fold (see module docstring): applied BEFORE lower() so
+# utf8proc's simple mapping and Java/Python's full mapping converge.
+_I_DOT_FOLD = ("İ", "i̇")  # U+0130 → U+0069 U+0307
 # Applied once, leftmost alternative first (same in Java regex and RE2).
 STEM_SUFFIX_RE = "(ing|ed|ies|es|s)$"
 STEM_MIN_LEN = 4  # only stem tokens longer than 3 chars
@@ -69,7 +80,8 @@ def tokens_exact_expr(text: Column) -> Column:
     analogue) with the CJK bigram tier. Pure column math — on ASCII text
     this is byte-for-byte the r7 ``[^a-z0-9]+`` behavior (no CJK runs →
     the bigram branch never fires), so ASCII corpora are unchanged."""
-    spaced = F.regexp_replace(F.lower(text), "(" + CJK_CLASS + "+)", " $1 ")
+    folded = F.replace(text, F.lit(_I_DOT_FOLD[0]), F.lit(_I_DOT_FOLD[1]))
+    spaced = F.regexp_replace(F.lower(folded), "(" + CJK_CLASS + "+)", " $1 ")
     toks = F.filter(F.split(spaced, TOKEN_SPLIT_RE), lambda t: F.length(t) > 0)
     return F.flatten(F.transform(toks, _expand_cjk))
 
@@ -98,7 +110,8 @@ def stem_py(tok: str) -> str:
 def tokenize_py(text: str) -> list[str]:
     import re
 
-    spaced = re.sub(f"({CJK_CLASS}+)", r" \1 ", (text or "").lower())
+    folded = (text or "").replace(*_I_DOT_FOLD)
+    spaced = re.sub(f"({CJK_CLASS}+)", r" \1 ", folded.lower())
     toks = [t for t in re.split(TOKEN_SPLIT_RE_PY, spaced) if t]
     out: list[str] = []
     for t in toks:
@@ -117,7 +130,8 @@ def tokenize_py(text: str) -> list[str]:
 def sql_tokens_exact(c: str) -> str:
     # DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
     # default); the rewrite backreference is \1 (RE2), not Java's $1.
-    spaced = f"regexp_replace(lower({c}), '({CJK_CLASS}+)', ' \\1 ', 'g')"
+    folded = f"replace({c}, '{_I_DOT_FOLD[0]}', '{_I_DOT_FOLD[1]}')"
+    spaced = f"regexp_replace(lower({folded}), '({CJK_CLASS}+)', ' \\1 ', 'g')"
     base = f"list_filter(string_split_regex({spaced}, '{TOKEN_SPLIT_RE}'), t -> len(t) > 0)"
     big = "list_transform(range(1, len(t)), i -> substring(t, CAST(i AS INT), 2))"
     expand = (
@@ -143,8 +157,9 @@ def spark_sql_tokens_exact(c: str) -> str:
     surface's ck_tokens temp function — Spark SQL literals eat one level
     of backslash, so the split class is escape-doubled)."""
     split_sql = TOKEN_SPLIT_RE.replace(chr(92), chr(92) * 2)
+    folded = f"replace({c}, '{_I_DOT_FOLD[0]}', '{_I_DOT_FOLD[1]}')"
     return (
-        f"flatten(transform(filter(split(regexp_replace(lower({c}), "
+        f"flatten(transform(filter(split(regexp_replace(lower({folded}), "
         f"'({CJK_CLASS}+)', ' $1 '), '{split_sql}'), x -> length(x) > 0), "
         f"x -> CASE WHEN x RLIKE '^{CJK_CLASS}' AND length(x) >= 2 "
         f"THEN transform(sequence(1, length(x) - 1), i -> substring(x, i, 2)) "

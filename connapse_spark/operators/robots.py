@@ -329,8 +329,10 @@ def robots_filter_cogroup(
     def evaluate(url_pdf: pd.DataFrame, rules_pdf: pd.DataFrame) -> pd.DataFrame:
         if url_pdf.empty:
             return url_pdf.drop(columns=["_host"]).assign(allowed=pd.Series(dtype=bool))
+        # duplicate-host tables: MIN body wins, matching the join tier's
+        # groupBy dedup — never .iloc[0], whose row depends on shuffle order
         rules = (
-            parse_robots(rules_pdf["_robots"].iloc[0], user_agent)
+            parse_robots(rules_pdf["_robots"].min(), user_agent)
             if len(rules_pdf)
             else None
         )
@@ -400,26 +402,32 @@ def robots_delays(
     millions of hosts). One map-side Arrow pass over the robots table —
     the same group-selection rule as the gate (shared scanner), hosts
     lowered like the gate's join key. Hosts declaring no valid delay emit
-    no row. Duplicate-host tables collapse to the MIN delay per host
-    (deterministic, mirroring robots_filter_join's min-body dedup — one
-    row per host regardless of input multiplicity)."""
+    no row. Duplicate-host tables collapse to the MIN BODY per host
+    FIRST — the exact dedup robots_filter_join applies — and the delay
+    comes from that single surviving body, so a host's gate verdicts and
+    its pacing always derive from the SAME robots.txt (extracting the
+    min delay across all duplicate bodies would schedule a politeness no
+    single body ever declared)."""
+    rules = (
+        robots_df.select(
+            F.lower(F.col(host_col)).alias("host"),
+            F.col(body_col).alias("_robots"),
+        )
+        .groupBy("host")
+        .agg(F.min("_robots").alias("_robots"))
+    )
 
     def _extract(batches):
         for pdf in batches:
             hosts, delays = [], []
-            for h, body in zip(pdf[host_col], pdf[body_col]):
+            for h, body in zip(pdf["host"], pdf["_robots"]):
                 d = crawl_delay(body if isinstance(body, str) else "", user_agent)
                 if d is not None:
-                    hosts.append((h or "").lower())
+                    hosts.append(h)
                     delays.append(float(d))
             yield pd.DataFrame({"host": hosts, "declared_delay_s": delays})
 
-    raw = robots_df.select(host_col, body_col).mapInPandas(
-        _extract, "host string, declared_delay_s double"
-    )
-    return raw.groupBy("host").agg(
-        F.min("declared_delay_s").alias("declared_delay_s")
-    )
+    return rules.mapInPandas(_extract, "host string, declared_delay_s double")
 
 
 def robots_sitemaps(text: str) -> list[str]:

@@ -292,14 +292,19 @@ def test_robots_delays_distributed_extraction(spark):
             ("b.com", "User-agent: bot\nCrawl-delay: 5\nUser-agent: *\nCrawl-delay: 1\n"),
             ("c.com", "User-agent: *\nCrawl-delay: nonsense\n"),  # invalid → none
             ("d.com", "User-agent: *\nAllow: /\n"),               # none declared
-            ("dup.com", "User-agent: *\nCrawl-delay: 3\n"),
-            ("dup.com", "User-agent: *\nCrawl-delay: 7\n"),       # min wins
+            # duplicate host: the MIN BODY wins FIRST (matching the gate
+            # tiers' dedup), and the delay comes from that single body —
+            # here the min body ('...12') declares the LARGER delay, so
+            # 12.0 proves pacing derives from the same robots.txt the
+            # gate evaluates, not from min-across-bodies
+            ("dup.com", "User-agent: *\nCrawl-delay: 8\n"),
+            ("dup.com", "User-agent: *\nCrawl-delay: 12\n"),
         ],
         "host string, robots_txt string",
     )
     got = {r.host: r.declared_delay_s
            for r in robots_mod.robots_delays(robots_df, user_agent="bot").collect()}
-    assert got == {"a.com": 2.0, "b.com": 5.0, "dup.com": 3.0}
+    assert got == {"a.com": 2.0, "b.com": 5.0, "dup.com": 12.0}
 
 
 def test_crawl_schedule_freshness_orders_waves(spark):

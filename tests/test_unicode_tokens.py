@@ -37,6 +37,11 @@ CASES = [
     "!!! --- ???",
     "一",
     "中a文",
+    # U+0130 'İ' — the one one-to-many lowercase in the full Unicode case
+    # mapping; neutralized by the pre-fold so utf8proc (simple mapping)
+    # and Java/Python (full mapping) tokenize identically
+    "İstanbul ŞEHİR ılık",
+    "Diyarbakır İZMİR",
 ]
 
 

@@ -93,9 +93,12 @@ def test_domain_caps_two_phase_plan(spark):
     )
     plan = web.domain_caps(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2
-    # phase 1's Exchange hash-keys on BOTH domain and the shard column
+    # phase 1's Exchange hash-keys on TWO expressions (domain + shard);
+    # assert on argument arity, not Spark's internal alias spelling
     import re
-    assert re.search(r"hashpartitioning\(domain#\d+, _w\d+#\d+L?, \d+\)", plan), plan
+    partitionings = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    arities = sorted(len(p.split(", ")) for p in partitionings)
+    assert arities == [2, 3], partitionings  # [keys+numParts]: final=2, phase1=3
     single = web.domain_caps(df, pre_buckets=None)
     plan1 = single._jdf.queryExecution().executedPlan().toString()
     assert plan1.count("Exchange") == 1
