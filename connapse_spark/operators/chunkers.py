@@ -138,20 +138,31 @@ def _is_boundary(text: str, gap_start: int, gap_end: int) -> bool:
     if not m:
         return True
     word = m.group(1)
-    next_upper = bool(after) and after.isupper()
+    # an opening quote/bracket before an uppercase letter IS sentence-
+    # initial ('Apples, etc. "Then we left."' splits before the quote)
+    nxt2 = text[gap_end : gap_end + 2]
+    if nxt2 and nxt2[0] in "\"'“‘([" and len(nxt2) > 1:
+        next_upper = nxt2[1].isupper()
+    else:
+        next_upper = bool(after) and after.isupper()
     if word.endswith("..."):  # ellipsis continues unless a new sentence starts
         return next_upper
     if m.start() == 0 and gap_start > _GUARD_WINDOW:
         # window cut mid-word: a ≥256-char token can't be an abbreviation,
         # initial, or acronym — only the (already handled) ellipsis applies
         return True
-    tok = word.strip("'\"()[]“”‘’").rstrip(".").lower()
+    raw = word.strip("'\"()[]“”‘’").rstrip(".")
+    tok = raw.lower()
     if tok in _ABBREV_BEFORE_NUMBER and after.isdigit():
         return False
     if tok in _ABBREV_ALWAYS:
         return False
     if tok in _ABBREV_UNLESS_UPPER and not next_upper:
         return False
+    # the cased pronoun 'I' is never an initial ('It was I. He knew.'
+    # splits); a lowercase or dotted single letter still guards
+    if raw == "I":
+        return True
     if _ACRONYM_RE.match(tok):
         return False
     return True

@@ -304,6 +304,11 @@ def test_split_sentences_golden_rules():
     assert len(sents("Apples, pears, etc. Then we left.")) == 2    # etc.+Upper splits
     assert len(sents("John F. Kennedy spoke. He was brief.")) == 2 # initial joins
     assert len(sents("Mr. and Mrs. Smith arrived. Prof. Jones left.")) == 2
+    # r8 over-join fixes: the cased pronoun 'I' is not an initial, and an
+    # opening quote before an uppercase letter is sentence-initial
+    assert len(sents("It was I. He knew.")) == 2
+    assert len(sents('Apples, etc. "Then we left."')) == 2
+    assert len(sents("He said i. e. style markers stay joined.")) == 1
     # spans still tile the text in order (the C5/C6 offset contract)
     spans = split_sentences("A cat sat. It purred... then slept. Done!")
     assert [s for s, _, _ in spans] == ["A cat sat.", "It purred... then slept.", "Done!"]
