@@ -3054,6 +3054,24 @@ def q_pagerank(spark, sf_dir):
     return pr.orderBy("node")
 
 
+def q_pagerank_warm(spark, sf_dir):
+    """Incremental rank maintenance (links.pagerank_warm — VERDICT r7
+    ask #6): warm-starting from a prior rank vector must be the
+    arithmetic IDENTITY with continuing the cold iteration — warm(cold_3,
+    2 more) on the pinned 50-node graph equals cold_5, so the oracle is
+    the SAME unrolled 5-iteration SQL the cold entry pins. The prior
+    vector rides in UNrounded (a real deployment persists it full-width
+    in the snapshot layer and rounds only at serving)."""
+    from connapse_spark.operators import links as _links
+
+    edges = _pr_edges(_t(spark, sf_dir, "documents"), weighted=False)
+    prior = _links.pagerank(edges, n_iter=3, damping=_PR_DAMP, round_to=None)
+    warm = _links.pagerank_warm(
+        edges, prior, n_iter=_PR_ITER - 3, damping=_PR_DAMP, round_to=9
+    )
+    return warm.orderBy("node")
+
+
 def _sql_pagerank_unrolled(edges_sql: str, weighted: bool) -> str:
     """The k-iteration power loop as chained CTEs over an arbitrary
     (src, dst[, w]) edge query — the shared mirror for the unweighted and
@@ -4049,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_unicode": q_gopher_unicode,
         "minhash_unicode": q_minhash_unicode,
         "frontier_schedule_join": q_frontier_schedule_join,
+        "pagerank_warm": q_pagerank_warm,
         "frontier_schedule": q_frontier_schedule,
         "robots_sitemaps": q_robots_sitemaps,
         "redirect_edges": q_redirect_edges,
@@ -4411,6 +4430,9 @@ def oracle_sql() -> dict[str, str]:
         # the distributed tier must be row-identical to the dict tier on
         # the same pinned rule set — same oracle by construction
         "frontier_schedule_join": _sql_frontier_schedule(),
+        # warm(cold_3, 2) ≡ cold_5: the warm-start identity pins against
+        # the SAME unrolled 5-iteration SQL as the cold entry
+        "pagerank_warm": _sql_pagerank(),
         "robots_sitemaps": _sql_robots_sitemaps(),
         "redirect_edges": _sql_redirect_edges(),
         "resolve_revisits": _sql_resolve_revisits(),

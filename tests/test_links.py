@@ -307,6 +307,37 @@ def test_robots_delays_distributed_extraction(spark):
     assert got == {"a.com": 2.0, "b.com": 5.0, "dup.com": 12.0}
 
 
+def test_pagerank_warm_identity_and_delta(spark):
+    """warm(cold_j, k) must equal cold_{j+k} exactly (same step
+    arithmetic, prior unrounded), and a delta-grown graph warm-starts
+    with prior ranks for old nodes and 1/n for new ones."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    cold5 = {r.node: r.rank for r in links.pagerank(edges, n_iter=5).collect()}
+    prior = links.pagerank(edges, n_iter=3, round_to=None)
+    warm = {r.node: r.rank
+            for r in links.pagerank_warm(edges, prior, n_iter=2).collect()}
+    assert warm == cold5
+    # delta: a new node appears. The maintenance claim is that k warm
+    # iterations land CLOSER to the new fixed point than k cold ones
+    # (the iteration contracts at damping^k from wherever it starts, and
+    # the prior vector starts nearer) — assert exactly that, against a
+    # long cold run as the fixed-point proxy.
+    grown = edges.unionByName(
+        spark.createDataFrame([("e", "a"), ("c", "e")], "src string, dst string")
+    )
+    target = {r.node: r.rank for r in links.pagerank(grown, n_iter=20).collect()}
+    warm_g = {r.node: r.rank
+              for r in links.pagerank_warm(grown, prior, n_iter=4).collect()}
+    cold_g = {r.node: r.rank for r in links.pagerank(grown, n_iter=4).collect()}
+    assert set(warm_g) == set(target)  # new node 'e' present
+    resid_warm = sum(abs(warm_g[n_] - target[n_]) for n_ in target)
+    resid_cold = sum(abs(cold_g[n_] - target[n_]) for n_ in target)
+    assert resid_warm < resid_cold
+
+
 def test_crawl_schedule_freshness_orders_waves(spark):
     """Sitemap lastmod/changefreq/priority (r8 — VERDICT r7 missing #2)
     order fetches within a host: priority desc, then changefreq rank,
