@@ -1412,6 +1412,22 @@ def q_keyword_indexed(spark, sf_dir):
     return keyword_index.keyword_search_indexed(tokens, pe, ps, SEARCH_QUERY, k=20)
 
 
+def q_keyword_indexed_phrase(spark, sf_dir):
+    """Websearch (phrase + negation + OR) SERVED from the write-time
+    index (r8 — VERDICT r7 ask #8: the served tier lost phrase
+    semantics): posting lists screen candidates per OR-group, the stored
+    token arrays verify adjacency — zero corpus re-tokenize. The oracle
+    is the SCAN tier's own websearch SQL: the index is a physical
+    structure, so rows must be identical."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = keyword_index.build_token_table(docs).cache()
+    pe = keyword_index.build_postings(tokens, "tokens_exact")
+    ps = keyword_index.build_postings(tokens, "tokens_stemmed")
+    return keyword_index.keyword_search_websearch_indexed(
+        tokens, pe, ps, WEBSEARCH_QUERY, k=20
+    )
+
+
 def q_hybrid_indexed(spark, sf_dir):
     """hybrid_search SERVED from the posting-list keyword index (VERDICT r5
     ask #2): keyword candidates come from the write-time postings + token
@@ -4068,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_unicode": q_minhash_unicode,
         "frontier_schedule_join": q_frontier_schedule_join,
         "pagerank_warm": q_pagerank_warm,
+        "keyword_indexed_phrase": q_keyword_indexed_phrase,
         "frontier_schedule": q_frontier_schedule,
         "robots_sitemaps": q_robots_sitemaps,
         "redirect_edges": q_redirect_edges,
@@ -4433,6 +4450,12 @@ def oracle_sql() -> dict[str, str]:
         # warm(cold_3, 2) ≡ cold_5: the warm-start identity pins against
         # the SAME unrolled 5-iteration SQL as the cold entry
         "pagerank_warm": _sql_pagerank(),
+        # index-served websearch must be row-identical to the scan tier —
+        # the scan tier's own SQL is the oracle (id-aliased layout)
+        "keyword_indexed_phrase": sql_keyword_websearch(
+            WEBSEARCH_QUERY, k=20,
+            table="(SELECT doc_id AS id, text FROM documents)", id_col="id",
+        ),
         "robots_sitemaps": _sql_robots_sitemaps(),
         "redirect_edges": _sql_redirect_edges(),
         "resolve_revisits": _sql_resolve_revisits(),

@@ -125,6 +125,32 @@ def test_indexed_keyword_probe_plan_is_shuffle_free(spark, sf_dir):
     idx.unpersist()
 
 
+def test_websearch_indexed_matches_scan_tier(spark, sf_dir):
+    """r8 (VERDICT r7 ask #8): phrase/negation/OR websearch served from
+    the write-time index must be row-identical to the scan tier, and an
+    all-negated OR-group (not candidate-prunable) must refuse loudly
+    instead of downgrading silently."""
+    import pytest
+    from connapse_spark.operators import keyword_index
+    from connapse_spark.operators.search import keyword_search_websearch
+
+    docs = _docs(spark, sf_dir).limit(300)
+    idx = keyword_index.build_keyword_index(docs).persist()
+    q = '"table scan" fast -merge OR "fast merge"'
+    served = keyword_index.keyword_search_websearch_indexed(
+        idx.tokens, idx.postings_exact, idx.postings_stemmed, q, k=15
+    )
+    scan = keyword_search_websearch(docs, q, k=15)
+    assert [(r["id"], r["score"]) for r in served.collect()] == [
+        (r["doc_id"], r["score"]) for r in scan.collect()
+    ]
+    with pytest.raises(ValueError, match="positive term"):
+        keyword_index.keyword_search_websearch_indexed(
+            idx.tokens, idx.postings_exact, idx.postings_stemmed, "-merge", k=5
+        )
+    idx.unpersist()
+
+
 def test_broadcast_join_for_small_dimension(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     small = spark.createDataFrame([("src1",), ("src2",)], "source string")
