@@ -131,6 +131,14 @@ BENCH_QUERIES = [
     "anchor_text_agg",
     "web_noindex",
     "main_content",
+    # round-8: the distributed-robots schedule tier (same fixture as the
+    # dict-tier frontier_schedule row — the delta IS the tier cost), the
+    # warm-start rank refresh (cold_3 prior + 2 warm sweeps; compare
+    # against the 5-iteration pagerank row), and phrase websearch served
+    # from the write-time index (build included in-row, like its oracle)
+    "frontier_schedule_join",
+    "pagerank_warm",
+    "keyword_indexed_phrase",
 ]
 
 
@@ -151,6 +159,27 @@ def main():
     # representative query, then time the suite
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     qs["hybrid_cc"](spark, sf_dir).count()
+
+    # r8 noise sentinel (VERDICT r7 ask #7): a FIXED-COST row — one
+    # 32-task sum over a pinned range, pure stage-scheduling work —
+    # timed immediately after warmup and again after the whole suite.
+    # Identical work at both ends: a large spread or absolute value
+    # marks a host-contention window (this box's documented CPU-steal
+    # episodes), so every BENCH artifact carries its own contention
+    # evidence (read rule in BENCH_NOTES.md). Recorded as top-level
+    # JSON fields, EXCLUDED from value/total for round comparability.
+    def _sentinel() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(100_000, numPartitions=int(cpus)).selectExpr(
+                "sum(id)"
+            ).collect()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    sentinel_first = _sentinel()
+    print(f"# noise_sentinel_first: {sentinel_first:.3f}s", file=sys.stderr, flush=True)
     # best-of-2 per query: this box is a shared microVM with intermittent
     # host CPU steal (observed 10-50s stalls on otherwise-stable queries);
     # the min of two runs measures the engine, not the neighbor. The metric
@@ -394,6 +423,9 @@ def main():
     # line longer than the caller's tail window — so the final line printed
     # to stdout/stderr is a COMPACT summary only; the full per-query map
     # lives durably in BENCH_SELF.json next to this script.
+    sentinel_last = _sentinel()
+    print(f"# noise_sentinel_last: {sentinel_last:.3f}s", file=sys.stderr, flush=True)
+
     base = {
         "metric": (
             "headline query suite wall-clock"
@@ -403,6 +435,8 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "sf": sf,
+        "sentinel_first_s": sentinel_first,
+        "sentinel_last_s": sentinel_last,
     }
     payload = json.dumps({**base, "queries": timings})
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"), "w") as f:
