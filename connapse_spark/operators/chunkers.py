@@ -159,9 +159,11 @@ def _is_boundary(text: str, gap_start: int, gap_end: int) -> bool:
         return False
     if tok in _ABBREV_UNLESS_UPPER and not next_upper:
         return False
-    # the cased pronoun 'I' is never an initial ('It was I. He knew.'
-    # splits); a lowercase or dotted single letter still guards
-    if raw == "I":
+    # the cased pronoun 'I' is not an initial ('It was I. He knew.'
+    # splits) — UNLESS the next word is itself a dotted initial
+    # ('I. M. Pei' stays joined; over-joining beats splitting a name);
+    # a lowercase or dotted single letter still guards
+    if raw == "I" and not re.match(r"[A-Z]\.", text[gap_end : gap_end + 2]):
         return True
     if _ACRONYM_RE.match(tok):
         return False

@@ -480,8 +480,14 @@ def keyword_search_websearch_indexed(
         )
         cand = c if cand is None else cand.unionByName(c)
     te, ts = F.col("tokens_exact"), F.col("tokens_stemmed")
+    # no broadcast HINT on the candidate set: a high-df screen term can
+    # explode it to corpus scale, and a forced broadcast would collect
+    # that to the driver — AQE broadcasts while the measured size fits
+    # and falls back to a shuffled semi-join past that (the same
+    # no-forced-hints principle as the robots join tier). The semi-join
+    # is insensitive to duplicate candidate ids, so no distinct either.
     return (
-        tokens.join(F.broadcast(cand), "id", "left_semi")
+        tokens.join(cand, "id", "left_semi")
         .filter(websearch_match_expr(te, ts, groups))
         .select(F.col("id"), websearch_score_expr(te, ts, groups).alias("score"))
         .orderBy(F.desc("score"), F.col("id"))

@@ -331,8 +331,17 @@ def pagerank_warm(
     if n == 0:
         base.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
-    prior = prior_ranks.select(
-        F.col(node_col).alias("node"), F.col(rank_col).cast("double").alias("_prior")
+    # a prior assembled from snapshot files can carry duplicate node rows
+    # (base + delta overlap); an un-deduped left join would MULTIPLY base
+    # rows and silently double-count those nodes every sweep — collapse
+    # to the max rank per node (deterministic) before seeding
+    prior = (
+        prior_ranks.select(
+            F.col(node_col).alias("node"),
+            F.col(rank_col).cast("double").alias("_prior"),
+        )
+        .groupBy("node")
+        .agg(F.max("_prior").alias("_prior"))
     )
     seeded = base.join(prior, "node", "left").select(
         "node", "deg", F.coalesce(F.col("_prior"), F.lit(1.0 / n)).alias("rank")

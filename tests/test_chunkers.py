@@ -309,6 +309,9 @@ def test_split_sentences_golden_rules():
     assert len(sents("It was I. He knew.")) == 2
     assert len(sents('Apples, etc. "Then we left."')) == 2
     assert len(sents("He said i. e. style markers stay joined.")) == 1
+    # ...but 'I.' followed by another dotted initial is a NAME, not the
+    # pronoun — the initials sequence stays joined
+    assert len(sents("I. M. Pei designed it. He was famous.")) == 2
     # spans still tile the text in order (the C5/C6 offset contract)
     spans = split_sentences("A cat sat. It purred... then slept. Done!")
     assert [s for s, _, _ in spans] == ["A cat sat.", "It purred... then slept.", "Done!"]

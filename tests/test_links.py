@@ -320,6 +320,13 @@ def test_pagerank_warm_identity_and_delta(spark):
     warm = {r.node: r.rank
             for r in links.pagerank_warm(edges, prior, n_iter=2).collect()}
     assert warm == cold5
+    # duplicate prior rows (base+delta snapshot overlap) must not
+    # multiply base rows: dedup keeps max rank per node, output shape
+    # and identity preserved
+    dup_prior = prior.unionByName(prior)
+    warm_dup = links.pagerank_warm(edges, dup_prior, n_iter=2).collect()
+    assert len(warm_dup) == len(cold5)
+    assert {r.node: r.rank for r in warm_dup} == cold5
     # delta: a new node appears. The maintenance claim is that k warm
     # iterations land CLOSER to the new fixed point than k cold ones
     # (the iteration contracts at damping^k from wherever it starts, and

@@ -54,7 +54,10 @@ QUERIES = {
     # r8
     "frontier_schedule_join": "distributed robots tier: join gate + Arrow delay pass + freshness join",
     "pagerank_warm": "cold_3 prior + 2 warm sweeps (seed join + renorm + shared loop)",
-    "keyword_indexed_phrase": "websearch phrases served from postings + token-table verify (build in-row)",
+    # best-of-2 means run 2 reads the token-table cache the registry
+    # entry builds on run 1 — this row is the CACHED-probe (serve-tier)
+    # number, NOT build+probe; builds are the bench.py build rows
+    "keyword_indexed_phrase": "websearch phrases served from postings + token-table verify (cached probe)",
 }
 
 
