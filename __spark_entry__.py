@@ -1010,6 +1010,34 @@ def q_minhash_unicode(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_unicode_docs(spark, sf_dir), threshold=0.2)
 
 
+def q_gopher_multi(spark, sf_dir):
+    """Language-routed Gopher gate (textstats.gopher_filter_multi — r8):
+    the stopword rule takes the BEST count across all seven language
+    lists, and whole-script languages (CJK/Arabic/Cyrillic) pass it via
+    their script fraction — so the planted non-English rows can KEEP
+    where the English-only gate drops them. min_tokens lowered so the
+    short plants exercise the routed rules end to end."""
+    return textstats.gopher_filter_multi(
+        _unicode_docs(spark, sf_dir), min_tokens=8
+    )
+
+
+def q_hits_warm(spark, sf_dir):
+    """Warm-start HITS (links.hits_warm — the hub/authority twin of
+    pagerank_warm): warm(cold_1, 2 more) on the pinned 50-node graph
+    equals cold_3, so the oracle is the SAME unrolled 3-iteration SQL
+    the cold hits entry pins (every half-step is a pure function of the
+    previous vector; its own L1 normalization makes seeding mass
+    self-correcting)."""
+    from connapse_spark.operators import links as _links
+
+    edges = _pr_edges(_t(spark, sf_dir, "documents"), weighted=False)
+    prior = _links.hits(edges, n_iter=1, round_to=None)
+    return _links.hits_warm(edges, prior, n_iter=_HITS_ITER - 1, round_to=9).orderBy(
+        "node"
+    )
+
+
 def q_embed_quantized(spark, sf_dir):
     """Int8 scalar quantization round-trip: per-vector scale, code digests,
     and max reconstruction error (the 4x-memory index storage path)."""
@@ -4067,6 +4095,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "gopher_multi": q_gopher_multi,
+        "hits_warm": q_hits_warm,
         "keyword_unicode": q_keyword_unicode,
         "gopher_unicode": q_gopher_unicode,
         "minhash_unicode": q_minhash_unicode,
@@ -4250,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- by the committed full-gate run (CORRECTNESS_SELF.json).
     window = [
         "keyword_unicode", "gopher_unicode", "minhash_unicode",
+        "gopher_multi", "hits_warm",
         "frontier_schedule_join", "pagerank_warm", "keyword_indexed_phrase",
         "frontier_schedule", "crawl_frontier", "domain_caps",
         "pagerank", "pagerank_weighted", "hits",
@@ -4262,10 +4293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms", "top_bigrams", "dsir_weights", "perplexity",
         "language_id", "language_id_multi", "lang_mismatch",
         "minhash_lsh", "ngram_jaccard", "ngram_jaccard_prefix",
-        "simhash", "simhash_pairs", "line_dedup", "dup_spans",
+        "simhash", "line_dedup", "dup_spans",
         "fingerprint", "contamination",
         "chunk_semantic", "chunk_semantic_stddev", "chunk_semantic_gradient",
-        "chunk_sentence_aware", "chunk_doc_aware", "chunk_token_window",
+        "chunk_sentence_aware", "chunk_token_window",
     ]
     out = {k: base[k] for k in window}
     out.update({k: v for k, v in base.items() if k not in out})
@@ -4283,6 +4314,9 @@ def oracle_sql() -> dict[str, str]:
             UNICODE_QUERY, k=20, table=_sql_unicode_table()
         ),
         "gopher_unicode": textstats.sql_gopher_filter(table=_sql_unicode_table()),
+        "gopher_multi": textstats.sql_gopher_filter_multi(
+            min_tokens=8, table=_sql_unicode_table()
+        ),
         "minhash_unicode": dedup.sql_minhash_lsh_pairs(
             threshold=0.2, table=_sql_unicode_table()
         ),
@@ -4471,6 +4505,8 @@ def oracle_sql() -> dict[str, str]:
         # warm(cold_3, 2) ≡ cold_5: the warm-start identity pins against
         # the SAME unrolled 5-iteration SQL as the cold entry
         "pagerank_warm": _sql_pagerank(),
+        # warm(cold_1, 2) ≡ cold_3: same unrolled SQL as the cold hits entry
+        "hits_warm": _sql_hits_unrolled(),
         # index-served websearch must be row-identical to the scan tier —
         # the scan tier's own SQL is the oracle (id-aliased layout)
         "keyword_indexed_phrase": sql_keyword_websearch(

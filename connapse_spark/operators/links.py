@@ -397,6 +397,27 @@ def hits(
     scores = _step_checkpoint(nodes.select(
         "node", F.lit(1.0 / n).alias("authority"), F.lit(1.0 / n).alias("hub")
     ))
+    scores = _hits_iterate(nodes, edges, scores, n_iter)
+    nodes.unpersist()
+    return _hits_round(scores, round_to)
+
+
+def _hits_round(scores: DataFrame, round_to: int | None) -> DataFrame:
+    out = scores.select("node", "authority", "hub")
+    if round_to is not None:
+        out = out.select(
+            "node",
+            F.round("authority", round_to).alias("authority"),
+            F.round("hub", round_to).alias("hub"),
+        )
+    return out
+
+
+def _hits_iterate(
+    nodes: DataFrame, edges: DataFrame, scores: DataFrame, n_iter: int
+) -> DataFrame:
+    """The HITS power loop both the cold and warm entries share —
+    ``scores`` must carry (node, authority, hub) and be checkpointed."""
 
     def _half(edge_key: str, other_key: str, in_col: str, out_name: str):
         """One half-step: sum ``in_col`` of the ``edge_key`` endpoint onto
@@ -431,15 +452,51 @@ def hits(
         prev = scores
         scores = _step_checkpoint(scores.select("node", "authority").join(hub, "node"))
         _release_step(prev)
-    nodes.unpersist()
-    out = scores.select("node", "authority", "hub")
-    if round_to is not None:
-        out = out.select(
-            "node",
-            F.round("authority", round_to).alias("authority"),
-            F.round("hub", round_to).alias("hub"),
+    return scores
+
+
+def hits_warm(
+    edges: DataFrame,
+    prior_scores: DataFrame,
+    n_iter: int = 2,
+    round_to: int | None = 9,
+    node_col: str = "node",
+    authority_col: str = "authority",
+    hub_col: str = "hub",
+) -> DataFrame:
+    """Warm-start HITS (r8 — the hub/authority twin of
+    :func:`pagerank_warm`): seed the power loop from a persisted
+    (node, authority, hub) vector instead of uniform. New nodes start at
+    1/n, departed nodes drop, duplicate prior rows collapse to the max
+    per node (same snapshot-overlap hazard as pagerank_warm). No
+    renormalization is needed here: every HITS half-step L1-normalizes
+    its own output, so any seeding mass error vanishes within the first
+    half-step — and feeding back a same-graph vector is the arithmetic
+    identity warm(cold_j, k) ≡ cold_{j+k} (each half-step is a pure
+    function of the previous vector), which is the oracle contract."""
+    edges = edges.select("src", "dst")
+    nodes = _graph_nodes(edges).persist()
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return nodes.withColumn("authority", F.lit(0.0)).withColumn("hub", F.lit(0.0))
+    prior = (
+        prior_scores.select(
+            F.col(node_col).alias("node"),
+            F.col(authority_col).cast("double").alias("_pa"),
+            F.col(hub_col).cast("double").alias("_ph"),
         )
-    return out
+        .groupBy("node")
+        .agg(F.max("_pa").alias("_pa"), F.max("_ph").alias("_ph"))
+    )
+    seeded = nodes.join(prior, "node", "left").select(
+        "node",
+        F.coalesce(F.col("_pa"), F.lit(1.0 / n)).alias("authority"),
+        F.coalesce(F.col("_ph"), F.lit(1.0 / n)).alias("hub"),
+    )
+    scores = _hits_iterate(nodes, edges, _step_checkpoint(seeded), n_iter)
+    nodes.unpersist()
+    return _hits_round(scores, round_to)
 
 
 def anchor_text_agg(

@@ -651,6 +651,130 @@ FROM r
 """.strip()
 
 
+def gopher_filter_multi(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    max_tokens: int = 10000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 10.0,
+    min_distinct_ratio: float = 0.4,
+    min_stopwords: int = 2,
+    min_alpha_frac: float = 0.8,
+    script_threshold: float = 0.30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The language-routed Gopher gate (r8 — composes the Unicode
+    tokenizer with the r7 language machinery): :func:`gopher_filter`'s
+    stopword rule is English-only, so a fluent German or Russian page
+    fails it even though the rule's intent is "reads like natural
+    language". Here the stopword signal is the BEST count across every
+    LANG_STOPWORDS list (a doc matching any language's function words
+    passes — greatest() of per-language intersections, still one token
+    array scanned per list, map-side), and whole-script languages with
+    no stopword list (CJK / Arabic / Cyrillic via SCRIPT_RANGES) pass
+    the rule through their script fraction instead — the same
+    discriminator language_id_multi routes on. Every other rule is
+    gopher_filter's unchanged. Emits the routed signals
+    (n_stopwords_best, script_frac_max) so drops stay auditable."""
+    toks = tokens_exact_expr(F.col(text_col))
+    n = F.size(toks)
+    dn = F.greatest(n.cast("double"), F.lit(1.0))
+    mean_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
+        "double"
+    ) / dn
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / dn
+    n_stop_best = F.greatest(*[
+        F.size(F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        ))
+        for lang in sorted(LANG_STOPWORDS)
+    ])
+    nonws = F.length(F.regexp_replace(F.col(text_col), _NONWS_CLASS, ""))
+    script_frac_max = F.greatest(*[
+        F.when(
+            nonws > 0, F.regexp_count(F.col(text_col), F.lit(f"[{rng}]")) / nonws
+        ).otherwise(F.lit(0.0))
+        for _, rng in SCRIPT_RANGES
+    ])
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}"))).cast("double") / dn
+    r_len = (n >= min_tokens) & (n <= max_tokens)
+    r_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    r_div = distinct_ratio >= min_distinct_ratio
+    r_stop = (n_stop_best >= min_stopwords) | (script_frac_max >= script_threshold)
+    r_alpha = alpha_frac >= min_alpha_frac
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        n_stop_best.cast("long").alias("n_stopwords_best"),
+        F.round(script_frac_max, 9).alias("script_frac_max"),
+        r_len.alias("rule_length"),
+        r_mean.alias("rule_mean_len"),
+        r_div.alias("rule_diversity"),
+        r_stop.alias("rule_stopwords"),
+        r_alpha.alias("rule_alpha"),
+        (r_len & r_mean & r_div & r_stop & r_alpha).alias("keep"),
+    )
+
+
+def sql_gopher_filter_multi(
+    min_tokens: int = 30,
+    max_tokens: int = 10000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 10.0,
+    min_distinct_ratio: float = 0.4,
+    min_stopwords: int = 2,
+    min_alpha_frac: float = 0.8,
+    script_threshold: float = 0.30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    stops = ", ".join(
+        "len(list_intersect(list_distinct(ts), [{}]))".format(
+            ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        )
+        for lang in sorted(LANG_STOPWORDS)
+    )
+    sfracs = ", ".join(
+        f"CASE WHEN nonws > 0 THEN len(regexp_extract_all(txt, '[{rng}]')) / nonws ELSE 0.0 END"
+        for _, rng in SCRIPT_RANGES
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {text_col} AS txt,
+         {sql_tokens_exact(text_col)} AS ts,
+         length(regexp_replace({text_col}, '{_NONWS_CLASS}', '', 'g')) AS nonws
+  FROM {table}
+),
+m AS (
+  SELECT {id_col},
+         len(ts) AS n,
+         greatest(CAST(len(ts) AS DOUBLE), 1.0) AS dn,
+         CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE) AS lensum,
+         len(list_distinct(ts)) AS ndist,
+         greatest({stops}) AS nstop,
+         greatest({sfracs}) AS sfrac,
+         len(list_filter(ts, t -> regexp_matches(t, '\\p{{L}}'))) AS nalpha
+  FROM base
+),
+r AS (
+  SELECT {id_col},
+         CAST(n AS BIGINT) AS n_tokens,
+         CAST(nstop AS BIGINT) AS n_stopwords_best,
+         round(sfrac, 9) AS script_frac_max,
+         (n >= {min_tokens} AND n <= {max_tokens}) AS rule_length,
+         (lensum / dn >= {min_mean_len!r} AND lensum / dn <= {max_mean_len!r}) AS rule_mean_len,
+         (CAST(ndist AS DOUBLE) / dn >= {min_distinct_ratio!r}) AS rule_diversity,
+         (nstop >= {min_stopwords} OR sfrac >= {script_threshold!r}) AS rule_stopwords,
+         (CAST(nalpha AS DOUBLE) / dn >= {min_alpha_frac!r}) AS rule_alpha
+  FROM m
+)
+SELECT *, (rule_length AND rule_mean_len AND rule_diversity AND rule_stopwords AND rule_alpha) AS keep
+FROM r
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # Unigram token entropy
 # ---------------------------------------------------------------------------

@@ -319,6 +319,32 @@ def test_language_id_script_classes(spark):
     assert 0 < out[1]["frac_sc_kana"] < 1 and out[1]["frac_sc_han"] > 0
 
 
+def test_gopher_filter_multi_routes_languages(spark):
+    """r8: the stopword rule routes by best-matching language list or
+    script fraction — fluent non-English text passes where the
+    English-only gate drops it; gibberish still fails."""
+    from connapse_spark.operators.textstats import gopher_filter, gopher_filter_multi
+
+    docs = spark.createDataFrame(
+        [
+            (1, "der hund ist nicht mit der katze auf der wiese und das haus"),
+            (2, "Это русский текст для проверки качества письма и чтения слов"),
+            (3, "数据库查询优化与快速表扫描测试系统性能分析处理引擎高效执行"),
+            (4, "zxqv qwerty plugh xyzzy blorp frobnicate wibble wobble flux"),
+            (5, "the cat is on the mat and it was good for him to rest there"),
+        ],
+        "doc_id long, text string",
+    )
+    multi = {r["doc_id"]: r for r in gopher_filter_multi(docs, min_tokens=8).collect()}
+    mono = {r["doc_id"]: r for r in gopher_filter(docs, min_tokens=8).collect()}
+    assert multi[1]["rule_stopwords"] and not mono[1]["rule_stopwords"]  # de list
+    assert multi[2]["rule_stopwords"] and not mono[2]["rule_stopwords"]  # cyrillic script
+    assert multi[3]["rule_stopwords"] and not mono[3]["rule_stopwords"]  # han script
+    assert not multi[4]["rule_stopwords"]                                # gibberish fails
+    assert multi[5]["rule_stopwords"] and mono[5]["rule_stopwords"]      # en unchanged
+    assert multi[2]["script_frac_max"] > 0.9 and multi[3]["n_tokens"] > 8
+
+
 def test_rrf_rank_only_and_tags(spark):
     from connapse_spark.operators.search import fuse_rrf
 
