@@ -1837,6 +1837,130 @@ ORDER BY warc_file, record_idx
 """.strip()
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index over the WARC fixtures (sources/warc.py
+    cdx_index — the random-access structure Common Crawl publishes as its
+    url index): one row per response/revisit capture, keyed by SURT
+    urlkey + 14-digit timestamp, addressing the record by (filename,
+    offset, length). The parse facts (offsets, digests) are pinned
+    literals — the parse_warc discipline — but the urlkey and timestamp
+    are COMPUTED on both engines (web.surt_key_expr vs its DuckDB
+    mirror), so the canonicalization math is genuinely cross-checked.
+    A unit test (tests/test_warc_html.py) seeks every (offset, length)
+    back into the archive bytes and re-parses exactly one record."""
+    from connapse_spark.sources import warc as _warc
+
+    blobs = spark.createDataFrame(
+        _warc.fixture_warc_cdx(), "path string, content binary"
+    )
+    return _warc.cdx_index(blobs)
+
+
+# pinned raw facts of the pure located parser over the fixture bytes;
+# regenerate with tests/test_warc_html.py::test_cdx_oracle_constants
+_CDX_PINNED_ROWS = [
+        ("/fx/good.warc.gz", 409, 293, "https://a.example/", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "caf73b9e3e76ec9e"),
+        ("/fx/good.warc.gz", 702, 240, "https://a.example/missing", "2024-01-01T00:00:00Z", 404, "'text/plain'", "NULL", "283bb9deef02e684"),
+        ("/fx/good.warc.gz", 942, 243, "https://a.example/doc.pdf", "2024-01-01T00:00:00Z", 200, "'application/pdf'", "NULL", "932d2676c1e461ba"),
+        ("/fx/good.warc.gz", 1185, 252, "https://b.example/latin", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "0230b0c519322940"),
+        ("/fx/good.warc.gz", 1437, 250, "https://b.example/sniff", "2024-01-01T00:00:00Z", 200, "NULL", "NULL", "591e56cd9f73856c"),
+        ("/fx/good.warc.gz", 1687, 266, "https://b.example/meta-charset", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "f6162e02e03d4cec"),
+        ("/fx/good.warc.gz", 1953, 331, "https://c.example/chunked", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "caf73b9e3e76ec9e"),
+        ("/fx/good.warc.gz", 2284, 366, "https://c.example/gzipped", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "caf73b9e3e76ec9e"),
+        ("/fx/good.warc.gz", 2650, 391, "https://c.example/chunked-gzip", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "caf73b9e3e76ec9e"),
+        ("/fx/good.warc.gz", 3041, 357, "https://c.example/deflated", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "caf73b9e3e76ec9e"),
+        ("/fx/good.warc", 487, 396, "https://a.example/", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "caf73b9e3e76ec9e"),
+        ("/fx/good.warc", 887, 316, "https://a.example/missing", "2024-01-01T00:00:00Z", 404, "'text/plain'", "NULL", "283bb9deef02e684"),
+        ("/fx/good.warc", 1207, 324, "https://a.example/doc.pdf", "2024-01-01T00:00:00Z", 200, "'application/pdf'", "NULL", "932d2676c1e461ba"),
+        ("/fx/good.warc", 1535, 325, "https://b.example/latin", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "0230b0c519322940"),
+        ("/fx/good.warc", 1864, 298, "https://b.example/sniff", "2024-01-01T00:00:00Z", 200, "NULL", "NULL", "591e56cd9f73856c"),
+        ("/fx/good.warc", 2166, 350, "https://b.example/meta-charset", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "f6162e02e03d4cec"),
+        ("/fx/good.warc", 2520, 438, "https://c.example/chunked", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "caf73b9e3e76ec9e"),
+        ("/fx/good.warc", 2962, 431, "https://c.example/gzipped", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "caf73b9e3e76ec9e"),
+        ("/fx/good.warc", 3397, 460, "https://c.example/chunked-gzip", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "caf73b9e3e76ec9e"),
+        ("/fx/good.warc", 3861, 423, "https://c.example/deflated", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "caf73b9e3e76ec9e"),
+        ("/fx/mixed.warc", 0, 396, "https://a.example/", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "caf73b9e3e76ec9e"),
+        ("/fx/mixed.warc", 724, 316, "https://a.example/missing", "2024-01-01T00:00:00Z", 404, "'text/plain'", "NULL", "283bb9deef02e684"),
+        ("/fx/trunc.warc", 0, 380, "https://a.example/", "2024-01-01T00:00:00Z", 200, "'text/html'", "NULL", "d948af4674bba925"),
+        ("/fx/surt.warc.gz", 0, 278, "https://www.Example.COM:8443/A/b?b=2&utm_source=x&a=1", "2025-03-04T05:06:07Z", 200, "'text/html'", "NULL", "df5ddd75e1e0e3fe"),
+        ("/fx/surt.warc.gz", 278, 250, "http://example.com:80/", "2024-12-31T23:59:59Z", 200, "'text/html'", "NULL", "b8fa62ed9cd18a77"),
+        ("/fx/surt.warc.gz", 528, 240, "https://www2.News.example/Path/", "2024-06-01T00:00:00Z", 301, "'text/html'", "NULL", "e3b0c44298fc1c14"),
+        ("/fx/surt.warc.gz", 768, 234, "https://www.com/x", "2024-01-02T03:04:05Z", 200, "'text/plain'", "NULL", "2d711642b726b044"),
+        ("/fx/surt.warc.gz", 1002, 284, "https://a.example/", "2024-02-02T02:02:02Z", 200, "'warc/revisit'", "'sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ'", "e3b0c44298fc1c14"),
+]
+
+
+def _sql_cdx_index() -> str:
+    from connapse_spark.operators.web import sql_surt_key
+
+    values = ",\n  ".join(
+        f"('{p}', {off}, {ln}, '{u}', '{d}', {s}, {m}, {dg}, '{ps}')"
+        for p, off, ln, u, d, s, m, dg, ps in _CDX_PINNED_ROWS
+    )
+    return f"""
+WITH raw(filename, off, length, url, warc_date, http_status, mime, declared_digest, payload_sha) AS (
+  VALUES
+  {values}
+)
+SELECT {sql_surt_key('url')} AS urlkey,
+       substr(regexp_replace(warc_date, '[^0-9]', '', 'g'), 1, 14) AS cdx_ts,
+       url, mime, CAST(http_status AS INTEGER) AS status,
+       COALESCE(declared_digest, 'sha256:' || payload_sha) AS digest,
+       CAST(length AS BIGINT) AS length, CAST(off AS BIGINT) AS "offset", filename
+FROM raw
+ORDER BY urlkey, cdx_ts, filename, "offset"
+""".strip()
+
+
+def q_image_neardup(spark, sf_dir):
+    """Perceptual image near-dup (operators/multimodal.py
+    image_neardup_pairs — the multimodal half of the dedup story): real
+    PNG decode → 64-bit average-hash → banded Hamming pairs
+    (dedup.hash_neardup_pairs, the simhash kernel generalized). The
+    fixture plants variants of each base image with exactly j+1 blocks
+    flipped, so the expected pairs land at Hamming 1..6. The oracle pins
+    the aHash values (the decode is not SQL) but MIRRORS the banding +
+    XOR/bit_count math — a banding bug diverges the engines."""
+    from connapse_spark.operators import multimodal as _mm
+
+    media = spark.createDataFrame(
+        _mm.fixture_near_dup_images(), "media_id long, content binary"
+    )
+    return _long(_mm.image_neardup_pairs(media, max_hamming=6), "hamming")
+
+
+# pinned signed-64 aHash values of fixture_near_dup_images; regenerate with
+# tests/test_round3.py::test_image_neardup_oracle_constants
+_IMAGE_NEARDUP_PINNED = [
+    (0, -136998427313824816),
+    (1, -8174394161141101218),
+    (2, -9051008759945720911),
+    (3, 3051582096015079234),
+    (4, 541663387646154536),
+    (5, 2226213398553542699),
+    (6, 1229435169259443149),
+    (7, 7345740872873009954),
+    (8, -7054133769192093213),
+    (9, 8815222665885571401),
+    (100, -1289919931920671792),
+    (101, -7057501453553218210),
+    (102, -7863184358226752591),
+    (103, 4241623113175643970),
+    (104, 1657464280187655976),
+    (105, 1036171247521611819),
+]
+
+
+def _sql_image_neardup() -> str:
+    values = ", ".join(
+        f"(CAST({mid} AS BIGINT), CAST({v} AS BIGINT))"
+        for mid, v in _IMAGE_NEARDUP_PINNED
+    )
+    return dedup.sql_hash_neardup_pairs(
+        f"SELECT id, h FROM (VALUES {values}) t(id, h)", bits=64, max_hamming=6
+    )
+
+
 def q_html_extract(spark, sf_dir):
     """HTML → text with boilerplate stripping (operators/htmltext.py):
     wrap every document's text in a deterministic page template (title +
@@ -2379,6 +2503,62 @@ SELECT * FROM (
          NULL, NULL, NULL
   FROM documents
 ) ORDER BY sitemap_url, loc
+""".strip()
+
+
+def q_frontier_delta(spark, sf_dir):
+    """Incremental frontier (operators/links.frontier_delta): discovered
+    URLs screened against the crawl ledger on the CANONICAL key — ledger
+    entries carry different tracking params than today's discovery, so a
+    raw-url comparison would re-crawl every page; the canonical anti-join
+    must see through them. The batch also plants same-page variants of
+    its own (doc_id % 7 == 1 twice with different click params) so the
+    within-batch collapse is exercised. Oracle: the same canonicalize +
+    group + ANTI JOIN arithmetic in SQL."""
+    from connapse_spark.operators import links as _links
+
+    docs = _t(spark, sf_dir, "documents")
+    discovered = docs.select(_url_col().alias("url")).unionByName(
+        docs.filter(F.col("doc_id") % 7 == 1).select(
+            F.concat(
+                _url_col(),
+                F.when(F.col("doc_id") % 5 == 3, F.lit("?gclid=dup"))
+                .otherwise(F.lit("&gclid=dup")),
+            ).alias("url")
+        )
+    )
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            _url_col(),
+            F.when(F.col("doc_id") % 5 == 3, F.lit("?fbclid=zz"))
+            .otherwise(F.lit("&utm_campaign=w")),
+        ).alias("url")
+    )
+    return _links.frontier_delta(discovered, seen).orderBy("canonical_url")
+
+
+def _sql_frontier_delta() -> str:
+    from connapse_spark.operators.web import sql_canonical_url
+
+    dup_suffix = "CASE WHEN doc_id % 5 = 3 THEN '?gclid=dup' ELSE '&gclid=dup' END"
+    seen_suffix = "CASE WHEN doc_id % 5 = 3 THEN '?fbclid=zz' ELSE '&utm_campaign=w' END"
+    return f"""
+WITH discovered AS (
+  SELECT {_SQL_URL} AS url FROM documents
+  UNION ALL
+  SELECT ({_SQL_URL} || {dup_suffix}) AS url FROM documents WHERE doc_id % 7 = 1
+),
+seen AS (
+  SELECT ({_SQL_URL} || {seen_suffix}) AS url FROM documents WHERE doc_id % 3 = 0
+),
+d AS (
+  SELECT {sql_canonical_url('url')} AS canonical_url, min(url) AS url
+  FROM discovered GROUP BY 1
+),
+s AS (SELECT DISTINCT {sql_canonical_url('url')} AS canonical_url FROM seen)
+SELECT url, canonical_url
+FROM d ANTI JOIN s USING (canonical_url)
+ORDER BY canonical_url
 """.strip()
 
 
@@ -4119,6 +4299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_token_window": q_chunk_token_window,
         "language_id_multi": q_language_id_multi,
         "parse_warc": q_parse_warc,
+        "cdx_index": q_cdx_index,
+        "image_neardup": q_image_neardup,
         "html_extract": q_html_extract,
         "html_meta": q_html_meta,
         "canonical_dedup": q_canonical_dedup,
@@ -4133,6 +4315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,
         "sitemap_urls": q_sitemap_urls,
         "crawl_frontier": q_crawl_frontier,
+        "frontier_delta": q_frontier_delta,
         "parser_dispatch": q_parser_dispatch,
         "hybrid_ann": q_hybrid_ann,
         "hybrid_ann_probe": q_hybrid_ann_probe,
@@ -4279,6 +4462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- the window keeps its previous relative order and is covered
     # --- by the committed full-gate run (CORRECTNESS_SELF.json).
     window = [
+        "cdx_index", "image_neardup", "frontier_delta",
         "keyword_unicode", "gopher_unicode", "minhash_unicode",
         "gopher_multi", "hits_warm",
         "frontier_schedule_join", "pagerank_warm", "keyword_indexed_phrase",
@@ -4522,6 +4706,8 @@ def oracle_sql() -> dict[str, str]:
         "main_content": _sql_main_content(),
         "html_adversarial": _sql_html_adversarial(),
         "parse_warc": _sql_parse_warc(),
+        "cdx_index": _sql_cdx_index(),
+        "image_neardup": _sql_image_neardup(),
         "html_extract": _sql_html_extract(),
         "html_meta": _sql_html_meta(),
         "canonical_dedup": _sql_canonical_dedup(),
@@ -4536,6 +4722,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate": _sql_robots_gate(),
         "sitemap_urls": _sql_sitemap_urls(),
         "crawl_frontier": _sql_crawl_frontier(),
+        "frontier_delta": _sql_frontier_delta(),
         "url_canonicalize": _sql_url_canonicalize(),
         "domain_caps": _sql_domain_caps(),
         "domain_stats": _sql_domain_stats(),

@@ -142,6 +142,13 @@ BENCH_QUERIES = [
     # poison; found in the r8 review wave).
     "frontier_schedule_join",
     "pagerank_warm",
+    # r8 second wave: the CDX capture index (fixture archives through the
+    # located parser + SURT column math), perceptual image near-dup
+    # (PNG decode → aHash → banded Hamming), and the crawl-ledger screen
+    # (canonical-key anti-join over the sf corpus URL table)
+    "cdx_index",
+    "image_neardup",
+    "frontier_delta",
 ]
 
 

@@ -549,26 +549,57 @@ def simhash_neardup_pairs(
             f"max_hamming must be in [0, {SIMHASH_BITS - 1}] "
             f"(got {max_hamming}: {max_hamming + 1} bands over {SIMHASH_BITS} bits)"
         )
-    nb = max_hamming + 1
-    width = SIMHASH_BITS // nb
-    mask = (1 << width) - 1
     # persisted: both sides of the self-join share this lineage, and the
     # fingerprint is sha256-per-token — the expensive half of the operator
     fp = _simhash_df(docs, id_col, text_col).persist()
+    return hash_neardup_pairs(
+        fp, "simhash", bits=SIMHASH_BITS, max_hamming=max_hamming, id_col=id_col
+    )
+
+
+def hash_neardup_pairs(
+    df: DataFrame,
+    hash_col: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The banded-Hamming pair kernel over ANY precomputed integer
+    fingerprint column (r8 — simhash's banding exposed for external
+    fingerprint families; first consumer:
+    ``multimodal.image_neardup_pairs``'s 64-bit perceptual hashes). Same
+    pigeonhole exactness as simhash: ``max_hamming + 1`` bit bands, two
+    hashes within distance d must agree on ≥1 band, candidate self-join
+    on (band, val), integer XOR/bit_count verify. Works on full signed
+    64-bit fingerprints: band extraction masks after the shift, so
+    logical (Spark) and arithmetic (DuckDB mirror) shifts agree — the
+    fill bits land above the mask.
+
+    Persist ``df`` upstream when the fingerprint is expensive — both
+    sides of the self-join read it."""
+    if not 0 <= max_hamming < bits:
+        raise ValueError(
+            f"max_hamming must be in [0, {bits - 1}] "
+            f"(got {max_hamming}: {max_hamming + 1} bands over {bits} bits)"
+        )
+    nb = max_hamming + 1
+    width = bits // nb
+    mask = (1 << width) - 1
     band_keys = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), b * width)
+                F.shiftrightunsigned(F.col(hash_col), b * width)
                 .bitwiseAND(F.lit(mask))
                 .alias("val"),
             )
             for b in range(nb)
         ]
     )
-    banded = fp.select(
-        F.col(id_col).alias("id"), "simhash", F.explode(band_keys).alias("bk")
-    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    banded = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("_h"),
+        F.explode(band_keys).alias("bk"),
+    ).select("id", "_h", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
     cand = (
         banded.alias("a")
         .join(
@@ -580,8 +611,8 @@ def simhash_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("_sa"),
-            F.col("b.simhash").alias("_sb"),
+            F.col("a._h").alias("_sa"),
+            F.col("b._h").alias("_sb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -591,6 +622,32 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def sql_hash_neardup_pairs(
+    source_sql: str, bits: int = 64, max_hamming: int = 3
+) -> str:
+    """DuckDB mirror of :func:`hash_neardup_pairs`. ``source_sql`` must
+    select ``(id, h)``; the banding/verify arithmetic is shared with the
+    simhash mirror (arithmetic-shift fill masks off identically)."""
+    nb = max_hamming + 1
+    width = bits // nb
+    mask = (1 << width) - 1
+    return f"""
+WITH fp AS MATERIALIZED ({source_sql}),
+banded AS MATERIALIZED (
+  SELECT id, h, b.band AS band, (h >> (b.band * {width})) & {mask} AS val
+  FROM fp, (SELECT unnest(range(0, {nb})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS sa, b.h AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.val = b.val AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+ORDER BY id_a, id_b
+""".strip()
 
 
 def sql_simhash_neardup_pairs(

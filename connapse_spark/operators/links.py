@@ -631,6 +631,48 @@ def sitemap_urls(df: DataFrame, url_col: str = "url", xml_col: str = "text") -> 
     return df.select(url_col, xml_col).mapInPandas(_parse, SITEMAP_SCHEMA)
 
 
+def frontier_delta(
+    discovered: DataFrame,
+    seen: DataFrame,
+    url_col: str = "url",
+    seen_url_col: str | None = None,
+) -> DataFrame:
+    """Incremental frontier (r8 — closes the crawl LOOP the same way
+    ``dedup.incremental_neardup_pairs`` closes the dedup loop): today's
+    discovered URLs screened against the persisted crawl ledger, both
+    sides keyed by the CANONICAL url (``web.canonical_url_expr`` — a
+    tracking-param or default-port variant of a crawled page is not a
+    new page). Within the batch, variants of one canonical key collapse
+    to the lexicographically-first raw url (a deterministic partial-agg
+    ``min``, never a window over the whole batch). Returns
+    (url, canonical_url) rows for URLs the crawl has never fetched —
+    feed them to :func:`crawl_frontier` / :func:`crawl_schedule`, and
+    append the fetched ones to the ledger (the snapshot layer's append
+    commit) when the wave completes.
+
+    Scale: the ledger side reduces to a distinct key-only projection
+    before the anti-join, so a multi-year 10^10-row ledger moves one
+    string column through the shuffle; the discovered side's dedup is a
+    map-side partial aggregate. Both keys come off the same expression,
+    so AQE can pick broadcast vs shuffled anti-join by measured size."""
+    from connapse_spark.operators.web import canonical_url_expr
+
+    seen_url_col = seen_url_col or url_col
+    seen_keys = seen.select(
+        canonical_url_expr(F.col(seen_url_col)).alias("canonical_url")
+    ).distinct()
+    return (
+        discovered.select(
+            F.col(url_col).alias("url"),
+            canonical_url_expr(F.col(url_col)).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(F.min("url").alias("url"))
+        .join(seen_keys, "canonical_url", "left_anti")
+        .select("url", "canonical_url")
+    )
+
+
 def crawl_frontier(
     urls: DataFrame,
     robots: dict[str, str],

@@ -474,6 +474,62 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
 
 
+def image_neardup_pairs(
+    media: DataFrame, max_hamming: int = 6, id_col: str = "media_id"
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs (r8 — the multimodal twin of
+    ``dedup.simhash_neardup_pairs``, closing the image half of the dedup
+    story): decode → real 64-bit average-hash
+    (:func:`extract_image_features`) → banded Hamming candidate join →
+    XOR/bit_count verify (``dedup.hash_neardup_pairs``). Rows whose
+    decode errored (empty phash) drop before banding. The decode is the
+    expensive half, so the fingerprint frame persists; past it the plan
+    is integer-only — at 100 TB the pair search never touches pixels
+    again, exactly the simhash discipline. Output: (id_a, id_b, hamming).
+    """
+    from connapse_spark.operators.dedup import hash_neardup_pairs
+
+    feats = extract_image_features(media).filter(F.col("phash") != "")
+    hi = F.conv(F.substring("phash", 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring("phash", 9, 8), 16, 10).cast("long")
+    fp = feats.select(
+        F.col(id_col), F.shiftleft(hi, 32).bitwiseOR(lo).alias("ahash")
+    ).persist()
+    return hash_neardup_pairs(
+        fp, "ahash", bits=64, max_hamming=max_hamming, id_col=id_col
+    )
+
+
+def fixture_near_dup_images(n_base: int = 10, n_variant: int = 6) -> list[tuple[int, bytes]]:
+    """Deterministic PNG corpus with PLANTED near-duplicates for the
+    image_neardup oracle: each base ``i`` is an 8×8 grid of clearly
+    dark/bright 4×4 blocks (so every aHash bit is decided by its own
+    block, far from the mean), variant ``100 + j`` copies base ``j`` with
+    exactly ``j+1`` blocks flipped to the other side — aHash Hamming
+    distance exactly j+1 — and distinct bases differ in ~32 bits, far
+    past any sane threshold. Ids are ints (the media table's key type)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    out, bases = [], []
+
+    def _png(blocks) -> bytes:
+        arr = np.kron(blocks, np.ones((4, 4))).astype(np.uint8)
+        return encode_png(np.stack([arr, arr, arr], axis=-1))
+
+    for i in range(n_base):
+        blocks = rng.choice(np.array([40, 215]), size=(8, 8))
+        bases.append(blocks)
+        out.append((i, _png(blocks)))
+    for j in range(n_variant):
+        blocks = bases[j % n_base].copy()
+        for k in range(j + 1):  # flip exactly j+1 distinct blocks
+            y, x = divmod((5 * k + 3) % 64, 8)
+            blocks[y, x] = 40 if blocks[y, x] == 215 else 215
+        out.append((100 + j, _png(blocks)))
+    return out
+
+
 def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize stage (PNG inputs decode real and re-encode PPM too).
     REAL nearest-neighbor resize + PPM re-encode for

@@ -121,6 +121,72 @@ def sql_canonical_url(url: str) -> str:
     return f"({scheme} || '://' || {host} || {port_part} || {path_part} || {q_part})"
 
 
+def surt_key_expr(url: Column) -> Column:
+    """SURT urlkey (Sort-friendly URI Reordering Transform — the sort key
+    of WARC capture indexes: Common Crawl's url index and every CDX(J)
+    server key rows this way, so one site's captures form one contiguous
+    key range a reader can range-scan). The IA/pywb canonicalization
+    flavor, documented here as the contract:
+
+    - host labels reversed and comma-joined (``example.com`` →
+      ``com,example``); a leading ``www``/``www2``/… label drops when a
+      dot remains, so www.example.com and example.com share a key
+      (``www.com`` itself keeps its label — stripping would leave a
+      bare TLD);
+    - non-default port kept as ``:port`` after the reversed host;
+    - ``)`` opens the lowercased path (``/`` when empty);
+    - query lowercased, then tracking params stripped and the survivors
+      sorted — the same cleaning as :func:`canonical_url_expr`, so the
+      two keys agree on what a "same page" is.
+
+    ``https://www.Example.COM:8443/A/b?b=2&a=1`` →
+    ``com,example:8443)/a/b?a=1&b=2``. Pure JVM column math; the DuckDB
+    mirror (:func:`sql_surt_key`) is built from the same parts."""
+    scheme = F.lower(url_part(url, 1))
+    host0 = host_expr(url)
+    stripped = F.regexp_replace(host0, r"^www[0-9]*\.", "")
+    host = F.when(stripped.contains("."), stripped).otherwise(host0)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    port = url_part(url, 3)
+    default_port = (
+        F.when(scheme == "http", F.lit("80"))
+        .when(scheme == "https", F.lit("443"))
+        .when(scheme == "ftp", F.lit("21"))
+        .otherwise(F.lit(""))
+    )
+    port_part = F.when(
+        (port == "") | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.lower(url_part(url, 4))
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    q = clean_query_expr(F.lower(url_part(url, 5)))
+    q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    return F.concat(rev, port_part, F.lit(")"), path_part, q_part)
+
+
+def sql_surt_key(url: str) -> str:
+    scheme = f"lower({sql_url_part(url, 1)})"
+    h0 = sql_host(url)
+    # anchored pattern: replace-first (DuckDB default) == replace-all (Spark)
+    stripped = f"regexp_replace({h0}, '^www[0-9]*\\.', '')"
+    host = f"CASE WHEN contains({stripped}, '.') THEN {stripped} ELSE {h0} END"
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    port = sql_url_part(url, 3)
+    default_port = (
+        f"CASE {scheme} WHEN 'http' THEN '80' WHEN 'https' THEN '443' "
+        f"WHEN 'ftp' THEN '21' ELSE '' END"
+    )
+    port_part = (
+        f"CASE WHEN {port} = '' OR {port} = {default_port} THEN '' "
+        f"ELSE ':' || {port} END"
+    )
+    path = f"lower({sql_url_part(url, 4)})"
+    path_part = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    q = sql_clean_query(f"lower({sql_url_part(url, 5)})")
+    q_part = f"CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END"
+    return f"({rev} || {port_part} || ')' || {path_part} || {q_part})"
+
+
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-row URL normalization + registered domain: map-side only
     (whole-stage codegen), no shuffle — at 100 TB this rides the scan."""

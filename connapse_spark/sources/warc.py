@@ -156,6 +156,17 @@ def _iter_gzip_members(blob: bytes):
     memory stays O(largest member). Tolerates trailing garbage after the
     last complete member and a truncated final member (its good prefix
     is yielded)."""
+    for _off, _ln, chunk in _iter_gzip_members_located(blob):
+        yield chunk
+
+
+def _iter_gzip_members_located(blob: bytes):
+    """Yield ``(offset, compressed_length, decompressed_bytes)`` per
+    non-empty gzip member — the record addressing unit of the CC layout
+    (one record per member, so the member span IS the record's file
+    address). Tolerance contract: trailing garbage stops iteration, a
+    truncated final member yields its good prefix (addressed as the
+    remaining tail), complete empty members are consumed silently."""
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
@@ -163,17 +174,34 @@ def _iter_gzip_members(blob: bytes):
             chunk = d.decompress(blob[pos:])
         except zlib.error:
             return
-        if chunk:
-            yield chunk
         if not d.eof:  # truncated final member
+            if chunk:
+                yield pos, len(blob) - pos, chunk
             return
         consumed = len(blob) - pos - len(d.unused_data)
         if consumed <= 0:
             return
+        if chunk:
+            yield pos, consumed, chunk
         pos += consumed
 
 
-def iter_warc_records(blob: bytes):
+def iter_warc_records_located(blob: bytes):
+    """Like :func:`iter_warc_records`, but each record also carries
+    ``(offset, length)`` addressing it in the ARCHIVE FILE — the pair a
+    CDX reader seeks to and reads: for the gzip CC layout the compressed
+    member's span (one record per member by construction; should a member
+    carry several records they share its span), for plain archives the
+    record's own decompressed byte span (magic → payload end)."""
+    if blob[:2] == b"\x1f\x8b":
+        for moff, mlen, raw in _iter_gzip_members_located(blob):
+            for h, p, w in iter_warc_records(raw):
+                yield h, p, w, moff, mlen
+    else:
+        yield from iter_warc_records(blob, with_spans=True)
+
+
+def iter_warc_records(blob: bytes, with_spans: bool = False):
     """Yield ``(headers: dict, payload: bytes, warning: str|None)`` per
     record. Accepts plain or gzip'ed (multi-member) archives and both CRLF
     and bare-LF header line endings. Malformed records (bad/missing
@@ -184,13 +212,23 @@ def iter_warc_records(blob: bytes):
 
     Gzip members decompress INCREMENTALLY into a working buffer that is
     compacted as records are consumed — plaintext memory stays
-    O(largest record), not O(archive) (a 1 GB CC file is ~4 GB raw)."""
+    O(largest record), not O(archive) (a 1 GB CC file is ~4 GB raw).
+
+    ``with_spans=True`` appends ``(offset, length)`` to each tuple — the
+    record's byte span in the DECOMPRESSED stream (magic → payload end,
+    trailing blank lines excluded). Meaningful as a file address only for
+    plain archives; the gzip CC layout addresses by member instead
+    (:func:`iter_warc_records_located`)."""
     if blob[:2] == b"\x1f\x8b":
         members = _iter_gzip_members(blob)
     else:
         members = iter((blob,))
     buf = bytearray()
     eof = False
+    base = 0  # bytes compacted away — absolute offset = base + buffer pos
+
+    def _emit(h, p, w, off, ln):
+        return (h, p, w, off, ln) if with_spans else (h, p, w)
 
     def fill() -> bool:
         nonlocal eof
@@ -206,6 +244,7 @@ def iter_warc_records(blob: bytes):
     pos, pending_warning = 0, None
     while True:
         if pos > (1 << 20):  # compact consumed prefix
+            base += pos
             del buf[:pos]
             pos = 0
         # the two blank lines that terminate the previous record (ISO 28500
@@ -223,7 +262,7 @@ def iter_warc_records(blob: bytes):
                 break
         if start < 0:
             if pending_warning:
-                yield {}, b"", pending_warning
+                yield _emit({}, b"", pending_warning, base + pos, 0)
             return
         if start > pos and pending_warning is None:
             pending_warning = f"skipped {start - pos} stray bytes at {pos}"
@@ -235,7 +274,10 @@ def iter_warc_records(blob: bytes):
             if ends or not fill():
                 break
         if not ends:
-            yield {}, b"", pending_warning or "truncated header block"
+            yield _emit(
+                {}, b"", pending_warning or "truncated header block",
+                base + start, len(buf) - start,
+            )
             return
         hdr_end = min(ends)
         sep = 4 if hdr_end == hdr_end_crlf else 2
@@ -257,12 +299,17 @@ def iter_warc_records(blob: bytes):
             pass
         payload = bytes(buf[body_start : body_start + length])
         if len(payload) < length:
-            yield headers, payload, "truncated payload (archive cut short)"
+            yield _emit(
+                headers, payload, "truncated payload (archive cut short)",
+                base + start, len(buf) - start,
+            )
             return
         # a carried warning describes an EARLIER record's corruption, not
         # this one — prefix it so filters can tell the two apart
-        yield headers, payload, (
-            PRIOR_WARNING_PREFIX + pending_warning if pending_warning else None
+        yield _emit(
+            headers, payload,
+            PRIOR_WARNING_PREFIX + pending_warning if pending_warning else None,
+            base + start, body_start + length - start,
         )
         pending_warning = None
         pos = body_start + length
@@ -648,6 +695,181 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     listing/distribution via binaryFile, record parsing via warc_records."""
     blobs = spark.read.format("binaryFile").load(path_glob)
     return warc_records(blobs)
+
+
+# ---------------------------------------------------------------------------
+# CDX capture index (the random-access structure over a WARC corpus)
+# ---------------------------------------------------------------------------
+
+CDX_RAW_SCHEMA = (
+    "filename string, offset bigint, length bigint, url string, "
+    "warc_date string, http_status int, mime string, "
+    "declared_digest string, payload_sha string"
+)
+
+
+def cdx_records(binary_df: DataFrame) -> DataFrame:
+    """Raw per-capture facts for the CDX index: response + revisit records
+    only (the capture types a replay index addresses), HTTP envelope split
+    and payload codings decoded so ``payload_sha`` digests what a reader
+    actually gets back. ``offset``/``length`` address the record in the
+    archive file (compressed member span in the gzip CC layout, raw record
+    span in plain archives — :func:`iter_warc_records_located`). Map-side
+    Arrow pass over binaryFile rows, no shuffle."""
+
+    def _parse(batches):
+        for pdf in batches:
+            out = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                for hdrs, payload, _w, off, ln in iter_warc_records_located(
+                    bytes(blob or b"")
+                ):
+                    wtype = hdrs.get("warc-type")
+                    if wtype not in ("response", "revisit"):
+                        continue
+                    status, http_hdrs, body = split_http_response(payload)
+                    if status is not None:
+                        body, _enc_warn = decode_http_body(http_hdrs, body)
+                    mime = (
+                        (http_hdrs.get("content-type") or "")
+                        .split(";")[0].strip().lower() or None
+                    )
+                    if wtype == "revisit":
+                        # a revisit carries no payload of its own; CDX marks it
+                        mime = "warc/revisit"
+                    out.append((
+                        path, off, ln,
+                        hdrs.get("warc-target-uri"),
+                        hdrs.get("warc-date"),
+                        status, mime,
+                        hdrs.get("warc-payload-digest"),
+                        hashlib.sha256(body).hexdigest()[:16],
+                    ))
+            yield pd.DataFrame(out, columns=[
+                "filename", "offset", "length", "url", "warc_date",
+                "http_status", "mime", "declared_digest", "payload_sha",
+            ])
+
+    return binary_df.select("path", "content").mapInPandas(_parse, CDX_RAW_SCHEMA)
+
+
+def cdx_index(binary_df: DataFrame) -> DataFrame:
+    """The CDX capture index — how a 100 TB WARC corpus becomes randomly
+    accessible (Common Crawl publishes exactly this as its url index: one
+    row per capture, sorted by SURT urlkey then 14-digit timestamp, each
+    row addressing its record by (filename, offset, length) so replay and
+    targeted re-processing SEEK instead of scanning). The archives are
+    parsed once in the map-side :func:`cdx_records` pass; urlkey and
+    timestamp are JVM column math over the extracted facts
+    (``web.surt_key_expr`` — oracle-mirrored canonicalization, not
+    Python), and the final sort's range partitioning IS the sorted shard
+    layout a CDX server serves (pywb's zipnum shape: each output file a
+    key range). ``digest`` prefers the record's declared
+    WARC-Payload-Digest and falls back to a sha256 prefix of the decoded
+    payload (documented divergence from CDX's sha1-b32: this engine never
+    uses sha1)."""
+    from connapse_spark.operators.web import surt_key_expr
+
+    raw = cdx_records(binary_df)
+    ts = F.substring(F.regexp_replace(F.col("warc_date"), "[^0-9]", ""), 1, 14)
+    digest = F.coalesce(
+        F.col("declared_digest"),
+        F.concat(F.lit("sha256:"), F.col("payload_sha")),
+    )
+    return raw.select(
+        surt_key_expr(F.col("url")).alias("urlkey"),
+        ts.alias("cdx_ts"),
+        "url",
+        "mime",
+        F.col("http_status").alias("status"),
+        digest.alias("digest"),
+        "length",
+        "offset",
+        "filename",
+    ).orderBy("urlkey", "cdx_ts", "filename", "offset")
+
+
+def write_cdx_table(index_df: DataFrame, table_dir: str, n_files: int = 32) -> int:
+    """Commit a CDX index to the snapshot layer as a urlkey-range-clustered
+    table — the zipnum shape: ``repartitionByRange`` + in-file sort means
+    each parquet file owns one contiguous urlkey range, so the committed
+    footer stats ([min, max] urlkey per file) make :func:`cdx_lookup` a
+    file-pruned point read. Size ``n_files`` so a file stays in the
+    100 MB–1 GB parquet sweet spot at the target corpus."""
+    from connapse_spark.sources import snapshots
+
+    clustered = index_df.repartitionByRange(n_files, "urlkey", "cdx_ts").sortWithinPartitions(
+        "urlkey", "cdx_ts"
+    )
+    return snapshots.commit_snapshot(clustered, table_dir)
+
+
+def cdx_lookup(
+    spark: SparkSession, table_dir: str, url: str, version: int | None = None
+) -> DataFrame:
+    """Point lookup of a URL's captures in a committed CDX table: the
+    query URL is keyed by the SAME ``web.surt_key_expr`` the index was
+    built with (a one-row Spark frame — no Python twin of the
+    canonicalization to drift), then ``snapshots.scan_pruned`` opens only
+    the file(s) whose urlkey range covers the key. On the clustered
+    layout of :func:`write_cdx_table` that is O(1) files out of the whole
+    corpus index — the 100 TB replay/re-processing access path."""
+    from connapse_spark.operators.web import surt_key_expr
+    from connapse_spark.sources import snapshots
+
+    key_df = spark.createDataFrame([(url,)], "url string").select(
+        surt_key_expr(F.col("url")).alias("k")
+    )
+    key = key_df.first()["k"]
+    return snapshots.scan_pruned(
+        spark, table_dir, "urlkey", key, key, version=version
+    ).orderBy("cdx_ts", "filename", "offset")
+
+
+def fixture_warc_cdx() -> list[tuple[str, bytes]]:
+    """The parse fixtures plus one SURT-stressing archive: mixed-case
+    hosts, ``www``/``www2`` prefixes (and a ``www.com`` that must KEEP its
+    label), default and non-default ports, tracking params, uppercase
+    paths, a revisit with a declared payload digest, and varied
+    WARC-Dates — the corners :func:`cdx_index`'s urlkey/timestamp math
+    must key correctly."""
+    recs = [
+        make_warc_record(
+            "response",
+            make_http_response(200, b"<p>a</p>"),
+            target_uri="https://www.Example.COM:8443/A/b?b=2&utm_source=x&a=1",
+            date="2025-03-04T05:06:07Z",
+        ),
+        make_warc_record(
+            "response",
+            make_http_response(200, b"<p>b</p>"),
+            target_uri="http://example.com:80/",
+            date="2024-12-31T23:59:59Z",
+        ),
+        make_warc_record(
+            "response",
+            make_http_response(301, b"", content_type="text/html", reason="Moved"),
+            target_uri="https://www2.News.example/Path/",
+            date="2024-06-01T00:00:00Z",
+        ),
+        make_warc_record(
+            "response",
+            make_http_response(200, b"x", content_type="text/plain"),
+            target_uri="https://www.com/x",
+            date="2024-01-02T03:04:05Z",
+        ),
+        make_warc_record(
+            "revisit",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+            target_uri="https://a.example/",
+            date="2024-02-02T02:02:02Z",
+            extra_headers={
+                "WARC-Payload-Digest": "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ",
+                "WARC-Refers-To-Target-URI": "https://a.example/",
+            },
+        ),
+    ]
+    return fixture_warc() + [("/fx/surt.warc.gz", make_warc(recs, gzip_members=True))]
 
 
 def clean_html_predicate():

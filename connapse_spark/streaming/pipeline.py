@@ -748,3 +748,73 @@ def streaming_web_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_frontier_maintenance(
+    spark: SparkSession,
+    watch_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    retain_last: int | None = None,
+    vacuum_every: int = 8,
+) -> None:
+    """The crawl LOOP as a streaming job (r8 — the ledger twin of
+    :func:`streaming_keyword_maintenance`): micro-batches of discovered
+    URLs landing under ``watch_dir`` (parquet: url string) are screened
+    against the persisted crawl ledger on the CANONICAL url key
+    (``links.frontier_delta``), and the fresh rows append to the ledger
+    snapshot as ``(url, canonical_url, batch_id)`` — ONE atomic commit
+    per micro-batch, which doubles as the fetch queue: the crawler
+    consumes ``ledger WHERE batch_id = N`` (:func:`frontier_batch`), so
+    every URL surfaces in exactly one batch across all activations.
+
+    Exactly-once discovery rests on two legs: the file-source checkpoint
+    never re-reads a drop, and a REPLAYED batch (crash between the ledger
+    commit and the checkpoint write) detects its own batch_id already in
+    the ledger and skips — the append is the transaction, so there is no
+    window where a URL is marked seen but queued nowhere. Per-batch cost
+    is the batch's own canonical dedup plus one anti-join against the
+    ledger's key projection — never a ledger rewrite (append commits
+    carry prior files by reference).
+
+    ``retain_last``/``vacuum_every`` bound manifest growth exactly as in
+    the keyword-maintenance stream."""
+    from connapse_spark.operators.links import frontier_delta
+    from connapse_spark.sources import snapshots
+
+    stream = spark.readStream.schema("url string").parquet(watch_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if snapshots.latest_version(ledger_dir) is None:
+            seen = s.createDataFrame([], "url string, canonical_url string, batch_id long")
+        else:
+            seen = snapshots.read_snapshot(s, ledger_dir)
+            if seen.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
+                return  # replayed batch: its commit already landed
+        fresh = frontier_delta(batch_df, seen).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        mode = "append" if snapshots.latest_version(ledger_dir) is not None else "overwrite"
+        snapshots.commit_snapshot(fresh, ledger_dir, mode=mode)
+        if retain_last is not None and (batch_id + 1) % max(vacuum_every, 1) == 0:
+            snapshots.vacuum_snapshot(ledger_dir, keep_last=retain_last)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def frontier_batch(spark: SparkSession, ledger_dir: str, batch_id: int) -> DataFrame:
+    """The fetch queue of one maintenance micro-batch: the ledger rows
+    committed by that batch (url, canonical_url) — what the fetcher
+    feeds to crawl_frontier_df / crawl_schedule_df."""
+    from connapse_spark.sources import snapshots
+
+    return snapshots.read_snapshot(spark, ledger_dir).filter(
+        F.col("batch_id") == batch_id
+    ).select("url", "canonical_url")

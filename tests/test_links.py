@@ -451,3 +451,47 @@ def test_anchor_text_agg_topk_and_empty_anchors(spark):
     assert x.top_anchors == "buy now|cheap"  # tie broken lexically, k=2 cuts 'rare'
     y = got["https://t/y"]
     assert y.n_links == 1 and y.n_anchor_kinds == 0 and y.top_anchors == ""
+
+
+# ---------------------------------------------------------------------------
+# frontier_delta (r8): the crawl ledger screen
+# ---------------------------------------------------------------------------
+
+
+def test_frontier_delta_screens_on_canonical_key(spark):
+    from connapse_spark.operators.links import frontier_delta
+
+    discovered = spark.createDataFrame(
+        [
+            ("https://ex.com/a?utm_source=feed",),   # seen (as variant)
+            ("https://ex.com/b",),                    # new
+            ("https://ex.com/b?gclid=x",),            # same page as /b
+            ("https://EX.com/c/",),                   # new, case-folds
+        ],
+        "url string",
+    )
+    seen = spark.createDataFrame(
+        [("https://ex.com/a?fbclid=old",), ("https://ex.com/d",)], "url string"
+    )
+    got = {r.canonical_url: r.url for r in frontier_delta(discovered, seen).collect()}
+    # /a is screened out via its canonical key; /b collapses to the
+    # lexicographically-first raw variant; /c survives case-folded
+    assert got == {
+        "https://ex.com/b": "https://ex.com/b",
+        "https://ex.com/c/": "https://EX.com/c/",
+    }
+
+
+def test_frontier_delta_ledger_loop_converges(spark):
+    """Appending a wave's output to the ledger makes the next identical
+    discovery batch come back empty — the crawl loop's fixed point."""
+    from connapse_spark.operators.links import frontier_delta
+
+    discovered = spark.createDataFrame(
+        [("https://ex.com/a",), ("https://ex.com/b?utm_source=x",)], "url string"
+    )
+    empty_ledger = spark.createDataFrame([], "url string")
+    wave1 = frontier_delta(discovered, empty_ledger)
+    assert wave1.count() == 2
+    ledger = wave1.select("url")
+    assert frontier_delta(discovered, ledger).count() == 0

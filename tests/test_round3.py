@@ -1194,3 +1194,64 @@ def test_keyword_many_amortizes_scan(spark, sf_dir):
         }
 
     assert shape(1) == shape(20)
+
+
+# ---------------------------------------------------------------------------
+# image near-dup (r8): aHash + banded Hamming
+# ---------------------------------------------------------------------------
+
+
+def _image_neardup_fresh_hashes():
+    from connapse_spark.operators import multimodal as mm
+
+    out = []
+    for mid, png in mm.fixture_near_dup_images():
+        arr, err = mm.decode_image_array(png)
+        assert err is None, (mid, err)
+        v = int(mm._average_hash(arr), 16)
+        out.append((mid, v - (1 << 64) if v >= 1 << 63 else v))
+    return out
+
+
+def test_image_neardup_oracle_constants():
+    """Pinned signed-64 aHash values in __spark_entry__ must equal the pure
+    decode+hash over the fixture (regeneration recipe: print these rows)."""
+    import __spark_entry__ as entry
+
+    assert _image_neardup_fresh_hashes() == entry._IMAGE_NEARDUP_PINNED
+
+
+def test_image_neardup_pairs_planted(spark):
+    """Each planted variant pairs with exactly its base at Hamming j+1;
+    no unrelated base pair sneaks under the threshold."""
+    from connapse_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        mm.fixture_near_dup_images(), "media_id long, content binary"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.image_neardup_pairs(media, max_hamming=6).collect()
+    }
+    assert got == {(j, 100 + j): j + 1 for j in range(6)}
+
+
+def test_hash_neardup_pairs_negative_hash_banding(spark):
+    """Signed fingerprints (top bit set) band identically on Spark's
+    logical and DuckDB's arithmetic shifts — the mask-after-shift
+    contract — and the exact-distance verify agrees."""
+    import duckdb
+
+    from connapse_spark.operators import dedup
+
+    rows = [("a", -81985529216486896), ("b", -81985529216486895), ("c", 12345)]
+    df = spark.createDataFrame(rows, "doc_id string, h long")
+    got = [
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.hash_neardup_pairs(df, "h", bits=64, max_hamming=3).collect()
+    ]
+    vals = ", ".join(f"('{i}', CAST({v} AS BIGINT))" for i, v in rows)
+    want = duckdb.sql(dedup.sql_hash_neardup_pairs(
+        f"SELECT id, h FROM (VALUES {vals}) t(id, h)", bits=64, max_hamming=3
+    )).fetchall()
+    assert got == [tuple(r) for r in want] == [("a", "b", 1)]

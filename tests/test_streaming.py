@@ -344,3 +344,47 @@ def test_streaming_web_ingest_to_snapshot_table(spark, tmpdir):
     v2 = snapshots.latest_version(table)
     sp.streaming_web_ingest(spark, src, table, ckpt)
     assert snapshots.latest_version(table) == v2
+
+
+def test_streaming_frontier_maintenance_two_activations(spark, tmpdir):
+    """The crawl loop's ledger stream: activation 1 seeds the ledger;
+    activation 2's batch overlaps it (including a tracking-param variant
+    of a seen URL) and only the genuinely-new canonical keys land, in
+    their own batch_id — the fetch queue of that wave. A third activation
+    with nothing new commits nothing."""
+    from connapse_spark.sources import snapshots
+
+    src = os.path.join(tmpdir, "discovered")
+    ledger = os.path.join(tmpdir, "ledger")
+    ckpt = os.path.join(tmpdir, "ckpt-frontier")
+
+    def _drop(urls):
+        spark.createDataFrame([(u,) for u in urls], "url string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    _drop(["https://ex.com/a", "https://ex.com/b?utm_source=x"])
+    sp.streaming_frontier_maintenance(spark, src, ledger, ckpt)
+    rows1 = snapshots.read_snapshot(spark, ledger).collect()
+    assert {r.canonical_url for r in rows1} == {
+        "https://ex.com/a", "https://ex.com/b",
+    }
+    b0 = {r.batch_id for r in rows1}
+    assert len(b0) == 1
+
+    # drop 2: one variant of a SEEN url, one new url
+    _drop(["https://ex.com/a?fbclid=zz", "https://ex.com/c"])
+    sp.streaming_frontier_maintenance(spark, src, ledger, ckpt)
+    rows2 = snapshots.read_snapshot(spark, ledger).collect()
+    assert {r.canonical_url for r in rows2} == {
+        "https://ex.com/a", "https://ex.com/b", "https://ex.com/c",
+    }
+    new_batch = {r.batch_id for r in rows2} - b0
+    assert len(new_batch) == 1
+    queue = sp.frontier_batch(spark, ledger, new_batch.pop()).collect()
+    assert [r.canonical_url for r in queue] == ["https://ex.com/c"]
+
+    # idle activation: no new version
+    v = snapshots.latest_version(ledger)
+    sp.streaming_frontier_maintenance(spark, src, ledger, ckpt)
+    assert snapshots.latest_version(ledger) == v

@@ -1057,3 +1057,152 @@ def test_main_text_survives_unclosed_anchor_soup():
     _, text = extract_main_text(soup)
     assert "First paragraph" in text and "Second paragraph" in text
     assert "read more" not in text  # the link block itself still drops
+
+
+# ---------------------------------------------------------------------------
+# CDX capture index (r8)
+# ---------------------------------------------------------------------------
+
+
+def _cdx_fresh_facts():
+    """Recompute the raw CDX facts from the fixture bytes with the pure
+    located parser — the regeneration source for _CDX_PINNED_ROWS."""
+    import hashlib
+
+    rows = []
+    for path, blob in warc.fixture_warc_cdx():
+        for h, payload, _w, off, ln in warc.iter_warc_records_located(bytes(blob)):
+            wtype = h.get("warc-type")
+            if wtype not in ("response", "revisit"):
+                continue
+            status, hh, body = warc.split_http_response(payload)
+            if status is not None:
+                body, _enc = warc.decode_http_body(hh, body)
+            mime = (hh.get("content-type") or "").split(";")[0].strip().lower() or None
+            if wtype == "revisit":
+                mime = "warc/revisit"
+            rows.append((
+                path, off, ln, h.get("warc-target-uri"), h.get("warc-date"),
+                status, mime, h.get("warc-payload-digest"),
+                hashlib.sha256(body).hexdigest()[:16],
+            ))
+    return rows
+
+
+def test_cdx_oracle_constants():
+    """The pinned raw facts in __spark_entry__._CDX_PINNED_ROWS must equal
+    the pure located parser's outputs over the fixture bytes (regeneration
+    recipe: print the rows this test computes)."""
+    import __spark_entry__ as entry
+
+    def _frag(v):
+        return "NULL" if v is None else f"'{v}'"
+
+    fresh = [
+        (p, off, ln, u, d, s, _frag(m), _frag(dg), ps)
+        for p, off, ln, u, d, s, m, dg, ps in _cdx_fresh_facts()
+    ]
+    assert fresh == entry._CDX_PINNED_ROWS
+
+
+def test_cdx_offsets_seek_roundtrip():
+    """THE property a CDX index exists for: seeking blob[offset:offset+length]
+    out of the archive re-yields exactly the addressed record — the gzip CC
+    layout through one member gunzip, plain archives byte-directly."""
+    for path, blob in warc.fixture_warc_cdx():
+        for h, payload, _w, off, ln in warc.iter_warc_records_located(bytes(blob)):
+            if h.get("warc-type") not in ("response", "revisit"):
+                continue
+            span = blob[off : off + ln]
+            raw = gzip.decompress(span) if blob[:2] == b"\x1f\x8b" else span
+            recs = list(warc.iter_warc_records(raw))
+            assert len(recs) == 1, (path, off)
+            h2, p2, _w2 = recs[0]
+            assert h2.get("warc-target-uri") == h.get("warc-target-uri")
+            if "trunc" not in path:  # the truncated span is the good prefix
+                assert p2 == payload, (path, off)
+
+
+def test_iter_warc_spans_default_path_unchanged():
+    """with_spans=False must yield byte-identical triples to the spanned
+    walk's first three elements on every fixture, including the corrupt
+    and truncated ones (the _emit refactor is behavior-neutral)."""
+    for _path, blob in warc.fixture_warc_cdx():
+        plain = list(warc.iter_warc_records(blob))
+        spanned = list(warc.iter_warc_records(blob, with_spans=True))
+        assert [t[:3] for t in spanned] == plain
+        for *_t, off, ln in spanned:
+            assert off >= 0 and ln >= 0
+
+
+def test_surt_key_parity(spark):
+    """web.surt_key_expr (Spark) == sql_surt_key (DuckDB) == the pinned
+    expected keys on the canonicalization corners."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from connapse_spark.operators.web import sql_surt_key, surt_key_expr
+
+    expected = {
+        "https://www.Example.COM:8443/A/b?b=2&utm_source=x&a=1":
+            "com,example:8443)/a/b?a=1&b=2",
+        "http://example.com:80/": "com,example)/",
+        "https://www2.News.example/Path/": "example,news)/path/",
+        "https://www.com/x": "com,www)/x",
+        "https://a.example/": "example,a)/",
+        "http://example.com/?utm_source=z": "com,example)/",
+        "https://x.example:443/q?Z=1&A=2": "example,x)/q?a=2&z=1",
+        "ftp://Files.example.org:21/Pub": "org,example,files)/pub",
+    }
+    sdf = spark.createDataFrame([(u,) for u in expected], "url string")
+    got_spark = {
+        r["url"]: r["k"]
+        for r in sdf.select("url", surt_key_expr(F.col("url")).alias("k")).collect()
+    }
+    assert got_spark == expected
+    vals = ", ".join(f"('{u}')" for u in expected)
+    got_duck = dict(duckdb.sql(
+        f"WITH t(url) AS (VALUES {vals}) SELECT url, {sql_surt_key('url')} FROM t"
+    ).fetchall())
+    assert got_duck == expected
+
+
+def test_cdx_write_lookup_prunes_files(spark, tmp_path):
+    """The serving composition: cdx_index → urlkey-range-clustered snapshot
+    commit → point lookup opens only the covering file(s) and returns the
+    url's captures in timestamp order."""
+    from connapse_spark.sources import snapshots
+
+    blobs = spark.createDataFrame(warc.fixture_warc_cdx(), "path string, content binary")
+    idx = warc.cdx_index(blobs)
+    tdir = str(tmp_path / "cdx")
+    v = warc.write_cdx_table(idx, tdir, n_files=4)
+    m = snapshots.load_manifest(tdir, v)
+    n_total = len(m["files"])
+    assert n_total > 1  # pruning needs something to prune
+    # the key of this url ('example,a)/') has captures in 4 archives
+    got = warc.cdx_lookup(spark, tdir, "https://a.example/?utm_source=x").collect()
+    # timestamp order: four 2024-01-01 captures (filename tie-break), then
+    # the 2024-02-02 revisit
+    assert [r.filename for r in got] == [
+        "/fx/good.warc", "/fx/good.warc.gz", "/fx/mixed.warc", "/fx/trunc.warc",
+        "/fx/surt.warc.gz",
+    ], [r.filename for r in got]
+    # revisit row resolves its declared digest; responses carry sha256 prefix
+    assert any(r.digest.startswith("sha1:") for r in got)
+    # file pruning is real: the covering range is a strict subset of files
+    key = got[0].urlkey
+    kept = snapshots.prune_files(m, "urlkey", key, key)
+    assert 0 < len(kept) < n_total
+
+
+def test_cdx_index_spark_matches_oracle(spark):
+    """Spark cdx_index rows == the DuckDB oracle (the gate check, run
+    here so a drift is caught before the driver does)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    got = [tuple(r) for r in entry.q_cdx_index(spark, None).collect()]
+    want = [tuple(r) for r in duckdb.connect().execute(entry._sql_cdx_index()).fetchall()]
+    assert got == want

@@ -58,6 +58,9 @@ QUERIES = {
     # entry builds on run 1 — this row is the CACHED-probe (serve-tier)
     # number, NOT build+probe; builds are the bench.py build rows
     "keyword_indexed_phrase": "websearch phrases served from postings + token-table verify (cached probe)",
+    # r8 second wave: frontier_delta scales with the sf corpus (the two
+    # fixture rows cdx_index/image_neardup are fixed-cost and stay out)
+    "frontier_delta": "canonical-key partial-agg + distinct ledger keys + anti-join",
 }
 
 
