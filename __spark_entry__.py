@@ -113,6 +113,58 @@ def q_knn_vector(spark, sf_dir):
     )
 
 
+def q_mmr_diversify(spark, sf_dir):
+    """MMR diversity re-ranking (operators/search.mmr_diversify —
+    Carbonell & Goldstein 1998, the post-retrieval stage the reference
+    lacks): top-12 cosine candidates for the vec_id-0 query, then 5
+    greedy picks of ``0.7·rel − 0.3·max-sim-to-selected``, every step a
+    Catalyst plan step sharing the left-fold cosine with the DuckDB
+    mirror — all five argmax DECISIONS must agree bit-for-bit, not just
+    the rounded outputs."""
+    from connapse_spark.operators.search import mmr_diversify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        to_double_array(F.col("embedding")).alias("_qv")
+    )
+    cands = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            cosine_expr(to_double_array(F.col("embedding")), F.col("_qv")).alias("rel"),
+            F.col("embedding").alias("emb"),
+        )
+        .orderBy(F.desc("rel"), F.col("id"))
+        .limit(12)
+    )
+    return mmr_diversify(
+        cands, k=5, lam=0.7, id_col="id", score_col="rel", vec_col="emb"
+    )
+
+
+def q_keyword_facets(spark, sf_dir):
+    """Facet counts over the keyword match set (operators/search.
+    keyword_facets — the result-page sidebar aggregation): same scoring
+    expression as keyword_search, aggregated per language instead of
+    top-k'd, so the sidebar and the hit list can never disagree."""
+    from connapse_spark.operators.search import keyword_facets
+
+    return keyword_facets(_t(spark, sf_dir, "documents"), SEARCH_QUERY, "lang")
+
+
+def _sql_mmr_diversify() -> str:
+    from connapse_spark.operators.search import sql_mmr_diversify
+
+    src = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id AS id, {sql_cosine("CAST(embedding AS DOUBLE[])", "qv")} AS rel,
+       CAST(embedding AS DOUBLE[]) AS emb
+FROM embeddings, q
+ORDER BY rel DESC, id LIMIT 12
+""".strip()
+    return sql_mmr_diversify(src, k=5, lam=0.7)
+
+
 _SQL_KNN_BASE = f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, {sql_cosine("CAST(embedding AS DOUBLE[])", "qv")} AS score
@@ -4448,26 +4500,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_filtered": q_hybrid_filtered,
         "keyword_search": q_keyword_search,
         "knn_vector": q_knn_vector,
+        "mmr_diversify": q_mmr_diversify,
+        "keyword_facets": q_keyword_facets,
         "knn_vector_filtered": q_knn_vector_filtered,
     }
-    # --- Rotation invariant: the driver checks the FIRST ~50 entries.
-    # --- Window = the r8 NEW seats (the Unicode-tokenizer fixtures, the
+    # --- Rotation invariant: the driver checks the FIRST ~50 entries,
+    # --- so this list is kept at EXACTLY 50 (a unit pins it). Window =
+    # --- the r8 NEW seats (the second wave's CDX index / image near-dup
+    # --- / frontier delta, the Unicode-tokenizer fixtures, the
     # --- distributed frontier tier, the warm-start rank refresh, the
     # --- index-served phrase websearch), then the r8 CODE-CHANGED
     # --- families — the crawl front (two-phase cap, freshness waves,
-    # --- enforced revisit persist, checkpoint release) and every
-    # --- tokenizer consumer (keyword/quality/dedup/chunk: the r8
-    # --- Unicode split + CJK bigrams + U+0130 fold change all their
-    # --- expressions, identically on both engines). Everything past
-    # --- the window keeps its previous relative order and is covered
-    # --- by the committed full-gate run (CORRECTNESS_SELF.json).
+    # --- enforced revisit persist, checkpoint release), the banded
+    # --- Hamming kernel consumers (simhash), and every tokenizer
+    # --- consumer (keyword/quality/dedup/chunk: the r8 Unicode split +
+    # --- CJK bigrams + U+0130 fold change all their expressions,
+    # --- identically on both engines) — families keep ONE
+    # --- representative each where variants share the changed code
+    # --- path (chunk_semantic for the stddev/gradient variants,
+    # --- language_id_multi for lang_mismatch, ngram_jaccard_prefix for
+    # --- ngram_jaccard, pagerank for pagerank_weighted). Everything
+    # --- past the window keeps its previous relative order and is
+    # --- covered by the committed full-gate run (CORRECTNESS_SELF.json).
     window = [
-        "cdx_index", "image_neardup", "frontier_delta",
+        "cdx_index", "image_neardup", "frontier_delta", "mmr_diversify",
+        "keyword_facets",
         "keyword_unicode", "gopher_unicode", "minhash_unicode",
         "gopher_multi", "hits_warm",
         "frontier_schedule_join", "pagerank_warm", "keyword_indexed_phrase",
         "frontier_schedule", "crawl_frontier", "domain_caps",
-        "pagerank", "pagerank_weighted", "hits",
+        "pagerank", "hits",
         "resolve_revisits", "parse_warc", "web_noindex",
         "keyword_search", "keyword_websearch", "keyword_proximity",
         "keyword_bm25", "keyword_indexed", "keyword_many",
@@ -4475,13 +4537,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_postings_upsert", "tf_pending_resolve",
         "gopher_filter", "quality_stats", "token_entropy",
         "tfidf_top_terms", "top_bigrams", "dsir_weights", "perplexity",
-        "language_id", "language_id_multi", "lang_mismatch",
-        "minhash_lsh", "ngram_jaccard", "ngram_jaccard_prefix",
+        "language_id", "language_id_multi",
+        "minhash_lsh", "ngram_jaccard_prefix",
         "simhash", "line_dedup", "dup_spans",
         "fingerprint", "contamination",
-        "chunk_semantic", "chunk_semantic_stddev", "chunk_semantic_gradient",
+        "chunk_semantic",
         "chunk_sentence_aware", "chunk_token_window",
     ]
+    assert len(window) == 50, f"driver window must stay at 50 seats, got {len(window)}"
     out = {k: base[k] for k in window}
     out.update({k: v for k, v in base.items() if k not in out})
     return out
@@ -4490,6 +4553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "knn_vector": _SQL_KNN_BASE.format(where="").strip(),
+        "mmr_diversify": _sql_mmr_diversify(),
+        "keyword_facets": oracle.sql_keyword_facets(SEARCH_QUERY, "lang"),
         "knn_vector_filtered": _SQL_KNN_BASE.format(where="WHERE label != 2").strip(),
         "keyword_search": oracle.keyword_sql(SEARCH_QUERY, k=20),
         # r8 Unicode-tokenizer fixtures: four-script query / non-ASCII

@@ -149,6 +149,11 @@ BENCH_QUERIES = [
     "cdx_index",
     "image_neardup",
     "frontier_delta",
+    # r8 search-stage additions: MMR diversity re-rank (fixed candidate
+    # count — k plan-truncated greedy steps; times the step machinery,
+    # not a scan) and facet counts (one corpus scan + facet-bounded agg)
+    "mmr_diversify",
+    "keyword_facets",
 ]
 
 

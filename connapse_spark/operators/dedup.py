@@ -653,31 +653,18 @@ ORDER BY id_a, id_b
 def sql_simhash_neardup_pairs(
     max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> str:
-    nb = max_hamming + 1
-    width = SIMHASH_BITS // nb
-    mask = (1 << width) - 1
+    # the fingerprint CTE is simhash-specific; the banding/verify tail
+    # delegates to the shared kernel mirror, exactly as the Spark side
+    # delegates to hash_neardup_pairs (one banding arithmetic, one place)
     toks = sql_tokens_exact(text_col)
     th = f"list_transform({toks}, t -> {sql_sha_bigint60('t')})"
-    return f"""
+    source = f"""
 WITH hashed AS MATERIALIZED (
   SELECT {id_col} AS id, {th} AS th FROM documents
-),
-fp AS MATERIALIZED (
-  SELECT id, {_sql_simhash_from_th('th')} AS simhash FROM hashed
-),
-banded AS MATERIALIZED (
-  SELECT id, simhash, b.band AS band, (simhash >> (b.band * {width})) & {mask} AS val
-  FROM fp, (SELECT unnest(range(0, {nb})) AS band) b
-),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.simhash AS sa, b.simhash AS sb
-  FROM banded a JOIN banded b ON a.band = b.band AND a.val = b.val AND a.id < b.id
 )
-SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-FROM cand
-WHERE bit_count(xor(sa, sb)) <= {max_hamming}
-ORDER BY id_a, id_b
+SELECT id, {_sql_simhash_from_th('th')} AS h FROM hashed
 """.strip()
+    return sql_hash_neardup_pairs(source, bits=SIMHASH_BITS, max_hamming=max_hamming)
 
 
 def sql_simhash_fingerprints(id_col: str = "doc_id", text_col: str = "text") -> str:

@@ -636,6 +636,7 @@ def frontier_delta(
     seen: DataFrame,
     url_col: str = "url",
     seen_url_col: str | None = None,
+    seen_key_col: str | None = None,
 ) -> DataFrame:
     """Incremental frontier (r8 — closes the crawl LOOP the same way
     ``dedup.incremental_neardup_pairs`` closes the dedup loop): today's
@@ -654,13 +655,22 @@ def frontier_delta(
     before the anti-join, so a multi-year 10^10-row ledger moves one
     string column through the shuffle; the discovered side's dedup is a
     map-side partial aggregate. Both keys come off the same expression,
-    so AQE can pick broadcast vs shuffled anti-join by measured size."""
+    so AQE can pick broadcast vs shuffled anti-join by measured size.
+    A ledger that already STORES its canonical keys (the streaming
+    maintenance schema does) should pass ``seen_key_col`` — the key is
+    read as-is instead of re-running the canonicalization expressions
+    over 10^10 rows every batch."""
     from connapse_spark.operators.web import canonical_url_expr
 
-    seen_url_col = seen_url_col or url_col
-    seen_keys = seen.select(
-        canonical_url_expr(F.col(seen_url_col)).alias("canonical_url")
-    ).distinct()
+    if seen_key_col is not None:
+        seen_keys = seen.select(
+            F.col(seen_key_col).alias("canonical_url")
+        ).distinct()
+    else:
+        seen_url_col = seen_url_col or url_col
+        seen_keys = seen.select(
+            canonical_url_expr(F.col(seen_url_col)).alias("canonical_url")
+        ).distinct()
     return (
         discovered.select(
             F.col(url_col).alias("url"),

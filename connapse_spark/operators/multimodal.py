@@ -425,9 +425,11 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     average-hash. Unknown magics AND labeled unsupported variants of
     supported formats (progressive JPEG, interlaced/16-bit PNG, …) route
     to the deterministic stub — fake-but-stable dims so downstream
-    classification keeps working; variant rows keep their Unsupported*
-    label in decode_error. Corrupt payloads of a supported format get
-    zero dims + the parse error. Same output schema in every tier."""
+    classification keeps working; BOTH keep their Unsupported* label in
+    decode_error (r8: unknown magics too, so perceptual consumers can
+    filter the stub tier out on decode_error IS NULL). Corrupt payloads
+    of a supported format get zero dims + the parse error. Same output
+    schema in every tier."""
 
     def _decode_image_stub(blob: bytes) -> tuple[int, int, int, float, str, str | None]:
         if not blob:
@@ -448,7 +450,11 @@ def extract_image_features(media: DataFrame) -> DataFrame:
             )
             return w, h, 3, luma, _average_hash(arr), None
         if err == "UnsupportedFormat":
-            return _decode_image_stub(blob)  # unknown magic: stub tier
+            # unknown magic: stub tier — label KEPT (r8) so consumers that
+            # must not see fake features (image_neardup_pairs' perceptual
+            # join) can filter on decode_error IS NULL
+            stub = _decode_image_stub(blob)
+            return (*stub[:5], err)
         if err and err.startswith("Unsupported"):
             # labeled variant of a supported format (progressive JPEG,
             # interlaced/16-bit PNG, …): stub features, label kept so
@@ -481,15 +487,22 @@ def image_neardup_pairs(
     ``dedup.simhash_neardup_pairs``, closing the image half of the dedup
     story): decode → real 64-bit average-hash
     (:func:`extract_image_features`) → banded Hamming candidate join →
-    XOR/bit_count verify (``dedup.hash_neardup_pairs``). Rows whose
-    decode errored (empty phash) drop before banding. The decode is the
-    expensive half, so the fingerprint frame persists; past it the plan
-    is integer-only — at 100 TB the pair search never touches pixels
-    again, exactly the simhash discipline. Output: (id_a, id_b, hamming).
+    XOR/bit_count verify (``dedup.hash_neardup_pairs``). Only REAL
+    decodes band: rows whose decode errored (empty phash) AND the stub
+    tier (unknown magics / Unsupported* variants, whose phash is a
+    sha256-derived fake — classifiable but NOT perceptual, so pairing on
+    it would be noise) drop first — the `decode_error IS NULL` filter is
+    exactly the real-codec tier since r8 labels the unknown-magic stub
+    rows. The decode is the expensive half, so the fingerprint frame
+    persists; past it the plan is integer-only — at 100 TB the pair
+    search never touches pixels again, exactly the simhash discipline.
+    Output: (id_a, id_b, hamming).
     """
     from connapse_spark.operators.dedup import hash_neardup_pairs
 
-    feats = extract_image_features(media).filter(F.col("phash") != "")
+    feats = extract_image_features(media).filter(
+        F.col("decode_error").isNull() & (F.col("phash") != "")
+    )
     hi = F.conv(F.substring("phash", 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring("phash", 9, 8), 16, 10).cast("long")
     fp = feats.select(

@@ -982,6 +982,166 @@ def rerank(
     return head.unionByName(tail).drop("_fused_rk").orderBy("rank")
 
 
+def mmr_diversify(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str | None = None,
+    id_col: str = "id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the diversity stage the vector-db ecosystem runs after
+    retrieval, which the reference lacks: greedily select k hits
+    maximizing ``lam·rel − (1−lam)·max_{s∈selected} cos(c, s)`` (step 1
+    has no selected set, so its objective is ``lam·rel``). Ties break by
+    ascending id, so the output is a pure function of the candidate set.
+
+    Spark-first and UDF-free: the greedy loop unrolls into k plan steps
+    (anti-join remaining × join selected → left-fold cosine → per-query
+    ``row_number`` pick), all Catalyst expressions — the SAME left-fold
+    dot product as :mod:`functions.vector`, so the DuckDB mirror's
+    doubles are bit-identical and every argmax decision agrees. The
+    quadratic kernel is GATED: candidates per query are the retrieval
+    stage's top-N (bounded), so each step touches Q·N rows and the whole
+    op costs k·N cosines per query — never a corpus scan. ``query_col``
+    groups a batched candidate frame (N queries diversified in one
+    plan); omitted, the frame is one query's hits.
+
+    Output: (``query_col``?, rank 1..k, id, rel, mmr) — ``rel`` the
+    input score, ``mmr`` the step objective, both rounded to 9 dp for
+    hash-stable comparison (the DECISIONS use unrounded doubles).
+
+    Each step's pick is plan-truncated (the pagerank/HITS
+    ``_step_checkpoint`` discipline): the growing ``selected`` union is
+    referenced twice per subsequent step (anti-join + similarity side),
+    so without truncation the logical plan compounds 2× per step —
+    measured as >100 Window nodes at k=5."""
+    from connapse_spark.functions.vector import cosine_expr, to_double_array
+    from connapse_spark.operators.links import _step_checkpoint
+
+    q = [query_col] if query_col else []
+    base = candidates.select(
+        *q,
+        F.col(id_col).alias("id"),
+        F.col(score_col).cast("double").alias("rel"),
+        to_double_array(F.col(vec_col)).alias("emb"),
+    ).persist()  # k steps re-read it; tiny (Q·N rows, the retrieval top-N)
+    w = Window.partitionBy(*q).orderBy(F.desc("m"), F.asc("id"))
+    first = _step_checkpoint(
+        base.withColumn("m", F.lit(lam) * F.col("rel"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .withColumn("rank", F.lit(1))
+    )
+    selected = first
+    for step in range(2, k + 1):
+        remaining = base.join(selected.select(*q, "id"), [*q, "id"], "left_anti")
+        sel_slim = selected.select(*q, F.col("emb").alias("_semb"))
+        joined = remaining.join(sel_slim, q) if q else remaining.crossJoin(sel_slim)
+        sim = (
+            joined.select(
+                *q, "id", "rel", "emb",
+                cosine_expr(F.col("emb"), F.col("_semb")).alias("_cs"),
+            )
+            .groupBy(*q, "id")
+            .agg(
+                F.first("rel").alias("rel"),  # constant within the group
+                F.first("emb").alias("emb"),
+                F.max("_cs").alias("_maxsim"),
+            )
+        )
+        pick = _step_checkpoint(
+            sim.withColumn(
+                "m", F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("_maxsim")
+            )
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk", "_maxsim")
+            .withColumn("rank", F.lit(step))
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        *q,
+        "rank",
+        "id",
+        F.round("rel", 9).alias("rel"),
+        F.round("m", 9).alias("mmr"),
+    ).orderBy(*q, "rank")
+
+
+def keyword_facets(
+    docs: DataFrame,
+    query: str,
+    facet_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Facet counts over the keyword match set — the result-page sidebar
+    aggregation every search product pairs with its top-k list (the
+    reference's A-family stops at container stats; this extends it to
+    per-facet match counts + best score). One corpus scan (the SAME
+    scoring expression as keyword_search, so the facet counts and the
+    hit list can never disagree) + one partial-agg shuffle on the facet
+    value — at 100 TB this is the map-side-combine shape, and the facet
+    cardinality (languages, sources, domains) bounds the shuffle."""
+    score = keyword_score_expr(F.col(text_col), query)
+    return (
+        docs.select(F.col(facet_col).alias("facet"), score.alias("_s"))
+        .filter(F.col("_s") > 0.0)
+        .groupBy("facet")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.max("_s"), 9).alias("top_score"),
+        )
+        .orderBy(F.desc("n_matches"), "facet")
+    )
+
+
+def sql_mmr_diversify(source_sql: str, k: int = 5, lam: float = 0.7) -> str:
+    """DuckDB mirror of :func:`mmr_diversify` (single-query form):
+    ``source_sql`` must select ``(id, rel, emb DOUBLE[])``; the k greedy
+    steps unroll as chained CTEs with the same left-fold cosine and the
+    same tie-break, so every argmax decision is bit-identical. ``lam``
+    and ``1 - lam`` are embedded as the SAME Python-computed doubles the
+    Spark expressions use."""
+    from connapse_spark.functions.vector import sql_cosine
+
+    one_minus = 1.0 - lam
+    parts = [
+        f"cand AS MATERIALIZED ({source_sql})",
+        f"sel1 AS (SELECT id, rel, emb, {lam!r} * rel AS m, 1 AS rank "
+        f"FROM cand ORDER BY m DESC, id LIMIT 1)",
+    ]
+    prev = "sel1"
+    for i in range(2, k + 1):
+        parts.append(
+            f"sim{i} AS (SELECT c.id, c.rel, c.emb, "
+            f"max({sql_cosine('c.emb', 's.emb')}) AS maxsim "
+            f"FROM cand c, {prev} s "
+            f"WHERE c.id NOT IN (SELECT id FROM {prev}) "
+            f"GROUP BY c.id, c.rel, c.emb)"
+        )
+        parts.append(
+            f"pick{i} AS (SELECT id, rel, emb, "
+            f"{lam!r} * rel - {one_minus!r} * maxsim AS m, {i} AS rank "
+            f"FROM sim{i} ORDER BY m DESC, id LIMIT 1)"
+        )
+        parts.append(
+            f"sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})"
+        )
+        prev = f"sel{i}"
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT rank, id, round(rel, 9) AS rel, round(m, 9) AS mmr
+FROM {prev}
+ORDER BY rank
+""".strip()
+
+
 def window_substitution(hits: DataFrame, content_col: str = "content") -> DataFrame:
     """Q11 SentenceWindow substitution (HybridSearchService.cs:13-28,154-157):
     post-rerank, replace content with metadata['window'] when present AND

@@ -136,8 +136,12 @@ def surt_key_expr(url: Column) -> Column:
     - non-default port kept as ``:port`` after the reversed host;
     - ``)`` opens the lowercased path (``/`` when empty);
     - query lowercased, then tracking params stripped and the survivors
-      sorted — the same cleaning as :func:`canonical_url_expr`, so the
-      two keys agree on what a "same page" is.
+      sorted — the same PARAM cleaning as :func:`canonical_url_expr`,
+      but applied to the case-folded query (SURT keys fold the whole
+      key): an UPPERCASE tracking param (``?UTM_SOURCE=x``) strips from
+      the urlkey yet survives the case-preserving canonical url, so the
+      two keys can disagree exactly there — the capture index treats
+      such twins as one key, the (stricter) crawl ledger does not.
 
     ``https://www.Example.COM:8443/A/b?b=2&a=1`` →
     ``com,example:8443)/a/b?a=1&b=2``. Pure JVM column math; the DuckDB

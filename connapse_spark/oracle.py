@@ -93,6 +93,33 @@ def keyword_sql(query: str, k: int = 10, **kw) -> str:
     return f"WITH kw AS ({keyword_cte(query, k, **kw)}\n) SELECT id AS {kw.get('id_col', 'doc_id')}, score FROM kw"
 
 
+def sql_keyword_facets(
+    query: str,
+    facet_col: str,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Mirror of ``search.keyword_facets``: same scoring CTE, aggregated
+    by the facet value instead of top-k'd."""
+    return f"""
+WITH scored AS (
+  SELECT facet, raw / (raw + 1.0) AS s FROM (
+    SELECT {facet_col} AS facet, {_keyword_raw_sql(query)} AS raw FROM (
+      SELECT {facet_col},
+             {sql_tokens_exact(text_col)} AS te,
+             {sql_tokens_stemmed(text_col)} AS ts
+      FROM {table}
+    )
+  )
+)
+SELECT facet, CAST(count(*) AS BIGINT) AS n_matches, round(max(s), 9) AS top_score
+FROM scored
+WHERE s > 0.0
+GROUP BY facet
+ORDER BY n_matches DESC, facet
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # Vector branch over a text corpus (hash-embedder)
 # ---------------------------------------------------------------------------

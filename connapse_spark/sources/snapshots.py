@@ -252,6 +252,7 @@ def commit_snapshot(
     mode: str = "overwrite",
     base_version: int | None = None,
     partition_by: list[str] | None = None,
+    props: dict | None = None,
 ) -> int:
     """Write ``df`` and commit it as the next version. ``mode``:
     ``overwrite`` (the new files ARE the table) or ``append`` (new files
@@ -273,7 +274,13 @@ def commit_snapshot(
     partitioning when ``partition_by`` is omitted (partition values live
     only in hive dir names, so a flat append onto a partitioned lineage
     would silently drop those columns at read time) and refuses a
-    conflicting layout outright."""
+    conflicting layout outright.
+
+    ``props`` lands verbatim in this version's manifest (the Iceberg
+    snapshot-summary slot) — per-commit writer metadata readable O(1)
+    from the driver via ``load_manifest(...)["props"]``, e.g. the
+    streaming frontier's committed batch id. Old manifests simply lack
+    the key."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode}")
     os.makedirs(table_dir, exist_ok=True)
@@ -313,6 +320,7 @@ def commit_snapshot(
             "partition_by": partition_by or [],
             "schema": schema,
             "mode": mode,
+            "props": props or {},
         },
     )
     return version

@@ -753,7 +753,7 @@ def cdx_records(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("path", "content").mapInPandas(_parse, CDX_RAW_SCHEMA)
 
 
-def cdx_index(binary_df: DataFrame) -> DataFrame:
+def cdx_index(binary_df: DataFrame, sort: bool = True) -> DataFrame:
     """The CDX capture index — how a 100 TB WARC corpus becomes randomly
     accessible (Common Crawl publishes exactly this as its url index: one
     row per capture, sorted by SURT urlkey then 14-digit timestamp, each
@@ -767,7 +767,11 @@ def cdx_index(binary_df: DataFrame) -> DataFrame:
     key range). ``digest`` prefers the record's declared
     WARC-Payload-Digest and falls back to a sha256 prefix of the decoded
     payload (documented divergence from CDX's sha1-b32: this engine never
-    uses sha1)."""
+    uses sha1).
+
+    ``sort=False`` skips the global order-by: use it when the result
+    feeds :func:`write_cdx_table`, whose range-clustered write IS the
+    sort — sorting twice would double the index's one expensive stage."""
     from connapse_spark.operators.web import surt_key_expr
 
     raw = cdx_records(binary_df)
@@ -776,7 +780,7 @@ def cdx_index(binary_df: DataFrame) -> DataFrame:
         F.col("declared_digest"),
         F.concat(F.lit("sha256:"), F.col("payload_sha")),
     )
-    return raw.select(
+    out = raw.select(
         surt_key_expr(F.col("url")).alias("urlkey"),
         ts.alias("cdx_ts"),
         "url",
@@ -786,7 +790,10 @@ def cdx_index(binary_df: DataFrame) -> DataFrame:
         "length",
         "offset",
         "filename",
-    ).orderBy("urlkey", "cdx_ts", "filename", "offset")
+    )
+    if sort:
+        out = out.orderBy("urlkey", "cdx_ts", "filename", "offset")
+    return out
 
 
 def write_cdx_table(index_df: DataFrame, table_dir: str, n_files: int = 32) -> int:
@@ -795,7 +802,9 @@ def write_cdx_table(index_df: DataFrame, table_dir: str, n_files: int = 32) -> i
     each parquet file owns one contiguous urlkey range, so the committed
     footer stats ([min, max] urlkey per file) make :func:`cdx_lookup` a
     file-pruned point read. Size ``n_files`` so a file stays in the
-    100 MB–1 GB parquet sweet spot at the target corpus."""
+    100 MB–1 GB parquet sweet spot at the target corpus. Feed it
+    ``cdx_index(blobs, sort=False)`` — the clustered write IS the sort,
+    and a pre-sorted input would pay the range shuffle twice."""
     from connapse_spark.sources import snapshots
 
     clustered = index_df.repartitionByRange(n_files, "urlkey", "cdx_ts").sortWithinPartitions(

@@ -770,12 +770,16 @@ def streaming_frontier_maintenance(
 
     Exactly-once discovery rests on two legs: the file-source checkpoint
     never re-reads a drop, and a REPLAYED batch (crash between the ledger
-    commit and the checkpoint write) detects its own batch_id already in
-    the ledger and skips — the append is the transaction, so there is no
-    window where a URL is marked seen but queued nowhere. Per-batch cost
-    is the batch's own canonical dedup plus one anti-join against the
-    ledger's key projection — never a ledger rewrite (append commits
-    carry prior files by reference).
+    commit and the checkpoint write) is detected O(1) on the driver —
+    every commit records its batch id in the manifest's ``props`` slot,
+    and stream batch ids are monotonic, so ``batch_id <= last committed``
+    means the commit already landed (this covers batches that appended
+    ZERO fresh rows too — the marker commits regardless). The append is
+    the transaction: no window where a URL is marked seen but queued
+    nowhere. Per-batch cost is the batch's own canonical dedup plus one
+    anti-join against the ledger's STORED key column (``seen_key_col`` —
+    the 10^10-row side is never re-canonicalized) — never a ledger
+    rewrite (append commits carry prior files by reference).
 
     ``retain_last``/``vacuum_every`` bound manifest growth exactly as in
     the keyword-maintenance stream."""
@@ -786,17 +790,26 @@ def streaming_frontier_maintenance(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        if snapshots.latest_version(ledger_dir) is None:
-            seen = s.createDataFrame([], "url string, canonical_url string, batch_id long")
-        else:
-            seen = snapshots.read_snapshot(s, ledger_dir)
-            if seen.filter(F.col("batch_id") == batch_id).limit(1).count() > 0:
+        have = snapshots.latest_version(ledger_dir) is not None
+        if have:
+            m = snapshots.load_manifest(ledger_dir)
+            last = (m.get("props") or {}).get("frontier_last_batch_id")
+            if last is not None and batch_id <= last:
                 return  # replayed batch: its commit already landed
-        fresh = frontier_delta(batch_df, seen).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
+            seen = snapshots.read_snapshot(s, ledger_dir)
+        else:
+            seen = s.createDataFrame(
+                [], "url string, canonical_url string, batch_id long"
+            )
+        fresh = frontier_delta(
+            batch_df, seen, seen_key_col="canonical_url"
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        snapshots.commit_snapshot(
+            fresh,
+            ledger_dir,
+            mode="append" if have else "overwrite",
+            props={"frontier_last_batch_id": batch_id},
         )
-        mode = "append" if snapshots.latest_version(ledger_dir) is not None else "overwrite"
-        snapshots.commit_snapshot(fresh, ledger_dir, mode=mode)
         if retain_last is not None and (batch_id + 1) % max(vacuum_every, 1) == 0:
             snapshots.vacuum_snapshot(ledger_dir, keep_last=retain_last)
 

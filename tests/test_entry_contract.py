@@ -52,3 +52,17 @@ def test_every_query_has_oracle_or_is_declared(spark):
     # rows-only entries are declared (non-SQL-expressible); keep the list
     # tight — ann_ivf (kmeans-seeded recall, documented) is the ONLY one
     assert set(missing) <= {"ann_ivf"}, missing
+
+
+def test_driver_window_is_exactly_50_seats():
+    """The driver's correctness window checks the FIRST ~50 registry
+    entries; the curated window list must stay at exactly 50 so no
+    intended seat silently falls past the check (r8 review finding:
+    adding seats at the front without trimming pushed three
+    tokenizer-changed queries out of the window)."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    # the registry leads with the curated window, whose seats must all
+    # be distinct and present
+    assert len(names) >= 50 and len(set(names[:50])) == 50

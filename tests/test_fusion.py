@@ -698,3 +698,60 @@ def test_token_budget_shards_partition_invariant(spark):
         for r in token_budget_shards(df, 500, "doc_id", "n", seed="u").collect()
     }
     assert any(reseeded[d] != sh for d, (_, sh) in base.items())
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Three near-identical high-rel vectors + one orthogonal lower-rel
+    vector: plain top-3 keeps the redundant trio; MMR's second pick is
+    the orthogonal one."""
+    from connapse_spark.operators.search import mmr_diversify
+
+    rows = [
+        (1, 0.95, [1.0, 0.0, 0.0]),
+        (2, 0.94, [0.999, 0.01, 0.0]),
+        (3, 0.93, [0.998, 0.02, 0.0]),
+        (4, 0.60, [0.0, 1.0, 0.0]),
+    ]
+    cands = spark.createDataFrame(rows, "id int, score double, embedding array<double>")
+    got = [r.id for r in mmr_diversify(cands, k=3, lam=0.5).collect()]
+    assert got[0] == 1 and got[1] == 4  # diversity beats the 0.94 twin
+    assert len(got) == 3
+
+
+def test_mmr_grouped_queries_and_ties(spark):
+    """query_col diversifies N queries in one plan; exact-tie candidates
+    break by ascending id (pure function of the candidate set)."""
+    from connapse_spark.operators.search import mmr_diversify
+
+    rows = [
+        ("q1", 10, 0.9, [1.0, 0.0]),
+        ("q1", 11, 0.9, [1.0, 0.0]),   # exact tie with 10 -> 10 first
+        ("q1", 12, 0.5, [0.0, 1.0]),
+        ("q2", 20, 0.8, [0.0, 1.0]),
+        ("q2", 21, 0.7, [1.0, 0.0]),
+    ]
+    cands = spark.createDataFrame(
+        rows, "qid string, id int, score double, embedding array<double>"
+    )
+    out = mmr_diversify(cands, k=2, lam=0.7, query_col="qid").collect()
+    got = {(r.qid, r.rank): r.id for r in out}
+    assert got[("q1", 1)] == 10      # tie broken by id
+    assert got[("q1", 2)] == 12      # orthogonal beats the exact twin
+    assert got[("q2", 1)] == 20 and got[("q2", 2)] == 21
+    assert len(out) == 4
+
+
+def test_mmr_k_past_candidate_count_returns_all(spark):
+    from connapse_spark.operators.search import mmr_diversify
+
+    cands = spark.createDataFrame(
+        [(1, 0.9, [1.0, 0.0]), (2, 0.5, [0.0, 1.0])],
+        "id int, score double, embedding array<double>",
+    )
+    out = mmr_diversify(cands, k=5, lam=0.7).collect()
+    assert [r.rank for r in out] == [1, 2]
