@@ -142,6 +142,116 @@ def q_mmr_diversify(spark, sf_dir):
     )
 
 
+def q_image_neardup_dct(spark, sf_dir):
+    """The DCT pHash tier over the same planted fixture (multimodal.
+    image_phash_dct): 16×16 block means → orthonormal 2D DCT-II → 8×8
+    low-frequency block (DC slot swapped for a mid-band coef) → lower-
+    median threshold. Planted variants land at Hamming 2–14 (spatial
+    block flips spread across DCT coefficients, unlike aHash's 1:1),
+    unrelated bases stay ≥22; threshold 14 catches exactly the six
+    planted pairs. Banding + verify mirrored in SQL over the pinned
+    hashes."""
+    from connapse_spark.operators import multimodal as _mm
+
+    media = spark.createDataFrame(
+        _mm.fixture_near_dup_images(), "media_id long, content binary"
+    )
+    return _long(
+        _mm.image_neardup_pairs(media, max_hamming=14, method="phash"), "hamming"
+    )
+
+
+# pinned signed-64 DCT pHash values of fixture_near_dup_images; regenerate
+# with tests/test_round3.py::test_image_neardup_dct_oracle_constants
+_IMAGE_NEARDUP_DCT_PINNED = [
+    (0, 6454023956561482184),
+    (1, 1855220658001807270),
+    (2, 5057592235080125501),
+    (3, -5977611525025210074),
+    (4, -5965524416766113514),
+    (5, -7989878500192645876),
+    (6, 4037065906460712685),
+    (7, -2034986312315807108),
+    (8, 2095846222248191833),
+    (9, -4556295594169214995),
+    (100, 6454041531567657416),
+    (101, 1782880489479784358),
+    (102, -3570178755888838595),
+    (103, -5919328819087974098),
+    (104, -8847819897586286250),
+    (105, -9150685848222785697),
+]
+
+
+def _sql_image_neardup_dct() -> str:
+    values = ", ".join(
+        f"(CAST({mid} AS BIGINT), CAST({v} AS BIGINT))"
+        for mid, v in _IMAGE_NEARDUP_DCT_PINNED
+    )
+    return dedup.sql_hash_neardup_pairs(
+        f"SELECT id, h FROM (VALUES {values}) t(id, h)", bits=64, max_hamming=14
+    )
+
+
+def q_audio_neardup(spark, sf_dir):
+    """Audio near-dup (multimodal.audio_neardup_pairs — the audio leg of
+    the multimodal dedup story): WAV decode → 64-bit energy-delta
+    fingerprint (integer-exact, a pure function of the PCM bytes) → the
+    shared banded-Hamming kernel. Variants flip j+1 amplitude windows
+    across both base levels and land at Hamming 2–6; distinct bases stay
+    ≥14. Fingerprints pinned, banding + verify mirrored in SQL."""
+    from connapse_spark.operators import multimodal as _mm
+
+    media = spark.createDataFrame(
+        _mm.fixture_near_dup_audio(), "media_id long, content binary"
+    )
+    return _long(_mm.audio_neardup_pairs(media, max_hamming=6), "hamming")
+
+
+# pinned signed-64 energy-delta fingerprints of fixture_near_dup_audio;
+# regenerate with tests/test_round3.py::test_audio_neardup_oracle_constants
+_AUDIO_NEARDUP_PINNED = [
+    (0, 6441597270740522708),
+    (1, -3789170876707726630),
+    (2, 5432816169974717114),
+    (3, 7089841927307563866),
+    (4, -3519231994316355894),
+    (5, -3942570083134041511),
+    (6, 672211902416734554),
+    (7, 6243304836743715547),
+    (100, 7594518775347369684),
+    (101, -1492335066748773670),
+    (102, 7729792717422025402),
+    (103, 5919046211923776346),
+    (104, -1204311966859557174),
+]
+
+
+def _sql_audio_neardup() -> str:
+    values = ", ".join(
+        f"(CAST({mid} AS BIGINT), CAST({v} AS BIGINT))"
+        for mid, v in _AUDIO_NEARDUP_PINNED
+    )
+    return dedup.sql_hash_neardup_pairs(
+        f"SELECT id, h FROM (VALUES {values}) t(id, h)", bits=64, max_hamming=6
+    )
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened multilingual mixing (operators/sampling.
+    temperature_mix — XLM-R/mT5 p ∝ n^alpha): rates derived from the
+    data's own group sizes (one aggregate), selection by the
+    row-deterministic sha bucket. Head language flattens, tail
+    upweights; the oracle mirrors the integer-quantized weight sum and
+    every FP op in order, so the kept row SET is bit-equal."""
+    from connapse_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mix(docs, "lang", "doc_id", alpha=0.3, budget_frac=0.5).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
 def q_keyword_facets(spark, sf_dir):
     """Facet counts over the keyword match set (operators/search.
     keyword_facets — the result-page sidebar aggregation): same scoring
@@ -4502,6 +4612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_vector": q_knn_vector,
         "mmr_diversify": q_mmr_diversify,
         "keyword_facets": q_keyword_facets,
+        "temperature_mix": q_temperature_mix,
+        "image_neardup_dct": q_image_neardup_dct,
+        "audio_neardup": q_audio_neardup,
         "knn_vector_filtered": q_knn_vector_filtered,
     }
     # --- Rotation invariant: the driver checks the FIRST ~50 entries,
@@ -4524,7 +4637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- covered by the committed full-gate run (CORRECTNESS_SELF.json).
     window = [
         "cdx_index", "image_neardup", "frontier_delta", "mmr_diversify",
-        "keyword_facets",
+        "keyword_facets", "temperature_mix", "image_neardup_dct",
+        "audio_neardup",
         "keyword_unicode", "gopher_unicode", "minhash_unicode",
         "gopher_multi", "hits_warm",
         "frontier_schedule_join", "pagerank_warm", "keyword_indexed_phrase",
@@ -4536,11 +4650,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_many_indexed", "keyword_snippets",
         "tf_postings_upsert", "tf_pending_resolve",
         "gopher_filter", "quality_stats", "token_entropy",
-        "tfidf_top_terms", "top_bigrams", "dsir_weights", "perplexity",
+        "tfidf_top_terms", "dsir_weights", "perplexity",
         "language_id", "language_id_multi",
         "minhash_lsh", "ngram_jaccard_prefix",
-        "simhash", "line_dedup", "dup_spans",
-        "fingerprint", "contamination",
+        "simhash", "line_dedup",
+        "contamination",
         "chunk_semantic",
         "chunk_sentence_aware", "chunk_token_window",
     ]
@@ -4555,6 +4669,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_vector": _SQL_KNN_BASE.format(where="").strip(),
         "mmr_diversify": _sql_mmr_diversify(),
         "keyword_facets": oracle.sql_keyword_facets(SEARCH_QUERY, "lang"),
+        "temperature_mix": sampling.sql_temperature_mix(
+            "lang", "doc_id", alpha=0.3, budget_frac=0.5,
+            select="t.doc_id, t.lang",
+        ) + "\nORDER BY doc_id",
+        "image_neardup_dct": _sql_image_neardup_dct(),
+        "audio_neardup": _sql_audio_neardup(),
         "knn_vector_filtered": _SQL_KNN_BASE.format(where="WHERE label != 2").strip(),
         "keyword_search": oracle.keyword_sql(SEARCH_QUERY, k=20),
         # r8 Unicode-tokenizer fixtures: four-script query / non-ASCII

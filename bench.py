@@ -154,6 +154,11 @@ BENCH_QUERIES = [
     # not a scan) and facet counts (one corpus scan + facet-bounded agg)
     "mmr_diversify",
     "keyword_facets",
+    # r8 wave 3: data-derived multilingual mix (scan + broadcast cuts),
+    # DCT pHash + audio energy-delta near-dup (fixed-cost fixtures)
+    "temperature_mix",
+    "image_neardup_dct",
+    "audio_neardup",
 ]
 
 

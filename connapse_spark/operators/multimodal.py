@@ -480,13 +480,92 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
 
 
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (float64, explicit construction —
+    no scipy)."""
+    import math
+
+    import numpy as np
+
+    C = np.zeros((n, n))
+    for u in range(n):
+        for x in range(n):
+            C[u, x] = math.sqrt((1 if u == 0 else 2) / n) * math.cos(
+                math.pi * (2 * x + 1) * u / (2 * n)
+            )
+    return C
+
+
+def _perceptual_hash_dct(arr) -> str:
+    """64-bit DCT pHash: luma → 16×16 block means → orthonormal 2D
+    DCT-II → the 8×8 low-frequency block with the DC slot replaced by
+    coefficient (8,8) (DC always clears the median, wasting a bit) →
+    bits = coef > lower median (sorted index 31 — integer-indexed, no
+    midpoint average to drift). Robust to the global-brightness and
+    local-noise edits aHash is blind to; the two hashes are independent
+    tiers over the same banded-Hamming kernel."""
+    import numpy as np
+
+    luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    h, w = luma.shape
+    n = 16
+    ys = (np.arange(n) * h) // n
+    xs = (np.arange(n) * w) // n
+    ye = np.append(ys[1:], h)
+    xe = np.append(xs[1:], w)
+    small = np.array(
+        [[luma[ys[i]:ye[i], xs[j]:xe[j]].mean() for j in range(n)] for i in range(n)]
+    )
+    C = _dct_matrix(n)
+    D = C @ small @ C.T
+    coefs = D[:8, :8].flatten().copy()
+    coefs[0] = D[8, 8]
+    med = np.sort(coefs, kind="stable")[31]
+    v = 0
+    for b in coefs > med:
+        v = (v << 1) | int(b)
+    return f"{v:016x}"
+
+
+IMAGE_PHASH_SCHEMA = "media_id long, phash string, decode_error string"
+
+
+def image_phash_dct(media: DataFrame) -> DataFrame:
+    """DCT pHash per image (r8): real decode → :func:`_perceptual_hash_dct`;
+    stub-tier rows (unknown magic / Unsupported* variants) keep their
+    label and an EMPTY phash — a fake hash must never enter a perceptual
+    join. Map-side Arrow pass, same plumbing as extract_image_features."""
+
+    def _extract(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                arr, err = (
+                    decode_image_array(bytes(blob)) if blob else (None, "EmptyPayload")
+                )
+                if arr is not None:
+                    rows.append((mid, _perceptual_hash_dct(arr), None))
+                else:
+                    rows.append((mid, "", err))
+            yield pd.DataFrame(rows, columns=["media_id", "phash", "decode_error"])
+
+    return media.select("media_id", "content").mapInPandas(_extract, IMAGE_PHASH_SCHEMA)
+
+
 def image_neardup_pairs(
-    media: DataFrame, max_hamming: int = 6, id_col: str = "media_id"
+    media: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    method: str = "ahash",
 ) -> DataFrame:
     """Perceptual near-duplicate image pairs (r8 — the multimodal twin of
     ``dedup.simhash_neardup_pairs``, closing the image half of the dedup
-    story): decode → real 64-bit average-hash
-    (:func:`extract_image_features`) → banded Hamming candidate join →
+    story): decode → real 64-bit perceptual hash (``method="ahash"`` =
+    block-mean average hash via :func:`extract_image_features`;
+    ``"phash"`` = the DCT tier via :func:`image_phash_dct`, robust to
+    brightness/noise edits at wider Hamming spreads — pick max_hamming
+    per tier, e.g. 6 for ahash, 14 for phash) → banded Hamming candidate
+    join →
     XOR/bit_count verify (``dedup.hash_neardup_pairs``). Only REAL
     decodes band: rows whose decode errored (empty phash) AND the stub
     tier (unknown magics / Unsupported* variants, whose phash is a
@@ -500,9 +579,16 @@ def image_neardup_pairs(
     """
     from connapse_spark.operators.dedup import hash_neardup_pairs
 
-    feats = extract_image_features(media).filter(
-        F.col("decode_error").isNull() & (F.col("phash") != "")
-    )
+    if method == "phash":
+        feats = image_phash_dct(media).filter(
+            F.col("decode_error").isNull() & (F.col("phash") != "")
+        )
+    elif method == "ahash":
+        feats = extract_image_features(media).filter(
+            F.col("decode_error").isNull() & (F.col("phash") != "")
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (ahash or phash)")
     hi = F.conv(F.substring("phash", 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring("phash", 9, 8), 16, 10).cast("long")
     fp = feats.select(
@@ -707,6 +793,116 @@ def encode_wav(mono, sample_rate: int) -> bytes:
         w.setframerate(sample_rate)
         w.writeframes((np.clip(mono, -1, 1) * 32767).astype(np.int16).tobytes())
     return buf.getvalue()
+
+
+def audio_fingerprint(mono) -> str:
+    """64-bit energy-delta audio fingerprint (Haitsma-Kalker 2002's bit
+    derivation simplified to the time domain, integer-exact — no FFT, no
+    float drift): the mono stream splits into 65 equal windows; window
+    energy = Σ|s| (every sample is an exact multiple of 2⁻¹⁶, so the
+    float sum is EXACT in any summation order below 2³⁸ samples — the
+    hash is a pure function of the PCM bytes); bit w = E[w+1] > E[w].
+    Captures the clip's energy envelope shape — robust to global gain
+    (monotone transforms preserve all deltas), blind to pitch (use a
+    spectral tier when that matters)."""
+    import numpy as np
+
+    n = len(mono)
+    W = 65
+    bounds = [(w * n) // W for w in range(W + 1)]
+    E = [
+        int(np.abs(mono[bounds[w]:bounds[w + 1]]).sum() * 65536)
+        for w in range(W)
+    ]
+    v = 0
+    for w in range(64):
+        v = (v << 1) | (1 if E[w + 1] > E[w] else 0)
+    return f"{v:016x}"
+
+
+AUDIO_FP_SCHEMA = "media_id long, afp string, decode_error string"
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """Per-clip fingerprints via the same map-side Arrow plumbing as the
+    image extractors; undecodable rows keep their label and an empty
+    fingerprint (never a fake one)."""
+
+    def _extract(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                mono, _sr, err = (
+                    decode_wav_array(bytes(blob)) if blob else (None, 0, "EmptyPayload")
+                )
+                if mono is not None:
+                    rows.append((mid, audio_fingerprint(mono), None))
+                else:
+                    rows.append((mid, "", err))
+            yield pd.DataFrame(rows, columns=["media_id", "afp", "decode_error"])
+
+    return media.select("media_id", "content").mapInPandas(_extract, AUDIO_FP_SCHEMA)
+
+
+def audio_neardup_pairs(
+    media: DataFrame, max_hamming: int = 5, id_col: str = "media_id"
+) -> DataFrame:
+    """Near-duplicate audio pairs: decode → energy-delta fingerprint →
+    the shared banded-Hamming kernel (``dedup.hash_neardup_pairs``) —
+    the audio leg of the multimodal dedup story, same discipline as
+    :func:`image_neardup_pairs` (samples touched once, the pair search
+    integer-only)."""
+    from connapse_spark.operators.dedup import hash_neardup_pairs
+
+    feats = audio_fingerprints(media).filter(
+        F.col("decode_error").isNull() & (F.col("afp") != "")
+    )
+    hi = F.conv(F.substring("afp", 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring("afp", 9, 8), 16, 10).cast("long")
+    fp = feats.select(
+        F.col(id_col), F.shiftleft(hi, 32).bitwiseOR(lo).alias("afp")
+    ).persist()
+    return hash_neardup_pairs(
+        fp, "afp", bits=64, max_hamming=max_hamming, id_col=id_col
+    )
+
+
+def fixture_near_dup_audio(n_base: int = 8, n_variant: int = 5) -> list[tuple[int, bytes]]:
+    """Deterministic WAV corpus with planted near-duplicates: each base
+    is a 440 Hz tone whose per-window amplitude follows a seeded
+    loud/quiet pattern over the fingerprint's 65 windows; variant
+    ``100 + j`` flips ``j + 1`` windows of base ``j`` to the other
+    level — each flipped window perturbs at most its two adjacent
+    energy-delta bits, so variants land within Hamming ``2(j+1)`` while
+    distinct bases differ in ~32 bits."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    sr, spw = 8000, 64  # samples per window; 65 windows per clip
+    t = np.arange(65 * spw) / sr
+    tone = np.sin(2 * math.pi * 440.0 * t)
+    out, bases = [], []
+
+    def _wav(levels) -> bytes:
+        amp = np.repeat(levels, spw)
+        return encode_wav(tone * amp, sr)
+
+    for i in range(n_base):
+        levels = rng.choice(np.array([0.1, 0.8]), size=65)
+        bases.append(levels)
+        out.append((i, _wav(levels)))
+    for j in range(n_variant):
+        levels = bases[j % n_base].copy()
+        for k in range(j + 1):
+            w = (7 * k + 3) % 65
+            # cross BOTH base levels so the edit provably reorders the
+            # window against its neighbors (a same-family flip can leave
+            # every adjacent comparison's sign intact — measured)
+            levels[w] = 0.02 if levels[w] == 0.8 else 0.95
+        out.append((100 + j, _wav(levels)))
+    return out
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:

@@ -61,6 +61,93 @@ def stratified_sample(
     return df.filter(hash_bucket_expr(F.col(key_col).cast("string"), salt) < cut)
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-flattened source mixing (r8 — the multilingual
+    sampling standard: XLM-R §3.1 / mT5 sample groups with
+    ``p_g ∝ n_g^alpha``, flattening head languages and upweighting the
+    tail; ``alpha=1`` is proportional, ``alpha=0`` uniform). Unlike
+    :func:`stratified_sample`, the rates come FROM THE DATA: one
+    aggregate derives group sizes, the per-group keep rate is
+    ``min(1, budget_frac · N · p_g / n_g)``, and the selection is the
+    same row-deterministic sha-bucket predicate — reproducible across
+    runs, partitionings, and engines.
+
+    Determinism contract: ``pow(n, alpha)`` is the one non-exactly-
+    rounded FP op (the tfidf-ln precedent), so weights are quantized to
+    integer micro-units BEFORE the cross-group sum — the sum is then
+    exact and order-free, and every later op (mul/div/round) is
+    IEEE-identical on both engines in the mirrored order.
+
+    Scale: pass 1 is one map-side-combined aggregate to a group-count
+    frame (tiny: languages/sources); pass 2 broadcasts the per-group cut
+    onto the scan — no second shuffle, the filter rides the read."""
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    wq = F.round(F.pow(F.col("_n").cast("double"), F.lit(alpha)) * 1e6).cast("long")
+    weighted = sizes.select(group_col, "_n", wq.alias("_wq"))
+    totals = weighted.agg(
+        F.sum("_n").alias("_tot_n"), F.sum("_wq").alias("_tot_wq")
+    )
+    cuts = (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                (
+                    F.lit(budget_frac)
+                    * F.col("_tot_n").cast("double")
+                    * (F.col("_wq").cast("double") / F.col("_tot_wq").cast("double"))
+                )
+                / F.col("_n").cast("double"),
+            ).alias("_r"),
+        )
+        .select(group_col, F.round(F.col("_r") * BUCKETS).cast("long").alias("_cut"))
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .filter(hash_bucket_expr(F.col(key_col).cast("string"), salt) < F.col("_cut"))
+        .drop("_cut")
+    )
+
+
+def sql_temperature_mix(
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+    salt: str = "tmix",
+    table: str = "documents",
+    select: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`temperature_mix` — identical op order, so
+    the per-group cuts (and therefore the kept row set) are bit-equal."""
+    return f"""
+WITH sizes AS (
+  SELECT {group_col}, count(*) AS n,
+         CAST(round(pow(CAST(count(*) AS DOUBLE), {alpha!r}) * 1e6) AS BIGINT) AS wq
+  FROM {table} GROUP BY {group_col}
+),
+totals AS (SELECT sum(n) AS tot_n, sum(wq) AS tot_wq FROM sizes),
+cuts AS (
+  SELECT {group_col},
+         CAST(round(least(1.0,
+           ({budget_frac!r} * CAST(tot_n AS DOUBLE)
+            * (CAST(wq AS DOUBLE) / CAST(tot_wq AS DOUBLE)))
+           / CAST(n AS DOUBLE)) * {BUCKETS}) AS BIGINT) AS cut
+  FROM sizes, totals
+)
+SELECT {select} FROM {table} t JOIN cuts USING ({group_col})
+WHERE {sql_hash_bucket(f"CAST(t.{key_col} AS VARCHAR)", salt)} < cut
+""".strip()
+
+
 def sql_stratified_cut(rates: dict[str, float], group_col: str, default_rate: float = 0.0) -> str:
     expr = str(int(round(default_rate * BUCKETS)))
     for g, r in sorted(rates.items()):

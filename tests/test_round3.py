@@ -1255,3 +1255,102 @@ def test_hash_neardup_pairs_negative_hash_banding(spark):
         f"SELECT id, h FROM (VALUES {vals}) t(id, h)", bits=64, max_hamming=3
     )).fetchall()
     assert got == [tuple(r) for r in want] == [("a", "b", 1)]
+
+
+def test_image_neardup_dct_oracle_constants():
+    """Pinned DCT pHash values == pure decode+hash over the fixture."""
+    import __spark_entry__ as entry
+    from connapse_spark.operators import multimodal as mm
+
+    fresh = []
+    for mid, png in mm.fixture_near_dup_images():
+        arr, err = mm.decode_image_array(png)
+        assert err is None
+        v = int(mm._perceptual_hash_dct(arr), 16)
+        fresh.append((mid, v - (1 << 64) if v >= 1 << 63 else v))
+    assert fresh == entry._IMAGE_NEARDUP_DCT_PINNED
+
+
+def test_audio_neardup_oracle_constants():
+    """Pinned energy-delta fingerprints == pure decode+hash over the
+    fixture (the fingerprint is integer-exact, so this can never drift
+    with numpy/BLAS versions)."""
+    import __spark_entry__ as entry
+    from connapse_spark.operators import multimodal as mm
+
+    fresh = []
+    for mid, wav in mm.fixture_near_dup_audio():
+        mono, _sr, err = mm.decode_wav_array(wav)
+        assert err is None
+        v = int(mm.audio_fingerprint(mono), 16)
+        fresh.append((mid, v - (1 << 64) if v >= 1 << 63 else v))
+    assert fresh == entry._AUDIO_NEARDUP_PINNED
+
+
+def test_audio_fingerprint_gain_invariant():
+    """Global gain preserves every energy delta — the property that makes
+    the fingerprint a NEAR-dup signal rather than an exact hash (a
+    re-mastered louder/quieter copy of a clip still pairs)."""
+    import numpy as np
+
+    from connapse_spark.operators import multimodal as mm
+
+    wav = dict(mm.fixture_near_dup_audio())[0]
+    mono, sr, _ = mm.decode_wav_array(wav)
+    h = mm.audio_fingerprint(mono)
+    assert mm.audio_fingerprint(np.asarray(mono) * 0.5) == h
+    requantized, _, _ = mm.decode_wav_array(mm.encode_wav(np.asarray(mono) * 0.5, sr))
+    assert mm.audio_fingerprint(requantized) == h
+
+
+def test_audio_neardup_pairs_planted(spark):
+    from connapse_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        mm.fixture_near_dup_audio(), "media_id long, content binary"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.audio_neardup_pairs(media, max_hamming=6).collect()
+    }
+    assert set(got) == {(j, 100 + j) for j in range(5)}
+    assert all(1 <= d <= 6 for d in got.values())
+
+
+def test_image_neardup_stub_rows_never_band(spark):
+    """Unknown-magic payloads get stub (fake) hashes for classification
+    but must NOT enter the perceptual pair join (r8 review finding)."""
+    from connapse_spark.operators import multimodal as mm
+
+    fx = mm.fixture_near_dup_images()[:2]
+    media = spark.createDataFrame(
+        fx + [(900, b"\x00unknownmagic"), (901, b"\x00unknownmagic")],
+        "media_id long, content binary",
+    )
+    pairs = mm.image_neardup_pairs(media, max_hamming=64 - 1).collect()
+    ids = {i for r in pairs for i in (r.id_a, r.id_b)}
+    assert 900 not in ids and 901 not in ids  # identical stub rows would pair
+
+
+def test_temperature_mix_flattens_head_group(spark, sf_dir):
+    """alpha<1 lowers the head group's share and raises the tail's,
+    and the kept set is a pure function of the rows (repartition-stable)."""
+    from connapse_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    mixed = temperature_mix(docs, "lang", "doc_id", alpha=0.3, budget_frac=0.5)
+    kept = {r["lang"]: r["n"] for r in mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    head = max(total, key=total.get)
+    tail = min(total, key=total.get)
+    share = lambda d, g: d[g] / sum(d.values())
+    assert share(kept, head) < share(total, head)
+    assert share(kept, tail) > share(total, tail)
+    # repartition-stable: same kept doc_ids at any parallelism
+    a = {r["doc_id"] for r in mixed.select("doc_id").collect()}
+    b = {r["doc_id"] for r in temperature_mix(
+        docs.repartition(17), "lang", "doc_id", alpha=0.3, budget_frac=0.5
+    ).select("doc_id").collect()}
+    assert a == b

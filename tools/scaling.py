@@ -128,8 +128,18 @@ def main() -> None:
         "Everything else stays near or below the 10× row-growth line, i.e.",
         "the plans are scan/shuffle-bound with no hidden superlinear term.",
     ]
+    # PRESERVE appended sections (sf1 decades, policy studies): a plain
+    # main() run refreshes only the 3-SF table above the first "## "
+    # heading — overwriting the whole file once destroyed hand-measured
+    # sf1 sections (r8 incident; restored from git)
+    tail = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        idx = prev.find("\n## ")
+        if idx >= 0:
+            tail = "\n" + prev[idx:]
     with open(out_path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print(f"wrote {out_path}")
     spark.stop()
 
