@@ -237,6 +237,109 @@ def _sql_audio_neardup() -> str:
     )
 
 
+def q_video_neardup(spark, sf_dir):
+    """Video near-dup (multimodal.video_neardup_pairs — the video leg of
+    the multimodal dedup story): Y4M frame sampling → Y-plane aHash per
+    sampled position → banded Hamming kernel ALIGNED on frame_index →
+    clips pair on ≥2 matching positions. Variants replace j+1 of 6
+    frames, so planted pairs match on 5/4/3/3 positions; unrelated clips
+    never align twice. Frame hashes pinned; banding, alignment and the
+    pair aggregate mirrored in SQL."""
+    from connapse_spark.operators import multimodal as _mm
+
+    media = spark.createDataFrame(
+        _mm.fixture_near_dup_videos(), "media_id long, content binary"
+    )
+    return _mm.video_neardup_pairs(media, max_hamming=6, min_matching_frames=2)
+
+
+# pinned signed-64 Y-plane frame hashes of fixture_near_dup_videos;
+# regenerate with tests/test_round3.py::test_video_neardup_oracle_constants
+_VIDEO_NEARDUP_PINNED = [
+    (0, 0, -702885180841042999),
+    (0, 1, -837275090026547068),
+    (0, 2, -3005824826736165100),
+    (0, 3, -2012291194919604530),
+    (0, 4, -3343899588315339803),
+    (0, 5, 7851109087997625045),
+    (1, 0, 2296039338806518416),
+    (1, 1, 6347139981743175753),
+    (1, 2, 2554367138077549485),
+    (1, 3, -1847808551044968115),
+    (1, 4, 320210864512746786),
+    (1, 5, 7901003299839217600),
+    (2, 0, -6029122898422603181),
+    (2, 1, 4174640364763710180),
+    (2, 2, 776104974761167368),
+    (2, 3, 6941312954147867314),
+    (2, 4, 6808783289525453103),
+    (2, 5, 2640210324857539330),
+    (3, 0, -7613103919532846817),
+    (3, 1, -8407006077530421815),
+    (3, 2, 2304692984222257918),
+    (3, 3, -4153112255901873201),
+    (3, 4, -9107568069916509229),
+    (3, 5, 487558080779146982),
+    (4, 0, 1108457555335097788),
+    (4, 1, -1310832103021255407),
+    (4, 2, 2122412313005657222),
+    (4, 3, -3977834081972241852),
+    (4, 4, -3254857967094852982),
+    (4, 5, 8123366622143928246),
+    (5, 0, 8964479459625715325),
+    (5, 1, 4056717161290739544),
+    (5, 2, 3245016722368962682),
+    (5, 3, 1645299664035836327),
+    (5, 4, 5402858530056795735),
+    (5, 5, 3419438814422660382),
+    (100, 0, -702885180841042999),
+    (100, 1, -7798598706804723609),
+    (100, 2, -3005824826736165100),
+    (100, 3, -2012291194919604530),
+    (100, 4, -3343899588315339803),
+    (100, 5, 7851109087997625045),
+    (101, 0, 2296039338806518416),
+    (101, 1, 8186926051643910824),
+    (101, 2, 2554367138077549485),
+    (101, 3, 2297105988716992568),
+    (101, 4, 320210864512746786),
+    (101, 5, 7901003299839217600),
+    (102, 0, -6029122898422603181),
+    (102, 1, -6976591317667073765),
+    (102, 2, 776104974761167368),
+    (102, 3, 3208420655055901729),
+    (102, 4, 6808783289525453103),
+    (102, 5, -917258116043826306),
+    (103, 0, -7613103919532846817),
+    (103, 1, 3495649726889116613),
+    (103, 2, 2304692984222257918),
+    (103, 3, -4660569206811068039),
+    (103, 4, -9107568069916509229),
+    (103, 5, 244457590815566285),
+]
+
+
+def _sql_video_neardup() -> str:
+    values = ", ".join(
+        f"(CAST({mid} AS BIGINT), CAST({fi} AS INTEGER), CAST({v} AS BIGINT))"
+        for mid, fi, v in _VIDEO_NEARDUP_PINNED
+    )
+    kernel = dedup.sql_hash_neardup_pairs(
+        f"SELECT id, frame_index, h FROM (VALUES {values}) t(id, frame_index, h)",
+        bits=64,
+        max_hamming=6,
+        match_cols=["frame_index"],
+    )
+    return f"""
+WITH pairs AS ({kernel})
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matching
+FROM pairs
+GROUP BY id_a, id_b
+HAVING count(*) >= 2
+ORDER BY id_a, id_b
+""".strip()
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-flattened multilingual mixing (operators/sampling.
     temperature_mix — XLM-R/mT5 p ∝ n^alpha): rates derived from the
@@ -4615,6 +4718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "image_neardup_dct": q_image_neardup_dct,
         "audio_neardup": q_audio_neardup,
+        "video_neardup": q_video_neardup,
         "knn_vector_filtered": q_knn_vector_filtered,
     }
     # --- Rotation invariant: the driver checks the FIRST ~50 entries,
@@ -4638,7 +4742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         "cdx_index", "image_neardup", "frontier_delta", "mmr_diversify",
         "keyword_facets", "temperature_mix", "image_neardup_dct",
-        "audio_neardup",
+        "audio_neardup", "video_neardup",
         "keyword_unicode", "gopher_unicode", "minhash_unicode",
         "gopher_multi", "hits_warm",
         "frontier_schedule_join", "pagerank_warm", "keyword_indexed_phrase",
@@ -4653,7 +4757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms", "dsir_weights", "perplexity",
         "language_id", "language_id_multi",
         "minhash_lsh", "ngram_jaccard_prefix",
-        "simhash", "line_dedup",
+        "simhash_pairs",
         "contamination",
         "chunk_semantic",
         "chunk_sentence_aware", "chunk_token_window",
@@ -4675,6 +4779,7 @@ def oracle_sql() -> dict[str, str]:
         ) + "\nORDER BY doc_id",
         "image_neardup_dct": _sql_image_neardup_dct(),
         "audio_neardup": _sql_audio_neardup(),
+        "video_neardup": _sql_video_neardup(),
         "knn_vector_filtered": _SQL_KNN_BASE.format(where="WHERE label != 2").strip(),
         "keyword_search": oracle.keyword_sql(SEARCH_QUERY, k=20),
         # r8 Unicode-tokenizer fixtures: four-script query / non-ASCII

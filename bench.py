@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "temperature_mix",
     "image_neardup_dct",
     "audio_neardup",
+    "video_neardup",
 ]
 
 

@@ -563,6 +563,7 @@ def hash_neardup_pairs(
     bits: int = 64,
     max_hamming: int = 3,
     id_col: str = "doc_id",
+    match_cols: list[str] | None = None,
 ) -> DataFrame:
     """The banded-Hamming pair kernel over ANY precomputed integer
     fingerprint column (r8 — simhash's banding exposed for external
@@ -575,8 +576,13 @@ def hash_neardup_pairs(
     logical (Spark) and arithmetic (DuckDB mirror) shifts agree — the
     fill bits land above the mask.
 
+    ``match_cols`` adds alignment keys to the candidate join (r8: video
+    frame positions — two clips' hashes only compare at the SAME
+    frame_index), carried through onto the output rows.
+
     Persist ``df`` upstream when the fingerprint is expensive — both
     sides of the self-join read it."""
+    mc = list(match_cols or [])
     if not 0 <= max_hamming < bits:
         raise ValueError(
             f"max_hamming must be in [0, {bits - 1}] "
@@ -584,69 +590,89 @@ def hash_neardup_pairs(
         )
     nb = max_hamming + 1
     width = bits // nb
-    mask = (1 << width) - 1
+
+    def _band_val(b: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col(hash_col), b * width)
+        if width >= 64:  # single band (max_hamming=0): the hash IS the key
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
     band_keys = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col(hash_col), b * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
+            F.struct(F.lit(b).alias("band"), _band_val(b).alias("val"))
             for b in range(nb)
         ]
     )
     banded = df.select(
-        F.col(id_col).alias("id"), F.col(hash_col).alias("_h"),
+        F.col(id_col).alias("id"), *mc, F.col(hash_col).alias("_h"),
         F.explode(band_keys).alias("bk"),
-    ).select("id", "_h", F.col("bk.band").alias("band"), F.col("bk.val").alias("val"))
+    ).select(
+        "id", *mc, "_h", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
+    join_cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    for c in mc:
+        join_cond = join_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cand = (
         banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        .join(banded.alias("b"), join_cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
+            *[F.col(f"a.{c}").alias(c) for c in mc],
             F.col("a._h").alias("_sa"),
             F.col("b._h").alias("_sb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b", *mc])
     )
     ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
     return (
-        cand.select("id_a", "id_b", ham.alias("hamming"))
+        cand.select("id_a", "id_b", *mc, ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b", *mc)
     )
 
 
 def sql_hash_neardup_pairs(
-    source_sql: str, bits: int = 64, max_hamming: int = 3
+    source_sql: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    match_cols: list[str] | None = None,
 ) -> str:
     """DuckDB mirror of :func:`hash_neardup_pairs`. ``source_sql`` must
-    select ``(id, h)``; the banding/verify arithmetic is shared with the
-    simhash mirror (arithmetic-shift fill masks off identically)."""
+    select ``(id, h)`` plus any ``match_cols``; the banding/verify
+    arithmetic is shared with the simhash mirror (arithmetic-shift fill
+    masks off identically)."""
+    mc = list(match_cols or [])
     nb = max_hamming + 1
     width = bits // nb
-    mask = (1 << width) - 1
+    val_sql = (
+        f"(h >> (b.band * {width}))"
+        if width >= 64
+        else f"(h >> (b.band * {width})) & {(1 << width) - 1}"
+    )
+    mc_sel = "".join(f", {c}" for c in mc)
+    mc_pairs = "".join(f", a.{c} AS {c}" for c in mc)
+    mc_cond = "".join(f" AND a.{c} = b.{c}" for c in mc)
+    mc_out = "".join(f", {c}" for c in mc)
     return f"""
 WITH fp AS MATERIALIZED ({source_sql}),
 banded AS MATERIALIZED (
-  SELECT id, h, b.band AS band, (h >> (b.band * {width})) & {mask} AS val
+  SELECT id{mc_sel}, h, b.band AS band, {val_sql} AS val
   FROM fp, (SELECT unnest(range(0, {nb})) AS band) b
 ),
 cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.h AS sa, b.h AS sb
-  FROM banded a JOIN banded b ON a.band = b.band AND a.val = b.val AND a.id < b.id
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b{mc_pairs}, a.h AS sa, b.h AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.val = b.val AND a.id < b.id{mc_cond}
 )
-SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+SELECT id_a, id_b{mc_out}, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand
 WHERE bit_count(xor(sa, sb)) <= {max_hamming}
-ORDER BY id_a, id_b
+ORDER BY id_a, id_b{mc_out}
 """.strip()
 
 

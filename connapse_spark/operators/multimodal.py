@@ -395,14 +395,11 @@ def encode_ppm(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
-def _average_hash(arr) -> str:
-    """Real 64-bit average hash: 8x8 block-mean downsample of the luma
-    plane, threshold at its mean, bits packed row-major to hex."""
+def _gray_ahash(luma) -> str:
+    """64-bit average hash of a 2D luma plane: 8x8 block-mean downsample,
+    threshold at its mean, bits packed row-major to hex."""
     import numpy as np
 
-    luma = (
-        0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
-    )
     h, w = luma.shape
     ys = (np.arange(8) * h) // 8
     xs = (np.arange(8) * w) // 8
@@ -416,6 +413,14 @@ def _average_hash(arr) -> str:
     for b in bits:
         v = (v << 1) | int(b)
     return f"{v:016x}"
+
+
+def _average_hash(arr) -> str:
+    """Real 64-bit average hash of an RGB array (luma via BT.601 weights,
+    then :func:`_gray_ahash`)."""
+    return _gray_ahash(
+        0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    )
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
@@ -665,11 +670,20 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
 
 
 def parse_y4m(blob: bytes):
-    """(frames, fps) for an uncompressed YUV4MPEG2 stream (4:2:0): list of
-    raw YUV frame payloads plus the header frame rate. (None, 0.0, err)
-    otherwise — the pyav slot for compressed containers."""
+    """(frames, fps, err) for an uncompressed YUV4MPEG2 stream (4:2:0) —
+    thin wrapper over :func:`parse_y4m_full` for callers that don't need
+    the dimensions."""
+    frames, fps, _w, _h, err = parse_y4m_full(blob)
+    return frames, fps, err
+
+
+def parse_y4m_full(blob: bytes):
+    """(frames, fps, width, height, err) for an uncompressed YUV4MPEG2
+    stream (4:2:0): raw YUV frame payloads plus the header frame rate and
+    dimensions. (None, 0.0, 0, 0, err) otherwise — the pyav slot for
+    compressed containers."""
     if not blob.startswith(b"YUV4MPEG2"):
-        return None, 0.0, "UnsupportedFormat"
+        return None, 0.0, 0, 0, "UnsupportedFormat"
     try:
         nl = blob.index(b"\n")
         header = blob[:nl].decode("ascii", "replace").split(" ")
@@ -686,13 +700,13 @@ def parse_y4m(blob: bytes):
         frames, i = [], nl + 1
         while i < len(blob):
             if not blob[i:].startswith(b"FRAME"):
-                return None, 0.0, "Y4mParseError:BadFrameMarker"
+                return None, 0.0, 0, 0, "Y4mParseError:BadFrameMarker"
             j = blob.index(b"\n", i)
             frames.append(blob[j + 1 : j + 1 + frame_bytes])
             i = j + 1 + frame_bytes
-        return frames, num / den, None
+        return frames, num / den, w, h, None
     except Exception as e:
-        return None, 0.0, f"Y4mParseError:{type(e).__name__}"
+        return None, 0.0, 0, 0, f"Y4mParseError:{type(e).__name__}"
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
@@ -902,6 +916,125 @@ def fixture_near_dup_audio(n_base: int = 8, n_variant: int = 5) -> list[tuple[in
             # every adjacent comparison's sign intact — measured)
             levels[w] = 0.02 if levels[w] == 0.8 else 0.95
         out.append((100 + j, _wav(levels)))
+    return out
+
+
+VIDEO_FP_SCHEMA = "media_id long, frame_index int, fhash string, decode_error string"
+
+
+def video_frame_hashes(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Per-sampled-frame perceptual hashes for video rows (r8 — the video
+    leg of the multimodal dedup story): Y4M streams sample frames at the
+    same instants as :func:`sample_frames`' real tier and hash each
+    frame's Y plane with the 8×8 average hash (the Y plane IS the luma —
+    no color conversion). Non-Y4M/corrupt rows keep their label and NO
+    hash rows — a stub hash must never enter a perceptual join. One
+    labeled row with frame_index −1 preserves the error for audits."""
+    import numpy as np
+
+    def _extract(batches):
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob or b"")
+                frames, fps, w, h, err = (
+                    parse_y4m_full(blob) if blob else (None, 0.0, 0, 0, "EmptyPayload")
+                )
+                if frames is None or fps <= 0 or not frames:
+                    rows.append((mid, -1, "", err or "EmptyStream"))
+                    continue
+                total_ms = len(frames) * 1000 / fps
+                n = min(max_frames, max(1, -(-int(total_ms) // every_ms)))
+                for i in range(n):
+                    fi = min(len(frames) - 1, int(i * every_ms * fps / 1000))
+                    y = (
+                        np.frombuffer(frames[fi][: w * h], np.uint8)
+                        .astype(np.float64)
+                        .reshape(h, w)
+                    )
+                    rows.append((mid, i, _gray_ahash(y), None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "fhash", "decode_error"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(_extract, VIDEO_FP_SCHEMA)
+
+
+def video_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    min_matching_frames: int = 2,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate video pairs: frame-sampled Y-plane hashes → the
+    banded Hamming kernel ALIGNED on frame position (two clips' hashes
+    only compare at the same sampled instant — ``match_cols``) → clips
+    pair when ≥ ``min_matching_frames`` sampled positions match within
+    ``max_hamming``. A re-encoded/slightly-edited copy matches on most
+    positions; unrelated clips virtually never align twice. Decode
+    touched once; the pair search is integer-only; the final aggregate
+    is one (id_a, id_b)-keyed shuffle bounded by the candidate pairs.
+    Output: (id_a, id_b, n_matching)."""
+    from connapse_spark.operators.dedup import hash_neardup_pairs
+
+    feats = video_frame_hashes(media, every_ms, max_frames).filter(
+        F.col("decode_error").isNull() & (F.col("fhash") != "")
+    )
+    hi = F.conv(F.substring("fhash", 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring("fhash", 9, 8), 16, 10).cast("long")
+    fp = feats.select(
+        F.col(id_col), "frame_index", F.shiftleft(hi, 32).bitwiseOR(lo).alias("fh")
+    ).persist()
+    frame_pairs = hash_neardup_pairs(
+        fp, "fh", bits=64, max_hamming=max_hamming, id_col=id_col,
+        match_cols=["frame_index"],
+    )
+    return (
+        frame_pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matching"))
+        .filter(F.col("n_matching") >= min_matching_frames)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def fixture_near_dup_videos(n_base: int = 6, n_variant: int = 4) -> list[tuple[int, bytes]]:
+    """Deterministic Y4M corpus with planted near-duplicates: 32×32
+    clips, 6 frames at 1 fps, each frame an 8×8 grid of dark/bright 4×4
+    blocks (every Y-plane aHash bit decided by its own block); variant
+    ``100 + j`` copies base ``j`` and REPLACES ``j + 1`` frames with
+    fresh random patterns — the remaining ``5 − j`` aligned frames match
+    at Hamming 0 while replaced positions differ in ~32 bits."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    w = h = 32
+
+    def _frame(blocks):
+        y = np.kron(blocks, np.ones((4, 4))).astype(np.uint8).tobytes()
+        uv = bytes(w * h // 2)  # flat chroma, 4:2:0
+        return b"FRAME\n" + y + uv
+
+    def _clip(frames) -> bytes:
+        head = f"YUV4MPEG2 W{w} H{h} F1:1 Ip A1:1 C420\n".encode()
+        return head + b"".join(_frame(b) for b in frames)
+
+    def _blocks():
+        return rng.choice(np.array([40, 215]), size=(8, 8))
+
+    out, bases = [], []
+    for i in range(n_base):
+        frames = [_blocks() for _ in range(6)]
+        bases.append(frames)
+        out.append((i, _clip(frames)))
+    for j in range(n_variant):
+        frames = [b.copy() for b in bases[j % n_base]]
+        for k in range(j + 1):
+            frames[(2 * k + 1) % 6] = _blocks()  # replace j+1 frames
+        out.append((100 + j, _clip(frames)))
     return out
 
 

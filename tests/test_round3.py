@@ -1354,3 +1354,52 @@ def test_temperature_mix_flattens_head_group(spark, sf_dir):
         docs.repartition(17), "lang", "doc_id", alpha=0.3, budget_frac=0.5
     ).select("doc_id").collect()}
     assert a == b
+
+
+def test_video_neardup_oracle_constants():
+    """Pinned Y-plane frame hashes == pure decode+hash over the fixture."""
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from connapse_spark.operators import multimodal as mm
+
+    fresh = []
+    for mid, blob in mm.fixture_near_dup_videos():
+        frames, fps, w, h, err = mm.parse_y4m_full(blob)
+        assert err is None and fps == 1.0
+        for i in range(len(frames)):
+            y = np.frombuffer(frames[i][: w * h], np.uint8).astype(np.float64).reshape(h, w)
+            v = int(mm._gray_ahash(y), 16)
+            fresh.append((mid, i, v - (1 << 64) if v >= 1 << 63 else v))
+    assert fresh == entry._VIDEO_NEARDUP_PINNED
+
+
+def test_video_neardup_pairs_planted(spark):
+    """Variants replacing j+1 of 6 frames pair with their base on exactly
+    5-j matching positions; no unrelated clip pair reaches 2."""
+    from connapse_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        mm.fixture_near_dup_videos(), "media_id long, content binary"
+    )
+    got = {
+        (r.id_a, r.id_b): r.n_matching
+        for r in mm.video_neardup_pairs(media, max_hamming=6, min_matching_frames=2).collect()
+    }
+    assert got == {(0, 100): 5, (1, 101): 4, (2, 102): 3, (3, 103): 3}
+
+
+def test_hash_neardup_match_cols_aligns_positions(spark):
+    """match_cols gates candidate pairs to aligned keys: identical hashes
+    at DIFFERENT frame positions must not pair."""
+    from connapse_spark.operators import dedup
+
+    rows = [("a", 0, 7), ("b", 1, 7), ("c", 0, 7)]
+    df = spark.createDataFrame(rows, "doc_id string, frame_index int, h long")
+    got = [
+        (r.id_a, r.id_b, r.frame_index)
+        for r in dedup.hash_neardup_pairs(
+            df, "h", bits=64, max_hamming=0, match_cols=["frame_index"]
+        ).collect()
+    ]
+    assert got == [("a", "c", 0)]
