@@ -397,10 +397,20 @@ def encode_ppm(arr) -> bytes:
 
 def _gray_ahash(luma) -> str:
     """64-bit average hash of a 2D luma plane: 8x8 block-mean downsample,
-    threshold at its mean, bits packed row-major to hex."""
+    threshold at its mean, bits packed row-major to hex. Planes narrower
+    than 8 px are pixel-repeated up to 8 first — without it the empty
+    block slices go NaN and every tiny image hashes to the constant 0x0
+    (r8 review). Zero-variance (flat) images still all hash 0x0 — that
+    is inherent to the hash family, not a defect: screen by dims or
+    variance upstream if icon floods matter."""
     import numpy as np
 
     h, w = luma.shape
+    if h < 8 or w < 8:
+        luma = np.repeat(
+            np.repeat(luma, -(-8 // max(h, 1)), axis=0), -(-8 // max(w, 1)), axis=1
+        )
+        h, w = luma.shape
     ys = (np.arange(8) * h) // 8
     xs = (np.arange(8) * w) // 8
     ye = np.append(ys[1:], h)
@@ -485,9 +495,14 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def _dct_matrix(n: int):
     """Orthonormal DCT-II basis matrix (float64, explicit construction —
-    no scipy)."""
+    no scipy). Cached: the basis is a constant, and the hot mapInPandas
+    path hashes one image per call (r8 review)."""
     import math
 
     import numpy as np
@@ -514,6 +529,14 @@ def _perceptual_hash_dct(arr) -> str:
     luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
     h, w = luma.shape
     n = 16
+    if h < n or w < n:
+        # pixel-repeat tiny images up to the block grid — empty block
+        # slices would go NaN and hash every small image to 0x0 (r8
+        # review: favicons/tracking pixels false-pairing at Hamming 0)
+        luma = np.repeat(
+            np.repeat(luma, -(-n // max(h, 1)), axis=0), -(-n // max(w, 1)), axis=1
+        )
+        h, w = luma.shape
     ys = (np.arange(n) * h) // n
     xs = (np.arange(n) * w) // n
     ye = np.append(ys[1:], h)
@@ -696,17 +719,40 @@ def parse_y4m_full(blob: bytes):
                 h = int(tok[1:])
             elif tok.startswith("F"):
                 num, den = (int(x) for x in tok[1:].split(":"))
+        if w <= 0 or h <= 0:
+            # a dimensionless stream would emit zero-byte "frames" that
+            # every consumer downstream hashes identically (r8 review)
+            return None, 0.0, 0, 0, "Y4mParseError:BadDimensions"
         frame_bytes = w * h * 3 // 2  # 4:2:0
         frames, i = [], nl + 1
         while i < len(blob):
             if not blob[i:].startswith(b"FRAME"):
                 return None, 0.0, 0, 0, "Y4mParseError:BadFrameMarker"
             j = blob.index(b"\n", i)
+            if len(blob) - (j + 1) < frame_bytes:
+                break  # truncated final frame: keep the good prefix
             frames.append(blob[j + 1 : j + 1 + frame_bytes])
             i = j + 1 + frame_bytes
         return frames, num / den, w, h, None
     except Exception as e:
         return None, 0.0, 0, 0, f"Y4mParseError:{type(e).__name__}"
+
+
+def _sample_instants(
+    n_frames: int, fps: float, every_ms: int, max_frames: int
+) -> list[tuple[int, int, int]]:
+    """The sampling-instant selection shared by :func:`sample_frames` and
+    :func:`video_frame_hashes` (one copy — the two MUST agree on which
+    frames downstream models see vs which frames the dedup hashes):
+    ``(sample_index, ts_ms, frame_index)`` per instant, instants strictly
+    inside [0, total) since the stream has no frame AT its end
+    timestamp."""
+    total_ms = n_frames * 1000 / fps
+    n = min(max_frames, max(1, -(-int(total_ms) // every_ms)))
+    return [
+        (i, i * every_ms, min(n_frames - 1, int(i * every_ms * fps / 1000)))
+        for i in range(n)
+    ]
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
@@ -722,14 +768,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, max_frames: int = 8) -
             for mid, dur, blob in zip(pdf["media_id"], pdf["duration_ms"], pdf["content"]):
                 blob = bytes(blob or b"")
                 frames, fps, err = parse_y4m(blob) if blob else (None, 0.0, "EmptyPayload")
-                if frames is not None and fps > 0:
-                    total_ms = len(frames) * 1000 / fps
-                    # instants strictly inside [0, total): the stream has no
-                    # frame AT its end timestamp
-                    n = min(max_frames, max(1, -(-int(total_ms) // every_ms)))
-                    for i in range(n):
-                        ts = i * every_ms
-                        fi = min(len(frames) - 1, int(ts * fps / 1000))
+                if frames is not None and fps > 0 and frames:
+                    for i, ts, fi in _sample_instants(
+                        len(frames), fps, every_ms, max_frames
+                    ):
                         rows.append((mid, i, ts, frames[fi]))
                     continue
                 n = min(max_frames, max(1, int(dur) // every_ms + 1))
@@ -813,21 +855,22 @@ def audio_fingerprint(mono) -> str:
     """64-bit energy-delta audio fingerprint (Haitsma-Kalker 2002's bit
     derivation simplified to the time domain, integer-exact — no FFT, no
     float drift): the mono stream splits into 65 equal windows; window
-    energy = Σ|s| (every sample is an exact multiple of 2⁻¹⁶, so the
-    float sum is EXACT in any summation order below 2³⁸ samples — the
-    hash is a pure function of the PCM bytes); bit w = E[w+1] > E[w].
-    Captures the clip's energy envelope shape — robust to global gain
-    (monotone transforms preserve all deltas), blind to pitch (use a
-    spectral tier when that matters)."""
+    energy = Σ|round(s·2¹⁶)| — samples re-quantize to integer 2⁻¹⁶ units
+    FIRST (identity for mono/stereo sources, where decode_wav_array's
+    channel mean is already exact; load-bearing for ≥3 channels, whose
+    /3 mean is not representable — r8 review), so the sum is EXACT in
+    any summation order below 2³⁸ samples and the hash is a pure
+    function of the PCM bytes; bit w = E[w+1] > E[w]. Captures the
+    clip's energy envelope shape — robust to global gain (monotone
+    transforms preserve all deltas), blind to pitch (use a spectral tier
+    when that matters)."""
     import numpy as np
 
     n = len(mono)
     W = 65
     bounds = [(w * n) // W for w in range(W + 1)]
-    E = [
-        int(np.abs(mono[bounds[w]:bounds[w + 1]]).sum() * 65536)
-        for w in range(W)
-    ]
+    q = np.abs(np.round(np.asarray(mono) * 65536.0))
+    E = [int(q[bounds[w]:bounds[w + 1]].sum()) for w in range(W)]
     v = 0
     for w in range(64):
         v = (v << 1) | (1 if E[w + 1] > E[w] else 0)
@@ -945,10 +988,9 @@ def video_frame_hashes(
                 if frames is None or fps <= 0 or not frames:
                     rows.append((mid, -1, "", err or "EmptyStream"))
                     continue
-                total_ms = len(frames) * 1000 / fps
-                n = min(max_frames, max(1, -(-int(total_ms) // every_ms)))
-                for i in range(n):
-                    fi = min(len(frames) - 1, int(i * every_ms * fps / 1000))
+                for i, _ts, fi in _sample_instants(
+                    len(frames), fps, every_ms, max_frames
+                ):
                     y = (
                         np.frombuffer(frames[fi][: w * h], np.uint8)
                         .astype(np.float64)

@@ -79,15 +79,25 @@ def temperature_mix(
     same row-deterministic sha-bucket predicate — reproducible across
     runs, partitionings, and engines.
 
+    Rows with a NULL group are EXCLUDED up front (a language-less row
+    has no place in a per-language mix) — excluded from the totals too,
+    so they never deflate the real groups' rates (r8 review).
+
     Determinism contract: ``pow(n, alpha)`` is the one non-exactly-
     rounded FP op (the tfidf-ln precedent), so weights are quantized to
     integer micro-units BEFORE the cross-group sum — the sum is then
     exact and order-free, and every later op (mul/div/round) is
-    IEEE-identical on both engines in the mirrored order.
+    IEEE-identical on both engines in the mirrored order. Residual
+    honesty: Java's Math.pow is 1-ulp, libm's is correctly rounded — a
+    weight landing within that ulp of a .5 micro-unit boundary could
+    quantize apart. No reconciliation exists short of a software pow;
+    the failure mode is a VISIBLE oracle mismatch on one group, never a
+    silent drift, and the gate has never observed one.
 
     Scale: pass 1 is one map-side-combined aggregate to a group-count
     frame (tiny: languages/sources); pass 2 broadcasts the per-group cut
     onto the scan — no second shuffle, the filter rides the read."""
+    df = df.filter(F.col(group_col).isNotNull())
     sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     wq = F.round(F.pow(F.col("_n").cast("double"), F.lit(alpha)) * 1e6).cast("long")
     weighted = sizes.select(group_col, "_n", wq.alias("_wq"))
@@ -132,7 +142,7 @@ def sql_temperature_mix(
 WITH sizes AS (
   SELECT {group_col}, count(*) AS n,
          CAST(round(pow(CAST(count(*) AS DOUBLE), {alpha!r}) * 1e6) AS BIGINT) AS wq
-  FROM {table} GROUP BY {group_col}
+  FROM {table} WHERE {group_col} IS NOT NULL GROUP BY {group_col}
 ),
 totals AS (SELECT sum(n) AS tot_n, sum(wq) AS tot_wq FROM sizes),
 cuts AS (

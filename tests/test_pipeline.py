@@ -412,7 +412,10 @@ def test_multimodal_feature_extraction(spark, sf_dir):
     media = multimodal.synthesize_media(_docs(spark, sf_dir).limit(10))
     feats = multimodal.extract_image_features(media).collect()
     assert len(feats) == 10
-    assert all(r["decode_error"] is None for r in feats)
+    # text bytes are no image: the stub tier classifies (fake-but-stable
+    # dims + hash) and KEEPS its UnsupportedFormat label (r8 — so
+    # perceptual joins can exclude it); the features still come back
+    assert all(r["decode_error"] == "UnsupportedFormat" for r in feats)
     assert all(len(r["phash"]) == 16 for r in feats)
     # determinism: rerun → identical
     feats2 = multimodal.extract_image_features(media).collect()

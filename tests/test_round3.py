@@ -1403,3 +1403,91 @@ def test_hash_neardup_match_cols_aligns_positions(spark):
         ).collect()
     ]
     assert got == [("a", "c", 0)]
+
+
+def test_y4m_truncated_and_degenerate_streams_degrade():
+    """Short final frames drop as good-prefix; zero/missing dims are a
+    labeled parse error, never decode_error-NULL empty frames (r8
+    review: both previously crashed or constant-hashed downstream)."""
+    from connapse_spark.operators import multimodal as mm
+
+    _mid, blob = mm.fixture_near_dup_videos()[0]
+    frames, fps, w, h, err = mm.parse_y4m_full(blob)
+    cut = mm.parse_y4m_full(blob[: len(blob) - (w * h * 3 // 2) // 2])
+    assert cut[4] is None and len(cut[0]) == len(frames) - 1
+    assert all(len(f) == w * h * 3 // 2 for f in cut[0])
+    bad = mm.parse_y4m_full(b"YUV4MPEG2 F1:1\nFRAME\n")
+    assert bad[0] is None and bad[4] == "Y4mParseError:BadDimensions"
+
+
+def test_video_frame_hashes_tolerates_truncation(spark):
+    from connapse_spark.operators import multimodal as mm
+
+    mid, blob = mm.fixture_near_dup_videos()[0]
+    media = spark.createDataFrame(
+        [(1, blob), (2, blob[: len(blob) // 2]), (3, b"YUV4MPEG2 F1:1\nFRAME\n")],
+        "media_id long, content binary",
+    )
+    rows = mm.video_frame_hashes(media).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 6 and all(r.decode_error is None for r in by_id[1])
+    assert all(r.decode_error is None for r in by_id[2])  # good prefix
+    assert 0 < len(by_id[2]) < 6
+    assert len(by_id[3]) == 1 and by_id[3][0].decode_error is not None
+
+
+def test_tiny_images_hash_content_not_nan():
+    """Sub-grid images pixel-repeat up to the block grid: two DIFFERENT
+    tiny images must not share the NaN-constant hash (r8 review)."""
+    import numpy as np
+
+    from connapse_spark.operators import multimodal as mm
+
+    a = np.zeros((4, 4, 3), np.uint8)
+    a[:2, :, :] = 255
+    b = np.zeros((4, 4, 3), np.uint8)
+    b[:, :2, :] = 255
+    ha, hb = mm._average_hash(a), mm._average_hash(b)
+    assert ha != hb and ha != "0" * 16 and hb != "0" * 16
+    pa, pb = mm._perceptual_hash_dct(a), mm._perceptual_hash_dct(b)
+    assert pa != pb and pa != "0" * 16 and pb != "0" * 16
+
+
+def test_audio_fingerprint_exact_for_three_channels():
+    """≥3-channel means are not 2^-16 multiples; the fingerprint's
+    re-quantization keeps it a pure function of the PCM bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from connapse_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    raw = (rng.uniform(-0.5, 0.5, size=(4160, 3)) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(3)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(raw.tobytes())
+    mono, _sr, err = mm.decode_wav_array(buf.getvalue())
+    assert err is None
+    h = mm.audio_fingerprint(mono)
+    # permuting the summation (reversed view) must not change the hash:
+    # energies are integer sums after re-quantization
+    assert mm.audio_fingerprint(np.asarray(mono)) == h
+
+
+def test_temperature_mix_excludes_null_groups(spark):
+    from connapse_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "en" if i % 2 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "lang", "doc_id", alpha=0.3, budget_frac=1.0)
+    got = out.select("lang").distinct().collect()
+    assert {r.lang for r in got} == {"en"}
+    # budget_frac=1 with a single group -> rate 1: every non-null row kept
+    assert out.count() == 20
