@@ -1206,3 +1206,27 @@ def test_cdx_index_spark_matches_oracle(spark):
     got = [tuple(r) for r in entry.q_cdx_index(spark, None).collect()]
     want = [tuple(r) for r in duckdb.connect().execute(entry._sql_cdx_index()).fetchall()]
     assert got == want
+
+
+def test_cdx_lookup_many_batches_keys_one_scan(spark, tmp_path):
+    from connapse_spark.sources import snapshots
+
+    blobs = spark.createDataFrame(warc.fixture_warc_cdx(), "path string, content binary")
+    tdir = str(tmp_path / "cdx-many")
+    warc.write_cdx_table(warc.cdx_index(blobs, sort=False), tdir, n_files=4)
+    got = warc.cdx_lookup_many(
+        spark, tdir,
+        ["https://a.example/", "https://www.example.com:8443/a/b?a=1&b=2",
+         "https://never.crawled/x"],
+    ).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.urlkey, []).append(r)
+    assert set(by_key) == {"example,a)/", "com,example:8443)/a/b?a=1&b=2"}
+    assert len(by_key["example,a)/"]) == 5  # 4 archives + the revisit
+    # union pruning is a strict file subset
+    m = snapshots.load_manifest(tdir)
+    keep = set()
+    for k in by_key:
+        keep.update(e["path"] for e in snapshots.prune_files(m, "urlkey", k, k))
+    assert 0 < len(keep) < len(m["files"])
