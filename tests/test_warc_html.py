@@ -1230,3 +1230,35 @@ def test_cdx_lookup_many_batches_keys_one_scan(spark, tmp_path):
     for k in by_key:
         keep.update(e["path"] for e in snapshots.prune_files(m, "urlkey", k, k))
     assert 0 < len(keep) < len(m["files"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(min_size=0, max_size=40),
+                  st.binary(min_size=0, max_size=150)),
+        min_size=1, max_size=5,
+    ),
+    st.booleans(),
+)
+def test_property_located_spans_always_seekable(pairs, gz):
+    """For ANY well-formed archive, every located record's (offset,
+    length) span re-parses to exactly that record — the CDX correctness
+    property, fuzzed over both layouts."""
+    recs = [
+        warc.make_warc_record(
+            "response", warc.make_http_response(200, body),
+            target_uri="https://e/" + uri.replace("\r", "").replace("\n", ""),
+        )
+        for uri, body in pairs
+    ]
+    blob = warc.make_warc(recs, gzip_members=gz)
+    located = list(warc.iter_warc_records_located(blob))
+    assert len(located) == len(recs)
+    for hdrs, payload, _w, off, ln in located:
+        span = blob[off : off + ln]
+        raw = gzip.decompress(span) if gz else span
+        (h2, p2, w2), = list(warc.iter_warc_records(raw))
+        assert w2 is None
+        assert h2.get("warc-target-uri") == hdrs.get("warc-target-uri")
+        assert p2 == payload
