@@ -340,6 +340,18 @@ ORDER BY id_a, id_b
 """.strip()
 
 
+def q_perplexity_bigram(spark, sf_dir):
+    """Conditional bigram NLL (textstats.bigram_perplexity — the 2-gram
+    tier above the unigram perplexity proxy, one step toward CCNet's
+    KenLM bucketing): two-part micro-nat quantization (numerator /
+    denominator separately) so unobserved continuations score exactly
+    without V² rows; self-fit here, so the oracle mirrors the full fit +
+    score chain."""
+    return textstats.bigram_perplexity(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-flattened multilingual mixing (operators/sampling.
     temperature_mix — XLM-R/mT5 p ∝ n^alpha): rates derived from the
@@ -4719,6 +4731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup_dct": q_image_neardup_dct,
         "audio_neardup": q_audio_neardup,
         "video_neardup": q_video_neardup,
+        "perplexity_bigram": q_perplexity_bigram,
         "knn_vector_filtered": q_knn_vector_filtered,
     }
     # --- Rotation invariant: the driver checks the FIRST ~50 entries,
@@ -4742,7 +4755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         "cdx_index", "image_neardup", "frontier_delta", "mmr_diversify",
         "keyword_facets", "temperature_mix", "image_neardup_dct",
-        "audio_neardup", "video_neardup",
+        "audio_neardup", "video_neardup", "perplexity_bigram",
         "keyword_unicode", "gopher_unicode", "minhash_unicode",
         "gopher_multi", "hits_warm",
         "frontier_schedule_join", "pagerank_warm", "keyword_indexed_phrase",
@@ -4754,7 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_many_indexed", "keyword_snippets",
         "tf_postings_upsert", "tf_pending_resolve",
         "gopher_filter", "quality_stats", "token_entropy",
-        "tfidf_top_terms", "dsir_weights", "perplexity",
+        "tfidf_top_terms", "dsir_weights",
         "language_id", "language_id_multi",
         "minhash_lsh", "ngram_jaccard_prefix",
         "simhash_pairs",
@@ -4780,6 +4793,7 @@ def oracle_sql() -> dict[str, str]:
         "image_neardup_dct": _sql_image_neardup_dct(),
         "audio_neardup": _sql_audio_neardup(),
         "video_neardup": _sql_video_neardup(),
+        "perplexity_bigram": textstats.sql_bigram_perplexity() + "\nORDER BY doc_id",
         "knn_vector_filtered": _SQL_KNN_BASE.format(where="WHERE label != 2").strip(),
         "keyword_search": oracle.keyword_sql(SEARCH_QUERY, k=20),
         # r8 Unicode-tokenizer fixtures: four-script query / non-ASCII

@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "image_neardup_dct",
     "audio_neardup",
     "video_neardup",
+    # conditional bigram NLL: fit (pair agg) + score (pair join) per run
+    "perplexity_bigram",
 ]
 
 

@@ -935,6 +935,157 @@ def perplexity_score(
     )
 
 
+def bigram_model(
+    docs: DataFrame,
+    alpha: float = PPL_ALPHA,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Bigram LM fit (r8 — the 2-gram tier above :func:`unigram_model`,
+    one step toward CCNet's actual KenLM n-gram bucketing): returns
+    ``(bigrams, prefixes, consts)`` — per observed bigram
+    ``num_q = lnq(c₁₂ + α)``, per prefix word ``den_q =
+    lnq(c₁ + α(V+1))``, and the two engine-computed miss constants
+    (``lnq(α)``, ``lnq(α(V+1))``) that score UNOBSERVED continuations
+    and UNKNOWN prefixes. The conditional logprob quantizes in two parts
+    (numerator/denominator separately) instead of per-ratio, so every
+    possible bigram has an exact integer logprob derivable from O(seen)
+    rows — never V² — and document sums stay order-free integer math.
+
+    Scale: one (w1, w2) hash aggregate over exploded pairs (map-side
+    partials), the prefix table folds from it (never re-reads the
+    corpus), and V collapses to one broadcast row."""
+    toks = tokens_exact_expr(F.col(text_col))
+    n_out = F.size(toks) - F.lit(1)
+    pair_arr = F.zip_with(
+        F.slice(toks, 1, n_out), F.slice(toks, 2, n_out),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pt = docs.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    big = pt.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pref = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = docs.select(F.explode(toks).alias("t")).agg(
+        F.count_distinct("t").alias("_v")
+    )
+    bigq = big.select(
+        "w1", "w2",
+        F.round(F.log(F.col("c12") + F.lit(alpha)) * F.lit(1e6))
+        .cast("bigint").alias("num_q"),
+    )
+    prefq = pref.crossJoin(F.broadcast(vocab)).select(
+        "w1",
+        F.round(F.log(F.col("c1") + F.lit(alpha) * (F.col("_v") + F.lit(1))) * F.lit(1e6))
+        .cast("bigint").alias("den_q"),
+    )
+    consts = vocab.select(
+        F.round(F.log(F.lit(alpha)) * F.lit(1e6)).cast("bigint").alias("miss_num_q"),
+        F.round(F.log(F.lit(alpha) * (F.col("_v") + F.lit(1))) * F.lit(1e6))
+        .cast("bigint").alias("miss_den_q"),
+    )
+    return bigq, prefq, consts
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    alpha: float = PPL_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Per-document CONDITIONAL bigram NLL (first token unscored —
+    compose with :func:`perplexity_score` for the joint): for each
+    bigram position, ``lp_q = num_q(w₁,w₂) − den_q(w₁)``, falling back
+    to the model's miss constants for continuations/prefixes the model
+    never saw (a self-fit model hits neither). Returns
+    (id, n_bigrams, nll_q, mean_nll) — exact integer micro-nat sums,
+    then one exactly-rounded double division, the
+    :func:`perplexity_score` discipline. A repeated-boilerplate page
+    scores LOW (its bigrams dominate the fit); hand-shuffled word salad
+    scores HIGH even when its unigram profile is normal — the signal
+    unigram perplexity cannot see.
+
+    Scale: pairs join the bigram table on (w1, w2) — AQE broadcasts
+    while the model fits (bigram vocab grows sublinearly), shuffles on
+    the pair key past that; the per-doc aggregate is map-side partial."""
+    bigq, prefq, consts = model if model is not None else bigram_model(
+        docs, alpha, text_col
+    )
+    toks = tokens_exact_expr(F.col(text_col))
+    n_out = F.size(toks) - F.lit(1)
+    pair_arr = F.zip_with(
+        F.slice(toks, 1, n_out), F.slice(toks, 2, n_out),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pt = docs.select(F.col(id_col).alias("id"), F.explode(pair_arr).alias("p")).select(
+        "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    scored = (
+        pt.join(bigq, ["w1", "w2"], "left")
+        .join(prefq, "w1", "left")
+        .crossJoin(F.broadcast(consts))
+    )
+    lp = F.coalesce(F.col("num_q"), F.col("miss_num_q")) - F.coalesce(
+        F.col("den_q"), F.col("miss_den_q")
+    )
+    agg = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), (-F.sum(lp)).alias("nll_q")
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(agg, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("nll_q", F.lit(0)).alias("nll_q"),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            F.col("nll_q").cast("double") / F.col("n_bigrams").cast("double") / F.lit(1e6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_nll"),
+    )
+
+
+def sql_bigram_perplexity(
+    alpha: float = PPL_ALPHA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """Mirror of bigram_perplexity with a self-fit model (every pair and
+    prefix observed, so the miss constants never fire): identical
+    two-part quantization and integer sums, same division order."""
+    return f"""
+WITH base AS (SELECT {id_col} AS id, {sql_tokens_exact(text_col)} AS ts FROM {table}),
+pt AS (
+  SELECT id, ts[i + 1] AS w1, ts[i + 2] AS w2
+  FROM (SELECT id, ts, unnest(range(0, len(ts) - 1)) AS i FROM base WHERE len(ts) >= 2)
+),
+big AS (SELECT w1, w2, count(*) AS c12 FROM pt GROUP BY w1, w2),
+pref AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1),
+vocab AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ts) AS t FROM base)),
+bigq AS (
+  SELECT w1, w2, CAST(round(ln(c12 + {alpha!r}) * 1000000.0) AS BIGINT) AS num_q
+  FROM big
+),
+prefq AS (
+  SELECT w1, CAST(round(ln(c1 + {alpha!r} * (v + 1)) * 1000000.0) AS BIGINT) AS den_q
+  FROM pref, vocab
+),
+agg AS (
+  SELECT id, count(*) AS n_bigrams, -sum(num_q - den_q) AS nll_q
+  FROM pt JOIN bigq USING (w1, w2) JOIN prefq USING (w1)
+  GROUP BY id
+)
+SELECT d.{id_col},
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(nll_q, 0) AS BIGINT) AS nll_q,
+       CASE WHEN coalesce(n_bigrams, 0) > 0
+            THEN CAST(nll_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0
+            ELSE 0.0 END AS mean_nll
+FROM {table} d LEFT JOIN agg ON d.{id_col} = agg.id
+""".strip()
+
+
 def sql_perplexity_score(
     alpha: float = PPL_ALPHA,
     id_col: str = "doc_id",

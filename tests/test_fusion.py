@@ -755,3 +755,51 @@ def test_mmr_k_past_candidate_count_returns_all(spark):
     )
     out = mmr_diversify(cands, k=5, lam=0.7).collect()
     assert [r.rank for r in out] == [1, 2]
+
+
+def test_bigram_perplexity_counts_and_miss_paths(spark):
+    """n_bigrams = n_tokens − 1 per doc; an external model scores unseen
+    continuations and unknown prefixes through the quantized miss
+    constants, strictly worse than in-vocab bigrams."""
+    from connapse_spark.operators.textstats import bigram_model, bigram_perplexity
+
+    fit = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat ran")],
+        "doc_id long, text string",
+    )
+    model = bigram_model(fit)
+    self_scored = {r.doc_id: r for r in bigram_perplexity(fit).collect()}
+    assert self_scored[1].n_bigrams == 5 and self_scored[2].n_bigrams == 2
+    probe = spark.createDataFrame(
+        [
+            (10, "the cat"),        # observed bigram
+            (11, "cat zzz"),        # unseen continuation of a known prefix
+            (12, "zzz qqq"),        # unknown prefix entirely
+            (13, "one"),            # no bigram positions
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_perplexity(probe, model=model).collect()}
+    assert got[13].n_bigrams == 0 and got[13].nll_q == 0 and got[13].mean_nll == 0.0
+    assert got[10].mean_nll < got[11].mean_nll  # miss-continuation is worse
+    assert got[11].nll_q > 0 and got[12].nll_q > 0
+
+
+def test_bigram_perplexity_separates_salad_from_repetition(spark):
+    """The conditional signal: a page of one repeated sentence scores LOW
+    (its bigrams dominate its own fit) while the same words shuffled
+    score HIGH — identical unigram profiles, so the unigram proxy is
+    blind to this difference by construction."""
+    from connapse_spark.operators.textstats import bigram_perplexity, perplexity_score
+
+    sent = "the quick brown fox jumps over the lazy dog"
+    words = sent.split()
+    shuffled = " ".join(
+        words[i] for i in [3, 7, 1, 8, 0, 5, 2, 6, 4]
+    )
+    docs = spark.createDataFrame(
+        [(1, " . ".join([sent] * 6)), (2, " . ".join([shuffled] * 1) + " " + sent * 0 + " ".join(reversed(words)) + " " + " ".join(words[::2]) + " " + " ".join(words[1::2]))],
+        "doc_id long, text string",
+    )
+    bi = {r.doc_id: r.mean_nll for r in bigram_perplexity(docs).collect()}
+    assert bi[1] < bi[2]
