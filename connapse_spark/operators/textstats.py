@@ -955,7 +955,10 @@ def bigram_model(
     partials), the prefix table folds from it (never re-reads the
     corpus), and V collapses to one broadcast row."""
     toks = tokens_exact_expr(F.col(text_col))
-    n_out = F.size(toks) - F.lit(1)
+    # greatest(-, 0): a zero/one-token document must yield an empty pair
+    # array, not a negative slice length (crashes the job — r8 review;
+    # the dedup.py gram builders guard the same construction)
+    n_out = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
     pair_arr = F.zip_with(
         F.slice(toks, 1, n_out), F.slice(toks, 2, n_out),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
@@ -1012,7 +1015,7 @@ def bigram_perplexity(
         docs, alpha, text_col
     )
     toks = tokens_exact_expr(F.col(text_col))
-    n_out = F.size(toks) - F.lit(1)
+    n_out = F.greatest(F.size(toks) - F.lit(1), F.lit(0))  # see bigram_model
     pair_arr = F.zip_with(
         F.slice(toks, 1, n_out), F.slice(toks, 2, n_out),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),

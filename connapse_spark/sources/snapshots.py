@@ -420,6 +420,30 @@ def scan_pruned(
     return out.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
 
+def scan_pruned_keys(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    keys: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Multi-key point scan with manifest-level skipping (r8 — the batched
+    twin of :func:`scan_pruned`): open only files whose [min, max] for
+    ``col`` admits AT LEAST ONE key (union of per-key pruned sets,
+    deduplicated), then filter to the key set. On a ``col``-clustered
+    layout this reads O(1) files per distinct key range."""
+    if not keys:
+        raise ValueError("scan_pruned_keys needs at least one key")
+    m = load_manifest(table_dir, version)
+    keep = {e["path"] for k in keys for e in prune_files(m, col, k, k)}
+    out = _read_conformed(spark, table_dir, m, keep)
+    if out is None:
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
+    return out.filter(F.col(col).isin(list(keys)))
+
+
 def snapshot_listing(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
     """(dir, file, size_bytes) for a version's files, straight from the
     manifest — compaction plans off metadata, zero storage round trips.

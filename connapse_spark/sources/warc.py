@@ -841,12 +841,11 @@ def cdx_lookup_many(
     """Batched point lookups — the serving shape (a replay/re-processing
     job resolves thousands of URLs per wave, not one): all query keys are
     computed in ONE Spark job (the same ``surt_key_expr`` as the build),
-    the file set is pruned to the UNION of covering files (each key keeps
-    only files whose [min, max] urlkey range admits it — on the
-    range-clustered layout that is O(1) files per key, deduplicated
-    across keys), and one scan filters to the key set. Returns the same
-    columns as the index plus nothing — group by ``urlkey`` downstream
-    for per-url capture lists."""
+    the file set is pruned to the UNION of covering files
+    (``snapshots.scan_pruned_keys`` — O(1) files per key on the
+    range-clustered layout, deduplicated across keys), and one scan
+    filters to the key set. Group by ``urlkey`` downstream for per-url
+    capture lists."""
     from connapse_spark.operators.web import surt_key_expr
     from connapse_spark.sources import snapshots
 
@@ -858,18 +857,9 @@ def cdx_lookup_many(
         .select(surt_key_expr(F.col("url")).alias("k"))
         .collect()
     ]
-    m = snapshots.load_manifest(table_dir, version)
-    keep: set[str] = set()
-    for k in keys:
-        keep.update(e["path"] for e in snapshots.prune_files(m, "urlkey", k, k))
-    out = snapshots._read_conformed(spark, table_dir, m, keep)
-    if out is None:
-        from pyspark.sql.types import StructType
-
-        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
-    return out.filter(F.col("urlkey").isin(keys)).orderBy(
-        "urlkey", "cdx_ts", "filename", "offset"
-    )
+    return snapshots.scan_pruned_keys(
+        spark, table_dir, "urlkey", keys, version=version
+    ).orderBy("urlkey", "cdx_ts", "filename", "offset")
 
 
 def fixture_warc_cdx() -> list[tuple[str, bytes]]:

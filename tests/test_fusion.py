@@ -790,16 +790,34 @@ def test_bigram_perplexity_separates_salad_from_repetition(spark):
     (its bigrams dominate its own fit) while the same words shuffled
     score HIGH — identical unigram profiles, so the unigram proxy is
     blind to this difference by construction."""
-    from connapse_spark.operators.textstats import bigram_perplexity, perplexity_score
+    from connapse_spark.operators.textstats import bigram_perplexity
 
     sent = "the quick brown fox jumps over the lazy dog"
     words = sent.split()
-    shuffled = " ".join(
-        words[i] for i in [3, 7, 1, 8, 0, 5, 2, 6, 4]
+    salad = " ".join(
+        [words[i] for i in [3, 7, 1, 8, 0, 5, 2, 6, 4]]
+        + list(reversed(words)) + words[::2] + words[1::2]
     )
     docs = spark.createDataFrame(
-        [(1, " . ".join([sent] * 6)), (2, " . ".join([shuffled] * 1) + " " + sent * 0 + " ".join(reversed(words)) + " " + " ".join(words[::2]) + " " + " ".join(words[1::2]))],
+        [(1, " . ".join([sent] * 6)), (2, salad)],
         "doc_id long, text string",
     )
     bi = {r.doc_id: r.mean_nll for r in bigram_perplexity(docs).collect()}
     assert bi[1] < bi[2]
+
+
+def test_bigram_perplexity_survives_empty_and_single_token_docs(spark):
+    """Zero/one-token documents (routine in crawl-quality corpora) must
+    yield empty pair arrays, not a negative slice length that kills the
+    job (r8 review — reproduced crash before the greatest() guard)."""
+    from connapse_spark.operators.textstats import bigram_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, ""), (3, "   "), (4, "solo"), (5, "...!!!")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_perplexity(docs).collect()}
+    assert len(got) == 5
+    assert got[1].n_bigrams == 2
+    for d in (2, 3, 4, 5):
+        assert got[d].n_bigrams == 0 and got[d].nll_q == 0 and got[d].mean_nll == 0.0
