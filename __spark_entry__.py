@@ -352,6 +352,18 @@ def q_perplexity_bigram(spark, sf_dir):
     )
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Exact-substring span removal (dedup.remove_dup_spans — the action
+    half of dup_span_stats, arXiv:2107.06499 §4): every token covered by
+    a corpus-duplicated 8-gram drops, survivors reassemble in order. The
+    oracle mirrors span hashing, duplicated-start selection and the
+    coverage mask (1-based vs 0-based lambda index reconciled), down to
+    the reassembled clean_text string."""
+    return dedup.remove_dup_spans(_t(spark, sf_dir, "documents"), n=8).orderBy(
+        "doc_id"
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-flattened multilingual mixing (operators/sampling.
     temperature_mix — XLM-R/mT5 p ∝ n^alpha): rates derived from the
@@ -4732,6 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup": q_audio_neardup,
         "video_neardup": q_video_neardup,
         "perplexity_bigram": q_perplexity_bigram,
+        "remove_dup_spans": q_remove_dup_spans,
         "knn_vector_filtered": q_knn_vector_filtered,
     }
     # --- Rotation invariant: the driver checks the FIRST ~50 entries,
@@ -4756,6 +4769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index", "image_neardup", "frontier_delta", "mmr_diversify",
         "keyword_facets", "temperature_mix", "image_neardup_dct",
         "audio_neardup", "video_neardup", "perplexity_bigram",
+        "remove_dup_spans",
         "keyword_unicode", "gopher_unicode", "minhash_unicode",
         "gopher_multi", "hits_warm",
         "frontier_schedule_join", "pagerank_warm", "keyword_indexed_phrase",
@@ -4769,8 +4783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter", "quality_stats", "token_entropy",
         "tfidf_top_terms", "dsir_weights",
         "language_id", "language_id_multi",
-        "minhash_lsh", "ngram_jaccard_prefix",
-        "simhash_pairs",
+        "minhash_lsh", "simhash_pairs",
         "contamination",
         "chunk_semantic",
         "chunk_sentence_aware", "chunk_token_window",
@@ -4794,6 +4807,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_neardup": _sql_audio_neardup(),
         "video_neardup": _sql_video_neardup(),
         "perplexity_bigram": textstats.sql_bigram_perplexity() + "\nORDER BY doc_id",
+        "remove_dup_spans": dedup.sql_remove_dup_spans(n=8) + "\nORDER BY doc_id",
         "knn_vector_filtered": _SQL_KNN_BASE.format(where="WHERE label != 2").strip(),
         "keyword_search": oracle.keyword_sql(SEARCH_QUERY, k=20),
         # r8 Unicode-tokenizer fixtures: four-script query / non-ASCII

@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "video_neardup",
     # conditional bigram NLL: fit (pair agg) + score (pair join) per run
     "perplexity_bigram",
+    # exact-substring removal: span hashes + dup-start join + in-row mask
+    "remove_dup_spans",
 ]
 
 

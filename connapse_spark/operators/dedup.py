@@ -1064,6 +1064,120 @@ def dup_span_stats(
     )
 
 
+def remove_dup_spans(
+    docs: DataFrame,
+    n: int = 16,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring span REMOVAL (r8 — the action half of
+    :func:`dup_span_stats`; Lee et al. 2022, arXiv:2107.06499 §4 removes
+    every repeated span rather than dropping whole documents): every
+    token covered by ANY n-token span occurring ≥ ``min_count`` times
+    corpus-wide is dropped, the survivors reassemble IN ORDER. The view
+    is token-level (the paper's token-stream view): ``clean_text`` is
+    the space-joined survivors — original inter-token whitespace and
+    punctuation are not reconstructed, exactly like the tokenized
+    training stream the removal protects.
+
+    Returns (id, n_tokens, n_removed, clean_text).
+
+    Scale: spans hash to 60-bit longs in-row (the dup_span_stats
+    kernel — the shuffle carries (id, pos, gh) longs, never span text);
+    one gh count aggregate + one gh join select the duplicated START
+    positions, which collapse to one small per-doc array; the coverage
+    mask is then in-row (O(len·|dup starts|), and |dup starts| is the
+    per-doc duplication amount, not the corpus). Four keyed exchanges
+    total, none corpus-quadratic."""
+    from connapse_spark.functions.text import tokens_exact_expr
+
+    toks = tokens_exact_expr(F.col(text_col))
+    n_out = F.size(toks) - F.lit(n - 1)
+    gram = F.slice(toks, 1, n_out)
+    for j in range(1, n):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, 1 + j, n_out),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("_ts"), grams.alias("_gs"))
+    pos_pairs = base.select(
+        "id", F.posexplode(F.transform(F.col("_gs"), _sha_bigint60)).alias("pos", "gh")
+    )
+    dup = (
+        pos_pairs.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gh")
+    )
+    starts = (
+        pos_pairs.join(dup, "gh")
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("_ss"))
+    )
+    joined = base.join(starts, "id", "left").withColumn(
+        "_ss", F.coalesce(F.col("_ss"), F.array().cast("array<int>"))
+    )
+    # Spark's filter lambda index is 0-based (the DuckDB mirror's is
+    # 1-based and subtracts 1) — token i survives iff no duplicated span
+    # starting at s covers it (s ≤ i ≤ s+n−1)
+    kept = F.filter(
+        F.col("_ts"),
+        lambda t, i: ~F.exists(
+            F.col("_ss"), lambda s: (i >= s) & (i <= s + F.lit(n - 1))
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.size("_ts").cast("long").alias("n_tokens"),
+        (F.size("_ts") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def sql_remove_dup_spans(
+    n: int = 16,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """Mirror of :func:`remove_dup_spans`: same span hashes, same
+    duplicated-start selection, same coverage mask (DuckDB's lambda
+    index is 1-based, hence the ``i - 1``)."""
+    toks = sql_tokens_exact(text_col)
+    gh = sql_sha_bigint60(f"array_to_string(ts[i + 1:i + {n}], ' ')")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS ts FROM {table}
+),
+pairs AS (
+  SELECT id, i AS pos, {gh} AS gh
+  FROM (SELECT id, ts, unnest(range(0, len(ts) - {n} + 1)) AS i FROM base WHERE len(ts) >= {n})
+),
+dup AS (SELECT gh FROM (SELECT gh, count(*) AS c FROM pairs GROUP BY gh) WHERE c >= {min_count}),
+starts AS (
+  SELECT id, list(pos) AS ss FROM pairs JOIN dup USING (gh) GROUP BY id
+),
+joined AS (
+  SELECT b.id, ts, coalesce(ss, []) AS ss FROM base b LEFT JOIN starts s ON b.id = s.id
+),
+outt AS (
+  SELECT id, ts,
+         list_filter(ts, (t, i) -> len(list_filter(ss,
+           s -> (i - 1) >= s AND (i - 1) <= s + {n - 1})) = 0) AS kept
+  FROM joined
+)
+SELECT id AS {id_col},
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(len(ts) - len(kept) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM outt
+""".strip()
+
+
 def sql_dup_span_stats(
     n: int = 16, id_col: str = "doc_id", text_col: str = "text", table: str = "documents"
 ) -> str:

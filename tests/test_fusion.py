@@ -821,3 +821,28 @@ def test_bigram_perplexity_survives_empty_and_single_token_docs(spark):
     assert got[1].n_bigrams == 2
     for d in (2, 3, 4, 5):
         assert got[d].n_bigrams == 0 and got[d].nll_q == 0 and got[d].mean_nll == 0.0
+
+
+def test_remove_dup_spans_drops_planted_boilerplate(spark):
+    """A boilerplate sentence repeated across documents is removed from
+    every host doc; unique text survives in order; short docs pass
+    through untouched."""
+    from connapse_spark.operators.dedup import remove_dup_spans
+
+    boiler = "all rights reserved contact us for more information today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha text one {boiler} trailing words here"),
+            (2, f"{boiler} another completely different document body"),
+            (3, "no duplication in this document at all whatsoever"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in remove_dup_spans(docs, n=9).collect()}
+    assert got[1].n_removed == 9 and boiler not in got[1].clean_text
+    assert got[1].clean_text.startswith("unique alpha text one")
+    assert got[1].clean_text.endswith("trailing words here")
+    assert got[2].n_removed == 9
+    assert got[3].n_removed == 0 and got[4].n_removed == 0
+    assert got[4].clean_text == "tiny"
