@@ -955,6 +955,57 @@ def q_quality_logit(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """TRAINED quality classifier scores (r9 — VERDICT r8 ask #2): MLlib
+    LogisticRegression over sha-hashed unigram+bigram features, fit on
+    the deterministic labeled fixture (pin-verified by unit test), served
+    as a broadcast (bin, weight) join + integer micro-logit sum
+    (classifier.quality_classifier_scores) — the DCLM/CCNet model-filter
+    stage above the heuristic gates."""
+    from connapse_spark.operators import classifier
+
+    return classifier.quality_classifier_scores(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+def q_curate_classified(spark, sf_dir):
+    """corpus_curate with the trained-classifier stage composed in (r9):
+    same heuristic stages + a final model_low_quality verdict for docs
+    that pass every rule but score below 0 micro-logits under the pinned
+    model — the full RefinedWeb+DCLM stage order in one call."""
+    from connapse_spark.operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    held_out = docs.filter(F.col("doc_id") % 97 == 0)
+    blocklist = held_out.select(
+        F.explode(dedup.shingles_expr(F.col("text"), 3)).alias("s")
+    )
+    return curate.curate(
+        docs, blocklist, neardup_threshold=0.4, contam_n=3,
+        classifier_model=classifier.QC_PINNED_MODEL, min_logit_q=0,
+    )
+
+
+def _sql_quality_classifier_entry() -> str:
+    from connapse_spark.operators import classifier
+
+    return classifier.sql_quality_classifier() + " ORDER BY doc_id"
+
+
+def _sql_curate_classified() -> str:
+    from connapse_spark.operators import classifier
+
+    bl = (
+        f"SELECT unnest({dedup.sql_shingles('text', 3)}) AS s "
+        "FROM documents WHERE doc_id % 97 = 0"
+    )
+    return curate.sql_curate(
+        bl, neardup_threshold=0.4, contam_n=3,
+        classifier_model=classifier.QC_PINNED_MODEL, min_logit_q=0,
+    )
+
+
 def q_keyword_snippets(spark, sf_dir):
     """Keyword top-k with result excerpts (earliest-term char window) —
     the result-list rendering surface (search.keyword_search_snippets)."""
@@ -4642,6 +4693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "zorder_key": q_zorder_key,
         "quality_logit": q_quality_logit,
+        "quality_classifier": q_quality_classifier,
+        "curate_classified": q_curate_classified,
         "asof_attribution": q_asof_attribution,
         "events_rollup": q_events_rollup,
         "url_canonicalize": q_url_canonicalize,
@@ -4901,6 +4954,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate": _sql_corpus_curate(),
         "zorder_key": _sql_zorder_key(),
         "quality_logit": textstats.sql_quality_score_linear() + " ORDER BY doc_id",
+        "quality_classifier": _sql_quality_classifier_entry(),
+        "curate_classified": _sql_curate_classified(),
         "chunk_semantic": _sql_chunk_semantic("Percentile"),
         "chunk_semantic_stddev": _sql_chunk_semantic("StandardDeviation"),
         "chunk_semantic_gradient": _sql_chunk_semantic("Gradient"),

@@ -164,6 +164,10 @@ BENCH_QUERIES = [
     "perplexity_bigram",
     # exact-substring removal: span hashes + dup-start join + in-row mask
     "remove_dup_spans",
+    # r9: trained quality classifier (hashed n-gram explode + broadcast
+    # weight join + id-keyed integer sum) and its curate composition
+    "quality_classifier",
+    "curate_classified",
 ]
 
 

@@ -33,18 +33,26 @@ def curate(
     contam_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    classifier_model: dict | None = None,
+    min_logit_q: int = 0,
 ) -> DataFrame:
     """(id, kept, reason) for every document.
 
     reason ∈ {exact_duplicate, near_duplicate, contaminated, low_quality,
-    kept}, first matching stage wins:
+    model_low_quality, kept}, first matching stage wins:
 
     * exact_duplicate — not the lowest-id member of its sha256 group;
     * near_duplicate — appears as the HIGHER id of a MinHash-LSH pair at
       ``neardup_threshold`` (greedy keep-lowest; transitive chains collapse
       toward the lowest id, same convention as neardup_components' roots);
     * contaminated — shares an n-gram with the blocklist;
-    * low_quality — fails any Gopher-style quality rule.
+    * low_quality — fails any Gopher-style quality rule;
+    * model_low_quality (only when ``classifier_model`` is passed — r9) —
+      survives every heuristic stage but scores below ``min_logit_q``
+      micro-logits under the TRAINED classifier
+      (classifier.quality_classifier_scores), the DCLM/CCNet model-filter
+      stage after the rule-based gates. Its plan adds one broadcast join
+      + one id-keyed sum — nothing corpus-quadratic.
     """
     ex = dedup.exact_dedup(docs, id_col=id_col, text_col=text_col).select(
         F.col(id_col).alias("id"), (~F.col("is_kept")).alias("exact_dup")
@@ -68,12 +76,21 @@ def curate(
         .when(F.coalesce(F.col("near_dup"), F.lit(False)), F.lit("near_duplicate"))
         .when(F.col("contaminated"), F.lit("contaminated"))
         .when(~F.col("quality_ok"), F.lit("low_quality"))
-        .otherwise(F.lit("kept"))
     )
+    verdict = ex.join(nd_drop, "id", "left").join(ct, "id").join(gq, "id")
+    if classifier_model is not None:
+        from connapse_spark.operators import classifier
+
+        mq = classifier.quality_classifier_scores(
+            docs, model=classifier_model, id_col=id_col, text_col=text_col
+        ).select(F.col(id_col).alias("id"), "logit_q")
+        verdict = verdict.join(mq, "id")
+        reason = reason.when(
+            F.col("logit_q") < F.lit(int(min_logit_q)), F.lit("model_low_quality")
+        )
+    reason = reason.otherwise(F.lit("kept"))
     return (
-        ex.join(nd_drop, "id", "left")
-        .join(ct, "id")
-        .join(gq, "id")
+        verdict
         .select("id", reason.alias("reason"))
         .withColumn("kept", F.col("reason") == "kept")
         .select("id", "kept", "reason")
@@ -86,13 +103,29 @@ def sql_curate(
     neardup_threshold: float = 0.4,
     contam_n: int = 3,
     id_col: str = "doc_id",
+    classifier_model: dict | None = None,
+    min_logit_q: int = 0,
 ) -> str:
     """Mirror: wraps the component mirrors as subqueries (DuckDB allows a
     CTE-prefixed statement inside parentheses), then applies the same
-    precedence CASE."""
+    precedence CASE; the optional trained-classifier stage joins the
+    sql_quality_classifier mirror and adds its WHEN arm."""
     mh = dedup.sql_minhash_lsh_pairs(threshold=neardup_threshold)
     ct = dedup.sql_contamination_check(blocklist_sql, n=contam_n, id_col=id_col)
     gq = textstats.sql_gopher_filter(id_col=id_col)
+    mq_cte, mq_join, mq_arm = "", "", ""
+    if classifier_model is not None:
+        from connapse_spark.operators import classifier
+
+        mq = classifier.sql_quality_classifier(model=classifier_model, id_col=id_col)
+        mq_cte = f",\nmq AS (SELECT {id_col} AS id, logit_q FROM ({mq}))"
+        mq_join = "\nJOIN mq ON ex.id = mq.id"
+        mq_arm = f"\n            WHEN mq.logit_q < {int(min_logit_q)} THEN 'model_low_quality'"
+    case = f"""CASE WHEN ex.exact_dup THEN 'exact_duplicate'
+            WHEN coalesce(nd.near_dup, false) THEN 'near_duplicate'
+            WHEN ct.contaminated THEN 'contaminated'
+            WHEN NOT gq.quality_ok THEN 'low_quality'{mq_arm}
+            ELSE 'kept' END"""
     return f"""
 WITH ex AS (
   SELECT {id_col} AS id,
@@ -101,22 +134,14 @@ WITH ex AS (
 ),
 nd AS (SELECT DISTINCT id_b AS id, true AS near_dup FROM ({mh})),
 ct AS (SELECT id, contaminated FROM ({ct})),
-gq AS (SELECT {id_col} AS id, keep AS quality_ok FROM ({gq}))
+gq AS (SELECT {id_col} AS id, keep AS quality_ok FROM ({gq})){mq_cte}
 SELECT ex.id,
-       (CASE WHEN ex.exact_dup THEN 'exact_duplicate'
-             WHEN coalesce(nd.near_dup, false) THEN 'near_duplicate'
-             WHEN ct.contaminated THEN 'contaminated'
-             WHEN NOT gq.quality_ok THEN 'low_quality'
-             ELSE 'kept' END) = 'kept' AS kept,
-       CASE WHEN ex.exact_dup THEN 'exact_duplicate'
-            WHEN coalesce(nd.near_dup, false) THEN 'near_duplicate'
-            WHEN ct.contaminated THEN 'contaminated'
-            WHEN NOT gq.quality_ok THEN 'low_quality'
-            ELSE 'kept' END AS reason
+       ({case}) = 'kept' AS kept,
+       {case} AS reason
 FROM ex
 LEFT JOIN nd ON ex.id = nd.id
 JOIN ct ON ex.id = ct.id
-JOIN gq ON ex.id = gq.id
+JOIN gq ON ex.id = gq.id{mq_join}
 ORDER BY ex.id
 """.strip()
 

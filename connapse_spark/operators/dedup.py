@@ -549,12 +549,33 @@ def simhash_neardup_pairs(
             f"max_hamming must be in [0, {SIMHASH_BITS - 1}] "
             f"(got {max_hamming}: {max_hamming + 1} bands over {SIMHASH_BITS} bits)"
         )
-    # persisted: both sides of the self-join share this lineage, and the
-    # fingerprint is sha256-per-token — the expensive half of the operator
-    fp = _simhash_df(docs, id_col, text_col).persist()
-    return hash_neardup_pairs(
-        fp, "simhash", bits=SIMHASH_BITS, max_hamming=max_hamming, id_col=id_col
+    # fingerprint persisted only for the kernel's lifetime (the sha256-per-
+    # token pass is the expensive half; both self-join sides read it)
+    return scoped_fp_pairs(
+        _simhash_df(docs, id_col, text_col),
+        lambda fp: hash_neardup_pairs(
+            fp, "simhash", bits=SIMHASH_BITS, max_hamming=max_hamming, id_col=id_col
+        ),
     )
+
+
+def scoped_fp_pairs(fp: DataFrame, build) -> DataFrame:
+    """Scope a fingerprint frame's persist lifetime (ADVICE r8: every
+    banded-kernel consumer persisted its decode/hash cache with no
+    unpersist path, so cached blocks accumulated for the session — one
+    leak per kernel consumer per bench run). The kernel reads ``fp``
+    once per band on both self-join sides, so it must be cached while
+    the pairs materialize; the PAIR frame is candidate-bounded (orders
+    of magnitude smaller than the fingerprint/decode output), so it
+    gets its own persist, an eager count materializes it while ``fp``
+    is still cached, and the fingerprint blocks release immediately.
+    Callers done with the result may ``.unpersist()`` it; a forgotten
+    pair-frame cache is bounded by the match count, not the corpus."""
+    fp = fp.persist()
+    pairs = build(fp).persist()
+    pairs.count()
+    fp.unpersist()
+    return pairs
 
 
 def hash_neardup_pairs(

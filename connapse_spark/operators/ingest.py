@@ -439,19 +439,20 @@ def ingest_serving_incremental(
         _pinned_dfs.append(tokens_new)
         tokens_new.count()
         # single-query serving bundle: token table via chunk-keyed COW, posting
-        # arrays via the array_except surgery — so hybrid_search(keyword_index=…)
-        # over a load_serving() of this layout stays fresh across increments
+        # arrays via the explode→anti-join surgery — so hybrid_search(
+        # keyword_index=…) over a load_serving() of this layout stays fresh
+        # across increments; deletions stay a DataFrame end to end (no
+        # driver collect on the removal path)
         tokv = snapshots.apply_changes(
             spark, tokens_dir, "id", upserts=tokens_new, delete_keys=deleted_ids
         )
-        old_id_list = [r["chunk_id"] for r in old_chunk_ids.collect()]  # batch-sized
         cur_posts = snapshots.read_snapshot(spark, postings_dir, version=pinned["postings"])
         pparts = []
         for kind, col in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed")):
             cur_k = cur_posts.filter(F.col("kind") == kind).select("term", "ids", "df")
             pparts.append(
                 ki.upsert_postings(
-                    cur_k, tokens_new, deleted_ids=old_id_list, token_col=col
+                    cur_k, tokens_new, deleted_ids=deleted_ids, token_col=col
                 ).withColumn("kind", F.lit(kind))
             )
         postv = snapshots.commit_snapshot(

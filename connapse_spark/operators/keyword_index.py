@@ -534,7 +534,7 @@ ORDER BY score DESC, id LIMIT {k}
 def upsert_postings(
     postings: DataFrame,
     new_tokens: DataFrame,
-    deleted_ids: "list | None" = None,
+    deleted_ids: "list | DataFrame | None" = None,
     token_col: str = "tokens_exact",
 ) -> DataFrame:
     """Incremental posting-list maintenance — the Q3 analogue of
@@ -545,42 +545,62 @@ def upsert_postings(
     Semantics are rebuild-equivalent (the oracle entry checks exactly
     that): every affected id (upserted or deleted) is first REMOVED from
     the old lists — an upserted doc's stale terms must not linger — then
-    the batch's own postings merge in via one full-outer on term; lists
-    stay sorted and ``df`` stays the list length; terms whose last doc
+    the batch's own rows merge in and one term-keyed aggregation rebuilds
+    the touched lists; ``df`` stays the list length; terms whose last doc
     vanished drop out.
 
-    Scale: the removal is a map-side array_except against the (bounded)
-    affected-id batch — the postings table is scanned once, never the
-    corpus; the merge shuffles only the postings-sized table on term.
-    This is how a real deployment keeps a tokenized layout fresh between
-    full rebuilds (PostgreSQL GIN's pending-list fastupdate plays the
-    same role). Id-type-agnostic: the affected-id literals cast to the
-    postings table's own ``ids`` element type, so bigint doc ids and
-    string chunk ids ("doc:idx") both maintain."""
-    ids_type = dict(postings.dtypes)["ids"]
-    batch_ids = [r["id"] for r in new_tokens.select("id").collect()]
-    affected = sorted(set(batch_ids) | set(deleted_ids or []))
-    aff_lit = (
-        F.array(*[F.lit(i) for i in affected]).cast(ids_type)
-        if affected
-        else F.array().cast(ids_type)
-    )
-    cleaned = postings.select(
-        "term", F.array_except(F.col("ids"), aff_lit).alias("ids")
-    ).filter(F.size("ids") > 0)
-    fresh = build_postings(new_tokens, token_col=token_col).select("term", "ids")
-    merged = (
-        cleaned.withColumnRenamed("ids", "_old")
-        .join(fresh.withColumnRenamed("ids", "_new"), "term", "full_outer")
-        .select(
-            "term",
-            F.sort_array(
-                F.concat(
-                    F.coalesce(F.col("_old"), F.array().cast(ids_type)),
-                    F.coalesce(F.col("_new"), F.array().cast(ids_type)),
-                )
-            ).alias("ids"),
+    Scale: removal is the SAME anti-join shape as
+    :func:`upsert_tf_postings` — old lists explode to (term, id) rows
+    and the affected-id set drops in one ``left_anti`` join, with NO
+    driver-side collect and NO per-id plan literals, so plan size is
+    independent of batch cardinality and the batch may itself be a
+    DataFrame-sized change feed (the prior design collected every batch
+    id into an ``F.array(lit…)`` the whole postings table
+    ``array_except``-ed against — O(|batch|) plan size AND per-row cost).
+    The postings table is scanned once; the explode → re-``collect_list``
+    round-trip shuffles only postings-sized rows on term, which a
+    term-partitioned layout co-locates. ``deleted_ids`` may be a Python
+    list (bounded ad-hoc batch → broadcast-hinted probe) or a DataFrame
+    with an ``id`` column (change-feed scale — join strategy left to
+    AQE, same policy as the tf twin). Id-type-agnostic: probe ids cast
+    to the postings table's own ``ids`` element type, so bigint doc ids
+    and string chunk ids ("doc:idx") both maintain."""
+    spark = postings.sparkSession
+    elem = postings.schema["ids"].dataType.elementType
+    affected = new_tokens.select(F.col("id").cast(elem).alias("id"))
+    bounded = True
+    if isinstance(deleted_ids, DataFrame):
+        bounded = False
+        affected = affected.unionByName(
+            deleted_ids.select(F.col("id").cast(elem).alias("id"))
         )
-        .filter(F.size("ids") > 0)
+    elif deleted_ids:
+        affected = affected.unionByName(
+            spark.createDataFrame([(i,) for i in deleted_ids], ["id"]).select(
+                F.col("id").cast(elem).alias("id")
+            )
+        )
+    probe = affected.distinct()
+    if bounded:
+        probe = F.broadcast(probe)
+    live = (
+        postings.select("term", F.explode("ids").alias("id"))
+        .join(probe, "id", "left_anti")
+        .select("term", "id")
     )
-    return merged.select("term", "ids", F.size("ids").cast("long").alias("df"))
+    fresh = (
+        new_tokens.select(
+            F.col("id").cast(elem).alias("id"),
+            F.explode_outer(F.array_distinct(F.col(token_col))).alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
+        .select("term", "id")
+    )
+    return (
+        live.unionByName(fresh)
+        .groupBy("term")
+        .agg(
+            F.sort_array(F.collect_list("id")).alias("ids"),
+            F.count(F.lit(1)).alias("df"),
+        )
+    )

@@ -605,7 +605,7 @@ def image_neardup_pairs(
     search never touches pixels again, exactly the simhash discipline.
     Output: (id_a, id_b, hamming).
     """
-    from connapse_spark.operators.dedup import hash_neardup_pairs
+    from connapse_spark.operators.dedup import hash_neardup_pairs, scoped_fp_pairs
 
     if method == "phash":
         feats = image_phash_dct(media).filter(
@@ -621,9 +621,13 @@ def image_neardup_pairs(
     lo = F.conv(F.substring("phash", 9, 8), 16, 10).cast("long")
     fp = feats.select(
         F.col(id_col), F.shiftleft(hi, 32).bitwiseOR(lo).alias("ahash")
-    ).persist()
-    return hash_neardup_pairs(
-        fp, "ahash", bits=64, max_hamming=max_hamming, id_col=id_col
+    )
+    # scoped persist (ADVICE r8): decode cache released once pairs materialize
+    return scoped_fp_pairs(
+        fp,
+        lambda f: hash_neardup_pairs(
+            f, "ahash", bits=64, max_hamming=max_hamming, id_col=id_col
+        ),
     )
 
 
@@ -863,7 +867,15 @@ def audio_fingerprint(mono) -> str:
     function of the PCM bytes; bit w = E[w+1] > E[w]. Captures the
     clip's energy envelope shape — robust to global gain (monotone
     transforms preserve all deltas), blind to pitch (use a spectral tier
-    when that matters)."""
+    when that matters).
+
+    Degeneracy caveat (the :func:`_gray_ahash` flat-image twin): any clip
+    whose energy envelope is FLAT across the 65 windows — digital
+    silence, constant tones, zero-length decodes — hashes to the same
+    constant 0x0 (no delta is ever >), so such clips would all pair at
+    Hamming 0. :func:`audio_neardup_pairs` drops all-zero fingerprints
+    for exactly this reason; screen by RMS/duration upstream
+    (:func:`extract_audio_features`) if silence floods matter."""
     import numpy as np
 
     n = len(mono)
@@ -908,19 +920,27 @@ def audio_neardup_pairs(
     the shared banded-Hamming kernel (``dedup.hash_neardup_pairs``) —
     the audio leg of the multimodal dedup story, same discipline as
     :func:`image_neardup_pairs` (samples touched once, the pair search
-    integer-only)."""
-    from connapse_spark.operators.dedup import hash_neardup_pairs
+    integer-only). All-zero fingerprints drop alongside empty ones
+    (ADVICE r8): every flat-envelope clip — digital silence, constant
+    tones — hashes to the constant 0x0 and would otherwise false-pair
+    the whole silence tier at Hamming 0."""
+    from connapse_spark.operators.dedup import hash_neardup_pairs, scoped_fp_pairs
 
     feats = audio_fingerprints(media).filter(
-        F.col("decode_error").isNull() & (F.col("afp") != "")
+        F.col("decode_error").isNull()
+        & (F.col("afp") != "")
+        & (F.col("afp") != "0" * 16)
     )
     hi = F.conv(F.substring("afp", 1, 8), 16, 10).cast("long")
     lo = F.conv(F.substring("afp", 9, 8), 16, 10).cast("long")
     fp = feats.select(
         F.col(id_col), F.shiftleft(hi, 32).bitwiseOR(lo).alias("afp")
-    ).persist()
-    return hash_neardup_pairs(
-        fp, "afp", bits=64, max_hamming=max_hamming, id_col=id_col
+    )
+    return scoped_fp_pairs(
+        fp,
+        lambda f: hash_neardup_pairs(
+            f, "afp", bits=64, max_hamming=max_hamming, id_col=id_col
+        ),
     )
 
 
@@ -1021,7 +1041,7 @@ def video_neardup_pairs(
     touched once; the pair search is integer-only; the final aggregate
     is one (id_a, id_b)-keyed shuffle bounded by the candidate pairs.
     Output: (id_a, id_b, n_matching)."""
-    from connapse_spark.operators.dedup import hash_neardup_pairs
+    from connapse_spark.operators.dedup import hash_neardup_pairs, scoped_fp_pairs
 
     feats = video_frame_hashes(media, every_ms, max_frames).filter(
         F.col("decode_error").isNull() & (F.col("fhash") != "")
@@ -1030,10 +1050,13 @@ def video_neardup_pairs(
     lo = F.conv(F.substring("fhash", 9, 8), 16, 10).cast("long")
     fp = feats.select(
         F.col(id_col), "frame_index", F.shiftleft(hi, 32).bitwiseOR(lo).alias("fh")
-    ).persist()
-    frame_pairs = hash_neardup_pairs(
-        fp, "fh", bits=64, max_hamming=max_hamming, id_col=id_col,
-        match_cols=["frame_index"],
+    )
+    frame_pairs = scoped_fp_pairs(
+        fp,
+        lambda f: hash_neardup_pairs(
+            f, "fh", bits=64, max_hamming=max_hamming, id_col=id_col,
+            match_cols=["frame_index"],
+        ),
     )
     return (
         frame_pairs.groupBy("id_a", "id_b")

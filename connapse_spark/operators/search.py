@@ -1038,7 +1038,18 @@ def mmr_diversify(
     )
     selected = first
     for step in range(2, k + 1):
-        remaining = base.join(selected.select(*q, "id"), [*q, "id"], "left_anti")
+        # exclusion is NULL-SAFE (eqNullSafe, not a key-equality anti-join):
+        # a plain left_anti never matches a NULL id, so a selected NULL-id
+        # candidate would stay in `remaining` and be picked at every
+        # subsequent step. NULL is one key (the sim groupBy merges on it
+        # too), so at most one NULL-id candidate is representable.
+        sel_k = selected.select(
+            *[F.col(c).alias(f"_s_{c}") for c in q], F.col("id").alias("_sid")
+        )
+        cond = F.col("id").eqNullSafe(F.col("_sid"))
+        for c in q:
+            cond = cond & (F.col(c) == F.col(f"_s_{c}"))
+        remaining = base.join(sel_k, on=cond, how="left_anti")
         sel_slim = selected.select(*q, F.col("emb").alias("_semb"))
         joined = remaining.join(sel_slim, q) if q else remaining.crossJoin(sel_slim)
         sim = (
@@ -1063,6 +1074,10 @@ def mmr_diversify(
             .withColumn("rank", F.lit(step))
         )
         selected = selected.unionByName(pick)
+    # every step is _step_checkpoint-materialized, so the candidate cache
+    # is no longer needed — release it (ADVICE r8: persists with no
+    # unpersist path accumulate across bench runs)
+    base.unpersist()
     return selected.select(
         *q,
         "rank",
@@ -1106,7 +1121,13 @@ def sql_mmr_diversify(source_sql: str, k: int = 5, lam: float = 0.7) -> str:
     steps unroll as chained CTEs with the same left-fold cosine and the
     same tie-break, so every argmax decision is bit-identical. ``lam``
     and ``1 - lam`` are embedded as the SAME Python-computed doubles the
-    Spark expressions use."""
+    Spark expressions use. Selected ids are excluded with a NULL-SAFE
+    ``ANTI JOIN … ON (id IS NOT DISTINCT FROM id)``, never ``NOT IN``: a
+    NULL candidate id turns a NOT IN predicate NULL and silently empties
+    the remaining set, and even a plain anti-join never matches NULL —
+    re-picking a selected NULL-id row forever. This mirrors the Spark
+    side's eqNullSafe exclusion exactly, so the two engines agree on
+    NULL-id inputs too (at most one NULL-id candidate is representable)."""
     from connapse_spark.functions.vector import sql_cosine
 
     one_minus = 1.0 - lam
@@ -1120,8 +1141,8 @@ def sql_mmr_diversify(source_sql: str, k: int = 5, lam: float = 0.7) -> str:
         parts.append(
             f"sim{i} AS (SELECT c.id, c.rel, c.emb, "
             f"max({sql_cosine('c.emb', 's.emb')}) AS maxsim "
-            f"FROM cand c, {prev} s "
-            f"WHERE c.id NOT IN (SELECT id FROM {prev}) "
+            f"FROM (SELECT c2.* FROM cand c2 ANTI JOIN {prev} s2 "
+            f"ON (c2.id IS NOT DISTINCT FROM s2.id)) c, {prev} s "
             f"GROUP BY c.id, c.rel, c.emb)"
         )
         parts.append(

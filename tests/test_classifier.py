@@ -1,0 +1,104 @@
+"""Trained quality-classifier tier (r9 — VERDICT r8 ask #2): training
+determinism against the shipped pin, planted-label separation, and the
+curate composition stage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from connapse_spark.operators import classifier
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    return spark.createDataFrame(
+        classifier.fixture_quality_labels(), "doc_id long, label double, text string"
+    ).persist()
+
+
+def test_training_reproduces_pinned_model(spark, labeled):
+    """Single-partition L-BFGS with zero init and no sampling is bit
+    deterministic: retraining on the fixture must reproduce the shipped
+    QC_PINNED_MODEL exactly (regenerate with tools/pin_classifier.py if
+    the fixture/recipe changes)."""
+    m = classifier.train_quality_classifier(labeled)
+    assert m["n_features"] == classifier.QC_PINNED_MODEL["n_features"]
+    assert m["bias_q"] == classifier.QC_PINNED_MODEL["bias_q"]
+    assert m["weights_q"] == classifier.QC_PINNED_MODEL["weights_q"]
+
+
+def test_pinned_model_separates_planted_labels(spark, labeled):
+    """Every good fixture doc must out-score every bad one with a wide
+    margin (the fixture is linearly separable by construction)."""
+    sc = classifier.quality_classifier_scores(labeled).collect()
+    good = [r["logit"] for r in sc if r["doc_id"] < 10_000]
+    bad = [r["logit"] for r in sc if r["doc_id"] >= 10_000]
+    assert min(good) > 0 > max(bad)
+    assert min(good) - max(bad) > 5.0
+
+
+def test_scores_empty_doc_gets_bias(spark):
+    docs = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in classifier.quality_classifier_scores(docs).collect()}
+    for i in (1, 2):
+        assert rows[i]["n_feats"] == 0
+        assert rows[i]["logit_q"] == classifier.QC_PINNED_MODEL["bias_q"]
+
+
+def test_curate_model_stage_composes(spark):
+    """A doc that PASSES every heuristic stage but scores below the
+    threshold gets model_low_quality; clean prose stays kept; precedence
+    of the earlier stages is unchanged."""
+    from connapse_spark.operators import curate
+
+    good_text = (
+        "The committee explains the results of the experiment in plain words. "
+        "Each section ends with a short summary and the conclusion follows "
+        "from the data. It is written for a general audience and the argument "
+        "builds slowly. Nothing here requires prior knowledge of the field."
+    )
+    # gopher-passing shape (42 tokens, mean len 5.8, distinct 1.0, two
+    # stopwords, alpha 0.95 — gate-verified keep=True) but gibberish-heavy
+    # vocabulary the trained model marks down (logit −4.3)
+    import random
+
+    rng = random.Random(5)
+    hexes = [f"{rng.getrandbits(24):06x}" for _ in range(40)]
+    sneaky_text = (
+        "the " + " ".join(hexes[:20]) + " of " + " ".join(hexes[20:])
+    )
+    docs = spark.createDataFrame(
+        [(1, good_text), (2, sneaky_text)], "doc_id long, text string"
+    )
+    blocklist = spark.createDataFrame([("zz yy xx",)], "s string")
+    base = {
+        r["id"]: r["reason"]
+        for r in curate.curate(docs, blocklist).collect()
+    }
+    assert base == {1: "kept", 2: "kept"}  # heuristics alone pass both
+    out = {
+        r["id"]: r["reason"]
+        for r in curate.curate(
+            docs, blocklist,
+            classifier_model=classifier.QC_PINNED_MODEL, min_logit_q=0,
+        ).collect()
+    }
+    assert out[1] == "kept"
+    assert out[2] == "model_low_quality"
+
+
+def test_scores_match_duckdb_on_fixture(spark, labeled):
+    """Cross-engine: the integer micro-logit sums agree bit-exactly on
+    the fixture corpus (the sf-table parity is the oracle entry)."""
+    import duckdb
+
+    pdf = labeled.select("doc_id", "text").toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    du = con.sql(
+        classifier.sql_quality_classifier() + " ORDER BY doc_id"
+    ).fetchall()
+    sp = [
+        (r["doc_id"], r["n_feats"], r["logit_q"], r["logit"])
+        for r in classifier.quality_classifier_scores(labeled).orderBy("doc_id").collect()
+    ]
+    assert sp == [tuple(r) for r in du]

@@ -757,6 +757,32 @@ def test_mmr_k_past_candidate_count_returns_all(spark):
     assert [r.rank for r in out] == [1, 2]
 
 
+def test_mmr_null_id_agrees_across_engines(spark):
+    """ADVICE r8: the SQL mirror used `NOT IN (SELECT id …)` which goes
+    NULL — emptying the remaining set — when any candidate id is NULL,
+    while Spark's left_anti keeps NULL-id rows. Now both use anti-join
+    semantics: a NULL-id candidate survives exclusion and gets selected
+    identically in both engines."""
+    import duckdb
+
+    from connapse_spark.operators.search import mmr_diversify, sql_mmr_diversify
+
+    rows = [(1, 0.9, [1.0, 0.0]), (None, 0.8, [0.0, 1.0]), (2, 0.5, [0.9, 0.1])]
+    cands = spark.createDataFrame(rows, "id int, score double, embedding array<double>")
+    got = [
+        (r["rank"], r["id"], r["rel"], r["mmr"])
+        for r in mmr_diversify(cands, k=3, lam=0.5).collect()
+    ]
+    src = (
+        "SELECT id, CAST(rel AS DOUBLE) AS rel, emb "
+        "FROM (VALUES (1, 0.9, [1.0, 0.0]), (NULL, 0.8, [0.0, 1.0]), "
+        "(2, 0.5, [0.9, 0.1])) AS t(id, rel, emb)"
+    )
+    oracle = duckdb.sql(sql_mmr_diversify(src, k=3, lam=0.5)).fetchall()
+    assert [r[1] for r in got] == [1, None, 2]  # NULL-id row selected, not dropped
+    assert got == [tuple(r) for r in oracle]
+
+
 def test_bigram_perplexity_counts_and_miss_paths(spark):
     """n_bigrams = n_tokens − 1 per doc; an external model scores unseen
     continuations and unknown prefixes through the quantized miss

@@ -1317,6 +1317,27 @@ def test_audio_neardup_pairs_planted(spark):
     assert all(1 <= d <= 6 for d in got.values())
 
 
+def test_audio_neardup_silence_never_pairs(spark):
+    """ADVICE r8: every flat-envelope clip (digital silence, constant
+    tones) fingerprints to the constant 0x0 — two unrelated silent clips
+    must NOT false-pair at Hamming 0, while real planted pairs still do."""
+    import numpy as np
+
+    from connapse_spark.operators import multimodal as mm
+
+    silence_a = mm.encode_wav(np.zeros(65 * 64), 8000)
+    tone = mm.encode_wav(np.full(65 * 64, 0.5), 8000)  # constant amplitude
+    fx = mm.fixture_near_dup_audio()[:9]  # bases 0..7 + variant 100 (pairs 0)
+    media = spark.createDataFrame(
+        fx + [(900, silence_a), (901, tone)], "media_id long, content binary"
+    )
+    # sanity: both degenerate clips decode fine and hash to all-zero
+    fps = {r.media_id: r.afp for r in mm.audio_fingerprints(media).collect()}
+    assert fps[900] == "0" * 16 and fps[901] == "0" * 16
+    got = {(r.id_a, r.id_b) for r in mm.audio_neardup_pairs(media, max_hamming=6).collect()}
+    assert got == {(0, 100)}  # planted pair survives; silence tier never pairs
+
+
 def test_image_neardup_stub_rows_never_band(spark):
     """Unknown-magic payloads get stub (fake) hashes for classification
     but must NOT enter the perceptual pair join (r8 review finding)."""

@@ -1167,3 +1167,72 @@ def test_postings_upsert_removes_stale_terms_and_empty_lists(spark):
     assert out["delta"] == ([1], 1)
     assert out["gamma"] == ([2], 1)
     assert "here" not in out
+
+
+def test_postings_upsert_plan_size_independent_of_batch(spark):
+    """VERDICT r8 #1: the removal path must be an anti-join, not a driver
+    collect into an F.array(lit…) literal — the plan must carry NO per-id
+    literals (a sentinel batch id never appears) and no array_except, and
+    its size must not grow with batch cardinality."""
+    from connapse_spark.operators.keyword_index import (
+        build_postings,
+        build_token_table,
+        upsert_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    base = build_postings(build_token_table(docs))
+
+    def plan_for(n_deletes):
+        batch = spark.createDataFrame(
+            [(900_000_042 + j, "beta delta") for j in range(n_deletes)],
+            "doc_id long, text string",
+        )
+        out = upsert_postings(
+            base,
+            build_token_table(batch),
+            deleted_ids=list(range(800_000_000, 800_000_000 + n_deletes)),
+        )
+        return out._jdf.queryExecution().optimizedPlan().toString()
+
+    small, big = plan_for(2), plan_for(200)
+    for plan in (small, big):
+        assert "array_except" not in plan
+        assert "900000042" not in plan  # no batch-id literal leaked into the plan
+        assert "800000123" not in plan  # no deleted-id literal either
+    # anti-join removal, and plan size flat across a 100× batch growth
+    assert "LeftAnti" in big
+    assert len(big) < 1.2 * len(small) + 200
+
+
+def test_postings_upsert_dataframe_deletions_match_list(spark):
+    """deleted_ids may arrive as a DataFrame (change-feed scale, no driver
+    collect anywhere) — result must be row-identical to the list path, and
+    string chunk ids must maintain too (id-type-agnostic contract)."""
+    from connapse_spark.operators.keyword_index import (
+        build_postings,
+        build_token_table,
+        upsert_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1:0", "alpha beta"), ("d2:0", "beta gamma"), ("d3:0", "solo here")],
+        "doc_id string, text string",
+    )
+    base = build_postings(build_token_table(docs))
+    batch = spark.createDataFrame([("d1:0", "beta delta")], "doc_id string, text string")
+    toks = build_token_table(batch)
+    via_list = upsert_postings(base, toks, deleted_ids=["d3:0"])
+    via_df = upsert_postings(
+        base, toks, deleted_ids=spark.createDataFrame([("d3:0",)], "id string")
+    )
+    rows_l = sorted((r["term"], list(r["ids"]), r["df"]) for r in via_list.collect())
+    rows_d = sorted((r["term"], list(r["ids"]), r["df"]) for r in via_df.collect())
+    assert rows_l == rows_d
+    as_map = {t: (ids, df) for t, ids, df in rows_l}
+    assert "solo" not in as_map and "here" not in as_map and "alpha" not in as_map
+    assert as_map["beta"] == (["d1:0", "d2:0"], 2)
+    assert as_map["delta"] == (["d1:0"], 1)

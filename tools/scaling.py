@@ -61,6 +61,8 @@ QUERIES = {
     # r8 second wave: frontier_delta scales with the sf corpus (the two
     # fixture rows cdx_index/image_neardup are fixed-cost and stay out)
     "frontier_delta": "canonical-key partial-agg + distinct ledger keys + anti-join",
+    # r9
+    "quality_classifier": "trained model scores: n-gram explode -> broadcast bin join -> id sum",
 }
 
 
