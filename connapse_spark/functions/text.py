@@ -79,11 +79,25 @@ def tokens_exact_expr(text: Column) -> Column:
     """Lowercase Unicode-alphanumeric tokens (weight-A 'simple' config
     analogue) with the CJK bigram tier. Pure column math — on ASCII text
     this is byte-for-byte the r7 ``[^a-z0-9]+`` behavior (no CJK runs →
-    the bigram branch never fires), so ASCII corpora are unchanged."""
+    the bigram branch never fires), so ASCII corpora are unchanged.
+
+    The CJK machinery (run-spacing regexp_replace + per-token rlike +
+    bigram flatten) is gated behind ONE whole-text rlike per row (r9 —
+    the r8 drift root cause: `hybrid_ann_probe`/`keyword_index_build`
+    rose ~1.7×/1.35× because every tokenize-scan paid the per-token
+    branch even on pure-ASCII corpora; measured at sf0.1 the gate cuts
+    a tokenize-scan 0.50s → 0.30s vs the r7 ASCII tokenizer's 0.24s).
+    CaseWhen evaluates lazily per row, so non-CJK rows never run the
+    expansion; rows with any CJK char take the full tier. lower() never
+    introduces or removes CJK chars, so gating on the lowered text is
+    exact."""
     folded = F.replace(text, F.lit(_I_DOT_FOLD[0]), F.lit(_I_DOT_FOLD[1]))
-    spaced = F.regexp_replace(F.lower(folded), "(" + CJK_CLASS + "+)", " $1 ")
+    lowered = F.lower(folded)
+    fast = F.filter(F.split(lowered, TOKEN_SPLIT_RE), lambda t: F.length(t) > 0)
+    spaced = F.regexp_replace(lowered, "(" + CJK_CLASS + "+)", " $1 ")
     toks = F.filter(F.split(spaced, TOKEN_SPLIT_RE), lambda t: F.length(t) > 0)
-    return F.flatten(F.transform(toks, _expand_cjk))
+    slow = F.flatten(F.transform(toks, _expand_cjk))
+    return F.when(lowered.rlike(CJK_CLASS), slow).otherwise(fast)
 
 
 def stem_expr(tok: Column) -> Column:
@@ -158,10 +172,14 @@ def spark_sql_tokens_exact(c: str) -> str:
     of backslash, so the split class is escape-doubled)."""
     split_sql = TOKEN_SPLIT_RE.replace(chr(92), chr(92) * 2)
     folded = f"replace({c}, '{_I_DOT_FOLD[0]}', '{_I_DOT_FOLD[1]}')"
-    return (
-        f"flatten(transform(filter(split(regexp_replace(lower({folded}), "
+    lowered = f"lower({folded})"
+    fast = f"filter(split({lowered}, '{split_sql}'), x -> length(x) > 0)"
+    slow = (
+        f"flatten(transform(filter(split(regexp_replace({lowered}, "
         f"'({CJK_CLASS}+)', ' $1 '), '{split_sql}'), x -> length(x) > 0), "
         f"x -> CASE WHEN x RLIKE '^{CJK_CLASS}' AND length(x) >= 2 "
         f"THEN transform(sequence(1, length(x) - 1), i -> substring(x, i, 2)) "
         f"ELSE array(x) END))"
     )
+    # same whole-text CJK gate as tokens_exact_expr (r9)
+    return f"CASE WHEN {lowered} RLIKE '{CJK_CLASS}' THEN {slow} ELSE {fast} END"
