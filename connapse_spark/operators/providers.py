@@ -266,3 +266,81 @@ def http_llm_provider(
         return pd.Series([complete_one(p or "") for p in prompts])
 
     return provider
+
+
+def http_llm_stream(
+    endpoint: str,
+    prompt: str,
+    model: str = "llama3",
+    style: str = "ollama",
+    api_key: str | None = None,
+    timeout: float = 120.0,
+):
+    """Streaming completion — the ``ILlmProvider.StreamAsync`` surface
+    (src/Connapse.Core/Interfaces/ILlmProvider.cs:27,
+    ``IAsyncEnumerable<string>``; OllamaLlmProvider/OpenAI-compatible
+    providers stream it over the same endpoints ``CompleteAsync`` posts
+    to): a generator yielding text chunks AS THE PROVIDER EMITS THEM.
+    Wire shapes: ``"ollama"`` = ndjson (/api/generate with
+    ``stream: true`` — one JSON object per line, ``done`` terminates);
+    ``"openai"`` / ``"azure_openai"`` = SSE (``data: {...}`` lines over
+    /chat/completions with ``stream: true``, ``data: [DONE]``
+    terminates) reading ``choices[0].delta.content``. Auth matches
+    :func:`http_llm_provider` (Bearer vs raw ``api-key``; azure omits
+    the model field — the deployment is the route).
+
+    Driver-side by nature: a stream is consumed incrementally by ONE
+    caller (the serving/chat seam), so this is not a corpus operator and
+    never enters a plan — ``rag.answer`` keeps the batch
+    ``CompleteAsync`` path. No mid-stream retries: replaying a broken
+    stream would re-emit tokens the caller already consumed; connection
+    errors before the first chunk surface to the caller, who may simply
+    call again."""
+    import json
+    import urllib.request
+
+    if style == "ollama":
+        body: dict = {"model": model, "prompt": prompt, "stream": True}
+    elif style in ("openai", "azure_openai"):
+        body = {
+            "messages": [{"role": "user", "content": prompt}],
+            "stream": True,
+        }
+        if style == "openai":
+            body["model"] = model
+    else:
+        raise ValueError(f"unknown provider style: {style}")
+    headers = {"Content-Type": "application/json"}
+    if api_key:
+        if style == "azure_openai":
+            headers["api-key"] = api_key
+        else:
+            headers["Authorization"] = f"Bearer {api_key}"
+    req = urllib.request.Request(
+        endpoint, data=json.dumps(body).encode("utf-8"), headers=headers, method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        # line iteration on the raw HTTP response reads as bytes arrive
+        # (http.client de-chunks transfer-encoding transparently), so each
+        # yield happens when the provider flushes, not at stream end
+        for raw in resp:
+            line = raw.decode("utf-8").strip()
+            if not line:
+                continue
+            if style == "ollama":
+                obj = json.loads(line)
+                chunk = obj.get("response", "")
+                if chunk:
+                    yield str(chunk)
+                if obj.get("done"):
+                    return
+            else:
+                if not line.startswith("data:"):
+                    continue
+                data = line[len("data:"):].strip()
+                if data == "[DONE]":
+                    return
+                delta = json.loads(data)["choices"][0].get("delta", {})
+                chunk = delta.get("content")
+                if chunk:
+                    yield str(chunk)

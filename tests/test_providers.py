@@ -367,3 +367,115 @@ def test_all_connections_sweep(spark):
     assert all(r["success"] for r in report.values())
     with_storage = test_all_connections(spark, storage_uri="/root/testdata/sf0.001")
     assert with_storage["storage"]["success"] is True
+
+
+# ---------------------------------------------------------------------------
+# Streaming completions (r9 — ILlmProvider.StreamAsync surface)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def stream_llm_server():
+    """Streams 3 chunks with an explicit flush + delay between each and
+    records per-chunk SEND timestamps, so tests can prove INCREMENTAL
+    arrival (first chunk consumed before the last is sent) rather than
+    whole-body buffering."""
+    import time
+
+    log = _Log()
+    log.send_times = {}
+
+    def _chunks(handler, lines, key):
+        handler.send_response(200)
+        handler.send_header("Content-Type", "application/x-ndjson")
+        handler.end_headers()  # HTTP/1.0: close-delimited body, no length
+        times = log.send_times.setdefault(key, [])
+        for ln in lines:
+            handler.wfile.write(ln.encode() + b"\n")
+            handler.wfile.flush()
+            times.append(time.time())  # recorded per send — the client
+            time.sleep(0.15)           # returns at the done marker, before
+                                       # this handler finishes
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            payload = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            log.requests.append((self.path, payload))
+            log.last_headers = dict(self.headers)
+            if self.path.endswith("/api/generate"):
+                assert payload["stream"] is True
+                _chunks(self, [
+                    json.dumps({"response": "Hel", "done": False}),
+                    json.dumps({"response": "lo ", "done": False}),
+                    json.dumps({"response": "world", "done": False}),
+                    json.dumps({"response": "", "done": True}),
+                ], "ollama")
+            else:  # openai/azure SSE
+                assert payload["stream"] is True
+                _chunks(self, [
+                    'data: ' + json.dumps({"choices": [{"delta": {"role": "assistant"}}]}),
+                    'data: ' + json.dumps({"choices": [{"delta": {"content": "str"}}]}),
+                    'data: ' + json.dumps({"choices": [{"delta": {"content": "eam"}}]}),
+                    'data: [DONE]',
+                ], "sse")
+
+        def log_message(self, *a):
+            pass
+
+    srv, url = _serve(Handler)
+    yield log, url
+    srv.shutdown()
+
+
+def test_llm_stream_ollama_ndjson_incremental(stream_llm_server):
+    import time
+
+    from connapse_spark.operators.providers import http_llm_stream
+
+    log, url = stream_llm_server
+    recv = []
+    for chunk in http_llm_stream(url + "/api/generate", "hi", style="ollama"):
+        recv.append((chunk, time.time()))
+    assert [c for c, _ in recv] == ["Hel", "lo ", "world"]
+    # incremental: the FIRST chunk was consumed before the server sent
+    # the LAST one (a whole-body buffer could only start after all sends)
+    assert recv[0][1] < log.send_times["ollama"][-1]
+
+
+def test_llm_stream_openai_sse_incremental(stream_llm_server):
+    import time
+
+    from connapse_spark.operators.providers import http_llm_stream
+
+    log, url = stream_llm_server
+    recv = []
+    for chunk in http_llm_stream(
+        url + "/v1/chat/completions", "hi", style="openai", api_key="sk-x"
+    ):
+        recv.append((chunk, time.time()))
+    assert [c for c, _ in recv] == ["str", "eam"]
+    assert recv[0][1] < log.send_times["sse"][-1]
+    hl = {k.lower(): v for k, v in log.last_headers.items()}
+    assert hl.get("authorization") == "Bearer sk-x"
+    assert log.requests[-1][1]["model"] == "llama3"
+
+
+def test_llm_stream_azure_style_headers(stream_llm_server):
+    from connapse_spark.operators.providers import http_llm_stream
+
+    log, url = stream_llm_server
+    out = "".join(
+        http_llm_stream(url + "/v1/chat/completions", "hi", style="azure_openai", api_key="az")
+    )
+    assert out == "stream"
+    hl = {k.lower(): v for k, v in log.last_headers.items()}
+    assert hl.get("api-key") == "az"
+    assert "authorization" not in hl
+    assert "model" not in log.requests[-1][1]
+
+
+def test_llm_stream_rejects_unknown_style():
+    from connapse_spark.operators.providers import http_llm_stream
+
+    with pytest.raises(ValueError, match="style"):
+        list(http_llm_stream("http://x", "p", style="soap-xml"))
