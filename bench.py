@@ -168,6 +168,11 @@ BENCH_QUERIES = [
     # weight join + id-keyed integer sum) and its curate composition
     "quality_classifier",
     "curate_classified",
+    # r9 archive front: WAT metadata roundtrip (sf-scaling: export →
+    # extract → re-ingest) and incremental CDX maintenance (fixed-cost
+    # fixture row — base build + level append through the snapshot layer)
+    "wat_roundtrip",
+    "cdx_incremental",
 ]
 
 

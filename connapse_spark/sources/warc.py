@@ -813,6 +813,62 @@ def write_cdx_table(index_df: DataFrame, table_dir: str, n_files: int = 32) -> i
     return snapshots.commit_snapshot(clustered, table_dir)
 
 
+def cdx_append(
+    spark: SparkSession, binary_df: DataFrame, table_dir: str, n_files: int = 4
+) -> int:
+    """Incremental CDX maintenance (r9 — a new crawl drop previously
+    implied a full index rebuild): fold one drop's archives into a
+    committed CDX table. Captures are APPEND-ONLY facts (a re-crawl of a
+    URL is a NEW capture row, never an update), so the file-level
+    copy-on-write rewrite set is empty by construction and the commit is
+    a pure by-reference append: every prior file carries into the next
+    manifest untouched, only the batch's own range-clustered files are
+    written.
+
+    The pruning property survives levels: the batch clusters by
+    (urlkey, cdx_ts) within itself, so its files carry their own urlkey
+    footer stats and :func:`cdx_lookup`'s manifest-level skipping opens
+    O(1) files PER COMMITTED DROP for a key — the LSM/zipnum level
+    shape. Fold levels back to one file set with :func:`cdx_compact`
+    when drops accumulate (the tf_compact role).
+
+    Idempotent under crash-replay: archive files are immutable, so
+    ``filename`` is the ingest identity — already-indexed archives drop
+    from the batch via ONE anti-join against the base's distinct
+    filenames BEFORE parsing (a replayed drop re-parses nothing and
+    appends zero rows; the filename projection is a column-pruned read
+    of the index, never the archives). First call on an empty dir is a
+    plain :func:`write_cdx_table` build."""
+    from connapse_spark.sources import snapshots
+
+    if snapshots.latest_version(table_dir) is None:
+        return write_cdx_table(
+            cdx_index(binary_df, sort=False), table_dir, n_files=n_files
+        )
+    seen = (
+        snapshots.read_snapshot(spark, table_dir)
+        .select(F.col("filename").alias("path"))
+        .distinct()
+    )
+    fresh = binary_df.join(seen, "path", "left_anti")
+    batch = cdx_index(fresh, sort=False)
+    clustered = batch.repartitionByRange(
+        n_files, "urlkey", "cdx_ts"
+    ).sortWithinPartitions("urlkey", "cdx_ts")
+    return snapshots.commit_snapshot(clustered, table_dir, mode="append")
+
+
+def cdx_compact(spark: SparkSession, table_dir: str, n_files: int = 32) -> int:
+    """Fold accumulated append levels back into one range-clustered file
+    set (full re-cluster commit — run when lookups start touching too
+    many per-drop files). Old versions stay readable for pinned readers
+    until a retention pass expires them."""
+    from connapse_spark.sources import snapshots
+
+    cur = snapshots.read_snapshot(spark, table_dir)
+    return write_cdx_table(cur, table_dir, n_files=n_files)
+
+
 def cdx_lookup(
     spark: SparkSession, table_dir: str, url: str, version: int | None = None
 ) -> DataFrame:
@@ -1247,6 +1303,127 @@ def export_warc_shards(
         )
 
     return df.select(url_col, html_col).mapInPandas(_write, EXPORT_SCHEMA)
+
+
+def export_wat_shards(binary_df: DataFrame) -> DataFrame:
+    """WAT export (r9 — the third Common Crawl artifact next to WARC and
+    WET): one ``metadata`` record per response record of the source
+    archives, JSON payload in the CC envelope shape —
+    ``Envelope.WARC-Header-Metadata`` (target URI, date, record id),
+    ``Envelope.Payload-Metadata.HTTP-Response-Metadata`` with
+    ``Response-Message.Status``, ``Headers.Content-Type`` and
+    ``HTML-Metadata`` (``Head.Title`` + ``Links`` as {url, text} pairs in
+    document order, fragment-dropped absolute http(s) — the SAME
+    extractors the link graph and text pipeline run:
+    ``links.extract_links(anchors=True)`` and
+    ``htmltext.extract_html_full``, so WAT output can never disagree
+    with the in-engine graph). ``WARC-Refers-To`` carries the source
+    record id. One gzip-member archive per partition (the
+    export_warc_shards discipline: map-side only, shard count =
+    partition count, deterministic bytes via sort_keys JSON and the
+    sha-derived record ids). Re-ingest through :func:`warc_records` +
+    :func:`wat_documents`."""
+    import json as _json
+
+    from connapse_spark.operators.htmltext import extract_html_full
+    from connapse_spark.operators.links import extract_links
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        recs_out = []
+        for pdf in batches:
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                for hdrs, payload, _warning in iter_warc_records(bytes(blob or b"")):
+                    if hdrs.get("warc-type") != "response":
+                        continue
+                    status, http_hdrs, body = split_http_response(payload)
+                    if status is None:
+                        continue
+                    body, _enc = decode_http_body(http_hdrs, body)
+                    ct = http_hdrs.get("content-type")
+                    uri = hdrs.get("warc-target-uri")
+                    html = decode_text_payload(body, ct) or ""
+                    title, _text, _meta = extract_html_full(html, boilerplate=False)
+                    links = extract_links(html, uri or "", anchors=True)
+                    env = {
+                        "Envelope": {
+                            "WARC-Header-Metadata": {
+                                "WARC-Target-URI": uri,
+                                "WARC-Date": hdrs.get("warc-date"),
+                                "WARC-Record-ID": hdrs.get("warc-record-id"),
+                            },
+                            "Payload-Metadata": {
+                                "HTTP-Response-Metadata": {
+                                    "Response-Message": {"Status": status},
+                                    "Headers": {"Content-Type": ct},
+                                    "HTML-Metadata": {
+                                        "Head": {"Title": title},
+                                        "Links": [
+                                            {"url": u, "text": a} for u, a in links
+                                        ],
+                                    },
+                                }
+                            },
+                        }
+                    }
+                    recs_out.append(
+                        make_warc_record(
+                            "metadata",
+                            _json.dumps(env, sort_keys=True).encode("utf-8"),
+                            target_uri=uri,
+                            content_type="application/json",
+                            date=hdrs.get("warc-date") or "2024-01-01T00:00:00Z",
+                            extra_headers={
+                                "WARC-Refers-To": hdrs.get("warc-record-id") or ""
+                            },
+                        )
+                    )
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        yield pd.DataFrame(
+            [(pid, make_warc(recs_out, gzip_members=True), len(recs_out))],
+            columns=["shard", "content", "n_records"],
+        )
+
+    return binary_df.select("path", "content").mapInPandas(_write, EXPORT_SCHEMA)
+
+
+# hyphenated CC envelope keys need backticks; only the fields
+# wat_documents projects are declared — from_json ignores the rest
+WAT_JSON_DDL = (
+    "Envelope struct<"
+    "`WARC-Header-Metadata` struct<`WARC-Target-URI` string, `WARC-Date` string>,"
+    "`Payload-Metadata` struct<`HTTP-Response-Metadata` struct<"
+    "`Response-Message` struct<Status int>,"
+    "`HTML-Metadata` struct<Head struct<Title string>,"
+    "Links array<struct<url string, text string>>>>>>"
+)
+
+
+def wat_documents(records: DataFrame) -> DataFrame:
+    """WAT projection: metadata records → (url, title, status, n_links,
+    links) — links '|'-joined in document order (the deterministic flat
+    shape the roundtrip oracle hashes). JSON parsing is JVM ``from_json``
+    over the payload bytes — no Python in the read path."""
+    env = F.from_json(F.col("payload").cast("string"), WAT_JSON_DDL)
+    hm = env["Envelope"]["WARC-Header-Metadata"]
+    rm = env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]
+    links = rm["HTML-Metadata"]["Links"]
+    return (
+        records.filter(
+            (F.col("warc_type") == "metadata")
+            & (F.col("content_type") == "application/json")
+        )
+        .select(
+            hm["WARC-Target-URI"].alias("url"),
+            rm["HTML-Metadata"]["Head"]["Title"].alias("title"),
+            rm["Response-Message"]["Status"].alias("status"),
+            F.coalesce(F.size(links), F.lit(0)).cast("long").alias("n_links"),
+            F.array_join(
+                F.transform(F.coalesce(links, F.array()), lambda x: x["url"]), "|"
+            ).alias("links"),
+        )
+    )
 
 
 def wet_documents(records: DataFrame) -> DataFrame:

@@ -1262,3 +1262,121 @@ def test_property_located_spans_always_seekable(pairs, gz):
         assert w2 is None
         assert h2.get("warc-target-uri") == hdrs.get("warc-target-uri")
         assert p2 == payload
+
+
+def test_cdx_append_levels_prune_and_replay_is_noop(spark, tmp_path):
+    """r9 incremental CDX: an appended drop keeps manifest-level pruning
+    (a key opens a strict file subset spanning at most one file per
+    level), prior files carry by reference (zero rewrite), and replaying
+    an already-indexed archive appends zero rows."""
+    from connapse_spark.sources import snapshots
+
+    fx = warc.fixture_warc_cdx()
+    base_files = {"/fx/good.warc.gz", "/fx/good.warc", "/fx/mixed.warc"}
+    base = spark.createDataFrame(
+        [r for r in fx if r[0] in base_files], "path string, content binary"
+    )
+    drop = spark.createDataFrame(
+        [r for r in fx if r[0] not in base_files], "path string, content binary"
+    )
+    tdir = str(tmp_path / "cdx-inc")
+    v0 = warc.cdx_append(spark, base, tdir, n_files=4)
+    m0 = snapshots.load_manifest(tdir, v0)
+    v1 = warc.cdx_append(spark, drop, tdir, n_files=2)
+    m1 = snapshots.load_manifest(tdir, v1)
+    # by-reference carry-over: every v0 file path survives verbatim in v1
+    p0 = {e["path"] for e in m0["files"]}
+    p1 = {e["path"] for e in m1["files"]}
+    assert p0 < p1
+    # pruning survives the level: a surt.warc.gz-only url opens only
+    # level-1 files; a base-only url opens no level-1 file
+    def pruned(url):
+        from pyspark.sql import functions as SF
+
+        from connapse_spark.operators.web import surt_key_expr
+        k = spark.createDataFrame([(url,)], "url string").select(
+            surt_key_expr(SF.col("url")).alias("k")).first()["k"]
+        return {e["path"] for e in snapshots.prune_files(m1, "urlkey", k, k)}
+    hit = pruned("https://www.com/x")          # only in the appended drop
+    assert hit and hit.isdisjoint(p0)
+    assert len(hit) < len(p1)
+    # a base-only url still opens a strict subset (range stats may admit
+    # a level file whose [min,max] covers the key — they are ranges, not
+    # bloom filters — but never the whole table)
+    base_hit = pruned("https://c.example/chunked")
+    assert base_hit & p0 and len(base_hit) < len(p1)
+    # lookups answer across levels
+    got = warc.cdx_lookup(spark, tdir, "https://a.example/").collect()
+    assert len(got) == 5  # 4 archive captures + the drop's revisit
+    # replay: appending the same drop again adds zero rows and parses
+    # zero archives (anti-join screens on filename before the parse)
+    n_before = snapshots.read_snapshot(spark, tdir).count()
+    v2 = warc.cdx_append(spark, drop, tdir)
+    assert snapshots.read_snapshot(spark, tdir, version=v2).count() == n_before
+    # compaction folds levels back into one clustered file set
+    v3 = warc.cdx_compact(spark, tdir, n_files=4)
+    m3 = snapshots.load_manifest(tdir, v3)
+    assert len({e["path"] for e in m3["files"]} & p1) == 0
+    rows_inc = sorted(
+        tuple(r) for r in snapshots.read_snapshot(spark, tdir, version=v3).collect()
+    )
+    blobs = spark.createDataFrame(fx, "path string, content binary")
+    rows_full = sorted(tuple(r) for r in warc.cdx_index(blobs).collect())
+    assert rows_inc == rows_full
+
+
+def test_wat_export_edge_cases(spark):
+    """WAT metadata: titled page with mixed links, a title-less non-HTML
+    payload (empty Links, NULL title), and WARC-Refers-To carrying the
+    source record id."""
+    from pyspark.sql import functions as SF
+
+    page = (
+        b"<html><head><title> My  Page </title></head><body>"
+        b'<a href="https://x.example/a#frag">A</a>'
+        b'<a href="/b">B</a>'
+        b'<a href="mailto:x@y.z">no</a>'
+        b"</body></html>"
+    )
+    recs = [
+        warc.make_warc_record(
+            "response", warc.make_http_response(200, page),
+            target_uri="https://host.example/dir/page",
+        ),
+        warc.make_warc_record(
+            "response",
+            warc.make_http_response(200, b"plain words", content_type="text/plain"),
+            target_uri="https://host.example/plain",
+        ),
+        # non-response records must not produce WAT rows
+        warc.make_warc_record("request", b"GET / HTTP/1.1\r\n\r\n",
+                              target_uri="https://host.example/dir/page"),
+    ]
+    blobs = spark.createDataFrame(
+        [("/fx/wat.warc.gz", warc.make_warc(recs))], "path string, content binary"
+    )
+    wat = warc.export_wat_shards(blobs)
+    rows = warc.warc_records(
+        wat.select(SF.col("shard").cast("string").alias("path"), "content")
+    )
+    got = {r["url"]: r for r in warc.wat_documents(rows).collect()}
+    assert set(got) == {"https://host.example/dir/page", "https://host.example/plain"}
+    pg = got["https://host.example/dir/page"]
+    assert pg["title"] == "My Page"
+    # fragment dropped, relative resolved against the page url, mailto skipped
+    assert pg["links"] == "https://x.example/a|https://host.example/b"
+    assert pg["n_links"] == 2 and pg["status"] == 200
+    pl = got["https://host.example/plain"]
+    assert pl["title"] is None and pl["n_links"] == 0 and pl["links"] == ""
+    # refers-to: every metadata record points at a real source record id
+    meta = rows.filter(SF.col("warc_type") == "metadata").collect()
+    assert len(meta) == 2
+    src_ids = set()
+    for hdrs, _p, _w in warc.iter_warc_records(
+        spark.createDataFrame([("x", warc.make_warc(recs))], "path string, content binary")
+        .first()["content"]
+    ):
+        src_ids.add(hdrs.get("warc-record-id"))
+    wat_blob = wat.first()["content"]
+    refs = [h.get("warc-refers-to") for h, _p, _w in warc.iter_warc_records(bytes(wat_blob))]
+    assert all(r in src_ids for r in refs)

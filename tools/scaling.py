@@ -63,6 +63,7 @@ QUERIES = {
     "frontier_delta": "canonical-key partial-agg + distinct ledger keys + anti-join",
     # r9
     "quality_classifier": "trained model scores: n-gram explode -> broadcast bin join -> id sum",
+    "wat_roundtrip": "corpus -> WARC -> WAT metadata export -> re-ingest (Arrow map-side x2)",
 }
 
 
