@@ -1136,6 +1136,43 @@ def q_keyword_many(spark, sf_dir):
     return keyword_search_many(_t(spark, sf_dir, "documents"), BATCH_QUERIES, k=5)
 
 
+PHRASE_BATCH_QUERIES = [
+    (1, '"table hash"'),
+    (2, '"customer join"'),
+    (3, '"merge group"'),
+]
+
+
+def q_keyword_many_phrase(spark, sf_dir):
+    """BATCHED phrase search served from positions-bearing postings (r9 —
+    VERDICT r8 ask #6, keyword_index.keyword_search_many_phrase_indexed):
+    3 quoted phrases answered in ONE job against write-time
+    (term, id, positions) tables; the oracle is the per-query SCAN-tier
+    websearch SQL, so the positions arithmetic (shifted-intersection
+    starts + greedy non-overlap fold) is pinned value-for-value against
+    the token-array string count."""
+    tokens = keyword_index.build_token_table(_t(spark, sf_dir, "documents")).persist()
+    pe = keyword_index.build_positions_postings(tokens, "tokens_exact")
+    ps = keyword_index.build_positions_postings(tokens, "tokens_stemmed")
+    return keyword_index.keyword_search_many_phrase_indexed(
+        pe, ps, PHRASE_BATCH_QUERIES, k=5
+    )
+
+
+def _sql_keyword_many_phrase() -> str:
+    from connapse_spark.operators.search import sql_keyword_websearch
+
+    parts = []
+    for qid, q in PHRASE_BATCH_QUERIES:
+        inner = sql_keyword_websearch(q, k=5)
+        parts.append(
+            f"SELECT CAST({qid} AS BIGINT) AS qid, doc_id AS id, score, "
+            f"CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
+            f"FROM ({inner})"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY qid, rank"
+
+
 def q_keyword_many_indexed(spark, sf_dir):
     """Batched keyword search SERVED from write-time tf-postings (r6):
     identical rows to keyword_many (same oracle SQL) but the corpus
@@ -4763,6 +4800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "hybrid_cc": q_hybrid_cc,
         "keyword_many": q_keyword_many,
+        "keyword_many_phrase": q_keyword_many_phrase,
         "hybrid_many": q_hybrid_many,
         "hybrid_many_filtered": q_hybrid_many_filtered,
         "hybrid_many_fast": q_hybrid_many_fast,
@@ -5089,6 +5127,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_card": _sql_dataset_card(),
         "neardup_incremental": dedup.sql_incremental_neardup(threshold=0.2),
         "keyword_many": sql_keyword_search_many(BATCH_QUERIES, k=5),
+        "keyword_many_phrase": _sql_keyword_many_phrase(),
         # tf-postings-served batch tier: physically different, row-identical
         "keyword_many_indexed": sql_keyword_search_many(BATCH_QUERIES, k=5),
         "hybrid_many": sql_hybrid_search_many(BATCH_QUERIES, top_k=5),

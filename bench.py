@@ -173,6 +173,9 @@ BENCH_QUERIES = [
     # fixture row — base build + level append through the snapshot layer)
     "wat_roundtrip",
     "cdx_incremental",
+    # r9: batched phrase search served from positions-bearing postings
+    # (build folded in, like the other *_indexed rows)
+    "keyword_many_phrase",
 ]
 
 

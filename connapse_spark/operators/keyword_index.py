@@ -120,6 +120,128 @@ def build_tf_postings(
     )
 
 
+def build_positions_postings(
+    tokens: DataFrame, token_col: str = "tokens_exact"
+) -> DataFrame:
+    """(term, id, positions) — the GIN-with-positions layout (r9, VERDICT
+    r8 ask #6): 0-based sorted token positions per (term, doc), the
+    write-time structure that serves BATCHED phrase verification without
+    touching token arrays or re-tokenizing anything. Store
+    partitioned/sorted by term like the tf tables; costs one extra
+    int-array column over tf postings."""
+    return (
+        tokens.select("id", F.posexplode(F.col(token_col)).alias("pos", "term"))
+        .groupBy("term", "id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def keyword_search_many_phrase_indexed(
+    pos_exact: DataFrame,
+    pos_stemmed: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """BATCHED phrase search served from positions-bearing postings (r9):
+    N quoted-phrase queries in ONE job against the write-time
+    (term, id, positions) tables — closing the r8 tier gap where batched
+    phrase queries routed to the per-query token-table tier (N sub-jobs,
+    each scanning candidate token arrays).
+
+    TIER CONTRACT: every query must be a single POSITIVE quoted phrase of
+    ≥2 tokens (ValueError otherwise — mixed websearch syntax routes to
+    :func:`keyword_search_websearch_indexed` or the scan tier). Scores
+    are identical to keyword_search_websearch's pure-phrase case:
+    ``raw = len(ph)·(W_A·occ_exact + W_B·occ_stem)``, rank/(rank+1),
+    where occ is the LEFTMOST NON-OVERLAPPING adjacency count — the scan
+    tier's string-replace count reproduced from positions: a start s is
+    valid iff every phrase offset o has a posting position s+o
+    (intersection of shifted position lists), and a greedy left-to-right
+    fold over the sorted starts skips starts inside the previous match's
+    span (replace() semantics, bit-equal; the periodic-phrase caveat on
+    _phrase_occurrences carries over identically).
+
+    Plan: term-pruned postings scan (literal IN pushes into the
+    term-sorted layout) → broadcast join to the query offsets → one
+    explode of shifted positions → two keyed aggregations per config →
+    full-outer config merge → shared per-qid top-k window. Marginal cost
+    per batch is the matched-postings volume, never the corpus — at
+    100 TB this is the difference between N token-array verifications
+    and one positions probe."""
+    from connapse_spark.operators.search import parse_websearch, rank_topk_per_qid
+
+    spark = pos_exact.sparkSession
+    qe_rows, qs_rows = [], []  # (qid, term, off, plen)
+    for qid, qtext in queries:
+        groups = parse_websearch(qtext)
+        if (
+            len(groups) != 1
+            or len(groups[0]) != 1
+            or groups[0][0].negated
+            or not groups[0][0].phrase
+        ):
+            raise ValueError(
+                "phrase tier serves single positive quoted phrases only — "
+                "route mixed websearch syntax to keyword_search_websearch_indexed"
+            )
+        ws = groups[0][0].tokens
+        for off, w in enumerate(ws):
+            qe_rows.append((qid, w, off, len(ws)))
+        for off, st in enumerate(stem_py(w) for w in ws):
+            qs_rows.append((qid, st, off, len(ws)))
+    if not qe_rows:
+        return spark.createDataFrame([], "qid long, id long, score double, rank long")
+
+    def _occurrences(ptab: DataFrame, rows: list) -> DataFrame:
+        q = spark.createDataFrame(rows, "qid long, term string, off int, plen int")
+        terms = sorted({t for _, t, _, _ in rows})
+        starts = (
+            ptab.filter(F.col("term").isin(*terms))
+            .join(F.broadcast(q), "term")
+            .select(
+                "qid", "id", "off", "plen",
+                F.explode(
+                    F.transform(F.col("positions"), lambda p: p - F.col("off"))
+                ).alias("start"),
+            )
+            .filter(F.col("start") >= 0)
+            .groupBy("qid", "id", "plen", "start")
+            .agg(F.count_distinct("off").alias("_n_off"))
+            .filter(F.col("_n_off") == F.col("plen"))
+            .groupBy("qid", "id", "plen")
+            .agg(F.sort_array(F.collect_list("start")).alias("_starts"))
+        )
+        # greedy leftmost non-overlap == replace() count: take a start
+        # only once past the previous accepted match's end
+        occ = F.aggregate(
+            F.col("_starts"),
+            F.struct(
+                F.lit(0).alias("c"), F.lit(-(1 << 30)).cast("int").alias("free")
+            ),
+            lambda acc, s: F.when(
+                s >= acc["free"],
+                F.struct(
+                    (acc["c"] + F.lit(1)).alias("c"),
+                    (s + F.col("plen")).cast("int").alias("free"),
+                ),
+            ).otherwise(acc),
+            lambda acc: acc["c"],
+        )
+        return starts.select("qid", "id", "plen", occ.alias("occ"))
+
+    oe = _occurrences(pos_exact, qe_rows).withColumnRenamed("occ", "occ_e")
+    os_ = _occurrences(pos_stemmed, qs_rows).withColumnRenamed("occ", "occ_s")
+    merged = oe.join(os_, ["qid", "id", "plen"], "full_outer")
+    raw = F.col("plen").cast("double") * (
+        F.lit(WEIGHT_EXACT) * F.coalesce(F.col("occ_e"), F.lit(0))
+        + F.lit(WEIGHT_STEMMED) * F.coalesce(F.col("occ_s"), F.lit(0))
+    )
+    scored = merged.select(
+        "qid", "id", (raw / (raw + F.lit(1.0))).alias("score")
+    ).filter(F.col("score") > 0.0)
+    return rank_topk_per_qid(scored, k)
+
+
 def _affected_ids(
     spark, new_tokens: DataFrame, deleted_ids: "list[int] | DataFrame | None"
 ) -> "tuple[DataFrame, bool]":
@@ -339,9 +461,11 @@ def keyword_search_many_indexed(
     TIER CONTRACT: this tier serves the FLAT-TF scorer only — the
     (term, id, tf) layout carries no positions or token arrays, so
     phrase/proximity queries (websearch quotes, cover-density) do NOT
-    downgrade silently here; route them to
+    downgrade silently here; route BATCHED phrase queries to
+    :func:`keyword_search_many_phrase_indexed` (positions-served, one
+    job — r9) and mixed single-query websearch syntax to
     :func:`keyword_search_websearch_indexed` (token-table-verified) or
-    the scan tier. Queries are treated as bags of words."""
+    the scan tier. Queries here are treated as bags of words."""
     from connapse_spark.operators.search import batch_keyword_scores, rank_topk_per_qid
 
     qe_rows, qs_rows = [], []

@@ -1236,3 +1236,51 @@ def test_postings_upsert_dataframe_deletions_match_list(spark):
     assert "solo" not in as_map and "here" not in as_map and "alpha" not in as_map
     assert as_map["beta"] == (["d1:0", "d2:0"], 2)
     assert as_map["delta"] == (["d1:0"], 1)
+
+
+def test_phrase_positions_tier_matches_scan_tier(spark):
+    """r9 positions-served batch phrase tier: scores must be bit-equal to
+    the scan tier's string-replace count on the corners — periodic
+    phrases (non-overlapping count), repeated phrase words, stem-only
+    matches, and misses."""
+    from connapse_spark.operators.keyword_index import (
+        build_positions_postings,
+        build_token_table,
+        keyword_search_many_phrase_indexed,
+    )
+    from connapse_spark.operators.search import keyword_search_websearch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha beta"),       # periodic: "alpha alpha" once
+            (2, "alpha alpha alpha alpha"),      # two non-overlapping matches
+            (3, "join tables now"),              # stem-only match for "joins tables"
+            (4, "tables join now"),              # wrong order: no phrase match
+            (5, "gamma delta gamma delta"),      # repeated-bigram doc
+        ],
+        "doc_id long, text string",
+    )
+    toks = build_token_table(docs).persist()
+    pe = build_positions_postings(toks, "tokens_exact")
+    ps = build_positions_postings(toks, "tokens_stemmed")
+    queries = [(1, '"alpha alpha"'), (2, '"joins tables"'), (3, '"gamma delta"')]
+    got = {
+        (r["qid"], r["id"]): r["score"]
+        for r in keyword_search_many_phrase_indexed(pe, ps, queries, k=10).collect()
+    }
+    for qid, qtext in queries:
+        scan = {
+            r["doc_id"]: r["score"]
+            for r in keyword_search_websearch(docs, qtext, k=10).collect()
+        }
+        batch = {i: s for (q, i), s in got.items() if q == qid}
+        assert batch == scan, (qid, qtext, batch, scan)
+    # sanity on the corners themselves
+    assert set(i for (q, i) in got if q == 1) == {1, 2}
+    assert got[(1, 2)] > got[(1, 1)]        # two matches outrank one
+    assert set(i for (q, i) in got if q == 2) == {3}   # stem-only; order matters
+    assert set(i for (q, i) in got if q == 3) == {5}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="phrase tier"):
+        keyword_search_many_phrase_indexed(pe, ps, [(1, "plain words")])
+    toks.unpersist()
