@@ -179,6 +179,7 @@ def quality_classifier_scores(
     model: dict | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _force_join_tier: bool = False,
 ) -> DataFrame:
     """Score every document with a trained model:
     ``logit_q = bias_q + Σ_bins tf·w_q`` (integer micro-logits, exact in
@@ -188,9 +189,48 @@ def quality_classifier_scores(
     quality_score_linear: threshold sweeps are monotone and the oracle
     stays transcendental-free).
 
-    Plan: token explode → broadcast join on bin index → one id-keyed sum;
-    docs with no tokens (or no model-weighted bins) score the bias."""
+    Plan, two tiers by model size (r9 plan audit):
+
+    * ``n_features ≤ 4096`` (fastText-style small hashed models, the
+      shipped pin) — the weight table embeds as ONE literal array and
+      scoring is a per-row ``aggregate`` fold over the term array:
+      ZERO shuffles, no joins, whole-stage codegen — quality scoring
+      rides the parquet scan exactly like gopher_filter, the shape that
+      matters at 100 TB.
+    * larger models — token explode → broadcast join on bin index →
+      one id-keyed sum → join-back for zero-token docs (plan-size can't
+      carry millions of literals; the broadcast table can).
+
+    Both tiers are integer-exact and bit-equal; docs with no tokens (or
+    no model-weighted bins) score the bias."""
     mdl = QC_PINNED_MODEL if model is None else model
+    n = int(mdl["n_features"])
+    bias = F.lit(int(mdl["bias_q"]))
+    if n <= 4096 and not _force_join_tier:  # flag: the tier-equality unit
+        warr = [0] * n
+        for i, w in mdl["weights_q"].items():
+            warr[int(i)] = int(w)
+        wlit = F.array(*[F.lit(w).cast("long") for w in warr])
+        toks = tokens_exact_expr(F.col(text_col))
+        n_pairs = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+        bigrams = F.zip_with(
+            F.slice(toks, 1, n_pairs), F.slice(toks, 2, n_pairs),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        terms = F.coalesce(F.concat(toks, bigrams), F.array())
+        s = F.aggregate(
+            terms,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.element_at(wlit, (_sha_bigint(t) % n + 1).cast("int")),
+        )
+        logit_q = bias + s
+        return docs.select(
+            F.col(id_col),
+            F.size(terms).cast("bigint").alias("n_feats"),
+            logit_q.cast("bigint").alias("logit_q"),
+            (logit_q.cast("double") / F.lit(1e6)).alias("logit"),
+        )
     spark = docs.sparkSession
     wtab = F.broadcast(
         spark.createDataFrame(
@@ -198,7 +238,7 @@ def quality_classifier_scores(
         ).filter(F.col("idx").isNotNull())
     )
     feats = hashed_ngram_features(
-        docs, n_features=mdl["n_features"], id_col=id_col, text_col=text_col
+        docs, n_features=n, id_col=id_col, text_col=text_col
     )
     agg = (
         feats.join(wtab, "idx", "left")
@@ -208,7 +248,6 @@ def quality_classifier_scores(
             F.sum(F.col("tf") * F.coalesce(F.col("w_q"), F.lit(0))).alias("_s"),
         )
     )
-    bias = F.lit(int(mdl["bias_q"]))
     logit_q = bias + F.coalesce(F.col("_s"), F.lit(0))
     return docs.select(F.col(id_col).alias("id")).join(agg, "id", "left").select(
         F.col("id").alias(id_col),

@@ -102,3 +102,18 @@ def test_scores_match_duckdb_on_fixture(spark, labeled):
         for r in classifier.quality_classifier_scores(labeled).orderBy("doc_id").collect()
     ]
     assert sp == [tuple(r) for r in du]
+
+
+def test_scoring_tiers_bit_equal_and_map_side(spark, labeled):
+    """The ≤4096-bin literal-array tier must be bit-equal to the
+    broadcast-join tier on the same model, and its plan must be pure
+    map-side: zero Exchange, zero Join, zero Python."""
+    fast = classifier.quality_classifier_scores(labeled)
+    slow = classifier.quality_classifier_scores(labeled, _force_join_tier=True)
+    rows_f = sorted(tuple(r) for r in fast.collect())
+    rows_s = sorted(tuple(r) for r in slow.collect())
+    assert rows_f == rows_s
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
