@@ -173,9 +173,11 @@ BENCH_QUERIES = [
     # fixture row — base build + level append through the snapshot layer)
     "wat_roundtrip",
     "cdx_incremental",
-    # r9: batched phrase search served from positions-bearing postings
-    # (build folded in, like the other *_indexed rows)
-    "keyword_many_phrase",
+    # keyword_many_phrase is deliberately NOT here: its registry entry
+    # persists build_token_table(documents), whose canonicalized plan is
+    # identical to the keyword-index build rows below — running it in
+    # this loop would cache-poison those rows (the r8 lesson above). It
+    # is timed in the keyword-index section against the pinned tables.
 ]
 
 
@@ -296,6 +298,32 @@ def main():
     total += best
     print(
         f"# keyword_phrase_indexed_probe: {best:.2f}s ({n} rows)",
+        file=sys.stderr, flush=True,
+    )
+
+    # r9: positions-bearing postings — build row + the BATCHED phrase
+    # probe against the pinned tables (serve-only; the registry twin
+    # keyword_many_phrase folds the build in and runs only in the
+    # correctness gate, never here — see the BENCH_QUERIES note)
+    t0 = time.time()
+    ppe = keyword_index.build_positions_postings(tokens, "tokens_exact").persist()
+    pps = keyword_index.build_positions_postings(tokens, "tokens_stemmed").persist()
+    ppe.count(), pps.count()
+    pos_build_t = time.time() - t0
+    timings["positions_postings_build"] = round(pos_build_t, 3)
+    total += pos_build_t
+    print(f"# positions_postings_build: {pos_build_t:.2f}s", file=sys.stderr, flush=True)
+    best, n = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.time()
+        n = keyword_index.keyword_search_many_phrase_indexed(
+            ppe, pps, entry_mod.PHRASE_BATCH_QUERIES, k=5
+        ).count()
+        best = min(best, time.time() - t0)
+    timings["keyword_many_phrase_probe"] = round(best, 3)
+    total += best
+    print(
+        f"# keyword_many_phrase_probe: {best:.2f}s ({n} rows)",
         file=sys.stderr, flush=True,
     )
 

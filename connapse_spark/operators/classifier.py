@@ -232,9 +232,13 @@ def quality_classifier_scores(
             (logit_q.cast("double") / F.lit(1e6)).alias("logit"),
         )
     spark = docs.sparkSession
+    # int() both halves: a model dict round-tripped through JSON carries
+    # STRING bin keys, which the map-side tier and the SQL mirror already
+    # tolerate — the join tier must too (r9 review)
+    items = [(int(i), int(w)) for i, w in mdl["weights_q"].items()]
     wtab = F.broadcast(
         spark.createDataFrame(
-            list(mdl["weights_q"].items()) or [(None, None)], "idx bigint, w_q bigint"
+            items or [(None, None)], "idx bigint, w_q bigint"
         ).filter(F.col("idx").isNotNull())
     )
     feats = hashed_ngram_features(
@@ -267,7 +271,7 @@ def sql_quality_classifier(
     nonzero (idx, w_q) rows inline as a VALUES table (≤ n_features rows),
     same hash, same integer sums, same bias fold."""
     mdl = QC_PINNED_MODEL if model is None else model
-    items = sorted(mdl["weights_q"].items())
+    items = sorted((int(i), int(w)) for i, w in mdl["weights_q"].items())
     vals = ", ".join(f"({i}, {w})" for i, w in items) or "(NULL, NULL)"
     feats = _sql_hashed_ngram_features(
         n_features=mdl["n_features"], id_col=id_col, text_col=text_col, table=table

@@ -148,9 +148,13 @@ def keyword_search_many_phrase_indexed(
     phrase queries routed to the per-query token-table tier (N sub-jobs,
     each scanning candidate token arrays).
 
-    TIER CONTRACT: every query must be a single POSITIVE quoted phrase of
-    ≥2 tokens (ValueError otherwise — mixed websearch syntax routes to
-    :func:`keyword_search_websearch_indexed` or the scan tier). Scores
+    TIER CONTRACT: every query must be a single POSITIVE quoted phrase
+    (ValueError otherwise — mixed websearch syntax routes to
+    :func:`keyword_search_websearch_indexed` or the scan tier). A
+    one-token phrase is served too and degenerates exactly: every
+    position is a valid start, the unit-span greedy fold accepts all of
+    them, so occ == tf — the scan tier's single-word phrase count
+    (unit-pinned). Scores
     are identical to keyword_search_websearch's pure-phrase case:
     ``raw = len(ph)·(W_A·occ_exact + W_B·occ_stem)``, rank/(rank+1),
     where occ is the LEFTMOST NON-OVERLAPPING adjacency count — the scan
@@ -243,20 +247,38 @@ def keyword_search_many_phrase_indexed(
 
 
 def _affected_ids(
-    spark, new_tokens: DataFrame, deleted_ids: "list[int] | DataFrame | None"
+    spark,
+    new_tokens: DataFrame,
+    deleted_ids: "list | DataFrame | None",
+    elem_type=None,
 ) -> "tuple[DataFrame, bool]":
     """Union the upserted ids with the deletions; the second element says
     whether a broadcast HINT on the resulting id set is safe — true only
     when deletions arrived as a bounded Python list. A DataFrame of
     deletions may be a full change feed, so its join strategy is left to
-    the optimizer (AQE broadcasts it at runtime when it measures small)."""
-    affected = new_tokens.select("id")
+    the optimizer (AQE broadcasts it at runtime when it measures small).
+    ``elem_type`` casts every side to the probed table's id type (string
+    chunk ids and bigint doc ids both maintain — shared with
+    upsert_postings since r9); omitted, list deletions coerce to bigint
+    (the tf twin's historical contract)."""
+    def _cast(df: DataFrame) -> DataFrame:
+        if elem_type is None:
+            return df
+        return df.select(F.col("id").cast(elem_type).alias("id"))
+
+    affected = _cast(new_tokens.select("id"))
     if isinstance(deleted_ids, DataFrame):
-        return affected.unionByName(deleted_ids.select("id")), False
+        return affected.unionByName(_cast(deleted_ids.select("id"))), False
     if deleted_ids:
-        affected = affected.unionByName(
-            spark.createDataFrame([(int(i),) for i in deleted_ids], "id bigint")
-        )
+        if elem_type is None:
+            deleted = spark.createDataFrame(
+                [(int(i),) for i in deleted_ids], "id bigint"
+            )
+        else:
+            deleted = _cast(
+                spark.createDataFrame([(i,) for i in deleted_ids], ["id"])
+            )
+        affected = affected.unionByName(deleted)
     return affected, True
 
 
@@ -689,21 +711,10 @@ def upsert_postings(
     AQE, same policy as the tf twin). Id-type-agnostic: probe ids cast
     to the postings table's own ``ids`` element type, so bigint doc ids
     and string chunk ids ("doc:idx") both maintain."""
-    spark = postings.sparkSession
     elem = postings.schema["ids"].dataType.elementType
-    affected = new_tokens.select(F.col("id").cast(elem).alias("id"))
-    bounded = True
-    if isinstance(deleted_ids, DataFrame):
-        bounded = False
-        affected = affected.unionByName(
-            deleted_ids.select(F.col("id").cast(elem).alias("id"))
-        )
-    elif deleted_ids:
-        affected = affected.unionByName(
-            spark.createDataFrame([(i,) for i in deleted_ids], ["id"]).select(
-                F.col("id").cast(elem).alias("id")
-            )
-        )
+    affected, bounded = _affected_ids(
+        postings.sparkSession, new_tokens, deleted_ids, elem_type=elem
+    )
     probe = affected.distinct()
     if bounded:
         probe = F.broadcast(probe)

@@ -340,7 +340,11 @@ def http_llm_stream(
                 data = line[len("data:"):].strip()
                 if data == "[DONE]":
                     return
-                delta = json.loads(data)["choices"][0].get("delta", {})
-                chunk = delta.get("content")
+                # choices may be empty (Azure content-filter preamble
+                # events, usage/keep-alive chunks) — skip, don't crash
+                choices = json.loads(data).get("choices") or []
+                if not choices:
+                    continue
+                chunk = choices[0].get("delta", {}).get("content")
                 if chunk:
                     yield str(chunk)

@@ -1133,8 +1133,11 @@ def sql_mmr_diversify(source_sql: str, k: int = 5, lam: float = 0.7) -> str:
     one_minus = 1.0 - lam
     parts = [
         f"cand AS MATERIALIZED ({source_sql})",
+        # NULLS FIRST matches Spark's asc(id) tie-break (DuckDB defaults
+        # NULLS LAST — a NULL-id row tying on m would otherwise pick
+        # differently across engines)
         f"sel1 AS (SELECT id, rel, emb, {lam!r} * rel AS m, 1 AS rank "
-        f"FROM cand ORDER BY m DESC, id LIMIT 1)",
+        f"FROM cand ORDER BY m DESC, id NULLS FIRST LIMIT 1)",
     ]
     prev = "sel1"
     for i in range(2, k + 1):
@@ -1148,7 +1151,7 @@ def sql_mmr_diversify(source_sql: str, k: int = 5, lam: float = 0.7) -> str:
         parts.append(
             f"pick{i} AS (SELECT id, rel, emb, "
             f"{lam!r} * rel - {one_minus!r} * maxsim AS m, {i} AS rank "
-            f"FROM sim{i} ORDER BY m DESC, id LIMIT 1)"
+            f"FROM sim{i} ORDER BY m DESC, id NULLS FIRST LIMIT 1)"
         )
         parts.append(
             f"sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})"

@@ -834,28 +834,51 @@ def cdx_append(
 
     Idempotent under crash-replay: archive files are immutable, so
     ``filename`` is the ingest identity — already-indexed archives drop
-    from the batch via ONE anti-join against the base's distinct
-    filenames BEFORE parsing (a replayed drop re-parses nothing and
-    appends zero rows; the filename projection is a column-pruned read
-    of the index, never the archives). First call on an empty dir is a
-    plain :func:`write_cdx_table` build."""
+    from the batch via ONE anti-join BEFORE parsing (a replayed drop
+    re-parses nothing and appends zero rows). The screen is the
+    ``_ingested/`` side table (one row per archive ever appended —
+    underscore-prefixed, invisible to readers of the index itself), NOT
+    the index's filename column alone: an archive holding zero
+    response/revisit captures (all-request drops, fully corrupt files)
+    yields no index rows, so an index-only screen would re-parse it on
+    every replay (r9 review). The index filenames union in as a
+    fallback for tables built by :func:`write_cdx_table` before the
+    side table existed, and for the crash window between the index
+    commit and the side-table commit (where a replay re-parses at most
+    the zero-capture archives of the interrupted drop, once). First
+    call on an empty dir is a plain :func:`write_cdx_table` build."""
+    import os
+
     from connapse_spark.sources import snapshots
 
+    ing_dir = os.path.join(table_dir, "_ingested")
     if snapshots.latest_version(table_dir) is None:
-        return write_cdx_table(
+        v = write_cdx_table(
             cdx_index(binary_df, sort=False), table_dir, n_files=n_files
         )
+        snapshots.commit_snapshot(binary_df.select("path").distinct(), ing_dir)
+        return v
     seen = (
         snapshots.read_snapshot(spark, table_dir)
         .select(F.col("filename").alias("path"))
         .distinct()
     )
+    if snapshots.latest_version(ing_dir) is not None:
+        seen = seen.unionByName(
+            snapshots.read_snapshot(spark, ing_dir).select("path")
+        ).distinct()
     fresh = binary_df.join(seen, "path", "left_anti")
     batch = cdx_index(fresh, sort=False)
     clustered = batch.repartitionByRange(
         n_files, "urlkey", "cdx_ts"
     ).sortWithinPartitions("urlkey", "cdx_ts")
-    return snapshots.commit_snapshot(clustered, table_dir, mode="append")
+    v = snapshots.commit_snapshot(clustered, table_dir, mode="append")
+    snapshots.commit_snapshot(
+        fresh.select("path").distinct(),
+        ing_dir,
+        mode="append" if snapshots.latest_version(ing_dir) is not None else "overwrite",
+    )
+    return v
 
 
 def cdx_compact(spark: SparkSession, table_dir: str, n_files: int = 32) -> int:

@@ -782,6 +782,23 @@ def test_mmr_null_id_agrees_across_engines(spark):
     assert [r[1] for r in got] == [1, None, 2]  # NULL-id row selected, not dropped
     assert got == [tuple(r) for r in oracle]
 
+    # exact m-tie between a NULL id and a non-NULL id: Spark's asc(id)
+    # window is NULLS FIRST, so the mirror must say NULLS FIRST too
+    # (DuckDB defaults NULLS LAST — the r9 review corner)
+    tie_rows = [(1, 0.9, [1.0, 0.0]), (None, 0.8, [0.0, 1.0]), (2, 0.8, [0.0, 1.0])]
+    tie = spark.createDataFrame(tie_rows, "id int, score double, embedding array<double>")
+    got2 = [
+        (r["rank"], r["id"]) for r in mmr_diversify(tie, k=2, lam=0.5).collect()
+    ]
+    src2 = (
+        "SELECT id, CAST(rel AS DOUBLE) AS rel, emb "
+        "FROM (VALUES (1, 0.9, [1.0, 0.0]), (NULL, 0.8, [0.0, 1.0]), "
+        "(2, 0.8, [0.0, 1.0])) AS t(id, rel, emb)"
+    )
+    oracle2 = duckdb.sql(sql_mmr_diversify(src2, k=2, lam=0.5)).fetchall()
+    assert got2 == [(r[0], r[1]) for r in oracle2]
+    assert got2[1][1] is None  # the tie breaks to NULL first on both engines
+
 
 def test_bigram_perplexity_counts_and_miss_paths(spark):
     """n_bigrams = n_tokens − 1 per doc; an external model scores unseen

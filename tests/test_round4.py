@@ -1263,7 +1263,10 @@ def test_phrase_positions_tier_matches_scan_tier(spark):
     toks = build_token_table(docs).persist()
     pe = build_positions_postings(toks, "tokens_exact")
     ps = build_positions_postings(toks, "tokens_stemmed")
-    queries = [(1, '"alpha alpha"'), (2, '"joins tables"'), (3, '"gamma delta"')]
+    # qid 4: one-token quoted phrase — must degenerate to occ == tf and
+    # equal the scan tier (r9 review: the contract serves it, not rejects)
+    queries = [(1, '"alpha alpha"'), (2, '"joins tables"'),
+               (3, '"gamma delta"'), (4, '"alpha"')]
     got = {
         (r["qid"], r["id"]): r["score"]
         for r in keyword_search_many_phrase_indexed(pe, ps, queries, k=10).collect()

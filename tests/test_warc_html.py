@@ -1380,3 +1380,44 @@ def test_wat_export_edge_cases(spark):
     wat_blob = wat.first()["content"]
     refs = [h.get("warc-refers-to") for h, _p, _w in warc.iter_warc_records(bytes(wat_blob))]
     assert all(r in src_ids for r in refs)
+
+
+def test_cdx_append_screens_zero_capture_archives(spark, tmp_path):
+    """r9 review: an archive with NO response/revisit captures yields no
+    index rows, so the replay screen must come from the _ingested side
+    table — a replayed drop containing such an archive must not re-parse
+    it (fresh set empty ⇒ zero appended rows AND zero parsed archives)."""
+    from pyspark.sql import functions as SF
+
+    from connapse_spark.sources import snapshots
+
+    req_only = warc.make_warc(
+        [warc.make_warc_record("request", b"GET / HTTP/1.1\r\n\r\n",
+                               target_uri="https://q.example/")]
+    )
+    fx = warc.fixture_warc_cdx()[:2]
+    tdir = str(tmp_path / "cdx-zc")
+    base = spark.createDataFrame(fx, "path string, content binary")
+    warc.cdx_append(spark, base, tdir)
+    drop = spark.createDataFrame(
+        [("/fx/requests-only.warc.gz", req_only)], "path string, content binary"
+    )
+    v1 = warc.cdx_append(spark, drop, tdir)
+    n1 = snapshots.read_snapshot(spark, tdir, version=v1).count()
+    # the zero-capture archive is recorded as ingested
+    ing = {
+        r["path"]
+        for r in snapshots.read_snapshot(
+            spark, str(tmp_path / "cdx-zc" / "_ingested")
+        ).collect()
+    }
+    assert "/fx/requests-only.warc.gz" in ing
+    # replaying the drop: the screen drops it BEFORE the parse — assert
+    # via the anti-join surviving set, then via unchanged row count
+    seen = snapshots.read_snapshot(
+        spark, str(tmp_path / "cdx-zc" / "_ingested")
+    ).select("path")
+    survivors = drop.join(seen, "path", "left_anti").count()
+    assert survivors == 0
+    v2 = warc.cdx_append(spark, drop, tdir)
+    assert snapshots.read_snapshot(spark, tdir, version=v2).count() == n1
