@@ -117,10 +117,13 @@ def _stage_files(
     table_dir: str,
     version: int,
     partition_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> tuple[str, list[dict]]:
     """Write ``df`` into a fresh immutable staging dir (optionally hive-
     partitioned, preserving the layout-as-index properties inside the
-    commit protocol); return (relative staging dir, manifest entries)."""
+    commit protocol); return (relative staging dir, manifest entries).
+    ``bloom_cols`` additionally records a per-file Bloom filter for each
+    named column (see :func:`_file_blooms`)."""
     rel_dir = os.path.join("data", f"c{version:06d}-{uuid.uuid4().hex[:8]}")
     stage = os.path.join(table_dir, rel_dir)
     writer = df.write
@@ -132,14 +135,108 @@ def _stage_files(
         for f in sorted(files):
             if f.endswith(".parquet"):
                 full = os.path.join(root, f)
-                entries.append(
-                    {
-                        "path": os.path.relpath(full, table_dir),
-                        "size_bytes": os.path.getsize(full),
-                        "stats": _footer_stats(full),
-                    }
-                )
+                e = {
+                    "path": os.path.relpath(full, table_dir),
+                    "size_bytes": os.path.getsize(full),
+                    "stats": _footer_stats(full),
+                }
+                if bloom_cols:
+                    blooms = _file_blooms(full, bloom_cols)
+                    if blooms:
+                        e["blooms"] = blooms
+                entries.append(e)
     return rel_dir, sorted(entries, key=lambda e: e["path"])
+
+
+# Bloom sizing: bits/row=10 at k=7 ≈ 0.8% false-positive rate — a false
+# positive OPENS one extra file, never loses a row, so the parameters
+# trade manifest bytes against wasted IO only.
+BLOOM_BITS_PER_ROW = 10
+BLOOM_K = 7
+
+
+def _bloom_token(v) -> bytes | None:
+    """Canonical hash token for a bloom value. int/str/bool only —
+    anything else makes the column untrackable for that file (returning
+    None aborts the bloom, keeping skipping conservative). bool before
+    int: str(True) != str(1) would split equal SQL values."""
+    if isinstance(v, bool):
+        return str(int(v)).encode()
+    if isinstance(v, (int, str)):
+        return str(v).encode()
+    return None
+
+
+def _bloom_positions(tok: bytes, m: int, k: int = BLOOM_K) -> list[int]:
+    """k double-hashed bit positions over one sha256 (the same
+    double-hashing construction as dedup.py's contamination bloom)."""
+    import hashlib
+
+    h = hashlib.sha256(tok).digest()
+    h1 = int.from_bytes(h[:8], "big")
+    h2 = int.from_bytes(h[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _file_blooms(path: str, cols: list[str]) -> dict:
+    """Per-file Bloom filters over the DISTINCT-insensitive value stream
+    of each named column — the manifest-level point-lookup index for
+    columns whose values are hash-like (content hashes, chunk ids, sha
+    urls), where [min, max] footer stats span everything and prune
+    nothing. One column-pruned read per column per staged file,
+    metadata-bounded like the staging walk itself; at deployment scale
+    this folds into the writer (the Delta/Iceberg shape) or runs as a
+    mapPartitions over the staged file list — per-file work either way.
+    Columns with unsupported value types are silently untracked (the
+    probe keeps untracked files, so skipping stays conservative)."""
+    try:
+        import base64
+
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(path)
+        names = set(pf.schema_arrow.names)
+        out = {}
+        for col in cols:
+            if col not in names:
+                continue
+            n = max(1, pf.metadata.num_rows)
+            m = max(64, n * BLOOM_BITS_PER_ROW)
+            bits = bytearray((m + 7) // 8)
+            ok = True
+            for v in pf.read(columns=[col]).column(0).to_pylist():
+                if v is None:
+                    continue
+                tok = _bloom_token(v)
+                if tok is None:
+                    ok = False
+                    break
+                for p in _bloom_positions(tok, m):
+                    bits[p >> 3] |= 1 << (p & 7)
+            if ok:
+                out[col] = {
+                    "m": m,
+                    "k": BLOOM_K,
+                    "b64": base64.b64encode(bytes(bits)).decode(),
+                }
+        return out
+    except Exception:  # noqa: BLE001 — blooms are an optimization, never fatal
+        return {}
+
+
+def _bloom_maybe_contains(bloom: dict, key) -> bool:
+    """May ``key`` be present per this file's bloom? Unsupported key
+    types answer True (conservative)."""
+    import base64
+
+    tok = _bloom_token(key)
+    if tok is None:
+        return True
+    bits = base64.b64decode(bloom["b64"])
+    m, k = int(bloom["m"]), int(bloom.get("k", BLOOM_K))
+    return all(
+        bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(tok, m, k)
+    )
 
 
 def _footer_stats(path: str) -> dict:
@@ -208,6 +305,29 @@ def prune_files(m: dict, col: str, lo, hi) -> list[dict]:
     return out
 
 
+def prune_files_keys(m: dict, col: str, keys: list) -> list[dict]:
+    """Point-key data skipping (r9): a file survives iff at least one key
+    passes BOTH its [min, max] stats AND — when the commit recorded one
+    (``commit_snapshot(bloom_cols=…)``) — its per-file Bloom filter.
+    Stats prune on clustered layouts; blooms prune on HASH-LIKE columns
+    (content hashes, chunk ids) where every file's [min, max] spans the
+    whole key space and range stats keep everything. Missing stats or
+    blooms keep the file — skipping is never lossy; a bloom false
+    positive (~0.8% at the shipped sizing) opens one extra file."""
+    out = []
+    for e in m["files"]:
+        st = (e.get("stats") or {}).get(col)
+        bloom = (e.get("blooms") or {}).get(col)
+        for k in keys:
+            if st is not None and (k < st[0] or k > st[1]):
+                continue
+            if bloom is not None and not _bloom_maybe_contains(bloom, k):
+                continue
+            out.append(e)
+            break
+    return out
+
+
 def _merged_schema(prev_schema_json: dict, df: DataFrame) -> dict:
     """Schema evolution, add-column only (the lakehouse default): fields
     shared by name must keep the SAME type (a silent type change corrupts
@@ -253,6 +373,7 @@ def commit_snapshot(
     base_version: int | None = None,
     partition_by: list[str] | None = None,
     props: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` and commit it as the next version. ``mode``:
     ``overwrite`` (the new files ARE the table) or ``append`` (new files
@@ -280,7 +401,14 @@ def commit_snapshot(
     snapshot-summary slot) — per-commit writer metadata readable O(1)
     from the driver via ``load_manifest(...)["props"]``, e.g. the
     streaming frontier's committed batch id. Old manifests simply lack
-    the key."""
+    the key.
+
+    ``bloom_cols`` (r9) records a per-file Bloom filter for each named
+    column in the manifest — the point-lookup index for HASH-LIKE keys
+    (content hashes, chunk ids) where [min, max] stats prune nothing;
+    :func:`scan_pruned_keys` consults them automatically. Costs one
+    column read per staged file at commit time and ~1.25 bytes/row of
+    manifest per column."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode}")
     os.makedirs(table_dir, exist_ok=True)
@@ -300,7 +428,9 @@ def commit_snapshot(
                 f"append partition_by {list(partition_by)} conflicts with the "
                 f"base version's {base_parts}; one lineage, one layout"
             )
-    rel_dir, files = _stage_files(df, table_dir, version, partition_by)
+    rel_dir, files = _stage_files(
+        df, table_dir, version, partition_by, bloom_cols=bloom_cols
+    )
     bases = {rel_dir: files}
     schema = df.schema.jsonValue()
     if prev_m is not None:
@@ -435,7 +565,8 @@ def scan_pruned_keys(
     if not keys:
         raise ValueError("scan_pruned_keys needs at least one key")
     m = load_manifest(table_dir, version)
-    keep = {e["path"] for k in keys for e in prune_files(m, col, k, k)}
+    # stats + (when recorded) per-file blooms — see prune_files_keys
+    keep = {e["path"] for e in prune_files_keys(m, col, list(keys))}
     out = _read_conformed(spark, table_dir, m, keep)
     if out is None:
         from pyspark.sql.types import StructType

@@ -810,7 +810,11 @@ def write_cdx_table(index_df: DataFrame, table_dir: str, n_files: int = 32) -> i
     clustered = index_df.repartitionByRange(n_files, "urlkey", "cdx_ts").sortWithinPartitions(
         "urlkey", "cdx_ts"
     )
-    return snapshots.commit_snapshot(clustered, table_dir)
+    # per-file urlkey blooms (r9): range stats already prune the clustered
+    # layout; blooms additionally kill the boundary/level files whose
+    # [min, max] covers a key they don't hold (cdx_lookup_many consults
+    # them via scan_pruned_keys)
+    return snapshots.commit_snapshot(clustered, table_dir, bloom_cols=["urlkey"])
 
 
 def cdx_append(
@@ -872,7 +876,9 @@ def cdx_append(
     clustered = batch.repartitionByRange(
         n_files, "urlkey", "cdx_ts"
     ).sortWithinPartitions("urlkey", "cdx_ts")
-    v = snapshots.commit_snapshot(clustered, table_dir, mode="append")
+    v = snapshots.commit_snapshot(
+        clustered, table_dir, mode="append", bloom_cols=["urlkey"]
+    )
     snapshots.commit_snapshot(
         fresh.select("path").distinct(),
         ing_dir,

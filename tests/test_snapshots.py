@@ -1134,3 +1134,82 @@ def test_streaming_keyword_maintenance_retention(spark, sf_dir, tmp_path):
     assert ids == {1, 2}  # live index intact
     with _pytest.raises(Exception):
         snaps.read_snapshot(spark, table, version=v1).collect()
+
+
+# ---------------------------------------------------------------------------
+# per-file Bloom skipping (r9)
+# ---------------------------------------------------------------------------
+
+
+def _sha_rows(n):
+    import hashlib
+
+    return [
+        (hashlib.sha256(f"k{i}".encode()).hexdigest(), i) for i in range(n)
+    ]
+
+
+def test_bloom_skipping_prunes_hashlike_keys(spark, tmp_path):
+    """On a hash-like key column, [min, max] stats span everything and
+    keep ALL files; per-file blooms cut the point scan to ~|keys| files
+    with identical results."""
+    from connapse_spark.sources import snapshots
+
+    rows = _sha_rows(400)
+    df = spark.createDataFrame(rows, "chunk_id string, payload long").repartition(8)
+    tdir = str(tmp_path / "bloomed")
+    snapshots.commit_snapshot(df, tdir, bloom_cols=["chunk_id"])
+    m = snapshots.load_manifest(tdir)
+    assert all("blooms" in e and "chunk_id" in e["blooms"] for e in m["files"])
+    keys = [rows[7][0], rows[123][0], rows[399][0]]
+    # stats alone keep everything (the hash-key regime)
+    stats_keep = {e["path"] for k in keys for e in snapshots.prune_files(m, "chunk_id", k, k)}
+    assert len(stats_keep) == len(m["files"])
+    # blooms prune to a strict subset
+    bloom_keep = {e["path"] for e in snapshots.prune_files_keys(m, "chunk_id", keys)}
+    assert 0 < len(bloom_keep) < len(m["files"])
+    got = sorted(
+        tuple(r)
+        for r in snapshots.scan_pruned_keys(spark, tdir, "chunk_id", keys).collect()
+    )
+    want = sorted(tuple(r) for r in rows if r[0] in set(keys))
+    assert got == want
+
+
+def test_bloom_skipping_never_loses_rows(spark, tmp_path):
+    """Fuzz the no-loss property: for random key sets (present, absent,
+    int-typed table), scan_pruned_keys over a bloomed commit equals the
+    full-scan filter exactly."""
+    import random
+
+    from connapse_spark.sources import snapshots
+
+    rng = random.Random(29)
+    rows = [(rng.getrandbits(48), f"v{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, v string").repartition(7)
+    tdir = str(tmp_path / "bloomed-int")
+    snapshots.commit_snapshot(df, tdir, bloom_cols=["k"])
+    all_keys = [r[0] for r in rows]
+    for trial in range(5):
+        keys = rng.sample(all_keys, 4) + [rng.getrandbits(48) for _ in range(2)]
+        got = sorted(
+            tuple(r)
+            for r in snapshots.scan_pruned_keys(spark, tdir, "k", keys).collect()
+        )
+        want = sorted(t for t in rows if t[0] in set(keys))
+        assert got == want, trial
+
+
+def test_bloom_untracked_commits_unchanged(spark, tmp_path):
+    """No bloom_cols → no blooms recorded, scan_pruned_keys behaves as
+    before (stats-only); unsupported key types stay conservative."""
+    from connapse_spark.sources import snapshots
+
+    rows = _sha_rows(50)
+    df = spark.createDataFrame(rows, "chunk_id string, payload long").repartition(4)
+    tdir = str(tmp_path / "plain")
+    snapshots.commit_snapshot(df, tdir)
+    m = snapshots.load_manifest(tdir)
+    assert all("blooms" not in e for e in m["files"])
+    got = snapshots.scan_pruned_keys(spark, tdir, "chunk_id", [rows[3][0]]).collect()
+    assert [tuple(r) for r in got] == [rows[3]]
