@@ -179,7 +179,7 @@ def quality_classifier_scores(
     model: dict | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
-    _force_join_tier: bool = False,
+    map_side: bool = False,
 ) -> DataFrame:
     """Score every document with a trained model:
     ``logit_q = bias_q + Σ_bins tf·w_q`` (integer micro-logits, exact in
@@ -189,24 +189,28 @@ def quality_classifier_scores(
     quality_score_linear: threshold sweeps are monotone and the oracle
     stays transcendental-free).
 
-    Plan, two tiers by model size (r9 plan audit):
+    Plan, two tiers, bit-equal (both are order-free integer sums) —
+    pick by MEASUREMENT, not plan aesthetics:
 
-    * ``n_features ≤ 4096`` (fastText-style small hashed models, the
-      shipped pin) — the weight table embeds as ONE literal array and
-      scoring is a per-row ``aggregate`` fold over the term array:
-      ZERO shuffles, no joins, whole-stage codegen — quality scoring
-      rides the parquet scan exactly like gopher_filter, the shape that
-      matters at 100 TB.
-    * larger models — token explode → broadcast join on bin index →
-      one id-keyed sum → join-back for zero-token docs (plan-size can't
-      carry millions of literals; the broadcast table can).
+    * default (broadcast tier) — token explode → broadcast (idx, w_q)
+      join → one id-keyed sum → join-back for zero-token docs. Every
+      stage is whole-stage codegen; the shuffles move (id, long) rows.
+      Measured 0.44s at sf0.1 (best of 3). Works for any model size.
+    * ``map_side=True`` (models ≤ 4096 bins) — the weight table embeds
+      as ONE literal array and scoring is a per-row ``aggregate`` fold:
+      ZERO shuffles, no joins — but Catalyst higher-order functions run
+      INTERPRETED (the cdc_chunks column-tier lesson), so the fold
+      measured 1.48s at sf0.1 — 3.4× the broadcast tier despite the
+      cleaner plan. Opt in when shuffle capacity, not CPU, is the
+      binding constraint (e.g. composing into an already
+      shuffle-saturated stage); plan shape pinned by
+      test_scoring_tiers_bit_equal_and_map_side.
 
-    Both tiers are integer-exact and bit-equal; docs with no tokens (or
-    no model-weighted bins) score the bias."""
+    Docs with no tokens (or no model-weighted bins) score the bias."""
     mdl = QC_PINNED_MODEL if model is None else model
     n = int(mdl["n_features"])
     bias = F.lit(int(mdl["bias_q"]))
-    if n <= 4096 and not _force_join_tier:  # flag: the tier-equality unit
+    if map_side and n <= 4096:
         warr = [0] * n
         for i, w in mdl["weights_q"].items():
             warr[int(i)] = int(w)

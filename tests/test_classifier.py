@@ -105,15 +105,17 @@ def test_scores_match_duckdb_on_fixture(spark, labeled):
 
 
 def test_scoring_tiers_bit_equal_and_map_side(spark, labeled):
-    """The ≤4096-bin literal-array tier must be bit-equal to the
-    broadcast-join tier on the same model, and its plan must be pure
-    map-side: zero Exchange, zero Join, zero Python."""
-    fast = classifier.quality_classifier_scores(labeled)
-    slow = classifier.quality_classifier_scores(labeled, _force_join_tier=True)
-    rows_f = sorted(tuple(r) for r in fast.collect())
-    rows_s = sorted(tuple(r) for r in slow.collect())
-    assert rows_f == rows_s
-    plan = fast._jdf.queryExecution().executedPlan().toString()
+    """The opt-in ≤4096-bin literal-array tier must be bit-equal to the
+    default broadcast-join tier on the same model, and its plan must be
+    pure map-side: zero Exchange, zero Join, zero Python. (The broadcast
+    tier is the DEFAULT because it measured 3.4× faster at sf0.1 —
+    higher-order functions run interpreted; see the docstring.)"""
+    fold = classifier.quality_classifier_scores(labeled, map_side=True)
+    join = classifier.quality_classifier_scores(labeled)
+    rows_f = sorted(tuple(r) for r in fold.collect())
+    rows_j = sorted(tuple(r) for r in join.collect())
+    assert rows_f == rows_j
+    plan = fold._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
