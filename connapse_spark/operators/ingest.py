@@ -209,11 +209,16 @@ def ingest_serving(
         from connapse_spark.sources import snapshots
 
         tables = {}
+        # chunk_id blooms (r9): hits fetch their contents/vectors by
+        # chunk_id point reads — hash-like keys where range stats prune
+        # nothing; scan_pruned_keys opens O(k) files instead of the store
         tables["chunks"] = snapshots.commit_snapshot(
-            chunks, os.path.join(base_dir, "chunks")
+            chunks, os.path.join(base_dir, "chunks"), bloom_cols=["chunk_id"]
         )
         tables["chunk_vectors"] = snapshots.commit_snapshot(
-            vectors, os.path.join(base_dir, "chunk_vectors")
+            vectors,
+            os.path.join(base_dir, "chunk_vectors"),
+            bloom_cols=["chunk_id"],
         )
         tf_all = tfe.withColumn("kind", F.lit("exact")).unionByName(
             tfs.withColumn("kind", F.lit("stemmed"))

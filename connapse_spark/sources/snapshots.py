@@ -961,8 +961,16 @@ def _cow_commit(
     staged = (
         survivors if insert_df is None else survivors.unionByName(insert_df)
     )
+    # bloom columns SELF-PROPAGATE across incremental rewrites: whatever
+    # columns the base version's files track, the restaged files track
+    # too — an apply_changes/merge lineage keeps its point-lookup index
+    # without every caller re-plumbing bloom_cols (r9)
+    inherited_blooms = sorted(
+        {c for e in m["files"] for c in (e.get("blooms") or {})}
+    )
     rel_dir, new_entries = _stage_files(
-        staged, table_dir, version, partition_by or None
+        staged, table_dir, version, partition_by or None,
+        bloom_cols=inherited_blooms or None,
     )
 
     # untouched files carry over by reference — path-identical entries;

@@ -1213,3 +1213,33 @@ def test_bloom_untracked_commits_unchanged(spark, tmp_path):
     assert all("blooms" not in e for e in m["files"])
     got = snapshots.scan_pruned_keys(spark, tdir, "chunk_id", [rows[3][0]]).collect()
     assert [tuple(r) for r in got] == [rows[3]]
+
+
+def test_bloom_inheritance_across_merge(spark, tmp_path):
+    """A merge/apply_changes rewrite must keep tracking whatever bloom
+    columns the base files tracked (self-propagating — callers never
+    re-plumb bloom_cols), and the merged table still prunes + answers
+    point reads exactly."""
+    from connapse_spark.sources import snapshots
+
+    rows = _sha_rows(200)
+    df = spark.createDataFrame(rows, "chunk_id string, payload long").repartition(6)
+    tdir = str(tmp_path / "bloom-merge")
+    snapshots.commit_snapshot(df, tdir, bloom_cols=["chunk_id"])
+    batch = spark.createDataFrame(
+        [(rows[5][0], 999_005), ("brandnewkey", 999_999)],
+        "chunk_id string, payload long",
+    )
+    v1 = snapshots.merge_snapshot(spark, batch, tdir, "chunk_id")
+    m1 = snapshots.load_manifest(tdir, v1)
+    assert all("blooms" in e and "chunk_id" in e["blooms"] for e in m1["files"])
+    keys = [rows[5][0], "brandnewkey", rows[100][0]]
+    got = sorted(
+        tuple(r)
+        for r in snapshots.scan_pruned_keys(spark, tdir, "chunk_id", keys).collect()
+    )
+    assert got == sorted(
+        [(rows[5][0], 999_005), ("brandnewkey", 999_999), rows[100]]
+    )
+    keep = {e["path"] for e in snapshots.prune_files_keys(m1, "chunk_id", keys)}
+    assert 0 < len(keep) < len(m1["files"])
