@@ -373,7 +373,7 @@ def main():
     timings["hybrid_indexed_probe"] = round(best, 3)
     total += best
     print(f"# hybrid_indexed_probe: {best:.2f}s ({n} rows)", file=sys.stderr, flush=True)
-    for df in (tokens, pe, ps):
+    for df in (tokens, pe, ps, ppe, pps):
         df.unpersist()
     # tfe/tfs stay pinned: the batched-hybrid section below serves its
     # keyword branch from them (hybrid_batch20_indexed)

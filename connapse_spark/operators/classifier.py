@@ -210,7 +210,16 @@ def quality_classifier_scores(
     mdl = QC_PINNED_MODEL if model is None else model
     n = int(mdl["n_features"])
     bias = F.lit(int(mdl["bias_q"]))
-    if map_side and n <= 4096:
+    if map_side and n > 4096:
+        # map_side is an explicit shuffle-capacity request — silently
+        # falling back to the two-shuffle join tier would violate the
+        # very assumption the caller opted in for (r9 review)
+        raise ValueError(
+            f"map_side scoring embeds the weight table as plan literals and "
+            f"is capped at 4096 bins (model has {n}); use the default "
+            "broadcast tier or rehash to a smaller feature space"
+        )
+    if map_side:
         warr = [0] * n
         for i, w in mdl["weights_q"].items():
             warr[int(i)] = int(w)

@@ -407,8 +407,9 @@ def commit_snapshot(
     column in the manifest — the point-lookup index for HASH-LIKE keys
     (content hashes, chunk ids) where [min, max] stats prune nothing;
     :func:`scan_pruned_keys` consults them automatically. Costs one
-    column read per staged file at commit time and ~1.25 bytes/row of
-    manifest per column."""
+    column read per staged file at commit time and ~1.7 bytes/row of
+    manifest per column (10 bits/row = 1.25 B raw, ×4/3 base64 — the
+    SCALING.md measurement says ≈1.8 B/row with JSON framing)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"unknown mode {mode}")
     os.makedirs(table_dir, exist_ok=True)
@@ -1038,6 +1039,12 @@ def compact_snapshot(
     rel_dir = os.path.join("data", f"c{version:06d}-{uuid.uuid4().hex[:8]}")
     out_dir = os.path.join(table_dir, rel_dir)
     os.makedirs(out_dir, exist_ok=True)
+    # bloom columns self-propagate across rewrites here too (the
+    # _cow_commit invariant): compacting a bloomed store must not
+    # silently disable its point-lookup index
+    inherited_blooms = sorted(
+        {c for e in m["files"] for c in (e.get("blooms") or {})}
+    )
     entries = []
     for i, key in enumerate(sorted(bins)):
         # a partitioned table's hive dirs are part of the layout — each
@@ -1049,14 +1056,17 @@ def compact_snapshot(
         os.makedirs(sub, exist_ok=True)
         out_file = os.path.join(sub, f"compact-{i:05d}.parquet")
         sinks.compact_group(spark, sorted(bins[key]), out_file)
-        entries.append(
-            {
-                "path": os.path.relpath(out_file, table_dir),
-                "size_bytes": os.path.getsize(out_file),
-                # compaction must not silently disable data skipping
-                "stats": _footer_stats(out_file),
-            }
-        )
+        e = {
+            "path": os.path.relpath(out_file, table_dir),
+            "size_bytes": os.path.getsize(out_file),
+            # compaction must not silently disable data skipping
+            "stats": _footer_stats(out_file),
+        }
+        if inherited_blooms:
+            blooms = _file_blooms(out_file, inherited_blooms)
+            if blooms:
+                e["blooms"] = blooms
+        entries.append(e)
     _atomic_publish(
         table_dir,
         version,

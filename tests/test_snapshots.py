@@ -1243,3 +1243,34 @@ def test_bloom_inheritance_across_merge(spark, tmp_path):
     )
     keep = {e["path"] for e in snapshots.prune_files_keys(m1, "chunk_id", keys)}
     assert 0 < len(keep) < len(m1["files"])
+
+
+def test_bloom_survives_compaction(spark, tmp_path):
+    """compact_snapshot must keep tracking the lineage's bloom columns
+    (the same self-propagation invariant as merge) — an OPTIMIZE pass
+    must not silently disable the point-lookup index."""
+    from connapse_spark.sources import snapshots
+
+    rows = _sha_rows(120)
+    df = spark.createDataFrame(rows, "chunk_id string, payload long").repartition(6)
+    tdir = str(tmp_path / "bloom-compact")
+    snapshots.commit_snapshot(df, tdir, bloom_cols=["chunk_id"])
+    v = snapshots.compact_snapshot(spark, tdir, target_bytes=1 << 16)
+    m = snapshots.load_manifest(tdir, v)
+    assert all("blooms" in e and "chunk_id" in e["blooms"] for e in m["files"])
+    keys = [rows[3][0], rows[77][0]]
+    got = sorted(
+        tuple(r)
+        for r in snapshots.scan_pruned_keys(spark, tdir, "chunk_id", keys).collect()
+    )
+    assert got == sorted(t for t in rows if t[0] in set(keys))
+
+
+def test_classifier_map_side_rejects_large_models(spark):
+    from connapse_spark.operators import classifier
+
+    big = {"n_features": 8192, "bias_q": 0, "weights_q": {1: 5}}
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="4096"):
+        classifier.quality_classifier_scores(docs, model=big, map_side=True)
