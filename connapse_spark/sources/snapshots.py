@@ -135,17 +135,61 @@ def _stage_files(
         for f in sorted(files):
             if f.endswith(".parquet"):
                 full = os.path.join(root, f)
-                e = {
-                    "path": os.path.relpath(full, table_dir),
-                    "size_bytes": os.path.getsize(full),
-                    "stats": _footer_stats(full),
-                }
-                if bloom_cols:
-                    blooms = _file_blooms(full, bloom_cols)
-                    if blooms:
-                        e["blooms"] = blooms
-                entries.append(e)
+                entries.append(
+                    {
+                        "path": os.path.relpath(full, table_dir),
+                        "size_bytes": os.path.getsize(full),
+                        "stats": _footer_stats(full),
+                    }
+                )
+    if bloom_cols and entries:
+        by_path = _distributed_blooms(
+            df.sparkSession, table_dir, [e["path"] for e in entries], bloom_cols
+        )
+        for e in entries:
+            blooms = by_path.get(e["path"])
+            if blooms:
+                e["blooms"] = blooms
     return rel_dir, sorted(entries, key=lambda e: e["path"])
+
+
+def _distributed_blooms(
+    spark, table_dir: str, rel_paths: list[str], bloom_cols: list[str]
+) -> dict:
+    """Fan the per-file bloom builds out to EXECUTORS (one task per file,
+    each reading only its own file's bloom columns from shared storage) —
+    at 100 TB a staged commit is thousands of files and a driver loop
+    over them would serialize the one data-touching step of the commit.
+    Returns {relative path: blooms dict}. The collect is one small JSON
+    blob per file (the manifest rows themselves — driver-bounded by file
+    count like every other manifest operation)."""
+    import json as _json
+
+    cols = list(bloom_cols)
+    base = os.path.abspath(table_dir)
+
+    def _build(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for rel in pdf["rel"]:
+                blooms = _file_blooms(os.path.join(base, rel), cols)
+                rows.append((rel, _json.dumps(blooms)))
+            yield _pd.DataFrame(rows, columns=["rel", "blooms_json"])
+
+    paths_df = spark.createDataFrame([(p,) for p in rel_paths], "rel string")
+    n = max(1, min(len(rel_paths), spark.sparkContext.defaultParallelism))
+    out = (
+        paths_df.repartition(n)
+        .mapInPandas(_build, "rel string, blooms_json string")
+        .collect()
+    )
+    return {
+        r["rel"]: _json.loads(r["blooms_json"])
+        for r in out
+        if r["blooms_json"] not in (None, "{}")
+    }
 
 
 # Bloom sizing: bits/row=10 at k=7 ≈ 0.8% false-positive rate — a false
