@@ -712,6 +712,22 @@ def q_hybrid_dbsf(spark, sf_dir):
     return _hybrid(spark, sf_dir, fusion="Dbsf")
 
 
+def q_hybrid_websearch(spark, sf_dir):
+    """Hybrid search with FULL websearch syntax in the keyword branch
+    (r9 — SearchOptions.websearch: phrases, negation, OR-groups flow
+    through the fusion pipeline the way the reference's
+    websearch_to_tsquery does inside HybridSearchService; the flat-term
+    scorer remains the default hybrid contract). Same stored-vector
+    semantic branch and CC fusion as hybrid_cc."""
+    docs = _t(spark, sf_dir, "documents")
+    opts = SearchOptions(top_k=10, fusion="ConvexCombination",
+                         fusion_alpha=0.5, websearch=True)
+    out = hybrid_search(
+        docs, WEBSEARCH_QUERY, opts, vectors=_vectors(spark, sf_dir)
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def q_hybrid_autocut(spark, sf_dir):
     return _hybrid(spark, sf_dir, autocut=True)
 
@@ -4799,6 +4815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_doc_aware": q_chunk_doc_aware,
         "salted_agg": q_salted_agg,
         "hybrid_cc": q_hybrid_cc,
+        "hybrid_websearch": q_hybrid_websearch,
         "keyword_many": q_keyword_many,
         "keyword_many_phrase": q_keyword_many_phrase,
         "hybrid_many": q_hybrid_many,
@@ -5007,6 +5024,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": oracle.rrf_sql(SEARCH_QUERY),
         "hybrid_onepass": oracle.hybrid_onepass_sql(SEARCH_QUERY, top_k=10),
         "hybrid_cc": oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True),
+        "hybrid_websearch": oracle.hybrid_websearch_sql(WEBSEARCH_QUERY, stored_vectors=True),
         # the index is a physical structure: the indexed serving path must
         # produce EXACTLY the full-scan hybrid rows
         "hybrid_indexed": oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True),

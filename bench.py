@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "keyword_snippets",
     "hybrid_rrf",
     "hybrid_onepass",
+    "hybrid_websearch",
     "semantic_topk",
     "ann_lsh",
     "ann_ivf_seeded",

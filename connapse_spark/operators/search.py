@@ -53,6 +53,12 @@ class SearchOptions:
     fusion_alpha: float = 0.5
     auto_cut: bool = False
     filters: dict[str, object] = field(default_factory=dict)
+    # r9: route the keyword branch through FULL websearch syntax (phrases,
+    # negation, OR-groups) — the reference always feeds raw input through
+    # websearch_to_tsquery even in hybrid mode (KeywordSearchService.cs:
+    # 73-91); the flat-term scorer stays the default for round-stable
+    # oracle behavior, this opts a query into the tsquery semantics
+    websearch: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -1293,7 +1299,30 @@ def hybrid_search(
             vecs = base.select(F.col(id_col).alias("id"), vec_expr.alias("embedding"))
         v_hits = vector_knn(vecs, qv, fetch_k, id_col="id")
     if options.mode in ("Keyword", "Hybrid"):
-        if keyword_index is not None:
+        if options.websearch:
+            # full tsquery semantics (phrases/negation/OR): served from
+            # the write-time index when one is given and no predicate
+            # narrows the candidate set (the indexed websearch tier has
+            # no filter seam — a filtered websearch hybrid scans)
+            if keyword_index is not None and predicate is None:
+                from connapse_spark.operators.keyword_index import (
+                    keyword_search_websearch_indexed,
+                )
+
+                k_hits = keyword_search_websearch_indexed(
+                    keyword_index.tokens,
+                    keyword_index.postings_exact,
+                    keyword_index.postings_stemmed,
+                    query,
+                    fetch_k,
+                )
+            else:
+                k_hits = keyword_search_websearch(
+                    base, query, fetch_k, id_col=id_col, text_col=text_col
+                )
+                if id_col != "id":
+                    k_hits = k_hits.withColumnRenamed(id_col, "id")
+        elif keyword_index is not None:
             from connapse_spark.operators.keyword_index import keyword_search_indexed
 
             allowed = None

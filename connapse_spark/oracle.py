@@ -93,6 +93,35 @@ def keyword_sql(query: str, k: int = 10, **kw) -> str:
     return f"WITH kw AS ({keyword_cte(query, k, **kw)}\n) SELECT id AS {kw.get('id_col', 'doc_id')}, score FROM kw"
 
 
+def websearch_keyword_cte(
+    query: str,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """CTE body selecting (id, score) for the FULL-websearch keyword
+    branch (phrases/negation/OR — mirrors keyword_search_websearch's
+    match + score expressions), composable into the hybrid fusion tail
+    exactly like keyword_cte (r9: hybrid_search(websearch=True))."""
+    from connapse_spark.operators.search import (
+        parse_websearch,
+        sql_websearch_match,
+        sql_websearch_score,
+    )
+
+    groups = parse_websearch(query)
+    return f"""
+  SELECT {id_col} AS id, {sql_websearch_score('te', 'ts', groups)} AS score FROM (
+    SELECT {id_col},
+           {sql_tokens_exact(text_col)} AS te,
+           {sql_tokens_stemmed(text_col)} AS ts
+    FROM {table}
+  ) WHERE {sql_websearch_match('te', 'ts', groups)}
+  ORDER BY score DESC, {id_col} LIMIT {k}
+""".rstrip()
+
+
 def sql_keyword_facets(
     query: str,
     facet_col: str,
@@ -212,6 +241,34 @@ def hybrid_sql(
         else vector_cte(query, fetch_k, table, id_col, text_col, dims, where)
     )
     kw_cte = keyword_cte(query, fetch_k, table, id_col, text_col, where)
+    return _hybrid_fusion_tail(
+        v_cte, kw_cte, top_k, min_score, alpha, method, autocut, id_col
+    )
+
+
+def hybrid_websearch_sql(
+    query: str,
+    top_k: int = 10,
+    min_score: float = 0.0,
+    alpha: float = 0.5,
+    method: str = "ConvexCombination",
+    autocut: bool = False,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 64,
+    stored_vectors: bool = False,
+) -> str:
+    """Mirror of hybrid_search(options.websearch=True): the keyword
+    branch carries full tsquery semantics, the vector branch and the
+    fusion tail are the shared hybrid mirrors."""
+    fetch_k = top_k
+    v_cte = (
+        vector_cte_stored(query, fetch_k, dims, None)
+        if stored_vectors
+        else vector_cte(query, fetch_k, table, id_col, text_col, dims, None)
+    )
+    kw_cte = websearch_keyword_cte(query, fetch_k, table, id_col, text_col)
     return _hybrid_fusion_tail(
         v_cte, kw_cte, top_k, min_score, alpha, method, autocut, id_col
     )

@@ -889,3 +889,26 @@ def test_remove_dup_spans_drops_planted_boilerplate(spark):
     assert got[2].n_removed == 9
     assert got[3].n_removed == 0 and got[4].n_removed == 0
     assert got[4].clean_text == "tiny"
+
+
+def test_hybrid_websearch_served_equals_scan(spark, sf_dir):
+    """options.websearch=True: the indexed keyword branch (posting-list
+    candidates + stored-token verification) must be row-equal to the
+    scan branch inside the full fusion pipeline, and phrase negation
+    must actually bite (results differ from the flat-term default)."""
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.search import SearchOptions, hybrid_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = '"table scan" fast -merge OR "fast merge"'
+    opts = SearchOptions(top_k=10, websearch=True)
+    scan = [tuple(r) for r in hybrid_search(docs, q, opts).collect()]
+    kidx = ki.build_keyword_index(docs).persist()
+    served = [
+        tuple(r)
+        for r in hybrid_search(docs, q, opts, keyword_index=kidx).collect()
+    ]
+    assert scan == served
+    flat = [tuple(r) for r in hybrid_search(docs, q, SearchOptions(top_k=10)).collect()]
+    assert scan != flat  # tsquery semantics change the result set
+    kidx.unpersist()
