@@ -1304,7 +1304,15 @@ def hybrid_search(
             # the write-time index when one is given and no predicate
             # narrows the candidate set (the indexed websearch tier has
             # no filter seam — a filtered websearch hybrid scans)
-            if keyword_index is not None and predicate is None:
+            # the indexed websearch tier cannot candidate-prune a group
+            # with no positive term (negation matches 'almost everything')
+            # — such queries FALL BACK to the scan tier instead of raising,
+            # keeping the 'index is physical, results identical' contract
+            groups = parse_websearch(query)
+            index_servable = groups and all(
+                any(not t.negated for t in g) for g in groups
+            )
+            if keyword_index is not None and predicate is None and index_servable:
                 from connapse_spark.operators.keyword_index import (
                     keyword_search_websearch_indexed,
                 )

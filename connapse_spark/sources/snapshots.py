@@ -1100,17 +1100,25 @@ def compact_snapshot(
         os.makedirs(sub, exist_ok=True)
         out_file = os.path.join(sub, f"compact-{i:05d}.parquet")
         sinks.compact_group(spark, sorted(bins[key]), out_file)
-        e = {
-            "path": os.path.relpath(out_file, table_dir),
-            "size_bytes": os.path.getsize(out_file),
-            # compaction must not silently disable data skipping
-            "stats": _footer_stats(out_file),
-        }
-        if inherited_blooms:
-            blooms = _file_blooms(out_file, inherited_blooms)
+        entries.append(
+            {
+                "path": os.path.relpath(out_file, table_dir),
+                "size_bytes": os.path.getsize(out_file),
+                # compaction must not silently disable data skipping
+                "stats": _footer_stats(out_file),
+            }
+        )
+    if inherited_blooms and entries:
+        # same executor fan-out as staging commits — a driver loop here
+        # would serialize the one data-touching step over the whole
+        # compacted store
+        by_path = _distributed_blooms(
+            spark, table_dir, [e["path"] for e in entries], inherited_blooms
+        )
+        for e in entries:
+            blooms = by_path.get(e["path"])
             if blooms:
                 e["blooms"] = blooms
-        entries.append(e)
     _atomic_publish(
         table_dir,
         version,

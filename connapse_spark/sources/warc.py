@@ -871,14 +871,20 @@ def cdx_append(
         seen = seen.unionByName(
             snapshots.read_snapshot(spark, ing_dir).select("path")
         ).distinct()
-    fresh = binary_df.join(seen, "path", "left_anti")
-    # PIN the fresh path set BEFORE the index commit: `fresh` is lazy,
-    # and re-evaluating it for the side-table commit would re-list a
-    # live source — an archive landing between the two commits would be
-    # recorded as ingested without its captures ever being indexed,
-    # permanently screening it out (r9 review). The collect is bounded
-    # by the drop's ARCHIVE count (file-level metadata, never captures).
-    fresh_paths = [r["path"] for r in fresh.select("path").distinct().collect()]
+    # PIN the fresh path set ONCE and derive BOTH commits from it: the
+    # anti-join is lazy, and a live source listing changing between the
+    # index commit's evaluation and the side-table commit would let the
+    # two record different path sets — an archive in _ingested whose
+    # captures were never indexed is permanently screened out (r9
+    # review, both halves). The collect is bounded by the drop's
+    # ARCHIVE count (file-level metadata, never captures).
+    fresh_paths = [
+        r["path"]
+        for r in binary_df.join(seen, "path", "left_anti")
+        .select("path").distinct().collect()
+    ]
+    pinned = spark.createDataFrame([(p,) for p in fresh_paths], "path string")
+    fresh = binary_df.join(F.broadcast(pinned), "path", "left_semi")
     batch = cdx_index(fresh, sort=False)
     clustered = batch.repartitionByRange(
         n_files, "urlkey", "cdx_ts"
@@ -886,11 +892,8 @@ def cdx_append(
     v = snapshots.commit_snapshot(
         clustered, table_dir, mode="append", bloom_cols=["urlkey"]
     )
-    spark_paths = spark.createDataFrame(
-        [(p,) for p in fresh_paths] or [(None,)], "path string"
-    ).filter(F.col("path").isNotNull())
     snapshots.commit_snapshot(
-        spark_paths,
+        pinned,
         ing_dir,
         mode="append" if snapshots.latest_version(ing_dir) is not None else "overwrite",
     )

@@ -119,3 +119,13 @@ def test_scoring_tiers_bit_equal_and_map_side(spark, labeled):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_map_side_rejects_large_models(spark):
+    """map_side=True is an explicit shuffle-capacity request — a model
+    past the 4096-bin literal cap must raise, never silently fall back
+    to the two-shuffle join tier."""
+    big = {"n_features": 8192, "bias_q": 0, "weights_q": {1: 5}}
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="4096"):
+        classifier.quality_classifier_scores(docs, model=big, map_side=True)

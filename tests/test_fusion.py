@@ -912,3 +912,22 @@ def test_hybrid_websearch_served_equals_scan(spark, sf_dir):
     flat = [tuple(r) for r in hybrid_search(docs, q, SearchOptions(top_k=10)).collect()]
     assert scan != flat  # tsquery semantics change the result set
     kidx.unpersist()
+
+
+def test_hybrid_websearch_negation_only_falls_back_to_scan(spark, sf_dir):
+    """A negation-only websearch query cannot be candidate-pruned by the
+    index tier; with a keyword_index attached it must FALL BACK to the
+    scan tier (identical results), never raise."""
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.search import SearchOptions, hybrid_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = "-merge"
+    opts = SearchOptions(top_k=5, websearch=True)
+    scan = [tuple(r) for r in hybrid_search(docs, q, opts).collect()]
+    kidx = ki.build_keyword_index(docs).persist()
+    served = [
+        tuple(r) for r in hybrid_search(docs, q, opts, keyword_index=kidx).collect()
+    ]
+    assert scan == served and len(scan) > 0
+    kidx.unpersist()

@@ -1265,12 +1265,3 @@ def test_bloom_survives_compaction(spark, tmp_path):
     )
     assert got == sorted(t for t in rows if t[0] in set(keys))
 
-
-def test_classifier_map_side_rejects_large_models(spark):
-    from connapse_spark.operators import classifier
-
-    big = {"n_features": 8192, "bias_q": 0, "weights_q": {1: 5}}
-    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
-    import pytest as _pt
-    with _pt.raises(ValueError, match="4096"):
-        classifier.quality_classifier_scores(docs, model=big, map_side=True)
