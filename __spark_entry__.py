@@ -505,6 +505,29 @@ _SQL_SALTED_AGG_TABLE = (
 )
 
 
+WEBSEARCH_BATCH_QUERIES = [
+    (1, '"table scan" fast -merge OR "fast merge"'),
+    (2, '"customer join" -slow'),
+    (3, 'vector OR "hash aggregation"'),
+]
+
+
+def q_hybrid_many_websearch(spark, sf_dir):
+    """BATCHED hybrid search with FULL websearch syntax per query (r9):
+    the single-scan batch machinery's keyword expressions swap to
+    match-gated websearch score expressions over the SAME shared token
+    arrays — N tsquery-semantics queries, one corpus read. Oracle is a
+    UNION of single-query onepass-websearch mirrors."""
+    docs = _t(spark, sf_dir, "documents")
+    vecs = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding")
+    )
+    corpus = docs.join(vecs, "doc_id")
+    return hybrid_search_many(
+        corpus, WEBSEARCH_BATCH_QUERIES, top_k=5, websearch=True
+    )
+
+
 def q_hybrid_many(spark, sf_dir):
     """BATCHED hybrid search: all BATCH_QUERIES answered in ONE corpus
     scan (search.hybrid_search_many) — the keyword_many amortization
@@ -4819,6 +4842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_many": q_keyword_many,
         "keyword_many_phrase": q_keyword_many_phrase,
         "hybrid_many": q_hybrid_many,
+        "hybrid_many_websearch": q_hybrid_many_websearch,
         "hybrid_many_filtered": q_hybrid_many_filtered,
         "hybrid_many_fast": q_hybrid_many_fast,
         "pq_topk": q_pq_topk,
@@ -5149,6 +5173,7 @@ def oracle_sql() -> dict[str, str]:
         # tf-postings-served batch tier: physically different, row-identical
         "keyword_many_indexed": sql_keyword_search_many(BATCH_QUERIES, k=5),
         "hybrid_many": sql_hybrid_search_many(BATCH_QUERIES, top_k=5),
+        "hybrid_many_websearch": sql_hybrid_search_many(WEBSEARCH_BATCH_QUERIES, top_k=5, websearch=True),
         "hybrid_many_filtered": sql_hybrid_search_many(
             BATCH_QUERIES, top_k=5, wheres=_BATCH_FILTERS_SQL
         ),

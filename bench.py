@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "keyword_bm25",
     "keyword_many",
     "hybrid_many",
+    "hybrid_many_websearch",
     "hybrid_many_fast",
     "keyword_snippets",
     "hybrid_rrf",

@@ -1860,6 +1860,7 @@ def hybrid_search_many(
     dims: int = 64,
     predicates: dict[int, Column] | None = None,
     keyword_index=None,
+    websearch: bool = False,
 ) -> DataFrame:
     """BATCHED hybrid search: answer N (qid, query) pairs in ONE corpus
     scan — the amortized-batch regime BASELINE.md scores, extended from
@@ -1887,8 +1888,19 @@ def hybrid_search_many(
     (one boolean array column), so a 20-query batch with 20 different
     filters still reads the corpus once; masked (id, qid) rows never
     enter the per-batch top-k.
+
+    ``websearch=True`` (r9) gives every query in the batch full tsquery
+    semantics (phrases/negation/OR) — the per-query keyword score
+    becomes websearch_score_expr GATED by websearch_match_expr over the
+    SAME shared token arrays, so the single-scan structure is unchanged:
+    one corpus read, one expression pair per query. A doc that matches
+    but scores 0 (only positive-free groups) never enters the keyword
+    branch (match AND score > 0 — the gate the SQL mirror replicates).
+    Queries that parse to no groups drop per qid, the Q13 analogue.
     """
     queries = [(q, t) for q, t in queries if t and t.strip()]
+    if websearch:
+        queries = [(q, t) for q, t in queries if parse_websearch(t)]
     if not queries:
         return _hybrid_many_empty(corpus, id_col)
     k = top_k
@@ -1937,19 +1949,27 @@ def hybrid_search_many(
     per_q = []
     for i, (qid, qtext) in enumerate(queries):
         qarr = F.array(*[F.lit(float(x)) for x in embed_py(qtext, dims)])
-        terms = sorted(set(tokenize_py(qtext)))
-        stems = sorted({stem_py(t) for t in terms})
-        raw = F.lit(WEIGHT_EXACT) * F.size(
-            F.filter(F.col("_te"), lambda t: t.isin(*terms))
-        ) + F.lit(WEIGHT_STEMMED) * F.size(
-            F.filter(F.col("_ts"), lambda t: t.isin(*stems))
-        )
+        if websearch:
+            groups = parse_websearch(qtext)
+            kscore = F.when(
+                websearch_match_expr(F.col("_te"), F.col("_ts"), groups),
+                websearch_score_expr(F.col("_te"), F.col("_ts"), groups),
+            ).otherwise(F.lit(0.0))
+        else:
+            terms = sorted(set(tokenize_py(qtext)))
+            stems = sorted({stem_py(t) for t in terms})
+            raw = F.lit(WEIGHT_EXACT) * F.size(
+                F.filter(F.col("_te"), lambda t: t.isin(*terms))
+            ) + F.lit(WEIGHT_STEMMED) * F.size(
+                F.filter(F.col("_ts"), lambda t: t.isin(*stems))
+            )
+            kscore = raw / (raw + F.lit(1.0))
         ok = F.col("_oks")[i] if predicates else F.lit(True)
         per_q.append(
             F.struct(
                 F.lit(int(qid)).cast("int").alias("qid"),
                 cosine_expr(F.col("_v"), qarr).alias("vector_score"),
-                (raw / (raw + F.lit(1.0))).alias("keyword_score"),
+                kscore.alias("keyword_score"),
                 ok.alias("ok"),
             )
         )
@@ -2298,6 +2318,7 @@ def sql_hybrid_search_many(
     id_col: str = "doc_id",
     wheres: dict[int, str] | None = None,
     id_sql_type: str = "BIGINT",
+    websearch: bool = False,
 ) -> str:
     """Mirror: UNION ALL of the single-query onepass mirrors, qid-tagged —
     each parenthesized block is a full CTE-prefixed statement (DuckDB
@@ -2310,6 +2331,8 @@ def sql_hybrid_search_many(
     from connapse_spark import oracle
 
     queries = [(q, t) for q, t in queries if t and t.strip()]
+    if websearch:
+        queries = [(q, t) for q, t in queries if parse_websearch(t)]
     if not queries:
         # typed zero-row frame: id type parameterized (string-id corpora),
         # scores cast DOUBLE so even the empty schema mirrors the tiers
@@ -2326,6 +2349,7 @@ def sql_hybrid_search_many(
             alpha=alpha,
             id_col=id_col,
             where=(wheres or {}).get(qid),
+            websearch=websearch,
         )
         + ")"
         for qid, qtext in queries

@@ -336,12 +336,17 @@ def hybrid_onepass_sql(
     id_col: str = "doc_id",
     dims: int = 64,
     where: str | None = None,
+    websearch: bool = False,
 ) -> str:
     """Mirror of operators.search.hybrid_search_onepass: both branches read
     the same co-located corpus (documents ⋈ embeddings on doc_id = vec_id).
     The Spark side's per-batch top-k pooling is exact, so the oracle is just
     the plain two-branch SQL over the joined corpus. ``where`` narrows the
-    corpus before EITHER branch scores (the filtered-search semantics)."""
+    corpus before EITHER branch scores (the filtered-search semantics).
+    ``websearch`` swaps the keyword branch for full tsquery semantics with
+    the BATCH-tier gating (match AND score > 0 — a doc matching only
+    negation-free-of-positives groups scores 0 and never enters the
+    branch; see hybrid_search_many(websearch=True))."""
     qv = sql_vector_literal(embed_py(query, dims))
     corpus = (
         "SELECT d.doc_id AS id, d.text AS text, e.embedding AS embedding "
@@ -354,7 +359,27 @@ def hybrid_onepass_sql(
     FROM corpus, (SELECT {qv} AS qv)
   ) ORDER BY score DESC, id LIMIT {top_k}
 """.rstrip()
-    kw_cte = keyword_cte(query, top_k, table="corpus", id_col="id", text_col="text")
+    if websearch:
+        from connapse_spark.operators.search import (
+            parse_websearch,
+            sql_websearch_match,
+            sql_websearch_score,
+        )
+
+        groups = parse_websearch(query)
+        kw_cte = f"""
+  SELECT id, score FROM (
+    SELECT id, {sql_websearch_score('te', 'ts', groups)} AS score,
+           {sql_websearch_match('te', 'ts', groups)} AS m FROM (
+      SELECT id,
+             {sql_tokens_exact('text')} AS te,
+             {sql_tokens_stemmed('text')} AS ts
+      FROM corpus
+    )
+  ) WHERE m AND score > 0.0 ORDER BY score DESC, id LIMIT {top_k}
+""".rstrip()
+    else:
+        kw_cte = keyword_cte(query, top_k, table="corpus", id_col="id", text_col="text")
     return _hybrid_fusion_tail(
         v_cte,
         kw_cte,

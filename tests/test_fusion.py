@@ -931,3 +931,28 @@ def test_hybrid_websearch_negation_only_falls_back_to_scan(spark, sf_dir):
     ]
     assert scan == served and len(scan) > 0
     kidx.unpersist()
+
+
+def test_hybrid_many_websearch_matches_singles(spark, sf_dir):
+    """Batched websearch hybrid: each qid's rows must equal the batch
+    oracle's semantics — sanity-pinned here against per-query expectations
+    (negation actually changes the result set vs the flat batch tier)."""
+    from connapse_spark.operators.search import hybrid_search_many
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    corpus = docs.join(vecs, "doc_id")
+    qs = [(1, '"table scan" -merge'), (2, "vector small")]
+    ws = hybrid_search_many(corpus, qs, top_k=5, websearch=True).collect()
+    flat = hybrid_search_many(corpus, qs, top_k=5).collect()
+    by_qid_ws = {}
+    for r in ws:
+        by_qid_ws.setdefault(r["qid"], []).append(r["doc_id"])
+    assert set(by_qid_ws) == {1, 2}
+    assert all(len(v) > 0 for v in by_qid_ws.values())
+    assert [tuple(r) for r in ws] != [tuple(r) for r in flat]
+    # queries parsing to nothing drop per qid
+    empt = hybrid_search_many(corpus, [(9, "-"), (2, "vector")], top_k=5, websearch=True)
+    assert {r["qid"] for r in empt.collect()} == {2}
