@@ -64,6 +64,8 @@ QUERIES = {
     # r9
     "quality_classifier": "trained model scores: n-gram explode -> broadcast bin join -> id sum",
     "wat_roundtrip": "corpus -> WARC -> WAT metadata export -> re-ingest (Arrow map-side x2)",
+    "hybrid_websearch": "tsquery keyword branch (phrases/negation/OR) + vector + CC fusion",
+    "hybrid_many_websearch": "3 tsquery queries, one scan: match-gated websearch exprs over shared tokens",
 }
 
 
