@@ -1182,6 +1182,21 @@ PHRASE_BATCH_QUERIES = [
 ]
 
 
+def q_keyword_proximity_indexed(spark, sf_dir):
+    """Cover-density proximity ranking served from the positions
+    postings (r9 — keyword_index.keyword_search_proximity_indexed): the
+    TF part and every adjacent-pair 1/mindist bonus compute from the
+    write-time (term, id, positions) tables, term-pruned; the oracle is
+    the SCAN tier's own proximity SQL, so the served tier is pinned
+    row-for-row against the corpus-posexplode plan."""
+    tokens = keyword_index.build_token_table(_t(spark, sf_dir, "documents")).persist()
+    pe = keyword_index.build_positions_postings(tokens, "tokens_exact")
+    ps = keyword_index.build_positions_postings(tokens, "tokens_stemmed")
+    return keyword_index.keyword_search_proximity_indexed(
+        pe, ps, SEARCH_QUERY, k=20
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_keyword_many_phrase(spark, sf_dir):
     """BATCHED phrase search served from positions-bearing postings (r9 —
     VERDICT r8 ask #6, keyword_index.keyword_search_many_phrase_indexed):
@@ -4887,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the ~50-query window: r4/r5-greens, freshest last
         "keyword_websearch": q_keyword_websearch,
         "keyword_proximity": q_keyword_proximity,
+        "keyword_proximity_indexed": q_keyword_proximity_indexed,
         "keyword_bm25": q_keyword_bm25,
         "semantic_topk": q_semantic_topk,
         "semantic_cross_model": q_semantic_cross_model,
@@ -5044,6 +5060,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "keyword_websearch": sql_keyword_websearch(WEBSEARCH_QUERY, k=20),
         "keyword_proximity": sql_keyword_proximity(SEARCH_QUERY, k=20),
+        # the served tier must equal the scan tier row-for-row — same SQL
+        "keyword_proximity_indexed": sql_keyword_proximity(SEARCH_QUERY, k=20),
         "keyword_bm25": sql_keyword_bm25(SEARCH_QUERY, k=20),
         "hybrid_rrf": oracle.rrf_sql(SEARCH_QUERY),
         "hybrid_onepass": oracle.hybrid_onepass_sql(SEARCH_QUERY, top_k=10),

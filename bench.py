@@ -328,6 +328,21 @@ def main():
         f"# keyword_many_phrase_probe: {best:.2f}s ({n} rows)",
         file=sys.stderr, flush=True,
     )
+    # r9: cover-density proximity served from the same pinned positions
+    # tables (serve-only; scan twin is the keyword_proximity row)
+    best, n = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.time()
+        n = keyword_index.keyword_search_proximity_indexed(
+            ppe, pps, entry_mod.SEARCH_QUERY, k=20
+        ).count()
+        best = min(best, time.time() - t0)
+    timings["keyword_proximity_indexed_probe"] = round(best, 3)
+    total += best
+    print(
+        f"# keyword_proximity_indexed_probe: {best:.2f}s ({n} rows)",
+        file=sys.stderr, flush=True,
+    )
 
     # Batched keyword from materialized tf-postings: 20 queries, one
     # pruned postings probe — the GIN regime for BASELINE.md's <20 ms

@@ -246,6 +246,79 @@ def keyword_search_many_phrase_indexed(
     return rank_topk_per_qid(scored, k)
 
 
+def keyword_search_proximity_indexed(
+    pos_exact: DataFrame,
+    pos_stemmed: DataFrame,
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """Cover-density proximity ranking SERVED from the positions postings
+    (r9 — the Q3 family's last scan-only member in the served regime):
+    identical rows to ``search.keyword_search_proximity`` — the TF part
+    is Σ size(positions) over the query's matched terms per config, and
+    each adjacent-pair 1/mindist bonus computes over the pair's two
+    posting position lists (the same integer position values posexplode
+    produced on the scan tier, added in the SAME order, so doubles are
+    bit-equal). The scan tier's one corpus-wide posexplode is replaced
+    by a term-pruned postings read: marginal cost per query is the
+    matched-postings volume — the probe regime at 100 TB.
+
+    Output: (id, score), score > 0, top-k by (score desc, id)."""
+    from connapse_spark.operators.search import WEIGHT_EXACT as WE
+    from connapse_spark.operators.search import WEIGHT_STEMMED as WS
+    from connapse_spark.operators.search import _query_term_pairs
+
+    terms, pairs = _query_term_pairs(query)
+    if not terms:
+        return pos_exact.select(
+            F.col("id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    uniq = sorted(set(terms))
+    stems = sorted({stem_py(t) for t in terms})
+
+    def _gather(ptab: DataFrame, wanted: list[str], tag: str) -> DataFrame:
+        return (
+            ptab.filter(F.col("term").isin(*wanted))
+            .groupBy("id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("term"), F.col("positions")))
+                ).alias(f"_pm_{tag}"),
+                F.sum(F.size("positions")).alias(f"_n_{tag}"),
+            )
+        )
+
+    ge = _gather(pos_exact, uniq, "e")
+    gs = _gather(pos_stemmed, stems, "s")
+    merged = ge.join(gs, "id", "full_outer")
+
+    def _pair_bonus(pm: Column, t1: str, t2: str) -> Column:
+        p1 = F.element_at(pm, F.lit(t1))
+        p2 = F.element_at(pm, F.lit(t2))
+        md = F.array_min(
+            F.flatten(F.transform(p1, lambda a: F.transform(p2, lambda b: F.abs(a - b))))
+        )
+        return F.when(
+            p1.isNotNull() & p2.isNotNull()
+            & (F.size(p1) > 0) & (F.size(p2) > 0),
+            F.lit(1.0) / F.greatest(md, F.lit(1)),
+        ).otherwise(F.lit(0.0))
+
+    # SAME additive order as the scan tier — doubles stay bit-equal
+    raw = F.lit(WE) * F.coalesce(F.col("_n_e"), F.lit(0))
+    raw = raw + F.lit(WS) * F.coalesce(F.col("_n_s"), F.lit(0))
+    for a, b in pairs:
+        raw = raw + F.lit(WE) * _pair_bonus(F.col("_pm_e"), a, b)
+        sa, sb = stem_py(a), stem_py(b)
+        raw = raw + F.lit(WS) * _pair_bonus(F.col("_pm_s"), sa, sb)
+    return (
+        merged.select(F.col("id"), (raw / (raw + F.lit(1.0))).alias("score"))
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )
+
+
 def _affected_ids(
     spark,
     new_tokens: DataFrame,

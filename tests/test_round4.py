@@ -1287,3 +1287,40 @@ def test_phrase_positions_tier_matches_scan_tier(spark):
     with _pt.raises(ValueError, match="phrase tier"):
         keyword_search_many_phrase_indexed(pe, ps, [(1, "plain words")])
     toks.unpersist()
+
+
+def test_proximity_indexed_matches_scan_tier(spark):
+    """r9 served proximity: bit-equal scores to the scan tier on the
+    corners — stem-only matches, multi-pair queries, adjacent vs
+    scattered occurrences, and misses."""
+    from connapse_spark.operators.keyword_index import (
+        build_positions_postings,
+        build_token_table,
+        keyword_search_proximity_indexed,
+    )
+    from connapse_spark.operators.search import keyword_search_proximity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "index rebuild ran overnight"),          # adjacent pair
+            (2, "index ran overnight x y z rebuild"),    # scattered pair
+            (3, "indexes rebuilds here"),                # stem-only matches
+            (4, "rebuild alone"),                        # one term only
+            (5, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = build_token_table(docs).persist()
+    pe = build_positions_postings(toks, "tokens_exact")
+    ps = build_positions_postings(toks, "tokens_stemmed")
+    for q in ("index rebuild", "index rebuild overnight", "rebuild"):
+        scan = [
+            (r["doc_id"], r["score"])
+            for r in keyword_search_proximity(docs, q, k=10).collect()
+        ]
+        served = [
+            (r["id"], r["score"])
+            for r in keyword_search_proximity_indexed(pe, ps, q, k=10).collect()
+        ]
+        assert served == scan, q
+    toks.unpersist()
