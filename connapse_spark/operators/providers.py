@@ -319,15 +319,38 @@ def http_llm_stream(
     req = urllib.request.Request(
         endpoint, data=json.dumps(body).encode("utf-8"), headers=headers, method="POST"
     )
+    def _sse_dispatch(data_lines: list[str]):
+        """One SSE event's accumulated ``data:`` lines → (chunk, done).
+        Per the SSE spec an event's data field is the newline-join of
+        its data lines (a JSON payload split across continuation lines
+        by a proxy is LEGAL and must reassemble — ADVICE r9: the old
+        per-line json.loads raised JSONDecodeError mid-stream on it).
+        Unparseable frames skip, never crash: a streamed completion is
+        append-only, so dropping a malformed keep-alive loses nothing."""
+        data = "\n".join(data_lines)
+        if data.strip() == "[DONE]":
+            return None, True
+        try:
+            obj = json.loads(data)
+        except json.JSONDecodeError:
+            return None, False
+        # choices may be empty (Azure content-filter preamble events,
+        # usage/keep-alive chunks) — skip, don't crash
+        choices = obj.get("choices") or []
+        if not choices:
+            return None, False
+        return choices[0].get("delta", {}).get("content"), False
+
     with urllib.request.urlopen(req, timeout=timeout) as resp:
         # line iteration on the raw HTTP response reads as bytes arrive
         # (http.client de-chunks transfer-encoding transparently), so each
         # yield happens when the provider flushes, not at stream end
+        pending: list[str] = []
         for raw in resp:
-            line = raw.decode("utf-8").strip()
-            if not line:
-                continue
+            line = raw.decode("utf-8").rstrip("\r\n")
             if style == "ollama":
+                if not line.strip():
+                    continue
                 obj = json.loads(line)
                 chunk = obj.get("response", "")
                 if chunk:
@@ -335,16 +358,48 @@ def http_llm_stream(
                 if obj.get("done"):
                     return
             else:
-                if not line.startswith("data:"):
-                    continue
-                data = line[len("data:"):].strip()
-                if data == "[DONE]":
-                    return
-                # choices may be empty (Azure content-filter preamble
-                # events, usage/keep-alive chunks) — skip, don't crash
-                choices = json.loads(data).get("choices") or []
-                if not choices:
-                    continue
-                chunk = choices[0].get("delta", {}).get("content")
-                if chunk:
-                    yield str(chunk)
+                if line == "":
+                    # blank line = event terminator: dispatch the frame
+                    if pending:
+                        chunk, done = _sse_dispatch(pending)
+                        pending = []
+                        if done:
+                            return
+                        if chunk:
+                            yield str(chunk)
+                elif line.startswith("data:"):
+                    v = line[len("data:"):]
+                    # spec: strip at most ONE leading space from the value
+                    v = v[1:] if v.startswith(" ") else v
+                    if pending:
+                        # tolerate non-conformant streams that omit the
+                        # blank-line event separator (seen in the wild —
+                        # and the pre-r10 parser's only shape): if the
+                        # buffered frame already parses COMPLETE, it was
+                        # an event of its own — dispatch before
+                        # buffering the next line; otherwise this line
+                        # is a legal multi-line continuation
+                        buffered = "\n".join(pending)
+                        complete = buffered.strip() == "[DONE]"
+                        if not complete:
+                            try:
+                                json.loads(buffered)
+                                complete = True
+                            except json.JSONDecodeError:
+                                complete = False
+                        if complete:
+                            chunk, done = _sse_dispatch(pending)
+                            pending = []
+                            if done:
+                                return
+                            if chunk:
+                                yield str(chunk)
+                    pending.append(v)
+                # other SSE fields (event:, id:, retry:, ':' comments)
+                # carry no completion payload — ignored
+        if style != "ollama" and pending:
+            # lenient tail: a stream that closes without the final blank
+            # line still delivers its last frame
+            chunk, _ = _sse_dispatch(pending)
+            if chunk:
+                yield str(chunk)

@@ -363,8 +363,17 @@ def prune_files_keys(m: dict, col: str, keys: list) -> list[dict]:
         st = (e.get("stats") or {}).get(col)
         bloom = (e.get("blooms") or {}).get(col)
         for k in keys:
-            if st is not None and (k < st[0] or k > st[1]):
-                continue
+            if st is not None:
+                try:
+                    if k < st[0] or k > st[1]:
+                        continue
+                except TypeError:
+                    # probe key doesn't order against the recorded stats
+                    # type (e.g. int key vs string-column stats) —
+                    # conservative-keep, same policy as _bloom_token's
+                    # unsupported-type path (ADVICE r9): skipping must
+                    # degrade to a wider read, never a crash or a miss
+                    pass
             if bloom is not None and not _bloom_maybe_contains(bloom, k):
                 continue
             out.append(e)

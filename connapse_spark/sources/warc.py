@@ -857,10 +857,27 @@ def cdx_append(
 
     ing_dir = os.path.join(table_dir, "_ingested")
     if snapshots.latest_version(table_dir) is None:
-        v = write_cdx_table(
-            cdx_index(binary_df, sort=False), table_dir, n_files=n_files
+        # Bootstrap path pins too (r10 — ADVICE r9): deriving the index
+        # from binary_df and the _ingested commit from a SECOND
+        # binary_df evaluation is the same two-listings race the
+        # incremental branch closes with fresh_paths — a path appearing
+        # between the two evaluations would be screened forever with
+        # zero captures indexed. One collect, both commits from the pin.
+        boot_paths = [
+            r["path"] for r in binary_df.select("path").distinct().collect()
+        ]
+        boot_pinned = binary_df.sparkSession.createDataFrame(
+            [(p,) for p in boot_paths], "path string"
         )
-        snapshots.commit_snapshot(binary_df.select("path").distinct(), ing_dir)
+        v = write_cdx_table(
+            cdx_index(
+                binary_df.join(F.broadcast(boot_pinned), "path", "left_semi"),
+                sort=False,
+            ),
+            table_dir,
+            n_files=n_files,
+        )
+        snapshots.commit_snapshot(boot_pinned, ing_dir)
         return v
     seen = (
         snapshots.read_snapshot(spark, table_dir)

@@ -479,3 +479,43 @@ def test_llm_stream_rejects_unknown_style():
 
     with pytest.raises(ValueError, match="style"):
         list(http_llm_stream("http://x", "p", style="soap-xml"))
+
+def test_llm_stream_sse_multiline_data_reassembled():
+    """SSE events whose JSON payload spans multiple ``data:`` lines are
+    LEGAL (spec: an event's data is the newline-join of its data lines
+    until the blank-line terminator; some proxies re-chunk this way) —
+    the r9 per-line json.loads raised JSONDecodeError mid-stream on
+    them (ADVICE r9). Also covers: unparseable frames skip instead of
+    crashing, non-data SSE fields (event:/id:/comments) are ignored,
+    and a final frame without a trailing blank line still delivers."""
+    from connapse_spark.operators.providers import http_llm_stream
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.end_headers()
+            self.wfile.write(
+                b"event: message\n"
+                b"id: 7\n"
+                b": keep-alive comment\n"
+                b'data: {"choices": [{"delta":\n'      # one JSON payload,
+                b'data:  {"content": "spl"}}]}\n'      # two data lines
+                b"\n"
+                b"data: {this is not json\n"           # malformed frame:
+                b"\n"                                  # skipped, not raised
+                b'data: {"choices": [{"delta": {"content": "it"}}]}\n'
+                b"\n"
+                b"data: [DONE]"                        # no trailing blank —
+            )                                          # lenient tail path
+
+        def log_message(self, *a):
+            pass
+
+    srv, url = _serve(Handler)
+    try:
+        out = list(http_llm_stream(url + "/v1/chat/completions", "hi", style="openai"))
+    finally:
+        srv.shutdown()
+    assert out == ["spl", "it"]

@@ -1265,3 +1265,81 @@ def test_bloom_survives_compaction(spark, tmp_path):
     )
     assert got == sorted(t for t in rows if t[0] in set(keys))
 
+
+def test_prune_files_keys_type_mismatch_conservative_keep():
+    """A probe key whose Python type does not ORDER against a file's
+    recorded stats type (int key vs string-column stats) must keep the
+    file, not raise (ADVICE r9: the bare ``k < st[0]`` comparison
+    crashed scan_pruned_keys with TypeError). Blooms still apply after
+    the stats pass degrades: _bloom_token canonicalizes int/str through
+    str(), so an int probe matches a string file that holds its digits."""
+    from connapse_spark.sources.snapshots import (
+        BLOOM_K,
+        _bloom_positions,
+        prune_files_keys,
+    )
+
+    m = {"files": [{"path": "a.parquet", "stats": {"k": ["aaa", "zzz"]}}]}
+    # pre-fix this raised TypeError; now: stats can't adjudicate → keep
+    assert [e["path"] for e in prune_files_keys(m, "k", [5])] == ["a.parquet"]
+
+    # with a bloom recorded, the degraded stats pass defers to it: build
+    # a tiny bloom holding only str(5)'s token
+    import base64
+
+    m_bits = 64
+    bits = bytearray((m_bits + 7) // 8)
+    for pos in _bloom_positions(b"5", m_bits, BLOOM_K):
+        bits[pos >> 3] |= 1 << (pos & 7)
+    bloom = {"m": m_bits, "k": BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+    empty = {"m": m_bits, "k": BLOOM_K,
+             "b64": base64.b64encode(bytes(bytearray((m_bits + 7) // 8))).decode()}
+    m2 = {
+        "files": [
+            {"path": "hit.parquet", "stats": {"k": ["0", "9"]}, "blooms": {"k": bloom}},
+            {"path": "miss.parquet", "stats": {"k": ["a", "z"]}, "blooms": {"k": empty}},
+        ]
+    }
+    kept = [e["path"] for e in prune_files_keys(m2, "k", [5])]
+    assert kept == ["hit.parquet"]
+
+def test_bloom_skipping_files_opened_bounded_across_decade(spark, tmp_path):
+    """The ≤|keys|-files claim measured ACROSS A DECADE of store growth
+    (r10 — VERDICT r9 ask #7): on hash-like keys, the number of files a
+    point fetch opens is bounded by |keys| (+ bloom false-positive slack,
+    ~0.8% of files at the shipped 10 bits/row sizing) REGARDLESS of store
+    size — 10× the files must NOT mean 10× the opens, while range stats
+    alone keep every file at both sizes. Results stay exact at both."""
+    from connapse_spark.sources import snapshots
+
+    opened = {}
+    for n_files, n_rows in ((8, 2_000), (80, 20_000)):
+        rows = _sha_rows(n_rows)
+        df = spark.createDataFrame(
+            rows, "chunk_id string, payload long"
+        ).repartition(n_files)
+        tdir = str(tmp_path / f"decade_{n_files}")
+        snapshots.commit_snapshot(df, tdir, bloom_cols=["chunk_id"])
+        m = snapshots.load_manifest(tdir)
+        assert len(m["files"]) == n_files
+        keys = [rows[i][0] for i in (3, n_rows // 3, n_rows - 1)]
+        # stats keep everything — the hash-key regime at any size
+        stats_keep = {
+            e["path"] for k in keys for e in snapshots.prune_files(m, "chunk_id", k, k)
+        }
+        assert len(stats_keep) == n_files
+        kept = snapshots.prune_files_keys(m, "chunk_id", keys)
+        # FP slack: each non-holding file passes a key's bloom with
+        # p≈0.8% (10 bits/row, k=7), so expected extra opens ≈
+        # 0.008·|keys|·n_files; bound at ~2× expectation + 1
+        fp_slack = 1 + int(0.016 * n_files * len(keys))
+        assert len(kept) <= len(keys) + fp_slack, (n_files, len(kept))
+        got = sorted(
+            tuple(r)
+            for r in snapshots.scan_pruned_keys(spark, tdir, "chunk_id", keys).collect()
+        )
+        assert got == sorted(t for t in rows if t[0] in set(keys))
+        opened[n_files] = len(kept)
+    # the decade claim itself: opens track keys (+FP noise), not store
+    # size — 10× the files must stay far under 10× the opens
+    assert opened[80] <= opened[8] + 1 + int(0.016 * 80 * 3)
