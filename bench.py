@@ -344,6 +344,30 @@ def main():
         file=sys.stderr, flush=True,
     )
 
+    # r10: BM25 SERVED from the index (VERDICT r9 ask #6 — the Q3
+    # family's last scan-only member): stemmed tf-postings + the
+    # one-int-per-doc doclen table answer the query term-pruned, no
+    # corpus tokenize. Serve-only row; the doclen build is write-time
+    # (folded into the postings build cost in a real ingest).
+    doclen = keyword_index.build_doclen_table(tokens).persist()
+    doclen.count()
+    keyword_index.keyword_search_bm25_indexed(
+        tfs, doclen, entry_mod.SEARCH_QUERY, k=20
+    ).count()  # warm
+    best, n = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.time()
+        n = keyword_index.keyword_search_bm25_indexed(
+            tfs, doclen, entry_mod.SEARCH_QUERY, k=20
+        ).count()
+        best = min(best, time.time() - t0)
+    timings["keyword_bm25_indexed_probe"] = round(best, 3)
+    total += best
+    print(
+        f"# keyword_bm25_indexed_probe: {best:.2f}s ({n} rows)",
+        file=sys.stderr, flush=True,
+    )
+
     # Batched keyword from materialized tf-postings: 20 queries, one
     # pruned postings probe — the GIN regime for BASELINE.md's <20 ms
     # keyword envelope in the amortized-batch interpretation.
@@ -390,10 +414,11 @@ def main():
     timings["hybrid_indexed_probe"] = round(best, 3)
     total += best
     print(f"# hybrid_indexed_probe: {best:.2f}s ({n} rows)", file=sys.stderr, flush=True)
-    for df in (tokens, pe, ps, ppe, pps):
+    for df in (tokens, pe, ps, doclen):
         df.unpersist()
     # tfe/tfs stay pinned: the batched-hybrid section below serves its
-    # keyword branch from them (hybrid_batch20_indexed)
+    # keyword branch from them (hybrid_batch20_indexed); ppe/pps stay
+    # pinned for the websearch batch row (hybrid_batch20_websearch)
 
     # IVF ANN index: same build/probe split — the KMeans fit is an index job
     # (M6's "rebuild on drift" path); the probe is the latency that matters.
@@ -497,6 +522,37 @@ def main():
         file=sys.stderr, flush=True,
     )
 
+    # r10: same batch regime with FULL WEBSEARCH SYNTAX per query
+    # (VERDICT r9 ask #3 — previously one quoted phrase forced the whole
+    # batch onto the per-query-expression oracle tier): keyword branch =
+    # set-based match+score over the pinned tf postings + positions
+    # postings (phrase atoms), vector branch = the same BLAS kernel.
+    ws_forms = [
+        lambda w: f'"{w} table" scan',        # phrase + term
+        lambda w: f"{w} -merge",              # negation
+        lambda w: f'{w} OR "table scan"',     # OR + phrase
+        lambda w: f"query {w} join",          # flat terms
+    ]
+    ws_qs = [(i, ws_forms[i % 4](w)) for i, w in enumerate(batch_words)]
+    hybrid_search_many_fast(
+        corpus, ws_qs[:2], top_k=10, websearch=True,
+        tf_postings=(tfe, tfs), positions_postings=(ppe, pps),
+    ).count()  # warm
+    best, n = float("inf"), 0
+    for _ in range(max(runs, 3)):
+        t0 = time.time()
+        n = hybrid_search_many_fast(
+            corpus, ws_qs, top_k=10, websearch=True,
+            tf_postings=(tfe, tfs), positions_postings=(ppe, pps),
+        ).count()
+        best = min(best, time.time() - t0)
+    timings["hybrid_batch20_websearch"] = round(best, 3)
+    total += best
+    print(
+        f"# hybrid_batch20_websearch: {best:.2f}s ({n} rows) = {best / 20 * 1000:.0f} ms/query",
+        file=sys.stderr, flush=True,
+    )
+
     # FULLY index-served batch: keyword from tf-postings AND vectors from
     # the pinned IVF index at pruned probe (3/8 lists) — no corpus scan at
     # all in the query path. The 100 TB serving shape: both branches read
@@ -520,6 +576,7 @@ def main():
     )
     corpus.unpersist()
     tfe.unpersist(), tfs.unpersist()
+    ppe.unpersist(), pps.unpersist()
     index.unpersist()
 
     # One base dict; the durable payload adds the per-query map, the printed

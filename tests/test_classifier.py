@@ -129,3 +129,29 @@ def test_map_side_rejects_large_models(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="4096"):
         classifier.quality_classifier_scores(docs, model=big, map_side=True)
+
+def test_distributed_tier_agrees_to_tolerance(spark, labeled):
+    """deterministic=False keeps the labeled frame partitioned and lets
+    MLlib's treeAggregate L-BFGS reduce gradients in parallel (r10 —
+    VERDICT r9 ask #5: the scale tier for label sets that outgrow one
+    partition). The L2-regularized objective is strictly convex (unique
+    optimum), so the two tiers converge to the SAME weights up to
+    optimizer tolerance: micro-quantized exports agree within a few
+    hundred micro-units and the downstream keep/junk separation is
+    unchanged."""
+    det = classifier.QC_PINNED_MODEL
+    dist = classifier.train_quality_classifier(
+        labeled.repartition(8), deterministic=False
+    )
+    assert dist["n_features"] == det["n_features"]
+    assert abs(dist["bias_q"] - det["bias_q"]) <= 500
+    keys = set(det["weights_q"]) | set(dist["weights_q"])
+    worst = max(
+        abs(det["weights_q"].get(k, 0) - dist["weights_q"].get(k, 0)) for k in keys
+    )
+    assert worst <= 500, f"micro-weight divergence {worst} > 500"
+    # downstream: the distributed model still separates the planted labels
+    sc = classifier.quality_classifier_scores(labeled, model=dist).collect()
+    good = [r["logit"] for r in sc if r["doc_id"] < 10_000]
+    bad = [r["logit"] for r in sc if r["doc_id"] >= 10_000]
+    assert min(good) > 0 > max(bad)

@@ -1059,3 +1059,117 @@ def test_vacuum_serving_respects_pins(spark, sf_dir, tmp_path):
     for h in handles:
         h["chunks"].unpersist(), h["vectors"].unpersist()
     docs.unpersist()
+
+def test_upsert_positions_postings_rebuild_equivalent(spark, sf_dir):
+    """Incremental positions-postings must equal a from-scratch rebuild
+    over the post-change corpus POSITION FOR POSITION (r10 — VERDICT r9
+    ask #2: the r9 phrase/proximity serving tables had no upsert twin, so
+    a crawl drop forced a full corpus re-posexplode); empty batch + no
+    deletes is the identity."""
+    from connapse_spark.operators.keyword_index import upsert_positions_postings
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 80)
+    base = keyword_index.build_positions_postings(
+        keyword_index.build_token_table(docs)
+    )
+    updated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.lit("fresh words only "), F.col("doc_id")).alias("text")
+    )
+    deleted = [3, 11]
+    got = upsert_positions_postings(
+        base, keyword_index.build_token_table(updated), deleted_ids=deleted
+    )
+    post = docs.filter(~F.col("doc_id").isin(deleted)).filter(
+        F.col("doc_id") % 7 != 0
+    ).select("doc_id", "text").unionByName(updated)
+    want = keyword_index.build_positions_postings(
+        keyword_index.build_token_table(post)
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r["term"], r["id"], tuple(r["positions"])) for r in df.collect()
+    )
+    assert canon(got) == canon(want)
+    # identity: empty batch, no deletes
+    empty = keyword_index.build_token_table(docs.filter(F.lit(False)))
+    assert upsert_positions_postings(base, empty).count() == base.count()
+
+
+def test_upsert_positions_postings_plan_and_df_deletions(spark):
+    """The removal path must be the same driverless anti-join as the tf
+    twin: no per-id literals in the plan, LeftAnti present, plan size
+    flat across a 100x batch growth; and deleted_ids as a DataFrame
+    change feed must match the list path row-for-row."""
+    from connapse_spark.operators.keyword_index import (
+        build_positions_postings,
+        build_token_table,
+        upsert_positions_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 7} beta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    base = build_positions_postings(build_token_table(docs))
+
+    def plan_for(n):
+        batch = spark.createDataFrame(
+            [(900_000_042 + j, "beta delta") for j in range(n)],
+            "doc_id long, text string",
+        )
+        out = upsert_positions_postings(
+            base,
+            build_token_table(batch),
+            deleted_ids=list(range(800_000_000, 800_000_000 + n)),
+        )
+        return out._jdf.queryExecution().optimizedPlan().toString()
+
+    small, big = plan_for(2), plan_for(200)
+    for plan in (small, big):
+        assert "900000042" not in plan
+        assert "800000123" not in plan
+    assert "LeftAnti" in big
+    assert len(big) < 1.2 * len(small) + 200
+
+    batch = spark.createDataFrame([(1, "beta delta")], "doc_id long, text string")
+    feed = spark.createDataFrame([(3,)], "id long")
+    via_list = upsert_positions_postings(
+        base, build_token_table(batch), deleted_ids=[3]
+    )
+    via_df = upsert_positions_postings(
+        base, build_token_table(batch), deleted_ids=feed
+    )
+    canon = lambda df: sorted(  # noqa: E731
+        (r["term"], r["id"], tuple(r["positions"])) for r in df.collect()
+    )
+    assert canon(via_list) == canon(via_df)
+
+def test_keyword_bm25_indexed_bit_equal_to_scan(spark, sf_dir):
+    """The index-served BM25 tier must return the SAME rounded doubles as
+    the scan tier (r10 — VERDICT r9 ask #6): same integer corpus stats
+    (N/Σdl from doclen, df from postings row counts), same fixed-order
+    score expression over pivoted per-term tf columns. Covers multi-term,
+    single-term, and no-hit queries."""
+    from connapse_spark.operators.keyword_index import (
+        build_doclen_table,
+        build_tf_postings,
+        keyword_search_bm25_indexed,
+    )
+    from connapse_spark.operators.search import keyword_search_bm25
+
+    docs = _docs(spark, sf_dir)
+    tokens = keyword_index.build_token_table(docs)
+    tfs = build_tf_postings(tokens, "tokens_stemmed")
+    dl = build_doclen_table(tokens)
+    # indexed tier's empty-query guard (the scan tier's caller, search
+    # routing, never passes empty queries down)
+    assert keyword_search_bm25_indexed(tfs, dl, "", k=20).count() == 0
+    for q in ("distributed query engine", "merge", "zzzznohit"):
+        want = [
+            (r["doc_id"], r["score"])
+            for r in keyword_search_bm25(docs, q, k=20).collect()
+        ]
+        got = [
+            (r["id"], r["score"])
+            for r in keyword_search_bm25_indexed(tfs, dl, q, k=20).collect()
+        ]
+        assert got == want, f"query {q!r}: {got[:3]} != {want[:3]}"

@@ -1324,3 +1324,86 @@ def test_proximity_indexed_matches_scan_tier(spark):
         ]
         assert served == scan, q
     toks.unpersist()
+
+def test_hybrid_many_fast_websearch_parity_with_oracle_tier(spark, sf_dir):
+    """FULL websearch syntax through the PRODUCTION tier (r10 — VERDICT
+    r9 ask #3): hybrid_search_many_fast(websearch=True) must equal the
+    oracle tier hybrid_search_many(websearch=True) — keyword doubles
+    BIT-equal (set-based postings math mirrors websearch_score_expr's FP
+    order), full rows equal after the fast family's round-9 vector
+    contract. Covers phrases, negation, OR, pure negation, whitespace
+    (Q13), predicates, and both the corpus-derived and the served
+    (tf + positions postings) regimes."""
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.search import (
+        hybrid_search_many,
+        hybrid_search_many_fast,
+    )
+
+    corpus = _hybrid_corpus(spark, sf_dir)
+    docs = corpus.select("doc_id", "text", "lang")
+    queries = [
+        (1, '"table scan" fast -merge OR "fast merge"'),
+        (2, '"customer join" -slow'),
+        (3, 'vector OR "hash aggregation"'),
+        (4, 'parallel -"hash join"'),
+        (5, "-nothing"),
+        (6, "   "),
+    ]
+    preds = {2: F.col("lang") == "en", 3: F.col("doc_id") % 2 == 0}
+
+    def canon(rows):
+        return [
+            (r["qid"], r["doc_id"], round(r["score"], 9),
+             round(r["vector_score"], 9), round(r["keyword_score"], 9),
+             r["source"])
+            for r in rows
+        ]
+
+    want = hybrid_search_many(
+        corpus, queries, top_k=5, websearch=True, predicates=preds
+    ).collect()
+    # regime 1: postings derived from the corpus inside the tier
+    got_scan = hybrid_search_many_fast(
+        corpus, queries, top_k=5, websearch=True, predicates=preds
+    ).collect()
+    assert canon(got_scan) == canon(want)
+    # regime 2: served from write-time tf + positions postings
+    tokens = ki.build_token_table(docs).persist()
+    try:
+        tfe = ki.build_tf_postings(tokens, "tokens_exact")
+        tfs = ki.build_tf_postings(tokens, "tokens_stemmed")
+        pe = ki.build_positions_postings(tokens, "tokens_exact")
+        ps = ki.build_positions_postings(tokens, "tokens_stemmed")
+        got_srv = hybrid_search_many_fast(
+            corpus, queries, top_k=5, websearch=True, predicates=preds,
+            tf_postings=(tfe, tfs), positions_postings=(pe, ps),
+        ).collect()
+    finally:
+        tokens.unpersist()
+    assert canon(got_srv) == canon(want)
+    # keyword branch doubles are BIT-equal, not just round-9-equal
+    wk = sorted((r["qid"], r["doc_id"], r["keyword_score"]) for r in want)
+    for got in (got_scan, got_srv):
+        assert sorted((r["qid"], r["doc_id"], r["keyword_score"]) for r in got) == wk
+
+
+def test_websearch_scores_indexed_phrase_without_positions_raises(spark):
+    """A batch holding a quoted phrase but no positions postings must
+    raise (routing contract), not silently drop the phrase."""
+    import pytest as _pytest
+
+    from connapse_spark.operators import keyword_index as ki
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    tokens = ki.build_token_table(docs)
+    tfe = ki.build_tf_postings(tokens, "tokens_exact")
+    tfs = ki.build_tf_postings(tokens, "tokens_stemmed")
+    with _pytest.raises(ValueError, match="positions"):
+        ki.websearch_scores_indexed(tfe, tfs, None, None, [(1, '"alpha beta"')])
+    # flat-term batches need no positions tables at all
+    out = ki.websearch_scores_indexed(tfe, tfs, None, None, [(1, "beta -delta")])
+    assert [r["id"] for r in out.collect()] == [1]
