@@ -455,6 +455,25 @@ def q_keyword_bm25(spark, sf_dir):
     return keyword_search_bm25(docs, SEARCH_QUERY, k=20)
 
 
+def q_keyword_bm25_indexed(spark, sf_dir):
+    """BM25 SERVED from the write-time index (r10 — VERDICT r9 ask #6,
+    keyword_index.keyword_search_bm25_indexed): the stemmed tf postings +
+    the one-int-per-doc doclen table answer the query with a term-pruned
+    probe — no corpus tokenize in the query path. Bit-equal to the scan
+    tier (same integer corpus stats, same fixed-order double expression),
+    so it shares the scan tier's oracle SQL."""
+    tokens = keyword_index.build_token_table(_t(spark, sf_dir, "documents")).persist()
+    tfs = keyword_index.build_tf_postings(tokens, "tokens_stemmed")
+    dl = keyword_index.build_doclen_table(tokens)
+    return _scoped_cache_result(
+        spark,
+        tokens,
+        keyword_index.keyword_search_bm25_indexed(
+            tfs, dl, SEARCH_QUERY, k=20
+        ).withColumnRenamed("id", "doc_id"),
+    )
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Fusion extension: reciprocal-rank fusion of the stored-vector and
     keyword branches (rank-only, normalization-free)."""
@@ -525,6 +544,47 @@ def q_hybrid_many_websearch(spark, sf_dir):
     corpus = docs.join(vecs, "doc_id")
     return hybrid_search_many(
         corpus, WEBSEARCH_BATCH_QUERIES, top_k=5, websearch=True
+    )
+
+
+def q_hybrid_many_websearch_fast(spark, sf_dir):
+    """PRODUCTION batched hybrid with FULL websearch syntax per query
+    (r10 — VERDICT r9 ask #3, search.hybrid_search_many_fast(websearch=
+    True)): the BLAS vector branch unchanged, the keyword branch swapped
+    to keyword_index.websearch_scores_indexed — set-based match gating +
+    scoring over write-time tf postings and positions postings, per-query
+    expressions only over the candidate-bounded frame. Keyword doubles
+    are bit-equal to the oracle tier (unit-pinned); the vector branch
+    carries the fast family's round-9 contract (BLAS ulp), so this
+    shares hybrid_many_websearch's oracle wrapped in round(…, 9)."""
+    docs = _t(spark, sf_dir, "documents")
+    vecs = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding")
+    )
+    tokens = keyword_index.build_token_table(docs).persist()
+    tfe = keyword_index.build_tf_postings(tokens, "tokens_exact")
+    tfs = keyword_index.build_tf_postings(tokens, "tokens_stemmed")
+    pe = keyword_index.build_positions_postings(tokens, "tokens_exact")
+    ps = keyword_index.build_positions_postings(tokens, "tokens_stemmed")
+    out = hybrid_search_many_fast(
+        docs.join(vecs, "doc_id"),
+        WEBSEARCH_BATCH_QUERIES,
+        top_k=5,
+        websearch=True,
+        tf_postings=(tfe, tfs),
+        positions_postings=(pe, ps),
+    )
+    return _scoped_cache_result(
+        spark,
+        tokens,
+        out.select(
+            "qid",
+            "doc_id",
+            F.round("score", 9).alias("score"),
+            F.round("vector_score", 9).alias("vector_score"),
+            F.round("keyword_score", 9).alias("keyword_score"),
+            "source",
+        ),
     )
 
 
@@ -1182,6 +1242,21 @@ PHRASE_BATCH_QUERIES = [
 ]
 
 
+def _scoped_cache_result(spark, cached, res):
+    """Materialize a k-bounded result while ``cached`` is persisted, then
+    release the cache (ADVICE r9: the positions-tier entries persisted
+    the token table with no unpersist, leaking one cached table per
+    correctness-gate run — contradicting the r8 scoped-persist cleanup).
+    The result is top-k-sized, so rebuilding it as a driver-local frame
+    after the collect is free and the returned plan holds no reference
+    to the released cache."""
+    try:
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        cached.unpersist()
+
+
 def q_keyword_proximity_indexed(spark, sf_dir):
     """Cover-density proximity ranking served from the positions
     postings (r9 — keyword_index.keyword_search_proximity_indexed): the
@@ -1192,9 +1267,13 @@ def q_keyword_proximity_indexed(spark, sf_dir):
     tokens = keyword_index.build_token_table(_t(spark, sf_dir, "documents")).persist()
     pe = keyword_index.build_positions_postings(tokens, "tokens_exact")
     ps = keyword_index.build_positions_postings(tokens, "tokens_stemmed")
-    return keyword_index.keyword_search_proximity_indexed(
-        pe, ps, SEARCH_QUERY, k=20
-    ).withColumnRenamed("id", "doc_id")
+    return _scoped_cache_result(
+        spark,
+        tokens,
+        keyword_index.keyword_search_proximity_indexed(
+            pe, ps, SEARCH_QUERY, k=20
+        ).withColumnRenamed("id", "doc_id"),
+    )
 
 
 def q_keyword_many_phrase(spark, sf_dir):
@@ -1208,8 +1287,12 @@ def q_keyword_many_phrase(spark, sf_dir):
     tokens = keyword_index.build_token_table(_t(spark, sf_dir, "documents")).persist()
     pe = keyword_index.build_positions_postings(tokens, "tokens_exact")
     ps = keyword_index.build_positions_postings(tokens, "tokens_stemmed")
-    return keyword_index.keyword_search_many_phrase_indexed(
-        pe, ps, PHRASE_BATCH_QUERIES, k=5
+    return _scoped_cache_result(
+        spark,
+        tokens,
+        keyword_index.keyword_search_many_phrase_indexed(
+            pe, ps, PHRASE_BATCH_QUERIES, k=5
+        ),
     )
 
 
@@ -4339,6 +4422,45 @@ def q_tf_postings_upsert(spark, sf_dir):
     return out.orderBy("term", "id")
 
 
+def q_positions_upsert(spark, sf_dir):
+    """Incremental positions-postings maintenance (r10 — VERDICT r9 ask
+    #2, keyword_index.upsert_positions_postings): the write side of the
+    r9 positions-SERVED phrase and proximity tiers, same fixture as
+    tf_postings_upsert — base (term, id, positions) built over the
+    original corpus, then doc_id%9==0 upserts (text + ' updated') and
+    %31 deletes fold in with ONE anti-join (no corpus re-posexplode, no
+    driver collect of postings). The oracle rebuilds position arrays
+    from the post-change corpus — incremental must equal rebuild
+    POSITION FOR POSITION, which the exploded (term, id, pos) output
+    pins cell-for-cell (the driver canonicalizer can't hash array
+    columns, so the explode IS the strongest checkable form)."""
+    from connapse_spark.operators.keyword_index import (
+        build_positions_postings,
+        build_token_table,
+        upsert_positions_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = build_positions_postings(build_token_table(docs))
+    batch_docs = docs.filter(F.col("doc_id") % 9 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
+    )
+    deleted = [
+        r["doc_id"]
+        for r in docs.filter((F.col("doc_id") % 31 == 0) & (F.col("doc_id") % 9 != 0))
+        .select("doc_id")
+        .collect()
+    ]
+    out = upsert_positions_postings(
+        base, build_token_table(batch_docs), deleted_ids=deleted
+    )
+    return (
+        out.select("term", "id", F.explode("positions").alias("pos"))
+        .withColumn("pos", F.col("pos").cast("bigint"))
+        .orderBy("term", "id", "pos")
+    )
+
+
 def q_tf_pending_resolve(spark, sf_dir):
     """Pending-list keyword index END TO END on disk (keyword_index.
     tf_pending_append → tf_resolve): batch 0 commits the original corpus
@@ -4430,6 +4552,27 @@ tok AS (
 SELECT term, id, CAST(count(*) AS BIGINT) AS tf
 FROM tok GROUP BY term, id
 ORDER BY term, id
+""".strip()
+
+
+def _sql_positions_upsert() -> str:
+    from connapse_spark.functions.text import sql_tokens_exact
+
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN text || ' updated' ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 31 != 0 OR doc_id % 9 = 0
+),
+tokarr AS (
+  SELECT doc_id AS id, {sql_tokens_exact('text')} AS arr FROM corpus
+)
+SELECT term, id, pos FROM (
+  SELECT id, unnest(arr) AS term, CAST(unnest(range(len(arr))) AS BIGINT) AS pos
+  FROM tokarr
+)
+ORDER BY term, id, pos
 """.strip()
 
 
@@ -4792,6 +4935,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "positions_upsert": q_positions_upsert,
+        "keyword_bm25_indexed": q_keyword_bm25_indexed,
+        "hybrid_many_websearch_fast": q_hybrid_many_websearch_fast,
         "gopher_multi": q_gopher_multi,
         "hits_warm": q_hits_warm,
         "keyword_unicode": q_keyword_unicode,
@@ -5063,6 +5209,8 @@ def oracle_sql() -> dict[str, str]:
         # the served tier must equal the scan tier row-for-row — same SQL
         "keyword_proximity_indexed": sql_keyword_proximity(SEARCH_QUERY, k=20),
         "keyword_bm25": sql_keyword_bm25(SEARCH_QUERY, k=20),
+        # index-served BM25 is bit-equal to the scan tier — same oracle
+        "keyword_bm25_indexed": sql_keyword_bm25(SEARCH_QUERY, k=20),
         "hybrid_rrf": oracle.rrf_sql(SEARCH_QUERY),
         "hybrid_onepass": oracle.hybrid_onepass_sql(SEARCH_QUERY, top_k=10),
         "hybrid_cc": oracle.hybrid_sql(SEARCH_QUERY, stored_vectors=True),
@@ -5170,6 +5318,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_stats_native": _sql_ingest_stats_native(),
         "ingest_stats": _sql_ingest_stats(),
         "postings_upsert": _sql_postings_upsert(),
+        "positions_upsert": _sql_positions_upsert(),
         "tf_postings_upsert": _sql_tf_postings_upsert(),
         "tf_pending_resolve": _sql_tf_postings_upsert(),
         "token_shards": _sql_token_shards(),
@@ -5192,6 +5341,15 @@ def oracle_sql() -> dict[str, str]:
         "keyword_many_indexed": sql_keyword_search_many(BATCH_QUERIES, k=5),
         "hybrid_many": sql_hybrid_search_many(BATCH_QUERIES, top_k=5),
         "hybrid_many_websearch": sql_hybrid_search_many(WEBSEARCH_BATCH_QUERIES, top_k=5, websearch=True),
+        # websearch through the BLAS fast tier: keyword doubles bit-equal
+        # to the oracle tier, vector branch carries the round-9 contract
+        "hybrid_many_websearch_fast": (
+            "SELECT qid, doc_id, round(score, 9) AS score, "
+            "round(vector_score, 9) AS vector_score, "
+            "round(keyword_score, 9) AS keyword_score, source FROM ("
+            + sql_hybrid_search_many(WEBSEARCH_BATCH_QUERIES, top_k=5, websearch=True)
+            + ") ORDER BY qid, score DESC, doc_id"
+        ),
         "hybrid_many_filtered": sql_hybrid_search_many(
             BATCH_QUERIES, top_k=5, wheres=_BATCH_FILTERS_SQL
         ),
