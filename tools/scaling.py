@@ -407,8 +407,83 @@ def main_sf1(out_path: str = "SCALING.md") -> None:
     spark.stop()
 
 
+def main_r10() -> None:
+    """r10 decade rows: full-websearch batch-20 (scan tier vs the new
+    postings-served fast tier) at sf0.1 / synthesized sf1. Prints the
+    SCALING.md table rows; the section itself is authored by hand with
+    these numbers (same policy as the r8/r9 appended sections)."""
+    import pyspark.sql.functions as F
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.search import (
+        hybrid_search_many,
+        hybrid_search_many_fast,
+    )
+    from connapse_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="connapse-scaling-r10", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/connapse_sf1")
+    if not os.path.exists(os.path.join(sf1_dir, "documents.parquet")):
+        print(f"# synthesizing sf1 decade at {sf1_dir}", file=sys.stderr)
+        synthesize_decade(spark, "/root/testdata/sf0.1", sf1_dir)
+    words = [
+        "hash", "sort", "merge", "filter", "group", "window", "agg",
+        "column", "row", "batch", "spark", "index", "vector", "token",
+        "stream", "cache", "shuffle", "partition", "codegen", "parquet",
+    ]
+    forms = [
+        lambda w: f'"{w} table" scan',
+        lambda w: f"{w} -merge",
+        lambda w: f'{w} OR "table scan"',
+        lambda w: f"query {w} join",
+    ]
+    ws_batch = [(i, forms[i % 4](w)) for i, w in enumerate(words)]
+    out: dict[str, dict[str, float]] = {}
+    for label, sf_dir in (("0.1", "/root/testdata/sf0.1"), ("1", sf1_dir)):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).persist()
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        corpus = docs.join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+        ).persist()
+        tokens = ki.build_token_table(docs).persist()
+        tfe = ki.build_tf_postings(tokens, "tokens_exact").persist()
+        tfs = ki.build_tf_postings(tokens, "tokens_stemmed").persist()
+        ppe = ki.build_positions_postings(tokens, "tokens_exact").persist()
+        pps = ki.build_positions_postings(tokens, "tokens_stemmed").persist()
+        docs.count(), corpus.count(), tfe.count(), tfs.count(), ppe.count(), pps.count()
+        cases = {
+            "websearch_batch20_scan": lambda: hybrid_search_many(
+                corpus, ws_batch, top_k=10, websearch=True
+            ),
+            "websearch_batch20_serve": lambda: hybrid_search_many_fast(
+                corpus, ws_batch, top_k=10, websearch=True,
+                tf_postings=(tfe, tfs), positions_postings=(ppe, pps),
+            ),
+        }
+        for name, fn in cases.items():
+            fn().count()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn().count()
+                best = min(best, time.time() - t0)
+            out.setdefault(name, {})[label] = best
+            print(f"# {name} sf{label}: {best:.2f}s", file=sys.stderr)
+        for df in (docs, corpus, tokens, tfe, tfs, ppe, pps):
+            df.unpersist()
+    for name, r in out.items():
+        ratio = r["1"] / max(r["0.1"], 1e-9)
+        print(f"| {name} | … | {r['0.1']:.2f}s | {r['1']:.2f}s | {ratio:.1f}× |")
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--sf1" in sys.argv:
         main_sf1()
+    elif "--r10" in sys.argv:
+        main_r10()
     else:
         main()
