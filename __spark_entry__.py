@@ -673,14 +673,14 @@ def q_hybrid_many_indexed(spark, sf_dir):
     out = hybrid_search_many_fast(
         docs.join(vecs, "doc_id"), BATCH_QUERIES, top_k=5, tf_postings=(tfe, tfs)
     )
-    return out.select(
+    return _scoped_cache_result(spark, tokens, out.select(
         "qid",
         "doc_id",
         F.round("score", 9).alias("score"),
         F.round("vector_score", 9).alias("vector_score"),
         F.round("keyword_score", 9).alias("keyword_score"),
         "source",
-    )
+    ))
 
 
 def q_hybrid_many_ann(spark, sf_dir):
@@ -709,14 +709,17 @@ def q_hybrid_many_ann(spark, sf_dir):
         tf_postings=(tfe, tfs),
         vector_index=vidx,
     )
-    return out.select(
-        "qid",
-        "doc_id",
-        F.round("score", 9).alias("score"),
-        F.round("vector_score", 9).alias("vector_score"),
-        F.round("keyword_score", 9).alias("keyword_score"),
-        "source",
-    )
+    try:
+        return _scoped_cache_result(spark, tokens, out.select(
+            "qid",
+            "doc_id",
+            F.round("score", 9).alias("score"),
+            F.round("vector_score", 9).alias("vector_score"),
+            F.round("keyword_score", 9).alias("keyword_score"),
+            "source",
+        ))
+    finally:
+        vidx.unpersist()
 
 
 def q_ann_router(spark, sf_dir):
@@ -1113,6 +1116,24 @@ def q_keyword_snippets(spark, sf_dir):
     )
 
 
+def q_keyword_snippets_indexed(spark, sf_dir):
+    """Snippets with the RANKING served from the write-time index (r10 —
+    keyword_index.keyword_search_snippets_indexed): posting-list
+    candidates rank (row-identical to the scan tier), then only the ≤k
+    winners' text is fetched for the excerpt window. Shares the scan
+    tier's oracle SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = keyword_index.build_keyword_index(docs).persist()
+    try:
+        res = keyword_index.keyword_search_snippets_indexed(
+            idx, docs, SEARCH_QUERY, k=10
+        )
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        idx.unpersist()
+
+
 def q_embedding_hygiene(spark, sf_dir):
     """Vector-table QA: exact milli-unit norms, zero-vector and z-score
     outlier flags from integer corpus sums (similarity.embedding_hygiene)."""
@@ -1318,7 +1339,11 @@ def q_keyword_many_indexed(spark, sf_dir):
     tokens = keyword_index.build_token_table(_t(spark, sf_dir, "documents")).persist()
     tfe = keyword_index.build_tf_postings(tokens, "tokens_exact")
     tfs = keyword_index.build_tf_postings(tokens, "tokens_stemmed")
-    return keyword_index.keyword_search_many_indexed(tfe, tfs, BATCH_QUERIES, k=5)
+    return _scoped_cache_result(
+        spark,
+        tokens,
+        keyword_index.keyword_search_many_indexed(tfe, tfs, BATCH_QUERIES, k=5),
+    )
 
 
 def q_neardup_incremental(spark, sf_dir):
@@ -1951,7 +1976,11 @@ def q_keyword_indexed(spark, sf_dir):
     tokens = keyword_index.build_token_table(docs).cache()
     pe = keyword_index.build_postings(tokens, "tokens_exact")
     ps = keyword_index.build_postings(tokens, "tokens_stemmed")
-    return keyword_index.keyword_search_indexed(tokens, pe, ps, SEARCH_QUERY, k=20)
+    return _scoped_cache_result(
+        spark,
+        tokens,
+        keyword_index.keyword_search_indexed(tokens, pe, ps, SEARCH_QUERY, k=20),
+    )
 
 
 def q_keyword_indexed_phrase(spark, sf_dir):
@@ -1965,8 +1994,12 @@ def q_keyword_indexed_phrase(spark, sf_dir):
     tokens = keyword_index.build_token_table(docs).cache()
     pe = keyword_index.build_postings(tokens, "tokens_exact")
     ps = keyword_index.build_postings(tokens, "tokens_stemmed")
-    return keyword_index.keyword_search_websearch_indexed(
-        tokens, pe, ps, WEBSEARCH_QUERY, k=20
+    return _scoped_cache_result(
+        spark,
+        tokens,
+        keyword_index.keyword_search_websearch_indexed(
+            tokens, pe, ps, WEBSEARCH_QUERY, k=20
+        ),
     )
 
 
@@ -1989,7 +2022,12 @@ def q_hybrid_indexed(spark, sf_dir):
         vectors=_vectors(spark, sf_dir),
         keyword_index=idx,
     )
-    return out.withColumnRenamed("id", "doc_id")
+    try:
+        res = out.withColumnRenamed("id", "doc_id")
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        idx.unpersist()
 
 
 def q_hybrid_ann(spark, sf_dir):
@@ -2013,7 +2051,13 @@ def q_hybrid_ann(spark, sf_dir):
         keyword_index=kidx,
         vector_index=vidx,
     )
-    return out.withColumnRenamed("id", "doc_id")
+    try:
+        res = out.withColumnRenamed("id", "doc_id")
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        vidx.unpersist()
+        kidx.unpersist()
 
 
 def q_hybrid_ann_probe(spark, sf_dir):
@@ -2033,7 +2077,12 @@ def q_hybrid_ann_probe(spark, sf_dir):
         SearchOptions(top_k=10, fusion="ConvexCombination", fusion_alpha=0.5),
         vector_index=vidx,
     )
-    return out.withColumnRenamed("id", "doc_id")
+    try:
+        res = out.withColumnRenamed("id", "doc_id")
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        vidx.unpersist()
 
 
 def q_hybrid_rerank(spark, sf_dir):
@@ -4938,6 +4987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positions_upsert": q_positions_upsert,
         "keyword_bm25_indexed": q_keyword_bm25_indexed,
         "hybrid_many_websearch_fast": q_hybrid_many_websearch_fast,
+        "keyword_snippets_indexed": q_keyword_snippets_indexed,
         "gopher_multi": q_gopher_multi,
         "hits_warm": q_hits_warm,
         "keyword_unicode": q_keyword_unicode,
@@ -5392,6 +5442,8 @@ def oracle_sql() -> dict[str, str]:
         "props_extract": events.sql_props_extract_agg(),
         "embedding_hygiene": similarity.sql_embedding_hygiene(),
         "keyword_snippets": sql_keyword_search_snippets(SEARCH_QUERY, k=10),
+        # index-served ranking is row-identical to the scan tier — same oracle
+        "keyword_snippets_indexed": sql_keyword_search_snippets(SEARCH_QUERY, k=10),
         "ivf_upsert": ivf.sql_ivf_index_upsert_seeded(n_lists=8, shift=10_000, n_new=20),
         # ann_ivf / ingest_stats: iterative KMeans fit / pandas-UDF chunker —
         # not SQL-expressible; driver records the rows-only check.

@@ -414,6 +414,25 @@ def main():
     timings["hybrid_indexed_probe"] = round(best, 3)
     total += best
     print(f"# hybrid_indexed_probe: {best:.2f}s ({n} rows)", file=sys.stderr, flush=True)
+
+    # r10: snippets with the RANKING index-served — the only documents
+    # touch is the <=k winners' text fetch for the excerpt window
+    keyword_index.keyword_search_snippets_indexed(
+        kw_idx, docs, entry_mod.SEARCH_QUERY, k=10
+    ).count()  # warm
+    best, n = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.time()
+        n = keyword_index.keyword_search_snippets_indexed(
+            kw_idx, docs, entry_mod.SEARCH_QUERY, k=10
+        ).count()
+        best = min(best, time.time() - t0)
+    timings["keyword_snippets_indexed_probe"] = round(best, 3)
+    total += best
+    print(
+        f"# keyword_snippets_indexed_probe: {best:.2f}s ({n} rows)",
+        file=sys.stderr, flush=True,
+    )
     for df in (tokens, pe, ps, doclen):
         df.unpersist()
     # tfe/tfs stay pinned: the batched-hybrid section below serves its

@@ -1639,8 +1639,27 @@ def keyword_search_snippets(
     Plan: the ranking is exactly keyword_search's; the excerpt is one
     map-side projection over the ≤k winning rows AFTER the limit — zero
     extra corpus scans beyond re-fetching the k winners' text."""
-    terms, _ = _query_term_pairs(query)
     hits = keyword_search(docs, query, k=k, id_col=id_col, text_col=text_col)
+    return attach_snippet_excerpts(
+        hits, docs, query, radius=radius, id_col=id_col, text_col=text_col
+    )
+
+
+def attach_snippet_excerpts(
+    hits: DataFrame,
+    docs: DataFrame,
+    query: str,
+    radius: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shared excerpt tail of the snippets tiers (r10 — factored out so
+    the index-served ranking reuses it): join the ≤k winning (id, score)
+    rows back to the documents for their text — a k-row point read; on a
+    bloomed serving store that is an O(k)-file fetch — and compute the
+    earliest-match window. Exactly keyword_search_snippets' output
+    columns and ordering."""
+    terms, _ = _query_term_pairs(query)
     with_text = hits.join(docs.select(F.col(id_col), F.col(text_col)), id_col)
     low = F.lower(F.col(text_col))
     sentinel = 2_147_483_647

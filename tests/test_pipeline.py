@@ -1173,3 +1173,24 @@ def test_keyword_bm25_indexed_bit_equal_to_scan(spark, sf_dir):
             for r in keyword_search_bm25_indexed(tfs, dl, q, k=20).collect()
         ]
         assert got == want, f"query {q!r}: {got[:3]} != {want[:3]}"
+
+def test_keyword_snippets_indexed_row_identical_to_scan(spark, sf_dir):
+    """Index-served snippets must equal the scan tier row-for-row (r10):
+    same ranking (keyword_search_indexed is oracle-pinned to
+    keyword_search), same match_pos and excerpt (shared excerpt tail)."""
+    from connapse_spark.operators.keyword_index import (
+        build_keyword_index,
+        keyword_search_snippets_indexed,
+    )
+    from connapse_spark.operators.search import keyword_search_snippets
+
+    docs = _docs(spark, sf_dir)
+    idx = build_keyword_index(docs).persist()
+    try:
+        want = [tuple(r) for r in keyword_search_snippets(
+            docs, "distributed query engine", k=10).collect()]
+        got = [tuple(r) for r in keyword_search_snippets_indexed(
+            idx, docs, "distributed query engine", k=10).collect()]
+    finally:
+        idx.unpersist()
+    assert got == want
