@@ -1407,3 +1407,71 @@ def test_websearch_scores_indexed_phrase_without_positions_raises(spark):
     # flat-term batches need no positions tables at all
     out = ki.websearch_scores_indexed(tfe, tfs, None, None, [(1, "beta -delta")])
     assert [r["id"] for r in out.collect()] == [1]
+
+def test_websearch_scores_indexed_seeded_fuzz_vs_reference(spark):
+    """Seeded random websearch BATCHES through the set-based indexed tier
+    (r10) checked against the documented reference semantics — the same
+    Python evaluator the SQL-mirror fuzz uses (test_properties): for
+    every (query, doc), match = OR-of-AND-groups over per-config
+    presence, score = TF raw/(raw+1) over positive singles + phrases.
+    Batching keeps it one Spark job per seed while still walking the
+    phrase × negation × OR space."""
+    import random
+
+    from test_properties import _WS_DOCS, _WS_VOCAB, _ws_match, _ws_score
+
+    from connapse_spark.functions.text import stem_py, tokenize_py
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.search import parse_websearch
+
+    docs = spark.createDataFrame(_WS_DOCS, "doc_id long, text string")
+    tokens = ki.build_token_table(docs)
+    tfe = ki.build_tf_postings(tokens, "tokens_exact")
+    tfs = ki.build_tf_postings(tokens, "tokens_stemmed")
+    pe = ki.build_positions_postings(tokens, "tokens_exact")
+    ps = ki.build_positions_postings(tokens, "tokens_stemmed")
+
+    def rand_query(rng):
+        parts = []
+        for _ in range(rng.randint(0, 5)):
+            neg = rng.random() < 0.3
+            kind = rng.random()
+            if kind < 0.35:
+                words = [rng.choice(_WS_VOCAB) for _ in range(rng.randint(1, 3))]
+                unit = '"' + " ".join(words) + '"'
+            elif kind < 0.45:
+                unit = "OR"
+                neg = False
+            elif kind < 0.55:
+                unit = "fast-merge"
+            else:
+                unit = rng.choice(_WS_VOCAB)
+            parts.append(("-" if neg else "") + unit)
+        return " ".join(parts)
+
+    for seed in (7, 29, 101):
+        rng = random.Random(seed)
+        queries = [(i, rand_query(rng)) for i in range(25)]
+        expected = {}
+        for qid, q in queries:
+            groups = parse_websearch(q)
+            if not groups:
+                continue
+            for doc_id, text in _WS_DOCS:
+                te = tokenize_py(text)
+                ts = [stem_py(t) for t in te]
+                if _ws_match(te, ts, groups):
+                    sc = _ws_score(te, ts, groups)
+                    if sc > 0.0:
+                        expected[(qid, doc_id)] = round(sc, 9)
+        got = {
+            (r["qid"], r["id"]): round(r["score"], 9)
+            for r in ki.websearch_scores_indexed(
+                tfe, tfs, pe, ps, queries
+            ).collect()
+        }
+        assert got == expected, (
+            seed,
+            {k: v for k, v in got.items() if expected.get(k) != v},
+            {k: v for k, v in expected.items() if got.get(k) != v},
+        )
