@@ -5,9 +5,15 @@ setweight(to_tsvector('english', content),'B')``).
 
 Postgres keeps exact tokens (weight A) and stemmed tokens (weight B) in one
 generated column; we keep two array columns computed at write time — the same
-"pay at write" trade. The stemmer is a documented simplification (a small
-suffix-stripper, not full Snowball): exact Postgres rank values are not the
-contract, ranking behavior is (SURVEY.md §7 hard-part a).
+"pay at write" trade. The DEFAULT stemmer is a documented simplification (a
+small suffix-stripper, not full Snowball): exact Postgres rank values are not
+the contract, ranking behavior is (SURVEY.md §7 hard-part a) — it stays the
+default because it is expressible in all THREE engines (Spark JVM exprs,
+Python, DuckDB SQL), keeping every stemmed-config oracle bit-strict. Full
+Snowball parity is the opt-in tier: functions/porter2.py implements the
+published Porter2 algorithm (Postgres 'english' dictionary), selected via
+``build_token_table(..., stemmer="porter2")`` and pinned by the
+``porter2_vocab`` oracle entry + golden units (r10).
 
 Unicode-aware (r8, parity with ``to_tsvector('simple', ...)`` which is
 locale/Unicode-aware): the split class is ``[^\\p{L}\\p{N}]+`` — general

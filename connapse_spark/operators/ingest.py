@@ -195,6 +195,8 @@ def ingest_serving(
     )
     tfe = ki.build_tf_postings(tokens, "tokens_exact")
     tfs = ki.build_tf_postings(tokens, "tokens_stemmed")
+    pos_e = ki.build_positions_postings(tokens, "tokens_exact")
+    pos_s = ki.build_positions_postings(tokens, "tokens_stemmed")
     vidx = _ivf.build_vector_index(
         vectors,
         n_lists=_ivf.ivf_n_lists(n_chunks),
@@ -220,11 +222,37 @@ def ingest_serving(
             os.path.join(base_dir, "chunk_vectors"),
             bloom_cols=["chunk_id"],
         )
+        # doclen rides the same snapshot (kind='doclen', term='', tf=dl):
+        # BM25 mixes tf rows and lengths from ONE corpus version, so they
+        # must share an atomic commit — see keyword_index.read_doclen
+        dl_rows = (
+            ki.build_doclen_table(tokens)
+            .select(
+                F.lit("doclen").alias("kind"),
+                F.lit("").alias("term"),
+                F.col("id"),
+                F.col("dl").cast("long").alias("tf"),
+            )
+        )
         tf_all = tfe.withColumn("kind", F.lit("exact")).unionByName(
             tfs.withColumn("kind", F.lit("stemmed"))
-        ).select("kind", "term", "id", "tf")
+        ).select("kind", "term", "id", "tf").unionByName(dl_rows)
         tables["tf_postings"] = snapshots.commit_snapshot(
             tf_all, os.path.join(base_dir, "tf_postings"), partition_by=["kind"]
+        )
+        # positions postings persist too (r10): the phrase / proximity /
+        # batched-websearch tiers serve from (term, id, positions) — without
+        # this table a restart could not answer a quoted phrase from disk.
+        # The GIN-with-positions storage trade, applied to the layout.
+        pos_all = (
+            pos_e.withColumn("kind", F.lit("exact"))
+            .unionByName(pos_s.withColumn("kind", F.lit("stemmed")))
+            .select("kind", "term", "id", "positions")
+        )
+        tables["positions_postings"] = snapshots.commit_snapshot(
+            pos_all,
+            os.path.join(base_dir, "positions_postings"),
+            partition_by=["kind"],
         )
         # the single-query serving bundle persists too: the token table +
         # posting arrays are what hybrid_search(keyword_index=…) reads —
@@ -260,6 +288,7 @@ def ingest_serving(
         "vectors": vectors,
         "keyword_index": kidx,
         "tf_postings": (tfe, tfs),
+        "positions_postings": (pos_e, pos_s),
         "vector_index": vidx,
     }
 
@@ -489,9 +518,80 @@ def ingest_serving_incremental(
                         cur_k, tokens_new, deleted_ids=deleted_ids, token_col=col
                     ).withColumn("kind", F.lit(kind))
                 )
+            # doclen maintains in the same commit (BM25 serves tf + dl from
+            # ONE version cut). A legacy layout whose pinned tf snapshot
+            # predates doclen rows bootstraps from the tokens version this
+            # wave just committed (already post-COW, so deletes/upserts are
+            # in — one F.size pass, no explode); after that, the anti-join
+            # twin. Pending mode skips this: its BM25 readers derive dl
+            # from the tokens table, which COW-maintains every wave.
+            cur_dl = ki.read_doclen(spark, tf_dir, version=pinned["tf_postings"])
+            if cur_dl.isEmpty():
+                dl_new = ki.build_doclen_table(
+                    snapshots.read_snapshot(spark, tokens_dir, version=tokv)
+                )
+            else:
+                dl_new = ki.upsert_doclen(
+                    cur_dl, tokens_new, deleted_ids=deleted_ids
+                )
+            parts.append(
+                dl_new.select(
+                    F.col("id"),
+                    F.col("dl").cast("long").alias("tf"),
+                ).select(
+                    F.lit("doclen").alias("kind"),
+                    F.lit("").alias("term"),
+                    "id",
+                    "tf",
+                )
+            )
             tfv = snapshots.commit_snapshot(
-                parts[0].unionByName(parts[1]).select("kind", "term", "id", "tf"),
+                parts[0]
+                .unionByName(parts[1])
+                .select("kind", "term", "id", "tf")
+                .unionByName(parts[2]),
                 tf_dir,
+                partition_by=["kind"],
+            )
+            # positions postings maintain with the same anti-join twin
+            # (phrase/proximity/batched-websearch serving); a legacy layout
+            # whose pinned cut predates the table bootstraps from the
+            # tokens version this wave committed (post-COW, one posexplode
+            # pass), converging the layout in one wave
+            pos_dir = os.path.join(base_dir, "positions_postings")
+            pos_parts = []
+            if "positions_postings" in pinned:
+                cur_pos = snapshots.read_snapshot(
+                    spark, pos_dir, version=pinned["positions_postings"]
+                )
+                for kind, col in (
+                    ("exact", "tokens_exact"),
+                    ("stemmed", "tokens_stemmed"),
+                ):
+                    cur_k = cur_pos.filter(F.col("kind") == kind).select(
+                        "term", "id", "positions"
+                    )
+                    pos_parts.append(
+                        ki.upsert_positions_postings(
+                            cur_k, tokens_new, deleted_ids=deleted_ids, token_col=col
+                        ).withColumn("kind", F.lit(kind))
+                    )
+            else:
+                tok_full = snapshots.read_snapshot(spark, tokens_dir, version=tokv)
+                for kind, col in (
+                    ("exact", "tokens_exact"),
+                    ("stemmed", "tokens_stemmed"),
+                ):
+                    pos_parts.append(
+                        ki.build_positions_postings(tok_full, col).withColumn(
+                            "kind", F.lit(kind)
+                        )
+                    )
+            posn_v = snapshots.commit_snapshot(
+                pos_parts[0]
+                .unionByName(pos_parts[1])
+                .select("kind", "term", "id", "positions"),
+                pos_dir,
                 partition_by=["kind"],
             )
 
@@ -562,13 +662,17 @@ def ingest_serving_incremental(
             # the previous cut's base pin (never latest_version — a crashed
             # overwrite wave may have advanced the table past the published
             # cut, and pinning that torn version would launder it into a
-            # "consistent" cut) plus the pending-delta version readers resolve
+            # "consistent" cut) plus the pending-delta version readers resolve.
+            # positions_postings is deliberately DROPPED from a pending-mode
+            # cut: the delta carries no positions, so a carried-forward pin
+            # would serve STALE phrase matches as if fresh — absent beats
+            # wrong (load_serving returns positions_postings=None)
             tf_tables = {
                 "tf_postings": pinned["tf_postings"],
                 "tf_pending": tfv,
             }
         else:
-            tf_tables = {"tf_postings": tfv}
+            tf_tables = {"tf_postings": tfv, "positions_postings": posn_v}
         sv = publish_serving(
             base_dir,
             {
@@ -676,8 +780,14 @@ def load_serving(
             resolved.filter(F.col("kind") == "exact").select("term", "id", "tf"),
             resolved.filter(F.col("kind") == "stemmed").select("term", "id", "tf"),
         )
+        doclen = resolved.filter(F.col("kind") == "doclen").select(
+            "id", F.col("tf").alias("dl")
+        )
     else:
         tf_pair = ki.read_tf_postings(
+            spark, os.path.join(base_dir, "tf_postings"), version=pinned["tf_postings"]
+        )
+        doclen = ki.read_doclen(
             spark, os.path.join(base_dir, "tf_postings"), version=pinned["tf_postings"]
         )
     vidx = _ivf.VectorIndex(
@@ -687,9 +797,25 @@ def load_serving(
         centroids=_open("ivf_centroids"),
         nprobe=nprobe if nprobe is not None else int(m.get("nprobe", 4)),
     )
+    # (term, id, positions) pair for the phrase/proximity/batched-websearch
+    # tiers (r10). None when the cut carries no positions table: pre-r10
+    # layouts, and pending-mode cuts (their delta carries no positions, so
+    # serving stale phrase matches is worse than declining to)
+    if "positions_postings" in pinned:
+        pos = _open("positions_postings")
+        pos_pair = (
+            pos.filter(F.col("kind") == "exact").select("term", "id", "positions"),
+            pos.filter(F.col("kind") == "stemmed").select("term", "id", "positions"),
+        )
+    else:
+        pos_pair = None
     return {
         "keyword_index": kidx,
         "tf_postings": tf_pair,
+        # (id, dl) for keyword_search_bm25_indexed — same pinned cut as the
+        # tf rows it mixes with (r10; empty on pre-doclen legacy layouts)
+        "doclen": doclen,
+        "positions_postings": pos_pair,
         "vector_index": vidx,
         "serving_version": m["version"],
         "tables": pinned,

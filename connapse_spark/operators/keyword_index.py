@@ -40,13 +40,56 @@ from connapse_spark.operators.search import WEIGHT_EXACT, WEIGHT_STEMMED
 
 
 def build_token_table(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stemmer: str = "suffix",
 ) -> DataFrame:
     """Write-time tokenization (the 'generated column' trade): one row per
-    doc with both token arrays. Persist next to the documents table."""
+    doc with both token arrays. Persist next to the documents table.
+
+    ``stemmer`` picks the weight-B analyzer: ``"suffix"`` (default) is the
+    oracle-pinned JVM suffix-stripper; ``"porter2"`` is the full Snowball
+    English stemmer (functions/porter2.py — Postgres 'english' dictionary
+    parity), one Arrow-batched pandas UDF over the exact-token array. The
+    whole downstream serving stack (tf/positions/doclen builds, upsert
+    twins, indexed query tiers) is stemmer-agnostic: it reads THIS table's
+    columns, so an index built with either analyzer maintains and serves
+    identically — pass the matching ``stem_fn`` on query tiers that stem
+    query terms driver-side."""
+    exact = tokens_exact_expr(F.col(text_col))
+    if stemmer == "porter2":
+        # mapInPandas, not a column UDF: downstream consumers explode these
+        # arrays, and CollapseProject would inline a pandas-UDF column into
+        # the generator/exchange expression where it cannot evaluate; the
+        # map node materializes tokens_stemmed as a real attribute. Still
+        # one Arrow-batched pass, JVM tokenization reused as the input col.
+        from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+        from connapse_spark.functions.porter2 import porter2_stem
+
+        base = docs.select(F.col(id_col).alias("id"), exact.alias("tokens_exact"))
+        schema = StructType(
+            list(base.schema.fields)
+            + [StructField("tokens_stemmed", ArrayType(StringType()))]
+        )
+
+        def _stem_batches(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["tokens_stemmed"] = pdf["tokens_exact"].map(
+                    lambda arr: None
+                    if arr is None
+                    else [porter2_stem(t) for t in arr]
+                )
+                yield pdf
+
+        return base.mapInPandas(_stem_batches, schema)
+    if stemmer != "suffix":
+        raise ValueError(f"unknown stemmer {stemmer!r}: use 'suffix' or 'porter2'")
     return docs.select(
         F.col(id_col).alias("id"),
-        tokens_exact_expr(F.col(text_col)).alias("tokens_exact"),
+        exact.alias("tokens_exact"),
         tokens_stemmed_expr(F.col(text_col)).alias("tokens_stemmed"),
     )
 
@@ -152,6 +195,7 @@ def keyword_search_bm25_indexed(
     k: int = 10,
     k1: float | None = None,
     b: float | None = None,
+    stem_fn=None,
 ) -> DataFrame:
     """Okapi BM25 SERVED from the write-time index (r10 — VERDICT r9 ask
     #6: BM25 was the Q3 family's last member still scanning + re-tokenizing
@@ -181,7 +225,11 @@ def keyword_search_bm25_indexed(
 
     k1 = BM25_K1 if k1 is None else k1
     b = BM25_B if b is None else b
-    terms = sorted({stem_py(t) for t in tokenize_py(query)})
+    # stem_fn must match the analyzer the postings were built with:
+    # default suffix-stripper, or functions.porter2.porter2_stem for an
+    # index built via build_token_table(stemmer="porter2")
+    stem = stem_py if stem_fn is None else stem_fn
+    terms = sorted({stem(t) for t in tokenize_py(query)})
     if not terms:
         return doclen.select(F.col("id"), F.lit(0.0).alias("score")).limit(0)
 
@@ -816,6 +864,35 @@ def upsert_positions_postings(
     return cleaned.unionByName(fresh)
 
 
+def upsert_doclen(
+    doclen: DataFrame,
+    new_tokens: DataFrame,
+    deleted_ids: "list[int] | DataFrame | None" = None,
+    token_col: str = "tokens_stemmed",
+) -> DataFrame:
+    """Incremental maintenance of the doclen table — the last serving
+    structure BM25 reads (``keyword_search_bm25_indexed`` takes the
+    stemmed tf postings + this (id, dl) table; both fold corpus stats
+    N/Σdl/df out of the query path). The tf side already maintained
+    incrementally (:func:`upsert_tf_postings`); without this twin a
+    crawl drop forced a full corpus re-tokenize just to refresh one int
+    per doc, and the served avgdl/N silently went stale.
+
+    Same driverless anti-join shape as the tf/positions twins: affected
+    ids (upserted — their old length must not linger — or deleted) drop
+    in ONE ``left_anti`` against the batch's id frame (broadcast-hinted
+    only for bounded Python-list deletions; a DataFrame change feed
+    stays optimizer-planned), then the batch's own lengths union in.
+    Rebuild-equivalent: the ``bm25_upsert`` oracle entry pins the SERVED
+    BM25 scores over incrementally-maintained tables against a
+    from-scratch rebuild of the post-change corpus."""
+    affected, bounded = _affected_ids(doclen.sparkSession, new_tokens, deleted_ids)
+    probe = F.broadcast(affected.distinct()) if bounded else affected.distinct()
+    cleaned = doclen.join(probe, "id", "left_anti").select("id", "dl")
+    fresh = build_doclen_table(new_tokens, token_col=token_col)
+    return cleaned.unionByName(fresh)
+
+
 def tf_pending_append(
     docs_batch: DataFrame,
     delta_dir: str,
@@ -831,14 +908,18 @@ def tf_pending_append(
     periodically folds the delta into the base so the resolution join
     stays broadcast-sized.
 
-    Delta rows: (kind ∈ exact|stemmed, term, id, tf, batch) for the
-    batch's postings, plus one (kind='tomb', term='', id, tf=NULL,
-    batch) row per AFFECTED id — upserted ids tombstone their own prior
-    state; deleted-only ids get just the tombstone. ``batch`` must be
-    monotone across commits (a streaming caller passes its replayed-
-    stable micro-batch id; default = next delta version); replaying the
-    same batch appends byte-identical rows, which resolution dedups —
-    crash-replay is idempotent at serve time."""
+    Delta rows: (kind ∈ exact|stemmed|doclen, term, id, tf, batch) for
+    the batch's postings and doc lengths (doclen: term='', tf=dl — the
+    BM25 serving column, riding the same clock so :func:`tf_resolve`
+    maintains it with zero special-casing: an upsert's tombstone removes
+    the old length, its own latest-batch row re-adds the new one), plus
+    one (kind='tomb', term='', id, tf=NULL, batch) row per AFFECTED id —
+    upserted ids tombstone their own prior state; deleted-only ids get
+    just the tombstone. ``batch`` must be monotone across commits (a
+    streaming caller passes its replayed-stable micro-batch id; default
+    = next delta version); replaying the same batch appends
+    byte-identical rows, which resolution dedups — crash-replay is
+    idempotent at serve time."""
     from connapse_spark.sources import snapshots
 
     spark = docs_batch.sparkSession
@@ -848,6 +929,14 @@ def tf_pending_append(
         .unionByName(
             build_tf_postings(toks, "tokens_stemmed").withColumn(
                 "kind", F.lit("stemmed")
+            )
+        )
+        .unionByName(
+            build_doclen_table(toks).select(
+                F.lit("doclen").alias("kind"),
+                F.lit("").alias("term"),
+                "id",
+                F.col("dl").cast("long").alias("tf"),
             )
         )
     )
@@ -960,6 +1049,20 @@ def read_tf_postings(
         cur.filter(F.col("kind") == "exact").select("term", "id", "tf"),
         cur.filter(F.col("kind") == "stemmed").select("term", "id", "tf"),
     )
+
+
+def read_doclen(spark, table_dir: str, version: int | None = None) -> DataFrame:
+    """Reopen the doclen rows of a committed kind-partitioned postings
+    snapshot as the (id, dl) frame ``keyword_search_bm25_indexed`` takes.
+    Doclen rides the SAME snapshot as the tf tables (kind='doclen',
+    term='', tf=dl) so one atomic commit covers every structure a BM25
+    query mixes — a crash between two separate tables could otherwise
+    serve tf rows from one corpus version against lengths from another.
+    The kind filter is partition pruning, same as :func:`read_tf_postings`."""
+    from connapse_spark.sources import snapshots
+
+    cur = snapshots.read_snapshot(spark, table_dir, version=version)
+    return cur.filter(F.col("kind") == "doclen").select("id", F.col("tf").alias("dl"))
 
 
 def keyword_search_many_indexed(

@@ -495,6 +495,7 @@ def streaming_keyword_maintenance(
     retain_last: int | None = None,
     vacuum_every: int = 8,
     vacuum_min_age_seconds: float = 0.0,
+    positions_dir: str | None = None,
 ) -> None:
     """Q3/T3 as a STREAMING job — continuous keyword-index maintenance,
     the tf-postings twin of :func:`streaming_index_maintenance`: document
@@ -512,6 +513,15 @@ def streaming_keyword_maintenance(
     re-tokenized — per-batch cost is the batch's own (term, id)
     aggregation plus one anti-join against the postings table.
 
+    The snapshot also carries the doclen partition (kind='doclen',
+    term='', tf=dl — ``keyword_index.read_doclen``), maintained by the
+    same anti-join twin in the same atomic commit, so
+    ``keyword_search_bm25_indexed`` always serves tf rows and lengths
+    from one corpus version. Doclen accumulates from batch 0; pointing
+    this stream at a PRE-doclen legacy table leaves that partition
+    covering only post-migration docs — re-bootstrap via
+    ``ingest_serving`` (or replay the corpus) to backfill.
+
     ``retain_last`` bounds version growth: every ``vacuum_every``-th batch
     runs ``snapshots.vacuum_snapshot(keep_last=retain_last)`` — without
     it a long-running stream accretes one manifest + full table copy per
@@ -519,9 +529,21 @@ def streaming_keyword_maintenance(
     THIS job is by design the table's only writer (the in-flight-commit
     guard protects concurrent writers, which the maintenance stream
     doesn't have); raise it if anything else ever commits to the same
-    table."""
+    table.
+
+    ``positions_dir`` (opt-in, r10) additionally maintains a
+    kind-partitioned (term, id, positions) snapshot for the
+    phrase/proximity serving tiers via ``upsert_positions_postings`` —
+    its OWN table and commit, roughly doubling per-batch write volume
+    (positions are the heaviest postings payload). Those tiers read
+    positions tables alone, so the table is self-consistent; a reader
+    mixing tf AND positions across the two tables (the batched-websearch
+    fast tier) should pin matching versions — or use the
+    ``ingest_serving`` layout, whose root manifest pins the cut."""
     from connapse_spark.operators.keyword_index import (
         build_token_table,
+        upsert_doclen,
+        upsert_positions_postings,
         upsert_tf_postings,
     )
     from connapse_spark.sources import snapshots
@@ -549,14 +571,63 @@ def streaming_keyword_maintenance(
                 upsert_tf_postings(cur_k, toks, deleted_ids=deleted, token_col=col)
                 .withColumn("kind", F.lit(kind))
             )
-        merged = parts[0].unionByName(parts[1]).select("kind", "term", "id", "tf")
+        # doclen rides the same snapshot (kind='doclen', term='', tf=dl):
+        # BM25 serving mixes tf rows and lengths, so they must move in ONE
+        # atomic version — keyword_index.read_doclen reopens this partition
+        cur_dl = cur.filter(F.col("kind") == "doclen").select(
+            "id", F.col("tf").alias("dl")
+        )
+        parts.append(
+            upsert_doclen(cur_dl, toks, deleted_ids=deleted).select(
+                F.lit("doclen").alias("kind"),
+                F.lit("").alias("term"),
+                "id",
+                F.col("dl").cast("long").alias("tf"),
+            )
+        )
+        merged = (
+            parts[0]
+            .unionByName(parts[1])
+            .select("kind", "term", "id", "tf")
+            .unionByName(parts[2])
+        )
         snapshots.commit_snapshot(merged, table_dir, partition_by=["kind"])
+        if positions_dir is not None:
+            if snapshots.latest_version(positions_dir) is None:
+                cur_p = s.createDataFrame(
+                    [], "kind string, term string, id long, positions array<int>"
+                )
+            else:
+                cur_p = snapshots.read_snapshot(s, positions_dir)
+            pparts = []
+            for kind, col in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed")):
+                cur_k = cur_p.filter(F.col("kind") == kind).select(
+                    "term", "id", "positions"
+                )
+                pparts.append(
+                    upsert_positions_postings(
+                        cur_k, toks, deleted_ids=deleted, token_col=col
+                    ).withColumn("kind", F.lit(kind))
+                )
+            snapshots.commit_snapshot(
+                pparts[0].unionByName(pparts[1]).select(
+                    "kind", "term", "id", "positions"
+                ),
+                positions_dir,
+                partition_by=["kind"],
+            )
         if retain_last is not None and (batch_id + 1) % max(vacuum_every, 1) == 0:
             snapshots.vacuum_snapshot(
                 table_dir,
                 keep_last=retain_last,
                 min_age_seconds=vacuum_min_age_seconds,
             )
+            if positions_dir is not None:
+                snapshots.vacuum_snapshot(
+                    positions_dir,
+                    keep_last=retain_last,
+                    min_age_seconds=vacuum_min_age_seconds,
+                )
 
     q = (
         stream.writeStream.foreachBatch(handle)

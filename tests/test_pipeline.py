@@ -567,6 +567,28 @@ def test_quantized_knn_recall_vs_exact(spark, sf_dir):
     assert len(exact & approx) >= 8
 
 
+def _want_tf_all(want):
+    """The full kind-partitioned rows an ingest_serving layout commits:
+    exact∪stemmed tf postings plus the doclen partition (kind='doclen',
+    term='', tf=dl — r10, BM25's second serving structure), derived from
+    the same chunk corpus the want-side pair came from."""
+    from connapse_spark.operators import keyword_index as ki
+
+    toks = ki.build_token_table(want["chunks"], id_col="chunk_id", text_col="content")
+    dl = ki.build_doclen_table(toks).select(
+        F.lit("doclen").alias("kind"),
+        F.lit("").alias("term"),
+        "id",
+        F.col("dl").cast("long").alias("tf"),
+    )
+    return (
+        want["tf_postings"][0].withColumn("kind", F.lit("exact"))
+        .unionByName(want["tf_postings"][1].withColumn("kind", F.lit("stemmed")))
+        .select("kind", "term", "id", "tf")
+        .unionByName(dl)
+    )
+
+
 def test_ingest_serving_builds_every_structure(spark, sf_dir, tmp_path):
     """The capstone write path: one ingest run emits chunks, vectors,
     keyword index, tf-postings, and the IVF bundle; the fully index-served
@@ -608,8 +630,22 @@ def test_ingest_serving_builds_every_structure(spark, sf_dir, tmp_path):
     assert snaps.latest_version(_os.path.join(base, "chunk_vectors")) is not None
     tf = snaps.read_snapshot(spark, _os.path.join(base, "tf_postings"))
     assert {r["kind"] for r in tf.select("kind").distinct().collect()} == {
-        "exact", "stemmed"
+        "exact", "stemmed", "doclen"
     }
+    # positions postings committed too (r10): the phrase tier serves off
+    # the reloaded cut identically to the in-memory bundles
+    from connapse_spark.operators.ingest import load_serving as _ls
+
+    cut = _ls(spark, base, nprobe=99)
+    assert cut["positions_postings"] is not None
+    pq = [(1, '"table scan"')]
+    from_disk = keyword_index.keyword_search_many_phrase_indexed(
+        *cut["positions_postings"], pq, k=5
+    ).collect()
+    in_mem = keyword_index.keyword_search_many_phrase_indexed(
+        *out["positions_postings"], pq, k=5
+    ).collect()
+    assert [tuple(r) for r in from_disk] == [tuple(r) for r in in_mem]
     from connapse_spark.operators.ingest import load_serving
 
     stored = load_serving(spark, base, nprobe=99)["vector_index"]
@@ -670,12 +706,42 @@ def test_ingest_serving_incremental_equals_rebuild(spark, sf_dir, tmp_path):
         want["chunks"], ["chunk_id", "content"]
     )
     got_tf = snaps.read_snapshot(spark, _os.path.join(base, "tf_postings"))
-    want_tf = want["tf_postings"][0].withColumn("kind", F.lit("exact")).unionByName(
-        want["tf_postings"][1].withColumn("kind", F.lit("stemmed"))
-    )
+    want_tf = _want_tf_all(want)
     assert rows(got_tf, ["kind", "term", "id", "tf"]) == rows(
         want_tf, ["kind", "term", "id", "tf"]
     )
+    # BM25 serves from the incrementally-maintained pair identically to
+    # one built from scratch over the live corpus (upsert_doclen end to end)
+    from connapse_spark.operators import keyword_index as ki
+
+    got_bm25 = ki.keyword_search_bm25_indexed(
+        got_tf.filter(F.col("kind") == "stemmed").select("term", "id", "tf"),
+        ki.read_doclen(spark, _os.path.join(base, "tf_postings")),
+        "table scan joins",
+        k=10,
+    ).collect()
+    want_bm25 = ki.keyword_search_bm25_indexed(
+        want["tf_postings"][1],
+        want_tf.filter(F.col("kind") == "doclen").select(
+            "id", F.col("tf").alias("dl")
+        ),
+        "table scan joins",
+        k=10,
+    ).collect()
+    assert got_bm25 and [tuple(r) for r in got_bm25] == [tuple(r) for r in want_bm25]
+    # the maintained positions table equals a from-scratch rebuild too
+    # (upsert_positions_postings through the serving layout, r10)
+    got_pos = snaps.read_snapshot(spark, _os.path.join(base, "positions_postings"))
+    want_pos = want["positions_postings"][0].withColumn(
+        "kind", F.lit("exact")
+    ).unionByName(
+        want["positions_postings"][1].withColumn("kind", F.lit("stemmed"))
+    )
+    canon_pos = lambda df: sorted(  # noqa: E731
+        (r["kind"], r["term"], r["id"], tuple(r["positions"]))
+        for r in df.select("kind", "term", "id", "positions").collect()
+    )
+    assert canon_pos(got_pos) == canon_pos(want_pos)
     # the maintained IVF bundle answers identically to a brute scan over
     # the live corpus (nprobe=99 covers every list)
     corpus = got_chunks.select(
@@ -759,9 +825,7 @@ def test_ingest_serving_incremental_multi_wave(spark, sf_dir, tmp_path):
         want["vectors"], ["chunk_id", "content_hash"]
     )
     got_tf = snaps.read_snapshot(spark, _os.path.join(base, "tf_postings"))
-    want_tf = want["tf_postings"][0].withColumn("kind", F.lit("exact")).unionByName(
-        want["tf_postings"][1].withColumn("kind", F.lit("stemmed"))
-    )
+    want_tf = _want_tf_all(want)
     assert rows(got_tf, ["kind", "term", "id", "tf"]) == rows(
         want_tf, ["kind", "term", "id", "tf"]
     )
@@ -834,13 +898,20 @@ def test_ingest_serving_incremental_pending_mode(spark, sf_dir, tmp_path):
     )
     live = docs.filter(~F.col("doc_id").isin(3, 7)).unionByName(batch)
     want = ingest_serving(live)
-    want_tf = want["tf_postings"][0].withColumn("kind", F.lit("exact")).unionByName(
-        want["tf_postings"][1].withColumn("kind", F.lit("stemmed"))
-    )
+    # the resolved view carries the doclen partition too: the base commit
+    # wrote it, the pending delta's tombstones + latest-batch doclen rows
+    # maintain it through tf_resolve with zero special-casing (r10)
+    want_tf = _want_tf_all(want)
     cols = ["kind", "term", "id", "tf"]
     assert {tuple(r) for r in resolved.select(*cols).collect()} == {
         tuple(r) for r in want_tf.select(*cols).collect()
     }
+    # a pending-mode cut must NOT pin positions: the delta carries no
+    # positions rows, so serving them would answer phrases from the
+    # pre-wave corpus as if fresh (r10 contract: absent beats wrong)
+    from connapse_spark.operators.ingest import load_serving as _ls
+
+    assert _ls(spark, base)["positions_postings"] is None
     for h in (first, out, want):
         h["chunks"].unpersist(), h["vectors"].unpersist()
     docs.unpersist()
@@ -917,6 +988,18 @@ def test_load_serving_restart_round_trip(spark, sf_dir, tmp_path):
     ).collect()
     assert any(str(r["id"]).startswith("5:") for r in kw)
     assert not any(str(r["id"]).startswith("11:") for r in kw)
+    # BM25 serves straight off the loaded cut (tf_stemmed + doclen, r10),
+    # bit-equal to the scan tier over the live chunk corpus
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.search import keyword_search_bm25
+
+    got_bm25 = ki.keyword_search_bm25_indexed(
+        bundles2["tf_postings"][1], bundles2["doclen"], "table scan joins", k=10
+    ).collect()
+    want_bm25 = keyword_search_bm25(
+        corpus2, "table scan joins", k=10, id_col="doc_id"
+    ).collect()
+    assert got_bm25 and [tuple(r) for r in got_bm25] == [tuple(r) for r in want_bm25]
     for h in (first, out):
         h["chunks"].unpersist(), h["vectors"].unpersist()
     docs.unpersist()
@@ -1142,6 +1225,48 @@ def test_upsert_positions_postings_plan_and_df_deletions(spark):
         (r["term"], r["id"], tuple(r["positions"])) for r in df.collect()
     )
     assert canon(via_list) == canon(via_df)
+
+
+def test_upsert_doclen_rebuild_equivalent_and_driverless(spark, sf_dir):
+    """Incremental doclen must equal a from-scratch rebuild over the
+    post-change corpus (r10 — the last BM25 serving structure without an
+    upsert twin); delete-only batches and the empty identity hold; and
+    the removal path is the same literal-free anti-join as the tf twin."""
+    from connapse_spark.operators.keyword_index import (
+        build_doclen_table,
+        build_token_table,
+        upsert_doclen,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 80)
+    base = build_doclen_table(build_token_table(docs))
+    updated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" longer now")).alias("text")
+    )
+    deleted = [3, 11]
+    got = upsert_doclen(base, build_token_table(updated), deleted_ids=deleted)
+    post = docs.filter(~F.col("doc_id").isin(deleted)).filter(
+        F.col("doc_id") % 7 != 0
+    ).select("doc_id", "text").unionByName(updated)
+    want = build_doclen_table(build_token_table(post))
+    canon = lambda df: sorted((r["id"], r["dl"]) for r in df.collect())  # noqa: E731
+    assert canon(got) == canon(want)
+    # delete-only: empty batch removes exactly the deleted ids
+    empty = build_token_table(docs.filter(F.lit(False)))
+    only_del = upsert_doclen(base, empty, deleted_ids=[5])
+    assert canon(only_del) == canon(
+        build_doclen_table(build_token_table(docs.filter(F.col("doc_id") != 5)))
+    )
+    # identity + literal-free plan
+    assert upsert_doclen(base, empty).count() == base.count()
+    plan = (
+        upsert_doclen(base, empty, deleted_ids=list(range(700_000_000, 700_000_200)))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "700000123" not in plan and "LeftAnti" in plan
+
 
 def test_keyword_bm25_indexed_bit_equal_to_scan(spark, sf_dir):
     """The index-served BM25 tier must return the SAME rounded doubles as

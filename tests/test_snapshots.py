@@ -881,14 +881,25 @@ def test_streaming_keyword_maintenance_rebuild_equivalent(spark, sf_dir, tmp_pat
                     "kind", F.lit("stemmed")
                 )
             )
+            .select("kind", "term", "id", "tf")
+            # the doclen partition maintains in the same commit (r10)
+            .unionByName(
+                ki.build_doclen_table(toks).select(
+                    F.lit("doclen").alias("kind"),
+                    F.lit("").alias("term"),
+                    "id",
+                    F.col("dl").cast("long").alias("tf"),
+                )
+            )
         )
 
     def snap_set(df):
         return {(r["kind"], r["term"], r["id"], r["tf"]) for r in df.collect()}
 
+    posdir = str(tmp_path / "pos_tbl")
     # wave 1: initial corpus
     docs.withColumn("op", F.lit("U")).coalesce(1).write.mode("append").parquet(watch)
-    streaming_keyword_maintenance(spark, watch, table, ckpt)
+    streaming_keyword_maintenance(spark, watch, table, ckpt, positions_dir=posdir)
     v1 = snaps.latest_version(table)
     got1 = snaps.read_snapshot(spark, table)
     assert snap_set(got1) == snap_set(rebuild(docs))
@@ -899,7 +910,7 @@ def test_streaming_keyword_maintenance_rebuild_equivalent(spark, sf_dir, tmp_pat
     )
     deleted = spark.createDataFrame([(7, None, "D")], "doc_id long, text string, op string")
     updated.unionByName(deleted).coalesce(1).write.mode("append").parquet(watch)
-    streaming_keyword_maintenance(spark, watch, table, ckpt)
+    streaming_keyword_maintenance(spark, watch, table, ckpt, positions_dir=posdir)
     assert snaps.latest_version(table) > v1
 
     live = docs.filter(F.col("doc_id") != 7).filter(F.col("doc_id") != 3).unionByName(
@@ -919,7 +930,61 @@ def test_streaming_keyword_maintenance_rebuild_equivalent(spark, sf_dir, tmp_pat
     want = keyword_search_many(live, queries, k=5).collect()
     served = ki.keyword_search_many_indexed(tfe, tfs, queries, k=5).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in want]
+    # BM25 serves from the SAME committed snapshot (tf_stemmed + the
+    # doclen partition), bit-equal to the scan tier over the live corpus
+    from connapse_spark.operators.search import keyword_search_bm25
+
+    got_bm25 = ki.keyword_search_bm25_indexed(
+        got2.filter(F.col("kind") == "stemmed").select("term", "id", "tf"),
+        ki.read_doclen(spark, table),
+        "table scan",
+        k=5,
+    ).collect()
+    want_bm25 = keyword_search_bm25(live, "table scan", k=5).collect()
+    assert got_bm25 and [tuple(r) for r in got_bm25] == [
+        (r["doc_id"], r["score"]) for r in want_bm25
+    ]
+    # the opt-in positions table tracks the live corpus position for
+    # position (upsert_positions_postings through the stream, r10)
+    got_pos = snaps.read_snapshot(spark, posdir)
+    toks_live = ki.build_token_table(live)
+    want_pos = (
+        ki.build_positions_postings(toks_live, "tokens_exact")
+        .withColumn("kind", F.lit("exact"))
+        .unionByName(
+            ki.build_positions_postings(toks_live, "tokens_stemmed").withColumn(
+                "kind", F.lit("stemmed")
+            )
+        )
+    )
+    canon_pos = lambda df: sorted(  # noqa: E731
+        (r["kind"], r["term"], r["id"], tuple(r["positions"]))
+        for r in df.select("kind", "term", "id", "positions").collect()
+    )
+    assert canon_pos(got_pos) == canon_pos(want_pos)
     docs.unpersist()
+
+
+def _tf_rebuild_all(ki, toks):
+    """exact∪stemmed tf postings plus the doclen partition (kind='doclen',
+    term='', tf=dl — r10): the full kind set a maintained tf table carries."""
+    return (
+        ki.build_tf_postings(toks, "tokens_exact").withColumn("kind", F.lit("exact"))
+        .unionByName(
+            ki.build_tf_postings(toks, "tokens_stemmed").withColumn(
+                "kind", F.lit("stemmed")
+            )
+        )
+        .select("kind", "term", "id", "tf")
+        .unionByName(
+            ki.build_doclen_table(toks).select(
+                F.lit("doclen").alias("kind"),
+                F.lit("").alias("term"),
+                "id",
+                F.col("dl").cast("long").alias("tf"),
+            )
+        )
+    )
 
 
 def test_tf_pending_list_resolve_and_compact(spark, sf_dir, tmp_path):
@@ -941,15 +1006,7 @@ def test_tf_pending_list_resolve_and_compact(spark, sf_dir, tmp_path):
     )
 
     def rebuild(live):
-        toks = ki.build_token_table(live)
-        return (
-            ki.build_tf_postings(toks, "tokens_exact").withColumn("kind", F.lit("exact"))
-            .unionByName(
-                ki.build_tf_postings(toks, "tokens_stemmed").withColumn(
-                    "kind", F.lit("stemmed")
-                )
-            )
-        )
+        return _tf_rebuild_all(ki, ki.build_token_table(live))
 
     def as_set(df):
         return {(r["kind"], r["term"], r["id"], r["tf"]) for r in df.collect()}
@@ -1031,14 +1088,7 @@ def test_streaming_keyword_maintenance_pending_compacts(spark, sf_dir, tmp_path)
     toks = ki.build_token_table(live)
     want = {
         (r["kind"], r["term"], r["id"], r["tf"])
-        for r in ki.build_tf_postings(toks, "tokens_exact")
-        .withColumn("kind", F.lit("exact"))
-        .unionByName(
-            ki.build_tf_postings(toks, "tokens_stemmed").withColumn(
-                "kind", F.lit("stemmed")
-            )
-        )
-        .collect()
+        for r in _tf_rebuild_all(ki, toks).collect()
     }
     got = {
         (r["kind"], r["term"], r["id"], r["tf"])
@@ -1093,6 +1143,10 @@ def test_streaming_keyword_maintenance_intra_batch_lww(spark, sf_dir, tmp_path):
         for k, c in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed"))
         for r in ki.build_tf_postings(toks, c).collect()
     }
+    # the doclen partition obeys the same LWW cut (r10)
+    want.update(
+        {("doclen", "", r["id"]): r["dl"] for r in ki.build_doclen_table(toks).collect()}
+    )
     assert by_doc == want
 
 
