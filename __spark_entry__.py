@@ -2060,6 +2060,48 @@ def q_hybrid_ann(spark, sf_dir):
         kidx.unpersist()
 
 
+def _hybrid_both_indexed(spark, sf_dir, fusion: str):
+    """Both branches served (posting-list keyword + full-probe seeded IVF)
+    under the given fusion method — the composition pin: fusion and index
+    serving are ORTHOGONAL stages of hybrid_search, so each fused indexed
+    tier must be row-equal to its scan twin and shares its oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    vidx = ivf.build_vector_index(
+        _vectors(spark, sf_dir), n_lists=8, nprobe=8, id_col="id", seeded=True
+    ).persist()
+    kidx = keyword_index.build_keyword_index(docs).persist()
+    out = hybrid_search(
+        docs,
+        SEARCH_QUERY,
+        SearchOptions(top_k=10, fusion=fusion, fusion_alpha=0.5),
+        vectors=_vectors(spark, sf_dir),
+        keyword_index=kidx,
+        vector_index=vidx,
+    )
+    try:
+        res = out.withColumnRenamed("id", "doc_id")
+        rows = res.collect()
+        return spark.createDataFrame(rows, res.schema)
+    finally:
+        vidx.unpersist()
+        kidx.unpersist()
+
+
+def q_hybrid_dbsf_indexed(spark, sf_dir):
+    """DBSF fusion over fully index-served branches (r10): distribution-
+    based score fusion's mean/std normalization runs on candidate sets
+    that came from the postings + IVF structures — row-equal to the
+    scan-tier hybrid_dbsf, whose oracle it shares."""
+    return _hybrid_both_indexed(spark, sf_dir, "Dbsf")
+
+
+def q_hybrid_rrf_indexed(spark, sf_dir):
+    """RRF fusion over fully index-served branches (r10): rank-only
+    fusion composed with index serving — row-equal to hybrid_rrf, whose
+    oracle it shares."""
+    return _hybrid_both_indexed(spark, sf_dir, "Rrf")
+
+
 def q_hybrid_ann_probe(spark, sf_dir):
     """The SUBLINEAR serving regime: semantic branch scans only the 3 of 8
     probed inverted lists (|corpus|·3/8 of the vectors; at 100 TB the
@@ -5131,6 +5173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_many_ann": q_hybrid_many_ann,
         "ann_router": q_ann_router,
         "hybrid_indexed": q_hybrid_indexed,
+        "hybrid_dbsf_indexed": q_hybrid_dbsf_indexed,
+        "hybrid_rrf_indexed": q_hybrid_rrf_indexed,
         "keyword_many_indexed": q_keyword_many_indexed,
         "hybrid_many_indexed": q_hybrid_many_indexed,
         "tf_postings_upsert": q_tf_postings_upsert,
@@ -5371,6 +5415,12 @@ def oracle_sql() -> dict[str, str]:
         # per-model routed KNN == per-label brute window
         "ann_router": _sql_ann_router(),
         "hybrid_dbsf": oracle.hybrid_sql(SEARCH_QUERY, method="Dbsf", stored_vectors=True),
+        # fusion × serving composition twins: index serving is a physical
+        # structure, so each fused indexed tier shares its scan twin's oracle
+        "hybrid_dbsf_indexed": oracle.hybrid_sql(
+            SEARCH_QUERY, method="Dbsf", stored_vectors=True
+        ),
+        "hybrid_rrf_indexed": oracle.rrf_sql(SEARCH_QUERY),
         "hybrid_autocut": oracle.hybrid_sql(SEARCH_QUERY, autocut=True, stored_vectors=True),
         "hybrid_filtered": oracle.hybrid_sql(
             SEARCH_QUERY, where=_HYBRID_WHERE, stored_vectors=True

@@ -368,6 +368,25 @@ def main():
         file=sys.stderr, flush=True,
     )
 
+    # r10: the opt-in Porter2 analyzer's write-time cost (the ONLY place
+    # the full Snowball stemmer touches Spark: corpus tokenization via
+    # mapInPandas). Measured as a full token-table build + count so the
+    # round diff shows what switching analyzers costs relative to
+    # keyword_index_build's JVM suffix tier.
+    best, n = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.time()
+        n = keyword_index.build_token_table(
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet")),
+            stemmer="porter2",
+        ).count()
+        best = min(best, time.time() - t0)
+    timings["porter2_tokenize"] = round(best, 3)
+    total += best
+    print(
+        f"# porter2_tokenize: {best:.2f}s ({n} rows)", file=sys.stderr, flush=True
+    )
+
     # Batched keyword from materialized tf-postings: 20 queries, one
     # pruned postings probe — the GIN regime for BASELINE.md's <20 ms
     # keyword envelope in the amortized-batch interpretation.
