@@ -188,6 +188,13 @@ def ingest_serving(
     n_chunks = chunks.count()  # materialize the barrier; sizes the lists policy
 
     tokens = ki.build_token_table(chunks, id_col="chunk_id", text_col="content")
+    if base_dir is not None:
+        # the commit fan-out below evaluates this table ~7 times (two tf
+        # builds + doclen inside tf_all, two positions builds, the tokens
+        # commit, two posting-array builds) — without the barrier each is
+        # a full corpus re-tokenize (r10 review finding #3). Released after
+        # publish; the returned bundles recompute lazily like before.
+        tokens = tokens.persist()
     kidx = ki.KeywordIndex(
         tokens=tokens,
         postings_exact=ki.build_postings(tokens, "tokens_exact"),
@@ -225,15 +232,7 @@ def ingest_serving(
         # doclen rides the same snapshot (kind='doclen', term='', tf=dl):
         # BM25 mixes tf rows and lengths from ONE corpus version, so they
         # must share an atomic commit — see keyword_index.read_doclen
-        dl_rows = (
-            ki.build_doclen_table(tokens)
-            .select(
-                F.lit("doclen").alias("kind"),
-                F.lit("").alias("term"),
-                F.col("id"),
-                F.col("dl").cast("long").alias("tf"),
-            )
-        )
+        dl_rows = ki.doclen_partition_rows(ki.build_doclen_table(tokens))
         tf_all = tfe.withColumn("kind", F.lit("exact")).unionByName(
             tfs.withColumn("kind", F.lit("stemmed"))
         ).select("kind", "term", "id", "tf").unionByName(dl_rows)
@@ -283,6 +282,7 @@ def ingest_serving(
         publish_serving(
             base_dir, tables, model_id=model_id, dims=dims, nprobe=nprobe
         )
+        tokens.unpersist()
     return {
         "chunks": chunks,
         "vectors": vectors,
@@ -523,8 +523,10 @@ def ingest_serving_incremental(
             # predates doclen rows bootstraps from the tokens version this
             # wave just committed (already post-COW, so deletes/upserts are
             # in — one F.size pass, no explode); after that, the anti-join
-            # twin. Pending mode skips this: its BM25 readers derive dl
-            # from the tokens table, which COW-maintains every wave.
+            # twin. Pending mode needs no bootstrap here: its delta rides
+            # doclen rows on the tombstone clock (tf_pending_append), and
+            # load_serving's completeness guard catches a legacy base by
+            # deriving lengths from the pinned tokens table.
             cur_dl = ki.read_doclen(spark, tf_dir, version=pinned["tf_postings"])
             if cur_dl.isEmpty():
                 dl_new = ki.build_doclen_table(
@@ -534,17 +536,7 @@ def ingest_serving_incremental(
                 dl_new = ki.upsert_doclen(
                     cur_dl, tokens_new, deleted_ids=deleted_ids
                 )
-            parts.append(
-                dl_new.select(
-                    F.col("id"),
-                    F.col("dl").cast("long").alias("tf"),
-                ).select(
-                    F.lit("doclen").alias("kind"),
-                    F.lit("").alias("term"),
-                    "id",
-                    "tf",
-                )
-            )
+            parts.append(ki.doclen_partition_rows(dl_new))
             tfv = snapshots.commit_snapshot(
                 parts[0]
                 .unionByName(parts[1])
@@ -797,6 +789,17 @@ def load_serving(
         centroids=_open("ivf_centroids"),
         nprobe=nprobe if nprobe is not None else int(m.get("nprobe", 4)),
     )
+    # doclen completeness guard (r10 review finding #1): a pinned base that
+    # predates the doclen partition yields a PARTIAL table through either
+    # branch — a pending-mode resolve covers only the delta's upserted ids,
+    # a pre-r10 overwrite cut has no rows at all — and BM25's inner join
+    # would silently drop every uncovered doc (wrong top-k, no error).
+    # Lengths are derivable from the pinned tokens table (same cut, always
+    # complete, COW-maintained every wave regardless of tf_mode), so when
+    # the doclen row count disagrees with the token table's, serve derived
+    # lengths instead. Two metadata-cheap counts, paid once per restart.
+    if doclen.count() != tokens.count():
+        doclen = ki.build_doclen_table(tokens)
     # (term, id, positions) pair for the phrase/proximity/batched-websearch
     # tiers (r10). None when the cut carries no positions table: pre-r10
     # layouts, and pending-mode cuts (their delta carries no positions, so

@@ -188,6 +188,21 @@ def build_doclen_table(
     return tokens.select("id", F.size(F.col(token_col)).alias("dl"))
 
 
+def doclen_partition_rows(doclen: DataFrame) -> DataFrame:
+    """Encode an (id, dl) doclen frame as the rows it occupies inside the
+    kind-partitioned tf snapshot: (kind='doclen', term='', id, tf=dl).
+    The ONE encoder for the format :func:`read_doclen` decodes — every
+    writer (ingest_serving, the incremental wave, the pending-list
+    appender, streaming maintenance) goes through here so encode and
+    decode cannot drift."""
+    return doclen.select(
+        F.lit("doclen").alias("kind"),
+        F.lit("").alias("term"),
+        F.col("id"),
+        F.col("dl").cast("long").alias("tf"),
+    )
+
+
 def keyword_search_bm25_indexed(
     tf_stemmed: DataFrame,
     doclen: DataFrame,
@@ -379,6 +394,7 @@ def keyword_search_many_phrase_indexed(
     pos_stemmed: DataFrame,
     queries: list[tuple[int, str]],
     k: int = 10,
+    stem_fn=None,
 ) -> DataFrame:
     """BATCHED phrase search served from positions-bearing postings (r9):
     N quoted-phrase queries in ONE job against the write-time
@@ -412,6 +428,7 @@ def keyword_search_many_phrase_indexed(
     and one positions probe."""
     from connapse_spark.operators.search import parse_websearch, rank_topk_per_qid
 
+    stem = stem_py if stem_fn is None else stem_fn
     spark = pos_exact.sparkSession
     qe_rows, qs_rows = [], []  # (qid, term, off, plen)
     for qid, qtext in queries:
@@ -429,7 +446,7 @@ def keyword_search_many_phrase_indexed(
         ws = groups[0][0].tokens
         for off, w in enumerate(ws):
             qe_rows.append((qid, w, off, len(ws)))
-        for off, st in enumerate(stem_py(w) for w in ws):
+        for off, st in enumerate(stem(w) for w in ws):
             qs_rows.append((qid, st, off, len(ws)))
     if not qe_rows:
         return spark.createDataFrame([], "qid long, id long, score double, rank long")
@@ -454,6 +471,7 @@ def websearch_scores_indexed(
     pos_exact: DataFrame | None,
     pos_stemmed: DataFrame | None,
     queries: list[tuple[int, str]],
+    stem_fn=None,
 ) -> DataFrame:
     """(qid, id, score) for N FULL-SYNTAX websearch queries served entirely
     from write-time postings (r10 — VERDICT r9 ask #3: the BLAS production
@@ -498,6 +516,7 @@ def websearch_scores_indexed(
         parse_websearch,
     )
 
+    stem = stem_py if stem_fn is None else stem_fn
     spark = tf_exact.sparkSession
     parsed: list[tuple[int, list]] = []
     for qid, qtext in queries:
@@ -524,7 +543,7 @@ def websearch_scores_indexed(
     for qid, groups in parsed:
         singles, phrases = _positive_terms(groups)
         pos_terms = set(singles)
-        pos_stems = {stem_py(t) for t in singles}
+        pos_stems = {stem(t) for t in singles}
         pos_pids = {phrase_pid.setdefault(tuple(ph), len(phrase_pid)) for ph in phrases}
         if sum(len(g) for g in groups) > 63:
             raise ValueError(
@@ -547,7 +566,7 @@ def websearch_scores_indexed(
                     p_meta.append((qid, pid, aid, scored))
                 else:
                     t = term.tokens[0]
-                    st = stem_py(t)
+                    st = stem(t)
                     scored_e = t in pos_terms and t not in se
                     if scored_e:
                         se.add(t)
@@ -612,7 +631,7 @@ def websearch_scores_indexed(
         for words, pid in phrase_pid.items():
             for off, w in enumerate(words):
                 pe_rows.append((pid, w, off, len(words)))
-            for off, st in enumerate(stem_py(w) for w in words):
+            for off, st in enumerate(stem(w) for w in words):
                 psm_rows.append((pid, st, off, len(words)))
         occ = (
             phrase_occurrences_both(pos_exact, pos_stemmed, pe_rows, psm_rows)
@@ -691,6 +710,7 @@ def keyword_search_proximity_indexed(
     pos_stemmed: DataFrame,
     query: str,
     k: int = 10,
+    stem_fn=None,
 ) -> DataFrame:
     """Cover-density proximity ranking SERVED from the positions postings
     (r9 — the Q3 family's last scan-only member in the served regime):
@@ -708,13 +728,14 @@ def keyword_search_proximity_indexed(
     from connapse_spark.operators.search import WEIGHT_STEMMED as WS
     from connapse_spark.operators.search import _query_term_pairs
 
+    stem = stem_py if stem_fn is None else stem_fn
     terms, pairs = _query_term_pairs(query)
     if not terms:
         return pos_exact.select(
             F.col("id"), F.lit(0.0).alias("score")
         ).limit(0)
     uniq = sorted(set(terms))
-    stems = sorted({stem_py(t) for t in terms})
+    stems = sorted({stem(t) for t in terms})
 
     def _gather(ptab: DataFrame, wanted: list[str], tag: str) -> DataFrame:
         return (
@@ -749,7 +770,7 @@ def keyword_search_proximity_indexed(
     raw = raw + F.lit(WS) * F.coalesce(F.col("_n_s"), F.lit(0))
     for a, b in pairs:
         raw = raw + F.lit(WE) * _pair_bonus(F.col("_pm_e"), a, b)
-        sa, sb = stem_py(a), stem_py(b)
+        sa, sb = stem(a), stem(b)
         raw = raw + F.lit(WS) * _pair_bonus(F.col("_pm_s"), sa, sb)
     return (
         merged.select(F.col("id"), (raw / (raw + F.lit(1.0))).alias("score"))
@@ -931,14 +952,7 @@ def tf_pending_append(
                 "kind", F.lit("stemmed")
             )
         )
-        .unionByName(
-            build_doclen_table(toks).select(
-                F.lit("doclen").alias("kind"),
-                F.lit("").alias("term"),
-                "id",
-                F.col("dl").cast("long").alias("tf"),
-            )
-        )
+        .unionByName(doclen_partition_rows(build_doclen_table(toks)))
     )
     affected, _ = _affected_ids(spark, toks, deleted_ids)
     lv = snapshots.latest_version(delta_dir)
@@ -1070,6 +1084,7 @@ def keyword_search_many_indexed(
     tf_stemmed: DataFrame,
     queries: list[tuple[int, str]],
     k: int = 10,
+    stem_fn=None,
 ) -> DataFrame:
     """BATCHED keyword search served from materialized tf-postings: N
     queries against write-time (term, id, tf) tables. Identical scores and
@@ -1091,12 +1106,13 @@ def keyword_search_many_indexed(
     the scan tier. Queries here are treated as bags of words."""
     from connapse_spark.operators.search import batch_keyword_scores, rank_topk_per_qid
 
+    stem = stem_py if stem_fn is None else stem_fn
     qe_rows, qs_rows = [], []
     for qid, qtext in queries:
         terms = sorted(set(tokenize_py(qtext)))
         for t in terms:
             qe_rows.append((qid, t))
-        for st in sorted({stem_py(t) for t in terms}):
+        for st in sorted({stem(t) for t in terms}):
             qs_rows.append((qid, st))
     spark = tf_exact.sparkSession
     if not qe_rows:
@@ -1130,6 +1146,7 @@ def keyword_search_indexed(
     query: str,
     k: int = 10,
     allowed: DataFrame | None = None,
+    stem_fn=None,
 ) -> DataFrame:
     """Indexed keyword query: candidates = union of the query terms' posting
     lists (tiny scan), scored by joining back to the candidates' token rows
@@ -1137,8 +1154,9 @@ def keyword_search_indexed(
     on the same corpus. ``allowed`` (an ``id`` column) semi-joins a filter
     predicate into the candidate set, mirroring the reference AND-composing
     documentId/path filters into the keyword SQL."""
+    stem = stem_py if stem_fn is None else stem_fn
     terms = sorted(set(tokenize_py(query)))
-    stems = sorted({stem_py(t) for t in terms})
+    stems = sorted({stem(t) for t in terms})
     if not terms:
         return tokens.select(F.col("id"), F.lit(0.0).alias("score")).limit(0)
 
@@ -1179,6 +1197,7 @@ def keyword_search_snippets_indexed(
     radius: int = 60,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stem_fn=None,
 ) -> DataFrame:
     """Result-list snippets with the RANKING served from the write-time
     index (r10 — VERDICT r9 ask #6's second half: the snippets tier still
@@ -1192,7 +1211,12 @@ def keyword_search_snippets_indexed(
     from connapse_spark.operators.search import attach_snippet_excerpts
 
     hits = keyword_search_indexed(
-        index.tokens, index.postings_exact, index.postings_stemmed, query, k=k
+        index.tokens,
+        index.postings_exact,
+        index.postings_stemmed,
+        query,
+        k=k,
+        stem_fn=stem_fn,
     ).withColumnRenamed("id", id_col)
     return attach_snippet_excerpts(
         hits, docs, query, radius=radius, id_col=id_col, text_col=text_col
@@ -1205,6 +1229,7 @@ def keyword_search_websearch_indexed(
     postings_stemmed: DataFrame,
     query: str,
     k: int = 10,
+    stem_fn=None,
 ) -> DataFrame:
     """Websearch syntax (phrases, negation, OR-groups) served from the
     write-time index (r8 — VERDICT r7 missing/#8: the served tier
@@ -1230,6 +1255,7 @@ def keyword_search_websearch_indexed(
         websearch_score_expr,
     )
 
+    stem = stem_py if stem_fn is None else stem_fn
     groups = parse_websearch(query)
     if not groups:
         return tokens.select(F.col("id"), F.lit(0.0).alias("score")).limit(0)
@@ -1241,7 +1267,7 @@ def keyword_search_websearch_indexed(
                 "index-served websearch needs a positive term in every OR-group"
             )
         tok = pos[0].tokens[0]
-        screens.append((tok, stem_py(tok)))
+        screens.append((tok, stem(tok)))
     cand = None
     for tok, st in screens:
         c = (
@@ -1263,8 +1289,11 @@ def keyword_search_websearch_indexed(
     # is insensitive to duplicate candidate ids, so no distinct either.
     return (
         tokens.join(cand, "id", "left_semi")
-        .filter(websearch_match_expr(te, ts, groups))
-        .select(F.col("id"), websearch_score_expr(te, ts, groups).alias("score"))
+        .filter(websearch_match_expr(te, ts, groups, stem_fn=stem_fn))
+        .select(
+            F.col("id"),
+            websearch_score_expr(te, ts, groups, stem_fn=stem_fn).alias("score"),
+        )
         .orderBy(F.desc("score"), F.col("id"))
         .limit(k)
     )

@@ -232,10 +232,13 @@ def _sql_phrase_occurrences(arr: str, words: list[str]) -> str:
     return f"CAST((length({s}) - length(replace({s}, '{p}', ''))) / {len(p)} AS INT)"
 
 
-def _term_presence(te: Column, ts: Column, term: WebsearchTerm) -> Column:
+def _term_presence(
+    te: Column, ts: Column, term: WebsearchTerm, stem_fn=None
+) -> Column:
     """Either config matches (exact tokens OR stemmed tokens), like
     ``@@ (websearch_to_tsquery('simple',q) || websearch_to_tsquery('english',q))``."""
-    stems = [stem_py(t) for t in term.tokens]
+    stem = stem_py if stem_fn is None else stem_fn
+    stems = [stem(t) for t in term.tokens]
     if term.phrase:
         return (_phrase_occurrences(te, term.tokens) > 0) | (
             _phrase_occurrences(ts, stems) > 0
@@ -253,12 +256,14 @@ def _sql_term_presence(te: str, ts: str, term: WebsearchTerm) -> str:
     return f"(list_contains({te}, '{term.tokens[0]}') OR list_contains({ts}, '{stems[0]}'))"
 
 
-def websearch_match_expr(te: Column, ts: Column, groups: list[list[WebsearchTerm]]) -> Column:
+def websearch_match_expr(
+    te: Column, ts: Column, groups: list[list[WebsearchTerm]], stem_fn=None
+) -> Column:
     out = F.lit(False)
     for g in groups:
         cond = F.lit(True)
         for term in g:
-            p = _term_presence(te, ts, term)
+            p = _term_presence(te, ts, term, stem_fn=stem_fn)
             cond = cond & (~p if term.negated else p)
         out = out | cond
     return out
@@ -285,18 +290,21 @@ def _positive_terms(groups: list[list[WebsearchTerm]]):
     return singles, [list(p) for p in sorted(phrases_seen)]
 
 
-def websearch_score_expr(te: Column, ts: Column, groups: list[list[WebsearchTerm]]) -> Column:
+def websearch_score_expr(
+    te: Column, ts: Column, groups: list[list[WebsearchTerm]], stem_fn=None
+) -> Column:
     """TF scoring over positive terms only (same documented ts_rank_cd(…,32)
     simplification as keyword_score_expr): singles count per-config with
     weights A/B; a phrase occurrence counts len(phrase) tokens."""
+    stem = stem_py if stem_fn is None else stem_fn
     singles, phrases = _positive_terms(groups)
     raw = F.lit(0.0)
     if singles:
-        stems = sorted({stem_py(t) for t in singles})
+        stems = sorted({stem(t) for t in singles})
         raw = raw + F.lit(WEIGHT_EXACT) * F.size(F.filter(te, lambda t: t.isin(*singles)))
         raw = raw + F.lit(WEIGHT_STEMMED) * F.size(F.filter(ts, lambda t: t.isin(*stems)))
     for ph in phrases:
-        stems = [stem_py(t) for t in ph]
+        stems = [stem(t) for t in ph]
         raw = raw + F.lit(float(len(ph))) * (
             F.lit(WEIGHT_EXACT) * _phrase_occurrences(te, ph)
             + F.lit(WEIGHT_STEMMED) * _phrase_occurrences(ts, stems)

@@ -542,6 +542,7 @@ def streaming_keyword_maintenance(
     ``ingest_serving`` layout, whose root manifest pins the cut."""
     from connapse_spark.operators.keyword_index import (
         build_token_table,
+        doclen_partition_rows,
         upsert_doclen,
         upsert_positions_postings,
         upsert_tf_postings,
@@ -578,12 +579,7 @@ def streaming_keyword_maintenance(
             "id", F.col("tf").alias("dl")
         )
         parts.append(
-            upsert_doclen(cur_dl, toks, deleted_ids=deleted).select(
-                F.lit("doclen").alias("kind"),
-                F.lit("").alias("term"),
-                "id",
-                F.col("dl").cast("long").alias("tf"),
-            )
+            doclen_partition_rows(upsert_doclen(cur_dl, toks, deleted_ids=deleted))
         )
         merged = (
             parts[0]

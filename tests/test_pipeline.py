@@ -1005,6 +1005,58 @@ def test_load_serving_restart_round_trip(spark, sf_dir, tmp_path):
     docs.unpersist()
 
 
+def test_load_serving_doclen_guard_on_legacy_layout(spark, sf_dir, tmp_path):
+    """A pinned cut whose tf snapshot predates the doclen partition (or
+    carries a PARTIAL one — the pending-resolve-over-legacy-base shape)
+    must not silently drop docs from BM25: load_serving's completeness
+    guard detects the row-count mismatch against the tokens table and
+    serves lengths derived from the pinned tokens instead (r10 review
+    finding #1)."""
+    import os as _os
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.ingest import (
+        ingest_serving,
+        load_serving,
+        publish_serving,
+    )
+    from connapse_spark.operators.search import keyword_search_bm25
+    from connapse_spark.sources import snapshots as snaps
+
+    docs = (
+        spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 15)
+        .select("doc_id", "text")
+        .persist()
+    )
+    base = str(tmp_path / "serving")
+    out = ingest_serving(docs, base_dir=base)
+    cut = load_serving(spark, base)
+
+    # forge a legacy cut: re-commit the tf table WITHOUT its doclen
+    # partition and publish a manifest pinning it (everything else as-is)
+    tf_dir = _os.path.join(base, "tf_postings")
+    legacy_tf = snaps.read_snapshot(spark, tf_dir).filter(F.col("kind") != "doclen")
+    legacy_v = snaps.commit_snapshot(legacy_tf, tf_dir, partition_by=["kind"])
+    tables = dict(cut["tables"])
+    tables["tf_postings"] = legacy_v
+    publish_serving(base, tables, model_id="hash-64", dims=64, nprobe=4)
+
+    legacy_cut = load_serving(spark, base)
+    assert legacy_cut["tables"]["tf_postings"] == legacy_v
+    got = ki.keyword_search_bm25_indexed(
+        legacy_cut["tf_postings"][1], legacy_cut["doclen"], "table scan", k=10
+    ).collect()
+    chunks = snaps.read_snapshot(spark, _os.path.join(base, "chunks"))
+    corpus = chunks.select(
+        F.col("chunk_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    want = keyword_search_bm25(corpus, "table scan", k=10).collect()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in want]
+    out["chunks"].unpersist(), out["vectors"].unpersist()
+    docs.unpersist()
+
+
 def test_serving_manifest_hides_torn_waves(spark, sf_dir, tmp_path, monkeypatch):
     """Cross-table atomicity: a wave that crashes AFTER committing new
     chunk versions but BEFORE publishing the root serving manifest must be

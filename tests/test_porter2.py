@@ -90,6 +90,27 @@ def test_build_token_table_porter2_and_bm25_serving(spark, sf_dir):
     ids = [r["id"] for r in hits]
     assert 1 in ids and 2 in ids and 3 not in ids
 
+    # the stem_fn seam threads through the other serving tiers too
+    # (r10 review finding #2): flat batch, websearch, and single-query
+    # postings tiers all retrieve porter2-unified variants
+    tfe = ki.build_tf_postings(toks, "tokens_exact")
+    many = ki.keyword_search_many_indexed(
+        tfe, tf, [(1, "running")], k=4, stem_fn=porter2_stem
+    ).collect()
+    assert {r["id"] for r in many} >= {1, 2}
+    kidx_posts_e = ki.build_postings(toks, "tokens_exact")
+    kidx_posts_s = ki.build_postings(toks, "tokens_stemmed")
+    ws = ki.keyword_search_websearch_indexed(
+        toks, kidx_posts_e, kidx_posts_s, "rationally", k=4, stem_fn=porter2_stem
+    ).collect()
+    # porter2: rationally→ration == rational→ration (the suffix stripper
+    # maps rationally→rationall and finds nothing)
+    assert [r["id"] for r in ws] == [2]
+    single = ki.keyword_search_indexed(
+        toks, kidx_posts_e, kidx_posts_s, "runs", k=4, stem_fn=porter2_stem
+    ).collect()
+    assert {r["id"] for r in single} >= {1, 2}
+
     # real-corpus parity sweep for the UDF on sf0.001 text
     corpus = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
