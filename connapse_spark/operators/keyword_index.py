@@ -121,6 +121,12 @@ class KeywordIndex:
     tokens: DataFrame  # (id, tokens_exact, tokens_stemmed)
     postings_exact: DataFrame  # (term, ids, df)
     postings_stemmed: DataFrame  # (term, ids, df)
+    # the analyzer the stemmed config was built with (None = the default
+    # suffix stripper): the bundle CARRIES its stemmer so every consumer
+    # (hybrid_search's indexed keyword branch, the snippets tier) stems
+    # query terms with the matching function automatically — a
+    # porter2-built index cannot be silently mis-served through the bundle
+    stem_fn: "object" = None
 
     def persist(self) -> "KeywordIndex":
         for df in (self.tokens, self.postings_exact, self.postings_stemmed):
@@ -134,16 +140,28 @@ class KeywordIndex:
 
 
 def build_keyword_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stemmer: str = "suffix",
 ) -> KeywordIndex:
     """One-stop ingest-time build: token table + both postings tables. At
     deployment scale, write all three partitioned/sorted (tokens bucketed by
-    id for the score-join; postings sorted by term for pruned lookups)."""
-    tokens = build_token_table(docs, id_col=id_col, text_col=text_col)
+    id for the score-join; postings sorted by term for pruned lookups).
+    ``stemmer`` selects the weight-B analyzer (see
+    :func:`build_token_table`); the bundle records the matching query-side
+    stem function so consumers stay coherent automatically."""
+    tokens = build_token_table(docs, id_col=id_col, text_col=text_col, stemmer=stemmer)
+    stem_fn = None
+    if stemmer == "porter2":
+        from connapse_spark.functions.porter2 import porter2_stem
+
+        stem_fn = porter2_stem
     return KeywordIndex(
         tokens=tokens,
         postings_exact=build_postings(tokens, "tokens_exact"),
         postings_stemmed=build_postings(tokens, "tokens_stemmed"),
+        stem_fn=stem_fn,
     )
 
 
@@ -1216,7 +1234,7 @@ def keyword_search_snippets_indexed(
         index.postings_stemmed,
         query,
         k=k,
-        stem_fn=stem_fn,
+        stem_fn=stem_fn if stem_fn is not None else index.stem_fn,
     ).withColumnRenamed("id", id_col)
     return attach_snippet_excerpts(
         hits, docs, query, radius=radius, id_col=id_col, text_col=text_col

@@ -1331,6 +1331,7 @@ def hybrid_search(
                     keyword_index.postings_stemmed,
                     query,
                     fetch_k,
+                    stem_fn=keyword_index.stem_fn,
                 )
             else:
                 k_hits = keyword_search_websearch(
@@ -1351,6 +1352,7 @@ def hybrid_search(
                 query,
                 fetch_k,
                 allowed=allowed,
+                stem_fn=keyword_index.stem_fn,
             )
         else:
             k_hits = keyword_search(base, query, fetch_k, id_col=id_col, text_col=text_col)

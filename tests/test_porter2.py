@@ -111,6 +111,18 @@ def test_build_token_table_porter2_and_bm25_serving(spark, sf_dir):
     ).collect()
     assert {r["id"] for r in single} >= {1, 2}
 
+    # the bundle CARRIES its analyzer: hybrid_search over a porter2-built
+    # KeywordIndex stems query terms with porter2 automatically
+    from connapse_spark.operators.search import SearchOptions, hybrid_search
+
+    kidx = ki.build_keyword_index(docs, stemmer="porter2")
+    assert kidx.stem_fn is porter2_stem
+    kw = hybrid_search(
+        docs, "rationally", SearchOptions(top_k=4, mode="Keyword"),
+        keyword_index=kidx,
+    ).collect()
+    assert [r["id"] for r in kw] == [2]
+
     # real-corpus parity sweep for the UDF on sf0.001 text
     corpus = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
