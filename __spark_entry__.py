@@ -4591,6 +4591,54 @@ def q_tf_pending_resolve(spark, sf_dir):
     return out.select("term", "id", "tf").orderBy("term", "id")
 
 
+def q_positions_pending_resolve(spark, sf_dir):
+    """Pending-list POSITIONS index end to end on disk (r10 —
+    keyword_index.positions_pending_append → positions_resolve): the
+    fastupdate regime extended to the phrase/proximity serving
+    structure, where the O(index)-per-batch overwrite hurts most. Batch
+    0 commits the original corpus's position lists to the delta, batch 1
+    appends the postings_upsert fixture's updates (doc_id%9) and deletes
+    (%31) as tombstones, then serve-time resolution reads both committed
+    versions back. Shares positions_upsert's oracle (rebuild over the
+    post-change corpus, exploded position for position) — what is
+    hash-checked is append-only commits + tombstone clock + latest-batch
+    resolution over the ARRAY payload."""
+    import shutil
+    import tempfile
+
+    from connapse_spark.operators.keyword_index import (
+        positions_pending_append,
+        positions_resolve,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"connapse_pospend_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    base_dir, delta_dir = os.path.join(root, "base"), os.path.join(root, "delta")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    positions_pending_append(docs, delta_dir, batch=0)
+    upd = docs.filter(F.col("doc_id") % 9 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
+    )
+    deleted = [
+        r["doc_id"]
+        for r in docs.filter((F.col("doc_id") % 31 == 0) & (F.col("doc_id") % 9 != 0))
+        .select("doc_id")
+        .collect()
+    ]
+    positions_pending_append(upd, delta_dir, deleted_ids=deleted, batch=1)
+    out = positions_resolve(spark, base_dir, delta_dir).filter(
+        F.col("kind") == "exact"
+    )
+    return (
+        out.select("term", "id", F.explode("positions").alias("pos"))
+        .withColumn("pos", F.col("pos").cast("bigint"))
+        .orderBy("term", "id", "pos")
+    )
+
+
 def q_bm25_upsert(spark, sf_dir):
     """Incremental BM25-serving maintenance END TO END (r10 —
     keyword_index.upsert_doclen closes the family's last gap: tf
@@ -5121,6 +5169,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "positions_upsert": q_positions_upsert,
+        "positions_pending_resolve": q_positions_pending_resolve,
         "keyword_bm25_indexed": q_keyword_bm25_indexed,
         "hybrid_many_websearch_fast": q_hybrid_many_websearch_fast,
         "keyword_snippets_indexed": q_keyword_snippets_indexed,
@@ -5515,6 +5564,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_stats": _sql_ingest_stats(),
         "postings_upsert": _sql_postings_upsert(),
         "positions_upsert": _sql_positions_upsert(),
+        "positions_pending_resolve": _sql_positions_upsert(),
         "tf_postings_upsert": _sql_tf_postings_upsert(),
         "bm25_upsert": _sql_bm25_upsert(),
         "porter2_vocab": _sql_porter2_vocab(),

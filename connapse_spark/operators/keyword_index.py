@@ -995,29 +995,28 @@ def tf_pending_append(
     )
 
 
-def tf_resolve(
+def _pending_resolve(
     spark,
     base_dir: str,
     delta_dir: str,
+    payload: str,
+    payload_type: str,
     base_version: int | None = None,
     delta_version: int | None = None,
 ) -> DataFrame:
-    """Serve-time view of a pending-list tf index: base postings minus
-    tombstoned ids, plus each delta id's LATEST batch of postings (an id
-    upserted at batch b carries its own tomb at b, so live delta rows
-    are exactly those whose batch equals the id's max tombstone batch;
-    a later delete raises the max above every posting batch and the id
-    vanishes). The tombstone set is the ids touched since the last
-    compaction — broadcast-sized by construction, so the base table is
-    scanned once with no shuffle. ``dropDuplicates`` over the delta
-    makes crash-replayed appends invisible."""
+    """Tombstone-clock resolution of a pending-list postings index,
+    payload-agnostic (tf longs, position arrays — the clock never looks
+    at the payload): base rows minus tombstoned ids, plus each delta
+    id's LATEST batch of rows. ``dropDuplicates`` over the key columns
+    makes crash-replayed appends (byte-identical rows) invisible."""
     from connapse_spark.sources import snapshots
 
-    empty = spark.createDataFrame([], "kind string, term string, id long, tf long")
+    cols = ["kind", "term", "id", payload]
+    empty = spark.createDataFrame(
+        [], f"kind string, term string, id long, {payload} {payload_type}"
+    )
     base = (
-        snapshots.read_snapshot(spark, base_dir, version=base_version).select(
-            "kind", "term", "id", "tf"
-        )
+        snapshots.read_snapshot(spark, base_dir, version=base_version).select(*cols)
         if snapshots.latest_version(base_dir) is not None
         else empty
     )
@@ -1033,16 +1032,35 @@ def tf_resolve(
         .groupBy("id")
         .agg(F.max("batch").alias("_tb"))
     )
-    live_base = base.join(F.broadcast(tomb), "id", "left_anti").select(
-        "kind", "term", "id", "tf"
-    )
+    live_base = base.join(F.broadcast(tomb), "id", "left_anti").select(*cols)
     live_delta = (
         delta.filter(F.col("kind") != "tomb")
         .join(F.broadcast(tomb), "id")
         .filter(F.col("batch") == F.col("_tb"))
-        .select("kind", "term", "id", "tf")
+        .select(*cols)
     )
     return live_base.unionByName(live_delta)
+
+
+def tf_resolve(
+    spark,
+    base_dir: str,
+    delta_dir: str,
+    base_version: int | None = None,
+    delta_version: int | None = None,
+) -> DataFrame:
+    """Serve-time view of a pending-list tf index: base postings minus
+    tombstoned ids, plus each delta id's LATEST batch of postings (an id
+    upserted at batch b carries its own tomb at b, so live delta rows
+    are exactly those whose batch equals the id's max tombstone batch;
+    a later delete raises the max above every posting batch and the id
+    vanishes). The tombstone set is the ids touched since the last
+    compaction — broadcast-sized by construction, so the base table is
+    scanned once with no shuffle. Crash-replayed appends resolve away
+    (see :func:`_pending_resolve`, shared with the positions twin)."""
+    return _pending_resolve(
+        spark, base_dir, delta_dir, "tf", "long", base_version, delta_version
+    )
 
 
 def tf_compact(spark, base_dir: str, delta_dir: str) -> int:
@@ -1060,6 +1078,97 @@ def tf_compact(spark, base_dir: str, delta_dir: str) -> int:
     v = snapshots.commit_snapshot(resolved, base_dir, partition_by=["kind"])
     empty = spark.createDataFrame(
         [], "kind string, term string, id long, tf long, batch long"
+    )
+    snapshots.commit_snapshot(empty, delta_dir, partition_by=["kind"])
+    return v
+
+
+def positions_pending_append(
+    docs_batch: DataFrame,
+    delta_dir: str,
+    deleted_ids: "list[int] | DataFrame | None" = None,
+    batch: int | None = None,
+) -> int:
+    """PENDING-LIST maintenance of the positions postings — the
+    fastupdate regime for the phrase/proximity serving structure (r10:
+    tf gained this in r7, but the HEAVIEST postings layout still paid
+    ``upsert_positions_postings`` + overwrite, O(index) per micro-batch,
+    exactly where high-frequency ingest hurts most). One batch's
+    (kind ∈ exact|stemmed, term, id, positions, batch) rows plus one
+    (kind='tomb', term='', id, positions=NULL, batch) row per affected
+    id append in O(batch); :func:`positions_resolve` serves base ∪
+    delta; :func:`positions_compact` folds on your cadence. Same
+    monotone-batch / replay-idempotence contract as
+    :func:`tf_pending_append` (the clock logic is shared code)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from connapse_spark.sources import snapshots
+
+    spark = docs_batch.sparkSession
+    toks = build_token_table(docs_batch)
+    fresh = (
+        build_positions_postings(toks, "tokens_exact").withColumn(
+            "kind", F.lit("exact")
+        )
+        .unionByName(
+            build_positions_postings(toks, "tokens_stemmed").withColumn(
+                "kind", F.lit("stemmed")
+            )
+        )
+    )
+    affected, _ = _affected_ids(spark, toks, deleted_ids)
+    lv = snapshots.latest_version(delta_dir)
+    if batch is None:
+        batch = 0 if lv is None else lv + 1
+    tomb = affected.distinct().select(
+        F.lit("tomb").alias("kind"),
+        F.lit("").alias("term"),
+        "id",
+        F.lit(None).cast(ArrayType(IntegerType())).alias("positions"),
+    )
+    rows = (
+        fresh.select("kind", "term", "id", "positions")
+        .unionByName(tomb)
+        .withColumn("batch", F.lit(int(batch)).cast("long"))
+    )
+    return snapshots.commit_snapshot(
+        rows,
+        delta_dir,
+        mode="append" if lv is not None else "overwrite",
+        partition_by=["kind"],
+    )
+
+
+def positions_resolve(
+    spark,
+    base_dir: str,
+    delta_dir: str,
+    base_version: int | None = None,
+    delta_version: int | None = None,
+) -> DataFrame:
+    """Serve-time view of a pending-list positions index — the phrase and
+    proximity tiers take the kind-split of this frame exactly as they
+    take a freshly built table (the ``positions_pending_resolve`` oracle
+    pins resolution == rebuild position for position). Same tombstone
+    clock as :func:`tf_resolve` (shared code, array payload)."""
+    return _pending_resolve(
+        spark, base_dir, delta_dir, "positions", "array<int>",
+        base_version, delta_version,
+    )
+
+
+def positions_compact(spark, base_dir: str, delta_dir: str) -> int:
+    """Fold the positions pending delta into the base — same crash-safe
+    convergence argument as :func:`tf_compact`: a committed base with a
+    stale (untruncated) delta resolves identically, so re-running
+    compaction converges."""
+    from connapse_spark.sources import snapshots
+
+    resolved = positions_resolve(spark, base_dir, delta_dir)
+    v = snapshots.commit_snapshot(resolved, base_dir, partition_by=["kind"])
+    empty = spark.createDataFrame(
+        [],
+        "kind string, term string, id long, positions array<int>, batch long",
     )
     snapshots.commit_snapshot(empty, delta_dir, partition_by=["kind"])
     return v

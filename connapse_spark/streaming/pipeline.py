@@ -641,6 +641,8 @@ def streaming_keyword_maintenance_pending(
     delta_dir: str,
     checkpoint_dir: str,
     compact_every: int = 8,
+    positions_base_dir: str | None = None,
+    positions_delta_dir: str | None = None,
 ) -> None:
     """High-frequency variant of :func:`streaming_keyword_maintenance` —
     the GIN-fastupdate regime. The overwrite variant pays O(index) per
@@ -653,8 +655,25 @@ def streaming_keyword_maintenance_pending(
     event per doc (:func:`_lww_latest_doc_event`, optional seq column).
     Readers resolve base ∪ delta via ``keyword_index.tf_resolve``; the
     micro-batch id is the tombstone clock (replay-stable through the
-    checkpoint, so crashed-batch replays resolve away)."""
-    from connapse_spark.operators.keyword_index import tf_compact, tf_pending_append
+    checkpoint, so crashed-batch replays resolve away).
+
+    ``positions_base_dir``/``positions_delta_dir`` (opt-in, r10, both or
+    neither) extend the same fastupdate regime to the positions postings
+    — the phrase/proximity serving structure, and the layout where the
+    O(index)-per-batch overwrite hurts most. Appends and compactions
+    ride the same micro-batch clock; readers resolve via
+    ``keyword_index.positions_resolve``."""
+    from connapse_spark.operators.keyword_index import (
+        positions_compact,
+        positions_pending_append,
+        tf_compact,
+        tf_pending_append,
+    )
+
+    if (positions_base_dir is None) != (positions_delta_dir is None):
+        raise ValueError(
+            "positions_base_dir and positions_delta_dir come as a pair"
+        )
 
     stream = (
         spark.readStream.schema("doc_id long, text string, op string, seq long")
@@ -667,8 +686,16 @@ def streaming_keyword_maintenance_pending(
         upserts = latest.filter(~is_del).select("doc_id", "text")
         deleted = latest.filter(is_del).select(F.col("doc_id").alias("id"))
         tf_pending_append(upserts, delta_dir, deleted_ids=deleted, batch=batch_id)
+        if positions_delta_dir is not None:
+            positions_pending_append(
+                upserts, positions_delta_dir, deleted_ids=deleted, batch=batch_id
+            )
         if compact_every and (batch_id + 1) % compact_every == 0:
             tf_compact(batch_df.sparkSession, base_dir, delta_dir)
+            if positions_delta_dir is not None:
+                positions_compact(
+                    batch_df.sparkSession, positions_base_dir, positions_delta_dir
+                )
 
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -1052,6 +1052,88 @@ def test_tf_pending_list_resolve_and_compact(spark, sf_dir, tmp_path):
     docs.unpersist()
 
 
+def test_positions_pending_list_resolve_and_compact(spark, sf_dir, tmp_path):
+    """The fastupdate regime for the ARRAY payload (r10): per-batch
+    O(batch) appends of (term, id, positions) + tombstones, serve-time
+    resolution, periodic compaction — every state equal to a rebuild
+    over the live corpus position for position; replayed appends and the
+    compaction crash window resolve identically; the resolved kind-split
+    SERVES the phrase tier row-equal to fresh-built tables."""
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.sources import snapshots as snaps
+
+    base_dir = str(tmp_path / "pbase")
+    delta_dir = str(tmp_path / "pdelta")
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+        .persist()
+    )
+
+    def rebuild(live):
+        toks = ki.build_token_table(live)
+        return (
+            ki.build_positions_postings(toks, "tokens_exact")
+            .withColumn("kind", F.lit("exact"))
+            .unionByName(
+                ki.build_positions_postings(toks, "tokens_stemmed").withColumn(
+                    "kind", F.lit("stemmed")
+                )
+            )
+        )
+
+    def canon(df):
+        return sorted(
+            (r["kind"], r["term"], r["id"], tuple(r["positions"]))
+            for r in df.select("kind", "term", "id", "positions").collect()
+        )
+
+    ki.positions_pending_append(docs, delta_dir, batch=0)
+    assert canon(ki.positions_resolve(spark, base_dir, delta_dir)) == canon(
+        rebuild(docs)
+    )
+
+    upd = docs.filter(F.col("doc_id") == 3).select(
+        "doc_id", F.lit("entirely different words").alias("text")
+    )
+    ki.positions_pending_append(upd, delta_dir, deleted_ids=[7], batch=1)
+    live = docs.filter(~F.col("doc_id").isin(3, 7)).unionByName(upd)
+    want = canon(rebuild(live))
+    assert canon(ki.positions_resolve(spark, base_dir, delta_dir)) == want
+
+    # crash-replay of batch 1: byte-identical rows, resolution dedups
+    ki.positions_pending_append(upd, delta_dir, deleted_ids=[7], batch=1)
+    assert canon(ki.positions_resolve(spark, base_dir, delta_dir)) == want
+
+    # compaction crash window: base committed, delta not truncated
+    snaps.commit_snapshot(
+        ki.positions_resolve(spark, base_dir, delta_dir),
+        base_dir,
+        partition_by=["kind"],
+    )
+    assert canon(ki.positions_resolve(spark, base_dir, delta_dir)) == want
+
+    ki.positions_compact(spark, base_dir, delta_dir)
+    assert canon(
+        snaps.read_snapshot(spark, base_dir).select("kind", "term", "id", "positions")
+    ) == want
+    assert snaps.read_snapshot(spark, delta_dir).count() == 0
+
+    # the resolved view SERVES the phrase tier identically to fresh tables
+    resolved = ki.positions_resolve(spark, base_dir, delta_dir)
+    pe = resolved.filter(F.col("kind") == "exact").select("term", "id", "positions")
+    ps = resolved.filter(F.col("kind") == "stemmed").select("term", "id", "positions")
+    toks_live = ki.build_token_table(live)
+    fe = ki.build_positions_postings(toks_live, "tokens_exact")
+    fs = ki.build_positions_postings(toks_live, "tokens_stemmed")
+    pq = [(1, '"table scan"'), (2, '"merge join"')]
+    got = ki.keyword_search_many_phrase_indexed(pe, ps, pq, k=5).collect()
+    fresh = ki.keyword_search_many_phrase_indexed(fe, fs, pq, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in fresh]
+    docs.unpersist()
+
+
 def test_streaming_keyword_maintenance_pending_compacts(spark, sf_dir, tmp_path):
     """End-to-end pending-mode stream: batch 0 appends, batch 1 appends
     then compacts (compact_every=2); the resolved index equals a rebuild
@@ -1072,15 +1154,23 @@ def test_streaming_keyword_maintenance_pending_compacts(spark, sf_dir, tmp_path)
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(watch)
 
+    pbase = str(tmp_path / "pbase")
+    pdelta = str(tmp_path / "pdelta")
     docs.withColumn("op", F.lit("U")).coalesce(1).write.mode("append").parquet(watch)
-    streaming_keyword_maintenance_pending(spark, watch, base, delta, ckpt, compact_every=2)
+    streaming_keyword_maintenance_pending(
+        spark, watch, base, delta, ckpt, compact_every=2,
+        positions_base_dir=pbase, positions_delta_dir=pdelta,
+    )
 
     upd = docs.filter(F.col("doc_id") == 2).select(
         "doc_id", F.lit("replacement text").alias("text"), F.lit("U").alias("op")
     )
     dele = spark.createDataFrame([(5, None, "D")], "doc_id long, text string, op string")
     upd.unionByName(dele).coalesce(1).write.mode("append").parquet(watch)
-    streaming_keyword_maintenance_pending(spark, watch, base, delta, ckpt, compact_every=2)
+    streaming_keyword_maintenance_pending(
+        spark, watch, base, delta, ckpt, compact_every=2,
+        positions_base_dir=pbase, positions_delta_dir=pdelta,
+    )
 
     live = docs.filter(~F.col("doc_id").isin(2, 5)).unionByName(
         upd.select("doc_id", "text")
@@ -1098,6 +1188,26 @@ def test_streaming_keyword_maintenance_pending_compacts(spark, sf_dir, tmp_path)
     # batch 1 triggered compaction: delta truncated, base carries the index
     assert snaps.read_snapshot(spark, delta).count() == 0
     assert snaps.read_snapshot(spark, base).count() == len(want)
+    # the opt-in positions pending pair rode the same clock (r10)
+    want_pos = sorted(
+        (r["kind"], r["term"], r["id"], tuple(r["positions"]))
+        for r in ki.build_positions_postings(toks, "tokens_exact")
+        .withColumn("kind", F.lit("exact"))
+        .unionByName(
+            ki.build_positions_postings(toks, "tokens_stemmed").withColumn(
+                "kind", F.lit("stemmed")
+            )
+        )
+        .collect()
+    )
+    got_pos = sorted(
+        (r["kind"], r["term"], r["id"], tuple(r["positions"]))
+        for r in ki.positions_resolve(spark, pbase, pdelta)
+        .select("kind", "term", "id", "positions")
+        .collect()
+    )
+    assert got_pos == want_pos
+    assert snaps.read_snapshot(spark, pdelta).count() == 0
     docs.unpersist()
 
 
