@@ -5386,13 +5386,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- ngram_jaccard, pagerank for pagerank_weighted). Everything
     # --- past the window keeps its previous relative order and is
     # --- covered by the committed full-gate run (CORRECTNESS_SELF.json).
+    # r10 rotation: this round's additions take the seats of multi-round
+    # green entries (which all remain in the full 198-query gate /
+    # CORRECTNESS_SELF) so the driver window verifies the NEW surface —
+    # rotated out: image_neardup_dct, audio_neardup, video_neardup (the
+    # r9 multimodal trio, image_neardup stays as family representative),
+    # gopher_unicode, hits_warm, language_id_multi, chunk_sentence_aware,
+    # chunk_token_window.
     window = [
+        "bm25_upsert", "porter2_vocab", "positions_upsert",
+        "positions_pending_resolve", "keyword_bm25_indexed",
+        "keyword_snippets_indexed", "hybrid_dbsf_indexed",
+        "hybrid_many_websearch_fast",
         "cdx_index", "image_neardup", "frontier_delta", "mmr_diversify",
-        "keyword_facets", "temperature_mix", "image_neardup_dct",
-        "audio_neardup", "video_neardup", "perplexity_bigram",
+        "keyword_facets", "temperature_mix", "perplexity_bigram",
         "remove_dup_spans",
-        "keyword_unicode", "gopher_unicode", "minhash_unicode",
-        "gopher_multi", "hits_warm",
+        "keyword_unicode", "minhash_unicode",
+        "gopher_multi",
         "frontier_schedule_join", "pagerank_warm", "keyword_indexed_phrase",
         "frontier_schedule", "crawl_frontier", "domain_caps",
         "pagerank", "hits",
@@ -5403,11 +5413,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_postings_upsert", "tf_pending_resolve",
         "gopher_filter", "quality_stats", "token_entropy",
         "tfidf_top_terms", "dsir_weights",
-        "language_id", "language_id_multi",
+        "language_id",
         "minhash_lsh", "simhash_pairs",
         "contamination",
         "chunk_semantic",
-        "chunk_sentence_aware", "chunk_token_window",
     ]
     assert len(window) == 50, f"driver window must stay at 50 seats, got {len(window)}"
     out = {k: base[k] for k in window}

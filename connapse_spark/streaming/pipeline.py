@@ -643,6 +643,8 @@ def streaming_keyword_maintenance_pending(
     compact_every: int = 8,
     positions_base_dir: str | None = None,
     positions_delta_dir: str | None = None,
+    retain_last: int | None = None,
+    vacuum_min_age_seconds: float = 0.0,
 ) -> None:
     """High-frequency variant of :func:`streaming_keyword_maintenance` —
     the GIN-fastupdate regime. The overwrite variant pays O(index) per
@@ -662,7 +664,15 @@ def streaming_keyword_maintenance_pending(
     — the phrase/proximity serving structure, and the layout where the
     O(index)-per-batch overwrite hurts most. Appends and compactions
     ride the same micro-batch clock; readers resolve via
-    ``keyword_index.positions_resolve``."""
+    ``keyword_index.positions_resolve``.
+
+    ``retain_last`` (r10) bounds version growth the way the overwrite
+    variant does: the delta accretes one snapshot version per append and
+    the base one per compaction, so a long-running stream without it
+    accumulates manifests forever. Vacuum runs on the compaction cadence
+    (right after the fold, when old versions stop being the serve path)
+    over every table this stream writes; raise
+    ``vacuum_min_age_seconds`` if anything else ever commits to them."""
     from connapse_spark.operators.keyword_index import (
         positions_compact,
         positions_pending_append,
@@ -696,6 +706,18 @@ def streaming_keyword_maintenance_pending(
                 positions_compact(
                     batch_df.sparkSession, positions_base_dir, positions_delta_dir
                 )
+            if retain_last is not None:
+                from connapse_spark.sources import snapshots
+
+                dirs = [base_dir, delta_dir]
+                if positions_delta_dir is not None:
+                    dirs += [positions_base_dir, positions_delta_dir]
+                for d in dirs:
+                    snapshots.vacuum_snapshot(
+                        d,
+                        keep_last=retain_last,
+                        min_age_seconds=vacuum_min_age_seconds,
+                    )
 
     q = (
         stream.writeStream.foreachBatch(handle)

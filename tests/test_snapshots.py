@@ -1260,6 +1260,46 @@ def test_streaming_keyword_maintenance_intra_batch_lww(spark, sf_dir, tmp_path):
     assert by_doc == want
 
 
+def test_streaming_pending_retention(spark, sf_dir, tmp_path):
+    """retain_last on the PENDING stream (r10): the delta accretes one
+    version per append and the base one per compact — with vacuum on the
+    compaction cadence only the newest versions stay readable while the
+    resolved index keeps serving the live corpus."""
+    import pytest as _pytest
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.sources import snapshots as snaps
+    from connapse_spark.streaming.pipeline import streaming_keyword_maintenance_pending
+
+    watch = str(tmp_path / "incoming")
+    base = str(tmp_path / "base")
+    delta = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    d1 = spark.createDataFrame(
+        [(1, "alpha beta", "U", None)], "doc_id long, text string, op string, seq long"
+    )
+    d1.coalesce(1).write.mode("append").parquet(watch)
+    streaming_keyword_maintenance_pending(
+        spark, watch, base, delta, ckpt, compact_every=1, retain_last=1
+    )
+    bv1 = snaps.latest_version(base)
+    d2 = spark.createDataFrame(
+        [(2, "gamma delta", "U", None)], "doc_id long, text string, op string, seq long"
+    )
+    d2.coalesce(1).write.mode("append").parquet(watch)
+    streaming_keyword_maintenance_pending(
+        spark, watch, base, delta, ckpt, compact_every=1, retain_last=1
+    )
+    assert snaps.latest_version(base) > bv1
+    ids = {
+        r["id"] for r in ki.tf_resolve(spark, base, delta).select("id").collect()
+    }
+    assert ids == {1, 2}  # live index intact through compact + vacuum
+    with _pytest.raises(Exception):
+        snaps.read_snapshot(spark, base, version=bv1).collect()
+
+
 def test_streaming_keyword_maintenance_retention(spark, sf_dir, tmp_path):
     """retain_last bounds the stream's version growth: with vacuum every
     batch and keep_last=1 only the newest version's manifest survives each
