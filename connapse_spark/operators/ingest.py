@@ -243,13 +243,8 @@ def ingest_serving(
         # batched-websearch tiers serve from (term, id, positions) — without
         # this table a restart could not answer a quoted phrase from disk.
         # The GIN-with-positions storage trade, applied to the layout.
-        pos_all = (
-            pos_e.withColumn("kind", F.lit("exact"))
-            .unionByName(pos_s.withColumn("kind", F.lit("stemmed")))
-            .select("kind", "term", "id", "positions")
-        )
         tables["positions_postings"] = snapshots.commit_snapshot(
-            pos_all,
+            ki.build_positions_all(tokens),
             os.path.join(base_dir, "positions_postings"),
             partition_by=["kind"],
         )

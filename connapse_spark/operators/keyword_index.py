@@ -181,6 +181,22 @@ def build_tf_postings(
     )
 
 
+def build_positions_all(tokens: DataFrame) -> DataFrame:
+    """Both configs' positions postings as one kind-partitionable frame
+    (kind ∈ exact|stemmed, term, id, positions) — the layout every
+    positions writer commits (serving table, pending delta)."""
+    return (
+        build_positions_postings(tokens, "tokens_exact")
+        .withColumn("kind", F.lit("exact"))
+        .unionByName(
+            build_positions_postings(tokens, "tokens_stemmed").withColumn(
+                "kind", F.lit("stemmed")
+            )
+        )
+        .select("kind", "term", "id", "positions")
+    )
+
+
 def build_positions_postings(
     tokens: DataFrame, token_col: str = "tokens_exact"
 ) -> DataFrame:
@@ -937,6 +953,7 @@ def tf_pending_append(
     delta_dir: str,
     deleted_ids: "list[int] | DataFrame | None" = None,
     batch: int | None = None,
+    tokens: DataFrame | None = None,
 ) -> int:
     """PENDING-LIST maintenance of the tf-postings index (the GIN
     fastupdate regime): instead of rewriting the whole term-clustered
@@ -958,20 +975,51 @@ def tf_pending_append(
     streaming caller passes its replayed-stable micro-batch id; default
     = next delta version); replaying the same batch appends
     byte-identical rows, which resolution dedups — crash-replay is
-    idempotent at serve time."""
+    idempotent at serve time. ``tokens`` lets a caller maintaining
+    several structures from one batch tokenize once (the streaming
+    pending handler passes a persisted table to both appends)."""
+
+    def _fresh(toks: DataFrame) -> DataFrame:
+        return (
+            build_tf_postings(toks, "tokens_exact").withColumn(
+                "kind", F.lit("exact")
+            )
+            .unionByName(
+                build_tf_postings(toks, "tokens_stemmed").withColumn(
+                    "kind", F.lit("stemmed")
+                )
+            )
+            .select("kind", "term", "id", "tf")
+            .unionByName(doclen_partition_rows(build_doclen_table(toks)))
+        )
+
+    return _pending_append(
+        docs_batch, delta_dir, _fresh, "tf", "long", deleted_ids, batch, tokens
+    )
+
+
+def _pending_append(
+    docs_batch: DataFrame,
+    delta_dir: str,
+    fresh_builder,
+    payload: str,
+    payload_type: str,
+    deleted_ids,
+    batch: int | None,
+    tokens: DataFrame | None = None,
+) -> int:
+    """The shared pending-append skeleton (tombstone-clock twin of
+    :func:`_pending_resolve`): one batch's fresh rows from
+    ``fresh_builder(token_table)`` plus one tomb row per affected id,
+    stamped with a monotone batch id and committed kind-partitioned in
+    append mode. The clock / replay-idempotence / crash-safety argument
+    lives here ONCE — the tf and positions regimes differ only in their
+    payload column and fresh-row builder."""
     from connapse_spark.sources import snapshots
 
     spark = docs_batch.sparkSession
-    toks = build_token_table(docs_batch)
-    fresh = (
-        build_tf_postings(toks, "tokens_exact").withColumn("kind", F.lit("exact"))
-        .unionByName(
-            build_tf_postings(toks, "tokens_stemmed").withColumn(
-                "kind", F.lit("stemmed")
-            )
-        )
-        .unionByName(doclen_partition_rows(build_doclen_table(toks)))
-    )
+    toks = build_token_table(docs_batch) if tokens is None else tokens
+    fresh = fresh_builder(toks)
     affected, _ = _affected_ids(spark, toks, deleted_ids)
     lv = snapshots.latest_version(delta_dir)
     if batch is None:
@@ -980,10 +1028,10 @@ def tf_pending_append(
         F.lit("tomb").alias("kind"),
         F.lit("").alias("term"),
         "id",
-        F.lit(None).cast("long").alias("tf"),
+        F.expr(f"CAST(NULL AS {payload_type})").alias(payload),
     )
     rows = (
-        fresh.select("kind", "term", "id", "tf")
+        fresh.select("kind", "term", "id", payload)
         .unionByName(tomb)
         .withColumn("batch", F.lit(int(batch)).cast("long"))
     )
@@ -1072,12 +1120,20 @@ def tf_compact(spark, base_dir: str, delta_dir: str) -> int:
     resolution over the old pair — re-running compaction converges.
     Old base/delta versions stay readable for pinned readers until a
     retention pass expires them."""
+    return _pending_compact(spark, base_dir, delta_dir, tf_resolve, "tf long")
+
+
+def _pending_compact(spark, base_dir, delta_dir, resolve_fn, payload_schema) -> int:
+    """Shared compact: commit the resolved view as the next base version,
+    then truncate the delta — the crash-safety argument (stale delta over
+    a compacted base resolves identically) holds for any payload because
+    the tombstone clock never reads it."""
     from connapse_spark.sources import snapshots
 
-    resolved = tf_resolve(spark, base_dir, delta_dir)
+    resolved = resolve_fn(spark, base_dir, delta_dir)
     v = snapshots.commit_snapshot(resolved, base_dir, partition_by=["kind"])
     empty = spark.createDataFrame(
-        [], "kind string, term string, id long, tf long, batch long"
+        [], f"kind string, term string, id long, {payload_schema}, batch long"
     )
     snapshots.commit_snapshot(empty, delta_dir, partition_by=["kind"])
     return v
@@ -1088,6 +1144,7 @@ def positions_pending_append(
     delta_dir: str,
     deleted_ids: "list[int] | DataFrame | None" = None,
     batch: int | None = None,
+    tokens: DataFrame | None = None,
 ) -> int:
     """PENDING-LIST maintenance of the positions postings — the
     fastupdate regime for the phrase/proximity serving structure (r10:
@@ -1099,43 +1156,17 @@ def positions_pending_append(
     id append in O(batch); :func:`positions_resolve` serves base ∪
     delta; :func:`positions_compact` folds on your cadence. Same
     monotone-batch / replay-idempotence contract as
-    :func:`tf_pending_append` (the clock logic is shared code)."""
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    from connapse_spark.sources import snapshots
-
-    spark = docs_batch.sparkSession
-    toks = build_token_table(docs_batch)
-    fresh = (
-        build_positions_postings(toks, "tokens_exact").withColumn(
-            "kind", F.lit("exact")
-        )
-        .unionByName(
-            build_positions_postings(toks, "tokens_stemmed").withColumn(
-                "kind", F.lit("stemmed")
-            )
-        )
-    )
-    affected, _ = _affected_ids(spark, toks, deleted_ids)
-    lv = snapshots.latest_version(delta_dir)
-    if batch is None:
-        batch = 0 if lv is None else lv + 1
-    tomb = affected.distinct().select(
-        F.lit("tomb").alias("kind"),
-        F.lit("").alias("term"),
-        "id",
-        F.lit(None).cast(ArrayType(IntegerType())).alias("positions"),
-    )
-    rows = (
-        fresh.select("kind", "term", "id", "positions")
-        .unionByName(tomb)
-        .withColumn("batch", F.lit(int(batch)).cast("long"))
-    )
-    return snapshots.commit_snapshot(
-        rows,
+    :func:`tf_pending_append` (the clock logic is shared code);
+    ``tokens`` shares one token table across several appends."""
+    return _pending_append(
+        docs_batch,
         delta_dir,
-        mode="append" if lv is not None else "overwrite",
-        partition_by=["kind"],
+        build_positions_all,
+        "positions",
+        "array<int>",
+        deleted_ids,
+        batch,
+        tokens,
     )
 
 
@@ -1162,16 +1193,9 @@ def positions_compact(spark, base_dir: str, delta_dir: str) -> int:
     convergence argument as :func:`tf_compact`: a committed base with a
     stale (untruncated) delta resolves identically, so re-running
     compaction converges."""
-    from connapse_spark.sources import snapshots
-
-    resolved = positions_resolve(spark, base_dir, delta_dir)
-    v = snapshots.commit_snapshot(resolved, base_dir, partition_by=["kind"])
-    empty = spark.createDataFrame(
-        [],
-        "kind string, term string, id long, positions array<int>, batch long",
+    return _pending_compact(
+        spark, base_dir, delta_dir, positions_resolve, "positions array<int>"
     )
-    snapshots.commit_snapshot(empty, delta_dir, partition_by=["kind"])
-    return v
 
 
 def read_tf_postings(

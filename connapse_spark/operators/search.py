@@ -1975,18 +1975,23 @@ def hybrid_search_many(
             ]).alias("_oks")
         )
     base = corpus.select(*base_cols)
+    # query-side stemming must match the analyzer the served token arrays
+    # were built with — the bundle carries it (r10; None = suffix default)
+    stem = stem_py
+    if keyword_index is not None and keyword_index.stem_fn is not None:
+        stem = keyword_index.stem_fn
     per_q = []
     for i, (qid, qtext) in enumerate(queries):
         qarr = F.array(*[F.lit(float(x)) for x in embed_py(qtext, dims)])
         if websearch:
             groups = parse_websearch(qtext)
             kscore = F.when(
-                websearch_match_expr(F.col("_te"), F.col("_ts"), groups),
-                websearch_score_expr(F.col("_te"), F.col("_ts"), groups),
+                websearch_match_expr(F.col("_te"), F.col("_ts"), groups, stem_fn=stem),
+                websearch_score_expr(F.col("_te"), F.col("_ts"), groups, stem_fn=stem),
             ).otherwise(F.lit(0.0))
         else:
             terms = sorted(set(tokenize_py(qtext)))
-            stems = sorted({stem_py(t) for t in terms})
+            stems = sorted({stem(t) for t in terms})
             raw = F.lit(WEIGHT_EXACT) * F.size(
                 F.filter(F.col("_te"), lambda t: t.isin(*terms))
             ) + F.lit(WEIGHT_STEMMED) * F.size(
@@ -2131,6 +2136,7 @@ def hybrid_search_many_fast(
     vector_index=None,
     websearch: bool = False,
     positions_postings: tuple[DataFrame, DataFrame] | None = None,
+    stem_fn=None,
 ) -> DataFrame:
     """PRODUCTION tier of :func:`hybrid_search_many` — identical
     semantics, kernels built for N: per-query JVM folds are interpreted
@@ -2321,16 +2327,17 @@ def hybrid_search_many_fast(
             pos_e = ki.build_positions_postings(toks_ws, "tokens_exact")
             pos_s = ki.build_positions_postings(toks_ws, "tokens_stemmed")
         k_entries = ki.websearch_scores_indexed(
-            tf_e, tf_s, pos_e, pos_s, queries
+            tf_e, tf_s, pos_e, pos_s, queries, stem_fn=stem_fn
         ).select(
             "qid", F.lit("k").alias("branch"), F.col("score").alias("bscore"), "id"
         )
     else:
+        _stem = stem_py if stem_fn is None else stem_fn
         qe_rows, qs_rows = [], []
         for qid, qtext in queries:
             terms = sorted(set(tokenize_py(qtext)))
             qe_rows += [(int(qid), t) for t in terms]
-            qs_rows += [(int(qid), st) for st in sorted({stem_py(t) for t in terms})]
+            qs_rows += [(int(qid), st) for st in sorted({_stem(t) for t in terms})]
         qe_df = spark.createDataFrame(qe_rows, "qid int, t string")
         qs_df = spark.createDataFrame(qs_rows, "qid int, st string")
         if tf_postings is not None:

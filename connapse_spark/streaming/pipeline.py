@@ -674,6 +674,7 @@ def streaming_keyword_maintenance_pending(
     over every table this stream writes; raise
     ``vacuum_min_age_seconds`` if anything else ever commits to them."""
     from connapse_spark.operators.keyword_index import (
+        build_token_table,
         positions_compact,
         positions_pending_append,
         tf_compact,
@@ -695,11 +696,27 @@ def streaming_keyword_maintenance_pending(
         is_del = F.coalesce(F.col("op"), F.lit("U")) == "D"
         upserts = latest.filter(~is_del).select("doc_id", "text")
         deleted = latest.filter(is_del).select(F.col("doc_id").alias("id"))
-        tf_pending_append(upserts, delta_dir, deleted_ids=deleted, batch=batch_id)
+        # tokenize ONCE per micro-batch: with the positions pair enabled,
+        # two independent appends would each re-run the LWW cut + the
+        # tokenizer — the dominant per-batch CPU of an O(batch) append
+        toks = build_token_table(upserts)
         if positions_delta_dir is not None:
-            positions_pending_append(
-                upserts, positions_delta_dir, deleted_ids=deleted, batch=batch_id
+            toks = toks.persist()
+        try:
+            tf_pending_append(
+                upserts, delta_dir, deleted_ids=deleted, batch=batch_id, tokens=toks
             )
+            if positions_delta_dir is not None:
+                positions_pending_append(
+                    upserts,
+                    positions_delta_dir,
+                    deleted_ids=deleted,
+                    batch=batch_id,
+                    tokens=toks,
+                )
+        finally:
+            if positions_delta_dir is not None:
+                toks.unpersist()
         if compact_every and (batch_id + 1) % compact_every == 0:
             tf_compact(batch_df.sparkSession, base_dir, delta_dir)
             if positions_delta_dir is not None:

@@ -123,6 +123,20 @@ def test_build_token_table_porter2_and_bm25_serving(spark, sf_dir):
     ).collect()
     assert [r["id"] for r in kw] == [2]
 
+    # …and through the BATCHED oracle tier (review finding: the batch
+    # tier read the bundle's token arrays but stemmed queries with the
+    # default stripper — porter2 matches scored 0 silently)
+    from connapse_spark.operators.search import hybrid_search_many
+
+    corp = docs.withColumn(
+        "embedding", F.array(*[F.lit(0.1) for _ in range(8)])
+    )
+    got = hybrid_search_many(
+        corp, [(1, "rationally")], top_k=4, dims=8, keyword_index=kidx
+    ).collect()
+    kw_hits = {r["doc_id"] for r in got if r["keyword_score"] > 0.0}
+    assert kw_hits == {2}
+
     # real-corpus parity sweep for the UDF on sf0.001 text
     corpus = (
         spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))

@@ -65,18 +65,37 @@ def main() -> None:
         try:
             pos_dir = os.path.join(root, "pos")
             delta_dir = os.path.join(root, "delta")
-            pos = ki.build_positions_postings(ki.build_token_table(docs))
-            snapshots.commit_snapshot(pos, pos_dir)
+            # SAME workload on both sides: maintain BOTH configs (exact +
+            # stemmed), exactly what the streaming positions path commits
+            pos = ki.build_positions_all(ki.build_token_table(docs))
+            snapshots.commit_snapshot(pos, pos_dir, partition_by=["kind"])
             n = snapshots.read_snapshot(spark, pos_dir).count()
 
             best_ow = float("inf")
             for _ in range(2):
                 stored = snapshots.read_snapshot(spark, pos_dir)
                 t0 = time.time()
-                merged = ki.upsert_positions_postings(
-                    stored, ki.build_token_table(batch)
+                btoks = ki.build_token_table(batch)
+                parts = []
+                for kind, col in (
+                    ("exact", "tokens_exact"),
+                    ("stemmed", "tokens_stemmed"),
+                ):
+                    cur_k = stored.filter(F.col("kind") == kind).select(
+                        "term", "id", "positions"
+                    )
+                    parts.append(
+                        ki.upsert_positions_postings(
+                            cur_k, btoks, token_col=col
+                        ).withColumn("kind", F.lit(kind))
+                    )
+                snapshots.commit_snapshot(
+                    parts[0]
+                    .unionByName(parts[1])
+                    .select("kind", "term", "id", "positions"),
+                    pos_dir,
+                    partition_by=["kind"],
                 )
-                snapshots.commit_snapshot(merged, pos_dir)
                 best_ow = min(best_ow, time.time() - t0)
 
             best_ap = float("inf")
