@@ -491,13 +491,26 @@ def ingest_serving_incremental(
         )
         if tf_mode == "pending":
             # O(batch): append postings + tombstones to the pending delta;
-            # serve via tf_resolve(tf_dir, tf_pending), fold with tf_compact
+            # serve via tf_resolve(tf_dir, tf_pending), fold with tf_compact.
+            # Positions ride their OWN pending delta on the same clock
+            # (r10: the fastupdate regime reached the array payload, so
+            # pending-mode cuts can serve phrases via positions_resolve
+            # instead of dropping the pin). Both appends share tokens_new —
+            # one tokenize per wave.
+            batch_docs = chunks.select(
+                F.col("chunk_id").alias("doc_id"), F.col("content").alias("text")
+            )
             tfv = ki.tf_pending_append(
-                chunks.select(
-                    F.col("chunk_id").alias("doc_id"), F.col("content").alias("text")
-                ),
+                batch_docs,
                 os.path.join(base_dir, "tf_pending"),
                 deleted_ids=deleted_ids,
+                tokens=tokens_new,
+            )
+            pposv = ki.positions_pending_append(
+                batch_docs,
+                os.path.join(base_dir, "positions_pending"),
+                deleted_ids=deleted_ids,
+                tokens=tokens_new,
             )
         else:
             cur_tfe, cur_tfs = ki.read_tf_postings(
@@ -650,14 +663,19 @@ def ingest_serving_incremental(
             # overwrite wave may have advanced the table past the published
             # cut, and pinning that torn version would launder it into a
             # "consistent" cut) plus the pending-delta version readers resolve.
-            # positions_postings is deliberately DROPPED from a pending-mode
-            # cut: the delta carries no positions, so a carried-forward pin
-            # would serve STALE phrase matches as if fresh — absent beats
-            # wrong (load_serving returns positions_postings=None)
+            # The positions pair pins the same way (r10: positions ride
+            # their own pending delta, so phrase serving resolves fresh
+            # instead of the pin being dropped): carried-forward base when
+            # the layout has one — a legacy pre-positions layout carries
+            # nothing and load_serving keeps returning None — plus this
+            # wave's delta version.
             tf_tables = {
                 "tf_postings": pinned["tf_postings"],
                 "tf_pending": tfv,
+                "positions_pending": pposv,
             }
+            if "positions_postings" in pinned:
+                tf_tables["positions_postings"] = pinned["positions_postings"]
         else:
             tf_tables = {"tf_postings": tfv, "positions_postings": posn_v}
         sv = publish_serving(
@@ -796,11 +814,23 @@ def load_serving(
     if doclen.count() != tokens.count():
         doclen = ki.build_doclen_table(tokens)
     # (term, id, positions) pair for the phrase/proximity/batched-websearch
-    # tiers (r10). None when the cut carries no positions table: pre-r10
-    # layouts, and pending-mode cuts (their delta carries no positions, so
-    # serving stale phrase matches is worse than declining to)
-    if "positions_postings" in pinned:
+    # tiers (r10). A pending-mode cut resolves base ∪ positions_pending at
+    # the pinned versions (positions ride their own fastupdate delta, so
+    # phrase serving stays FRESH through pending waves); an overwrite cut
+    # opens the committed table; None only on pre-positions legacy layouts.
+    if "positions_pending" in pinned and "positions_postings" in pinned:
+        pos = ki.positions_resolve(
+            spark,
+            os.path.join(base_dir, "positions_postings"),
+            os.path.join(base_dir, "positions_pending"),
+            base_version=pinned["positions_postings"],
+            delta_version=pinned["positions_pending"],
+        )
+    elif "positions_postings" in pinned:
         pos = _open("positions_postings")
+    else:
+        pos = None
+    if pos is not None:
         pos_pair = (
             pos.filter(F.col("kind") == "exact").select("term", "id", "positions"),
             pos.filter(F.col("kind") == "stemmed").select("term", "id", "positions"),

@@ -906,12 +906,27 @@ def test_ingest_serving_incremental_pending_mode(spark, sf_dir, tmp_path):
     assert {tuple(r) for r in resolved.select(*cols).collect()} == {
         tuple(r) for r in want_tf.select(*cols).collect()
     }
-    # a pending-mode cut must NOT pin positions: the delta carries no
-    # positions rows, so serving them would answer phrases from the
-    # pre-wave corpus as if fresh (r10 contract: absent beats wrong)
+    # a pending-mode cut serves phrases FRESH: positions ride their own
+    # pending delta and load_serving resolves base ∪ delta at the pinned
+    # versions — row-equal to tables built from scratch over the live
+    # chunk corpus (r10; the earlier drop-the-pin compromise is gone)
     from connapse_spark.operators.ingest import load_serving as _ls
 
-    assert _ls(spark, base)["positions_postings"] is None
+    cut = _ls(spark, base)
+    assert cut["positions_postings"] is not None
+    live_chunks = ingest_serving(live)
+    toks_live = ki.build_token_table(
+        live_chunks["chunks"], id_col="chunk_id", text_col="content"
+    )
+    fe = ki.build_positions_postings(toks_live, "tokens_exact")
+    fs = ki.build_positions_postings(toks_live, "tokens_stemmed")
+    pq = [(1, '"table scan"'), (2, '"merge join"')]
+    got_ph = ki.keyword_search_many_phrase_indexed(
+        *cut["positions_postings"], pq, k=5
+    ).collect()
+    want_ph = ki.keyword_search_many_phrase_indexed(fe, fs, pq, k=5).collect()
+    assert [tuple(r) for r in got_ph] == [tuple(r) for r in want_ph]
+    live_chunks["chunks"].unpersist(), live_chunks["vectors"].unpersist()
     for h in (first, out, want):
         h["chunks"].unpersist(), h["vectors"].unpersist()
     docs.unpersist()
