@@ -513,9 +513,32 @@ def ingest_serving_incremental(
                 tokens=tokens_new,
             )
         else:
-            cur_tfe, cur_tfs = ki.read_tf_postings(
-                spark, tf_dir, version=pinned["tf_postings"]
-            )
+            # an overwrite wave following PENDING waves must fold their
+            # outstanding delta first — reading the pinned base alone would
+            # silently drop every change the pending waves appended (the
+            # cut's tf_pending pin marks exactly this state). The resolved
+            # view is the pending cut's own serve-time truth, so upserting
+            # over it converges; the fresh overwrite cut then drops the
+            # pending pin and later pending waves' stale delta rows resolve
+            # away against the folded base (the tf_compact argument).
+            if "tf_pending" in pinned:
+                resolved_tf = ki.tf_resolve(
+                    spark,
+                    tf_dir,
+                    os.path.join(base_dir, "tf_pending"),
+                    base_version=pinned["tf_postings"],
+                    delta_version=pinned["tf_pending"],
+                )
+                cur_tfe = resolved_tf.filter(F.col("kind") == "exact").select(
+                    "term", "id", "tf"
+                )
+                cur_tfs = resolved_tf.filter(F.col("kind") == "stemmed").select(
+                    "term", "id", "tf"
+                )
+            else:
+                cur_tfe, cur_tfs = ki.read_tf_postings(
+                    spark, tf_dir, version=pinned["tf_postings"]
+                )
             parts = []
             for kind, col, cur_k in (
                 ("exact", "tokens_exact", cur_tfe),
@@ -535,7 +558,16 @@ def ingest_serving_incremental(
             # doclen rows on the tombstone clock (tf_pending_append), and
             # load_serving's completeness guard catches a legacy base by
             # deriving lengths from the pinned tokens table.
-            cur_dl = ki.read_doclen(spark, tf_dir, version=pinned["tf_postings"])
+            if "tf_pending" in pinned:
+                # same fold-first rule as the tf rows above: the delta
+                # carries doclen rows on the tombstone clock
+                cur_dl = resolved_tf.filter(F.col("kind") == "doclen").select(
+                    "id", F.col("tf").alias("dl")
+                )
+            else:
+                cur_dl = ki.read_doclen(
+                    spark, tf_dir, version=pinned["tf_postings"]
+                )
             if cur_dl.isEmpty():
                 dl_new = ki.build_doclen_table(
                     snapshots.read_snapshot(spark, tokens_dir, version=tokv)
@@ -560,10 +592,23 @@ def ingest_serving_incremental(
             # pass), converging the layout in one wave
             pos_dir = os.path.join(base_dir, "positions_postings")
             pos_parts = []
-            if "positions_postings" in pinned:
+            if "positions_pending" in pinned and "positions_postings" in pinned:
+                # fold-first: pending waves' positions delta resolves into
+                # the upsert's base view (same rule as the tf rows)
+                cur_pos = ki.positions_resolve(
+                    spark,
+                    pos_dir,
+                    os.path.join(base_dir, "positions_pending"),
+                    base_version=pinned["positions_postings"],
+                    delta_version=pinned["positions_pending"],
+                )
+            elif "positions_postings" in pinned:
                 cur_pos = snapshots.read_snapshot(
                     spark, pos_dir, version=pinned["positions_postings"]
                 )
+            else:
+                cur_pos = None
+            if cur_pos is not None:
                 for kind, col in (
                     ("exact", "tokens_exact"),
                     ("stemmed", "tokens_stemmed"),

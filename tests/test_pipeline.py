@@ -1020,6 +1020,87 @@ def test_load_serving_restart_round_trip(spark, sf_dir, tmp_path):
     docs.unpersist()
 
 
+def test_mixed_mode_overwrite_folds_pending_delta(spark, sf_dir, tmp_path):
+    """A pending wave followed by an OVERWRITE wave must not lose the
+    pending wave's changes: the overwrite branch folds the cut's
+    outstanding tf/positions deltas (tf_resolve / positions_resolve at
+    the pinned versions) before upserting (r10 — previously it read the
+    pinned base alone and the pending wave's postings silently vanished
+    from the fresh commit). Final serving state must equal a from-scratch
+    ingest over the live corpus across tf, doclen-served BM25, and
+    positions."""
+    import os as _os
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.ingest import (
+        ingest_serving,
+        ingest_serving_incremental,
+        load_serving,
+    )
+
+    docs = (
+        spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 15)
+        .select("doc_id", "text")
+        .persist()
+    )
+    base = str(tmp_path / "serving")
+    first = ingest_serving(docs, base_dir=base)
+    # wave 1 (pending): update doc 3, delete doc 7
+    b1 = docs.filter(F.col("doc_id") == 3).select(
+        "doc_id", F.lit("pending wave table scan words").alias("text")
+    )
+    w1 = ingest_serving_incremental(
+        b1, base, deleted_doc_ids=[7], tf_mode="pending", rebuild_threshold=2.0
+    )
+    # wave 2 (overwrite): update doc 9, delete doc 11
+    b2 = docs.filter(F.col("doc_id") == 9).select(
+        "doc_id", F.lit("overwrite wave merge join words").alias("text")
+    )
+    w2 = ingest_serving_incremental(
+        b2, base, deleted_doc_ids=[11], rebuild_threshold=2.0
+    )
+
+    live = docs.filter(~F.col("doc_id").isin(3, 7, 9, 11)).unionByName(
+        b1
+    ).unionByName(b2)
+    want = ingest_serving(live)
+    cut = load_serving(spark, base)
+    assert "tf_pending" not in cut["tables"]  # the fresh cut dropped the pin
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    # tf: wave-1's postings survived the overwrite fold
+    assert rows(cut["tf_postings"][0]) == rows(want["tf_postings"][0])
+    assert rows(cut["tf_postings"][1]) == rows(want["tf_postings"][1])
+    # BM25 over the folded doclen == scan tier over the live chunks
+    got_bm25 = ki.keyword_search_bm25_indexed(
+        cut["tf_postings"][1], cut["doclen"], "table scan", k=10
+    ).collect()
+    want_bm25 = ki.keyword_search_bm25_indexed(
+        want["tf_postings"][1],
+        ki.build_doclen_table(
+            ki.build_token_table(want["chunks"], id_col="chunk_id", text_col="content")
+        ),
+        "table scan",
+        k=10,
+    ).collect()
+    assert got_bm25 and [tuple(r) for r in got_bm25] == [tuple(r) for r in want_bm25]
+    # positions: folded base serves phrases == fresh tables
+    pq = [(1, '"table scan"'), (2, '"merge join"')]
+    got_ph = ki.keyword_search_many_phrase_indexed(
+        *cut["positions_postings"], pq, k=5
+    ).collect()
+    want_ph = ki.keyword_search_many_phrase_indexed(
+        *want["positions_postings"], pq, k=5
+    ).collect()
+    assert [tuple(r) for r in got_ph] == [tuple(r) for r in want_ph]
+    for h in (first, w1, w2, want):
+        h["chunks"].unpersist(), h["vectors"].unpersist()
+    docs.unpersist()
+
+
 def test_load_serving_doclen_guard_on_legacy_layout(spark, sf_dir, tmp_path):
     """A pinned cut whose tf snapshot predates the doclen partition (or
     carries a PARTIAL one — the pending-resolve-over-legacy-base shape)
