@@ -4722,6 +4722,105 @@ def _sql_porter2_vocab() -> str:
     )
 
 
+def _porter2_bm25_fixture():
+    """The shared fixture behind ``keyword_bm25_porter2``: a deterministic
+    corpus of overlapping windows over the hand-derived SPEC_VECTORS
+    vocabulary (plain lowercase-ASCII words only, so the tokenizer yields
+    exactly the word list on both engines). Returns (docs, stemmed_docs,
+    query) where stemmed_docs carries the HAND-DERIVED stems — the oracle
+    never runs the stemmer."""
+    from connapse_spark.functions.porter2 import SPEC_VECTORS
+
+    pairs = [
+        (w, s)
+        for w, s in SPEC_VECTORS
+        if w.isascii() and w.isalpha() and w == w.lower()
+    ]
+    docs = []
+    stemmed = []
+    for i in range(12):
+        window = pairs[i * 8 : i * 8 + 20]
+        docs.append((i, " ".join(w for w, _ in window)))
+        stemmed.append((i, [s for _, s in window]))
+    # query words drawn from the vocabulary so their stems are the
+    # hand-derived expectations too: runs→run, rational→ration,
+    # generalization→general — each stem unifies several surface forms
+    # spread across the overlapping windows
+    return docs, stemmed, "runs rational generalization"
+
+
+def q_keyword_bm25_porter2(spark, sf_dir):
+    """BM25 SERVED through a porter2-built index end to end (r11 —
+    VERDICT r10 ask #4: ``porter2_vocab`` pins the stemmer function, but
+    no registry query served a SEARCH through a porter2-built index, and
+    composition seams are where the r10 silent-0 bug lived). Spark builds
+    the index with build_token_table(stemmer='porter2') — the same
+    Arrow-batched UDF the committed serving layout now threads (ask #3)
+    — and scores with keyword_search_bm25_indexed(stem_fn=porter2_stem).
+    The oracle computes the identical fixed-order BM25 arithmetic in SQL
+    over a VALUES table of HAND-DERIVED stems (the porter2_vocab
+    technique, lifted from vocabulary to retrieval): any drift in the
+    stemmer, the analyzer threading, or the serving tier breaks the
+    hash."""
+    from connapse_spark.functions.porter2 import porter2_stem
+    from connapse_spark.operators.keyword_index import (
+        build_doclen_table,
+        build_tf_postings,
+        build_token_table,
+        keyword_search_bm25_indexed,
+    )
+
+    docs, _, query = _porter2_bm25_fixture()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = build_token_table(df, stemmer="porter2")
+    tf = build_tf_postings(toks, "tokens_stemmed")
+    dl = build_doclen_table(toks)
+    return keyword_search_bm25_indexed(
+        tf, dl, query, k=12, stem_fn=porter2_stem
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _sql_keyword_bm25_porter2() -> str:
+    from connapse_spark.functions.porter2 import SPEC_VECTORS
+    from connapse_spark.operators.search import BM25_B, BM25_K1
+
+    _, stemmed, query = _porter2_bm25_fixture()
+    lookup = dict(SPEC_VECTORS)
+    terms = sorted({lookup[w] for w in query.split()})
+    k1, b = BM25_K1, BM25_B
+    rows = ", ".join(f"({i}, '{' '.join(st)}')" for i, st in stemmed)
+    df_cols = ", ".join(
+        f"sum(CASE WHEN list_contains(ts, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    norm = f"({k1!r} * (1.0 - {b!r} + {b!r} * (CAST(dl AS DOUBLE) / avgdl)))"
+    parts = []
+    for i, t in enumerate(terms):
+        tf = f"CAST(len(list_filter(ts, x -> x = '{t}')) AS DOUBLE)"
+        idf = (
+            f"ln(1.0 + (CAST(n AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5) / "
+            f"(CAST(df_{i} AS DOUBLE) + 0.5))"
+        )
+        parts.append(f"{idf} * ({tf} * {k1 + 1.0!r}) / ({tf} + {norm})")
+    score = "(" + " + ".join(parts) + ")"
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(stems, ' ') AS ts,
+         len(string_split(stems, ' ')) AS dl
+  FROM (VALUES {rows}) AS v(doc_id, stems)
+),
+stats AS (
+  SELECT count(*) AS n, sum(dl) AS sumdl, {df_cols} FROM base
+),
+scored AS (
+  SELECT doc_id, round({score}, 9) AS score
+  FROM base, (SELECT *, CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl FROM stats)
+)
+SELECT doc_id, score FROM scored WHERE score > 0.0
+ORDER BY score DESC, doc_id LIMIT 12
+""".strip()
+
+
 def _sql_bm25_upsert() -> str:
     from connapse_spark.operators.search import sql_keyword_bm25
 
@@ -5229,6 +5328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_postings_upsert": q_tf_postings_upsert,
         "bm25_upsert": q_bm25_upsert,
         "porter2_vocab": q_porter2_vocab,
+        "keyword_bm25_porter2": q_keyword_bm25_porter2,
         "tf_pending_resolve": q_tf_pending_resolve,
         "token_shards": q_token_shards,
         "ingest_stats": q_ingest_stats,
@@ -5386,29 +5486,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- ngram_jaccard, pagerank for pagerank_weighted). Everything
     # --- past the window keeps its previous relative order and is
     # --- covered by the committed full-gate run (CORRECTNESS_SELF.json).
-    # r10 rotation: this round's additions take the seats of multi-round
-    # green entries (which all remain in the full 198-query gate /
-    # CORRECTNESS_SELF) so the driver window verifies the NEW surface —
-    # rotated out: image_neardup_dct, audio_neardup, video_neardup (the
-    # r9 multimodal trio, image_neardup stays as family representative),
-    # gopher_unicode, hits_warm, language_id_multi, chunk_sentence_aware,
-    # chunk_token_window.
+    # r11 rotation (VERDICT r10 ask #8): rotate IN the families the
+    # driver has NEVER hash-checked in-window — temporal/events
+    # (asof_attribution, events_rollup, events_sessionize, latest_event),
+    # snapshots/MERGE/CDC (snapshot_merge, cdc_chunks), PQ (pq_topk,
+    # ann_ivfpq), skew (salted_agg) — plus this round's new entry
+    # (keyword_bm25_porter2) and the two phrase-kernel consumers whose
+    # plan changed this round (keyword_many_phrase,
+    # keyword_proximity_indexed). Rotated out (all multi-round green,
+    # all still in the full gate / CORRECTNESS_SELF): cdx_index,
+    # mmr_diversify, keyword_facets, temperature_mix, perplexity_bigram,
+    # remove_dup_spans, keyword_search, keyword_websearch, keyword_bm25,
+    # keyword_many, domain_caps, hits — family representatives stay
+    # (parse_warc/resolve_revisits for the archive trio, crawl_frontier/
+    # frontier_schedule/pagerank for the crawl front, keyword_proximity/
+    # keyword_indexed/keyword_many_indexed/keyword_snippets for the
+    # keyword scan+indexed families).
     window = [
+        "keyword_bm25_porter2", "keyword_many_phrase",
+        "keyword_proximity_indexed", "asof_attribution",
+        "events_rollup", "events_sessionize", "latest_event",
+        "snapshot_merge", "cdc_chunks", "pq_topk", "ann_ivfpq",
+        "salted_agg",
         "bm25_upsert", "porter2_vocab", "positions_upsert",
         "positions_pending_resolve", "keyword_bm25_indexed",
         "keyword_snippets_indexed", "hybrid_dbsf_indexed",
         "hybrid_many_websearch_fast",
-        "cdx_index", "image_neardup", "frontier_delta", "mmr_diversify",
-        "keyword_facets", "temperature_mix", "perplexity_bigram",
-        "remove_dup_spans",
+        "image_neardup", "frontier_delta",
         "keyword_unicode", "minhash_unicode",
         "gopher_multi",
         "frontier_schedule_join", "pagerank_warm", "keyword_indexed_phrase",
-        "frontier_schedule", "crawl_frontier", "domain_caps",
-        "pagerank", "hits",
+        "frontier_schedule", "crawl_frontier",
+        "pagerank",
         "resolve_revisits", "parse_warc", "web_noindex",
-        "keyword_search", "keyword_websearch", "keyword_proximity",
-        "keyword_bm25", "keyword_indexed", "keyword_many",
+        "keyword_proximity",
+        "keyword_indexed",
         "keyword_many_indexed", "keyword_snippets",
         "tf_postings_upsert", "tf_pending_resolve",
         "gopher_filter", "quality_stats", "token_entropy",
@@ -5577,6 +5689,7 @@ def oracle_sql() -> dict[str, str]:
         "tf_postings_upsert": _sql_tf_postings_upsert(),
         "bm25_upsert": _sql_bm25_upsert(),
         "porter2_vocab": _sql_porter2_vocab(),
+        "keyword_bm25_porter2": _sql_keyword_bm25_porter2(),
         "tf_pending_resolve": _sql_tf_postings_upsert(),
         "token_shards": _sql_token_shards(),
         "ann_ivfpq": pq.sql_ann_ivfpq(_embed_query(), k=10, nprobe=3, n_lists=8),

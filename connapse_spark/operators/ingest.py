@@ -30,6 +30,17 @@ from connapse_spark.operators.chunkers import ChunkingSettings
 from connapse_spark.operators.chunking import chunk_documents
 
 
+def _stem_fn_for(stemmer: str):
+    """The query-side stem function matching a layout's recorded analyzer
+    (None = the default JVM suffix stripper, which query tiers apply
+    themselves)."""
+    if stemmer == "porter2":
+        from connapse_spark.functions.porter2 import porter2_stem
+
+        return porter2_stem
+    return None
+
+
 def ingest(
     docs: DataFrame,
     existing_vectors: DataFrame | None = None,
@@ -134,6 +145,7 @@ def ingest_serving(
     ext_col: str | None = None,
     embedder: Column | None = None,
     nprobe: int = 4,
+    stemmer: str = "suffix",
 ) -> dict:
     """The COMPLETE write path: one :func:`ingest` run feeding EVERY
     serving structure the query side reads — the batch re-expression of
@@ -141,6 +153,15 @@ def ingest_serving(
     the ivfflat partial index are maintained by the same INSERT that
     lands the chunk rows; IngestionPipeline.cs:96-414 +
     KnowledgeDbContext.cs:232-245 + VectorColumnManager.cs:14-194).
+
+    ``stemmer`` picks the weight-B analyzer for EVERY keyword structure
+    this layout commits (``"suffix"`` default, ``"porter2"`` — see
+    ``keyword_index.build_token_table``) and is RECORDED in the serving
+    manifest: incremental waves inherit it, :func:`load_serving` hands
+    back the matching ``stem_fn``, and a mismatched explicit override on
+    a later wave raises instead of silently splitting the index across
+    analyzers (r11 — previously the porter2 tier existed only for ad-hoc
+    bundles; the committed layout always tokenized with the default).
 
     Returns a dict: ``chunks``, ``vectors``, ``keyword_index`` (the
     KeywordIndex bundle ``hybrid_search(keyword_index=…)`` serves from),
@@ -187,7 +208,9 @@ def ingest_serving(
     vectors = vectors.persist()
     n_chunks = chunks.count()  # materialize the barrier; sizes the lists policy
 
-    tokens = ki.build_token_table(chunks, id_col="chunk_id", text_col="content")
+    tokens = ki.build_token_table(
+        chunks, id_col="chunk_id", text_col="content", stemmer=stemmer
+    )
     if base_dir is not None:
         # the commit fan-out below evaluates this table ~7 times (two tf
         # builds + doclen inside tf_all, two positions builds, the tokens
@@ -199,6 +222,7 @@ def ingest_serving(
         tokens=tokens,
         postings_exact=ki.build_postings(tokens, "tokens_exact"),
         postings_stemmed=ki.build_postings(tokens, "tokens_stemmed"),
+        stem_fn=_stem_fn_for(stemmer),
     )
     tfe = ki.build_tf_postings(tokens, "tokens_exact")
     tfs = ki.build_tf_postings(tokens, "tokens_stemmed")
@@ -275,7 +299,12 @@ def ingest_serving(
             vidx.centroids, os.path.join(base_dir, "ivf_centroids")
         )
         publish_serving(
-            base_dir, tables, model_id=model_id, dims=dims, nprobe=nprobe
+            base_dir,
+            tables,
+            model_id=model_id,
+            dims=dims,
+            nprobe=nprobe,
+            stemmer=stemmer,
         )
         tokens.unpersist()
     return {
@@ -286,6 +315,264 @@ def ingest_serving(
         "positions_postings": (pos_e, pos_s),
         "vector_index": vidx,
     }
+
+
+def keyword_serving_wave(
+    spark,
+    base_dir: str,
+    batch: DataFrame,
+    deleted_ids: DataFrame,
+    pinned: dict,
+    tf_mode: str = "overwrite",
+    id_col: str = "chunk_id",
+    text_col: str = "content",
+    stemmer: str = "suffix",
+) -> dict:
+    """Fold ONE batch into EVERY keyword serving structure of an
+    ingest_serving layout — the keyword half of
+    :func:`ingest_serving_incremental`, factored out (r11) so the
+    maintenance-mode interleaving fuzz drives the PRODUCTION branch
+    logic (fold-first, truncate-after-fold, doclen bootstrap guard)
+    directly, without paying the chunk/embed/IVF pipeline per wave.
+
+    ``batch`` holds the wave's live rows (``id_col``, ``text_col``);
+    ``deleted_ids`` is a one-column ``id`` frame of EVERY affected old
+    id (updated ids' prior rows AND deleted-only ids). ``pinned`` is the
+    serving cut the wave reads its current state from (manifest
+    ``tables`` dict). Commits tokens / posting arrays always, then per
+    ``tf_mode``:
+
+    - ``"pending"``: O(batch) appends to ``tf_pending`` and
+      ``positions_pending`` (the GIN-fastupdate regime); base tables
+      untouched, the returned mapping carries the previous cut's base
+      pins FORWARD (never latest_version — a crashed overwrite wave may
+      have advanced a table past the published cut, and pinning that
+      torn version would launder it into a "consistent" cut).
+    - ``"overwrite"``: anti-join upserts over the pinned base — with an
+      outstanding pending delta folded in FIRST (reading the base alone
+      would drop every pending wave's changes), the folded deltas
+      truncated AFTER the base commit (a later pending wave over the
+      stale delta would resurrect folded rows — see
+      ``keyword_index.tf_pending_truncate``), and doclen re-bootstrapped
+      from the post-COW tokens whenever upserted coverage disagrees
+      with it (a legacy pre-doclen base under the fold path yields a
+      partial-but-not-empty doclen view).
+
+    Returns the version mapping to merge into the wave's serving
+    manifest: always ``tokens`` + ``postings``, plus
+    ``tf_postings``/``positions_postings`` (overwrite) or
+    ``tf_pending``/``positions_pending`` + carried base pins
+    (pending)."""
+    import os
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.sources import snapshots
+
+    tokens_dir = os.path.join(base_dir, "tokens")
+    postings_dir = os.path.join(base_dir, "postings")
+    tf_dir = os.path.join(base_dir, "tf_postings")
+
+    # persisted: feeds the tokens COW, both posting surgeries, and both tf
+    # upserts — without the barrier the batch re-tokenizes per action
+    tokens_new = ki.build_token_table(
+        batch, id_col=id_col, text_col=text_col, stemmer=stemmer
+    ).persist()
+    try:
+        tokens_new.count()
+        # single-query serving bundle: token table via chunk-keyed COW,
+        # posting arrays via the explode→anti-join surgery — so
+        # hybrid_search(keyword_index=…) over a load_serving() of this
+        # layout stays fresh across increments; deletions stay a DataFrame
+        # end to end (no driver collect on the removal path)
+        tokv = snapshots.apply_changes(
+            spark, tokens_dir, "id", upserts=tokens_new, delete_keys=deleted_ids
+        )
+        cur_posts = snapshots.read_snapshot(
+            spark, postings_dir, version=pinned["postings"]
+        )
+        pparts = []
+        for kind, col in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed")):
+            cur_k = cur_posts.filter(F.col("kind") == kind).select(
+                "term", "ids", "df"
+            )
+            pparts.append(
+                ki.upsert_postings(
+                    cur_k, tokens_new, deleted_ids=deleted_ids, token_col=col
+                ).withColumn("kind", F.lit(kind))
+            )
+        postv = snapshots.commit_snapshot(
+            pparts[0].unionByName(pparts[1]).select("kind", "term", "ids", "df"),
+            postings_dir,
+            partition_by=["kind"],
+        )
+        out = {"tokens": tokv, "postings": postv}
+        if tf_mode == "pending":
+            # O(batch): append postings + tombstones to the pending delta;
+            # serve via tf_resolve(tf_dir, tf_pending), fold with
+            # tf_compact. Positions ride their OWN pending delta on the
+            # same clock (r10), so pending-mode cuts serve phrases via
+            # positions_resolve instead of dropping the pin. Both appends
+            # share tokens_new — one tokenize per wave.
+            batch_docs = batch.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            tfv = ki.tf_pending_append(
+                batch_docs,
+                os.path.join(base_dir, "tf_pending"),
+                deleted_ids=deleted_ids,
+                tokens=tokens_new,
+            )
+            pposv = ki.positions_pending_append(
+                batch_docs,
+                os.path.join(base_dir, "positions_pending"),
+                deleted_ids=deleted_ids,
+                tokens=tokens_new,
+            )
+            out.update({
+                "tf_postings": pinned["tf_postings"],
+                "tf_pending": tfv,
+                "positions_pending": pposv,
+            })
+            if "positions_postings" in pinned:
+                out["positions_postings"] = pinned["positions_postings"]
+            return out
+        # overwrite regime: an overwrite wave following PENDING waves must
+        # fold their outstanding delta first — reading the pinned base
+        # alone would silently drop every change the pending waves appended
+        # (the cut's tf_pending pin marks exactly this state). The resolved
+        # view is the pending cut's own serve-time truth, so upserting over
+        # it converges; the fresh overwrite cut then drops the pending pin.
+        if "tf_pending" in pinned:
+            resolved_tf = ki.tf_resolve(
+                spark,
+                tf_dir,
+                os.path.join(base_dir, "tf_pending"),
+                base_version=pinned["tf_postings"],
+                delta_version=pinned["tf_pending"],
+            )
+            cur_tfe = resolved_tf.filter(F.col("kind") == "exact").select(
+                "term", "id", "tf"
+            )
+            cur_tfs = resolved_tf.filter(F.col("kind") == "stemmed").select(
+                "term", "id", "tf"
+            )
+        else:
+            cur_tfe, cur_tfs = ki.read_tf_postings(
+                spark, tf_dir, version=pinned["tf_postings"]
+            )
+        parts = []
+        for kind, col, cur_k in (
+            ("exact", "tokens_exact", cur_tfe),
+            ("stemmed", "tokens_stemmed", cur_tfs),
+        ):
+            parts.append(
+                ki.upsert_tf_postings(
+                    cur_k, tokens_new, deleted_ids=deleted_ids, token_col=col
+                ).withColumn("kind", F.lit(kind))
+            )
+        # doclen maintains in the same commit (BM25 serves tf + dl from ONE
+        # version cut); in the fold path it rides the delta's tombstone
+        # clock through the resolve above
+        if "tf_pending" in pinned:
+            cur_dl = resolved_tf.filter(F.col("kind") == "doclen").select(
+                "id", F.col("tf").alias("dl")
+            )
+        else:
+            cur_dl = ki.read_doclen(spark, tf_dir, version=pinned["tf_postings"])
+        # completeness guard (load_serving's count rule, enforced at WRITE
+        # time): over a legacy pre-doclen base the fold-first path resolves
+        # doclen rows for the pending batches' docs ONLY — partial but not
+        # empty, so an emptiness check alone would commit a permanently
+        # partial doclen partition and BM25's inner join would silently
+        # drop every uncovered doc. The upserted coverage must equal the
+        # post-COW tokens count exactly (one row per live chunk); on any
+        # disagreement, bootstrap from the tokens version this wave
+        # committed.
+        tok_post = snapshots.read_snapshot(spark, tokens_dir, version=tokv)
+        if cur_dl.isEmpty():
+            dl_new = ki.build_doclen_table(tok_post)
+        else:
+            dl_new = ki.upsert_doclen(cur_dl, tokens_new, deleted_ids=deleted_ids)
+            if dl_new.count() != tok_post.count():
+                dl_new = ki.build_doclen_table(tok_post)
+        parts.append(ki.doclen_partition_rows(dl_new))
+        tfv = snapshots.commit_snapshot(
+            parts[0]
+            .unionByName(parts[1])
+            .select("kind", "term", "id", "tf")
+            .unionByName(parts[2]),
+            tf_dir,
+            partition_by=["kind"],
+        )
+        if "tf_pending" in pinned:
+            # the fold committed the delta's content into the new base —
+            # truncate the delta (versioned: pinned cuts keep reading their
+            # pinned delta versions). Without this, a LATER pending wave
+            # appends onto the stale rows and resolution revives each
+            # folded id's latest-batch delta rows against the new base —
+            # resurrecting stale content for ids this wave updated and
+            # fully resurrecting docs it deleted (the compact crash-safety
+            # argument does NOT cover a base that also carries this wave's
+            # own edits).
+            ki.tf_pending_truncate(spark, os.path.join(base_dir, "tf_pending"))
+        # positions postings maintain with the same anti-join twin; a
+        # legacy layout whose pinned cut predates the table bootstraps from
+        # the tokens version this wave committed (post-COW, one posexplode
+        # pass), converging the layout in one wave
+        pos_dir = os.path.join(base_dir, "positions_postings")
+        pos_parts = []
+        if "positions_pending" in pinned and "positions_postings" in pinned:
+            # fold-first: pending waves' positions delta resolves into the
+            # upsert's base view (same rule as the tf rows)
+            cur_pos = ki.positions_resolve(
+                spark,
+                pos_dir,
+                os.path.join(base_dir, "positions_pending"),
+                base_version=pinned["positions_postings"],
+                delta_version=pinned["positions_pending"],
+            )
+        elif "positions_postings" in pinned:
+            cur_pos = snapshots.read_snapshot(
+                spark, pos_dir, version=pinned["positions_postings"]
+            )
+        else:
+            cur_pos = None
+        if cur_pos is not None:
+            for kind, col in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed")):
+                cur_k = cur_pos.filter(F.col("kind") == kind).select(
+                    "term", "id", "positions"
+                )
+                pos_parts.append(
+                    ki.upsert_positions_postings(
+                        cur_k, tokens_new, deleted_ids=deleted_ids, token_col=col
+                    ).withColumn("kind", F.lit(kind))
+                )
+        else:
+            tok_full = snapshots.read_snapshot(spark, tokens_dir, version=tokv)
+            for kind, col in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed")):
+                pos_parts.append(
+                    ki.build_positions_postings(tok_full, col).withColumn(
+                        "kind", F.lit(kind)
+                    )
+                )
+        posn_v = snapshots.commit_snapshot(
+            pos_parts[0]
+            .unionByName(pos_parts[1])
+            .select("kind", "term", "id", "positions"),
+            pos_dir,
+            partition_by=["kind"],
+        )
+        if "positions_pending" in pinned:
+            # same truncate-after-fold rule as the tf delta above (the
+            # legacy-base branch rebuilds from post-COW tokens, which
+            # equally subsumes the delta's content)
+            ki.positions_pending_truncate(
+                spark, os.path.join(base_dir, "positions_pending")
+            )
+        out.update({"tf_postings": tfv, "positions_postings": posn_v})
+        return out
+    finally:
+        tokens_new.unpersist()
 
 
 def ingest_serving_incremental(
@@ -303,6 +590,7 @@ def ingest_serving_incremental(
     nprobe: int = 4,
     rebuild_threshold: float = 0.2,
     tf_mode: str = "overwrite",
+    stemmer: str | None = None,
 ) -> dict:
     """The NIGHTLY/CDC twin of :func:`ingest_serving`: fold ONE document
     batch (updates + deletes) into the serving layout an earlier
@@ -329,7 +617,10 @@ def ingest_serving_incremental(
       ``tf_pending/`` in O(batch) (the GIN-fastupdate regime —
       ``keyword_index.tf_pending_append``); serve via
       ``keyword_index.tf_resolve(tf_postings, tf_pending)`` and fold with
-      ``tf_compact`` on your cadence.
+      :func:`compact_serving` on your cadence (NOT raw ``tf_compact`` —
+      it would truncate the delta without repinning the published cut,
+      losing every folded change from the next pending wave; an
+      overwrite-mode wave folds too).
     - **IVF — O(batch) assignment + O(index) version commit**: the
       affected ids anti-join out of the stored index, the batch's vectors
       route to the EXISTING centroids (``ivf_index_upsert`` — no refit),
@@ -344,6 +635,14 @@ def ingest_serving_incremental(
     crashed wave's partial table commits are invisible, and replaying the
     wave converges (keyed deletes/upserts are idempotent against the
     already-applied state).
+
+    ``stemmer=None`` (default) INHERITS the analyzer the layout's
+    manifest records (r11) — the batch tokenizes with the same stemmer
+    every prior wave used, so incremental maintenance of a porter2-built
+    layout stays coherent with zero caller knowledge. Passing it
+    explicitly asserts: a value disagreeing with the manifest raises
+    rather than committing a split-analyzer index (half the stemmed
+    postings from each analyzer — the silent-0 failure class).
 
     One layout holds ONE model's pipeline (the assumption every structure
     here shares — chunk-keyed vector deletion and the rebuild gauge are
@@ -389,6 +688,18 @@ def ingest_serving_incremental(
                 "ingest_serving); re-ingest with ingest_serving to migrate"
             ) from ex
         pinned = cut["tables"]
+        # analyzer coherence (r11): tokenize this batch with the analyzer
+        # the layout was BUILT with; an explicit disagreeing override is
+        # an error, not a preference
+        layout_stemmer = cut.get("stemmer", "suffix")
+        if stemmer is not None and stemmer != layout_stemmer:
+            raise ValueError(
+                f"stemmer={stemmer!r} disagrees with the layout's recorded "
+                f"analyzer {layout_stemmer!r}: an incremental wave cannot "
+                "change the analyzer (the stemmed postings would mix both "
+                "token vocabularies) — rebuild via ingest_serving(stemmer=…)"
+            )
+        eff_stemmer = layout_stemmer
 
         # affected documents = this batch's ids ∪ explicit deletions
         affected_docs = docs_batch.select(F.col(id_col).alias("_doc"))
@@ -458,187 +769,25 @@ def ingest_serving_incremental(
             spark, vectors_dir, "chunk_id", upserts=vectors, delete_keys=old_chunk_ids
         )
 
-        # keyword side: remove every affected old chunk id, add the batch's rows
+        # keyword side: remove every affected old chunk id, add the batch's
+        # rows — the whole family (tokens COW, posting arrays, tf/doclen,
+        # positions, both maintenance regimes) lives in keyword_serving_wave
+        # so the interleaving fuzz drives the PRODUCTION branch logic
+        # without paying the chunk/embed/IVF pipeline per wave (r11)
         deleted_ids = old_chunk_ids.select(F.col("chunk_id").alias("id"))
-        # persisted: feeds the tokens COW, both posting surgeries, and both tf
-        # upserts — without the barrier the batch re-tokenizes per action
-        tokens_new = ki.build_token_table(
-            chunks, id_col="chunk_id", text_col="content"
-        ).persist()
-        _pinned_dfs.append(tokens_new)
-        tokens_new.count()
-        # single-query serving bundle: token table via chunk-keyed COW, posting
-        # arrays via the explode→anti-join surgery — so hybrid_search(
-        # keyword_index=…) over a load_serving() of this layout stays fresh
-        # across increments; deletions stay a DataFrame end to end (no
-        # driver collect on the removal path)
-        tokv = snapshots.apply_changes(
-            spark, tokens_dir, "id", upserts=tokens_new, delete_keys=deleted_ids
+        kw = keyword_serving_wave(
+            spark,
+            base_dir,
+            chunks,
+            deleted_ids,
+            pinned,
+            tf_mode=tf_mode,
+            id_col="chunk_id",
+            text_col="content",
+            stemmer=eff_stemmer,
         )
-        cur_posts = snapshots.read_snapshot(spark, postings_dir, version=pinned["postings"])
-        pparts = []
-        for kind, col in (("exact", "tokens_exact"), ("stemmed", "tokens_stemmed")):
-            cur_k = cur_posts.filter(F.col("kind") == kind).select("term", "ids", "df")
-            pparts.append(
-                ki.upsert_postings(
-                    cur_k, tokens_new, deleted_ids=deleted_ids, token_col=col
-                ).withColumn("kind", F.lit(kind))
-            )
-        postv = snapshots.commit_snapshot(
-            pparts[0].unionByName(pparts[1]).select("kind", "term", "ids", "df"),
-            postings_dir,
-            partition_by=["kind"],
-        )
-        if tf_mode == "pending":
-            # O(batch): append postings + tombstones to the pending delta;
-            # serve via tf_resolve(tf_dir, tf_pending), fold with tf_compact.
-            # Positions ride their OWN pending delta on the same clock
-            # (r10: the fastupdate regime reached the array payload, so
-            # pending-mode cuts can serve phrases via positions_resolve
-            # instead of dropping the pin). Both appends share tokens_new —
-            # one tokenize per wave.
-            batch_docs = chunks.select(
-                F.col("chunk_id").alias("doc_id"), F.col("content").alias("text")
-            )
-            tfv = ki.tf_pending_append(
-                batch_docs,
-                os.path.join(base_dir, "tf_pending"),
-                deleted_ids=deleted_ids,
-                tokens=tokens_new,
-            )
-            pposv = ki.positions_pending_append(
-                batch_docs,
-                os.path.join(base_dir, "positions_pending"),
-                deleted_ids=deleted_ids,
-                tokens=tokens_new,
-            )
-        else:
-            # an overwrite wave following PENDING waves must fold their
-            # outstanding delta first — reading the pinned base alone would
-            # silently drop every change the pending waves appended (the
-            # cut's tf_pending pin marks exactly this state). The resolved
-            # view is the pending cut's own serve-time truth, so upserting
-            # over it converges; the fresh overwrite cut then drops the
-            # pending pin and later pending waves' stale delta rows resolve
-            # away against the folded base (the tf_compact argument).
-            if "tf_pending" in pinned:
-                resolved_tf = ki.tf_resolve(
-                    spark,
-                    tf_dir,
-                    os.path.join(base_dir, "tf_pending"),
-                    base_version=pinned["tf_postings"],
-                    delta_version=pinned["tf_pending"],
-                )
-                cur_tfe = resolved_tf.filter(F.col("kind") == "exact").select(
-                    "term", "id", "tf"
-                )
-                cur_tfs = resolved_tf.filter(F.col("kind") == "stemmed").select(
-                    "term", "id", "tf"
-                )
-            else:
-                cur_tfe, cur_tfs = ki.read_tf_postings(
-                    spark, tf_dir, version=pinned["tf_postings"]
-                )
-            parts = []
-            for kind, col, cur_k in (
-                ("exact", "tokens_exact", cur_tfe),
-                ("stemmed", "tokens_stemmed", cur_tfs),
-            ):
-                parts.append(
-                    ki.upsert_tf_postings(
-                        cur_k, tokens_new, deleted_ids=deleted_ids, token_col=col
-                    ).withColumn("kind", F.lit(kind))
-                )
-            # doclen maintains in the same commit (BM25 serves tf + dl from
-            # ONE version cut). A legacy layout whose pinned tf snapshot
-            # predates doclen rows bootstraps from the tokens version this
-            # wave just committed (already post-COW, so deletes/upserts are
-            # in — one F.size pass, no explode); after that, the anti-join
-            # twin. Pending mode needs no bootstrap here: its delta rides
-            # doclen rows on the tombstone clock (tf_pending_append), and
-            # load_serving's completeness guard catches a legacy base by
-            # deriving lengths from the pinned tokens table.
-            if "tf_pending" in pinned:
-                # same fold-first rule as the tf rows above: the delta
-                # carries doclen rows on the tombstone clock
-                cur_dl = resolved_tf.filter(F.col("kind") == "doclen").select(
-                    "id", F.col("tf").alias("dl")
-                )
-            else:
-                cur_dl = ki.read_doclen(
-                    spark, tf_dir, version=pinned["tf_postings"]
-                )
-            if cur_dl.isEmpty():
-                dl_new = ki.build_doclen_table(
-                    snapshots.read_snapshot(spark, tokens_dir, version=tokv)
-                )
-            else:
-                dl_new = ki.upsert_doclen(
-                    cur_dl, tokens_new, deleted_ids=deleted_ids
-                )
-            parts.append(ki.doclen_partition_rows(dl_new))
-            tfv = snapshots.commit_snapshot(
-                parts[0]
-                .unionByName(parts[1])
-                .select("kind", "term", "id", "tf")
-                .unionByName(parts[2]),
-                tf_dir,
-                partition_by=["kind"],
-            )
-            # positions postings maintain with the same anti-join twin
-            # (phrase/proximity/batched-websearch serving); a legacy layout
-            # whose pinned cut predates the table bootstraps from the
-            # tokens version this wave committed (post-COW, one posexplode
-            # pass), converging the layout in one wave
-            pos_dir = os.path.join(base_dir, "positions_postings")
-            pos_parts = []
-            if "positions_pending" in pinned and "positions_postings" in pinned:
-                # fold-first: pending waves' positions delta resolves into
-                # the upsert's base view (same rule as the tf rows)
-                cur_pos = ki.positions_resolve(
-                    spark,
-                    pos_dir,
-                    os.path.join(base_dir, "positions_pending"),
-                    base_version=pinned["positions_postings"],
-                    delta_version=pinned["positions_pending"],
-                )
-            elif "positions_postings" in pinned:
-                cur_pos = snapshots.read_snapshot(
-                    spark, pos_dir, version=pinned["positions_postings"]
-                )
-            else:
-                cur_pos = None
-            if cur_pos is not None:
-                for kind, col in (
-                    ("exact", "tokens_exact"),
-                    ("stemmed", "tokens_stemmed"),
-                ):
-                    cur_k = cur_pos.filter(F.col("kind") == kind).select(
-                        "term", "id", "positions"
-                    )
-                    pos_parts.append(
-                        ki.upsert_positions_postings(
-                            cur_k, tokens_new, deleted_ids=deleted_ids, token_col=col
-                        ).withColumn("kind", F.lit(kind))
-                    )
-            else:
-                tok_full = snapshots.read_snapshot(spark, tokens_dir, version=tokv)
-                for kind, col in (
-                    ("exact", "tokens_exact"),
-                    ("stemmed", "tokens_stemmed"),
-                ):
-                    pos_parts.append(
-                        ki.build_positions_postings(tok_full, col).withColumn(
-                            "kind", F.lit(kind)
-                        )
-                    )
-            posn_v = snapshots.commit_snapshot(
-                pos_parts[0]
-                .unionByName(pos_parts[1])
-                .select("kind", "term", "id", "positions"),
-                pos_dir,
-                partition_by=["kind"],
-            )
+        tokv = kw["tokens"]
+        tfv = kw["tf_pending"] if tf_mode == "pending" else kw["tf_postings"]
 
         # vector side: anti-join affected ids, route the batch, gauge rebuild.
         # The bundle lives in the snapshot layer (versioned + pinnable by the
@@ -701,42 +850,19 @@ def ingest_serving_incremental(
             nprobe=nprobe,
         )
         old_chunk_ids.unpersist()
-        tokens_new.unpersist()
-        if tf_mode == "pending":
-            # the base tf table is untouched this wave; the cut carries FORWARD
-            # the previous cut's base pin (never latest_version — a crashed
-            # overwrite wave may have advanced the table past the published
-            # cut, and pinning that torn version would launder it into a
-            # "consistent" cut) plus the pending-delta version readers resolve.
-            # The positions pair pins the same way (r10: positions ride
-            # their own pending delta, so phrase serving resolves fresh
-            # instead of the pin being dropped): carried-forward base when
-            # the layout has one — a legacy pre-positions layout carries
-            # nothing and load_serving keeps returning None — plus this
-            # wave's delta version.
-            tf_tables = {
-                "tf_postings": pinned["tf_postings"],
-                "tf_pending": tfv,
-                "positions_pending": pposv,
-            }
-            if "positions_postings" in pinned:
-                tf_tables["positions_postings"] = pinned["positions_postings"]
-        else:
-            tf_tables = {"tf_postings": tfv, "positions_postings": posn_v}
         sv = publish_serving(
             base_dir,
             {
                 "chunks": cv,
                 "chunk_vectors": vv,
-                **tf_tables,
-                "tokens": tokv,
-                "postings": postv,
+                **kw,
                 "ivf_index": ivf_v,
                 "ivf_centroids": cent_v,
             },
             model_id=model_id,
             dims=dims,
             nprobe=nprobe,
+            stemmer=eff_stemmer,
         )
         return {
             "chunks_version": cv,
@@ -807,6 +933,12 @@ def load_serving(
 
     tokens = _open("tokens")
     posts = _open("postings")
+    # the manifest records the analyzer (r11): the bundle carries the
+    # matching stem_fn so a porter2-built layout serves coherently with
+    # zero caller knowledge — the exact silent-0 failure class the ad-hoc
+    # bundle fix (933b5d2) closed, now closed for the committed layout
+    stemmer = m.get("stemmer", "suffix")
+    stem_fn = _stem_fn_for(stemmer)
     kidx = ki.KeywordIndex(
         tokens=tokens,
         postings_exact=posts.filter(F.col("kind") == "exact").select(
@@ -815,6 +947,7 @@ def load_serving(
         postings_stemmed=posts.filter(F.col("kind") == "stemmed").select(
             "term", "ids", "df"
         ),
+        stem_fn=stem_fn,
     )
     if "tf_pending" in pinned:
         # a pending-mode wave: the batched tier's truth is base ∪ delta,
@@ -892,7 +1025,74 @@ def load_serving(
         "vector_index": vidx,
         "serving_version": m["version"],
         "tables": pinned,
+        # the layout's recorded analyzer + matching query-side stem fn
+        # (r11): pass stem_fn to the tiers that stem query terms
+        # driver-side (bm25_indexed, websearch/proximity, the fast batch
+        # tier) so a porter2 layout cannot be silently mis-queried
+        "stemmer": stemmer,
+        "stem_fn": stem_fn,
     }
+
+
+def compact_serving(spark, base_dir: str) -> int | None:
+    """Fold a serving layout's outstanding pending deltas into their
+    bases and PUBLISH the repinned cut — the only correct way to compact
+    an ingest_serving layout (r11). Calling ``keyword_index.tf_compact``
+    directly on the layout's dirs is a correctness trap: the published
+    manifest keeps pinning the OLD base while the truncation empties the
+    delta, so the next pending wave carries the stale base pin forward
+    and every folded change silently vanishes from its cut. Here the
+    fold resolves at the PINNED versions (never latest — a crashed
+    wave's torn commits must not launder in), commits the folded bases,
+    truncates the deltas (versioned — older pinned cuts keep reading
+    their pinned delta versions), and publishes a manifest whose cut
+    pins the new bases and drops the pending pins.
+
+    No-op (returns None) when the current cut has no pending pins.
+    Single-writer discipline like the waves themselves: don't run
+    concurrently with an in-flight wave. Returns the new serving
+    version."""
+    import os
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.sources import snapshots
+
+    m = snapshots.load_manifest(os.path.join(base_dir, "_serving"))
+    pinned = dict(m["tables"])
+    if "tf_pending" not in pinned and "positions_pending" not in pinned:
+        return None
+    meta = {k: v for k, v in m.items() if k not in ("tables", "version")}
+    if "tf_pending" in pinned:
+        resolved = ki.tf_resolve(
+            spark,
+            os.path.join(base_dir, "tf_postings"),
+            os.path.join(base_dir, "tf_pending"),
+            base_version=pinned["tf_postings"],
+            delta_version=pinned["tf_pending"],
+        )
+        pinned["tf_postings"] = snapshots.commit_snapshot(
+            resolved, os.path.join(base_dir, "tf_postings"), partition_by=["kind"]
+        )
+        ki.tf_pending_truncate(spark, os.path.join(base_dir, "tf_pending"))
+        del pinned["tf_pending"]
+    if "positions_pending" in pinned:
+        resolved_p = ki.positions_resolve(
+            spark,
+            os.path.join(base_dir, "positions_postings"),
+            os.path.join(base_dir, "positions_pending"),
+            base_version=pinned.get("positions_postings"),
+            delta_version=pinned["positions_pending"],
+        )
+        pinned["positions_postings"] = snapshots.commit_snapshot(
+            resolved_p,
+            os.path.join(base_dir, "positions_postings"),
+            partition_by=["kind"],
+        )
+        ki.positions_pending_truncate(
+            spark, os.path.join(base_dir, "positions_pending")
+        )
+        del pinned["positions_pending"]
+    return publish_serving(base_dir, pinned, **meta)
 
 
 def vacuum_serving(

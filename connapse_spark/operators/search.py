@@ -2212,6 +2212,54 @@ def hybrid_search_many_fast(
     queries = [(q, t) for q, t in queries if t and t.strip()]  # Q13 per qid
     if websearch:
         queries = [(q, t) for q, t in queries if parse_websearch(t)]
+        # >63-atom queries exceed the indexed tier's presence-bitmask
+        # width; route THEM to the per-query-expression oracle tier and
+        # keep the rest of the batch on the fast path (r11 — VERDICT r10
+        # ask #6: previously websearch_scores_indexed raised and the
+        # CALLER had to know about tier routing). Both tiers share the
+        # fusion tail's schema/ordering contract, so the union re-sorts
+        # into the same (qid, score desc, id) order; keyword doubles are
+        # bit-equal across tiers by construction.
+        big = [
+            (q, t)
+            for q, t in queries
+            if sum(len(g) for g in parse_websearch(t)) > 63
+        ]
+        if big and stem_fn is not None:
+            # the oracle tier scans with the DEFAULT analyzer; silently
+            # routing a porter2 batch there would mis-stem its queries
+            raise ValueError(
+                "websearch query exceeds 63 atoms and a custom stem_fn is "
+                "set: the oracle-tier fallback stems with the default "
+                "analyzer — split the batch yourself or shorten the query"
+            )
+        if big:
+            big_ids = {q for q, _ in big}
+            small = [(q, t) for q, t in queries if q not in big_ids]
+            parts = []
+            if small:
+                parts.append(
+                    hybrid_search_many_fast(
+                        corpus, small, top_k=top_k, alpha=alpha,
+                        id_col=id_col, text_col=text_col, vec_col=vec_col,
+                        dims=dims, predicates=predicates,
+                        tf_postings=tf_postings, vector_index=vector_index,
+                        websearch=True,
+                        positions_postings=positions_postings,
+                        stem_fn=stem_fn,
+                    )
+                )
+            parts.append(
+                hybrid_search_many(
+                    corpus, big, top_k=top_k, alpha=alpha, id_col=id_col,
+                    text_col=text_col, vec_col=vec_col, dims=dims,
+                    predicates=predicates, websearch=True,
+                )
+            )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.orderBy("qid", F.desc("score"), F.col(id_col))
     if not queries:
         return _hybrid_many_empty(corpus, id_col)
     k = top_k
@@ -2305,20 +2353,13 @@ def hybrid_search_many_fast(
     if websearch:
         from connapse_spark.operators import keyword_index as ki
 
-        if tf_postings is not None:
-            tf_e, tf_s = tf_postings
-        else:
-            toks_ws = corpus.select(
-                F.col(id_col).alias("id"),
-                tokens_exact_expr(F.col(text_col)).alias("tokens_exact"),
-                tokens_stemmed_expr(F.col(text_col)).alias("tokens_stemmed"),
-            )
-            tf_e = ki.build_tf_postings(toks_ws, "tokens_exact")
-            tf_s = ki.build_tf_postings(toks_ws, "tokens_stemmed")
         if positions_postings is not None:
             pos_e, pos_s = positions_postings
         else:
-            # lazy frames: these only execute if the batch holds phrases
+            # ONE corpus tokenize pipeline serves both structures in the
+            # fallback (r11 — previously the tf and positions builds each
+            # ran their own tokenize pass, doubling the dominant cost):
+            # positions build here, tf derived from them below
             toks_ws = corpus.select(
                 F.col(id_col).alias("id"),
                 tokens_exact_expr(F.col(text_col)).alias("tokens_exact"),
@@ -2326,6 +2367,16 @@ def hybrid_search_many_fast(
             )
             pos_e = ki.build_positions_postings(toks_ws, "tokens_exact")
             pos_s = ki.build_positions_postings(toks_ws, "tokens_stemmed")
+        if tf_postings is not None:
+            tf_e, tf_s = tf_postings
+        else:
+            # tf IS size(positions) — per-(term, id) occurrence counts,
+            # identical to build_tf_postings; identical aggregation
+            # subtrees also let AQE reuse the positions Exchange instead
+            # of re-shuffling (and with SUPPLIED positions this path
+            # touches the corpus zero times)
+            tf_e = pos_e.select("term", "id", F.size("positions").alias("tf"))
+            tf_s = pos_s.select("term", "id", F.size("positions").alias("tf"))
         k_entries = ki.websearch_scores_indexed(
             tf_e, tf_s, pos_e, pos_s, queries, stem_fn=stem_fn
         ).select(

@@ -496,6 +496,7 @@ def streaming_keyword_maintenance(
     vacuum_every: int = 8,
     vacuum_min_age_seconds: float = 0.0,
     positions_dir: str | None = None,
+    stemmer: str = "suffix",
 ) -> None:
     """Q3/T3 as a STREAMING job — continuous keyword-index maintenance,
     the tf-postings twin of :func:`streaming_index_maintenance`: document
@@ -539,7 +540,13 @@ def streaming_keyword_maintenance(
     positions tables alone, so the table is self-consistent; a reader
     mixing tf AND positions across the two tables (the batched-websearch
     fast tier) should pin matching versions — or use the
-    ``ingest_serving`` layout, whose root manifest pins the cut."""
+    ``ingest_serving`` layout, whose root manifest pins the cut.
+
+    ``stemmer`` (r11) tokenizes every micro-batch with the named analyzer
+    (see ``keyword_index.build_token_table``); it must match the analyzer
+    the maintained table was BUILT with — this stream writes raw tables
+    with no manifest to record it, so the caller owns the coherence the
+    ingest_serving layout gets from its manifest."""
     from connapse_spark.operators.keyword_index import (
         build_token_table,
         doclen_partition_rows,
@@ -560,7 +567,7 @@ def streaming_keyword_maintenance(
         is_del = F.coalesce(F.col("op"), F.lit("U")) == "D"
         upserts = latest.filter(~is_del).select("doc_id", "text")
         deleted = latest.filter(is_del).select(F.col("doc_id").alias("id"))
-        toks = build_token_table(upserts)
+        toks = build_token_table(upserts, stemmer=stemmer)
         if snapshots.latest_version(table_dir) is None:
             cur = s.createDataFrame([], "kind string, term string, id long, tf long")
         else:
@@ -645,6 +652,7 @@ def streaming_keyword_maintenance_pending(
     positions_delta_dir: str | None = None,
     retain_last: int | None = None,
     vacuum_min_age_seconds: float = 0.0,
+    stemmer: str = "suffix",
 ) -> None:
     """High-frequency variant of :func:`streaming_keyword_maintenance` —
     the GIN-fastupdate regime. The overwrite variant pays O(index) per
@@ -672,7 +680,11 @@ def streaming_keyword_maintenance_pending(
     accumulates manifests forever. Vacuum runs on the compaction cadence
     (right after the fold, when old versions stop being the serve path)
     over every table this stream writes; raise
-    ``vacuum_min_age_seconds`` if anything else ever commits to them."""
+    ``vacuum_min_age_seconds`` if anything else ever commits to them.
+
+    ``stemmer`` (r11): same contract as the overwrite variant — must
+    match the base table's build analyzer; the caller owns coherence for
+    raw-table streams."""
     from connapse_spark.operators.keyword_index import (
         build_token_table,
         positions_compact,
@@ -699,7 +711,7 @@ def streaming_keyword_maintenance_pending(
         # tokenize ONCE per micro-batch: with the positions pair enabled,
         # two independent appends would each re-run the LWW cut + the
         # tokenizer — the dominant per-batch CPU of an O(batch) append
-        toks = build_token_table(upserts)
+        toks = build_token_table(upserts, stemmer=stemmer)
         if positions_delta_dir is not None:
             toks = toks.persist()
         try:

@@ -1101,6 +1101,97 @@ def test_mixed_mode_overwrite_folds_pending_delta(spark, sf_dir, tmp_path):
     docs.unpersist()
 
 
+def test_overwrite_truncates_folded_pending_delta(spark, sf_dir, tmp_path):
+    """An overwrite wave that folds an outstanding pending delta must
+    TRUNCATE the delta dirs after committing the folded base (r11, the
+    pending-wave-after-overwrite resurrection): without the truncation, a
+    LATER pending wave appends onto the stale delta, and resolution
+    anti-joins the folded base by the stale tombstones and revives each
+    folded id's latest-batch delta rows — resurrecting stale content for
+    ids the overwrite wave updated and fully resurrecting docs it
+    DELETED. Sequence: pending-update doc 3 → overwrite wave deletes doc
+    3 and updates doc 9 → unrelated pending wave updates doc 5. Served
+    state (tf via the pinned resolve, BM25, phrases) must equal a
+    from-scratch ingest of the surviving corpus — doc 3 gone, doc 9's
+    overwrite content (not its original) served."""
+    import os as _os
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.ingest import (
+        ingest_serving,
+        ingest_serving_incremental,
+        load_serving,
+    )
+
+    docs = (
+        spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 15)
+        .select("doc_id", "text")
+        .persist()
+    )
+    base = str(tmp_path / "serving")
+    first = ingest_serving(docs, base_dir=base)
+    b1 = docs.filter(F.col("doc_id") == 3).select(
+        "doc_id", F.lit("resurrection probe table scan words").alias("text")
+    )
+    w1 = ingest_serving_incremental(
+        b1, base, tf_mode="pending", rebuild_threshold=2.0
+    )
+    b2 = docs.filter(F.col("doc_id") == 9).select(
+        "doc_id", F.lit("overwrite fold merge join words").alias("text")
+    )
+    w2 = ingest_serving_incremental(
+        b2, base, deleted_doc_ids=[3], rebuild_threshold=2.0
+    )
+    b3 = docs.filter(F.col("doc_id") == 5).select(
+        "doc_id", F.lit("unrelated pending wave words").alias("text")
+    )
+    w3 = ingest_serving_incremental(
+        b3, base, tf_mode="pending", rebuild_threshold=2.0
+    )
+
+    live = (
+        docs.filter(~F.col("doc_id").isin(3, 5, 9))
+        .unionByName(b2)
+        .unionByName(b3)
+    )
+    want = ingest_serving(live)
+    cut = load_serving(spark, base)
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    # the deleted doc's wave-1 delta rows must NOT have revived
+    assert not [
+        r for r in cut["tf_postings"][0].collect() if str(r["id"]).startswith("3:")
+    ]
+    assert rows(cut["tf_postings"][0]) == rows(want["tf_postings"][0])
+    assert rows(cut["tf_postings"][1]) == rows(want["tf_postings"][1])
+    got_bm25 = ki.keyword_search_bm25_indexed(
+        cut["tf_postings"][1], cut["doclen"], "table scan", k=10
+    ).collect()
+    want_bm25 = ki.keyword_search_bm25_indexed(
+        want["tf_postings"][1],
+        ki.build_doclen_table(
+            ki.build_token_table(want["chunks"], id_col="chunk_id", text_col="content")
+        ),
+        "table scan",
+        k=10,
+    ).collect()
+    assert got_bm25 and [tuple(r) for r in got_bm25] == [tuple(r) for r in want_bm25]
+    pq = [(1, '"table scan"'), (2, '"merge join"')]
+    got_ph = ki.keyword_search_many_phrase_indexed(
+        *cut["positions_postings"], pq, k=5
+    ).collect()
+    want_ph = ki.keyword_search_many_phrase_indexed(
+        *want["positions_postings"], pq, k=5
+    ).collect()
+    assert [tuple(r) for r in got_ph] == [tuple(r) for r in want_ph]
+    for h in (first, w1, w2, w3, want):
+        h["chunks"].unpersist(), h["vectors"].unpersist()
+    docs.unpersist()
+
+
 def test_load_serving_doclen_guard_on_legacy_layout(spark, sf_dir, tmp_path):
     """A pinned cut whose tf snapshot predates the doclen partition (or
     carries a PARTIAL one — the pending-resolve-over-legacy-base shape)
@@ -1150,6 +1241,86 @@ def test_load_serving_doclen_guard_on_legacy_layout(spark, sf_dir, tmp_path):
     want = keyword_search_bm25(corpus, "table scan", k=10).collect()
     assert got and [tuple(r) for r in got] == [tuple(r) for r in want]
     out["chunks"].unpersist(), out["vectors"].unpersist()
+    docs.unpersist()
+
+
+def test_overwrite_fold_bootstraps_partial_doclen(spark, sf_dir, tmp_path):
+    """An overwrite wave folding a pending delta over a LEGACY pre-doclen
+    base must not commit a partial doclen partition (r11): the resolved
+    view's doclen rows cover only the pending batches' docs — partial but
+    NOT empty, so the old emptiness-only bootstrap check passed them to
+    upsert_doclen and the committed base permanently dropped every
+    uncovered doc from indexed BM25 (load_serving's count-guard masked it
+    by rebuilding per load; direct read_doclen consumers were silently
+    wrong). The write path now bootstraps whenever upserted coverage
+    disagrees with the post-COW tokens count. Sequence: forge a legacy
+    (doclen-less) pinned cut → pending wave → overwrite wave → the
+    COMMITTED doclen partition covers every live chunk."""
+    import os as _os
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.ingest import (
+        ingest_serving,
+        ingest_serving_incremental,
+        load_serving,
+        publish_serving,
+    )
+    from connapse_spark.sources import snapshots as snaps
+
+    docs = (
+        spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 15)
+        .select("doc_id", "text")
+        .persist()
+    )
+    base = str(tmp_path / "serving")
+    first = ingest_serving(docs, base_dir=base)
+    cut = load_serving(spark, base)
+    tf_dir = _os.path.join(base, "tf_postings")
+    legacy_tf = snaps.read_snapshot(spark, tf_dir).filter(F.col("kind") != "doclen")
+    legacy_v = snaps.commit_snapshot(legacy_tf, tf_dir, partition_by=["kind"])
+    tables = dict(cut["tables"])
+    tables["tf_postings"] = legacy_v
+    publish_serving(base, tables, model_id="hash-64", dims=64, nprobe=4)
+
+    b1 = docs.filter(F.col("doc_id") == 3).select(
+        "doc_id", F.lit("legacy base pending words").alias("text")
+    )
+    w1 = ingest_serving_incremental(
+        b1, base, tf_mode="pending", rebuild_threshold=2.0
+    )
+    b2 = docs.filter(F.col("doc_id") == 9).select(
+        "doc_id", F.lit("legacy base overwrite words").alias("text")
+    )
+    w2 = ingest_serving_incremental(b2, base, rebuild_threshold=2.0)
+
+    cut2 = load_serving(spark, base)
+    # the COMMITTED partition itself (not load_serving's guard): one
+    # doclen row per live chunk in the pinned tokens table
+    committed_dl = ki.read_doclen(
+        spark, tf_dir, version=cut2["tables"]["tf_postings"]
+    )
+    tok_cnt = snaps.read_snapshot(
+        spark, _os.path.join(base, "tokens"), version=cut2["tables"]["tokens"]
+    ).count()
+    assert committed_dl.count() == tok_cnt
+    # and indexed BM25 over the committed cut equals a from-scratch build
+    live = docs.filter(~F.col("doc_id").isin(3, 9)).unionByName(b1).unionByName(b2)
+    want = ingest_serving(live)
+    got = ki.keyword_search_bm25_indexed(
+        cut2["tf_postings"][1], committed_dl, "table scan", k=10
+    ).collect()
+    want_rows = ki.keyword_search_bm25_indexed(
+        want["tf_postings"][1],
+        ki.build_doclen_table(
+            ki.build_token_table(want["chunks"], id_col="chunk_id", text_col="content")
+        ),
+        "table scan",
+        k=10,
+    ).collect()
+    assert got and [tuple(r) for r in got] == [tuple(r) for r in want_rows]
+    for h in (first, w1, w2, want):
+        h["chunks"].unpersist(), h["vectors"].unpersist()
     docs.unpersist()
 
 
@@ -1467,3 +1638,194 @@ def test_keyword_snippets_indexed_row_identical_to_scan(spark, sf_dir):
     finally:
         idx.unpersist()
     assert got == want
+
+
+def test_keyword_maintenance_interleaving_fuzz(spark, tmp_path):
+    """Property fuzz over the maintenance-mode matrix (r11 — VERDICT r10
+    ask #5): seeded-random wave sequences (overwrite/pending ×
+    upsert/delete × compact, 5–8 waves each) through the PRODUCTION
+    branch logic — keyword_serving_wave (the exact code
+    ingest_serving_incremental runs: fold-first, truncate-after-fold,
+    doclen bootstrap guard) and compact_serving (fold + repin + publish)
+    — pinning final served state (tf + doclen, BM25 top-k, phrase hits)
+    equal to a from-scratch build over the surviving corpus. Sequences
+    are independent layouts, so they run on a thread pool (driver-side
+    concurrency; Spark schedules the tiny jobs across all cores).
+    CONNAPSE_FUZZ_SEQS overrides the sequence count (in-suite default 16
+    for runtime; the r11 evidence run passed 100 — see BENCH_NOTES.md)."""
+    import os as _os
+    import random
+    from concurrent.futures import ThreadPoolExecutor
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.ingest import (
+        compact_serving,
+        keyword_serving_wave,
+        publish_serving,
+    )
+    from connapse_spark.sources import snapshots as snaps
+
+    VOCAB = [
+        "table", "scan", "merge", "join", "index", "bloom", "vector",
+        "shuffle", "broadcast", "filter", "rows", "column",
+    ]
+
+    def text_for(rng):
+        return " ".join(rng.choice(VOCAB) for _ in range(rng.randint(4, 10)))
+
+    def tf_all_of(toks):
+        return (
+            ki.build_tf_postings(toks, "tokens_exact").withColumn("kind", F.lit("exact"))
+            .unionByName(
+                ki.build_tf_postings(toks, "tokens_stemmed").withColumn(
+                    "kind", F.lit("stemmed")
+                )
+            )
+            .select("kind", "term", "id", "tf")
+            .unionByName(ki.doclen_partition_rows(ki.build_doclen_table(toks)))
+        )
+
+    def bootstrap(base, docs_df):
+        toks = ki.build_token_table(docs_df, id_col="doc_id", text_col="text")
+        tables = {
+            "tokens": snaps.commit_snapshot(toks, _os.path.join(base, "tokens")),
+            "postings": snaps.commit_snapshot(
+                ki.build_postings(toks, "tokens_exact")
+                .withColumn("kind", F.lit("exact"))
+                .unionByName(
+                    ki.build_postings(toks, "tokens_stemmed").withColumn(
+                        "kind", F.lit("stemmed")
+                    )
+                )
+                .select("kind", "term", "ids", "df"),
+                _os.path.join(base, "postings"),
+                partition_by=["kind"],
+            ),
+            "tf_postings": snaps.commit_snapshot(
+                tf_all_of(toks), _os.path.join(base, "tf_postings"),
+                partition_by=["kind"],
+            ),
+            "positions_postings": snaps.commit_snapshot(
+                ki.build_positions_all(toks),
+                _os.path.join(base, "positions_postings"),
+                partition_by=["kind"],
+            ),
+        }
+        publish_serving(base, tables, stemmer="suffix")
+
+    def run_sequence(seed):
+        rng = random.Random(9000 + seed)
+        base = str(tmp_path / f"fuzz{seed}")
+        state = {i: text_for(rng) for i in range(6)}
+        docs_df = spark.createDataFrame(
+            list(state.items()), "doc_id long, text string"
+        )
+        bootstrap(base, docs_df)
+        for _ in range(rng.randint(5, 8)):
+            op = rng.choice(["pending", "overwrite", "pending", "overwrite", "compact"])
+            if op == "compact":
+                compact_serving(spark, base)
+                continue
+            pinned = snaps.load_manifest(_os.path.join(base, "_serving"))["tables"]
+            ups = {i: text_for(rng) for i in rng.sample(range(9), rng.randint(0, 2))}
+            live = sorted(set(state) - set(ups))
+            dels = rng.sample(live, rng.randint(0, 1)) if live else []
+            affected = sorted((set(ups) | set(dels)) & set(state))
+            batch = spark.createDataFrame(
+                list(ups.items()), "doc_id long, text string"
+            )
+            deleted_ids = spark.createDataFrame(
+                [(i,) for i in affected], "id long"
+            )
+            out = keyword_serving_wave(
+                spark, base, batch, deleted_ids, pinned,
+                tf_mode=op, id_col="doc_id", text_col="text",
+            )
+            publish_serving(base, out, stemmer="suffix")
+            state.update(ups)
+            for d in dels:
+                state.pop(d, None)
+
+        # final served state vs a from-scratch build of the survivors
+        pinned = snaps.load_manifest(_os.path.join(base, "_serving"))["tables"]
+        want_docs = spark.createDataFrame(
+            list(state.items()), "doc_id long, text string"
+        )
+        toks_w = ki.build_token_table(want_docs, id_col="doc_id", text_col="text")
+        if "tf_pending" in pinned:
+            cut_tf = ki.tf_resolve(
+                spark,
+                _os.path.join(base, "tf_postings"),
+                _os.path.join(base, "tf_pending"),
+                base_version=pinned["tf_postings"],
+                delta_version=pinned["tf_pending"],
+            )
+        else:
+            cut_tf = snaps.read_snapshot(
+                spark, _os.path.join(base, "tf_postings"),
+                version=pinned["tf_postings"],
+            )
+        got_tf = {tuple(r) for r in cut_tf.select("kind", "term", "id", "tf").collect()}
+        want_tf = {tuple(r) for r in tf_all_of(toks_w).collect()}
+        assert got_tf == want_tf, f"seed {seed}: tf/doclen diverged"
+        if "positions_pending" in pinned:
+            cut_pos = ki.positions_resolve(
+                spark,
+                _os.path.join(base, "positions_postings"),
+                _os.path.join(base, "positions_pending"),
+                base_version=pinned.get("positions_postings"),
+                delta_version=pinned["positions_pending"],
+            )
+        else:
+            cut_pos = snaps.read_snapshot(
+                spark, _os.path.join(base, "positions_postings"),
+                version=pinned["positions_postings"],
+            )
+        got_pos = {
+            (r["kind"], r["term"], r["id"], tuple(r["positions"]))
+            for r in cut_pos.collect()
+        }
+        want_pos = {
+            (r["kind"], r["term"], r["id"], tuple(r["positions"]))
+            for r in ki.build_positions_all(toks_w).collect()
+        }
+        assert got_pos == want_pos, f"seed {seed}: positions diverged"
+        # BM25 through the cut == rebuild (doclen + tf_stemmed split)
+        cut_tfs = cut_tf.filter(F.col("kind") == "stemmed").select("term", "id", "tf")
+        cut_dl = cut_tf.filter(F.col("kind") == "doclen").select(
+            "id", F.col("tf").alias("dl")
+        )
+        got_bm = ki.keyword_search_bm25_indexed(
+            cut_tfs, cut_dl, "table scan", k=6
+        ).collect()
+        want_bm = ki.keyword_search_bm25_indexed(
+            ki.build_tf_postings(toks_w, "tokens_stemmed"),
+            ki.build_doclen_table(toks_w),
+            "table scan",
+            k=6,
+        ).collect()
+        assert [tuple(r) for r in got_bm] == [tuple(r) for r in want_bm], (
+            f"seed {seed}: BM25 diverged"
+        )
+        # phrases through the cut == rebuild
+        pq = [(1, '"merge join"')]
+        got_ph = ki.keyword_search_many_phrase_indexed(
+            cut_pos.filter(F.col("kind") == "exact").select("term", "id", "positions"),
+            cut_pos.filter(F.col("kind") == "stemmed").select("term", "id", "positions"),
+            pq, k=6,
+        ).collect()
+        want_all = ki.build_positions_all(toks_w)
+        want_ph = ki.keyword_search_many_phrase_indexed(
+            want_all.filter(F.col("kind") == "exact").select("term", "id", "positions"),
+            want_all.filter(F.col("kind") == "stemmed").select("term", "id", "positions"),
+            pq, k=6,
+        ).collect()
+        assert [tuple(r) for r in got_ph] == [tuple(r) for r in want_ph], (
+            f"seed {seed}: phrases diverged"
+        )
+        return seed
+
+    n = int(_os.environ.get("CONNAPSE_FUZZ_SEQS", "16"))
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        done = list(pool.map(run_sequence, range(n)))
+    assert len(done) == n

@@ -151,3 +151,105 @@ def test_build_token_table_porter2_and_bm25_serving(spark, sf_dir):
 
     with pytest.raises(ValueError):
         ki.build_token_table(docs, stemmer="lovins")
+
+
+def test_porter2_threads_through_committed_serving_layout(spark, sf_dir, tmp_path):
+    """The analyzer seam through the COMMITTED serving layout (r11 —
+    VERDICT r10 ask #3): ingest_serving(stemmer='porter2') records the
+    analyzer in the root manifest; load_serving returns the matching
+    stem_fn and a bundle that serves coherently; an incremental wave
+    INHERITS the analyzer with zero caller knowledge (its stemmed tokens
+    are porter2 stems); a disagreeing explicit stemmer raises instead of
+    committing a split-analyzer index. BM25 and websearch answers from
+    the loaded cut equal the porter2 scan-side build over the live chunk
+    corpus."""
+    import os as _os
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.ingest import (
+        ingest_serving,
+        ingest_serving_incremental,
+        load_serving,
+    )
+
+    docs = (
+        spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 12)
+        .select("doc_id", "text")
+        .persist()
+    )
+    base = str(tmp_path / "serving")
+    first = ingest_serving(docs, base_dir=base, stemmer="porter2")
+    assert first["keyword_index"].stem_fn is porter2_stem
+
+    cut = load_serving(spark, base)
+    assert cut["stemmer"] == "porter2"
+    assert cut["stem_fn"] is porter2_stem
+    assert cut["keyword_index"].stem_fn is porter2_stem
+    # the committed token table really carries porter2 stems
+    for r in cut["keyword_index"].tokens.limit(5).collect():
+        assert list(r["tokens_stemmed"]) == porter2_stem_tokens(
+            list(r["tokens_exact"])
+        )
+
+    # incremental wave: no stemmer argument — inherited from the manifest
+    b1 = docs.filter(F.col("doc_id") == 3).select(
+        "doc_id", F.lit("the runner was rationally organizing races").alias("text")
+    )
+    w1 = ingest_serving_incremental(b1, base, rebuild_threshold=2.0)
+    cut2 = load_serving(spark, base)
+    assert cut2["stemmer"] == "porter2"
+    new_tok = [
+        r
+        for r in cut2["keyword_index"].tokens.collect()
+        if str(r["id"]).startswith("3:")
+    ]
+    assert new_tok
+    for r in new_tok:
+        assert list(r["tokens_stemmed"]) == porter2_stem_tokens(
+            list(r["tokens_exact"])
+        )
+
+    # served BM25/websearch == porter2 scan-side build over live chunks
+    live = docs.filter(F.col("doc_id") != 3).unionByName(b1)
+    want = ingest_serving(live, stemmer="porter2")
+    toks_live = ki.build_token_table(
+        want["chunks"], id_col="chunk_id", text_col="content", stemmer="porter2"
+    )
+    got_bm25 = ki.keyword_search_bm25_indexed(
+        cut2["tf_postings"][1],
+        cut2["doclen"],
+        "rationally organized",
+        k=10,
+        stem_fn=cut2["stem_fn"],
+    ).collect()
+    want_bm25 = ki.keyword_search_bm25_indexed(
+        ki.build_tf_postings(toks_live, "tokens_stemmed"),
+        ki.build_doclen_table(toks_live),
+        "rationally organized",
+        k=10,
+        stem_fn=porter2_stem,
+    ).collect()
+    assert got_bm25 and [tuple(r) for r in got_bm25] == [tuple(r) for r in want_bm25]
+    got_ws = ki.websearch_scores_indexed(
+        *cut2["tf_postings"],
+        *(cut2["positions_postings"] or (None, None)),
+        [(1, 'rationally -nonexistentterm')],
+        stem_fn=cut2["stem_fn"],
+    ).collect()
+    want_ws = ki.websearch_scores_indexed(
+        ki.build_tf_postings(toks_live, "tokens_exact"),
+        ki.build_tf_postings(toks_live, "tokens_stemmed"),
+        ki.build_positions_postings(toks_live, "tokens_exact"),
+        ki.build_positions_postings(toks_live, "tokens_stemmed"),
+        [(1, 'rationally -nonexistentterm')],
+        stem_fn=porter2_stem,
+    ).collect()
+    assert {tuple(r) for r in got_ws} == {tuple(r) for r in want_ws}
+
+    # a disagreeing explicit stemmer on a later wave raises
+    with pytest.raises(ValueError, match="analyzer"):
+        ingest_serving_incremental(b1, base, stemmer="suffix", rebuild_threshold=2.0)
+    for h in (first, w1, want):
+        h["chunks"].unpersist(), h["vectors"].unpersist()
+    docs.unpersist()

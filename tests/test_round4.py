@@ -1388,6 +1388,52 @@ def test_hybrid_many_fast_websearch_parity_with_oracle_tier(spark, sf_dir):
         assert sorted((r["qid"], r["doc_id"], r["keyword_score"]) for r in got) == wk
 
 
+def test_hybrid_many_fast_autoroutes_oversized_websearch(spark, sf_dir):
+    """A >63-atom websearch query in a batch must no longer force the
+    CALLER to know about tier routing (r11 — VERDICT r10 ask #6):
+    hybrid_search_many_fast splits the batch, keeps the in-width queries
+    on the fast path, answers the oversized ones through the oracle
+    tier, and the merged rows equal running the WHOLE batch on the
+    oracle tier. A custom stem_fn with an oversized query still raises
+    (the oracle fallback stems with the default analyzer — silent
+    mis-stemming is worse than the error)."""
+    import pytest as _pytest
+
+    from connapse_spark.operators.search import (
+        hybrid_search_many,
+        hybrid_search_many_fast,
+        parse_websearch,
+    )
+
+    corpus = _hybrid_corpus(spark, sf_dir)
+    # 64 single-term atoms → one over the bitmask width
+    big_q = " OR ".join(f"term{i:02d}" for i in range(63)) + ' OR "table scan"'
+    assert sum(len(g) for g in parse_websearch(big_q)) == 64
+    queries = [
+        (1, '"table scan" fast -merge'),
+        (2, "vector join"),
+        (3, big_q),
+    ]
+
+    def canon(rows):
+        return sorted(
+            (r["qid"], r["doc_id"], round(r["score"], 9),
+             round(r["vector_score"], 9), round(r["keyword_score"], 9),
+             r["source"])
+            for r in rows
+        )
+
+    want = hybrid_search_many(corpus, queries, top_k=5, websearch=True).collect()
+    got = hybrid_search_many_fast(corpus, queries, top_k=5, websearch=True).collect()
+    assert {r["qid"] for r in got} >= {1, 3}  # both tiers contributed
+    assert canon(got) == canon(want)
+    with _pytest.raises(ValueError, match="stem_fn"):
+        hybrid_search_many_fast(
+            corpus, queries, top_k=5, websearch=True,
+            stem_fn=lambda t: t,
+        ).collect()
+
+
 def test_websearch_scores_indexed_phrase_without_positions_raises(spark):
     """A batch holding a quoted phrase but no positions postings must
     raise (routing contract), not silently drop the phrase."""
