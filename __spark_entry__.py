@@ -4688,6 +4688,97 @@ def q_bm25_upsert(spark, sf_dir):
     )
 
 
+def q_serving_compact(spark, sf_dir):
+    """Serving-layout compaction END TO END (r11 — compact_serving is
+    the only correct fold for an ingest_serving layout: it resolves the
+    pending deltas at the PINNED versions, truncates them, and
+    republishes the repinned cut; raw tf_compact would leave the
+    manifest pinning the old base and the next pending wave's cut would
+    silently lose every folded change). Fixture: bootstrap the keyword
+    serving tables + manifest over the original corpus, fold the
+    postings_upsert batch (doc_id%9 updates, %31 deletes) through a
+    PENDING-mode keyword_serving_wave, compact, then serve the tf rows
+    from the repinned cut with NO delta resolution. Oracle: rebuild
+    over the post-change corpus — the tf_postings_upsert SQL — so the
+    hash pins append + tombstone clock + pinned-version fold + repin."""
+    import shutil
+    import tempfile
+
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.ingest import (
+        compact_serving,
+        keyword_serving_wave,
+        publish_serving,
+    )
+    from connapse_spark.sources import snapshots as snaps
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"connapse_servcompact_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = ki.build_token_table(docs)
+    tables = {
+        "tokens": snaps.commit_snapshot(toks, os.path.join(base, "tokens")),
+        "postings": snaps.commit_snapshot(
+            ki.build_postings(toks, "tokens_exact")
+            .withColumn("kind", F.lit("exact"))
+            .unionByName(
+                ki.build_postings(toks, "tokens_stemmed").withColumn(
+                    "kind", F.lit("stemmed")
+                )
+            )
+            .select("kind", "term", "ids", "df"),
+            os.path.join(base, "postings"),
+            partition_by=["kind"],
+        ),
+        "tf_postings": snaps.commit_snapshot(
+            ki.build_tf_postings(toks, "tokens_exact")
+            .withColumn("kind", F.lit("exact"))
+            .unionByName(
+                ki.build_tf_postings(toks, "tokens_stemmed").withColumn(
+                    "kind", F.lit("stemmed")
+                )
+            )
+            .select("kind", "term", "id", "tf")
+            .unionByName(ki.doclen_partition_rows(ki.build_doclen_table(toks))),
+            os.path.join(base, "tf_postings"),
+            partition_by=["kind"],
+        ),
+        "positions_postings": snaps.commit_snapshot(
+            ki.build_positions_all(toks),
+            os.path.join(base, "positions_postings"),
+            partition_by=["kind"],
+        ),
+    }
+    publish_serving(base, tables, stemmer="suffix")
+
+    batch = docs.filter(F.col("doc_id") % 9 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
+    )
+    affected = docs.filter(
+        (F.col("doc_id") % 9 == 0) | (F.col("doc_id") % 31 == 0)
+    ).select(F.col("doc_id").alias("id"))
+    pinned = snaps.load_manifest(os.path.join(base, "_serving"))["tables"]
+    out = keyword_serving_wave(
+        spark, base, batch, affected, pinned,
+        tf_mode="pending", id_col="doc_id", text_col="text",
+    )
+    publish_serving(base, out, stemmer="suffix")
+    compact_serving(spark, base)
+    cut = snaps.load_manifest(os.path.join(base, "_serving"))["tables"]
+    assert "tf_pending" not in cut and "positions_pending" not in cut
+    served = snaps.read_snapshot(
+        spark, os.path.join(base, "tf_postings"), version=cut["tf_postings"]
+    )
+    return (
+        served.filter(F.col("kind") == "exact")
+        .select("term", "id", "tf")
+        .orderBy("term", "id")
+    )
+
+
 def q_porter2_vocab(spark, sf_dir):
     """Full Snowball English stemmer (r10 — VERDICT r9 missing #4: the
     weight-B stemmed config's declared simplification; functions/porter2.py
@@ -5329,6 +5420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_upsert": q_bm25_upsert,
         "porter2_vocab": q_porter2_vocab,
         "keyword_bm25_porter2": q_keyword_bm25_porter2,
+        "serving_compact": q_serving_compact,
         "tf_pending_resolve": q_tf_pending_resolve,
         "token_shards": q_token_shards,
         "ingest_stats": q_ingest_stats,
@@ -5490,20 +5582,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver has NEVER hash-checked in-window — temporal/events
     # (asof_attribution, events_rollup, events_sessionize, latest_event),
     # snapshots/MERGE/CDC (snapshot_merge, cdc_chunks), PQ (pq_topk,
-    # ann_ivfpq), skew (salted_agg) — plus this round's new entry
-    # (keyword_bm25_porter2) and the two phrase-kernel consumers whose
-    # plan changed this round (keyword_many_phrase,
+    # ann_ivfpq), skew (salted_agg) — plus this round's new entries
+    # (keyword_bm25_porter2, serving_compact) and the two phrase-kernel
+    # consumers whose plan changed this round (keyword_many_phrase,
     # keyword_proximity_indexed). Rotated out (all multi-round green,
     # all still in the full gate / CORRECTNESS_SELF): cdx_index,
     # mmr_diversify, keyword_facets, temperature_mix, perplexity_bigram,
     # remove_dup_spans, keyword_search, keyword_websearch, keyword_bm25,
-    # keyword_many, domain_caps, hits — family representatives stay
-    # (parse_warc/resolve_revisits for the archive trio, crawl_frontier/
-    # frontier_schedule/pagerank for the crawl front, keyword_proximity/
-    # keyword_indexed/keyword_many_indexed/keyword_snippets for the
-    # keyword scan+indexed families).
+    # keyword_many, domain_caps, hits, frontier_schedule — family
+    # representatives stay (parse_warc/resolve_revisits for the archive
+    # trio, crawl_frontier/frontier_schedule_join/pagerank for the crawl
+    # front, keyword_proximity/keyword_indexed/keyword_many_indexed/
+    # keyword_snippets for the keyword scan+indexed families).
     window = [
-        "keyword_bm25_porter2", "keyword_many_phrase",
+        "keyword_bm25_porter2", "serving_compact", "keyword_many_phrase",
         "keyword_proximity_indexed", "asof_attribution",
         "events_rollup", "events_sessionize", "latest_event",
         "snapshot_merge", "cdc_chunks", "pq_topk", "ann_ivfpq",
@@ -5516,7 +5608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_unicode", "minhash_unicode",
         "gopher_multi",
         "frontier_schedule_join", "pagerank_warm", "keyword_indexed_phrase",
-        "frontier_schedule", "crawl_frontier",
+        "crawl_frontier",
         "pagerank",
         "resolve_revisits", "parse_warc", "web_noindex",
         "keyword_proximity",
@@ -5690,6 +5782,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_upsert": _sql_bm25_upsert(),
         "porter2_vocab": _sql_porter2_vocab(),
         "keyword_bm25_porter2": _sql_keyword_bm25_porter2(),
+        "serving_compact": _sql_tf_postings_upsert(),
         "tf_pending_resolve": _sql_tf_postings_upsert(),
         "token_shards": _sql_token_shards(),
         "ann_ivfpq": pq.sql_ann_ivfpq(_embed_query(), k=10, nprobe=3, n_lists=8),

@@ -527,20 +527,26 @@ def websearch_scores_indexed(
     CANDIDATE-bounded frame (docs holding ≥1 query atom), which is the
     matched-postings volume, never corpus×N.
 
-    Plan — TWO keyed aggregations total, everything else rides them:
+    Plan — TWO keyed aggregations total (r11: ONE of them on (id, qid)):
 
-    * single-term aggregation: tf_exact and tf_stemmed pruned to the
-      batch's atom terms, broadcast-joined to the atom table, UNIONED
-      under a config tag, then ONE (id, qid) groupBy produces Σtf over
-      the query's positive singles per config (each distinct term
-      counted once — the ``scored`` flag marks exactly one meta row per
-      (qid, term)) AND a 64-bit PRESENCE BITMASK ``bit_or(1 << aid)``
-      over all single atoms the doc hits;
-    * phrase aggregation: :func:`phrase_occurrences_both` over the
-      batch's DISTINCT phrases (a phrase shared by 5 queries counts
-      once, both configs folded in one grouped row), then one
-      aggregation producing the per-(id, qid) pid→(occ_e, occ_s) map
-      (scored pids only) and the phrase-atom bitmask.
+    * probes: tf_exact and tf_stemmed pruned to the batch's atom terms
+      and broadcast-joined to the atom table; for phrase atoms,
+      :func:`phrase_occurrences_both` over the batch's DISTINCT phrases
+      (a phrase shared by 5 queries counts once, both configs folded in
+      one grouped row — the plan's other keyed aggregation),
+      broadcast-joined to the (qid, pid) atom frame;
+    * ALL probe rows union under a config tag (exchange-free) into ONE
+      (id, qid) groupBy producing Σtf over the query's positive singles
+      per config (each distinct term counted once — the ``scored`` flag
+      marks exactly one meta row per (qid, term)), two per-pid
+      occurrence PIVOT columns per scored phrase (plain ``max`` — the
+      batch's phrases are driver-known and few, and a pid→occ map via
+      collect_set forced the aggregation into ObjectHashAggregate,
+      losing whole-stage codegen), AND the full 64-bit PRESENCE BITMASK
+      ``bit_or(1 << aid)`` over every atom the doc hits. The r10 shape
+      merged a separate phrase aggregation into the single-term one
+      with a full-outer SortMergeJoin — an extra Exchange plus two
+      Sorts on the heaviest frames, deleted here.
 
     The final projection evaluates, per qid, the scan tier's
     ``websearch_score_expr`` rebuilt over the pivoted columns in the SAME
@@ -554,8 +560,10 @@ def websearch_scores_indexed(
     ``pos_exact``/``pos_stemmed`` may be None when no query in the batch
     contains a phrase (ValueError if a phrase arrives without them).
     Queries that are empty or parse to no groups drop per qid (Q13); a
-    query with more than 63 atoms raises (bitmask width — route such
-    batches to the oracle tier)."""
+    query with more than 63 atoms raises (bitmask width) — callers going
+    through ``hybrid_search_many_fast(websearch=True)`` never see the
+    error: that tier auto-routes oversized queries to the oracle tier
+    and merges (r11)."""
     from connapse_spark.operators.search import (
         _positive_terms,
         parse_websearch,
@@ -700,23 +708,31 @@ def websearch_scores_indexed(
     probe = parts[0]
     for p in parts[1:]:
         probe = probe.unionByName(p)
-    cand = probe.groupBy("id", "qid").agg(
+    # per-pid occurrence PIVOT instead of a pid→occ map: collect_set +
+    # map_from_entries forced the whole aggregation into
+    # ObjectHashAggregate (no whole-stage codegen — measured 2× the flat
+    # tier even on phrase-free batches); the batch's scored phrases are
+    # driver-known and few, so two plain max() columns per pid keep the
+    # single (id, qid) aggregation fully codegen'd (sum/sum/bit_or/max
+    # are all DeclarativeAggregates). Rows per (id, qid, pid) are unique,
+    # so max() is selection, not arithmetic.
+    scored_pids = sorted({pid for _, pid, _, sc in p_meta if sc})
+    aggs = [
         F.sum(
             F.when((F.col("cfg") == "e") & F.col("scored"), F.col("tf"))
         ).alias("n_exact"),
         F.sum(
             F.when((F.col("cfg") == "s") & F.col("scored"), F.col("tf"))
         ).alias("n_stem"),
-        F.map_from_entries(
-            F.collect_set(
-                F.when(
-                    (F.col("cfg") == "p") & F.col("scored"),
-                    F.struct(F.col("pid"), F.struct("occ_e", "occ_s")),
-                )
-            )
-        ).alias("_pocc"),
         F.bit_or(mask_bit).alias("_mask"),
-    )
+    ]
+    for pid in scored_pids:
+        is_pid = (
+            (F.col("cfg") == "p") & F.col("scored") & (F.col("pid") == pid)
+        )
+        aggs.append(F.max(F.when(is_pid, F.col("occ_e"))).alias(f"_oe_{pid}"))
+        aggs.append(F.max(F.when(is_pid, F.col("occ_s"))).alias(f"_os_{pid}"))
+    cand = probe.groupBy("id", "qid").agg(*aggs)
     mask = F.coalesce(F.col("_mask"), F.lit(0).cast("long"))
 
     # ---- per-qid score (websearch_score_expr's FP order — bit-equal
@@ -731,10 +747,9 @@ def websearch_scores_indexed(
             raw = raw + F.lit(WEIGHT_STEMMED) * F.coalesce(F.col("n_stem"), F.lit(0))
         for ph_words in phrases:
             pid = phrase_pid[tuple(ph_words)]
-            entry = F.element_at(F.col("_pocc"), F.lit(pid).cast("long"))
             raw = raw + F.lit(float(len(ph_words))) * (
-                F.lit(WEIGHT_EXACT) * F.coalesce(entry["occ_e"], F.lit(0))
-                + F.lit(WEIGHT_STEMMED) * F.coalesce(entry["occ_s"], F.lit(0))
+                F.lit(WEIGHT_EXACT) * F.coalesce(F.col(f"_oe_{pid}"), F.lit(0))
+                + F.lit(WEIGHT_STEMMED) * F.coalesce(F.col(f"_os_{pid}"), F.lit(0))
             )
         sc = raw / (raw + F.lit(1.0))
         m = F.lit(False)

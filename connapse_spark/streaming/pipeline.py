@@ -757,6 +757,86 @@ def streaming_keyword_maintenance_pending(
     q.awaitTermination()
 
 
+def streaming_serving_maintenance(
+    spark: SparkSession,
+    watch_dir: str,
+    base_dir: str,
+    checkpoint_dir: str,
+    tf_mode: str = "overwrite",
+    compact_every: int = 0,
+    vacuum_every: int = 0,
+    keep_last_cuts: int = 2,
+    vacuum_min_age_seconds: float = 0.0,
+    **wave_kwargs,
+) -> None:
+    """Continuous maintenance of a WHOLE ingest_serving layout (r11) —
+    the streaming front for the serve-everything regime: document event
+    batches landing under ``watch_dir`` (parquet: doc_id, text, op —
+    op 'D' deletes, else upserts; optional seq orders within a batch)
+    fold into the committed layout via ``ingest_serving_incremental``
+    one micro-batch at a time, each batch ending with a ROOT SERVING
+    MANIFEST publish. Readers through ``load_serving`` see a sequence
+    of complete cuts, never a torn mix — the raw-table maintenance
+    streams above keep single tables fresh; THIS one keeps chunks,
+    vectors, every keyword structure, and the IVF bundle moving as one
+    transactional unit (the reference's watcher + Postgres transaction
+    loop, ConnectorWatcherService.cs:42-44 + IngestionPipeline.cs).
+
+    Exactly-once: the checkpoint replays a crashed micro-batch, and the
+    wave converges (keyed deletes/upserts are idempotent against torn
+    table versions — the incremental path reads the last PUBLISHED cut,
+    never latest table versions). ``tf_mode="pending"`` gives
+    high-frequency drops the O(batch) fastupdate regime;
+    ``compact_every`` then folds via ``ingest.compact_serving`` (the
+    pinned-version fold + repinned republish — NEVER raw tf_compact)
+    every Nth batch. ``vacuum_every`` runs pin-aware
+    ``ingest.vacuum_serving(keep_last_cuts=…)`` on its own cadence so a
+    long-running stream does not accrete one full layout copy per batch.
+    The layout's analyzer is inherited from its manifest per the
+    incremental-wave contract — no ``stemmer`` knob here by design.
+    Extra ``wave_kwargs`` (model_id, dims, embedder, nprobe,
+    rebuild_threshold, strategy, …) pass through to every wave."""
+    from connapse_spark.operators.ingest import (
+        compact_serving,
+        ingest_serving_incremental,
+        vacuum_serving,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, op string, seq long")
+        .parquet(watch_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _lww_latest_doc_event(batch_df)
+        is_del = F.coalesce(F.col("op"), F.lit("U")) == "D"
+        upserts = latest.filter(~is_del).select("doc_id", "text")
+        deleted = latest.filter(is_del).select("doc_id")
+        out = ingest_serving_incremental(
+            upserts, base_dir, deleted_doc_ids=deleted,
+            tf_mode=tf_mode, **wave_kwargs,
+        )
+        out["chunks"].unpersist()
+        out["vectors"].unpersist()
+        s = batch_df.sparkSession
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_serving(s, base_dir)
+        if vacuum_every and (batch_id + 1) % vacuum_every == 0:
+            vacuum_serving(
+                base_dir,
+                keep_last_cuts=keep_last_cuts,
+                min_age_seconds=vacuum_min_age_seconds,
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_table_upsert(
     spark: SparkSession,
     watch_dir: str,

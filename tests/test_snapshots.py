@@ -1547,3 +1547,87 @@ def test_bloom_skipping_files_opened_bounded_across_decade(spark, tmp_path):
     # the decade claim itself: opens track keys (+FP noise), not store
     # size — 10× the files must stay far under 10× the opens
     assert opened[80] <= opened[8] + 1 + int(0.016 * 80 * 3)
+
+
+def test_streaming_serving_maintenance_full_layout(spark, sf_dir, tmp_path):
+    """The serve-everything streaming front (r11): document event batches
+    fold into a COMMITTED ingest_serving layout one micro-batch at a
+    time through ingest_serving_incremental, each batch publishing a
+    complete serving cut; compact_every folds the pending deltas through
+    compact_serving (pinned-version fold + repin). After two activations
+    the loaded cut must carry no pending pins, and its keyword serving
+    structures must equal a from-scratch ingest of the live corpus
+    (tf + BM25 through the pinned cut)."""
+    from connapse_spark.operators import keyword_index as ki
+    from connapse_spark.operators.ingest import ingest_serving, load_serving
+    from connapse_spark.streaming.pipeline import streaming_serving_maintenance
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") < 12)
+        .select("doc_id", "text")
+        .persist()
+    )
+    base = str(tmp_path / "serving")
+    watch = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(watch)
+    first = ingest_serving(docs, base_dir=base)
+    v0 = load_serving(spark, base)["serving_version"]
+
+    # activation 1 (batch 0): update doc 3, delete doc 7 — pending mode
+    b1 = docs.filter(F.col("doc_id") == 3).select(
+        "doc_id", F.lit("streamed wave table scan words").alias("text"),
+        F.lit("U").alias("op"),
+    )
+    d1 = spark.createDataFrame([(7, None, "D")], "doc_id long, text string, op string")
+    b1.unionByName(d1).coalesce(1).write.mode("append").parquet(watch)
+    streaming_serving_maintenance(
+        spark, watch, base, ckpt, tf_mode="pending", compact_every=2,
+        rebuild_threshold=2.0,
+    )
+    cut1 = load_serving(spark, base)
+    assert cut1["serving_version"] > v0
+    assert "tf_pending" in cut1["tables"]  # batch 0: pending, not yet compacted
+
+    # activation 2 (batch 1): update doc 5; compact_every=2 fires after it
+    b2 = docs.filter(F.col("doc_id") == 5).select(
+        "doc_id", F.lit("second streamed wave merge join").alias("text"),
+        F.lit("U").alias("op"),
+    )
+    b2.coalesce(1).write.mode("append").parquet(watch)
+    streaming_serving_maintenance(
+        spark, watch, base, ckpt, tf_mode="pending", compact_every=2,
+        rebuild_threshold=2.0,
+    )
+    cut2 = load_serving(spark, base)
+    assert "tf_pending" not in cut2["tables"]
+    assert "positions_pending" not in cut2["tables"]
+
+    live = (
+        docs.filter(~F.col("doc_id").isin(3, 5, 7))
+        .unionByName(b1.select("doc_id", "text"))
+        .unionByName(b2.select("doc_id", "text"))
+    )
+    want = ingest_serving(live)
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    assert rows(cut2["tf_postings"][0]) == rows(want["tf_postings"][0])
+    assert rows(cut2["tf_postings"][1]) == rows(want["tf_postings"][1])
+    got_bm25 = ki.keyword_search_bm25_indexed(
+        cut2["tf_postings"][1], cut2["doclen"], "table scan", k=10
+    ).collect()
+    want_bm25 = ki.keyword_search_bm25_indexed(
+        want["tf_postings"][1],
+        ki.build_doclen_table(
+            ki.build_token_table(want["chunks"], id_col="chunk_id", text_col="content")
+        ),
+        "table scan",
+        k=10,
+    ).collect()
+    assert got_bm25 and [tuple(r) for r in got_bm25] == [tuple(r) for r in want_bm25]
+    for h in (first, want):
+        h["chunks"].unpersist(), h["vectors"].unpersist()
+    docs.unpersist()
