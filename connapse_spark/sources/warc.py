@@ -804,17 +804,31 @@ def write_cdx_table(index_df: DataFrame, table_dir: str, n_files: int = 32) -> i
     file-pruned point read. Size ``n_files`` so a file stays in the
     100 MB–1 GB parquet sweet spot at the target corpus. Feed it
     ``cdx_index(blobs, sort=False)`` — the clustered write IS the sort,
-    and a pre-sorted input would pay the range shuffle twice."""
+    and a pre-sorted input would pay the range shuffle twice.
+
+    The index rows are pinned with ``persist`` for the commit's scope:
+    ``repartitionByRange`` runs a boundary-sampling job over its child
+    BEFORE the shuffle job, and an unpersisted child means the WARC
+    parse (the index's one expensive stage — gzip + HTTP decode in
+    Python) executes twice per commit (r11, measured). Index rows are
+    capture metadata (~200 B/row, no payloads), so the pin is small
+    relative to the archives even at a full-corpus rebuild."""
+    from pyspark import StorageLevel
+
     from connapse_spark.sources import snapshots
 
-    clustered = index_df.repartitionByRange(n_files, "urlkey", "cdx_ts").sortWithinPartitions(
-        "urlkey", "cdx_ts"
-    )
-    # per-file urlkey blooms (r9): range stats already prune the clustered
-    # layout; blooms additionally kill the boundary/level files whose
-    # [min, max] covers a key they don't hold (cdx_lookup_many consults
-    # them via scan_pruned_keys)
-    return snapshots.commit_snapshot(clustered, table_dir, bloom_cols=["urlkey"])
+    pinned = index_df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        clustered = pinned.repartitionByRange(
+            n_files, "urlkey", "cdx_ts"
+        ).sortWithinPartitions("urlkey", "cdx_ts")
+        # per-file urlkey blooms (r9): range stats already prune the
+        # clustered layout; blooms additionally kill the boundary/level
+        # files whose [min, max] covers a key they don't hold
+        # (cdx_lookup_many consults them via scan_pruned_keys)
+        return snapshots.commit_snapshot(clustered, table_dir, bloom_cols=["urlkey"])
+    finally:
+        pinned.unpersist()
 
 
 def cdx_append(
@@ -902,13 +916,22 @@ def cdx_append(
     ]
     pinned = spark.createDataFrame([(p,) for p in fresh_paths], "path string")
     fresh = binary_df.join(F.broadcast(pinned), "path", "left_semi")
-    batch = cdx_index(fresh, sort=False)
-    clustered = batch.repartitionByRange(
-        n_files, "urlkey", "cdx_ts"
-    ).sortWithinPartitions("urlkey", "cdx_ts")
-    v = snapshots.commit_snapshot(
-        clustered, table_dir, mode="append", bloom_cols=["urlkey"]
-    )
+    # persist the parsed batch for the commit's scope: the range
+    # repartition's boundary-sampling job would otherwise re-run the
+    # whole WARC parse a second time (r11 — same reasoning as
+    # write_cdx_table; the batch is capture metadata, not archives)
+    from pyspark import StorageLevel
+
+    batch = cdx_index(fresh, sort=False).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        clustered = batch.repartitionByRange(
+            n_files, "urlkey", "cdx_ts"
+        ).sortWithinPartitions("urlkey", "cdx_ts")
+        v = snapshots.commit_snapshot(
+            clustered, table_dir, mode="append", bloom_cols=["urlkey"]
+        )
+    finally:
+        batch.unpersist()
     snapshots.commit_snapshot(
         pinned,
         ing_dir,
