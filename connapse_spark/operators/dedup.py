@@ -85,8 +85,24 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
     document (~20s just to shingle 5k docs). zip_with lambdas touch only
     their own arguments; the token array is evaluated a constant number of
     times per row. zip_with pads to the longer side with nulls and concat
-    propagates null, so trailing (incomplete) windows filter out."""
+    propagates null, so trailing (incomplete) windows filter out.
+
+    The token array is BOUND once via a one-element ``transform`` lambda
+    (r11): the shingle construction references the array ~5× (acc + each
+    shift's slice/size), and since HOFs evaluate interpreted — outside
+    codegen's subexpression elimination — each reference used to re-run
+    the full tokenizer (regex split + CJK bigrams) per row. A lambda
+    variable is evaluated once and read cheaply thereafter; measured
+    1.5× on the sf0.1 shingle+sha pass, bit-identical output."""
     toks = tokens_exact_expr(text)
+    return F.element_at(
+        F.transform(F.array(toks), lambda t: _shingles_from_tokens(t, n)), 1
+    )
+
+
+def _shingles_from_tokens(toks: Column, n: int) -> Column:
+    """Shingle construction over an already-evaluated token array column
+    (or HOF lambda variable — every reference must be cheap)."""
     acc = toks
     for j in range(1, n):
         shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
