@@ -108,15 +108,29 @@ def keyword_score_expr(text: Column, query: str) -> Column:
     the per-term sum): keeps the codegen'd expression tree small (a per-term
     expression chain compiles an enormous whole-stage function) and each
     array is traversed once per row.
+
+    The exact-token array is BOUND once via a one-element transform
+    lambda and the stemmed array derived from it (r11): referencing
+    ``tokens_exact_expr`` twice (directly + inside tokens_stemmed_expr)
+    ran the full tokenizer twice per row — HOF-heavy subtrees sit
+    outside codegen's subexpression elimination (measured 1.35× on the
+    sf0.1 dual-tokenize pass; same mechanism as dedup.shingles_expr).
     """
+    from connapse_spark.functions.text import stem_expr
+
     terms = sorted(set(tokenize_py(query)))
     stems = sorted({stem_py(t) for t in terms})
-    te = tokens_exact_expr(text)
-    ts = tokens_stemmed_expr(text)
-    n_exact = F.size(F.filter(te, lambda t: t.isin(*terms)))
-    n_stem = F.size(F.filter(ts, lambda t: t.isin(*stems)))
-    raw = F.lit(WEIGHT_EXACT) * n_exact + F.lit(WEIGHT_STEMMED) * n_stem
-    return raw / (raw + F.lit(1.0))
+
+    def _score(te: Column) -> Column:
+        ts = F.transform(te, stem_expr)
+        n_exact = F.size(F.filter(te, lambda t: t.isin(*terms)))
+        n_stem = F.size(F.filter(ts, lambda t: t.isin(*stems)))
+        raw = F.lit(WEIGHT_EXACT) * n_exact + F.lit(WEIGHT_STEMMED) * n_stem
+        return raw / (raw + F.lit(1.0))
+
+    return F.element_at(
+        F.transform(F.array(tokens_exact_expr(text)), _score), 1
+    )
 
 
 def keyword_search(
@@ -346,11 +360,15 @@ def keyword_search_websearch(
     df = docs if predicate is None else docs.filter(predicate)
     if not groups:
         return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
+    # _ts derives from the _te COLUMN (r11): a second tokens_stemmed_expr
+    # over text re-runs the tokenizer per row (no codegen CSE across the
+    # two HOF subtrees); CollapseProject keeps the boundary since _te is
+    # non-cheap and referenced twice
+    from connapse_spark.functions.text import stem_expr
+
     toks = df.select(
-        F.col(id_col),
-        tokens_exact_expr(F.col(text_col)).alias("_te"),
-        tokens_stemmed_expr(F.col(text_col)).alias("_ts"),
-    )
+        F.col(id_col), tokens_exact_expr(F.col(text_col)).alias("_te")
+    ).withColumn("_ts", F.transform(F.col("_te"), stem_expr))
     te, ts = F.col("_te"), F.col("_ts")
     return (
         toks.filter(websearch_match_expr(te, ts, groups))
@@ -481,8 +499,24 @@ def proximity_score_from_tokens(te: Column, ts: Column, query: str) -> Column:
 
 
 def keyword_proximity_score_expr(text: Column, query: str) -> Column:
-    return proximity_score_from_tokens(
-        tokens_exact_expr(text), tokens_stemmed_expr(text), query
+    # bind BOTH token arrays once via nested one-element transform
+    # lambdas (r11): the score references each array per pair bonus, and
+    # interpreted HOF references re-evaluate their subtree every time —
+    # previously each reference re-ran the full tokenizer
+    from connapse_spark.functions.text import stem_expr
+
+    return F.element_at(
+        F.transform(
+            F.array(tokens_exact_expr(text)),
+            lambda te: F.element_at(
+                F.transform(
+                    F.array(F.transform(te, stem_expr)),
+                    lambda ts: proximity_score_from_tokens(te, ts, query),
+                ),
+                1,
+            ),
+        ),
+        1,
     )
 
 
@@ -526,12 +560,20 @@ def keyword_search_proximity(
     uniq = sorted(set(terms))
     stems = sorted({stem_py(t) for t in terms})
     df = docs if predicate is None else docs.filter(predicate)
+    # the stemmed array derives from the exact-token COLUMN (r11): a
+    # second tokens_stemmed_expr(text) in the zip re-ran the tokenizer
+    # per row; the projection boundary survives CollapseProject (_te
+    # non-cheap, referenced twice)
+    from connapse_spark.functions.text import stem_expr
+
     z = df.select(
+        F.col(id_col), tokens_exact_expr(F.col(text_col)).alias("_te")
+    ).select(
         F.col(id_col),
         F.posexplode(
             F.arrays_zip(
-                tokens_exact_expr(F.col(text_col)).alias("e"),
-                tokens_stemmed_expr(F.col(text_col)).alias("s"),
+                F.col("_te").alias("e"),
+                F.transform(F.col("_te"), stem_expr).alias("s"),
             )
         ).alias("pos", "tok"),
     )
@@ -1816,9 +1858,16 @@ def keyword_search_many(
             F.col(id_col).alias("id"),
             F.explode(tokens_exact_expr(F.col(text_col))).alias("t"),
         )
+        # stemmed pass derives its array from the exact tokens (r11):
+        # tokens_stemmed_expr(text) embeds a SECOND tokenizer run
+        from connapse_spark.functions.text import stem_expr
+
         ts_src = docs.select(
             F.col(id_col).alias("id"),
-            F.explode(tokens_stemmed_expr(F.col(text_col))).alias("st"),
+            tokens_exact_expr(F.col(text_col)).alias("_te"),
+        ).select(
+            "id",
+            F.explode(F.transform(F.col("_te"), stem_expr)).alias("st"),
         )
     te = te_src.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
     ts = ts_src.groupBy("id", "st").agg(F.count(F.lit(1)).alias("tf"))
@@ -1957,14 +2006,18 @@ def hybrid_search_many(
         te_expr = F.coalesce(F.col("__te"), empty)
         ts_expr = F.coalesce(F.col("__ts"), empty)
     else:
+        # _ts derives from the _te COLUMN below (r11): a second
+        # tokens_stemmed_expr(text) would run the tokenizer twice per
+        # row in the scan projection (no codegen CSE across HOFs)
         te_expr = tokens_exact_expr(F.col(text_col))
-        ts_expr = tokens_stemmed_expr(F.col(text_col))
+        ts_expr = None
     base_cols = [
         F.col(id_col).alias("id"),
         to_double_array(F.col(vec_col)).alias("_v"),
         te_expr.alias("_te"),
-        ts_expr.alias("_ts"),
     ]
+    if ts_expr is not None:
+        base_cols.append(ts_expr.alias("_ts"))
     if predicates:
         # evaluated against the ORIGINAL corpus columns, then projected
         base_cols.append(
@@ -1975,6 +2028,10 @@ def hybrid_search_many(
             ]).alias("_oks")
         )
     base = corpus.select(*base_cols)
+    if ts_expr is None:
+        from connapse_spark.functions.text import stem_expr
+
+        base = base.withColumn("_ts", F.transform(F.col("_te"), stem_expr))
     # query-side stemming must match the analyzer the served token arrays
     # were built with — the bundle carries it (r10; None = suffix default)
     stem = stem_py
@@ -2360,10 +2417,15 @@ def hybrid_search_many_fast(
             # fallback (r11 — previously the tf and positions builds each
             # ran their own tokenize pass, doubling the dominant cost):
             # positions build here, tf derived from them below
+            from connapse_spark.functions.text import stem_expr as _stem_x
+
             toks_ws = corpus.select(
                 F.col(id_col).alias("id"),
                 tokens_exact_expr(F.col(text_col)).alias("tokens_exact"),
-                tokens_stemmed_expr(F.col(text_col)).alias("tokens_stemmed"),
+            ).withColumn(
+                # derive from the exact COLUMN — one tokenizer run (r11)
+                "tokens_stemmed",
+                F.transform(F.col("tokens_exact"), _stem_x),
             )
             pos_e = ki.build_positions_postings(toks_ws, "tokens_exact")
             pos_s = ki.build_positions_postings(toks_ws, "tokens_stemmed")
@@ -2405,10 +2467,14 @@ def hybrid_search_many_fast(
                 "id", F.col("term").alias("st"), "tf"
             )
         else:
+            from connapse_spark.functions.text import stem_expr as _stem_x
+
             toks = corpus.select(
                 F.col(id_col).alias("id"),
                 tokens_exact_expr(F.col(text_col)).alias("_te"),
-                tokens_stemmed_expr(F.col(text_col)).alias("_ts"),
+            ).withColumn(
+                # derive from the exact COLUMN — one tokenizer run (r11)
+                "_ts", F.transform(F.col("_te"), _stem_x)
             )
             te = (
                 toks.select("id", F.explode("_te").alias("t"))
