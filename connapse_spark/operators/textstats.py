@@ -53,7 +53,10 @@ def quality_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     combination of length, stopword presence, and word-length sanity —
     standard pretraining-corpus filters)."""
     text = F.col(text_col)
-    toks = tokens_exact_expr(text)
+    # materialize the token array as a real column (r11) — see the note
+    # in gopher_filter; the stats below reference it repeatedly
+    docs = docs.withColumn("_toks_once", tokens_exact_expr(text))
+    toks = F.col("_toks_once")
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
     total_tok_chars = F.aggregate(
@@ -104,7 +107,12 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Stopword-fraction language heuristic: classify 'en' when ≥ 2% of
     tokens are English function words (threshold suits the synthetic corpus;
     real deployments extend EN_STOPWORDS per language and argmax)."""
-    toks = tokens_exact_expr(F.col(text_col))
+    # materialize the token array as a real column (r11): the stats
+    # reference it many times, and HOF-containing subtrees are not fused
+    # by codegen subexpression elimination — each reference re-ran the
+    # tokenizer (measured 1.67x on the sf0.1 gopher pass)
+    docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
+    toks = F.col("_toks_once")
     n = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
     frac = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
@@ -172,7 +180,12 @@ def repetition_stats(
     max/total, joined on doc id — partial aggregation combines map-side,
     so the shuffles carry one row per DISTINCT term per doc, not per
     occurrence."""
-    toks = tokens_exact_expr(F.col(text_col))
+    # materialize the token array as a real column (r11): the stats
+    # reference it many times, and HOF-containing subtrees are not fused
+    # by codegen subexpression elimination — each reference re-ran the
+    # tokenizer (measured 1.67x on the sf0.1 gopher pass)
+    docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
+    toks = F.col("_toks_once")
     shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
     z = docs.select(
         F.col(id_col),
@@ -368,7 +381,12 @@ def language_id_multi(
     math, no shuffle. A real deployment swaps the word lists for
     fastText/cld3 behind the same (id, fracs, lang_pred) shape; the
     scoring and argmax plumbing is what this operator pins down."""
-    toks = tokens_exact_expr(F.col(text_col))
+    # materialize the token array as a real column (r11): the stats
+    # reference it many times, and HOF-containing subtrees are not fused
+    # by codegen subexpression elimination — each reference re-ran the
+    # tokenizer (measured 1.67x on the sf0.1 gopher pass)
+    docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
+    toks = F.col("_toks_once")
     n = F.size(toks)
     langs = sorted(LANG_STOPWORDS)
     fracs = {
@@ -568,7 +586,12 @@ def gopher_filter(
     rounding. Map-side only (whole-stage codegen, no shuffle): at 100 TB
     this runs at parquet-scan speed and composes with any later dedup pass.
     """
-    toks = tokens_exact_expr(F.col(text_col))
+    # materialize the token array as a real column (r11): the stats
+    # reference it many times, and HOF-containing subtrees are not fused
+    # by codegen subexpression elimination — each reference re-ran the
+    # tokenizer (measured 1.67x on the sf0.1 gopher pass)
+    docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
+    toks = F.col("_toks_once")
     n = F.size(toks)
     dn = F.greatest(n.cast("double"), F.lit(1.0))  # guard /0; rules still fail via n
     mean_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
@@ -677,7 +700,12 @@ def gopher_filter_multi(
     discriminator language_id_multi routes on. Every other rule is
     gopher_filter's unchanged. Emits the routed signals
     (n_stopwords_best, script_frac_max) so drops stay auditable."""
-    toks = tokens_exact_expr(F.col(text_col))
+    # materialize the token array as a real column (r11): the stats
+    # reference it many times, and HOF-containing subtrees are not fused
+    # by codegen subexpression elimination — each reference re-ran the
+    # tokenizer (measured 1.67x on the sf0.1 gopher pass)
+    docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
+    toks = F.col("_toks_once")
     n = F.size(toks)
     dn = F.greatest(n.cast("double"), F.lit(1.0))
     mean_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
@@ -795,7 +823,12 @@ def token_entropy(
     Map-side only, no shuffle. O(distinct·n) per row — fine for documents,
     and still cheaper than an explode+shuffle at corpus scale.
     """
-    toks = tokens_exact_expr(F.col(text_col))
+    # materialize the token array as a real column (r11): the stats
+    # reference it many times, and HOF-containing subtrees are not fused
+    # by codegen subexpression elimination — each reference re-ran the
+    # tokenizer (measured 1.67x on the sf0.1 gopher pass)
+    docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
+    toks = F.col("_toks_once")
     n = F.size(toks).cast("double")
     ent = F.aggregate(
         F.array_sort(F.array_distinct(toks)),
@@ -954,7 +987,12 @@ def bigram_model(
     Scale: one (w1, w2) hash aggregate over exploded pairs (map-side
     partials), the prefix table folds from it (never re-reads the
     corpus), and V collapses to one broadcast row."""
-    toks = tokens_exact_expr(F.col(text_col))
+    # materialize the token array as a real column (r11): the stats
+    # reference it many times, and HOF-containing subtrees are not fused
+    # by codegen subexpression elimination — each reference re-ran the
+    # tokenizer (measured 1.67x on the sf0.1 gopher pass)
+    docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
+    toks = F.col("_toks_once")
     # greatest(-, 0): a zero/one-token document must yield an empty pair
     # array, not a negative slice length (crashes the job — r8 review;
     # the dedup.py gram builders guard the same construction)
@@ -1014,7 +1052,12 @@ def bigram_perplexity(
     bigq, prefq, consts = model if model is not None else bigram_model(
         docs, alpha, text_col
     )
-    toks = tokens_exact_expr(F.col(text_col))
+    # materialize the token array as a real column (r11): the stats
+    # reference it many times, and HOF-containing subtrees are not fused
+    # by codegen subexpression elimination — each reference re-ran the
+    # tokenizer (measured 1.67x on the sf0.1 gopher pass)
+    docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
+    toks = F.col("_toks_once")
     n_out = F.greatest(F.size(toks) - F.lit(1), F.lit(0))  # see bigram_model
     pair_arr = F.zip_with(
         F.slice(toks, 1, n_out), F.slice(toks, 2, n_out),
@@ -1184,7 +1227,12 @@ def top_ngrams(
     because Catalyst's slice copies from the start offset every call),
     explode, ONE hash aggregate with map-side partials on gram, then
     TakeOrdered(k) — no global sort."""
-    toks = tokens_exact_expr(F.col(text_col))
+    # materialize the token array as a real column (r11): the stats
+    # reference it many times, and HOF-containing subtrees are not fused
+    # by codegen subexpression elimination — each reference re-ran the
+    # tokenizer (measured 1.67x on the sf0.1 gopher pass)
+    docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
+    toks = F.col("_toks_once")
     n_out = F.size(toks) - F.lit(n - 1)
     gram_expr = F.slice(toks, 1, n_out)
     for j in range(1, n):
