@@ -1036,6 +1036,23 @@ FROM flagged GROUP BY id
 """.strip()
 
 
+def _span_grams_from_tokens(toks: Column, n: int) -> Column:
+    """n-token span strings over an already-materialized token array
+    column (every reference must be cheap — the chained zip_with below
+    references it ~2n times). Construction unchanged from the original
+    inlined form: n shifted slices zipped with ' ' joins, guarded empty
+    for documents shorter than n tokens."""
+    n_out = F.size(toks) - F.lit(n - 1)
+    gram = F.slice(toks, 1, n_out)
+    for j in range(1, n):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, 1 + j, n_out),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
+
+
 def dup_span_stats(
     docs: DataFrame,
     n: int = 16,
@@ -1063,18 +1080,19 @@ def dup_span_stats(
     from connapse_spark.functions.text import tokens_exact_expr
 
     toks = tokens_exact_expr(F.col(text_col))
-    n_out = F.size(toks) - F.lit(n - 1)
-    gram = F.slice(toks, 1, n_out)
-    for j in range(1, n):
-        gram = F.zip_with(
-            gram,
-            F.slice(toks, 1 + j, n_out),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    grams = F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
-    pairs = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.transform(grams, _sha_bigint60)).alias("gh"),
+    # materialize the token array as a real column first (r11): the gram
+    # construction below references its input ~33x (each shifted slice +
+    # every copied n_out subtree), and with the tokenizer inlined those
+    # were 33 full re-tokenizations PER ROW inside an interpreted Generate
+    # (HOFs evaluate outside codegen's subexpression elimination); column
+    # references are cheap attribute reads, and Project-under-Generate is
+    # not collapsed, so the tokenizer now runs once per row
+    toked = docs.select(F.col(id_col).alias("id"), toks.alias("_ts"))
+    pairs = toked.select(
+        "id",
+        F.explode(
+            F.transform(_span_grams_from_tokens(F.col("_ts"), n), _sha_bigint60)
+        ).alias("gh"),
     )
     counts = pairs.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
     dup = counts.filter(F.col("_c") > 1).select("gh")
@@ -1130,16 +1148,15 @@ def remove_dup_spans(
     from connapse_spark.functions.text import tokens_exact_expr
 
     toks = tokens_exact_expr(F.col(text_col))
-    n_out = F.size(toks) - F.lit(n - 1)
-    gram = F.slice(toks, 1, n_out)
-    for j in range(1, n):
-        gram = F.zip_with(
-            gram,
-            F.slice(toks, 1 + j, n_out),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    grams = F.when(F.size(toks) >= n, gram).otherwise(F.array().cast("array<string>"))
-    base = docs.select(F.col(id_col).alias("id"), toks.alias("_ts"), grams.alias("_gs"))
+    # tokenize once per row (r11): the gram construction references its
+    # input ~17x, and with the tokenizer inlined that was 17 full
+    # re-tokenizations per row in one Project; deriving the gram column
+    # from the materialized ``_ts`` column makes each an attribute read
+    # (CollapseProject keeps the boundary — ``_ts`` is expensive and
+    # multi-referenced)
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("_ts")).select(
+        "id", "_ts", _span_grams_from_tokens(F.col("_ts"), n).alias("_gs")
+    )
     pos_pairs = base.select(
         "id", F.posexplode(F.transform(F.col("_gs"), _sha_bigint60)).alias("pos", "gh")
     )
