@@ -64,17 +64,31 @@ def quality_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
     n_ws = token_count_ws_expr(text)
     n_bpe = token_count_bpeish_expr(text)
-    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
-    mean_wlen = F.when(n_tok > 0, total_tok_chars / n_tok).otherwise(F.lit(0.0))
-    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
-    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    stop_ok = F.when(stop_ratio >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
-    quality = (len_ok + wlen_ok + stop_ok) / F.lit(3.0)
-    return docs.select(
+    # materialize the counts ONCE, then derive the ratios and the score
+    # from the materialized columns (r11): n_stop (interpreted filter) and
+    # total_tok_chars (interpreted fold) were referenced by both their
+    # ratio column and the quality score — each reference re-ran the
+    # O(tokens) pass
+    counts = docs.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_ws.alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
+        n_stop.alias("_n_stop"),
+        total_tok_chars.alias("_tok_chars"),
+    )
+    nn = F.col("n_tokens")
+    stop_ratio = F.when(nn > 0, F.col("_n_stop") / nn).otherwise(F.lit(0.0))
+    mean_wlen = F.when(nn > 0, F.col("_tok_chars") / nn).otherwise(F.lit(0.0))
+    len_ok = F.when((nn >= 10) & (nn <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stop_ratio >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    quality = (len_ok + wlen_ok + stop_ok) / F.lit(3.0)
+    return counts.select(
+        F.col(id_col),
+        nn,
+        F.col("n_ws_tokens"),
+        F.col("n_bpe_tokens"),
         stop_ratio.alias("stopword_ratio"),
         mean_wlen.alias("mean_word_len"),
         quality.alias("quality_score"),
@@ -116,10 +130,14 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     n = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
     frac = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
-    return docs.select(
+    # materialize the fraction ONCE (r11): the pred referenced it a second
+    # time, and the interpreted filter() inside re-ran per reference
+    stats = docs.select(F.col(id_col), frac.alias("en_stopword_frac"))
+    fc = F.col("en_stopword_frac")
+    return stats.select(
         F.col(id_col),
-        frac.alias("en_stopword_frac"),
-        F.when(frac >= 0.02, "en").otherwise("unknown").alias("lang_pred"),
+        fc,
+        F.when(fc >= 0.02, "en").otherwise("unknown").alias("lang_pred"),
     )
 
 
@@ -389,7 +407,7 @@ def language_id_multi(
     toks = F.col("_toks_once")
     n = F.size(toks)
     langs = sorted(LANG_STOPWORDS)
-    fracs = {
+    frac_exprs = {
         lang: F.when(
             n > 0,
             F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang]))) / n,
@@ -397,13 +415,27 @@ def language_id_multi(
         for lang in langs
     }
     nonws = F.length(F.regexp_replace(F.col(text_col), _NONWS_CLASS, ""))
-    script_fracs = {
+    script_exprs = {
         name: F.when(
             nonws > 0,
             F.regexp_count(F.col(text_col), F.lit(f"[{rng}]")) / nonws,
         ).otherwise(F.lit(0.0))
         for name, rng in SCRIPT_RANGES
     }
+    # materialize each fraction ONCE before the argmax (r11): the pred
+    # chain references every frac repeatedly (greatest() re-expands per
+    # CASE level), and the per-language filter() is interpreted, so each
+    # plan occurrence re-ran its token pass — 228 filter( occurrences in
+    # the before-plan vs 7 after. The projection boundary survives
+    # CollapseProject because the fracs are non-cheap and multi-referenced.
+    stats = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        *[frac_exprs[lang].alias(f"frac_{lang}") for lang in langs],
+        *[script_exprs[name].alias(f"frac_sc_{name}") for name, _ in SCRIPT_RANGES],
+    )
+    fracs = {lang: F.col(f"frac_{lang}") for lang in langs}
+    script_fracs = {name: F.col(f"frac_sc_{name}") for name, _ in SCRIPT_RANGES}
     best = F.greatest(*[fracs[lang] for lang in langs])
     pred = F.lit("unknown")
     for lang in reversed(langs):  # earlier language wins ties
@@ -412,11 +444,11 @@ def language_id_multi(
         ).otherwise(pred)
     for name, thresh, code in reversed(SCRIPT_RULES):  # first rule wins
         pred = F.when(script_fracs[name] >= thresh, F.lit(code)).otherwise(pred)
-    return docs.select(
+    return stats.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        *[fracs[lang].alias(f"frac_{lang}") for lang in langs],
-        *[script_fracs[name].alias(f"frac_sc_{name}") for name, _ in SCRIPT_RANGES],
+        *[F.col(f"frac_{lang}") for lang in langs],
+        *[F.col(f"frac_sc_{name}") for name, _ in SCRIPT_RANGES],
         pred.alias("lang_pred"),
     ).orderBy(id_col)
 
@@ -603,27 +635,45 @@ def gopher_filter(
     # Unicode-wide — a Cyrillic or CJK token must not fail the alpha rule
     # the way it would under the old ASCII [a-z] class)
     alpha_frac = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}"))).cast("double") / dn
-    r_len = (n >= min_tokens) & (n <= max_tokens)
-    r_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
-    r_div = distinct_ratio >= min_distinct_ratio
-    r_stop = n_stop >= min_stopwords
-    r_alpha = alpha_frac >= min_alpha_frac
-    return docs.select(
+    # materialize the per-doc stats ONCE, then derive the rules from the
+    # materialized columns (r11): mean_len (an interpreted aggregate fold)
+    # and alpha_frac (an interpreted filter) were each referenced by their
+    # rule, by `keep`, and by the output column — every reference re-ran
+    # the O(tokens) pass. Chained projections stay streaming-safe
+    # (map-side); the boundary survives CollapseProject because the stats
+    # are non-cheap and multi-referenced.
+    stats = docs.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         mean_len.alias("mean_token_len"),
         distinct_ratio.alias("distinct_ratio"),
         n_stop.cast("long").alias("n_stopwords"),
         alpha_frac.alias("alpha_frac"),
+        # passthrough keeps the result a projection chain of `docs` —
+        # streaming callers cannot join a derived frame back onto the
+        # stream (stream-stream join), and batch callers save the join too
+        *[F.col(c) for c in passthrough],
+    )
+    nn, ml = F.col("n_tokens"), F.col("mean_token_len")
+    dr, ns, af = F.col("distinct_ratio"), F.col("n_stopwords"), F.col("alpha_frac")
+    r_len = (nn >= min_tokens) & (nn <= max_tokens)
+    r_mean = (ml >= min_mean_len) & (ml <= max_mean_len)
+    r_div = dr >= min_distinct_ratio
+    r_stop = ns >= min_stopwords
+    r_alpha = af >= min_alpha_frac
+    return stats.select(
+        F.col(id_col),
+        nn,
+        ml,
+        dr,
+        ns,
+        af,
         r_len.alias("rule_length"),
         r_mean.alias("rule_mean_len"),
         r_div.alias("rule_diversity"),
         r_stop.alias("rule_stopwords"),
         r_alpha.alias("rule_alpha"),
         (r_len & r_mean & r_div & r_stop & r_alpha).alias("keep"),
-        # passthrough keeps the result a SINGLE projection of `docs` —
-        # streaming callers cannot join a derived frame back onto the
-        # stream (stream-stream join), and batch callers save the join too
         *[F.col(c) for c in passthrough],
     )
 
@@ -726,16 +776,33 @@ def gopher_filter_multi(
         for _, rng in SCRIPT_RANGES
     ])
     alpha_frac = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}"))).cast("double") / dn
-    r_len = (n >= min_tokens) & (n <= max_tokens)
-    r_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
-    r_div = distinct_ratio >= min_distinct_ratio
-    r_stop = (n_stop_best >= min_stopwords) | (script_frac_max >= script_threshold)
-    r_alpha = alpha_frac >= min_alpha_frac
-    return docs.select(
+    # materialize the per-doc stats ONCE, then derive the rules from the
+    # materialized columns (r11): same mechanism as gopher_filter — the
+    # interpreted fold/filter stats and the 7-language array_intersect
+    # greatest() were re-expanded per reference (42 array_intersect(
+    # occurrences in the before-plan vs 7 after). `_sfrac` stays unrounded
+    # for the rule (the output rounds it, exactly as before).
+    stats = docs.select(
         F.col(id_col),
         n.cast("long").alias("n_tokens"),
         n_stop_best.cast("long").alias("n_stopwords_best"),
-        F.round(script_frac_max, 9).alias("script_frac_max"),
+        script_frac_max.alias("_sfrac"),
+        mean_len.alias("_mean_len"),
+        distinct_ratio.alias("_distinct_ratio"),
+        alpha_frac.alias("_alpha_frac"),
+    )
+    nn, ns, sf = F.col("n_tokens"), F.col("n_stopwords_best"), F.col("_sfrac")
+    ml, dr, af = F.col("_mean_len"), F.col("_distinct_ratio"), F.col("_alpha_frac")
+    r_len = (nn >= min_tokens) & (nn <= max_tokens)
+    r_mean = (ml >= min_mean_len) & (ml <= max_mean_len)
+    r_div = dr >= min_distinct_ratio
+    r_stop = (ns >= min_stopwords) | (sf >= script_threshold)
+    r_alpha = af >= min_alpha_frac
+    return stats.select(
+        F.col(id_col),
+        nn,
+        ns,
+        F.round(sf, 9).alias("script_frac_max"),
         r_len.alias("rule_length"),
         r_mean.alias("rule_mean_len"),
         r_div.alias("rule_diversity"),
@@ -830,13 +897,16 @@ def token_entropy(
     docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
     toks = F.col("_toks_once")
     n = F.size(toks).cast("double")
-    ent = F.aggregate(
+    # compute each token's probability ONCE via transform, then fold
+    # (r11): the fold body referenced p twice (once for the weight, once
+    # inside the log), and the interpreted filter() inside re-ran the
+    # O(tokens) count per reference — halving the dominant O(distinct·n)
+    # cost. Same sorted order, same float ops → bit-identical entropy.
+    ps = F.transform(
         F.array_sort(F.array_distinct(toks)),
-        F.lit(0.0),
-        lambda acc, t: acc
-        - (F.size(F.filter(toks, lambda x: x == t)).cast("double") / n)
-        * F.log(F.size(F.filter(toks, lambda x: x == t)).cast("double") / n),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)).cast("double") / n,
     )
+    ent = F.aggregate(ps, F.lit(0.0), lambda acc, p: acc - p * F.log(p))
     return docs.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),

@@ -725,3 +725,24 @@ def test_ivf_recall_curve_pinned(spark):
     assert abs(curve[1] - 0.25) < 0.05     # measured 0.25
     assert abs(curve[3] - 0.55) < 0.05     # measured 0.55 (√8 rounds to 3)
     assert curve[1] < curve[3] < curve[8]  # monotone in nprobe
+
+
+def test_textstats_hof_stats_materialized_once(spark, sf_dir):
+    """r11 §9: the interpreted HOF stats (per-language filter() fracs, the
+    mean-length fold, array_intersect greatest()) are materialized through
+    a projection boundary and the argmax/rules derive from the columns —
+    the before-plans carried 228 filter( occurrences in language_id_multi
+    (each an O(tokens) interpreted pass per row) and 42 array_intersect(
+    in gopher_filter_multi. Pins that CollapseProject does not re-inline
+    the boundary (which would silently restore the blow-up)."""
+    from connapse_spark.operators import textstats
+
+    docs = _docs(spark, sf_dir)
+    lang_plan = _plan(textstats.language_id_multi(docs))
+    n_langs = len(textstats.LANG_STOPWORDS)
+    # one filter() per language, +1 for tolerance of plan-print duplication
+    assert lang_plan.count("filter(") <= 2 * (n_langs + 1), lang_plan.count("filter(")
+
+    gopher_plan = _plan(textstats.gopher_filter_multi(docs))
+    assert gopher_plan.count("array_intersect(") <= 2 * (n_langs + 1)
+    assert gopher_plan.count("aggregate(") <= 2  # the mean-length fold, once
