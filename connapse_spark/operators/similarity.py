@@ -18,7 +18,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 from pyspark.sql.window import Window
 
-from connapse_spark.functions.vector import cosine_expr, dot_expr, l2norm_expr, to_double_array
+from connapse_spark.functions.vector import (
+    _bind,
+    cosine_expr,
+    dot_expr,
+    l2norm_expr,
+    to_double_array,
+)
 
 
 # knn_join's driver-side collect bound: 100k queries × (id + 64-dim double
@@ -427,21 +433,36 @@ def cluster_assign(
         F.lit(-1).cast("bigint").alias("cid"), F.lit(-2.0).alias("score")
     )
 
-    def _step(acc, s):
-        sc = cosine_expr(s["cvec"], v)
-        return F.when(
-            sc > acc["score"], F.struct(s["cid"].alias("cid"), sc.alias("score"))
-        ).otherwise(acc)
+    # bind the cast vector and each seed's cosine once (r11): the step
+    # referenced sc in both the comparison and the kept struct, and the
+    # to_double_array cast re-ran inside every step — k+1 redundant O(d)
+    # interpreted passes per row. The fold itself then goes through a
+    # projection boundary because BOTH output columns (cluster, score)
+    # read it — unboundaried, the whole k-seed fold ran twice per row.
+    def _best_of(vv):
+        def _step(acc, s):
+            return _bind(
+                cosine_expr(s["cvec"], vv),
+                lambda sc: F.when(
+                    sc > acc["score"],
+                    F.struct(s["cid"].alias("cid"), sc.alias("score")),
+                ).otherwise(acc),
+            )
 
-    best = F.aggregate("_seeds", acc0, _step)
+        return F.aggregate("_seeds", acc0, _step)
+
+    scored_cols = [F.col(id_col), _bind(v, _best_of).alias("_best")]
+    if keep_vec:
+        scored_cols.append(v.alias("_v"))
+    scored = embeddings.crossJoin(F.broadcast(seeds)).select(*scored_cols)
     cols = [
         F.col(id_col),
-        best["cid"].alias("cluster"),
-        best["score"].alias("score"),
+        F.col("_best")["cid"].alias("cluster"),
+        F.col("_best")["score"].alias("score"),
     ]
     if keep_vec:
-        cols.append(v.alias("_v"))
-    return embeddings.crossJoin(F.broadcast(seeds)).select(*cols)
+        cols.append(F.col("_v"))
+    return scored.select(*cols)
 
 
 def sql_cluster_assign(

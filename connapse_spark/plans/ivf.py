@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 
 from connapse_spark.functions.embed import sql_vector_literal
 from connapse_spark.functions.vector import (
+    _bind,
     cosine_expr,
     dot_expr,
     l2norm_expr,
@@ -740,18 +741,30 @@ def ivf_index_upsert(
         F.lit(-2.0).alias("score"),
     )
 
+    # materialize the cast vector once, then fold/norm over the cheap
+    # column (r11): the to_double_array cast re-ran inside every fold
+    # step and in both output references — k+2 redundant O(d) passes per
+    # row; sc was referenced by both the comparison and the kept struct.
+    # The boundary survives CollapseProject: `vec` is non-cheap and
+    # multi-referenced (fold + output + norm).
+    pre = new_vectors.crossJoin(F.broadcast(packed)).select(
+        F.col(id_col).alias("id"), v.alias("vec"), F.col("_seeds")
+    )
+
     def _step(acc, s):
-        sc = cosine_expr(s["cvec"], v)
-        return F.when(
-            sc > acc["score"], F.struct(s["cid"].alias("cid"), sc.alias("score"))
-        ).otherwise(acc)
+        return _bind(
+            cosine_expr(s["cvec"], F.col("vec")),
+            lambda sc: F.when(
+                sc > acc["score"], F.struct(s["cid"].alias("cid"), sc.alias("score"))
+            ).otherwise(acc),
+        )
 
     best = F.aggregate("_seeds", acc0, _step)
-    assigned = new_vectors.crossJoin(F.broadcast(packed)).select(
-        F.col(id_col).alias("id"),
+    assigned = pre.select(
+        "id",
         best["cid"].alias("list_id"),
-        v.alias("vec"),
-        l2norm_expr(v).alias("norm"),
+        F.col("vec"),
+        l2norm_expr(F.col("vec")).alias("norm"),
         F.lit(1).alias("_gen"),
     )
     merged = index.select("id", "list_id", "vec", "norm").withColumn(
@@ -862,12 +875,16 @@ def ivf_drift(index: DataFrame, dims: int = 64, round_digits: int = 6) -> DataFr
     )
 
     def _step(acc, s):
-        sc = cosine_expr(s["cvec"], F.col("vec"))
         # strict > keeps the FIRST (lowest cid — _seeds is sorted) on ties,
-        # matching the SQL row_number ORDER BY s DESC, cid
-        return F.when(
-            sc > acc["score"], F.struct(s["cid"].alias("cid"), sc.alias("score"))
-        ).otherwise(acc)
+        # matching the SQL row_number ORDER BY s DESC, cid. sc is bound
+        # once (r11): it was referenced by both the comparison and the
+        # kept struct, running the O(d) cosine twice per seed.
+        return _bind(
+            cosine_expr(s["cvec"], F.col("vec")),
+            lambda sc: F.when(
+                sc > acc["score"], F.struct(s["cid"].alias("cid"), sc.alias("score"))
+            ).otherwise(acc),
+        )
 
     best = F.aggregate("_seeds", acc0, _step)
     scored = index.crossJoin(F.broadcast(packed)).select(
