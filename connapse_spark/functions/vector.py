@@ -70,6 +70,67 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return _bind(a, lambda aa: _bind(b, lambda bb: _with_arrays(aa, bb)))
 
 
+def paired_cosine_expr(na: Column, nb: Column, a: Column, b: Column) -> Column:
+    """Cosine from pre-materialized per-row norms: dot/(na·nb), 0.0 on zero
+    magnitude — the same FP operation order as cosine_expr, so the DuckDB
+    mirrors are unchanged. Computing norms once per ROW (before the join)
+    instead of per PAIR is the difference between O(n²·d) and O(n·d) norm
+    work in any pairwise kernel; the join boundary stops Catalyst's
+    CollapseProject from inlining them back into the pair stage."""
+    return F.when(
+        (na > F.lit(0.0)) & (nb > F.lit(0.0)), dot_expr(a, b) / (na * nb)
+    ).otherwise(F.lit(0.0))
+
+
+def py_l2norm(vals) -> float:
+    """Driver-side L2 norm in the EXACT fold order of :func:`l2norm_expr`:
+    products accumulated left-to-right from a 0.0 seed, then sqrt. Python
+    floats are IEEE doubles, so for a literal query vector this produces
+    the same bits the Catalyst fold would — which is what lets a scan
+    against a Python-literal query skip the per-row query-norm fold."""
+    import math
+
+    acc = 0.0
+    for v in vals:
+        v = float(v)
+        acc = acc + v * v
+    return math.sqrt(acc)
+
+
+def cosine_to_query_expr(
+    vec: Column, query_vec, norm_col: Column | None = None
+) -> Column:
+    """Cosine of a row vector against a PYTHON-LITERAL query vector.
+
+    ``cosine_expr(row, q_literal)`` pays three O(d) folds per row — the
+    query's own norm is a fold over a literal array that Catalyst does NOT
+    constant-fold (HOFs run interpreted). Here the query norm folds
+    driver-side via :func:`py_l2norm` (identical FP order → identical
+    double) and lands as a scalar literal, so the scan pays two folds per
+    row; pass ``norm_col`` (a pre-materialized row-norm column) to share
+    the row's norm across a batch of queries — 1 + n_q folds per row
+    instead of 3·n_q. Operand order matches cosine_expr(a=row, b=query):
+    condition (norm_row > 0) AND (norm_q > 0), denominator norm_row·norm_q
+    — so scores are bit-identical and the DuckDB mirrors are unchanged."""
+    qn = py_l2norm(query_vec)
+    qarr = F.array(*[F.lit(float(v)) for v in query_vec])
+    if norm_col is not None:
+        return F.when(
+            (norm_col > F.lit(0.0)) & (F.lit(qn) > F.lit(0.0)),
+            dot_expr(vec, qarr) / (norm_col * F.lit(qn)),
+        ).otherwise(F.lit(0.0))
+    return _bind(
+        vec,
+        lambda vv: _bind(
+            F.sqrt(dot_expr(vv, vv)),
+            lambda nv: F.when(
+                (nv > F.lit(0.0)) & (F.lit(qn) > F.lit(0.0)),
+                dot_expr(vv, qarr) / (nv * F.lit(qn)),
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB-oracle SQL mirrors (same operation order → bit-identical doubles)
 # ---------------------------------------------------------------------------

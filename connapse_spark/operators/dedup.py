@@ -149,11 +149,9 @@ def ngram_jaccard_pairs(
     """
     if method == "auto":
         method = "prefix" if threshold >= 0.5 else "inverted"
-    sh = (
-        docs.select(F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
-        .filter(F.col("n_sh") > 0)
-    )
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
     # The plan below fans `sh` into up to 5 consumers (df-count, both sides
     # of the candidate join, both verification sides); without a
     # materialization barrier each consumer re-runs tokenize+shingle over
@@ -161,6 +159,13 @@ def ngram_jaccard_pairs(
     # table IS the index (released by the ContextCleaner when the plan is
     # garbage-collected).
     sh = sh.persist()
+    # the n_sh>0 screen sits ABOVE the persist (r11): below it, predicate
+    # pushdown substitutes the alias and the cache build runs
+    # size(<full tokenize+shingle expr>)>0 per row in the scan filter and
+    # the shingle expression AGAIN in the projection — one extra corpus
+    # tokenize pass; over the cached column the same filter is an
+    # attribute read
+    sh = sh.filter(F.col("n_sh") > 0)
     ex = sh.select("id", "n_sh", F.explode("sh").alias("s"))
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
 
@@ -344,10 +349,20 @@ def minhash_banded(
     hash function because Catalyst does not hoist lambda-invariant
     subexpressions — ~30× slower on wide docs."""
     rows_per_band = num_hashes // bands
-    exploded = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_expr(F.col(text_col), n)).alias("s"),
-    ).select("id", _sha_bigint(F.col("s")).alias("x"))
+    # explode_outer + isnotnull ≡ explode, but dodges InferFiltersFromGenerate:
+    # for a plain explode that rule adds size(<arr>)>0 under the Generate and
+    # predicate pushdown substitutes the shingle expression through the
+    # projection — a SECOND full tokenize+shingle pass per row (r11; the
+    # explicit isnotnull sits on the GENERATED attribute, which cannot push
+    # below the Generate, and restores the exact row set)
+    exploded = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(shingles_expr(F.col(text_col), n)).alias("s"),
+        )
+        .filter(F.col("s").isNotNull())
+        .select("id", _sha_bigint(F.col("s")).alias("x"))
+    )
     sig = (
         exploded.groupBy("id")
         .agg(
@@ -358,21 +373,28 @@ def minhash_banded(
         )
         .select("id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
     )
-    return sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))
-                    ).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # explode_outer: the band array is never empty (bands >= 1), but a plain
+    # explode's inferred size()>0 filter would rebuild every band key per row
+    # a second time (see the exploded-side comment above)
+    return (
+        sig.select(
+            "id",
+            "sig",
+            F.explode_outer(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.concat_ws(
+                            ",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))
+                        ).alias("key"),
+                    ),
+                )
+            ).alias("bk"),
+        )
+        .filter(F.col("bk").isNotNull())
+        .select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -906,7 +928,13 @@ def contamination_check(
     sh = docs.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
     )
-    ex = sh.select("id", F.explode("sh").alias("s"))
+    # explode_outer + isnotnull: dodges the inferred size(sh)>0 filter that
+    # would re-run tokenize+shingle per row through the pushed-down
+    # projection (see minhash_signatures for the mechanism)
+    ex = (
+        sh.select("id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
     bl = blocklist.select(F.col(shingle_col).alias("s")).distinct()
     hits = (
         ex.join(F.broadcast(bl), "s")
@@ -976,10 +1004,19 @@ def line_dedup(
     ultra-hot lines (empty-ish variants) are pre-filtered by the
     whitespace guard.
     """
-    seg = F.posexplode(F.split(F.col(text_col), r"\Q" + delimiter + r"\E", -1)).alias(
-        "pos", "seg"
+    # posexplode_outer + isnotnull: a plain posexplode's inferred size()>0
+    # filter re-runs the regex split per row through the pushed-down
+    # projection (see minhash_signatures); split never yields an empty
+    # array, so the null filter only drops the null-text rows plain
+    # posexplode dropped anyway
+    seg = F.posexplode_outer(
+        F.split(F.col(text_col), r"\Q" + delimiter + r"\E", -1)
+    ).alias("pos", "seg")
+    parts = (
+        docs.select(F.col(id_col).alias("id"), seg)
+        .filter(F.col("seg").isNotNull())
+        .withColumn("k", F.trim("seg"))
     )
-    parts = docs.select(F.col(id_col).alias("id"), seg).withColumn("k", F.trim("seg"))
     boiler = (
         parts.filter(F.col("k") != "")
         .groupBy("k")
@@ -1088,12 +1125,15 @@ def dup_span_stats(
     # references are cheap attribute reads, and Project-under-Generate is
     # not collapsed, so the tokenizer now runs once per row
     toked = docs.select(F.col(id_col).alias("id"), toks.alias("_ts"))
+    # explode_outer + isnotnull: a plain explode's inferred size()>0 filter
+    # pushes through the projection and re-runs the whole
+    # tokenize+gram+sha chain per row (see minhash_signatures)
     pairs = toked.select(
         "id",
-        F.explode(
+        F.explode_outer(
             F.transform(_span_grams_from_tokens(F.col("_ts"), n), _sha_bigint60)
         ).alias("gh"),
-    )
+    ).filter(F.col("gh").isNotNull())
     counts = pairs.groupBy("gh").agg(F.count(F.lit(1)).alias("_c"))
     dup = counts.filter(F.col("_c") > 1).select("gh")
     per_doc = (
@@ -1157,9 +1197,14 @@ def remove_dup_spans(
     base = docs.select(F.col(id_col).alias("id"), toks.alias("_ts")).select(
         "id", "_ts", _span_grams_from_tokens(F.col("_ts"), n).alias("_gs")
     )
+    # posexplode_outer + isnotnull: same inferred-filter dodge as
+    # dup_span_stats (the gram+sha chain would otherwise run twice per row)
     pos_pairs = base.select(
-        "id", F.posexplode(F.transform(F.col("_gs"), _sha_bigint60)).alias("pos", "gh")
-    )
+        "id",
+        F.posexplode_outer(F.transform(F.col("_gs"), _sha_bigint60)).alias(
+            "pos", "gh"
+        ),
+    ).filter(F.col("gh").isNotNull())
     dup = (
         pos_pairs.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -1379,7 +1424,11 @@ def bloom_contamination_check(
     sh = docs.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
     )
-    ex = sh.select("id", F.explode("sh").alias("s"))
+    # explode_outer + isnotnull: inferred-filter dodge (see minhash_signatures)
+    ex = (
+        sh.select("id", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
 
     def _bit_set(p: Column) -> Column:
         # (word >> (p%32)) & 1 without a column-shift builtin: words hold 32
@@ -1561,7 +1610,12 @@ def cdc_chunks(
         ),
         lambda p: p["start"] < p["end"],
     )
-    exploded = docs.select(F.col(id_col).alias("id"), text.alias("_t"), F.posexplode(segs))
+    # posexplode_outer + isnotnull: a plain posexplode's inferred size()>0
+    # filter would re-run the ENTIRE rolling-hash boundary fold per row
+    # through the pushed-down projection (see minhash_signatures)
+    exploded = docs.select(
+        F.col(id_col).alias("id"), text.alias("_t"), F.posexplode_outer(segs)
+    ).filter(F.col("pos").isNotNull())
     chunk = F.col("_t").substr(
         (F.col("col.start") + 1).cast("int"), (F.col("col.end") - F.col("col.start")).cast("int")
     )

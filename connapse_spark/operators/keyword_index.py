@@ -179,8 +179,15 @@ def build_tf_postings(
     query batch). Store partitioned/sorted by term: a batch's lookup scans
     only its query terms' row groups. This is the GIN-with-positions
     trade: postings with payload cost more to store, serve in one join."""
+    # explode_outer + isnotnull ≡ explode, but InferFiltersFromGenerate does
+    # not fire for OUTER explodes — for a plain explode it adds
+    # size(tokens)>0 under the Generate, and predicate pushdown substitutes
+    # the alias through the projection, re-running the full tokenizer per
+    # row in the inferred Filter (r11; the isnotnull lands on the GENERATED
+    # attribute, which cannot push below the Generate).
     return (
-        tokens.select("id", F.explode(F.col(token_col)).alias("term"))
+        tokens.select("id", F.explode_outer(F.col(token_col)).alias("term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("term", "id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -211,8 +218,12 @@ def build_positions_postings(
     touching token arrays or re-tokenizing anything. Store
     partitioned/sorted by term like the tf tables; costs one extra
     int-array column over tf postings."""
+    # posexplode_outer + isnotnull: same InferFiltersFromGenerate dodge as
+    # build_tf_postings (the plain posexplode's inferred size()>0 filter
+    # re-ran the tokenizer per row through the pushed-down projection)
     return (
-        tokens.select("id", F.posexplode(F.col(token_col)).alias("pos", "term"))
+        tokens.select("id", F.posexplode_outer(F.col(token_col)).alias("pos", "term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("term", "id")
         .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
     )

@@ -34,7 +34,11 @@ from connapse_spark.functions.text import (
     tokens_exact_expr,
     tokens_stemmed_expr,
 )
-from connapse_spark.functions.vector import cosine_expr, to_double_array
+from connapse_spark.functions.vector import (
+    cosine_to_query_expr,
+    l2norm_expr,
+    to_double_array,
+)
 
 # Weight-A (exact) vs weight-B (stemmed) term weights, mirroring Postgres
 # setweight A/B defaults {A:1.0, B:0.4} (KnowledgeDbContext.cs:232-235).
@@ -81,13 +85,16 @@ def vector_knn(
     The plan is scan → project(cosine) → TakeOrderedAndProject(k): one pass,
     no shuffle. Ties broken by id for determinism.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
     df = vectors
     if predicate is not None:
         df = df.filter(predicate)
+    # query norm folds driver-side (same FP order → same bits): the scan
+    # pays two O(d) folds per row instead of three (r11)
     scored = df.select(
         F.col(id_col),
-        cosine_expr(to_double_array(F.col(vec_col)), q).alias("score"),
+        cosine_to_query_expr(to_double_array(F.col(vec_col)), query_vec).alias(
+            "score"
+        ),
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
@@ -147,8 +154,19 @@ def keyword_search(
     scored = df.select(
         F.col(id_col),
         keyword_score_expr(F.col(text_col), query).alias("score"),
-    ).filter(F.col("score") > 0.0)
-    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+    )
+    # top-k FIRST, score>0 cut on the ≤k survivors (r11): score >= 0 always
+    # (raw/(raw+1) of a non-negative raw) and zero-score rows sort LAST
+    # under desc(score), so the post-limit filter keeps exactly the rows
+    # the pre-limit filter kept — but a pre-limit score>0 pushes through
+    # the projection and evaluates the full scoring expression (embedded
+    # tokenizer included) a SECOND time per scanned row; a Limit is a
+    # pushdown barrier, so this shape scores each row once.
+    return (
+        scored.orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+        .filter(F.col("score") > 0.0)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -370,8 +388,25 @@ def keyword_search_websearch(
         F.col(id_col), tokens_exact_expr(F.col(text_col)).alias("_te")
     ).withColumn("_ts", F.transform(F.col("_te"), stem_expr))
     te, ts = F.col("_te"), F.col("_ts")
+    # the match gate binds both arrays at the FILTER site (r11): predicate
+    # pushdown substitutes _te/_ts through the projection, and the match
+    # expression references them once per term — unbound, the pushed-down
+    # scan filter carried ~11 full tokenizer copies (10.7 KB plan
+    # condition); bound, the substitution lands inside one-element
+    # transform lambdas and the filter tokenizes once per scanned row.
+    from connapse_spark.functions.vector import _bind
+
+    match = _bind(
+        te, lambda aa: _bind(
+            # stem from the BOUND exact array, not the _ts column: the
+            # column substitutes back to transform(<tokenizer>, stem)
+            # under pushdown, re-tokenizing a second time in the filter
+            F.transform(aa, stem_expr),
+            lambda bb: websearch_match_expr(aa, bb, groups),
+        )
+    )
     return (
-        toks.filter(websearch_match_expr(te, ts, groups))
+        toks.filter(match)
         .select(F.col(id_col), websearch_score_expr(te, ts, groups).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
@@ -592,9 +627,16 @@ def keyword_search_proximity(
         raw = raw + F.lit(WEIGHT_EXACT) * _occ_pair_bonus(occ, "e", a, b)
         sa, sb = stem_py(a), stem_py(b)
         raw = raw + F.lit(WEIGHT_STEMMED) * _occ_pair_bonus(occ, "s", sa, sb)
-    scored = g.select(
+    # gate on the materialized occ column instead of score>0 (r11): score>0
+    # ⟺ occ non-empty here (every collected occurrence matched at least one
+    # config, so raw >= WEIGHT_STEMMED > 0), and the score>0 form pushed
+    # through the projection, re-evaluating the ENTIRE proximity expression
+    # (TF filters + every pair bonus — an 11.7 KB plan condition) a second
+    # time per doc; size(occ) is an O(1) read of the aggregated column and
+    # cannot push below the aggregation.
+    scored = g.filter(F.size("occ") > 0).select(
         F.col(id_col), (raw / (raw + F.lit(1.0))).alias("score")
-    ).filter(F.col("score") > 0.0)
+    )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
@@ -701,11 +743,16 @@ def keyword_search_bm25(
     # round(…, 9): idf's ln is transcendental and Java Math.log can differ
     # from DuckDB's libm by 1 ulp; rounding keeps the oracle bit-strict and
     # makes cross-engine ranking identical (same rationale as tfidf_top_terms)
+    # top-k first, score>0 cut on the ≤k survivors (r11): BM25 parts are
+    # idf·nonneg with idf = ln(1 + positive) > 0, so score >= 0 and
+    # zero-score rows sort last — same rows as the pre-limit filter, but
+    # the Limit barrier stops the filter from re-evaluating the per-term
+    # tf HOF sum a second time per row (see keyword_search)
     return (
         scored.select(F.col(id_col), F.round(score, 9).alias("score"))
-        .filter(F.col("score") > 0.0)
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
+        .filter(F.col("score") > 0.0)
     )
 
 
@@ -1074,16 +1121,29 @@ def mmr_diversify(
     referenced twice per subsequent step (anti-join + similarity side),
     so without truncation the logical plan compounds 2× per step —
     measured as >100 Window nodes at k=5."""
-    from connapse_spark.functions.vector import cosine_expr, to_double_array
+    from connapse_spark.functions.vector import (
+        l2norm_expr,
+        paired_cosine_expr,
+        to_double_array,
+    )
     from connapse_spark.operators.links import _step_checkpoint
 
     q = [query_col] if query_col else []
-    base = candidates.select(
-        *q,
-        F.col(id_col).alias("id"),
-        F.col(score_col).cast("double").alias("rel"),
-        to_double_array(F.col(vec_col)).alias("emb"),
-    ).persist()  # k steps re-read it; tiny (Q·N rows, the retrieval top-N)
+    # per-candidate norm materialized ONCE, before the persist (r11): each
+    # step's pair projection previously ran the full 3-fold cosine_expr per
+    # (remaining × selected) pair, recomputing both sides' O(d) norms for
+    # every pair — with the norm carried as a column the pair stage pays
+    # one dot fold. Same FP operation order (dot/(na·nb)) → bit-identical.
+    base = (
+        candidates.select(
+            *q,
+            F.col(id_col).alias("id"),
+            F.col(score_col).cast("double").alias("rel"),
+            to_double_array(F.col(vec_col)).alias("emb"),
+        )
+        .withColumn("_ne", l2norm_expr(F.col("emb")))
+        .persist()  # k steps re-read it; tiny (Q·N rows, the retrieval top-N)
+    )
     w = Window.partitionBy(*q).orderBy(F.desc("m"), F.asc("id"))
     first = _step_checkpoint(
         base.withColumn("m", F.lit(lam) * F.col("rel"))
@@ -1106,17 +1166,22 @@ def mmr_diversify(
         for c in q:
             cond = cond & (F.col(c) == F.col(f"_s_{c}"))
         remaining = base.join(sel_k, on=cond, how="left_anti")
-        sel_slim = selected.select(*q, F.col("emb").alias("_semb"))
+        sel_slim = selected.select(
+            *q, F.col("emb").alias("_semb"), F.col("_ne").alias("_nse")
+        )
         joined = remaining.join(sel_slim, q) if q else remaining.crossJoin(sel_slim)
         sim = (
             joined.select(
-                *q, "id", "rel", "emb",
-                cosine_expr(F.col("emb"), F.col("_semb")).alias("_cs"),
+                *q, "id", "rel", "emb", "_ne",
+                paired_cosine_expr(
+                    F.col("_ne"), F.col("_nse"), F.col("emb"), F.col("_semb")
+                ).alias("_cs"),
             )
             .groupBy(*q, "id")
             .agg(
                 F.first("rel").alias("rel"),  # constant within the group
                 F.first("emb").alias("emb"),
+                F.first("_ne").alias("_ne"),
                 F.max("_cs").alias("_maxsim"),
             )
         )
@@ -1466,10 +1531,13 @@ def hybrid_search_onepass(
     k = options.top_k
     base = corpus if predicate is None else corpus.filter(predicate)
     qv = embed_py(query, dims)
-    qarr = F.array(*[F.lit(float(v)) for v in qv])
+    # query norm folds driver-side (same FP order → same bits): two O(d)
+    # folds per scanned row instead of three (r11)
     scored = base.select(
         F.col(id_col).alias("id"),
-        cosine_expr(to_double_array(F.col(vec_col)), qarr).alias("vector_score"),
+        cosine_to_query_expr(to_double_array(F.col(vec_col)), qv).alias(
+            "vector_score"
+        ),
         keyword_score_expr(F.col(text_col), query).alias("keyword_score"),
     )
     id_type = scored.schema["id"].dataType.simpleString()
@@ -1850,24 +1918,38 @@ def keyword_search_many(
     qe = spark.createDataFrame(qe_rows, "qid long, t string")
     qs = spark.createDataFrame(qs_rows, "qid long, st string")
 
+    # explode_outer + isnotnull ≡ explode, but dodges
+    # InferFiltersFromGenerate: for a plain explode that rule adds
+    # size(<tokens>)>0 under the Generate and predicate pushdown
+    # substitutes the tokenizer through the projection — a SECOND full
+    # tokenize per row (r11; the isnotnull sits on the GENERATED
+    # attribute, which cannot push below the Generate)
     if tokens is not None:
-        te_src = tokens.select("id", F.explode("tokens_exact").alias("t"))
-        ts_src = tokens.select("id", F.explode("tokens_stemmed").alias("st"))
+        te_src = tokens.select(
+            "id", F.explode_outer("tokens_exact").alias("t")
+        ).filter(F.col("t").isNotNull())
+        ts_src = tokens.select(
+            "id", F.explode_outer("tokens_stemmed").alias("st")
+        ).filter(F.col("st").isNotNull())
     else:
         te_src = docs.select(
             F.col(id_col).alias("id"),
-            F.explode(tokens_exact_expr(F.col(text_col))).alias("t"),
-        )
+            F.explode_outer(tokens_exact_expr(F.col(text_col))).alias("t"),
+        ).filter(F.col("t").isNotNull())
         # stemmed pass derives its array from the exact tokens (r11):
         # tokens_stemmed_expr(text) embeds a SECOND tokenizer run
         from connapse_spark.functions.text import stem_expr
 
-        ts_src = docs.select(
-            F.col(id_col).alias("id"),
-            tokens_exact_expr(F.col(text_col)).alias("_te"),
-        ).select(
-            "id",
-            F.explode(F.transform(F.col("_te"), stem_expr)).alias("st"),
+        ts_src = (
+            docs.select(
+                F.col(id_col).alias("id"),
+                tokens_exact_expr(F.col(text_col)).alias("_te"),
+            )
+            .select(
+                "id",
+                F.explode_outer(F.transform(F.col("_te"), stem_expr)).alias("st"),
+            )
+            .filter(F.col("st").isNotNull())
         )
     te = te_src.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
     ts = ts_src.groupBy("id", "st").agg(F.count(F.lit(1)).alias("tf"))
@@ -2032,6 +2114,12 @@ def hybrid_search_many(
         from connapse_spark.functions.text import stem_expr
 
         base = base.withColumn("_ts", F.transform(F.col("_te"), stem_expr))
+    # row norm materialized ONCE and shared across the whole query batch
+    # (r11): each per-query cosine_expr re-ran the row's O(d) norm fold —
+    # 3·n_q folds per row; with the shared norm column and driver-side
+    # query norms it is 1 + n_q. Boundary survives CollapseProject: _nv
+    # is non-cheap and referenced by every per-query struct.
+    base = base.withColumn("_nv", l2norm_expr(F.col("_v")))
     # query-side stemming must match the analyzer the served token arrays
     # were built with — the bundle carries it (r10; None = suffix default)
     stem = stem_py
@@ -2039,7 +2127,7 @@ def hybrid_search_many(
         stem = keyword_index.stem_fn
     per_q = []
     for i, (qid, qtext) in enumerate(queries):
-        qarr = F.array(*[F.lit(float(x)) for x in embed_py(qtext, dims)])
+        qvec = embed_py(qtext, dims)
         if websearch:
             groups = parse_websearch(qtext)
             kscore = F.when(
@@ -2059,7 +2147,9 @@ def hybrid_search_many(
         per_q.append(
             F.struct(
                 F.lit(int(qid)).cast("int").alias("qid"),
-                cosine_expr(F.col("_v"), qarr).alias("vector_score"),
+                cosine_to_query_expr(
+                    F.col("_v"), qvec, norm_col=F.col("_nv")
+                ).alias("vector_score"),
                 kscore.alias("keyword_score"),
                 ok.alias("ok"),
             )
@@ -2476,13 +2566,18 @@ def hybrid_search_many_fast(
                 # derive from the exact COLUMN — one tokenizer run (r11)
                 "_ts", F.transform(F.col("_te"), _stem_x)
             )
+            # explode_outer + isnotnull: a plain explode's inferred
+            # size()>0 filter pushes through the projection and re-runs
+            # the tokenizer per row (r11 — see keyword_search_many)
             te = (
-                toks.select("id", F.explode("_te").alias("t"))
+                toks.select("id", F.explode_outer("_te").alias("t"))
+                .filter(F.col("t").isNotNull())
                 .groupBy("id", "t")
                 .agg(F.count(F.lit(1)).alias("tf"))
             )
             tsx = (
-                toks.select("id", F.explode("_ts").alias("st"))
+                toks.select("id", F.explode_outer("_ts").alias("st"))
+                .filter(F.col("st").isNotNull())
                 .groupBy("id", "st")
                 .agg(F.count(F.lit(1)).alias("tf"))
             )

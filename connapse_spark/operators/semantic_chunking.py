@@ -43,7 +43,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from connapse_spark.functions.embed import DEFAULT_DIMS, embed_expr, sql_embed
-from connapse_spark.functions.vector import cosine_expr, sql_cosine
+from connapse_spark.functions.vector import (
+    l2norm_expr,
+    paired_cosine_expr,
+    sql_cosine,
+)
 
 SENTENCE_RE = r"[^.!?]+[.!?]*"
 DEFAULT_SEMANTIC_THRESHOLD = 0.5  # SettingsModels.cs SemanticThreshold
@@ -142,16 +146,31 @@ def semantic_chunks(
     wctx = w.rowsBetween(-buffer, buffer)
     wall = Window.partitionBy("document_id")
     emb_fn = embedder if embedder is not None else (lambda c: embed_expr(c, dims))
-    step1 = sents.withColumn(
-        "ctx", F.concat_ws(" ", F.collect_list("sentence").over(wctx))
-    ).withColumn("emb", emb_fn(F.col("ctx")))
-    # explicit null for the first sentence: cosine_expr maps a NULL input to
+    # norm materialized once per sentence and LAGGED alongside the vector
+    # (r11): the adjacent-pair cosine re-folded both sides' O(d) norms per
+    # row; with (_n, lag(_n)) carried as columns the pair projection pays
+    # one dot fold. Same FP operation order → bit-identical distances.
+    step1 = (
+        sents.withColumn(
+            "ctx", F.concat_ws(" ", F.collect_list("sentence").over(wctx))
+        )
+        .withColumn("emb", emb_fn(F.col("ctx")))
+        .withColumn("_n", l2norm_expr(F.col("emb")))
+    )
+    # explicit null for the first sentence: the cosine maps a NULL input to
     # 0.0 (its zero-magnitude guard), which would fabricate dist=1.0
-    step2 = step1.withColumn("_prev", F.lag("emb").over(w)).withColumn(
-        "dist",
-        F.when(F.col("_prev").isNull(), F.lit(None).cast("double")).otherwise(
-            F.lit(1.0) - cosine_expr(F.col("_prev"), F.col("emb"))
-        ),
+    step2 = (
+        step1.withColumn("_prev", F.lag("emb").over(w))
+        .withColumn("_pn", F.lag("_n").over(w))
+        .withColumn(
+            "dist",
+            F.when(F.col("_prev").isNull(), F.lit(None).cast("double")).otherwise(
+                F.lit(1.0)
+                - paired_cosine_expr(
+                    F.col("_pn"), F.col("_n"), F.col("_prev"), F.col("emb")
+                )
+            ),
+        )
     )
     # Gradient iterates the forward/central-difference series of the
     # distances, in gradient units (SemanticChunker.cs:388-402): grad[0] =

@@ -21,8 +21,8 @@ from pyspark.sql.window import Window
 from connapse_spark.functions.vector import (
     _bind,
     cosine_expr,
-    dot_expr,
     l2norm_expr,
+    paired_cosine_expr,
     to_double_array,
 )
 
@@ -33,16 +33,9 @@ from connapse_spark.functions.vector import (
 MAX_DRIVER_QUERIES = 100_000
 
 
-def _paired_cosine(na: F.Column, nb: F.Column, a: F.Column, b: F.Column) -> F.Column:
-    """Cosine from pre-materialized per-row norms: dot/(na·nb), 0.0 on zero
-    magnitude — the same FP operation order as cosine_expr, so the DuckDB
-    mirrors are unchanged. Computing norms once per ROW (before the join)
-    instead of per PAIR is the difference between O(n²·d) and O(n·d) norm
-    work in any pairwise kernel; the join boundary stops Catalyst's
-    CollapseProject from inlining them back into the pair stage."""
-    return F.when(
-        (na > F.lit(0.0)) & (nb > F.lit(0.0)), dot_expr(a, b) / (na * nb)
-    ).otherwise(F.lit(0.0))
+# promoted to functions/vector.py (r11) so the MMR pair step can share it;
+# aliased here to keep the pair kernels' call sites unchanged
+_paired_cosine = paired_cosine_expr
 
 
 def knn_join(
@@ -455,9 +448,16 @@ def cluster_assign(
     if keep_vec:
         scored_cols.append(v.alias("_v"))
     scored = embeddings.crossJoin(F.broadcast(seeds)).select(*scored_cols)
+    # the coalesce never fires (the fold always yields a struct — acc0 seeds
+    # it) but makes `cluster` NON-NULLABLE, so a downstream equi-join on
+    # cluster (semdedup's pair join) cannot infer an isnotnull(cluster)
+    # filter — that inferred filter pushes through both projections and
+    # re-evaluates the ENTIRE k-seed argmax fold a second time per row on
+    # each join side (r11; seen as "Join condition: isnotnull(aggregate(
+    # _seeds...).cid)" in plans/r11/semdedup_before_s12.txt).
     cols = [
         F.col(id_col),
-        F.col("_best")["cid"].alias("cluster"),
+        F.coalesce(F.col("_best")["cid"], F.lit(-1).cast("bigint")).alias("cluster"),
         F.col("_best")["score"].alias("score"),
     ]
     if keep_vec:
@@ -566,9 +566,21 @@ def semdedup(
     bounded (they use k=11k for 5B docs); pick k so |cluster| stays in the
     thousands and the per-cluster quadratic term stays trivial.
     """
+    # per-row norm materialized BEFORE the pair join (r11): the pair filter
+    # previously ran the full 3-fold cosine_expr per PAIR, recomputing each
+    # side's O(d) norm for every pair the row participates in — within a
+    # cluster of size c that is O(c²·d) norm work where O(c·d) suffices.
+    # _paired_cosine keeps the identical FP operation order (dot/(na·nb)),
+    # so scores stay bit-identical; the join boundary keeps CollapseProject
+    # from inlining the norm back into the pair stage.
     assigned = cluster_assign(
         embeddings, k=k, id_col=id_col, vec_col=vec_col, keep_vec=True
-    ).select(F.col(id_col).alias("id"), "cluster", "_v")
+    ).select(
+        F.col(id_col).alias("id"),
+        "cluster",
+        "_v",
+        l2norm_expr(F.col("_v")).alias("_n"),
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     removed = (
         a.join(
@@ -576,7 +588,12 @@ def semdedup(
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .filter(cosine_expr(F.col("a._v"), F.col("b._v")) >= F.lit(threshold))
+        .filter(
+            _paired_cosine(
+                F.col("a._n"), F.col("b._n"), F.col("a._v"), F.col("b._v")
+            )
+            >= F.lit(threshold)
+        )
         .select(F.col("b.id").alias("id"))
         .distinct()
         .withColumn("_removed", F.lit(True))

@@ -205,12 +205,17 @@ def repetition_stats(
     docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
     toks = F.col("_toks_once")
     shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    # posexplode_outer + isnotnull ≡ posexplode, but dodges
+    # InferFiltersFromGenerate: a plain posexplode's inferred size()>0
+    # filter pushes through the projection and re-runs the tokenizer and
+    # the zip per row (r11; the isnotnull sits on the GENERATED attribute,
+    # which cannot push below the Generate)
     z = docs.select(
         F.col(id_col),
-        F.posexplode(
+        F.posexplode_outer(
             F.arrays_zip(toks.alias("t"), shifted.alias("t2"))
         ).alias("_i", "p"),
-    ).select(
+    ).filter(F.col("p").isNotNull()).select(
         F.col(id_col),
         F.col("p.t").alias("t"),
         F.when(F.col("p.t2").isNotNull(), F.concat("p.t", F.lit(" "), "p.t2")).alias("bg"),
@@ -536,10 +541,13 @@ def tfidf_top_terms(
     from connapse_spark.functions.text import tokens_stemmed_expr
     from pyspark.sql.window import Window
 
+    # explode_outer + isnotnull: inferred-filter dodge (a plain explode's
+    # size()>0 filter re-ran the full tokenize+stem per row — see
+    # repetition_stats for the mechanism)
     toks = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(tokens_stemmed_expr(F.col(text_col))).alias("term"),
-    )
+        F.explode_outer(tokens_stemmed_expr(F.col(text_col))).alias("term"),
+    ).filter(F.col("term").isNotNull())
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
@@ -960,7 +968,10 @@ def unigram_model(
     the (T, V) totals collapse to a single broadcast row. Quantization's
     1-ulp ln risk is the same documented trade as tfidf_top_terms.
     """
-    toks = docs.select(F.explode(tokens_exact_expr(F.col(text_col))).alias("term"))
+    # explode_outer + isnotnull: inferred-filter dodge (see repetition_stats)
+    toks = docs.select(
+        F.explode_outer(tokens_exact_expr(F.col(text_col))).alias("term")
+    ).filter(F.col("term").isNotNull())
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     stats = counts.agg(
         F.sum("c").alias("_t"), F.count(F.lit(1)).alias("_v")
@@ -1014,10 +1025,11 @@ def perplexity_score(
             "perplexity_score: an external `model` requires `oov_lp_q` "
             "(quantized logprob of the reserved OOV smoothing slot)"
         )
+    # explode_outer + isnotnull: inferred-filter dodge (see repetition_stats)
     tok = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(tokens_exact_expr(F.col(text_col))).alias("term"),
-    )
+        F.explode_outer(tokens_exact_expr(F.col(text_col))).alias("term"),
+    ).filter(F.col("term").isNotNull())
     scored = tok.join(model, "term", "left")
     lp = F.coalesce(F.col("lp_q"), F.lit(oov_lp_q))
     agg = scored.groupBy("id").agg(
@@ -1071,13 +1083,21 @@ def bigram_model(
         F.slice(toks, 1, n_out), F.slice(toks, 2, n_out),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    pt = docs.select(F.explode(pair_arr).alias("p")).select(
-        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    # explode_outer + isnotnull (both explodes): inferred-filter dodge —
+    # a plain explode's size()>0 filter pushes through the _toks_once
+    # projection and re-runs the tokenizer (+ the pair zip) per row
+    # (see repetition_stats)
+    pt = (
+        docs.select(F.explode_outer(pair_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     big = pt.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     pref = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = docs.select(F.explode(toks).alias("t")).agg(
-        F.count_distinct("t").alias("_v")
+    vocab = (
+        docs.select(F.explode_outer(toks).alias("t"))
+        .filter(F.col("t").isNotNull())
+        .agg(F.count_distinct("t").alias("_v"))
     )
     bigq = big.select(
         "w1", "w2",
@@ -1133,8 +1153,11 @@ def bigram_perplexity(
         F.slice(toks, 1, n_out), F.slice(toks, 2, n_out),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    pt = docs.select(F.col(id_col).alias("id"), F.explode(pair_arr).alias("p")).select(
-        "id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    # explode_outer + isnotnull: inferred-filter dodge (see bigram_model)
+    pt = (
+        docs.select(F.col(id_col).alias("id"), F.explode_outer(pair_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
     scored = (
         pt.join(bigq, ["w1", "w2"], "left")
@@ -1315,7 +1338,10 @@ def top_ngrams(
         F.array().cast("array<string>")
     )
     counts = (
-        docs.select(F.explode(grams).alias("gram"))
+        # explode_outer + isnotnull: inferred-filter dodge (see
+        # repetition_stats; a plain explode re-ran the gram chain per row)
+        docs.select(F.explode_outer(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
@@ -1365,9 +1391,10 @@ def dsir_weights(
     pipeline, one per-doc aggregate — all map-side-partial.
     """
     src_model = unigram_model(docs, alpha, text_col)
+    # explode_outer + isnotnull: inferred-filter dodge (see repetition_stats)
     tgt_toks = target_docs.select(
-        F.explode(tokens_exact_expr(F.col(text_col))).alias("term")
-    )
+        F.explode_outer(tokens_exact_expr(F.col(text_col))).alias("term")
+    ).filter(F.col("term").isNotNull())
     tgt_counts = tgt_toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     tgt_stats = tgt_counts.agg(F.sum("c").alias("_t"), F.count(F.lit(1)).alias("_v"))
     tgt_lp = F.log(
@@ -1385,10 +1412,11 @@ def dsir_weights(
         * F.lit(1e6)
     ).cast("bigint")
 
+    # explode_outer + isnotnull: inferred-filter dodge (see repetition_stats)
     tok = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(tokens_exact_expr(F.col(text_col))).alias("term"),
-    )
+        F.explode_outer(tokens_exact_expr(F.col(text_col))).alias("term"),
+    ).filter(F.col("term").isNotNull())
     scored = (
         tok.join(src_model, "term")  # every source token is in the source model
         .join(tgt_model, "term", "left")
@@ -1494,7 +1522,10 @@ def bpe_merge_candidates(
     arrays (vocab-local map), re-aggregate pairs, repeat; every iteration
     has this same vocab-sized plan."""
     words = (
-        docs.select(F.explode(tokens_exact_expr(F.col(text_col))).alias("w"))
+        # explode_outer + isnotnull: inferred-filter dodge (see
+        # repetition_stats)
+        docs.select(F.explode_outer(tokens_exact_expr(F.col(text_col))).alias("w"))
+        .filter(F.col("w").isNotNull())
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -1511,7 +1542,11 @@ def bpe_merge_candidates(
         lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
     )
     return (
-        syms.select("freq", F.explode(pairs).alias("p"))
+        # explode_outer + isnotnull: inferred-filter dodge (the pair zip
+        # over the symbol array would otherwise rebuild per row — see
+        # repetition_stats)
+        syms.select("freq", F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
         .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
         .agg(F.sum("freq").alias("weight"))
         .orderBy(F.desc("weight"), "lhs", "rhs")

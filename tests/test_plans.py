@@ -746,3 +746,49 @@ def test_textstats_hof_stats_materialized_once(spark, sf_dir):
     gopher_plan = _plan(textstats.gopher_filter_multi(docs))
     assert gopher_plan.count("array_intersect(") <= 2 * (n_langs + 1)
     assert gopher_plan.count("aggregate(") <= 2  # the mean-length fold, once
+
+
+def test_explode_sites_do_not_reinfer_tokenizing_filters(spark, sf_dir):
+    """r11 §12: explodes over expression-derived arrays use explode_outer +
+    an isnotnull on the GENERATED attribute — a plain explode triggers
+    InferFiltersFromGenerate (size(arr)>0 under the Generate), and
+    predicate pushdown substitutes the array expression through the
+    projection, re-running the full tokenizer per row in the inferred
+    Filter. Pins that no plan carries the tokenizer more than twice
+    (once per scan branch); a revert to plain explode doubles the count."""
+    from connapse_spark.operators import dedup, keyword_index, textstats
+    from connapse_spark.functions.text import tokens_exact_expr
+
+    docs = _docs(spark, sf_dir)
+    # the tokenizer's regex signature in plan text
+    SIG = "regexp_replace(lower"
+
+    tok_tbl = keyword_index.build_token_table(docs)
+    assert _plan(keyword_index.build_tf_postings(tok_tbl)).count(SIG) <= 2
+    assert _plan(keyword_index.build_positions_postings(tok_tbl)).count(SIG) <= 2
+    assert _plan(dedup.contamination_check(docs, docs.select(
+        F.explode(tokens_exact_expr(F.col("text"))).alias("s")
+    ))).count(SIG) <= 4  # corpus side 2 (probe + id base), blocklist side 2
+    # tree-form printing shows the generator expression in the Generate
+    # node as well as its child projection — 2 prints, 1 evaluation; the
+    # pre-fix plan carried a third copy in the inferred Filter
+    assert _plan(textstats.unigram_model(docs)).count(SIG) <= 2
+
+
+def test_keyword_scan_filters_do_not_duplicate_scoring(spark, sf_dir):
+    """r11 §12: the scan tiers' score>0 cut runs AFTER the top-k Limit
+    (keyword_search, keyword_search_bm25) or gates on the materialized occ
+    column (proximity), and websearch's match gate binds the token arrays
+    at the filter site — the previous shapes pushed the full scoring
+    expression through the projection and evaluated it twice per row
+    (keyword_websearch's pushed-down match carried ~11 tokenizer copies)."""
+    from connapse_spark.operators import search
+
+    docs = _docs(spark, sf_dir)
+    SIG = "regexp_replace(lower"
+    assert _plan(search.keyword_search(docs, "merge join")).count(SIG) <= 1
+    assert _plan(
+        search.keyword_search_websearch(docs, '"hash join" or merge -scan')
+    ).count(SIG) <= 2
+    prox = _plan(search.keyword_search_proximity(docs, "hash join"))
+    assert prox.count(SIG) <= 1
