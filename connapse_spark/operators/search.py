@@ -1224,14 +1224,23 @@ def keyword_facets(
     value — at 100 TB this is the map-side-combine shape, and the facet
     cardinality (languages, sources, domains) bounds the shuffle."""
     score = keyword_score_expr(F.col(text_col), query)
+    # the match cut lives INSIDE the aggregates, not in a pre-group filter
+    # (r11): filter(_s>0) pushed through the projection and re-ran the
+    # full scoring expression (embedded tokenizer) a second time per row;
+    # here _s materializes once and the conditional aggregates read the
+    # attribute. Facets whose rows all score 0 aggregate to n_matches=0
+    # and are cut post-agg — exactly the facets the pre-group filter
+    # emptied out; positive facets count/max over the same row set.
     return (
         docs.select(F.col(facet_col).alias("facet"), score.alias("_s"))
-        .filter(F.col("_s") > 0.0)
         .groupBy("facet")
         .agg(
-            F.count(F.lit(1)).alias("n_matches"),
-            F.round(F.max("_s"), 9).alias("top_score"),
+            F.count(F.when(F.col("_s") > 0.0, F.lit(1))).alias("n_matches"),
+            F.round(
+                F.max(F.when(F.col("_s") > 0.0, F.col("_s"))), 9
+            ).alias("top_score"),
         )
+        .filter(F.col("n_matches") > 0)
         .orderBy(F.desc("n_matches"), "facet")
     )
 

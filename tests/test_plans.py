@@ -792,3 +792,7 @@ def test_keyword_scan_filters_do_not_duplicate_scoring(spark, sf_dir):
     ).count(SIG) <= 2
     prox = _plan(search.keyword_search_proximity(docs, "hash join"))
     assert prox.count(SIG) <= 1
+    # r11 §13: facets' match cut lives inside the aggregates; a pre-group
+    # filter would push through and re-tokenize
+    facets = _plan(search.keyword_facets(docs, "hash join", "lang"))
+    assert facets.count(SIG) <= 1
