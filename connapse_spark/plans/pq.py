@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from connapse_spark.functions.vector import (
+    _bind,
     l2sq_expr,
     sql_l2sq,
     to_double_array,
@@ -145,32 +146,47 @@ def pq_codebooks_trained(
 def _best_codes(v: Column, books: Column, n_subspaces: int, sub_d: int) -> Column:
     """array over s of struct(s, code, d, cvec): the argmin-L2 codebook
     entry per subspace. Strict ``<`` keeps the LOWEST code on bit-equal
-    ties — the SQL mirror orders by (d, code)."""
+    ties — the SQL mirror orders by (d, code).
 
-    def best_for(s: Column) -> Column:
-        sub = F.slice(v, s * sub_d + 1, sub_d)
-        book = F.get(books, s)
-        acc0 = F.struct(
-            s.cast("int").alias("s"),
-            F.lit(-1).alias("code"),
-            F.lit(float("inf")).alias("d"),
-            F.array().cast("array<double>").alias("cvec"),
-        )
-        scored = F.zip_with(
-            book,
-            F.sequence(F.lit(0), F.size(book) - 1),
-            lambda cv, j: F.struct(
-                s.cast("int").alias("s"),
-                j.alias("code"),
-                l2sq_expr(sub, cv).alias("d"),
-                cv.alias("cvec"),
-            ),
-        )
-        return F.aggregate(
-            scored, acc0, lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc)
-        )
+    The input vector and each subspace slice are BOUND once (r11 §14):
+    Catalyst HOFs run interpreted with no subexpression elimination, so
+    the unbound form re-evaluated ``slice(v, ...)`` — and through it the
+    full ``v`` expression (for the encode callers, a d-element cast) —
+    inside every one of the n_codes zip_with bodies: m·k cast+slice
+    evaluations per row where 1 cast + m slices suffice. Same folds,
+    same order — bit-identical codes and distances."""
 
-    return F.transform(F.sequence(F.lit(0), F.lit(n_subspaces - 1)), best_for)
+    def best_over(vv: Column) -> Column:
+        def best_for(s: Column) -> Column:
+            book = F.get(books, s)
+
+            def with_sub(sub: Column) -> Column:
+                acc0 = F.struct(
+                    s.cast("int").alias("s"),
+                    F.lit(-1).alias("code"),
+                    F.lit(float("inf")).alias("d"),
+                    F.array().cast("array<double>").alias("cvec"),
+                )
+                scored = F.zip_with(
+                    book,
+                    F.sequence(F.lit(0), F.size(book) - 1),
+                    lambda cv, j: F.struct(
+                        s.cast("int").alias("s"),
+                        j.alias("code"),
+                        l2sq_expr(sub, cv).alias("d"),
+                        cv.alias("cvec"),
+                    ),
+                )
+                return F.aggregate(
+                    scored, acc0,
+                    lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+                )
+
+            return _bind(F.slice(vv, s * sub_d + 1, sub_d), with_sub)
+
+        return F.transform(F.sequence(F.lit(0), F.lit(n_subspaces - 1)), best_for)
+
+    return _bind(v, best_over)
 
 
 def _pack(bests: Column, n_codes: int) -> Column:
@@ -205,14 +221,19 @@ def pq_encode(
         books = pq_codebooks(vectors, n_subspaces, n_codes, dims, id_col, vec_col)
     v = to_double_array(F.col(vec_col))
     bests = _best_codes(v, F.col("_books"), n_subspaces, sub_d)
+    # bests is consumed TWICE (pack + error sum); materialize it through a
+    # projection boundary so the m·k argmin fold runs once per row, not
+    # twice (r11 §14 — multi-referenced non-cheap columns survive
+    # CollapseProject, same discipline as the textstats stat columns).
     return (
         vectors.crossJoin(F.broadcast(books))
+        .select(F.col(id_col), bests.alias("_bests"))
         .select(
             F.col(id_col),
-            _pack(bests, n_codes).alias("pq_code"),
-            F.aggregate(bests, F.lit(0.0), lambda acc, b: acc + b["d"]).alias(
-                "recon_err"
-            ),
+            _pack(F.col("_bests"), n_codes).alias("pq_code"),
+            F.aggregate(
+                F.col("_bests"), F.lit(0.0), lambda acc, b: acc + b["d"]
+            ).alias("recon_err"),
         )
     )
 
