@@ -417,14 +417,26 @@ def _hits_iterate(
     nodes: DataFrame, edges: DataFrame, scores: DataFrame, n_iter: int
 ) -> DataFrame:
     """The HITS power loop both the cold and warm entries share —
-    ``scores`` must carry (node, authority, hub) and be checkpointed."""
+    ``scores`` must carry (node, authority, hub) and be checkpointed.
 
-    def _half(edge_key: str, other_key: str, in_col: str, out_name: str):
+    ONE plan-truncating checkpoint per iteration, not one per half-step
+    (r11 §15): the hub half consumes the NEW authorities, which the r10
+    shape materialized via their own checkpoint job. Instead the authority
+    half rides the iteration's single checkpoint job behind a lazy
+    persist() — the fused plan references the authority vector three times
+    (hub raw sums, hub L1 total, output column), and the InMemoryRelation
+    makes those three consumers share one computation without compounding
+    the logical plan (the checkpoint still truncates to a LogicalRDD).
+    Same joins, same aggregates, same FP order — bit-identical scores;
+    the per-iteration barrier count is what halves."""
+
+    def _half(src_scores: DataFrame, in_col: str, edge_key: str,
+              other_key: str, out_name: str):
         """One half-step: sum ``in_col`` of the ``edge_key`` endpoint onto
         the ``other_key`` endpoint, L1-normalized."""
         raw = (
             edges.join(
-                scores.select(F.col("node").alias(edge_key), in_col), edge_key
+                src_scores.select(F.col("node").alias(edge_key), in_col), edge_key
             )
             .groupBy(F.col(other_key).alias("node"))
             .agg(F.sum(in_col).alias("_raw"))
@@ -443,15 +455,13 @@ def _hits_iterate(
         )
 
     for _ in range(n_iter):
-        auth = _half("src", "dst", "hub", "authority")
+        auth = _half(scores, "hub", "src", "dst", "authority").persist()
         # the hub half-step consumes the NEW authorities (classic HITS)
+        hub = _half(auth, "authority", "dst", "src", "hub")
         prev = scores
-        scores = _step_checkpoint(scores.select("node", "hub").join(auth, "node"))
+        scores = _step_checkpoint(auth.join(hub, "node"))
         _release_step(prev)
-        hub = _half("dst", "src", "authority", "hub")
-        prev = scores
-        scores = _step_checkpoint(scores.select("node", "authority").join(hub, "node"))
-        _release_step(prev)
+        auth.unpersist()
     return scores
 
 
