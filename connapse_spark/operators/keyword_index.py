@@ -35,6 +35,7 @@ from connapse_spark.functions.text import (
     tokenize_py,
     tokens_exact_expr,
 )
+from connapse_spark.functions.vector import _bind
 from connapse_spark.operators.search import WEIGHT_EXACT, WEIGHT_STEMMED
 
 
@@ -331,31 +332,45 @@ def keyword_search_bm25_indexed(
         )
         part = idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)
         score = part if score is None else score + part
+    # top-k FIRST, filter the <=k survivors (r11 §16, the §12 scan-tier
+    # rewrite): a score>0 filter below the sort pushes through the
+    # projection and evaluates the whole BM25 expression twice per row;
+    # provably identical (every part is >=0, so zero-score rows sort last
+    # under desc) and the Limit is a pushdown barrier.
     return (
         scored.select(F.col("id"), F.round(score, 9).alias("score"))
-        .filter(F.col("score") > 0.0)
         .orderBy(F.desc("score"), F.col("id"))
         .limit(k)
+        .filter(F.col("score") > 0.0)
     )
 
 
 def _greedy_nonoverlap(starts: Column, plen: Column) -> Column:
     """Greedy leftmost non-overlap fold over a SORTED starts array — the
     scan tier's string-``replace()`` occurrence count (see
-    :func:`phrase_occurrences_both`); 0 for NULL/empty starts."""
-    fold = F.aggregate(
-        starts,
-        F.struct(F.lit(0).alias("c"), F.lit(-(1 << 30)).cast("int").alias("free")),
-        lambda acc, s: F.when(
-            s >= acc["free"],
-            F.struct(
-                (acc["c"] + F.lit(1)).alias("c"),
-                (s + plen).cast("int").alias("free"),
-            ),
-        ).otherwise(acc),
-        lambda acc: acc["c"],
-    )
-    return F.when(starts.isNull(), F.lit(0)).otherwise(fold)
+    :func:`phrase_occurrences_both`); 0 for NULL/empty starts.
+
+    ``starts`` is BOUND once (r11 §16): the null guard and the fold both
+    referenced it, and for the phrase kernel that expression is the whole
+    sorted shifted-intersection chain — interpreted HOFs re-ran it per
+    reference. Same fold, same order — bit-identical counts."""
+
+    def _with(st: Column) -> Column:
+        fold = F.aggregate(
+            st,
+            F.struct(F.lit(0).alias("c"), F.lit(-(1 << 30)).cast("int").alias("free")),
+            lambda acc, s: F.when(
+                s >= acc["free"],
+                F.struct(
+                    (acc["c"] + F.lit(1)).alias("c"),
+                    (s + plen).cast("int").alias("free"),
+                ),
+            ).otherwise(acc),
+            lambda acc: acc["c"],
+        )
+        return F.when(st.isNull(), F.lit(0)).otherwise(fold)
+
+    return _bind(starts, _with)
 
 
 def phrase_occurrences_both(
@@ -398,19 +413,6 @@ def phrase_occurrences_both(
         _matched(pos_stemmed, rows_stemmed, "s")
     )
 
-    def _cfg_starts(cfg: str):
-        # collect_list ONLY — the r10 kernel also ran count_distinct(off)
-        # in the same groupBy, and Spark's multi-distinct planning rewrote
-        # the aggregation into an Expand (2× input rows) + a second
-        # Exchange + a SortAggregate chain; deriving the distinct-offset
-        # count from the collected array at projection time (r11) keeps
-        # the kernel at ONE ObjectHashAggregate pair / one Exchange
-        return F.sort_array(
-            F.collect_list(
-                F.when(F.col("cfg") == cfg, F.struct(F.col("off"), F.col("positions")))
-            )
-        ).alias(f"_ops_{cfg}")
-
     shifted = lambda x: F.filter(  # noqa: E731
         F.transform(x["positions"], lambda p: p - x["off"]),
         lambda s: s >= 0,
@@ -427,27 +429,50 @@ def phrase_occurrences_both(
             )
         )
 
-    gathered = both.groupBy("qid", "id", "plen").agg(
-        _cfg_starts("e"), _cfg_starts("s")
-    )
-
     def _n_off(ops: Column) -> Column:
         # distinct matched offsets, from the collected list (collect_list
         # drops the other config's null rows, so this equals the r10
         # count_distinct exactly)
         return F.size(F.array_distinct(F.transform(ops, lambda x: x["off"])))
 
-    occ_e = F.when(
-        _n_off(F.col("_ops_e")) == F.col("plen"),
-        _greedy_nonoverlap(_starts_of(F.col("_ops_e")), F.col("plen")),
-    ).otherwise(F.lit(0))
-    occ_s = F.when(
-        _n_off(F.col("_ops_s")) == F.col("plen"),
-        _greedy_nonoverlap(_starts_of(F.col("_ops_s")), F.col("plen")),
-    ).otherwise(F.lit(0))
-    return gathered.select(
-        "qid", "id", "plen", occ_e.alias("occ_e"), occ_s.alias("occ_s")
-    ).filter((F.col("occ_e") > 0) | (F.col("occ_s") > 0))
+    def _occ_of(cfg: str) -> Column:
+        # collect_list ONLY — the r10 kernel also ran count_distinct(off)
+        # in the same groupBy, and Spark's multi-distinct planning rewrote
+        # the aggregation into an Expand (2× input rows) + a second
+        # Exchange + a SortAggregate chain; deriving the distinct-offset
+        # count from the collected array keeps the kernel at ONE
+        # ObjectHashAggregate pair / one Exchange.
+        #
+        # The occurrence count is computed INSIDE the aggregate's result
+        # expressions, with the collected list bound once (r11 §16). The
+        # r11 shape computed occ in a select ABOVE the aggregate with the
+        # ``occ > 0`` cut as a separate filter: predicate pushdown rewrote
+        # the cut through the projection, so the Filter node carried the
+        # ENTIRE shifted-intersection + greedy-fold chain (a 10 KB pushed
+        # condition) and every surviving row paid it again in the
+        # projection — and _greedy_nonoverlap's null guard re-ran the
+        # starts chain once more per evaluation. As an aggregate output,
+        # occ is a plain attribute at the filter site; the chain runs once
+        # per grouped row. Same expressions, same FP/int order —
+        # bit-identical counts.
+        ops_agg = F.sort_array(
+            F.collect_list(
+                F.when(F.col("cfg") == cfg, F.struct(F.col("off"), F.col("positions")))
+            )
+        )
+
+        def _with_ops(ops: Column) -> Column:
+            return F.when(
+                _n_off(ops) == F.col("plen"),
+                _greedy_nonoverlap(_starts_of(ops), F.col("plen")),
+            ).otherwise(F.lit(0))
+
+        return _bind(ops_agg, _with_ops)
+
+    gathered = both.groupBy("qid", "id", "plen").agg(
+        _occ_of("e").alias("occ_e"), _occ_of("s").alias("occ_s")
+    )
+    return gathered.filter((F.col("occ_e") > 0) | (F.col("occ_s") > 0))
 
 
 def keyword_search_many_phrase_indexed(
@@ -855,11 +880,18 @@ def keyword_search_proximity_indexed(
         raw = raw + F.lit(WE) * _pair_bonus(F.col("_pm_e"), a, b)
         sa, sb = stem(a), stem(b)
         raw = raw + F.lit(WS) * _pair_bonus(F.col("_pm_s"), sa, sb)
+    # top-k FIRST, filter the <=k survivors (r11 §16, the §12 scan-tier
+    # rewrite): the score>0 cut below the sort pushes through the
+    # projection, so the Filter re-ran every pair-bonus flatten
+    # (O(|p1|·|p2|) per pair) a second time per candidate row; provably
+    # identical (raw >= 0 — tf sums and bonuses are non-negative — so
+    # zero-score rows sort last under desc) and Limit is a pushdown
+    # barrier.
     return (
         merged.select(F.col("id"), (raw / (raw + F.lit(1.0))).alias("score"))
-        .filter(F.col("score") > 0.0)
         .orderBy(F.desc("score"), F.col("id"))
         .limit(k)
+        .filter(F.col("score") > 0.0)
     )
 
 
@@ -1416,12 +1448,18 @@ def keyword_search_indexed(
     n_exact = F.size(F.filter("tokens_exact", lambda t: t.isin(*terms)))
     n_stem = F.size(F.filter("tokens_stemmed", lambda t: t.isin(*stems)))
     raw = F.lit(WEIGHT_EXACT) * n_exact + F.lit(WEIGHT_STEMMED) * n_stem
+    # top-k FIRST, filter the <=k survivors (r11 §16, the §12 scan-tier
+    # rewrite): the score>0 cut below the sort pushes through the
+    # projection, so the Filter re-ran both O(tokens·terms) array-filter
+    # counts a second time per candidate row; provably identical (raw is
+    # a non-negative weighted count, so zero-score rows sort last under
+    # desc) and Limit is a pushdown barrier.
     return (
         tokens.join(F.broadcast(cand), "id", "left_semi")
         .select(F.col("id"), (raw / (raw + F.lit(1.0))).alias("score"))
-        .filter(F.col("score") > 0.0)
         .orderBy(F.desc("score"), F.col("id"))
         .limit(k)
+        .filter(F.col("score") > 0.0)
     )
 
 

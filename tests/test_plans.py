@@ -796,3 +796,29 @@ def test_keyword_scan_filters_do_not_duplicate_scoring(spark, sf_dir):
     # filter would push through and re-tokenize
     facets = _plan(search.keyword_facets(docs, "hash join", "lang"))
     assert facets.count(SIG) <= 1
+
+
+def test_phrase_kernel_occ_filter_is_attribute_only(spark, sf_dir):
+    """r11 §16: phrase_occurrences_both computes occ_e/occ_s INSIDE the
+    aggregate's result expressions (collected list bound once), so the
+    occ>0 cut above it filters plain attributes. The previous shape
+    derived occ in a select above the aggregate — predicate pushdown
+    rewrote the cut through the projection and the Filter node carried
+    the entire shifted-intersection + greedy-fold chain (a ~10 KB pushed
+    condition, the whole kernel evaluated twice per grouped row)."""
+    from connapse_spark.operators import keyword_index
+
+    docs = _docs(spark, sf_dir)
+    tok_tbl = keyword_index.build_token_table(docs)
+    ppe = keyword_index.build_positions_postings(tok_tbl, "tokens_exact")
+    pps = keyword_index.build_positions_postings(tok_tbl, "tokens_stemmed")
+    out = keyword_index.keyword_search_many_phrase_indexed(
+        ppe, pps, [(1, '"table hash"'), (2, '"customer join"')], k=5
+    )
+    plan = _plan(out)
+    # the intersect fold appears once per config in the aggregate's result
+    # projection; a pushdown revert duplicates it into a Filter condition
+    assert plan.count("array_intersect(") <= 2, plan
+    for line in plan.splitlines():
+        if "Filter " in line:
+            assert "array_intersect(" not in line, line
