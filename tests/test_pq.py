@@ -241,3 +241,22 @@ def test_trained_and_seeded_codebooks_share_probe_plan(spark, emb, qrow, tmp_pat
         )
         plans.append(_normalized_plan(probe))
     assert plans[0] == plans[1]
+
+
+def test_encode_fold_binds_vector_and_runs_once(emb, qrow):
+    """r11 §14: the argmin fold binds the cast vector and each subspace
+    slice through one-element transform lambdas (Catalyst HOFs are
+    interpreted with no subexpression elimination — the unbound form ran
+    m·k cast+slice evaluations per row), and pq_encode materializes the
+    finished fold behind a projection boundary so pack + error sum share
+    one evaluation. A revert drops the _bind wrappers from the plan."""
+    enc_plan = pq.pq_encode(emb)._jdf.queryExecution().executedPlan().toString()
+    assert enc_plan.count("element_at(transform(array(") >= 1, enc_plan
+    # pack + error sum must read the _bests ATTRIBUTE, not re-inline the
+    # argmin fold: the fold lives in its own Project under the output one
+    assert "_bests" in enc_plan, enc_plan
+    topk_plan = (
+        pq.pq_topk(emb, qrow, k=10)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the bound vector + the per-subspace bound slice
+    assert topk_plan.count("element_at(transform(array(") >= 2, topk_plan
