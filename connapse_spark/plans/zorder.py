@@ -14,10 +14,13 @@ predicate.
 All integer bit arithmetic — the DuckDB mirror is exact, and the z-key is
 deterministic under any partitioning.
 
-Scale (100 TB): one range shuffle (the same cost as any sorted write);
-the z-key itself is a map-side projection. Range boundaries come from
-Spark's reservoir sampling — no extra pass. Probes pay zero: pruning is
-parquet-stat skipping on the natural columns, no key rewrite at read time.
+Scale (100 TB): one hash shuffle of the payload (the same cost as any
+clustered write); the z-key itself is a map-side projection. Range
+boundaries come from two KEY-ONLY column-pruned passes (min/max stats +
+approxQuantile) — never from repartitionByRange's boundary sampling,
+which executes the full payload child a second time. Probes pay zero:
+pruning is parquet-stat skipping on the natural columns, no key rewrite
+at read time.
 """
 
 from __future__ import annotations
@@ -86,6 +89,39 @@ def normalized_zorder_cols(
     return out
 
 
+_ROUTE_CACHE: dict[int, list[int]] = {}
+
+
+def _exact_route_values(spark, n: int) -> list[int]:
+    """Bigint literals v_0..v_{n-1} with pmod(murmur3(v_i), n) == i.
+
+    DataFrame ``repartition(n, col)`` places a row in partition
+    pmod(hash(col), n) — the same Murmur3 expression ``F.hash`` exposes —
+    so routing through these values sends pid i to partition i exactly:
+    an EXPLICIT range assignment carried by one ordinary hash shuffle,
+    with no boundary-sampling pass. The search is pure integer math over
+    spark.range (no data scan) and is memoized per n. Murmur3 hashes int
+    and bigint DIFFERENTLY, so the slot search and the route column must
+    agree on the type: both are pinned to IntegerType here."""
+    if n in _ROUTE_CACHE:
+        return _ROUTE_CACHE[n]
+    rows = (
+        spark.range(256 * n)
+        .select(
+            "id",
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("slot"),
+        )
+        .collect()
+    )
+    slots: dict[int, int] = {}
+    for r in rows:
+        slots.setdefault(r["slot"], r["id"])
+    if len(slots) < n:  # astronomically unlikely with 256n candidates
+        raise RuntimeError(f"hash-slot search found {len(slots)}/{n} slots")
+    _ROUTE_CACHE[n] = [slots[i] for i in range(n)]
+    return _ROUTE_CACHE[n]
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -93,17 +129,40 @@ def write_zordered(
     bits: int = 16,
     n_files: int = 8,
 ) -> None:
-    """Cluster-and-write: normalize key domains → z-key projection → range
-    repartition on the key (Spark samples boundaries; one shuffle) → sort
-    within partitions → parquet. The z-key is NOT written — it is a layout
-    decision, not data; re-deriving it is a projection away."""
-    keyed = df.withColumn(
-        "_zkey", zorder_key_expr(normalized_zorder_cols(df, cols, bits), bits)
+    """Cluster-and-write: normalize key domains → z-key projection → route
+    each row to its z-range's partition (one hash shuffle) → sort within
+    partitions → parquet. The z-key is NOT written — it is a layout
+    decision, not data; re-deriving it is a projection away.
+
+    Range boundaries are computed from a KEY-ONLY projection
+    (approxQuantile over just the z-key — a column-pruned pass), not by
+    ``repartitionByRange``: Spark's range partitioner samples boundaries
+    by executing its child, and here the child carries the full caller
+    payload, so at 100 TB every payload byte would be read/computed twice.
+    With explicit boundaries + hash-slot routing (``_exact_route_values``)
+    the payload plan executes exactly once — the shuffle itself
+    (tests/test_round3.py::test_write_zordered_payload_executes_once pins
+    this with an accumulator on a payload UDF)."""
+    zcols = normalized_zorder_cols(df, cols, bits)  # one key-only stats agg
+    zkey = zorder_key_expr(zcols, bits)
+    probs = [i / n_files for i in range(1, n_files)]
+    bounds = df.select(zkey.alias("_zkey")).approxQuantile("_zkey", probs, 0.001)
+    pid = F.lit(0)
+    for b in sorted({int(b) for b in bounds if b is not None}):
+        # null z-keys take every otherwise(0) branch → pid 0, matching the
+        # nulls-first placement of the old range partitioning
+        pid = pid + F.when(F.col("_zkey") > F.lit(b), 1).otherwise(0)
+    route_vals = _exact_route_values(df.sparkSession, n_files)
+    route = F.element_at(
+        F.array(*[F.lit(v).cast("int") for v in route_vals]),
+        pid.cast("int") + F.lit(1),
     )
     (
-        keyed.repartitionByRange(n_files, "_zkey")
+        df.withColumn("_zkey", zkey)
+        .withColumn("_route", route)
+        .repartition(n_files, "_route")
         .sortWithinPartitions("_zkey")
-        .drop("_zkey")
+        .drop("_zkey", "_route")
         .write.mode("overwrite")
         .parquet(path)
     )
