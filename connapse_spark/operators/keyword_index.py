@@ -1372,7 +1372,11 @@ def keyword_search_many_indexed(
     job — r9) and mixed single-query websearch syntax to
     :func:`keyword_search_websearch_indexed` (token-table-verified) or
     the scan tier. Queries here are treated as bags of words."""
-    from connapse_spark.operators.search import batch_keyword_scores, rank_topk_per_qid
+    from connapse_spark.operators.search import (
+        batch_keyword_scores_merged,
+        rank_topk_per_qid,
+        tagged_keyword_agg,
+    )
 
     stem = stem_py if stem_fn is None else stem_fn
     qe_rows, qs_rows = [], []
@@ -1385,26 +1389,35 @@ def keyword_search_many_indexed(
     spark = tf_exact.sparkSession
     if not qe_rows:
         return spark.createDataFrame([], "qid long, id long, score double, rank long")
-    qe = spark.createDataFrame(qe_rows, "qid long, term string")
-    qs = spark.createDataFrame(qs_rows, "qid long, term string")
+    qboth = spark.createDataFrame(
+        [(q, t, "e") for q, t in qe_rows] + [(q, s, "s") for q, s in qs_rows],
+        "qid long, term string, cfg string",
+    )
 
     # literal IN-filters push into the postings scan (row-group pruning on
-    # the term-sorted layout) BEFORE the broadcast join fans rows out per qid
+    # the term-sorted layout) BEFORE the broadcast join fans rows out per
+    # qid. r12 (guide §2.4): both configs union under a cfg tag into ONE
+    # (qid, id) aggregation — the r11 shape aggregated each config
+    # separately ((qid, id) Exchange ×2) and merged them with a
+    # full-outer SortMergeJoin; the tagged conditional sums produce
+    # bit-identical n_exact/n_stem through a single Exchange, no join.
     all_terms = sorted({t for _, t in qe_rows})
     all_stems = sorted({s for _, s in qs_rows})
-    ne = (
+    probe = (
         tf_exact.filter(F.col("term").isin(*all_terms))
-        .join(F.broadcast(qe), "term")
-        .groupBy("qid", "id")
-        .agg(F.sum("tf").alias("n_exact"))
+        .withColumn("cfg", F.lit("e"))
+        .unionByName(
+            tf_stemmed.filter(F.col("term").isin(*all_stems)).withColumn(
+                "cfg", F.lit("s")
+            )
+        )
     )
-    ns = (
-        tf_stemmed.filter(F.col("term").isin(*all_stems))
-        .join(F.broadcast(qs), "term")
-        .groupBy("qid", "id")
-        .agg(F.sum("tf").alias("n_stem"))
+    matched = probe.join(F.broadcast(qboth), ["term", "cfg"]).select(
+        "qid", "id", "cfg", "tf"
     )
-    return rank_topk_per_qid(batch_keyword_scores(ne, ns), k)
+    return rank_topk_per_qid(
+        batch_keyword_scores_merged(tagged_keyword_agg(matched)), k
+    )
 
 
 def keyword_search_indexed(

@@ -678,8 +678,23 @@ def frontier_delta(
         ).distinct()
     else:
         seen_url_col = seen_url_col or url_col
+        # r12 (VERDICT r11 ask #7): the anti-join infers
+        # isnotnull(canonical_url) on the ledger side and pushes it through
+        # the distinct's projection, re-substituting the full
+        # canonicalization expression into the scan Filter — the 10^10-row
+        # ledger was canonicalized TWICE per row (once in the pushed
+        # filter, once in the projection). coalesce(expr, '') makes the
+        # key non-nullable, so no isnotnull constraint is inferred and the
+        # expression runs once. Provably no semantic change: a null ledger
+        # key could never anti-match anything (null != any key), and the
+        # '' it becomes can't either — every non-null canonical_url
+        # contains '://' (the expr is a concat over that literal), so no
+        # discovered key ever equals ''. The coalesce branch only fires on
+        # null/unparseable ledger urls, which contributed nothing before.
         seen_keys = seen.select(
-            canonical_url_expr(F.col(seen_url_col)).alias("canonical_url")
+            F.coalesce(
+                canonical_url_expr(F.col(seen_url_col)), F.lit("")
+            ).alias("canonical_url")
         ).distinct()
     return (
         discovered.select(

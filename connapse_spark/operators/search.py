@@ -1855,17 +1855,19 @@ FROM j ORDER BY score DESC, {id_col}
 """.strip()
 
 
-def batch_keyword_scores(ne: DataFrame, ns: DataFrame) -> DataFrame:
-    """The ONE home of the batched keyword scoring math: full-outer merge
-    of the per-(qid, id) exact/stemmed term counts, the reference's
-    weighted ``raw / (raw + 1)`` squash (keyword_score_expr's ts_rank_cd
-    proxy, same WEIGHT_EXACT/WEIGHT_STEMMED), and the score > 0 cut. The
-    scan tier (:func:`keyword_search_many`), the tf-postings tier
+def batch_keyword_scores_merged(agg: DataFrame) -> DataFrame:
+    """The ONE home of the batched keyword scoring math, over a
+    PRE-MERGED (qid, id, n_exact, n_stem) frame: the reference's weighted
+    ``raw / (raw + 1)`` squash (keyword_score_expr's ts_rank_cd proxy,
+    same WEIGHT_EXACT/WEIGHT_STEMMED) and the score > 0 cut. The scan
+    tier (:func:`keyword_search_many`), the tf-postings tier
     (``keyword_index.keyword_search_many_indexed``) and the fast hybrid's
     keyword branch all feed from it — a weight or squash change cannot
     silently fork one tier off the others' row-identical oracle
-    contracts."""
-    merged = ne.join(ns, ["qid", "id"], "full_outer").select(
+    contracts. Nulls in either count column mean "no rows of that config
+    matched" (the old full-outer merge's null semantics) and coalesce
+    to 0 exactly as before."""
+    merged = agg.select(
         "qid",
         "id",
         (
@@ -1876,6 +1878,29 @@ def batch_keyword_scores(ne: DataFrame, ns: DataFrame) -> DataFrame:
     return merged.select(
         "qid", "id", (F.col("raw") / (F.col("raw") + F.lit(1.0))).alias("score")
     ).filter(F.col("score") > 0.0)
+
+
+def tagged_keyword_agg(probe: DataFrame) -> DataFrame:
+    """ONE (qid, id) aggregation over union-tagged probe rows
+    (qid, id, cfg ∈ {'e','s'}, tf): conditional sums replace the r11
+    shape's two per-config aggregations merged by a full-outer
+    SortMergeJoin — guide §2.4, the same union-tag trick the websearch
+    kernel already used. One Exchange instead of two, no join; a
+    (qid, id) with no rows of a config gets a NULL sum, which is exactly
+    the full-outer merge's null."""
+    return probe.groupBy("qid", "id").agg(
+        F.sum(F.when(F.col("cfg") == "e", F.col("tf"))).alias("n_exact"),
+        F.sum(F.when(F.col("cfg") == "s", F.col("tf"))).alias("n_stem"),
+    )
+
+
+def batch_keyword_scores(ne: DataFrame, ns: DataFrame) -> DataFrame:
+    """Compatibility form of :func:`batch_keyword_scores_merged` for
+    callers holding separate per-config count frames — merges them
+    full-outer then applies the shared squash. The in-repo tiers feed
+    the merged/tagged form directly (one aggregation, no merge join)."""
+    merged = ne.join(ns, ["qid", "id"], "full_outer")
+    return batch_keyword_scores_merged(merged)
 
 
 def rank_topk_per_qid(scored: DataFrame, k: int) -> DataFrame:
@@ -1924,52 +1949,60 @@ def keyword_search_many(
         for st in sorted({stem_py(t) for t in terms}):
             qs_rows.append((qid, st))
     spark = docs.sparkSession
-    qe = spark.createDataFrame(qe_rows, "qid long, t string")
-    qs = spark.createDataFrame(qs_rows, "qid long, st string")
 
-    # explode_outer + isnotnull ≡ explode, but dodges
-    # InferFiltersFromGenerate: for a plain explode that rule adds
-    # size(<tokens>)>0 under the Generate and predicate pushdown
-    # substitutes the tokenizer through the projection — a SECOND full
-    # tokenize per row (r11; the isnotnull sits on the GENERATED
-    # attribute, which cannot push below the Generate)
+    # r12 (guide §2.3/§2.4): ONE corpus pass and ONE keyed exchange. The
+    # r11 shape ran two exploded passes (exact + stemmed — two tokenizer
+    # scans in the scan tier), aggregated EVERY corpus (id, term) pair
+    # through an (id, term) exchange before the broadcast join dropped
+    # non-query terms, then paid a second (qid, id) exchange per config
+    # and a full-outer SMJ to merge. Here both configs ride one explode
+    # of cfg-tagged structs, the broadcast join filters to query terms
+    # BEFORE any exchange (matched occurrences only — at 100 TB that is
+    # the difference between shuffling the corpus's whole distinct
+    # (id, term) set and the batch's matched postings), and the tagged
+    # (qid, id) aggregation produces both counts at once. Counting
+    # matched occurrences ≡ summing per-(id, term) tfs over matched
+    # terms, so n_exact/n_stem are bit-identical integers.
     if tokens is not None:
-        te_src = tokens.select(
-            "id", F.explode_outer("tokens_exact").alias("t")
-        ).filter(F.col("t").isNotNull())
-        ts_src = tokens.select(
-            "id", F.explode_outer("tokens_stemmed").alias("st")
-        ).filter(F.col("st").isNotNull())
+        toksrc = tokens.select(
+            "id",
+            F.col("tokens_exact").alias("_te"),
+            F.col("tokens_stemmed").alias("_ts"),
+        )
     else:
-        te_src = docs.select(
-            F.col(id_col).alias("id"),
-            F.explode_outer(tokens_exact_expr(F.col(text_col))).alias("t"),
-        ).filter(F.col("t").isNotNull())
-        # stemmed pass derives its array from the exact tokens (r11):
+        # stemmed array derives from the exact tokens COLUMN (r11):
         # tokens_stemmed_expr(text) embeds a SECOND tokenizer run
         from connapse_spark.functions.text import stem_expr
 
-        ts_src = (
-            docs.select(
-                F.col(id_col).alias("id"),
-                tokens_exact_expr(F.col(text_col)).alias("_te"),
-            )
-            .select(
-                "id",
-                F.explode_outer(F.transform(F.col("_te"), stem_expr)).alias("st"),
-            )
-            .filter(F.col("st").isNotNull())
+        toksrc = docs.select(
+            F.col(id_col).alias("id"),
+            tokens_exact_expr(F.col(text_col)).alias("_te"),
+        ).withColumn("_ts", F.transform(F.col("_te"), stem_expr))
+    tag = lambda arr, cfg: F.transform(
+        arr, lambda x: F.struct(F.lit(cfg).alias("cfg"), x.alias("term"))
+    )
+    tagged = (
+        toksrc.select(
+            "id",
+            F.explode_outer(
+                F.concat(tag(F.col("_te"), "e"), tag(F.col("_ts"), "s"))
+            ).alias("_a"),
         )
-    te = te_src.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    ts = ts_src.groupBy("id", "st").agg(F.count(F.lit(1)).alias("tf"))
-
-    ne = te.join(F.broadcast(qe), "t").groupBy("qid", "id").agg(
-        F.sum("tf").alias("n_exact")
+        # explode_outer + isnotnull ≡ explode, dodging
+        # InferFiltersFromGenerate's size()>0 pushdown (see above)
+        .filter(F.col("_a").isNotNull())
+        .select("id", F.col("_a.cfg").alias("cfg"), F.col("_a.term").alias("term"))
     )
-    ns = ts.join(F.broadcast(qs), "st").groupBy("qid", "id").agg(
-        F.sum("tf").alias("n_stem")
+    qboth = spark.createDataFrame(
+        [(q, t, "e") for q, t in qe_rows] + [(q, s, "s") for q, s in qs_rows],
+        "qid long, term string, cfg string",
     )
-    return rank_topk_per_qid(batch_keyword_scores(ne, ns), k)
+    matched = tagged.join(F.broadcast(qboth), ["term", "cfg"]).select(
+        "qid", "id", "cfg", F.lit(1).cast("long").alias("tf")
+    )
+    return rank_topk_per_qid(
+        batch_keyword_scores_merged(tagged_keyword_agg(matched)), k
+    )
 
 
 def sql_keyword_search_many(
@@ -2237,11 +2270,35 @@ def _hybrid_many_empty(corpus: DataFrame, id_col: str) -> DataFrame:
 def _hybrid_many_fuse(entries: DataFrame, k: int, alpha: float, id_col: str) -> DataFrame:
     """Shared per-qid fusion tail over (qid, branch, bscore, id) entries:
     branch top-k cut, min-max normalization, convex combination, final
-    per-qid top-k — identical arithmetic to hybrid_search_onepass."""
-    wb = Window.partitionBy("qid", "branch").orderBy(F.desc("bscore"), F.col("id"))
-    ranked = entries.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") <= k)
-    wbranch = Window.partitionBy("qid", "branch")
-    mn, mx = F.min("bscore").over(wbranch), F.max("bscore").over(wbranch)
+    per-qid top-k — identical arithmetic to hybrid_search_onepass.
+
+    r12 (guide §2.4 — share one exchange): every window/aggregate here
+    rides ONE HashPartitioning(qid). The r11 shape exchanged three times
+    (window by (qid, branch), groupBy (qid, id), window by qid); but a
+    qid partitioning satisfies all three — the per-branch rank is the
+    qid-ordered row_number minus the earlier branch's row count, the
+    per-branch min/max are branch-conditional aggregates over the qid
+    frame, and ClusteredDistribution(qid, id)/(qid) are both satisfied
+    by hash(qid), so the merge aggregate and the final rank re-sort
+    within partitions without shuffling. Arithmetic and tie-breaks are
+    unchanged (same (bscore desc, id) order within each branch, same
+    min/max frames after the rank cut), so scores are bit-identical."""
+    wq_ord = Window.partitionBy("qid").orderBy(
+        "branch", F.desc("bscore"), F.col("id")
+    )
+    wq_all = Window.partitionBy("qid")
+    is_k = F.col("branch") == "k"
+    # 'k' < 'v' lexicographically: k-branch rows rank first in wq_ord, so
+    # a v-row's in-branch rank is its qid rank minus the qid's k count
+    n_k = F.sum(is_k.cast("long")).over(wq_all)
+    rn_b = F.row_number().over(wq_ord) - F.when(is_k, F.lit(0)).otherwise(n_k)
+    ranked = entries.withColumn("rn", rn_b).filter(F.col("rn") <= k)
+    mn = F.when(
+        is_k, F.min(F.when(is_k, F.col("bscore"))).over(wq_all)
+    ).otherwise(F.min(F.when(~is_k, F.col("bscore"))).over(wq_all))
+    mx = F.when(
+        is_k, F.max(F.when(is_k, F.col("bscore"))).over(wq_all)
+    ).otherwise(F.max(F.when(~is_k, F.col("bscore"))).over(wq_all))
     normed = ranked.withColumn(
         "_ns", F.when(mx > mn, (F.col("bscore") - mn) / (mx - mn)).otherwise(F.lit(1.0))
     )
@@ -2544,14 +2601,23 @@ def hybrid_search_many_fast(
             "qid", F.lit("k").alias("branch"), F.col("score").alias("bscore"), "id"
         )
     else:
+        # r12 (guide §2.3/§2.4): union-tagged single (qid, id)
+        # aggregation, mirroring keyword_search_many /
+        # keyword_search_many_indexed — one Exchange instead of two per
+        # config plus the full-outer SMJ merge; in the scan branch the
+        # broadcast join now also drops non-query terms BEFORE any
+        # exchange instead of aggregating the corpus's whole (id, term)
+        # set first. Counts/sums are bit-identical integers either way.
         _stem = stem_py if stem_fn is None else stem_fn
         qe_rows, qs_rows = [], []
         for qid, qtext in queries:
             terms = sorted(set(tokenize_py(qtext)))
             qe_rows += [(int(qid), t) for t in terms]
             qs_rows += [(int(qid), st) for st in sorted({_stem(t) for t in terms})]
-        qe_df = spark.createDataFrame(qe_rows, "qid int, t string")
-        qs_df = spark.createDataFrame(qs_rows, "qid int, st string")
+        qboth_df = spark.createDataFrame(
+            [(q, t, "e") for q, t in qe_rows] + [(q, s, "s") for q, s in qs_rows],
+            "qid int, term string, cfg string",
+        )
         if tf_postings is not None:
             tf_e, tf_s = tf_postings
             # prune the postings scan to the batch's term set BEFORE the
@@ -2559,11 +2625,14 @@ def hybrid_search_many_fast(
             # to false on an empty batch-term set rather than erroring)
             all_terms = sorted({t for _, t in qe_rows})
             all_stems = sorted({s for _, s in qs_rows})
-            te = tf_e.filter(F.col("term").isin(all_terms)).select(
-                "id", F.col("term").alias("t"), "tf"
-            )
-            tsx = tf_s.filter(F.col("term").isin(all_stems)).select(
-                "id", F.col("term").alias("st"), "tf"
+            probe = (
+                tf_e.filter(F.col("term").isin(all_terms))
+                .withColumn("cfg", F.lit("e"))
+                .unionByName(
+                    tf_s.filter(F.col("term").isin(all_stems)).withColumn(
+                        "cfg", F.lit("s")
+                    )
+                )
             )
         else:
             from connapse_spark.functions.text import stem_expr as _stem_x
@@ -2575,28 +2644,31 @@ def hybrid_search_many_fast(
                 # derive from the exact COLUMN — one tokenizer run (r11)
                 "_ts", F.transform(F.col("_te"), _stem_x)
             )
+            _tag = lambda arr, cfg: F.transform(
+                arr, lambda x: F.struct(F.lit(cfg).alias("cfg"), x.alias("term"))
+            )
             # explode_outer + isnotnull: a plain explode's inferred
             # size()>0 filter pushes through the projection and re-runs
             # the tokenizer per row (r11 — see keyword_search_many)
-            te = (
-                toks.select("id", F.explode_outer("_te").alias("t"))
-                .filter(F.col("t").isNotNull())
-                .groupBy("id", "t")
-                .agg(F.count(F.lit(1)).alias("tf"))
+            probe = (
+                toks.select(
+                    "id",
+                    F.explode_outer(
+                        F.concat(_tag(F.col("_te"), "e"), _tag(F.col("_ts"), "s"))
+                    ).alias("_a"),
+                )
+                .filter(F.col("_a").isNotNull())
+                .select(
+                    "id",
+                    F.col("_a.cfg").alias("cfg"),
+                    F.col("_a.term").alias("term"),
+                    F.lit(1).cast("long").alias("tf"),
+                )
             )
-            tsx = (
-                toks.select("id", F.explode_outer("_ts").alias("st"))
-                .filter(F.col("st").isNotNull())
-                .groupBy("id", "st")
-                .agg(F.count(F.lit(1)).alias("tf"))
-            )
-        ne = te.join(F.broadcast(qe_df), "t").groupBy("id", "qid").agg(
-            F.sum("tf").alias("n_exact")
+        matched = probe.join(F.broadcast(qboth_df), ["term", "cfg"]).select(
+            "qid", "id", "cfg", "tf"
         )
-        ns = tsx.join(F.broadcast(qs_df), "st").groupBy("id", "qid").agg(
-            F.sum("tf").alias("n_stem")
-        )
-        k_entries = batch_keyword_scores(ne, ns).select(
+        k_entries = batch_keyword_scores_merged(tagged_keyword_agg(matched)).select(
             "qid", F.lit("k").alias("branch"), F.col("score").alias("bscore"), "id"
         )
     if ok_arr is not None:

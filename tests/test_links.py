@@ -495,3 +495,35 @@ def test_frontier_delta_ledger_loop_converges(spark):
     assert wave1.count() == 2
     ledger = wave1.select("url")
     assert frontier_delta(discovered, ledger).count() == 0
+
+
+def test_frontier_delta_null_urls_and_single_ledger_canonicalization(spark):
+    """r12 (VERDICT r11 ask #7): (1) null/unparseable ledger urls are
+    inert — they can never screen out a discovered row (null keys match
+    nothing; their coalesce('') stand-in matches nothing either, every
+    real canonical key contains '://'); (2) the ledger side is
+    canonicalized ONCE — the anti-join used to infer
+    isnotnull(canonical_url) and push the whole canonicalization
+    expression into the ledger scan's Filter, running it twice per
+    ledger row. The coalesce makes the key non-nullable, so the plan
+    carries no pushed parse_url filter on the ledger side."""
+    from connapse_spark.operators.links import frontier_delta
+
+    discovered = spark.createDataFrame(
+        [("https://ex.com/a",), ("https://ex.com/b",), (None,)], "url string"
+    )
+    seen = spark.createDataFrame(
+        [("https://ex.com/a?utm_source=x",), (None,), ("ht!tp:bad url",)],
+        "url string",
+    )
+    out = frontier_delta(discovered, seen)
+    got = {r.url for r in out.collect()}
+    # /a screened; /b survives; the null discovered row survives (null
+    # key matches nothing in an anti-join) exactly as before the rewrite
+    assert got == {"https://ex.com/b", None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the ledger-side scan must not re-run parse_url inside a Filter:
+    # every parse_url in the plan belongs to a Project, none to a Filter
+    for line in plan.splitlines():
+        if "Filter" in line and "parse_url" in line:
+            raise AssertionError(f"canonicalization pushed into a Filter: {line[:200]}")
