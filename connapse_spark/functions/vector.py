@@ -35,12 +35,19 @@ def l2norm_expr(a: Column) -> Column:
     return F.sqrt(dot_expr(a, a))
 
 
-def _bind(expr: Column, fn) -> Column:
+def bind_once(expr: Column, fn) -> Column:
     """Evaluate ``expr`` once per row and hand the bound value to ``fn``
     as a lambda variable (one-element ``transform``): Catalyst HOFs run
     interpreted with no subexpression elimination, so a subtree
-    referenced twice is evaluated twice unless bound this way."""
+    referenced twice is evaluated twice unless bound this way.
+
+    Public name (r12, ADVICE r11): keyword_index and plans/pq build their
+    fold kernels on this helper, so it is part of the module's contract —
+    the old underscore alias is kept for source compatibility."""
     return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+_bind = bind_once
 
 
 def cosine_expr(a: Column, b: Column) -> Column:

@@ -337,6 +337,7 @@ def minhash_banded(
     bands: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, sig, band, key): signatures + band keys — the SHARED kernel of
     the one-shot pair finder and the persisted incremental index (write it
@@ -355,10 +356,17 @@ def minhash_banded(
     # projection — a SECOND full tokenize+shingle pass per row (r11; the
     # explicit isnotnull sits on the GENERATED attribute, which cannot push
     # below the Generate, and restores the exact row set)
+    sh_expr = (
+        shingles_expr(F.col(text_col), n)
+        if tokens_col is None
+        # r12 pass fusion: shingle from an already-materialized token
+        # column (same _shingles_from_tokens math, identical values)
+        else _shingles_from_tokens(F.col(tokens_col), n)
+    )
     exploded = (
         docs.select(
             F.col(id_col).alias("id"),
-            F.explode_outer(shingles_expr(F.col(text_col), n)).alias("s"),
+            F.explode_outer(sh_expr).alias("s"),
         )
         .filter(F.col("s").isNotNull())
         .select("id", _sha_bigint(F.col("s")).alias("x"))
@@ -405,6 +413,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup: signature → b bands of r=k/b rows; docs sharing
     any band key become candidates (shuffle on the band key, never a cross
@@ -412,8 +421,9 @@ def minhash_lsh_pairs(
     (fraction of agreeing components) ≥ threshold.
 
     Output: (id_a, id_b, est_jaccard). Deterministic; oracle-mirrored.
+    ``tokens_col`` as in :func:`contamination_check` (r12 pass fusion).
     """
-    banded = minhash_banded(docs, n, num_hashes, bands, id_col, text_col)
+    banded = minhash_banded(docs, n, num_hashes, bands, id_col, text_col, tokens_col)
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -912,6 +922,7 @@ def contamination_check(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_col: str = "s",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Screen a corpus against a held-out set: a document is contaminated
     when it shares any n-gram shingle with the blocklist (the standard
@@ -924,10 +935,15 @@ def contamination_check(
     what it kept, not only what it dropped.
 
     Output: (id, n_hits = distinct blocklisted shingles present,
-    contaminated flag)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), n).alias("sh")
+    contaminated flag). ``tokens_col`` (r12 pass fusion): a column already
+    holding ``tokens_exact_expr(text_col)`` — shingles derive from it
+    instead of re-tokenizing; identical values."""
+    sh_expr = (
+        shingles_expr(F.col(text_col), n)
+        if tokens_col is None
+        else _shingles_from_tokens(F.col(tokens_col), n)
     )
+    sh = docs.select(F.col(id_col).alias("id"), sh_expr.alias("sh"))
     # explode_outer + isnotnull: dodges the inferred size(sh)>0 filter that
     # would re-run tokenize+shingle per row through the pushed-down
     # projection (see minhash_signatures for the mechanism)

@@ -35,7 +35,7 @@ from connapse_spark.functions.text import (
     tokenize_py,
     tokens_exact_expr,
 )
-from connapse_spark.functions.vector import _bind
+from connapse_spark.functions.vector import bind_once as _bind
 from connapse_spark.operators.search import WEIGHT_EXACT, WEIGHT_STEMMED
 
 

@@ -169,10 +169,19 @@ def _step_checkpoint(df: DataFrame) -> DataFrame:
     score vector). Reliable-checkpoint FILES are cleaned by Spark only
     with ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — set
     it on clusters, or the checkpoint dir grows by one rank vector per
-    iteration until app end."""
+    iteration until app end.
+
+    EAGERNESS IS LOAD-BEARING (ADVICE r11): both branches materialize
+    before returning (checkpoint(eager=True) / localCheckpoint()'s eager
+    default). ``_hits_iterate`` unpersists the shared ``auth`` cache
+    immediately after checkpointing the frames built from it — if either
+    branch ever became lazy, that unpersist would drop the cache before
+    materialization and silently recompute the fused hub plan. Keep both
+    branches eager (or move the caller's unpersist after a forced
+    action)."""
     if df.sparkSession.sparkContext.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+    return df.localCheckpoint(eager=True)
 
 
 def _release_step(df: DataFrame) -> None:

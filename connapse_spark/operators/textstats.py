@@ -117,16 +117,25 @@ FROM (
 """.strip()
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
     """Stopword-fraction language heuristic: classify 'en' when ≥ 2% of
     tokens are English function words (threshold suits the synthetic corpus;
-    real deployments extend EN_STOPWORDS per language and argmax)."""
-    # materialize the token array as a real column (r11): the stats
-    # reference it many times, and HOF-containing subtrees are not fused
-    # by codegen subexpression elimination — each reference re-ran the
-    # tokenizer (measured 1.67x on the sf0.1 gopher pass)
-    docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
-    toks = F.col("_toks_once")
+    real deployments extend EN_STOPWORDS per language and argmax).
+    ``tokens_col`` as in :func:`gopher_filter` (r12 pass fusion)."""
+    if tokens_col is None:
+        # materialize the token array as a real column (r11): the stats
+        # reference it many times, and HOF-containing subtrees are not
+        # fused by codegen subexpression elimination — each reference
+        # re-ran the tokenizer (measured 1.67x on the sf0.1 gopher pass)
+        docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
+        toks = F.col("_toks_once")
+    else:
+        toks = F.col(tokens_col)
     n = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
     frac = F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
@@ -614,6 +623,7 @@ def gopher_filter(
     id_col: str = "doc_id",
     text_col: str = "text",
     passthrough: tuple[str, ...] = (),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Composite document-quality gate in the style of Gopher's quality
     heuristics (Rae et al. 2021, table A1): length window, mean-token-length
@@ -625,13 +635,21 @@ def gopher_filter(
     transcendental ops, so the oracle comparison is bit-strict with no
     rounding. Map-side only (whole-stage codegen, no shuffle): at 100 TB
     this runs at parquet-scan speed and composes with any later dedup pass.
+
+    ``tokens_col`` (r12 — dataset_card pass fusion): name of a column on
+    ``docs`` that ALREADY holds ``tokens_exact_expr(text_col)``; the gate
+    then reads it instead of re-tokenizing, so composed callers share one
+    tokenize pass. Identical values by construction.
     """
-    # materialize the token array as a real column (r11): the stats
-    # reference it many times, and HOF-containing subtrees are not fused
-    # by codegen subexpression elimination — each reference re-ran the
-    # tokenizer (measured 1.67x on the sf0.1 gopher pass)
-    docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
-    toks = F.col("_toks_once")
+    if tokens_col is None:
+        # materialize the token array as a real column (r11): the stats
+        # reference it many times, and HOF-containing subtrees are not
+        # fused by codegen subexpression elimination — each reference
+        # re-ran the tokenizer (measured 1.67x on the sf0.1 gopher pass)
+        docs = docs.withColumn("_toks_once", tokens_exact_expr(F.col(text_col)))
+        toks = F.col("_toks_once")
+    else:
+        toks = F.col(tokens_col)
     n = F.size(toks)
     dn = F.greatest(n.cast("double"), F.lit(1.0))  # guard /0; rules still fail via n
     mean_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
@@ -1603,6 +1621,7 @@ def quality_score_linear(
     id_col: str = "doc_id",
     text_col: str = "text",
     passthrough: tuple[str, ...] = (),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Continuous quality score: a linear model over the gopher_filter
     feature vector — the threshold-sweepable classifier score that
@@ -1616,7 +1635,10 @@ def quality_score_linear(
     Scale: gopher_filter is map-side; this adds a projection. Nothing
     shuffles."""
     w = QUALITY_LOGIT_WEIGHTS if weights is None else weights
-    gf = gopher_filter(docs, id_col=id_col, text_col=text_col, passthrough=passthrough)
+    gf = gopher_filter(
+        docs, id_col=id_col, text_col=text_col, passthrough=passthrough,
+        tokens_col=tokens_col,
+    )
     logit = F.lit(float(w["bias"]))
     for feat in ("n_tokens", "mean_token_len", "distinct_ratio", "n_stopwords", "alpha_frac"):
         logit = logit + F.lit(float(w[feat])) * F.col(feat).cast("double")

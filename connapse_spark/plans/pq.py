@@ -44,7 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from connapse_spark.functions.vector import (
-    _bind,
+    bind_once as _bind,
     l2sq_expr,
     sql_l2sq,
     to_double_array,

@@ -44,6 +44,7 @@ def test_scores_empty_doc_gets_bias(spark):
         assert rows[i]["logit_q"] == classifier.QC_PINNED_MODEL["bias_q"]
 
 
+@pytest.mark.slow
 def test_curate_model_stage_composes(spark):
     """A doc that PASSES every heuristic stage but scores below the
     threshold gets model_low_quality; clean prose stays kept; precedence

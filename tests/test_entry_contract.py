@@ -16,6 +16,7 @@ import pytest
 import __spark_entry__ as entry
 
 
+@pytest.mark.slow
 def test_all_queries_analyze_against_real_testdata(spark, sf_dir):
     from pyspark.sql import types as T
 

@@ -307,6 +307,7 @@ def test_robots_delays_distributed_extraction(spark):
     assert got == {"a.com": 2.0, "b.com": 5.0, "dup.com": 12.0}
 
 
+@pytest.mark.slow
 def test_pagerank_warm_identity_and_delta(spark):
     """warm(cold_j, k) must equal cold_{j+k} exactly (same step
     arithmetic, prior unrounded), and a delta-grown graph warm-starts
@@ -345,6 +346,7 @@ def test_pagerank_warm_identity_and_delta(spark):
     assert resid_warm < resid_cold
 
 
+@pytest.mark.slow
 def test_hits_warm_identity_and_dups(spark):
     """warm(cold_1, 2) == cold_3 exactly; duplicate prior rows collapse."""
     edges = spark.createDataFrame(

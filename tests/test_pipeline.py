@@ -655,6 +655,7 @@ def test_ingest_serving_builds_every_structure(spark, sf_dir, tmp_path):
     out["chunks"].unpersist()
 
 
+@pytest.mark.slow
 def test_ingest_serving_incremental_equals_rebuild(spark, sf_dir, tmp_path):
     """Incremental wave (doc 3 updated, doc 7 deleted) over a committed
     serving layout must leave every structure equal to a from-scratch
@@ -762,6 +763,7 @@ def test_ingest_serving_incremental_equals_rebuild(spark, sf_dir, tmp_path):
         h["chunks"].unpersist(), h["vectors"].unpersist()
 
 
+@pytest.mark.slow
 def test_ingest_serving_incremental_multi_wave(spark, sf_dir, tmp_path):
     """Three compounding waves — updates, deletes, and documents that did
     not exist at the initial build — must leave the committed layout equal
@@ -867,6 +869,7 @@ def test_read_tf_postings_serves_committed_layout(spark, sf_dir, tmp_path):
     out["chunks"].unpersist(), out["vectors"].unpersist()
 
 
+@pytest.mark.slow
 def test_ingest_serving_incremental_pending_mode(spark, sf_dir, tmp_path):
     """tf_mode='pending' appends the wave's postings + tombstones to the
     pending delta in O(batch); tf_resolve(base, delta) must then serve the
@@ -932,6 +935,7 @@ def test_ingest_serving_incremental_pending_mode(spark, sf_dir, tmp_path):
     docs.unpersist()
 
 
+@pytest.mark.slow
 def test_load_serving_restart_round_trip(spark, sf_dir, tmp_path):
     """The restart story: everything ingest_serving committed reopens via
     load_serving and answers the FULLY index-served single-query hybrid
@@ -1020,6 +1024,7 @@ def test_load_serving_restart_round_trip(spark, sf_dir, tmp_path):
     docs.unpersist()
 
 
+@pytest.mark.slow
 def test_mixed_mode_overwrite_folds_pending_delta(spark, sf_dir, tmp_path):
     """A pending wave followed by an OVERWRITE wave must not lose the
     pending wave's changes: the overwrite branch folds the cut's
@@ -1101,6 +1106,7 @@ def test_mixed_mode_overwrite_folds_pending_delta(spark, sf_dir, tmp_path):
     docs.unpersist()
 
 
+@pytest.mark.slow
 def test_overwrite_truncates_folded_pending_delta(spark, sf_dir, tmp_path):
     """An overwrite wave that folds an outstanding pending delta must
     TRUNCATE the delta dirs after committing the folded base (r11, the
@@ -1244,6 +1250,7 @@ def test_load_serving_doclen_guard_on_legacy_layout(spark, sf_dir, tmp_path):
     docs.unpersist()
 
 
+@pytest.mark.slow
 def test_overwrite_fold_bootstraps_partial_doclen(spark, sf_dir, tmp_path):
     """An overwrite wave folding a pending delta over a LEGACY pre-doclen
     base must not commit a partial doclen partition (r11): the resolved
@@ -1324,6 +1331,7 @@ def test_overwrite_fold_bootstraps_partial_doclen(spark, sf_dir, tmp_path):
     docs.unpersist()
 
 
+@pytest.mark.slow
 def test_serving_manifest_hides_torn_waves(spark, sf_dir, tmp_path, monkeypatch):
     """Cross-table atomicity: a wave that crashes AFTER committing new
     chunk versions but BEFORE publishing the root serving manifest must be
@@ -1410,6 +1418,7 @@ def test_serving_manifest_hides_torn_waves(spark, sf_dir, tmp_path, monkeypatch)
     docs.unpersist()
 
 
+@pytest.mark.slow
 def test_vacuum_serving_respects_pins(spark, sf_dir, tmp_path):
     """Pin-aware layout retention: after three waves, keeping one cut must
     (a) delete the older serving manifests, (b) keep every table version
@@ -1640,6 +1649,7 @@ def test_keyword_snippets_indexed_row_identical_to_scan(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_keyword_maintenance_interleaving_fuzz(spark, tmp_path):
     """Property fuzz over the maintenance-mode matrix (r11 — VERDICT r10
     ask #5): seeded-random wave sequences (overwrite/pending ×

@@ -153,6 +153,7 @@ def test_build_token_table_porter2_and_bm25_serving(spark, sf_dir):
         ki.build_token_table(docs, stemmer="lovins")
 
 
+@pytest.mark.slow
 def test_porter2_threads_through_committed_serving_layout(spark, sf_dir, tmp_path):
     """The analyzer seam through the COMMITTED serving layout (r11 —
     VERDICT r10 ask #3): ingest_serving(stemmer='porter2') records the

@@ -125,6 +125,7 @@ def test_ivfpq_probe_matches_lut_probe_on_probed_lists(emb, qvec, qrow):
     assert [r["adc_dist"] for r in got] == [r["adc_dist"] for r in expected]
 
 
+@pytest.mark.slow
 def test_ivfpq_prunes_before_scoring(emb, qvec):
     """nprobe of n_lists means the scored row count is the probed lists'
     population, not the corpus."""
@@ -187,6 +188,7 @@ def _normalized_plan(df):
     return plan
 
 
+@pytest.mark.slow
 def test_trained_codebooks_beat_seeded(emb):
     """The production fit must quantize strictly better than the seeded
     twin: lower mean reconstruction error (the deterministic distortion
@@ -249,14 +251,28 @@ def test_encode_fold_binds_vector_and_runs_once(emb, qrow):
     interpreted with no subexpression elimination — the unbound form ran
     m·k cast+slice evaluations per row), and pq_encode materializes the
     finished fold behind a projection boundary so pack + error sum share
-    one evaluation. A revert drops the _bind wrappers from the plan."""
-    enc_plan = pq.pq_encode(emb)._jdf.queryExecution().executedPlan().toString()
+    one evaluation. A revert drops the bind_once wrappers from the plan.
+
+    NOTE (ADVICE r11): these assertions pin an OPTIMIZER SHAPE, not
+    semantics — they match the textual rendering of the physical plan.
+    The rendering is whitespace-normalized before matching so an
+    upgrade that only reformats expression trees does not fail them; if
+    a Spark upgrade renames element_at/transform in plan strings,
+    re-derive the pattern rather than deleting the pin."""
+
+    def _shape(df) -> str:
+        # strip whitespace and expression ids (#123) so only structure
+        # remains
+        import re
+
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return re.sub(r"#\d+[A-Za-z]*", "", re.sub(r"\s+", "", s))
+
+    enc_plan = _shape(pq.pq_encode(emb))
     assert enc_plan.count("element_at(transform(array(") >= 1, enc_plan
     # pack + error sum must read the _bests ATTRIBUTE, not re-inline the
     # argmin fold: the fold lives in its own Project under the output one
     assert "_bests" in enc_plan, enc_plan
-    topk_plan = (
-        pq.pq_topk(emb, qrow, k=10)._jdf.queryExecution().executedPlan().toString()
-    )
+    topk_plan = _shape(pq.pq_topk(emb, qrow, k=10))
     # the bound vector + the per-subspace bound slice
     assert topk_plan.count("element_at(transform(array(") >= 2, topk_plan

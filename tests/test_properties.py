@@ -2,6 +2,7 @@
 invariants that must hold for ANY input, not just fixtures. Spark-free so
 hypothesis can run hundreds of examples cheaply."""
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -207,6 +208,7 @@ def _ws_duck():
 _WS_CON = _ws_duck()
 
 
+@pytest.mark.slow
 @given(_WS_QUERY)
 @settings(max_examples=1000, deadline=None)
 def test_websearch_sql_mirror_matches_reference_semantics(q):

@@ -1454,6 +1454,7 @@ def test_websearch_scores_indexed_phrase_without_positions_raises(spark):
     out = ki.websearch_scores_indexed(tfe, tfs, None, None, [(1, "beta -delta")])
     assert [r["id"] for r in out.collect()] == [1]
 
+@pytest.mark.slow
 def test_websearch_scores_indexed_seeded_fuzz_vs_reference(spark):
     """Seeded random websearch BATCHES through the set-based indexed tier
     (r10) checked against the documented reference semantics — the same

@@ -1549,6 +1549,7 @@ def test_bloom_skipping_files_opened_bounded_across_decade(spark, tmp_path):
     assert opened[80] <= opened[8] + 1 + int(0.016 * 80 * 3)
 
 
+@pytest.mark.slow
 def test_streaming_serving_maintenance_full_layout(spark, sf_dir, tmp_path):
     """The serve-everything streaming front (r11): document event batches
     fold into a COMMITTED ingest_serving layout one micro-batch at a
