@@ -199,6 +199,15 @@ def ngram_jaccard_pairs(
             .filter(F.col("rn") <= prefix_len)
             .select("id", "s", "n_sh", "rn")
         )
+        # r12 (VERDICT r11 ask #4, guide §5): BOTH sides of the candidate
+        # self-join read `prefix`, and Spark does not share the subtree —
+        # the executed plan built the document-frequency aggregate, its
+        # join and the rarity-rank window TWICE (verified in
+        # plans/r12/ngram_jaccard_prefix_before.txt, operators 20-24 vs
+        # 42-46). Persisting the prefix table computes that pipeline once;
+        # like `sh` above it is an index-build structure released by the
+        # ContextCleaner when the plan is garbage-collected.
+        prefix = prefix.persist()
         # Candidate pruning beyond the shared-prefix-shingle condition, both
         # safe (a qualifying pair passes them on EVERY shared occurrence, so
         # none is dropped): (1) size window t·|A| ≤ |B| ≤ |A|/t; (2) PPJoin
