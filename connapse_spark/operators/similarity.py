@@ -263,6 +263,13 @@ def neardup_cosine_pairs_lsh(
         lsh_bucket_expr(F.col("vec"), n_planes).alias("bucket"),
         l2norm_expr(F.col("vec")).alias("norm"),
     )
+    # r12 (guide §5, same mechanism as the ngram prefix fix): both sides
+    # of the bucket self-join read `v`, and Spark does not share the
+    # subtree — the n_planes sign-projection dots plus the l2 norm (all
+    # interpreted HOF folds) ran TWICE over every vector. Persisting the
+    # slim (id, vec, bucket, norm) projection computes them once;
+    # released by the ContextCleaner when the plan is garbage-collected.
+    v = v.persist()
     a = v.select(
         F.col("id").alias("id_a"), F.col("bucket"),
         F.col("vec").alias("_va"), F.col("norm").alias("_na"),

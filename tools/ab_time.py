@@ -173,8 +173,15 @@ def main() -> None:
         "hybrid_batch20_indexed": scen_hybrid_batch20_indexed,
         "hybrid_batch20_websearch": scen_hybrid_batch20_websearch,
     }
+    def _registry(qname: str):
+        import __spark_entry__ as entry
+
+        return lambda: entry.queries()[qname](spark, sf_dir)
+
     for name in args:
-        fn = scenarios[name]
+        # "q:<registry name>" times any declared query without a
+        # dedicated scenario (noop sink, same repeats)
+        fn = scenarios[name] if name in scenarios else _registry(name[2:])
         spark.sparkContext.setJobDescription(f"ab:{name}")
         fn().write.format("noop").mode("overwrite").save()  # untimed warm
         times = [round(noop(fn()), 3) for _ in range(repeats)]
